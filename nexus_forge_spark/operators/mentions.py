@@ -1,0 +1,90 @@
+"""Mention extraction: documents -> candidate mentions.
+
+Reference analogue: ``forge.resolve`` is called per free-text value pulled
+out of a Resource property (kgforge/core/archetypes/resolver.py:74-103);
+the set-oriented version extracts *all* candidate mentions from every text
+span in one pass: explode spans, filter kind='text', emit unigram + bigram
+token windows as candidates.  All native Column exprs — stays inside
+whole-stage codegen, no Python in the hot path.
+
+Mention identity: (doc_id, span_idx, tok_idx, n) where span_idx is the span
+``offset`` (array order == offset order per the input invariant) and tok_idx
+the 0-based token position inside the span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _candidates(tokens: Column, max_n: int = 2) -> Column:
+    """array<string> tokens -> array<struct<tok_idx,n,mention>> of unigram..max_n-gram windows."""
+    parts = [
+        F.transform(
+            tokens,
+            lambda w, i: F.struct(
+                i.cast("int").alias("tok_idx"), F.lit(1).alias("n"), w.alias("mention")
+            ),
+        )
+    ]
+    for n in range(2, max_n + 1):
+        parts.append(
+            F.when(
+                F.size(tokens) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(tokens) - n),
+                    lambda i, n=n: F.struct(
+                        i.cast("int").alias("tok_idx"),
+                        F.lit(n).alias("n"),
+                        F.array_join(F.slice(tokens, i + 1, n), " ").alias("mention"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<tok_idx:int,n:int,mention:string>>")
+            )
+        )
+    return F.concat(*parts)
+
+
+def extract_mentions(documents: DataFrame, max_n: int = 2) -> DataFrame:
+    """Interleaved documents(doc_id, spans) -> mentions.
+
+    Plan shape: scan -> generate(explode spans) -> filter(kind='text') ->
+    generate(explode token windows).  No shuffle at all — mention extraction
+    is map-side, so it scales linearly with input splits.
+    """
+    spans = documents.select(
+        "doc_id", F.explode("spans").alias("span")
+    ).where(F.col("span.kind") == "text")
+    toks = spans.select(
+        "doc_id",
+        F.col("span.offset").alias("span_idx"),
+        F.split(F.col("span.text"), " ").alias("tokens"),
+    )
+    return toks.select(
+        "doc_id",
+        "span_idx",
+        F.explode(_candidates(F.col("tokens"), max_n)).alias("c"),
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.col("c.tok_idx").alias("tok_idx"),
+        F.col("c.n").alias("n"),
+        F.col("c.mention").alias("mention"),
+    )
+
+
+def mentions_from_flat(flat_docs: DataFrame, max_n: int = 2) -> DataFrame:
+    """Driver-testdata flat documents(doc_id bigint, text) -> mentions with
+    span_idx=0 and tok_idx = token position in the whole text (the
+    DuckDB-oracle-checkable variant)."""
+    toks = flat_docs.select("doc_id", F.split(F.col("text"), " ").alias("tokens"))
+    return toks.select(
+        "doc_id", F.explode(_candidates(F.col("tokens"), max_n)).alias("c")
+    ).select(
+        "doc_id",
+        F.lit(0).alias("span_idx"),
+        F.col("c.tok_idx").alias("tok_idx"),
+        F.col("c.n").alias("n"),
+        F.col("c.mention").alias("mention"),
+    )

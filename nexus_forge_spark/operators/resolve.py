@@ -1,0 +1,144 @@
+"""Entity resolution as broadcast joins + window top-k.
+
+Reference semantics (kgforge/specializations/resolvers/demo_resolver.py:54-79,
+kgforge/core/commons/strategies.py:18-26), reproduced exactly:
+
+* EXACT_MATCH            — first record (dictionary order) where any resolve
+                           property equals the text.
+* EXACT_CASE_INSENSITIVE — same with lower() on both sides.
+* BEST_MATCH/ALL_MATCHES — candidate records where lower(text) is a substring
+                           of any lower(property); score = len(first present
+                           property value) - len(text)  (demo_resolver.py:68-79,
+                           _dist at :109-110 — NOTE: the score property is the
+                           *first present* resolve property of the record, not
+                           the property that matched); ascending sort, stable
+                           w.r.t. dictionary order → tiebreak = dict_idx.
+
+Spark shape: mentions ⋈ broadcast(alias-exploded dim) → per-(mention,entity)
+min-score dedup → window rank per mention → strategy select.  The dim is the
+broadcast side (ontologies are small); the mentions side never shuffles for
+the join itself — the only shuffle is the groupBy/window keyed on the
+fine-grained mention identity, which is skew-free by construction even when
+one ontology term is hot (AQE skew-join stays on as a backstop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EXACT_MATCH = "EXACT_MATCH"
+EXACT_CASE_INSENSITIVE_MATCH = "EXACT_CASE_INSENSITIVE_MATCH"
+BEST_MATCH = "BEST_MATCH"
+ALL_MATCHES = "ALL_MATCHES"
+
+MENTION_KEYS = ["doc_id", "span_idx", "tok_idx", "n", "mention"]
+
+
+def build_alias_table(
+    dim_idx: DataFrame,
+    match_props: list[str],
+    type_filter: str | None = None,
+    include_deprecated: bool = False,
+) -> DataFrame:
+    """Unpivot a dimension into (entity_id, dict_idx, prop_order, alias, score_len).
+
+    * type pre-filter mirrors demo_resolver.py:52-53;
+    * deprecated filter mirrors archetypes/resolver.py:213;
+    * score_len = length of the record's first present match property — the
+      value _dist measures against (demo_resolver.py:68-70).
+    """
+    d = dim_idx
+    if type_filter is not None:
+        d = d.where(F.col("type") == type_filter)
+    if not include_deprecated:
+        d = d.where(~F.coalesce(F.col("deprecated"), F.lit(False)))
+    first_present = F.coalesce(*[F.col(p) for p in match_props])
+    d = d.withColumn("score_len", F.length(first_present))
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("prop_order"), F.col(p).alias("alias"))
+            for i, p in enumerate(match_props)
+        ]
+    )
+    return (
+        d.select(
+            F.col("id").alias("entity_id"),
+            "dict_idx",
+            "score_len",
+            F.explode(pairs).alias("pa"),
+        )
+        .where(F.col("pa.alias").isNotNull())
+        .select(
+            "entity_id",
+            "dict_idx",
+            "score_len",
+            F.col("pa.prop_order").alias("prop_order"),
+            F.col("pa.alias").alias("alias"),
+        )
+    )
+
+
+def resolve(
+    mentions: DataFrame,
+    alias_table: DataFrame,
+    strategy: str = BEST_MATCH,
+    limit: int = 10,
+    threshold: float | None = None,
+    keys: list[str] | None = None,
+    use_broadcast: bool = True,
+) -> DataFrame:
+    """mentions(keys..., mention) ⋈ alias_table -> resolved candidates.
+
+    Output: keys... , entity_id, score, rank, strategy.
+    limit/threshold defaults mirror forge.resolve (core/forge.py:406-407
+    limit=10, threshold applied as score <= threshold for distance scores).
+    """
+    keys = keys or MENTION_KEYS
+    a0 = alias_table.alias("a")
+    a = F.broadcast(a0) if use_broadcast else a0
+    m = mentions.alias("m")
+    mention = F.col("m.mention")
+    al = F.col("a.alias")
+
+    if strategy == EXACT_MATCH:
+        cond = mention == al
+        score = F.lit(0.0)
+    elif strategy == EXACT_CASE_INSENSITIVE_MATCH:
+        cond = F.lower(mention) == F.lower(al)
+        score = F.lit(0.0)
+    else:
+        cond = F.instr(F.lower(al), F.lower(mention)) > 0
+        score = (F.col("a.score_len") - F.length(mention)).cast("double")
+
+    joined = m.join(a, cond, "inner").select(
+        *[F.col(f"m.{k}") for k in keys],
+        F.col("a.entity_id"),
+        F.col("a.dict_idx"),
+        F.col("a.prop_order"),
+        score.alias("score"),
+    )
+
+    # one candidate row per (mention, entity): keep its best (score, dict
+    # order, prop order) — a record matching on two aliases is one candidate.
+    per_entity = joined.groupBy(*keys, "entity_id").agg(
+        F.min(F.struct("score", "dict_idx", "prop_order")).alias("b")
+    ).select(
+        *keys,
+        "entity_id",
+        F.col("b.score").alias("score"),
+        F.col("b.dict_idx").alias("dict_idx"),
+    )
+
+    w = Window.partitionBy(*keys).orderBy("score", "dict_idx")
+    ranked = per_entity.withColumn("rank", F.row_number().over(w))
+
+    if strategy in (EXACT_MATCH, EXACT_CASE_INSENSITIVE_MATCH, BEST_MATCH):
+        out = ranked.where(F.col("rank") == 1)
+    else:
+        out = ranked.where(F.col("rank") <= limit)
+    if threshold is not None:
+        out = out.where(F.col("score") <= threshold)
+    return out.select(*keys, "entity_id", "score", "rank").withColumn(
+        "strategy", F.lit(strategy)
+    )

@@ -1,0 +1,61 @@
+"""Triple materialization: pipeline outputs -> deduplicated (subj, pred, obj).
+
+Reference analogue: ``as_graph`` explodes a Resource tree into rdflib triples
+(kgforge/core/conversions/rdf.py:275-312); rdflib.Graph is a *set*, so output
+parity requires dedup on (subj, pred, obj).  Blank nodes are replaced by
+deterministic skolem IRIs (hash of doc_id + path) so triple sets compare
+stably across runs — rdflib bnode ids are not stable (SURVEY.md §4.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "rdf:type"
+PRED_HAS_BODY = "nsg:hasBody"
+PRED_DISTRIBUTION = "schema:distribution"
+XSD_STRING = "xsd:string"
+
+
+def doc_subject(doc_id_col) -> F.Column:
+    """Deterministic skolem subject IRI for a document."""
+    return F.concat(F.lit("doc:"), doc_id_col)
+
+
+def resolved_to_triples(resolved: DataFrame, pred: str = PRED_HAS_BODY) -> DataFrame:
+    """resolved(doc_id, ..., entity_id) -> annotation triples."""
+    return resolved.select(
+        doc_subject(F.col("doc_id")).alias("subj"),
+        F.lit(pred).alias("pred"),
+        F.col("entity_id").alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.col("doc_id").alias("doc_id"),
+        F.lit("resolve").alias("stage"),
+    )
+
+
+def media_to_triples(documents: DataFrame) -> DataFrame:
+    """kind='media' spans -> distribution triples (the LazyAction/forge.attach
+    analogue: media refs are data, 'executed' as a column expr —
+    core/forge.py:798-809, commons/actions.py:62-113)."""
+    return (
+        documents.select("doc_id", F.explode("spans").alias("span"))
+        .where(F.col("span.kind") == "media")
+        .select(
+            doc_subject(F.col("doc_id")).alias("subj"),
+            F.lit(PRED_DISTRIBUTION).alias("pred"),
+            F.col("span.media_ref").alias("obj"),
+            F.lit(False).alias("obj_is_literal"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.col("doc_id").alias("doc_id"),
+            F.lit("media").alias("stage"),
+        )
+    )
+
+
+def dedup_triples(triples: DataFrame) -> DataFrame:
+    """Graph set semantics: one row per (subj, pred, obj).  This is the one
+    required shuffle of the materialize stage; AQE coalesces the output."""
+    return triples.dropDuplicates(["subj", "pred", "obj"])

@@ -1,0 +1,58 @@
+"""End-to-end KG construction plan: documents -> mentions -> resolve ->
+triples, the Spark re-expression of the reference's
+map -> resolve -> validate -> register loop (SURVEY.md §3).
+
+Two resolve passes, mirroring the reference's strategy ladder:
+exact pass first (cheapest predicate), then the fuzzy pass only over
+mentions the exact pass missed (left-anti join) — the set-oriented version
+of "try EXACT_MATCH, fall back to BEST_MATCH" rules seen in fixture
+mappings (e.g. Example.hjson ternary with resolve fallback).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nexus_forge_spark import dims
+from nexus_forge_spark.operators import mentions as M
+from nexus_forge_spark.operators import resolve as R
+from nexus_forge_spark.operators import triples as T
+
+
+def construct_kg(
+    documents: DataFrame,
+    alias_table: DataFrame | None = None,
+    fuzzy: bool = True,
+    limit: int = 10,
+) -> DataFrame:
+    """Interleaved documents -> deduplicated annotation + media triples."""
+    spark = documents.sparkSession
+    if alias_table is None:
+        alias_table = R.build_alias_table(
+            dims.ontology_terms_idx(spark), dims.ONTOLOGY_MATCH_PROPS
+        )
+
+    mentions = M.extract_mentions(documents)
+    exact = R.resolve(mentions, alias_table, R.EXACT_MATCH)
+    if fuzzy:
+        misses = mentions.join(
+            exact.select(*R.MENTION_KEYS), on=R.MENTION_KEYS, how="left_anti"
+        )
+        fuzzy_hits = R.resolve(misses, alias_table, R.BEST_MATCH, limit=limit)
+        resolved = exact.unionByName(fuzzy_hits)
+    else:
+        resolved = exact
+
+    triples = T.resolved_to_triples(resolved).unionByName(T.media_to_triples(documents))
+    return T.dedup_triples(triples)
+
+
+def write_triples(triples: DataFrame, path: str, partitions: int | None = None) -> None:
+    """Materialize to parquet partitioned by predicate; on a cluster this is
+    an Iceberg `writeTo(...).append()` — predicate partitioning gives
+    partition pruning for per-predicate consumers."""
+    out = triples
+    if partitions:
+        out = out.repartitionByRange(partitions, "doc_id")
+    out.write.mode("overwrite").partitionBy("stage").parquet(path)
