@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG-construction pipeline on sf0.001;
+``queries``/``oracle_sql`` expose each implemented operator from
+SURVEY.md §2 with a DuckDB-checkable oracle (see
+nexus_forge_spark/plans/driver_queries.py).
 """
 
 from __future__ import annotations
@@ -15,24 +14,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved-span documents -> mentions -> exact+fuzzy
+    resolve -> deduplicated (subj, pred, obj) triples."""
+    from nexus_forge_spark.plans import pipeline
+    from nexus_forge_spark.sources import flat_to_interleaved, load_table
+
+    docs = flat_to_interleaved(load_table(spark, "documents", "/root/testdata/sf0.001"))
+    return pipeline.construct_kg(docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from nexus_forge_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fns[0] for name, fns in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    return {name: fns[1]() for name, fns in QUERIES.items() if fns[1] is not None}

@@ -28,18 +28,23 @@ def _candidates(tokens: Column, max_n: int = 2) -> Column:
             ),
         )
     ]
+    def ngram_lambda(n: int):
+        # NB: a plain `lambda i, n=n` would be treated by F.transform as the
+        # two-arg (element, index) form and bind the array index to n.
+        def fn(i: Column) -> Column:
+            return F.struct(
+                i.cast("int").alias("tok_idx"),
+                F.lit(n).alias("n"),
+                F.array_join(F.slice(tokens, i + 1, n), " ").alias("mention"),
+            )
+
+        return fn
+
     for n in range(2, max_n + 1):
         parts.append(
             F.when(
                 F.size(tokens) >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(tokens) - n),
-                    lambda i, n=n: F.struct(
-                        i.cast("int").alias("tok_idx"),
-                        F.lit(n).alias("n"),
-                        F.array_join(F.slice(tokens, i + 1, n), " ").alias("mention"),
-                    ),
-                ),
+                F.transform(F.sequence(F.lit(0), F.size(tokens) - n), ngram_lambda(n)),
             ).otherwise(F.array().cast("array<struct<tok_idx:int,n:int,mention:string>>")
             )
         )
