@@ -119,26 +119,80 @@ def resolve(
         score.alias("score"),
     )
 
-    # one candidate row per (mention, entity): keep its best (score, dict
-    # order, prop order) — a record matching on two aliases is one candidate.
-    per_entity = joined.groupBy(*keys, "entity_id").agg(
-        F.min(F.struct("score", "dict_idx", "prop_order")).alias("b")
-    ).select(
-        *keys,
-        "entity_id",
-        F.col("b.score").alias("score"),
-        F.col("b.dict_idx").alias("dict_idx"),
-    )
-
-    w = Window.partitionBy(*keys).orderBy("score", "dict_idx")
-    ranked = per_entity.withColumn("rank", F.row_number().over(w))
-
     if strategy in (EXACT_MATCH, EXACT_CASE_INSENSITIVE_MATCH, BEST_MATCH):
-        out = ranked.where(F.col("rank") == 1)
+        # top-1: the globally best candidate row IS its entity's best row, so
+        # the per-entity dedup aggregation (and its shuffle) is unnecessary —
+        # one window shuffle total; WindowGroupLimit prunes map-side.
+        w = Window.partitionBy(*keys).orderBy("score", "dict_idx", "prop_order")
+        out = joined.withColumn("rank", F.row_number().over(w)).where(F.col("rank") == 1)
     else:
-        out = ranked.where(F.col("rank") <= limit)
+        # ALL_MATCHES: one candidate row per (mention, entity) — a record
+        # matching on two aliases is one candidate (reference returns records).
+        per_entity = joined.groupBy(*keys, "entity_id").agg(
+            F.min(F.struct("score", "dict_idx", "prop_order")).alias("b")
+        ).select(
+            *keys,
+            "entity_id",
+            F.col("b.score").alias("score"),
+            F.col("b.dict_idx").alias("dict_idx"),
+        )
+        w = Window.partitionBy(*keys).orderBy("score", "dict_idx")
+        out = per_entity.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= limit
+        )
     if threshold is not None:
         out = out.where(F.col("score") <= threshold)
     return out.select(*keys, "entity_id", "score", "rank").withColumn(
         "strategy", F.lit(strategy)
+    )
+
+
+def resolve_ladder(
+    mentions: DataFrame,
+    alias_table: DataFrame,
+    keys: list[str] | None = None,
+    use_broadcast: bool = True,
+) -> DataFrame:
+    """Single-pass strategy ladder: EXACT_MATCH preferred, BEST_MATCH fallback.
+
+    Equivalent to running the exact pass, anti-joining the misses, and
+    running the fuzzy pass (the reference's try-exact-else-fuzzy mapping-rule
+    ternary) — but as ONE broadcast join: equality implies substring
+    containment, so the fuzzy predicate is a superset; an is_exact flag
+    ranks exact candidates first.  Halves the scans and removes the anti-join
+    shuffle entirely — at 10^12-doc scale that is the difference between one
+    pass over the corpus and three.
+    """
+    keys = keys or MENTION_KEYS
+    a0 = alias_table.alias("a")
+    a = F.broadcast(a0) if use_broadcast else a0
+    m = mentions.alias("m")
+    mention = F.col("m.mention")
+    al = F.col("a.alias")
+
+    joined = m.join(a, F.instr(F.lower(al), F.lower(mention)) > 0, "inner").select(
+        *[F.col(f"m.{k}") for k in keys],
+        F.col("a.entity_id"),
+        F.col("a.dict_idx"),
+        F.col("a.prop_order"),
+        F.when(mention == al, 0).otherwise(1).alias("exact_rank"),
+        F.when(mention == al, F.lit(0.0))
+        .otherwise((F.col("a.score_len") - F.length(mention)).cast("double"))
+        .alias("score"),
+    )
+    # top-1 per mention: single window shuffle, no per-entity pre-aggregation
+    # (the best row overall is its entity's best row).
+    w = Window.partitionBy(*keys).orderBy("exact_rank", "score", "dict_idx", "prop_order")
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") == 1)
+        .select(
+            *keys,
+            "entity_id",
+            "score",
+            "rank",
+            F.when(F.col("exact_rank") == 0, F.lit(EXACT_MATCH))
+            .otherwise(F.lit(BEST_MATCH))
+            .alias("strategy"),
+        )
     )

@@ -34,15 +34,12 @@ def construct_kg(
         )
 
     mentions = M.extract_mentions(documents)
-    exact = R.resolve(mentions, alias_table, R.EXACT_MATCH)
     if fuzzy:
-        misses = mentions.join(
-            exact.select(*R.MENTION_KEYS), on=R.MENTION_KEYS, how="left_anti"
-        )
-        fuzzy_hits = R.resolve(misses, alias_table, R.BEST_MATCH, limit=limit)
-        resolved = exact.unionByName(fuzzy_hits)
+        # single-pass ladder: exact preferred, best-fuzzy fallback — one
+        # broadcast join instead of exact-pass + anti-join + fuzzy-pass.
+        resolved = R.resolve_ladder(mentions, alias_table)
     else:
-        resolved = exact
+        resolved = R.resolve(mentions, alias_table, R.EXACT_MATCH)
 
     triples = T.resolved_to_triples(resolved).unionByName(T.media_to_triples(documents))
     return T.dedup_triples(triples)
