@@ -314,6 +314,37 @@ SELECT doc_id, lang,
 FROM d"""
 
 
+def q_map_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DictionaryMapping rule application (forge.map) over the customer table:
+    literal fallback, forge.format id minting, f-string, str method."""
+    from nexus_forge_spark.functions import hjson
+    from nexus_forge_spark.operators.mapping import ForgeContext, map_dataframe
+
+    rules = hjson.loads(
+        """
+{
+    type: Customer
+    id: forge.format("identifier", "customers", x.c_custkey)
+    name: x.c_name
+    segment: x.c_mktsegment.lower()
+    summary: f"{x.c_name} [{x.c_mktsegment}]"
+}
+"""
+    )
+    ctx = ForgeContext(formatters={"identifier": "https://kg.example.ch/{}/{}"})
+    return map_dataframe(load_table(spark, "customer", sf_dir), rules, ctx)
+
+
+def sql_map_customers() -> str:
+    return """SELECT
+  'Customer' AS type,
+  'https://kg.example.ch/customers/' || CAST(c_custkey AS VARCHAR) AS id,
+  c_name AS name,
+  lower(c_mktsegment) AS segment,
+  c_name || ' [' || c_mktsegment || ']' AS summary
+FROM customer"""
+
+
 QUERIES = {
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
@@ -323,6 +354,7 @@ QUERIES = {
     "kg_canonical": (q_kg_canonical, sql_kg_canonical),
     "window_topk_orders": (q_window_topk, sql_window_topk),
     "groupagg_lineitem": (q_groupagg_lineitem, sql_groupagg_lineitem),
+    "map_customers": (q_map_customers, sql_map_customers),
     "doc_fingerprint": (q_doc_fingerprint, sql_doc_fingerprint),
     "doc_token_stats": (q_doc_token_stats, sql_doc_token_stats),
 }
