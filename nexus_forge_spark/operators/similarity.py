@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+Reference analogue: the ES dense-vector cosine script_score linker
+(kgforge/specializations/stores/nexus/service.py es_query_builder.py:430-434,
+entity_linking_elastic_service.py:64-136) — top-k candidates by cosine
+similarity.  Re-expressed as:
+
+* brute-force: queries x corpus join with a native-expression dot product
+  (F.zip_with + F.aggregate — JVM-side, no UDF), window top-k.  Correct
+  baseline, O(Q*N) — fine for Q small.
+* LSH-bucketed: random-hyperplane signatures (deterministic, hash-derived
+  planes) -> Hamming-block equi-join — the plan that scales to 10^9 vectors:
+  signature computation is map-side, the join shuffles on short bucket keys.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return (dot(a, b) / (norm(a) * norm(b))).cast("double")
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Brute-force cosine top-k of each query vector against the corpus.
+
+    Output: (query_id, neighbor_id, score, rank), self-matches excluded.
+    Rounding the score decouples rank stability from float summation order
+    (ties broken by neighbor id).
+    """
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")
+            ).alias("score"),
+        )
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("score", F.round(F.col("score"), round_digits))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _hash_unit(seed: int, plane: int, dim: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1) from a hash —
+    no RNG state, identical on every executor."""
+    h = hash((seed, plane, dim)) & 0xFFFFFFFF
+    return (h / 0x80000000) - 1.0
+
+
+def hyperplane_signature(
+    vec: Column, dim: int, num_planes: int = 16, seed: int = 42
+) -> Column:
+    """Sign pattern of the vector against num_planes fixed pseudo-random
+    hyperplanes, packed into a long."""
+    import random
+
+    rnd = random.Random(seed)
+    planes = [[rnd.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+    bits = []
+    for p_i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p_i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_cosine_candidates(
+    embeddings: DataFrame,
+    dim: int,
+    num_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-neighbor pairs: vectors sharing any signature band.
+    Verify with cosine() on the candidates only."""
+    rows_per_band = num_planes // bands
+    mask = (1 << rows_per_band) - 1
+    sigs = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        hyperplane_signature(F.col(vec_col), dim, num_planes, seed).alias("sig"),
+    )
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), b * rows_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )

@@ -1,0 +1,110 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+fingerprinting.  All native Column expressions (whole-stage codegen);
+designed for a 100 TB corpus where every per-doc pass must be map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles (n-gram/stopword heuristic language ID)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "fr": ["le", "la", "les", "de", "et", "un", "est"],
+    "es": ["el", "la", "los", "de", "y", "un", "es"],
+    "de": ["der", "die", "das", "und", "ein", "ist", "zu"],
+}
+
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish word/number/punct pieces
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text)).cast("int")
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish piece count: words / numbers / punctuation runs."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).cast("int")
+
+
+def language_scores(text: Column) -> Column:
+    """struct of per-language stopword-hit counts."""
+    toks = tokens(text)
+    return F.struct(
+        *[
+            F.size(F.filter(toks, _isin(words))).alias(lang)
+            for lang, words in LANG_PROFILES.items()
+        ]
+    )
+
+
+def _isin(words: list[str]):
+    # closure factory: a two-param lambda would be treated by F.filter as the
+    # (element, index) form
+    return lambda w: w.isin(*words)
+
+
+def language_id(text: Column, default: str = "und") -> Column:
+    """argmax language by stopword profile; 'und' when no profile hits.
+    Deterministic tiebreak: profile order."""
+    toks = tokens(text)
+    scores = [
+        (lang, F.size(F.filter(toks, _isin(words))))
+        for lang, words in LANG_PROFILES.items()
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit(default)
+    for lang, s in reversed(scores):
+        out = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + a composite [0,1] score:
+    length, distinct ratio, stopword ratio, mean token length, alpha ratio."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop = F.size(F.filter(toks, lambda w: w.isin(*LANG_PROFILES["en"])))
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / F.greatest(
+        F.length(t), F.lit(1)
+    )
+    distinct_ratio = (n_distinct / n).cast("double")
+    stop_ratio = (stop / n).cast("double")
+    mean_len = (total_len / n).cast("double")
+    # composite: favor diverse, readable, alpha-heavy docs
+    score = (
+        F.least(distinct_ratio * 2, F.lit(1.0)) * 0.4
+        + F.least(mean_len / F.lit(8.0), F.lit(1.0)) * 0.3
+        + alpha.cast("double") * 0.3
+    )
+    return df.select(
+        "*",
+        n.cast("int").alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_len.alias("mean_token_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def rolling_fingerprint(text: Column, window: int = 4) -> Column:
+    """Winnowing-style document fingerprint: md5 of every `window`-token
+    shingle, keep the minimum — robust to local edits, engine-portable."""
+    toks = tokens(text)
+    grams = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - window),
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window), " ")),
+        ),
+    ).otherwise(F.array(F.md5(F.array_join(toks, " "))))
+    return F.array_min(grams)

@@ -345,6 +345,275 @@ def sql_map_customers() -> str:
 FROM customer"""
 
 
+def q_validate_persons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-shape validation (forge.validate) over Person-shaped rows derived
+    from customer: per-row validated flag, never throws (execution.run
+    semantics, commons/execution.py:148-191)."""
+    import glob
+
+    from nexus_forge_spark.operators.validate import (
+        ShapeCompiler,
+        load_shapes,
+    )
+
+    shapes = load_shapes(
+        sorted(glob.glob("/root/reference/tests/data/shacl-model/commons/shapes-*.json"))
+    )
+    persons = load_table(spark, "customer", sf_dir).select(
+        F.concat(F.lit("http://p/"), F.col("c_custkey")).alias("id"),
+        F.when(F.col("c_custkey") % 10 == 0, "Alien").otherwise("Person").alias("type"),
+        F.when(F.col("c_custkey") % 7 == 0, None).otherwise(F.col("c_name")).alias("familyName"),
+        F.col("c_name").alias("givenName"),
+        F.element_at(
+            F.array(F.lit("female"), F.lit("male"), F.lit("other")),
+            (F.col("c_custkey") % 3 + 1).cast("int"),
+        ).alias("gender"),
+        F.lit("2000-01-01").alias("birthDate"),
+    )
+    out = ShapeCompiler(shapes).validate(persons, "Person")
+    return out.select(
+        "id", "type", "validated", F.size("violations").cast("int").alias("n_violations")
+    )
+
+
+def sql_validate_persons() -> str:
+    # replicates the compiled Person-shape predicate set exactly:
+    # focus(type), nodeKind IRI, familyName/givenName minCount,
+    # gender minCount + in, birthDate minCount + date-parse
+    return """WITH persons AS (
+  SELECT 'http://p/' || CAST(c_custkey AS VARCHAR) AS id,
+         CASE WHEN c_custkey % 10 = 0 THEN 'Alien' ELSE 'Person' END AS type,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS familyName,
+         c_name AS givenName,
+         CASE c_custkey % 3 WHEN 0 THEN 'female' WHEN 1 THEN 'male' ELSE 'other' END AS gender,
+         '2000-01-01' AS birthDate
+  FROM customer
+),
+checks AS (
+  SELECT id, type,
+    CAST(type <> 'Person' AS INT) +
+    CAST(id IS NULL OR id = '' AS INT) +
+    CAST(familyName IS NULL AS INT) +
+    CAST(givenName IS NULL AS INT) +
+    CAST(gender IS NULL AS INT) +
+    CAST(gender IS NOT NULL AND gender NOT IN ('female','male') AS INT) +
+    CAST(birthDate IS NULL AS INT) +
+    CAST(birthDate IS NOT NULL AND try_cast(birthDate AS TIMESTAMP) IS NULL AS INT)
+    AS n_violations
+  FROM persons
+)
+SELECT id, type, n_violations = 0 AS validated, CAST(n_violations AS INT) AS n_violations
+FROM checks"""
+
+
+# --------------------------------------------- training-data pipeline ops
+
+def _docs_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-duplicate mutants (first token dropped, id+1000000) —
+    deterministic near-dup corpus for dedup checks."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    mutants = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^\S+\s*", "").alias("text"),
+    )
+    return docs.unionByName(mutants)
+
+
+_MUTANT_DOCS_SQL = """docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '^\\S+\\s*', '') AS text
+  FROM documents
+)"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_forge_spark.operators.dedup import exact_dup_groups
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    dups = docs.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    return exact_dup_groups(docs.unionByName(dups))
+
+
+def sql_dedup_exact() -> str:
+    return """WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')) AS sig
+  FROM docs
+),
+groups AS (
+  SELECT sig, count(*) AS dup_count, min(doc_id) AS canonical_id FROM sig GROUP BY sig
+)
+SELECT s.doc_id, s.sig, g.dup_count, g.canonical_id
+FROM sig s JOIN groups g USING (sig)"""
+
+
+_MINHASH_K = 16
+_MINHASH_BANDS = 4
+_MINHASH_ROWS = 4
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified with true word-
+    bigram Jaccard >= 0.5."""
+    from nexus_forge_spark.operators import dedup as D
+
+    docs = _docs_with_mutants(spark, sf_dir)
+    sigs = D.minhash_signatures(docs, num_hashes=_MINHASH_K, shingle_n=2)
+    cand = D.lsh_candidate_pairs(sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_ROWS)
+    with_sh = docs.select(
+        "doc_id", D.word_shingles(F.col("text"), 2).alias("sh")
+    )
+    a_sh = with_sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b_sh = with_sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a_sh, "a")
+        .join(b_sh, "b")
+        .select(
+            "a",
+            "b",
+            F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+def sql_dedup_minhash() -> str:
+    k, bands, rows = _MINHASH_K, _MINHASH_BANDS, _MINHASH_ROWS
+    return f"""WITH {_MUTANT_DOCS_SQL},
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM docs
+),
+shingles AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 2 THEN
+      list_distinct([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))])
+    ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+),
+grams AS (SELECT doc_id, unnest(sh) AS g FROM shingles),
+mh AS (
+  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || g)) AS m
+  FROM grams CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS i)
+  GROUP BY doc_id, i
+),
+sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b, array_to_string(s[b*{rows}+1:b*{rows}+{rows}], '|') AS key
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+),
+jac AS (
+  SELECT c.a, c.b,
+    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.a
+  JOIN shingles sb ON sb.doc_id = c.b
+)
+SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5"""
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for 5 fixed query vectors."""
+    from nexus_forge_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk(emb, [0, 1, 2, 3, 4], k=5, round_digits=3)
+
+
+def sql_ann_cosine() -> str:
+    return """WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0,1,2,3,4)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round(
+      list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+      (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))) *
+       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
+    3) AS score
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5"""
+
+
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + quality scoring per doc."""
+    from nexus_forge_spark.operators.text import language_id, quality_features
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    out = quality_features(docs)
+    return out.select(
+        "doc_id",
+        language_id(F.col("text")).alias("lang_pred"),
+        "n_tokens",
+        "distinct_ratio",
+        "mean_token_len",
+        "quality_score",
+    )
+
+
+def sql_lang_quality() -> str:
+    from nexus_forge_spark.operators.text import LANG_PROFILES
+
+    score_cols = []
+    for lang, words in LANG_PROFILES.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(f"len(list_filter(toks, w -> w IN ({wl}))) AS s_{lang}")
+    langs = list(LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pick = "CASE "
+    for l in langs:  # first profile in order wins ties (Spark loop is reversed-otherwise)
+        pick += f"WHEN s_{l} = best AND best > 0 THEN '{l}' "
+    pick += "ELSE 'und' END"
+    return f"""WITH base AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id, text, toks,
+    {', '.join(score_cols)},
+    len(toks) AS n_tokens,
+    len(list_distinct(toks)) AS n_distinct,
+    list_sum(list_transform(toks, w -> length(w))) AS total_len,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) AS alpha
+  FROM base
+),
+feat2 AS (
+  SELECT doc_id, {best} AS best, *,
+    CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+    CAST(total_len AS DOUBLE) / n_tokens AS mean_token_len
+  FROM feat
+)
+SELECT doc_id, {pick} AS lang_pred,
+  CAST(n_tokens AS INT) AS n_tokens,
+  distinct_ratio,
+  mean_token_len,
+  round(least(distinct_ratio * 2, 1.0) * 0.4 +
+        least(mean_token_len / 8.0, 1.0) * 0.3 +
+        alpha * 0.3, 6) AS quality_score
+FROM feat2"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check: 60-bit majority-vote
+    signature + pigeonhole chunk blocking isn't cleanly SQL-portable)."""
+    from nexus_forge_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs_with_mutants(spark, sf_dir), max_distance=8)
+
+
 QUERIES = {
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
@@ -355,6 +624,12 @@ QUERIES = {
     "window_topk_orders": (q_window_topk, sql_window_topk),
     "groupagg_lineitem": (q_groupagg_lineitem, sql_groupagg_lineitem),
     "map_customers": (q_map_customers, sql_map_customers),
+    "validate_persons": (q_validate_persons, sql_validate_persons),
     "doc_fingerprint": (q_doc_fingerprint, sql_doc_fingerprint),
     "doc_token_stats": (q_doc_token_stats, sql_doc_token_stats),
+    "dedup_exact": (q_dedup_exact, sql_dedup_exact),
+    "dedup_minhash_lsh": (q_dedup_minhash, sql_dedup_minhash),
+    "ann_cosine_topk": (q_ann_cosine, sql_ann_cosine),
+    "lang_quality": (q_lang_quality, sql_lang_quality),
+    "simhash_pairs": (q_simhash_pairs, None),
 }

@@ -1,0 +1,116 @@
+"""Unit tests: dedup family, similarity search, text analysis."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nexus_forge_spark.operators import dedup as D
+from nexus_forge_spark.operators import similarity as S
+from nexus_forge_spark.operators import text as X
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "quick brown fox jumps over the lazy dog"),  # near dup (1 token off)
+        (4, "completely different content about spark engines"),
+        (5, "le chat et le chien et la maison"),
+        (6, "der hund und die katze und das haus ist"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = {r.doc_id: r for r in D.exact_dup_groups(_docs(spark)).collect()}
+    assert out[1].dup_count == 2 and out[2].dup_count == 2
+    assert out[1].canonical_id == 1 and out[2].canonical_id == 1
+    assert out[3].dup_count == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = _docs(spark)
+    sigs = D.minhash_signatures(docs, num_hashes=16, shingle_n=2)
+    pairs = {(r.a, r.b) for r in D.lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs  # near dup collides with high probability
+    assert (1, 4) not in pairs
+
+
+def test_minhash_estimates_jaccard(spark):
+    docs = _docs(spark)
+    sigs = {r.doc_id: r.sig for r in D.minhash_signatures(docs, num_hashes=16).collect()}
+    est_12 = sum(a == b for a, b in zip(sigs[1], sigs[2])) / 16
+    est_14 = sum(a == b for a, b in zip(sigs[1], sigs[4])) / 16
+    assert est_12 == 1.0
+    assert est_14 < 0.5
+
+
+def test_ngram_jaccard_pairs(spark):
+    out = {(r.a, r.b): r.jaccard for r in D.ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) in out and 0.5 <= out[(1, 3)] < 1.0
+    assert (1, 4) not in out
+
+
+def test_simhash_distance(spark):
+    out = {(r.a, r.b): r.hamming for r in D.simhash_pairs(_docs(spark), max_distance=10).collect()}
+    assert out[(1, 2)] == 0  # identical text -> identical signature
+    assert (1, 3) in out  # near dup within distance 10
+    assert (1, 4) not in out
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0]),  # nearly parallel to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # anti-parallel to 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.cosine_topk(emb, [0], k=3).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]
+    assert out[0].score >= 0.999
+
+
+def test_lsh_cosine_candidates_cover_parallel_vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),
+        (2, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.a, r.b) for r in S.lsh_cosine_candidates(emb, dim=4, num_planes=16, bands=8).collect()}
+    assert (0, 1) in pairs  # near-parallel vectors share most sign bits
+    assert (0, 2) not in pairs  # anti-parallel vectors share no band
+
+
+def test_language_id(spark):
+    df = _docs(spark).select("doc_id", X.language_id(F.col("text")).alias("lang"))
+    out = {r.doc_id: r.lang for r in df.collect()}
+    assert out[1] == "en"
+    assert out[5] == "fr"
+    assert out[6] == "de"
+    assert out[4] in ("en", "und")
+
+
+def test_quality_and_token_counts(spark):
+    df = X.quality_features(_docs(spark))
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[1].n_tokens == 9
+    assert rows[2].quality_score == rows[1].quality_score
+    assert 0.0 <= rows[1].quality_score <= 1.0
+    # regex token count splits punctuation
+    tc = _docs(spark).select(X.regex_token_count(F.lit("a,b c!")).alias("n")).first().n
+    assert tc == 5  # a , b c !
+
+
+def test_rolling_fingerprint_robust_to_late_edit(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fp for r in df.select("doc_id", X.rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    # shared minimum shingle hash survives the appended token with high prob.
+    assert fps[1] == fps[2]
