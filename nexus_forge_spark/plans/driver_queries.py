@@ -614,6 +614,61 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs_with_mutants(spark, sf_dir), max_distance=8)
 
 
+def q_search_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """forge.search Filter DSL -> pushed-down parquet predicates."""
+    from nexus_forge_spark.operators.search import apply_filters, paths
+
+    p = paths()
+    ev = load_table(spark, "events", sf_dir)
+    return apply_filters(
+        ev, p.event_type == "purchase", p.value > 100.0, limit=None
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+def sql_search_filters() -> str:
+    return """SELECT event_id, user_id, event_type, value
+FROM events WHERE event_type = 'purchase' AND value > 100.0"""
+
+
+def q_struct_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic Resource-struct -> triples materializer (as_graph analogue):
+    nested struct becomes a deterministic skolem node."""
+    from nexus_forge_spark.operators.convert import struct_to_triples
+
+    nested = load_table(spark, "customer", sf_dir).select(
+        F.concat(F.lit("http://c/"), F.col("c_custkey")).alias("id"),
+        F.lit("Customer").alias("type"),
+        F.col("c_name").alias("name"),
+        F.struct(
+            F.lit("Account").alias("type"),
+            F.col("c_acctbal").alias("balance"),
+            F.col("c_mktsegment").alias("segment"),
+        ).alias("account"),
+    )
+    return struct_to_triples(nested)
+
+
+def sql_struct_triples() -> str:
+    return """WITH nested AS (
+  SELECT 'http://c/' || CAST(c_custkey AS VARCHAR) AS id, c_name, c_acctbal, c_mktsegment
+  FROM customer
+),
+t AS (
+  SELECT id AS subj, 'rdf:type' AS pred, 'Customer' AS obj, FALSE AS obj_is_literal, NULL AS obj_datatype FROM nested
+  UNION ALL
+  SELECT id, 'name', c_name, TRUE, 'xsd:string' FROM nested
+  UNION ALL
+  SELECT id, 'account', '_:' || md5(id || '/account'), FALSE, NULL FROM nested
+  UNION ALL
+  SELECT '_:' || md5(id || '/account'), 'rdf:type', 'Account', FALSE, NULL FROM nested
+  UNION ALL
+  SELECT '_:' || md5(id || '/account'), 'balance', CAST(c_acctbal AS VARCHAR), TRUE, 'xsd:double' FROM nested
+  UNION ALL
+  SELECT '_:' || md5(id || '/account'), 'segment', c_mktsegment, TRUE, 'xsd:string' FROM nested
+)
+SELECT DISTINCT subj, pred, obj, obj_is_literal, CAST(obj_datatype AS VARCHAR) AS obj_datatype FROM t"""
+
+
 QUERIES = {
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
@@ -625,6 +680,8 @@ QUERIES = {
     "groupagg_lineitem": (q_groupagg_lineitem, sql_groupagg_lineitem),
     "map_customers": (q_map_customers, sql_map_customers),
     "validate_persons": (q_validate_persons, sql_validate_persons),
+    "search_filters": (q_search_filters, sql_search_filters),
+    "struct_triples": (q_struct_triples, sql_struct_triples),
     "doc_fingerprint": (q_doc_fingerprint, sql_doc_fingerprint),
     "doc_token_stats": (q_doc_token_stats, sql_doc_token_stats),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
