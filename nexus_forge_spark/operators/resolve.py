@@ -147,6 +147,148 @@ def resolve(
     )
 
 
+def escape_punctuation(text: str) -> str:
+    """Escape regex-special punctuation in a mention before building an
+    anchored case-insensitive pattern (archetypes/resolver.py:181-188;
+    golden cases tests/core/test_resolving.py:20-48)."""
+    import re as _re
+
+    return _re.sub(r"([-()\[\]{}+?*.$^|\\/@:;!,#~&<>%'\"=])", r"\\\1", text)
+
+
+def strategy_predicate(mention: F.Column, alias: F.Column, strategy: str) -> F.Column:
+    """Strategy -> join predicate compiler, the analogue of
+    _build_resolving_query's SPARQL FILTER generation (archetypes/
+    resolver.py:208-252): EXACT -> equality; EXACT_CI -> anchored
+    case-insensitive regex on the escaped mention; BEST/ALL -> containment."""
+    if strategy == EXACT_MATCH:
+        return mention == alias
+    if strategy == EXACT_CASE_INSENSITIVE_MATCH:
+        # regex(?, "^escaped$", "i") — rendered Spark-side as regexp_like
+        pattern = F.concat(
+            F.lit("(?i)^"),
+            F.regexp_replace(
+                mention,
+                r"([\-\(\)\[\]\{\}\+\?\*\.\$\^\|\\\\/@:;!,#~&<>%'\"=])",
+                r"\\$1",
+            ),
+            F.lit("$"),
+        )
+        return F.regexp_like(alias, pattern)
+    return F.instr(F.lower(alias), F.lower(mention)) > 0
+
+
+def trigrams(col: F.Column) -> F.Column:
+    """Distinct character 3-grams of lower(text); texts shorter than 3 chars
+    yield the whole string as a single gram."""
+    s = F.lower(col)
+    return F.when(
+        F.length(s) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - 2),
+                lambda i: F.substr(s, i, F.lit(3)),
+            )
+        ),
+    ).otherwise(F.array(s))
+
+
+def build_alias_trigram_table(alias_table: DataFrame) -> DataFrame:
+    """Alias table exploded to one row per (alias row, trigram) — the
+    blocking index for large dims.  Build once, write bucketed by gram on a
+    real deployment."""
+    return alias_table.withColumn("gram", F.explode(trigrams(F.col("alias"))))
+
+
+def resolve_ladder_blocked(
+    mentions: DataFrame,
+    alias_table: DataFrame,
+    keys: list[str] | None = None,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Scale path of resolve_ladder for dims too large to broadcast-NLJ.
+
+    Lossless trigram blocking: if lower(mention) is a substring of
+    lower(alias), then the mention's FIRST trigram is one of the alias's
+    trigrams — so an equi-join on that single gram is a superset of the
+    substring join, verified afterwards with the real predicate.  Turns the
+    O(mentions x aliases) nested loop into one shuffle equi-join on short
+    gram keys: the plan that survives a 10^6-term ontology x 10^12 docs.
+
+    Skew: hot grams (common trigrams in hot labels) are salted —
+    deterministic salt = pmod(xxhash64(doc_id), salt_buckets) on the mention
+    side, exploded replication on the alias side (SURVEY.md §4.2); AQE skew
+    join stays on as backstop.
+    """
+    keys = keys or MENTION_KEYS
+    is_short = F.length(F.col("mention")) < 3
+    long_m = mentions.where(~is_short).withColumn(
+        "gram", F.element_at(trigrams(F.col("mention")), 1)
+    )
+    a = build_alias_trigram_table(alias_table)
+
+    if salt_buckets and salt_buckets > 1:
+        long_m = long_m.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col(keys[0])), F.lit(salt_buckets)).cast("int")
+        )
+        a = a.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        ).withColumn("salt", F.col("salt").cast("int"))
+        join_cond = (F.col("m.gram") == F.col("a.gram")) & (
+            F.col("m.salt") == F.col("a.salt")
+        )
+    else:
+        join_cond = F.col("m.gram") == F.col("a.gram")
+
+    long_m = long_m.alias("m")
+    a = a.alias("a")
+    mention = F.col("m.mention")
+    al = F.col("a.alias")
+    verified_long = long_m.join(a, join_cond, "inner").where(
+        F.instr(F.lower(al), F.lower(mention)) > 0
+    ).select(*[F.col(f"m.{k}") for k in keys], "a.entity_id", "a.dict_idx",
+             "a.prop_order", "a.alias", "a.score_len")
+    # mentions shorter than the gram size can't block losslessly; they are a
+    # tiny distinct set -> broadcast NLJ branch (the base alias table, not
+    # the exploded gram index)
+    short_m = mentions.where(is_short).alias("m")
+    a_base = F.broadcast(alias_table.alias("a"))
+    verified_short = short_m.join(
+        a_base, F.instr(F.lower(F.col("a.alias")), F.lower(F.col("m.mention"))) > 0, "inner"
+    ).select(*[F.col(f"m.{k}") for k in keys], "a.entity_id", "a.dict_idx",
+             "a.prop_order", "a.alias", "a.score_len")
+    verified = verified_long.unionByName(verified_short)
+    mention = F.col("mention")
+    al = F.col("alias")
+    joined = verified.select(
+        *keys,
+        "entity_id",
+        "dict_idx",
+        "prop_order",
+        F.when(mention == al, 0).otherwise(1).alias("exact_rank"),
+        F.when(mention == al, F.lit(0.0))
+        .otherwise((F.col("score_len") - F.length(mention)).cast("double"))
+        .alias("score"),
+    )
+    # a mention may match the same alias row through its first gram only once
+    # (single gram per mention side) — but the same (mention, alias row) can
+    # not duplicate; ranking directly is safe, as in resolve_ladder.
+    w = Window.partitionBy(*keys).orderBy("exact_rank", "score", "dict_idx", "prop_order")
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") == 1)
+        .select(
+            *keys,
+            "entity_id",
+            "score",
+            "rank",
+            F.when(F.col("exact_rank") == 0, F.lit(EXACT_MATCH))
+            .otherwise(F.lit(BEST_MATCH))
+            .alias("strategy"),
+        )
+    )
+
+
 def resolve_ladder(
     mentions: DataFrame,
     alias_table: DataFrame,

@@ -1,0 +1,77 @@
+"""Structured Streaming front-end for the KG pipeline.
+
+The reference is strictly batch (SURVEY.md §2.8); this module adds the
+streaming ingestion path a production deployment needs:
+
+* ``stream_construct_kg`` — file-source stream of interleaved documents ->
+  ``foreachBatch`` applying the SAME batch ``construct_kg`` plan per
+  micro-batch with exactly-once parquet appends + checkpointing.  foreachBatch
+  is the honest architecture here: the resolve ladder uses a window
+  (unsupported in continuous aggregation), and per-micro-batch batch
+  semantics preserve result parity with the batch pipeline by construction.
+* ``streaming_event_counts`` — a genuine stateful streaming aggregation:
+  watermarked event-time tumbling-window counts over the events table shape
+  (late data handled by the watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nexus_forge_spark import schemas
+
+
+def stream_documents(spark: SparkSession, path: str) -> DataFrame:
+    return spark.readStream.schema(schemas.DOCUMENTS).parquet(path)
+
+
+def stream_construct_kg(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Streaming documents -> triples with per-micro-batch batch semantics.
+    Returns the started StreamingQuery (caller awaits termination)."""
+    from nexus_forge_spark.plans.pipeline import construct_kg
+
+    docs = stream_documents(spark, in_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        construct_kg(batch_df).withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    writer = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — the stateful
+    streaming aggregation pattern (late rows beyond the watermark dropped)."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ -> event time
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -1,0 +1,85 @@
+"""Multimodal plumbing: schemas, mapInPandas batch contract, determinism.
+Decode bodies are stubs (DECODE_IS_STUBBED) — the Spark-side contract is
+what's under test."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nexus_forge_spark.operators import multimodal as MM
+from nexus_forge_spark.sources import flat_to_interleaved, load_table
+
+
+def _media(spark, sf_dir):
+    docs = flat_to_interleaved(load_table(spark, "documents", sf_dir))
+    return MM.media_from_documents(docs)
+
+
+def test_media_schema_and_payload(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    assert media.schema.simpleString() == MM.MEDIA_SCHEMA.simpleString()  # mod nullability
+    rows = media.limit(10).collect()
+    assert rows
+    for r in rows:
+        assert r.media_ref.startswith("media://")
+        assert len(r.content) == 16  # md5-derived payload
+        assert r.media_type in ("image", "audio", "video")
+        assert 1 <= r.metadata.width <= 1920
+
+
+def test_image_features_batch_contract(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    feats = MM.extract_image_features(media, dim=8)
+    assert feats.schema == MM.IMAGE_FEATURES_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == media.where(F.col("media_type") == "image").count()
+    for r in rows[:5]:
+        assert len(r.embedding) == 8
+        assert all(-1.0 <= v <= 1.0 for v in r.embedding)
+        assert r.channels == 3
+
+
+def test_image_features_deterministic(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    a = sorted(map(str, MM.extract_image_features(media).collect()))
+    b = sorted(map(str, MM.extract_image_features(media.repartition(7)).collect()))
+    assert a == b  # partitioning does not change results
+
+
+def test_video_frame_sampling(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    frames = MM.sample_video_frames(media, every_ms=10000)
+    assert frames.schema == MM.FRAME_SCHEMA
+    got = frames.groupBy("media_ref").count().collect()
+    durations = {
+        r.media_ref: r.metadata.duration_ms
+        for r in media.where(F.col("media_type") == "video").collect()
+    }
+    for r in got:
+        expected = len(range(0, durations[r.media_ref], 10000))
+        assert r["count"] == expected
+    # frame timestamps are at the sampling grid
+    sample = frames.limit(5).collect()
+    assert all(f.ts_ms % 10000 == 0 for f in sample)
+
+
+def test_resize_rewrites_metadata_and_bytes(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    resized = MM.resize_images(media, 64, 64)
+    assert resized.schema == media.schema
+    rows = resized.limit(5).collect()
+    for r in rows:
+        assert r.metadata.width == 64 and r.metadata.height == 64
+        assert len(r.content) == 32  # sha256 stub payload
+
+
+def test_missing_content_raises_not_implemented(spark):
+    media = spark.createDataFrame(
+        [("d1", "media://x", "image", None, ("synthetic", 1, 1, 1, 16000))],
+        MM.MEDIA_SCHEMA,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc:
+        MM.extract_image_features(media).collect()
+    assert "NotImplementedError" in str(exc.value) or "not wired" in str(exc.value)

@@ -1,0 +1,122 @@
+"""Reshape/collect_values semantics + streaming pipeline end-to-end."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexus_forge_spark.operators.reshape import collect_values, reshape
+from nexus_forge_spark.sources import flat_to_interleaved, load_table
+
+
+def _nested(spark):
+    return spark.createDataFrame(
+        [
+            (
+                "p1",
+                "Person",
+                ("Jane", ("Org", "o1")),
+                [("c1", ["a", "b"]), ("c2", ["c"])],
+                2,
+            )
+        ],
+        "id string, type string,"
+        "agent struct<name:string, employer:struct<type:string, id:string>>,"
+        "contribution array<struct<id:string, tags:array<string>>>, _rev int",
+    )
+
+
+def test_reshape_keeps_nested_paths(spark):
+    out = reshape(_nested(spark), ["id", "agent.name", "agent.employer.id"])
+    assert out.schema.simpleString() == (
+        "struct<id:string,agent:struct<name:string,employer:struct<id:string>>>"
+    )
+    r = out.collect()[0]
+    assert r.id == "p1" and r.agent.name == "Jane" and r.agent.employer.id == "o1"
+
+
+def test_reshape_versioned(spark):
+    out = reshape(_nested(spark), ["id", "type"], versioned=True)
+    assert out.collect()[0].id == "p1?_version=2"
+
+
+def test_collect_values_through_arrays(spark):
+    df = _nested(spark)
+    assert collect_values(df, "contribution.id").collect()[0].values == ["c1", "c2"]
+    assert collect_values(df, "contribution.tags").collect()[0].values == ["a", "b", "c"]
+    assert collect_values(df, "agent.employer.id").collect()[0].values == ["o1"]
+    with pytest.raises(AttributeError):
+        collect_values(df, "agent.missing")
+
+
+def test_collect_values_constraint(spark):
+    df = _nested(spark)
+    assert collect_values(df, "id", constraint=("type", "Person")).count() == 1
+    assert collect_values(df, "id", constraint=("type", "Nope")).count() == 0
+
+
+def test_stream_construct_kg_matches_batch(spark, sf_dir):
+    from nexus_forge_spark.plans.pipeline import construct_kg
+    from nexus_forge_spark.streaming.stream_pipeline import stream_construct_kg
+
+    base = tempfile.mkdtemp()
+    try:
+        in_path, out_path, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+        docs = flat_to_interleaved(load_table(spark, "documents", sf_dir))
+        docs.write.parquet(in_path)
+
+        q = stream_construct_kg(spark, in_path, out_path, ckpt)
+        q.awaitTermination(120)
+
+        streamed = {
+            (r.subj, r.pred, r.obj)
+            for r in spark.read.parquet(out_path).select("subj", "pred", "obj").collect()
+        }
+        batch = {(r.subj, r.pred, r.obj) for r in construct_kg(docs).collect()}
+        assert streamed == batch
+
+        # restart with same checkpoint: no duplicate batches
+        q2 = stream_construct_kg(spark, in_path, out_path, ckpt)
+        q2.awaitTermination(60)
+        assert spark.read.parquet(out_path).count() == len(streamed)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_event_counts_watermark(spark, sf_dir):
+    from nexus_forge_spark.streaming.stream_pipeline import streaming_event_counts
+
+    base = tempfile.mkdtemp()
+    try:
+        load_table(spark, "events", sf_dir).write.parquet(f"{base}/in")
+        schema = load_table(spark, "events", sf_dir).schema
+        stream = spark.readStream.schema(schema).parquet(f"{base}/in")
+        agg = streaming_event_counts(stream, window="1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("evcounts")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from evcounts").collect()
+        # append mode emits only windows finalized by the watermark; compare
+        # those against the batch aggregation
+        batch = (
+            load_table(spark, "events", sf_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .count()
+            .collect()
+        )
+        batch_map = {(r.w.start, r.event_type): r["count"] for r in batch}
+        assert got, "no finalized windows emitted"
+        for r in got:
+            assert batch_map[(r.window_start, r.event_type)] == r.n
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1,0 +1,63 @@
+"""Equivalence of the trigram-blocked resolver with the broadcast-NLJ ladder,
+and punctuation-escaping parity (tests/core/test_resolving.py:20-48 pattern)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nexus_forge_spark import dims
+from nexus_forge_spark.operators import mentions as M
+from nexus_forge_spark.operators import resolve as R
+from nexus_forge_spark.sources import flat_to_interleaved, load_table
+
+
+def _mentions(spark, sf_dir):
+    return M.extract_mentions(flat_to_interleaved(load_table(spark, "documents", sf_dir)))
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_blocked_equals_broadcast(spark, sf_dir):
+    alias = R.build_alias_table(dims.ontology_terms_idx(spark), dims.ONTOLOGY_MATCH_PROPS)
+    m = _mentions(spark, sf_dir)
+    base = _rows(R.resolve_ladder(m, alias))
+    blocked = _rows(R.resolve_ladder_blocked(m, alias))
+    assert blocked == base
+
+
+def test_blocked_salted_equals_broadcast(spark, sf_dir):
+    alias = R.build_alias_table(dims.ontology_terms_idx(spark), dims.ONTOLOGY_MATCH_PROPS)
+    m = _mentions(spark, sf_dir)
+    base = _rows(R.resolve_ladder(m, alias))
+    salted = _rows(R.resolve_ladder_blocked(m, alias, salt_buckets=4))
+    assert salted == base
+
+
+def test_trigrams(spark):
+    df = spark.createDataFrame([("abcd",), ("ab",), ("AbC",)], "s string")
+    out = {r.s: r.g for r in df.select("s", R.trigrams(F.col("s")).alias("g")).collect()}
+    assert out["abcd"] == ["abc", "bcd"]
+    assert out["ab"] == ["ab"]  # short mention fallback
+    assert out["AbC"] == ["abc"]  # lowercased
+
+
+def test_escape_punctuation_golden():
+    # golden cases in the style of tests/core/test_resolving.py:20-48
+    assert R.escape_punctuation("270_L5/6 NP CT CTX") == "270_L5\\/6 NP CT CTX"
+    assert R.escape_punctuation("a(b)c") == "a\\(b\\)c"
+    assert R.escape_punctuation("x+y?") == "x\\+y\\?"
+    assert R.escape_punctuation("plain") == "plain"
+
+
+def test_ci_regex_predicate(spark):
+    # EXACT_CI via anchored case-insensitive regex with punctuation escaping
+    df = spark.createDataFrame(
+        [("270_l5/6 np ct ctx", "270_L5/6 NP CT CTX"), ("hash join", "HASH JOIN"),
+         ("hash join", "hash joins")],
+        "mention string, alias string",
+    )
+    pred = R.strategy_predicate(F.col("mention"), F.col("alias"), R.EXACT_CASE_INSENSITIVE_MATCH)
+    out = df.select("alias", pred.alias("hit")).collect()
+    assert [r.hit for r in out] == [True, True, False]
