@@ -1,0 +1,153 @@
+"""KnowledgeGraphForge-style facade: the reference's user API surface bound
+to the Spark-native operators, so a nexus-forge user can switch with the
+same verbs (kgforge/core/forge.py):
+
+    forge = SparkForge(spark, config)
+    forge.map(df, mapping)          # forge.py:581-601
+    forge.resolve(df_or_text, ...)  # forge.py:394-487
+    forge.validate(df, type_)       # forge.py:320-343
+    forge.search(*filters)          # forge.py:658-672
+    forge.format(what, *args)       # forge.py:491-540
+    forge.reshape(df, keep)         # forge.py:605-622
+    forge.as_triples(df)            # conversions as_graph analogue
+    forge.register/update/...       # store verbs
+
+The key semantic shift: every verb is set-oriented — it takes/returns
+DataFrames and compiles to one Spark plan, instead of looping resources.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nexus_forge_spark.operators import resolve as R
+from nexus_forge_spark.operators.mapping import ForgeContext, load_mapping, map_dataframe
+from nexus_forge_spark.operators.reshape import collect_values, reshape
+from nexus_forge_spark.operators.search import apply_filters, paths
+from nexus_forge_spark.operators.convert import struct_to_triples, triples_to_resources, flatten, deflatten
+from nexus_forge_spark.operators.validate import ShapeCompiler, load_shapes, load_subclass_closure
+
+
+@dataclass
+class SparkForgeConfig:
+    formatters: dict[str, str] = field(default_factory=dict)
+    # (scope, target|None) -> (dim_idx DataFrame, match_props)
+    resolver_dims: dict = field(default_factory=dict)
+    shape_files: list[str] = field(default_factory=list)
+    ontology_file: str | None = None
+    store_dir: str | None = None
+
+
+class SparkForge:
+    def __init__(self, spark: SparkSession, config: SparkForgeConfig | None = None):
+        self.spark = spark
+        self.config = config or SparkForgeConfig()
+        self._ctx = ForgeContext(
+            formatters=self.config.formatters,
+            resolver_dims=self.config.resolver_dims,
+        )
+        self._shapes: ShapeCompiler | None = None
+        self._store = None
+
+    # ------------------------------------------------------------- mapping
+
+    def map(self, data: DataFrame, mapping, na=None) -> DataFrame:
+        rules = load_mapping(mapping) if isinstance(mapping, str) else mapping
+        return map_dataframe(data, rules, self._ctx, na=na)
+
+    def format(self, what: str, *args) -> str:
+        return self.config.formatters[what].format(*args)
+
+    def reshape(self, data: DataFrame, keep: list[str], versioned: bool = False) -> DataFrame:
+        return reshape(data, keep, versioned)
+
+    def collect_values(self, data: DataFrame, follow: str, constraint=None) -> DataFrame:
+        return collect_values(data, follow, constraint)
+
+    # ------------------------------------------------------------- resolving
+
+    def resolve(
+        self,
+        mentions: DataFrame,
+        scope: str | None = None,
+        target: str | None = None,
+        type: str | None = None,
+        strategy: str = R.BEST_MATCH,
+        limit: int = 10,
+        threshold: float | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        dim_idx, match_props = self._ctx.dim_for(scope, target)
+        alias = R.build_alias_table(dim_idx, match_props, type_filter=type)
+        return R.resolve(
+            mentions, alias, strategy, limit=limit, threshold=threshold,
+            keys=keys or ["mention"],
+        )
+
+    # ------------------------------------------------------------- validation
+
+    def _shape_compiler(self) -> ShapeCompiler:
+        if self._shapes is None:
+            shapes = load_shapes(self.config.shape_files)
+            closure = (
+                load_subclass_closure(self.config.ontology_file)
+                if self.config.ontology_file
+                else {}
+            )
+            self._shapes = ShapeCompiler(shapes, closure)
+        return self._shapes
+
+    def validate(self, data: DataFrame, type_: str, inference: str | None = None) -> DataFrame:
+        return self._shape_compiler().validate(data, type_, inference)
+
+    # ------------------------------------------------------------- conversion
+
+    def as_triples(self, data: DataFrame, context: dict | None = None) -> DataFrame:
+        return struct_to_triples(data, context=context)
+
+    def from_triples(self, triples: DataFrame) -> DataFrame:
+        return triples_to_resources(triples)
+
+    def as_dataframe(self, data: DataFrame) -> DataFrame:
+        return flatten(data)
+
+    def from_dataframe(self, data: DataFrame) -> DataFrame:
+        return deflatten(data)
+
+    # ------------------------------------------------------------- store
+
+    @property
+    def store(self):
+        if self._store is None:
+            if not self.config.store_dir:
+                raise ValueError("config.store_dir not set")
+            from nexus_forge_spark.store import ParquetStore
+
+            self._store = ParquetStore(self.spark, self.config.store_dir)
+        return self._store
+
+    def register(self, df: DataFrame) -> dict:
+        return self.store.register(df)
+
+    def update(self, df: DataFrame) -> dict:
+        return self.store.update(df)
+
+    def deprecate(self, ids: list) -> dict:
+        return self.store.deprecate(ids)
+
+    def tag(self, name: str, version: int | None = None) -> None:
+        return self.store.tag(name, version)
+
+    def retrieve(self, ids=None, version: int | None = None, tag: str | None = None) -> DataFrame:
+        return self.store.retrieve(ids, version, tag)
+
+    def search(self, *filters, **kw) -> DataFrame:
+        return self.store.search(*filters, **kw)
+
+    def freeze(self, df: DataFrame, id_cols: list[str] | None = None) -> DataFrame:
+        return self.store.freeze(df, id_cols)
+
+    paths = staticmethod(paths)
+    apply_filters = staticmethod(apply_filters)

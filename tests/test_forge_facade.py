@@ -1,0 +1,130 @@
+"""End-to-end facade parity against the reference's demo-resolver fixtures:
+the verbs a nexus-forge user runs, on real fixture dictionaries."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexus_forge_spark.forge import SparkForge, SparkForgeConfig
+from nexus_forge_spark.operators import resolve as R
+from nexus_forge_spark.sources.resolver_dims import load_resolver_dim
+
+REF = "/root/reference"
+DEMO = f"{REF}/tests/data/demo-resolver"
+COMMONS = f"{REF}/tests/data/shacl-model/commons"
+
+
+@pytest.fixture(scope="module")
+def forge(spark):
+    d = tempfile.mkdtemp()
+    props = ["label", "acronym"]
+    cfg = SparkForgeConfig(
+        formatters={"identifier": "https://kg.example.ch/{}/{}"},
+        resolver_dims={
+            ("terms", None): (load_resolver_dim(spark, f"{DEMO}/sex.json", props), props),
+            ("agents", None): (load_resolver_dim(spark, f"{DEMO}/agents.json", props), props),
+            ("terms", "cell_types"): (
+                load_resolver_dim(spark, f"{DEMO}/cell_types.json", props), props
+            ),
+        },
+        shape_files=sorted(glob.glob(f"{COMMONS}/shapes-*.json")),
+        ontology_file=f"{COMMONS}/schemaorg-v26.0.json",
+        store_dir=f"{d}/store",
+    )
+    yield SparkForge(spark, cfg)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _mentions(spark, *texts):
+    return spark.createDataFrame([(t,) for t in texts], "mention string")
+
+
+def test_resolve_agent_by_acronym(spark, forge):
+    # DemoResolver resolves agents on label OR acronym (demo_resolver.py:51)
+    out = forge.resolve(_mentions(spark, "EPFL"), scope="agents", strategy=R.EXACT_MATCH)
+    row = out.collect()[0]
+    assert row.entity_id == "https://www.grid.ac/institutes/grid.5333.6"
+
+
+def test_resolve_agent_unicode_label(spark, forge):
+    out = forge.resolve(
+        _mentions(spark, "École Polytechnique Fédérale de Lausanne"),
+        scope="agents",
+        strategy=R.EXACT_MATCH,
+    )
+    assert out.collect()[0].entity_id == "https://www.grid.ac/institutes/grid.5333.6"
+
+
+def test_resolve_case_insensitive(spark, forge):
+    out = forge.resolve(
+        _mentions(spark, "FEMALE"), scope="terms",
+        strategy=R.EXACT_CASE_INSENSITIVE_MATCH,
+    )
+    assert out.collect()[0].entity_id == "http://purl.obolibrary.org/obo/PATO_0000383"
+
+
+def test_resolve_type_filter(spark, forge):
+    # type pre-filter (demo_resolver.py:52-53): Person type excludes orgs
+    out = forge.resolve(
+        _mentions(spark, "EPFL"), scope="agents", type="Person", strategy=R.EXACT_MATCH
+    )
+    assert out.count() == 0
+
+
+def test_resolve_fuzzy_all_scores(spark, forge):
+    # substring candidates sorted by len(label)-len(text) (demo_resolver.py:68-79)
+    out = forge.resolve(
+        _mentions(spark, "neuron"), scope="terms", target="cell_types",
+        strategy=R.ALL_MATCHES, limit=10,
+    ).collect()
+    assert out, "expected fuzzy candidates for 'neuron'"
+    scores = [r.score for r in sorted(out, key=lambda r: r.rank)]
+    assert scores == sorted(scores)
+
+
+def test_map_validate_store_roundtrip(spark, forge):
+    rules = {
+        "id": 'forge.format("identifier", "persons", x.pid)',
+        "type": "Person",
+        "givenName": "x.first",
+        "familyName": "x.last",
+        "gender": "x.g",
+        "birthDate": "x.bd",
+    }
+    src = spark.createDataFrame(
+        [(1, "Jane", "Doe", "female", "2000-01-01"), (2, "Jon", None, "male", "2000-01-01")],
+        "pid long, first string, last string, g string, bd string",
+    )
+    mapped = forge.map(src, rules)
+    assert mapped.collect()[0].id == "https://kg.example.ch/persons/1"
+    validated = forge.validate(mapped, "Person")
+    by_id = {r.id: r.validated for r in validated.collect()}
+    assert by_id["https://kg.example.ch/persons/1"] is True
+    assert by_id["https://kg.example.ch/persons/2"] is False  # familyName minCount
+
+    # store the valid ones, search them back
+    ok = validated.where("validated").drop("validated", "violations")
+    assert forge.register(ok)["succeeded"] == 1
+    p = forge.paths()
+    hits = forge.search(p.gender == "female")
+    assert [r.id for r in hits.collect()] == ["https://kg.example.ch/persons/1"]
+
+    # triples end-to-end
+    triples = forge.as_triples(ok)
+    assert ("https://kg.example.ch/persons/1", "rdf:type", "Person") in {
+        (r.subj, r.pred, r.obj) for r in triples.collect()
+    }
+
+
+def test_patient_rdfs_inference_via_facade(spark, forge):
+    df = spark.createDataFrame(
+        [("https://t/1", "Patient", "Doe", "John", "male", "2004-04-12")],
+        "id string, type string, familyName string, givenName string, gender string, birthDate string",
+    )
+    assert forge.validate(df, "Person", inference="rdfs").collect()[0].validated
+    assert not forge.validate(df, "Person").collect()[0].validated
