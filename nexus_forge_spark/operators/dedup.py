@@ -55,23 +55,29 @@ def word_shingles(text: Column, n: int = 2) -> Column:
     return F.array_distinct(grams)
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: component i = min over shingles of md5(i:shingle).
+    """MinHash signature via Kirsch-Mitzenmacher double hashing:
+    ONE md5 per shingle -> two 60-bit halves h1, h2; component i =
+    min over shingles of (h1 + i*h2) mod p.
 
-    md5 hex strings order identically in Spark and DuckDB (lowercase hex,
-    binary collation) — the signature is engine-portable by construction.
+    Engine-portable: Spark conv(hex,16,10) == DuckDB ('0x'||hex)::BIGINT,
+    verified bit-identical.  Single-pass fold (element-wise least against a
+    running minimum): a per-component array_min would re-inline the shingle
+    subtree num_hashes times, and the earlier md5-per-(component,shingle)
+    variant was dominated by 16x the md5 calls.
     """
-    # Single-pass fold: one pass over the shingle array computing all
-    # components via element-wise least against the running minimum.  A
-    # per-component array_min(transform(...)) re-inlines the whole
-    # shingle-construction subtree num_hashes times (codegen blow-up,
-    # measured ~10x slower).
-    init = F.array_repeat(F.lit("g"), num_hashes)  # 'g' sorts above every hex digest
+    init = F.array_repeat(F.lit(MINHASH_PRIME + 1).cast("long"), num_hashes)
 
-    def step(acc: Column, s: Column) -> Column:
+    def step(acc: Column, g: Column) -> Column:
+        d = F.md5(g)
+        h1 = F.pmod(F.conv(F.substring(d, 1, 15), 16, 10).cast("long"), F.lit(MINHASH_PRIME))
+        h2 = F.pmod(F.conv(F.substring(d, 17, 15), 16, 10).cast("long"), F.lit(MINHASH_PRIME))
         hashes = F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
+            lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(MINHASH_PRIME)),
         )
         return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
 
@@ -85,14 +91,40 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 2,
 ) -> DataFrame:
-    sh = word_shingles(F.col(text_col), shingle_n)
-    return df.select(
-        F.col(id_col), minhash_signature(sh, num_hashes).alias("sig")
+    """Per-doc MinHash signatures as explode + hash-aggregation.
+
+    Spark evaluates higher-order-function folds interpreted (no whole-stage
+    codegen) — the array-fold form of minhash_signature measured ~2ms/doc.
+    Exploding shingles and taking num_hashes codegen'd min() aggregates is
+    ~20x faster and gets map-side partial aggregation: the shuffle carries
+    only (doc, 16 longs) per group regardless of document length.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g")
+    )
+    d = F.md5(F.col("g"))
+    hashed = grams.select(
+        id_col,
+        F.pmod(F.conv(F.substring(d, 1, 15), 16, 10).cast("long"), F.lit(MINHASH_PRIME)).alias("h1"),
+        F.pmod(F.conv(F.substring(d, 17, 15), 16, 10).cast("long"), F.lit(MINHASH_PRIME)).alias("h2"),
+    )
+    aggs = [
+        F.min(F.pmod(F.col("h1") + i * F.col("h2"), F.lit(MINHASH_PRIME))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*aggs)
+        .select(id_col, F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
     )
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4, id_col: str = "doc_id"
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket are candidates.
     Returns distinct (a, b) with a < b.
@@ -100,7 +132,13 @@ def lsh_candidate_pairs(
     The band join is an equi-join on (band_idx, band_key) — shuffle keys are
     short and uniformly distributed; this is the plan that survives 10^9
     docs, unlike any pairwise comparison.
+
+    materialize=True localCheckpoints the signatures before the self-join —
+    otherwise both join sides recompute the whole signature subtree
+    (measured: the join was 30x slower without it).
     """
+    if materialize:
+        sigs = sigs.localCheckpoint(eager=True)
     banded = sigs.select(
         id_col,
         F.explode(
@@ -109,7 +147,11 @@ def lsh_candidate_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.array_join(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|"
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            "|",
                         ).alias("key"),
                     )
                     for b in range(bands)
@@ -148,7 +190,7 @@ def ngram_jaccard_pairs(
     verified with the true Jaccard on shingle sets."""
     with_sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    ).localCheckpoint(eager=True)  # reused by candidate join sides + verify
     exploded = with_sh.select(id_col, F.explode("sh").alias("g"))
     l = exploded.alias("l")
     r = exploded.alias("r")
@@ -175,27 +217,47 @@ def simhash64(text: Column) -> Column:
     and branch-free; Hamming distance = bit_count(a XOR b).
     """
     toks = normalized_tokens(text)
-    # per-token 60-bit binary string, MSB first; single fold accumulates
-    # per-bit +1/-1 votes (a per-bit aggregate would re-inline the token
-    # subtree 60 times — codegen blow-up)
-    binstrs = F.transform(
-        toks, lambda t: F.lpad(F.conv(F.substring(F.md5(t), 1, 15), 16, 2), 60, "0")
+    # per-token 60-bit integer; single fold accumulates per-bit +1/-1 votes
+    # with pure integer bitwiseAND against a literal powers array (a per-bit
+    # aggregate, or per-bit string ops, re-inline/re-hash 60x — codegen and
+    # md5 blow-up)
+    tok_hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(60)])
 
-    def step(acc: Column, s: Column) -> Column:
+    def step(acc: Column, h: Column) -> Column:
         bits = F.transform(
-            F.sequence(F.lit(1), F.lit(60)),
-            lambda i: F.when(F.substr(s, i, F.lit(1)) == "1", 1).otherwise(-1),
+            powers, lambda p: F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1)
         )
         return F.zip_with(acc, bits, lambda a, b: a + b)
 
-    votes = F.aggregate(binstrs, F.array_repeat(F.lit(0), 60), step)
-    powers = F.array(*[F.lit(1 << (59 - i)) for i in range(60)])
+    votes = F.aggregate(tok_hashes, F.array_repeat(F.lit(0), 60), step)
     return F.aggregate(
-        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0))),
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc SimHash via explode + 60 codegen'd vote sums (same rationale
+    as minhash_signatures: HOF folds are interpreted; aggregates are not)."""
+    toks = df.select(F.col(id_col), F.explode(normalized_tokens(F.col(text_col))).alias("t"))
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+    hashed = toks.select(id_col, h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(60)
+    ]
+    agged = hashed.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(60):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agged.select(id_col, sig.alias("sig"))
 
 
 def simhash_pairs(
@@ -204,7 +266,8 @@ def simhash_pairs(
     """Near-dup pairs by SimHash Hamming distance, blocked on 4 16-bit chunks
     (pigeonhole: distance<=3 over 60 bits => at least one identical 15-bit
     chunk) — equi-join blocking, no cross join."""
-    sigs = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
+    # codegen'd explode+agg signatures, materialized before the self-join
+    sigs = simhash_signatures(df, text_col, id_col).localCheckpoint(eager=True)
     chunks = sigs.select(
         id_col,
         "sig",

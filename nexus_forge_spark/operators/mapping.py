@@ -77,6 +77,31 @@ class _Placeholder:
         self.site = site
 
 
+class _EvalFallback:
+    """Rule expression the compiler can't express as Columns — evaluated by
+    a batch pandas UDF instead (the escape hatch of SURVEY.md §7: still
+    Arrow-batched, Python only at batch granularity).  Output is string."""
+
+    def __init__(self, expr: str):
+        self.expr = expr
+
+
+class _X:
+    """DictWrapper analogue for the eval fallback: attribute access over a
+    row dict, recursing into nested dicts (core/wrappings/dict.py:18-40
+    semantics, written from scratch)."""
+
+    def __init__(self, d: dict):
+        object.__setattr__(self, "_d", d)
+
+    def __getattr__(self, name: str):
+        d = object.__getattribute__(self, "_d")
+        if name not in d:
+            raise AttributeError(f"object has no attribute {name!r}")
+        v = d[name]
+        return _X(v) if isinstance(v, dict) else v
+
+
 class RuleCompiler:
     """Compiles one rule tree against a source schema."""
 
@@ -105,7 +130,9 @@ class RuleCompiler:
             return [self.compile_tree(v) for v in rules]
         if isinstance(rules, str):
             leaf = self.compile_leaf(rules)
-            return leaf if isinstance(leaf, _Placeholder) else self._with_na(leaf)
+            if isinstance(leaf, (_Placeholder, _EvalFallback)):
+                return leaf  # na applied at realization
+            return self._with_na(leaf)
         return F.lit(rules)  # numbers / booleans / None straight from hjson
 
     def compile_leaf(self, expr: str):
@@ -115,11 +142,21 @@ class RuleCompiler:
             return F.lit(expr)  # eval SyntaxError -> literal (dictionaries.py:59-62)
         if self._has_unknown_names(tree):
             return F.lit(expr)  # eval NameError -> literal
-        return self._compile_node(tree.body)
+        try:
+            return self._compile_node(tree.body)
+        except RuleCompileError:
+            # expressible in eval but not in Columns -> pandas-batch eval
+            return _EvalFallback(expr.strip())
 
     def _has_unknown_names(self, tree: ast.AST) -> bool:
+        import builtins
+
         for node in ast.walk(tree):
-            if isinstance(node, ast.Name) and node.id not in ("x", "forge"):
+            if (
+                isinstance(node, ast.Name)
+                and node.id not in ("x", "forge")
+                and not hasattr(builtins, node.id)  # eval sees builtins
+            ):
                 return True
         return False
 
@@ -367,13 +404,31 @@ class RuleCompiler:
         raise RuleCompileError(f"expected column, got {type(value)}")
 
 
-def _tree_to_column(tree, compiler: RuleCompiler) -> Column:
+def _make_eval_column(expr: str, source_cols: list[str]) -> Column:
+    """Arrow-batched eval of a rule expression over the source row struct."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def ev(rows):
+        out = []
+        for rec in rows.to_dict("records"):
+            v = eval(expr, {"__builtins__": __builtins__}, {"x": _X(rec)})  # noqa: S307
+            out.append(None if v is None else str(v))
+        return pd.Series(out, dtype="object")
+
+    udf = pandas_udf(ev, "string", PandasUDFType.SCALAR)
+    return udf(F.struct(*[F.col(f"`{c}`") for c in source_cols]))
+
+
+def _tree_to_column(tree, compiler: RuleCompiler, source_cols: list[str]) -> Column:
     if isinstance(tree, dict):
         return F.struct(
-            *[_tree_to_column(v, compiler).alias(k) for k, v in tree.items()]
+            *[_tree_to_column(v, compiler, source_cols).alias(k) for k, v in tree.items()]
         )
     if isinstance(tree, list):
-        return F.array(*[_tree_to_column(v, compiler) for v in tree])
+        return F.array(*[_tree_to_column(v, compiler, source_cols) for v in tree])
+    if isinstance(tree, _EvalFallback):
+        return compiler._with_na(_make_eval_column(tree.expr, source_cols))
     return compiler._as_column(tree)
 
 
@@ -436,7 +491,8 @@ def map_dataframe(
                 "left",
             ).drop(f"__m_{site.site_id}")
 
-    out_cols = [_tree_to_column(v, compiler).alias(k) for k, v in tree.items()]
+    source_cols = list(df.columns)
+    out_cols = [_tree_to_column(v, compiler, source_cols).alias(k) for k, v in tree.items()]
     return work.select(*out_cols)
 
 

@@ -128,13 +128,23 @@ def resolve(
     else:
         # ALL_MATCHES: one candidate row per (mention, entity) — a record
         # matching on two aliases is one candidate (reference returns records).
+        # The (score, dict_idx, prop_order) tuple is packed into ONE long so
+        # min() runs as a codegen'd HashAggregate with map-side combine —
+        # min(struct(...)) would force an interpreted SortAggregate.
+        # Scores here are integral (length differences), |score| < 10^4;
+        # dict_idx < 10^6; prop_order < 100.
+        packed = (
+            (F.col("score").cast("long") + 10000) * F.lit(100000000)
+            + F.col("dict_idx").cast("long") * 100
+            + F.col("prop_order").cast("long")
+        )
         per_entity = joined.groupBy(*keys, "entity_id").agg(
-            F.min(F.struct("score", "dict_idx", "prop_order")).alias("b")
+            F.min(packed).alias("b")
         ).select(
             *keys,
             "entity_id",
-            F.col("b.score").alias("score"),
-            F.col("b.dict_idx").alias("dict_idx"),
+            (F.floor(F.col("b") / 100000000) - 10000).cast("double").alias("score"),
+            F.pmod(F.floor(F.col("b") / 100), F.lit(1000000)).alias("dict_idx"),
         )
         w = Window.partitionBy(*keys).orderBy("score", "dict_idx")
         out = per_entity.withColumn("rank", F.row_number().over(w)).where(

@@ -468,7 +468,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = D.lsh_candidate_pairs(sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_ROWS)
     with_sh = docs.select(
         "doc_id", D.word_shingles(F.col("text"), 2).alias("sh")
-    )
+    ).localCheckpoint(eager=True)  # reused by both verify join sides
     a_sh = with_sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     b_sh = with_sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
     return (
@@ -497,14 +497,21 @@ shingles AS (
   FROM toks
 ),
 grams AS (SELECT doc_id, unnest(sh) AS g FROM shingles),
+hashed AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS h1,
+    ('0x' || substr(md5(g), 17, 15))::BIGINT % 2147483647 AS h2
+  FROM grams
+),
 mh AS (
-  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || g)) AS m
-  FROM grams CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS i)
+  SELECT doc_id, i, min((h1 + i * h2) % 2147483647) AS m
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS i)
   GROUP BY doc_id, i
 ),
 sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
 bands AS (
-  SELECT doc_id, b, array_to_string(s[b*{rows}+1:b*{rows}+{rows}], '|') AS key
+  SELECT doc_id, b,
+    array_to_string(list_transform(s[b*{rows}+1:b*{rows}+{rows}], x -> CAST(x AS VARCHAR)), '|') AS key
   FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS b)
 ),
 cand AS (

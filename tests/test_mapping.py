@@ -196,3 +196,31 @@ def test_na_dropping(spark):
     rows = map_dataframe(df, rules, na=["N/A"]).collect()
     vals = {r.key: r.value for r in rows}
     assert vals == {"a": None, "b": "real"}
+
+
+def test_eval_fallback_for_uncompilable_rules(spark):
+    # slicing/zfill aren't in the Column compiler -> Arrow-batch eval hatch
+    df = spark.createDataFrame([("abcdef", 7)], "s string, n long")
+    rules = hjson.loads(
+        """
+{
+    rev: x.s[::-1]
+    padded: str(x.n).zfill(5)
+    plain: x.s
+}
+"""
+    )
+    row = map_dataframe(df, rules).collect()[0]
+    assert row.rev == "fedcba"
+    assert row.padded == "00007"
+    assert row.plain == "abcdef"
+
+
+def test_eval_fallback_missing_attr_raises(spark):
+    df = spark.createDataFrame([("a",)], "s string")
+    rules = hjson.loads("{\n v: x.nope[::-1]\n}")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc:
+        map_dataframe(df, rules).collect()
+    assert "no attribute" in str(exc.value)
