@@ -64,6 +64,8 @@ class PropertyShape:
     or_: list["PropertyShape"] | None = None
     xone: list["PropertyShape"] | None = None
     and_: list["PropertyShape"] | None = None
+    node: str | None = None  # sh:node shape reference (local name)
+    node_shape: "NodeShape | None" = None  # resolved after load
 
 
 @dataclass
@@ -72,6 +74,10 @@ class NodeShape:
     target_class: str | None
     properties: list[PropertyShape] = field(default_factory=list)
     node_kind: str | None = None
+    # node-level sh:or / sh:xone over path-bearing property alternatives
+    # (EmployeeShape's `or: [contractor, department]`, shapes-4.json:115-135):
+    # validation = at least/exactly one group satisfied; template = all paths.
+    alt_groups: list[tuple[str, list[PropertyShape]]] = field(default_factory=list)
 
 
 def _parse_property(p: dict) -> PropertyShape:
@@ -97,6 +103,8 @@ def _parse_property(p: dict) -> PropertyShape:
         ps.max_inclusive = float(p["maxInclusive"])
     if "lessThan" in p:
         ps.less_than = _local(p["lessThan"])
+    if "node" in p:
+        ps.node = _local(p["node"])
     for key, attr in (("or", "or_"), ("xone", "xone"), ("and", "and_")):
         if key in p:
             setattr(ps, attr, [_parse_property(alt) for alt in p[key]])
@@ -107,8 +115,15 @@ def load_shapes(paths: list[str]) -> dict[str, NodeShape]:
     """Parse JSON-LD shape files (tests/data/shacl-model/commons/shapes-*.json
     format) into class -> NodeShape.  Driver-side, once — the analogue of the
     shapes-map SPARQL build (sparql_query_builder.py:423-481,
-    rdf/directory_service.py:64-87)."""
+    rdf/directory_service.py:64-87).
+
+    Two passes: parse every NodeShape (incl. non-targeting helper shapes like
+    this:GeoShape), then resolve sh:node references and flatten node-level
+    sh:and inheritance (EmployeeShape = PersonShape ⊕ own properties —
+    the sh:node inheritance flattening of rdf/service.py:408-621)."""
     by_class: dict[str, NodeShape] = {}
+    by_id: dict[str, NodeShape] = {}
+    raw_and: dict[str, list] = {}  # shape local id -> unparsed and-list
     for path in paths:
         with open(path, encoding="utf-8") as f:
             doc = json.load(f)
@@ -127,9 +142,48 @@ def load_shapes(paths: list[str]) -> dict[str, NodeShape]:
             )
             props = sh.get("property", [])
             props = [props] if isinstance(props, dict) else props
-            ns.properties = [_parse_property(p) for p in props]
+            ns.properties = [_parse_property(p) for p in props if isinstance(p, dict)]
+            local_id = _local(ns.shape_id)
+            by_id[local_id] = ns
+            if "and" in sh:
+                raw_and[local_id] = sh["and"]
             if ns.target_class:
                 by_class[ns.target_class] = ns
+
+    # pass 2a: flatten node-level sh:and lists
+    for local_id, entries in raw_and.items():
+        ns = by_id[local_id]
+        for entry in entries:
+            if not isinstance(entry, dict):
+                continue
+            if "node" in entry and "path" not in entry:
+                parent = by_id.get(_local(entry["node"]))
+                if parent is not None:
+                    ns.properties.extend(parent.properties)
+                    ns.alt_groups.extend(parent.alt_groups)
+            elif "path" in entry:
+                ns.properties.append(_parse_property(entry))
+            else:
+                for kind in ("or", "xone"):
+                    alts = entry.get(kind)
+                    if alts and all("path" in a for a in alts):
+                        ns.alt_groups.append(
+                            (kind, [_parse_property(a) for a in alts])
+                        )
+
+    # pass 2b: resolve property-level sh:node references (deep)
+    def resolve_props(props: list[PropertyShape]) -> None:
+        for ps in props:
+            if ps.node is not None:
+                ps.node_shape = by_id.get(ps.node)
+            for combo in (ps.or_, ps.xone, ps.and_):
+                if combo:
+                    resolve_props(combo)
+
+    for ns in by_id.values():
+        resolve_props(ns.properties)
+        for _, group in ns.alt_groups:
+            resolve_props(group)
     return by_class
 
 
@@ -253,6 +307,14 @@ class ShapeCompiler:
             )
         if ps.class_ is not None:
             preds.extend(self._class_pred(col, dtype, ps, inference))
+        if ps.node_shape is not None:
+            # sh:node — value must conform to the referenced shape's
+            # property constraints (rdf/collectors.py:218-250)
+            if not isinstance(dtype, T.StructType):
+                preds.append((F.lit(False), f"{p}: node {ps.node} (not a node)"))
+            else:
+                for nps in ps.node_shape.properties:
+                    preds.extend(self._property_preds(col, dtype, nps, inference))
         if ps.node_kind == "IRI":
             preds.append((col.isNotNull(), f"{p}: nodeKind IRI"))
         for combo, name in ((ps.or_, "or"), (ps.xone, "xone"), (ps.and_, "and")):
@@ -393,9 +455,115 @@ class ShapeCompiler:
                 preds.append((focus, f"{type_col}: hasValue {ps.has_value}"))
                 continue
             preds.extend(self._property_preds(None, df.schema, ps, inference))
+        for kind, group in shape.alt_groups:
+            # node-level sh:or / sh:xone over path-bearing alternatives:
+            # or = at least one group satisfied, xone = exactly one
+            oks = [
+                self._all_ok(self._property_preds(None, df.schema, alt, inference))
+                for alt in group
+            ]
+            if kind == "or":
+                agg = oks[0]
+                for o in oks[1:]:
+                    agg = agg | o
+            else:
+                total = None
+                for o in oks:
+                    term = F.when(o, 1).otherwise(0)
+                    total = term if total is None else total + term
+                agg = total == 1
+            paths = "|".join(a.path for a in group)
+            preds.append((agg, f"{kind}({paths})"))
         viols = F.array_compact(
             F.array(*[F.when(~F.coalesce(ok, F.lit(False)), F.lit(label)) for ok, label in preds])
         )
         return df.withColumn("violations", viols).withColumn(
             "validated", F.size(F.col("violations")) == 0
         )
+
+    # ------------------------------------------------------------- templates
+
+    def template(self, type_: str, only_required: bool = False) -> dict:
+        """Shape -> default-valued dict template — forge.template / V9
+        (rdf_model.py:97-104,257-346).  Golden-tested against the reference's
+        PERSON/EMPLOYEE/ACTIVITY/BUILDING templates
+        (tests/specializations/models/data.py:28-123)."""
+        shape = self.shapes.get(type_)
+        if shape is None:
+            raise ValueError(f"no shape registered for type {type_!r}")
+        return self._node_template(shape, type_, only_required, seen=frozenset())
+
+    def _node_template(
+        self, shape: NodeShape, type_: str | None, only_required: bool, seen: frozenset
+    ) -> dict:
+        out: dict = {}
+        if shape.node_kind in ("IRI", "BlankNodeOrIRI"):
+            out["id"] = ""
+        if type_:
+            out["type"] = type_
+        seen = seen | {_local(shape.shape_id)}
+        props = list(shape.properties)
+        for _, group in shape.alt_groups:
+            props.extend(group)  # or-of-paths: every alternative templated
+        for ps in props:
+            if ps.path is None or ps.path == "type":
+                continue  # rdf:type hasValue is covered by the type key
+            if only_required and not (ps.min_count and ps.min_count >= 1):
+                continue
+            out[ps.path] = self._value_template(ps, seen)
+        return out
+
+    # default literals per XSD datatype (rdf_model.py:38-63 DEFAULT_VALUE)
+    _DT_DEFAULT = {
+        "string": "", "normalizedString": "", "anyURI": "",
+        "float": 0.0, "double": 0.0,
+        "decimal": 0, "int": 0, "integer": 0, "long": 0, "short": 0,
+        "positiveInteger": 0, "negativeInteger": 0, "nonPositiveInteger": 0,
+        "nonNegativeInteger": 0, "unsignedLong": 0, "unsignedInt": 0,
+        "unsignedShort": 0, "byte": 0, "unsignedByte": 0, "base64Binary": 0,
+        "boolean": False,
+        "time": "00:00:00",
+        "date": "9999-12-31",
+        "dateTime": "9999-12-31T00:00:00",
+    }
+    # DEFAULT_TYPE_ORDER (rdf_model.py:65): str < float < int < bool < date
+    _TYPE_ORDER = {str: 0, float: 1, int: 2, bool: 3}
+
+    def _value_template(self, ps: PropertyShape, seen: frozenset):
+        if ps.node_shape is not None:
+            if _local(ps.node_shape.shape_id) in seen:
+                return {"id": "", "type": ps.node}
+            return self._node_template(
+                ps.node_shape, ps.node_shape.target_class, False, seen
+            )
+        if ps.class_ is not None:
+            nested = self.shapes.get(ps.class_)
+            if nested is not None and _local(nested.shape_id) not in seen:
+                return self._node_template(nested, ps.class_, False, seen)
+            return {"id": "", "type": ps.class_}
+        combo = ps.or_ or ps.xone or ps.and_
+        if combo:
+            classes = sorted(_local(a.class_) for a in combo if a.class_ is not None)
+            if classes:
+                # shape-node alternatives collapse to {id, type:[...]}
+                # (OrCollector len>1 collapse, collectors.py:323-374)
+                return {"id": "", "type": classes if len(classes) > 1 else classes[0]}
+            if any(a.node_kind == "IRI" for a in combo):
+                # properties (the id node) win over datatype attrs
+                # (parse_attributes prefers node.properties, rdf_model.py:264-270)
+                return {"id": ""}
+            vals = [self._value_template(a, seen) for a in combo]
+            # sort by DEFAULT_TYPE_ORDER position, ties by value
+            if all(isinstance(v, type(vals[0])) for v in vals):
+                return sorted(vals)
+            by_pos = {self._TYPE_ORDER.get(type(v), 9): v for v in vals}
+            return [by_pos[k] for k in sorted(by_pos)]
+        if ps.has_value is not None:
+            return ps.has_value
+        if ps.in_values is not None:
+            return sorted(ps.in_values)
+        if ps.node_kind == "IRI":
+            return {"id": ""}
+        if ps.datatype is not None:
+            return self._DT_DEFAULT.get(ps.datatype, "")
+        return ""
