@@ -11,13 +11,14 @@ Scale notes:
 * MinHash+LSH: signatures are map-side; only the band-bucket join shuffles,
   and it shuffles on short band keys (bounded skew; identical-doc floods
   are capped by distinct-signature grouping first at real scale).
-* n-gram Jaccard: candidate generation via shared-shingle equi-join (never
-  the quadratic cross join), verification on the candidate pairs only.
+* n-gram Jaccard: candidate generation via PPJoin-style prefix filtering
+  (rarest-shingle prefixes only — exact for the threshold, never the
+  quadratic cross join), verification on the candidate pairs only.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -186,16 +187,42 @@ def ngram_jaccard_pairs(
     shingle_n: int = 2,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup: candidates via shared-shingle equi-join,
-    verified with the true Jaccard on shingle sets."""
+    """Exact n-gram Jaccard near-dup with PPJoin-style prefix filtering.
+
+    For Jaccard >= t, two shingle sets must share at least one shingle among
+    each set's first ``|S| - ceil(t*|S|) + 1`` shingles under a global
+    rarest-first ordering (prefix filter — exact, no false negatives).
+    Candidate generation joins only on those prefix shingles, so the
+    self-join fans out on *rare* shingles instead of on every hot bigram —
+    the difference between O(n²) and near-linear on a skewed corpus.
+    A length filter (J >= t forces t*|A| <= |B| <= |A|/t, also exact)
+    prunes size-mismatched pairs inside the same join.
+    True Jaccard on the full sets verifies each surviving candidate.
+    """
     with_sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
     ).localCheckpoint(eager=True)  # reused by candidate join sides + verify
     exploded = with_sh.select(id_col, F.explode("sh").alias("g"))
-    l = exploded.alias("l")
-    r = exploded.alias("r")
+    # global document frequency per shingle -> rarest-first total order (df, g)
+    freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    pos_w = Window.partitionBy(id_col).orderBy("df", "g")
+    prefix = (
+        exploded.join(freq, "g")
+        .withColumn("pos", F.row_number().over(pos_w))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select(id_col, "g", "sz")
+    )
+    l = prefix.alias("l")
+    r = prefix.alias("r")
     cand = (
-        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        l.join(
+            r,
+            (F.col("l.g") == F.col("r.g"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            & (F.col("r.sz") >= F.ceil(F.lit(threshold) * F.col("l.sz")))
+            & (F.col("r.sz") <= F.floor(F.col("l.sz") / F.lit(threshold))),
+        )
         .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
         .distinct()
     )

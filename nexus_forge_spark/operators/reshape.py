@@ -50,13 +50,15 @@ def collect_values(
     df: DataFrame,
     follow: str,
     constraint: tuple[str, object] | None = None,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """All values reachable along the dotted ``follow`` path (descending into
-    arrays), one output row per input row: (values: array<leaf>).
+    arrays), one output row per input row: (*keep, values: array<leaf>).
 
     constraint=(path, value) keeps only rows where that (scalar) path equals
     the value — the single-equality constraint of collect_values_jp
-    (reshaping.py:82-134).
+    (reshaping.py:82-134).  keep retains key columns alongside the collected
+    values (at scale you always carry the key through).
     """
     out = df
     if constraint is not None:
@@ -88,4 +90,4 @@ def collect_values(
             dtype = fdt
     if depth == 0:
         col = F.array(col)
-    return out.select(F.array_compact(col).alias("values"))
+    return out.select(*(keep or []), F.array_compact(col).alias("values"))

@@ -76,6 +76,30 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b) above a threshold.
+
+    Brute-force O(n²) verifier — the exact baseline.  At scale, block first
+    with lsh_cosine_candidates (hyperplane LSH) and run this join only on the
+    candidate pairs; the per-pair cosine is the same expression either way.
+    """
+    a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    scored = a.join(b, F.col("a") < F.col("b")).select(
+        "a", "b", cosine(F.col("va"), F.col("vb")).alias("score")
+    )
+    out = scored.where(F.col("score") >= threshold)
+    if round_digits is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_digits))
+    return out
+
+
 def _hash_unit(seed: int, plane: int, dim: int) -> float:
     """Deterministic pseudo-random plane component in [-1, 1) from a hash —
     no RNG state, identical on every executor."""

@@ -621,6 +621,226 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs_with_mutants(spark, sf_dir), max_distance=8)
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard near-dup pairs (shared-shingle candidate
+    join, true-Jaccard verify >= 0.8)."""
+    from nexus_forge_spark.operators import dedup as D
+
+    return D.ngram_jaccard_pairs(
+        _docs_with_mutants(spark, sf_dir), shingle_n=2, threshold=0.8
+    )
+
+
+_SHINGLES_SQL = """toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM docs
+),
+shingles AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 2 THEN
+      list_distinct([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))])
+    ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+)"""
+
+
+def sql_dedup_ngram_jaccard() -> str:
+    return f"""WITH {_MUTANT_DOCS_SQL},
+{_SHINGLES_SQL},
+grams AS (SELECT doc_id, unnest(sh) AS g FROM shingles),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM grams l JOIN grams r ON l.g = r.g AND l.doc_id < r.doc_id
+),
+jac AS (
+  SELECT c.a, c.b,
+    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.a
+  JOIN shingles sb ON sb.doc_id = c.b
+)
+SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.8"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish regex pieces
+    (word / number / punctuation runs)."""
+    from nexus_forge_spark.operators.text import regex_token_count, token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        regex_token_count(F.col("text")).alias("n_pieces"),
+    )
+
+
+def sql_token_count() -> str:
+    return r"""SELECT doc_id,
+  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_pieces
+FROM documents"""
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling fingerprint (min md5 over 4-token shingles)
+    with duplicate-group size — robust to local edits."""
+    from nexus_forge_spark.operators.text import rolling_fingerprint
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    d = docs.select("doc_id", rolling_fingerprint(F.col("text"), 4).alias("fp"))
+    w = Window.partitionBy("fp")
+    return d.withColumn("dup_count", F.count(F.lit(1)).over(w))
+
+
+def sql_rolling_fingerprint() -> str:
+    return r"""WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+),
+fp AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 4 THEN
+      list_min([md5(array_to_string(toks[i:i+3], ' ')) FOR i IN range(1, len(toks) - 2)])
+    ELSE md5(array_to_string(toks, ' ')) END AS fp
+  FROM t
+)
+SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dup_count FROM fp"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: deterministic perturbed mutants
+    (vec_id+100000, first component +0.5) must pair with their originals at
+    cosine >= 0.9; random pairs stay far below."""
+    from nexus_forge_spark.operators.similarity import cosine_pairs
+
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .where(F.col("vec_id") % 17 == 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    mut = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.5)),
+            F.slice("v", F.lit(2), F.size("v") - 1),
+        ).alias("v"),
+    )
+    return cosine_pairs(
+        emb.unionByName(mut), threshold=0.9, vec_col="v", round_digits=3
+    )
+
+
+def sql_embedding_neardup() -> str:
+    return """WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 17 = 0
+),
+pool AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_concat([v[1] + 0.5], v[2:len(v)]) FROM base
+),
+scored AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+    list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS score
+  FROM pool a JOIN pool b ON a.vec_id < b.vec_id
+)
+SELECT a, b, round(score, 3) AS score FROM scored WHERE score >= 0.9"""
+
+
+def q_collect_span_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_values over the interleaved-span table: all text values along
+    spans.text (media spans yield NULL and are compacted away), exploded to
+    (doc_id, idx, chunk) rows."""
+    from nexus_forge_spark.operators.reshape import collect_values
+    from nexus_forge_spark.sources import flat_to_interleaved
+
+    docs = flat_to_interleaved(load_table(spark, "documents", sf_dir))
+    vals = collect_values(docs, "spans.text", keep=["doc_id"])
+    return vals.select(
+        "doc_id", F.posexplode("values").alias("idx", "chunk")
+    ).withColumn("idx", F.col("idx").cast("int"))
+
+
+def sql_collect_span_texts() -> str:
+    # text spans are the 4-token chunks of the flat text, in order
+    # (media placement does not affect the text-value sequence)
+    return """WITH t AS (
+  SELECT printf('doc-%09d', doc_id) AS doc_id, string_split(text, ' ') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    [array_to_string(toks[(i*4+1):(i*4+4)], ' ')
+     FOR i IN range(0, greatest(CAST(ceil(len(toks) / 4.0) AS INT), 1))] AS vals
+  FROM t
+)
+SELECT doc_id,
+  CAST(unnest(generate_series(1, len(vals))) AS INT) - 1 AS idx,
+  unnest(vals) AS chunk
+FROM c"""
+
+
+def q_reshape_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """forge.reshape: keep dotted paths out of a nested resource, with
+    versioned-id rewrite (id?_version=<rev>)."""
+    from nexus_forge_spark.operators.reshape import reshape
+
+    nested = load_table(spark, "customer", sf_dir).select(
+        F.concat(F.lit("http://c/"), F.col("c_custkey")).alias("id"),
+        F.lit("Customer").alias("type"),
+        F.col("c_name").alias("name"),
+        F.struct(
+            F.col("c_acctbal").alias("balance"),
+            F.col("c_mktsegment").alias("segment"),
+        ).alias("account"),
+        (F.col("c_custkey") % 5 + 1).alias("_rev"),
+    )
+    out = reshape(nested, ["id", "name", "account.segment"], versioned=True)
+    return out.select("id", "name", F.col("account.segment").alias("segment"))
+
+
+def sql_reshape_versioned() -> str:
+    return """SELECT
+  'http://c/' || CAST(c_custkey AS VARCHAR) || '?_version=' || CAST(c_custkey % 5 + 1 AS VARCHAR) AS id,
+  c_name AS name,
+  c_mktsegment AS segment
+FROM customer"""
+
+
+def q_jsonld_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compacted JSON-LD form: id/type -> @id/@type key rewrite on the
+    mapped customers (as_jsonld 'compacted', rdf.py:61-89)."""
+    from nexus_forge_spark.operators.convert import apply_ld_keys
+
+    mapped = q_map_customers(spark, sf_dir).select("id", "type", "name")
+    return apply_ld_keys(mapped, direction="add")
+
+
+def sql_jsonld_keys() -> str:
+    return """SELECT
+  'https://kg.example.ch/customers/' || CAST(c_custkey AS VARCHAR) AS "@id",
+  'Customer' AS "@type",
+  c_name AS name
+FROM customer"""
+
+
+def q_media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """forge.download analogue (S13): media spans resolved from the
+    interleaved table — rows-only check (media placement derives from
+    xxhash64, which DuckDB lacks)."""
+    from nexus_forge_spark.sources import flat_to_interleaved
+
+    docs = flat_to_interleaved(load_table(spark, "documents", sf_dir))
+    span = F.explode("spans").alias("span")
+    return (
+        docs.select("doc_id", span)
+        .where(F.col("span.kind") == "media")
+        .select("doc_id", F.col("span.offset").alias("offset"), F.col("span.media_ref").alias("media_ref"))
+    )
+
+
 def q_search_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """forge.search Filter DSL -> pushed-down parquet predicates."""
     from nexus_forge_spark.operators.search import apply_filters, paths
@@ -693,7 +913,15 @@ QUERIES = {
     "doc_token_stats": (q_doc_token_stats, sql_doc_token_stats),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "dedup_minhash_lsh": (q_dedup_minhash, sql_dedup_minhash),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, sql_dedup_ngram_jaccard),
     "ann_cosine_topk": (q_ann_cosine, sql_ann_cosine),
+    "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
     "lang_quality": (q_lang_quality, sql_lang_quality),
+    "token_count": (q_token_count, sql_token_count),
+    "rolling_fingerprint": (q_rolling_fingerprint, sql_rolling_fingerprint),
+    "collect_span_texts": (q_collect_span_texts, sql_collect_span_texts),
+    "reshape_versioned": (q_reshape_versioned, sql_reshape_versioned),
+    "jsonld_keys": (q_jsonld_keys, sql_jsonld_keys),
     "simhash_pairs": (q_simhash_pairs, None),
+    "media_refs": (q_media_refs, None),
 }

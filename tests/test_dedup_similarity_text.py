@@ -114,3 +114,19 @@ def test_rolling_fingerprint_robust_to_late_edit(spark):
     fps = {r.doc_id: r.fp for r in df.select("doc_id", X.rolling_fingerprint(F.col("text")).alias("fp")).collect()}
     # shared minimum shingle hash survives the appended token with high prob.
     assert fps[1] == fps[2]
+
+
+def test_cosine_pairs_threshold(spark):
+    from nexus_forge_spark.operators.similarity import cosine_pairs
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+            (3, [0.0, 1.0, 0.0]),      # orthogonal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = cosine_pairs(emb, threshold=0.9).collect()
+    assert [(r["a"], r["b"]) for r in out] == [(1, 2)]
+    assert out[0]["score"] > 0.99

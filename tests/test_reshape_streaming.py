@@ -120,3 +120,18 @@ def test_streaming_event_counts_watermark(spark, sf_dir):
             assert batch_map[(r.window_start, r.event_type)] == r.n
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_collect_values_keep_columns(spark):
+    from pyspark.sql import functions as F
+
+    from nexus_forge_spark.operators.reshape import collect_values
+
+    df = spark.createDataFrame(
+        [("d1", [("a",), ("b",)]), ("d2", [("c",)])],
+        "doc_id string, items array<struct<v:string>>",
+    )
+    out = collect_values(df, "items.v", keep=["doc_id"])
+    assert out.columns == ["doc_id", "values"]
+    rows = {r["doc_id"]: list(r["values"]) for r in out.collect()}
+    assert rows == {"d1": ["a", "b"], "d2": ["c"]}
