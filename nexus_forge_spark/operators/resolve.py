@@ -157,6 +157,63 @@ def resolve(
     )
 
 
+def _join_back(
+    mentions: DataFrame,
+    resolved_vocab: DataFrame,
+    keys: list[str],
+    use_broadcast: bool = True,
+) -> DataFrame:
+    """Equi-join per-vocabulary resolution results back onto occurrences.
+
+    use_broadcast=False when the distinct vocabulary itself is too big to
+    ship (then it is a shuffle join on the string key — still skew-free)."""
+    out_cols = [c for c in resolved_vocab.columns if c != "mention"]
+    r = F.broadcast(resolved_vocab) if use_broadcast else resolved_vocab
+    return mentions.select(*keys).join(r, "mention").select(*keys, *out_cols)
+
+
+def resolve_distinct(
+    mentions: DataFrame,
+    alias_table: DataFrame,
+    strategy: str = BEST_MATCH,
+    limit: int = 10,
+    threshold: float | None = None,
+    keys: list[str] | None = None,
+    use_broadcast: bool = True,
+) -> DataFrame:
+    """`resolve` factored through the distinct mention vocabulary.
+
+    Candidate scores and ranks depend only on the mention STRING, never the
+    occurrence, so the expensive non-equi (substring) join against the alias
+    dim runs once per distinct mention; occurrences get their candidates via
+    a broadcast equi-join on the string.  At 10^12 documents the vocabulary
+    is orders of magnitude smaller than the occurrence stream — this turns
+    the resolver from O(occurrences × dim) into O(vocab × dim) + one
+    map-side hash join, and moves the top-k window off the big table.
+    """
+    keys = keys or MENTION_KEYS
+    vocab = mentions.select("mention").distinct()
+    resolved = resolve(
+        vocab, alias_table, strategy, limit, threshold, keys=["mention"],
+        use_broadcast=use_broadcast,
+    )
+    return _join_back(mentions, resolved, keys, use_broadcast)
+
+
+def resolve_ladder_distinct(
+    mentions: DataFrame,
+    alias_table: DataFrame,
+    keys: list[str] | None = None,
+    use_broadcast: bool = True,
+) -> DataFrame:
+    """`resolve_ladder` factored through the distinct mention vocabulary
+    (see resolve_distinct for why this is the scale path)."""
+    keys = keys or MENTION_KEYS
+    vocab = mentions.select("mention").distinct()
+    resolved = resolve_ladder(vocab, alias_table, keys=["mention"], use_broadcast=use_broadcast)
+    return _join_back(mentions, resolved, keys, use_broadcast)
+
+
 def escape_punctuation(text: str) -> str:
     """Escape regex-special punctuation in a mention before building an
     anchored case-insensitive pattern (archetypes/resolver.py:181-188;

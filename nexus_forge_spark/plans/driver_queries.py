@@ -90,7 +90,7 @@ def _alias(spark: SparkSession) -> DataFrame:
 
 
 def q_kg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.resolve(_flat_mentions(spark, sf_dir), _alias(spark), R.EXACT_MATCH, keys=FLAT_KEYS)
+    return R.resolve_distinct(_flat_mentions(spark, sf_dir), _alias(spark), R.EXACT_MATCH, keys=FLAT_KEYS)
 
 
 def sql_kg_exact() -> str:
@@ -100,7 +100,7 @@ def sql_kg_exact() -> str:
 
 
 def q_kg_fuzzy_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.resolve(_flat_mentions(spark, sf_dir), _alias(spark), R.BEST_MATCH, keys=FLAT_KEYS)
+    return R.resolve_distinct(_flat_mentions(spark, sf_dir), _alias(spark), R.BEST_MATCH, keys=FLAT_KEYS)
 
 
 def sql_kg_fuzzy_best() -> str:
@@ -113,7 +113,7 @@ def sql_kg_fuzzy_best() -> str:
 
 
 def q_kg_fuzzy_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.resolve(
+    return R.resolve_distinct(
         _flat_mentions(spark, sf_dir), _alias(spark), R.ALL_MATCHES, limit=10, keys=FLAT_KEYS
     )
 
@@ -467,18 +467,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_signatures(docs, num_hashes=_MINHASH_K, shingle_n=2)
     cand = D.lsh_candidate_pairs(sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_ROWS)
     with_sh = docs.select(
-        "doc_id", D.word_shingles(F.col("text"), 2).alias("sh")
+        "doc_id",
+        F.transform(D.word_shingles(F.col("text"), 2), lambda g: F.xxhash64(g)).alias("sh"),
     ).localCheckpoint(eager=True)  # reused by both verify join sides
     a_sh = with_sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     b_sh = with_sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    denom = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.when(denom > 0, inter / denom).otherwise(F.lit(0.0)).cast("double")
     return (
-        cand.join(a_sh, "a")
-        .join(b_sh, "b")
-        .select(
-            "a",
-            "b",
-            F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
-        )
+        cand.join(F.broadcast(a_sh), "a")
+        .join(F.broadcast(b_sh), "b")
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= 0.5)
     )
 

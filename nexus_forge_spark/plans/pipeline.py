@@ -36,10 +36,12 @@ def construct_kg(
     mentions = M.extract_mentions(documents)
     if fuzzy:
         # single-pass ladder: exact preferred, best-fuzzy fallback — one
-        # broadcast join instead of exact-pass + anti-join + fuzzy-pass.
-        resolved = R.resolve_ladder(mentions, alias_table)
+        # broadcast join instead of exact-pass + anti-join + fuzzy-pass;
+        # factored through the distinct mention vocabulary so the substring
+        # join never touches the occurrence stream.
+        resolved = R.resolve_ladder_distinct(mentions, alias_table)
     else:
-        resolved = R.resolve(mentions, alias_table, R.EXACT_MATCH)
+        resolved = R.resolve_distinct(mentions, alias_table, R.EXACT_MATCH)
 
     triples = T.resolved_to_triples(resolved).unionByName(T.media_to_triples(documents))
     return T.dedup_triples(triples)
