@@ -36,22 +36,28 @@ def resolved_to_triples(resolved: DataFrame, pred: str = PRED_HAS_BODY) -> DataF
     )
 
 
-def media_to_triples(documents: DataFrame) -> DataFrame:
+def media_to_triples(documents: DataFrame, dedup: bool = False) -> DataFrame:
     """kind='media' spans -> distribution triples (the LazyAction/forge.attach
     analogue: media refs are data, 'executed' as a column expr —
-    core/forge.py:798-809, commons/actions.py:62-113)."""
-    return (
+    core/forge.py:798-809, commons/actions.py:62-113).
+
+    dedup=True applies graph set semantics on the narrow (doc_id, ref) key
+    before the triple strings are built — cheaper shuffle rows."""
+    refs = (
         documents.select("doc_id", F.explode("spans").alias("span"))
         .where(F.col("span.kind") == "media")
-        .select(
-            doc_subject(F.col("doc_id")).alias("subj"),
-            F.lit(PRED_DISTRIBUTION).alias("pred"),
-            F.col("span.media_ref").alias("obj"),
-            F.lit(False).alias("obj_is_literal"),
-            F.lit(None).cast("string").alias("obj_datatype"),
-            F.col("doc_id").alias("doc_id"),
-            F.lit("media").alias("stage"),
-        )
+        .select("doc_id", F.col("span.media_ref").alias("ref"))
+    )
+    if dedup:
+        refs = refs.dropDuplicates(["doc_id", "ref"])
+    return refs.select(
+        doc_subject(F.col("doc_id")).alias("subj"),
+        F.lit(PRED_DISTRIBUTION).alias("pred"),
+        F.col("ref").alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.col("doc_id").alias("doc_id"),
+        F.lit("media").alias("stage"),
     )
 
 

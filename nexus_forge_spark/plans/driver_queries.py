@@ -896,6 +896,159 @@ t AS (
 SELECT DISTINCT subj, pred, obj, obj_is_literal, CAST(obj_datatype AS VARCHAR) AS obj_datatype FROM t"""
 
 
+
+
+# --------------------------------------------- round-1 extension queries
+
+_AGENT_MENU = [
+    "Marie Curie", "CURIE", "epfl", "Ada", "LOVELACE",
+    "the data platform team", "Deprecated Org", "nobody",
+]
+
+
+def q_resolve_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AgentResolver (R9, agent_resolver.py:37-87): EXACT_CASE_INSENSITIVE
+    over name|givenName|familyName|alternateName, deprecated excluded —
+    mention per supplier row drawn from a fixed menu incl. decoys."""
+    sup = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").cast("int").alias("s_suppkey"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in _AGENT_MENU]),
+            (F.col("s_suppkey") % 8 + 1).cast("int"),
+        ).alias("mention"),
+    )
+    alias = R.build_alias_table(dims.agents_idx(spark), dims.AGENT_MATCH_PROPS)
+    return R.resolve_distinct(
+        sup, alias, R.EXACT_CASE_INSENSITIVE_MATCH, keys=["s_suppkey", "mention"]
+    )
+
+
+def sql_resolve_agents() -> str:
+    props = dims.AGENT_MATCH_PROPS
+    coalesce = "coalesce(" + ", ".join(props) + ")"
+    branches = "\nUNION ALL\n".join(
+        f"SELECT id AS entity_id, dict_idx, CAST(length({coalesce}) AS INT) AS score_len, "
+        f"{i} AS prop_order, {pp} AS alias FROM ag WHERE {pp} IS NOT NULL AND NOT deprecated"
+        for i, pp in enumerate(props)
+    )
+    menu = ", ".join("'" + m + "'" for m in _AGENT_MENU)
+    return f"""WITH ag AS (SELECT * FROM {dims.agents_sql_values('a')}),
+alias_t AS (
+{branches}
+),
+m AS (
+  SELECT CAST(s_suppkey AS INT) AS s_suppkey,
+         list_extract([{menu}], CAST(s_suppkey % 8 + 1 AS INT)) AS mention
+  FROM supplier
+),
+cand AS (
+  SELECT m.s_suppkey, m.mention, al.entity_id, al.dict_idx, CAST(0.0 AS DOUBLE) AS score
+  FROM m JOIN alias_t al ON lower(m.mention) = lower(al.alias)
+),
+per_entity AS (
+  SELECT s_suppkey, mention, entity_id, min(score) AS score, min(dict_idx) AS dict_idx
+  FROM cand GROUP BY s_suppkey, mention, entity_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY s_suppkey, mention ORDER BY score, dict_idx) AS INT) AS rank
+  FROM per_entity
+)
+SELECT s_suppkey, mention, entity_id, score, rank,
+       'EXACT_CASE_INSENSITIVE_MATCH' AS strategy
+FROM ranked WHERE rank = 1"""
+
+
+def q_triples_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by-subject triple reassembly (C4 / §2.6,
+    sparql_query_builder.py:208-238): per subject the triple count and a
+    fingerprint of the sorted (pred, obj) list."""
+    t = q_kg_triples(spark, sf_dir)
+    return t.groupBy("subj").agg(
+        F.count(F.lit(1)).cast("int").alias("n_triples"),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.collect_list(F.concat_ws("|", "pred", "obj"))), ","
+            )
+        ).alias("props_fp"),
+    )
+
+
+def sql_triples_reassembly() -> str:
+    return f"""WITH t AS ({sql_kg_triples()})
+SELECT subj, CAST(count(*) AS INT) AS n_triples,
+       md5(string_agg(pred || '|' || obj, ',' ORDER BY pred || '|' || obj)) AS props_fp
+FROM t GROUP BY subj"""
+
+
+def q_retrieve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieve (S19, bluebrain_nexus.py:346-432): N point lookups as
+    ONE join of the id set against the table — not N requests."""
+    cust = load_table(spark, "customer", sf_dir)
+    ids = spark.range(0, 3000).select((F.col("id") * 7).alias("c_custkey"))
+    return ids.join(
+        cust.select(F.col("c_custkey").cast("bigint").alias("c_custkey"), "c_name"),
+        "c_custkey",
+        "left",
+    ).select("c_custkey", "c_name", F.col("c_name").isNotNull().alias("found"))
+
+
+def sql_retrieve_batch() -> str:
+    return """WITH ids AS (SELECT range * 7 AS c_custkey FROM range(0, 3000))
+SELECT ids.c_custkey, c.c_name, c.c_name IS NOT NULL AS found
+FROM ids LEFT JOIN customer c ON ids.c_custkey = CAST(c.c_custkey AS BIGINT)"""
+
+
+def q_validate_rdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS-inference validation (V8, rdf_model.py:115-131): Patient rows
+    satisfy the Person shape's focus only when the precomputed
+    rdfs:subClassOf closure is applied (test_rdf_model.py:130-158)."""
+    import glob
+
+    from nexus_forge_spark.operators.validate import (
+        ShapeCompiler,
+        load_shapes,
+        load_subclass_closure,
+    )
+
+    commons = "/root/reference/tests/data/shacl-model/commons"
+    shapes = load_shapes(sorted(glob.glob(f"{commons}/shapes-*.json")))
+    closure = load_subclass_closure(f"{commons}/schemaorg-v26.0.json")
+    persons = load_table(spark, "customer", sf_dir).select(
+        F.concat(F.lit("http://p/"), F.col("c_custkey")).alias("id"),
+        F.when(F.col("c_custkey") % 10 == 0, "Patient")
+        .when(F.col("c_custkey") % 9 == 0, "Alien")
+        .otherwise("Person")
+        .alias("type"),
+        F.col("c_name").alias("familyName"),
+        F.col("c_name").alias("givenName"),
+        F.lit("female").alias("gender"),
+        F.lit("2000-01-01").alias("birthDate"),
+    )
+    plain = ShapeCompiler(shapes).validate(persons, "Person").select(
+        "id", "type", F.col("validated").alias("validated_plain")
+    )
+    rdfs = (
+        ShapeCompiler(shapes, closure)
+        .validate(persons, "Person", inference="rdfs")
+        .select("id", F.col("validated").alias("validated_rdfs"))
+    )
+    return plain.join(rdfs, "id")
+
+
+def sql_validate_rdfs() -> str:
+    return """WITH persons AS (
+  SELECT 'http://p/' || CAST(c_custkey AS VARCHAR) AS id,
+         CASE WHEN c_custkey % 10 = 0 THEN 'Patient'
+              WHEN c_custkey % 9 = 0 THEN 'Alien'
+              ELSE 'Person' END AS type
+  FROM customer
+)
+SELECT id, type,
+       type IN ('Person') AS validated_plain,
+       type IN ('Person', 'Patient') AS validated_rdfs
+FROM persons"""
+
+
 QUERIES = {
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
@@ -924,4 +1077,8 @@ QUERIES = {
     "jsonld_keys": (q_jsonld_keys, sql_jsonld_keys),
     "simhash_pairs": (q_simhash_pairs, None),
     "media_refs": (q_media_refs, None),
+    "resolve_agents_ci": (q_resolve_agents, sql_resolve_agents),
+    "triples_reassembly": (q_triples_reassembly, sql_triples_reassembly),
+    "retrieve_batch": (q_retrieve_batch, sql_retrieve_batch),
+    "validate_rdfs": (q_validate_rdfs, sql_validate_rdfs),
 }

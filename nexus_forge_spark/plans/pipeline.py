@@ -43,8 +43,15 @@ def construct_kg(
     else:
         resolved = R.resolve_distinct(mentions, alias_table, R.EXACT_MATCH)
 
-    triples = T.resolved_to_triples(resolved).unionByName(T.media_to_triples(documents))
-    return T.dedup_triples(triples)
+    # graph set semantics, enforced BEFORE string materialization: the two
+    # stages emit disjoint predicates, and within a stage (subj,pred,obj) is
+    # 1:1 with the narrow key — so dedup shuffles (doc_id, id) longs/shorts
+    # instead of 2x as many fully-built triple strings, and the final
+    # dropDuplicates pass disappears.
+    ann = resolved.select("doc_id", "entity_id").dropDuplicates(["doc_id", "entity_id"])
+    return T.resolved_to_triples(ann).unionByName(
+        T.media_to_triples(documents, dedup=True)
+    )
 
 
 def write_triples(triples: DataFrame, path: str, partitions: int | None = None) -> None:
