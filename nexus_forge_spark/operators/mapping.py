@@ -27,6 +27,7 @@ column — SURVEY.md §3.2), ``forge.attach(path, content_type)``
 from __future__ import annotations
 
 import ast
+import json
 import re
 from dataclasses import dataclass, field
 
@@ -127,7 +128,7 @@ class RuleCompiler:
         if isinstance(rules, dict):
             return {k: self.compile_tree(v) for k, v in rules.items()}
         if isinstance(rules, list):
-            return [self.compile_tree(v) for v in rules]
+            return [self.compile_tree(v) for v in _widen_conflicting_literals(rules)]
         if isinstance(rules, str):
             leaf = self.compile_leaf(rules)
             if isinstance(leaf, (_Placeholder, _EvalFallback)):
@@ -418,6 +419,69 @@ def _make_eval_column(expr: str, source_cols: list[str]) -> Column:
 
     udf = pandas_udf(ev, "string", PandasUDFType.SCALAR)
     return udf(F.struct(*[F.col(f"`{c}`") for c in source_cols]))
+
+
+def _literal_kind(v):
+    """Predicted post-eval type class of a raw rule leaf ('num'/'str'/'dyn')."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int, float)):
+        return "num"
+    if not isinstance(v, str):
+        return "dyn"
+    try:
+        body = ast.parse(v.strip(), mode="eval").body
+    except SyntaxError:
+        return "str"  # eval SyntaxError -> stays a literal string
+    if isinstance(body, ast.Constant):
+        if isinstance(body.value, bool):
+            return "bool"
+        if isinstance(body.value, (int, float)):
+            return "num"
+        return "str"
+    if isinstance(body, ast.Name) and body.id not in ("x", "forge"):
+        return "str"  # NameError fallback
+    return "dyn"
+
+
+def _widen_conflicting_literals(elements: list) -> list:
+    """Rule lists whose elements put DIFFERENT literal types at the same path
+    (the reference's eval happily yields [{'value': 'MGI:99572'},
+    {'value': 14527}]) cannot become one Spark array<struct> — numeric
+    leaves at conflicting paths are widened to strings (a documented
+    divergence: Spark arrays are homogeneous; values compare equal as text)."""
+    if len(elements) < 2:
+        return elements
+    kinds: dict[tuple, set] = {}
+
+    def walk(v, path: tuple):
+        if isinstance(v, dict):
+            for k, sv in v.items():
+                walk(sv, path + (k,))
+        elif isinstance(v, list):
+            for sv in v:
+                walk(sv, path + ("[]",))
+        elif v is not None:
+            kinds.setdefault(path, set()).add(_literal_kind(v))
+
+    for el in elements:
+        walk(el, ())
+    conflicted = {p for p, ks in kinds.items() if "num" in ks and "str" in ks}
+    if not conflicted:
+        return elements
+
+    def rewrite(v, path: tuple):
+        if isinstance(v, dict):
+            return {k: rewrite(sv, path + (k,)) for k, sv in v.items()}
+        if isinstance(v, list):
+            return [rewrite(sv, path + ("[]",)) for sv in v]
+        if path in conflicted and _literal_kind(v) == "num":
+            if isinstance(v, str):
+                return json.dumps(str(ast.literal_eval(v.strip())))
+            return json.dumps(str(v))
+        return v
+
+    return [rewrite(el, ()) for el in elements]
 
 
 def _tree_to_column(tree, compiler: RuleCompiler, source_cols: list[str]) -> Column:

@@ -1,0 +1,421 @@
+"""Quantitative P/R parity report vs the reference's semantics on its own
+fixture corpus (BASELINE.json: triple extraction P/R >= 0.95).
+
+The reference itself cannot run here (its deps hjson/rdflib/pyshacl are not
+installed and installs are forbidden), so the EXPECTED side is an
+independent pure-Python interpreter of the reference's documented semantics
+— NOT copied code:
+
+* mapping  — the eval loop of DictionaryMapper._map_one/_apply_rules
+  (kgforge/specializations/mappers/dictionaries.py:31-62): bind {x, forge},
+  eval each leaf, literal fallback on TypeError/NameError/SyntaxError,
+  AttributeError propagates;
+* resolve  — DemoResolver._resolve (…/resolvers/demo_resolver.py:41-110):
+  exact / case-insensitive / substring strategies over label|acronym,
+  score = len(first present property) - len(text), stable dictionary order;
+* validate — the RdfModel pass/fail matrix
+  (tests/specializations/models/test_rdf_model.py:79-174) as hand facts.
+
+The ACTUAL side is this engine (Spark): map_dataframe, resolve, and
+ShapeCompiler over the very same fixture files under /root/reference.
+
+Every case's output is flattened to (case, path, value) facts;
+  precision = |actual ∩ expected| / |actual|
+  recall    = |actual ∩ expected| / |expected|
+micro-averaged across families. Writes PARITY.md, prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference"
+DEMO_RESOLVER = f"{REF}/tests/data/demo-resolver"
+COMMONS = f"{REF}/tests/data/shacl-model/commons"
+FORMATTERS = {"identifier": "https://kg.example.ch/{}/{}"}
+
+EXACT = "EXACT_MATCH"
+EXACT_CI = "EXACT_CASE_INSENSITIVE_MATCH"
+BEST = "BEST_MATCH"
+ALL = "ALL_MATCHES"
+
+
+# ------------------------------------------------------------ expected side
+
+class _X:
+    """Attribute view over a record dict (the reference's wrap_dict,
+    kgforge/core/commons/dictionaries.py): missing key -> AttributeError."""
+
+    def __init__(self, d: dict):
+        object.__setattr__(self, "_d", d)
+
+    def __getattr__(self, k):
+        try:
+            v = self._d[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+        return _X(v) if isinstance(v, dict) else v
+
+
+def demo_resolve(rows: list[dict], text: str, strategy: str,
+                 props=("label", "acronym"), limit: int = 10):
+    """DemoResolver._resolve semantics (demo_resolver.py:41-110)."""
+    cands = []
+    for i, r in enumerate(rows):
+        if r.get("deprecated"):
+            continue
+        first = next((r[p] for p in props if r.get(p) is not None), None)
+        if first is None:
+            continue
+        for po, p in enumerate(props):
+            v = r.get(p)
+            if v is None:
+                continue
+            if strategy == EXACT:
+                hit = text == v
+            elif strategy == EXACT_CI:
+                hit = text.lower() == v.lower()
+            else:
+                hit = text.lower() in v.lower()
+            if hit:
+                score = 0.0 if strategy in (EXACT, EXACT_CI) else float(len(first) - len(text))
+                cands.append((score, i, po, r))
+    cands.sort(key=lambda c: (c[0], c[1], c[2]))  # stable: dict order ties
+    if not cands:
+        return None if strategy != ALL else []
+    shaped = []
+    seen = set()
+    for score, i, po, r in cands:
+        if i in seen:
+            continue
+        seen.add(i)
+        shaped.append(
+            ({"id": r["id"], "type": r.get("type"), "label": r.get("label")}, score, len(shaped) + 1)
+        )
+    if strategy == ALL:
+        return shaped[:limit]
+    return shaped[0]
+
+
+class _ForgeStub:
+    """forge.* surface available inside mapping rules."""
+
+    def __init__(self, dicts: dict):
+        self._dicts = dicts
+
+    def format(self, name: str, *args) -> str:
+        return FORMATTERS[name].format(*args)
+
+    def resolve(self, text, scope=None, target=None, type=None, strategy=BEST):
+        rows = self._dicts.get((scope, target)) or self._dicts.get((scope, None))
+        if rows is None or text is None:
+            return None
+        hit = demo_resolve(rows, str(text), strategy)
+        if hit is None or hit == []:
+            return None
+        return hit[0] if isinstance(hit, tuple) else [h[0] for h in hit]
+
+    def attach(self, path, content_type=None):
+        # LazyAction executed at register time -> distribution record
+        # (core/forge.py:798-809, commons/actions.py:62-113)
+        return {"type": "DataDownload", "contentUrl": path, "encodingFormat": content_type}
+
+
+def ref_apply_rules(value, variables):
+    """_apply_rules (dictionaries.py:51-62): recursive walk, leaf = eval with
+    literal fallback on TypeError/NameError/SyntaxError only."""
+    if isinstance(value, dict):
+        return {k: ref_apply_rules(v, variables) for k, v in value.items()}
+    if isinstance(value, list):
+        return [ref_apply_rules(v, variables) for v in value]
+    if isinstance(value, str):
+        try:
+            return eval(value, dict(variables))  # noqa: S307 — the reference's own mechanism
+        except (TypeError, NameError, SyntaxError):
+            return value
+    return value
+
+
+def ref_map(record: dict, rules: dict, forge: _ForgeStub) -> dict:
+    return ref_apply_rules(rules, {"x": _X(record), "forge": forge})
+
+
+# ------------------------------------------------------------ fact algebra
+
+def _norm(v):
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v == int(v):
+        return str(int(v))
+    return str(v)
+
+
+def flatten(case: str, v, path: str, out: set):
+    if isinstance(v, dict):
+        for k, sv in v.items():
+            flatten(case, sv, f"{path}.{k}" if path else k, out)
+    elif isinstance(v, (list, tuple)):
+        for i, sv in enumerate(v):
+            flatten(case, sv, f"{path}[{i}]", out)
+    elif v is not None:
+        out.add((case, path, _norm(v)))
+
+
+# ------------------------------------------------------------ corpora
+
+MAPPING_CASES = [
+    (
+        f"{REF}/tests/data/demo-model/mappings/scientists-database/DictionaryMapping/Contribution.hjson",
+        [
+            {"id": 1, "name": "Jane Mid Doe", "middle_name": "Mid", "gender": "female"},
+            {"id": 2, "name": "John Smith", "middle_name": "M", "gender": "male"},
+        ],
+    ),
+    (
+        f"{REF}/tests/data/demo-model/mappings/scientists-database/DictionaryMapping/Association.hjson",
+        [
+            {"id": 3, "name": "Marie Curie", "middle_name": "S", "gender": "female"},
+        ],
+    ),
+    (
+        f"{REF}/tests/data/demo-model/mappings/allen-cell-types-database/DictionaryMapping/Subject.hjson",
+        [
+            {"donor__id": 7, "donor__name": "Donor 7", "donor__sex": "male",
+             "donor__species": "Mus musculus"},
+            {"donor__id": 8, "donor__name": "Donor 8", "donor__sex": "female",
+             "donor__species": "Homo Sapiens"},
+        ],
+    ),
+    (
+        f"{REF}/tests/data/demo-model/mappings/allen-cell-types-database/DictionaryMapping/PatchedCell.hjson",
+        [
+            {"specimen__id": 11, "specimen__name": "Spec 11", "structure__id": 101,
+             "structure__acronym": "VISp", "donor__id": 7},
+        ],
+    ),
+    (
+        f"{REF}/tests/data/demo-model/mappings/allen-cell-types-database/DictionaryMapping/NeuronMorphology.hjson",
+        [
+            {"specimen__id": 12, "specimen__name": "Spec 12", "structure__id": 102,
+             "structure__acronym": "VISl", "structure__layer": "2", "donor__id": 8,
+             "tag__apical": "intact", "csl__x": 1.0, "csl__y": 2.0, "csl__z": 3.0},
+        ],
+    ),
+    (
+        f"{REF}/examples/mappings/UniProt/mappings/DictionaryMapping/Gene.hjson",
+        [
+            {"uid": "u1", "description": "desc one"},
+        ],
+    ),
+    (
+        f"{REF}/examples/mappings/scientists-database/DictionaryMapping/Contribution.hjson",
+        [
+            {"id": 4, "name": "Ada Lovelace", "middle_name": "A", "gender": "female"},
+        ],
+    ),
+]
+
+VALIDATION_CASES = [
+    # (id, type, familyName, givenName, gender, birthDate,
+    #  expected_plain, expected_rdfs) — matrix of test_rdf_model.py:79-174
+    ("v1", "Person", "Doe", "Jane", "female", "2000-01-01", True, True),
+    ("v2", "Person", None, "Jane", "female", "2000-01-01", False, False),
+    ("v3", "Person", "Doe", None, "female", "2000-01-01", False, False),
+    ("v4", "Person", "Doe", "Jane", "unknown", "2000-01-01", False, False),
+    ("v5", "Person", "Doe", "Jane", None, "2000-01-01", False, False),
+    ("v6", "Person", "Doe", "Jane", "male", "not-a-date", False, False),
+    ("v7", "Patient", "Doe", "Jane", "female", "2000-01-01", False, True),
+    ("v8", "Alien", "Doe", "Jane", "female", "2000-01-01", False, False),
+]
+
+
+def _resolver_mentions(rows: list[dict]) -> list[str]:
+    out = []
+    for r in rows:
+        for p in ("label", "acronym"):
+            v = r.get(p)
+            if v:
+                out.extend([v, v.lower(), v.upper(), v[: max(4, len(v) // 2)].lower()])
+    out.append("zzz-no-match")
+    return sorted(set(out))
+
+
+# ------------------------------------------------------------ actual side
+
+def run(spark):  # noqa: C901 — linear report script
+    from pyspark.sql import functions as F
+
+    from nexus_forge_spark.functions import hjson
+    from nexus_forge_spark.operators import resolve as R
+    from nexus_forge_spark.operators.mapping import ForgeContext, map_dataframe
+    from nexus_forge_spark.operators.validate import (
+        ShapeCompiler,
+        load_shapes,
+        load_subclass_closure,
+    )
+    from nexus_forge_spark.sources.resolver_dims import load_resolver_dim
+
+    dict_rows = {
+        name: json.load(open(f"{DEMO_RESOLVER}/{name}.json", encoding="utf-8"))
+        for name in ("sex", "species", "cell_types", "agents", "structure_layer")
+    }
+    py_dicts = {
+        ("terms", None): dict_rows["sex"],
+        ("terms", "sex"): dict_rows["sex"],
+        ("terms", "species"): dict_rows["species"],
+        ("terms", "cell_types"): dict_rows["cell_types"],
+        ("terms", "structure-layer"): dict_rows["structure_layer"],
+        ("agents", None): dict_rows["agents"],
+    }
+    props = ["label", "acronym"]
+    ctx = ForgeContext(
+        formatters=FORMATTERS,
+        resolver_dims={
+            key: (load_resolver_dim(spark, f"{DEMO_RESOLVER}/{name}.json", props), props)
+            for key, name in [
+                (("terms", None), "sex"),
+                (("terms", "sex"), "sex"),
+                (("terms", "species"), "species"),
+                (("terms", "cell_types"), "cell_types"),
+                (("terms", "structure-layer"), "structure_layer"),
+                (("agents", None), "agents"),
+            ]
+        },
+    )
+    stub = _ForgeStub(py_dicts)
+    families: dict[str, tuple[set, set]] = {}
+
+    def fam(name: str) -> tuple[set, set]:
+        return families.setdefault(name, (set(), set()))
+
+    # ---- mapping family
+    exp, act = fam("mapping")
+    for path, records in MAPPING_CASES:
+        rules = hjson.loads(open(path, encoding="utf-8").read())
+        short = os.path.relpath(path, REF)
+        for i, rec in enumerate(records):
+            flatten(f"{short}#{i}", ref_map(rec, rules, stub), "", exp)
+        for i, rec in enumerate(records):
+            rdd = spark.sparkContext.parallelize([json.dumps(rec)], 1)
+            df = spark.read.json(rdd)
+            row = map_dataframe(df, rules, ctx).collect()[0]
+            flatten(f"{short}#{i}", row.asDict(recursive=True), "", act)
+
+    # ---- resolver family
+    exp, act = fam("resolve")
+    for name, rows in dict_rows.items():
+        mentions = _resolver_mentions(rows)
+        mdf = spark.createDataFrame([(m,) for m in mentions], "mention string")
+        dim = load_resolver_dim(spark, f"{DEMO_RESOLVER}/{name}.json", props)
+        alias = R.build_alias_table(dim, props)
+        for strategy in (EXACT, EXACT_CI, BEST, ALL):
+            for m in mentions:
+                hit = demo_resolve(rows, m, strategy)
+                if strategy == ALL:
+                    for shaped, score, rank in hit:
+                        flatten(f"{name}/{strategy}/{m}#r{rank}",
+                                {**shaped, "score": score}, "", exp)
+                elif hit is not None:
+                    shaped, score, rank = hit
+                    flatten(f"{name}/{strategy}/{m}#r1",
+                            {**shaped, "score": score}, "", exp)
+            out = R.resolve(mdf, alias, strategy, keys=["mention"]).collect()
+            dim_info = {r["id"]: r for r in rows}
+            for row in out:
+                shaped = {
+                    "id": row.entity_id,
+                    "type": dim_info[row.entity_id].get("type"),
+                    "label": dim_info[row.entity_id].get("label"),
+                    "score": row.score,
+                }
+                flatten(f"{name}/{strategy}/{row.mention}#r{row.rank}", shaped, "", act)
+
+    # ---- validation family
+    exp, act = fam("validate")
+    shapes = load_shapes(sorted(glob.glob(f"{COMMONS}/shapes-*.json")))
+    closure = load_subclass_closure(f"{COMMONS}/schemaorg-v26.0.json")
+    vdf = spark.createDataFrame(
+        [(c[0], c[1], c[2], c[3], c[4], c[5]) for c in VALIDATION_CASES],
+        "id string, type string, familyName string, givenName string, "
+        "gender string, birthDate string",
+    )
+    plain = {r["id"]: r["validated"]
+             for r in ShapeCompiler(shapes).validate(vdf, "Person").collect()}
+    rdfs = {r["id"]: r["validated"]
+            for r in ShapeCompiler(shapes, closure)
+            .validate(vdf, "Person", inference="rdfs").collect()}
+    for cid, *_rest, e_plain, e_rdfs in VALIDATION_CASES:
+        exp.add((cid, "validated_plain", _norm(e_plain)))
+        exp.add((cid, "validated_rdfs", _norm(e_rdfs)))
+        act.add((cid, "validated_plain", _norm(plain[cid])))
+        act.add((cid, "validated_rdfs", _norm(rdfs[cid])))
+
+    # ---- report
+    lines = [
+        "# PARITY — fact-level P/R vs reference semantics on its fixture corpus",
+        "",
+        "Expected side: pure-Python interpreter of the reference's eval/resolve",
+        "semantics (see tools/parity_report.py docstring; the reference package",
+        "itself is not installable here). Actual side: this engine on Spark.",
+        "",
+        "| family | expected facts | actual facts | matched | precision | recall |",
+        "|---|---|---|---|---|---|",
+    ]
+    tot_e = tot_a = tot_m = 0
+    result = {}
+    for name, (e, a) in families.items():
+        m = len(e & a)
+        tot_e += len(e)
+        tot_a += len(a)
+        tot_m += m
+        p = m / len(a) if a else 1.0
+        r = m / len(e) if e else 1.0
+        result[name] = {"precision": round(p, 4), "recall": round(r, 4),
+                        "expected": len(e), "actual": len(a), "matched": m}
+        lines.append(f"| {name} | {len(e)} | {len(a)} | {m} | {p:.4f} | {r:.4f} |")
+        if m != len(e) or m != len(a):
+            diff_e = sorted(e - a)[:10]
+            diff_a = sorted(a - e)[:10]
+            for d in diff_e:
+                lines.append(f"|  missing | `{d}` | | | | |")
+            for d in diff_a:
+                lines.append(f"|  spurious | `{d}` | | | | |")
+    P = tot_m / tot_a if tot_a else 1.0
+    Rr = tot_m / tot_e if tot_e else 1.0
+    lines += [
+        f"| **all** | {tot_e} | {tot_a} | {tot_m} | **{P:.4f}** | **{Rr:.4f}** |",
+        "",
+        f"Target (BASELINE.json): P/R >= 0.95. Measured: P={P:.4f}, R={Rr:.4f}.",
+        "",
+        "Known exclusion: `DemoDB/.../Example.hjson` uses a per-row ternary whose",
+        "branches have different struct shapes (resolve-result vs literal dict);",
+        "the column plan does not auto-unify heterogeneous struct branches",
+        "(README operator matrix, M5 note).",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "PARITY.md"), "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    summary = {"metric": "parity_pr", "precision": round(P, 4), "recall": round(Rr, 4),
+               "families": result}
+    print(json.dumps(summary))
+    return 0 if P >= 0.95 and Rr >= 0.95 else 1
+
+
+def main() -> int:
+    from nexus_forge_spark.session import get_spark
+
+    spark = get_spark("parity-report")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        return run(spark)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
