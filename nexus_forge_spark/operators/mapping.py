@@ -78,6 +78,17 @@ class _Placeholder:
         self.site = site
 
 
+RESOLVE_STRUCT_FIELDS = ("id", "type", "label")
+
+
+class _StructBuilder:
+    """A compiled dict literal: ordered field -> Column.  Kept unassembled so
+    ternaries can unify field sets across branches before F.struct."""
+
+    def __init__(self, fields: dict):
+        self.fields = fields
+
+
 class _EvalFallback:
     """Rule expression the compiler can't express as Columns — evaluated by
     a batch pandas UDF instead (the escape hatch of SURVEY.md §7: still
@@ -176,8 +187,29 @@ class RuleCompiler:
             return self._compile_fstring(node)
         if isinstance(node, ast.IfExp):
             test = self._as_column(self._compile_node(node.test))
-            return F.when(test, self._as_column(self._compile_node(node.body))).otherwise(
-                self._as_column(self._compile_node(node.orelse))
+            body = self._compile_node(node.body)
+            orelse = self._compile_node(node.orelse)
+            bf = self._branch_fields(body)
+            of = self._branch_fields(orelse)
+            if bf is not None and of is not None and list(bf) != list(of):
+                # heterogeneous struct branches (reference eval returns
+                # whatever Python object each branch yields, e.g. DemoDB
+                # Example.hjson: resolve-result vs {'label': x.subject});
+                # Spark's CASE WHEN needs ONE struct type -> unify to the
+                # field union, missing fields null
+                allf = list(bf) + [f for f in of if f not in bf]
+
+                def _build(d: dict) -> Column:
+                    return F.struct(
+                        *[
+                            (d[f] if f in d else F.lit(None).cast("string")).alias(f)
+                            for f in allf
+                        ]
+                    )
+
+                return F.when(test, _build(bf)).otherwise(_build(of))
+            return F.when(test, self._as_column(body)).otherwise(
+                self._as_column(orelse)
             )
         if isinstance(node, ast.Compare):
             return self._compile_compare(node)
@@ -209,12 +241,12 @@ class RuleCompiler:
                     return fn(left, right)
             raise RuleCompileError(f"unsupported binop {ast.dump(node.op)}")
         if isinstance(node, ast.Dict):
-            fields = []
+            fields: dict[str, Column] = {}
             for k, v in zip(node.keys, node.values):
                 if not isinstance(k, ast.Constant) or not isinstance(k.value, str):
                     raise RuleCompileError("dict keys must be string constants")
-                fields.append(self._as_column(self._compile_node(v)).alias(k.value))
-            return F.struct(*fields)
+                fields[k.value] = self._as_column(self._compile_node(v))
+            return _StructBuilder(fields)
         if isinstance(node, (ast.List, ast.Tuple)):
             return F.array(*[self._as_column(self._compile_node(e)) for e in node.elts])
         raise RuleCompileError(f"unsupported expression: {ast.dump(node)[:120]}")
@@ -378,6 +410,18 @@ class RuleCompiler:
                     kw.value, ast.Constant
                 ):
                     setattr(site, kw.arg, kw.value.value)
+            # identical call sites share one pre-join (common in rules like
+            # `forge.resolve(t) if forge.resolve(t) is not None else ...`)
+            key = (ast.dump(site.arg), site.scope, site.target, site.type, site.strategy)
+            for existing in self.sites:
+                if (
+                    ast.dump(existing.arg),
+                    existing.scope,
+                    existing.target,
+                    existing.type,
+                    existing.strategy,
+                ) == key:
+                    return _Placeholder(existing)
             self.sites.append(site)
             return _Placeholder(site)
         if name == "attach":
@@ -400,9 +444,21 @@ class RuleCompiler:
     def _as_column(self, value) -> Column:
         if isinstance(value, _Placeholder):
             return F.col(f"__resolve_{value.site.site_id}")
+        if isinstance(value, _StructBuilder):
+            return F.struct(*[c.alias(k) for k, c in value.fields.items()])
         if isinstance(value, Column):
             return value
         raise RuleCompileError(f"expected column, got {type(value)}")
+
+    def _branch_fields(self, compiled) -> dict | None:
+        """Ordered field -> Column map of a struct-producing branch, or None
+        when the branch's struct shape is unknown."""
+        if isinstance(compiled, _Placeholder):
+            c = self._as_column(compiled)
+            return {f: c.getField(f) for f in RESOLVE_STRUCT_FIELDS}
+        if isinstance(compiled, _StructBuilder):
+            return dict(compiled.fields)
+        return None
 
 
 def _make_eval_column(expr: str, source_cols: list[str]) -> Column:

@@ -224,3 +224,58 @@ def test_eval_fallback_missing_attr_raises(spark):
     with _pytest.raises(Exception) as exc:
         map_dataframe(df, rules).collect()
     assert "no attribute" in str(exc.value)
+
+
+def test_heterogeneous_ternary_struct_unification(spark):
+    # DemoDB Example.hjson: resolve-result struct vs literal dict with fewer
+    # fields — branches unify to the field union (missing -> null)
+    rules = load_mapping(
+        f"{REF}/examples/mappings/DemoDB/mappings/DictionaryMappings/Example.hjson"
+    )
+    ctx = ForgeContext(
+        formatters=FORMATTERS,
+        resolver_dims={
+            ("ontology", None): (
+                load_resolver_dim(
+                    spark, f"{DEMO_RESOLVER}/cell_types.json", ["label", "acronym"]
+                ),
+                ["label", "acronym"],
+            )
+        },
+    )
+    df = spark.createDataFrame(
+        [("a/1", "n1", "l1", "Lamp+"), ("b/2", "n2", "l2", "nosuchterm")],
+        "id string, name string, label string, subject string",
+    )
+    rows = {r.name: r for r in map_dataframe(df, rules, ctx).collect()}
+    hit = rows["n1"].subject
+    assert hit.label == "Lamp+" and hit.id and hit.type == "Class"
+    miss = rows["n2"].subject
+    assert miss.label == "nosuchterm" and miss.id is None and miss.type is None
+
+
+def test_duplicate_resolve_sites_share_one_prejoin(spark):
+    # `resolve(t) if resolve(t) is not None else ...` must register ONE site
+    from nexus_forge_spark.operators.mapping import RuleCompiler
+    from pyspark.sql import types as T
+
+    rules = load_mapping(
+        f"{REF}/examples/mappings/DemoDB/mappings/DictionaryMappings/Example.hjson"
+    )
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in ("id", "name", "label", "subject")]
+    )
+    ctx = ForgeContext(
+        formatters=FORMATTERS,
+        resolver_dims={
+            ("ontology", None): (
+                load_resolver_dim(
+                    spark, f"{DEMO_RESOLVER}/cell_types.json", ["label", "acronym"]
+                ),
+                ["label", "acronym"],
+            )
+        },
+    )
+    compiler = RuleCompiler(schema, ctx)
+    compiler.compile_tree(rules)
+    assert len(compiler.sites) == 1

@@ -218,6 +218,13 @@ MAPPING_CASES = [
             {"id": 4, "name": "Ada Lovelace", "middle_name": "A", "gender": "female"},
         ],
     ),
+    (
+        f"{REF}/examples/mappings/DemoDB/mappings/DictionaryMappings/Example.hjson",
+        [
+            {"id": "a/1", "name": "n1", "label": "l1", "subject": "Lamp+"},
+            {"id": "b/2", "name": "n2", "label": "l2", "subject": "nosuchterm"},
+        ],
+    ),
 ]
 
 VALIDATION_CASES = [
@@ -271,6 +278,7 @@ def run(spark):  # noqa: C901 — linear report script
         ("terms", "cell_types"): dict_rows["cell_types"],
         ("terms", "structure-layer"): dict_rows["structure_layer"],
         ("agents", None): dict_rows["agents"],
+        ("ontology", None): dict_rows["cell_types"],
     }
     props = ["label", "acronym"]
     ctx = ForgeContext(
@@ -284,6 +292,7 @@ def run(spark):  # noqa: C901 — linear report script
                 (("terms", "cell_types"), "cell_types"),
                 (("terms", "structure-layer"), "structure_layer"),
                 (("agents", None), "agents"),
+                (("ontology", None), "cell_types"),
             ]
         },
     )
@@ -391,11 +400,6 @@ def run(spark):  # noqa: C901 — linear report script
         f"| **all** | {tot_e} | {tot_a} | {tot_m} | **{P:.4f}** | **{Rr:.4f}** |",
         "",
         f"Target (BASELINE.json): P/R >= 0.95. Measured: P={P:.4f}, R={Rr:.4f}.",
-        "",
-        "Known exclusion: `DemoDB/.../Example.hjson` uses a per-row ternary whose",
-        "branches have different struct shapes (resolve-result vs literal dict);",
-        "the column plan does not auto-unify heterogeneous struct branches",
-        "(README operator matrix, M5 note).",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "PARITY.md"), "w", encoding="utf-8") as f:
