@@ -32,12 +32,83 @@ def sameas_edges(alias_table: DataFrame) -> DataFrame:
 
 
 def connected_components(
+    edges: DataFrame, nodes: DataFrame | None = None, max_iter: int = 25
+) -> DataFrame:
+    """edges(a, b) [+ optional nodes(entity_id)] -> (entity_id, canonical_id).
+
+    Alternating large-star/small-star (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14 — public algorithm, re-implemented):
+
+      large-star: every node points its LARGER neighbours at the minimum of
+                  its neighbourhood (incl. itself);
+      small-star: every node and its smaller neighbours collapse onto that
+                  minimum.
+
+    Converges in O(log^2 n) rounds regardless of graph DIAMETER — min-label
+    propagation (connected_components_propagation below) needs O(diameter)
+    rounds, which at 10^9-edge scale is fatal for chain-shaped sameAs graphs
+    (each round is a full shuffle of the edge set).  Each round here is two
+    groupBy-join shuffles on node ids; localCheckpoint truncates lineage.
+    """
+    sym0 = edges.where(F.col("a") != F.col("b"))
+    e = (
+        sym0.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # ---- large-star over the symmetric closure
+        sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.min("b").alias("m"))
+        mins = mins.select("a", F.least("m", F.col("a")).alias("m"))
+        e1 = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # ---- small-star over (larger -> smaller) edges
+        o = e1.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        mins2 = o.groupBy("a").agg(F.min("b").alias("m"))
+        to_min = o.join(mins2, "a").select(F.col("b").alias("a"), F.col("m").alias("b"))
+        self_min = mins2.select(F.col("a"), F.col("m").alias("b"))
+        e2 = (
+            to_min.unionByName(self_min)
+            .where(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            e2.exceptAll(e).limit(1).count() > 0 or e.exceptAll(e2).limit(1).count() > 0
+        )
+        e = e2
+        if not changed:
+            break
+    # fixpoint edges form stars: (member, component_min)
+    labels = e.select(F.col("a").alias("entity_id"), F.col("b").alias("canonical_id"))
+    roots = e.select(F.col("b").alias("entity_id")).distinct().select(
+        "entity_id", F.col("entity_id").alias("canonical_id")
+    )
+    out = labels.unionByName(roots)
+    if nodes is not None:
+        isolated = nodes.join(
+            out.select("entity_id"), "entity_id", "left_anti"
+        ).select("entity_id", F.col("entity_id").alias("canonical_id"))
+        out = out.unionByName(isolated)
+    return out.distinct()
+
+
+def connected_components_propagation(
     edges: DataFrame, nodes: DataFrame | None = None, max_iter: int = 20
 ) -> DataFrame:
     """edges(a, b) [+ optional nodes(entity_id)] -> (entity_id, canonical_id).
 
     Min-label propagation: comp(v) starts at v; each round takes the min of
-    the neighbourhood's current labels; stops when no label changes.
+    the neighbourhood's current labels; stops when no label changes.  Kept
+    as the differential oracle for connected_components (and the better
+    plan for tiny/low-diameter graphs: one shuffle per round).
     """
     spark = edges.sparkSession
     sym = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
