@@ -75,3 +75,52 @@ def streaming_event_counts(
             "total_value",
         )
     )
+
+
+def streaming_first_seen_dedup(docs_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    exact-dedup across the WHOLE stream — each content signature's first
+    document (min doc_id within its first micro-batch) is emitted once;
+    per-signature GroupState persists across micro-batches, so re-ingested
+    duplicates are dropped forever.  The escape hatch for semantics the
+    built-in streaming operators can't express (driver guidance §custom
+    stateful operators); state is one boolean per distinct signature.
+
+    Input stream needs (doc_id: long, text: string); signature = md5 of the
+    normalized token stream (dedup.exact_signature).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from nexus_forge_spark.operators.dedup import exact_signature
+
+    sigs = docs_stream.select(
+        exact_signature(F.col("text")).alias("sig"), "doc_id", "text"
+    )
+
+    def emit_first(key, pdf_iter, state):
+        if state.exists:
+            for _ in pdf_iter:  # drain; signature already emitted
+                pass
+            return
+        best = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.loc[pdf["doc_id"].idxmin()]
+            if best is None or cand["doc_id"] < best["doc_id"]:
+                best = cand
+        state.update((True,))
+        if best is not None:
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {"sig": [key[0]], "doc_id": [best["doc_id"]], "text": [best["text"]]}
+            )
+
+    return sigs.groupBy("sig").applyInPandasWithState(
+        emit_first,
+        outputStructType="sig string, doc_id long, text string",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

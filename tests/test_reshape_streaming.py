@@ -135,3 +135,37 @@ def test_collect_values_keep_columns(spark):
     assert out.columns == ["doc_id", "values"]
     rows = {r["doc_id"]: list(r["values"]) for r in out.collect()}
     assert rows == {"d1": ["a", "b"], "d2": ["c"]}
+
+
+def test_streaming_first_seen_dedup_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-signature state suppresses duplicates
+    re-ingested in LATER micro-batches (not just within one batch)."""
+    from nexus_forge_spark.streaming.stream_pipeline import streaming_first_seen_dedup
+
+    inp, ckpt, out = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    spark.createDataFrame(
+        [(1, "hello world"), (2, "hello  world"), (3, "unique one")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(inp)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(inp)
+
+    def run_once():
+        q = (
+            streaming_first_seen_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3}
+
+    # batch 2: doc 4 duplicates doc 1's signature -> suppressed by state
+    spark.createDataFrame(
+        [(4, "hello world"), (5, "brand new")], "doc_id long, text string"
+    ).write.mode("append").parquet(inp)
+    run_once()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3, 5}
