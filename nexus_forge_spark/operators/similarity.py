@@ -180,3 +180,110 @@ def lsh_cosine_candidates(
         .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
         .distinct()
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid by
+    cosine (ties -> lowest centroid id).
+
+    The centroid table broadcasts (coarse codebooks are small by
+    construction), so assignment is MAP-SIDE over the corpus — the one
+    full-corpus pass an IVF index build needs; the window that picks the
+    argmax shuffles on vec_id (uniform).  Output: (vec_id, embedding,
+    centroid_id, centroid_score).
+    """
+    c = F.broadcast(
+        centroids.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"))
+    )
+    scored = embeddings.join(c).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), F.col("cv").cast("array<double>")),
+            round_digits,
+        ).alias("centroid_score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("centroid_score").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .drop("_r")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k: search only the ``nprobe`` closest
+    centroid buckets per query instead of the whole corpus.
+
+    The scale path for ANN (brute-force cosine_topk is the baseline): at
+    10^9 vectors with C centroids and nprobe<<C, each query scans ~nprobe/C
+    of the corpus.  Join shape: assignments are bucketed by centroid_id, the
+    (query, probed-centroid) set broadcasts.  Output matches cosine_topk:
+    (query_id, neighbor_id, score, rank) — approximate, so rank/recall can
+    differ from brute force by construction.
+    """
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    queries = assigned.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    # nprobe closest centroids per query (small cross join, driver-free)
+    c = F.broadcast(
+        centroids.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"))
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("probe_score").desc(), F.col("centroid_id")
+    )
+    probes = (
+        queries.join(c)
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            F.round(
+                cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")),
+                6,
+            ).alias("probe_score"),
+        )
+        .withColumn("_r", F.row_number().over(probe_w))
+        .where(F.col("_r") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    cand = F.broadcast(probes).join(
+        assigned.select(
+            F.col("centroid_id"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        "centroid_id",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")).alias(
+            "score"
+        ),
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("score", F.round(F.col("score"), round_digits))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -1049,6 +1049,63 @@ SELECT id, type,
 FROM persons"""
 
 
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5: centroids = every 29th vector,
+    nprobe=2 — the ANN scale path (brute force = ann_cosine_topk baseline)."""
+    from nexus_forge_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.where(F.col("vec_id") % 29 == 1)
+    return ivf_topk(emb, cents, [0, 1, 2, 3, 4], k=5, nprobe=2)
+
+
+def sql_ann_ivf() -> str:
+    cos = (
+        "round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+        "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), {d})"
+    )
+    return f"""WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id % 29 = 1
+),
+assigned AS (
+  SELECT * FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos.format(a='e.embedding', b='c.cv', d=6)} DESC, c.centroid_id
+           ) AS _r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE _r = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM assigned WHERE vec_id IN (0,1,2,3,4)
+),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {cos.format(a='q.qv', b='c.cv', d=6)} DESC, c.centroid_id
+           ) AS _r
+    FROM queries q CROSS JOIN cents c
+  ) WHERE _r <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {cos.format(a='p.qv', b='a.embedding', d=4)} AS score
+  FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5"""
+
+
+
 QUERIES = {
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
@@ -1081,4 +1138,5 @@ QUERIES = {
     "triples_reassembly": (q_triples_reassembly, sql_triples_reassembly),
     "retrieve_batch": (q_retrieve_batch, sql_retrieve_batch),
     "validate_rdfs": (q_validate_rdfs, sql_validate_rdfs),
+    "ann_ivf_topk": (q_ann_ivf, sql_ann_ivf),
 }
