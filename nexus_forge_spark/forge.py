@@ -38,6 +38,11 @@ class SparkForgeConfig:
     shape_files: list[str] = field(default_factory=list)
     ontology_file: str | None = None
     store_dir: str | None = None
+    # JSON-LD-ish context: prefix/term -> IRI (forge.prefixes, as_jsonld)
+    context: dict = field(default_factory=dict)
+    # root dir laid out <source>/DictionaryMapping/<entity>.hjson
+    # (the reference's demo-model mappings layout)
+    mappings_dir: str | None = None
 
 
 class SparkForge:
@@ -148,6 +153,120 @@ class SparkForge:
 
     def freeze(self, df: DataFrame, id_cols: list[str] | None = None) -> DataFrame:
         return self.store.freeze(df, id_cols)
+
+    # ------------------------------------------------- introspection verbs
+
+    def types(self) -> list[str]:
+        """Registered shape type names (forge.types, core/forge.py:287)."""
+        return sorted(self._shape_compiler().shapes)
+
+    def template(self, type_: str, only_required: bool = False) -> dict:
+        """Shape template (forge.template, core/forge.py:305)."""
+        return self._shape_compiler().template(type_, only_required)
+
+    def prefixes(self) -> dict[str, str]:
+        """Configured context prefixes (forge.prefixes, core/forge.py:268)."""
+        return dict(self.config.context)
+
+    def resolvers(self) -> dict:
+        """Configured (scope, target) resolver dims (forge.resolvers,
+        core/forge.py:347)."""
+        return {k: props for k, (_df, props) in self.config.resolver_dims.items()}
+
+    def sources(self) -> list[str]:
+        """Mapping sources under mappings_dir (forge.sources, :545)."""
+        import os
+
+        if not self.config.mappings_dir:
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.config.mappings_dir)
+            if os.path.isdir(os.path.join(self.config.mappings_dir, d))
+        )
+
+    def mappings(self, source: str) -> list[str]:
+        """Entities mapped for a source (forge.mappings, :554) — the
+        reference's <source>/DictionaryMapping/<entity>.hjson layout."""
+        import glob as _glob
+        import os
+
+        base = os.path.join(self.config.mappings_dir or "", source, "DictionaryMapping")
+        return sorted(
+            os.path.splitext(os.path.basename(f))[0]
+            for f in _glob.glob(os.path.join(base, "*.hjson"))
+        )
+
+    def mapping(self, entity: str, source: str) -> dict:
+        """Load one mapping's rule tree (forge.mapping, :568)."""
+        import os
+
+        return load_mapping(
+            os.path.join(
+                self.config.mappings_dir or "",
+                source,
+                "DictionaryMapping",
+                f"{entity}.hjson",
+            )
+        )
+
+    # ------------------------------------------------- query + media verbs
+
+    def sparql(self, query: str, triples: DataFrame | None = None) -> DataFrame:
+        """Raw query verb (forge.sparql, core/forge.py:675): user queries run
+        as Spark SQL over a registered ``triples(subj, pred, obj, ...)``
+        view — SQL is this engine's query text, replacing SPARQL (SURVEY S5).
+        CONSTRUCT-style reassembly: select (subj,pred,obj) and feed
+        from_triples."""
+        if triples is not None:
+            triples.createOrReplaceTempView("triples")
+        return self.spark.sql(query)
+
+    def elastic(self, *_a, **_k):
+        """forge.elastic (core/forge.py:696) is n/a by design: every ES DSL
+        query the reference builds compiles to df.filter / cosine top-k here
+        (SURVEY S4/S6); use search()/apply_filters/similarity instead."""
+        raise NotImplementedError(self.elastic.__doc__)
+
+    def attach(self, path: str, content_type: str | None = None) -> dict:
+        """forge.attach (core/forge.py:799): media refs are DATA — returns
+        the distribution record the LazyAction would produce at register
+        time; inside mapping rules the compiler emits the same struct."""
+        return {"type": "DataDownload", "contentUrl": path, "encodingFormat": content_type}
+
+    def download(self, documents: DataFrame) -> DataFrame:
+        """forge.download (core/forge.py:716): resolve media spans to
+        (doc_id, media_ref, media_type, content) rows — the binary fetch is
+        a stubbed deterministic payload in this sandbox (multimodal.py)."""
+        from nexus_forge_spark.operators.multimodal import media_from_documents
+
+        return media_from_documents(documents)
+
+    # ------------------------------------------------- json / json-ld verbs
+
+    def as_json(self, data: DataFrame) -> DataFrame:
+        """Rows -> one canonical JSON string each (forge.as_json, :814)."""
+        from pyspark.sql import functions as F
+
+        return data.select(F.to_json(F.struct(*data.columns)).alias("json"))
+
+    def from_json(self, json_df: DataFrame, column: str = "json") -> DataFrame:
+        """JSON strings -> typed rows (forge.from_json, :914)."""
+        return self.spark.read.json(
+            json_df.select(column).rdd.map(lambda r: r[0])
+        )
+
+    def as_jsonld(self, data: DataFrame) -> DataFrame:
+        """Key -> @key rewriting (forge.as_jsonld, :838 / _add_ld_keys)."""
+        from nexus_forge_spark.operators.convert import apply_ld_keys
+
+        return apply_ld_keys(data, "add")
+
+    def from_jsonld(self, data: DataFrame) -> DataFrame:
+        """Inverse @key rewriting (forge.from_jsonld, :927)."""
+        from nexus_forge_spark.operators.convert import apply_ld_keys
+
+        return apply_ld_keys(data, "remove")
 
     paths = staticmethod(paths)
     apply_filters = staticmethod(apply_filters)

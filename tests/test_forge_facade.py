@@ -128,3 +128,52 @@ def test_patient_rdfs_inference_via_facade(spark, forge):
     )
     assert forge.validate(df, "Person", inference="rdfs").collect()[0].validated
     assert not forge.validate(df, "Person").collect()[0].validated
+
+
+def test_introspection_verbs(spark, forge):
+    assert "Person" in forge.types()
+    t = forge.template("Person")
+    assert isinstance(t, dict) and "type" in t
+    assert ("terms", "cell_types") in forge.resolvers()
+    assert forge.attach("/p/x.txt", "text/plain") == {
+        "type": "DataDownload", "contentUrl": "/p/x.txt", "encodingFormat": "text/plain"
+    }
+
+
+def test_mappings_layout_verbs(spark):
+    from nexus_forge_spark.forge import SparkForge, SparkForgeConfig
+
+    f = SparkForge(
+        spark,
+        SparkForgeConfig(mappings_dir=f"{REF}/tests/data/demo-model/mappings"),
+    )
+    assert "scientists-database" in f.sources()
+    assert "Contribution" in f.mappings("scientists-database")
+    rules = f.mapping("Contribution", "scientists-database")
+    assert rules["type"] == "Contribution"
+
+
+def test_sparql_verb_over_triples_view(spark, forge):
+    from pyspark.sql import functions as F
+
+    triples = spark.createDataFrame(
+        [("s1", "rdf:type", "Person"), ("s1", "name", "Jane"), ("s2", "rdf:type", "Org")],
+        "subj string, pred string, obj string",
+    )
+    out = forge.sparql(
+        "SELECT subj, obj FROM triples WHERE pred = 'rdf:type' ORDER BY subj", triples
+    )
+    assert [(r.subj, r.obj) for r in out.collect()] == [("s1", "Person"), ("s2", "Org")]
+
+
+def test_json_roundtrip_verbs(spark, forge):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    back = forge.from_json(forge.as_json(df)).orderBy("id")
+    assert [(r.id, r.name) for r in back.collect()] == [(1, "a"), (2, "b")]
+
+
+def test_elastic_is_explicitly_na(forge):
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        forge.elastic({"query": {}})
