@@ -58,9 +58,29 @@ class SparkForge:
 
     # ------------------------------------------------------------- mapping
 
-    def map(self, data: DataFrame, mapping, na=None) -> DataFrame:
+    def map(self, data, mapping, na=None) -> DataFrame:
+        """Mapper dispatch (M2, core/archetypes/mapper.py:44-62): accepts a
+        DataFrame, a record dict, a list of record dicts, or a path to
+        JSON(L) record files — everything becomes ONE DataFrame and one
+        compiled plan (no per-record loop, mapper.py:64-69)."""
         rules = load_mapping(mapping) if isinstance(mapping, str) else mapping
-        return map_dataframe(data, rules, self._ctx, na=na)
+        df = self._as_records_df(data)
+        return map_dataframe(df, rules, self._ctx, na=na)
+
+    def _as_records_df(self, data) -> DataFrame:
+        import json as _json
+        import os
+
+        if isinstance(data, DataFrame):
+            return data
+        if isinstance(data, dict):
+            data = [data]
+        if isinstance(data, (list, tuple)):
+            rdd = self.spark.sparkContext.parallelize([_json.dumps(r) for r in data])
+            return self.spark.read.json(rdd)
+        if isinstance(data, str) and os.path.exists(data):
+            return self.spark.read.option("multiLine", "true").json(data)
+        raise TypeError(f"cannot map data of type {type(data)}")
 
     def format(self, what: str, *args) -> str:
         return self.config.formatters[what].format(*args)

@@ -177,3 +177,19 @@ def test_elastic_is_explicitly_na(forge):
 
     with _pytest.raises(NotImplementedError):
         forge.elastic({"query": {}})
+
+
+def test_map_dispatch_records_and_files(spark, forge, tmp_path):
+    # mapper dispatch parity (M2): dict / list-of-dicts / file path
+    mapping = f"{REF}/tests/data/demo-model/mappings/scientists-database/DictionaryMapping/Contribution.hjson"
+    rec = {"id": 9, "name": "Grace Hopper", "middle_name": "B", "gender": "female"}
+    one = forge.map(rec, mapping).collect()
+    assert len(one) == 1 and one[0].agent.name == "Grace Hopper"
+    many = forge.map([rec, {**rec, "id": 10, "name": "Jean Doe"}], mapping).collect()
+    assert {r.agent.name for r in many} == {"Grace Hopper", "Jean Doe"}
+    p = tmp_path / "recs.json"
+    import json as _json
+
+    p.write_text(_json.dumps([rec]))
+    from_file = forge.map(str(p), mapping).collect()
+    assert from_file[0].agent.name == "Grace Hopper"
