@@ -241,6 +241,8 @@ class RuleCompiler:
                     return fn(left, right)
             raise RuleCompileError(f"unsupported binop {ast.dump(node.op)}")
         if isinstance(node, ast.Dict):
+            if not node.keys:
+                return F.lit(None).cast("string")  # {} -> no facts
             fields: dict[str, Column] = {}
             for k, v in zip(node.keys, node.values):
                 if not isinstance(k, ast.Constant) or not isinstance(k.value, str):
@@ -286,8 +288,12 @@ class RuleCompiler:
             i = -idx.operand.value
         elif isinstance(idx, ast.Constant) and isinstance(idx.value, int):
             i = idx.value
+        elif isinstance(idx, ast.Constant) and isinstance(idx.value, str):
+            # dict-style access on nested records: x.a[0]["k"] (MouseLight
+            # fixtures) — struct field lookup
+            return base.getField(idx.value)
         else:
-            raise RuleCompileError("only constant int subscripts supported")
+            raise RuleCompileError("only constant int/str subscripts supported")
         # python 0-based / negative -> element_at 1-based / negative
         return F.element_at(base, i + 1 if i >= 0 else i)
 
@@ -461,15 +467,44 @@ class RuleCompiler:
         return None
 
 
-def _make_eval_column(expr: str, source_cols: list[str]) -> Column:
+class _WorkerForge:
+    """The forge.* surface available inside the eval fallback: format and
+    attach are pure functions of the row, so they work batch-side; resolve
+    needs the pre-join machinery and cannot run here."""
+
+    def __init__(self, formatters: dict[str, str]):
+        self._formatters = formatters
+
+    def format(self, name: str, *args) -> str:
+        return self._formatters[name].format(*args)
+
+    def attach(self, path: str, content_type: str | None = None) -> dict:
+        return {"type": "DataDownload", "contentUrl": path, "encodingFormat": content_type}
+
+    def resolve(self, *_a, **_k):
+        raise RuleCompileError(
+            "forge.resolve inside an eval-fallback rule: the expression around"
+            " the resolve call is not Column-compilable, and resolve cannot run"
+            " per-batch (it is a corpus-level join)"
+        )
+
+
+def _make_eval_column(
+    expr: str, source_cols: list[str], formatters: dict[str, str] | None = None
+) -> Column:
     """Arrow-batched eval of a rule expression over the source row struct."""
     import pandas as pd
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
+    fmts = dict(formatters or {})
+
     def ev(rows):
+        forge = _WorkerForge(fmts)
         out = []
         for rec in rows.to_dict("records"):
-            v = eval(expr, {"__builtins__": __builtins__}, {"x": _X(rec)})  # noqa: S307
+            v = eval(  # noqa: S307
+                expr, {"__builtins__": __builtins__}, {"x": _X(rec), "forge": forge}
+            )
             out.append(None if v is None else str(v))
         return pd.Series(out, dtype="object")
 
@@ -548,7 +583,9 @@ def _tree_to_column(tree, compiler: RuleCompiler, source_cols: list[str]) -> Col
     if isinstance(tree, list):
         return F.array(*[_tree_to_column(v, compiler, source_cols) for v in tree])
     if isinstance(tree, _EvalFallback):
-        return compiler._with_na(_make_eval_column(tree.expr, source_cols))
+        return compiler._with_na(
+            _make_eval_column(tree.expr, source_cols, compiler.ctx.formatters)
+        )
     return compiler._as_column(tree)
 
 

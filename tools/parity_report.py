@@ -112,6 +112,35 @@ MAPPING_CASES = [
             {"id": "b/2", "name": "n2", "label": "l2", "subject": "nosuchterm"},
         ],
     ),
+    (
+        f"{REF}/examples/mappings/MouseLight/mappings/DictionaryMapping/NeuronMorphology.hjson",
+        [
+            {"neurons": [{"idString": "AA001",
+                          "soma": {"x": 1.0, "y": 2.0, "z": 3.0, "allenId": 100},
+                          "allenLabel": "VISp",
+                          "sample": {"strain": "C57", "date": "2020-01-01"},
+                          "annotationSpace": {"version": "1.0", "description": "d"},
+                          "label": {"virus": "v", "fluorophore": "f"}}]},
+        ],
+    ),
+    (
+        f"{REF}/examples/mappings/NeuroMorpho/mappings/DictionaryMapping/NeuronMorphology.hjson",
+        [
+            {"bbpID": "b1", "brain_region": ["Lamp+"], "date_formatted": "2020-01-01",
+             "neuron_id": "n1", "archive": "arch", "neuron_name": "nm1",
+             "species": "21_Sncg", "scientific_name": "Pyramidal Neuron",
+             "stain": "golgi"},
+        ],
+    ),
+    (
+        f"{REF}/examples/mappings/UniProt/mappings/DictionaryMapping/Protein.hjson",
+        [
+            {"id": "http://purl.uniprot.org/uniprot/P12345", "gene": "g1",
+             "gene_label": "Gcgr", "label": "prot", "subject": "Lamp+"},
+            {"id": "http://purl.uniprot.org/uniprot/Q99999", "gene": "g2",
+             "gene_label": "Abc", "label": "prot2", "subject": "missingterm"},
+        ],
+    ),
 ]
 
 VALIDATION_CASES = [
