@@ -614,11 +614,44 @@ FROM feat2"""
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check: 60-bit majority-vote
-    signature + pigeonhole chunk blocking isn't cleanly SQL-portable)."""
+    """SimHash near-dup pairs: 60-bit majority-vote signature, 4x15-bit
+    pigeonhole chunk blocking, Hamming <= 8 (same algorithm in the oracle:
+    Spark conv(hex,16,10) == DuckDB ('0x'||hex)::BIGINT bit-identically)."""
     from nexus_forge_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(_docs_with_mutants(spark, sf_dir), max_distance=8)
+
+
+def sql_simhash_pairs() -> str:
+    return f"""WITH {_MUTANT_DOCS_SQL},
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t FROM docs
+),
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, b.b,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed CROSS JOIN (SELECT unnest(range(60)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sigs AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+  FROM votes GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, sig, c.c AS chunk, (sig >> (c.c * 15)) & 32767 AS ckey
+  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS c) c
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sig AS sig_a, r.sig AS sig_b
+  FROM chunks l JOIN chunks r
+    ON l.chunk = r.chunk AND l.ckey = r.ckey AND l.doc_id < r.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 8"""
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1132,7 +1165,7 @@ QUERIES = {
     "collect_span_texts": (q_collect_span_texts, sql_collect_span_texts),
     "reshape_versioned": (q_reshape_versioned, sql_reshape_versioned),
     "jsonld_keys": (q_jsonld_keys, sql_jsonld_keys),
-    "simhash_pairs": (q_simhash_pairs, None),
+    "simhash_pairs": (q_simhash_pairs, sql_simhash_pairs),
     "media_refs": (q_media_refs, None),
     "resolve_agents_ci": (q_resolve_agents, sql_resolve_agents),
     "triples_reassembly": (q_triples_reassembly, sql_triples_reassembly),
