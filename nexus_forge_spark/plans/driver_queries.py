@@ -861,8 +861,7 @@ FROM customer"""
 
 def q_media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """forge.download analogue (S13): media spans resolved from the
-    interleaved table — rows-only check (media placement derives from
-    xxhash64, which DuckDB lacks)."""
+    interleaved table, incl. their offsets in the span sequence."""
     from nexus_forge_spark.sources import flat_to_interleaved
 
     docs = flat_to_interleaved(load_table(spark, "documents", sf_dir))
@@ -872,6 +871,33 @@ def q_media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("span.kind") == "media")
         .select("doc_id", F.col("span.offset").alias("offset"), F.col("span.media_ref").alias("media_ref"))
     )
+
+
+def sql_media_refs() -> str:
+    return """WITH t AS (
+  SELECT printf('doc-%09d', doc_id) AS doc_id, string_split(text, ' ') AS toks
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         unnest(range(greatest(CAST(ceil(len(toks) / 4.0) AS INT), 1))) AS i
+  FROM t
+),
+m AS (
+  SELECT doc_id, i,
+         CAST('0x' || substr(md5(doc_id || '|' || i), 1, 15) AS BIGINT) % 5 = 0
+           AS has_media
+  FROM ch
+),
+med AS (
+  SELECT doc_id, i,
+         CAST(i + 1 + COALESCE(SUM(CASE WHEN has_media THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS offset,
+         'media://' || doc_id || '/' || i AS media_ref
+  FROM m WHERE has_media
+)
+SELECT doc_id, "offset", media_ref FROM med"""
 
 
 def q_search_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1166,7 +1192,7 @@ QUERIES = {
     "reshape_versioned": (q_reshape_versioned, sql_reshape_versioned),
     "jsonld_keys": (q_jsonld_keys, sql_jsonld_keys),
     "simhash_pairs": (q_simhash_pairs, sql_simhash_pairs),
-    "media_refs": (q_media_refs, None),
+    "media_refs": (q_media_refs, sql_media_refs),
     "resolve_agents_ci": (q_resolve_agents, sql_resolve_agents),
     "triples_reassembly": (q_triples_reassembly, sql_triples_reassembly),
     "retrieve_batch": (q_retrieve_batch, sql_retrieve_batch),

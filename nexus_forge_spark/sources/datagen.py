@@ -53,7 +53,18 @@ def _interleave_spans(doc_id: Column, tokens: Column) -> Column:
     pairs = F.transform(
         chunks,
         lambda c, i: F.when(
-            F.pmod(F.xxhash64(doc_id, i), F.lit(MEDIA_EVERY)) == 0,
+            # engine-portable placement hash (Spark conv(hex,16,10) ==
+            # DuckDB ('0x'||hex)::BIGINT) so media positions are
+            # oracle-checkable; one md5 per CHUNK tokens
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("|", doc_id, i.cast("string"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(MEDIA_EVERY),
+            )
+            == 0,
             F.array(
                 F.struct(
                     F.lit("text").alias("kind"),
