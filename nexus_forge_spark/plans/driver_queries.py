@@ -1165,6 +1165,40 @@ QUALIFY rank <= 5"""
 
 
 
+
+
+def q_search_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter DSL with typed-literal coercions (S2/S3,
+    sparql_query_builder.py:94-186): a STRING timestamp literal compared to a
+    timestamp column (Catalyst coerces, like the reference's xsd:dateTime
+    formatting), a float bound, and a != on a keyword column."""
+    from nexus_forge_spark.operators.search import apply_filters, paths
+
+    ev = load_table(spark, "events", sf_dir)
+    p = paths()
+    out = apply_filters(
+        ev,
+        p.ts >= "2024-01-20 00:00:00",
+        p.value > 100.0,
+        p.event_type != "view",
+    )
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        "value",
+    )
+
+
+def sql_search_typed() -> str:
+    return """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' AND value > 100.0
+  AND event_type <> 'view'"""
+
+
+
 QUERIES = {
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
@@ -1198,4 +1232,5 @@ QUERIES = {
     "retrieve_batch": (q_retrieve_batch, sql_retrieve_batch),
     "validate_rdfs": (q_validate_rdfs, sql_validate_rdfs),
     "ann_ivf_topk": (q_ann_ivf, sql_ann_ivf),
+    "search_typed_filters": (q_search_typed, sql_search_typed),
 }
