@@ -1199,6 +1199,27 @@ WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' AND value > 100.0
 
 
 
+
+
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination (§2.6, read_only_store.py:33-34 defaults
+    limit=100 offset=0): deterministic order + apply_filters paging —
+    page 3 of the purchase events by event_id."""
+    from nexus_forge_spark.operators.search import apply_filters, paths
+
+    ev = load_table(spark, "events", sf_dir).orderBy("event_id")
+    return apply_filters(
+        ev, paths().event_type == "purchase", limit=100, offset=200
+    ).select("event_id", "user_id", "event_type")
+
+
+def sql_limit_offset() -> str:
+    return """SELECT event_id, user_id, event_type
+FROM events WHERE event_type = 'purchase'
+ORDER BY event_id LIMIT 100 OFFSET 200"""
+
+
+
 QUERIES = {
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
@@ -1233,4 +1254,5 @@ QUERIES = {
     "validate_rdfs": (q_validate_rdfs, sql_validate_rdfs),
     "ann_ivf_topk": (q_ann_ivf, sql_ann_ivf),
     "search_typed_filters": (q_search_typed, sql_search_typed),
+    "limit_offset_page": (q_limit_offset, sql_limit_offset),
 }
