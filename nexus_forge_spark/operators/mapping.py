@@ -654,12 +654,20 @@ def map_dataframe(
 
 
 def load_mapping(path_or_str: str) -> dict:
-    """Mapping.load autodetect (core/archetypes/mapping.py:57-103): file path
-    or raw hjson string."""
+    """Mapping.load autodetect (core/archetypes/mapping.py:57-103): URL,
+    file path, or raw hjson string — checked in that order, like the
+    reference (is_valid_url -> Path.is_file -> raw text)."""
     import os
+    from urllib.parse import urlparse
 
     from nexus_forge_spark.functions import hjson
 
+    parsed = urlparse(path_or_str)
+    if parsed.scheme in ("http", "https", "file") and parsed.path:
+        from urllib.request import urlopen
+
+        with urlopen(path_or_str) as resp:  # noqa: S310 — mapping source URL
+            return hjson.loads(resp.read().decode("utf-8"))
     if os.path.exists(path_or_str):
         return hjson.load(path_or_str)
     return hjson.loads(path_or_str)

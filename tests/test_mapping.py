@@ -279,3 +279,14 @@ def test_duplicate_resolve_sites_share_one_prejoin(spark):
     compiler = RuleCompiler(schema, ctx)
     compiler.compile_tree(rules)
     assert len(compiler.sites) == 1
+
+
+def test_load_mapping_url_autodetect():
+    # Mapping.load URL branch (mapping.py:57-103) via a file:// URL
+    path = (
+        f"{REF}/tests/data/demo-model/mappings/scientists-database/"
+        "DictionaryMapping/Contribution.hjson"
+    )
+    rules = load_mapping(f"file://{path}")
+    assert rules["type"] == "Contribution"
+    assert load_mapping(path) == rules  # file-path branch agrees
