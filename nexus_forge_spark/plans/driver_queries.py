@@ -1220,6 +1220,40 @@ ORDER BY event_id LIMIT 100 OFFSET 200"""
 
 
 
+
+
+def q_kg_ladder_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-blocked + salted resolve ladder (the scale path for dims too
+    large to broadcast, R5/R15 + SURVEY §4.2 skew salting) over the distinct
+    mention vocabulary — exact preferred, fuzzy fallback, one pass."""
+    m = _flat_mentions(spark, sf_dir).select("mention").distinct()
+    return R.resolve_ladder_blocked(m, _alias(spark), keys=["mention"], salt_buckets=4)
+
+
+def sql_kg_ladder_blocked() -> str:
+    return f"""WITH dim AS (SELECT * FROM {dims.ontology_sql_values('d')}),
+{_alias_cte()},
+{_mentions_cte()},
+vocab AS (SELECT DISTINCT mention FROM mentions),
+cand AS (
+  SELECT v.mention, al.entity_id, al.dict_idx, al.prop_order,
+         CASE WHEN v.mention = al.alias THEN 0 ELSE 1 END AS exact_rank,
+         CASE WHEN v.mention = al.alias THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(al.score_len - length(v.mention) AS DOUBLE) END AS score
+  FROM vocab v JOIN alias_t al ON contains(lower(al.alias), lower(v.mention))
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY mention
+      ORDER BY exact_rank, score, dict_idx, prop_order) AS INT) AS rank
+  FROM cand
+)
+SELECT mention, entity_id, score, rank,
+       CASE WHEN exact_rank = 0 THEN 'EXACT_MATCH' ELSE 'BEST_MATCH' END AS strategy
+FROM ranked WHERE rank = 1"""
+
+
+
 QUERIES = {
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
@@ -1255,4 +1289,5 @@ QUERIES = {
     "ann_ivf_topk": (q_ann_ivf, sql_ann_ivf),
     "search_typed_filters": (q_search_typed, sql_search_typed),
     "limit_offset_page": (q_limit_offset, sql_limit_offset),
+    "kg_ladder_blocked": (q_kg_ladder_blocked, sql_kg_ladder_blocked),
 }
