@@ -52,8 +52,18 @@ def main() -> None:
     from nexus_forge_spark.sources import synthesize_documents
 
     big_n = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+    # cache key includes a hash of the generator's source so edits to
+    # datagen.py invalidate a stale cached corpus automatically
+    import hashlib
+    import inspect
+
+    from nexus_forge_spark.sources import datagen as _datagen_mod
+
+    gen_tok = hashlib.md5(inspect.getsource(_datagen_mod).encode()).hexdigest()[:8]
     big_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".data", f"bench_corpus_{big_n}"
+        os.path.dirname(os.path.abspath(__file__)),
+        ".data",
+        f"bench_corpus_{big_n}_{gen_tok}",
     )
     if not os.path.exists(os.path.join(big_path, "_SUCCESS")):
         synthesize_documents(spark, big_n, num_partitions=64).write.mode(

@@ -270,11 +270,58 @@ class SparkForge:
 
         return data.select(F.to_json(F.struct(*data.columns)).alias("json"))
 
-    def from_json(self, json_df: DataFrame, column: str = "json") -> DataFrame:
-        """JSON strings -> typed rows (forge.from_json, :914)."""
-        return self.spark.read.json(
-            json_df.select(column).rdd.map(lambda r: r[0])
-        )
+    def from_json(
+        self, json_df: DataFrame, column: str = "json", sample: int = 100
+    ) -> DataFrame:
+        """JSON strings -> typed rows (forge.from_json, :914).
+
+        Schema is inferred without any RDD / per-row Python: a bounded
+        driver-side sample of strings is recursively merged into one exemplar
+        object, `schema_of_json` (JVM) turns it into a struct schema, and
+        `from_json` parses the full column as a Column expression, so the
+        hot path stays inside whole-stage codegen.
+        """
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        def _merge(a, b):
+            if isinstance(a, dict) and isinstance(b, dict):
+                out = dict(a)
+                for k, v in b.items():
+                    out[k] = _merge(out[k], v) if k in out else v
+                return out
+            if isinstance(a, list) and isinstance(b, list):
+                merged = None
+                for item in a + b:
+                    merged = item if merged is None else _merge(merged, item)
+                return [] if merged is None else [merged]
+            if a is None:
+                return b
+            if b is None:
+                return a
+            # widen int exemplars to float so mixed numeric columns parse
+            if isinstance(a, bool) or isinstance(b, bool):
+                return a
+            if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+                return a if isinstance(a, float) else b
+            return a
+
+        exemplar = None
+        for row in json_df.select(column).limit(sample).collect():
+            if row[0] is None:
+                continue
+            try:
+                parsed = _json.loads(row[0])
+            except ValueError:
+                continue
+            exemplar = parsed if exemplar is None else _merge(exemplar, parsed)
+        if not isinstance(exemplar, dict) or not exemplar:
+            return json_df.select(F.lit(None).cast("string").alias("value")).limit(0)
+        schema = F.schema_of_json(F.lit(_json.dumps(exemplar)))
+        return json_df.select(
+            F.from_json(F.col(column), schema).alias("r")
+        ).select("r.*")
 
     def as_jsonld(self, data: DataFrame) -> DataFrame:
         """Key -> @key rewriting (forge.as_jsonld, :838 / _add_ld_keys)."""

@@ -80,12 +80,23 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            e2.exceptAll(e).limit(1).count() > 0 or e.exceptAll(e2).limit(1).count() > 0
+        # ONE Spark action per round: symmetric difference, stop at first row
+        # (both sets are distinct-normalized so exceptAll == except)
+        changed = not (
+            e2.exceptAll(e).unionByName(e.exceptAll(e2)).isEmpty()
         )
         e = e2
         if not changed:
             break
+    else:
+        # max_iter exhausted without the converged break: labels derived from
+        # a non-fixpoint edge set are NOT a star decomposition — canonical
+        # ids could be wrong with no signal, so fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds; raise max_iter (expected "
+            "O(log^2 n) rounds)"
+        )
     # fixpoint edges form stars: (member, component_min)
     labels = e.select(F.col("a").alias("entity_id"), F.col("b").alias("canonical_id"))
     roots = e.select(F.col("b").alias("entity_id")).distinct().select(

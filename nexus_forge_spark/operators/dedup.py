@@ -208,6 +208,26 @@ def ngram_jaccard_pairs(
     True Jaccard on the full sets verifies each surviving candidate.
     """
     t = threshold
+    # all PPJoin bounds below use EXACT integer arithmetic on the threshold
+    # as a rational tn/td: float expressions like ceil(0.8/1.8*63) evaluate
+    # to 29 in doubles while the true rational minimum overlap is 28, which
+    # would drop exact-threshold pairs (false negatives the verify step can
+    # never recover).  limit_denominator recovers the intended rational from
+    # the float the caller typed (0.8 -> 4/5).
+    from fractions import Fraction
+
+    frac = Fraction(t).limit_denominator(1_000_000)
+    tn, td = frac.numerator, frac.denominator
+
+    def _ceil_div(num: Column, den: int) -> Column:
+        # exact ceil(num/den) for nonnegative integer num: correctly-rounded
+        # IEEE division of integers < 2^53 can't cross an integer boundary
+        # when the fractional part is >= 1/den, so floor is exact here
+        return F.floor((num + F.lit(den - 1)) / F.lit(den)).cast("long")
+
+    def _floor_div(num: Column, den: int) -> Column:
+        return F.floor(num / F.lit(den)).cast("long")
+
     # shingles are interned to 64-bit xxhash ids immediately: every downstream
     # op (freq groupBy, prefix join, intersect verify) runs on longs, not
     # strings — same Jaccard values (collision odds ~|corpus shingles|^2/2^64)
@@ -232,10 +252,11 @@ def ngram_jaccard_pairs(
     # without this the freq-join + double window recomputes 4x
     ranked = ranked.localCheckpoint(eager=True)
     probe = ranked.where(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+        F.col("pos") <= F.col("sz") - _ceil_div(F.lit(tn) * F.col("sz"), td) + 1
     ).select(id_col, "g", "sz", "pos")
+    # 2t/(1+t) = 2*tn/(td+tn) as an exact rational
     idx = ranked.where(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(2 * t / (1 + t)) * F.col("sz")) + 1
+        F.col("pos") <= F.col("sz") - _ceil_div(F.lit(2 * tn) * F.col("sz"), td + tn) + 1
     ).select(id_col, "g", "sz", "pos")
 
     def _half(flip: bool) -> DataFrame:
@@ -249,14 +270,15 @@ def ngram_jaccard_pairs(
             (F.col("l.g") == F.col("r.g"))
             & order
             # length filter: J >= t forces t*|A| <= |B| <= |A|/t
-            & (F.col("r.sz") >= F.ceil(F.lit(t) * F.col("l.sz")))
-            & (F.col("r.sz") <= F.floor(F.col("l.sz") / F.lit(t)))
+            & (F.col("r.sz") >= _ceil_div(F.lit(tn) * F.col("l.sz"), td))
+            & (F.col("r.sz") <= _floor_div(F.lit(td) * F.col("l.sz"), tn))
             # positional filter: overlap upper bound at this match position
             # must reach the J>=t minimum overlap ceil(t/(1+t)*(|A|+|B|))
+            # = ceil(tn*(|A|+|B|)/(tn+td)) exactly
             & (
                 F.lit(1)
                 + F.least(F.col("l.sz") - F.col("l.pos"), F.col("r.sz") - F.col("r.pos"))
-                >= F.ceil(F.lit(t / (1 + t)) * (F.col("l.sz") + F.col("r.sz")))
+                >= _ceil_div(F.lit(tn) * (F.col("l.sz") + F.col("r.sz")), tn + td)
             )
         )
         pair = (

@@ -154,10 +154,15 @@ class RuleCompiler:
             return F.lit(expr)  # eval SyntaxError -> literal (dictionaries.py:59-62)
         if self._has_unknown_names(tree):
             return F.lit(expr)  # eval NameError -> literal
+        n_sites = len(self.sites)
         try:
             return self._compile_node(tree.body)
         except RuleCompileError:
-            # expressible in eval but not in Columns -> pandas-batch eval
+            # expressible in eval but not in Columns -> pandas-batch eval;
+            # drop any ResolveSite registered by a partially-compiled
+            # forge.resolve sub-expression, else map_dataframe would run a
+            # dead broadcast alias join whose __resolve_N column nothing reads
+            del self.sites[n_sites:]
             return _EvalFallback(expr.strip())
 
     def _has_unknown_names(self, tree: ast.AST) -> bool:
@@ -200,11 +205,13 @@ class RuleCompiler:
                 allf = list(bf) + [f for f in of if f not in bf]
 
                 def _build(d: dict) -> Column:
+                    # pad missing fields with an UNTYPED null (NullType):
+                    # Catalyst's CASE WHEN coercion widens NullType to the
+                    # other branch's field type field-wise, so a non-string
+                    # field (numeric, nested struct, array) keeps its type
+                    # instead of being silently stringified or failing
                     return F.struct(
-                        *[
-                            (d[f] if f in d else F.lit(None).cast("string")).alias(f)
-                            for f in allf
-                        ]
+                        *[(d[f] if f in d else F.lit(None)).alias(f) for f in allf]
                     )
 
                 return F.when(test, _build(bf)).otherwise(_build(of))

@@ -24,8 +24,10 @@ commits give exactly-once per batch); the manifest logic is identical.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,6 +74,20 @@ class CheckpointedRun:
                     out[rec["partition_id"]] = rec
         return out
 
+    @staticmethod
+    def _footer_counts(stage_dir: str, parts: list[int]) -> dict[int, int]:
+        """Per-partition row counts from parquet footer metadata of the files
+        just written — no data pages are read and no Spark job runs."""
+        import pyarrow.parquet as pq
+
+        counts: dict[int, int] = {}
+        for p in parts:
+            n = 0
+            for path in glob.glob(os.path.join(stage_dir, f"_part={p}", "*.parquet")):
+                n += pq.ParquetFile(path).metadata.num_rows
+            counts[p] = n
+        return counts
+
     def _append_manifest(self, stage: str, records: list[dict]) -> None:
         # single append per committed batch; atomic enough for a driver-side
         # manifest (Iceberg snapshot commits subsume this on a cluster)
@@ -108,11 +124,19 @@ class CheckpointedRun:
             if max_batches is not None and ran >= max_batches:
                 break
             batch_df = work.where(F.col("_part").isin(parts))
+            # a killed run may have written these partition dirs without
+            # committing them to the manifest; clear them so the append is
+            # exactly-once per partition (Iceberg's atomic snapshot commit
+            # subsumes this on a cluster)
+            for p in parts:
+                pdir = os.path.join(stage_dir, f"_part={p}")
+                if os.path.exists(pdir):
+                    shutil.rmtree(pdir)
             batch_df.write.mode("append").partitionBy("_part").parquet(stage_dir)
-            counts = {
-                r["_part"]: r["count"]
-                for r in batch_df.groupBy("_part").count().collect()
-            }
+            # lineage counts come from the parquet footers of the files the
+            # write job just produced — metadata-only reads, so each batch
+            # costs exactly ONE Spark job (the write), not a second count()
+            counts = self._footer_counts(stage_dir, parts)
             now = time.time()
             self._append_manifest(
                 name,

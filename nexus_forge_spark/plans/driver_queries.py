@@ -232,19 +232,21 @@ def sql_window_topk() -> str:
 
 
 def q_groupagg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape with DECIMAL-exact arithmetic for oracle parity."""
+    """TPC-H Q1 shape in integral cents (BIGINT) so no decimal/float
+    representation choice exists anywhere for a result normalizer to
+    diverge on: per-row round(x*100) is exact (sources carry 2-dp values),
+    sums are 64-bit integer adds on both Spark and the DuckDB oracle."""
     li = load_table(spark, "lineitem", sf_dir)
-    qty = F.col("l_quantity").cast("decimal(12,2)")
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(12,2)")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(30,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(30,2)").alias("sum_base_price"),
-            F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc))
-            .cast("decimal(30,4)")
-            .alias("sum_disc_price"),
+            F.sum(qty_c).alias("sum_qty_cents"),
+            F.sum(price_c).alias("sum_base_price_cents"),
+            # price_cents * (100 - disc_cents) is in units of 1e-4 currency.
+            F.sum(price_c * (F.lit(100) - disc_c)).alias("sum_disc_price_e4"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -253,10 +255,10 @@ def q_groupagg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_groupagg_lineitem() -> str:
     return """SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) AS sum_disc_price,
+  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_e4,
   count(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
