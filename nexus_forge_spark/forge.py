@@ -232,15 +232,39 @@ class SparkForge:
 
     # ------------------------------------------------- query + media verbs
 
-    def sparql(self, query: str, triples: DataFrame | None = None) -> DataFrame:
-        """Raw query verb (forge.sparql, core/forge.py:675): user queries run
-        as Spark SQL over a registered ``triples(subj, pred, obj, ...)``
-        view — SQL is this engine's query text, replacing SPARQL (SURVEY S5).
-        CONSTRUCT-style reassembly: select (subj,pred,obj) and feed
-        from_triples."""
+    def sparql(
+        self,
+        query: str,
+        triples: DataFrame | None = None,
+        limit: int | None = None,
+        offset: int | None = None,
+        rewrite: bool = True,
+    ) -> DataFrame:
+        """Raw query verb (forge.sparql, core/forge.py:675) over a
+        ``triples(subj, pred, obj, ...)`` view.
+
+        Real SPARQL SELECT text is supported (S5): the query is
+        context-rewritten exactly like the reference store
+        (rewrite_sparql + limit/offset injection,
+        read_only_store.py:212-245), compiled to Spark SQL
+        (functions/sparql.py) and executed distributed — pattern constants
+        become pushed-down pred/obj filters, shared variables become hash
+        joins.  A string without a ``{`` group pattern runs unchanged as
+        native Spark SQL (this engine's own query text)."""
+        from nexus_forge_spark.functions import sparql as SP
+
         if triples is not None:
             triples.createOrReplaceTempView("triples")
-        return self.spark.sql(query)
+        if "{" not in query:
+            return self.spark.sql(query)
+        if rewrite and self.config.context:
+            ctx, prefixes, vocab = SP.flatten_context(self.config.context)
+            query = SP.rewrite_sparql(query, ctx, prefixes, vocab)
+        if limit or offset:
+            query = SP.apply_limit_and_offset(
+                query, limit, offset, default_limit=None, default_offset=None
+            )
+        return self.spark.sql(SP.sparql_to_sql(query, table="triples"))
 
     def elastic(self, *_a, **_k):
         """forge.elastic (core/forge.py:696) is n/a by design: every ES DSL

@@ -1,0 +1,641 @@
+"""SPARQL support: context-driven query rewriting + SELECT-subset compiler.
+
+Two reference behaviors re-expressed (SURVEY S5):
+
+* ``rewrite_sparql`` — local property/type names from a model template are
+  rewritten to prefixed names / IRIs using a JSON-LD context, and PREFIX
+  declarations are prepended (reference:
+  kgforge/core/commons/sparql_query_builder.py:265-331).  The reference does
+  this with one large regex substitution; here a small scanner walks the
+  query, skipping strings and <IRI> spans, and rewrites bare identifier
+  tokens — same observable behavior (golden tests reproduce the reference's
+  own test matrix in tests/core/commons/test_sparql_query_builder.py),
+  different mechanism.
+
+* ``sparql_to_sql`` — a SELECT-subset SPARQL compiler targeting ANSI SQL
+  over a ``triples(subj, pred, obj)`` relation, so the same query text runs
+  on Spark SQL (executed distributed over the materialized triples view)
+  and on the DuckDB oracle.  Each triple pattern becomes one aliased scan;
+  shared variables become equi-join predicates — Catalyst plans the
+  n-pattern match as a chain of hash joins with pushed-down constant
+  filters on pred/obj (the selective side), which is exactly the plan a
+  hand-written star-join would get.
+
+Supported SPARQL subset (the "most-used 80%" of the reference's own test
+queries): PREFIX prologue, SELECT [DISTINCT] ?vars | *, basic graph
+patterns with ``;``/``,`` continuations and ``/`` sequence paths, ``a`` for
+rdf:type, FILTER with comparisons / IN / && / || / ! / regex / contains /
+strstarts / strends, OPTIONAL groups (compiled to LEFT JOIN of a derived
+table), ORDER BY [ASC|DESC], LIMIT, OFFSET.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+class QueryingError(Exception):
+    """Raised when a query cannot be rewritten or compiled."""
+
+
+# Reserved words never rewritten by rewrite_sparql.  This mirrors the
+# reference's public SPARQL_CLAUSES list *including its case quirk*: the
+# membership test lowercases the token but the list keeps mixed-case
+# entries (sameTerm, isIRI, ...), so those entries never match — preserved
+# for behavioral parity (sparql_query_builder.py:47-93).
+SPARQL_CLAUSES = [
+    "where", "filter", "select", "union", "limit", "construct", "optional",
+    "bind", "values", "offset", "order by", "prefix", "graph", "distinct",
+    "in", "as", "base", "prefix", "reduced", "describe", "ask", "named",
+    "asc", "desc", "from", "optional", "graph", "regex", "union", "str",
+    "lang", "langmatches", "datatype", "bound", "sameTerm", "isIRI",
+    "isURI", "isBLANK", "isLITERAL", "group", "by", "order", "minus",
+    "not", "exists",
+]
+
+RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def flatten_context(document: dict) -> tuple[dict, dict, str | None]:
+    """JSON-LD context document -> (term->id dict, prefixes, vocab).
+
+    Re-expression of Context + reformat_contexts (core/commons/context.py:
+    29-66, read_only_store.py:58-63, bluebrain_nexus.py:1090-1100): terms
+    with expanded-term-definition dicts collapse to their @id; prefixes are
+    the string-valued entries whose IRI ends in '/' or '#'.
+    """
+    ctx = document.get("@context", document)
+    if isinstance(ctx, list):
+        merged: dict = {}
+        for part in ctx:
+            m, _, _ = flatten_context(part if isinstance(part, dict) else {})
+            merged.update(part.get("@context", part) if isinstance(part, dict) else {})
+        ctx = merged
+    vocab = ctx.get("@vocab")
+    flat = {
+        k: (v["@id"] if isinstance(v, dict) and "@id" in v else v)
+        for k, v in ctx.items()
+        if not k.startswith("@")
+    }
+    prefixes = {
+        k: v
+        for k, v in flat.items()
+        if isinstance(v, str) and v.endswith(("/", "#")) and "://" in v
+    }
+    return flat, prefixes, vocab
+
+
+# characters that may precede / follow a rewritable bare identifier
+# (reference lookbehind/lookahead sets, sparql_query_builder.py:316-318)
+_BEFORE = set(" \t\r\n,[(/|!^")
+_AFTER = set(" \t\r\n,])/|?*+")
+
+
+def rewrite_sparql(
+    query: str,
+    context_as_dict: dict,
+    prefixes: dict | None,
+    vocab: str | None = None,
+) -> str:
+    """Rewrite bare local names to prefixed names/IRIs via a JSON-LD context
+    and prepend PREFIX declarations (rewrite_sparql,
+    sparql_query_builder.py:265-331 — behavioral spec only)."""
+    has_prefixes = bool(prefixes)
+    ctx = dict(context_as_dict)
+    if ctx.get("type") == "@type":
+        ctx["type"] = (
+            "rdf:type" if prefixes and "rdf" in prefixes else RDF_TYPE_IRI
+        )
+
+    out: list[str] = []
+    i, n = 0, len(query)
+    while i < n:
+        c = query[i]
+        # string literals pass through untouched (both quote styles, and
+        # their triple-quoted forms)
+        if c in "'\"":
+            for q in (c * 3, c):
+                if query.startswith(q, i):
+                    end = query.find(q, i + len(q))
+                    end = n if end < 0 else end + len(q)
+                    out.append(query[i:end])
+                    i = end
+                    break
+            continue
+        # <IRI> spans pass through untouched
+        if c == "<":
+            end = query.find(">", i)
+            end = n if end < 0 else end + 1
+            out.append(query[i:end])
+            i = end
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (query[j].isalpha() or query[j] == "_"):
+                j += 1
+            tok = query[i:j]
+            # optional attached '.' or ';' rides along (reference group 5)
+            suffix = query[j] if j < n and query[j] in ".;" else ""
+            k = j + len(suffix)
+            prev_ok = i > 0 and query[i - 1] in _BEFORE
+            next_ok = k < n and query[k] in _AFTER
+            if (
+                prev_ok
+                and next_ok
+                and tok not in ("a", "true", "false")
+                and tok.lower() not in SPARQL_CLAUSES
+                and not tok.startswith("https")
+            ):
+                v = ctx.get(tok, ":" + tok if vocab is not None else None)
+                if v is None:
+                    raise QueryingError(
+                        f"Failed to construct a valid SPARQL query: add '{tok}'"
+                        f", define an @vocab in the configured JSON-LD context "
+                        f"or provide a fully correct SPARQL query."
+                    )
+                out.append(f"<{v}>{suffix}" if "//" in v else f"{v}{suffix}")
+            else:
+                out.append(tok + suffix)
+            i = k
+            continue
+        out.append(c)
+        i += 1
+    qr = "".join(out)
+
+    if not has_prefixes or "prefix" in qr.lower():
+        return qr
+    pfx = "\n".join(f"PREFIX {k}: <{v}>" for k, v in prefixes.items())
+    if vocab is not None:
+        pfx = "\n".join([pfx, f"PREFIX : <{vocab}>"])
+    return f"{pfx}\n{qr}"
+
+
+def apply_limit_and_offset(
+    query: str,
+    limit: int | None = None,
+    offset: int | None = None,
+    default_limit: int | None = 100,
+    default_offset: int | None = 0,
+) -> str:
+    """LIMIT/OFFSET injection or replacement (apply_limit_and_offset_to_query,
+    sparql_query_builder.py:335-385): an explicit argument replaces an
+    in-query value; otherwise the default is appended."""
+
+    def _one(qr: str, what: str, value, default) -> str:
+        rx = re.compile(rf" {what} \d+", flags=re.IGNORECASE)
+        repl = (
+            f" {what} {value}"
+            if value
+            else (f" {what} {default}" if default else None)
+        )
+        if rx.search(qr):
+            return rx.sub(repl, qr) if repl else qr
+        return f"{qr} {repl}" if repl else qr
+
+    if limit:
+        query = _one(query, "LIMIT", limit, default_limit)
+    if offset:
+        query = _one(query, "OFFSET", offset, default_offset)
+    return query
+
+
+# --------------------------------------------------------------------------
+# SELECT-subset SPARQL -> ANSI SQL over a triples(subj, pred, obj) relation
+# --------------------------------------------------------------------------
+
+_TOKEN_RX = re.compile(
+    r"""
+    \s*(
+        \?[A-Za-z_][A-Za-z0-9_]*          # variable
+      | <[^>]*>                           # iri
+      | '''.*?''' | \"\"\".*?\"\"\"       # long strings
+      | '[^']*' | "[^"]*"                 # strings
+      | [A-Za-z_][A-Za-z0-9_]*:[A-Za-z0-9_.\-]*   # prefixed name
+      | :[A-Za-z0-9_.\-]*                 # empty-prefix name (@vocab) or ':'
+      | [A-Za-z_][A-Za-z0-9_]*            # bare word / keyword
+      | -?\d+\.\d+ | -?\d+                # numbers
+      | && | \|\| | != | <= | >=          # two-char operators
+      | [{}();,.\[\]/=<>!*]               # punctuation
+    )""",
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def _tokenize(q: str) -> list[str]:
+    toks, i = [], 0
+    while i < len(q):
+        m = _TOKEN_RX.match(q, i)
+        if not m:
+            if q[i:].strip():
+                raise QueryingError(f"cannot tokenize SPARQL at: {q[i:i+30]!r}")
+            break
+        toks.append(m.group(1))
+        i = m.end()
+    return toks
+
+
+@dataclass
+class _Group:
+    """One graph-pattern group: triple patterns + filters + optional groups."""
+
+    patterns: list[tuple[str, str, str]] = field(default_factory=list)
+    filters: list[list[str]] = field(default_factory=list)  # token lists
+    optionals: list["_Group"] = field(default_factory=list)
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.distinct = False
+        self.vars: list[str] = []
+        self.order: list[tuple[str, str]] = []  # (var, ASC|DESC)
+        self.limit: int | None = None
+        self.offset: int | None = None
+        self.n_anon = 0
+
+    # -- token helpers
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise QueryingError("unexpected end of SPARQL query")
+        self.i += 1
+        return t
+
+    def expect(self, tok: str) -> None:
+        t = self.next()
+        if t.lower() != tok.lower():
+            raise QueryingError(f"expected {tok!r}, got {t!r}")
+
+    def kw(self, word: str) -> bool:
+        t = self.peek()
+        if t is not None and t.lower() == word.lower():
+            self.i += 1
+            return True
+        return False
+
+    def fresh_var(self) -> str:
+        self.n_anon += 1
+        return f"?__p{self.n_anon}"
+
+    # -- grammar
+    def parse(self) -> _Group:
+        while self.kw("PREFIX"):
+            name = self.next()  # "pfx:" tokenized as prefixed name or word+:
+            if name.endswith(":"):
+                pfx = name[:-1]
+            else:
+                pfx = name
+                self.expect(":")
+            iri = self.next()
+            self.prefixes[pfx] = iri.strip("<>")
+        self.expect("SELECT")
+        self.distinct = self.kw("DISTINCT")
+        if self.kw("*"):
+            self.vars = ["*"]
+        else:
+            while self.peek() is not None and self.peek().startswith("?"):
+                self.vars.append(self.next()[1:])
+        self.expect("WHERE")
+        group = self.parse_group()
+        while True:
+            if self.kw("ORDER"):
+                self.expect("BY")
+                while True:
+                    t = self.peek()
+                    if t is None:
+                        break
+                    if t.lower() in ("asc", "desc"):
+                        d = self.next().upper()
+                        self.expect("(")
+                        self.order.append((self.next()[1:], d))
+                        self.expect(")")
+                    elif t.startswith("?"):
+                        self.order.append((self.next()[1:], "ASC"))
+                    else:
+                        break
+            elif self.kw("LIMIT"):
+                self.limit = int(self.next())
+            elif self.kw("OFFSET"):
+                self.offset = int(self.next())
+            else:
+                break
+        if self.peek() is not None:
+            raise QueryingError(f"trailing tokens in SPARQL: {self.peek()!r}")
+        return group
+
+    def parse_group(self) -> _Group:
+        self.expect("{")
+        g = _Group()
+        while True:
+            t = self.peek()
+            if t is None:
+                raise QueryingError("unterminated group pattern")
+            if t == "}":
+                self.next()
+                return g
+            if t.lower() == "filter":
+                self.next()
+                g.filters.append(self.parse_parenthesized())
+                continue
+            if t.lower() == "optional":
+                self.next()
+                g.optionals.append(self.parse_group())
+                continue
+            if t == ".":
+                self.next()
+                continue
+            self.parse_triples_block(g)
+
+    def parse_parenthesized(self) -> list[str]:
+        """FILTER ( ... ) including function-style FILTER regex(...)."""
+        toks: list[str] = []
+        head = self.peek()
+        if head is not None and head != "(":
+            toks.append(self.next())  # function name, e.g. regex
+        self.expect("(")
+        depth = 1
+        toks.append("(")
+        while depth > 0:
+            t = self.next()
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            toks.append(t)
+        return toks
+
+    def parse_triples_block(self, g: _Group) -> None:
+        subj = self.parse_term()
+        while True:
+            pred_path = self.parse_path()
+            while True:
+                obj = self.parse_term()
+                self.emit_path(g, subj, pred_path, obj)
+                if not self.kw(","):
+                    break
+            if not self.kw(";"):
+                break
+            if self.peek() in ("}", ".", None):  # trailing ';'
+                break
+        # trailing '.' handled by parse_group loop
+
+    def parse_path(self) -> list[str]:
+        parts = [self.parse_term(pred=True)]
+        while self.kw("/"):
+            parts.append(self.parse_term(pred=True))
+        return parts
+
+    def emit_path(
+        self, g: _Group, subj: str, path: list[str], obj: str
+    ) -> None:
+        cur = subj
+        for hop, pred in enumerate(path):
+            nxt = obj if hop == len(path) - 1 else self.fresh_var()
+            g.patterns.append((cur, pred, nxt))
+            cur = nxt
+
+    def parse_term(self, pred: bool = False) -> str:
+        t = self.next()
+        if t == "a" and pred:
+            return "rdf:type"
+        return t
+
+
+def _split_iri(term: str) -> str:
+    """SPARQL term -> the string stored in the triples table: <iri> loses
+    its brackets, prefixed names stay as written (the engine stores CURIE
+    strings; see operators/triples.py)."""
+    if term.startswith("<") and term.endswith(">"):
+        return term[1:-1]
+    return term
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+class SparqlToSql:
+    """Compile the supported SPARQL SELECT subset to one ANSI-SQL string.
+
+    dialect only affects the regex function name: Spark has regexp_like,
+    DuckDB has regexp_matches — everything else is shared SQL.
+    """
+
+    def __init__(self, table: str = "triples", dialect: str = "spark"):
+        self.table = table
+        self.dialect = dialect
+
+    def compile(self, query: str) -> str:
+        parser = _Parser(_tokenize(query))
+        group = parser.parse()
+        sql, bindings = self._compile_group(group, parser)
+        vars_ = (
+            list(bindings)
+            if parser.vars == ["*"]
+            else parser.vars
+        )
+        missing = [v for v in vars_ if v not in bindings]
+        if missing:
+            raise QueryingError(f"SELECT variable(s) not bound: {missing}")
+        distinct = "DISTINCT " if parser.distinct else ""
+        cols = ", ".join(f"{bindings[v]} AS {v}" for v in vars_)
+        out = f"SELECT {distinct}{cols} {sql}"
+        if parser.order:
+            order = ", ".join(
+                f"{bindings.get(v, v)} {d}" for v, d in parser.order
+            )
+            out += f" ORDER BY {order}"
+        if parser.limit is not None:
+            out += f" LIMIT {parser.limit}"
+        if parser.offset is not None:
+            out += f" OFFSET {parser.offset}"
+        return out
+
+    # -- group compilation -------------------------------------------------
+    def _compile_group(
+        self, g: _Group, parser: _Parser, alias_prefix: str = "t"
+    ) -> tuple[str, dict[str, str]]:
+        """-> ('FROM ... WHERE ...' fragment, var -> qualified column)."""
+        if not g.patterns:
+            raise QueryingError("empty graph pattern")
+        bindings: dict[str, str] = {}
+        conds: list[str] = []
+        tables: list[str] = []
+        for idx, (s, p, o) in enumerate(g.patterns):
+            a = f"{alias_prefix}{idx}"
+            tables.append(f"{self.table} {a}")
+            for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+                ref = f"{a}.{col}"
+                if term.startswith("?"):
+                    v = term[1:]
+                    if v in bindings:
+                        conds.append(f"{ref} = {bindings[v]}")
+                    else:
+                        bindings[v] = ref
+                elif term.startswith(("'", '"')):
+                    conds.append(f"{ref} = {_sql_str(term.strip(chr(39) + chr(34)))}")
+                else:
+                    conds.append(f"{ref} = {_sql_str(_split_iri(term))}")
+        for ftoks in g.filters:
+            conds.append(self._compile_expr(ftoks, bindings))
+        sql = "FROM " + ", ".join(tables)
+        if conds:
+            sql += " WHERE " + " AND ".join(conds)
+
+        # OPTIONAL groups: derived-table LEFT JOIN on the shared variables.
+        # Wrap the mandatory part as a subquery so comma-joins never mix
+        # with LEFT JOIN scoping.
+        if g.optionals:
+            base_cols = ", ".join(
+                f"{ref} AS {v}" for v, ref in bindings.items()
+            )
+            out_sql = f"FROM (SELECT {base_cols} {sql}) base"
+            out_bind = {v: f"base.{v}" for v in bindings}
+            for oi, og in enumerate(g.optionals):
+                osql, obind = self._compile_group(og, parser, f"o{oi}_")
+                shared = [v for v in obind if v in out_bind]
+                if not shared:
+                    raise QueryingError("OPTIONAL group shares no variable")
+                ocols = ", ".join(f"{ref} AS {v}" for v, ref in obind.items())
+                on = " AND ".join(
+                    f"opt{oi}.{v} = {out_bind[v]}" for v in shared
+                )
+                out_sql += f" LEFT JOIN (SELECT {ocols} {osql}) opt{oi} ON {on}"
+                for v in obind:
+                    if v not in out_bind:
+                        out_bind[v] = f"opt{oi}.{v}"
+            return out_sql, out_bind
+        return sql, bindings
+
+    # -- FILTER expression compilation --------------------------------------
+    def _compile_expr(self, toks: list[str], bindings: dict[str, str]) -> str:
+        self._ft = toks
+        self._fi = 0
+        out = self._expr_or(bindings)
+        if self._fi < len(self._ft):
+            raise QueryingError(
+                f"trailing FILTER tokens: {self._ft[self._fi:]}"
+            )
+        return out
+
+    def _fpeek(self) -> str | None:
+        return self._ft[self._fi] if self._fi < len(self._ft) else None
+
+    def _fnext(self) -> str:
+        t = self._fpeek()
+        if t is None:
+            raise QueryingError("unexpected end of FILTER expression")
+        self._fi += 1
+        return t
+
+    def _expr_or(self, b) -> str:
+        left = self._expr_and(b)
+        while self._fpeek() == "||":
+            self._fnext()
+            left = f"({left} OR {self._expr_and(b)})"
+        return left
+
+    def _expr_and(self, b) -> str:
+        left = self._expr_cmp(b)
+        while self._fpeek() == "&&":
+            self._fnext()
+            left = f"({left} AND {self._expr_cmp(b)})"
+        return left
+
+    def _expr_cmp(self, b) -> str:
+        left = self._expr_atom(b)
+        t = self._fpeek()
+        if t in ("=", "!=", "<", ">", "<=", ">="):
+            op = self._fnext()
+            if op == "=":
+                op = "="
+            right = self._expr_atom(b)
+            return f"{left} {'<>' if op == '!=' else op} {right}"
+        if t is not None and t.lower() == "in":
+            self._fnext()
+            self._fexpect("(")
+            items = []
+            while self._fpeek() != ")":
+                items.append(self._expr_atom(b))
+                if self._fpeek() == ",":
+                    self._fnext()
+            self._fnext()  # ')'
+            return f"{left} IN ({', '.join(items)})"
+        return left
+
+    def _fexpect(self, tok: str) -> None:
+        t = self._fnext()
+        if t != tok:
+            raise QueryingError(f"expected {tok!r} in FILTER, got {t!r}")
+
+    def _regex_fn(self) -> str:
+        return "regexp_like" if self.dialect == "spark" else "regexp_matches"
+
+    def _expr_atom(self, b) -> str:
+        t = self._fnext()
+        if t == "(":
+            inner = self._expr_or(b)
+            self._fexpect(")")
+            return f"({inner})"
+        if t == "!":
+            return f"(NOT {self._expr_atom(b)})"
+        low = t.lower()
+        if low == "regex":
+            self._fexpect("(")
+            target = self._expr_atom(b)
+            self._fexpect(",")
+            pat = self._fnext()
+            flags = ""
+            if self._fpeek() == ",":
+                self._fnext()
+                flags = self._fnext().strip("'\"")
+            self._fexpect(")")
+            pat_s = pat.strip("'\"")
+            if "i" in flags:
+                pat_s = "(?i)" + pat_s
+            return f"{self._regex_fn()}({target}, {_sql_str(pat_s)})"
+        if low in ("contains", "strstarts", "strends"):
+            self._fexpect("(")
+            target = self._expr_atom(b)
+            self._fexpect(",")
+            arg = self._fnext().strip("'\"")
+            self._fexpect(")")
+            esc = arg.replace("%", r"\%").replace("_", r"\_")
+            if low == "contains":
+                return f"{target} LIKE {_sql_str('%' + esc + '%')}"
+            if low == "strstarts":
+                return f"{target} LIKE {_sql_str(esc + '%')}"
+            return f"{target} LIKE {_sql_str('%' + esc)}"
+        if low == "str":
+            self._fexpect("(")
+            inner = self._expr_atom(b)
+            self._fexpect(")")
+            return inner
+        if low == "bound":
+            self._fexpect("(")
+            inner = self._expr_atom(b)
+            self._fexpect(")")
+            return f"{inner} IS NOT NULL"
+        if t.startswith("?"):
+            v = t[1:]
+            if v not in b:
+                raise QueryingError(f"FILTER references unbound ?{v}")
+            return b[v]
+        if t.startswith(("'", '"')):
+            return _sql_str(t.strip("'\""))
+        if re.fullmatch(r"-?\d+(\.\d+)?", t):
+            return t
+        if low in ("true", "false"):
+            return low
+        # IRI / prefixed name compared as its stored string form
+        return _sql_str(_split_iri(t))
+
+
+def sparql_to_sql(query: str, table: str = "triples", dialect: str = "spark") -> str:
+    return SparqlToSql(table, dialect).compile(query)

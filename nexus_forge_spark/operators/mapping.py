@@ -506,11 +506,17 @@ def _make_eval_column(
     fmts = dict(formatters or {})
 
     def ev(rows):
+        # builtins are resolved HERE, on the executor, not captured in the
+        # closure: cloudpickle would otherwise serialize the builtins dict,
+        # which pybind11 extensions (e.g. duckdb) poison with an unpicklable
+        # PyCapsule entry the moment they are imported in the driver process
+        import builtins as _builtins
+
         forge = _WorkerForge(fmts)
         out = []
         for rec in rows.to_dict("records"):
             v = eval(  # noqa: S307
-                expr, {"__builtins__": __builtins__}, {"x": _X(rec), "forge": forge}
+                expr, {"__builtins__": _builtins}, {"x": _X(rec), "forge": forge}
             )
             out.append(None if v is None else str(v))
         return pd.Series(out, dtype="object")

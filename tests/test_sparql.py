@@ -1,0 +1,297 @@
+"""SPARQL rewrite parity + SELECT-subset compiler correctness.
+
+The rewrite goldens reproduce the reference's own public test matrix
+(tests/core/commons/test_sparql_query_builder.py:53-120) so behavioral
+parity with rewrite_sparql (sparql_query_builder.py:265-331) is checked
+case by case.  The compiler tests run the generated SQL on DuckDB against
+hand-written expected results over a tiny triples relation; the Spark
+execution path is covered by the sparql_select contract query.
+"""
+
+import duckdb
+import pytest
+
+from nexus_forge_spark.functions.sparql import (
+    QueryingError,
+    apply_limit_and_offset,
+    flatten_context,
+    rewrite_sparql,
+    sparql_to_sql,
+)
+
+CONTEXT = {
+    "@context": {
+        "@vocab": "http://example.org/vocab/",
+        "type": {"@id": "rdf:type", "@type": "@id"},
+        "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+        "prov": "http://www.w3.org/ns/prov#",
+        "schema": "http://schema.org/",
+        "Person": {"@id": "schema:Person", "@type": "@id"},
+        "Association": "prov:Association",
+        "name": "schema:name",
+        "agent": "prov:agent",
+        "description": "http://schema.org/description",
+    }
+}
+
+# the store metadata context contributes the deprecated term
+# (reference conftest metadata_context fixture)
+METADATA_TERMS = {"deprecated": "https://store.net/vocabulary/deprecated"}
+
+PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "prov": "http://www.w3.org/ns/prov#",
+    "schema": "http://schema.org/",
+}
+PREFIX_STRING = "\n".join(f"PREFIX {k}: <{v}>" for k, v in PREFIXES.items())
+PREFIX_STRING_VOCAB = "\n".join(
+    [PREFIX_STRING, "PREFIX : <http://example.org/vocab/>"]
+)
+
+REWRITE_CASES = [
+    ("SELECT ?agent WHERE { <http://exaplpe.org/1234> agent ?agent }",
+     "\nSELECT ?agent WHERE { <http://exaplpe.org/1234> prov:agent ?agent }"),
+    ("SELECT ?agent WHERE { ?agent type ?v0 FILTER(?v0 != Person) }",
+     "\nSELECT ?agent WHERE { ?agent rdf:type ?v0 FILTER(?v0 != schema:Person) }"),
+    ("SELECT ?agent WHERE { ?agent type ?v0 FILTER (?v0 in (Person, Agent)) }",
+     "\nSELECT ?agent WHERE { ?agent rdf:type ?v0 FILTER (?v0 in (schema:Person, :Agent)) }"),
+    ("SELECT ?x ?name WHERE { ?x type Association ; agent/name ?name }",
+     "\nSELECT ?x ?name WHERE { ?x rdf:type prov:Association ; prov:agent/schema:name ?name }"),
+    ('SELECT ?name WHERE { ?x agent/name ?name FILTER regex(?name, "^j", "i") }',
+     '\nSELECT ?name WHERE { ?x prov:agent/schema:name ?name FILTER regex(?name, "^j", "i") }'),
+    ("SELECT ?x WHERE { <http://exaplpe.org/1234> description ?x }",
+     "\nSELECT ?x WHERE { <http://exaplpe.org/1234> <http://schema.org/description> ?x }"),
+    ("SELECT ?x WHERE { <http://exaplpe.org/1234> a TypeNotInContext }",
+     "\nSELECT ?x WHERE { <http://exaplpe.org/1234> a :TypeNotInContext }"),
+    ("SELECT ?x WHERE { <http://exaplpe.org/1234> a TypeNotInContext, AnotherNotTypeInContext, Person }",
+     "\nSELECT ?x WHERE { <http://exaplpe.org/1234> a :TypeNotInContext, :AnotherNotTypeInContext, schema:Person }"),
+    ("SELECT ?x WHERE { ?id propertyNotInContext ?x }",
+     "\nSELECT ?x WHERE { ?id :propertyNotInContext ?x }"),
+    ("SELECT ?x WHERE { ?id propertyNotInContext/name/anotherPropertyNotInContext ?x }",
+     "\nSELECT ?x WHERE { ?id :propertyNotInContext/schema:name/:anotherPropertyNotInContext ?x }"),
+    ("SELECT DISTINCT ?x WHERE { ?id propertyNotInContext/name/anotherPropertyNotInContext ?x }",
+     "\nSELECT DISTINCT ?x WHERE { ?id :propertyNotInContext/schema:name/:anotherPropertyNotInContext ?x }"),
+    ("SELECT ?x WHERE { Graph ?g { ?id propertyNotInContext/name/anotherPropertyNotInContext ?x }}",
+     "\nSELECT ?x WHERE { Graph ?g { ?id :propertyNotInContext/schema:name/:anotherPropertyNotInContext ?x }}"),
+    ("SELECT * WHERE { <http://exaplpe.org/1234> a TypeNotInContext, AnotherNotTypeInContext, Person; deprecated false.}",
+     "\nSELECT * WHERE { <http://exaplpe.org/1234> a :TypeNotInContext, :AnotherNotTypeInContext, schema:Person; <https://store.net/vocabulary/deprecated> false.}"),
+]
+
+
+def _ctx_with_metadata():
+    ctx, prefixes, vocab = flatten_context(CONTEXT)
+    merged = dict(METADATA_TERMS)
+    merged.update(ctx)
+    return merged, prefixes, vocab
+
+
+@pytest.mark.parametrize("query,expected", REWRITE_CASES)
+def test_rewrite_sparql_golden(query, expected):
+    ctx, prefixes, vocab = _ctx_with_metadata()
+    assert prefixes == PREFIXES
+    result = rewrite_sparql(query, ctx, prefixes, vocab)
+    assert result == PREFIX_STRING_VOCAB + expected
+
+
+def test_rewrite_unknown_term_missing_vocab_raises():
+    ctx = {"name": "http://xmlns.com/foaf/0.1/name"}
+    with pytest.raises(QueryingError):
+        rewrite_sparql(
+            "SELECT ?x WHERE { ?id propertyNotInContext ?x }",
+            ctx,
+            {"foaf": "http://xmlns.com/foaf/0.1/"},
+            None,
+        )
+
+
+def test_rewrite_no_vocab_known_term():
+    ctx = {"name": "foaf:name"}
+    prefixes = {"foaf": "http://xmlns.com/foaf/0.1/"}
+    out = rewrite_sparql(
+        "SELECT ?name WHERE { <http://x.org/1> name ?name }", ctx, prefixes, None
+    )
+    assert out == (
+        "PREFIX foaf: <http://xmlns.com/foaf/0.1/>\n"
+        "SELECT ?name WHERE { <http://x.org/1> foaf:name ?name }"
+    )
+
+
+def test_rewrite_skips_existing_prefix_prologue():
+    ctx, prefixes, vocab = _ctx_with_metadata()
+    q = "PREFIX prov: <http://www.w3.org/ns/prov#>\nSELECT ?x WHERE { ?x agent ?y }"
+    out = rewrite_sparql(q, ctx, prefixes, vocab)
+    assert out.startswith("PREFIX prov:")
+    assert out.count("PREFIX") == 1
+    assert "prov:agent" in out
+
+
+@pytest.mark.parametrize(
+    "query,limit,offset,expected",
+    [
+        ("SELECT ?x WHERE { ?x a Person }", 3, None,
+         "SELECT ?x WHERE { ?x a Person }  LIMIT 3"),
+        ("SELECT ?x WHERE { ?x a Person } LIMIT 50", 3, None,
+         "SELECT ?x WHERE { ?x a Person } LIMIT 3"),
+        # the reference appends with a leading space, yielding the double
+        # space its own goldens show (test_sparql_query_builder.py:124)
+        ("SELECT ?x WHERE { ?x a Person } LIMIT 50", None, 7,
+         "SELECT ?x WHERE { ?x a Person } LIMIT 50  OFFSET 7"),
+    ],
+)
+def test_apply_limit_and_offset(query, limit, offset, expected):
+    out = apply_limit_and_offset(
+        query, limit=limit, offset=offset, default_limit=None, default_offset=None
+    )
+    assert out == expected
+
+
+# ----------------------------------------------------------- compiler tests
+
+TRIPLES = [
+    ("doc:1", "rdf:type", "schema:Document"),
+    ("doc:2", "rdf:type", "schema:Document"),
+    ("doc:1", "nsg:hasBody", "ont:e1"),
+    ("doc:1", "nsg:hasBody", "ont:e2"),
+    ("doc:2", "nsg:hasBody", "ont:e2"),
+    ("ont:e1", "rdfs:label", "alpha"),
+    ("ont:e2", "rdfs:label", "Beta"),
+    ("doc:2", "schema:distribution", "media/2.png"),
+]
+
+
+@pytest.fixture()
+def duck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE triples(subj VARCHAR, pred VARCHAR, obj VARCHAR)")
+    con.executemany("INSERT INTO triples VALUES (?, ?, ?)", TRIPLES)
+    return con
+
+
+def run(con, sparql, **kw):
+    sql = sparql_to_sql(sparql, dialect="duckdb", **kw)
+    return con.execute(sql).fetchall()
+
+
+def test_basic_pattern(duck):
+    rows = run(duck, "SELECT ?d WHERE { ?d a schema:Document } ORDER BY ?d")
+    assert rows == [("doc:1",), ("doc:2",)]
+
+
+def test_join_two_patterns(duck):
+    rows = run(
+        duck,
+        "SELECT ?d ?l WHERE { ?d nsg:hasBody ?e . ?e rdfs:label ?l } ORDER BY ?d ?l",
+    )
+    assert rows == [("doc:1", "Beta"), ("doc:1", "alpha"), ("doc:2", "Beta")]
+
+
+def test_semicolon_and_path(duck):
+    rows = run(
+        duck,
+        "SELECT ?d ?l WHERE { ?d a schema:Document ; nsg:hasBody/rdfs:label ?l } ORDER BY ?d ?l",
+    )
+    assert rows == [("doc:1", "Beta"), ("doc:1", "alpha"), ("doc:2", "Beta")]
+
+
+def test_filter_neq_and_regex(duck):
+    rows = run(
+        duck,
+        'SELECT ?e ?l WHERE { ?e rdfs:label ?l FILTER (?l != "alpha") } ORDER BY ?e',
+    )
+    assert rows == [("ont:e2", "Beta")]
+    rows = run(
+        duck,
+        'SELECT ?l WHERE { ?e rdfs:label ?l FILTER regex(?l, "^b", "i") }',
+    )
+    assert rows == [("Beta",)]
+
+
+def test_filter_in(duck):
+    rows = run(
+        duck,
+        "SELECT DISTINCT ?d WHERE { ?d nsg:hasBody ?e FILTER (?e in (ont:e1, ont:e9)) }",
+    )
+    assert rows == [("doc:1",)]
+
+
+def test_optional_left_join(duck):
+    rows = run(
+        duck,
+        "SELECT ?d ?m WHERE { ?d a schema:Document OPTIONAL { ?d schema:distribution ?m } } ORDER BY ?d",
+    )
+    assert rows == [("doc:1", None), ("doc:2", "media/2.png")]
+
+
+def test_limit_offset(duck):
+    rows = run(
+        duck,
+        "SELECT ?d WHERE { ?d nsg:hasBody ?e } ORDER BY ?d ?e LIMIT 2 OFFSET 1",
+    )
+    assert rows == [("doc:1",), ("doc:2",)]
+
+
+def test_select_star(duck):
+    rows = run(duck, "SELECT * WHERE { ?s schema:distribution ?o }")
+    assert rows == [("doc:2", "media/2.png")]
+
+
+def test_desc_order_and_contains(duck):
+    rows = run(
+        duck,
+        'SELECT ?e WHERE { ?e rdfs:label ?l FILTER contains(?l, "et") } ORDER BY DESC(?e)',
+    )
+    assert rows == [("ont:e2",)]
+
+
+def test_unbound_select_var_raises(duck):
+    with pytest.raises(QueryingError):
+        run(duck, "SELECT ?zzz WHERE { ?d a schema:Document }")
+
+
+def test_prefix_prologue_parses(duck):
+    rows = run(
+        duck,
+        "PREFIX schema: <http://schema.org/>\nSELECT ?d WHERE { ?d a schema:Document } ORDER BY ?d",
+    )
+    assert rows == [("doc:1",), ("doc:2",)]
+
+
+# -------------------------------------------------- forge.sparql end-to-end
+
+
+def test_forge_sparql_full_path(spark):
+    """Real SPARQL text through the facade: context rewrite -> compile ->
+    distributed execution over a triples view (reference flow:
+    read_only_store.py:212-245)."""
+    from nexus_forge_spark.forge import SparkForge, SparkForgeConfig
+
+    forge = SparkForge(
+        spark,
+        SparkForgeConfig(
+            context={
+                "@context": {
+                    "@vocab": "http://example.org/vocab/",
+                    "schema": "http://schema.org/",
+                    "nsg": "https://neuroshapes.org/",
+                    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+                    "Document": "schema:Document",
+                    "hasBody": "nsg:hasBody",
+                }
+            }
+        ),
+    )
+    triples = spark.createDataFrame(
+        TRIPLES, schema="subj string, pred string, obj string"
+    )
+    out = forge.sparql(
+        "SELECT ?d ?e WHERE { ?d a Document ; hasBody ?e } ORDER BY ?d ?e",
+        triples=triples,
+        limit=2,
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("doc:1", "ont:e1"),
+        ("doc:1", "ont:e2"),
+    ]
+    # plain Spark SQL (no group pattern) still runs unchanged
+    n = forge.sparql("SELECT count(*) AS n FROM triples").collect()[0]["n"]
+    assert n == len(TRIPLES)
