@@ -347,17 +347,28 @@ class SparkForge:
             F.from_json(F.col(column), schema).alias("r")
         ).select("r.*")
 
-    def as_jsonld(self, data: DataFrame) -> DataFrame:
-        """Key -> @key rewriting (forge.as_jsonld, :838 / _add_ld_keys)."""
-        from nexus_forge_spark.operators.convert import apply_ld_keys
+    def as_jsonld(self, data: DataFrame, form: str = "compacted") -> DataFrame:
+        """forge.as_jsonld (:838, rdf.py:199-272).  form='compacted':
+        recursive id/type -> @id/@type through nested structs/arrays.
+        form='expanded': full pyld-style expansion to one JSON document per
+        row (IRI keys, [{"@value"/"@id": ...}] values) using the configured
+        context — a single nested Column expression, no per-row Python."""
+        from nexus_forge_spark.operators.convert import (
+            apply_ld_keys,
+            as_jsonld_expanded,
+        )
 
-        return apply_ld_keys(data, "add")
+        if form == "expanded":
+            return as_jsonld_expanded(data, self.config.context)
+        return apply_ld_keys(data, "add", self.config.context)
 
     def from_jsonld(self, data: DataFrame) -> DataFrame:
-        """Inverse @key rewriting (forge.from_jsonld, :927)."""
+        """Inverse @key rewriting at every nesting level, with @id values
+        resolved to full IRIs and @id-typed term values shrunk to curies
+        (forge.from_jsonld, :927 / _remove_ld_keys rdf.py:489-527)."""
         from nexus_forge_spark.operators.convert import apply_ld_keys
 
-        return apply_ld_keys(data, "remove")
+        return apply_ld_keys(data, "remove", self.config.context)
 
     paths = staticmethod(paths)
     apply_filters = staticmethod(apply_filters)

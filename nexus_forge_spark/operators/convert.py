@@ -271,10 +271,260 @@ def deflatten(df: DataFrame, sep: str = ".") -> DataFrame:
     return df.select(*build(tree))
 
 
-def apply_ld_keys(df: DataFrame, direction: str = "add") -> DataFrame:
-    """Compacted JSON-LD key rewriting: id/type <-> @id/@type at the top
-    level (rdf.py:61-89 _add_ld_keys / :489-527 _remove_ld_keys)."""
-    mapping = {"id": "@id", "type": "@type"} if direction == "add" else {"@id": "id", "@type": "type"}
-    return df.select(
-        *[F.col(f"`{c}`").alias(mapping.get(c, c)) for c in df.columns]
-    )
+# ------------------------------------------------------- JSON-LD contexts
+#
+# The context is a small driver-side dict; every per-VALUE rewrite it
+# implies (IRI<->curie, curie->IRI) is generated as a bounded chain of
+# Column expressions — all JVM-side, nothing per-row in Python.  Key
+# renames are pure schema operations (plan metadata).
+
+
+def _context_entries(context: dict | None) -> dict[str, str]:
+    """term -> @id string (expanded-term dicts collapse to their @id)."""
+    if not context:
+        return {}
+    ctx = context.get("@context", context)
+    out = {}
+    for k, v in ctx.items():
+        if k.startswith("@"):
+            continue
+        if isinstance(v, dict):
+            v = v.get("@id")
+        if isinstance(v, str):
+            out[k] = v
+    return out
+
+
+def _prefix_map(context: dict | None) -> dict[str, str]:
+    """prefix -> namespace IRI (string-valued entries ending in / or #)."""
+    return {
+        k: v
+        for k, v in _context_entries(context).items()
+        if v.endswith(("/", "#")) and "://" in v
+    }
+
+
+def expand_iri(term: str, context: dict | None) -> str:
+    """term/curie -> full IRI via the context (Context.expand semantics,
+    commons/context.py): term definitions chase until fixpoint, then a
+    known prefix expands, then @vocab applies to bare names."""
+    entries = _context_entries(context)
+    ctx = (context or {}).get("@context", context or {})
+    seen = set()
+    while term in entries and term not in seen:
+        seen.add(term)
+        term = entries[term]
+    if "://" in term:
+        return term
+    if ":" in term:
+        pfx, local = term.split(":", 1)
+        if pfx in entries:
+            return expand_iri(pfx, context) + local
+    vocab = ctx.get("@vocab") if isinstance(ctx, dict) else None
+    if vocab and ":" not in term:
+        return vocab + term
+    return term
+
+
+def _id_typed_terms(context: dict | None) -> set[str]:
+    """Terms declared {"@type": "@id"} — their string values are IRIs."""
+    if not context:
+        return set()
+    ctx = context.get("@context", context)
+    return {
+        k
+        for k, v in ctx.items()
+        if isinstance(v, dict) and v.get("@type") == "@id"
+    }
+
+
+def _term_datatype(context: dict | None, term: str) -> str | None:
+    """Expanded datatype IRI of a term's @type (non-@id), if declared."""
+    if not context:
+        return None
+    ctx = context.get("@context", context)
+    v = ctx.get(term)
+    if isinstance(v, dict):
+        t = v.get("@type")
+        if t and t != "@id":
+            return expand_iri(t, context)
+    return None
+
+
+def shrink_iri_col(col: Column, context: dict | None) -> Column:
+    """Full IRI -> curie via the longest matching prefix namespace
+    (Context.shrink_iri, used by _remove_ld_keys for @id-typed terms,
+    rdf.py:519-522).  Chained when() over the bounded prefix map."""
+    # shortest namespace first: the LAST when() built is the OUTERMOST
+    # branch, so the longest (most specific) prefix must be built last
+    prefixes = sorted(_prefix_map(context).items(), key=lambda kv: len(kv[1]))
+    out = col
+    for pfx, ns in prefixes:
+        hit = col.startswith(ns)
+        out = F.when(hit & col.isNotNull(),
+                     F.concat(F.lit(pfx + ":"), F.substring(col, len(ns) + 1, 2**30))
+                     ).otherwise(out)
+    return out
+
+
+def resolve_iri_col(col: Column, context: dict | None) -> Column:
+    """curie / relative id -> full IRI (_resolve_iri via Context.resolve,
+    rdf.py:470-487): absolute IRIs pass through, known-prefix curies
+    expand, bare names resolve against @base (else @vocab)."""
+    entries = _prefix_map(context)
+    ctx = (context or {}).get("@context", context or {})
+    base = ctx.get("@base") if isinstance(ctx, dict) else None
+    vocab = ctx.get("@vocab") if isinstance(ctx, dict) else None
+    out = col
+    if base or vocab:
+        out = F.when(
+            col.isNotNull() & ~col.contains(":"),
+            F.concat(F.lit(base or vocab), col),
+        ).otherwise(out)
+    for pfx, ns in sorted(entries.items(), key=lambda kv: -len(kv[0])):
+        out = F.when(
+            col.startswith(pfx + ":"),
+            F.concat(F.lit(expand_iri(pfx, context)), F.substring(col, len(pfx) + 2, 2**30)),
+        ).otherwise(out)
+    return F.when(col.contains("://"), col).otherwise(out)
+
+
+def _rewrite_node(
+    col: Column | None,
+    dtype: T.DataType,
+    direction: str,
+    context: dict | None,
+    field_name: str | None = None,
+) -> Column:
+    """Recursive id/type <-> @id/@type key rewrite + @id-typed value
+    shrink/resolve over an arbitrarily nested struct/array column."""
+    add = direction == "add"
+    key_map = {"id": "@id", "type": "@type"} if add else {"@id": "id", "@type": "type"}
+    id_terms = _id_typed_terms(context)
+    if isinstance(dtype, T.StructType):
+        fields = []
+        for f in dtype.fields:
+            child = _rewrite_node(
+                col.getField(f.name), f.dataType, direction, context, f.name
+            )
+            fields.append(child.alias(key_map.get(f.name, f.name)))
+        return F.struct(*fields)
+    if isinstance(dtype, T.ArrayType):
+        return F.transform(
+            col, lambda x: _rewrite_node(x, dtype.elementType, direction, context, field_name)
+        )
+    if isinstance(dtype, T.StringType):
+        if not add and field_name in ("@id",):
+            return resolve_iri_col(col, context)  # _remove_ld_keys @id resolve
+        if not add and field_name in id_terms:
+            return shrink_iri_col(col, context)  # @id-typed term compaction
+        return col
+    return col
+
+
+def apply_ld_keys(
+    df: DataFrame, direction: str = "add", context: dict | None = None
+) -> DataFrame:
+    """Compacted JSON-LD key rewriting at EVERY nesting level: id/type <->
+    @id/@type through structs and arrays (rdf.py:61-89 _add_ld_keys /
+    :489-527 _remove_ld_keys).  With a context, direction='remove' also
+    resolves @id values to full IRIs and shrinks @id-typed term values to
+    curies, matching _resolve_iri / shrink_iri."""
+    add = direction == "add"
+    key_map = {"id": "@id", "type": "@type"} if add else {"@id": "id", "@type": "type"}
+    id_terms = _id_typed_terms(context)
+    cols = []
+    for f in df.schema.fields:
+        col = F.col(f"`{f.name}`")
+        if isinstance(f.dataType, (T.StructType, T.ArrayType)):
+            col = _rewrite_node(col, f.dataType, direction, context, f.name)
+        elif isinstance(f.dataType, T.StringType):
+            if not add and f.name == "@id":
+                col = resolve_iri_col(col, context)
+            elif not add and f.name in id_terms:
+                col = shrink_iri_col(col, context)
+        cols.append(col.alias(key_map.get(f.name, f.name)))
+    return df.select(*cols)
+
+
+def as_jsonld_expanded(
+    df: DataFrame, context: dict | None, out_col: str = "jsonld"
+) -> DataFrame:
+    """Expanded JSON-LD form as one JSON string per row (as_jsonld
+    form='expanded', rdf.py:199-272 via pyld jsonld.expand):
+
+    * property keys expand to full IRIs,
+    * literal values wrap as [{"@value": v}] (plus the term's expanded
+      @type datatype when declared),
+    * @id-typed term values wrap as [{"@id": <resolved iri>}],
+    * nested structs/arrays expand recursively,
+    * id -> "@id" (kept verbatim), type -> "@type": [expanded IRIs].
+
+    The whole document is ONE generated nested-struct expression fed to
+    to_json — per-row work is entirely JVM-side; null fields drop like
+    pyld omits absent properties."""
+    id_terms = _id_typed_terms(context)
+
+    def expand_obj(col: Column | None, schema: T.StructType) -> Column:
+        fields: list[Column] = []
+        for f in sorted(schema.fields, key=lambda x: x.name):
+            name = f.name
+            if name.startswith("_"):
+                continue
+            child = col.getField(name) if col is not None else F.col(f"`{name}`")
+            if name in ("id", "@id"):
+                fields.append(child.alias("@id"))
+                continue
+            if name in ("type", "@type"):
+                if isinstance(f.dataType, T.ArrayType):
+                    types = F.transform(
+                        child, lambda t: _expand_iri_col(t, context)
+                    )
+                else:
+                    types = F.array(_expand_iri_col(child, context))
+                fields.append(types.alias("@type"))
+                continue
+            key = expand_iri(name, context)
+            fields.append(expand_value(child, f.dataType, name).alias(key))
+        return F.struct(*fields)
+
+    def expand_value(child: Column, dtype: T.DataType, term: str) -> Column:
+        if isinstance(dtype, T.StructType):
+            return F.array(expand_obj(child, dtype))
+        if isinstance(dtype, T.ArrayType):
+            return F.transform(
+                child, lambda x: _one_value(x, dtype.elementType, term)
+            )
+        return F.array(_one_value(child, dtype, term))
+
+    def _one_value(child: Column, dtype: T.DataType, term: str) -> Column:
+        if isinstance(dtype, T.StructType):
+            return expand_obj(child, dtype)
+        if term in id_terms:
+            return F.struct(resolve_iri_col(child, context).alias("@id"))
+        dt = _term_datatype(context, term)
+        if dt:
+            # native JSON value rides through unchanged (pyld keeps the
+            # author's literal; only the @type annotation is added)
+            return F.struct(F.lit(dt).alias("@type"), child.alias("@value"))
+        return F.struct(child.alias("@value"))
+
+    doc = expand_obj(None, df.schema)
+    return df.select(F.to_json(doc).alias(out_col))
+
+
+def _expand_iri_col(col: Column, context: dict | None) -> Column:
+    """Column version of expand_iri: chained when() over the bounded set of
+    context terms + prefixes (type-object IRIs are data, not metadata)."""
+    entries = _context_entries(context)
+    out = col
+    # term definitions first (one chase step materialized; contexts in the
+    # fixture corpus are one level deep after _context_entries collapses)
+    for term, _v in entries.items():
+        out = F.when(col == term, F.lit(expand_iri(term, context))).otherwise(out)
+    for pfx, _ns in sorted(_prefix_map(context).items(), key=lambda kv: -len(kv[0])):
+        out = F.when(
+            col.startswith(pfx + ":"),
+            F.concat(F.lit(expand_iri(pfx, context)), F.substring(col, len(pfx) + 2, 2**30)),
+        ).otherwise(out)
+    return out

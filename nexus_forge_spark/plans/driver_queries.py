@@ -21,6 +21,18 @@ from nexus_forge_spark.operators import mentions as M
 from nexus_forge_spark.operators import resolve as R
 from nexus_forge_spark.sources import load_table
 
+# vendored public SHACL fixtures (tests/data/README.md) — no runtime
+# dependency on the reference checkout
+import os as _os
+
+FIXTURE_COMMONS = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests",
+    "data",
+    "shacl-model",
+    "commons",
+)
+
 FLAT_KEYS = ["doc_id", "span_idx", "tok_idx", "n", "mention"]
 
 
@@ -359,7 +371,7 @@ def q_validate_persons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     shapes = load_shapes(
-        sorted(glob.glob("/root/reference/tests/data/shacl-model/commons/shapes-*.json"))
+        sorted(glob.glob(f"{FIXTURE_COMMONS}/shapes-*.json"))
     )
     persons = load_table(spark, "customer", sf_dir).select(
         F.concat(F.lit("http://p/"), F.col("c_custkey")).alias("id"),
@@ -1071,7 +1083,7 @@ def q_validate_rdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_subclass_closure,
     )
 
-    commons = "/root/reference/tests/data/shacl-model/commons"
+    commons = FIXTURE_COMMONS
     shapes = load_shapes(sorted(glob.glob(f"{commons}/shapes-*.json")))
     closure = load_subclass_closure(f"{commons}/schemaorg-v26.0.json")
     persons = load_table(spark, "customer", sf_dir).select(
@@ -1256,6 +1268,110 @@ FROM ranked WHERE rank = 1"""
 
 
 
+# ------------------------------------------------------- JSON-LD (C2/C5)
+
+_LD_CTX = {
+    "@context": {
+        "@base": "http://example.org/",
+        "schema": "http://schema.org/",
+        "cust": "http://example.org/customer/",
+        "nation": {"@id": "schema:nation", "@type": "@id"},
+    }
+}
+
+
+def q_jsonld_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSON-LD compact -> remove round trip (C2/C5, rdf.py:489-527):
+    id/type keys rewrite at BOTH nesting levels, @id values resolve against
+    the context (curie via prefix, bare name via @base), and the @id-typed
+    'nation' value shrinks to a curie.  All rewrites are generated Column
+    chains over the bounded context — schema ops + JVM string exprs."""
+    from nexus_forge_spark.operators.convert import apply_ld_keys
+
+    cust = load_table(spark, "customer", sf_dir)
+    res = cust.select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("id"),
+        F.lit("schema:Customer").alias("type"),
+        F.struct(
+            F.concat(F.lit("addr-"), F.col("c_custkey").cast("string")).alias("id"),
+            F.lit("schema:PostalAddress").alias("type"),
+            F.col("c_name").alias("streetAddress"),
+        ).alias("address"),
+        F.concat(F.lit("http://schema.org/nation/"), F.col("c_nationkey").cast("string")).alias(
+            "nation"
+        ),
+    )
+    ld = apply_ld_keys(res, "add", _LD_CTX)
+    back = apply_ld_keys(ld, "remove", _LD_CTX)
+    return back.select(
+        "id",
+        "type",
+        F.col("address.id").alias("address_id"),
+        F.col("address.type").alias("address_type"),
+        F.col("address.streetAddress").alias("street"),
+        "nation",
+    ).orderBy("id")
+
+
+def sql_jsonld_nested() -> str:
+    return """SELECT
+  'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS id,
+  'schema:Customer' AS type,
+  'http://example.org/addr-' || CAST(c_custkey AS VARCHAR) AS address_id,
+  'schema:PostalAddress' AS address_type,
+  c_name AS street,
+  'schema:nation/' || CAST(c_nationkey AS VARCHAR) AS nation
+FROM customer
+ORDER BY id"""
+
+
+# ------------------------------------------------- Dataset PROV helpers
+
+
+def q_dataset_prov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset.add_contribution/add_generation as set-oriented struct
+    appends (specializations/resources/datasets.py:66-124): one broadcast
+    dim join attaches a versioned agent reference to every dataset row; the
+    constant-id generation is a pure column append.  Flattened to scalar
+    columns for the oracle."""
+    from nexus_forge_spark.operators import datasets as D
+
+    cust = load_table(spark, "customer", sf_dir)
+    ds = cust.select(
+        F.concat(F.lit("ds-"), F.col("c_custkey").cast("string")).alias("id"),
+        F.lit("Dataset").alias("type"),
+        F.col("c_nationkey").alias("k"),
+    )
+    agents = load_table(spark, "nation", sf_dir).select(
+        F.concat(F.lit("agents/"), F.col("n_name")).alias("id"),
+        F.lit("Organization").alias("type"),
+        (F.col("n_nationkey") % 5 + 1).cast("int").alias("_rev"),
+        F.col("n_nationkey").alias("k"),
+    )
+    out = D.add_contribution(ds, agents, on=("k", "k"), versioned=True)
+    out = D.add_generation(out, "activities/ingest-1", versioned=False)
+    return out.select(
+        "id",
+        "type",
+        F.col("contribution.type").alias("contribution_type"),
+        F.col("contribution.agent.id").alias("agent_id"),
+        F.col("contribution.agent.type").alias("agent_type"),
+        F.col("generation.activity.id").alias("activity_id"),
+    ).orderBy("id")
+
+
+def sql_dataset_prov() -> str:
+    return """SELECT
+  'ds-' || CAST(c_custkey AS VARCHAR) AS id,
+  'Dataset' AS type,
+  'Contribution' AS contribution_type,
+  'agents/' || n_name || '?_version=' || CAST(n_nationkey % 5 + 1 AS VARCHAR) AS agent_id,
+  'Organization' AS agent_type,
+  'activities/ingest-1' AS activity_id
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+ORDER BY id"""
+
+
 # ------------------------------------------------------------ SPARQL (S5)
 
 # One SPARQL text, two compilations (Spark / DuckDB dialects differ only in
@@ -1326,4 +1442,6 @@ QUERIES = {
     "limit_offset_page": (q_limit_offset, sql_limit_offset),
     "kg_ladder_blocked": (q_kg_ladder_blocked, sql_kg_ladder_blocked),
     "sparql_select": (q_sparql_select, sql_sparql_select),
+    "jsonld_nested": (q_jsonld_nested, sql_jsonld_nested),
+    "dataset_prov": (q_dataset_prov, sql_dataset_prov),
 }

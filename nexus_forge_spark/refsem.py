@@ -144,3 +144,70 @@ def flatten(case: str, v, path: str, out: set):
         out.add((case, path, _norm(v)))
 
 
+
+
+# ---------------------------------------------------- Dataset PROV helpers
+
+PROV_SPECS = {
+    "contribution": ("Contribution", "agent", "Agent", ["id", "type"]),
+    "generation": ("Generation", "activity", "Activity", ["id", "type"]),
+    "derivation": ("Derivation", "entity", "Entity", ["id", "type", "name"]),
+    "invalidation": ("Invalidation", "activity", "Activity", ["id", "type"]),
+}
+
+
+def ref_set(dataset: dict, attr: str, data) -> None:
+    """_set accumulation (specializations/resources/datasets.py:190-205)."""
+    if attr in dataset:
+        value = dataset[attr]
+        if isinstance(value, list):
+            value.extend(data) if isinstance(data, list) else value.append(data)
+        else:
+            dataset[attr] = [value, *data] if isinstance(data, list) else [value, data]
+    else:
+        dataset[attr] = data
+
+
+def ref_reshape(resource: dict, keep: list[str], versioned: bool) -> dict:
+    """forge.reshape on a dict (core/reshaping.py:35-78): keep present
+    dotted paths; versioned rewrites id -> id?_version=<_rev>."""
+    out: dict = {}
+    for path in keep:
+        node, src = out, resource
+        parts = path.split(".")
+        ok = True
+        for p in parts[:-1]:
+            if not isinstance(src, dict) or p not in src:
+                ok = False
+                break
+            src = src[p]
+            node = node.setdefault(p, {})
+        leaf = parts[-1]
+        if not ok or not isinstance(src, dict) or leaf not in src:
+            continue
+        v = src[leaf]
+        if leaf == "id" and versioned:
+            v = f"{v}?_version={resource['_rev']}"
+        node[leaf] = v
+    return out
+
+
+def ref_add_prov(dataset: dict, attr: str, resource, versioned=True, **kwargs) -> dict:
+    """_add_prov_property + _set (datasets.py:66-124)."""
+    prov_type, ref_prop, ref_type, keep = PROV_SPECS[attr]
+    if isinstance(resource, str):
+        if versioned:
+            raise ValueError("resource:str requires versioned=False")
+        reference = {"type": ref_type, "id": resource}
+    else:
+        reference = ref_reshape(resource, keep, versioned)
+    node = {"type": prov_type, **kwargs, ref_prop: reference}
+    ref_set(dataset, attr, node)
+    return dataset
+
+
+def ref_add_parts(dataset: dict, parts: list[dict], versioned=True) -> dict:
+    """add_parts (datasets.py:42-47)."""
+    keep = ["id", "type", "name", "distribution.contentUrl"]
+    ref_set(dataset, "hasPart", [ref_reshape(p, keep, versioned) for p in parts])
+    return dataset

@@ -15,7 +15,7 @@ from nexus_forge_spark.operators.validate import (
     load_subclass_closure,
 )
 
-COMMONS = "/root/reference/tests/data/shacl-model/commons"
+COMMONS = "/root/repo/tests/data/shacl-model/commons"
 
 
 @pytest.fixture(scope="module")
