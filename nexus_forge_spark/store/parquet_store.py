@@ -1,27 +1,38 @@
-"""Versioned table store: the reference's Store CRUD re-expressed as
-snapshot-versioned parquet (Iceberg semantics modelled locally).
+"""Versioned table store: the reference's Store CRUD as an append-only
+delta log with a merge-on-read view (Iceberg semantics modelled locally).
 
 Reference surface (kgforge/core/archetypes/store.py:38-311, DemoStore
 in-memory semantics at specializations/stores/demo_store.py:141-326):
 
 | reference              | here                                              |
 |---|---|
-| register (one/many)    | append; per-row conflict report (RegistrationError if id exists — demo_store.py:224-236) |
-| update / _update_many  | MERGE by id, _rev bump (demo_store.py:244-262)    |
-| deprecate              | soft flag + rev bump (demo_store.py:272-287)      |
-| tag                    | name -> snapshot version (demo_store.py:289-297)  |
-| retrieve(id, version)  | point lookup, versioned via snapshot time-travel (forge.py:626-645) |
+| register (one/many)    | delta append; per-row conflict report (RegistrationError if id exists — demo_store.py:224-236) |
+| update / _update_many  | MERGE by id -> delta of changed rows, _rev bump (demo_store.py:244-262) |
+| deprecate              | delta of flagged rows, rev bump (demo_store.py:272-287) |
+| tag                    | name -> snapshot seq (demo_store.py:289-297)      |
+| retrieve(id, version)  | point lookup, versioned via log time-travel (forge.py:626-645) |
 | search(*filters)       | Filter DSL -> df.filter (operators/search.py)     |
 | freeze                 | id -> versioned id rewrite (store.py:283-311)     |
 
-Every mutating call produces a NEW snapshot directory (v1, v2, ...); tags
-map names to snapshots; retrieve(version=N) reads snapshot N — this mirrors
-Iceberg snapshot/tag time-travel with plain parquet.  On a real cluster the
-same API binds to `writeTo(...).append()` / MERGE INTO / snapshot refs and
-snapshots are metadata-only, not copies.
+Scale design (the round-1 store rewrote the FULL table per mutation —
+O(table); this one is Iceberg-honest):
+
+* every mutation writes ONLY its affected rows as delta ``d<seq>`` —
+  mutation cost is O(batch), independent of table size;
+* snapshot N = merge-on-read over deltas with seq<=N: latest row per id
+  wins (one row_number window on id — exactly Iceberg's MOR equality-
+  delete resolution).  Reads prune to deltas AFTER the last compaction;
+* ``compact()`` materializes the resolved view as a full base delta
+  (Iceberg rewrite_data_files), bounding read amplification; callers run
+  it on whatever cadence fits their mutation rate;
+* action-report counts come from ``df.observe`` metrics collected during
+  the delta WRITE job — no second count() pass over anything;
+* on a real cluster the same API binds to Iceberg ``MERGE INTO`` /
+  snapshot refs; the log/manifest here is what its metadata layer does.
 
 Bookkeeping columns (the reference's _store_metadata, resource.py:34):
-``_rev`` (int, bumped per update), ``_deprecated`` (bool).
+``_rev`` (int, bumped per update), ``_deprecated`` (bool); ``_seq``
+(delta sequence, internal — the snapshot id of Iceberg metadata).
 """
 
 from __future__ import annotations
@@ -29,8 +40,9 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from nexus_forge_spark.operators.search import apply_filters
 
@@ -48,7 +60,7 @@ class ParquetStore:
         self.id_col = id_col
         os.makedirs(base_dir, exist_ok=True)
 
-    # ------------------------------------------------------------ snapshots
+    # ------------------------------------------------------------ metadata
 
     @property
     def _meta_path(self) -> str:
@@ -58,7 +70,7 @@ class ParquetStore:
         if os.path.exists(self._meta_path):
             with open(self._meta_path, encoding="utf-8") as f:
                 return json.load(f)
-        return {"current": 0, "tags": {}}
+        return {"current": 0, "tags": {}, "deltas": []}
 
     def _save_meta(self, meta: dict) -> None:
         with open(self._meta_path, "w", encoding="utf-8") as f:
@@ -67,82 +79,153 @@ class ParquetStore:
     def current_version(self) -> int:
         return self._meta()["current"]
 
-    def _snapshot_dir(self, version: int) -> str:
-        return os.path.join(self.base_dir, f"v{version}")
+    def _delta_dir(self, seq: int) -> str:
+        return os.path.join(self.base_dir, f"d{seq}")
+
+    def _append_delta(
+        self,
+        df: DataFrame,
+        observation: Observation | None = None,
+        full: bool = False,
+        commit_metric: str | None = None,
+    ) -> tuple[int, dict]:
+        """Write ONE delta (the mutation's affected rows only) and commit it
+        to the log.  The returned metrics come out of the write job itself
+        (df.observe) — a mutation is exactly one Spark job.
+
+        commit_metric names an observation that must be non-zero for the
+        commit to happen; otherwise the write is aborted (dir removed, no
+        snapshot) — Iceberg's abort-on-empty-commit, and the DemoStore
+        behavior of an all-conflict register creating no new version."""
+        meta = self._meta()
+        seq = meta["current"] + 1
+        out = df.withColumn("_seq", F.lit(seq))
+        out.write.mode("overwrite").parquet(self._delta_dir(seq))
+        metrics = dict(observation.get) if observation is not None else {}
+        if commit_metric is not None and not int(metrics.get(commit_metric) or 0):
+            import shutil
+
+            shutil.rmtree(self._delta_dir(seq), ignore_errors=True)
+            return 0, metrics
+        meta["current"] = seq
+        meta["deltas"].append({"seq": seq, "full": full})
+        self._save_meta(meta)
+        return seq, metrics
+
+    # ------------------------------------------------------------ read view
 
     def _read(self, version: int | None = None) -> DataFrame:
+        """Merge-on-read at snapshot `version`: scan the deltas since the
+        last full base <= version, latest _seq per id wins."""
         meta = self._meta()
         v = meta["current"] if version is None else version
         if v == 0:
             raise StoreError("store is empty")
         if v > meta["current"] or v < 1:
             raise StoreError(f"unknown version {v}")
-        return self.spark.read.parquet(self._snapshot_dir(v))
+        live = [d for d in meta["deltas"] if d["seq"] <= v]
+        # prune to the last compacted base (Iceberg snapshot lineage)
+        base_idx = max(
+            (i for i, d in enumerate(live) if d["full"]), default=None
+        )
+        if base_idx is not None:
+            live = live[base_idx:]
+        paths = [self._delta_dir(d["seq"]) for d in live]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if len(paths) == 1:
+            return df.drop("_seq")
+        w = Window.partitionBy(self.id_col).orderBy(F.desc("_seq"))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "_seq")
+        )
 
-    def _write_snapshot(self, df: DataFrame) -> int:
-        meta = self._meta()
-        v = meta["current"] + 1
-        df.write.mode("overwrite").parquet(self._snapshot_dir(v))
-        meta["current"] = v
-        self._save_meta(meta)
-        return v
+    def compact(self) -> int:
+        """Materialize the resolved view as a full base delta (Iceberg
+        rewrite_data_files): bounds merge-on-read amplification after many
+        mutations.  O(table) by nature — run on a cadence, not per write."""
+        seq, _ = self._append_delta(self._read(), full=True)
+        return seq
 
     # ------------------------------------------------------------ CRUD
 
     def register(self, df: DataFrame) -> dict:
         """Append new records (_rev=1).  Rows whose id already exists are
         rejected per-row (RegistrationError semantics) and reported in the
-        Actions-style counter (commons/actions.py:46-59)."""
-        incoming = df.withColumn("_rev", F.lit(1)).withColumn(
-            "_deprecated", F.lit(False)
+        Actions-style counter (commons/actions.py:46-59).  Writes only the
+        accepted batch — existing data is read (id column only), never
+        rewritten."""
+        obs = Observation()
+        incoming = (
+            df.withColumn("_rev", F.lit(1))
+            .withColumn("_deprecated", F.lit(False))
+            .observe(obs, F.count(F.lit(1)).alias("n_in"))
         )
         meta = self._meta()
         if meta["current"] == 0:
-            n = incoming.count()
-            self._write_snapshot(incoming)
+            _, m = self._append_delta(incoming, obs)
+            n = int(m["n_in"])
             return {"action": "register", "succeeded": n, "failed": 0}
-        existing = self._read()
-        ids = existing.select(self.id_col).distinct()
-        ok = incoming.join(ids, self.id_col, "left_anti")
-        n_ok = ok.count()
-        n_fail = df.count() - n_ok
-        if n_ok:
-            self._write_snapshot(existing.unionByName(ok, allowMissingColumns=True))
-        return {"action": "register", "succeeded": n_ok, "failed": n_fail}
+        ids = self._read().select(self.id_col)
+        obs_ok = Observation()
+        ok = incoming.join(ids, self.id_col, "left_anti").observe(
+            obs_ok, F.count(F.lit(1)).alias("n_ok")
+        )
+        # an all-conflict register creates no new version (demo_store.py
+        # register path; matched by the fuzz model) -> abort empty commits
+        _, m = self._append_delta(ok, obs_ok, commit_metric="n_ok")
+        n_ok = int(m["n_ok"])
+        n_in = int(obs.get["n_in"])
+        return {"action": "register", "succeeded": n_ok, "failed": n_in - n_ok}
 
     def update(self, df: DataFrame) -> dict:
         """MERGE by id: matched rows get the new payload with _rev+1;
-        updating a non-existent id is a per-row failure (demo_store.py:249)."""
+        updating a non-existent id is a per-row failure (demo_store.py:249).
+        Only the matched rows are written (MERGE INTO delta)."""
         existing = self._read()
         data_cols = [c for c in existing.columns if c not in META_COLS]
-        inc = df.select(*[c for c in data_cols if c in df.columns]).alias("n")
+        obs = Observation()
+        inc = (
+            df.select(*[c for c in data_cols if c in df.columns])
+            .observe(obs, F.count(F.lit(1)).alias("n_in"))
+            .alias("n")
+        )
         ex = existing.alias("e")
         matched = ex.join(inc, self.id_col, "inner")
-        n_match = matched.count()
-        n_fail = inc.count() - n_match
         updated = matched.select(
-            *[F.col(f"n.{c}") if c in inc.columns else F.col(f"e.{c}") for c in data_cols if c != self.id_col],
+            *[
+                F.col(f"n.{c}") if c in df.columns else F.col(f"e.{c}")
+                for c in data_cols
+                if c != self.id_col
+            ],
             F.col(f"e.{self.id_col}"),
             (F.col("e._rev") + 1).alias("_rev"),
             F.col("e._deprecated"),
         ).select(*existing.columns)
-        untouched = ex.join(inc.select(self.id_col), self.id_col, "left_anti").select(
-            *existing.columns
-        )
-        self._write_snapshot(untouched.unionByName(updated))
-        return {"action": "update", "succeeded": n_match, "failed": n_fail}
+        obs_m = Observation()
+        updated = updated.observe(obs_m, F.count(F.lit(1)).alias("n_match"))
+        _, m = self._append_delta(updated, obs_m)
+        n_match = int(m["n_match"])
+        n_in = int(obs.get["n_in"])
+        return {"action": "update", "succeeded": n_match, "failed": n_in - n_match}
 
     def deprecate(self, ids: list) -> dict:
-        """Soft-delete: _deprecated=true + rev bump (store.py:226-248)."""
+        """Soft-delete: _deprecated=true + rev bump (store.py:226-248).
+        Writes only the flagged rows."""
         existing = self._read()
-        hit = F.col(self.id_col).isin(ids)
-        n = existing.where(hit & ~F.col("_deprecated")).count()
-        out = existing.withColumn(
-            "_rev", F.when(hit, F.col("_rev") + 1).otherwise(F.col("_rev"))
-        ).withColumn(
-            "_deprecated", F.when(hit, F.lit(True)).otherwise(F.col("_deprecated"))
+        hit = existing.where(F.col(self.id_col).isin(ids))
+        obs = Observation()
+        flagged = (
+            hit.observe(
+                obs,
+                F.sum(F.when(~F.col("_deprecated"), 1).otherwise(0)).alias("n_live"),
+            )
+            .withColumn("_rev", F.col("_rev") + 1)
+            .withColumn("_deprecated", F.lit(True))
         )
-        self._write_snapshot(out)
+        _, m = self._append_delta(flagged, obs)
+        n = int(m["n_live"] or 0)
         return {"action": "deprecate", "succeeded": n, "failed": len(ids) - n}
 
     # ------------------------------------------------------------ versioning
@@ -162,7 +245,8 @@ class ParquetStore:
         tag: str | None = None,
     ) -> DataFrame:
         """Point lookup by id(s), optionally at a snapshot/tag (bulk retrieve
-        is a join, not N requests — SURVEY.md S19)."""
+        is a join, not N requests — SURVEY.md S19).  The isin filter pushes
+        into the parquet scans of the live deltas."""
         if tag is not None:
             meta = self._meta()
             if tag not in meta["tags"]:

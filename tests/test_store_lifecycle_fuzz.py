@@ -132,3 +132,28 @@ def test_random_lifecycle_matches_model(spark, seed):
             assert _state_of(store.retrieve(tag=name)) == model.versions[v - 1], name
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_preserves_state_and_time_travel(spark):
+    """compact() materializes a base delta; current state, later mutations,
+    and pre-compaction time travel all stay identical."""
+    tmp = tempfile.mkdtemp()
+    try:
+        store = ParquetStore(spark, f"{tmp}/s")
+        df = lambda rows: spark.createDataFrame(rows, "id string, name string, age long")
+        store.register(df([("a", "n1", 1), ("b", "n2", 2)]))      # v1
+        store.update(df([("a", "n1b", 10)]))                       # v2
+        pre = _state_of(store.retrieve())
+        v_before = store.current_version()
+        store.compact()                                            # v3 (base)
+        assert _state_of(store.retrieve()) == pre
+        assert _state_of(store.retrieve(version=v_before)) == pre
+        # v1 time travel still resolves from pre-base deltas
+        assert set(_state_of(store.retrieve(version=1))) == {"a", "b"}
+        assert _state_of(store.retrieve(version=1))["a"][2] == 1  # rev 1
+        # mutations after the base keep working
+        store.deprecate(["b"])
+        st = _state_of(store.retrieve())
+        assert st["b"][3] is True and st["a"][0] == "n1b"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
