@@ -7,12 +7,15 @@ opaque ``binary`` columns with typed metadata, and every decode /
 feature-extract / resize / frame-sample step is an Arrow-batched pandas
 stage over ``mapInPandas`` — never per-row Python.
 
-The actual byte decoding is STUBBED (image/audio libraries are not in this
-container): ``_decode_image_bytes`` & co. produce deterministic fake outputs
-derived from the payload hash, clearly marked with ``DECODE_IS_STUBBED``.
+Image decode is REAL for PPM/PGM/BMP payloads: a pure-numpy codec
+(functions/imagecodec.py) decodes pixels, extracts block-mean embeddings,
+and resizes + re-encodes — no PIL needed.  Synthetic image payloads from
+``media_from_documents`` are genuine 4x4 P6 PPM files, so the default
+pipeline exercises the real path end to end.  Other formats (JPEG/audio/
+video containers need libs absent from this container) fall back to the
+deterministic hash stub, still marked by ``DECODE_IS_STUBBED``.
 Everything Spark-side — schemas, partitioning, the mapInPandas batch
-contract, null handling — is real and tested; swapping in PIL/ffmpeg later
-changes only the stub bodies.
+contract, null handling — is real and tested.
 """
 
 from __future__ import annotations
@@ -26,7 +29,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-DECODE_IS_STUBBED = True  # flip when real codecs are wired in
+from nexus_forge_spark.functions import imagecodec
+
+# PPM/PGM/BMP decode is real (numpy codec); everything else still stubs
+DECODE_REAL_FORMATS = frozenset({"ppm", "pgm", "bmp"})
+DECODE_IS_STUBBED = False  # real for DECODE_REAL_FORMATS; see module doc
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -80,19 +87,32 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
     )
     ref = F.col("span.media_ref")
     fake_bytes = F.unhex(F.md5(ref))  # 16 deterministic bytes per ref
+    # image payloads are REAL 4x4 P6 PPM files (header + 48 hash-derived
+    # pixel bytes) so the numpy decode path runs for real on synthetic data
+    ppm_bytes = F.concat(
+        F.lit(b"P6\n4 4\n255\n"),
+        F.unhex(F.md5(ref)),
+        F.unhex(F.md5(F.concat(ref, F.lit("#1")))),
+        F.unhex(F.md5(F.concat(ref, F.lit("#2")))),
+    )
     media_type = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.pmod(F.xxhash64(ref), F.lit(3)) + 1).cast("int"),
     )
+    is_image = media_type == "image"
     return spans.select(
         "doc_id",
         ref.alias("media_ref"),
         media_type.alias("media_type"),
-        fake_bytes.alias("content"),
+        F.when(is_image, ppm_bytes).otherwise(fake_bytes).alias("content"),
         F.struct(
-            F.lit("synthetic").alias("format"),
-            (F.pmod(F.xxhash64(ref, F.lit(1)), F.lit(1920)) + 1).cast("int").alias("width"),
-            (F.pmod(F.xxhash64(ref, F.lit(2)), F.lit(1080)) + 1).cast("int").alias("height"),
+            F.when(is_image, F.lit("ppm")).otherwise(F.lit("synthetic")).alias("format"),
+            F.when(is_image, F.lit(4))
+            .otherwise((F.pmod(F.xxhash64(ref, F.lit(1)), F.lit(1920)) + 1).cast("int"))
+            .alias("width"),
+            F.when(is_image, F.lit(4))
+            .otherwise((F.pmod(F.xxhash64(ref, F.lit(2)), F.lit(1080)) + 1).cast("int"))
+            .alias("height"),
             (F.pmod(F.xxhash64(ref, F.lit(3)), F.lit(60000)) + 1).cast("int").alias("duration_ms"),
             F.lit(16000).alias("sample_rate"),
         ).alias("metadata"),
@@ -101,13 +121,23 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------- stubs
 
-def _decode_image_bytes(content: bytes | None, dim: int = 8) -> list[float]:
-    """STUB decode: deterministic pseudo-embedding from the payload hash.
-    Real impl: PIL.Image.open -> resize -> normalize -> model forward."""
+def _decode_image_bytes(content: bytes | None, dim: int = 8):
+    """-> (embedding, width, height, channels).
+
+    REAL for PPM/PGM/BMP: numpy decode + block-mean luma embedding
+    (functions/imagecodec.py).  Other formats fall back to the STUB
+    hash-embedding with no pixel geometry (None dims) — real impl for
+    those needs PIL, absent from this container."""
     if content is None:
         raise NotImplementedError("media content missing; fetch stage not wired")
-    h = hashlib.sha256(bytes(content)).digest()
-    return [((h[i % len(h)] / 255.0) * 2 - 1) for i in range(dim)]
+    raw = bytes(content)
+    if imagecodec.sniff_format(raw) in DECODE_REAL_FORMATS:
+        arr = imagecodec.decode_image(raw)
+        h, w, ch = arr.shape
+        return imagecodec.block_mean_embedding(arr, dim), w, h, ch
+    digest = hashlib.sha256(raw).digest()
+    emb = [((digest[i % len(digest)] / 255.0) * 2 - 1) for i in range(dim)]
+    return emb, None, None, None
 
 
 def _sample_frame_bytes(content: bytes, idx: int) -> bytes:
@@ -130,14 +160,22 @@ def extract_image_features(media: DataFrame, dim: int = 8) -> DataFrame:
             if len(pdf) == 0:
                 continue
             meta = pdf["metadata"]
+            decoded = [_decode_image_bytes(c, dim) for c in pdf["content"]]
+            # real decodes report pixel geometry; stub falls back to metadata
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_ref": pdf["media_ref"],
-                    "width": [m["width"] for m in meta],
-                    "height": [m["height"] for m in meta],
-                    "channels": 3,
-                    "embedding": [_decode_image_bytes(c, dim) for c in pdf["content"]],
+                    "width": [
+                        d[1] if d[1] is not None else m["width"]
+                        for d, m in zip(decoded, meta)
+                    ],
+                    "height": [
+                        d[2] if d[2] is not None else m["height"]
+                        for d, m in zip(decoded, meta)
+                    ],
+                    "channels": [d[3] if d[3] is not None else 3 for d in decoded],
+                    "embedding": [d[0] for d in decoded],
                 }
             )
 
@@ -166,20 +204,31 @@ def sample_video_frames(media: DataFrame, every_ms: int = 10000) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage: metadata rewrite is real; byte transform is stubbed
-    (sha256 re-keying stands in for the resampled payload)."""
+    """Resize stage.  REAL for PPM/PGM/BMP payloads: numpy nearest-neighbour
+    resample + PPM re-encode.  Other formats keep the stub byte re-keying
+    (sha256) so the batch contract is exercised either way."""
+
+    def _resize_one(c) -> bytes:
+        raw = bytes(c)
+        if imagecodec.sniff_format(raw) in DECODE_REAL_FORMATS:
+            arr = imagecodec.decode_image(raw)
+            return imagecodec.encode_ppm(imagecodec.resize_nearest(arr, width, height))
+        return hashlib.sha256(raw + f"{width}x{height}".encode()).digest()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
                 continue
             pdf = pdf.copy()
-            pdf["content"] = [
-                hashlib.sha256(bytes(c) + f"{width}x{height}".encode()).digest()
+            real = [
+                imagecodec.sniff_format(bytes(c)) in DECODE_REAL_FORMATS
                 for c in pdf["content"]
             ]
+            pdf["content"] = [_resize_one(c) for c in pdf["content"]]
             pdf["metadata"] = [
-                {**m, "width": width, "height": height} for m in pdf["metadata"]
+                {**m, "width": width, "height": height,
+                 "format": "ppm" if r else m["format"]}
+                for m, r in zip(pdf["metadata"], real)
             ]
             yield pdf
 

@@ -1,6 +1,6 @@
 """Multimodal plumbing: schemas, mapInPandas batch contract, determinism.
-Decode bodies are stubs (DECODE_IS_STUBBED) — the Spark-side contract is
-what's under test."""
+Image decode is REAL for PPM/PGM/BMP (numpy codec); audio/video bodies
+stay stubbed — both paths are under test."""
 
 from __future__ import annotations
 
@@ -22,9 +22,16 @@ def test_media_schema_and_payload(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.media_ref.startswith("media://")
-        assert len(r.content) == 16  # md5-derived payload
         assert r.media_type in ("image", "audio", "video")
-        assert 1 <= r.metadata.width <= 1920
+        if r.media_type == "image":
+            # real 4x4 P6 PPM payload: header + 48 pixel bytes
+            assert bytes(r.content).startswith(b"P6\n4 4\n255\n")
+            assert len(r.content) == 11 + 48
+            assert r.metadata.format == "ppm"
+            assert r.metadata.width == 4 and r.metadata.height == 4
+        else:
+            assert len(r.content) == 16  # md5-derived stub payload
+            assert 1 <= r.metadata.width <= 1920
 
 
 def test_image_features_batch_contract(spark, sf_dir):
@@ -70,7 +77,9 @@ def test_resize_rewrites_metadata_and_bytes(spark, sf_dir):
     rows = resized.limit(5).collect()
     for r in rows:
         assert r.metadata.width == 64 and r.metadata.height == 64
-        assert len(r.content) == 32  # sha256 stub payload
+        # real resample: output is a genuine 64x64 P6 PPM
+        assert bytes(r.content).startswith(b"P6\n64 64\n255\n")
+        assert len(r.content) == len(b"P6\n64 64\n255\n") + 64 * 64 * 3
 
 
 def test_missing_content_raises_not_implemented(spark):
