@@ -280,6 +280,56 @@ def run(spark):  # noqa: C901 — linear report script
         act.add((cid, "validated_plain", _norm(plain[cid])))
         act.add((cid, "validated_rdfs", _norm(rdfs[cid])))
 
+    # ---- dataset PROV family (datasets.py:27-205 semantics)
+    exp, act = fam("datasets_prov")
+    from nexus_forge_spark.operators import datasets as D
+    from nexus_forge_spark.refsem import ref_add_parts, ref_add_prov
+
+    from pyspark.sql import functions as F
+
+    agent = {"id": "agents/jdoe", "type": "Person", "_rev": 3}
+    entity = {"id": "entities/src", "type": "Entity", "name": "corpus", "_rev": 7}
+    parts = [
+        {"id": "p1", "type": "File", "name": "one", "_rev": 2,
+         "distribution": {"contentUrl": "http://f/p1"}},
+        {"id": "p2", "type": "File", "name": "two", "_rev": 5,
+         "distribution": {"contentUrl": "http://f/p2"}},
+    ]
+    # expected: reference model applied to one dataset dict
+    e_ds = {"id": "ds-1", "type": "Dataset"}
+    ref_add_prov(e_ds, "contribution", agent, versioned=True)
+    ref_add_prov(e_ds, "generation", "activities/gen", versioned=False)
+    ref_add_prov(e_ds, "derivation", entity, versioned=True)
+    ref_add_parts(e_ds, parts, versioned=True)
+    flatten("prov", e_ds, "", exp)
+    # actual: Spark operators on a one-row DataFrame
+    ds = spark.createDataFrame([("ds-1", "Dataset", "k")], "id string, type string, k string")
+    adf = spark.createDataFrame(
+        [(agent["id"], agent["type"], agent["_rev"], "k")],
+        "id string, type string, _rev int, k string")
+    edf = spark.createDataFrame(
+        [(entity["id"], entity["type"], entity["name"], entity["_rev"], "k")],
+        "id string, type string, name string, _rev int, k string")
+    pdf = spark.createDataFrame(
+        [(p["id"], p["type"], p["name"], p["_rev"], (p["distribution"]["contentUrl"],), "k")
+         for p in parts],
+        "id string, type string, name string, _rev int, "
+        "distribution struct<contentUrl:string>, k string")
+    out = D.add_contribution(ds, adf, on=("k", "k"), versioned=True)
+    out = D.add_generation(out, "activities/gen", versioned=False)
+    out = D.add_derivation(out, edf, on=("k", "k"), versioned=True)
+    out = D.add_parts(out, pdf.orderBy("id").coalesce(1), on=("k", "k"))
+    row = out.drop("k").collect()[0]
+
+    def _clean(v):
+        if isinstance(v, dict):
+            return {k2: _clean(s) for k2, s in v.items() if s is not None}
+        if isinstance(v, list):
+            return [_clean(s) for s in v]
+        return v
+
+    flatten("prov", _clean(row.asDict(recursive=True)), "", act)
+
     # ---- report
     lines = [
         "# PARITY — fact-level P/R vs reference semantics on its fixture corpus",
