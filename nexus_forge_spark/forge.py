@@ -370,5 +370,45 @@ class SparkForge:
 
         return apply_ld_keys(data, "remove", self.config.context)
 
+    # ------------------------------------------- Dataset PROV helpers (D1-D3)
+    # the reference exposes these on its Dataset specialization
+    # (specializations/resources/datasets.py:27-205); here they are
+    # set-oriented DataFrame transforms (operators/datasets.py)
+
+    def add_contribution(self, datasets: DataFrame, resource, on=None, versioned=True, **kw):
+        from nexus_forge_spark.operators import datasets as D
+
+        return D.add_contribution(datasets, resource, on, versioned, **kw)
+
+    def add_generation(self, datasets: DataFrame, resource, on=None, versioned=True, **kw):
+        from nexus_forge_spark.operators import datasets as D
+
+        return D.add_generation(datasets, resource, on, versioned, **kw)
+
+    def add_derivation(self, datasets: DataFrame, resource, on=None, versioned=True, **kw):
+        from nexus_forge_spark.operators import datasets as D
+
+        return D.add_derivation(datasets, resource, on, versioned, **kw)
+
+    def add_invalidation(self, datasets: DataFrame, resource, on=None, versioned=True, **kw):
+        from nexus_forge_spark.operators import datasets as D
+
+        return D.add_invalidation(datasets, resource, on, versioned, **kw)
+
+    def add_parts(self, datasets: DataFrame, parts: DataFrame, on, versioned=True):
+        from nexus_forge_spark.operators import datasets as D
+
+        return D.add_parts(datasets, parts, on, versioned)
+
+    def add_distribution(self, datasets: DataFrame, path, content_type=None):
+        from nexus_forge_spark.operators import datasets as D
+
+        return D.add_distribution(datasets, path, content_type)
+
+    def add_files(self, datasets: DataFrame, path, content_type=None):
+        from nexus_forge_spark.operators import datasets as D
+
+        return D.add_files(datasets, path, content_type)
+
     paths = staticmethod(paths)
     apply_filters = staticmethod(apply_filters)
