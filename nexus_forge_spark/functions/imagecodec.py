@@ -27,14 +27,19 @@ class ImageDecodeError(ValueError):
     pass
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
 def sniff_format(content: bytes) -> str | None:
-    """'ppm' | 'pgm' | 'bmp' for decodable payloads, else None."""
+    """'ppm' | 'pgm' | 'bmp' | 'png' for decodable payloads, else None."""
     if content[:2] == b"P6":
         return "ppm"
     if content[:2] == b"P5":
         return "pgm"
     if content[:2] == b"BM":
         return "bmp"
+    if content[:8] == PNG_SIGNATURE:
+        return "png"
     return None
 
 
@@ -94,7 +99,79 @@ def decode_image(content: bytes) -> np.ndarray:
         if not top_down:
             rows = rows[::-1]
         return rows[:, :, ::-1].copy()  # BGR -> RGB
+    if fmt == "png":
+        return _decode_png(bytes(content))
     raise ImageDecodeError("unknown image format")
+
+
+def _decode_png(buf: bytes) -> np.ndarray:
+    """PNG decode with stdlib zlib: 8-bit gray (type 0), RGB (2), gray+alpha
+    (4), RGBA (6), non-interlaced; all five scanline filters unfiltered.
+    Palette/16-bit/interlaced images raise ImageDecodeError."""
+    import zlib
+
+    pos = 8
+    width = height = None
+    color_type = bit_depth = None
+    idat = bytearray()
+    n = len(buf)
+    while pos + 8 <= n:
+        length = struct.unpack_from(">I", buf, pos)[0]
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bit_depth != 8:
+                raise ImageDecodeError(f"unsupported PNG bit depth {bit_depth}")
+            if color_type not in (0, 2, 4, 6):
+                raise ImageDecodeError(f"unsupported PNG color type {color_type}")
+            if interlace:
+                raise ImageDecodeError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ImageDecodeError("truncated PNG")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ImageDecodeError("truncated PNG pixel data")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need left -> sequential
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = cur[x - channels] if x >= channels else 0
+                up = int(prev[x])
+                if f == 1:
+                    cur[x] = (line[x] + left) & 0xFF
+                elif f == 3:
+                    cur[x] = (line[x] + ((left + up) >> 1)) & 0xFF
+                else:  # Paeth predictor
+                    ul = int(prev[x - channels]) if x >= channels else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ImageDecodeError(f"unknown PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    return out.reshape(height, width, channels)
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:
@@ -106,6 +183,34 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
 
 
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W, 1|2|3|4) uint8 -> PNG bytes (filter 0 scanlines, one zlib
+    IDAT) — fixture/round-trip encoder for the stdlib-only decoder."""
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h))
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbour resample via integer index maps — pure numpy."""
     h, w = arr.shape[:2]
@@ -115,9 +220,10 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def grayscale(arr: np.ndarray) -> np.ndarray:
-    """(H, W, C) -> (H, W) float32 luma (ITU-R 601 weights)."""
+    """(H, W, C) -> (H, W) float32 luma (ITU-R 601 weights); alpha channels
+    (gray+alpha, RGBA) are ignored."""
     a = arr.astype(np.float32)
-    if a.shape[2] == 1:
+    if a.shape[2] in (1, 2):
         return a[:, :, 0]
     return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
 

@@ -237,11 +237,13 @@ def _tokenize(q: str) -> list[str]:
 
 @dataclass
 class _Group:
-    """One graph-pattern group: triple patterns + filters + optional groups."""
+    """One graph-pattern group: triple patterns + filters + optional groups
+    + UNION chains (each chain = a list of alternative subgroups)."""
 
     patterns: list[tuple[str, str, str]] = field(default_factory=list)
     filters: list[list[str]] = field(default_factory=list)  # token lists
     optionals: list["_Group"] = field(default_factory=list)
+    unions: list[list["_Group"]] = field(default_factory=list)
 
 
 class _Parser:
@@ -346,6 +348,13 @@ class _Parser:
             if t.lower() == "optional":
                 self.next()
                 g.optionals.append(self.parse_group())
+                continue
+            if t == "{":
+                # braced subgroup chain: { A } UNION { B } UNION { C }
+                alts = [self.parse_group()]
+                while self.kw("UNION"):
+                    alts.append(self.parse_group())
+                g.unions.append(alts)
                 continue
             if t == ".":
                 self.next()
@@ -462,7 +471,7 @@ class SparqlToSql:
         self, g: _Group, parser: _Parser, alias_prefix: str = "t"
     ) -> tuple[str, dict[str, str]]:
         """-> ('FROM ... WHERE ...' fragment, var -> qualified column)."""
-        if not g.patterns:
+        if not g.patterns and not g.unions:
             raise QueryingError("empty graph pattern")
         bindings: dict[str, str] = {}
         conds: list[str] = []
@@ -482,36 +491,81 @@ class SparqlToSql:
                     conds.append(f"{ref} = {_sql_str(term.strip(chr(39) + chr(34)))}")
                 else:
                     conds.append(f"{ref} = {_sql_str(_split_iri(term))}")
-        for ftoks in g.filters:
-            conds.append(self._compile_expr(ftoks, bindings))
-        sql = "FROM " + ", ".join(tables)
-        if conds:
-            sql += " WHERE " + " AND ".join(conds)
 
-        # OPTIONAL groups: derived-table LEFT JOIN on the shared variables.
-        # Wrap the mandatory part as a subquery so comma-joins never mix
-        # with LEFT JOIN scoping.
-        if g.optionals:
-            base_cols = ", ".join(
-                f"{ref} AS {v}" for v, ref in bindings.items()
-            )
+        if not g.optionals and not g.unions:
+            # simple path: filters ride in the same WHERE
+            for ftoks in g.filters:
+                conds.append(self._compile_expr(ftoks, bindings))
+            sql = "FROM " + ", ".join(tables)
+            if conds:
+                sql += " WHERE " + " AND ".join(conds)
+            return sql, bindings
+
+        # composite path: wrap the pattern block as a derived table, then
+        # attach UNION chains (inner joins / base) and OPTIONAL groups
+        # (left joins); filters apply over the combined bindings at the end
+        out_sql: str | None = None
+        out_bind: dict[str, str] = {}
+        if tables:
+            sql = "FROM " + ", ".join(tables)
+            if conds:
+                sql += " WHERE " + " AND ".join(conds)
+            base_cols = ", ".join(f"{ref} AS {v}" for v, ref in bindings.items())
             out_sql = f"FROM (SELECT {base_cols} {sql}) base"
             out_bind = {v: f"base.{v}" for v in bindings}
-            for oi, og in enumerate(g.optionals):
-                osql, obind = self._compile_group(og, parser, f"o{oi}_")
-                shared = [v for v in obind if v in out_bind]
-                if not shared:
-                    raise QueryingError("OPTIONAL group shares no variable")
-                ocols = ", ".join(f"{ref} AS {v}" for v, ref in obind.items())
-                on = " AND ".join(
-                    f"opt{oi}.{v} = {out_bind[v]}" for v in shared
+
+        for ui, alts in enumerate(g.unions):
+            usql, uvars = self._compile_union(alts, parser, f"{alias_prefix}u{ui}_")
+            alias = f"un{ui}"
+            if out_sql is None:
+                out_sql = f"FROM {usql} {alias}"
+                out_bind = {v: f"{alias}.{v}" for v in uvars}
+                continue
+            shared = [v for v in uvars if v in out_bind]
+            if not shared:
+                raise QueryingError("UNION group shares no variable with the base")
+            on = " AND ".join(f"{alias}.{v} = {out_bind[v]}" for v in shared)
+            out_sql += f" JOIN {usql} {alias} ON {on}"
+            for v in uvars:
+                out_bind.setdefault(v, f"{alias}.{v}")
+
+        for oi, og in enumerate(g.optionals):
+            osql, obind = self._compile_group(og, parser, f"o{oi}_")
+            shared = [v for v in obind if v in out_bind]
+            if not shared:
+                raise QueryingError("OPTIONAL group shares no variable")
+            ocols = ", ".join(f"{ref} AS {v}" for v, ref in obind.items())
+            on = " AND ".join(f"opt{oi}.{v} = {out_bind[v]}" for v in shared)
+            out_sql += f" LEFT JOIN (SELECT {ocols} {osql}) opt{oi} ON {on}"
+            for v in obind:
+                if v not in out_bind:
+                    out_bind[v] = f"opt{oi}.{v}"
+
+        if g.filters:
+            f = " AND ".join(self._compile_expr(t, out_bind) for t in g.filters)
+            out_sql += f" WHERE {f}"
+        return out_sql, out_bind
+
+    def _compile_union(
+        self, alts: list[_Group], parser: _Parser, prefix: str
+    ) -> tuple[str, list[str]]:
+        """UNION chain -> ('(SELECT ... UNION ALL SELECT ...)', var list).
+        SPARQL UNION is bag union -> UNION ALL.  Branches must bind the
+        same variable set so the union's columns align."""
+        selects: list[str] = []
+        varset: list[str] | None = None
+        for i, alt in enumerate(alts):
+            sql, b = self._compile_group(alt, parser, f"{prefix}a{i}_")
+            vs = sorted(b)
+            if varset is None:
+                varset = vs
+            elif vs != varset:
+                raise QueryingError(
+                    f"UNION branches bind different variables: {varset} vs {vs}"
                 )
-                out_sql += f" LEFT JOIN (SELECT {ocols} {osql}) opt{oi} ON {on}"
-                for v in obind:
-                    if v not in out_bind:
-                        out_bind[v] = f"opt{oi}.{v}"
-            return out_sql, out_bind
-        return sql, bindings
+            cols = ", ".join(f"{b[v]} AS {v}" for v in varset)
+            selects.append(f"SELECT {cols} {sql}")
+        return "(" + " UNION ALL ".join(selects) + ")", varset or []
 
     # -- FILTER expression compilation --------------------------------------
     def _compile_expr(self, toks: list[str], bindings: dict[str, str]) -> str:

@@ -31,8 +31,9 @@ from pyspark.sql import types as T
 
 from nexus_forge_spark.functions import imagecodec
 
-# PPM/PGM/BMP decode is real (numpy codec); everything else still stubs
-DECODE_REAL_FORMATS = frozenset({"ppm", "pgm", "bmp"})
+# PPM/PGM/BMP/PNG decode is real (numpy + stdlib zlib); JPEG/audio/video
+# still stub (libs absent from this container)
+DECODE_REAL_FORMATS = frozenset({"ppm", "pgm", "bmp", "png"})
 DECODE_IS_STUBBED = False  # real for DECODE_REAL_FORMATS; see module doc
 
 MEDIA_SCHEMA = T.StructType(
@@ -208,27 +209,31 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     resample + PPM re-encode.  Other formats keep the stub byte re-keying
     (sha256) so the batch contract is exercised either way."""
 
-    def _resize_one(c) -> bytes:
+    def _resize_one(c) -> tuple[bytes, str | None]:
         raw = bytes(c)
-        if imagecodec.sniff_format(raw) in DECODE_REAL_FORMATS:
-            arr = imagecodec.decode_image(raw)
-            return imagecodec.encode_ppm(imagecodec.resize_nearest(arr, width, height))
-        return hashlib.sha256(raw + f"{width}x{height}".encode()).digest()
+        fmt = imagecodec.sniff_format(raw)
+        if fmt in DECODE_REAL_FORMATS:
+            arr = imagecodec.resize_nearest(
+                imagecodec.decode_image(raw), width, height
+            )
+            if fmt == "png":
+                return imagecodec.encode_png(arr), "png"
+            # PNM carries 1 or 3 channels; alpha can't appear here
+            out_fmt = "ppm" if arr.shape[2] == 3 else "pgm"
+            return imagecodec.encode_ppm(arr), out_fmt
+        return hashlib.sha256(raw + f"{width}x{height}".encode()).digest(), None
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
                 continue
             pdf = pdf.copy()
-            real = [
-                imagecodec.sniff_format(bytes(c)) in DECODE_REAL_FORMATS
-                for c in pdf["content"]
-            ]
-            pdf["content"] = [_resize_one(c) for c in pdf["content"]]
+            resized = [_resize_one(c) for c in pdf["content"]]
+            pdf["content"] = [r[0] for r in resized]
             pdf["metadata"] = [
                 {**m, "width": width, "height": height,
-                 "format": "ppm" if r else m["format"]}
-                for m, r in zip(pdf["metadata"], real)
+                 "format": r[1] if r[1] is not None else m["format"]}
+                for m, r in zip(pdf["metadata"], resized)
             ]
             yield pdf
 

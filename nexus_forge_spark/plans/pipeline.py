@@ -33,13 +33,23 @@ def construct_kg(
             dims.ontology_terms_idx(spark), dims.ONTOLOGY_MATCH_PROPS
         )
 
+    # NOTE on two measured non-wins (BENCH.md "Round-2 pipeline probes"):
+    # (a) mention_prefilter in-line: lossless and correct, but this
+    #     synthetic corpus draws its text FROM the dictionary vocabulary,
+    #     so the trigram filter only drops 33% and measures wall-neutral —
+    #     it stays an opt-in operator for realistic corpora where garbage
+    #     n-grams dominate (selectivity 1-10%);
+    # (b) checkpointing the mention stream to avoid the double explode
+    #     (vocab branch + join-back branch): materializing 42M rows costs
+    #     MORE than re-running the map-side explode (25.4s -> 32.0s at
+    #     local[8]) — recompute beats spill for cheap map-side lineage.
     mentions = M.extract_mentions(documents)
     if fuzzy:
         # single-pass ladder: exact preferred, best-fuzzy fallback — one
         # broadcast join instead of exact-pass + anti-join + fuzzy-pass;
         # factored through the distinct mention vocabulary so the substring
         # join never touches the occurrence stream.
-        resolved = R.resolve_ladder_distinct(mentions, alias_table)
+        resolved = R.resolve_ladder_distinct(mentions, alias_table, prefilter=False)
     else:
         resolved = R.resolve_distinct(mentions, alias_table, R.EXACT_MATCH)
 

@@ -84,3 +84,93 @@ def test_block_mean_embedding_bounds(rgb):
 def test_truncated_payload_raises():
     with pytest.raises(IC.ImageDecodeError):
         IC.decode_image(b"P6\n4 4\n255\n" + b"\x00" * 10)
+
+
+# ----------------------------------------------------------------- PNG
+
+
+def test_png_roundtrip_rgb(rgb):
+    enc = IC.encode_png(rgb)
+    assert IC.sniff_format(enc) == "png"
+    assert np.array_equal(IC.decode_image(enc), rgb)
+
+
+def test_png_roundtrip_gray_and_rgba():
+    gray = np.arange(20, dtype=np.uint8).reshape(4, 5, 1)
+    assert np.array_equal(IC.decode_image(IC.encode_png(gray)), gray)
+    rng = np.random.default_rng(3)
+    rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    assert np.array_equal(IC.decode_image(IC.encode_png(rgba)), rgba)
+
+
+def test_png_all_filters_decode():
+    """Hand-build an IDAT using every scanline filter (None/Sub/Up/
+    Average/Paeth) and check the unfiltering against the known source."""
+    import struct as _struct
+    import zlib
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8).astype(np.int32)
+    ch = 3
+    stride = 4 * ch
+    lines = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = src[y].reshape(-1)
+        enc = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            left = cur[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            enc[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+    raw = b"".join(lines)
+
+    def chunk(t, d):
+        return _struct.pack(">I", len(d)) + t + d + _struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    buf = (
+        IC.PNG_SIGNATURE
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(IC.decode_image(buf), src.astype(np.uint8))
+
+
+def test_png_unsupported_features_raise():
+    import struct as _struct
+    import zlib
+
+    def chunk(t, d):
+        return _struct.pack(">I", len(d)) + t + d + _struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    # 16-bit depth
+    buf = IC.PNG_SIGNATURE + chunk(
+        b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    )
+    with pytest.raises(IC.ImageDecodeError):
+        IC.decode_image(buf)
+    # palette color type
+    buf = IC.PNG_SIGNATURE + chunk(
+        b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    )
+    with pytest.raises(IC.ImageDecodeError):
+        IC.decode_image(buf)

@@ -61,3 +61,23 @@ def test_ci_regex_predicate(spark):
     pred = R.strategy_predicate(F.col("mention"), F.col("alias"), R.EXACT_CASE_INSENSITIVE_MATCH)
     out = df.select("alias", pred.alias("hit")).collect()
     assert [r.hit for r in out] == [True, True, False]
+
+
+def test_mention_prefilter_lossless(spark, sf_dir):
+    """The alias-derived trigram/length prefilter must never drop a mention
+    that any ladder strategy would resolve (lossless pruning)."""
+    from nexus_forge_spark import dims
+    from nexus_forge_spark.operators import resolve as R
+    from nexus_forge_spark.sources import flat_to_interleaved, load_table
+    from nexus_forge_spark.operators.mentions import extract_mentions
+
+    docs = flat_to_interleaved(load_table(spark, "documents", sf_dir))
+    alias = R.build_alias_table(dims.ontology_terms_idx(spark), dims.ONTOLOGY_MATCH_PROPS)
+    mentions = extract_mentions(docs)
+    plain = R.resolve_ladder_distinct(mentions, alias, prefilter=False)
+    pre = R.resolve_ladder_distinct(mentions, alias, prefilter=True)
+    assert sorted(map(str, plain.collect())) == sorted(map(str, pre.collect()))
+    # and it actually prunes something on this corpus
+    n_all = mentions.count()
+    n_kept = R.mention_prefilter(mentions, alias).count()
+    assert 0 < n_kept < n_all

@@ -295,3 +295,67 @@ def test_forge_sparql_full_path(spark):
     # plain Spark SQL (no group pattern) still runs unchanged
     n = forge.sparql("SELECT count(*) AS n FROM triples").collect()[0]["n"]
     assert n == len(TRIPLES)
+
+
+# ----------------------------------------------------------- UNION support
+
+
+def test_union_of_patterns(duck):
+    rows = run(
+        duck,
+        "SELECT ?s WHERE { { ?s rdfs:label ?l } UNION { ?s schema:distribution ?l } } ORDER BY ?s",
+    )
+    assert rows == [("doc:2",), ("ont:e1",), ("ont:e2",)]
+
+
+def test_union_joined_to_base_pattern(duck):
+    q = ("SELECT DISTINCT ?d WHERE { ?d a schema:Document "
+         "{ ?d nsg:hasBody ?x } UNION { ?d schema:distribution ?x } } ORDER BY ?d")
+    assert run(duck, q) == [("doc:1",), ("doc:2",)]
+
+
+def test_union_filter_applies_over_all_branches(duck):
+    q = ('SELECT ?s ?l WHERE { { ?s rdfs:label ?l } UNION '
+         '{ ?s schema:distribution ?l } FILTER contains(?l, "ph") }')
+    assert run(duck, q) == [("ont:e1", "alpha")]
+
+
+def test_union_bag_semantics(duck):
+    # SPARQL UNION is bag union: the same binding from both branches
+    # appears twice (UNION ALL, not UNION)
+    q = "SELECT ?s WHERE { { ?s a schema:Document } UNION { ?s a schema:Document } }"
+    assert len(run(duck, q)) == 4
+
+
+def test_union_mismatched_vars_raises(duck):
+    with pytest.raises(QueryingError, match="different variables"):
+        run(duck, "SELECT ?s WHERE { { ?s rdfs:label ?l } UNION { ?s a ?t } }")
+
+
+def test_notebook_query_end_to_end(duck):
+    """The reference's getting-started querying notebook shape
+    (examples/notebooks/getting-started/04 - Querying.ipynb): bare local
+    names rewritten through the context, then compiled and executed."""
+    ctx = {
+        "@vocab": "http://example.org/vocab/",
+        "Dataset": "schema:Document",   # alias onto the fixture's type
+        "contribution": "nsg:hasBody",
+        "agent": "rdfs:label",
+        "name": "rdfs:label",
+        "schema": "http://schema.org/",
+        "nsg": "https://neuroshapes.org/",
+        "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    }
+    prefixes = {"schema": "http://schema.org/"}
+    q = """SELECT ?id ?contributor WHERE {
+        ?id a Dataset ;
+        contribution ?contributor.
+    }"""
+    rewritten = rewrite_sparql(q, ctx, prefixes, ctx["@vocab"])
+    assert "schema:Document" in rewritten and "nsg:hasBody" in rewritten
+    rewritten = apply_limit_and_offset(
+        rewritten, limit=2, default_limit=None, default_offset=None
+    )
+    rows = run(duck, rewritten)
+    assert len(rows) == 2
+    assert all(r[0].startswith("doc:") for r in rows)

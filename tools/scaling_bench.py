@@ -53,13 +53,17 @@ docs = spark.read.parquet(path)
 # real warm-up: a full-size pass so JIT compilation and heap growth are paid
 # before measurement (a fresh JVM's first heavy job runs 2-5x slower)
 pipeline.construct_kg(docs).count()
-best, n_triples = None, 0
-for _ in range(3):  # steady-state: best of 3 measured runs (noisy sandbox host)
+times, n_triples = [], 0
+for _ in range(5):  # steady-state: 5 measured runs (noisy sandbox host)
     t0 = time.time()
     n_triples = pipeline.construct_kg(docs).count()
-    dt = time.time() - t0
-    best = dt if best is None else min(best, dt)
-print(json.dumps({"level": level, "sec": round(best, 3), "docs_per_sec": round(n_docs / best, 1),
+    times.append(time.time() - t0)
+times.sort()
+best, median = times[0], times[len(times) // 2]
+print(json.dumps({"level": level, "sec": round(median, 3), "sec_best": round(best, 3),
+                  "docs_per_sec": round(n_docs / median, 1),
+                  "docs_per_sec_best": round(n_docs / best, 1),
+                  "times": [round(t, 2) for t in times],
                   "n_triples": n_triples}))
 """
 
