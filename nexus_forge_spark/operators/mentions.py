@@ -51,6 +51,56 @@ def _candidates(tokens: Column, max_n: int = 2) -> Column:
     return F.concat(*parts)
 
 
+def _gram_strings(tokens: Column, max_n: int = 2) -> Column:
+    """array<string> tokens -> array<string> of unigram..max_n-gram windows.
+
+    The string-only sibling of _candidates for consumers that never read the
+    (tok_idx, n) position fields: no struct wrapping, and each n-gram is a
+    direct concat of token slots (F.get) instead of slice+array_join — far
+    fewer allocations per exploded row, which matters because the explode
+    stages are the memory-bandwidth-bound hot path of construct_kg."""
+    parts = [tokens]
+
+    def gram_fn(n: int):
+        # NB: factory to keep the lambda single-arg (see ngram_lambda above).
+        def fn(i: Column) -> Column:
+            return F.concat_ws(" ", *[F.get(tokens, i + j) for j in range(n)])
+
+        return fn
+
+    for n in range(2, max_n + 1):
+        parts.append(
+            F.when(
+                F.size(tokens) >= n,
+                F.transform(F.sequence(F.lit(0), F.size(tokens) - n), gram_fn(n)),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    return F.concat(*parts)
+
+
+def extract_mention_occurrences(
+    documents: DataFrame, max_n: int = 2, per_span_distinct: bool = True
+) -> DataFrame:
+    """Interleaved documents -> narrow (doc_id, mention) occurrence stream.
+
+    For plans that only need doc-level mention presence — construct_kg
+    dedups annotations on (doc_id, entity_id), so span/token positions are
+    dead columns there.  Same candidate set as extract_mentions projected to
+    (doc_id, mention); per_span_distinct collapses repeated mentions within
+    a span map-side (array_distinct before the explode) so duplicates never
+    become rows at all.  Still zero-shuffle."""
+    spans = documents.select(
+        "doc_id", F.explode("spans").alias("span")
+    ).where(F.col("span.kind") == "text")
+    toks = spans.select(
+        "doc_id", F.split(F.col("span.text"), " ").alias("tokens")
+    )
+    grams = _gram_strings(F.col("tokens"), max_n)
+    if per_span_distinct:
+        grams = F.array_distinct(grams)
+    return toks.select("doc_id", F.explode(grams).alias("mention"))
+
+
 def extract_mentions(documents: DataFrame, max_n: int = 2) -> DataFrame:
     """Interleaved documents(doc_id, spans) -> mentions.
 

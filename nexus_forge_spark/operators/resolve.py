@@ -258,6 +258,117 @@ def resolve_ladder_distinct(
     return _join_back(mentions, resolved, keys, use_broadcast)
 
 
+def alias_substring_index(alias_table: DataFrame) -> DataFrame:
+    """Alias table -> one row per DISTINCT lowercase substring of each alias
+    row: (key, alias, entity_id, dict_idx, prop_order, score_len).
+
+    Turns the ladder's fuzzy containment predicate
+    ``instr(lower(alias), lower(mention)) > 0`` into a pure broadcast
+    EQUI-join: lower(mention) matches an alias row iff it equals one of the
+    row's substring keys.  An alias of length L contributes <= L(L+1)/2
+    keys, so this is the SMALL-dim specialization (10^3-10^4 alias rows of
+    short labels -> ~10^5-10^6 broadcast keys); for dictionaries past
+    broadcast size use resolve_ladder_blocked (trigram blocking) instead.
+    """
+    s = F.lower(F.col("alias"))
+    subs = F.when(
+        F.length(s) >= 1,
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(s)),
+                    lambda ln: F.transform(
+                        F.sequence(F.lit(1), F.length(s) - ln + 1),
+                        lambda st: F.substr(s, st, ln),
+                    ),
+                )
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return alias_table.withColumn("key", F.explode(subs))
+
+
+# packing widths for the inline ladder's single-long candidate encoding:
+# prop_order < 100, dict_idx < 10^6, |score| < 10^4, exact_rank in {0,1}
+_PACK_PROP = 100
+_PACK_DICT = 1_000_000
+_PACK_SCORE_OFF = 10_000
+_PACK_SCORE_SPAN = 20_000
+
+
+def resolve_ladder_inline(
+    occurrences: DataFrame,
+    alias_table: DataFrame,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Single-scan strategy ladder over the raw occurrence stream.
+
+    Same result as resolve_ladder(_distinct) — exact preferred, best-fuzzy
+    fallback, identical (exact_rank, score, dict_idx, prop_order) ranking —
+    but with ONE pass over the corpus instead of two: no distinct-vocabulary
+    branch, no join-back re-scan.  Shape:
+
+      occurrences ⋈ broadcast(alias_substring_index) [equi-join on the
+      lowercased mention]  ->  groupBy(keys) min(packed candidate long)
+      [map-side combine]  ->  broadcast dict_idx -> entity_id lookup.
+
+    The candidate tuple is packed into one long so the reduction is a
+    codegen'd HashAggregate (min(struct(...)) would force an interpreted
+    SortAggregate).  The ranking window disappears: top-1 IS the min.
+
+    Scale posture: the only shuffle is the packed min keyed on `keys`
+    (narrow rows, map-side combined, inner join has already dropped every
+    unmatched n-gram).  Use when the substring index fits a broadcast
+    (small/medium dims); resolve_ladder_blocked is the huge-dim path.
+    """
+    keys = keys or MENTION_KEYS
+    idx = F.broadcast(alias_substring_index(alias_table)).alias("a")
+    m = occurrences.alias("m")
+    mention = F.col("m.mention")
+    al = F.col("a.alias")
+    exact = mention == al
+    score_long = (
+        F.when(exact, F.lit(0))
+        .otherwise(F.col("a.score_len") - F.length(mention))
+        .cast("long")
+    )
+    exact_rank = F.when(exact, F.lit(0)).otherwise(F.lit(1)).cast("long")
+    packed = (
+        (exact_rank * _PACK_SCORE_SPAN + score_long + _PACK_SCORE_OFF)
+        * _PACK_DICT
+        + F.col("a.dict_idx")
+    ) * _PACK_PROP + F.col("a.prop_order")
+
+    j = m.join(idx, F.lower(mention) == F.col("a.key"), "inner")
+    agg = j.groupBy(*[F.col(f"m.{k}") for k in keys]).agg(F.min(packed).alias("b"))
+
+    b = F.col("b")
+    combined = F.floor(b / (_PACK_PROP * _PACK_DICT))
+    recs = F.broadcast(alias_table.select("dict_idx", "entity_id").distinct())
+    return (
+        agg.withColumn(
+            "dict_idx", F.pmod(F.floor(b / _PACK_PROP), F.lit(_PACK_DICT))
+        )
+        .withColumn(
+            "score",
+            (F.pmod(combined, F.lit(_PACK_SCORE_SPAN)) - _PACK_SCORE_OFF).cast(
+                "double"
+            ),
+        )
+        .withColumn("exact_rank", F.floor(combined / _PACK_SCORE_SPAN))
+        .join(recs, "dict_idx")
+        .select(
+            *keys,
+            "entity_id",
+            "score",
+            F.lit(1).alias("rank"),
+            F.when(F.col("exact_rank") == 0, F.lit(EXACT_MATCH))
+            .otherwise(F.lit(BEST_MATCH))
+            .alias("strategy"),
+        )
+    )
+
+
 def escape_punctuation(text: str) -> str:
     """Escape regex-special punctuation in a mention before building an
     anchored case-insensitive pattern (archetypes/resolver.py:181-188;

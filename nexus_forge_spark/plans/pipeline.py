@@ -43,15 +43,25 @@ def construct_kg(
     #     (vocab branch + join-back branch): materializing 42M rows costs
     #     MORE than re-running the map-side explode (25.4s -> 32.0s at
     #     local[8]) — recompute beats spill for cheap map-side lineage.
-    mentions = M.extract_mentions(documents)
+    # Narrow occurrence stream: the annotation output dedups on
+    # (doc_id, entity_id), so token/span positions are dead columns — the
+    # string-only extractor halves the bytes materialized per exploded row
+    # (no position structs, concat_ws n-grams instead of slice+array_join,
+    # per-span array_distinct before the explode).  Both passes over the
+    # corpus (vocab branch + join-back branch) get cheaper.
+    occ = M.extract_mention_occurrences(documents)
     if fuzzy:
-        # single-pass ladder: exact preferred, best-fuzzy fallback — one
-        # broadcast join instead of exact-pass + anti-join + fuzzy-pass;
-        # factored through the distinct mention vocabulary so the substring
-        # join never touches the occurrence stream.
-        resolved = R.resolve_ladder_distinct(mentions, alias_table, prefilter=False)
+        # ONE corpus scan: broadcast substring-index equi-join + packed min
+        # aggregation (resolve_ladder_inline).  Replaces the round-1 shape
+        # (distinct-vocab branch + NLJ ladder + join-back) which scanned and
+        # exploded the corpus TWICE — measured 2x task time in the two
+        # explode stages.  The dim here is broadcast-sized; at a 10^6-term
+        # dictionary switch to resolve_ladder_blocked (trigram blocking).
+        resolved = R.resolve_ladder_inline(occ, alias_table, keys=["doc_id", "mention"])
     else:
-        resolved = R.resolve_distinct(mentions, alias_table, R.EXACT_MATCH)
+        resolved = R.resolve_distinct(
+            occ, alias_table, R.EXACT_MATCH, keys=["doc_id", "mention"]
+        )
 
     # graph set semantics, enforced BEFORE string materialization: the two
     # stages emit disjoint predicates, and within a stage (subj,pred,obj) is
