@@ -22,11 +22,16 @@ Two reference behaviors re-expressed (SURVEY S5):
   hand-written star-join would get.
 
 Supported SPARQL subset (the "most-used 80%" of the reference's own test
-queries): PREFIX prologue, SELECT [DISTINCT] ?vars | *, basic graph
-patterns with ``;``/``,`` continuations and ``/`` sequence paths, ``a`` for
-rdf:type, FILTER with comparisons / IN / && / || / ! / regex / contains /
-strstarts / strends, OPTIONAL groups (compiled to LEFT JOIN of a derived
-table), ORDER BY [ASC|DESC], LIMIT, OFFSET.
+queries): PREFIX prologue, SELECT [DISTINCT] ?vars | * | (expr AS ?alias)
+projections with aggregates (COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT,
+COUNT(DISTINCT ...), COUNT(*)), basic graph patterns with ``;``/``,``
+continuations, ``/`` sequence paths and ``|`` predicate alternatives
+(parenthesized when mixed with ``/``), ``a`` for rdf:type, FILTER with
+comparisons / arithmetic / IN / && / || / ! / regex / contains / strstarts
+/ strends / bound / str / concat / coalesce / ucase / lcase / strlen / if,
+BIND (expr AS ?var), VALUES (single- and multi-var, UNDEF), OPTIONAL
+groups (LEFT JOIN of a derived table), { } UNION { } chains (bag
+semantics), GROUP BY + HAVING, ORDER BY [ASC|DESC], LIMIT, OFFSET.
 """
 
 from __future__ import annotations
@@ -216,7 +221,7 @@ _TOKEN_RX = re.compile(
       | [A-Za-z_][A-Za-z0-9_]*            # bare word / keyword
       | -?\d+\.\d+ | -?\d+                # numbers
       | && | \|\| | != | <= | >=          # two-char operators
-      | [{}();,.\[\]/=<>!*]               # punctuation
+      | [{}();,.\[\]/=<>!*|+\-]           # punctuation (incl. path '|', arith)
     )""",
     re.VERBOSE | re.DOTALL,
 )
@@ -240,10 +245,12 @@ class _Group:
     """One graph-pattern group: triple patterns + filters + optional groups
     + UNION chains (each chain = a list of alternative subgroups)."""
 
-    patterns: list[tuple[str, str, str]] = field(default_factory=list)
+    patterns: list[tuple[str, object, str]] = field(default_factory=list)
     filters: list[list[str]] = field(default_factory=list)  # token lists
     optionals: list["_Group"] = field(default_factory=list)
     unions: list[list["_Group"]] = field(default_factory=list)
+    binds: list[tuple[list[str], str]] = field(default_factory=list)  # (expr toks, var)
+    values: list[tuple[list[str], list[list[str]]]] = field(default_factory=list)  # (vars, rows)
 
 
 class _Parser:
@@ -253,7 +260,12 @@ class _Parser:
         self.prefixes: dict[str, str] = {}
         self.distinct = False
         self.vars: list[str] = []
+        # SELECT expression items: (expr tokens, alias var) — from
+        # "(COUNT(?x) AS ?n)" style projections
+        self.select_exprs: list[tuple[list[str], str]] = []
         self.order: list[tuple[str, str]] = []  # (var, ASC|DESC)
+        self.group_by: list[str] = []
+        self.having: list[str] | None = None
         self.limit: int | None = None
         self.offset: int | None = None
         self.n_anon = 0
@@ -301,12 +313,49 @@ class _Parser:
         if self.kw("*"):
             self.vars = ["*"]
         else:
-            while self.peek() is not None and self.peek().startswith("?"):
-                self.vars.append(self.next()[1:])
+            while True:
+                t = self.peek()
+                if t is not None and t.startswith("?"):
+                    self.vars.append(self.next()[1:])
+                elif t == "(":
+                    # (expr AS ?alias) projection, e.g. (COUNT(?x) AS ?n)
+                    self.next()
+                    toks: list[str] = []
+                    depth = 1
+                    while True:
+                        tk = self.next()
+                        if tk == "(":
+                            depth += 1
+                        elif tk == ")":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        toks.append(tk)
+                    if (
+                        len(toks) < 3
+                        or toks[-2].lower() != "as"
+                        or not toks[-1].startswith("?")
+                    ):
+                        raise QueryingError(
+                            "SELECT expression must be (expr AS ?name)"
+                        )
+                    alias = toks[-1][1:]
+                    self.select_exprs.append((toks[:-2], alias))
+                    self.vars.append(alias)
+                else:
+                    break
         self.expect("WHERE")
         group = self.parse_group()
         while True:
-            if self.kw("ORDER"):
+            if self.kw("GROUP"):
+                self.expect("BY")
+                while self.peek() is not None and self.peek().startswith("?"):
+                    self.group_by.append(self.next()[1:])
+                if not self.group_by:
+                    raise QueryingError("GROUP BY requires at least one ?var")
+            elif self.kw("HAVING"):
+                self.having = self.parse_parenthesized()
+            elif self.kw("ORDER"):
                 self.expect("BY")
                 while True:
                     t = self.peek()
@@ -348,6 +397,23 @@ class _Parser:
             if t.lower() == "optional":
                 self.next()
                 g.optionals.append(self.parse_group())
+                continue
+            if t.lower() == "bind":
+                # BIND ( expr AS ?var )
+                self.next()
+                toks = self.parse_parenthesized()
+                inner = toks[1:-1]  # strip outer parens
+                if (
+                    len(inner) < 3
+                    or inner[-2].lower() != "as"
+                    or not inner[-1].startswith("?")
+                ):
+                    raise QueryingError("BIND must be (expr AS ?var)")
+                g.binds.append((inner[:-2], inner[-1][1:]))
+                continue
+            if t.lower() == "values":
+                self.next()
+                g.values.append(self.parse_values())
                 continue
             if t == "{":
                 # braced subgroup chain: { A } UNION { B } UNION { C }
@@ -394,19 +460,80 @@ class _Parser:
                 break
         # trailing '.' handled by parse_group loop
 
-    def parse_path(self) -> list[str]:
-        parts = [self.parse_term(pred=True)]
+    def parse_values(self) -> tuple[list[str], list[list[str]]]:
+        """VALUES ?x { v1 v2 }  |  VALUES (?x ?y) { (a b) (c d) }.
+        UNDEF rows through as the token 'UNDEF' (compiled to NULL with
+        match-anything join semantics on shared variables)."""
+        t = self.next()
+        if t == "(":
+            vars_: list[str] = []
+            while self.peek() != ")":
+                v = self.next()
+                if not v.startswith("?"):
+                    raise QueryingError(f"VALUES expects ?vars, got {v!r}")
+                vars_.append(v[1:])
+            self.next()  # ')'
+        elif t.startswith("?"):
+            vars_ = [t[1:]]
+        else:
+            raise QueryingError(f"VALUES expects ?var or (?vars), got {t!r}")
+        self.expect("{")
+        rows: list[list[str]] = []
+        while self.peek() != "}":
+            if len(vars_) == 1 and self.peek() != "(":
+                rows.append([self.next()])
+                continue
+            self.expect("(")
+            row: list[str] = []
+            while self.peek() != ")":
+                row.append(self.next())
+            self.next()  # ')'
+            if len(row) != len(vars_):
+                raise QueryingError(
+                    f"VALUES row width {len(row)} != vars {len(vars_)}"
+                )
+            rows.append(row)
+        self.next()  # '}'
+        return vars_, rows
+
+    def parse_path(self) -> list[list[str]]:
+        """Property path -> list of hops, each hop a list of alternative
+        predicates.  Supported: sequences p1/p2, alternatives p1|p2, and
+        parenthesized alternative hops (p1|p2)/p3.  Mixing a BARE
+        alternative with a following '/' is rejected (SPARQL binds '/'
+        tighter than '|'; parenthesize to disambiguate)."""
+        hops = [self.parse_path_hop()]
+        bare_alt = len(hops[0]) > 1 and not self._hop_parenthesized
         while self.kw("/"):
-            parts.append(self.parse_term(pred=True))
-        return parts
+            if bare_alt:
+                raise QueryingError(
+                    "ambiguous path: parenthesize alternatives before '/'"
+                )
+            hops.append(self.parse_path_hop())
+            bare_alt = len(hops[-1]) > 1 and not self._hop_parenthesized
+        return hops
+
+    def parse_path_hop(self) -> list[str]:
+        self._hop_parenthesized = False
+        if self.kw("("):
+            self._hop_parenthesized = True
+            alts = [self.parse_term(pred=True)]
+            while self.kw("|"):
+                alts.append(self.parse_term(pred=True))
+            self.expect(")")
+            return alts
+        alts = [self.parse_term(pred=True)]
+        while self.kw("|"):
+            alts.append(self.parse_term(pred=True))
+        return alts
 
     def emit_path(
-        self, g: _Group, subj: str, path: list[str], obj: str
+        self, g: _Group, subj: str, path: list[list[str]], obj: str
     ) -> None:
         cur = subj
-        for hop, pred in enumerate(path):
+        for hop, alts in enumerate(path):
             nxt = obj if hop == len(path) - 1 else self.fresh_var()
-            g.patterns.append((cur, pred, nxt))
+            g.patterns.append((cur, alts[0] if len(alts) == 1 else alts, nxt))
             cur = nxt
 
     def parse_term(self, pred: bool = False) -> str:
@@ -444,17 +571,32 @@ class SparqlToSql:
         parser = _Parser(_tokenize(query))
         group = parser.parse()
         sql, bindings = self._compile_group(group, parser)
+        expr_map = {alias: toks for toks, alias in parser.select_exprs}
         vars_ = (
             list(bindings)
             if parser.vars == ["*"]
             else parser.vars
         )
-        missing = [v for v in vars_ if v not in bindings]
+        missing = [v for v in vars_ if v not in bindings and v not in expr_map]
         if missing:
             raise QueryingError(f"SELECT variable(s) not bound: {missing}")
         distinct = "DISTINCT " if parser.distinct else ""
-        cols = ", ".join(f"{bindings[v]} AS {v}" for v in vars_)
+        cols = ", ".join(
+            f"{self._compile_expr(expr_map[v], bindings, allow_agg=True)} AS {v}"
+            if v in expr_map
+            else f"{bindings[v]} AS {v}"
+            for v in vars_
+        )
         out = f"SELECT {distinct}{cols} {sql}"
+        if parser.group_by:
+            unbound = [v for v in parser.group_by if v not in bindings]
+            if unbound:
+                raise QueryingError(f"GROUP BY variable(s) not bound: {unbound}")
+            out += " GROUP BY " + ", ".join(bindings[v] for v in parser.group_by)
+        if parser.having is not None:
+            out += " HAVING " + self._compile_expr(
+                parser.having, bindings, allow_agg=True
+            )
         if parser.order:
             order = ", ".join(
                 f"{bindings.get(v, v)} {d}" for v, d in parser.order
@@ -471,7 +613,7 @@ class SparqlToSql:
         self, g: _Group, parser: _Parser, alias_prefix: str = "t"
     ) -> tuple[str, dict[str, str]]:
         """-> ('FROM ... WHERE ...' fragment, var -> qualified column)."""
-        if not g.patterns and not g.unions:
+        if not g.patterns and not g.unions and not g.values:
             raise QueryingError("empty graph pattern")
         bindings: dict[str, str] = {}
         conds: list[str] = []
@@ -481,7 +623,11 @@ class SparqlToSql:
             tables.append(f"{self.table} {a}")
             for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
                 ref = f"{a}.{col}"
-                if term.startswith("?"):
+                if isinstance(term, list):
+                    # property-path alternatives: pred IN (p1, p2, ...)
+                    alts = ", ".join(_sql_str(_split_iri(t)) for t in term)
+                    conds.append(f"{ref} IN ({alts})")
+                elif term.startswith("?"):
                     v = term[1:]
                     if v in bindings:
                         conds.append(f"{ref} = {bindings[v]}")
@@ -492,7 +638,14 @@ class SparqlToSql:
                 else:
                     conds.append(f"{ref} = {_sql_str(_split_iri(term))}")
 
-        if not g.optionals and not g.unions:
+        # BIND(expr AS ?v): computed bindings over the pattern columns;
+        # later binds/filters may reference earlier bind variables.
+        for btoks, bvar in g.binds:
+            if bvar in bindings:
+                raise QueryingError(f"BIND would rebind ?{bvar}")
+            bindings[bvar] = f"({self._compile_expr(btoks, bindings)})"
+
+        if not g.optionals and not g.unions and not g.values:
             # simple path: filters ride in the same WHERE
             for ftoks in g.filters:
                 conds.append(self._compile_expr(ftoks, bindings))
@@ -527,6 +680,27 @@ class SparqlToSql:
             on = " AND ".join(f"{alias}.{v} = {out_bind[v]}" for v in shared)
             out_sql += f" JOIN {usql} {alias} ON {on}"
             for v in uvars:
+                out_bind.setdefault(v, f"{alias}.{v}")
+
+        for vi, (vvars, vrows) in enumerate(g.values):
+            alias = f"vv{vi}"
+            vsql = self._values_table(vvars, vrows)
+            if out_sql is None:
+                out_sql = f"FROM {vsql} {alias}"
+                out_bind = {v: f"{alias}.{v}" for v in vvars}
+                continue
+            shared = [v for v in vvars if v in out_bind]
+            if shared:
+                # UNDEF (NULL) in a VALUES row leaves that variable
+                # unconstrained for the row -> match-anything join term
+                on = " AND ".join(
+                    f"({alias}.{v} IS NULL OR {alias}.{v} = {out_bind[v]})"
+                    for v in shared
+                )
+                out_sql += f" JOIN {vsql} {alias} ON {on}"
+            else:
+                out_sql += f" CROSS JOIN {vsql} {alias}"
+            for v in vvars:
                 out_bind.setdefault(v, f"{alias}.{v}")
 
         for oi, og in enumerate(g.optionals):
@@ -567,10 +741,39 @@ class SparqlToSql:
             selects.append(f"SELECT {cols} {sql}")
         return "(" + " UNION ALL ".join(selects) + ")", varset or []
 
-    # -- FILTER expression compilation --------------------------------------
-    def _compile_expr(self, toks: list[str], bindings: dict[str, str]) -> str:
+    def _values_table(self, vvars: list[str], rows: list[list[str]]) -> str:
+        """VALUES rows -> a portable derived table
+        (SELECT lit AS v, ... UNION ALL SELECT ...) — runs unchanged on
+        Spark SQL and DuckDB (FROM VALUES syntax differs between them)."""
+        if not rows:
+            raise QueryingError("VALUES block has no rows")
+
+        def lit(term: str) -> str:
+            if term.upper() == "UNDEF":
+                return "NULL"
+            if term.startswith(("'", '"')):
+                return _sql_str(term.strip("'\""))
+            if re.fullmatch(r"-?\d+(\.\d+)?", term):
+                return term
+            return _sql_str(_split_iri(term))
+
+        selects = [
+            "SELECT " + ", ".join(f"{lit(t)} AS {v}" for v, t in zip(vvars, row))
+            for row in rows
+        ]
+        return "(" + " UNION ALL ".join(selects) + ")"
+
+    # -- FILTER / BIND / aggregate expression compilation --------------------
+    _AGG_FNS = {
+        "count", "sum", "avg", "min", "max", "sample", "group_concat",
+    }
+
+    def _compile_expr(
+        self, toks: list[str], bindings: dict[str, str], allow_agg: bool = False
+    ) -> str:
         self._ft = toks
         self._fi = 0
+        self._allow_agg = allow_agg
         out = self._expr_or(bindings)
         if self._fi < len(self._ft):
             raise QueryingError(
@@ -603,13 +806,13 @@ class SparqlToSql:
         return left
 
     def _expr_cmp(self, b) -> str:
-        left = self._expr_atom(b)
+        left = self._expr_add(b)
         t = self._fpeek()
         if t in ("=", "!=", "<", ">", "<=", ">="):
             op = self._fnext()
             if op == "=":
                 op = "="
-            right = self._expr_atom(b)
+            right = self._expr_add(b)
             return f"{left} {'<>' if op == '!=' else op} {right}"
         if t is not None and t.lower() == "in":
             self._fnext()
@@ -622,6 +825,60 @@ class SparqlToSql:
             self._fnext()  # ')'
             return f"{left} IN ({', '.join(items)})"
         return left
+
+    def _expr_add(self, b) -> str:
+        left = self._expr_mul(b)
+        while self._fpeek() in ("+", "-"):
+            op = self._fnext()
+            left = f"({left} {op} {self._expr_mul(b)})"
+        return left
+
+    def _expr_mul(self, b) -> str:
+        left = self._expr_atom(b)
+        while self._fpeek() in ("*", "/"):
+            op = self._fnext()
+            left = f"({left} {op} {self._expr_atom(b)})"
+        return left
+
+    def _expr_agg(self, fn: str, b) -> str:
+        """Aggregate call -> SQL.  SAMPLE compiles to MIN (deterministic
+        pick — SPARQL leaves the choice open); GROUP_CONCAT sorts its
+        input before joining so both engines agree on the output string
+        (SPARQL declares no element order)."""
+        self._fexpect("(")
+        if fn == "count" and self._fpeek() == "*":
+            self._fnext()
+            self._fexpect(")")
+            return "COUNT(*)"
+        distinct = False
+        t = self._fpeek()
+        if t is not None and t.lower() == "distinct":
+            self._fnext()
+            distinct = True
+        arg = self._expr_add(b)
+        sep = " "
+        if fn == "group_concat" and self._fpeek() == ";":
+            self._fnext()
+            kw = self._fnext()
+            if kw.lower() != "separator":
+                raise QueryingError(f"expected SEPARATOR, got {kw!r}")
+            self._fexpect("=")
+            sep = self._fnext().strip("'\"")
+        self._fexpect(")")
+        d = "DISTINCT " if distinct else ""
+        if fn == "group_concat":
+            if self.dialect == "spark":
+                inner = f"collect_list({d}{arg})"
+                if distinct:
+                    inner = f"array_distinct(collect_list({arg}))"
+                return f"array_join(array_sort({inner}), {_sql_str(sep)})"
+            inner = f"list({arg})"
+            if distinct:
+                inner = f"list_distinct({inner})"
+            return f"array_to_string(list_sort({inner}), {_sql_str(sep)})"
+        if fn == "sample":
+            return f"MIN({arg})"
+        return f"{fn.upper()}({d}{arg})"
 
     def _fexpect(self, tok: str) -> None:
         t = self._fnext()
@@ -640,6 +897,36 @@ class SparqlToSql:
         if t == "!":
             return f"(NOT {self._expr_atom(b)})"
         low = t.lower()
+        if low in self._AGG_FNS and self._fpeek() == "(":
+            if not self._allow_agg:
+                raise QueryingError(
+                    f"aggregate {t}() only allowed in SELECT expressions / HAVING"
+                )
+            return self._expr_agg(low, b)
+        if low in ("concat", "coalesce") and self._fpeek() == "(":
+            self._fnext()
+            args = []
+            while self._fpeek() != ")":
+                args.append(self._expr_add(b))
+                if self._fpeek() == ",":
+                    self._fnext()
+            self._fnext()  # ')'
+            return f"{low.upper()}({', '.join(args)})"
+        if low in ("ucase", "lcase", "strlen") and self._fpeek() == "(":
+            self._fnext()
+            inner = self._expr_add(b)
+            self._fexpect(")")
+            fn = {"ucase": "UPPER", "lcase": "LOWER", "strlen": "LENGTH"}[low]
+            return f"{fn}({inner})"
+        if low == "if" and self._fpeek() == "(":
+            self._fnext()
+            cond = self._expr_or(b)
+            self._fexpect(",")
+            then = self._expr_or(b)
+            self._fexpect(",")
+            els = self._expr_or(b)
+            self._fexpect(")")
+            return f"(CASE WHEN {cond} THEN {then} ELSE {els} END)"
         if low == "regex":
             self._fexpect("(")
             target = self._expr_atom(b)

@@ -1410,6 +1410,48 @@ def sql_sparql_select() -> str:
     return f"WITH tr AS ({sql_kg_triples()}) {inner}"
 
 
+# Round-2 SPARQL surface: UNION branches with BIND'd discriminators, a
+# VALUES join, aggregate projections (COUNT / COUNT DISTINCT /
+# GROUP_CONCAT), GROUP BY + HAVING — the analytics half of the reference's
+# notebook queries (04 - Querying.ipynb aggregate cells).
+SPARQL_ANALYTICS_TEXT = """SELECT ?doc (COUNT(?ref) AS ?n_refs)
+  (COUNT(DISTINCT ?kind) AS ?n_kinds)
+  (GROUP_CONCAT(?kind; SEPARATOR="|") AS ?kinds)
+WHERE {
+  { ?doc nsg:hasBody ?ref BIND ("entity" AS ?kind) }
+  UNION
+  { ?doc schema:distribution ?ref BIND ("media" AS ?kind) }
+  VALUES ?kind { "entity" "media" }
+}
+GROUP BY ?doc
+HAVING (COUNT(?ref) >= 2)
+ORDER BY ?doc"""
+
+
+def q_sparql_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregating SPARQL over the triples view (S5 extension): UNION ALL
+    of two pattern scans -> VALUES semi-constraint -> hash aggregate with
+    map-side partial combine; GROUP_CONCAT compiles to
+    array_join(array_sort(collect_list(...))) so both engines emit the
+    same deterministic string."""
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    triples = q_kg_triples(spark, sf_dir).localCheckpoint(eager=True)
+    triples.createOrReplaceTempView("sparql_triples_v")
+    return spark.sql(
+        sparql_to_sql(
+            SPARQL_ANALYTICS_TEXT, table="sparql_triples_v", dialect="spark"
+        )
+    )
+
+
+def sql_sparql_analytics() -> str:
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    inner = sparql_to_sql(SPARQL_ANALYTICS_TEXT, table="tr", dialect="duckdb")
+    return f"WITH tr AS ({sql_kg_triples()}) {inner}"
+
+
 QUERIES = {
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
@@ -1447,6 +1489,7 @@ QUERIES = {
     "limit_offset_page": (q_limit_offset, sql_limit_offset),
     "kg_ladder_blocked": (q_kg_ladder_blocked, sql_kg_ladder_blocked),
     "sparql_select": (q_sparql_select, sql_sparql_select),
+    "sparql_analytics": (q_sparql_analytics, sql_sparql_analytics),
     "jsonld_nested": (q_jsonld_nested, sql_jsonld_nested),
     "dataset_prov": (q_dataset_prov, sql_dataset_prov),
 }

@@ -359,3 +359,113 @@ def test_notebook_query_end_to_end(duck):
     rows = run(duck, rewritten)
     assert len(rows) == 2
     assert all(r[0].startswith("doc:") for r in rows)
+
+
+# ------------------------------------------------ VALUES / BIND / GROUP BY
+
+
+def test_values_single_var(duck):
+    q = ('SELECT ?s ?l WHERE { ?s rdfs:label ?l VALUES ?l { "alpha" "Beta" } } '
+         "ORDER BY ?s")
+    assert run(duck, q) == [("ont:e1", "alpha"), ("ont:e2", "Beta")]
+
+
+def test_values_restricts(duck):
+    q = 'SELECT ?s WHERE { ?s rdfs:label ?l VALUES ?l { "alpha" } }'
+    assert run(duck, q) == [("ont:e1",)]
+
+
+def test_values_multi_var_with_undef(duck):
+    # UNDEF leaves ?l unconstrained for the doc:2 row
+    q = ("SELECT ?d ?e WHERE { ?d nsg:hasBody ?e "
+         'VALUES (?d ?e) { ("doc:1" "ont:e1") ("doc:2" UNDEF) } } ORDER BY ?d')
+    assert run(duck, q) == [("doc:1", "ont:e1"), ("doc:2", "ont:e2")]
+
+
+def test_values_unshared_cross_join(duck):
+    q = ('SELECT ?s ?tag WHERE { ?s a schema:Document VALUES ?tag { "x" "y" } } '
+         "ORDER BY ?s ?tag")
+    assert run(duck, q) == [
+        ("doc:1", "x"), ("doc:1", "y"), ("doc:2", "x"), ("doc:2", "y"),
+    ]
+
+
+def test_bind_concat(duck):
+    q = ('SELECT ?s ?tagged WHERE { ?s rdfs:label ?l '
+         'BIND (concat("label:", ?l) AS ?tagged) } ORDER BY ?s')
+    assert run(duck, q) == [
+        ("ont:e1", "label:alpha"), ("ont:e2", "label:Beta"),
+    ]
+
+
+def test_bind_then_filter_on_bound_var(duck):
+    q = ('SELECT ?s WHERE { ?s rdfs:label ?l BIND (strlen(?l) AS ?n) '
+         "FILTER (?n > 4) }")
+    assert run(duck, q) == [("ont:e1",)]
+
+
+def test_bind_arithmetic(duck):
+    q = ('SELECT ?s ?m WHERE { ?s rdfs:label ?l '
+         "BIND (strlen(?l) * 2 + 1 AS ?m) } ORDER BY ?s")
+    assert run(duck, q) == [("ont:e1", 11), ("ont:e2", 9)]
+
+
+def test_group_by_count(duck):
+    q = ("SELECT ?d (COUNT(?e) AS ?n) WHERE { ?d nsg:hasBody ?e } "
+         "GROUP BY ?d ORDER BY ?d")
+    assert run(duck, q) == [("doc:1", 2), ("doc:2", 1)]
+
+
+def test_group_by_having(duck):
+    q = ("SELECT ?d WHERE { ?d nsg:hasBody ?e } "
+         "GROUP BY ?d HAVING (COUNT(?e) > 1)")
+    assert run(duck, q) == [("doc:1",)]
+
+
+def test_count_distinct_and_star(duck):
+    q = "SELECT (COUNT(*) AS ?rows) (COUNT(DISTINCT ?e) AS ?ents) WHERE { ?d nsg:hasBody ?e }"
+    assert run(duck, q) == [(3, 2)]
+
+
+def test_group_concat_sorted(duck):
+    q = ('SELECT ?d (GROUP_CONCAT(?e; SEPARATOR=",") AS ?es) '
+         "WHERE { ?d nsg:hasBody ?e } GROUP BY ?d ORDER BY ?d")
+    assert run(duck, q) == [("doc:1", "ont:e1,ont:e2"), ("doc:2", "ont:e2")]
+
+
+def test_implicit_global_aggregate(duck):
+    q = "SELECT (COUNT(?d) AS ?n) WHERE { ?d a schema:Document }"
+    assert run(duck, q) == [(2,)]
+
+
+def test_aggregate_outside_select_rejected(duck):
+    with pytest.raises(QueryingError, match="aggregate"):
+        run(duck, "SELECT ?d WHERE { ?d nsg:hasBody ?e FILTER (COUNT(?e) > 1) }")
+
+
+# ------------------------------------------------ property-path alternatives
+
+
+def test_path_alternative_bare(duck):
+    q = "SELECT ?s ?o WHERE { ?s rdfs:label|schema:distribution ?o } ORDER BY ?s"
+    assert run(duck, q) == [
+        ("doc:2", "media/2.png"), ("ont:e1", "alpha"), ("ont:e2", "Beta"),
+    ]
+
+
+def test_path_alternative_parenthesized_with_sequence(duck):
+    q = "SELECT ?d ?l WHERE { ?d (nsg:hasBody|schema:distribution)/rdfs:label ?l } ORDER BY ?d ?l"
+    assert run(duck, q) == [
+        ("doc:1", "Beta"), ("doc:1", "alpha"), ("doc:2", "Beta"),
+    ]
+
+
+def test_bare_alternative_before_sequence_rejected(duck):
+    with pytest.raises(QueryingError, match="parenthesize"):
+        run(duck, "SELECT ?d ?l WHERE { ?d nsg:hasBody|schema:distribution/rdfs:label ?l }")
+
+
+def test_sample_aggregate(duck):
+    q = ("SELECT ?d (SAMPLE(?e) AS ?one) WHERE { ?d nsg:hasBody ?e } "
+         "GROUP BY ?d ORDER BY ?d")
+    assert run(duck, q) == [("doc:1", "ont:e1"), ("doc:2", "ont:e2")]
