@@ -351,6 +351,38 @@ def _term_datatype(context: dict | None, term: str) -> str | None:
     return None
 
 
+def _list_terms(context: dict | None) -> set[str]:
+    """Terms declared {"@container": "@list"} — their values expand to the
+    ordered-list form [{"@list": [...]}]."""
+    if not context:
+        return set()
+    ctx = context.get("@context", context)
+    return {
+        k
+        for k, v in ctx.items()
+        if isinstance(v, dict) and v.get("@container") == "@list"
+    }
+
+
+_LANG_UNSET = object()
+
+
+def _term_language(context: dict | None, term: str):
+    """Effective @language for a term's string literals: a term-level
+    "@language" wins (null cancels), else the context root default, else
+    None.  Returns None when no language tagging applies."""
+    if not context:
+        return None
+    ctx = context.get("@context", context)
+    v = ctx.get(term)
+    if isinstance(v, dict) and "@language" in v:
+        return v["@language"]  # may be None (explicit cancel)
+    if isinstance(v, dict) and v.get("@type") is not None:
+        return None  # typed literals never carry @language
+    root = ctx.get("@language", _LANG_UNSET)
+    return None if root is _LANG_UNSET else root
+
+
 def shrink_iri_col(col: Column, context: dict | None) -> Column:
     """Full IRI -> curie via the longest matching prefix namespace
     (Context.shrink_iri, used by _remove_ld_keys for @id-typed terms,
@@ -458,7 +490,11 @@ def as_jsonld_expanded(
       @type datatype when declared),
     * @id-typed term values wrap as [{"@id": <resolved iri>}],
     * nested structs/arrays expand recursively,
-    * id -> "@id" (kept verbatim), type -> "@type": [expanded IRIs].
+    * id -> "@id" (kept verbatim), type -> "@type": [expanded IRIs],
+    * {"@container": "@list"} terms keep order as [{"@list": [...]}],
+    * string literals of terms with an effective @language (term-level
+      or context-root default; term-level null cancels) expand to
+      {"@language": lang, "@value": v}.
 
     The whole document is ONE generated nested-struct expression fed to
     to_json — per-row work is entirely JVM-side; null fields drop like
@@ -488,7 +524,17 @@ def as_jsonld_expanded(
             fields.append(expand_value(child, f.dataType, name).alias(key))
         return F.struct(*fields)
 
+    list_terms = _list_terms(context)
+
     def expand_value(child: Column, dtype: T.DataType, term: str) -> Column:
+        if term in list_terms:
+            if isinstance(dtype, T.ArrayType):
+                inner = F.transform(
+                    child, lambda x: _one_value(x, dtype.elementType, term)
+                )
+            else:
+                inner = F.array(_one_value(child, dtype, term))
+            return F.array(F.struct(inner.alias("@list")))
         if isinstance(dtype, T.StructType):
             return F.array(expand_obj(child, dtype))
         if isinstance(dtype, T.ArrayType):
@@ -507,6 +553,13 @@ def as_jsonld_expanded(
             # native JSON value rides through unchanged (pyld keeps the
             # author's literal; only the @type annotation is added)
             return F.struct(F.lit(dt).alias("@type"), child.alias("@value"))
+        lang = _term_language(context, term)
+        if lang and isinstance(dtype, T.StringType):
+            # alphabetical field order (@language < @value) matches the
+            # sorted-key serialization the goldens use
+            return F.struct(
+                F.lit(lang).alias("@language"), child.alias("@value")
+            )
         return F.struct(child.alias("@value"))
 
     doc = expand_obj(None, df.schema)

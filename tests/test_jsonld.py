@@ -159,3 +159,59 @@ def test_expanded_array_values(spark):
     assert out["@type"] == ["http://schema.org/Person", "http://schema.org/Agent"]
     assert out["http://schema.org/keywords"] == [{"@value": "a"}, {"@value": "b"}]
     assert out["http://schema.org/name"] == [{"@value": "Jami"}]
+
+
+def test_expanded_list_container(spark):
+    """{"@container": "@list"} keeps order via the [{"@list": [...]}] form
+    (JSON-LD 1.1 §4.3.1 expanded list representation)."""
+    ctx = {
+        "@context": {
+            "schema": "http://schema.org/",
+            "steps": {"@id": "schema:steps", "@container": "@list"},
+            "name": "schema:name",
+        }
+    }
+    df = spark.createDataFrame(
+        [(["boil", "stir", "serve"], "recipe")],
+        schema="steps array<string>, name string",
+    )
+    out = json.loads(as_jsonld_expanded(df, ctx).collect()[0]["jsonld"])
+    assert out["http://schema.org/steps"] == [
+        {"@list": [{"@value": "boil"}, {"@value": "stir"}, {"@value": "serve"}]}
+    ]
+    # non-list arrays stay as plain value arrays
+    assert out["http://schema.org/name"] == [{"@value": "recipe"}]
+
+
+def test_expanded_language_tags(spark):
+    """Term-level @language wins; context-root default applies to untagged
+    string terms; term-level null cancels the default; typed literals and
+    @id-typed terms never carry @language."""
+    ctx = {
+        "@context": {
+            "@language": "en",
+            "schema": "http://schema.org/",
+            "xsd": "http://www.w3.org/2001/XMLSchema#",
+            "label": {"@id": "schema:label", "@language": "fr"},
+            "name": "schema:name",
+            "code": {"@id": "schema:code", "@language": None},
+            "born": {"@id": "schema:born", "@type": "xsd:date"},
+            "ref": {"@id": "schema:ref", "@type": "@id"},
+        }
+    }
+    df = spark.createDataFrame(
+        [("bonjour", "hello", "X1", "2020-01-01", "http://e.org/r")],
+        schema="label string, name string, code string, born string, ref string",
+    )
+    out = json.loads(as_jsonld_expanded(df, ctx).collect()[0]["jsonld"])
+    assert out["http://schema.org/label"] == [
+        {"@language": "fr", "@value": "bonjour"}
+    ]
+    assert out["http://schema.org/name"] == [
+        {"@language": "en", "@value": "hello"}
+    ]
+    assert out["http://schema.org/code"] == [{"@value": "X1"}]
+    assert out["http://schema.org/born"] == [
+        {"@type": "http://www.w3.org/2001/XMLSchema#date", "@value": "2020-01-01"}
+    ]
+    assert out["http://schema.org/ref"] == [{"@id": "http://e.org/r"}]
