@@ -182,6 +182,113 @@ def lsh_cosine_candidates(
     )
 
 
+def quantized_planes(dim: int, num_planes: int = 16, seed: int = 42) -> list[list[int]]:
+    """Deterministic INTEGER hyperplane weights in [-100, 100]
+    (random.Random(seed) — reproducible anywhere, including inside a SQL
+    oracle's generated text)."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        [rnd.randint(-100, 100) for _ in range(dim)] for _ in range(num_planes)
+    ]
+
+
+def _signature_from_quantized(qv: Column, planes: list[list[int]]) -> Column:
+    """Packed sign pattern of integer-quantized components against integer
+    planes — pure BIGINT arithmetic, so the signature is bit-identical on
+    any engine (no float summation-order sensitivity).  qv must already be
+    the quantized array (materialize it as a column first: the per-plane
+    aggregates share it, and Spark does NOT CSE across aggregate exprs)."""
+    bits = []
+    for p_i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                qv,
+                F.array(*[F.lit(w).cast("long") for w in plane]),
+                lambda a, w: a * w,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p_i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_cosine_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """LSH-blocked embedding near-dup: the scale path of cosine_pairs.
+
+    Candidates come from banded QUANTIZED hyperplane signatures — each
+    component becomes floor(double(x) * scale) (exact: float32 ⊂ double,
+    one IEEE multiply, floor) and is dotted with integer plane weights in
+    BIGINT, so the blocking decision is engine-exact and the whole operator
+    is DuckDB-oracle-checkable.  Verification runs the true cosine on
+    candidate pairs only.  Plan: map-side signature -> equi-join on
+    (band, key) short keys -> distinct (a, b) -> two broadcast-able id
+    joins for the verify vectors.  No all-pairs product anywhere.
+    """
+    planes = quantized_planes(dim, num_planes, seed)
+    rows_per_band = num_planes // bands
+    mask = (1 << rows_per_band) - 1
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    sigs = base.withColumn(
+        "qv", F.transform(F.col("v"), lambda x: F.floor(x * scale).cast("long"))
+    ).withColumn("sig", _signature_from_quantized(F.col("qv"), planes))
+    banded = sigs.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), b * rows_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vid", "bk.band", "bk.key")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .select(F.col("l.vid").alias("a"), F.col("r.vid").alias("b"))
+        .distinct()
+    )
+    va = base.select(F.col("vid").alias("a"), F.col("v").alias("va"))
+    vb = base.select(F.col("vid").alias("b"), F.col("v").alias("vb"))
+    scored = cand.join(va, "a").join(vb, "b").select(
+        "a", "b", cosine(F.col("va"), F.col("vb")).alias("score")
+    )
+    out = scored.where(F.col("score") >= threshold)
+    if round_digits is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_digits))
+    return out
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -797,6 +797,75 @@ scored AS (
 SELECT a, b, round(score, 3) AS score FROM scored WHERE score >= 0.9"""
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked embedding near-dup over the FULL embeddings table (the
+    scale path; the brute-force query keeps the exact baseline): quantized
+    integer hyperplane banding (engine-exact signatures) -> candidate
+    equi-join on (band, key) -> cosine verify on candidates only."""
+    from nexus_forge_spark.operators.similarity import lsh_cosine_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mut = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.5)),
+            F.slice("v", F.lit(2), F.size("v") - 1),
+        ).alias("v"),
+    )
+    return lsh_cosine_pairs(
+        emb.unionByName(mut), dim=64, threshold=0.9, vec_col="v", round_digits=3
+    )
+
+
+def sql_embedding_neardup_lsh() -> str:
+    from nexus_forge_spark.operators.similarity import quantized_planes
+
+    planes = quantized_planes(64, 16, 42)
+
+    def proj(p: list[int]) -> str:
+        terms = [f"qv[{i + 1}]*({w})" for i, w in enumerate(p) if w != 0]
+        return " + ".join(terms) or "0"
+
+    sig_terms = " + ".join(
+        f"(CASE WHEN ({proj(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, (sig >> {b * 4}) & 15 AS key FROM sigs"
+        for b in range(4)
+    )
+    return f"""WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pool AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_concat([v[1] + 0.5], v[2:len(v)]) FROM base
+),
+qs AS (
+  SELECT vec_id, v, list_transform(v, x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+  FROM pool
+),
+sigs AS (SELECT vec_id, {sig_terms} AS sig FROM qs),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM banded l
+  JOIN banded r ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT c.a, c.b,
+    list_dot_product(pa.v, pb.v) /
+    (sqrt(list_dot_product(pa.v, pa.v)) * sqrt(list_dot_product(pb.v, pb.v))) AS score
+  FROM cand c
+  JOIN pool pa ON pa.vec_id = c.a
+  JOIN pool pb ON pb.vec_id = c.b
+)
+SELECT a, b, round(score, 3) AS score FROM scored WHERE score >= 0.9"""
+
+
 def q_collect_span_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_values over the interleaved-span table: all text values along
     spans.text (media spans yield NULL and are compacted away), exploded to
@@ -1472,6 +1541,7 @@ QUERIES = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, sql_dedup_ngram_jaccard),
     "ann_cosine_topk": (q_ann_cosine, sql_ann_cosine),
     "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
+    "embedding_neardup_lsh": (q_embedding_neardup_lsh, sql_embedding_neardup_lsh),
     "lang_quality": (q_lang_quality, sql_lang_quality),
     "token_count": (q_token_count, sql_token_count),
     "rolling_fingerprint": (q_rolling_fingerprint, sql_rolling_fingerprint),

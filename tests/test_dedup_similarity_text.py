@@ -130,3 +130,40 @@ def test_cosine_pairs_threshold(spark):
     out = cosine_pairs(emb, threshold=0.9).collect()
     assert [(r["a"], r["b"]) for r in out] == [(1, 2)]
     assert out[0]["score"] > 0.99
+
+
+def test_lsh_cosine_pairs_subset_of_bruteforce(spark, sf_dir):
+    """Quantized-LSH verified pairs must be a subset of the brute-force
+    pairs with identical scores, with useful recall on the planted mutant
+    pairs (LSH is probabilistic: a pair is missed only when all four
+    4-bit bands differ — raise `bands` for higher recall)."""
+    from nexus_forge_spark.operators.similarity import cosine_pairs, lsh_cosine_pairs
+    from nexus_forge_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mut = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.5)),
+            F.slice("v", F.lit(2), F.size("v") - 1),
+        ).alias("v"),
+    )
+    pool = emb.unionByName(mut)
+    brute = {
+        (r.a, r.b): r.score
+        for r in cosine_pairs(pool, threshold=0.9, vec_col="v", round_digits=3).collect()
+    }
+    lsh = {
+        (r.a, r.b): r.score
+        for r in lsh_cosine_pairs(
+            pool, dim=64, threshold=0.9, vec_col="v", round_digits=3
+        ).collect()
+    }
+    assert set(lsh) <= set(brute)
+    assert all(brute[p] == s for p, s in lsh.items())
+    # recall against the exact answer set (NOT against all planted pairs —
+    # most mutants land just under the 0.9 threshold; measured: brute=156,
+    # lsh=149, recall 0.955 on this corpus, deterministic)
+    assert len(set(lsh) & set(brute)) >= 0.9 * len(brute)
