@@ -269,6 +269,8 @@ class _Parser:
         self.limit: int | None = None
         self.offset: int | None = None
         self.n_anon = 0
+        self.form = "select"  # select | construct | ask
+        self.template: list[tuple[str, object, str]] = []  # CONSTRUCT patterns
 
     # -- token helpers
     def peek(self) -> str | None:
@@ -308,6 +310,30 @@ class _Parser:
                 self.expect(":")
             iri = self.next()
             self.prefixes[pfx] = iri.strip("<>")
+        head = self.peek()
+        if head is not None and head.lower() == "construct":
+            # CONSTRUCT { template } WHERE { pattern }: the template is a
+            # plain triple-pattern group (no filters/paths/etc.)
+            self.next()
+            self.form = "construct"
+            tg = self.parse_group()
+            if tg.filters or tg.optionals or tg.unions or tg.binds or tg.values:
+                raise QueryingError(
+                    "CONSTRUCT template must contain only triple patterns"
+                )
+            self.template = tg.patterns
+            self.expect("WHERE")
+            group = self.parse_group()
+            self._parse_trailers()
+            return group
+        if head is not None and head.lower() == "ask":
+            self.next()
+            self.form = "ask"
+            self.kw("WHERE")  # optional in SPARQL
+            group = self.parse_group()
+            if self.peek() is not None:
+                raise QueryingError(f"trailing tokens in SPARQL: {self.peek()!r}")
+            return group
         self.expect("SELECT")
         self.distinct = self.kw("DISTINCT")
         if self.kw("*"):
@@ -346,6 +372,10 @@ class _Parser:
                     break
         self.expect("WHERE")
         group = self.parse_group()
+        self._parse_trailers()
+        return group
+
+    def _parse_trailers(self) -> None:
         while True:
             if self.kw("GROUP"):
                 self.expect("BY")
@@ -378,7 +408,6 @@ class _Parser:
                 break
         if self.peek() is not None:
             raise QueryingError(f"trailing tokens in SPARQL: {self.peek()!r}")
-        return group
 
     def parse_group(self) -> _Group:
         self.expect("{")
@@ -571,6 +600,14 @@ class SparqlToSql:
         parser = _Parser(_tokenize(query))
         group = parser.parse()
         sql, bindings = self._compile_group(group, parser)
+        if parser.form == "ask":
+            # boolean result; LIMIT 1 stops the scan at the first solution
+            return (
+                f"SELECT (count(*) > 0) AS ask "
+                f"FROM (SELECT 1 AS one {sql} LIMIT 1) probe"
+            )
+        if parser.form == "construct":
+            return self._compile_construct(parser, sql, bindings)
         expr_map = {alias: toks for toks, alias in parser.select_exprs}
         vars_ = (
             list(bindings)
@@ -602,6 +639,51 @@ class SparqlToSql:
                 f"{bindings.get(v, v)} {d}" for v, d in parser.order
             )
             out += f" ORDER BY {order}"
+        if parser.limit is not None:
+            out += f" LIMIT {parser.limit}"
+        if parser.offset is not None:
+            out += f" OFFSET {parser.offset}"
+        return out
+
+    def _compile_construct(
+        self, parser: _Parser, sql: str, bindings: dict[str, str]
+    ) -> str:
+        """CONSTRUCT -> one (subj, pred, obj) row set: each template
+        pattern instantiates once per WHERE solution, DISTINCT enforces
+        graph set semantics (rdflib Graph is a set; the reference builds
+        Resources from these rows — build_resource_from_construct_query,
+        sparql_query_builder.py:204-238; here triples_to_resources is the
+        reassembly operator).  With LIMIT/OFFSET the triple set is ordered
+        (subj, pred, obj) first so pagination is deterministic."""
+        if not parser.template:
+            raise QueryingError("empty CONSTRUCT template")
+        selects = []
+        for s, p, o in parser.template:
+            cols = []
+            for term, name in ((s, "subj"), (p, "pred"), (o, "obj")):
+                if isinstance(term, list):
+                    raise QueryingError(
+                        "predicate alternatives not allowed in a CONSTRUCT template"
+                    )
+                if term.startswith("?"):
+                    v = term[1:]
+                    if v not in bindings:
+                        raise QueryingError(
+                            f"CONSTRUCT template references unbound ?{v}"
+                        )
+                    cols.append(f"{bindings[v]} AS {name}")
+                elif term.startswith(("'", '"')):
+                    cols.append(f"{_sql_str(term.strip(chr(39) + chr(34)))} AS {name}")
+                else:
+                    cols.append(f"{_sql_str(_split_iri(term))} AS {name}")
+            selects.append(f"SELECT {', '.join(cols)} {sql}")
+        out = (
+            "SELECT DISTINCT subj, pred, obj FROM ("
+            + " UNION ALL ".join(selects)
+            + ") g"
+        )
+        if parser.limit is not None or parser.offset is not None:
+            out += " ORDER BY subj, pred, obj"
         if parser.limit is not None:
             out += f" LIMIT {parser.limit}"
         if parser.offset is not None:

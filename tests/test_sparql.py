@@ -469,3 +469,75 @@ def test_sample_aggregate(duck):
     q = ("SELECT ?d (SAMPLE(?e) AS ?one) WHERE { ?d nsg:hasBody ?e } "
          "GROUP BY ?d ORDER BY ?d")
     assert run(duck, q) == [("doc:1", "ont:e1"), ("doc:2", "ont:e2")]
+
+
+# ------------------------------------------------------- CONSTRUCT / ASK
+
+
+def test_construct_basic(duck):
+    q = """CONSTRUCT { ?e <http://ex.org/inDoc> ?d . ?e a <http://ex.org/Entity> }
+           WHERE { ?d nsg:hasBody ?e }"""
+    rows = sorted(run(duck, q))
+    assert rows == sorted([
+        ("ont:e1", "http://ex.org/inDoc", "doc:1"),
+        ("ont:e2", "http://ex.org/inDoc", "doc:1"),
+        ("ont:e2", "http://ex.org/inDoc", "doc:2"),
+        ("ont:e1", "rdf:type", "http://ex.org/Entity"),
+        ("ont:e2", "rdf:type", "http://ex.org/Entity"),
+    ])
+
+
+def test_construct_is_a_set(duck):
+    # two docs share ont:e2 -> the type triple appears once (graph set)
+    q = "CONSTRUCT { ?e a <http://ex.org/E> } WHERE { ?d nsg:hasBody ?e }"
+    assert sorted(run(duck, q)) == [
+        ("ont:e1", "rdf:type", "http://ex.org/E"),
+        ("ont:e2", "rdf:type", "http://ex.org/E"),
+    ]
+
+
+def test_construct_with_limit_deterministic(duck):
+    q = ("CONSTRUCT { ?s <http://ex.org/p> ?l } WHERE { ?s rdfs:label ?l } "
+         "LIMIT 1")
+    assert run(duck, q) == [("ont:e1", "http://ex.org/p", "alpha")]
+
+
+def test_construct_unbound_template_var_rejected(duck):
+    with pytest.raises(QueryingError, match="unbound"):
+        run(duck, "CONSTRUCT { ?s <http://ex.org/p> ?missing } WHERE { ?s rdfs:label ?l }")
+
+
+def test_ask_true_false(duck):
+    assert run(duck, 'ASK { ?s rdfs:label "alpha" }') == [(True,)]
+    assert run(duck, 'ASK WHERE { ?s rdfs:label "nope" }') == [(False,)]
+
+
+def test_ask_with_filter(duck):
+    assert run(duck, "ASK { ?s rdfs:label ?l FILTER (strlen(?l) > 10) }") == [(False,)]
+    assert run(duck, "ASK { ?s rdfs:label ?l FILTER (strlen(?l) > 3) }") == [(True,)]
+
+
+def test_construct_and_ask_on_spark(spark):
+    """CONSTRUCT and ASK compile to SQL that Spark executes distributed;
+    CONSTRUCT rows feed triples_to_resources (C4) for Resource reassembly
+    as in the reference's build_resource_from_construct_query."""
+    from nexus_forge_spark.forge import SparkForge, SparkForgeConfig
+
+    forge = SparkForge(spark, SparkForgeConfig())
+    triples = spark.createDataFrame(
+        TRIPLES, schema="subj string, pred string, obj string"
+    )
+    out = forge.sparql(
+        "CONSTRUCT { ?e <http://ex.org/inDoc> ?d } WHERE { ?d nsg:hasBody ?e }",
+        triples=triples,
+        rewrite=False,
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("ont:e1", "http://ex.org/inDoc", "doc:1"),
+        ("ont:e2", "http://ex.org/inDoc", "doc:1"),
+        ("ont:e2", "http://ex.org/inDoc", "doc:2"),
+    ]
+    ask = forge.sparql(
+        'ASK { ?s rdfs:label "alpha" }', triples=triples, rewrite=False
+    ).collect()
+    assert [r["ask"] for r in ask] == [True]
