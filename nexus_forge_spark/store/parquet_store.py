@@ -54,10 +54,23 @@ class StoreError(Exception):
 
 
 class ParquetStore:
-    def __init__(self, spark: SparkSession, base_dir: str, id_col: str = "id"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        id_col: str = "id",
+        auto_compact_deltas: int | None = 32,
+    ):
+        """auto_compact_deltas: once a mutation commit leaves this many
+        deltas since the last full base, compact() runs automatically —
+        bounds merge-on-read amplification for long mutation histories
+        (Iceberg's scheduled rewrite_data_files, folded into the write
+        path).  None disables; time-travel to pre-compaction versions is
+        unaffected (old snapshots never read a newer base)."""
         self.spark = spark
         self.base_dir = base_dir
         self.id_col = id_col
+        self.auto_compact_deltas = auto_compact_deltas
         os.makedirs(base_dir, exist_ok=True)
 
     # ------------------------------------------------------------ metadata
@@ -110,6 +123,14 @@ class ParquetStore:
         meta["current"] = seq
         meta["deltas"].append({"seq": seq, "full": full})
         self._save_meta(meta)
+        if not full and self.auto_compact_deltas is not None:
+            since_base = 0
+            for d in reversed(meta["deltas"]):
+                if d["full"]:
+                    break
+                since_base += 1
+            if since_base >= self.auto_compact_deltas:
+                self.compact()
         return seq, metrics
 
     # ------------------------------------------------------------ read view

@@ -157,3 +157,30 @@ def test_compact_preserves_state_and_time_travel(spark):
         assert st["b"][3] is True and st["a"][0] == "n1b"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_auto_compaction_bounds_delta_scan(spark):
+    """With auto_compact_deltas=3, every third non-base commit triggers a
+    base rewrite: reads stay identical, time-travel to pre-compaction
+    versions still resolves, and the merge-on-read scan never covers more
+    than threshold+1 deltas."""
+    tmp = tempfile.mkdtemp()
+    try:
+        store = ParquetStore(spark, f"{tmp}/s", auto_compact_deltas=3)
+        df = lambda rows: spark.createDataFrame(rows, "id string, name string, age long")
+        store.register(df([("a", "n", 1), ("b", "n", 2)]))   # d1
+        store.update(df([("a", "n2", 3)]))                    # d2
+        store.update(df([("b", "n3", 4)]))                    # d3 -> base d4
+        meta = store._meta()
+        assert [d["seq"] for d in meta["deltas"] if d["full"]] == [4]
+        st = _state_of(store.retrieve())
+        assert st["a"][0] == "n2" and st["b"][0] == "n3"
+        # pre-compaction snapshot resolves from the raw deltas
+        assert _state_of(store.retrieve(version=2))["b"][0] == "n"
+        # further mutations count against the NEW base
+        store.update(df([("a", "n4", 5)]))                    # d5
+        live = [d for d in store._meta()["deltas"] if d["seq"] >= 4]
+        assert len(live) <= 4
+        assert _state_of(store.retrieve())["a"][0] == "n4"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
