@@ -266,11 +266,33 @@ class SparkForge:
             )
         return self.spark.sql(SP.sparql_to_sql(query, table="triples"))
 
-    def elastic(self, *_a, **_k):
-        """forge.elastic (core/forge.py:696) is n/a by design: every ES DSL
-        query the reference builds compiles to df.filter / cosine top-k here
-        (SURVEY S4/S6); use search()/apply_filters/similarity instead."""
-        raise NotImplementedError(self.elastic.__doc__)
+    def elastic(
+        self,
+        query: str | dict,
+        index: DataFrame | None = None,
+        limit: int | None = None,
+        offset: int | None = None,
+    ) -> DataFrame:
+        """forge.elastic (core/forge.py:696, read_only_store.py:140-183):
+        run an ES search-body JSON against an 'index' DataFrame.  The bool/
+        term/terms/range/match/exists/prefix/wildcard/ids clauses compile to
+        Column predicates (functions/esdsl.py) that Catalyst pushes into the
+        scan; _source becomes column pruning, sort/from/size become
+        orderBy/offset/limit — the store-side execution the reference
+        delegated to an Elasticsearch endpoint, minus relevance scoring
+        (filter-context semantics; ranked search is the similarity ops)."""
+        import json as _json
+
+        from nexus_forge_spark.functions.esdsl import es_search
+
+        if index is None:
+            raise ValueError("forge.elastic needs the index DataFrame")
+        body = _json.loads(query) if isinstance(query, str) else dict(query)
+        if limit is not None:
+            body["size"] = limit
+        if offset is not None:
+            body["from"] = offset
+        return es_search(index, body)
 
     def attach(self, path: str, content_type: str | None = None) -> dict:
         """forge.attach (core/forge.py:799): media refs are DATA — returns

@@ -7,20 +7,24 @@ opaque ``binary`` columns with typed metadata, and every decode /
 feature-extract / resize / frame-sample step is an Arrow-batched pandas
 stage over ``mapInPandas`` — never per-row Python.
 
-Image decode is REAL for PPM/PGM/BMP payloads: a pure-numpy codec
+Image decode is REAL for PPM/PGM/BMP/PNG payloads: a pure-numpy codec
 (functions/imagecodec.py) decodes pixels, extracts block-mean embeddings,
-and resizes + re-encodes — no PIL needed.  Synthetic image payloads from
-``media_from_documents`` are genuine 4x4 P6 PPM files, so the default
-pipeline exercises the real path end to end.  Other formats (JPEG/audio/
-video containers need libs absent from this container) fall back to the
-deterministic hash stub, still marked by ``DECODE_IS_STUBBED``.
-Everything Spark-side — schemas, partitioning, the mapInPandas batch
-contract, null handling — is real and tested.
+and resizes + re-encodes — no PIL needed.  Audio decode is REAL for WAV
+(functions/audiocodec.py: RIFF parser + RMS/zero-crossing/spectral-centroid
+features — stdlib struct + numpy).  Synthetic payloads from
+``media_from_documents`` are genuine 4x4 P6 PPM files and genuine PCM16
+WAVs, so the default pipeline exercises both real paths end to end.
+Remaining formats (JPEG, compressed audio, video containers need libs
+absent from this container) fall back to the deterministic hash stub,
+still marked by ``DECODE_IS_STUBBED``.  Everything Spark-side — schemas,
+partitioning, the mapInPandas batch contract, null handling — is real and
+tested.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -29,12 +33,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from nexus_forge_spark.functions import imagecodec
+from nexus_forge_spark.functions import audiocodec, imagecodec
 
-# PPM/PGM/BMP/PNG decode is real (numpy + stdlib zlib); JPEG/audio/video
-# still stub (libs absent from this container)
+# PPM/PGM/BMP/PNG image decode is real (numpy + stdlib zlib); WAV audio
+# decode is real (stdlib struct + numpy); JPEG/compressed-audio/video still
+# stub (libs absent from this container)
 DECODE_REAL_FORMATS = frozenset({"ppm", "pgm", "bmp", "png"})
-DECODE_IS_STUBBED = False  # real for DECODE_REAL_FORMATS; see module doc
+DECODE_REAL_AUDIO_FORMATS = frozenset({"wav"})
+DECODE_IS_STUBBED = False  # real for the sets above; see module doc
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -68,6 +74,19 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType()),
@@ -96,18 +115,41 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         F.unhex(F.md5(F.concat(ref, F.lit("#1")))),
         F.unhex(F.md5(F.concat(ref, F.lit("#2")))),
     )
+    # audio payloads are REAL PCM16 mono WAVs: constant 44-byte RIFF header
+    # (128 data bytes = 64 samples @ 16 kHz) + hash-derived sample bytes
+    wav_header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + 128)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        + b"data"
+        + struct.pack("<I", 128)
+    )
+    wav_bytes = F.concat(
+        F.lit(wav_header),
+        *[F.unhex(F.md5(F.concat(ref, F.lit(f"#a{i}")))) for i in range(8)],
+    )
     media_type = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.pmod(F.xxhash64(ref), F.lit(3)) + 1).cast("int"),
     )
     is_image = media_type == "image"
+    is_audio = media_type == "audio"
     return spans.select(
         "doc_id",
         ref.alias("media_ref"),
         media_type.alias("media_type"),
-        F.when(is_image, ppm_bytes).otherwise(fake_bytes).alias("content"),
+        F.when(is_image, ppm_bytes)
+        .when(is_audio, wav_bytes)
+        .otherwise(fake_bytes)
+        .alias("content"),
         F.struct(
-            F.when(is_image, F.lit("ppm")).otherwise(F.lit("synthetic")).alias("format"),
+            F.when(is_image, F.lit("ppm"))
+            .when(is_audio, F.lit("wav"))
+            .otherwise(F.lit("synthetic"))
+            .alias("format"),
             F.when(is_image, F.lit(4))
             .otherwise((F.pmod(F.xxhash64(ref, F.lit(1)), F.lit(1920)) + 1).cast("int"))
             .alias("width"),
@@ -182,6 +224,64 @@ def extract_image_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
     return media.where(F.col("media_type") == "image").mapInPandas(
         batches, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def _audio_features_one(content: bytes | None) -> tuple:
+    """-> (duration_ms, sample_rate, rms, zcr, centroid, decoded).
+
+    REAL for WAV payloads (audiocodec); other formats fall back to
+    deterministic hash pseudo-features with decoded=False."""
+    if content is None:
+        raise NotImplementedError("media content missing; fetch stage not wired")
+    raw = bytes(content)
+    if audiocodec.sniff_wav(raw):
+        arr, rate = audiocodec.decode_wav(raw)
+        return (
+            int(round(len(arr) / rate * 1000)),
+            rate,
+            audiocodec.rms_energy(arr),
+            audiocodec.zero_crossing_rate(arr),
+            audiocodec.spectral_centroid(arr, rate),
+            True,
+        )
+    digest = hashlib.sha256(raw).digest()
+    return (
+        int.from_bytes(digest[:2], "big"),
+        16000,
+        digest[2] / 255.0,
+        digest[3] / 255.0,
+        float(int.from_bytes(digest[4:6], "big") % 8000),
+        False,
+    )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction for audio rows: duration,
+    sample rate, RMS energy, zero-crossing rate, spectral centroid.  Same
+    mapInPandas contract as the image stage; WAV rows run the real numpy
+    decode, other containers the marked stub."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            feats = [_audio_features_one(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "duration_ms": [f[0] for f in feats],
+                    "sample_rate": [f[1] for f in feats],
+                    "rms": [f[2] for f in feats],
+                    "zero_crossing_rate": [f[3] for f in feats],
+                    "spectral_centroid_hz": [f[4] for f in feats],
+                    "decoded": [f[5] for f in feats],
+                }
+            )
+
+    return media.where(F.col("media_type") == "audio").mapInPandas(
+        batches, AUDIO_FEATURES_SCHEMA
     )
 
 

@@ -866,6 +866,86 @@ scored AS (
 SELECT a, b, round(score, 3) AS score FROM scored WHERE score >= 0.9"""
 
 
+ES_SEARCH_BODY = {
+    "query": {
+        "bool": {
+            "filter": [
+                {"range": {"c_acctbal": {"gte": 1000, "lt": 9000}}},
+                {"terms": {"c_mktsegment": ["BUILDING", "MACHINERY"]}},
+            ],
+            "must": [{"wildcard": {"c_name": "Customer#*1*"}}],
+            "must_not": [{"term": {"c_nationkey": 7}}],
+            "should": [
+                {"prefix": {"c_name": "Customer#0000001"}},
+                {"match_phrase": {"c_mktsegment": "ING"}},
+            ],
+            "minimum_should_match": 1,
+        }
+    },
+    "sort": [{"c_custkey": {"order": "asc"}}],
+    "from": 10,
+    "size": 50,
+    "_source": ["c_custkey", "c_name", "c_mktsegment"],
+}
+
+
+def q_es_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """forge.elastic with a real ES search body (S4/S6): bool query with
+    filter/must/must_not/should+minimum_should_match over the customer
+    index, wildcard/prefix/match_phrase text clauses, sort + from/size
+    pagination, _source projection.  The compiled plan is a single pruned
+    parquet scan with every pushable predicate pushed."""
+    from nexus_forge_spark.forge import SparkForge, SparkForgeConfig
+
+    forge = SparkForge(spark, SparkForgeConfig())
+    return forge.elastic(ES_SEARCH_BODY, index=load_table(spark, "customer", sf_dir))
+
+
+def sql_es_search() -> str:
+    return """SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_acctbal >= 1000 AND c_acctbal < 9000
+  AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+  AND c_name LIKE 'Customer#%1%'
+  AND NOT coalesce(c_nationkey = 7, FALSE)
+  AND ((CASE WHEN starts_with(c_name, 'Customer#0000001') THEN 1 ELSE 0 END)
+     + (CASE WHEN contains(lower(c_mktsegment), 'ing') THEN 1 ELSE 0 END)) >= 1
+ORDER BY c_custkey LIMIT 50 OFFSET 10"""
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image modality stage (rows-only driver check: the Arrow-batched
+    mapInPandas decode is not SQL-expressible).  Synthetic payloads are
+    genuine 4x4 P6 PPMs, so this runs the REAL numpy decode + block-mean
+    embedding on every image row (multimodal.py, imagecodec.py)."""
+    from nexus_forge_spark.operators.multimodal import (
+        extract_image_features,
+        media_from_documents,
+    )
+    from nexus_forge_spark.sources import flat_to_interleaved
+
+    docs = flat_to_interleaved(load_table(spark, "documents", sf_dir))
+    return extract_image_features(media_from_documents(docs)).orderBy(
+        "doc_id", "media_ref"
+    )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality stage (rows-only driver check).  Synthetic payloads
+    are genuine PCM16 WAVs, so this runs the REAL RIFF decode + RMS /
+    zero-crossing / spectral-centroid features on every audio row
+    (multimodal.py, audiocodec.py)."""
+    from nexus_forge_spark.operators.multimodal import (
+        extract_audio_features,
+        media_from_documents,
+    )
+    from nexus_forge_spark.sources import flat_to_interleaved
+
+    docs = flat_to_interleaved(load_table(spark, "documents", sf_dir))
+    return extract_audio_features(media_from_documents(docs)).orderBy(
+        "doc_id", "media_ref"
+    )
+
+
 def q_collect_span_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_values over the interleaved-span table: all text values along
     spans.text (media spans yield NULL and are compacted away), exploded to
@@ -1542,6 +1622,9 @@ QUERIES = {
     "ann_cosine_topk": (q_ann_cosine, sql_ann_cosine),
     "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, sql_embedding_neardup_lsh),
+    "image_features": (q_image_features, None),
+    "audio_features": (q_audio_features, None),
+    "es_search": (q_es_search, sql_es_search),
     "lang_quality": (q_lang_quality, sql_lang_quality),
     "token_count": (q_token_count, sql_token_count),
     "rolling_fingerprint": (q_rolling_fingerprint, sql_rolling_fingerprint),

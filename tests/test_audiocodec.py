@@ -1,0 +1,84 @@
+"""Pure-numpy WAV codec: round-trip, format coverage, feature sanity."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from nexus_forge_spark.functions import audiocodec as AC
+
+
+def _sine(freq: float, rate: int = 16000, seconds: float = 0.1) -> np.ndarray:
+    t = np.arange(int(rate * seconds)) / rate
+    return np.sin(2 * math.pi * freq * t).astype(np.float32)
+
+
+def test_roundtrip_mono():
+    sig = _sine(440.0)
+    arr, rate = AC.decode_wav(AC.encode_wav(sig, 16000))
+    assert rate == 16000
+    assert arr.shape == (len(sig), 1)
+    assert np.allclose(arr[:, 0], sig, atol=1.5 / 32768)
+
+
+def test_roundtrip_stereo():
+    sig = np.stack([_sine(440.0), _sine(880.0)], axis=1)
+    arr, rate = AC.decode_wav(AC.encode_wav(sig, 8000))
+    assert rate == 8000
+    assert arr.shape == sig.shape
+    assert np.allclose(arr, sig, atol=1.5 / 32768)
+
+
+def test_float32_and_8bit_formats():
+    sig = _sine(100.0, seconds=0.01)
+    # IEEE float32 WAV built by hand
+    data = sig.astype("<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    arr, _ = AC.decode_wav(buf)
+    assert np.allclose(arr[:, 0], sig, atol=1e-6)
+    # unsigned 8-bit PCM
+    pcm8 = np.round(np.clip(sig, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 16000, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(pcm8)) + pcm8
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    arr, _ = AC.decode_wav(buf)
+    # 8-bit headroom: 127-vs-128 encode/decode scale mismatch (~0.8% of
+    # amplitude) + half-step quantization
+    assert np.allclose(arr[:, 0], sig, atol=0.02)
+
+
+def test_bad_payloads_raise():
+    with pytest.raises(AC.AudioDecodeError):
+        AC.decode_wav(b"nope")
+    # RIFF/WAVE but no chunks
+    with pytest.raises(AC.AudioDecodeError):
+        AC.decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    # unsupported compression code
+    fmt = struct.pack("<HHIIHH", 85, 1, 16000, 16000, 1, 16)  # mp3-ish
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", 0) + b""
+    with pytest.raises(AC.AudioDecodeError):
+        AC.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_feature_sanity():
+    """A 440 Hz sine: RMS ~ 1/sqrt(2), ZCR ~ 2f/rate, centroid ~ 440 Hz."""
+    sig = _sine(440.0, rate=16000, seconds=0.5)
+    arr, rate = AC.decode_wav(AC.encode_wav(sig, 16000))
+    assert abs(AC.rms_energy(arr) - 1 / math.sqrt(2)) < 0.01
+    assert abs(AC.zero_crossing_rate(arr) - 2 * 440 / 16000) < 0.005
+    assert abs(AC.spectral_centroid(arr, rate) - 440.0) < 15.0
+
+
+def test_silence_features():
+    arr = np.zeros((100, 1), dtype=np.float32)
+    assert AC.rms_energy(arr) == 0.0
+    assert AC.zero_crossing_rate(arr) == 0.0
+    assert AC.spectral_centroid(arr, 16000) == 0.0

@@ -172,11 +172,17 @@ def test_json_roundtrip_verbs(spark, forge):
     assert [(r.id, r.name) for r in back.collect()] == [(1, "a"), (2, "b")]
 
 
-def test_elastic_is_explicitly_na(forge):
+def test_elastic_runs_es_dsl(spark, forge):
+    """forge.elastic executes real ES search bodies against an index
+    DataFrame (S4/S6 — was n/a-by-design until the esdsl compiler landed);
+    calling it without an index is a clear error, not a silent default."""
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        forge.elastic({"query": {}})
+    with _pytest.raises(ValueError, match="index"):
+        forge.elastic({"query": {"match_all": {}}})
+    idx = spark.createDataFrame([("a", 1), ("b", 2)], "id string, n long")
+    out = forge.elastic({"query": {"range": {"n": {"gte": 2}}}}, index=idx)
+    assert [r["id"] for r in out.collect()] == ["b"]
 
 
 def test_map_dispatch_records_and_files(spark, forge, tmp_path):

@@ -29,6 +29,12 @@ def test_media_schema_and_payload(spark, sf_dir):
             assert len(r.content) == 11 + 48
             assert r.metadata.format == "ppm"
             assert r.metadata.width == 4 and r.metadata.height == 4
+        elif r.media_type == "audio":
+            # real PCM16 mono WAV: 44-byte RIFF header + 128 sample bytes
+            assert bytes(r.content).startswith(b"RIFF")
+            assert len(r.content) == 44 + 128
+            assert r.metadata.format == "wav"
+            assert r.metadata.sample_rate == 16000
         else:
             assert len(r.content) == 16  # md5-derived stub payload
             assert 1 <= r.metadata.width <= 1920
@@ -92,3 +98,37 @@ def test_missing_content_raises_not_implemented(spark):
     with _pytest.raises(Exception) as exc:
         MM.extract_image_features(media).collect()
     assert "NotImplementedError" in str(exc.value) or "not wired" in str(exc.value)
+
+
+def test_audio_features_real_wav_decode(spark, sf_dir):
+    """Synthetic audio payloads are genuine PCM16 WAVs; the feature stage
+    decodes them for real (decoded=True) with consistent duration/rate."""
+    media = _media(spark, sf_dir)
+    feats = MM.extract_audio_features(media)
+    rows = feats.limit(10).collect()
+    assert rows
+    for r in rows:
+        assert r.decoded is True
+        assert r.sample_rate == 16000
+        assert r.duration_ms == 4  # 64 samples @ 16 kHz
+        assert 0.0 <= r.rms <= 1.0
+        assert 0.0 <= r.zero_crossing_rate <= 1.0
+        assert 0.0 <= r.spectral_centroid_hz <= 8000.0
+
+
+def test_audio_features_deterministic(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    a = sorted(map(tuple, MM.extract_audio_features(media).limit(5).collect()))
+    b = sorted(map(tuple, MM.extract_audio_features(media).limit(5).collect()))
+    assert a == b
+
+
+def test_audio_stub_path_flagged(spark):
+    """Non-WAV audio bytes route through the hash stub with decoded=False."""
+    media = spark.createDataFrame(
+        [("d1", "media://x", "audio", bytearray(b"\x00" * 32),
+          ("synthetic", 1, 1, 1, 16000))],
+        MM.MEDIA_SCHEMA,
+    )
+    row = MM.extract_audio_features(media).collect()[0]
+    assert row.decoded is False
