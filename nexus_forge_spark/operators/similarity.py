@@ -240,6 +240,15 @@ def lsh_cosine_pairs(
     candidate pairs only.  Plan: map-side signature -> equi-join on
     (band, key) short keys -> distinct (a, b) -> two broadcast-able id
     joins for the verify vectors.  No all-pairs product anywhere.
+
+    SIZING: expected candidate pairs per band ~ n^2 / (2 * 2^rows_per_band)
+    under uniform signs — the key width must grow with the corpus
+    (rows_per_band ~ log2(n) keeps per-bucket population constant), traded
+    against recall ~ 1-(1-p^rows)^bands where p is the per-bit agreement
+    probability (1 - angle/pi).  The defaults (16 planes, 4 bands) are
+    tuned for the contract corpus at recall 0.955; at 10^9 vectors use
+    e.g. 64 planes / 8 bands / 8-bit keys and verify with the exact
+    cosine as here.
     """
     planes = quantized_planes(dim, num_planes, seed)
     rows_per_band = num_planes // bands
@@ -278,10 +287,22 @@ def lsh_cosine_pairs(
         .select(F.col("l.vid").alias("a"), F.col("r.vid").alias("b"))
         .distinct()
     )
-    va = base.select(F.col("vid").alias("a"), F.col("v").alias("va"))
-    vb = base.select(F.col("vid").alias("b"), F.col("v").alias("vb"))
+    # norms are per-VECTOR, not per-pair: compute once before the join so
+    # the verify does one dot product per candidate instead of three
+    # (dot + 2 norms) — same float expression values, ~3x less HOF work
+    with_norm = base.withColumn("nv", norm(F.col("v")))
+    va = with_norm.select(
+        F.col("vid").alias("a"), F.col("v").alias("va"), F.col("nv").alias("na")
+    )
+    vb = with_norm.select(
+        F.col("vid").alias("b"), F.col("v").alias("vb"), F.col("nv").alias("nb")
+    )
     scored = cand.join(va, "a").join(vb, "b").select(
-        "a", "b", cosine(F.col("va"), F.col("vb")).alias("score")
+        "a",
+        "b",
+        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .cast("double")
+        .alias("score"),
     )
     out = scored.where(F.col("score") >= threshold)
     if round_digits is not None:

@@ -889,6 +889,34 @@ ES_SEARCH_BODY = {
 }
 
 
+# CONSTRUCT over the extracted KG: reverse annotation edges + type-stamp
+# every annotating entity (the reference's CONSTRUCT->Resources flow;
+# compiled form is a UNION ALL of template instantiations + DISTINCT).
+SPARQL_CONSTRUCT_TEXT = """CONSTRUCT {
+  ?e <http://ex.org/annotates> ?doc .
+  ?e a <http://ex.org/AnnotatingEntity>
+} WHERE { ?doc nsg:hasBody ?e }"""
+
+
+def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    triples = q_kg_triples(spark, sf_dir).localCheckpoint(eager=True)
+    triples.createOrReplaceTempView("sparql_triples_v")
+    return spark.sql(
+        sparql_to_sql(
+            SPARQL_CONSTRUCT_TEXT, table="sparql_triples_v", dialect="spark"
+        )
+    )
+
+
+def sql_sparql_construct() -> str:
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    inner = sparql_to_sql(SPARQL_CONSTRUCT_TEXT, table="tr", dialect="duckdb")
+    return f"WITH tr AS ({sql_kg_triples()}) {inner}"
+
+
 def q_es_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """forge.elastic with a real ES search body (S4/S6): bool query with
     filter/must/must_not/should+minimum_should_match over the customer
@@ -1625,6 +1653,7 @@ QUERIES = {
     "image_features": (q_image_features, None),
     "audio_features": (q_audio_features, None),
     "es_search": (q_es_search, sql_es_search),
+    "sparql_construct": (q_sparql_construct, sql_sparql_construct),
     "lang_quality": (q_lang_quality, sql_lang_quality),
     "token_count": (q_token_count, sql_token_count),
     "rolling_fingerprint": (q_rolling_fingerprint, sql_rolling_fingerprint),
