@@ -301,71 +301,82 @@ def resolve_ladder_inline(
     alias_table: DataFrame,
     keys: list[str] | None = None,
 ) -> DataFrame:
-    """Single-scan strategy ladder over the raw occurrence stream.
+    """Single-scan strategy ladder over the raw occurrence stream, with the
+    ranking PRE-REDUCED into the broadcast index.
 
-    Same result as resolve_ladder(_distinct) — exact preferred, best-fuzzy
-    fallback, identical (exact_rank, score, dict_idx, prop_order) ranking —
-    but with ONE pass over the corpus instead of two: no distinct-vocabulary
-    branch, no join-back re-scan.  Shape:
+    Key insight: the ladder's winning candidate is a pure function of the
+    MENTION STRING, never the occurrence — so the argmin can be computed on
+    the dim side at plan time instead of aggregating the corpus:
 
-      occurrences ⋈ broadcast(alias_substring_index) [equi-join on the
-      lowercased mention]  ->  groupBy(keys) min(packed candidate long)
-      [map-side combine]  ->  broadcast dict_idx -> entity_id lookup.
+    * fuzzy_best: per substring key, the min (score_len, dict_idx,
+      prop_order) alias row containing it — score for a mention is then
+      score_len - length(mention) (length is constant per key, so the
+      per-key ordering is the ladder's fuzzy ordering);
+    * exact_best: per VERBATIM alias string, the min (dict_idx, prop_order)
+      row — joined case-sensitively; an exact hit (exact_rank 0) beats any
+      fuzzy candidate, exactly the ladder's exact-first rule.
 
-    The candidate tuple is packed into one long so the reduction is a
-    codegen'd HashAggregate (min(struct(...)) would force an interpreted
-    SortAggregate).  The ranking window disappears: top-1 IS the min.
+    The corpus side is then: inner hash join on lower(mention) + left hash
+    join on mention, both against tiny broadcasts, one output row per
+    occurrence — NO aggregation, NO window, NO second scan.  The only
+    shuffle left in a consuming pipeline is its own downstream dedup.
+    (The earlier formulation aggregated min(packed) per (doc, mention) —
+    measured 20+s of reduce time at 1M docs that this removes outright.)
 
-    Scale posture: the only shuffle is the packed min keyed on `keys`
-    (narrow rows, map-side combined, inner join has already dropped every
-    unmatched n-gram).  Use when the substring index fits a broadcast
-    (small/medium dims); resolve_ladder_blocked is the huge-dim path.
+    Returns one row PER OCCURRENCE ROW (duplicates of keys preserved);
+    dedup downstream if set semantics are needed.  Use when the substring
+    index fits a broadcast; resolve_ladder_blocked is the huge-dim path.
     """
     keys = keys or MENTION_KEYS
-    idx = F.broadcast(alias_substring_index(alias_table)).alias("a")
-    m = occurrences.alias("m")
-    mention = F.col("m.mention")
-    al = F.col("a.alias")
-    exact = mention == al
-    score_long = (
-        F.when(exact, F.lit(0))
-        .otherwise(F.col("a.score_len") - F.length(mention))
-        .cast("long")
-    )
-    exact_rank = F.when(exact, F.lit(0)).otherwise(F.lit(1)).cast("long")
-    packed = (
-        (exact_rank * _PACK_SCORE_SPAN + score_long + _PACK_SCORE_OFF)
-        * _PACK_DICT
-        + F.col("a.dict_idx")
-    ) * _PACK_PROP + F.col("a.prop_order")
-
-    j = m.join(idx, F.lower(mention) == F.col("a.key"), "inner")
-    agg = j.groupBy(*[F.col(f"m.{k}") for k in keys]).agg(F.min(packed).alias("b"))
-
-    b = F.col("b")
-    combined = F.floor(b / (_PACK_PROP * _PACK_DICT))
-    recs = F.broadcast(alias_table.select("dict_idx", "entity_id").distinct())
-    return (
-        agg.withColumn(
-            "dict_idx", F.pmod(F.floor(b / _PACK_PROP), F.lit(_PACK_DICT))
-        )
-        .withColumn(
-            "score",
-            (F.pmod(combined, F.lit(_PACK_SCORE_SPAN)) - _PACK_SCORE_OFF).cast(
-                "double"
-            ),
-        )
-        .withColumn("exact_rank", F.floor(combined / _PACK_SCORE_SPAN))
-        .join(recs, "dict_idx")
+    idx = alias_substring_index(alias_table)
+    fuzzy_packed = (
+        (F.col("score_len").cast("long") + _PACK_SCORE_OFF) * _PACK_DICT
+        + F.col("dict_idx")
+    ) * _PACK_PROP + F.col("prop_order")
+    fuzzy_best = (
+        idx.groupBy("key")
+        .agg(F.min(fuzzy_packed).alias("fb"))
         .select(
+            "key",
+            F.pmod(F.floor(F.col("fb") / _PACK_PROP), F.lit(_PACK_DICT)).alias(
+                "f_dict"
+            ),
+            (
+                F.floor(F.col("fb") / (_PACK_PROP * _PACK_DICT))
+                - _PACK_SCORE_OFF
+            ).alias("f_score_len"),
+        )
+    )
+    exact_packed = F.col("dict_idx").cast("long") * _PACK_PROP + F.col("prop_order")
+    exact_best = (
+        alias_table.groupBy("alias")
+        .agg(F.min(exact_packed).alias("eb"))
+        .select(
+            F.col("alias").alias("e_alias"),
+            F.floor(F.col("eb") / _PACK_PROP).alias("e_dict"),
+        )
+    )
+    recs = F.broadcast(alias_table.select("dict_idx", "entity_id").distinct())
+    mention = F.col("mention")
+    j = occurrences.join(
+        F.broadcast(fuzzy_best), F.lower(mention) == F.col("key"), "inner"
+    ).join(F.broadcast(exact_best), mention == F.col("e_alias"), "left")
+    is_exact = F.col("e_dict").isNotNull()
+    return (
+        j.select(
             *keys,
-            "entity_id",
-            "score",
-            F.lit(1).alias("rank"),
-            F.when(F.col("exact_rank") == 0, F.lit(EXACT_MATCH))
+            F.when(is_exact, F.col("e_dict"))
+            .otherwise(F.col("f_dict"))
+            .alias("dict_idx"),
+            F.when(is_exact, F.lit(0.0))
+            .otherwise((F.col("f_score_len") - F.length(mention)).cast("double"))
+            .alias("score"),
+            F.when(is_exact, F.lit(EXACT_MATCH))
             .otherwise(F.lit(BEST_MATCH))
             .alias("strategy"),
         )
+        .join(recs, "dict_idx")
+        .select(*keys, "entity_id", "score", F.lit(1).alias("rank"), "strategy")
     )
 
 

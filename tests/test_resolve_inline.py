@@ -81,3 +81,63 @@ def test_inline_ladder_exact_preferred(spark, alias_table):
     assert len(out) == 1
     assert out[0]["strategy"] == "EXACT_MATCH"
     assert out[0]["score"] == 0.0
+
+
+def test_inline_ladder_randomized_differential(spark):
+    """Randomized alias tables + mention streams: the pre-reduced-index
+    ladder must equal resolve_ladder (the reference-shape NLJ) on every
+    (mention -> entity, score, strategy) outcome, including punctuation,
+    case variants, multi-record shared aliases, and negative scores
+    (score_len shorter than the mention)."""
+    import random
+
+    rnd = random.Random(7)
+    alphabet = ["Sort", "Merge", "JOIN", "scan", "Hash-", "agg", "α", "x"]
+
+    def rand_text(k):
+        return "".join(rnd.choice(alphabet) for _ in range(k))
+
+    rows = []
+    for dict_idx in range(40):
+        label = rand_text(rnd.randint(1, 3))
+        # first-present property is sometimes SHORTER than fuzzy mentions
+        # matched via other props -> negative scores
+        props = [label, rand_text(rnd.randint(1, 4)) if rnd.random() < 0.7 else None]
+        first = next(p for p in props if p is not None)
+        for order, p in enumerate(props):
+            if p is not None:
+                rows.append((f"e{dict_idx}", dict_idx, len(first), order, p))
+    alias_table = spark.createDataFrame(
+        rows, "entity_id string, dict_idx long, score_len int, prop_order int, alias string"
+    )
+
+    mentions = []
+    pool = [r[4] for r in rows]
+    for i in range(120):
+        base = rnd.choice(pool)
+        pick = rnd.random()
+        if pick < 0.4:
+            m = base  # exact hit
+        elif pick < 0.7:
+            m = base.lower() if rnd.random() < 0.5 else base.upper()
+        elif pick < 0.9:
+            j = rnd.randint(0, max(0, len(base) - 2))
+            m = base[j : j + rnd.randint(1, len(base) - j)]  # substring
+        else:
+            m = rand_text(2) + "zzz"  # likely no match
+        mentions.append((f"d{i % 10}", m))
+    occ = spark.createDataFrame(mentions, "doc_id string, mention string")
+
+    from nexus_forge_spark.operators import resolve as R
+
+    inline = (
+        R.resolve_ladder_inline(occ, alias_table, keys=["doc_id", "mention"])
+        .select("doc_id", "mention", "entity_id", "score", "strategy")
+        .distinct()
+    )
+    ref = (
+        R.resolve_ladder(occ.distinct(), alias_table, keys=["doc_id", "mention"])
+        .select("doc_id", "mention", "entity_id", "score", "strategy")
+        .distinct()
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, ref.collect()))

@@ -40,6 +40,7 @@ import json, os, sys, time
 sys.path.insert(0, "/root/repo")
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 level, n_docs, path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+n_runs = int(sys.argv[4]) if len(sys.argv) > 4 else 5
 from nexus_forge_spark.session import get_spark
 from nexus_forge_spark.plans import pipeline
 spark = get_spark(
@@ -54,7 +55,7 @@ docs = spark.read.parquet(path)
 # before measurement (a fresh JVM's first heavy job runs 2-5x slower)
 pipeline.construct_kg(docs).count()
 times, n_triples = [], 0
-for _ in range(5):  # steady-state: 5 measured runs (noisy sandbox host)
+for _ in range(n_runs):  # steady-state runs (noisy sandbox host)
     t0 = time.time()
     n_triples = pipeline.construct_kg(docs).count()
     times.append(time.time() - t0)
@@ -68,12 +69,12 @@ print(json.dumps({"level": level, "sec": round(median, 3), "sec_best": round(bes
 """
 
 
-def run_level(level: int, n_docs: int, path: str) -> dict:
+def run_level(level: int, n_docs: int, path: str, runs: int = 5) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(level), str(n_docs), path],
+        [sys.executable, "-c", CHILD, str(level), str(n_docs), path, str(runs)],
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=3000,
         cwd="/root/repo",
     )
     last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
@@ -86,6 +87,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=100000)
     ap.add_argument("--levels", default="2,8")
+    ap.add_argument("--runs", type=int, default=5)
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
     assert len(levels) == 2 and levels[1] == 4 * levels[0], "levels must be N,4N"
@@ -99,7 +101,7 @@ def main() -> None:
         if gen.returncode != 0:
             raise RuntimeError(f"corpus gen failed: {gen.stderr[-2000:]}")
 
-    results = [run_level(lv, args.docs, corpus) for lv in levels]
+    results = [run_level(lv, args.docs, corpus, args.runs) for lv in levels]
     eff = results[1]["docs_per_sec"] / (4 * results[0]["docs_per_sec"])
     summary = {
         "metric": "scaling_efficiency_Nto4N",
