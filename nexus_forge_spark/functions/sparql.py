@@ -221,7 +221,7 @@ _TOKEN_RX = re.compile(
       | [A-Za-z_][A-Za-z0-9_]*            # bare word / keyword
       | -?\d+\.\d+ | -?\d+                # numbers
       | && | \|\| | != | <= | >=          # two-char operators
-      | [{}();,.\[\]/=<>!*|+\-]           # punctuation (incl. path '|', arith)
+      | [{}();,.\[\]/=<>!*|+\-^]          # punctuation (incl. paths '|' '^', arith)
     )""",
     re.VERBOSE | re.DOTALL,
 )
@@ -251,6 +251,8 @@ class _Group:
     unions: list[list["_Group"]] = field(default_factory=list)
     binds: list[tuple[list[str], str]] = field(default_factory=list)  # (expr toks, var)
     values: list[tuple[list[str], list[list[str]]]] = field(default_factory=list)  # (vars, rows)
+    minuses: list["_Group"] = field(default_factory=list)
+    exists: list[tuple[bool, "_Group"]] = field(default_factory=list)  # (positive, group)
 
 
 class _Parser:
@@ -317,7 +319,15 @@ class _Parser:
             self.next()
             self.form = "construct"
             tg = self.parse_group()
-            if tg.filters or tg.optionals or tg.unions or tg.binds or tg.values:
+            if (
+                tg.filters
+                or tg.optionals
+                or tg.unions
+                or tg.binds
+                or tg.values
+                or tg.minuses
+                or tg.exists
+            ):
                 raise QueryingError(
                     "CONSTRUCT template must contain only triple patterns"
                 )
@@ -421,7 +431,25 @@ class _Parser:
                 return g
             if t.lower() == "filter":
                 self.next()
+                nt = self.peek()
+                if nt is not None and nt.lower() == "exists":
+                    self.next()
+                    g.exists.append((True, self.parse_group()))
+                    continue
+                if nt is not None and nt.lower() == "not":
+                    # FILTER NOT EXISTS { ... }; plain NOT(expr) falls through
+                    save = self.i
+                    self.next()
+                    if (p := self.peek()) is not None and p.lower() == "exists":
+                        self.next()
+                        g.exists.append((False, self.parse_group()))
+                        continue
+                    self.i = save
                 g.filters.append(self.parse_parenthesized())
+                continue
+            if t.lower() == "minus":
+                self.next()
+                g.minuses.append(self.parse_group())
                 continue
             if t.lower() == "optional":
                 self.next()
@@ -525,44 +553,48 @@ class _Parser:
         self.next()  # '}'
         return vars_, rows
 
-    def parse_path(self) -> list[list[str]]:
-        """Property path -> list of hops, each hop a list of alternative
-        predicates.  Supported: sequences p1/p2, alternatives p1|p2, and
+    def parse_path(self) -> list[tuple[list[str], bool]]:
+        """Property path -> list of hops, each hop (alternative predicates,
+        inverted?).  Supported: sequences p1/p2, alternatives p1|p2,
+        inverse ^p (also ^(p1|p2) and inside sequences a/^b), and
         parenthesized alternative hops (p1|p2)/p3.  Mixing a BARE
         alternative with a following '/' is rejected (SPARQL binds '/'
         tighter than '|'; parenthesize to disambiguate)."""
         hops = [self.parse_path_hop()]
-        bare_alt = len(hops[0]) > 1 and not self._hop_parenthesized
+        bare_alt = len(hops[0][0]) > 1 and not self._hop_parenthesized
         while self.kw("/"):
             if bare_alt:
                 raise QueryingError(
                     "ambiguous path: parenthesize alternatives before '/'"
                 )
             hops.append(self.parse_path_hop())
-            bare_alt = len(hops[-1]) > 1 and not self._hop_parenthesized
+            bare_alt = len(hops[-1][0]) > 1 and not self._hop_parenthesized
         return hops
 
-    def parse_path_hop(self) -> list[str]:
+    def parse_path_hop(self) -> tuple[list[str], bool]:
         self._hop_parenthesized = False
+        inv = self.kw("^")
         if self.kw("("):
             self._hop_parenthesized = True
             alts = [self.parse_term(pred=True)]
             while self.kw("|"):
                 alts.append(self.parse_term(pred=True))
             self.expect(")")
-            return alts
+            return alts, inv
         alts = [self.parse_term(pred=True)]
         while self.kw("|"):
             alts.append(self.parse_term(pred=True))
-        return alts
+        return alts, inv
 
     def emit_path(
-        self, g: _Group, subj: str, path: list[list[str]], obj: str
+        self, g: _Group, subj: str, path: list[tuple[list[str], bool]], obj: str
     ) -> None:
         cur = subj
-        for hop, alts in enumerate(path):
+        for hop, (alts, inv) in enumerate(path):
             nxt = obj if hop == len(path) - 1 else self.fresh_var()
-            g.patterns.append((cur, alts[0] if len(alts) == 1 else alts, nxt))
+            pred = alts[0] if len(alts) == 1 else alts
+            # inverse hop: the triple is stored (o, p, s)-wards
+            g.patterns.append((nxt, pred, cur) if inv else (cur, pred, nxt))
             cur = nxt
 
     def parse_term(self, pred: bool = False) -> str:
@@ -731,6 +763,7 @@ class SparqlToSql:
             # simple path: filters ride in the same WHERE
             for ftoks in g.filters:
                 conds.append(self._compile_expr(ftoks, bindings))
+            conds += self._semi_clauses(g, parser, bindings, alias_prefix)
             sql = "FROM " + ", ".join(tables)
             if conds:
                 sql += " WHERE " + " AND ".join(conds)
@@ -797,10 +830,61 @@ class SparqlToSql:
                 if v not in out_bind:
                     out_bind[v] = f"opt{oi}.{v}"
 
-        if g.filters:
-            f = " AND ".join(self._compile_expr(t, out_bind) for t in g.filters)
-            out_sql += f" WHERE {f}"
+        wheres = [self._compile_expr(t, out_bind) for t in g.filters]
+        wheres += self._semi_clauses(g, parser, out_bind, alias_prefix)
+        if wheres:
+            out_sql += " WHERE " + " AND ".join(wheres)
         return out_sql, out_bind
+
+    def _semi_clauses(
+        self,
+        g: _Group,
+        parser: _Parser,
+        outer_bind: dict[str, str],
+        alias_prefix: str,
+    ) -> list[str]:
+        """FILTER (NOT) EXISTS and MINUS -> correlated (NOT) EXISTS
+        subqueries — Catalyst plans these as semi/anti hash joins, DuckDB
+        likewise, so both dialects stay set-oriented (no per-solution
+        re-evaluation as in a naive SPARQL engine)."""
+        out: list[str] = []
+        for xi, (positive, xg) in enumerate(g.exists):
+            c = self._semi_clause(
+                xg, parser, outer_bind, f"{alias_prefix}x{xi}_", positive, False
+            )
+            if c is not None:
+                out.append(c)
+        for mi, mg in enumerate(g.minuses):
+            c = self._semi_clause(
+                mg, parser, outer_bind, f"{alias_prefix}mn{mi}_", False, True
+            )
+            if c is not None:
+                out.append(c)
+        return out
+
+    def _semi_clause(
+        self,
+        sub: _Group,
+        parser: _Parser,
+        outer_bind: dict[str, str],
+        prefix: str,
+        positive: bool,
+        is_minus: bool,
+    ) -> str | None:
+        ssql, sbind = self._compile_group(sub, parser, prefix)
+        shared = [v for v in sbind if v in outer_bind]
+        if is_minus and not shared:
+            # SPARQL MINUS with disjoint variable domains removes nothing
+            # (incompatible-domain rule); EXISTS stays as an uncorrelated probe
+            return None
+        alias = prefix.replace("_", "") + "s"
+        cols = ", ".join(f"{ref} AS {v}" for v, ref in sbind.items())
+        inner = f"SELECT 1 FROM (SELECT {cols} {ssql}) {alias}"
+        if shared:
+            inner += " WHERE " + " AND ".join(
+                f"{alias}.{v} = {outer_bind[v]}" for v in shared
+            )
+        return ("EXISTS " if positive else "NOT EXISTS ") + f"({inner})"
 
     def _compile_union(
         self, alts: list[_Group], parser: _Parser, prefix: str

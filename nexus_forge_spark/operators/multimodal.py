@@ -11,14 +11,16 @@ Image decode is REAL for PPM/PGM/BMP/PNG payloads: a pure-numpy codec
 (functions/imagecodec.py) decodes pixels, extracts block-mean embeddings,
 and resizes + re-encodes — no PIL needed.  Audio decode is REAL for WAV
 (functions/audiocodec.py: RIFF parser + RMS/zero-crossing/spectral-centroid
-features — stdlib struct + numpy).  Synthetic payloads from
-``media_from_documents`` are genuine 4x4 P6 PPM files and genuine PCM16
-WAVs, so the default pipeline exercises both real paths end to end.
-Remaining formats (JPEG, compressed audio, video containers need libs
-absent from this container) fall back to the deterministic hash stub,
-still marked by ``DECODE_IS_STUBBED``.  Everything Spark-side — schemas,
-partitioning, the mapInPandas batch contract, null handling — is real and
-tested.
+features — stdlib struct + numpy).  Video decode is REAL for uncompressed
+AVI (functions/videocodec.py: RIFF/DIB parser — frame sampling and motion
+features run on actual pixels).  Synthetic payloads from
+``media_from_documents`` are genuine 4x4 P6 PPM files, genuine PCM16 WAVs,
+and genuine 4-frame uncompressed AVIs, so the default pipeline exercises
+all three real paths end to end.  Remaining formats (JPEG, compressed
+audio/video codecs need libs absent from this container) fall back to the
+deterministic hash stub, still marked by ``DECODE_IS_STUBBED``.
+Everything Spark-side — schemas, partitioning, the mapInPandas batch
+contract, null handling — is real and tested.
 """
 
 from __future__ import annotations
@@ -27,20 +29,35 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from nexus_forge_spark.functions import audiocodec, imagecodec
+from nexus_forge_spark.functions import audiocodec, imagecodec, videocodec
 
 # PPM/PGM/BMP/PNG image decode is real (numpy + stdlib zlib); WAV audio
-# decode is real (stdlib struct + numpy); JPEG/compressed-audio/video still
-# stub (libs absent from this container)
+# decode is real (stdlib struct + numpy); uncompressed-AVI video decode is
+# real (stdlib struct + numpy); JPEG/compressed codecs still stub (libs
+# absent from this container)
 DECODE_REAL_FORMATS = frozenset({"ppm", "pgm", "bmp", "png"})
 DECODE_REAL_AUDIO_FORMATS = frozenset({"wav"})
+DECODE_REAL_VIDEO_FORMATS = frozenset({"avi"})
 DECODE_IS_STUBBED = False  # real for the sets above; see module doc
+
+# constant pieces of the synthetic 4x4x3 4-frame AVI payload: everything
+# except the 48 pixel bytes per frame is format boilerplate, so the
+# payload is built JVM-side as concat(prefix, (chunk_hdr + md5*3) x 4)
+_AVI_FRAMES, _AVI_DIM, _AVI_FPS = 4, 4, 10
+_AVI_FRAME_BYTES = _AVI_DIM * _AVI_DIM * 3  # stride 12 is 4-byte aligned
+_avi_dummy = videocodec.encode_avi(
+    [np.zeros((_AVI_DIM, _AVI_DIM, 3), np.uint8)] * _AVI_FRAMES, fps=_AVI_FPS
+)
+_AVI_PREFIX = _avi_dummy[: videocodec.parse_avi(_avi_dummy)["frame_offsets"][0][0] - 8]
+_AVI_CHUNK_HDR = b"00db" + struct.pack("<I", _AVI_FRAME_BYTES)
+_AVI_DURATION_MS = _AVI_FRAMES * 1000 // _AVI_FPS
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -94,6 +111,21 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("ts_ms", T.IntegerType()),
         T.StructField("frame", T.BinaryType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("motion", T.DoubleType()),
+        T.StructField("decoded", T.BooleanType()),
     ]
 )
 
@@ -131,32 +163,54 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         F.lit(wav_header),
         *[F.unhex(F.md5(F.concat(ref, F.lit(f"#a{i}")))) for i in range(8)],
     )
+    # video payloads are REAL uncompressed AVIs: constant RIFF/hdrl/movi
+    # boilerplate + 4 frames of 48 hash-derived pixel bytes each
+    avi_bytes = F.concat(
+        F.lit(_AVI_PREFIX),
+        *[
+            part
+            for i in range(_AVI_FRAMES)
+            for part in (
+                F.lit(_AVI_CHUNK_HDR),
+                F.unhex(F.md5(F.concat(ref, F.lit(f"#v{i}.0")))),
+                F.unhex(F.md5(F.concat(ref, F.lit(f"#v{i}.1")))),
+                F.unhex(F.md5(F.concat(ref, F.lit(f"#v{i}.2")))),
+            )
+        ],
+    )
     media_type = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.pmod(F.xxhash64(ref), F.lit(3)) + 1).cast("int"),
     )
     is_image = media_type == "image"
     is_audio = media_type == "audio"
+    is_video = media_type == "video"
     return spans.select(
         "doc_id",
         ref.alias("media_ref"),
         media_type.alias("media_type"),
         F.when(is_image, ppm_bytes)
         .when(is_audio, wav_bytes)
+        .when(is_video, avi_bytes)
         .otherwise(fake_bytes)
         .alias("content"),
         F.struct(
             F.when(is_image, F.lit("ppm"))
             .when(is_audio, F.lit("wav"))
+            .when(is_video, F.lit("avi"))
             .otherwise(F.lit("synthetic"))
             .alias("format"),
-            F.when(is_image, F.lit(4))
+            F.when(is_image | is_video, F.lit(_AVI_DIM))
             .otherwise((F.pmod(F.xxhash64(ref, F.lit(1)), F.lit(1920)) + 1).cast("int"))
             .alias("width"),
-            F.when(is_image, F.lit(4))
+            F.when(is_image | is_video, F.lit(_AVI_DIM))
             .otherwise((F.pmod(F.xxhash64(ref, F.lit(2)), F.lit(1080)) + 1).cast("int"))
             .alias("height"),
-            (F.pmod(F.xxhash64(ref, F.lit(3)), F.lit(60000)) + 1).cast("int").alias("duration_ms"),
+            F.when(is_video, F.lit(_AVI_DURATION_MS))
+            .otherwise(
+                (F.pmod(F.xxhash64(ref, F.lit(3)), F.lit(60000)) + 1).cast("int")
+            )
+            .alias("duration_ms"),
             F.lit(16000).alias("sample_rate"),
         ).alias("metadata"),
     )
@@ -184,7 +238,8 @@ def _decode_image_bytes(content: bytes | None, dim: int = 8):
 
 
 def _sample_frame_bytes(content: bytes, idx: int) -> bytes:
-    """STUB frame extraction: real impl seeks the container via ffmpeg."""
+    """STUB frame extraction for compressed containers (real impl needs
+    ffmpeg); uncompressed AVI takes the real videocodec path instead."""
     return hashlib.sha256(bytes(content) + idx.to_bytes(4, "big")).digest()
 
 
@@ -287,21 +342,102 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
 def sample_video_frames(media: DataFrame, every_ms: int = 10000) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled frame
-    (pandas-side explode keeps the batch contract)."""
+    (pandas-side explode keeps the batch contract).
+
+    REAL for uncompressed AVI payloads: the container is parsed, the
+    nearest stored frame at each every_ms tick is decoded and re-encoded
+    as a P6 PPM (so downstream image stages — extract_image_features,
+    resize_images — consume sampled frames directly).  Other containers
+    keep the marked stub bytes with decoded=False."""
+
+    def _rows_for(r) -> list[tuple]:
+        raw = bytes(r["content"])
+        if videocodec.sniff_avi(raw):
+            info = videocodec.parse_avi(raw)
+            duration = int(info["n_frames"] * 1000 / info["fps"])
+            out = []
+            for i, ts in enumerate(range(0, max(duration, 1), every_ms)):
+                src = min(ts * info["fps"] // 1000, info["n_frames"] - 1)
+                frame = imagecodec.encode_ppm(
+                    videocodec.decode_frame(raw, src, info)
+                )
+                out.append((r["doc_id"], r["media_ref"], i, ts, frame, True))
+            return out
+        duration = r["metadata"]["duration_ms"] or 0
+        return [
+            (r["doc_id"], r["media_ref"], i, ts, _sample_frame_bytes(raw, i), False)
+            for i, ts in enumerate(range(0, int(duration), every_ms))
+        ]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                duration = r["metadata"]["duration_ms"] or 0
-                for i, ts in enumerate(range(0, int(duration), every_ms)):
-                    rows.append(
-                        (r["doc_id"], r["media_ref"], i, ts, _sample_frame_bytes(r["content"], i))
-                    )
+            rows = [row for _, r in pdf.iterrows() for row in _rows_for(r)]
             if rows:
-                yield pd.DataFrame(rows, columns=["doc_id", "media_ref", "frame_idx", "ts_ms", "frame"])
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "media_ref", "frame_idx", "ts_ms",
+                        "frame", "decoded",
+                    ],
+                )
 
     return media.where(F.col("media_type") == "video").mapInPandas(batches, FRAME_SCHEMA)
+
+
+def extract_video_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched video feature extraction: container geometry, frame
+    count/rate, mean luma over all frames, and motion (mean absolute
+    inter-frame pixel delta).  REAL for uncompressed AVI; other containers
+    produce deterministic hash pseudo-features with decoded=False."""
+
+    def _one(r) -> tuple:
+        raw = bytes(r["content"])
+        if videocodec.sniff_avi(raw):
+            info = videocodec.parse_avi(raw)
+            frames = [
+                videocodec.decode_frame(raw, i, info).astype(np.float64)
+                for i in range(info["n_frames"])
+            ]
+            luma = float(np.mean([f.mean() for f in frames]) / 255.0)
+            motion = (
+                float(
+                    np.mean(
+                        [
+                            np.abs(a - b).mean()
+                            for a, b in zip(frames, frames[1:])
+                        ]
+                    )
+                    / 255.0
+                )
+                if len(frames) > 1
+                else 0.0
+            )
+            return (
+                r["doc_id"], r["media_ref"], info["n_frames"], info["fps"],
+                info["width"], info["height"], luma, motion, True,
+            )
+        digest = hashlib.sha256(raw).digest()
+        return (
+            r["doc_id"], r["media_ref"], digest[0] % 64 + 1, 10,
+            r["metadata"]["width"], r["metadata"]["height"],
+            digest[1] / 255.0, digest[2] / 255.0, False,
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                [_one(r) for _, r in pdf.iterrows()],
+                columns=[
+                    "doc_id", "media_ref", "n_frames", "fps", "width",
+                    "height", "mean_luma", "motion", "decoded",
+                ],
+            )
+
+    return media.where(F.col("media_type") == "video").mapInPandas(
+        batches, VIDEO_FEATURES_SCHEMA
+    )
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:

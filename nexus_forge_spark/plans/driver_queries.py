@@ -974,6 +974,23 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality stage (rows-only driver check).  Synthetic payloads
+    are genuine 4-frame uncompressed AVIs, so this runs the REAL RIFF/DIB
+    parse + luma/motion features on every video row (multimodal.py,
+    videocodec.py)."""
+    from nexus_forge_spark.operators.multimodal import (
+        extract_video_features,
+        media_from_documents,
+    )
+    from nexus_forge_spark.sources import flat_to_interleaved
+
+    docs = flat_to_interleaved(load_table(spark, "documents", sf_dir))
+    return extract_video_features(media_from_documents(docs)).orderBy(
+        "doc_id", "media_ref"
+    )
+
+
 def q_collect_span_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_values over the interleaved-span table: all text values along
     spans.text (media spans yield NULL and are compacted away), exploded to
@@ -1629,6 +1646,68 @@ def sql_sparql_analytics() -> str:
     return f"WITH tr AS ({sql_kg_triples()}) {inner}"
 
 
+# Round-2 negation surface: MINUS, FILTER NOT EXISTS, and an inverse-path
+# hop (^pred) — the "documents WITHOUT ..." query family from the
+# reference's querying notebook (rdflib evaluates these per-solution; here
+# they compile to correlated NOT EXISTS, which Catalyst/DuckDB plan as
+# anti hash joins).
+SPARQL_NEGATION_TEXT = """SELECT ?doc ?entity WHERE {
+  ?entity ^nsg:hasBody ?doc .
+  ?doc a schema:Document
+  FILTER NOT EXISTS { ?doc schema:distribution ?m }
+  MINUS { ?doc nsg:hasBody <https://nexus-forge-spark.org/terms/Scan> }
+} ORDER BY ?doc ?entity"""
+
+
+def _negation_media_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media spans as schema:distribution triples with subjects normalized
+    to the annotation-triple style ('doc:<n>') so both halves of the view
+    join on the same subject key."""
+    refs = q_media_refs(spark, sf_dir)
+    return refs.select(
+        F.concat(
+            F.lit("doc:"),
+            F.regexp_extract("doc_id", r"(\d+)", 1).cast("long").cast("string"),
+        ).alias("subj"),
+        F.lit("schema:distribution").alias("pred"),
+        F.col("media_ref").alias("obj"),
+    ).dropDuplicates(["subj", "pred", "obj"])
+
+
+def q_sparql_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negation SPARQL over annotation + media triples (S5 extension):
+    FILTER NOT EXISTS and MINUS compile to correlated NOT EXISTS probes —
+    Catalyst plans them as anti hash joins on the triples scan (rdflib
+    re-evaluates the group per solution; sparql_query_builder.py:265-385
+    is the text-rewrite spec) — and the inverse hop ^nsg:hasBody just
+    swaps join sides."""
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    triples = (
+        q_kg_triples(spark, sf_dir)
+        .unionByName(_negation_media_triples(spark, sf_dir))
+        .localCheckpoint(eager=True)
+    )
+    triples.createOrReplaceTempView("sparql_triples_v")
+    return spark.sql(
+        sparql_to_sql(
+            SPARQL_NEGATION_TEXT, table="sparql_triples_v", dialect="spark"
+        )
+    )
+
+
+def sql_sparql_negation() -> str:
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    media = (
+        "SELECT 'doc:' || CAST(CAST(substr(doc_id, 5) AS BIGINT) AS VARCHAR)"
+        "   AS subj, 'schema:distribution' AS pred, media_ref AS obj "
+        f"FROM ({sql_media_refs()}) GROUP BY 1, 2, 3"
+    )
+    inner = sparql_to_sql(SPARQL_NEGATION_TEXT, table="tr", dialect="duckdb")
+    return f"WITH tr AS ({sql_kg_triples()} UNION ALL {media}) {inner}"
+
+
 QUERIES = {
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
@@ -1652,6 +1731,7 @@ QUERIES = {
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, sql_embedding_neardup_lsh),
     "image_features": (q_image_features, None),
     "audio_features": (q_audio_features, None),
+    "video_features": (q_video_features, None),
     "es_search": (q_es_search, sql_es_search),
     "sparql_construct": (q_sparql_construct, sql_sparql_construct),
     "lang_quality": (q_lang_quality, sql_lang_quality),
@@ -1672,6 +1752,7 @@ QUERIES = {
     "kg_ladder_blocked": (q_kg_ladder_blocked, sql_kg_ladder_blocked),
     "sparql_select": (q_sparql_select, sql_sparql_select),
     "sparql_analytics": (q_sparql_analytics, sql_sparql_analytics),
+    "sparql_negation": (q_sparql_negation, sql_sparql_negation),
     "jsonld_nested": (q_jsonld_nested, sql_jsonld_nested),
     "dataset_prov": (q_dataset_prov, sql_dataset_prov),
 }

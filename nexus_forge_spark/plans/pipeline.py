@@ -51,12 +51,15 @@ def construct_kg(
     # corpus (vocab branch + join-back branch) get cheaper.
     occ = M.extract_mention_occurrences(documents)
     if fuzzy:
-        # ONE corpus scan: broadcast substring-index equi-join + packed min
-        # aggregation (resolve_ladder_inline).  Replaces the round-1 shape
-        # (distinct-vocab branch + NLJ ladder + join-back) which scanned and
-        # exploded the corpus TWICE — measured 2x task time in the two
-        # explode stages.  The dim here is broadcast-sized; at a 10^6-term
-        # dictionary switch to resolve_ladder_blocked (trigram blocking).
+        # ONE corpus scan, ZERO corpus-side aggregation: the ladder argmin
+        # is pre-reduced into the broadcast index (fuzzy-best per substring
+        # key, exact-best per verbatim alias), so the corpus side is two
+        # broadcast hash joins + a projection (resolve_ladder_inline).
+        # Replaces the round-1 shape (distinct-vocab branch + NLJ ladder +
+        # join-back, 2x corpus scans) and the mid-round-2 packed-min
+        # per-(doc,mention) aggregate (~20s reduce time at 1M docs).  The
+        # dim here is broadcast-sized; at a 10^6-term dictionary switch to
+        # resolve_ladder_blocked (trigram blocking).
         resolved = R.resolve_ladder_inline(occ, alias_table, keys=["doc_id", "mention"])
     else:
         resolved = R.resolve_distinct(

@@ -1,6 +1,7 @@
 """Multimodal plumbing: schemas, mapInPandas batch contract, determinism.
-Image decode is REAL for PPM/PGM/BMP (numpy codec); audio/video bodies
-stay stubbed — both paths are under test."""
+Image decode is REAL for PPM/PGM/BMP/PNG (numpy codec), audio decode REAL
+for WAV, video decode REAL for uncompressed AVI; the hash stub remains for
+compressed codecs — both paths are under test."""
 
 from __future__ import annotations
 
@@ -36,8 +37,12 @@ def test_media_schema_and_payload(spark, sf_dir):
             assert r.metadata.format == "wav"
             assert r.metadata.sample_rate == 16000
         else:
-            assert len(r.content) == 16  # md5-derived stub payload
-            assert 1 <= r.metadata.width <= 1920
+            # real uncompressed AVI: RIFF container, 4 frames of 4x4 RGB
+            raw = bytes(r.content)
+            assert raw[:4] == b"RIFF" and raw[8:12] == b"AVI "
+            assert r.metadata.format == "avi"
+            assert r.metadata.width == 4 and r.metadata.height == 4
+            assert r.metadata.duration_ms == 400  # 4 frames @ 10 fps
 
 
 def test_image_features_batch_contract(spark, sf_dir):
@@ -69,11 +74,66 @@ def test_video_frame_sampling(spark, sf_dir):
         for r in media.where(F.col("media_type") == "video").collect()
     }
     for r in got:
-        expected = len(range(0, durations[r.media_ref], 10000))
+        expected = len(range(0, max(durations[r.media_ref], 1), 10000))
         assert r["count"] == expected
-    # frame timestamps are at the sampling grid
+    # frame timestamps are at the sampling grid; AVI payloads decode for
+    # real and come back as genuine P6 PPM frames
     sample = frames.limit(5).collect()
     assert all(f.ts_ms % 10000 == 0 for f in sample)
+    assert all(f.decoded for f in sample)
+    assert all(bytes(f.frame).startswith(b"P6\n4 4\n255\n") for f in sample)
+
+
+def test_video_frames_match_container_pixels(spark, sf_dir):
+    """A sampled frame equals the corresponding frame decoded straight
+    from the AVI container bytes."""
+    from nexus_forge_spark.functions import imagecodec, videocodec
+
+    media = _media(spark, sf_dir)
+    row = media.where(F.col("media_type") == "video").limit(1).collect()[0]
+    raw = bytes(row.content)
+    frame = (
+        MM.sample_video_frames(media, every_ms=100)
+        .where(F.col("media_ref") == row.media_ref)
+        .orderBy("frame_idx")
+        .collect()
+    )
+    info = videocodec.parse_avi(raw)
+    assert len(frame) == info["n_frames"]  # 100ms grid @ 10fps = every frame
+    import numpy as np
+
+    for f in frame:
+        expect = videocodec.decode_frame(raw, f.frame_idx, info)
+        got = imagecodec.decode_image(bytes(f.frame))
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_video_features_real_decode(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    feats = MM.extract_video_features(media)
+    assert feats.schema == MM.VIDEO_FEATURES_SCHEMA
+    rows = feats.limit(10).collect()
+    assert rows
+    for r in rows:
+        assert r.decoded is True
+        assert r.n_frames == 4 and r.fps == 10
+        assert r.width == 4 and r.height == 4
+        assert 0.0 <= r.mean_luma <= 1.0
+        assert 0.0 < r.motion <= 1.0  # hash-noise frames always differ
+
+
+def test_video_stub_path_flagged(spark):
+    """Non-AVI video bytes route through the hash stub with decoded=False."""
+    media = spark.createDataFrame(
+        [("d1", "media://x", "video", bytearray(b"\x00" * 32),
+          ("synthetic", 8, 8, 20000, 16000))],
+        MM.MEDIA_SCHEMA,
+    )
+    frames = MM.sample_video_frames(media, every_ms=10000).collect()
+    assert len(frames) == 2  # 20000ms metadata duration / 10000ms grid
+    assert all(not f.decoded for f in frames)
+    feat = MM.extract_video_features(media).collect()[0]
+    assert feat.decoded is False
 
 
 def test_resize_rewrites_metadata_and_bytes(spark, sf_dir):

@@ -541,3 +541,103 @@ def test_construct_and_ask_on_spark(spark):
         'ASK { ?s rdfs:label "alpha" }', triples=triples, rewrite=False
     ).collect()
     assert [r["ask"] for r in ask] == [True]
+
+
+# ---- MINUS / FILTER (NOT) EXISTS / inverse paths ------------------------
+
+
+def test_minus_removes_compatible_solutions(duck):
+    # docs that are NOT distributed as media
+    rows = run(
+        duck,
+        """SELECT ?d WHERE {
+             ?d a schema:Document
+             MINUS { ?d schema:distribution ?m }
+           } ORDER BY ?d""",
+    )
+    assert rows == [("doc:1",)]
+
+
+def test_minus_disjoint_domain_removes_nothing(duck):
+    # SPARQL incompatible-domain rule: no shared variable -> no removal
+    rows = run(
+        duck,
+        """SELECT ?d WHERE {
+             ?d a schema:Document
+             MINUS { ?x schema:distribution ?m }
+           } ORDER BY ?d""",
+    )
+    assert rows == [("doc:1",), ("doc:2",)]
+
+
+def test_filter_not_exists(duck):
+    rows = run(
+        duck,
+        """SELECT ?d WHERE {
+             ?d a schema:Document
+             FILTER NOT EXISTS { ?d schema:distribution ?m }
+           } ORDER BY ?d""",
+    )
+    assert rows == [("doc:1",)]
+
+
+def test_filter_exists(duck):
+    rows = run(
+        duck,
+        """SELECT ?d WHERE {
+             ?d a schema:Document
+             FILTER EXISTS { ?d nsg:hasBody ont:e2 }
+           } ORDER BY ?d""",
+    )
+    assert rows == [("doc:1",), ("doc:2",)]
+
+
+def test_filter_not_with_plain_expr_still_works(duck):
+    rows = run(
+        duck,
+        """SELECT ?d WHERE { ?d a schema:Document FILTER (?d != 'doc:2') }""",
+    )
+    assert rows == [("doc:1",)]
+
+
+def test_exists_combined_with_filter(duck):
+    rows = run(
+        duck,
+        """SELECT ?d ?b WHERE {
+             ?d nsg:hasBody ?b
+             FILTER EXISTS { ?b rdfs:label ?l }
+             FILTER (?b != 'ont:e1')
+           } ORDER BY ?d""",
+    )
+    assert rows == [("doc:1", "ont:e2"), ("doc:2", "ont:e2")]
+
+
+def test_inverse_path(duck):
+    # ^nsg:hasBody: entity -> the documents citing it
+    rows = run(
+        duck,
+        "SELECT ?d WHERE { ont:e2 ^nsg:hasBody ?d } ORDER BY ?d",
+    )
+    assert rows == [("doc:1",), ("doc:2",)]
+
+
+def test_inverse_in_sequence(duck):
+    # label <- entity <- body of doc: label of anything doc:2 cites
+    rows = run(
+        duck,
+        "SELECT ?l WHERE { ?l ^rdfs:label/^nsg:hasBody doc:2 }",
+    )
+    assert rows == [("Beta",)]
+
+
+def test_minus_inside_composite_group(duck):
+    # MINUS applies after OPTIONAL attachment (composite compile path)
+    rows = run(
+        duck,
+        """SELECT ?d ?m WHERE {
+             ?d a schema:Document
+             OPTIONAL { ?d schema:distribution ?m }
+             MINUS { ?d nsg:hasBody ont:e1 }
+           } ORDER BY ?d""",
+    )
+    assert rows == [("doc:2", "media/2.png")]

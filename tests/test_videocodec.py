@@ -1,0 +1,76 @@
+"""Round-trip tests for the pure-numpy uncompressed-AVI codec."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from nexus_forge_spark.functions import videocodec as V
+
+
+def _frames(n: int, h: int, w: int, seed: int = 0) -> list[np.ndarray]:
+    rng = np.random.default_rng(seed)
+    return [
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8) for _ in range(n)
+    ]
+
+
+def test_roundtrip_exact_pixels():
+    frames = _frames(3, 4, 4)
+    raw = V.encode_avi(frames, fps=10)
+    assert V.sniff_avi(raw)
+    info = V.parse_avi(raw)
+    assert (info["width"], info["height"]) == (4, 4)
+    assert info["fps"] == 10
+    assert info["n_frames"] == 3
+    for i, f in enumerate(frames):
+        np.testing.assert_array_equal(V.decode_frame(raw, i, info), f)
+
+
+def test_roundtrip_padded_stride():
+    # width 3 -> 9-byte rows padded to 12: exercises the stride path
+    frames = _frames(2, 5, 3, seed=7)
+    raw = V.encode_avi(frames, fps=25)
+    info = V.parse_avi(raw)
+    assert info["fps"] == 25
+    for i, f in enumerate(frames):
+        np.testing.assert_array_equal(V.decode_frame(raw, i, info), f)
+
+
+def test_iter_frames_order():
+    frames = _frames(4, 2, 2, seed=3)
+    raw = V.encode_avi(frames)
+    got = list(V.iter_frames(raw))
+    assert len(got) == 4
+    for a, b in zip(frames, got):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_sniff_rejects_non_avi():
+    assert not V.sniff_avi(b"RIFF....WAVE")
+    assert not V.sniff_avi(b"\x89PNG\r\n\x1a\n")
+    assert not V.sniff_avi(b"")
+
+
+def test_parse_rejects_compressed():
+    raw = bytearray(V.encode_avi(_frames(1, 2, 2)))
+    # flip biCompression in strf from BI_RGB(0) to 'MJPG'
+    i = raw.find(b"strf")
+    # strf payload: biSize(4) biWidth(4) biHeight(4) planes(2) bits(2) comp(4)
+    comp_off = i + 8 + 16
+    raw[comp_off : comp_off + 4] = b"MJPG"
+    with pytest.raises(ValueError, match="unsupported AVI codec"):
+        V.parse_avi(bytes(raw))
+
+
+def test_parse_rejects_truncated_frame():
+    frames = _frames(1, 4, 4)
+    raw = bytearray(V.encode_avi(frames))
+    # shrink the declared size of the 00db chunk below a full frame
+    i = raw.find(b"00db")
+    raw[i + 4 : i + 8] = struct.pack("<I", 10)
+    info = V.parse_avi(bytes(raw))
+    with pytest.raises(ValueError, match="truncated"):
+        V.decode_frame(bytes(raw), 0, info)

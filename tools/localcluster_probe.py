@@ -22,12 +22,13 @@ CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, "/root/repo")
 k, n_docs, path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+cores = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 from nexus_forge_spark.session import get_spark
 from nexus_forge_spark.plans import pipeline
 spark = get_spark(
     "localcluster-probe",
-    master=f"local-cluster[{k},2,4096]",
-    shuffle_partitions=max(2 * k, 8),
+    master=f"local-cluster[{k},{cores},4096]",
+    shuffle_partitions=max(cores * k, 8),
     extra_conf={
         "spark.executor.memory": "3g",
         "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
@@ -43,7 +44,7 @@ for _ in range(5):
     times.append(time.time() - t0)
 times.sort()
 median = times[len(times) // 2]
-print(json.dumps({"executors": k, "sec": round(median, 3),
+print(json.dumps({"executors": k, "cores": cores, "sec": round(median, 3),
                   "docs_per_sec": round(n_docs / median, 1),
                   "times": [round(t, 2) for t in times],
                   "n_triples": n_triples}))
@@ -54,6 +55,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1000000)
     ap.add_argument("--execs", default="1,4")
+    ap.add_argument("--cores", type=int, default=2, help="cores per executor")
     args = ap.parse_args()
     levels = [int(x) for x in args.execs.split(",")]
     assert len(levels) == 2 and levels[1] == 4 * levels[0]
@@ -61,7 +63,10 @@ def main() -> None:
     results = []
     for k in levels:
         out = subprocess.run(
-            [sys.executable, "-c", CHILD, str(k), str(args.docs), corpus],
+            [
+                sys.executable, "-c", CHILD,
+                str(k), str(args.docs), corpus, str(args.cores),
+            ],
             capture_output=True, text=True, timeout=2400, cwd="/root/repo",
         )
         lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
