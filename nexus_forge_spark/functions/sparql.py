@@ -253,6 +253,9 @@ class _Group:
     values: list[tuple[list[str], list[list[str]]]] = field(default_factory=list)  # (vars, rows)
     minuses: list["_Group"] = field(default_factory=list)
     exists: list[tuple[bool, "_Group"]] = field(default_factory=list)  # (positive, group)
+    # transitive-path patterns: (subj_term, pred alternatives, obj_term)
+    # with the inverse already folded into term order
+    transitives: list[tuple[str, list[str], str]] = field(default_factory=list)
 
 
 class _Parser:
@@ -327,6 +330,7 @@ class _Parser:
                 or tg.values
                 or tg.minuses
                 or tg.exists
+                or tg.transitives
             ):
                 raise QueryingError(
                     "CONSTRUCT template must contain only triple patterns"
@@ -571,7 +575,7 @@ class _Parser:
             bare_alt = len(hops[-1][0]) > 1 and not self._hop_parenthesized
         return hops
 
-    def parse_path_hop(self) -> tuple[list[str], bool]:
+    def parse_path_hop(self) -> tuple[list[str], bool, bool]:
         self._hop_parenthesized = False
         inv = self.kw("^")
         if self.kw("("):
@@ -580,21 +584,31 @@ class _Parser:
             while self.kw("|"):
                 alts.append(self.parse_term(pred=True))
             self.expect(")")
-            return alts, inv
-        alts = [self.parse_term(pred=True)]
-        while self.kw("|"):
-            alts.append(self.parse_term(pred=True))
-        return alts, inv
+        else:
+            alts = [self.parse_term(pred=True)]
+            while self.kw("|"):
+                alts.append(self.parse_term(pred=True))
+        trans = self.kw("+")  # one-or-more closure; '*' (zero-or-more) is
+        # not supported (its zero-length arm binds every graph node)
+        return alts, inv, trans
 
     def emit_path(
-        self, g: _Group, subj: str, path: list[tuple[list[str], bool]], obj: str
+        self,
+        g: _Group,
+        subj: str,
+        path: list[tuple[list[str], bool, bool]],
+        obj: str,
     ) -> None:
         cur = subj
-        for hop, (alts, inv) in enumerate(path):
+        for hop, (alts, inv, trans) in enumerate(path):
             nxt = obj if hop == len(path) - 1 else self.fresh_var()
-            pred = alts[0] if len(alts) == 1 else alts
-            # inverse hop: the triple is stored (o, p, s)-wards
-            g.patterns.append((nxt, pred, cur) if inv else (cur, pred, nxt))
+            if trans:
+                s, o = (nxt, cur) if inv else (cur, nxt)
+                g.transitives.append((s, alts, o))
+            else:
+                pred = alts[0] if len(alts) == 1 else alts
+                # inverse hop: the triple is stored (o, p, s)-wards
+                g.patterns.append((nxt, pred, cur) if inv else (cur, pred, nxt))
             cur = nxt
 
     def parse_term(self, pred: bool = False) -> str:
@@ -627,19 +641,65 @@ class SparqlToSql:
     def __init__(self, table: str = "triples", dialect: str = "spark"):
         self.table = table
         self.dialect = dialect
+        self._ctes: list[str] = []
+        self._tc_cache: dict[tuple[str, ...], str] = {}
+
+    def _with_ctes(self, sql: str) -> str:
+        if not self._ctes:
+            return sql
+        return "WITH RECURSIVE " + ", ".join(self._ctes) + " " + sql
+
+    def _closure_cte(self, alts: list[str]) -> str:
+        """Register (once per predicate set) a transitive-closure CTE over
+        the triples table and return its name; columns (s, o).
+
+        Spark's recursive CTEs only allow UNION ALL (UNION_NOT_SUPPORTED_
+        IN_RECURSIVE_CTE as of 4.1), so the Spark shape is a raw UNION ALL
+        recursion + a DISTINCT wrapper — terminates on DAGs (the SPARQL
+        `p+` use cases: subClassOf, broader, partOf hierarchies), and a
+        cyclic graph fails loudly at spark.sql.cteRecursionLevelLimit
+        rather than looping.  DuckDB recursion is UNION (set semantics),
+        which is cycle-safe."""
+        key = tuple(sorted(set(alts)))
+        if key in self._tc_cache:
+            return self._tc_cache[key]
+        n = len(self._tc_cache)
+        name = f"__tc{n}"
+        in_list = ", ".join(_sql_str(_split_iri(t)) for t in key)
+        base = (
+            f"SELECT subj AS s, obj AS o FROM {self.table} "
+            f"WHERE pred IN ({in_list})"
+        )
+        if self.dialect == "duckdb":
+            step = (
+                f"SELECT r.s, t.obj FROM {name} r JOIN {self.table} t "
+                f"ON t.subj = r.o AND t.pred IN ({in_list})"
+            )
+            self._ctes.append(f"{name} AS ({base} UNION {step})")
+        else:
+            raw = f"__tcr{n}"
+            step = (
+                f"SELECT r.s, t.obj FROM {raw} r JOIN {self.table} t "
+                f"ON t.subj = r.o AND t.pred IN ({in_list})"
+            )
+            self._ctes.append(f"{raw} AS ({base} UNION ALL {step})")
+            self._ctes.append(f"{name} AS (SELECT DISTINCT s, o FROM {raw})")
+        self._tc_cache[key] = name
+        return name
 
     def compile(self, query: str) -> str:
+        self._ctes, self._tc_cache = [], {}
         parser = _Parser(_tokenize(query))
         group = parser.parse()
         sql, bindings = self._compile_group(group, parser)
         if parser.form == "ask":
             # boolean result; LIMIT 1 stops the scan at the first solution
-            return (
+            return self._with_ctes(
                 f"SELECT (count(*) > 0) AS ask "
                 f"FROM (SELECT 1 AS one {sql} LIMIT 1) probe"
             )
         if parser.form == "construct":
-            return self._compile_construct(parser, sql, bindings)
+            return self._with_ctes(self._compile_construct(parser, sql, bindings))
         expr_map = {alias: toks for toks, alias in parser.select_exprs}
         vars_ = (
             list(bindings)
@@ -675,7 +735,7 @@ class SparqlToSql:
             out += f" LIMIT {parser.limit}"
         if parser.offset is not None:
             out += f" OFFSET {parser.offset}"
-        return out
+        return self._with_ctes(out)
 
     def _compile_construct(
         self, parser: _Parser, sql: str, bindings: dict[str, str]
@@ -727,7 +787,12 @@ class SparqlToSql:
         self, g: _Group, parser: _Parser, alias_prefix: str = "t"
     ) -> tuple[str, dict[str, str]]:
         """-> ('FROM ... WHERE ...' fragment, var -> qualified column)."""
-        if not g.patterns and not g.unions and not g.values:
+        if (
+            not g.patterns
+            and not g.unions
+            and not g.values
+            and not g.transitives
+        ):
             raise QueryingError("empty graph pattern")
         bindings: dict[str, str] = {}
         conds: list[str] = []
@@ -742,6 +807,24 @@ class SparqlToSql:
                     alts = ", ".join(_sql_str(_split_iri(t)) for t in term)
                     conds.append(f"{ref} IN ({alts})")
                 elif term.startswith("?"):
+                    v = term[1:]
+                    if v in bindings:
+                        conds.append(f"{ref} = {bindings[v]}")
+                    else:
+                        bindings[v] = ref
+                elif term.startswith(("'", '"')):
+                    conds.append(f"{ref} = {_sql_str(term.strip(chr(39) + chr(34)))}")
+                else:
+                    conds.append(f"{ref} = {_sql_str(_split_iri(term))}")
+
+        # transitive-path patterns join the (s, o) closure CTE like an
+        # extra table; constants/shared vars constrain it in the same WHERE
+        for ti, (s_term, alts, o_term) in enumerate(g.transitives):
+            a = f"{alias_prefix}tc{ti}"
+            tables.append(f"{self._closure_cte(alts)} {a}")
+            for term, col in ((s_term, "s"), (o_term, "o")):
+                ref = f"{a}.{col}"
+                if term.startswith("?"):
                     v = term[1:]
                     if v in bindings:
                         conds.append(f"{ref} = {bindings[v]}")

@@ -1708,6 +1708,84 @@ def sql_sparql_negation() -> str:
     return f"WITH tr AS ({sql_kg_triples()} UNION ALL {media}) {inner}"
 
 
+# Round-2 transitive-path surface: p+ compiles to a WITH RECURSIVE
+# closure CTE (Spark 4 UNION ALL recursion + DISTINCT wrapper; DuckDB
+# UNION recursion), joined like any other pattern table.  The hierarchy
+# is the ontology dim's rdfs:subClassOf column deepened by three
+# query-local constant levels (Join/Scan/Aggregation < Operator < Thing)
+# so chains reach depth 3 without touching the shared dims.
+_TERMS_NS = "https://nexus-forge-spark.org/terms/"
+SPARQL_TRANSITIVE_EXTRA_LEVELS = [
+    (f"{_TERMS_NS}Join", "rdfs:subClassOf", f"{_TERMS_NS}Operator"),
+    (f"{_TERMS_NS}Scan", "rdfs:subClassOf", f"{_TERMS_NS}Operator"),
+    (f"{_TERMS_NS}Aggregation", "rdfs:subClassOf", f"{_TERMS_NS}Operator"),
+    (f"{_TERMS_NS}Operator", "rdfs:subClassOf", f"{_TERMS_NS}Thing"),
+]
+SPARQL_TRANSITIVE_TEXT = """SELECT ?doc ?root WHERE {
+  ?doc nsg:hasBody/rdfs:subClassOf+ ?root
+  FILTER NOT EXISTS { ?root rdfs:subClassOf ?up }
+} ORDER BY ?doc ?root"""
+
+
+def q_sparql_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive property path over annotation + subclass triples (S5
+    extension): ?doc cites an entity whose rdfs:subClassOf+ chain reaches
+    a hierarchy root.  The closure CTE shuffles only the (s, o) edge set
+    of the subclass graph — tiny next to the annotation scan."""
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    dim = dims.ontology_terms_idx(spark)
+    sub = dim.where(F.col("subClassOf").isNotNull()).select(
+        F.col("id").alias("subj"),
+        F.lit("rdfs:subClassOf").alias("pred"),
+        F.col("subClassOf").alias("obj"),
+    )
+    extra = spark.createDataFrame(
+        SPARQL_TRANSITIVE_EXTRA_LEVELS, "subj string, pred string, obj string"
+    )
+    triples = (
+        q_kg_triples(spark, sf_dir)
+        .unionByName(sub)
+        .unionByName(extra)
+        .localCheckpoint(eager=True)
+    )
+    triples.createOrReplaceTempView("sparql_triples_v")
+    return spark.sql(
+        sparql_to_sql(
+            SPARQL_TRANSITIVE_TEXT, table="sparql_triples_v", dialect="spark"
+        )
+    )
+
+
+def _wrap_triples_cte(tr_sql: str, inner: str) -> str:
+    """Wrap a compiled SPARQL SQL in `WITH tr AS (...)`, merging CTE lists
+    when the compiler already emitted its own WITH RECURSIVE prologue
+    (nested WITH clauses are invalid SQL)."""
+    marker = "WITH RECURSIVE "
+    if inner.startswith(marker):
+        return f"WITH RECURSIVE tr AS ({tr_sql}), {inner[len(marker):]}"
+    return f"WITH tr AS ({tr_sql}) {inner}"
+
+
+def sql_sparql_transitive() -> str:
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    sub = (
+        "SELECT id AS subj, 'rdfs:subClassOf' AS pred, subClassOf AS obj "
+        f"FROM {dims.ontology_sql_values('d')} WHERE subClassOf IS NOT NULL"
+    )
+    extra = " UNION ALL ".join(
+        f"SELECT '{s}', 'rdfs:subClassOf', '{o}'"
+        for s, _, o in SPARQL_TRANSITIVE_EXTRA_LEVELS
+    )
+    # each branch parenthesized: the first is itself a WITH...SELECT, and
+    # inside a WITH RECURSIVE prologue DuckDB mis-scopes an unparenthesized
+    # nested WITH followed by UNION ALL
+    tr = f"({sql_kg_triples()}) UNION ALL ({sub}) UNION ALL ({extra})"
+    inner = sparql_to_sql(SPARQL_TRANSITIVE_TEXT, table="tr", dialect="duckdb")
+    return _wrap_triples_cte(tr, inner)
+
+
 QUERIES = {
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
@@ -1753,6 +1831,7 @@ QUERIES = {
     "sparql_select": (q_sparql_select, sql_sparql_select),
     "sparql_analytics": (q_sparql_analytics, sql_sparql_analytics),
     "sparql_negation": (q_sparql_negation, sql_sparql_negation),
+    "sparql_transitive": (q_sparql_transitive, sql_sparql_transitive),
     "jsonld_nested": (q_jsonld_nested, sql_jsonld_nested),
     "dataset_prov": (q_dataset_prov, sql_dataset_prov),
 }

@@ -641,3 +641,95 @@ def test_minus_inside_composite_group(duck):
            } ORDER BY ?d""",
     )
     assert rows == [("doc:2", "media/2.png")]
+
+
+# ---- transitive paths (p+) ----------------------------------------------
+
+HIER = [
+    ("ont:dog", "rdfs:subClassOf", "ont:mammal"),
+    ("ont:cat", "rdfs:subClassOf", "ont:mammal"),
+    ("ont:mammal", "rdfs:subClassOf", "ont:animal"),
+    ("ont:animal", "rdfs:subClassOf", "ont:thing"),
+    ("ont:rex", "rdf:type", "ont:dog"),
+]
+
+
+@pytest.fixture()
+def duck_hier():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE triples(subj VARCHAR, pred VARCHAR, obj VARCHAR)")
+    con.executemany("INSERT INTO triples VALUES (?, ?, ?)", HIER)
+    return con
+
+
+def test_transitive_plus(duck_hier):
+    rows = run(
+        duck_hier,
+        "SELECT ?a WHERE { ont:dog rdfs:subClassOf+ ?a } ORDER BY ?a",
+    )
+    assert rows == [("ont:animal",), ("ont:mammal",), ("ont:thing",)]
+
+
+def test_transitive_in_sequence(duck_hier):
+    # instances of anything that transitively subclasses ont:animal
+    rows = run(
+        duck_hier,
+        "SELECT ?x WHERE { ?x rdf:type/rdfs:subClassOf+ ont:animal }",
+    )
+    assert rows == [("ont:rex",)]
+
+
+def test_transitive_inverse(duck_hier):
+    # ^p+ : all transitive subclasses of ont:animal
+    rows = run(
+        duck_hier,
+        "SELECT ?c WHERE { ont:animal ^rdfs:subClassOf+ ?c } ORDER BY ?c",
+    )
+    assert rows == [("ont:cat",), ("ont:dog",), ("ont:mammal",)]
+
+
+def test_transitive_no_duplicates_on_diamond(duck_hier):
+    # diamond: two paths dog->thing must yield ONE solution (set semantics)
+    con = duck_hier
+    con.execute(
+        "INSERT INTO triples VALUES ('ont:dog', 'rdfs:subClassOf', 'ont:pet'),"
+        " ('ont:pet', 'rdfs:subClassOf', 'ont:animal')"
+    )
+    rows = run(con, "SELECT ?a WHERE { ont:dog rdfs:subClassOf+ ?a } ORDER BY ?a")
+    assert rows == [("ont:animal",), ("ont:mammal",), ("ont:pet",), ("ont:thing",)]
+
+
+def test_transitive_both_endpoints_bound(duck_hier):
+    assert run(duck_hier, "ASK { ont:dog rdfs:subClassOf+ ont:thing }") == [(True,)]
+    assert run(duck_hier, "ASK { ont:thing rdfs:subClassOf+ ont:dog }") == [(False,)]
+
+
+def test_transitive_rejected_in_construct_template():
+    from nexus_forge_spark.functions.sparql import sparql_to_sql, QueryingError
+
+    with pytest.raises(QueryingError):
+        sparql_to_sql(
+            "CONSTRUCT { ?a rdfs:subClassOf+ ?b } WHERE { ?a rdfs:subClassOf ?b }"
+        )
+
+
+def test_transitive_spark_dialect(spark):
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    spark.createDataFrame(
+        HIER, schema="subj string, pred string, obj string"
+    ).createOrReplaceTempView("tc_triples_v")
+    sql = sparql_to_sql(
+        "SELECT ?a WHERE { ont:dog rdfs:subClassOf+ ?a } ORDER BY ?a",
+        table="tc_triples_v",
+        dialect="spark",
+    )
+    rows = [r.a for r in spark.sql(sql).collect()]
+    assert rows == ["ont:animal", "ont:mammal", "ont:thing"]
+    # sequence + inverse through the same compiler on Spark
+    sql2 = sparql_to_sql(
+        "SELECT ?x WHERE { ?x rdf:type/rdfs:subClassOf+ ont:animal }",
+        table="tc_triples_v",
+        dialect="spark",
+    )
+    assert [r.x for r in spark.sql(sql2).collect()] == ["ont:rex"]
