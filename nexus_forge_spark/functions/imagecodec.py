@@ -1,4 +1,5 @@
-"""Pure-numpy image codecs: PPM (P6) / PGM (P5) / 24-bit BMP.
+"""Pure-numpy image codecs: PPM (P6) / PGM (P5) / 24-bit BMP / PNG /
+baseline JPEG (the JPEG entropy/DCT layers live in jpegcodec.py).
 
 Real decode/encode for the formats a numpy-only container can handle —
 no PIL/ffmpeg needed.  These are the decode bodies behind the multimodal
@@ -31,7 +32,8 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(content: bytes) -> str | None:
-    """'ppm' | 'pgm' | 'bmp' | 'png' for decodable payloads, else None."""
+    """'ppm' | 'pgm' | 'bmp' | 'png' | 'jpeg' for decodable payloads,
+    else None."""
     if content[:2] == b"P6":
         return "ppm"
     if content[:2] == b"P5":
@@ -40,6 +42,8 @@ def sniff_format(content: bytes) -> str | None:
         return "bmp"
     if content[:8] == PNG_SIGNATURE:
         return "png"
+    if content[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -101,6 +105,13 @@ def decode_image(content: bytes) -> np.ndarray:
         return rows[:, :, ::-1].copy()  # BGR -> RGB
     if fmt == "png":
         return _decode_png(bytes(content))
+    if fmt == "jpeg":
+        from nexus_forge_spark.functions import jpegcodec
+
+        try:
+            return jpegcodec.decode_baseline_jpeg(bytes(content))
+        except jpegcodec.JpegDecodeError as exc:
+            raise ImageDecodeError(str(exc)) from exc
     raise ImageDecodeError("unknown image format")
 
 

@@ -16,9 +16,11 @@ AVI (functions/videocodec.py: RIFF/DIB parser — frame sampling and motion
 features run on actual pixels).  Synthetic payloads from
 ``media_from_documents`` are genuine 4x4 P6 PPM files, genuine PCM16 WAVs,
 and genuine 4-frame uncompressed AVIs, so the default pipeline exercises
-all three real paths end to end.  Remaining formats (JPEG, compressed
-audio/video codecs need libs absent from this container) fall back to the
-deterministic hash stub, still marked by ``DECODE_IS_STUBBED``.
+all three real paths end to end.  Baseline JPEG decodes for real too
+(functions/jpegcodec.py: Huffman + IDCT, pure numpy).  Remaining formats
+(progressive JPEG, compressed audio/video codecs need libs absent from
+this container) fall back to the deterministic hash stub, still marked by
+``DECODE_IS_STUBBED``.
 Everything Spark-side — schemas, partitioning, the mapInPandas batch
 contract, null handling — is real and tested.
 """
@@ -38,11 +40,11 @@ from pyspark.sql import types as T
 
 from nexus_forge_spark.functions import audiocodec, imagecodec, videocodec
 
-# PPM/PGM/BMP/PNG image decode is real (numpy + stdlib zlib); WAV audio
-# decode is real (stdlib struct + numpy); uncompressed-AVI video decode is
-# real (stdlib struct + numpy); JPEG/compressed codecs still stub (libs
+# PPM/PGM/BMP/PNG/baseline-JPEG image decode is real (numpy + stdlib
+# zlib/struct); WAV audio decode is real; uncompressed-AVI video decode is
+# real; compressed audio/video codecs (MP3/H.264/...) still stub (libs
 # absent from this container)
-DECODE_REAL_FORMATS = frozenset({"ppm", "pgm", "bmp", "png"})
+DECODE_REAL_FORMATS = frozenset({"ppm", "pgm", "bmp", "png", "jpeg"})
 DECODE_REAL_AUDIO_FORMATS = frozenset({"wav"})
 DECODE_REAL_VIDEO_FORMATS = frozenset({"avi"})
 DECODE_IS_STUBBED = False  # real for the sets above; see module doc
@@ -58,6 +60,29 @@ _avi_dummy = videocodec.encode_avi(
 _AVI_PREFIX = _avi_dummy[: videocodec.parse_avi(_avi_dummy)["frame_offsets"][0][0] - 8]
 _AVI_CHUNK_HDR = b"00db" + struct.pack("<I", _AVI_FRAME_BYTES)
 _AVI_DURATION_MS = _AVI_FRAMES * 1000 // _AVI_FPS
+
+# pool of genuine baseline JPEGs (8x8 RGB, md5-derived pixels), encoded
+# once at import; ~330 bytes each, selected per media ref by hash
+_JPEG_DIM = 8
+
+
+def _build_jpeg_pool(n: int = 16) -> list[bytes]:
+    from nexus_forge_spark.functions import jpegcodec
+
+    pool = []
+    for i in range(n):
+        raw = b"".join(
+            hashlib.md5(f"jpeg-pool-{i}-{j}".encode()).digest()
+            for j in range(_JPEG_DIM * _JPEG_DIM * 3 // 16)
+        )
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(
+            _JPEG_DIM, _JPEG_DIM, 3
+        )
+        pool.append(jpegcodec.encode_baseline_jpeg(arr, quality=90))
+    return pool
+
+
+_JPEG_POOL = _build_jpeg_pool()
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -147,6 +172,17 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         F.unhex(F.md5(F.concat(ref, F.lit("#1")))),
         F.unhex(F.md5(F.concat(ref, F.lit("#2")))),
     )
+    # a quarter of image refs carry REAL baseline JPEGs instead: the
+    # entropy-coded scan depends on pixel content, so JPEG bytes can't be
+    # concat-built JVM-side like the PPMs — a 16-payload pool is encoded
+    # once driver-side (functions/jpegcodec.py) and hash-selected per ref
+    jpeg_bytes = F.element_at(
+        F.array(*[F.lit(p) for p in _JPEG_POOL]),
+        (F.pmod(F.xxhash64(ref, F.lit(11)), F.lit(len(_JPEG_POOL))) + 1).cast(
+            "int"
+        ),
+    )
+    is_jpeg_ref = F.pmod(F.xxhash64(ref, F.lit(9)), F.lit(4)) == 0
     # audio payloads are REAL PCM16 mono WAVs: constant 44-byte RIFF header
     # (128 data bytes = 64 samples @ 16 kHz) + hash-derived sample bytes
     wav_header = (
@@ -189,21 +225,25 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         "doc_id",
         ref.alias("media_ref"),
         media_type.alias("media_type"),
-        F.when(is_image, ppm_bytes)
+        F.when(is_image & is_jpeg_ref, jpeg_bytes)
+        .when(is_image, ppm_bytes)
         .when(is_audio, wav_bytes)
         .when(is_video, avi_bytes)
         .otherwise(fake_bytes)
         .alias("content"),
         F.struct(
-            F.when(is_image, F.lit("ppm"))
+            F.when(is_image & is_jpeg_ref, F.lit("jpeg"))
+            .when(is_image, F.lit("ppm"))
             .when(is_audio, F.lit("wav"))
             .when(is_video, F.lit("avi"))
             .otherwise(F.lit("synthetic"))
             .alias("format"),
-            F.when(is_image | is_video, F.lit(_AVI_DIM))
+            F.when(is_image & is_jpeg_ref, F.lit(_JPEG_DIM))
+            .when(is_image | is_video, F.lit(_AVI_DIM))
             .otherwise((F.pmod(F.xxhash64(ref, F.lit(1)), F.lit(1920)) + 1).cast("int"))
             .alias("width"),
-            F.when(is_image | is_video, F.lit(_AVI_DIM))
+            F.when(is_image & is_jpeg_ref, F.lit(_JPEG_DIM))
+            .when(is_image | is_video, F.lit(_AVI_DIM))
             .otherwise((F.pmod(F.xxhash64(ref, F.lit(2)), F.lit(1080)) + 1).cast("int"))
             .alias("height"),
             F.when(is_video, F.lit(_AVI_DURATION_MS))

@@ -25,11 +25,17 @@ def test_media_schema_and_payload(spark, sf_dir):
         assert r.media_ref.startswith("media://")
         assert r.media_type in ("image", "audio", "video")
         if r.media_type == "image":
-            # real 4x4 P6 PPM payload: header + 48 pixel bytes
-            assert bytes(r.content).startswith(b"P6\n4 4\n255\n")
-            assert len(r.content) == 11 + 48
-            assert r.metadata.format == "ppm"
-            assert r.metadata.width == 4 and r.metadata.height == 4
+            if r.metadata.format == "jpeg":
+                # real baseline JPEG from the driver-encoded pool
+                assert bytes(r.content).startswith(b"\xff\xd8\xff")
+                assert bytes(r.content) in MM._JPEG_POOL
+                assert r.metadata.width == 8 and r.metadata.height == 8
+            else:
+                # real 4x4 P6 PPM payload: header + 48 pixel bytes
+                assert bytes(r.content).startswith(b"P6\n4 4\n255\n")
+                assert len(r.content) == 11 + 48
+                assert r.metadata.format == "ppm"
+                assert r.metadata.width == 4 and r.metadata.height == 4
         elif r.media_type == "audio":
             # real PCM16 mono WAV: 44-byte RIFF header + 128 sample bytes
             assert bytes(r.content).startswith(b"RIFF")
@@ -55,6 +61,30 @@ def test_image_features_batch_contract(spark, sf_dir):
         assert len(r.embedding) == 8
         assert all(-1.0 <= v <= 1.0 for v in r.embedding)
         assert r.channels == 3
+
+
+def test_jpeg_payloads_decode_end_to_end(spark, sf_dir):
+    import numpy as np
+    import pytest
+
+    from nexus_forge_spark.functions import imagecodec, jpegcodec
+
+    media = _media(spark, sf_dir)
+    jpegs = media.where(F.col("metadata.format") == "jpeg")
+    rows = jpegs.limit(5).collect()
+    assert rows, "hash split should yield some jpeg refs"
+    feats = {
+        (r.doc_id, r.media_ref): r
+        for r in MM.extract_image_features(jpegs, dim=8).collect()
+    }
+    for r in rows:
+        f = feats[(r.doc_id, r.media_ref)]
+        assert (f.width, f.height, f.channels) == (8, 8, 3)
+        # embedding comes from REAL decoded pixels, not the hash stub
+        arr = imagecodec.decode_image(bytes(r.content))
+        assert np.array_equal(arr, jpegcodec.decode_baseline_jpeg(bytes(r.content)))
+        expect = imagecodec.block_mean_embedding(arr, dim=8)
+        assert f.embedding == pytest.approx(expect)
 
 
 def test_image_features_deterministic(spark, sf_dir):
