@@ -822,19 +822,25 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_embedding_neardup_lsh() -> str:
     from nexus_forge_spark.operators.similarity import quantized_planes
 
-    planes = quantized_planes(64, 16, 42)
+    bands, rows_per_band = 8, 8
+    planes = quantized_planes(64, bands * rows_per_band, 42)
 
     def proj(p: list[int]) -> str:
         terms = [f"qv[{i + 1}]*({w})" for i, w in enumerate(p) if w != 0]
         return " + ".join(terms) or "0"
 
-    sig_terms = " + ".join(
-        f"(CASE WHEN ({proj(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(planes)
-    )
+    def band_key(b: int) -> str:
+        # per-band packed sign bits — mirrors lsh_cosine_pairs exactly
+        return " + ".join(
+            f"(CASE WHEN ({proj(planes[b * rows_per_band + j])}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(rows_per_band)
+        )
+
+    key_cols = ", ".join(f"({band_key(b)}) AS k{b}" for b in range(bands))
     band_selects = " UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band, (sig >> {b * 4}) & 15 AS key FROM sigs"
-        for b in range(4)
+        f"SELECT vec_id, {b} AS band, k{b} AS key FROM sigs"
+        for b in range(bands)
     )
     return f"""WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -848,7 +854,7 @@ qs AS (
   SELECT vec_id, v, list_transform(v, x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
   FROM pool
 ),
-sigs AS (SELECT vec_id, {sig_terms} AS sig FROM qs),
+sigs AS (SELECT vec_id, {key_cols} FROM qs),
 banded AS ({band_selects}),
 cand AS (
   SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
