@@ -22,16 +22,21 @@ Two reference behaviors re-expressed (SURVEY S5):
   hand-written star-join would get.
 
 Supported SPARQL subset (the "most-used 80%" of the reference's own test
-queries): PREFIX prologue, SELECT [DISTINCT] ?vars | * | (expr AS ?alias)
-projections with aggregates (COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT,
-COUNT(DISTINCT ...), COUNT(*)), basic graph patterns with ``;``/``,``
-continuations, ``/`` sequence paths and ``|`` predicate alternatives
-(parenthesized when mixed with ``/``), ``a`` for rdf:type, FILTER with
+queries): PREFIX prologue, SELECT [DISTINCT|REDUCED] ?vars | * | (expr AS
+?alias) projections with aggregates (COUNT/SUM/AVG/MIN/MAX/SAMPLE/
+GROUP_CONCAT, COUNT(DISTINCT ...), COUNT(*)), basic graph patterns with
+``;``/``,`` continuations, ``/`` sequence paths and ``|`` predicate
+alternatives (parenthesized when mixed with ``/``), inverse ``^p``,
+closure modifiers ``p+``/``p*``/``p?`` (recursive-CTE closure; the
+zero-length arm is the graph-term identity per SPARQL 1.1 §9.3), negated
+property sets ``!p`` / ``!(p1|p2)``, ``a`` for rdf:type, FILTER with
 comparisons / arithmetic / IN / && / || / ! / regex / contains / strstarts
 / strends / bound / str / concat / coalesce / ucase / lcase / strlen / if,
 BIND (expr AS ?var), VALUES (single- and multi-var, UNDEF), OPTIONAL
 groups (LEFT JOIN of a derived table), { } UNION { } chains (bag
-semantics), GROUP BY + HAVING, ORDER BY [ASC|DESC], LIMIT, OFFSET.
+semantics), MINUS, FILTER (NOT) EXISTS, GROUP BY + HAVING, ORDER BY
+[ASC|DESC], LIMIT, OFFSET; SELECT/CONSTRUCT/ASK/DESCRIBE forms (DESCRIBE
+returns the subject-rooted triples of each described resource).
 """
 
 from __future__ import annotations
@@ -221,7 +226,8 @@ _TOKEN_RX = re.compile(
       | [A-Za-z_][A-Za-z0-9_]*            # bare word / keyword
       | -?\d+\.\d+ | -?\d+                # numbers
       | && | \|\| | != | <= | >=          # two-char operators
-      | [{}();,.\[\]/=<>!*|+\-^]          # punctuation (incl. paths '|' '^', arith)
+      | [{}();,.\[\]/=<>!*|+\-^?]         # punctuation (incl. paths '|' '^' and
+                                          # a bare '?' closure modifier, arith)
     )""",
     re.VERBOSE | re.DOTALL,
 )
@@ -253,9 +259,12 @@ class _Group:
     values: list[tuple[list[str], list[list[str]]]] = field(default_factory=list)  # (vars, rows)
     minuses: list["_Group"] = field(default_factory=list)
     exists: list[tuple[bool, "_Group"]] = field(default_factory=list)  # (positive, group)
-    # transitive-path patterns: (subj_term, pred alternatives, obj_term)
-    # with the inverse already folded into term order
-    transitives: list[tuple[str, list[str], str]] = field(default_factory=list)
+    # closure-path patterns: (subj_term, pred alternatives, obj_term, mod)
+    # with the inverse already folded into term order; mod is '+' (one or
+    # more), '*' (zero or more) or '?' (zero or one)
+    transitives: list[tuple[str, list[str], str, str]] = field(
+        default_factory=list
+    )
 
 
 class _Parser:
@@ -274,8 +283,10 @@ class _Parser:
         self.limit: int | None = None
         self.offset: int | None = None
         self.n_anon = 0
-        self.form = "select"  # select | construct | ask
+        self.form = "select"  # select | construct | ask | describe
         self.template: list[tuple[str, object, str]] = []  # CONSTRUCT patterns
+        self.describe_terms: list[str] = []  # DESCRIBE targets (vars/IRIs)
+        self.describe_group: _Group | None = None
 
     # -- token helpers
     def peek(self) -> str | None:
@@ -335,6 +346,12 @@ class _Parser:
                 raise QueryingError(
                     "CONSTRUCT template must contain only triple patterns"
                 )
+            if any(
+                isinstance(p, (tuple, list)) for _s, p, _o in tg.patterns
+            ):
+                raise QueryingError(
+                    "CONSTRUCT template must contain only triple patterns"
+                )
             self.template = tg.patterns
             self.expect("WHERE")
             group = self.parse_group()
@@ -348,8 +365,33 @@ class _Parser:
             if self.peek() is not None:
                 raise QueryingError(f"trailing tokens in SPARQL: {self.peek()!r}")
             return group
+        if head is not None and head.lower() == "describe":
+            # DESCRIBE <iri>... | DESCRIBE ?v... [WHERE { pattern }]:
+            # result = all triples whose subject is a described resource
+            # (the common subject-CBD reading; DESCRIBE semantics are
+            # implementation-defined per the SPARQL spec)
+            self.next()
+            self.form = "describe"
+            while True:
+                t = self.peek()
+                if t is None or t.lower() == "where" or t == "{":
+                    break
+                self.describe_terms.append(self.next())
+            if not self.describe_terms:
+                raise QueryingError("DESCRIBE requires at least one term")
+            if self.kw("WHERE") or self.peek() == "{":
+                self.describe_group = self.parse_group()
+            elif any(t.startswith("?") for t in self.describe_terms):
+                raise QueryingError("DESCRIBE ?var requires a WHERE pattern")
+            if self.peek() is not None:
+                raise QueryingError(f"trailing tokens in SPARQL: {self.peek()!r}")
+            return self.describe_group or _Group()
         self.expect("SELECT")
         self.distinct = self.kw("DISTINCT")
+        if not self.distinct and self.kw("REDUCED"):
+            # REDUCED permits (without requiring) duplicate elimination;
+            # emitting DISTINCT is a conformant implementation
+            self.distinct = True
         if self.kw("*"):
             self.vars = ["*"]
         else:
@@ -575,9 +617,12 @@ class _Parser:
             bare_alt = len(hops[-1][0]) > 1 and not self._hop_parenthesized
         return hops
 
-    def parse_path_hop(self) -> tuple[list[str], bool, bool]:
+    def parse_path_hop(self) -> tuple[list[str], bool, str | None, bool]:
         self._hop_parenthesized = False
         inv = self.kw("^")
+        neg = self.kw("!")  # negated property set !p / !(p1|p2)
+        if neg and self.kw("^"):
+            raise QueryingError("inverse inside a negated property set")
         if self.kw("("):
             self._hop_parenthesized = True
             alts = [self.parse_term(pred=True)]
@@ -588,23 +633,31 @@ class _Parser:
             alts = [self.parse_term(pred=True)]
             while self.kw("|"):
                 alts.append(self.parse_term(pred=True))
-        trans = self.kw("+")  # one-or-more closure; '*' (zero-or-more) is
-        # not supported (its zero-length arm binds every graph node)
-        return alts, inv, trans
+        mod = None  # closure modifier: + (one+), * (zero+), ? (zero/one)
+        for m in ("+", "*", "?"):
+            if self.kw(m):
+                mod = m
+                break
+        if neg and mod is not None:
+            raise QueryingError("closure modifier on a negated property set")
+        return alts, inv, mod, neg
 
     def emit_path(
         self,
         g: _Group,
         subj: str,
-        path: list[tuple[list[str], bool, bool]],
+        path: list[tuple[list[str], bool, str | None, bool]],
         obj: str,
     ) -> None:
         cur = subj
-        for hop, (alts, inv, trans) in enumerate(path):
+        for hop, (alts, inv, mod, neg) in enumerate(path):
             nxt = obj if hop == len(path) - 1 else self.fresh_var()
-            if trans:
+            if mod is not None:
                 s, o = (nxt, cur) if inv else (cur, nxt)
-                g.transitives.append((s, alts, o))
+                g.transitives.append((s, alts, o, mod))
+            elif neg:
+                s, o = (nxt, cur) if inv else (cur, nxt)
+                g.patterns.append((s, ("!", alts), o))
             else:
                 pred = alts[0] if len(alts) == 1 else alts
                 # inverse hop: the triple is stored (o, p, s)-wards
@@ -687,10 +740,61 @@ class SparqlToSql:
         self._tc_cache[key] = name
         return name
 
+    def _nodes_cte(self) -> str:
+        """All RDF terms in the graph (subjects + objects) — the domain of
+        zero-length path arms (SPARQL 1.1 §9.3: a zero-length path matches
+        every graph term; joins with the rest of the pattern constrain it)."""
+        if "__nodes" not in self._tc_cache:
+            # explicit DISTINCT wrapper: DuckDB 1.0 does not apply UNION
+            # set semantics to non-recursive members of a WITH RECURSIVE
+            # list, so bare UNION would leak duplicates
+            self._ctes.append(
+                f"__nodes AS (SELECT DISTINCT n FROM "
+                f"(SELECT subj AS n FROM {self.table} "
+                f"UNION ALL SELECT obj FROM {self.table}) u)"
+            )
+            self._tc_cache["__nodes"] = "__nodes"
+        return "__nodes"
+
+    def _closure_star_cte(self, alts: list[str]) -> str:
+        """p* = p+ closure UNION the zero-length identity over graph terms."""
+        key = ("*",) + tuple(sorted(set(alts)))
+        if key in self._tc_cache:
+            return self._tc_cache[key]
+        plus = self._closure_cte(alts)
+        nodes = self._nodes_cte()
+        name = f"__tcs{len(self._tc_cache)}"
+        self._ctes.append(
+            f"{name} AS (SELECT DISTINCT s, o FROM "
+            f"(SELECT s, o FROM {plus} "
+            f"UNION ALL SELECT n AS s, n AS o FROM {nodes}) u)"
+        )
+        self._tc_cache[key] = name
+        return name
+
+    def _zero_or_one_cte(self, alts: list[str]) -> str:
+        """p? = single edges UNION the zero-length identity."""
+        key = ("?",) + tuple(sorted(set(alts)))
+        if key in self._tc_cache:
+            return self._tc_cache[key]
+        nodes = self._nodes_cte()
+        in_list = ", ".join(_sql_str(_split_iri(t)) for t in sorted(set(alts)))
+        name = f"__zo{len(self._tc_cache)}"
+        self._ctes.append(
+            f"{name} AS (SELECT DISTINCT s, o FROM "
+            f"(SELECT subj AS s, obj AS o FROM {self.table} "
+            f"WHERE pred IN ({in_list}) "
+            f"UNION ALL SELECT n AS s, n AS o FROM {nodes}) u)"
+        )
+        self._tc_cache[key] = name
+        return name
+
     def compile(self, query: str) -> str:
         self._ctes, self._tc_cache = [], {}
         parser = _Parser(_tokenize(query))
         group = parser.parse()
+        if parser.form == "describe":
+            return self._with_ctes(self._compile_describe(parser))
         sql, bindings = self._compile_group(group, parser)
         if parser.form == "ask":
             # boolean result; LIMIT 1 stops the scan at the first solution
@@ -736,6 +840,36 @@ class SparqlToSql:
         if parser.offset is not None:
             out += f" OFFSET {parser.offset}"
         return self._with_ctes(out)
+
+    def _compile_describe(self, parser: _Parser) -> str:
+        """DESCRIBE -> all (subj, pred, obj) rows whose subject is a
+        described resource; resources = constants + WHERE-bound vars."""
+        arms: list[str] = []
+        consts = [
+            t for t in parser.describe_terms if not t.startswith("?")
+        ]
+        if consts:
+            in_list = ", ".join(_sql_str(_split_iri(t)) for t in consts)
+            arms.append(
+                f"SELECT DISTINCT subj AS s FROM {self.table} "
+                f"WHERE subj IN ({in_list})"
+            )
+            # constants not present as subjects still describe to zero
+            # rows via the join below — the IN-scan arm is just pruning
+        var_terms = [t[1:] for t in parser.describe_terms if t.startswith("?")]
+        if var_terms:
+            gsql, bindings = self._compile_group(
+                parser.describe_group, parser, "d"
+            )
+            for v in var_terms:
+                if v not in bindings:
+                    raise QueryingError(f"DESCRIBE var ?{v} not bound in WHERE")
+                arms.append(f"SELECT DISTINCT {bindings[v]} AS s {gsql}")
+        res = " UNION ".join(arms)
+        return (
+            f"SELECT DISTINCT t.subj AS subj, t.pred AS pred, t.obj AS obj "
+            f"FROM {self.table} t JOIN ({res}) d ON t.subj = d.s"
+        )
 
     def _compile_construct(
         self, parser: _Parser, sql: str, bindings: dict[str, str]
@@ -802,7 +936,11 @@ class SparqlToSql:
             tables.append(f"{self.table} {a}")
             for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
                 ref = f"{a}.{col}"
-                if isinstance(term, list):
+                if isinstance(term, tuple) and term[0] == "!":
+                    # negated property set: pred NOT IN (p1, p2, ...)
+                    alts = ", ".join(_sql_str(_split_iri(t)) for t in term[1])
+                    conds.append(f"{ref} NOT IN ({alts})")
+                elif isinstance(term, list):
                     # property-path alternatives: pred IN (p1, p2, ...)
                     alts = ", ".join(_sql_str(_split_iri(t)) for t in term)
                     conds.append(f"{ref} IN ({alts})")
@@ -817,11 +955,17 @@ class SparqlToSql:
                 else:
                     conds.append(f"{ref} = {_sql_str(_split_iri(term))}")
 
-        # transitive-path patterns join the (s, o) closure CTE like an
+        # closure-path patterns ('+', '*', '?') join an (s, o) CTE like an
         # extra table; constants/shared vars constrain it in the same WHERE
-        for ti, (s_term, alts, o_term) in enumerate(g.transitives):
+        for ti, (s_term, alts, o_term, mod) in enumerate(g.transitives):
             a = f"{alias_prefix}tc{ti}"
-            tables.append(f"{self._closure_cte(alts)} {a}")
+            if mod == "+":
+                cte = self._closure_cte(alts)
+            elif mod == "*":
+                cte = self._closure_star_cte(alts)
+            else:  # '?'
+                cte = self._zero_or_one_cte(alts)
+            tables.append(f"{cte} {a}")
             for term, col in ((s_term, "s"), (o_term, "o")):
                 ref = f"{a}.{col}"
                 if term.startswith("?"):

@@ -1733,13 +1733,9 @@ SPARQL_TRANSITIVE_TEXT = """SELECT ?doc ?root WHERE {
 } ORDER BY ?doc ?root"""
 
 
-def q_sparql_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive property path over annotation + subclass triples (S5
-    extension): ?doc cites an entity whose rdfs:subClassOf+ chain reaches
-    a hierarchy root.  The closure CTE shuffles only the (s, o) edge set
-    of the subclass graph — tiny next to the annotation scan."""
-    from nexus_forge_spark.functions.sparql import sparql_to_sql
-
+def _subclass_enriched_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG triples + the ontology dim's subclass edges + the query-local
+    deepening levels — the view the closure-path contract queries run on."""
     dim = dims.ontology_terms_idx(spark)
     sub = dim.where(F.col("subClassOf").isNotNull()).select(
         F.col("id").alias("subj"),
@@ -1749,18 +1745,68 @@ def q_sparql_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra = spark.createDataFrame(
         SPARQL_TRANSITIVE_EXTRA_LEVELS, "subj string, pred string, obj string"
     )
-    triples = (
+    return (
         q_kg_triples(spark, sf_dir)
         .unionByName(sub)
         .unionByName(extra)
         .localCheckpoint(eager=True)
     )
+
+
+def q_sparql_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive property path over annotation + subclass triples (S5
+    extension): ?doc cites an entity whose rdfs:subClassOf+ chain reaches
+    a hierarchy root.  The closure CTE shuffles only the (s, o) edge set
+    of the subclass graph — tiny next to the annotation scan."""
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    triples = _subclass_enriched_triples(spark, sf_dir)
     triples.createOrReplaceTempView("sparql_triples_v")
     return spark.sql(
         sparql_to_sql(
             SPARQL_TRANSITIVE_TEXT, table="sparql_triples_v", dialect="spark"
         )
     )
+
+
+# DESCRIBE + zero-or-more closure: every transitive subclass of Operator
+# (incl. Operator itself via the zero-length arm), described as its
+# subject-rooted triples
+SPARQL_DESCRIBE_TEXT = (
+    "DESCRIBE ?c WHERE { ?c rdfs:subClassOf* "
+    f"<{_TERMS_NS}Operator> }}"
+)
+
+
+def q_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE with a p* closure path (S5 extension): resources whose
+    rdfs:subClassOf* chain reaches the Operator term, returned as their
+    subject-rooted triples.  Same enriched view as sparql_transitive."""
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    triples = _subclass_enriched_triples(spark, sf_dir)
+    triples.createOrReplaceTempView("sparql_describe_v")
+    return spark.sql(
+        sparql_to_sql(
+            SPARQL_DESCRIBE_TEXT, table="sparql_describe_v", dialect="spark"
+        )
+    ).orderBy("subj", "pred", "obj")
+
+
+def sql_sparql_describe() -> str:
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    sub = (
+        "SELECT id AS subj, 'rdfs:subClassOf' AS pred, subClassOf AS obj "
+        f"FROM {dims.ontology_sql_values('d')} WHERE subClassOf IS NOT NULL"
+    )
+    extra = " UNION ALL ".join(
+        f"SELECT '{s}', 'rdfs:subClassOf', '{o}'"
+        for s, _, o in SPARQL_TRANSITIVE_EXTRA_LEVELS
+    )
+    tr = f"({sql_kg_triples()}) UNION ALL ({sub}) UNION ALL ({extra})"
+    inner = sparql_to_sql(SPARQL_DESCRIBE_TEXT, table="tr", dialect="duckdb")
+    return _wrap_triples_cte(tr, inner) + " ORDER BY subj, pred, obj"
 
 
 def _wrap_triples_cte(tr_sql: str, inner: str) -> str:
@@ -1838,6 +1884,7 @@ QUERIES = {
     "sparql_analytics": (q_sparql_analytics, sql_sparql_analytics),
     "sparql_negation": (q_sparql_negation, sql_sparql_negation),
     "sparql_transitive": (q_sparql_transitive, sql_sparql_transitive),
+    "sparql_describe": (q_sparql_describe, sql_sparql_describe),
     "jsonld_nested": (q_jsonld_nested, sql_jsonld_nested),
     "dataset_prov": (q_dataset_prov, sql_dataset_prov),
 }

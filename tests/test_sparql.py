@@ -733,3 +733,147 @@ def test_transitive_spark_dialect(spark):
         dialect="spark",
     )
     assert [r.x for r in spark.sql(sql2).collect()] == ["ont:rex"]
+
+
+# ---- round-2 forms: *, ?, negated property sets, DESCRIBE, REDUCED ------
+
+
+def test_star_path_includes_zero_length(duck_hier):
+    # p* = p+ plus the zero-length identity: dog itself appears
+    rows = run(
+        duck_hier,
+        "SELECT ?a WHERE { ont:dog rdfs:subClassOf* ?a } ORDER BY ?a",
+    )
+    assert rows == [
+        ("ont:animal",),
+        ("ont:dog",),
+        ("ont:mammal",),
+        ("ont:thing",),
+    ]
+
+
+def test_star_path_in_sequence(duck_hier):
+    # rdf:type/subClassOf* reaches the direct class too
+    rows = run(
+        duck_hier,
+        "SELECT ?c WHERE { ont:rex rdf:type/rdfs:subClassOf* ?c } ORDER BY ?c",
+    )
+    assert rows == [
+        ("ont:animal",),
+        ("ont:dog",),
+        ("ont:mammal",),
+        ("ont:thing",),
+    ]
+
+
+def test_zero_or_one_path(duck_hier):
+    rows = run(
+        duck_hier,
+        "SELECT ?a WHERE { ont:dog rdfs:subClassOf? ?a } ORDER BY ?a",
+    )
+    assert rows == [("ont:dog",), ("ont:mammal",)]
+
+
+def test_zero_or_one_both_bound(duck_hier):
+    assert run(duck_hier, "ASK { ont:dog rdfs:subClassOf? ont:dog }") == [(True,)]
+    assert run(duck_hier, "ASK { ont:dog rdfs:subClassOf? ont:mammal }") == [
+        (True,)
+    ]
+    assert run(duck_hier, "ASK { ont:dog rdfs:subClassOf? ont:animal }") == [
+        (False,)
+    ]
+
+
+def test_negated_property_set(duck):
+    # every doc:1 edge that is NOT rdf:type
+    rows = run(
+        duck,
+        "SELECT ?o WHERE { doc:1 !rdf:type ?o } ORDER BY ?o",
+    )
+    assert rows == [("ont:e1",), ("ont:e2",)]
+
+
+def test_negated_property_set_parenthesized(duck):
+    rows = run(
+        duck,
+        "SELECT ?o WHERE { doc:2 !(rdf:type|nsg:hasBody) ?o }",
+    )
+    assert rows == [("media/2.png",)]
+
+
+def test_negated_set_rejects_modifiers():
+    with pytest.raises(QueryingError):
+        sparql_to_sql("SELECT ?o WHERE { doc:1 !rdf:type+ ?o }")
+    with pytest.raises(QueryingError):
+        sparql_to_sql("SELECT ?o WHERE { doc:1 !^rdf:type ?o }")
+
+
+def test_describe_constant(duck):
+    rows = sorted(run(duck, "DESCRIBE doc:2"))
+    assert rows == [
+        ("doc:2", "nsg:hasBody", "ont:e2"),
+        ("doc:2", "rdf:type", "schema:Document"),
+        ("doc:2", "schema:distribution", "media/2.png"),
+    ]
+
+
+def test_describe_variable_with_where(duck):
+    rows = sorted(
+        run(duck, "DESCRIBE ?e WHERE { doc:1 nsg:hasBody ?e }")
+    )
+    assert rows == [
+        ("ont:e1", "rdfs:label", "alpha"),
+        ("ont:e2", "rdfs:label", "Beta"),
+    ]
+
+
+def test_describe_mixed_terms(duck):
+    rows = sorted(
+        run(duck, "DESCRIBE doc:2 ?e WHERE { ?e rdfs:label 'alpha' }")
+    )
+    assert rows == [
+        ("doc:2", "nsg:hasBody", "ont:e2"),
+        ("doc:2", "rdf:type", "schema:Document"),
+        ("doc:2", "schema:distribution", "media/2.png"),
+        ("ont:e1", "rdfs:label", "alpha"),
+    ]
+
+
+def test_describe_var_without_where_rejected():
+    with pytest.raises(QueryingError):
+        sparql_to_sql("DESCRIBE ?x")
+
+
+def test_reduced_deduplicates(duck):
+    # both docs reference ont:e2 -> REDUCED may (here: does) collapse them
+    rows = run(duck, "SELECT REDUCED ?e WHERE { ?d nsg:hasBody ?e } ORDER BY ?e")
+    assert rows == [("ont:e1",), ("ont:e2",)]
+
+
+def test_star_path_spark_dialect(spark):
+    from nexus_forge_spark.functions.sparql import sparql_to_sql as s2s
+
+    spark.createDataFrame(
+        HIER, schema="subj string, pred string, obj string"
+    ).createOrReplaceTempView("tc_star_v")
+    sql = s2s(
+        "SELECT ?a WHERE { ont:dog rdfs:subClassOf* ?a } ORDER BY ?a",
+        table="tc_star_v",
+        dialect="spark",
+    )
+    assert [r.a for r in spark.sql(sql).collect()] == [
+        "ont:animal",
+        "ont:dog",
+        "ont:mammal",
+        "ont:thing",
+    ]
+    sql2 = s2s(
+        "DESCRIBE ?c WHERE { ?c rdfs:subClassOf ont:mammal }",
+        table="tc_star_v",
+        dialect="spark",
+    )
+    got = sorted((r.subj, r.pred, r.obj) for r in spark.sql(sql2).collect())
+    assert got == [
+        ("ont:cat", "rdfs:subClassOf", "ont:mammal"),
+        ("ont:dog", "rdfs:subClassOf", "ont:mammal"),
+    ]
