@@ -1,0 +1,181 @@
+"""Training-data curation: deterministic sampling, domain mixing, and
+sequence packing over the documents table.
+
+These are the corpus-assembly steps a large-scale training pipeline runs
+after cleaning/dedup (the reference has no analogue — kgforge stops at
+KG construction; these extend the engine the way SURVEY §2.6's dedup
+family does).  Every decision is a pure function of the row's id and the
+operator's parameters — no RNG state, no driver-side sampling — so runs
+are reproducible, resumable, and oracle-checkable:
+
+* keep/drop decisions hash the id with the engine-portable md5/conv
+  pattern (Spark ``conv(substr(md5(x),1,15),16,10)`` == DuckDB
+  ``('0x'||substr(md5(x),1,15))::BIGINT`` bit-identically, same trick as
+  operators/dedup.py MinHash);
+* all rate thresholds are computed in INTEGER parts-per-million, so no
+  float rounding can differ between engines.
+
+Scale posture: stratified_sample and domain_mix are map-side filters
+(domain_mix adds one tiny aggregate over #domains rows, broadcast back);
+pack_sequences shuffles once on the bucket key and runs the inherently
+sequential next-fit loop per bucket inside an Arrow batch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PPM = 1_000_000
+
+
+def _ppm_hash(col, salt: str):
+    """Engine-portable uniform draw in [0, PPM): first 15 md5 hex digits
+    as a BIGINT, mod 1e6."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(":" + salt))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(PPM))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its id-hash
+    draw falls under the stratum's threshold.  Fractions are converted
+    to integer parts-per-million ONCE here, so both engines compare
+    against identical literals.  Map-side only — no shuffle, no state."""
+    thresholds = {k: int(round(v * PPM)) for k, v in fractions.items()}
+    thr = F.lit(int(round(default * PPM)))
+    for k, t in sorted(thresholds.items()):
+        thr = F.when(F.col(key_col) == k, F.lit(t)).otherwise(thr)
+    return df.where(_ppm_hash(F.col(id_col), salt) < thr)
+
+
+def domain_mix(
+    df: DataFrame,
+    weights: dict[str, int],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic domain mixing: downsample domains so the kept corpus
+    approximates the target integer-weight proportions, keeping 100% of
+    the binding (most under-represented relative to its weight) domain.
+
+    scale      = min over domains of count[k] * PPM // weight[k]
+    keep_ppm[k]= scale * weight[k] // count[k]   (<= PPM by construction)
+
+    All BIGINT arithmetic (`div` on Spark, `//` on DuckDB — no floats
+    anywhere) -> engine-exact thresholds; intermediate products stay in
+    range while count[k] * PPM * max_weight < 2^63 (~9e12 rows per domain
+    at weight 1000).  The aggregate runs
+    over #domains rows and joins back broadcast-style; the keep decision
+    is the same map-side ppm-hash filter as stratified_sample.  Domains
+    absent from `weights` are dropped."""
+    w = F.lit(None).cast("long")
+    for k, v in sorted(weights.items()):
+        if v <= 0:
+            raise ValueError(f"weight for {k!r} must be positive")
+        w = F.when(F.col(key_col) == k, F.lit(int(v))).otherwise(w)
+    counts = (
+        df.where(w.isNotNull())
+        .groupBy(F.col(key_col).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__n"), F.first(w).alias("__w"))
+    )
+    scale = counts.agg(
+        F.min(F.expr(f"__n * {PPM} div __w")).alias("__scale")
+    )
+    thresholds = counts.crossJoin(F.broadcast(scale)).select(
+        "__k",
+        F.expr("__scale * __w div __n").cast("long").alias("__thr"),
+    )
+    return (
+        df.join(
+            F.broadcast(thresholds), df[key_col] == F.col("__k"), "inner"
+        )
+        .where(_ppm_hash(F.col(id_col), salt) < F.col("__thr"))
+        .drop("__k", "__thr")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+) -> DataFrame:
+    """Next-fit sequence packing: assign documents to training sequences
+    of at most ``max_tokens`` tokens.
+
+    Documents are hash-partitioned into ``n_buckets`` independent streams
+    (the parallelism unit — at 10^9 docs raise n_buckets so each bucket's
+    sequential scan stays small), ordered by id within a bucket, and
+    packed next-fit: a document opens a new sequence when it no longer
+    fits; an oversize document (> max_tokens) gets a sequence of its own.
+    Deterministic: (bucket, seq, pos) is a pure function of the id set.
+
+    The per-bucket loop is genuinely stateful-sequential (bin fill carries
+    across rows), so it runs as an Arrow-batched applyInPandas per bucket
+    — the same sanctioned escape hatch as the streaming state operator.
+    Output: id, bucket, seq (per-bucket sequence index), pos (position in
+    sequence), n_tokens.
+    """
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("bucket", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("pos", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        seqs, poss = [], []
+        seq = pos = fill = 0
+        first = True
+        for tok in pdf[token_count_col]:
+            tok = int(tok)
+            if first:
+                first = False
+                fill = tok
+            elif fill + tok > max_tokens:
+                seq += 1
+                pos = 0
+                fill = tok
+            else:
+                pos += 1
+                fill += tok
+            seqs.append(seq)
+            poss.append(pos)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "bucket": pdf["__bucket"],
+                "seq": seqs,
+                "pos": poss,
+                "n_tokens": pdf[token_count_col].astype("int64"),
+            }
+        )
+
+    bucketed = df.select(
+        id_col,
+        token_count_col,
+        F.pmod(_ppm_hash(F.col(id_col), "pack"), F.lit(n_buckets)).alias(
+            "__bucket"
+        ),
+    )
+    return bucketed.groupBy("__bucket").applyInPandas(pack, schema)

@@ -1529,6 +1529,112 @@ ORDER BY id"""
 # ------------------------------------------------- Dataset PROV helpers
 
 
+# ---- training-data curation (corpus assembly after cleaning/dedup) ------
+
+# engine-portable ppm hash, SQL side (see operators/curation.py)
+def _sql_ppm_hash(expr: str, salt: str) -> str:
+    return (
+        f"('0x' || substring(md5(CAST({expr} AS VARCHAR) || ':{salt}'), 1, 15))"
+        f"::BIGINT % 1000000"
+    )
+
+
+STRAT_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zh": 0.75}
+MIX_WEIGHTS = {"src0": 4, "src1": 2, "src2": 1, "src3": 1}
+PACK_MAX_TOKENS, PACK_BUCKETS = 256, 16
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (curation op): keep decisions
+    are a pure map-side hash-threshold filter — reproducible at any scale,
+    no RNG state, no shuffle."""
+    from nexus_forge_spark.operators.curation import stratified_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return stratified_sample(docs, STRAT_FRACTIONS).select("doc_id", "lang")
+
+
+def sql_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(round(v * 1_000_000))}"
+        for k, v in sorted(STRAT_FRACTIONS.items())
+    )
+    return f"""SELECT doc_id, lang FROM documents
+WHERE {_sql_ppm_hash('doc_id', 'strat')} < CASE lang {cases} ELSE 0 END"""
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing (curation op): downsample sources to
+    the 4:2:1:1 target with integer-ppm thresholds computed from one tiny
+    aggregate; the keep decision stays map-side."""
+    from nexus_forge_spark.operators.curation import domain_mix
+
+    docs = load_table(spark, "documents", sf_dir)
+    return domain_mix(docs, MIX_WEIGHTS).select("doc_id", "source")
+
+
+def sql_domain_mix() -> str:
+    src_list = ", ".join(f"'{k}'" for k in sorted(MIX_WEIGHTS))
+    w_cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""WITH d AS (
+  SELECT doc_id, source FROM documents WHERE source IN ({src_list})
+),
+w AS (
+  SELECT source, CASE source {w_cases} END AS w, count(*) AS n
+  FROM d GROUP BY source
+),
+s AS (SELECT min(n * 1000000 // w) AS scale FROM w),
+t AS (SELECT source, (scale * w) // n AS thr FROM w, s)
+SELECT d.doc_id, d.source FROM d JOIN t USING (source)
+WHERE {_sql_ppm_hash('d.doc_id', 'mix')} < thr"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing (curation op): hash-bucketed streams,
+    per-bucket sequential fill inside an Arrow batch; (bucket, seq, pos)
+    is a pure function of the id set, so the DuckDB oracle replays the
+    identical packing with a recursive CTE."""
+    from nexus_forge_spark.operators.curation import pack_sequences
+    from nexus_forge_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, max_tokens=PACK_MAX_TOKENS, n_buckets=PACK_BUCKETS
+    )
+
+
+def sql_pack_sequences() -> str:
+    cap, nb = PACK_MAX_TOKENS, PACK_BUCKETS
+    return rf"""WITH RECURSIVE base AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+    ({_sql_ppm_hash('doc_id', 'pack')}) % {nb} AS bucket
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, n_tokens, bucket,
+    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM base
+),
+rec AS (
+  SELECT bucket, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS seq,
+    n_tokens AS fill, CAST(0 AS BIGINT) AS pos
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+    CASE WHEN r.fill + t.n_tokens > {cap} THEN r.seq + 1 ELSE r.seq END,
+    CASE WHEN r.fill + t.n_tokens > {cap} THEN t.n_tokens
+         ELSE r.fill + t.n_tokens END,
+    CASE WHEN r.fill + t.n_tokens > {cap} THEN 0 ELSE r.pos + 1 END
+  FROM rec r JOIN toks t ON t.bucket = r.bucket AND t.rn = r.rn + 1
+)
+SELECT doc_id, bucket, seq, pos, n_tokens FROM rec"""
+
+
 def q_dataset_prov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset.add_contribution/add_generation as set-oriented struct
     appends (specializations/resources/datasets.py:66-124): one broadcast
@@ -1887,4 +1993,7 @@ QUERIES = {
     "sparql_describe": (q_sparql_describe, sql_sparql_describe),
     "jsonld_nested": (q_jsonld_nested, sql_jsonld_nested),
     "dataset_prov": (q_dataset_prov, sql_dataset_prov),
+    "stratified_sample": (q_stratified_sample, sql_stratified_sample),
+    "domain_mix": (q_domain_mix, sql_domain_mix),
+    "pack_sequences": (q_pack_sequences, sql_pack_sequences),
 }

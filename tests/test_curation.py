@@ -1,0 +1,125 @@
+"""Curation operators: deterministic sampling / mixing invariants and
+next-fit packing correctness (Spark side; engine parity is covered by the
+stratified_sample / domain_mix / pack_sequences contract queries)."""
+
+from collections import defaultdict
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nexus_forge_spark.operators.curation import (
+    domain_mix,
+    pack_sequences,
+    stratified_sample,
+)
+from nexus_forge_spark.sources import load_table
+
+FRACS = {"en": 0.5, "de": 0.25, "zh": 1.0}
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return load_table(spark, "documents", sf_dir)
+
+
+def test_stratified_sample_is_deterministic_subset(docs):
+    out1 = stratified_sample(docs, FRACS).select("doc_id", "lang").collect()
+    out2 = stratified_sample(docs, FRACS).select("doc_id", "lang").collect()
+    assert sorted(out1) == sorted(out2)
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert {r.doc_id for r in out1} <= all_ids
+    langs = {r.lang for r in out1}
+    assert langs <= set(FRACS)  # default fraction 0 drops other strata
+
+
+def test_stratified_sample_rates(docs):
+    kept = defaultdict(int)
+    for r in stratified_sample(docs, FRACS).select("lang").collect():
+        kept[r.lang] += 1
+    totals = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert kept["zh"] == totals["zh"]  # fraction 1.0 keeps everything
+    for lang, frac in (("en", 0.5), ("de", 0.25)):
+        rate = kept[lang] / totals[lang]
+        assert abs(rate - frac) < 0.2  # loose: small strata, exact hash split
+
+
+def test_stratified_sample_salt_changes_selection(docs):
+    a = {r.doc_id for r in stratified_sample(docs, FRACS, salt="a").collect()}
+    b = {r.doc_id for r in stratified_sample(docs, FRACS, salt="b").collect()}
+    assert a != b  # different draws, same rates
+
+
+def test_domain_mix_ratios(docs):
+    weights = {"src0": 4, "src1": 2, "src2": 1, "src3": 1}
+    out = domain_mix(docs, weights).select("doc_id", "source").collect()
+    counts = defaultdict(int)
+    for r in out:
+        counts[r.source] += 1
+    assert set(counts) <= set(weights)
+    # src0 binds (weight 4 on equal-size domains) -> kept ~fully; the
+    # others are downsampled toward 2:1:1 of src0's share
+    total0 = counts["src0"]
+    assert total0 > 0
+    assert counts["src1"] <= total0
+    # determinism
+    out2 = domain_mix(docs, weights).select("doc_id", "source").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_domain_mix_rejects_bad_weight(docs):
+    with pytest.raises(ValueError):
+        domain_mix(docs, {"src0": 0})
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from nexus_forge_spark.operators.text import token_count
+
+    cap = 128
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    rows = pack_sequences(docs, max_tokens=cap, n_buckets=8).collect()
+    # every document packed exactly once
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in docs.collect()
+    )
+    seqs = defaultdict(list)
+    for r in rows:
+        seqs[(r.bucket, r.seq)].append(r)
+    for (bucket, seq), members in seqs.items():
+        members.sort(key=lambda r: r.pos)
+        # positions contiguous from 0
+        assert [m.pos for m in members] == list(range(len(members)))
+        # capacity respected unless a single oversize doc owns the sequence
+        total = sum(m.n_tokens for m in members)
+        if total > cap:
+            assert len(members) == 1 and members[0].n_tokens > cap
+    # next-fit over id order: within a bucket, seq is non-decreasing in id
+    by_bucket = defaultdict(list)
+    for r in rows:
+        by_bucket[r.bucket].append(r)
+    for members in by_bucket.values():
+        members.sort(key=lambda r: r.doc_id)
+        assert all(
+            a.seq <= b.seq for a, b in zip(members, members[1:])
+        )
+
+
+def test_pack_sequences_greedy_no_premature_split(spark):
+    # hand corpus in ONE bucket: next-fit must fill 10+20, then 100, 5
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3, 4], "n_tokens": [10, 20, 100, 5]})
+    df = spark.createDataFrame(pdf)
+    rows = {
+        r.doc_id: r
+        for r in pack_sequences(df, max_tokens=40, n_buckets=1).collect()
+    }
+    assert (rows[1].seq, rows[1].pos) == (0, 0)
+    assert (rows[2].seq, rows[2].pos) == (0, 1)
+    assert (rows[3].seq, rows[3].pos) == (1, 0)  # oversize -> own sequence
+    assert (rows[4].seq, rows[4].pos) == (2, 0)  # next-fit does not backfill
