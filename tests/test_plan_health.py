@@ -81,3 +81,34 @@ def test_lsh_neardup_no_allpairs(spark, sf01):
     # baseline is allowed a nested-loop product
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_stratified_sample_is_map_side_only(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import q_stratified_sample
+
+    plan = plan_of(q_stratified_sample(spark, sf01))
+    # a pure filter over the scan: no shuffle, no join, no aggregation
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
+
+
+def test_domain_mix_broadcasts_thresholds(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import q_domain_mix
+
+    plan = plan_of(q_domain_mix(spark, sf01), execute=True)
+    # the #domains threshold table joins broadcast — the corpus side never
+    # shuffles for the join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import q_pack_sequences
+
+    plan = plan_of(q_pack_sequences(spark, sf01))
+    # exactly one exchange: the hash-bucket repartition feeding the
+    # per-bucket Arrow packing stage
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan
