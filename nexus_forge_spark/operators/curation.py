@@ -109,6 +109,67 @@ def domain_mix(
     )
 
 
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopword_hits: int = 2,
+    min_alpha_word_ratio: float = 0.8,
+    keep_only: bool = False,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1, the
+    public heuristics): token-count bounds, mean-word-length bounds, a
+    minimum stopword presence, and a minimum fraction of words containing
+    an alphabetic character.  Adds the per-rule features, a ``keep``
+    verdict, and ``fail_reasons`` (which rules fired) so the filter is
+    auditable; ``keep_only=True`` drops rejected rows instead.
+
+    Map-side only.  Mean word length avoids a per-token fold: it is
+    (non-whitespace chars) / tokens, one regexp_replace + one length."""
+    t = F.col(text_col)
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    n = F.size(toks)
+    mean_len = (
+        F.length(F.regexp_replace(t, r"\s", "")) / F.greatest(n, F.lit(1))
+    ).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*GOPHER_STOPWORDS)))
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    alpha_ratio = (alpha_words / F.greatest(n, F.lit(1))).cast("double")
+    rules = [
+        (n < min_tokens, "too_few_tokens"),
+        (n > max_tokens, "too_many_tokens"),
+        (mean_len < min_mean_word_len, "mean_word_len_low"),
+        (mean_len > max_mean_word_len, "mean_word_len_high"),
+        (stop_hits < min_stopword_hits, "too_few_stopwords"),
+        (alpha_ratio < min_alpha_word_ratio, "alpha_ratio_low"),
+    ]
+    reasons = F.filter(
+        F.array(
+            *[
+                F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                for cond, name in rules
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    out = df.select(
+        "*",
+        n.cast("int").alias("n_tokens"),
+        mean_len.alias("mean_word_len"),
+        stop_hits.cast("int").alias("stopword_hits"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        (F.size(reasons) == 0).alias("keep"),
+        reasons.alias("fail_reasons"),
+    )
+    return out.where(F.col("keep")) if keep_only else out
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,

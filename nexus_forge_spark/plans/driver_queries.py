@@ -1635,6 +1635,70 @@ rec AS (
 SELECT doc_id, bucket, seq, pos, n_tokens FROM rec"""
 
 
+QF_MIN_TOKENS, QF_MAX_TOKENS = 30, 90
+QF_MIN_MWL, QF_MAX_MWL = 3.8, 10.0
+QF_MIN_STOPS, QF_MIN_ALPHA = 1, 0.8
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (curation op): per-rule features + keep
+    verdict + fired-rule audit trail, all map-side Column expressions."""
+    from nexus_forge_spark.operators.curation import gopher_quality_filter
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    out = gopher_quality_filter(
+        docs,
+        min_tokens=QF_MIN_TOKENS,
+        max_tokens=QF_MAX_TOKENS,
+        min_mean_word_len=QF_MIN_MWL,
+        max_mean_word_len=QF_MAX_MWL,
+        min_stopword_hits=QF_MIN_STOPS,
+        min_alpha_word_ratio=QF_MIN_ALPHA,
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_word_len", 4).alias("mean_word_len"),
+        "stopword_hits",
+        F.round("alpha_word_ratio", 4).alias("alpha_word_ratio"),
+        "keep",
+        F.array_join("fail_reasons", ",").alias("fail_reasons"),
+    )
+
+
+def sql_quality_filter() -> str:
+    stops = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to", "in", "is"))
+    return rf"""WITH f AS (
+  SELECT doc_id,
+    len(string_split_regex(trim(lower(text)), '\s+')) AS n,
+    CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS ml,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        w -> w IN ({stops}))) AS sw,
+    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+      / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS aw
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n, ml, sw, aw,
+    list_filter([
+      CASE WHEN n < {QF_MIN_TOKENS} THEN 'too_few_tokens' END,
+      CASE WHEN n > {QF_MAX_TOKENS} THEN 'too_many_tokens' END,
+      CASE WHEN ml < {QF_MIN_MWL} THEN 'mean_word_len_low' END,
+      CASE WHEN ml > {QF_MAX_MWL} THEN 'mean_word_len_high' END,
+      CASE WHEN sw < {QF_MIN_STOPS} THEN 'too_few_stopwords' END,
+      CASE WHEN aw < {QF_MIN_ALPHA} THEN 'alpha_ratio_low' END
+    ], x -> x IS NOT NULL) AS reasons
+  FROM f
+)
+SELECT doc_id, CAST(n AS INT) AS n_tokens, round(ml, 4) AS mean_word_len,
+  CAST(sw AS INT) AS stopword_hits, round(aw, 4) AS alpha_word_ratio,
+  len(reasons) = 0 AS keep,
+  coalesce(array_to_string(reasons, ','), '') AS fail_reasons
+FROM r"""
+
+
 def q_dataset_prov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset.add_contribution/add_generation as set-oriented struct
     appends (specializations/resources/datasets.py:66-124): one broadcast
@@ -1996,4 +2060,5 @@ QUERIES = {
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
     "domain_mix": (q_domain_mix, sql_domain_mix),
     "pack_sequences": (q_pack_sequences, sql_pack_sequences),
+    "quality_filter": (q_quality_filter, sql_quality_filter),
 }

@@ -123,3 +123,38 @@ def test_pack_sequences_greedy_no_premature_split(spark):
     assert (rows[2].seq, rows[2].pos) == (0, 1)
     assert (rows[3].seq, rows[3].pos) == (1, 0)  # oversize -> own sequence
     assert (rows[4].seq, rows[4].pos) == (2, 0)  # next-fit does not backfill
+
+
+def test_gopher_quality_filter_rules(spark):
+    from nexus_forge_spark.operators.curation import gopher_quality_filter
+
+    rows = [
+        (1, "the sleepy cat settled onto the woven mat and drifted to sleep inside a cardboard box because it is warm"),
+        (2, "tiny"),                     # too few tokens, no stopword pair
+        (3, "?? !! ++ " * 10),           # no alpha words, no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in gopher_quality_filter(df, min_tokens=5, min_stopword_hits=2).collect()
+    }
+    assert out[1].keep and out[1].fail_reasons == []
+    assert not out[2].keep
+    assert "too_few_tokens" in out[2].fail_reasons
+    assert not out[3].keep
+    assert "alpha_ratio_low" in out[3].fail_reasons
+    assert "too_few_stopwords" in out[3].fail_reasons
+    # keep_only drops rejected rows and keeps the audit columns
+    kept = gopher_quality_filter(df, min_tokens=5, min_stopword_hits=2, keep_only=True)
+    assert [r.doc_id for r in kept.collect()] == [1]
+
+
+def test_gopher_filter_splits_contract_corpus(docs):
+    from nexus_forge_spark.operators.curation import gopher_quality_filter
+
+    out = gopher_quality_filter(
+        docs.select("doc_id", "text"), min_tokens=30, max_tokens=90,
+        min_mean_word_len=3.8, min_stopword_hits=1,
+    )
+    counts = {r.keep: r.n for r in out.groupBy("keep").agg(F.count("*").alias("n")).collect()}
+    assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
