@@ -34,9 +34,11 @@ comparisons / arithmetic / IN / && / || / ! / regex / contains / strstarts
 / strends / bound / str / concat / coalesce / ucase / lcase / strlen / if,
 BIND (expr AS ?var), VALUES (single- and multi-var, UNDEF), OPTIONAL
 groups (LEFT JOIN of a derived table), { } UNION { } chains (bag
-semantics), MINUS, FILTER (NOT) EXISTS, GROUP BY + HAVING, ORDER BY
-[ASC|DESC], LIMIT, OFFSET; SELECT/CONSTRUCT/ASK/DESCRIBE forms (DESCRIBE
-returns the subject-rooted triples of each described resource).
+semantics), { SELECT ... } subqueries (derived-table joins on the
+projected vars, cross join when disjoint), MINUS, FILTER (NOT) EXISTS,
+GROUP BY + HAVING, ORDER BY [ASC|DESC], LIMIT, OFFSET;
+SELECT/CONSTRUCT/ASK/DESCRIBE forms (DESCRIBE returns the
+subject-rooted triples of each described resource).
 """
 
 from __future__ import annotations
@@ -265,6 +267,9 @@ class _Group:
     transitives: list[tuple[str, list[str], str, str]] = field(
         default_factory=list
     )
+    # { SELECT ... } subqueries: (sub-parser, sub-group); the sub-parser
+    # carries the projection/modifier state, the group the pattern
+    subqueries: list[tuple["_Parser", "_Group"]] = field(default_factory=list)
 
 
 class _Parser:
@@ -356,6 +361,10 @@ class _Parser:
             self.expect("WHERE")
             group = self.parse_group()
             self._parse_trailers()
+            if self.peek() is not None:
+                raise QueryingError(
+                    f"trailing tokens in SPARQL: {self.peek()!r}"
+                )
             return group
         if head is not None and head.lower() == "ask":
             self.next()
@@ -386,6 +395,14 @@ class _Parser:
             if self.peek() is not None:
                 raise QueryingError(f"trailing tokens in SPARQL: {self.peek()!r}")
             return self.describe_group or _Group()
+        group = self.parse_select_body()
+        if self.peek() is not None:
+            raise QueryingError(f"trailing tokens in SPARQL: {self.peek()!r}")
+        return group
+
+    def parse_select_body(self) -> _Group:
+        """SELECT projection + WHERE group + trailers — shared between the
+        top-level SELECT form and { SELECT ... } subqueries."""
         self.expect("SELECT")
         self.distinct = self.kw("DISTINCT")
         if not self.distinct and self.kw("REDUCED"):
@@ -462,8 +479,6 @@ class _Parser:
                 self.offset = int(self.next())
             else:
                 break
-        if self.peek() is not None:
-            raise QueryingError(f"trailing tokens in SPARQL: {self.peek()!r}")
 
     def parse_group(self) -> _Group:
         self.expect("{")
@@ -519,6 +534,24 @@ class _Parser:
                 g.values.append(self.parse_values())
                 continue
             if t == "{":
+                nxt = (
+                    self.toks[self.i + 1].lower()
+                    if self.i + 1 < len(self.toks)
+                    else ""
+                )
+                if nxt == "select":
+                    # { SELECT ... } subquery: its own projection, group
+                    # and modifiers; joins the outer pattern on the
+                    # projected variables
+                    self.next()  # consume '{'
+                    sub = _Parser(self.toks)
+                    sub.i = self.i
+                    sub.prefixes = self.prefixes
+                    sub_group = sub.parse_select_body()
+                    self.i = sub.i
+                    self.expect("}")
+                    g.subqueries.append((sub, sub_group))
+                    continue
                 # braced subgroup chain: { A } UNION { B } UNION { C }
                 alts = [self.parse_group()]
                 while self.kw("UNION"):
@@ -804,6 +837,15 @@ class SparqlToSql:
             )
         if parser.form == "construct":
             return self._with_ctes(self._compile_construct(parser, sql, bindings))
+        out, _vars = self._compile_select(parser, sql, bindings)
+        return self._with_ctes(out)
+
+    def _compile_select(
+        self, parser: _Parser, sql: str, bindings: dict[str, str]
+    ) -> tuple[str, list[str]]:
+        """Projection + GROUP BY/HAVING/ORDER/LIMIT/OFFSET over a compiled
+        group -> (full SELECT SQL, projected var names).  Shared by the
+        top-level SELECT form and { SELECT ... } subqueries."""
         expr_map = {alias: toks for toks, alias in parser.select_exprs}
         vars_ = (
             list(bindings)
@@ -839,7 +881,7 @@ class SparqlToSql:
             out += f" LIMIT {parser.limit}"
         if parser.offset is not None:
             out += f" OFFSET {parser.offset}"
-        return self._with_ctes(out)
+        return out, vars_
 
     def _compile_describe(self, parser: _Parser) -> str:
         """DESCRIBE -> all (subj, pred, obj) rows whose subject is a
@@ -926,6 +968,7 @@ class SparqlToSql:
             and not g.unions
             and not g.values
             and not g.transitives
+            and not g.subqueries
         ):
             raise QueryingError("empty graph pattern")
         bindings: dict[str, str] = {}
@@ -986,7 +1029,12 @@ class SparqlToSql:
                 raise QueryingError(f"BIND would rebind ?{bvar}")
             bindings[bvar] = f"({self._compile_expr(btoks, bindings)})"
 
-        if not g.optionals and not g.unions and not g.values:
+        if (
+            not g.optionals
+            and not g.unions
+            and not g.values
+            and not g.subqueries
+        ):
             # simple path: filters ride in the same WHERE
             for ftoks in g.filters:
                 conds.append(self._compile_expr(ftoks, bindings))
@@ -1022,6 +1070,28 @@ class SparqlToSql:
             on = " AND ".join(f"{alias}.{v} = {out_bind[v]}" for v in shared)
             out_sql += f" JOIN {usql} {alias} ON {on}"
             for v in uvars:
+                out_bind.setdefault(v, f"{alias}.{v}")
+
+        for si, (sp, sg) in enumerate(g.subqueries):
+            ssql, sbind = self._compile_group(
+                sg, sp, f"{alias_prefix}sq{si}_"
+            )
+            ssel, svars = self._compile_select(sp, ssql, sbind)
+            alias = f"sq{si}"
+            if out_sql is None:
+                out_sql = f"FROM ({ssel}) {alias}"
+                out_bind = {v: f"{alias}.{v}" for v in svars}
+                continue
+            shared = [v for v in svars if v in out_bind]
+            if shared:
+                on = " AND ".join(
+                    f"{alias}.{v} = {out_bind[v]}" for v in shared
+                )
+                out_sql += f" JOIN ({ssel}) {alias} ON {on}"
+            else:
+                # SPARQL join on a disjoint domain is a cross product
+                out_sql += f" CROSS JOIN ({ssel}) {alias}"
+            for v in svars:
                 out_bind.setdefault(v, f"{alias}.{v}")
 
         for vi, (vvars, vrows) in enumerate(g.values):

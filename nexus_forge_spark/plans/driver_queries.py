@@ -1939,6 +1939,45 @@ def q_sparql_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# { SELECT ... } subquery: inner per-entity citation counts (GROUP BY
+# aggregate), outer join attaching each entity's direct superclass
+SPARQL_SUBQUERY_TEXT = """SELECT ?e ?parent ?n WHERE {
+  { SELECT ?e (COUNT(?doc) AS ?n) WHERE { ?doc nsg:hasBody ?e } GROUP BY ?e }
+  ?e rdfs:subClassOf ?parent
+} ORDER BY ?e ?parent"""
+
+
+def q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL subquery (S5 extension): aggregate-in-subquery joined to an
+    outer pattern — compiles to a derived-table join; the inner GROUP BY
+    shuffles only the distinct-entity counts."""
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    triples = _subclass_enriched_triples(spark, sf_dir)
+    triples.createOrReplaceTempView("sparql_subquery_v")
+    return spark.sql(
+        sparql_to_sql(
+            SPARQL_SUBQUERY_TEXT, table="sparql_subquery_v", dialect="spark"
+        )
+    )
+
+
+def sql_sparql_subquery() -> str:
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    sub = (
+        "SELECT id AS subj, 'rdfs:subClassOf' AS pred, subClassOf AS obj "
+        f"FROM {dims.ontology_sql_values('d')} WHERE subClassOf IS NOT NULL"
+    )
+    extra = " UNION ALL ".join(
+        f"SELECT '{s}', 'rdfs:subClassOf', '{o}'"
+        for s, _, o in SPARQL_TRANSITIVE_EXTRA_LEVELS
+    )
+    tr = f"({sql_kg_triples()}) UNION ALL ({sub}) UNION ALL ({extra})"
+    inner = sparql_to_sql(SPARQL_SUBQUERY_TEXT, table="tr", dialect="duckdb")
+    return _wrap_triples_cte(tr, inner)
+
+
 # DESCRIBE + zero-or-more closure: every transitive subclass of Operator
 # (incl. Operator itself via the zero-length arm), described as its
 # subject-rooted triples
@@ -2055,6 +2094,7 @@ QUERIES = {
     "sparql_negation": (q_sparql_negation, sql_sparql_negation),
     "sparql_transitive": (q_sparql_transitive, sql_sparql_transitive),
     "sparql_describe": (q_sparql_describe, sql_sparql_describe),
+    "sparql_subquery": (q_sparql_subquery, sql_sparql_subquery),
     "jsonld_nested": (q_jsonld_nested, sql_jsonld_nested),
     "dataset_prov": (q_dataset_prov, sql_dataset_prov),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),

@@ -877,3 +877,59 @@ def test_star_path_spark_dialect(spark):
         ("ont:cat", "rdfs:subClassOf", "ont:mammal"),
         ("ont:dog", "rdfs:subClassOf", "ont:mammal"),
     ]
+
+
+# ---- { SELECT ... } subqueries ------------------------------------------
+
+
+def test_subquery_aggregate_join(duck):
+    # inner: per-entity citation counts; outer: attach labels
+    rows = run(
+        duck,
+        """SELECT ?e ?label ?n WHERE {
+             { SELECT ?e (COUNT(?d) AS ?n) WHERE { ?d nsg:hasBody ?e } GROUP BY ?e }
+             ?e rdfs:label ?label
+           } ORDER BY ?e""",
+    )
+    assert rows == [("ont:e1", "alpha", 1), ("ont:e2", "Beta", 2)]
+
+
+def test_subquery_limit(duck):
+    # inner LIMIT applies before the outer join
+    rows = run(
+        duck,
+        """SELECT ?e ?label WHERE {
+             { SELECT ?e WHERE { ?d nsg:hasBody ?e } ORDER BY ?e LIMIT 1 }
+             ?e rdfs:label ?label
+           }""",
+    )
+    assert rows == [("ont:e1", "alpha")]
+
+
+def test_subquery_cross_join_when_disjoint(duck):
+    rows = run(
+        duck,
+        """SELECT ?d ?n WHERE {
+             ?d a schema:Document
+             { SELECT (COUNT(?e) AS ?n) WHERE { ?e rdfs:label ?l } }
+           } ORDER BY ?d""",
+    )
+    assert rows == [("doc:1", 2), ("doc:2", 2)]
+
+
+def test_subquery_spark_dialect(spark):
+    from nexus_forge_spark.functions.sparql import sparql_to_sql as s2s
+
+    spark.createDataFrame(
+        TRIPLES, schema="subj string, pred string, obj string"
+    ).createOrReplaceTempView("sq_triples_v")
+    sql = s2s(
+        """SELECT ?e ?label ?n WHERE {
+             { SELECT ?e (COUNT(?d) AS ?n) WHERE { ?d nsg:hasBody ?e } GROUP BY ?e }
+             ?e rdfs:label ?label
+           } ORDER BY ?e""",
+        table="sq_triples_v",
+        dialect="spark",
+    )
+    got = [(r.e, r.label, r.n) for r in spark.sql(sql).collect()]
+    assert got == [("ont:e1", "alpha", 1), ("ont:e2", "Beta", 2)]
