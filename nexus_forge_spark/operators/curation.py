@@ -240,3 +240,132 @@ def pack_sequences(
         ),
     )
     return bucketed.groupBy("__bucket").applyInPandas(pack, schema)
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, "repetitious
+    text" heuristics), integer parts-per-million so both engines agree
+    bit-for-bit:
+
+    * ``dup_line_ppm``        — repeated line occurrences / lines
+                                (occurrences beyond the first of each
+                                distinct line, the NeMo/Dolma convention);
+    * ``dup_line_char_ppm``   — characters in those repeated occurrences /
+                                characters in all lines;
+    * ``top_ngram_char_ppm``  — characters (whitespace excluded) of the most
+                                frequent word ``top_n``-gram's occurrences /
+                                total n-gram characters.  Ties: max count,
+                                then lexicographically smallest gram —
+                                deterministic in both engines;
+    * ``dup_ngram_char_ppm``  — characters of all ``dup_n``-gram occurrences
+                                whose gram occurs > 1 time / total n-gram
+                                characters (gram-space denominator keeps the
+                                fraction <= 1 despite window overlap).
+
+    Scale posture: line metrics are pure array expressions (map-side, no
+    shuffle).  N-gram metrics explode to (doc, gram) and aggregate — one
+    shuffle keyed by (doc, gram), partial-agg combined map-side; keys are
+    doc-local so there is no cross-doc skew.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    chars_of = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    all_chars = chars_of(lines)
+    distinct_chars = chars_of(F.array_distinct(lines))
+    line_stats = df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        ((n_lines - n_distinct).cast("long") * PPM).alias("__dl_num"),
+        n_lines.cast("long").alias("__dl_den"),
+        ((all_chars - distinct_chars) * PPM).alias("__dlc_num"),
+        all_chars.alias("__dlc_den"),
+    ).select(
+        id_col,
+        "n_lines",
+        F.expr("CAST(__dl_num div greatest(__dl_den, 1) AS BIGINT)").alias(
+            "dup_line_ppm"
+        ),
+        F.expr("CAST(__dlc_num div greatest(__dlc_den, 1) AS BIGINT)").alias(
+            "dup_line_char_ppm"
+        ),
+    )
+
+    def gram_stats(n: int, out_col: str, mode: str) -> DataFrame:
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        g = df.select(F.col(id_col), F.explode(grams).alias("g"))
+        # chars excluding the joining spaces: len(g) - (n-1)
+        glen = (F.length("g") - (n - 1)).cast("long")
+        gc = g.groupBy(id_col, "g").agg(
+            F.count(F.lit(1)).alias("c"), F.first(glen).alias("glen")
+        )
+        per_doc = gc.groupBy(id_col).agg(
+            F.sum(F.col("c") * F.col("glen")).alias("total_chars"),
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.col("glen")).otherwise(0)
+            ).alias("dup_chars"),
+            F.max("c").alias("top_c"),
+        )
+        if mode == "dup":
+            return per_doc.select(
+                id_col,
+                F.expr(
+                    "CAST(dup_chars * 1000000 div greatest(total_chars, 1) AS BIGINT)"
+                ).alias(out_col),
+            )
+        top = (
+            gc.join(per_doc.select(id_col, "top_c"), id_col)
+            .where(F.col("c") == F.col("top_c"))
+            .groupBy(id_col)
+            .agg(F.min("g").alias("top_g"))
+        )
+        return (
+            per_doc.join(top, id_col)
+            .join(
+                gc.select(id_col, F.col("g").alias("top_g"), "glen"),
+                [id_col, "top_g"],
+            )
+            .select(
+                id_col,
+                F.expr(
+                    "CAST(top_c * glen * 1000000 div greatest(total_chars, 1) AS BIGINT)"
+                ).alias(out_col),
+            )
+        )
+
+    top_stats = gram_stats(top_n, "top_ngram_char_ppm", "top")
+    dup_stats = gram_stats(dup_n, "dup_ngram_char_ppm", "dup")
+    return (
+        line_stats.join(top_stats, id_col, "left")
+        .join(dup_stats, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            "dup_line_ppm",
+            "dup_line_char_ppm",
+            F.coalesce("top_ngram_char_ppm", F.lit(0)).cast("long").alias(
+                "top_ngram_char_ppm"
+            ),
+            F.coalesce("dup_ngram_char_ppm", F.lit(0)).cast("long").alias(
+                "dup_ngram_char_ppm"
+            ),
+        )
+    )

@@ -404,3 +404,66 @@ def simhash_pairs(
     return pairs.select("a", "b", dist.cast("int").alias("hamming")).where(
         F.col("hamming") <= max_distance
     )
+
+
+def window_keys(text: Column, k: int) -> Column:
+    """All consecutive k-token windows of the normalized token stream, each
+    keyed by md5 of the space-joined window (engine-portable: DuckDB md5 of
+    the same string is identical).  Empty array when the doc has < k tokens."""
+    toks = normalized_tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicated_window_stats(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): a k-token window whose key occurs
+    more than once ANYWHERE in the corpus (another doc or elsewhere in the
+    same doc) is a duplicated substring occurrence.
+
+    Per doc: total window count, duplicated-window count, and the integer
+    parts-per-million duplicated fraction (integer `div`, engine-exact).
+
+    Scale posture: the per-(window, doc) occurrence counts are aggregated
+    FIRST (map-side partial agg on the exploded windows), so the global
+    per-window count join never sees a collect_list and a pathological
+    window that occurs 10^6 times costs one long row per doc that has it,
+    not a 10^6-element list on one key.  Total window volume is
+    O(tokens) — linear in corpus size, the same cost class as tokenizing.
+    """
+    wins = df.select(
+        F.col(id_col),
+        F.explode(window_keys(F.col(text_col), k)).alias("wkey"),
+    )
+    # per-(window, doc) occurrence counts: map-side combine caps the shuffle
+    wd = wins.groupBy("wkey", id_col).agg(F.count(F.lit(1)).alias("c_wd"))
+    tot = wd.groupBy("wkey").agg(F.sum("c_wd").alias("c"))
+    dup = (
+        wd.join(tot.where(F.col("c") > 1), "wkey")
+        .groupBy(id_col)
+        .agg(F.sum("c_wd").alias("n_dup_windows"))
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.greatest(
+            F.size(normalized_tokens(F.col(text_col))) - (k - 1), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_windows"),
+    )
+    return totals.join(dup, id_col, "left").select(
+        id_col,
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.expr(
+            "CAST(coalesce(n_dup_windows, 0) * 1000000 div greatest(n_windows, 1) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )

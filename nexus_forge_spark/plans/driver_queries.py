@@ -2047,6 +2047,209 @@ def sql_sparql_transitive() -> str:
     return _wrap_triples_cte(tr, inner)
 
 
+# ---- exact-substring dedup, repetition signals, dedup components --------
+
+SUBSTR_K = 8
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022): per-doc count and
+    integer-ppm fraction of k-token windows whose window-key occurs more
+    than once anywhere in the corpus.  Window volume is O(tokens); the
+    global window count joins ALREADY-AGGREGATED (window, doc) partials,
+    never a collect_list — no skew amplification at 100 TB."""
+    from nexus_forge_spark.operators.dedup import duplicated_window_stats
+
+    docs = _docs_with_mutants(spark, sf_dir)
+    return duplicated_window_stats(docs, k=SUBSTR_K)
+
+
+def sql_dedup_substring() -> str:
+    k = SUBSTR_K
+    return rf"""WITH {_MUTANT_DOCS_SQL},
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM docs
+),
+wins AS (
+  SELECT doc_id,
+    unnest([md5(array_to_string(t[i:i+{k - 1}], ' '))
+            FOR i IN range(1, len(t) - {k} + 2)]) AS wkey
+  FROM toks WHERE len(t) >= {k}
+),
+wd AS (SELECT doc_id, wkey, count(*) AS c_wd FROM wins GROUP BY doc_id, wkey),
+tot AS (SELECT wkey, sum(c_wd) AS c FROM wd GROUP BY wkey),
+dup AS (
+  SELECT doc_id, sum(c_wd) AS n_dup FROM wd JOIN tot USING (wkey)
+  WHERE c > 1 GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(greatest(len(t) - {k - 1}, 0) AS BIGINT) AS n_windows
+  FROM toks
+)
+SELECT t.doc_id, n_windows,
+  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_windows,
+  CAST(coalesce(n_dup, 0) * 1000000 // greatest(n_windows, 1) AS BIGINT) AS dup_ppm
+FROM totals t LEFT JOIN dup USING (doc_id)"""
+
+
+REP_LINE_TOKENS = 8
+REP_TOP_N, REP_DUP_N = 2, 5
+
+
+def _line_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic line-structured corpus: tokens re-chunked into
+    8-token lines; every third doc gets its first line appended again
+    (a genuine duplicated line)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    m = REP_LINE_TOKENS
+    lines = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(toks) / F.lit(m)).cast("int") - 1),
+        lambda j: F.array_join(F.slice(toks, j * m + 1, m), " "),
+    )
+    body = F.array_join(lines, "\n")
+    text2 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(body, F.lit("\n"), F.element_at(lines, 1)),
+    ).otherwise(body)
+    return docs.select("doc_id", text2.alias("text"))
+
+
+_LINE_DOCS_SQL = rf"""toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+ls AS (
+  SELECT doc_id,
+    [array_to_string(t[(j*{REP_LINE_TOKENS}+1):(j*{REP_LINE_TOKENS}+{REP_LINE_TOKENS})], ' ')
+     FOR j IN range(0, CAST(ceil(len(t) / {REP_LINE_TOKENS}.0) AS BIGINT))] AS l
+  FROM toks
+),
+ldocs AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+      THEN array_to_string(l, chr(10)) || chr(10) || l[1]
+      ELSE array_to_string(l, chr(10)) END AS text
+  FROM ls
+)"""
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition heuristics (Rae et al. 2021 §A1.1): duplicate-line
+    and duplicate-line-character fractions (pure array exprs, map-side) plus
+    top-2-gram and duplicated-5-gram character fractions (one (doc, gram)
+    keyed shuffle, partial-agg combined) — all integer ppm."""
+    from nexus_forge_spark.operators.curation import repetition_signals
+
+    return repetition_signals(
+        _line_docs(spark, sf_dir), top_n=REP_TOP_N, dup_n=REP_DUP_N
+    )
+
+
+def sql_repetition_signals() -> str:
+    tn, dn = REP_TOP_N, REP_DUP_N
+    return rf"""WITH {_LINE_DOCS_SQL},
+lines AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> x <> '') AS l
+  FROM ldocs
+),
+linestats AS (
+  SELECT doc_id,
+    CAST(len(l) AS BIGINT) AS n_lines,
+    CAST((len(l) - len(list_distinct(l))) * 1000000
+         // greatest(len(l), 1) AS BIGINT) AS dup_line_ppm,
+    CAST((list_aggregate(list_transform(l, x -> len(x)), 'sum')
+          - list_aggregate(list_transform(list_distinct(l), x -> len(x)), 'sum'))
+         * 1000000
+         // greatest(list_aggregate(list_transform(l, x -> len(x)), 'sum'), 1)
+         AS BIGINT) AS dup_line_char_ppm
+  FROM lines
+),
+wtoks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM ldocs
+),
+g{tn} AS (
+  SELECT doc_id, unnest([array_to_string(t[i:i+{tn - 1}], ' ')
+                         FOR i IN range(1, len(t) - {tn} + 2)]) AS g
+  FROM wtoks WHERE len(t) >= {tn}
+),
+gc{tn} AS (
+  SELECT doc_id, g, count(*) AS c, CAST(len(g) - {tn - 1} AS BIGINT) AS glen
+  FROM g{tn} GROUP BY doc_id, g
+),
+pd{tn} AS (
+  SELECT doc_id, sum(c * glen) AS total_chars, max(c) AS top_c
+  FROM gc{tn} GROUP BY doc_id
+),
+topg AS (
+  SELECT gc.doc_id, min(gc.g) AS top_g
+  FROM gc{tn} gc JOIN pd{tn} pd ON gc.doc_id = pd.doc_id AND gc.c = pd.top_c
+  GROUP BY gc.doc_id
+),
+topstats AS (
+  SELECT pd.doc_id,
+    CAST(pd.top_c * gc.glen * 1000000
+         // greatest(pd.total_chars, 1) AS BIGINT) AS top_ngram_char_ppm
+  FROM pd{tn} pd
+  JOIN topg ON topg.doc_id = pd.doc_id
+  JOIN gc{tn} gc ON gc.doc_id = pd.doc_id AND gc.g = topg.top_g
+),
+g{dn} AS (
+  SELECT doc_id, unnest([array_to_string(t[i:i+{dn - 1}], ' ')
+                         FOR i IN range(1, len(t) - {dn} + 2)]) AS g
+  FROM wtoks WHERE len(t) >= {dn}
+),
+gc{dn} AS (
+  SELECT doc_id, g, count(*) AS c, CAST(len(g) - {dn - 1} AS BIGINT) AS glen
+  FROM g{dn} GROUP BY doc_id, g
+),
+dupstats AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN c > 1 THEN c * glen ELSE 0 END) * 1000000
+         // greatest(sum(c * glen), 1) AS BIGINT) AS dup_ngram_char_ppm
+  FROM gc{dn} GROUP BY doc_id
+)
+SELECT ls.doc_id, ls.n_lines, ls.dup_line_ppm, ls.dup_line_char_ppm,
+  CAST(coalesce(t.top_ngram_char_ppm, 0) AS BIGINT) AS top_ngram_char_ppm,
+  CAST(coalesce(d.dup_ngram_char_ppm, 0) AS BIGINT) AS dup_ngram_char_ppm
+FROM linestats ls
+LEFT JOIN topstats t USING (doc_id)
+LEFT JOIN dupstats d USING (doc_id)"""
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash+LSH candidates, true-Jaccard
+    verify, then large-star/small-star connected components assign every
+    clustered doc its canonical (min) representative — the full dedup loop
+    a training pipeline runs, with the same O(log^2 n)-round component
+    algorithm the KG canonicalizer uses."""
+    from nexus_forge_spark.operators.canonicalize import connected_components
+
+    pairs = q_dedup_minhash(spark, sf_dir).select("a", "b")
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("entity_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+def sql_dedup_components() -> str:
+    return f"""WITH RECURSIVE p AS (
+  SELECT a, b FROM ({sql_dedup_minhash()})
+),
+edges AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+)
+SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id
+FROM reach GROUP BY n"""
+
+
 QUERIES = {
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
@@ -2101,4 +2304,7 @@ QUERIES = {
     "domain_mix": (q_domain_mix, sql_domain_mix),
     "pack_sequences": (q_pack_sequences, sql_pack_sequences),
     "quality_filter": (q_quality_filter, sql_quality_filter),
+    "dedup_substring": (q_dedup_substring, sql_dedup_substring),
+    "repetition_signals": (q_repetition_signals, sql_repetition_signals),
+    "dedup_components": (q_dedup_components, sql_dedup_components),
 }

@@ -158,3 +158,95 @@ def test_gopher_filter_splits_contract_corpus(docs):
     )
     counts = {r.keep: r.n for r in out.groupBy("keep").agg(F.count("*").alias("n")).collect()}
     assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+
+
+# ---- repetition signals --------------------------------------------------
+
+
+def _rep(spark, rows, **kw):
+    from nexus_forge_spark.operators.curation import repetition_signals
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r.doc_id: r.asDict()
+        for r in repetition_signals(df, **kw).collect()
+    }
+
+
+def test_repetition_dup_lines(spark):
+    out = _rep(
+        spark,
+        [
+            (1, "alpha beta\ngamma delta\nalpha beta"),  # 1 repeated line of 3
+            (2, "aa bb\ncc dd"),  # no repeats
+        ],
+    )
+    assert out[1]["n_lines"] == 3
+    assert out[1]["dup_line_ppm"] == 1_000_000 // 3
+    # repeated occurrence chars = len('alpha beta') = 10 of 31 total chars
+    assert out[1]["dup_line_char_ppm"] == 10 * 1_000_000 // 31
+    assert out[2]["dup_line_ppm"] == 0
+    assert out[2]["dup_line_char_ppm"] == 0
+
+
+def test_repetition_blank_lines_dropped(spark):
+    out = _rep(spark, [(1, "x y\n\n  \nx y")])
+    assert out[1]["n_lines"] == 2
+    assert out[1]["dup_line_ppm"] == 500_000
+
+
+def test_repetition_top_ngram(spark):
+    # 2-grams of 'a b a b a': (a b) x2, (b a) x2 -> tie, min gram = 'a b'
+    # each gram 2 chars (no spaces); total gram chars = 4*2 = 8
+    out = _rep(spark, [(1, "a b a b a")])
+    assert out[1]["top_ngram_char_ppm"] == 2 * 2 * 1_000_000 // 8
+
+
+def test_repetition_dup_ngram(spark):
+    # 5-gram 'a b c d e' occurs twice in a 10-token doc; the other four
+    # 5-grams are unique. glen = 5 chars each; dup chars = 2*5 of 6*5.
+    out = _rep(spark, [(1, "a b c d e a b c d e")])
+    assert out[1]["dup_ngram_char_ppm"] == 10 * 1_000_000 // 30
+    out2 = _rep(spark, [(2, "a b c")])  # too short for any 5-gram
+    assert out2[2]["dup_ngram_char_ppm"] == 0
+
+
+# ---- exact-substring dedup ----------------------------------------------
+
+
+def test_duplicated_window_stats(spark):
+    from nexus_forge_spark.operators.dedup import duplicated_window_stats
+
+    rows = [
+        (1, "w1 w2 w3 w4 w5"),          # shares its windows with doc 2
+        (2, "w1 w2 w3 w4 w5 w6"),       # super-string of doc 1
+        (3, "u1 u2 u3 u4 u5"),          # unique
+        (4, "s1 s2"),                   # shorter than k -> zero windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.asDict()
+        for r in duplicated_window_stats(df, k=4).collect()
+    }
+    assert out[1] == {
+        "doc_id": 1, "n_windows": 2, "n_dup_windows": 2, "dup_ppm": 1_000_000
+    }
+    # doc 2 has 3 windows; the first two match doc 1's
+    assert out[2]["n_windows"] == 3 and out[2]["n_dup_windows"] == 2
+    assert out[2]["dup_ppm"] == 2 * 1_000_000 // 3
+    assert out[3] == {
+        "doc_id": 3, "n_windows": 2, "n_dup_windows": 0, "dup_ppm": 0
+    }
+    assert out[4]["n_windows"] == 0 and out[4]["dup_ppm"] == 0
+
+
+def test_duplicated_window_intra_doc_repeat_counts(spark):
+    from nexus_forge_spark.operators.dedup import duplicated_window_stats
+
+    # the window 'a b c d' occurs twice INSIDE one doc -> both occurrences
+    # are duplicated (Lee et al. count any repeat, not just cross-doc)
+    df = spark.createDataFrame(
+        [(1, "a b c d x a b c d")], "doc_id long, text string"
+    )
+    row = duplicated_window_stats(df, k=4).collect()[0]
+    assert row.n_windows == 6 and row.n_dup_windows == 2
