@@ -302,60 +302,60 @@ def repetition_signals(
         ),
     )
 
-    def gram_stats(n: int, out_col: str, mode: str) -> DataFrame:
-        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        grams = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        g = df.select(F.col(id_col), F.explode(grams).alias("g"))
-        # chars excluding the joining spaces: len(g) - (n-1)
-        glen = (F.length("g") - (n - 1)).cast("long")
-        gc = g.groupBy(id_col, "g").agg(
-            F.count(F.lit(1)).alias("c"), F.first(glen).alias("glen")
-        )
-        per_doc = gc.groupBy(id_col).agg(
-            F.sum(F.col("c") * F.col("glen")).alias("total_chars"),
-            F.sum(
-                F.when(F.col("c") > 1, F.col("c") * F.col("glen")).otherwise(0)
-            ).alias("dup_chars"),
-            F.max("c").alias("top_c"),
-        )
-        if mode == "dup":
-            return per_doc.select(
-                id_col,
-                F.expr(
-                    "CAST(dup_chars * 1000000 div greatest(total_chars, 1) AS BIGINT)"
-                ).alias(out_col),
-            )
-        top = (
-            gc.join(per_doc.select(id_col, "top_c"), id_col)
-            .where(F.col("c") == F.col("top_c"))
-            .groupBy(id_col)
-            .agg(F.min("g").alias("top_g"))
+    def gram_rows(n: int) -> DataFrame:
+        # explode the start-index sequence and join the slice in a
+        # codegen'd projection — NOT transform(sequence, lambda), the
+        # interpreted-HOF path measured ~10x slower on this exact shape
+        # (rolling_fingerprint_agg / MinHash finding)
+        toks = df.select(
+            F.col(id_col),
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__t"),
         )
         return (
-            per_doc.join(top, id_col)
-            .join(
-                gc.select(id_col, F.col("g").alias("top_g"), "glen"),
-                [id_col, "top_g"],
+            toks.where(F.size("__t") >= n)
+            .select(
+                F.col(id_col),
+                F.explode(F.sequence(F.lit(0), F.size("__t") - n)).alias("i"),
+                "__t",
             )
             .select(
-                id_col,
-                F.expr(
-                    "CAST(top_c * glen * 1000000 div greatest(total_chars, 1) AS BIGINT)"
-                ).alias(out_col),
+                F.col(id_col),
+                F.lit(n).alias("n"),
+                F.array_join(F.slice(F.col("__t"), F.col("i") + 1, n), " ").alias("g"),
             )
         )
 
-    top_stats = gram_stats(top_n, "top_ngram_char_ppm", "top")
-    dup_stats = gram_stats(dup_n, "dup_ngram_char_ppm", "dup")
+    # both gram sizes flow through ONE (doc, n, gram) shuffle and ONE
+    # per-doc aggregate; the most-frequent gram (max count, lexicographic
+    # min on ties) falls out of min(struct(-c, g)) — no joins at all
+    ga = gram_rows(top_n)
+    if dup_n != top_n:
+        ga = ga.unionByName(gram_rows(dup_n))
+    gc = ga.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    # chars excluding the joining spaces: len(g) - (n-1)
+    glen = (F.length("g") - (F.col("n") - 1)).cast("long")
+    chars = (F.col("c") * glen).cast("long")
+    is_top, is_dup = F.col("n") == top_n, F.col("n") == dup_n
+    stats = gc.groupBy(id_col).agg(
+        F.sum(F.when(is_top, chars)).alias("t_total"),
+        F.min(
+            F.when(is_top, F.struct((-F.col("c")).alias("negc"), F.col("g").alias("g")))
+        ).alias("t_top"),
+        F.sum(F.when(is_dup, chars)).alias("d_total"),
+        F.sum(F.when(is_dup & (F.col("c") > 1), chars)).alias("d_dup"),
+    )
+    gram_stats = stats.select(
+        F.col(id_col),
+        F.expr(
+            f"CAST((-t_top.negc) * (length(t_top.g) - {top_n - 1}) * 1000000 "
+            "div greatest(t_total, 1) AS BIGINT)"
+        ).alias("top_ngram_char_ppm"),
+        F.expr(
+            "CAST(coalesce(d_dup, 0) * 1000000 div greatest(d_total, 1) AS BIGINT)"
+        ).alias("dup_ngram_char_ppm"),
+    )
     return (
-        line_stats.join(top_stats, id_col, "left")
-        .join(dup_stats, id_col, "left")
+        line_stats.join(gram_stats, id_col, "left")
         .select(
             id_col,
             "n_lines",

@@ -439,12 +439,34 @@ def duplicated_window_stats(
     not a 10^6-element list on one key.  Total window volume is
     O(tokens) — linear in corpus size, the same cost class as tokenizing.
     """
-    wins = df.select(
-        F.col(id_col),
-        F.explode(window_keys(F.col(text_col), k)).alias("wkey"),
+    # explode the start-index sequence and hash in a codegen'd projection —
+    # NOT transform(sequence, lambda): the interpreted HOF with md5 inside
+    # is the measured ~10x-slower path (same finding as
+    # rolling_fingerprint_agg / MinHash)
+    toks = df.select(F.col(id_col), normalized_tokens(F.col(text_col)).alias("__toks"))
+    wins = (
+        toks.where(F.size("__toks") >= k)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.size("__toks") - k)).alias("i"),
+            "__toks",
+        )
+        .select(
+            F.col(id_col),
+            F.md5(
+                F.array_join(F.slice(F.col("__toks"), F.col("i") + 1, k), " ")
+            ).alias("wkey"),
+        )
     )
-    # per-(window, doc) occurrence counts: map-side combine caps the shuffle
-    wd = wins.groupBy("wkey", id_col).agg(F.count(F.lit(1)).alias("c_wd"))
+    # per-(window, doc) occurrence counts: map-side combine caps the shuffle.
+    # wd feeds BOTH the global count and the join back — localCheckpoint so
+    # the O(tokens) explode+agg runs once, not twice (round-1-measured
+    # pattern: checkpoint any subtree consumed by two downstream plans).
+    wd = (
+        wins.groupBy("wkey", id_col)
+        .agg(F.count(F.lit(1)).alias("c_wd"))
+        .localCheckpoint(eager=True)
+    )
     tot = wd.groupBy("wkey").agg(F.sum("c_wd").alias("c"))
     dup = (
         wd.join(tot.where(F.col("c") > 1), "wkey")

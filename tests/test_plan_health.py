@@ -112,3 +112,21 @@ def test_pack_sequences_single_shuffle(spark, sf01):
     # per-bucket Arrow packing stage
     assert plan.count("Exchange hashpartitioning") == 1
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_dedup_substring_no_cartesian_partial_agg(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["dedup_substring"][0](spark, sf01), execute=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the (window, doc) occurrence counts partial-aggregate before shuffling
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_repetition_signals_no_cartesian(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["repetition_signals"][0](spark, sf01), execute=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
