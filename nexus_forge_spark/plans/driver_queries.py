@@ -2219,6 +2219,58 @@ LEFT JOIN topstats t USING (doc_id)
 LEFT JOIN dupstats d USING (doc_id)"""
 
 
+STREAM_WIN_SEC = 300
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming in the graded contract: the watermarked
+    tumbling-window aggregation (streaming/stream_pipeline.py) executed
+    with trigger(availableNow) into a complete-mode memory sink.  For a
+    finite input, complete mode retains all window state, so the result
+    equals the batch aggregate and the DuckDB oracle is the plain
+    epoch-aligned time-bucket GROUP BY.  Money sums in integral cents
+    (the groupagg_lineitem lesson: no float representation choice)."""
+    from nexus_forge_spark import schemas
+    from nexus_forge_spark.streaming.stream_pipeline import streaming_event_counts
+
+    # the file source wants a directory: stream the sf dir, glob one table
+    ev = (
+        spark.readStream.schema(schemas.EVENTS)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # integral cents BEFORE the streaming sum: the state and the emitted
+    # aggregate are BIGINT end to end
+    ev = ev.withColumn("value", F.round(F.col("value") * 100).cast("long"))
+    agg = streaming_event_counts(
+        ev, window=f"{STREAM_WIN_SEC} seconds", watermark="10 minutes"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_window_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("stream_window_counts")
+    return out.select(
+        F.unix_timestamp("window_start").cast("long").alias("window_start_s"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("total_value").cast("long").alias("total_value_cents"),
+    )
+
+
+def sql_stream_window_counts() -> str:
+    return f"""SELECT
+  CAST(floor(epoch(ts) / {STREAM_WIN_SEC}) AS BIGINT) * {STREAM_WIN_SEC} AS window_start_s,
+  event_type,
+  count(*) AS n,
+  sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
+FROM events GROUP BY 1, 2"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup clustering: MinHash+LSH candidates, true-Jaccard
     verify, then large-star/small-star connected components assign every
@@ -2307,4 +2359,5 @@ QUERIES = {
     "dedup_substring": (q_dedup_substring, sql_dedup_substring),
     "repetition_signals": (q_repetition_signals, sql_repetition_signals),
     "dedup_components": (q_dedup_components, sql_dedup_components),
+    "stream_window_counts": (q_stream_window_counts, sql_stream_window_counts),
 }

@@ -34,6 +34,17 @@ DOCUMENTS = T.StructType(
     ]
 )
 
+EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
 MENTIONS = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
