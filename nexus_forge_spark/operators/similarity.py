@@ -422,3 +422,172 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+
+def _sq_l2_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Squared L2 distance as an UNROLLED codegen'd expression with a fixed
+    left-to-right addition order — bit-identical when the oracle writes the
+    same unrolled chain, unlike fold/HOF sums whose order is an engine
+    implementation detail."""
+    out = None
+    for i in range(1, dim + 1):
+        d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
+        term = d * d
+        out = term if out is None else out + term
+    return out
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    stride: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks by deterministic sampling: every
+    ``stride``-th vector (id % stride == 1), in id order, contributes its
+    ``n_sub`` subvectors; the first ``n_codes`` sampled vectors define
+    codewords 0..n_codes-1 per subspace.
+
+    Sampling instead of k-means keeps the codebook a pure function of the
+    data (oracle-replayable, no RNG/iteration state); swap in trained
+    centroids without touching encode/search.  Output:
+    (sub_idx, code_id, cw) — n_sub * n_codes rows, always broadcastable.
+    """
+    w = Window.orderBy(id_col)
+    sample = (
+        embeddings.where(F.col(id_col) % stride == 1)
+        .select(id_col, vec_col)
+        .withColumn("code_id", F.row_number().over(w) - 1)
+        .where(F.col("code_id") < n_codes)
+    )
+    sub_dim = F.floor(F.size(vec_col) / n_sub).cast("int")
+    return sample.select(
+        "code_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub_idx"),
+        F.col(vec_col).alias("__v"),
+        sub_dim.alias("__d"),
+    ).select(
+        "sub_idx",
+        "code_id",
+        F.slice(
+            F.col("__v"), F.col("sub_idx") * F.col("__d") + 1, F.col("__d")
+        ).alias("cw"),
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoder: each vector -> array of ``n_sub`` small codes (nearest
+    codeword per subspace by squared L2 in integer micro-units; ties ->
+    lowest code id).
+
+    This is THE memory lever at 10^12-vector scale: 64 float32 dims
+    (256 B) shrink to n_sub bytes per vector, so the search structure
+    fits executor memory.  Encoding is one corpus pass against broadcast
+    codebooks; the argmin shuffles on (vec_id, sub_idx) — uniform keys.
+    Output: (vec_id, codes array<int>).
+    """
+    subs = embeddings.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub_idx"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        id_col,
+        "sub_idx",
+        F.slice(F.col("__v"), F.col("sub_idx") * sub_dim + 1, sub_dim).alias("sv"),
+    )
+    scored = subs.join(F.broadcast(codebooks), "sub_idx").select(
+        id_col,
+        "sub_idx",
+        "code_id",
+        F.round(_sq_l2_unrolled(F.col("sv"), F.col("cw"), sub_dim) * 1_000_000)
+        .cast("long")
+        .alias("dist_micro"),
+    )
+    w = Window.partitionBy(id_col, "sub_idx").orderBy("dist_micro", "code_id")
+    best = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(id_col, "sub_idx", "code_id")
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("sub_idx", "code_id"))),
+            lambda s: s["code_id"],
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    stride: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (Jégou et al. 2011, public
+    algorithm): queries keep exact vectors; corpus vectors are rated by the
+    sum of per-subspace lookup-table distances to their codewords.
+
+    The LUT (queries x n_sub x n_codes) broadcasts; the corpus side joins
+    on (sub_idx, code) and aggregates n_sub integer partials per
+    (query, vec) — all BIGINT, so ranking is engine-exact with no float
+    summation-order hazard.  Output: (query_id, neighbor_id, dist_micro,
+    rank), self-matches excluded, ties -> lowest neighbor id.
+    """
+    cb = pq_codebooks(embeddings, n_sub, n_codes, stride, id_col, vec_col)
+    cb = cb.localCheckpoint(eager=True)  # feeds encode + LUT
+    codes = pq_encode(embeddings, cb, n_sub, sub_dim, id_col, vec_col)
+    qsubs = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .select(
+            "query_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub_idx"),
+            "qv",
+        )
+        .select(
+            "query_id",
+            "sub_idx",
+            F.slice(F.col("qv"), F.col("sub_idx") * sub_dim + 1, sub_dim).alias("qs"),
+        )
+    )
+    lut = qsubs.join(F.broadcast(cb), "sub_idx").select(
+        "query_id",
+        "sub_idx",
+        "code_id",
+        F.round(_sq_l2_unrolled(F.col("qs"), F.col("cw"), sub_dim) * 1_000_000)
+        .cast("long")
+        .alias("pd_micro"),
+    )
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("sub_idx", "code_id"),
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["sub_idx", "code_id"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd_micro").alias("dist_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist_micro", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist_micro", "rank")
+    )
