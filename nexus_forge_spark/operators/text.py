@@ -139,3 +139,92 @@ def rolling_fingerprint_agg(
         id_col, F.md5(F.array_join("toks", " ")).alias("fp")
     )
     return long_fp.unionByName(short_fp)
+
+
+def unigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style corpus-LM scoring (Wenzek et al. 2020 use a KenLM 5-gram;
+    the unigram variant keeps the same shape fully set-oriented): score each
+    document by the mean negative log-probability of its tokens under the
+    corpus unigram distribution — low = boilerplate-ish/common, high =
+    rare-token-heavy.
+
+    All integer micro-nats: per-token -ln p(t) is rounded to a BIGINT
+    once (libm's 1-ulp ln differences vanish at micro precision), so the
+    per-doc sums and means are engine-exact.
+
+    Scale posture: one token-keyed groupBy for the counts (partial agg
+    map-side, vocab << corpus), one token-keyed join back (the counts
+    table is vocab-sized — broadcastable for natural-language vocabs),
+    one per-doc aggregate.  Output: (id, n_tokens, sum_nll_micro,
+    mean_nll_micro).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(counts), "t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.round(F.log(F.col("n_total") / F.col("c")) * 1_000_000)
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("nll_micro").alias("sum_nll_micro"),
+        F.expr("CAST(sum(nll_micro) div count(1) AS BIGINT)").alias(
+            "mean_nll_micro"
+        ),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Lucene variant:
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf normalized by doc length /
+    corpus mean length).  Per-term contributions are rounded to BIGINT
+    micro-units before summing, so ranking is engine-exact.
+
+    Scale posture: tf for the query terms only (map-side filter before the
+    (doc, term) aggregate), df + corpus stats are two tiny broadcast
+    aggregates; no shuffle touches non-matching tokens.  Output:
+    (id, score_micro) for docs matching >= 1 term.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    lens = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("double").alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    hits = toks.where(F.col("t").isin(query_terms))
+    tf = hits.groupBy(id_col, "t").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfnorm = F.col("tf") / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "t")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.round(idf * tfnorm * 1_000_000).cast("long").alias("c_micro"),
+        )
+    )
+    return contrib.groupBy(id_col).agg(F.sum("c_micro").alias("score_micro"))

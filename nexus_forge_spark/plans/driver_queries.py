@@ -2222,6 +2222,80 @@ LEFT JOIN dupstats d USING (doc_id)"""
 # 32 x 2-dim subspaces, 128 sampled codewords: measured recall@5 = 0.72 vs
 # exact L2 at sf0.01 (coarser 8x8/16 codebooks measured 0.12 — more, smaller
 # subspaces beat more codes on these embeddings)
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM scoring (unigram variant): mean negative
+    log-prob of each doc's tokens under the corpus unigram distribution,
+    in engine-exact integer micro-nats."""
+    from nexus_forge_spark.operators.text import unigram_logprob_scores
+
+    return unigram_logprob_scores(load_table(spark, "documents", sf_dir))
+
+
+def sql_unigram_nll() -> str:
+    return r"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+),
+counts AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+total AS (SELECT sum(c) AS n_total FROM counts),
+scored AS (
+  SELECT doc_id,
+    CAST(round(ln(n_total / c) * 1000000) AS BIGINT) AS nll_micro
+  FROM toks JOIN counts USING (t), total
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  sum(nll_micro) AS sum_nll_micro,
+  CAST(sum(nll_micro) // count(*) AS BIGINT) AS mean_nll_micro
+FROM scored GROUP BY doc_id"""
+
+
+BM25_TERMS = ["table", "window", "stream"]
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the documents table (Robertson/Lucene
+    idf), per-term contributions in BIGINT micro-units."""
+    from nexus_forge_spark.operators.text import bm25_scores
+
+    return bm25_scores(
+        load_table(spark, "documents", sf_dir), BM25_TERMS, k1=BM25_K1, b=BM25_B
+    )
+
+
+def sql_bm25_search() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    k1, b = BM25_K1, BM25_B
+    return rf"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+),
+lens AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS dl
+  FROM documents
+),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+tf AS (
+  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE t IN ({terms}) GROUP BY doc_id, t
+),
+dfreq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(round(
+      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+      * (tf / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)))
+      * 1000000
+    ) AS BIGINT) AS c_micro
+  FROM tf JOIN dfreq USING (t) JOIN lens USING (doc_id), stats
+)
+SELECT doc_id, sum(c_micro) AS score_micro FROM contrib GROUP BY doc_id"""
+
+
+# 32 x 2-dim subspaces, 128 sampled codewords: measured recall@5 = 0.72 vs
+# exact L2 at sf0.01 (coarser 8x8/16 codebooks measured 0.12 — more, smaller
+# subspaces beat more codes on these embeddings)
 PQ_SUB, PQ_DIM, PQ_CODES, PQ_STRIDE = 32, 2, 128, 3
 
 
@@ -2446,4 +2520,6 @@ QUERIES = {
     "dedup_components": (q_dedup_components, sql_dedup_components),
     "stream_window_counts": (q_stream_window_counts, sql_stream_window_counts),
     "ann_pq_topk": (q_ann_pq, sql_ann_pq),
+    "unigram_nll": (q_unigram_nll, sql_unigram_nll),
+    "bm25_search": (q_bm25_search, sql_bm25_search),
 }

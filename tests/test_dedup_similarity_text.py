@@ -217,3 +217,43 @@ def test_pq_adc_recall_vs_brute(spark, sf_dir):
     # sampled (untrained) codebooks: measured 18/25 at these params; demand
     # a floor far above chance (5/499) with slack for corpus regeneration
     assert hits / total >= 0.5, f"PQ recall {hits}/{total}"
+
+
+# ---- corpus-LM scoring and BM25 -------------------------------------------
+
+
+def test_unigram_logprob_scores(spark):
+    import math
+
+    from nexus_forge_spark.operators.text import unigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logprob_scores(df).collect()}
+    # corpus: a=3, b=1, c=1, total=5
+    nll = lambda c: round(math.log(5 / c) * 1_000_000)  # noqa: E731
+    assert out[1].n_tokens == 3
+    assert out[1].sum_nll_micro == 2 * nll(3) + nll(1)
+    assert out[1].mean_nll_micro == (2 * nll(3) + nll(1)) // 3
+    assert out[2].sum_nll_micro == nll(3) + nll(1)
+    # rarer tokens -> higher mean NLL
+    assert out[2].mean_nll_micro > out[1].mean_nll_micro
+
+
+def test_bm25_scores(spark):
+    import math
+
+    from nexus_forge_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "x y x"), (2, "x z"), (3, "w w w")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.score_micro for r in bm25_scores(df, ["x"]).collect()}
+    assert set(out) == {1, 2}  # doc 3 has no query term
+    # doc 1: tf=2, dl=3; doc 2: tf=1, dl=2; N=3, df=2, avgdl=8/3
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    tfn = lambda tf, dl: tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (8 / 3)))  # noqa: E731
+    assert out[1] == round(idf * tfn(2, 3) * 1_000_000)
+    assert out[2] == round(idf * tfn(1, 2) * 1_000_000)
+    assert out[1] > out[2]  # higher tf wins at comparable length
