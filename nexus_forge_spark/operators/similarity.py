@@ -591,3 +591,67 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dist_micro", "rank")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroid_stride: int = 29,
+    threshold: float = 0.9,
+    round_digits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public method): semantic deduplication
+    by comparing embeddings ONLY within coarse clusters — cluster with the
+    IVF quantizer, cosine-join inside each cluster, then connected
+    components pick a canonical (min-id) representative per semantic
+    duplicate group.
+
+    Scale posture: the cross-cluster O(n^2) never happens — the self-join
+    is an equi-join on centroid_id, so comparisons are bounded by the
+    largest cluster (pick sqrt(n)-ish centroid counts); components run
+    on the sparse >= threshold pair set only.  Output: every input id with
+    (canonical_id, keep) — keep=false marks semantic duplicates to drop.
+    """
+    from nexus_forge_spark.operators.canonicalize import connected_components
+
+    cents = embeddings.where(F.col(id_col) % centroid_stride == 1).select(
+        id_col, vec_col
+    )
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("__v"), "centroid_id"
+    )
+    l = assigned.select(
+        F.col(id_col).alias("a"), F.col("__v").alias("va"), "centroid_id"
+    )
+    r = assigned.select(
+        F.col(id_col).alias("b"), F.col("__v").alias("vb"), "centroid_id"
+    )
+    pairs = (
+        l.join(r, "centroid_id")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                cosine(
+                    F.col("va").cast("array<double>"),
+                    F.col("vb").cast("array<double>"),
+                ),
+                round_digits,
+            ).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+    comp = connected_components(pairs.select("a", "b"))
+    return (
+        embeddings.select(F.col(id_col))
+        .join(comp, F.col(id_col) == F.col("entity_id"), "left")
+        .select(
+            id_col,
+            F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
+            (
+                F.coalesce("canonical_id", F.col(id_col)) == F.col(id_col)
+            ).alias("keep"),
+        )
+    )

@@ -2249,6 +2249,82 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM scored GROUP BY doc_id"""
 
 
+SEMDEDUP_STRIDE, SEMDEDUP_T = 29, 0.9
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over originals + perturbed mutants: coarse-cluster with the
+    IVF quantizer, cosine-compare within clusters only, components pick the
+    canonical representative.  Mutants whose perturbation keeps them in the
+    original's cluster dedup against it — the method's documented
+    approximation, deterministic here."""
+    from nexus_forge_spark.operators.similarity import semantic_dedup
+
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .where(F.col("vec_id") % 17 == 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    mut = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.5)),
+            F.slice("v", F.lit(2), F.size("v") - 1),
+        ).alias("v"),
+    )
+    pool = emb.unionByName(mut)
+    return semantic_dedup(
+        pool, centroid_stride=SEMDEDUP_STRIDE, threshold=SEMDEDUP_T, vec_col="v"
+    )
+
+
+def sql_semantic_dedup() -> str:
+    cos = (
+        "round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+        "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), {d})"
+    )
+    return f"""WITH RECURSIVE pool AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 17 = 0
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+    list_concat([CAST(embedding[1] AS DOUBLE) + 0.5], CAST(embedding[2:] AS DOUBLE[])) AS v
+  FROM embeddings WHERE vec_id % 17 = 0
+),
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM pool WHERE vec_id % {SEMDEDUP_STRIDE} = 1
+),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT p.vec_id, p.v, c.centroid_id,
+      row_number() OVER (
+        PARTITION BY p.vec_id
+        ORDER BY {cos.format(a='p.v', b='c.cv', d=6)} DESC, c.centroid_id
+      ) AS _r
+    FROM pool p CROSS JOIN cents c
+  ) WHERE _r = 1
+),
+p AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM assigned l JOIN assigned r ON l.centroid_id = r.centroid_id
+   AND l.vec_id < r.vec_id
+  WHERE {cos.format(a='l.v', b='r.v', d=6)} >= {SEMDEDUP_T}
+),
+edges AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+),
+comp AS (SELECT n, min(m) AS canonical_id FROM reach GROUP BY n)
+SELECT pool.vec_id,
+  coalesce(comp.canonical_id, pool.vec_id) AS canonical_id,
+  coalesce(comp.canonical_id, pool.vec_id) = pool.vec_id AS keep
+FROM pool LEFT JOIN comp ON comp.n = pool.vec_id"""
+
+
 BM25_TERMS = ["table", "window", "stream"]
 BM25_K1, BM25_B = 1.2, 0.75
 
@@ -2522,4 +2598,5 @@ QUERIES = {
     "ann_pq_topk": (q_ann_pq, sql_ann_pq),
     "unigram_nll": (q_unigram_nll, sql_unigram_nll),
     "bm25_search": (q_bm25_search, sql_bm25_search),
+    "semantic_dedup": (q_semantic_dedup, sql_semantic_dedup),
 }

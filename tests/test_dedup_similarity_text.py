@@ -257,3 +257,26 @@ def test_bm25_scores(spark):
     assert out[1] == round(idf * tfn(2, 3) * 1_000_000)
     assert out[2] == round(idf * tfn(1, 2) * 1_000_000)
     assert out[1] > out[2]  # higher tf wins at comparable length
+
+
+def test_semantic_dedup_drops_planted_near_dups(spark):
+    from nexus_forge_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # semantic dup of 1
+        (30, [0.0, 1.0, 0.0, 0.0]),     # centroid candidate (id % 29 == 1)
+        (4, [0.0, 0.99, 0.01, 0.0]),    # semantic dup of 30
+        (5, [0.0, 0.0, 1.0, 0.0]),      # unique
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(emb, centroid_stride=29, threshold=0.95).collect()}
+    assert len(out) == 5
+    assert out[1].keep and out[2].canonical_id == 1 and not out[2].keep
+    assert out[4].canonical_id in (4, 30)  # same cluster as 30
+    assert out[5].keep and out[5].canonical_id == 5
+    # exactly one representative kept per group
+    groups = {}
+    for r in out.values():
+        groups.setdefault(r.canonical_id, []).append(r.keep)
+    assert all(sum(keeps) == 1 for keeps in groups.values())
