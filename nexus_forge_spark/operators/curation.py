@@ -369,3 +369,70 @@ def repetition_signals(
             ),
         )
     )
+
+
+def remove_duplicate_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level duplicate-paragraph removal (the Dolma/Gopher cleaning
+    step): every occurrence of a paragraph except the globally FIRST one
+    (lowest (doc_id, position)) is dropped, and each document's text is
+    rebuilt from its surviving paragraphs in order.  Whitespace-only
+    paragraphs are dropped unconditionally.
+
+    The transform actually REWRITES the corpus — the dedup family's other
+    operators emit signals; this one emits the cleaned text plus
+    (n_paragraphs, n_removed) audit counts.
+
+    Scale posture: first-occurrence election is a groupBy-min on the
+    paragraph hash (partial agg map-side — a paragraph duplicated 10^6
+    times costs one row per partition, never a window sort on a hot key),
+    one hash-keyed join back, one per-doc rebuild aggregate.  The order
+    key packs (doc_id, pos) into one BIGINT so both engines elect the
+    same winner without struct comparisons.
+    """
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .where(F.trim(F.col("para")) != "")
+        .select(
+            id_col,
+            "pos",
+            "para",
+            F.md5(F.col("para")).alias("h"),
+            (F.col(id_col).cast("long") * 1_000_000 + F.col("pos")).alias("okey"),
+        )
+    )
+    first = paras.groupBy("h").agg(F.min("okey").alias("first_okey"))
+    kept = paras.join(first, "h").where(F.col("okey") == F.col("first_okey"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_paragraphs")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_paragraphs", F.lit(0)).cast("long").alias("n_paragraphs"),
+            (
+                F.coalesce("n_paragraphs", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )

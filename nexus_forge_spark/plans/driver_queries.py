@@ -2219,6 +2219,52 @@ LEFT JOIN topstats t USING (doc_id)
 LEFT JOIN dupstats d USING (doc_id)"""
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-paragraph removal (Dolma/Gopher cleaning):
+    every paragraph occurrence except the globally first (lowest
+    (doc_id, pos)) is dropped and each doc's text rebuilt in order.
+    First-occurrence election is a partial-agg groupBy-min on the
+    paragraph hash — no window over a hot key — so a paragraph repeated
+    10^6 times across the corpus costs one row per map partition."""
+    from nexus_forge_spark.operators.curation import remove_duplicate_paragraphs
+
+    return remove_duplicate_paragraphs(_line_docs(spark, sf_dir))
+
+
+def sql_dedup_paragraphs() -> str:
+    return rf"""WITH {_LINE_DOCS_SQL},
+rawp AS (
+  SELECT doc_id,
+    unnest(string_split(text, chr(10))) AS para,
+    unnest(range(len(string_split(text, chr(10))))) AS pos
+  FROM ldocs
+),
+p AS (
+  SELECT doc_id, pos, para, md5(para) AS h,
+         doc_id * 1000000 + pos AS okey
+  FROM rawp WHERE trim(para) <> ''
+),
+firstocc AS (SELECT h, min(okey) AS fo FROM p GROUP BY h),
+kept AS (
+  SELECT p.doc_id, p.pos, p.para
+  FROM p JOIN firstocc f ON p.h = f.h AND p.okey = f.fo
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_paragraphs FROM p GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(r.text, '') AS text,
+  CAST(coalesce(t.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+  CAST(coalesce(t.n_paragraphs, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+    AS n_removed
+FROM (SELECT doc_id FROM ldocs) d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)"""
+
+
 # 32 x 2-dim subspaces, 128 sampled codewords: measured recall@5 = 0.72 vs
 # exact L2 at sf0.01 (coarser 8x8/16 codebooks measured 0.12 — more, smaller
 # subspaces beat more codes on these embeddings)
@@ -2593,6 +2639,7 @@ QUERIES = {
     "quality_filter": (q_quality_filter, sql_quality_filter),
     "dedup_substring": (q_dedup_substring, sql_dedup_substring),
     "repetition_signals": (q_repetition_signals, sql_repetition_signals),
+    "dedup_paragraphs": (q_dedup_paragraphs, sql_dedup_paragraphs),
     "dedup_components": (q_dedup_components, sql_dedup_components),
     "stream_window_counts": (q_stream_window_counts, sql_stream_window_counts),
     "ann_pq_topk": (q_ann_pq, sql_ann_pq),

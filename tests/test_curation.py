@@ -250,3 +250,43 @@ def test_duplicated_window_intra_doc_repeat_counts(spark):
     )
     row = duplicated_window_stats(df, k=4).collect()[0]
     assert row.n_windows == 6 and row.n_dup_windows == 2
+
+
+def test_remove_duplicate_paragraphs_first_occurrence_wins(spark):
+    from nexus_forge_spark.operators.curation import remove_duplicate_paragraphs
+
+    rows = [
+        (1, "alpha\nbeta\nalpha"),      # intra-doc repeat of 'alpha'
+        (2, "beta\ngamma"),             # 'beta' already seen in doc 1
+        (3, "   \ndelta\n\ngamma"),     # blank paragraphs dropped outright
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.asDict() for r in remove_duplicate_paragraphs(df).collect()}
+    assert out[1] == {
+        "doc_id": 1, "text": "alpha\nbeta", "n_paragraphs": 3, "n_removed": 1
+    }
+    assert out[2] == {
+        "doc_id": 2, "text": "gamma", "n_paragraphs": 2, "n_removed": 1
+    }
+    # doc 3: blanks don't count as paragraphs; 'gamma' lost to doc 2
+    assert out[3] == {
+        "doc_id": 3, "text": "delta", "n_paragraphs": 2, "n_removed": 1
+    }
+
+
+def test_remove_duplicate_paragraphs_all_blank_doc(spark):
+    from nexus_forge_spark.operators.curation import remove_duplicate_paragraphs
+
+    df = spark.createDataFrame([(7, "  \n \n")], "doc_id long, text string")
+    row = remove_duplicate_paragraphs(df).collect()[0]
+    assert (row.text, row.n_paragraphs, row.n_removed) == ("", 0, 0)
+
+
+def test_remove_duplicate_paragraphs_preserves_order(spark):
+    from nexus_forge_spark.operators.curation import remove_duplicate_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "z9\nm5\na1\nz9")], "doc_id long, text string"
+    )
+    row = remove_duplicate_paragraphs(df).collect()[0]
+    assert row.text == "z9\nm5\na1"  # document order, not lexical
