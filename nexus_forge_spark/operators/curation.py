@@ -436,3 +436,102 @@ def remove_duplicate_paragraphs(
             ).cast("long").alias("n_removed"),
         )
     )
+
+
+# ---- PII redaction --------------------------------------------------------
+# Pattern order matters (emails are scrubbed before phones so a phone-like
+# digit run inside a local-part can't be double-masked).  The regexes stay
+# inside the Java-regex / RE2 common subset (no lookaround, no backrefs) so
+# the Spark plan and a DuckDB/RE2 oracle produce byte-identical output.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mask emails / IPv4 addresses / NANP-style phone numbers (the C4 /
+    Dolma PII scrub) and report per-document match counts.
+
+    Purely map-side: three `regexp_extract_all` counts + three chained
+    `regexp_replace` over the text column — zero shuffles, whole-stage
+    codegen, embarrassingly parallel at any scale.  Counts are taken on
+    the ORIGINAL text (before any replacement) so they are independent
+    of pattern application order.
+    """
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = text
+    for _, pat, mask in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, mask)
+    return df.select(F.col(id_col), redacted.alias(text_col), *counts)
+
+
+# ---- benchmark decontamination --------------------------------------------
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Dolma): flag corpus
+    documents sharing any word n-gram with a benchmark/eval set.
+
+    Returns one row per corpus doc: distinct n-gram count, the number of
+    those grams that appear anywhere in the benchmark, and the ppm ratio
+    (integer, engine-exact).  Callers drop or trim docs above a threshold.
+
+    Scale posture: both sides explode to DISTINCT (doc, gram-hash) pairs
+    map-side; the benchmark side is tiny relative to the corpus (eval
+    suites are ~10^6 grams), so Spark broadcasts its distinct-gram set
+    into the probe join — the corpus is never shuffled.  Grams travel as
+    xxhash64 longs, never strings.
+    """
+
+    def grams(frame: DataFrame, keep_id: bool):
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")),
+        )
+        cols = [F.col(id_col)] if keep_id else []
+        return (
+            frame.where(F.size(toks) >= n)
+            .select(*cols, F.explode(F.array_distinct(g)).alias("gh"))
+        )
+
+    corpus_grams = grams(df, keep_id=True)
+    bench_grams = grams(benchmark, keep_id=False).distinct()
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )
+    totals = corpus_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.expr(
+                f"CAST(coalesce(n_contaminated, 0) * {PPM} "
+                "div greatest(coalesce(n_grams, 0), 1) AS BIGINT)"
+            ).alias("contaminated_ppm"),
+        )
+    )

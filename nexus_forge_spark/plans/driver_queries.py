@@ -2265,6 +2265,99 @@ LEFT JOIN totals t USING (doc_id)
 LEFT JOIN rebuilt r USING (doc_id)"""
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (C4/Dolma cleaning): mask emails, IPv4s, and phone numbers,
+    report per-doc match counts.  Synthetic docs carry no PII, so the query
+    deterministically seeds some (doc_id % 5/7/11 → email/phone/ip suffixes)
+    before scrubbing.  Map-side only — regex count + chained replace."""
+    from nexus_forge_spark.operators.curation import redact_pii
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(t, F.lit(" contact alice.smith@example.org now")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(t, F.lit(" call 555-123-4567"))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(t, F.lit(" from 192.168.1.100"))
+    ).otherwise(t)
+    return redact_pii(docs.select("doc_id", t.alias("text")))
+
+
+def sql_pii_redact() -> str:
+    from nexus_forge_spark.operators.curation import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    masks = {name: mask for name, _, mask in PII_PATTERNS}
+    return rf"""WITH seeded AS (
+  SELECT doc_id,
+    text
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' contact alice.smith@example.org now' ELSE '' END
+      || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.1.100' ELSE '' END
+      AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '{pats["email"]}', '{masks["email"]}', 'g'),
+      '{pats["ipv4"]}', '{masks["ipv4"]}', 'g'),
+    '{pats["phone"]}', '{masks["phone"]}', 'g') AS text,
+  CAST(len(regexp_extract_all(text, '{pats["email"]}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{pats["ipv4"]}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '{pats["phone"]}')) AS BIGINT) AS n_phone
+FROM seeded"""
+
+
+DECON_N = 8
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appx C): flag corpus docs sharing
+    any word 8-gram with a deterministic 'benchmark' slice (doc_id % 17).
+    Benchmark grams broadcast into a semi-join probe — corpus never
+    shuffles; grams travel as xxhash64 longs."""
+    from nexus_forge_spark.operators.curation import decontaminate
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    return decontaminate(docs, bench, n=DECON_N)
+
+
+def sql_decontaminate() -> str:
+    n = DECON_N
+    return rf"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+cg AS (
+  SELECT doc_id,
+    unnest(list_distinct(
+      [array_to_string(t[i:i+{n - 1}], ' ')
+       FOR i IN range(1, len(t) - {n} + 2)])) AS g
+  FROM toks WHERE len(t) >= {n}
+),
+bg AS (SELECT DISTINCT g FROM cg WHERE doc_id % 17 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM cg WHERE g IN (SELECT g FROM bg) GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+  CAST(coalesce(h.n_contaminated, 0) * 1000000
+       // greatest(coalesce(t.n_grams, 0), 1) AS BIGINT) AS contaminated_ppm
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN hits h USING (doc_id)"""
+
+
 # 32 x 2-dim subspaces, 128 sampled codewords: measured recall@5 = 0.72 vs
 # exact L2 at sf0.01 (coarser 8x8/16 codebooks measured 0.12 — more, smaller
 # subspaces beat more codes on these embeddings)
@@ -2640,6 +2733,8 @@ QUERIES = {
     "dedup_substring": (q_dedup_substring, sql_dedup_substring),
     "repetition_signals": (q_repetition_signals, sql_repetition_signals),
     "dedup_paragraphs": (q_dedup_paragraphs, sql_dedup_paragraphs),
+    "pii_redact": (q_pii_redact, sql_pii_redact),
+    "decontaminate": (q_decontaminate, sql_decontaminate),
     "dedup_components": (q_dedup_components, sql_dedup_components),
     "stream_window_counts": (q_stream_window_counts, sql_stream_window_counts),
     "ann_pq_topk": (q_ann_pq, sql_ann_pq),

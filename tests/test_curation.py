@@ -290,3 +290,60 @@ def test_remove_duplicate_paragraphs_preserves_order(spark):
     )
     row = remove_duplicate_paragraphs(df).collect()[0]
     assert row.text == "z9\nm5\na1"  # document order, not lexical
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from nexus_forge_spark.operators.curation import redact_pii
+
+    rows = [
+        (1, "mail bob@x.org or ann.lee@sub.example.com now"),
+        (2, "server 10.0.0.1 and +1 555-123-4567 x 212.555 9876"),
+        (3, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.asDict() for r in redact_pii(df).collect()}
+    assert out[1]["text"] == "mail <EMAIL> or <EMAIL> now"
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (2, 0, 0)
+    assert out[2]["text"] == "server <IP> and +1 <PHONE> x <PHONE>"
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ipv4"]) == (0, 2, 1)
+    assert out[3]["text"] == rows[2][1]
+    assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    from nexus_forge_spark.operators.curation import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over it"),   # shares 'the quick brown'
+            (2, "something else entirely different here"),
+            (3, "too short"),                            # < n tokens -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "the quick brown dog")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in decontaminate(corpus, bench, n=3).collect()
+    }
+    assert out[1]["n_grams"] == 5 and out[1]["n_contaminated"] == 1
+    assert out[1]["contaminated_ppm"] == 1_000_000 // 5
+    assert out[2]["n_contaminated"] == 0 and out[2]["contaminated_ppm"] == 0
+    assert out[3] == {
+        "doc_id": 3, "n_grams": 0, "n_contaminated": 0, "contaminated_ppm": 0
+    }
+
+
+def test_decontaminate_distinct_grams_counted_once(spark):
+    from nexus_forge_spark.operators.curation import decontaminate
+
+    # 'a b c' occurs twice in doc 1 -> distinct gram counted once
+    corpus = spark.createDataFrame(
+        [(1, "a b c a b c")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    row = decontaminate(corpus, bench, n=3).collect()[0]
+    assert row.n_grams == 3  # 'a b c', 'b c a', 'c a b' (distinct of 4)
+    assert row.n_contaminated == 1
