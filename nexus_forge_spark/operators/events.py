@@ -1,0 +1,136 @@
+"""Event-stream analytics over the events table: gap sessionization and
+as-of (most-recent-match) joins.
+
+Neither exists as a single Spark SQL operator; both are re-expressed as
+compositions the optimizer handles well (one hash shuffle on the entity
+key, window functions inside the partition — never a global sort, never
+a range cross-join).
+
+Engine-exactness: timestamps travel as unix MICROSECOND longs
+(``F.unix_micros`` == DuckDB ``epoch_us``) and money as integer cents,
+so window arithmetic is BIGINT on both engines and value hashes match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the user's
+    inter-event gap exceeds ``gap_seconds`` (strictly).  Returns the input
+    plus ``session_idx`` (0-based per user, in (ts, event_id) order).
+
+    Scale posture: ONE shuffle, on the user key; both window functions
+    (lag + running sum) share the same (user, ts, id) ordering so Catalyst
+    evaluates them in a single Window exec over the same sort.  Skew note:
+    a pathological single-user firehose serializes inside one partition —
+    at that point use the streaming session-window path instead; for
+    organic web-scale key cardinality (users >> cores) this is the plan
+    you want at any corpus size.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap_us = int(gap_seconds) * 1_000_000
+    new_sess = (
+        F.when(
+            F.lag(us).over(w).isNull()
+            | ((us - F.lag(us).over(w)) > F.lit(gap_us)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return df.withColumn(
+        "session_idx", (F.sum(new_sess).over(w) - F.lit(1)).cast("long")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    gap_seconds: int = 600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-session rollup: event count, span in microseconds, and value
+    total in integer cents.  Reuses sessionize's user-key shuffle — the
+    groupBy keys are a superset of the window partition key, so AQE/EXCHANGE
+    reuse keeps this at one shuffle total."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (
+        sessionize(df, gap_seconds, user_col, ts_col, id_col)
+        .groupBy(user_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+            (F.max(us) - F.min(us)).alias("span_us"),
+            F.sum(cents).alias("value_cents"),
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_cols: list[str],
+    prefix: str = "prior_",
+) -> DataFrame:
+    """As-of LEFT join: for each left row, attach the right row with the
+    greatest ``ts <= left.ts`` for the same key (ties: the right row wins —
+    DuckDB ``ASOF JOIN`` semantics, ``>=`` comparison).
+
+    Spark has no ASOF operator; a range-condition join would reject the
+    equi-hash path and explode at scale.  This is the union-tag plan: tag
+    both inputs, union, ONE shuffle on the key, and carry the right side's
+    payload forward with ``last(..., ignorenulls)`` over (ts, tag) — right
+    rows sort before left rows at equal ts, giving the inclusive bound.
+    O(n log n) within each key partition, no join at all.
+    """
+    lcols = left.columns
+    tag_l = left.select(
+        *lcols,
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_cols],
+    )
+    tag_r = right.select(
+        *[
+            (
+                F.col(c)
+                if c in (key_col, ts_col)
+                else F.lit(None).cast(left.schema[c].dataType)
+            ).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = tag_l.unionByName(tag_r)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        F.col("__tag"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.where(F.col("__tag") == 1).drop("__tag")

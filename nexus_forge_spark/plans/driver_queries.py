@@ -2358,6 +2358,103 @@ LEFT JOIN totals t USING (doc_id)
 LEFT JOIN hits h USING (doc_id)"""
 
 
+SESSION_GAP_S = 600
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (10-min inactivity) + per-session rollup over the
+    events table.  One shuffle on user_id: lag + running-sum windows share
+    a sort, and the rollup groups on a superset of the window key.
+    Timestamps as unix-micro longs, money as integer cents — engine-exact."""
+    from nexus_forge_spark.operators.events import session_stats
+
+    ev = load_table(spark, "events", sf_dir)
+    return session_stats(ev, gap_seconds=SESSION_GAP_S)
+
+
+def sql_sessionize_events() -> str:
+    gap_us = SESSION_GAP_S * 1_000_000
+    return rf"""WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+lagd AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pus
+  FROM e
+),
+flg AS (
+  SELECT *, CASE WHEN pus IS NULL OR us - pus > {gap_us} THEN 1 ELSE 0 END AS ns
+  FROM lagd
+),
+sess AS (
+  SELECT *,
+    sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM flg
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+  CAST(count(*) AS BIGINT) AS n_events,
+  min(us) AS start_us, max(us) AS end_us,
+  max(us) - min(us) AS span_us,
+  CAST(sum(cents) AS BIGINT) AS value_cents
+FROM sess GROUP BY user_id, session_idx"""
+
+
+def q_asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the user's most recent
+    prior (ts <=, ties-right-wins) view event.  Spark has no ASOF operator
+    and a range join would be a scale-killer; this runs the union-tag plan
+    (one user_id shuffle, last-ignorenulls carry, zero joins).  The right
+    side is pre-reduced per (user, ts) with max_by so both engines break
+    equal-timestamp ties identically."""
+    from nexus_forge_spark.operators.events import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+    out = asof_join(
+        purchases, views, key_col="user_id", ts_col="ts",
+        right_cols=["event_id", "value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("prior_event_id").cast("long").alias("prior_event_id"),
+        F.round(F.col("prior_value") * 100).cast("long").alias("prior_cents"),
+    )
+
+
+def sql_asof_view_purchase() -> str:
+    return r"""WITH v AS (
+  SELECT user_id, ts, max(event_id) AS event_id,
+         arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+  epoch_us(p.ts) AS ts_us,
+  CAST(round(p.value * 100) AS BIGINT) AS cents,
+  CAST(v.event_id AS BIGINT) AS prior_event_id,
+  CAST(round(v.value * 100) AS BIGINT) AS prior_cents
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.ts >= v.ts"""
+
+
 # 32 x 2-dim subspaces, 128 sampled codewords: measured recall@5 = 0.72 vs
 # exact L2 at sf0.01 (coarser 8x8/16 codebooks measured 0.12 — more, smaller
 # subspaces beat more codes on these embeddings)
@@ -2735,6 +2832,8 @@ QUERIES = {
     "dedup_paragraphs": (q_dedup_paragraphs, sql_dedup_paragraphs),
     "pii_redact": (q_pii_redact, sql_pii_redact),
     "decontaminate": (q_decontaminate, sql_decontaminate),
+    "sessionize_events": (q_sessionize_events, sql_sessionize_events),
+    "asof_view_purchase": (q_asof_view_purchase, sql_asof_view_purchase),
     "dedup_components": (q_dedup_components, sql_dedup_components),
     "stream_window_counts": (q_stream_window_counts, sql_stream_window_counts),
     "ann_pq_topk": (q_ann_pq, sql_ann_pq),

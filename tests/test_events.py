@@ -1,0 +1,84 @@
+"""Gap sessionization and as-of join semantics (engine parity is covered
+by the sessionize_events / asof_view_purchase contract queries)."""
+
+from datetime import datetime
+
+from nexus_forge_spark.operators.events import (
+    asof_join,
+    session_stats,
+    sessionize,
+)
+
+SCHEMA = "event_id long, ts timestamp_ntz, user_id long, value double"
+
+
+def _ts(m, s=0, us=0):
+    return datetime(2024, 1, 1, 0, m, s, us)
+
+
+def test_sessionize_gap_boundary(spark):
+    # gap of exactly 600s stays in-session (strict > starts a new one)
+    rows = [
+        (1, _ts(0), 7, 1.0),
+        (2, _ts(10), 7, 1.0),          # +600s exactly -> same session
+        (3, _ts(20, 0, 1), 7, 1.0),    # +600.000001s -> new session
+        (4, _ts(0), 8, 1.0),           # other user independent
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {r.event_id: r.session_idx for r in sessionize(df).collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 0}
+
+
+def test_session_stats_rollup(spark):
+    rows = [
+        (1, _ts(0), 7, 1.25),
+        (2, _ts(1), 7, 2.50),
+        (3, _ts(30), 7, 4.00),  # 29-min gap -> second session
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {
+        (r.user_id, r.session_idx): r.asDict()
+        for r in session_stats(df).collect()
+    }
+    s0 = out[(7, 0)]
+    assert s0["n_events"] == 2 and s0["value_cents"] == 375
+    assert s0["span_us"] == 60_000_000
+    s1 = out[(7, 1)]
+    assert s1["n_events"] == 1 and s1["span_us"] == 0 and s1["value_cents"] == 400
+
+
+def test_sessionize_ties_break_on_event_id(spark):
+    # equal timestamps: event_id orders the lag chain deterministically
+    rows = [(2, _ts(0), 7, 1.0), (1, _ts(0), 7, 1.0)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {r.event_id: r.session_idx for r in sessionize(df).collect()}
+    assert out == {1: 0, 2: 0}
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(10, _ts(5), 7, 9.9), (11, _ts(1), 7, 9.9), (12, _ts(3), 8, 9.9)],
+        SCHEMA,
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(2), 7, 1.0), (2, _ts(4), 7, 2.0), (3, _ts(5), 7, 3.0)],
+        SCHEMA,
+    )
+    out = {
+        r.event_id: (r.prior_event_id, r.prior_value)
+        for r in asof_join(
+            left, right, "user_id", "ts", ["event_id", "value"]
+        ).collect()
+    }
+    assert out[10] == (3, 3.0)      # tie at ts=5 -> right row wins (<=)
+    assert out[11] == (None, None)  # nothing at-or-before ts=1
+    assert out[12] == (None, None)  # user 8 has no right rows
+
+
+def test_asof_join_keeps_left_columns_and_count(spark):
+    left = spark.createDataFrame([(10, _ts(5), 7, 9.9)], SCHEMA)
+    right = spark.createDataFrame([(1, _ts(2), 7, 1.0)], SCHEMA)
+    out = asof_join(left, right, "user_id", "ts", ["value"])
+    assert out.columns == ["event_id", "ts", "user_id", "value", "prior_value"]
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].value == 9.9 and rows[0].prior_value == 1.0
