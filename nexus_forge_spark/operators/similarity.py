@@ -515,11 +515,16 @@ def pq_encode(
         .cast("long")
         .alias("dist_micro"),
     )
-    w = Window.partitionBy(id_col, "sub_idx").orderBy("dist_micro", "code_id")
-    best = (
-        scored.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") == 1)
-        .select(id_col, "sub_idx", "code_id")
+    # argmin as a hash AGGREGATE, not a window: the broadcast join fans
+    # every (vec, sub) row out x n_codes, and a row_number window would
+    # shuffle that whole fan-out to sort it.  min_by over the orderable
+    # (dist, code) struct partial-aggregates map-side, so only one row per
+    # (vec, sub) reaches the exchange — measured 24.6M -> 192k shuffle rows
+    # at sf0.1 (n_sub=32, n_codes=128).  Ties: lowest code id, engine-exact.
+    best = scored.groupBy(id_col, "sub_idx").agg(
+        F.min_by(
+            "code_id", F.struct(F.col("dist_micro"), F.col("code_id"))
+        ).alias("code_id")
     )
     return best.groupBy(id_col).agg(
         F.transform(
