@@ -77,6 +77,36 @@ def streaming_event_counts(
     )
 
 
+def streaming_user_sessions(
+    events_stream: DataFrame,
+    gap: str = "600 seconds",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation per user: Spark merges an
+    event into the open session while the inter-event gap is <= ``gap``
+    (window end = last event + gap; sessions merge when windows touch,
+    verified by the exact-boundary unit test) — the same strictly-greater
+    new-session rule as the batch operators/events.py sessionize.
+
+    State is per (user, open session) — merged incrementally as batches
+    arrive; the watermark bounds it by evicting sessions whose end falls
+    behind event time.
+    """
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def streaming_first_seen_dedup(docs_stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     exact-dedup across the WHOLE stream — each content signature's first

@@ -169,3 +169,57 @@ def test_streaming_first_seen_dedup_state_across_batches(spark, tmp_path):
     ).write.mode("append").parquet(inp)
     run_once()
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3, 5}
+
+
+def test_streaming_user_sessions_gap_boundary(spark):
+    """Session windows merge when they TOUCH: an event exactly gap seconds
+    after the previous one stays in the SAME session — identical
+    strictly-greater new-session rule as the batch sessionize operator
+    (this pins the semantics the stream_sessions oracle encodes)."""
+    from datetime import datetime
+
+    from nexus_forge_spark.operators.events import sessionize
+    from nexus_forge_spark.streaming.stream_pipeline import streaming_user_sessions
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 7, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 10, 0), 7, "view", 2.0, "{}"),  # +600s
+        (3, datetime(2024, 1, 1, 0, 10, 30), 7, "view", 4.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    base = tempfile.mkdtemp()
+    try:
+        df.write.parquet(f"{base}/in")
+        stream = spark.readStream.schema(schema).parquet(f"{base}/in")
+        agg = streaming_user_sessions(stream, gap="600 seconds")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("usess")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            spark.sql("select * from usess").collect(),
+            key=lambda r: r.session_start,
+        )
+        # event 2 at exactly +gap merges (touching windows) -> ONE session
+        assert [r.n for r in got] == [3]
+        assert got[0].total_value == 7.0
+        assert got[0].session_start == datetime(2024, 1, 1, 0, 0, 0)
+        assert got[0].session_end == datetime(2024, 1, 1, 0, 20, 30)
+        # batch rule (strictly greater) agrees: one session
+        batch = sessionize(df, gap_seconds=600)
+        assert {r.session_idx for r in batch.collect()} == {0}
+        # and 600.000001s DOES split: shift event 3 out by >gap
+        rows2 = [rows[0], rows[1],
+                 (3, datetime(2024, 1, 1, 0, 20, 0, 1), 7, "view", 4.0, "{}")]
+        df2 = spark.createDataFrame(rows2, schema)
+        assert {r.session_idx for r in sessionize(df2).collect()} == {0, 1}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
