@@ -135,6 +135,11 @@ class SparkForge:
     def from_triples(self, triples: DataFrame) -> DataFrame:
         return triples_to_resources(triples)
 
+    # reference verb names (forge.as_graph/from_graph, core/forge.py:865-959)
+    # — the rdflib.Graph <-> triples-DataFrame equivalence
+    as_graph = as_triples
+    from_graph = from_triples
+
     def as_dataframe(self, data: DataFrame) -> DataFrame:
         return flatten(data)
 

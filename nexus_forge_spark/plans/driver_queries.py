@@ -2816,6 +2816,122 @@ SELECT min(us) AS session_start_us,
 FROM sess GROUP BY user_id, sid"""
 
 
+PAGERANK_ITERS = 5
+PART_NODE_OFFSET = 2_000_000
+
+
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer PageRank over the customer->part co-purchase
+    bipartite graph (orders x lineitem).  BIGINT micro-probability
+    arithmetic end to end, so the unrolled DuckDB recurrence matches
+    bit-for-bit.  Hot parts make this naturally skewed — the per-iteration
+    aggregate partial-combines map-side."""
+    from nexus_forge_spark.operators.graph import pagerank
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_partkey") + PART_NODE_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=PAGERANK_ITERS).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("rank_micro").cast("long").alias("rank_micro"),
+    )
+
+
+def sql_pagerank_copurchase() -> str:
+    parts = [
+        rf"""WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS src, {PART_NODE_OFFSET} + l.l_partkey AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+meta AS (
+  SELECT count(*) AS n,
+         (1000000 * 15) // (100 * count(*)) AS base,
+         1000000 // count(*) AS r_init
+  FROM nodes
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, r_init AS r FROM nodes, meta)"""
+    ]
+    for i in range(PAGERANK_ITERS):
+        parts.append(
+            rf""",
+r{i + 1} AS (
+  SELECT nodes.node,
+    base + (85 * coalesce(s.s, 0)) // 100 AS r
+  FROM nodes CROSS JOIN meta
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.r // d.outdeg) AS s
+    FROM edges e
+    JOIN r{i} r ON r.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = nodes.node
+)"""
+        )
+    parts.append(
+        rf"""
+SELECT CAST(node AS BIGINT) AS node,
+  CAST(r AS BIGINT) AS rank_micro
+FROM r{PAGERANK_ITERS}"""
+    )
+    return "".join(parts)
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the MinHash near-dup pair graph
+    (duplicate clusters of >= 3 close under transitivity, so triangles are
+    plentiful).  Degree-ordered orientation caps hub fan-out BEFORE the
+    two-path join — the public skew trick for triangle enumeration."""
+    from nexus_forge_spark.operators.graph import triangle_counts
+
+    pairs = q_dedup_minhash(spark, sf_dir).select("a", "b")
+    return triangle_counts(pairs).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
+
+
+def sql_triangle_counts() -> str:
+    return rf"""WITH pr AS (SELECT a, b FROM ({sql_dedup_minhash()})),
+und AS (
+  SELECT DISTINCT greatest(a, b) AS p, least(a, b) AS q
+  FROM pr WHERE a <> b
+),
+sym AS (SELECT p, q FROM und UNION ALL SELECT q AS p, p AS q FROM und),
+deg AS (SELECT p, count(*) AS d FROM sym GROUP BY p),
+o AS (
+  SELECT s.p AS lo, s.q AS hi
+  FROM sym s
+  JOIN deg d1 ON d1.p = s.p
+  JOIN deg d2 ON d2.p = s.q
+  WHERE d1.d < d2.d OR (d1.d = d2.d AND s.p < s.q)
+),
+tri AS (
+  SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+  FROM o e1
+  JOIN o e2 ON e2.lo = e1.hi
+  JOIN o e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+corners AS (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+),
+cc AS (SELECT node, count(*) AS n_triangles FROM corners GROUP BY node),
+nodes AS (SELECT lo AS node FROM o UNION SELECT hi FROM o)
+SELECT CAST(node AS BIGINT) AS node,
+  CAST(coalesce(cc.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM nodes LEFT JOIN cc USING (node)"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup clustering: MinHash+LSH candidates, true-Jaccard
     verify, then large-star/small-star connected components assign every
@@ -2911,6 +3027,8 @@ QUERIES = {
     "dedup_components": (q_dedup_components, sql_dedup_components),
     "stream_window_counts": (q_stream_window_counts, sql_stream_window_counts),
     "stream_sessions": (q_stream_sessions, sql_stream_sessions),
+    "pagerank_copurchase": (q_pagerank_copurchase, sql_pagerank_copurchase),
+    "triangle_counts_neardup": (q_triangle_counts, sql_triangle_counts),
     "ann_pq_topk": (q_ann_pq, sql_ann_pq),
     "unigram_nll": (q_unigram_nll, sql_unigram_nll),
     "bm25_search": (q_bm25_search, sql_bm25_search),

@@ -199,3 +199,16 @@ def test_map_dispatch_records_and_files(spark, forge, tmp_path):
     p.write_text(_json.dumps([rec]))
     from_file = forge.map(str(p), mapping).collect()
     assert from_file[0].agent.name == "Grace Hopper"
+
+
+def test_as_graph_from_graph_aliases(spark, forge):
+    df = spark.createDataFrame(
+        [("https://kg.example.ch/x/1", "Thing", "hello")],
+        "id string, type string, name string",
+    )
+    triples = forge.as_graph(df)
+    back = forge.from_graph(triples)
+    assert {r.subj for r in back.collect()} == {"https://kg.example.ch/x/1"}
+    # alias identity with the triples verbs
+    assert type(forge).as_graph is type(forge).as_triples
+    assert type(forge).from_graph is type(forge).from_triples

@@ -1,0 +1,50 @@
+"""PageRank integer recurrence and triangle counting on known graphs
+(engine parity: pagerank_copurchase / triangle_counts_neardup contract
+queries)."""
+
+from nexus_forge_spark.operators.graph import (
+    oriented_edges,
+    pagerank,
+    triangle_counts,
+)
+
+
+def test_pagerank_two_cycle_fixed_point(spark):
+    # a<->b: init 500000 each is the exact fixed point of the recurrence
+    # (base 75000 + 85% of the full incoming 500000 = 500000)
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    out = {r.node: r.rank_micro for r in pagerank(e, iterations=5).collect()}
+    assert out == {1: 500_000, 2: 500_000}
+
+
+def test_pagerank_star_hand_computed(spark):
+    # a->c, b->c: n=3, base=50000; a,b settle at base after iter 1, so
+    # from iter 2 on c = 50000 + (85 * (50000+50000)) div 100 = 135000
+    e = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    out = {r.node: r.rank_micro for r in pagerank(e, iterations=5).collect()}
+    assert out == {1: 50_000, 2: 50_000, 3: 135_000}
+
+
+def test_triangle_counts_k4(spark):
+    # complete graph on 4 nodes: C(4,3)=4 triangles, each node in 3
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    out = {r.node: r.n_triangles for r in triangle_counts(e).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_path_and_isolated_triangle(spark):
+    # path 1-2-3-4 has none; 5-6-7 is one triangle; every node reported
+    edges = [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    out = {r.node: r.n_triangles for r in triangle_counts(e).collect()}
+    assert out == {1: 0, 2: 0, 3: 0, 4: 0, 5: 1, 6: 1, 7: 1}
+
+
+def test_oriented_edges_each_edge_once_and_acyclic(spark):
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1)]  # dups + self-loop
+    e = spark.createDataFrame(edges, "a long, b long")
+    rows = [(r.lo, r.hi) for r in oriented_edges(e).collect()]
+    assert len(rows) == len(set(rows)) == 3  # 3 distinct undirected edges
+    # orientation is a total order (degree, id): no 2-cycles possible
+    assert not {(h, l) for l, h in rows} & set(rows)
