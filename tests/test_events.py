@@ -82,3 +82,67 @@ def test_asof_join_keeps_left_columns_and_count(spark):
     assert out.columns == ["event_id", "ts", "user_id", "value", "prior_value"]
     rows = out.collect()
     assert len(rows) == 1 and rows[0].value == 9.9 and rows[0].prior_value == 1.0
+
+
+def test_sessionize_and_asof_randomized_vs_bruteforce(spark):
+    """Seeded random event streams, compared against a driver-side
+    brute-force oracle (same style as the mapping/resolve fuzz suites)."""
+    import random
+
+    from datetime import timedelta
+
+    rng = random.Random(0xE5E5)
+    data = []
+    eid = 0
+    for user in range(12):
+        t = 0
+        for _ in range(rng.randint(0, 40)):
+            t += rng.randint(1, 900)  # seconds; gaps straddle the 600s gap
+            data.append(
+                (
+                    eid,
+                    datetime(2024, 1, 1) + timedelta(seconds=t),
+                    user,
+                    float(rng.randint(0, 500)) / 7,
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(data, SCHEMA)
+    got = {r.event_id: r.session_idx for r in sessionize(df, 600).collect()}
+
+    # brute force per user
+    expect = {}
+    by_user = {}
+    for e, ts, u, v in data:
+        by_user.setdefault(u, []).append((ts, e))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, prev = -1, None
+        for ts, e in evs:
+            if prev is None or (ts - prev).total_seconds() > 600:
+                sid += 1
+            expect[e] = sid
+            prev = ts
+    assert got == expect
+
+    # as-of: odd event_ids are "left", even are "right"
+    left = df.where("event_id % 2 = 1")
+    right = df.where("event_id % 2 = 0")
+    out = {
+        r.event_id: r.prior_event_id
+        for r in asof_join(
+            left, right, "user_id", "ts", ["event_id"]
+        ).collect()
+    }
+    rights = {}
+    for e, ts, u, v in data:
+        if e % 2 == 0:
+            rights.setdefault(u, []).append((ts, e))
+    for u in rights:
+        rights[u].sort()
+    expect_asof = {}
+    for e, ts, u, v in data:
+        if e % 2 == 1:
+            cand = [(rt, re) for rt, re in rights.get(u, []) if rt <= ts]
+            expect_asof[e] = max(cand)[1] if cand else None
+    assert out == expect_asof
