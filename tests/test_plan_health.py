@@ -130,3 +130,49 @@ def test_repetition_signals_no_cartesian(spark, sf01):
     plan = plan_of(QUERIES["repetition_signals"][0](spark, sf01), execute=True)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_single_shuffle_no_joins(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import q_sessionize_events
+
+    plan = plan_of(q_sessionize_events(spark, sf01))
+    # lag + running sum + rollup all ride ONE user-key exchange
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_has_no_join_operator(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import q_asof_view_purchase
+
+    plan = plan_of(q_asof_view_purchase(spark, sf01))
+    # the union-tag plan carries the right payload through a window —
+    # no join operator of any kind, and exactly two exchanges (views
+    # pre-agg + the window partitioning)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 2
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import q_decontaminate
+
+    plan = plan_of(q_decontaminate(spark, sf01))
+    # the eval-set gram probe must be a broadcast LEFT SEMI, never a
+    # shuffle of the corpus gram explosion
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_counts_equi_joins_only(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import q_triangle_counts
+
+    plan = plan_of(q_triangle_counts(spark, sf01))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_iteration_no_cartesian(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import q_pagerank_copurchase
+
+    plan = plan_of(q_pagerank_copurchase(spark, sf01))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
