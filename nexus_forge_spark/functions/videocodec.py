@@ -41,15 +41,26 @@ def _row_stride(width: int) -> int:
     return (width * 3 + 3) & ~3  # BGR rows padded to 4-byte boundary
 
 
-def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
-    """frames: list of HxWx3 uint8 RGB arrays (same shape) -> AVI bytes."""
+MJPG_FOURCC = 0x47504A4D  # 'MJPG' little-endian in biCompression
+
+
+def encode_avi(
+    frames: list[np.ndarray], fps: int = 10, codec: str = "DIB", quality: int = 90
+) -> bytes:
+    """frames: list of HxWx3 uint8 RGB arrays (same shape) -> AVI bytes.
+
+    codec="DIB" writes uncompressed bottom-up BGR frames; codec="MJPG"
+    writes Motion-JPEG (each frame an independent baseline JPEG from
+    functions/jpegcodec.py) — the standard compressed-AVI profile that
+    needs no inter-frame state, so frame decode stays random-access."""
     if not frames:
         raise ValueError("encode_avi needs at least one frame")
     h, w, ch = frames[0].shape
     if ch != 3:
         raise ValueError("encode_avi expects RGB frames")
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError(f"unsupported codec {codec!r} (DIB or MJPG)")
     stride = _row_stride(w)
-    frame_size = stride * h
 
     def dib(arr: np.ndarray) -> bytes:
         # bottom-up row order, BGR channel order, padded rows
@@ -59,6 +70,16 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
         padded = np.zeros((h, stride), dtype=np.uint8)
         padded[:, : w * 3] = bgr.reshape(h, w * 3)
         return padded.tobytes()
+
+    if codec == "MJPG":
+        from nexus_forge_spark.functions.jpegcodec import encode_baseline_jpeg
+
+        payloads = [encode_baseline_jpeg(f, quality=quality) for f in frames]
+        chunk_tag, handler, bi_comp = b"00dc", b"MJPG", MJPG_FOURCC
+    else:
+        payloads = [dib(f) for f in frames]
+        chunk_tag, handler, bi_comp = b"00db", b"DIB ", 0
+    frame_size = max(len(pl) for pl in payloads)
 
     n = len(frames)
     usec_per_frame = int(1_000_000 / fps)
@@ -79,7 +100,7 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
     )
     strh = b"strh" + struct.pack(
         "<I", 56
-    ) + b"vids" + b"DIB " + struct.pack(
+    ) + b"vids" + handler + struct.pack(
         "<IHHIIIIIIIIhhhh",
         0,  # dwFlags
         0, 0,  # wPriority, wLanguage
@@ -92,10 +113,10 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
         0,  # dwSampleSize
         0, 0, w, h,  # rcFrame
     )
-    # BITMAPINFOHEADER: biCompression=0 (BI_RGB), biBitCount=24
+    # BITMAPINFOHEADER: biCompression=0 (BI_RGB) or 'MJPG', biBitCount=24
     strf = b"strf" + struct.pack(
         "<IIiiHHIIiiII",
-        40, 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+        40, 40, w, h, 1, 24, bi_comp, frame_size, 0, 0, 0, 0
     )
 
     def lst(tag: bytes, payload: bytes) -> bytes:
@@ -104,7 +125,8 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
     strl = lst(b"strl", strh + strf)
     hdrl = lst(b"hdrl", avih + strl)
     movi_payload = b"".join(
-        b"00db" + struct.pack("<I", frame_size) + dib(f) for f in frames
+        chunk_tag + struct.pack("<I", len(pl)) + pl + (b"\x00" * (len(pl) & 1))
+        for pl in payloads
     )
     movi = lst(b"movi", movi_payload)
     body = b"AVI " + hdrl + movi
@@ -122,15 +144,16 @@ def _walk_chunks(buf: bytes, start: int, end: int):
 
 
 def parse_avi(content: bytes) -> dict:
-    """-> {width, height, fps, n_frames, frame_offsets: [(off, size)]}.
-    Raises ValueError on anything that isn't uncompressed 24-bit DIB."""
+    """-> {width, height, fps, n_frames, codec, frame_offsets: [(off, size)]}.
+    Raises ValueError on anything that isn't 24-bit DIB or Motion-JPEG."""
     if not sniff_avi(content):
         raise ValueError("not an AVI container")
     width = height = fps = None
+    codec = "DIB"
     frames: list[tuple[int, int]] = []
 
     def walk_list(start: int, end: int) -> None:
-        nonlocal width, height, fps
+        nonlocal width, height, fps, codec
         for tag, off, size in _walk_chunks(content, start, end):
             if tag == b"LIST":
                 walk_list(off + 4, off + size)
@@ -143,10 +166,13 @@ def parse_avi(content: bytes) -> dict:
                 (
                     _bisz, bw, bh, _planes, bits, comp
                 ) = struct.unpack_from("<Iii HHI".replace(" ", ""), content, off)
-                if comp != 0 or bits != 24:
+                if comp == MJPG_FOURCC:
+                    codec = "MJPG"
+                elif comp != 0 or bits != 24:
                     raise ValueError(
                         f"unsupported AVI codec (biCompression={comp}, "
-                        f"biBitCount={bits}); only BI_RGB 24-bit is decodable"
+                        f"biBitCount={bits}); BI_RGB 24-bit and MJPG "
+                        "are decodable"
                     )
             elif tag in (b"00db", b"00dw", b"00dc"):
                 frames.append((off, size))
@@ -159,6 +185,7 @@ def parse_avi(content: bytes) -> dict:
         "height": height,
         "fps": fps or 10,
         "n_frames": len(frames),
+        "codec": codec,
         "frame_offsets": frames,
     }
 
@@ -167,6 +194,13 @@ def decode_frame(content: bytes, idx: int, info: dict | None = None) -> np.ndarr
     """-> HxWx3 uint8 RGB array for frame idx."""
     info = info or parse_avi(content)
     off, size = info["frame_offsets"][idx]
+    if info.get("codec") == "MJPG":
+        from nexus_forge_spark.functions.jpegcodec import decode_baseline_jpeg
+
+        arr = decode_baseline_jpeg(bytes(content[off : off + size]))
+        if arr.ndim == 2:  # grayscale JPEG -> replicate channels
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        return arr
     w, h = info["width"], info["height"]
     stride = _row_stride(w)
     if size < stride * h:

@@ -11,15 +11,16 @@ Image decode is REAL for PPM/PGM/BMP/PNG payloads: a pure-numpy codec
 (functions/imagecodec.py) decodes pixels, extracts block-mean embeddings,
 and resizes + re-encodes — no PIL needed.  Audio decode is REAL for WAV
 (functions/audiocodec.py: RIFF parser + RMS/zero-crossing/spectral-centroid
-features — stdlib struct + numpy).  Video decode is REAL for uncompressed
-AVI (functions/videocodec.py: RIFF/DIB parser — frame sampling and motion
-features run on actual pixels).  Synthetic payloads from
-``media_from_documents`` are genuine 4x4 P6 PPM files, genuine PCM16 WAVs,
-and genuine 4-frame uncompressed AVIs, so the default pipeline exercises
-all three real paths end to end.  Baseline JPEG decodes for real too
-(functions/jpegcodec.py: Huffman + IDCT, pure numpy).  Remaining formats
-(progressive JPEG, compressed audio/video codecs need libs absent from
-this container) fall back to the deterministic hash stub, still marked by
+features — stdlib struct + numpy).  Video decode is REAL for both
+uncompressed AVI and COMPRESSED Motion-JPEG AVI (functions/videocodec.py:
+RIFF parser; MJPG frames decode through the baseline-JPEG codec — frame
+sampling and motion features run on actual pixels).  Synthetic payloads
+from ``media_from_documents`` are genuine 4x4 P6 PPM files (1/4 genuine
+baseline JPEGs), genuine PCM16 WAVs, and genuine 4-frame AVIs (1/4
+Motion-JPEG compressed), so the default pipeline exercises every real
+path end to end.  Remaining formats (progressive JPEG, inter-frame video
+like H.264, compressed audio like MP3 — all needing libs absent from this
+container) fall back to the deterministic hash stub, still marked by
 ``DECODE_IS_STUBBED``.
 Everything Spark-side — schemas, partitioning, the mapInPandas batch
 contract, null handling — is real and tested.
@@ -41,9 +42,10 @@ from pyspark.sql import types as T
 from nexus_forge_spark.functions import audiocodec, imagecodec, videocodec
 
 # PPM/PGM/BMP/PNG/baseline-JPEG image decode is real (numpy + stdlib
-# zlib/struct); WAV audio decode is real; uncompressed-AVI video decode is
-# real; compressed audio/video codecs (MP3/H.264/...) still stub (libs
-# absent from this container)
+# zlib/struct); WAV audio decode is real; AVI video decode is real for
+# BOTH uncompressed DIB and compressed Motion-JPEG; inter-frame video
+# (H.264/...) and compressed audio (MP3/...) still stub (libs absent
+# from this container)
 DECODE_REAL_FORMATS = frozenset({"ppm", "pgm", "bmp", "png", "jpeg"})
 DECODE_REAL_AUDIO_FORMATS = frozenset({"wav"})
 DECODE_REAL_VIDEO_FORMATS = frozenset({"avi"})
@@ -83,6 +85,30 @@ def _build_jpeg_pool(n: int = 16) -> list[bytes]:
 
 
 _JPEG_POOL = _build_jpeg_pool()
+
+
+def _build_mjpg_pool(n: int = 16) -> list[bytes]:
+    """Pool of genuine Motion-JPEG AVIs (4 frames of 4x4 md5-derived
+    pixels, each frame an independent baseline JPEG) encoded once at
+    import — the compressed-video analogue of the JPEG image pool."""
+    pool = []
+    for i in range(n):
+        frames = []
+        for f in range(_AVI_FRAMES):
+            raw = b"".join(
+                hashlib.md5(f"mjpg-pool-{i}-{f}-{j}".encode()).digest()
+                for j in range(_AVI_DIM * _AVI_DIM * 3 // 16)
+            )
+            frames.append(
+                np.frombuffer(raw, dtype=np.uint8).reshape(
+                    _AVI_DIM, _AVI_DIM, 3
+                )
+            )
+        pool.append(videocodec.encode_avi(frames, fps=_AVI_FPS, codec="MJPG"))
+    return pool
+
+
+_MJPG_POOL = _build_mjpg_pool()
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -183,6 +209,14 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         ),
     )
     is_jpeg_ref = F.pmod(F.xxhash64(ref, F.lit(9)), F.lit(4)) == 0
+    # 1/4 of video refs carry genuine Motion-JPEG AVIs (compressed path)
+    mjpg_bytes = F.element_at(
+        F.array(*[F.lit(p) for p in _MJPG_POOL]),
+        (F.pmod(F.xxhash64(ref, F.lit(13)), F.lit(len(_MJPG_POOL))) + 1).cast(
+            "int"
+        ),
+    )
+    is_mjpg_ref = F.pmod(F.xxhash64(ref, F.lit(15)), F.lit(4)) == 0
     # audio payloads are REAL PCM16 mono WAVs: constant 44-byte RIFF header
     # (128 data bytes = 64 samples @ 16 kHz) + hash-derived sample bytes
     wav_header = (
@@ -228,6 +262,7 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         F.when(is_image & is_jpeg_ref, jpeg_bytes)
         .when(is_image, ppm_bytes)
         .when(is_audio, wav_bytes)
+        .when(is_video & is_mjpg_ref, mjpg_bytes)
         .when(is_video, avi_bytes)
         .otherwise(fake_bytes)
         .alias("content"),

@@ -56,11 +56,12 @@ def test_sniff_rejects_non_avi():
 
 def test_parse_rejects_compressed():
     raw = bytearray(V.encode_avi(_frames(1, 2, 2)))
-    # flip biCompression in strf from BI_RGB(0) to 'MJPG'
+    # flip biCompression in strf from BI_RGB(0) to H264 (MJPG is now a
+    # supported codec; anything inter-frame still rejects)
     i = raw.find(b"strf")
     # strf payload: biSize(4) biWidth(4) biHeight(4) planes(2) bits(2) comp(4)
     comp_off = i + 8 + 16
-    raw[comp_off : comp_off + 4] = b"MJPG"
+    raw[comp_off : comp_off + 4] = b"H264"
     with pytest.raises(ValueError, match="unsupported AVI codec"):
         V.parse_avi(bytes(raw))
 
@@ -74,3 +75,43 @@ def test_parse_rejects_truncated_frame():
     info = V.parse_avi(bytes(raw))
     with pytest.raises(ValueError, match="truncated"):
         V.decode_frame(bytes(raw), 0, info)
+
+
+def test_mjpeg_avi_roundtrip_within_jpeg_tolerance():
+    rng = np.random.RandomState(3)
+    frames = [
+        (np.full((8, 8, 3), base, np.uint8)
+         + rng.randint(0, 16, (8, 8, 3)).astype(np.uint8))
+        for base in (16, 96, 192)
+    ]
+    avi = V.encode_avi(frames, fps=5, codec="MJPG", quality=92)
+    info = V.parse_avi(avi)
+    assert info["codec"] == "MJPG"
+    assert (info["n_frames"], info["width"], info["height"]) == (3, 8, 8)
+    for i, f in enumerate(frames):
+        dec = V.decode_frame(avi, i, info)
+        assert dec.shape == (8, 8, 3)
+        # JPEG is lossy: bound the mean absolute error, not equality
+        assert abs(dec.astype(int) - f.astype(int)).mean() < 8.0
+
+
+def test_mjpeg_frames_are_standalone_jpegs():
+    from nexus_forge_spark.functions.jpegcodec import decode_baseline_jpeg
+
+    frames = [np.full((8, 8, 3), 50, np.uint8)]
+    avi = V.encode_avi(frames, codec="MJPG")
+    info = V.parse_avi(avi)
+    off, size = info["frame_offsets"][0]
+    arr = decode_baseline_jpeg(avi[off : off + size])
+    assert arr.shape == (8, 8, 3)
+
+
+def test_dib_codec_still_exact_and_rejects_unknown():
+    frames = [np.arange(48, dtype=np.uint8).reshape(4, 4, 3)]
+    avi = V.encode_avi(frames)  # default DIB
+    assert V.parse_avi(avi)["codec"] == "DIB"
+    assert (V.decode_frame(avi, 0) == frames[0]).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        V.encode_avi(frames, codec="H264")
