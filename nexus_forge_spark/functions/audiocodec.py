@@ -36,6 +36,7 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     pos, n = 12, len(buf)
     fmt = None
     data = None
+    fact_samples = None
     while pos + 8 <= n:
         cid = buf[pos : pos + 4]
         size = struct.unpack_from("<I", buf, pos + 4)[0]
@@ -47,6 +48,8 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and len(body) >= 4:
+            fact_samples = struct.unpack_from("<I", body, 0)[0]
     if fmt is None or data is None:
         raise AudioDecodeError("missing fmt or data chunk")
     audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
@@ -69,6 +72,25 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
             arr = np.frombuffer(data, dtype="<f8").astype(np.float32)
         else:
             raise AudioDecodeError(f"unsupported float bit depth {bits}")
+    elif audio_format == 0x11:  # IMA/DVI ADPCM (compressed, 4 bit/sample)
+        if channels != 1:
+            raise AudioDecodeError("IMA ADPCM decode supports mono only")
+        if _block_align < 4:
+            raise AudioDecodeError("ADPCM block_align < 4")
+        pcm: list[int] = []
+        for boff in range(0, len(data), _block_align):
+            block = data[boff : boff + _block_align]
+            if len(block) < 4:
+                break
+            (pred,) = struct.unpack_from("<h", block, 0)
+            index = block[2]
+            if index > 88:
+                raise AudioDecodeError(f"ADPCM step index {index} > 88")
+            pcm.extend(_adpcm_decode_block(block[4:], pred, index))
+        if fact_samples is not None:
+            pcm = pcm[:fact_samples]  # drop pad-nibble samples
+        arr = np.asarray(pcm, dtype=np.float32) / 32768.0
+        return arr.reshape(-1, 1), rate
     else:
         raise AudioDecodeError(f"unsupported WAV format code {audio_format}")
     usable = (len(arr) // channels) * channels
@@ -86,6 +108,95 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     data = pcm.tobytes()
     fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------- IMA ADPCM (public spec)
+# Standard IMA/DVI tables (IMA Digital Audio Pack, 1992; also RFC 3551 app.)
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8] * 2
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _adpcm_step(nib: int, predictor: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM reconstruction step (shared by encode + decode so the
+    encoder's predictor tracks the decoder exactly)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    predictor = predictor - diff if nib & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX[nib]))
+    return predictor, index
+
+
+def _adpcm_decode_block(payload: bytes, predictor: int, index: int) -> list[int]:
+    out = [predictor]
+    for byte in payload:
+        for nib in (byte & 0xF, byte >> 4):
+            predictor, index = _adpcm_step(nib, predictor, index)
+            out.append(predictor)
+    return out
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, rate: int = 16000, block_align: int = 256
+) -> bytes:
+    """Mono float [-1, 1] -> IMA ADPCM WAV bytes (format tag 0x11): 4 bits
+    per sample after the first, ~4:1 over PCM16.  Block = 4-byte header
+    (predictor int16, step index, reserved) + packed nibbles, low first."""
+    a = np.asarray(samples, dtype=np.float64).reshape(-1)
+    pcm = np.clip(np.round(a * 32767.0), -32768, 32767).astype(np.int64)
+    if len(pcm) == 0:
+        raise AudioDecodeError("encode_wav_adpcm needs at least one sample")
+    spb = (block_align - 4) * 2 + 1  # samples per full block
+    blocks = []
+    for boff in range(0, len(pcm), spb):
+        chunk = pcm[boff : boff + spb]
+        predictor, index = int(chunk[0]), 0
+        nibbles: list[int] = []
+        for s in chunk[1:]:
+            step = _IMA_STEPS[index]
+            diff = int(s) - predictor
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            predictor, index = _adpcm_step(nib, predictor, index)
+            nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)  # pad nibble (decoder trims via fact chunk)
+        payload = bytes(
+            nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+        )
+        blocks.append(struct.pack("<hBB", int(chunk[0]), 0, 0) + payload)
+    data = b"".join(blocks)
+    spb_actual = min(spb, len(pcm))
+    byte_rate = (rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, byte_rate, block_align, 4, 2, spb_actual
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, len(pcm))
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
 

@@ -11,17 +11,18 @@ Image decode is REAL for PPM/PGM/BMP/PNG payloads: a pure-numpy codec
 (functions/imagecodec.py) decodes pixels, extracts block-mean embeddings,
 and resizes + re-encodes — no PIL needed.  Audio decode is REAL for WAV
 (functions/audiocodec.py: RIFF parser + RMS/zero-crossing/spectral-centroid
-features — stdlib struct + numpy).  Video decode is REAL for both
+features — stdlib struct + numpy; IMA ADPCM compressed audio, format
+tag 0x11, decodes for real too).  Video decode is REAL for both
 uncompressed AVI and COMPRESSED Motion-JPEG AVI (functions/videocodec.py:
 RIFF parser; MJPG frames decode through the baseline-JPEG codec — frame
 sampling and motion features run on actual pixels).  Synthetic payloads
 from ``media_from_documents`` are genuine 4x4 P6 PPM files (1/4 genuine
-baseline JPEGs), genuine PCM16 WAVs, and genuine 4-frame AVIs (1/4
-Motion-JPEG compressed), so the default pipeline exercises every real
-path end to end.  Remaining formats (progressive JPEG, inter-frame video
-like H.264, compressed audio like MP3 — all needing libs absent from this
-container) fall back to the deterministic hash stub, still marked by
-``DECODE_IS_STUBBED``.
+baseline JPEGs), genuine PCM16 WAVs (1/4 IMA ADPCM compressed), and
+genuine 4-frame AVIs (1/4 Motion-JPEG compressed), so the default
+pipeline exercises every real path end to end.  Remaining formats
+(progressive JPEG, inter-frame video like H.264, transform audio like
+MP3 — all needing libs absent from this container) fall back to the
+deterministic hash stub, still marked by ``DECODE_IS_STUBBED``.
 Everything Spark-side — schemas, partitioning, the mapInPandas batch
 contract, null handling — is real and tested.
 """
@@ -43,8 +44,9 @@ from nexus_forge_spark.functions import audiocodec, imagecodec, videocodec
 
 # PPM/PGM/BMP/PNG/baseline-JPEG image decode is real (numpy + stdlib
 # zlib/struct); WAV audio decode is real; AVI video decode is real for
-# BOTH uncompressed DIB and compressed Motion-JPEG; inter-frame video
-# (H.264/...) and compressed audio (MP3/...) still stub (libs absent
+# BOTH uncompressed DIB and compressed Motion-JPEG; WAV audio decode is
+# real for PCM/IEEE-float AND compressed IMA ADPCM; inter-frame video
+# (H.264/...) and transform audio (MP3/...) still stub (libs absent
 # from this container)
 DECODE_REAL_FORMATS = frozenset({"ppm", "pgm", "bmp", "png", "jpeg"})
 DECODE_REAL_AUDIO_FORMATS = frozenset({"wav"})
@@ -109,6 +111,26 @@ def _build_mjpg_pool(n: int = 16) -> list[bytes]:
 
 
 _MJPG_POOL = _build_mjpg_pool()
+
+
+def _build_adpcm_pool(n: int = 16, n_samples: int = 256) -> list[bytes]:
+    """Pool of genuine IMA ADPCM WAVs (compressed audio, format tag 0x11)
+    with md5-derived sample values — the compressed-audio analogue of the
+    JPEG/MJPG pools."""
+    from nexus_forge_spark.functions import audiocodec
+
+    pool = []
+    for i in range(n):
+        raw = b"".join(
+            hashlib.md5(f"adpcm-pool-{i}-{j}".encode()).digest()
+            for j in range(n_samples * 2 // 16)
+        )
+        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        pool.append(audiocodec.encode_wav_adpcm(pcm, rate=16000))
+    return pool
+
+
+_ADPCM_POOL = _build_adpcm_pool()
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -217,6 +239,14 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         ),
     )
     is_mjpg_ref = F.pmod(F.xxhash64(ref, F.lit(15)), F.lit(4)) == 0
+    # 1/4 of audio refs carry genuine IMA ADPCM WAVs (compressed path)
+    adpcm_bytes = F.element_at(
+        F.array(*[F.lit(p) for p in _ADPCM_POOL]),
+        (F.pmod(F.xxhash64(ref, F.lit(17)), F.lit(len(_ADPCM_POOL))) + 1).cast(
+            "int"
+        ),
+    )
+    is_adpcm_ref = F.pmod(F.xxhash64(ref, F.lit(19)), F.lit(4)) == 0
     # audio payloads are REAL PCM16 mono WAVs: constant 44-byte RIFF header
     # (128 data bytes = 64 samples @ 16 kHz) + hash-derived sample bytes
     wav_header = (
@@ -261,6 +291,7 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         media_type.alias("media_type"),
         F.when(is_image & is_jpeg_ref, jpeg_bytes)
         .when(is_image, ppm_bytes)
+        .when(is_audio & is_adpcm_ref, adpcm_bytes)
         .when(is_audio, wav_bytes)
         .when(is_video & is_mjpg_ref, mjpg_bytes)
         .when(is_video, avi_bytes)

@@ -82,3 +82,34 @@ def test_silence_features():
     assert AC.rms_energy(arr) == 0.0
     assert AC.zero_crossing_rate(arr) == 0.0
     assert AC.spectral_centroid(arr, 16000) == 0.0
+
+
+def test_adpcm_roundtrip_tolerance():
+    t = np.linspace(0, 1, 1000)
+    sig = 0.4 * np.sin(2 * np.pi * 30 * t)
+    wav = AC.encode_wav_adpcm(sig, rate=8000)
+    dec, rate = AC.decode_wav(wav)
+    assert rate == 8000 and dec.shape == (1000, 1)
+    # 4-bit lossy codec: bound the error, and check the size win
+    assert np.abs(dec[:, 0] - sig).mean() < 0.02
+    assert len(wav) < len(AC.encode_wav(sig, 8000)) // 3
+
+
+def test_adpcm_fact_chunk_trims_pad_nibble():
+    sig = np.linspace(-0.5, 0.5, 7)  # even nibble count would give 8
+    dec, _ = AC.decode_wav(AC.encode_wav_adpcm(sig, rate=8000))
+    assert dec.shape == (7, 1)
+
+
+def test_adpcm_multiblock():
+    sig = np.sin(np.linspace(0, 40, 2000)) * 0.6
+    wav = AC.encode_wav_adpcm(sig, rate=16000, block_align=64)
+    dec, _ = AC.decode_wav(wav)
+    assert dec.shape == (2000, 1)
+    # block headers resync the predictor: error stays bounded across blocks
+    assert np.abs(dec[:, 0] - sig).max() < 0.2
+
+
+def test_adpcm_rejects_empty():
+    with pytest.raises(AC.AudioDecodeError):
+        AC.encode_wav_adpcm(np.zeros(0))

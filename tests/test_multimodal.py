@@ -191,19 +191,22 @@ def test_missing_content_raises_not_implemented(spark):
 
 
 def test_audio_features_real_wav_decode(spark, sf_dir):
-    """Synthetic audio payloads are genuine PCM16 WAVs; the feature stage
-    decodes them for real (decoded=True) with consistent duration/rate."""
+    """Synthetic audio payloads are genuine WAVs — 3/4 PCM16 (64 samples,
+    4 ms) and 1/4 IMA ADPCM compressed (256 samples, 16 ms); the feature
+    stage decodes BOTH for real (decoded=True)."""
     media = _media(spark, sf_dir)
     feats = MM.extract_audio_features(media)
-    rows = feats.limit(10).collect()
+    rows = feats.limit(60).collect()
     assert rows
     for r in rows:
         assert r.decoded is True
         assert r.sample_rate == 16000
-        assert r.duration_ms == 4  # 64 samples @ 16 kHz
+        assert r.duration_ms in (4, 16)  # PCM16 pool vs ADPCM pool
         assert 0.0 <= r.rms <= 1.0
         assert 0.0 <= r.zero_crossing_rate <= 1.0
         assert 0.0 <= r.spectral_centroid_hz <= 8000.0
+    durations = {r.duration_ms for r in rows}
+    assert durations == {4, 16}  # both codec paths exercised
 
 
 def test_audio_features_deterministic(spark, sf_dir):
