@@ -535,3 +535,87 @@ def decontaminate(
             ).alias("contaminated_ppm"),
         )
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality: dict | None = None,
+) -> DataFrame:
+    """The composed Dolma-style cleaning pipeline as ONE logical plan:
+    Gopher quality filter -> PII redaction -> corpus-level duplicate-
+    paragraph removal, emitting a per-document audit row (every input doc
+    appears, with the stage outcomes that applied to it).
+
+    Composition stays lazy: quality + redaction are map-side Column
+    expressions fused into the scan stage; the only shuffles are the
+    paragraph-dedup hash agg/join and the per-doc rebuild — Catalyst sees
+    the whole pipeline and prunes columns across stage boundaries.
+
+    Output: (doc_id, q_keep, n_tokens, n_pii, n_paragraphs, n_removed,
+    final_tokens, kept_final) — kept_final marks docs that survived the
+    filter AND still have text after global paragraph dedup.
+    """
+    q = gopher_quality_filter(df, text_col=text_col, **(quality or {}))
+    kept = q.where(F.col("keep")).select(id_col, text_col)
+    red = redact_pii(kept, text_col, id_col)
+    para = remove_duplicate_paragraphs(red, text_col, id_col)
+    final_toks = (
+        F.when(
+            F.col(text_col) != "",
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(
+            q.select(
+                id_col,
+                F.col("keep").alias("q_keep"),
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+            ),
+            id_col,
+            "left",
+        )
+        .join(
+            red.select(
+                id_col,
+                (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone"))
+                .cast("long")
+                .alias("n_pii"),
+            ),
+            id_col,
+            "left",
+        )
+        .join(
+            para.select(
+                id_col,
+                "n_paragraphs",
+                "n_removed",
+                final_toks.alias("final_tokens"),
+                (F.col(text_col) != "").alias("__nonempty"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("q_keep", F.lit(False)).alias("q_keep"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_pii", F.lit(0)).cast("long").alias("n_pii"),
+            F.coalesce("n_paragraphs", F.lit(0))
+            .cast("long")
+            .alias("n_paragraphs"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("final_tokens", F.lit(0))
+            .cast("long")
+            .alias("final_tokens"),
+            (
+                F.coalesce("q_keep", F.lit(False))
+                & F.coalesce("__nonempty", F.lit(False))
+            ).alias("kept_final"),
+        )
+    )

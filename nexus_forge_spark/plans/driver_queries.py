@@ -2358,6 +2358,129 @@ LEFT JOIN totals t USING (doc_id)
 LEFT JOIN hits h USING (doc_id)"""
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED Dolma-style cleaning pipeline in one plan: Gopher
+    quality filter -> PII redaction -> corpus-level duplicate-paragraph
+    removal, per-document audit output.  Input is the line-structured
+    corpus with deterministic PII seeded in, so every stage has real work.
+    Quality + redaction fuse into the scan stage; only the paragraph-dedup
+    election and the per-doc rebuild shuffle."""
+    from nexus_forge_spark.operators.curation import curate_corpus
+
+    docs = _line_docs(spark, sf_dir)
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(t, F.lit(" contact alice.smith@example.org now")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(t, F.lit(" call 555-123-4567"))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(t, F.lit(" from 192.168.1.100"))
+    ).otherwise(t)
+    seeded = docs.select("doc_id", t.alias("text"))
+    return curate_corpus(
+        seeded,
+        quality=dict(
+            min_tokens=QF_MIN_TOKENS,
+            max_tokens=QF_MAX_TOKENS,
+            min_mean_word_len=QF_MIN_MWL,
+            max_mean_word_len=QF_MAX_MWL,
+            min_stopword_hits=QF_MIN_STOPS,
+            min_alpha_word_ratio=QF_MIN_ALPHA,
+        ),
+    )
+
+
+_SEED_PII_SQL = """text
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' contact alice.smith@example.org now' ELSE '' END
+      || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.1.100' ELSE '' END"""
+
+
+def sql_curation_pipeline() -> str:
+    from nexus_forge_spark.operators.curation import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    masks = {name: mask for name, _, mask in PII_PATTERNS}
+    stops = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to", "in", "is"))
+    return rf"""WITH {_LINE_DOCS_SQL},
+seeded AS (
+  SELECT doc_id, {_SEED_PII_SQL} AS text FROM ldocs
+),
+fq AS (
+  SELECT doc_id, text,
+    len(string_split_regex(trim(lower(text)), '\s+')) AS n,
+    CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS ml,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        w -> w IN ({stops}))) AS sw,
+    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+      / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS aw
+  FROM seeded
+),
+rq AS (
+  SELECT doc_id, text, n,
+    (n >= {QF_MIN_TOKENS} AND n <= {QF_MAX_TOKENS}
+     AND ml >= {QF_MIN_MWL} AND ml <= {QF_MAX_MWL}
+     AND sw >= {QF_MIN_STOPS} AND aw >= {QF_MIN_ALPHA}) AS q_keep
+  FROM fq
+),
+red AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '{pats["email"]}', '{masks["email"]}', 'g'),
+        '{pats["ipv4"]}', '{masks["ipv4"]}', 'g'),
+      '{pats["phone"]}', '{masks["phone"]}', 'g') AS text,
+    len(regexp_extract_all(text, '{pats["email"]}'))
+      + len(regexp_extract_all(text, '{pats["ipv4"]}'))
+      + len(regexp_extract_all(text, '{pats["phone"]}')) AS n_pii
+  FROM rq WHERE q_keep
+),
+rawp AS (
+  SELECT doc_id,
+    unnest(string_split(text, chr(10))) AS para,
+    unnest(range(len(string_split(text, chr(10))))) AS pos
+  FROM red
+),
+p AS (
+  SELECT doc_id, pos, para, md5(para) AS h,
+         doc_id * 1000000 + pos AS okey
+  FROM rawp WHERE trim(para) <> ''
+),
+firstocc AS (SELECT h, min(okey) AS fo FROM p GROUP BY h),
+keptp AS (
+  SELECT p.doc_id, p.pos, p.para
+  FROM p JOIN firstocc f ON p.h = f.h AND p.okey = f.fo
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM keptp GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_paragraphs FROM p GROUP BY doc_id)
+SELECT s.doc_id,
+  coalesce(rq.q_keep, false) AS q_keep,
+  CAST(coalesce(rq.n, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(red.n_pii, 0) AS BIGINT) AS n_pii,
+  CAST(coalesce(t.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+  CAST(coalesce(t.n_paragraphs, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+    AS n_removed,
+  CAST(CASE WHEN coalesce(r.text, '') <> ''
+       THEN len(string_split_regex(trim(r.text), '\s+')) ELSE 0 END
+       AS BIGINT) AS final_tokens,
+  (coalesce(rq.q_keep, false) AND coalesce(r.text, '') <> '') AS kept_final
+FROM (SELECT doc_id FROM seeded) s
+LEFT JOIN rq USING (doc_id)
+LEFT JOIN red USING (doc_id)
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)"""
+
+
 SESSION_GAP_S = 600
 
 
@@ -3027,6 +3150,7 @@ QUERIES = {
     "dedup_components": (q_dedup_components, sql_dedup_components),
     "stream_window_counts": (q_stream_window_counts, sql_stream_window_counts),
     "stream_sessions": (q_stream_sessions, sql_stream_sessions),
+    "curation_pipeline": (q_curation_pipeline, sql_curation_pipeline),
     "pagerank_copurchase": (q_pagerank_copurchase, sql_pagerank_copurchase),
     "triangle_counts_neardup": (q_triangle_counts, sql_triangle_counts),
     "ann_pq_topk": (q_ann_pq, sql_ann_pq),

@@ -347,3 +347,40 @@ def test_decontaminate_distinct_grams_counted_once(spark):
     row = decontaminate(corpus, bench, n=3).collect()[0]
     assert row.n_grams == 3  # 'a b c', 'b c a', 'c a b' (distinct of 4)
     assert row.n_contaminated == 1
+
+
+def test_curate_corpus_composed_stages(spark):
+    from nexus_forge_spark.operators.curation import curate_corpus
+
+    rows = [
+        (1, "the alpha beta\ngamma delta"),   # clean keeper
+        (2, "x"),                             # fails min_tokens
+        (3, "the alpha beta\ngamma delta"),   # exact dup of 1 -> emptied
+        (4, "email bob@x.org the\nunique line"),  # PII + one shared word
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    q = dict(min_tokens=2, min_mean_word_len=0.0, max_mean_word_len=100.0,
+             min_stopword_hits=0, min_alpha_word_ratio=0.0)
+    out = {r.doc_id: r.asDict() for r in curate_corpus(df, quality=q).collect()}
+
+    assert out[1]["q_keep"] and out[1]["kept_final"]
+    assert out[1]["n_pii"] == 0 and out[1]["n_removed"] == 0
+    assert out[1]["final_tokens"] == 5
+
+    # quality reject: later stages never run for it
+    assert out[2] == {
+        "doc_id": 2, "q_keep": False, "n_tokens": 1, "n_pii": 0,
+        "n_paragraphs": 0, "n_removed": 0, "final_tokens": 0,
+        "kept_final": False,
+    }
+
+    # whole-corpus dup: doc 3 passes quality but loses every paragraph
+    assert out[3]["q_keep"] is True and out[3]["kept_final"] is False
+    assert out[3]["n_paragraphs"] == 2 and out[3]["n_removed"] == 2
+    assert out[3]["final_tokens"] == 0
+
+    # PII masked before dedup hashing; both paragraphs unique -> kept
+    assert out[4]["n_pii"] == 1 and out[4]["kept_final"] is True
+    assert out[4]["n_removed"] == 0
+    # '<EMAIL>' replaced the address: token count unchanged (3 + 2)
+    assert out[4]["final_tokens"] == 5
