@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 
 def plan_of(df, execute: bool = False) -> str:
     """Physical plan string; with execute=True the plan is run first so
@@ -176,3 +178,50 @@ def test_pagerank_iteration_no_cartesian(spark, sf01):
     plan = plan_of(q_pagerank_copurchase(spark, sf01))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_eliminates_exchange(spark, sf01):
+    """The co-located-join technique the scale docs claim: bucketBy the two
+    fact tables on the join key once at write time, and the join plans with
+    ZERO Exchange operators — the layout, not the optimizer, pays for the
+    shuffle.  (At 100 TB this is the difference between re-shuffling the
+    corpus per join and reading co-located buckets.)"""
+    from nexus_forge_spark.sources import load_table
+
+    import shutil
+
+    # managed tables land in ./spark-warehouse (repo cwd); DROP cleans up,
+    # and stale locations from an interrupted run are removed first
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    for stale in ("spark-warehouse/b_orders", "spark-warehouse/b_lineitem"):
+        shutil.rmtree(stale, ignore_errors=True)
+    load_table(spark, "orders", sf01).write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").format("parquet").saveAsTable("b_orders")
+    load_table(spark, "lineitem", sf01).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).format("parquet").saveAsTable("b_lineitem")
+    # sf0.01 tables fit the broadcast threshold, which would bypass the
+    # bucketed path entirely; force the SMJ planner like a 100 TB fact-fact
+    # join would
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = plan_of(joined)
+        assert "Exchange" not in plan  # bucketed scans co-locate both sides
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        # and the result is still right
+        n = joined.count()
+        assert n == load_table(spark, "lineitem", sf01).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
