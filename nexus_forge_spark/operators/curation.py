@@ -542,24 +542,36 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     quality: dict | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
-    """The composed Dolma-style cleaning pipeline as ONE logical plan:
-    Gopher quality filter -> PII redaction -> corpus-level duplicate-
-    paragraph removal, emitting a per-document audit row (every input doc
-    appears, with the stage outcomes that applied to it).
+    """The composed Dolma-style cleaning pipeline: Gopher quality filter ->
+    PII redaction -> corpus-level duplicate-paragraph removal, emitting a
+    per-document audit row (every input doc appears, with the stage
+    outcomes that applied to it).
 
-    Composition stays lazy: quality + redaction are map-side Column
-    expressions fused into the scan stage; the only shuffles are the
-    paragraph-dedup hash agg/join and the per-doc rebuild — Catalyst sees
-    the whole pipeline and prunes columns across stage boundaries.
+    The audit output fans each stage into several consumers (the quality
+    frame feeds both the keep-filter and the audit join; the redacted frame
+    feeds the audit n_pii column AND the paragraph dedup, which itself
+    scans its input three times for election/totals/rebuild).  Without a
+    barrier Catalyst would re-execute the regex/tokenize lineage once per
+    consumer — measured 4x wall time at sf0.1 — so ``materialize=True``
+    localCheckpoints the two reused stage outputs (the same measured
+    pattern as dedup.py's signature checkpoint; at production scale this
+    is where plans/checkpoint.py's durable stage boundary goes instead).
 
     Output: (doc_id, q_keep, n_tokens, n_pii, n_paragraphs, n_removed,
     final_tokens, kept_final) — kept_final marks docs that survived the
     filter AND still have text after global paragraph dedup.
     """
-    q = gopher_quality_filter(df, text_col=text_col, **(quality or {}))
+    q = gopher_quality_filter(df, text_col=text_col, **(quality or {})).select(
+        id_col, text_col, "keep", "n_tokens"
+    )
+    if materialize:
+        q = q.localCheckpoint(eager=True)
     kept = q.where(F.col("keep")).select(id_col, text_col)
     red = redact_pii(kept, text_col, id_col)
+    if materialize:
+        red = red.localCheckpoint(eager=True)
     para = remove_duplicate_paragraphs(red, text_col, id_col)
     final_toks = (
         F.when(

@@ -43,7 +43,12 @@ def pagerank(
     groupBy on dst.  Ranks stay (node, BIGINT) — 16 bytes/node.
     localCheckpoint per iteration truncates the 5-deep lineage.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize the loop-invariant frames once: every iteration reads the
+    # edge set and out-degrees, and without a barrier Catalyst re-derives
+    # them (including whatever join/distinct produced the edges) per round
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -52,7 +57,11 @@ def pagerank(
     )
     n = nodes.count()
     base = (PPM * (100 - damping_pct)) // (100 * n)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.select("node", F.lit(PPM // n).cast("long").alias("rank_micro"))
     for _ in range(iterations):
         contribs = (
@@ -89,6 +98,9 @@ def oriented_edges(
     two-path join fans out by sqrt(m)-ish, never by d^2 on a hot key.
     Output: (lo, hi) distinct, self-loops dropped.
     """
+    # the normalized edge set feeds the degree count AND both sides of the
+    # orientation join; checkpoint so an expensive upstream edge producer
+    # (e.g. a MinHash near-dup join) runs once, not once per branch
     und = (
         edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
         .where(F.col(a) != F.col(b))
@@ -96,6 +108,7 @@ def oriented_edges(
             F.greatest("x", "y").alias("p"), F.least("x", "y").alias("q")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sym = und.unionByName(
         und.select(F.col("q").alias("p"), F.col("p").alias("q"))
