@@ -477,7 +477,10 @@ def sample_video_frames(media: DataFrame, every_ms: int = 10000) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = [row for _, r in pdf.iterrows() for row in _rows_for(r)]
+            # to_dict('records') beats iterrows ~10x on per-row access
+            rows = [
+                row for r in pdf.to_dict("records") for row in _rows_for(r)
+            ]
             if rows:
                 yield pd.DataFrame(
                     rows,
@@ -490,20 +493,44 @@ def sample_video_frames(media: DataFrame, every_ms: int = 10000) -> DataFrame:
     return media.where(F.col("media_type") == "video").mapInPandas(batches, FRAME_SCHEMA)
 
 
+_FRAME_CACHE: dict[bytes, tuple] = {}
+_FRAME_CACHE_MAX = 64
+
+
+def _decode_all_frames(raw: bytes) -> tuple:
+    """Content-addressed AVI frame decode with a small per-executor cache.
+
+    Web-scale corpora duplicate media heavily (mirrored CDNs, reposts —
+    the reason the dedup family exists), so identical payloads recur
+    within and across Arrow batches; Motion-JPEG decode is the expensive
+    pure-numpy Huffman path, worth doing once per distinct payload.
+    Bounded FIFO eviction keeps executor memory flat."""
+    key = hashlib.md5(raw).digest()
+    hit = _FRAME_CACHE.get(key)
+    if hit is not None:
+        return hit
+    info = videocodec.parse_avi(raw)
+    frames = [
+        videocodec.decode_frame(raw, i, info).astype(np.float64)
+        for i in range(info["n_frames"])
+    ]
+    if len(_FRAME_CACHE) >= _FRAME_CACHE_MAX:
+        _FRAME_CACHE.pop(next(iter(_FRAME_CACHE)))
+    _FRAME_CACHE[key] = (info, frames)
+    return info, frames
+
+
 def extract_video_features(media: DataFrame) -> DataFrame:
     """Arrow-batched video feature extraction: container geometry, frame
     count/rate, mean luma over all frames, and motion (mean absolute
-    inter-frame pixel delta).  REAL for uncompressed AVI; other containers
-    produce deterministic hash pseudo-features with decoded=False."""
+    inter-frame pixel delta).  REAL for uncompressed and Motion-JPEG AVI;
+    other containers produce deterministic hash pseudo-features with
+    decoded=False."""
 
     def _one(r) -> tuple:
         raw = bytes(r["content"])
         if videocodec.sniff_avi(raw):
-            info = videocodec.parse_avi(raw)
-            frames = [
-                videocodec.decode_frame(raw, i, info).astype(np.float64)
-                for i in range(info["n_frames"])
-            ]
+            info, frames = _decode_all_frames(raw)
             luma = float(np.mean([f.mean() for f in frames]) / 255.0)
             motion = (
                 float(
@@ -534,7 +561,7 @@ def extract_video_features(media: DataFrame) -> DataFrame:
             if len(pdf) == 0:
                 continue
             yield pd.DataFrame(
-                [_one(r) for _, r in pdf.iterrows()],
+                [_one(r) for r in pdf.to_dict("records")],
                 columns=[
                     "doc_id", "media_ref", "n_frames", "fps", "width",
                     "height", "mean_luma", "motion", "decoded",
