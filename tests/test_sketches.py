@@ -1,0 +1,127 @@
+"""Mergeable-sketch operators: HLL / KMV / CountMin unit + property tests.
+
+The estimator parity vs DuckDB is covered by the contract queries
+(hll_distinct_bigrams / kmv_corpus_jaccard / cms_heavy_hitters); these
+tests pin the sketch ALGEBRA — merge associativity, one-sided error,
+exactness regimes — on hand-built inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nexus_forge_spark.operators import sketches as SK
+
+
+def _values(spark, vals, col="v"):
+    return spark.createDataFrame([(v,) for v in vals], f"{col} string")
+
+
+# ------------------------------------------------------------------- HLL
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    a = _values(spark, [f"a{i}" for i in range(500)])
+    b = _values(spark, [f"b{i}" for i in range(300)] + [f"a{i}" for i in range(100)])
+    sa = SK.hll_sketch(a, "v", precision=7)
+    sb = SK.hll_sketch(b, "v", precision=7)
+    merged = SK.hll_merge(sa.unionByName(sb))
+    direct = SK.hll_sketch(a.unionByName(b), "v", precision=7)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_hll_estimate_within_error_bound(spark):
+    n = 2000
+    df = _values(spark, [f"item-{i}" for i in range(n)])
+    est = SK.hll_estimate(SK.hll_sketch(df, "v", precision=7), precision=7).collect()[0]
+    # RSE for m=128 is ~1.04/sqrt(128) ~ 9.2%; allow 4 sigma
+    assert abs(est["est_distinct"] - n) / n < 0.37
+
+
+def test_hll_estimate_deterministic_and_grouped(spark):
+    df = spark.createDataFrame(
+        [("g1", f"x{i}") for i in range(400)] + [("g2", f"x{i}") for i in range(50)],
+        "g string, v string",
+    )
+    regs = SK.hll_sketch(df, "v", ["g"], precision=7)
+    out = {r["g"]: r["est_distinct"] for r in SK.hll_estimate(regs, ["g"], precision=7).collect()}
+    out2 = {r["g"]: r["est_distinct"] for r in SK.hll_estimate(regs, ["g"], precision=7).collect()}
+    assert out == out2
+    assert out["g1"] > out["g2"] > 0
+
+
+# ------------------------------------------------------------------- KMV
+
+def test_kmv_exact_below_k(spark):
+    df = _values(spark, [f"v{i}" for i in range(40)] * 3)  # 40 distinct, dup rows
+    sig = SK.kmv_signature(df, "v", k=64)
+    assert sig.count() == 40
+    est = SK.kmv_distinct_estimate(sig, k=64).collect()[0]["est_distinct"]
+    assert est == 40
+
+
+def test_kmv_estimate_above_k(spark):
+    n = 3000
+    df = _values(spark, [f"v{i}" for i in range(n)])
+    sig = SK.kmv_signature(df, "v", k=128)
+    assert sig.count() == 128
+    est = SK.kmv_distinct_estimate(sig, k=128).collect()[0]["est_distinct"]
+    assert abs(est - n) / n < 0.35  # RSE ~ 1/sqrt(k-2) ~ 9%, 4 sigma
+
+
+def test_kmv_jaccard_identical_and_disjoint(spark):
+    a = _values(spark, [f"v{i}" for i in range(200)])
+    sig_a = SK.kmv_signature(a, "v", k=64)
+    same = SK.kmv_jaccard(sig_a, sig_a, k=64).collect()[0]
+    assert same["jaccard_ppm"] == 1_000_000
+    b = _values(spark, [f"w{i}" for i in range(200)])
+    sig_b = SK.kmv_signature(b, "v", k=64)
+    disj = SK.kmv_jaccard(sig_a, sig_b, k=64).collect()[0]
+    assert disj["n_both"] == 0 and disj["jaccard_ppm"] == 0
+
+
+def test_kmv_jaccard_half_overlap(spark):
+    a = _values(spark, [f"v{i}" for i in range(600)])
+    b = _values(spark, [f"v{i}" for i in range(300, 900)])  # true J = 300/900 = 1/3
+    ja = SK.kmv_jaccard(
+        SK.kmv_signature(a, "v", k=128), SK.kmv_signature(b, "v", k=128), k=128
+    ).collect()[0]
+    assert 0.33 - 0.18 < ja["jaccard_ppm"] / 1e6 < 0.33 + 0.18
+
+
+# -------------------------------------------------------------- CountMin
+
+def test_cms_one_sided_error_and_row_sums(spark):
+    rows = [("hot",)] * 500 + [(f"cold{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string")
+    sketch = SK.countmin_sketch(df, "v", depth=4, width=64)
+    # every row of the sketch preserves total mass
+    per_row = {r["row"]: r["s"] for r in sketch.groupBy("row").agg(F.sum("cnt").alias("s")).collect()}
+    assert per_row == {0: 700, 1: 700, 2: 700, 3: 700}
+    cand = spark.createDataFrame([("hot",), ("cold0",), ("absent",)], "v string")
+    est = {r["v"]: r["cms_est"] for r in SK.countmin_lookup(sketch, cand, "v", depth=4, width=64).collect()}
+    assert est["hot"] >= 500  # one-sided: never underestimates
+    assert est["cold0"] >= 1
+    # the absent key may collide but is bounded by eps * N (here generous)
+    assert est["absent"] <= 700
+
+
+def test_cms_merge_is_sum(spark):
+    a = spark.createDataFrame([("x",)] * 10 + [("y",)] * 5, "v string")
+    b = spark.createDataFrame([("x",)] * 7 + [("z",)] * 3, "v string")
+    sa = SK.countmin_sketch(a, "v", depth=2, width=32)
+    sb = SK.countmin_sketch(b, "v", depth=2, width=32)
+    merged = (
+        sa.unionByName(sb).groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = SK.countmin_sketch(a.unionByName(b), "v", depth=2, width=32)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_cms_weighted_counts(spark):
+    df = spark.createDataFrame([("x", 5), ("x", 7), ("y", 2)], "v string, w int")
+    sketch = SK.countmin_sketch(df, "v", weight_col="w", depth=3, width=32)
+    cand = spark.createDataFrame([("x",), ("y",)], "v string")
+    est = {r["v"]: r["cms_est"] for r in SK.countmin_lookup(sketch, cand, "v", depth=3, width=32).collect()}
+    assert est["x"] >= 12 and est["y"] >= 2
