@@ -134,3 +134,62 @@ def asof_join(
         ],
     )
     return carried.where(F.col("__tag") == 1).drop("__tag")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_us: int = 3_600_000_000,
+    lprefix: str = "l_",
+    rprefix: str = "r_",
+) -> DataFrame:
+    """Interval overlap (range) join: all (left, right) pairs with the same
+    key whose closed integer intervals [start, end] overlap.
+
+    A raw range-predicate join rejects Spark's equi-hash path and degrades
+    to a per-key cross product.  This is the bucketed-interval plan: each
+    interval explodes into the fixed-width buckets it covers, the join is
+    an equi-join on (key, bucket), and the true overlap predicate filters
+    afterwards.  A pair covering several common buckets would be emitted
+    once per bucket; the exact-once guard keeps only the FIRST bucket both
+    intervals cover — ``bucket == greatest(l.start, r.start) div W`` — so
+    no distinct pass is needed.
+
+    Scale posture: shuffle keys are (key, bucket), so time-skew spreads
+    across buckets; explode fan-out is span/W + 1 rows per interval —
+    pick ``bucket_us`` near the typical interval span so the fan-out is
+    O(1) per row (for session intervals, the session gap is a natural
+    width).  ``div`` keeps bucket arithmetic integral (no double rounding
+    at large epoch-microsecond magnitudes).
+    """
+    def bucketed(df: DataFrame, prefix: str) -> DataFrame:
+        payload = [F.col(c).alias(f"{prefix}{c}") for c in df.columns if c != key_col]
+        return df.select(
+            F.col(key_col),
+            *payload,
+            F.explode(
+                F.sequence(
+                    F.expr(f"{start_col} div {bucket_us}"),
+                    F.expr(f"{end_col} div {bucket_us}"),
+                )
+            ).alias("__bucket"),
+        )
+
+    l = bucketed(left, lprefix)
+    r = bucketed(right, rprefix)
+    ls, le = f"{lprefix}{start_col}", f"{lprefix}{end_col}"
+    rs, re_ = f"{rprefix}{start_col}", f"{rprefix}{end_col}"
+    overlap = (F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le))
+    first_common = F.expr(f"greatest({ls}, {rs}) div {bucket_us}") == F.col("__bucket")
+    return (
+        l.join(r, [key_col, "__bucket"])
+        .where(overlap & first_common)
+        .drop("__bucket")
+        .withColumn(
+            "overlap_us",
+            F.least(F.col(le), F.col(re_)) - F.greatest(F.col(ls), F.col(rs)),
+        )
+    )

@@ -3086,6 +3086,74 @@ SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id
 FROM reach GROUP BY n"""
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join without a range predicate reaching the planner:
+    per-user view-sessions x purchase-sessions that overlap in time, via
+    the bucketed-interval equi-join (operators/events.py
+    interval_overlap_join) — (user, hour-bucket) hash join + post-filter
+    + exact-once first-common-bucket guard.  The DuckDB oracle runs the
+    naive inequality join; matching hashes prove the bucketed plan loses
+    no pair and duplicates none."""
+    from nexus_forge_spark.operators.events import (
+        interval_overlap_join,
+        session_stats,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+
+    def sessions(etype: str) -> DataFrame:
+        return session_stats(
+            ev.where(F.col("event_type") == etype), gap_seconds=SESSION_GAP_S
+        ).select("user_id", "session_idx", "start_us", "end_us")
+
+    out = interval_overlap_join(
+        sessions("view"), sessions("purchase"), "user_id",
+        bucket_us=3_600_000_000,
+    )
+    return out.select(
+        "user_id",
+        F.col("l_session_idx").alias("view_idx"),
+        F.col("r_session_idx").alias("purchase_idx"),
+        F.col("l_start_us").alias("view_start_us"),
+        F.col("r_start_us").alias("purchase_start_us"),
+        F.col("overlap_us").cast("long").alias("overlap_us"),
+    )
+
+
+def sql_interval_overlap() -> str:
+    gap_us = SESSION_GAP_S * 1_000_000
+    return f"""WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+lagd AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id, event_type
+                          ORDER BY us, event_id) AS pus
+  FROM e
+),
+flg AS (
+  SELECT *, CASE WHEN pus IS NULL OR us - pus > {gap_us} THEN 1 ELSE 0 END AS ns
+  FROM lagd
+),
+sess AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM flg
+),
+roll AS (
+  SELECT user_id, event_type, CAST(session_idx AS BIGINT) AS session_idx,
+         min(us) AS start_us, max(us) AS end_us
+  FROM sess GROUP BY user_id, event_type, session_idx
+)
+SELECT v.user_id, v.session_idx AS view_idx, p.session_idx AS purchase_idx,
+  v.start_us AS view_start_us, p.start_us AS purchase_start_us,
+  CAST(least(v.end_us, p.end_us) - greatest(v.start_us, p.start_us) AS BIGINT)
+    AS overlap_us
+FROM roll v JOIN roll p
+  ON v.user_id = p.user_id AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND v.start_us <= p.end_us AND p.start_us <= v.end_us"""
+
+
 # ------------------------------------------------------------ sketch family
 
 _BIGRAM_SQL = """bigrams AS (
@@ -3347,6 +3415,7 @@ QUERIES = {
     "unigram_nll": (q_unigram_nll, sql_unigram_nll),
     "bm25_search": (q_bm25_search, sql_bm25_search),
     "semantic_dedup": (q_semantic_dedup, sql_semantic_dedup),
+    "interval_overlap_sessions": (q_interval_overlap, sql_interval_overlap),
     "hll_distinct_bigrams": (q_hll_distinct, sql_hll_distinct),
     "kmv_corpus_jaccard": (q_kmv_jaccard, sql_kmv_jaccard),
     "cms_heavy_hitters": (q_cms_heavy_hitters, sql_cms_heavy_hitters),

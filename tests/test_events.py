@@ -146,3 +146,74 @@ def test_sessionize_and_asof_randomized_vs_bruteforce(spark):
             cand = [(rt, re) for rt, re in rights.get(u, []) if rt <= ts]
             expect_asof[e] = max(cand)[1] if cand else None
     assert out == expect_asof
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, session_idx long, start_us long, end_us long"
+    )
+
+
+def test_interval_overlap_basic_and_exact_once(spark):
+    from nexus_forge_spark.operators.events import interval_overlap_join
+
+    W = 100
+    # left interval spans buckets 0..5; right spans 2..7 -> 4 common buckets
+    # but the pair must be emitted exactly once
+    left = _iv(spark, [(1, 0, 10, 550)])
+    right = _iv(spark, [(1, 0, 240, 760)])
+    out = interval_overlap_join(left, right, "user_id", bucket_us=W).collect()
+    assert len(out) == 1
+    assert out[0]["overlap_us"] == 550 - 240
+
+
+def test_interval_overlap_touching_and_disjoint(spark):
+    from nexus_forge_spark.operators.events import interval_overlap_join
+
+    left = _iv(spark, [(1, 0, 0, 100), (1, 1, 500, 600)])
+    right = _iv(spark, [(1, 0, 100, 200),   # touches closed end -> overlap
+                        (1, 1, 300, 499),   # disjoint
+                        (2, 0, 0, 1000)])   # different key
+    out = interval_overlap_join(left, right, "user_id", bucket_us=50).collect()
+    assert len(out) == 1
+    assert (out[0]["l_session_idx"], out[0]["r_session_idx"]) == (0, 0)
+    assert out[0]["overlap_us"] == 0
+
+
+def test_interval_overlap_randomized_vs_naive(spark):
+    import random
+
+    from pyspark.sql import functions as F
+    from nexus_forge_spark.operators.events import interval_overlap_join
+
+    rng = random.Random(7)
+    def mk(n, idx0):
+        rows = []
+        for i in range(n):
+            u = rng.randint(1, 5)
+            s = rng.randint(0, 2000)
+            rows.append((u, idx0 + i, s, s + rng.randint(0, 400)))
+        return rows
+
+    left, right = _iv(spark, mk(60, 0)), _iv(spark, mk(60, 1000))
+    for w in (37, 100, 1000, 10_000):  # incl. W >> span and W << span
+        got = {
+            (r["user_id"], r["l_session_idx"], r["r_session_idx"], r["overlap_us"])
+            for r in interval_overlap_join(left, right, "user_id", bucket_us=w).collect()
+        }
+        naive = {
+            (r["user_id"], r["li"], r["ri"], r["ov"])
+            for r in left.alias("l")
+            .join(right.alias("r"), "user_id")
+            .where((F.col("l.start_us") <= F.col("r.end_us"))
+                   & (F.col("r.start_us") <= F.col("l.end_us")))
+            .select(
+                "user_id",
+                F.col("l.session_idx").alias("li"),
+                F.col("r.session_idx").alias("ri"),
+                (F.least("l.end_us", "r.end_us")
+                 - F.greatest("l.start_us", "r.start_us")).alias("ov"),
+            )
+            .collect()
+        }
+        assert got == naive, f"bucket width {w}"
