@@ -163,3 +163,44 @@ def triangle_counts(
         "node",
         F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
     )
+
+
+def khop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Minimum-hop BFS distances from a seed set, capped at ``max_hops``:
+    returns (node, dist) with dist = min #edges from any seed (seeds at 0).
+
+    Level-synchronous frontier expansion: each hop is one equi-join of the
+    frontier onto the edge table (shuffle on the node key — bucket the
+    edge table by src on a real cluster so every hop reuses the layout)
+    plus a left-anti join against the visited set, so a node is expanded
+    exactly once no matter how many paths reach it — the work per hop is
+    O(edges touched), never O(paths).  localCheckpoint per hop truncates
+    the growing lineage (the round-N plan would otherwise re-derive every
+    earlier frontier).  Fixed ``max_hops`` keeps the driver loop free of
+    per-iteration count() actions.
+    """
+    frontier = seeds.select(F.col(node).alias("node")).distinct().withColumn(
+        "dist", F.lit(0).cast("int")
+    )
+    visited = frontier.localCheckpoint(eager=True)
+    frontier = visited
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -3086,6 +3086,64 @@ SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id
 FROM reach GROUP BY n"""
 
 
+_KHOP_HOPS = 3
+
+
+def q_khop_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS distances (<= 3) over the undirected customer<->part
+    co-purchase graph, seeded from nation-0 customers.  Level-synchronous
+    frontier joins with visited-set anti-joins: each node expands once
+    regardless of path multiplicity.  Oracle: DuckDB recursive CTE with
+    UNION dedup + min(dist) — matching hashes prove the iterative Spark
+    plan computes the same fixed point."""
+    from nexus_forge_spark.operators.graph import khop_distances
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    fwd = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_partkey") + PART_NODE_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        load_table(spark, "customer", sf_dir)
+        .where(F.col("c_nationkey") == 0)
+        .select(F.col("c_custkey").alias("node"))
+    )
+    return khop_distances(edges, seeds, max_hops=_KHOP_HOPS).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+def sql_khop_copurchase() -> str:
+    return f"""WITH RECURSIVE fwd AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_partkey + {PART_NODE_OFFSET} AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+),
+seeds AS (
+  SELECT c_custkey AS node FROM customer WHERE c_nationkey = 0
+),
+walk AS (
+  SELECT node, 0 AS dist FROM seeds
+  UNION
+  SELECT e.dst AS node, w.dist + 1 AS dist
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {_KHOP_HOPS}
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS INT) AS dist
+FROM walk GROUP BY node"""
+
+
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval/range join without a range predicate reaching the planner:
     per-user view-sessions x purchase-sessions that overlap in time, via
@@ -3416,6 +3474,7 @@ QUERIES = {
     "bm25_search": (q_bm25_search, sql_bm25_search),
     "semantic_dedup": (q_semantic_dedup, sql_semantic_dedup),
     "interval_overlap_sessions": (q_interval_overlap, sql_interval_overlap),
+    "khop_copurchase": (q_khop_copurchase, sql_khop_copurchase),
     "hll_distinct_bigrams": (q_hll_distinct, sql_hll_distinct),
     "kmv_corpus_jaccard": (q_kmv_jaccard, sql_kmv_jaccard),
     "cms_heavy_hitters": (q_cms_heavy_hitters, sql_cms_heavy_hitters),

@@ -48,3 +48,34 @@ def test_oriented_edges_each_edge_once_and_acyclic(spark):
     assert len(rows) == len(set(rows)) == 3  # 3 distinct undirected edges
     # orientation is a total order (degree, id): no 2-cycles possible
     assert not {(h, l) for l, h in rows} & set(rows)
+
+
+def test_khop_path_graph(spark):
+    from nexus_forge_spark.operators.graph import khop_distances
+
+    # path 1-2-3-4-5, directed; seed {1}; cap 3
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {(r["node"], r["dist"]) for r in khop_distances(e, seeds, 3).collect()}
+    assert got == {(1, 0), (2, 1), (3, 2), (4, 3)}
+
+
+def test_khop_min_dist_and_cycles(spark):
+    from nexus_forge_spark.operators.graph import khop_distances
+
+    # diamond + cycle back: 1->2, 1->3, 2->4, 3->4, 4->1; two paths to 4
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 1)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {(r["node"], r["dist"]) for r in khop_distances(e, seeds, 5).collect()}
+    assert got == {(1, 0), (2, 1), (3, 1), (4, 2)}  # node 4 once, at min dist
+
+
+def test_khop_multi_seed_and_isolated_seed(spark):
+    from nexus_forge_spark.operators.graph import khop_distances
+
+    e = spark.createDataFrame([(1, 2), (10, 11)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (10,), (99,)], "node long")
+    got = {(r["node"], r["dist"]) for r in khop_distances(e, seeds, 2).collect()}
+    assert got == {(1, 0), (10, 0), (99, 0), (2, 1), (11, 1)}
