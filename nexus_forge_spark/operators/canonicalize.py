@@ -171,3 +171,58 @@ def canonicalize_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
         .withColumn("subj", F.coalesce(F.col("_sc"), F.col("subj")))
         .drop("_o", "_oc", "_s", "_sc")
     )
+
+
+def incremental_components(
+    mapping: DataFrame, new_edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Incremental canonicalization: fold a batch of NEW sameAs edges into
+    an existing (entity_id, canonical_id) mapping without recomputing the
+    whole graph.
+
+    Connected components are closed under star-replacement: the components
+    of (star(old components) ∪ new_edges) equal those of
+    (old_edges ∪ new_edges).  So only the components the delta touches are
+    re-solved:
+
+      1. touched roots = old canonical ids of the delta's endpoints
+         (endpoints unknown to the mapping are new singleton roots);
+      2. affected = full membership of those components (semi-join of the
+         mapping on its canonical_id against the BROADCAST root set — the
+         delta neighbourhood is small by assumption, so the big mapping
+         never shuffles);
+      3. re-run large-star/small-star on (affected star edges ∪ delta);
+      4. splice: untouched mapping rows pass through via an anti-join.
+
+    At 10^12-document scale this turns nightly re-canonicalization from
+    O(corpus) into O(delta neighbourhood): the only full-table operations
+    are one broadcast semi-join and one broadcast anti-join, both
+    map-side.  Equality with a full recompute is pinned by a randomized
+    differential test (test_canonicalize_star.py).
+    """
+    touched = (
+        new_edges.select(F.col("a").alias("entity_id"))
+        .unionByName(new_edges.select(F.col("b").alias("entity_id")))
+        .distinct()
+    )
+    touched_roots = (
+        touched.join(mapping, "entity_id", "left")
+        .select(F.coalesce("canonical_id", "entity_id").alias("root"))
+        .distinct()
+    )
+    affected = mapping.join(
+        F.broadcast(touched_roots),
+        mapping["canonical_id"] == touched_roots["root"],
+        "left_semi",
+    ).localCheckpoint(eager=True)
+    star = affected.where(F.col("entity_id") != F.col("canonical_id")).select(
+        F.col("entity_id").alias("a"), F.col("canonical_id").alias("b")
+    )
+    sub_nodes = affected.select("entity_id").unionByName(touched).distinct()
+    relabeled = connected_components(
+        star.unionByName(new_edges.select("a", "b")), sub_nodes, max_iter
+    )
+    untouched = mapping.join(
+        F.broadcast(relabeled.select("entity_id")), "entity_id", "left_anti"
+    )
+    return untouched.unionByName(relabeled)

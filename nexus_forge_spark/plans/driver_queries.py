@@ -3086,6 +3086,36 @@ SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id
 FROM reach GROUP BY n"""
 
 
+def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental canonicalization: components are first built over the
+    original-docs near-dup edges only, then the mutant-involving edges
+    arrive as a delta and are folded in with incremental_components —
+    re-solving ONLY the touched components (broadcast semi/anti joins, the
+    full mapping never shuffles).  The oracle recomputes components over
+    ALL edges from scratch; matching hashes prove incremental == full."""
+    from nexus_forge_spark.operators.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    pairs = q_dedup_minhash(spark, sf_dir).select("a", "b").localCheckpoint(
+        eager=True
+    )
+    is_delta = (F.col("a") >= 1000000) | (F.col("b") >= 1000000)
+    base, delta = pairs.where(~is_delta), pairs.where(is_delta)
+    mapping0 = connected_components(base)
+    out = incremental_components(mapping0, delta)
+    return out.select(
+        F.col("entity_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+def sql_kg_incremental() -> str:
+    # the whole point: the incremental result must equal a full recompute
+    return sql_dedup_components()
+
+
 _KHOP_HOPS = 3
 
 
@@ -3475,6 +3505,7 @@ QUERIES = {
     "semantic_dedup": (q_semantic_dedup, sql_semantic_dedup),
     "interval_overlap_sessions": (q_interval_overlap, sql_interval_overlap),
     "khop_copurchase": (q_khop_copurchase, sql_khop_copurchase),
+    "kg_incremental_canonical": (q_kg_incremental, sql_kg_incremental),
     "hll_distinct_bigrams": (q_hll_distinct, sql_hll_distinct),
     "kmv_corpus_jaccard": (q_kmv_jaccard, sql_kmv_jaccard),
     "cms_heavy_hitters": (q_cms_heavy_hitters, sql_cms_heavy_hitters),

@@ -39,3 +39,78 @@ def test_star_handles_long_path(spark):
 
 def test_star_self_loops_and_isolated(spark):
     _check(spark, [("x", "x"), ("y", "z")], ["x", "y", "z", "w"])
+
+
+def test_incremental_merges_two_components(spark):
+    from nexus_forge_spark.operators.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    base = spark.createDataFrame([(2, 1), (3, 2), (10, 11), (11, 12)], "a long, b long")
+    mapping0 = connected_components(base)
+    # bridge the two components + attach a brand-new node 99-12
+    delta = spark.createDataFrame([(3, 10), (99, 12)], "a long, b long")
+    got = {
+        (r["entity_id"], r["canonical_id"])
+        for r in incremental_components(mapping0, delta).collect()
+    }
+    full = {
+        (r["entity_id"], r["canonical_id"])
+        for r in connected_components(base.unionByName(delta)).collect()
+    }
+    assert got == full
+    assert {c for _, c in got} == {1}  # everything collapsed to min id 1
+
+
+def test_incremental_leaves_untouched_components_alone(spark):
+    from pyspark.sql import functions as F
+    from nexus_forge_spark.operators.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    base = spark.createDataFrame(
+        [(2, 1), (20, 21), (30, 31)], "a long, b long"
+    )
+    mapping0 = connected_components(base)
+    delta = spark.createDataFrame([(21, 22)], "a long, b long")
+    out = incremental_components(mapping0, delta)
+    untouched = {
+        (r["entity_id"], r["canonical_id"])
+        for r in out.where(F.col("entity_id").isin(1, 2, 30, 31)).collect()
+    }
+    assert untouched == {(1, 1), (2, 1), (30, 30), (31, 30)}
+    merged = {
+        (r["entity_id"], r["canonical_id"])
+        for r in out.where(F.col("entity_id").isin(20, 21, 22)).collect()
+    }
+    assert merged == {(20, 20), (21, 20), (22, 20)}
+
+
+def test_incremental_randomized_equals_full_recompute(spark):
+    import random
+
+    from nexus_forge_spark.operators.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        edges = [
+            (rng.randint(1, 40), rng.randint(1, 40)) for _ in range(50)
+        ]
+        cut = rng.randint(0, len(edges))
+        base = spark.createDataFrame(edges[:cut] or [(0, 0)], "a long, b long")
+        delta = spark.createDataFrame(edges[cut:] or [(0, 0)], "a long, b long")
+        mapping0 = connected_components(base)
+        got = {
+            (r["entity_id"], r["canonical_id"])
+            for r in incremental_components(mapping0, delta).collect()
+        }
+        full = {
+            (r["entity_id"], r["canonical_id"])
+            for r in connected_components(base.unionByName(delta)).collect()
+        }
+        assert got == full, f"trial {trial}"
