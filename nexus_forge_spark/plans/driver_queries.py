@@ -3116,6 +3116,114 @@ def sql_kg_incremental() -> str:
     return sql_dedup_components()
 
 
+# ------------------------------------------------------------------- BPE
+
+_BPE_MERGES = 16
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (operators/bpe.py): one
+    corpus-wide shuffle to the word-frequency table, then 16 merge
+    iterations, each a pair-count aggregation over that small table plus a
+    single-row argmax collect.  Returns the learned merge table; the
+    oracle replays the SAME algorithm as 16 unrolled SQL iterations
+    (pair-zip CTE + argmax CTE + list_reduce merge application per step),
+    so matching hashes pin the full iterative training trajectory —
+    including the (freq desc, pair asc) tie-break — across engines."""
+    from nexus_forge_spark.operators.bpe import bpe_train, word_frequencies
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = bpe_train(word_frequencies(docs), _BPE_MERGES)
+    rows = [(i + 1, l, r, f) for i, (l, r, f) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, lhs string, rhs string, freq bigint"
+    )
+
+
+def _bpe_train_ctes(k: int) -> str:
+    """Unrolled-iteration DuckDB CTE chain for BPE training: w{i} is the
+    word-frequency table tokenized under the first i merges, p{i} the
+    argmax pair learned at step i.  Merge application is a greedy
+    left-to-right list_reduce over the token list — provably the same
+    one-pass scan as the Spark lookaround-regex pass (tests/test_bpe.py
+    pins both against a pure-Python reference)."""
+    parts = [
+        r"""bpe_words AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word)""",
+        r"""w0 AS MATERIALIZED (
+  SELECT word,
+         list_append(string_split(word, '')[1:length(word)-1],
+                     word[-1] || '</w>') AS toks,
+         cnt
+  FROM bpe_words)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT u.z[1] AS lhs, u.z[2] AS rhs, CAST(sum(cnt) AS BIGINT) AS freq
+  FROM w{i - 1}, UNNEST(list_zip(toks, toks[2:])) AS u(z)
+  WHERE u.z[2] IS NOT NULL
+  GROUP BY 1, 2 ORDER BY freq DESC, lhs, rhs LIMIT 1)"""
+        )
+        parts.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT word, string_split(list_reduce(toks, (acc, x) -> CASE
+    WHEN (acc = p.lhs OR ends_with(acc, ' ' || p.lhs)) AND x = p.rhs
+    THEN substr(acc, 1, length(acc) - length(p.lhs)) || p.lhs || p.rhs
+    ELSE acc || ' ' || x END), ' ') AS toks, cnt
+  FROM w{i - 1} CROSS JOIN p{i} AS p)"""
+        )
+    return ",\n".join(parts)
+
+
+def sql_bpe_train() -> str:
+    selects = "\nUNION ALL ".join(
+        f"SELECT {i} AS rank, lhs, rhs, freq FROM p{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+    return "WITH " + _bpe_train_ctes(_BPE_MERGES) + "\n" + selects
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE corpus encoding via distinct-word factoring: the 16-merge chain
+    (16 chained native regexp_replace calls, one codegen projection) runs
+    once per DISTINCT word; a broadcast join fans token counts back out to
+    occurrences and aggregates per document.  The oracle re-trains with
+    the unrolled CTE chain and joins its final w16 tokenization the same
+    way."""
+    from nexus_forge_spark.operators.bpe import (
+        bpe_token_counts,
+        bpe_train,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = bpe_train(word_frequencies(docs), _BPE_MERGES)
+    out = bpe_token_counts(docs, merges)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_bpe_tokens"
+    )
+
+
+def sql_bpe_encode() -> str:
+    k = _BPE_MERGES
+    return (
+        "WITH "
+        + _bpe_train_ctes(k)
+        + f""",
+doc_words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(sum(len(v.toks)) AS BIGINT) AS n_bpe_tokens
+FROM doc_words JOIN w{k} AS v USING (word)
+GROUP BY doc_id"""
+    )
+
+
 _KHOP_HOPS = 3
 
 
@@ -3506,6 +3614,8 @@ QUERIES = {
     "interval_overlap_sessions": (q_interval_overlap, sql_interval_overlap),
     "khop_copurchase": (q_khop_copurchase, sql_khop_copurchase),
     "kg_incremental_canonical": (q_kg_incremental, sql_kg_incremental),
+    "bpe_train_merges": (q_bpe_train, sql_bpe_train),
+    "bpe_encode_tokens": (q_bpe_encode, sql_bpe_encode),
     "hll_distinct_bigrams": (q_hll_distinct, sql_hll_distinct),
     "kmv_corpus_jaccard": (q_kmv_jaccard, sql_kmv_jaccard),
     "cms_heavy_hitters": (q_cms_heavy_hitters, sql_cms_heavy_hitters),

@@ -1,0 +1,168 @@
+"""Differential tests: distributed BPE (operators/bpe.py) vs a pure-Python
+reference implementation of the classic algorithm (Sennrich et al. 2016 —
+count adjacent symbol pairs over a word-frequency table, merge the argmax,
+repeat; one-pass left-to-right merge application per rule)."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexus_forge_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_token_counts,
+    bpe_tokens,
+    bpe_train,
+    word_frequencies,
+)
+
+
+# --- pure-Python reference ------------------------------------------------
+
+
+def ref_symbolize(word: str) -> tuple[str, ...]:
+    return tuple(word[:-1]) + (word[-1] + END_OF_WORD,)
+
+
+def ref_merge_word(word: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    first, second = pair
+    out: list[str] = []
+    i = 0
+    while i < len(word):
+        if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+            out.append(first + second)
+            i += 2
+        else:
+            out.append(word[i])
+            i += 1
+    return tuple(out)
+
+
+def ref_train(
+    word_counts: dict[str, int], num_merges: int
+) -> list[tuple[str, str, int]]:
+    vocab = {ref_symbolize(w): c for w, c in word_counts.items()}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for word, cnt in vocab.items():
+            for i in range(len(word) - 1):
+                pairs[(word[i], word[i + 1])] += cnt
+        if not pairs:
+            break
+        # freq desc, then lexical (l, r) asc — the operators' tie-break
+        (l, r), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, freq))
+        vocab = {ref_merge_word(w, (l, r)): c for w, c in vocab.items()}
+    return merges
+
+
+def ref_encode(word: str, merges) -> list[str]:
+    toks = ref_symbolize(word)
+    for l, r, *_ in merges:
+        toks = ref_merge_word(toks, (l, r))
+    return list(toks)
+
+
+# --- unit: reference edge semantics are what we think they are -------------
+
+
+def test_ref_merge_repeated_run():
+    assert ref_merge_word(("a",) * 5, ("a", "a")) == ("aa", "aa", "a")
+    assert ref_merge_word(("x", "y", "x", "y"), ("x", "y")) == ("xy", "xy")
+    assert ref_merge_word(("x", "x", "y"), ("x", "y")) == ("x", "xy")
+
+
+# --- spark vs reference ----------------------------------------------------
+
+
+def _word_df(spark, counts: dict[str, int]):
+    return spark.createDataFrame(
+        [(w, c) for w, c in counts.items()], "word string, cnt long"
+    )
+
+
+def test_train_matches_reference_fixed(spark):
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaaa": 2}
+    got = bpe_train(_word_df(spark, counts), 10)
+    assert got == ref_train(counts, 10)
+
+
+def test_encode_matches_reference_fixed(spark):
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = ref_train(counts, 8)
+    df = _word_df(spark, counts).select(
+        "word", bpe_tokens(F.col("word"), merges).alias("t")
+    )
+    for row in df.collect():
+        assert row["t"] == ref_encode(row["word"], merges), row["word"]
+
+
+def test_train_and_encode_match_reference_randomized(spark):
+    rng = random.Random(7)
+    alphabet = "abcd"
+    for trial in range(3):
+        counts = {
+            "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 7))
+            ): rng.randint(1, 9)
+            for _ in range(12)
+        }
+        k = rng.randint(1, 8)
+        merges = bpe_train(_word_df(spark, counts), k)
+        assert merges == ref_train(counts, k), f"trial {trial}"
+        df = _word_df(spark, counts).select(
+            "word", bpe_tokens(F.col("word"), merges).alias("t")
+        )
+        for row in df.collect():
+            assert row["t"] == ref_encode(row["word"], merges), (
+                trial,
+                row["word"],
+            )
+
+
+def test_regex_specials_in_symbols(spark):
+    # symbols containing regex/replacement metacharacters must merge literally
+    counts = {"$a$a": 4, "\\b\\b": 3, "(x)": 2}
+    k = 6
+    merges = bpe_train(_word_df(spark, counts), k)
+    assert merges == ref_train(counts, k)
+    df = _word_df(spark, counts).select(
+        "word", bpe_tokens(F.col("word"), merges).alias("t")
+    )
+    for row in df.collect():
+        assert row["t"] == ref_encode(row["word"], merges)
+
+
+def test_token_counts_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newest widest"), (3, "  "), (4, "low")],
+        "doc_id long, text string",
+    )
+    counts = {"low": 3, "lower": 1, "newest": 1, "widest": 1}
+    merges = bpe_train(word_frequencies(docs), 6)
+    assert merges == ref_train(counts, 6)
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    want: dict[int, int] = {}
+    for doc_id, text in [(1, "low low lower"), (2, "newest widest"), (4, "low")]:
+        want[doc_id] = sum(len(ref_encode(w, merges)) for w in text.split())
+    assert got == want  # doc 3 (whitespace only) drops out
+
+
+def test_min_freq_stops_training(spark):
+    counts = {"ab": 1, "cd": 1}
+    merges = bpe_train(_word_df(spark, counts), 10, min_freq=2)
+    assert merges == []
+
+
+def test_no_python_udf_in_encode_plan(spark):
+    docs = spark.createDataFrame([(1, "low lower")], "doc_id long, text string")
+    merges = bpe_train(word_frequencies(docs), 3)
+    plan = bpe_token_counts(docs, merges)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
