@@ -193,6 +193,15 @@ class SparkForge:
         """Configured context prefixes (forge.prefixes, core/forge.py:268)."""
         return dict(self.config.context)
 
+    def get_model_context(self) -> dict:
+        """The model's JSON-LD context (core/forge.py:977-980)."""
+        return dict(self.config.context)
+
+    def get_store_context(self) -> dict | None:
+        """The store's metadata context (core/forge.py:973-975); this store
+        keeps one shared context, so both getters expose the same dict."""
+        return dict(self.config.context) or None
+
     def resolvers(self) -> dict:
         """Configured (scope, target) resolver dims (forge.resolvers,
         core/forge.py:347)."""

@@ -3116,6 +3116,29 @@ def sql_kg_incremental() -> str:
     return sql_dedup_components()
 
 
+def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global row numbers WITHOUT the Exchange-SinglePartition trap
+    (operators/ranking.py): range partition on the order keys, map-side
+    pid/mid tagging, one one-row-per-partition stats agg, broadcast
+    offsets back.  The oracle is the naive global window — identical
+    output, but the Spark plan stays fully parallel (plan-health test
+    pins SinglePartition absent)."""
+    from nexus_forge_spark.operators.ranking import global_row_numbers
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+    return global_row_numbers(docs, ["n_chars", "doc_id"])
+
+
+def sql_global_row_number() -> str:
+    return """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(length(text) AS INT) AS n_chars,
+  CAST(row_number() OVER (ORDER BY length(text), doc_id) AS BIGINT) AS rn
+FROM documents"""
+
+
 # ------------------------------------------------------------------- BPE
 
 _BPE_MERGES = 16
@@ -3614,6 +3637,7 @@ QUERIES = {
     "interval_overlap_sessions": (q_interval_overlap, sql_interval_overlap),
     "khop_copurchase": (q_khop_copurchase, sql_khop_copurchase),
     "kg_incremental_canonical": (q_kg_incremental, sql_kg_incremental),
+    "global_row_number": (q_global_row_number, sql_global_row_number),
     "bpe_train_merges": (q_bpe_train, sql_bpe_train),
     "bpe_encode_tokens": (q_bpe_encode, sql_bpe_encode),
     "hll_distinct_bigrams": (q_hll_distinct, sql_hll_distinct),

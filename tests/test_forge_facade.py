@@ -212,3 +212,10 @@ def test_as_graph_from_graph_aliases(spark, forge):
     # alias identity with the triples verbs
     assert type(forge).as_graph is type(forge).as_triples
     assert type(forge).from_graph is type(forge).from_triples
+
+
+def test_context_getters(forge):
+    # core/forge.py:973-980 — both getters expose the configured context
+    assert forge.get_model_context() == forge.prefixes()
+    ctx = forge.get_store_context()
+    assert ctx is None or ctx == forge.prefixes()

@@ -1,0 +1,48 @@
+"""global_row_numbers: exact global ranks with no SinglePartition exchange."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from nexus_forge_spark.operators.ranking import global_row_numbers
+
+
+def test_matches_sorted_enumeration(spark):
+    rng = random.Random(11)
+    data = [(i, rng.randint(0, 10_000)) for i in range(500)]
+    df = spark.createDataFrame(data, "id long, v long")
+    got = {
+        r["id"]: r["rn"]
+        for r in global_row_numbers(df, ["v", "id"], num_partitions=7).collect()
+    }
+    want = {
+        id_: i + 1
+        for i, (id_, _v) in enumerate(sorted(data, key=lambda t: (t[1], t[0])))
+    }
+    assert got == want
+
+
+def test_descending_and_ties(spark):
+    data = [(1, 5), (2, 5), (3, 9), (4, 1)]
+    df = spark.createDataFrame(data, "id long, v long")
+    out = global_row_numbers(
+        df, [F.col("v").desc(), F.col("id")], num_partitions=3
+    )
+    got = {r["id"]: r["rn"] for r in out.collect()}
+    assert got == {3: 1, 1: 2, 2: 3, 4: 4}
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "id long, v long")
+    assert global_row_numbers(df, ["v"]).collect() == []
+
+
+def test_single_partition_exchange_absent(spark):
+    df = spark.range(1000).withColumn("v", F.pmod(F.col("id") * 37, F.lit(997)))
+    out = global_row_numbers(df, ["v", "id"], num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the scale trap this operator replaces would show Exchange SinglePartition
+    assert "SinglePartition" not in plan
+    assert out.count() == 1000
