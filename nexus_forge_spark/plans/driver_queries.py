@@ -3116,6 +3116,48 @@ def sql_kg_incremental() -> str:
     return sql_dedup_components()
 
 
+def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KG canonicalization: the near-dup sameAs edges arrive as
+    file micro-batches (maxFilesPerTrigger=1) and each batch folds into
+    the persisted canonical mapping via incremental_components — the
+    streaming deployment shape of the kg_incremental_canonical plan.  The
+    oracle recomputes components over ALL edges from scratch, so hash
+    equality proves the micro-batch fold chain converges to the batch
+    answer regardless of how edges were split."""
+    import os
+    import tempfile
+
+    from nexus_forge_spark.streaming.stream_pipeline import (
+        stream_incremental_canonical,
+    )
+
+    pairs = q_dedup_minhash(spark, sf_dir).select(
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
+    ).localCheckpoint(eager=True)
+    base = tempfile.mkdtemp(prefix="stream_inc_")
+    in_dir = os.path.join(base, "edges")
+    for i in range(2):
+        pairs.where(F.pmod(F.xxhash64("a", "b"), F.lit(2)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+    mapping_dir = os.path.join(base, "mapping")
+    q = stream_incremental_canonical(
+        spark, in_dir, mapping_dir, os.path.join(base, "ckpt")
+    )
+    q.awaitTermination()
+    snaps = sorted(d for d in os.listdir(mapping_dir) if d.startswith("snap_"))
+    out = spark.read.parquet(os.path.join(mapping_dir, snaps[-1]))
+    return out.select(
+        F.col("entity_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+def sql_stream_incremental() -> str:
+    # the streamed fold chain must equal a from-scratch batch recompute
+    return sql_dedup_components()
+
+
 def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact global row numbers WITHOUT the Exchange-SinglePartition trap
     (operators/ranking.py): range partition on the order keys, map-side
@@ -3638,6 +3680,7 @@ QUERIES = {
     "khop_copurchase": (q_khop_copurchase, sql_khop_copurchase),
     "kg_incremental_canonical": (q_kg_incremental, sql_kg_incremental),
     "global_row_number": (q_global_row_number, sql_global_row_number),
+    "stream_incremental_kg": (q_stream_incremental, sql_stream_incremental),
     "bpe_train_merges": (q_bpe_train, sql_bpe_train),
     "bpe_encode_tokens": (q_bpe_encode, sql_bpe_encode),
     "hll_distinct_bigrams": (q_hll_distinct, sql_hll_distinct),
