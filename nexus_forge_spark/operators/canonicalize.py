@@ -173,6 +173,44 @@ def canonicalize_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
     )
 
 
+def golden_records(
+    values: DataFrame,
+    mapping: DataFrame,
+    attr_col: str = "attr",
+    value_col: str = "value",
+    key: str = "entity_id",
+) -> DataFrame:
+    """Entity consolidation after canonicalization: elect ONE value per
+    (canonical entity, attribute) from the co-referent members' values —
+    majority vote, ties broken by minimum value, so the golden record is
+    deterministic under any edge/batch order.
+
+    Both phases are hash aggregations with map-side partial combine (vote
+    counting, then min_by over a (-votes, value) struct) — no window, so
+    nothing funnels through per-group sorts; entities unknown to the
+    mapping keep their own id (left join + coalesce).  `support` is the
+    winning value's vote count.
+    """
+    v = values.join(mapping, key, "left").select(
+        F.coalesce("canonical_id", F.col(key)).alias("canonical_id"),
+        attr_col,
+        value_col,
+    )
+    counted = v.groupBy("canonical_id", attr_col, value_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counted.groupBy("canonical_id", attr_col).agg(
+        F.min_by(
+            value_col,
+            F.struct(
+                (-F.col("cnt")).alias("neg_votes"),
+                F.col(value_col).alias("v"),
+            ),
+        ).alias(value_col),
+        F.max("cnt").alias("support"),
+    )
+
+
 def incremental_components(
     mapping: DataFrame, new_edges: DataFrame, max_iter: int = 25
 ) -> DataFrame:

@@ -218,6 +218,65 @@ reach(src, dst) AS (
 SELECT src AS entity_id, min(dst) AS canonical_id FROM reach GROUP BY src ORDER BY entity_id"""
 
 
+def q_kg_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record consolidation: after sameAs canonicalization, each
+    canonical entity elects ONE value per alias property from its
+    co-referent members (majority vote, min-value tie-break) — two hash
+    aggregations with map-side partial combine, no window
+    (operators/canonicalize.py golden_records).  The oracle replays the
+    election with the naive count + row_number SQL over the same
+    recursive-closure mapping."""
+    alias = _alias(spark)
+    edges = CC.sameas_edges(alias)
+    nodes = alias.select("entity_id").distinct()
+    mapping = CC.connected_components(edges, nodes)
+    values = alias.select(
+        "entity_id",
+        F.col("prop_order").cast("int").alias("attr_order"),
+        F.col("alias").alias("value"),
+    )
+    out = CC.golden_records(values, mapping, attr_col="attr_order")
+    return out.select(
+        "canonical_id",
+        F.col("attr_order").cast("int").alias("attr_order"),
+        "value",
+        F.col("support").cast("long").alias("support"),
+    )
+
+
+def sql_kg_golden() -> str:
+    return f"""WITH RECURSIVE dim AS (SELECT * FROM {dims.ontology_sql_values('d')}),
+{_alias_cte()},
+edges AS (
+  SELECT DISTINCT a.entity_id AS a, b.entity_id AS b
+  FROM alias_t a JOIN alias_t b ON a.alias = b.alias AND a.entity_id <> b.entity_id
+),
+reach(src, dst) AS (
+  SELECT entity_id, entity_id FROM (SELECT DISTINCT entity_id FROM alias_t)
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+mapping AS (SELECT src AS entity_id, min(dst) AS canonical_id FROM reach GROUP BY src),
+vals AS (
+  SELECT coalesce(m.canonical_id, a.entity_id) AS canonical_id,
+         CAST(a.prop_order AS INT) AS attr_order, a.alias AS value
+  FROM alias_t a LEFT JOIN mapping m ON a.entity_id = m.entity_id
+),
+counted AS (
+  SELECT canonical_id, attr_order, value, CAST(count(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY canonical_id, attr_order, value
+),
+ranked AS (
+  SELECT canonical_id, attr_order, value, cnt,
+         row_number() OVER (PARTITION BY canonical_id, attr_order
+                            ORDER BY cnt DESC, value) AS rn,
+         max(cnt) OVER (PARTITION BY canonical_id, attr_order) AS mx
+  FROM counted
+)
+SELECT canonical_id, attr_order, value, CAST(mx AS BIGINT) AS support
+FROM ranked WHERE rn = 1"""
+
+
 # -------------------------------------------------------- relational queries
 
 def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3681,6 +3740,7 @@ QUERIES = {
     "kg_incremental_canonical": (q_kg_incremental, sql_kg_incremental),
     "global_row_number": (q_global_row_number, sql_global_row_number),
     "stream_incremental_kg": (q_stream_incremental, sql_stream_incremental),
+    "kg_golden_record": (q_kg_golden, sql_kg_golden),
     "bpe_train_merges": (q_bpe_train, sql_bpe_train),
     "bpe_encode_tokens": (q_bpe_encode, sql_bpe_encode),
     "hll_distinct_bigrams": (q_hll_distinct, sql_hll_distinct),

@@ -114,3 +114,35 @@ def test_incremental_randomized_equals_full_recompute(spark):
             for r in connected_components(base.unionByName(delta)).collect()
         }
         assert got == full, f"trial {trial}"
+
+
+def test_golden_records_majority_and_ties(spark):
+    from nexus_forge_spark.operators.canonicalize import golden_records
+
+    mapping = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10)],
+        "entity_id long, canonical_id long",
+    )
+    values = spark.createDataFrame(
+        [
+            # attr 'name': majority 'acme' (2 votes vs 1)
+            (1, "name", "acme"),
+            (2, "name", "acme"),
+            (3, "name", "acme inc"),
+            # attr 'city': 1-1 tie -> min value wins
+            (1, "city", "zurich"),
+            (2, "city", "bern"),
+            # entity 99 unknown to the mapping -> keeps its own id
+            (99, "name", "solo"),
+        ],
+        "entity_id long, attr string, value string",
+    )
+    got = {
+        (r["canonical_id"], r["attr"]): (r["value"], r["support"])
+        for r in golden_records(values, mapping).collect()
+    }
+    assert got == {
+        (1, "name"): ("acme", 2),
+        (1, "city"): ("bern", 1),
+        (99, "name"): ("solo", 1),
+    }
