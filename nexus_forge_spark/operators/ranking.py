@@ -37,6 +37,42 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    percents: list[int],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT distributed percentiles: the value at rank ceil(p*n/100) under
+    the global order — no sketch error, no single-reducer sort.
+
+    Built on `global_row_numbers` (range partition + offsets), so the
+    heavy path is fully parallel; the percentile ranks are then picked by
+    a broadcast join against a |percents|-row target table.  Rank
+    arithmetic is INTEGER-exact — ``(p*n + 99) // 100`` — never a float
+    ``ceil`` of ``p/100 * n``, which mis-rounds exactly at representable
+    boundaries (the PPJoin bounds lesson).  Ties in `value_col` are fine:
+    row numbers among equal values are arbitrary but the value AT any
+    rank is unique, so the result is deterministic.
+
+    Returns (p int, value) sorted by p.
+    """
+    n = df.count()
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], f"p int, value {df.schema[value_col].dataType.simpleString()}")
+    targets = [(int(p), max(1, (int(p) * n + 99) // 100)) for p in percents]
+    ranked = global_row_numbers(
+        df.select(value_col), [value_col], num_partitions
+    )
+    tdf = spark.createDataFrame(targets, "p int, target long")
+    return (
+        ranked.join(F.broadcast(tdf), ranked["rn"] == tdf["target"])
+        .select("p", F.col(value_col).alias("value"))
+        .orderBy("p")
+    )
+
+
 def global_row_numbers(
     df: DataFrame,
     order_by: list[Column | str],

@@ -3175,6 +3175,37 @@ def sql_kg_incremental() -> str:
     return sql_dedup_components()
 
 
+_PCTS = [1, 25, 50, 75, 90, 99, 100]
+
+
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus percentiles of per-doc token counts with NO
+    single-reducer sort and NO sketch error (operators/ranking.py):
+    global_row_numbers ranks in parallel, then a broadcast join picks the
+    integer-exact target ranks ``(p*n + 99) // 100`` — the float-ceil
+    formulation mis-rounds at representable boundaries, so both engines
+    use the same integer arithmetic."""
+    from nexus_forge_spark.operators.ranking import exact_percentiles
+    from nexus_forge_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        token_count(F.col("text")).cast("long").alias("v")
+    )
+    return exact_percentiles(docs, "v", _PCTS)
+
+
+def sql_exact_percentiles() -> str:
+    values = ",".join(f"({p})" for p in _PCTS)
+    return rf"""WITH t AS (
+  SELECT CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS v
+  FROM documents
+),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n FROM t)
+SELECT CAST(p AS INT) AS p, v AS value
+FROM r JOIN (VALUES {values}) qs(p) ON rn = GREATEST(1, (p * n + 99) // 100)
+ORDER BY p"""
+
+
 def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming KG canonicalization: the near-dup sameAs edges arrive as
     file micro-batches (maxFilesPerTrigger=1) and each batch folds into
@@ -3741,6 +3772,7 @@ QUERIES = {
     "global_row_number": (q_global_row_number, sql_global_row_number),
     "stream_incremental_kg": (q_stream_incremental, sql_stream_incremental),
     "kg_golden_record": (q_kg_golden, sql_kg_golden),
+    "exact_percentiles_tokens": (q_exact_percentiles, sql_exact_percentiles),
     "bpe_train_merges": (q_bpe_train, sql_bpe_train),
     "bpe_encode_tokens": (q_bpe_encode, sql_bpe_encode),
     "hll_distinct_bigrams": (q_hll_distinct, sql_hll_distinct),

@@ -46,3 +46,29 @@ def test_single_partition_exchange_absent(spark):
     # the scale trap this operator replaces would show Exchange SinglePartition
     assert "SinglePartition" not in plan
     assert out.count() == 1000
+
+
+def test_exact_percentiles_match_sorted_reference(spark):
+    import math
+    import random
+
+    rng = random.Random(3)
+    vals = [rng.randint(0, 1000) for _ in range(777)] + [5, 5, 5, 5]  # ties
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    ps = [1, 25, 50, 75, 90, 99, 100]
+    from nexus_forge_spark.operators.ranking import exact_percentiles
+
+    got = {r["p"]: r["value"] for r in exact_percentiles(df, "v", ps).collect()}
+    s = sorted(vals)
+    n = len(s)
+    want = {p: s[max(1, (p * n + 99) // 100) - 1] for p in ps}
+    assert got == want
+    # integer rank arithmetic: float ceil(0.7 * n) would mis-round here
+    assert (70 * 10 + 99) // 100 == 7 and math.ceil(0.7 * 10) == 7
+
+
+def test_exact_percentiles_empty(spark):
+    from nexus_forge_spark.operators.ranking import exact_percentiles
+
+    df = spark.createDataFrame([], "v long")
+    assert exact_percentiles(df, "v", [50]).collect() == []
