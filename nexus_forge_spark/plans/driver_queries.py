@@ -277,6 +277,45 @@ SELECT canonical_id, attr_order, value, CAST(mx AS BIGINT) AS support
 FROM ranked WHERE rn = 1"""
 
 
+def q_kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule composition end-to-end as ONE graded plan: resolve ->
+    annotation/type triples -> connected-components canonical mapping over
+    sameAs edges -> subj/obj rewrite through the (broadcast) mapping ->
+    graph-set dedup.  Non-entity terms (doc:* subjects, literal objects)
+    pass through the left joins untouched; co-referent entities collapse,
+    so triples that become equal after rewriting dedup away."""
+    triples = q_kg_triples(spark, sf_dir)
+    alias = _alias(spark)
+    mapping = CC.connected_components(
+        CC.sameas_edges(alias), alias.select("entity_id").distinct()
+    )
+    return CC.canonicalize_triples(triples, mapping).dropDuplicates(
+        ["subj", "pred", "obj"]
+    )
+
+
+def sql_kg_canonical_triples() -> str:
+    return f"""WITH RECURSIVE
+trip AS (SELECT * FROM ({sql_kg_triples()})),
+dim AS (SELECT * FROM {dims.ontology_sql_values('d')}),
+{_alias_cte()},
+edges AS (
+  SELECT DISTINCT a.entity_id AS a, b.entity_id AS b
+  FROM alias_t a JOIN alias_t b ON a.alias = b.alias AND a.entity_id <> b.entity_id
+),
+reach(src, dst) AS (
+  SELECT entity_id, entity_id FROM (SELECT DISTINCT entity_id FROM alias_t)
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+mapping AS (SELECT src AS entity_id, min(dst) AS canonical_id FROM reach GROUP BY src)
+SELECT DISTINCT coalesce(ms.canonical_id, t.subj) AS subj, t.pred,
+       coalesce(mo.canonical_id, t.obj) AS obj
+FROM trip t
+LEFT JOIN mapping ms ON t.subj = ms.entity_id
+LEFT JOIN mapping mo ON t.obj = mo.entity_id"""
+
+
 # -------------------------------------------------------- relational queries
 
 def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3773,6 +3812,7 @@ QUERIES = {
     "stream_incremental_kg": (q_stream_incremental, sql_stream_incremental),
     "kg_golden_record": (q_kg_golden, sql_kg_golden),
     "exact_percentiles_tokens": (q_exact_percentiles, sql_exact_percentiles),
+    "kg_canonical_triples": (q_kg_canonical_triples, sql_kg_canonical_triples),
     "bpe_train_merges": (q_bpe_train, sql_bpe_train),
     "bpe_encode_tokens": (q_bpe_encode, sql_bpe_encode),
     "hll_distinct_bigrams": (q_hll_distinct, sql_hll_distinct),
