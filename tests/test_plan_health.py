@@ -245,3 +245,53 @@ def test_hll_sketch_partial_aggregates(spark, sf01):
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_golden_records_no_window_partial_aggs(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["kg_golden_record"][0](spark, sf01))
+    # the election is two hash aggs (map-side partial combine), never a
+    # per-group window sort
+    assert "Window" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_broadcasts_vocab(spark, sf01):
+    from nexus_forge_spark.operators.bpe import (
+        bpe_token_counts,
+        bpe_train,
+        word_frequencies,
+    )
+    from nexus_forge_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf01)
+    merges = bpe_train(word_frequencies(docs), 4)
+    plan = plan_of(bpe_token_counts(docs, merges))
+    # distinct-word factoring joins back via broadcast; the corpus side
+    # never shuffles for the join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_canonical_triples_broadcast_rewrite(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["kg_canonical_triples"][0](spark, sf01))
+    # the mapping-side rewrite joins are broadcast (mapping is
+    # entity-count-sized, tiny next to the triple set)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_row_number_query_no_single_partition(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["global_row_number"][0](spark, sf01))
+    # the range exchange sits inside the localCheckpoint subtree (the
+    # executed plan reads back materialized partitions), so the visible
+    # claims are: no single-reducer exchange anywhere, offsets broadcast
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
