@@ -106,7 +106,10 @@ def _top_pair(symbolized: DataFrame):
 
 
 def bpe_train(
-    words: DataFrame, num_merges: int, min_freq: int = 1
+    words: DataFrame,
+    num_merges: int,
+    min_freq: int = 1,
+    checkpoint_path: str | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn up to `num_merges` merge rules from a (word, cnt) table.
 
@@ -116,20 +119,57 @@ def bpe_train(
     never replays merges 1..i-1.  Iterative argmax-collect loops are the
     standard shape for this algorithm (cf. the connected-components loop
     in canonicalize.py) — the collect is one row per iteration.
+
+    With `checkpoint_path`, the learned merge list is journaled to disk
+    after every iteration (atomic rename), and a restarted run resumes
+    from the journal: already-learned merges replay as pure regex rewrite
+    passes (no pair-count jobs), so a killed k-merge run redoes at most
+    one iteration's aggregation — the same per-stage lineage contract as
+    plans/checkpoint.py.
     """
-    cur = words.select(
-        spaced_symbols(F.col("word")).alias("s"), "cnt"
-    ).localCheckpoint(eager=True)
+    import json
+    import os
+
     merges: list[tuple[str, str, int]] = []
-    for _ in range(num_merges):
+    exhausted = False
+    done_file = (
+        os.path.join(checkpoint_path, "merges.json") if checkpoint_path else None
+    )
+    if done_file and os.path.exists(done_file):
+        with open(done_file) as f:
+            state = json.load(f)
+        merges = [tuple(m) for m in state["merges"]][:num_merges]
+        # greedy prefix property: k merges are exactly the first k of any
+        # longer run, so a journal with >= num_merges rules answers
+        # directly; "exhausted" means the pair supply ran dry, so no
+        # larger target can learn more either
+        if state.get("exhausted") or len(merges) >= num_merges:
+            return merges
+
+    def _journal() -> None:
+        if not done_file:
+            return
+        os.makedirs(checkpoint_path, exist_ok=True)
+        tmp = done_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"merges": merges, "exhausted": exhausted}, f)
+        os.replace(tmp, done_file)
+
+    cur = words.select(
+        apply_merges(spaced_symbols(F.col("word")), merges).alias("s"), "cnt"
+    ).localCheckpoint(eager=True)
+    while len(merges) < num_merges:
         top = _top_pair(cur)
         if top is None or top["freq"] < min_freq:
+            exhausted = True
             break
         left, right, freq = top["l"], top["r"], int(top["freq"])
         merges.append((left, right, freq))
+        _journal()
         cur = cur.select(
             merge_expr(F.col("s"), left, right).alias("s"), "cnt"
         ).localCheckpoint(eager=True)
+    _journal()
     return merges
 
 

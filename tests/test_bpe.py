@@ -166,3 +166,48 @@ def test_no_python_udf_in_encode_plan(spark):
     merges = bpe_train(word_frequencies(docs), 3)
     plan = bpe_token_counts(docs, merges)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_train_checkpoint_resume(spark, tmp_path, monkeypatch):
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    ckpt = str(tmp_path / "bpe")
+    full = ref_train(counts, 8)
+
+    # run 1: learn only 3 merges (simulates a killed 8-merge run whose
+    # journal holds the first 3 rules)
+    got3 = bpe_train(_word_df(spark, counts), 3, checkpoint_path=ckpt)
+    assert got3 == full[:3]
+
+    # run 2: resume to 8 — the first 3 rules must come from the journal,
+    # never from pair-count jobs; count argmax calls to prove it
+    import nexus_forge_spark.operators.bpe as B
+
+    calls = {"n": 0}
+    orig = B._top_pair
+
+    def counting(cur):
+        calls["n"] += 1
+        return orig(cur)
+
+    monkeypatch.setattr(B, "_top_pair", counting)
+    got8 = bpe_train(_word_df(spark, counts), 8, checkpoint_path=ckpt)
+    assert got8 == full
+    assert calls["n"] == 5  # only the 5 NEW merges ran aggregations
+
+    # run 3: fully answered from the journal — zero Spark aggregations
+    calls["n"] = 0
+    again = bpe_train(_word_df(spark, counts), 8, checkpoint_path=ckpt)
+    assert again == full and calls["n"] == 0
+    # and a smaller target is the greedy prefix, also journal-only
+    assert bpe_train(_word_df(spark, counts), 2, checkpoint_path=ckpt) == full[:2]
+    assert calls["n"] == 0
+
+
+def test_train_checkpoint_exhausted(spark, tmp_path):
+    counts = {"ab": 3}
+    ckpt = str(tmp_path / "bpe2")
+    # only 1 merge possible: (a, b</w>)
+    got = bpe_train(_word_df(spark, counts), 10, checkpoint_path=ckpt)
+    assert got == ref_train(counts, 10) and len(got) == 1
+    # resume with a LARGER target: journal knows the supply is exhausted
+    assert bpe_train(_word_df(spark, counts), 20, checkpoint_path=ckpt) == got
