@@ -127,6 +127,81 @@ def minhash_signatures(
     )
 
 
+def lsh_band_table(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, key) — the banded form of the LSH index.  This is the
+    table a production deployment PERSISTS (partitioned by band) so new
+    document batches probe it incrementally instead of re-banding the
+    corpus (see incremental_lsh_pairs)."""
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"), b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                            "|",
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def incremental_lsh_pairs(
+    base_bands: DataFrame, delta_bands: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs INTRODUCED by a new document batch, given the stored
+    band table of the existing corpus: a delta-vs-base probe equi-join on
+    (band, key) plus a delta-vs-delta self-join.  The base never
+    self-joins again, so the O(|base| collisions) candidate work of the
+    initial build is never repeated — per-increment cost tracks the
+    delta.  Decomposition invariant (pinned by randomized differential
+    test + the dedup_incremental_lsh contract query):
+
+        pairs(base ∪ delta) == pairs(base) ∪ incremental_lsh_pairs
+    """
+    d = delta_bands.alias("d")
+    b = base_bands.alias("b")
+    did, bid = f"d.{id_col}", f"b.{id_col}"
+    cross = (
+        d.join(
+            b,
+            (F.col("d.band") == F.col("b.band"))
+            & (F.col("d.key") == F.col("b.key"))
+            & (F.col(did) != F.col(bid)),
+        )
+        .select(
+            F.least(F.col(did), F.col(bid)).alias("a"),
+            F.greatest(F.col(did), F.col(bid)).alias("b"),
+        )
+    )
+    d2 = delta_bands.alias("e")
+    dd = (
+        d.join(
+            d2,
+            (F.col("d.band") == F.col("e.band"))
+            & (F.col("d.key") == F.col("e.key"))
+            & (F.col(did) < F.col(f"e.{id_col}")),
+        )
+        .select(F.col(did).alias("a"), F.col(f"e.{id_col}").alias("b"))
+    )
+    return cross.unionByName(dd).distinct()
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     bands: int = 4,
@@ -147,26 +222,7 @@ def lsh_candidate_pairs(
     """
     if materialize:
         sigs = sigs.localCheckpoint(eager=True)
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                            "|",
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = lsh_band_table(sigs, bands, rows_per_band, id_col)
     l = banded.alias("l")
     r = banded.alias("r")
     return (

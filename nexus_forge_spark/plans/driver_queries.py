@@ -578,6 +578,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_mutants(spark, sf_dir)
     sigs = D.minhash_signatures(docs, num_hashes=_MINHASH_K, shingle_n=2)
     cand = D.lsh_candidate_pairs(sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_ROWS)
+    return _bigram_jaccard_verify(docs, cand)
+
+
+def _bigram_jaccard_verify(docs: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shared LSH verify tail: true word-bigram Jaccard >= 0.5 over the
+    candidate pairs (broadcast shingle lookups)."""
+    from nexus_forge_spark.operators import dedup as D
+
     with_sh = docs.select(
         "doc_id",
         F.transform(D.word_shingles(F.col("text"), 2), lambda g: F.xxhash64(g)).alias("sh"),
@@ -593,6 +601,37 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= 0.5)
     )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance: the original docs are the stored
+    corpus (band table persisted in production), the mutants arrive as a
+    new batch.  New candidates come from a delta-vs-base probe join plus a
+    delta-delta self-join — the base NEVER re-self-joins, so per-increment
+    candidate cost tracks the delta.  The result (stored base pairs ∪
+    incremental pairs, same Jaccard verify) must hash-equal the full
+    recompute oracle (sql_dedup_minhash), proving the decomposition."""
+    from nexus_forge_spark.operators import dedup as D
+
+    docs = _docs_with_mutants(spark, sf_dir)
+    is_delta = F.col("doc_id") >= 1000000
+    sigs = D.minhash_signatures(
+        docs, num_hashes=_MINHASH_K, shingle_n=2
+    ).localCheckpoint(eager=True)
+    base_sigs, delta_sigs = sigs.where(~is_delta), sigs.where(is_delta)
+    base_bands = D.lsh_band_table(base_sigs, _MINHASH_BANDS, _MINHASH_ROWS)
+    delta_bands = D.lsh_band_table(delta_sigs, _MINHASH_BANDS, _MINHASH_ROWS)
+    base_pairs = D.lsh_candidate_pairs(
+        base_sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_ROWS, materialize=False
+    )
+    new_pairs = D.incremental_lsh_pairs(base_bands, delta_bands)
+    cand = base_pairs.unionByName(new_pairs).distinct()
+    return _bigram_jaccard_verify(docs, cand)
+
+
+def sql_dedup_incremental() -> str:
+    # the decomposition must reproduce the full-recompute pair set exactly
+    return sql_dedup_minhash()
 
 
 def sql_dedup_minhash() -> str:
@@ -3813,6 +3852,7 @@ QUERIES = {
     "kg_golden_record": (q_kg_golden, sql_kg_golden),
     "exact_percentiles_tokens": (q_exact_percentiles, sql_exact_percentiles),
     "kg_canonical_triples": (q_kg_canonical_triples, sql_kg_canonical_triples),
+    "dedup_incremental_lsh": (q_dedup_incremental, sql_dedup_incremental),
     "bpe_train_merges": (q_bpe_train, sql_bpe_train),
     "bpe_encode_tokens": (q_bpe_encode, sql_bpe_encode),
     "hll_distinct_bigrams": (q_hll_distinct, sql_hll_distinct),

@@ -280,3 +280,40 @@ def test_semantic_dedup_drops_planted_near_dups(spark):
     for r in out.values():
         groups.setdefault(r.canonical_id, []).append(r.keep)
     assert all(sum(keeps) == 1 for keeps in groups.values())
+
+
+def test_incremental_lsh_pairs_equals_full_rebuild(spark):
+    import random
+
+    from nexus_forge_spark.operators import dedup as D
+
+    rng = random.Random(19)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsi"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 8))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for cut in (0, 13, 40):
+        base_df = df.where(F.col("doc_id") < cut)
+        delta_df = df.where(F.col("doc_id") >= cut)
+        sig = lambda d: D.minhash_signatures(d, num_hashes=8, shingle_n=2)
+        full = {
+            (r["a"], r["b"])
+            for r in D.lsh_candidate_pairs(sig(df), bands=4, rows_per_band=2).collect()
+        }
+        base_pairs = {
+            (r["a"], r["b"])
+            for r in D.lsh_candidate_pairs(
+                sig(base_df), bands=4, rows_per_band=2
+            ).collect()
+        }
+        inc = {
+            (r["a"], r["b"])
+            for r in D.incremental_lsh_pairs(
+                D.lsh_band_table(sig(base_df), 4, 2),
+                D.lsh_band_table(sig(delta_df), 4, 2),
+            ).collect()
+        }
+        assert base_pairs | inc == full, f"cut={cut}"
+        assert not (base_pairs & inc), f"cut={cut}: incremental re-emitted base pairs"
