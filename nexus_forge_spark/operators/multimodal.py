@@ -17,7 +17,8 @@ uncompressed AVI and COMPRESSED Motion-JPEG AVI (functions/videocodec.py:
 RIFF parser; MJPG frames decode through the baseline-JPEG codec — frame
 sampling and motion features run on actual pixels).  Synthetic payloads
 from ``media_from_documents`` are genuine 4x4 P6 PPM files (1/4 genuine
-baseline JPEGs), genuine PCM16 WAVs (1/4 IMA ADPCM compressed), and
+baseline JPEGs, 1/4 genuine zlib-IDAT PNGs), genuine PCM16 WAVs (1/4 IMA
+ADPCM compressed), and
 genuine 4-frame AVIs (1/4 Motion-JPEG compressed), so the default
 pipeline exercises every real path end to end.  Remaining formats
 (progressive JPEG, inter-frame video like H.264, transform audio like
@@ -87,6 +88,24 @@ def _build_jpeg_pool(n: int = 16) -> list[bytes]:
 
 
 _JPEG_POOL = _build_jpeg_pool()
+
+
+def _build_png_pool(n: int = 16) -> list[bytes]:
+    """Pool of genuine 4x4 RGB PNGs (md5-derived pixels) encoded once
+    driver-side (functions/imagecodec.py encode_png: filter-0 scanlines,
+    one zlib IDAT) — selected per ref like the JPEG pool, so the stdlib
+    zlib inflate + unfilter decode path runs inside the contract."""
+    pool = []
+    for i in range(n):
+        raw = b"".join(
+            hashlib.md5(f"png-pool-{i}-{j}".encode()).digest() for j in range(3)
+        )
+        arr = np.frombuffer(raw, dtype=np.uint8)[: 4 * 4 * 3].reshape(4, 4, 3)
+        pool.append(imagecodec.encode_png(arr))
+    return pool
+
+
+_PNG_POOL = _build_png_pool()
 
 
 def _build_mjpg_pool(n: int = 16) -> list[bytes]:
@@ -231,6 +250,16 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         ),
     )
     is_jpeg_ref = F.pmod(F.xxhash64(ref, F.lit(9)), F.lit(4)) == 0
+    # of the non-JPEG image refs, a third (1/4 overall) carry genuine PNGs
+    # (zlib IDAT can't be concat-built JVM-side either — driver-encoded
+    # pool, hash-selected per ref)
+    png_bytes = F.element_at(
+        F.array(*[F.lit(p) for p in _PNG_POOL]),
+        (F.pmod(F.xxhash64(ref, F.lit(23)), F.lit(len(_PNG_POOL))) + 1).cast(
+            "int"
+        ),
+    )
+    is_png_ref = F.pmod(F.xxhash64(ref, F.lit(21)), F.lit(3)) == 0
     # 1/4 of video refs carry genuine Motion-JPEG AVIs (compressed path)
     mjpg_bytes = F.element_at(
         F.array(*[F.lit(p) for p in _MJPG_POOL]),
@@ -290,6 +319,7 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         ref.alias("media_ref"),
         media_type.alias("media_type"),
         F.when(is_image & is_jpeg_ref, jpeg_bytes)
+        .when(is_image & is_png_ref, png_bytes)
         .when(is_image, ppm_bytes)
         .when(is_audio & is_adpcm_ref, adpcm_bytes)
         .when(is_audio, wav_bytes)
@@ -299,6 +329,7 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         .alias("content"),
         F.struct(
             F.when(is_image & is_jpeg_ref, F.lit("jpeg"))
+            .when(is_image & is_png_ref, F.lit("png"))
             .when(is_image, F.lit("ppm"))
             .when(is_audio, F.lit("wav"))
             .when(is_video, F.lit("avi"))

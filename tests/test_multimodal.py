@@ -30,6 +30,12 @@ def test_media_schema_and_payload(spark, sf_dir):
                 assert bytes(r.content).startswith(b"\xff\xd8\xff")
                 assert bytes(r.content) in MM._JPEG_POOL
                 assert r.metadata.width == 8 and r.metadata.height == 8
+            elif r.metadata.format == "png":
+                # real 4x4 RGB PNG from the driver-encoded pool
+                raw = bytes(r.content)
+                assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+                assert raw in MM._PNG_POOL
+                assert r.metadata.width == 4 and r.metadata.height == 4
             else:
                 # real 4x4 P6 PPM payload: header + 48 pixel bytes
                 assert bytes(r.content).startswith(b"P6\n4 4\n255\n")
@@ -171,11 +177,19 @@ def test_resize_rewrites_metadata_and_bytes(spark, sf_dir):
     resized = MM.resize_images(media, 64, 64)
     assert resized.schema == media.schema
     rows = resized.limit(5).collect()
+    from nexus_forge_spark.functions import imagecodec
+
     for r in rows:
         assert r.metadata.width == 64 and r.metadata.height == 64
-        # real resample: output is a genuine 64x64 P6 PPM
-        assert bytes(r.content).startswith(b"P6\n64 64\n255\n")
-        assert len(r.content) == len(b"P6\n64 64\n255\n") + 64 * 64 * 3
+        raw = bytes(r.content)
+        if r.metadata.format == "png":
+            # PNG stays PNG through the resize; decode proves real pixels
+            assert raw[:8] == imagecodec.PNG_SIGNATURE
+            assert imagecodec.decode_image(raw).shape == (64, 64, 3)
+        else:
+            # everything else re-encodes as a genuine 64x64 P6 PPM
+            assert raw.startswith(b"P6\n64 64\n255\n")
+            assert len(raw) == len(b"P6\n64 64\n255\n") + 64 * 64 * 3
 
 
 def test_missing_content_raises_not_implemented(spark):
@@ -225,3 +239,27 @@ def test_audio_stub_path_flagged(spark):
     )
     row = MM.extract_audio_features(media).collect()[0]
     assert row.decoded is False
+
+
+def test_png_payloads_decode_end_to_end(spark, sf_dir):
+    import numpy as np
+    import pytest
+
+    from nexus_forge_spark.functions import imagecodec
+
+    media = _media(spark, sf_dir)
+    pngs = media.where(F.col("metadata.format") == "png")
+    rows = pngs.limit(5).collect()
+    assert rows, "hash split should yield some png refs"
+    feats = {
+        (r.doc_id, r.media_ref): r
+        for r in MM.extract_image_features(pngs, dim=8).collect()
+    }
+    for r in rows:
+        raw = bytes(r.content)
+        assert raw[:8] == imagecodec.PNG_SIGNATURE
+        f = feats[(r.doc_id, r.media_ref)]
+        assert (f.width, f.height, f.channels) == (4, 4, 3)
+        arr = imagecodec.decode_image(raw)  # stdlib zlib inflate + unfilter
+        expect = imagecodec.block_mean_embedding(arr, dim=8)
+        assert f.embedding == pytest.approx(expect)
