@@ -195,12 +195,12 @@ class SparkForge:
 
     def get_model_context(self) -> dict:
         """The model's JSON-LD context (core/forge.py:977-980)."""
-        return dict(self.config.context)
+        return self.prefixes()
 
     def get_store_context(self) -> dict | None:
         """The store's metadata context (core/forge.py:973-975); this store
         keeps one shared context, so both getters expose the same dict."""
-        return dict(self.config.context) or None
+        return self.prefixes() or None
 
     def resolvers(self) -> dict:
         """Configured (scope, target) resolver dims (forge.resolvers,

@@ -57,14 +57,13 @@ def exact_percentiles(
 
     Returns (p int, value) sorted by p.
     """
-    n = df.count()
     spark = df.sparkSession
+    ranked, n = _ranked_with_total(df.select(value_col), [value_col], num_partitions, "rn")
     if n == 0:
-        return spark.createDataFrame([], f"p int, value {df.schema[value_col].dataType.simpleString()}")
+        return spark.createDataFrame(
+            [], f"p int, value {df.schema[value_col].dataType.simpleString()}"
+        )
     targets = [(int(p), max(1, (int(p) * n + 99) // 100)) for p in percents]
-    ranked = global_row_numbers(
-        df.select(value_col), [value_col], num_partitions
-    )
     tdf = spark.createDataFrame(targets, "p int, target long")
     return (
         ranked.join(F.broadcast(tdf), ranked["rn"] == tdf["target"])
@@ -80,6 +79,18 @@ def global_row_numbers(
     out_col: str = "rn",
 ) -> DataFrame:
     """Exact 1-based global row numbers under `order_by`, fully parallel."""
+    return _ranked_with_total(df, order_by, num_partitions, out_col)[0]
+
+
+def _ranked_with_total(
+    df: DataFrame,
+    order_by: list[Column | str],
+    num_partitions: int | None,
+    out_col: str,
+) -> tuple[DataFrame, int]:
+    """global_row_numbers body, also returning the total row count — the
+    per-partition stats pass already sums to it, so callers that need n
+    (exact_percentiles) avoid a second full scan."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if num_partitions is not None:
         part = df.repartitionByRange(num_partitions, *cols)
@@ -104,7 +115,7 @@ def global_row_numbers(
     offsets = tagged.sparkSession.createDataFrame(
         rows, "_pid int, _base long, _off long"
     )
-    return (
+    ranked = (
         tagged.join(F.broadcast(offsets), "_pid")
         .withColumn(
             out_col,
@@ -114,3 +125,4 @@ def global_row_numbers(
         )
         .drop("_pid", "_mid", "_base", "_off")
     )
+    return ranked, offset

@@ -3313,7 +3313,13 @@ def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, in_dir, mapping_dir, os.path.join(base, "ckpt")
     )
     q.awaitTermination()
-    snaps = sorted(d for d in os.listdir(mapping_dir) if d.startswith("snap_"))
+    snaps = (
+        sorted(d for d in os.listdir(mapping_dir) if d.startswith("snap_"))
+        if os.path.isdir(mapping_dir)
+        else []
+    )
+    if not snaps:  # no micro-batch carried edges -> empty mapping
+        return spark.createDataFrame([], "doc_id long, canonical_id long")
     out = spark.read.parquet(os.path.join(mapping_dir, snaps[-1]))
     return out.select(
         F.col("entity_id").cast("long").alias("doc_id"),

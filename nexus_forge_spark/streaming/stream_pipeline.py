@@ -107,6 +107,42 @@ def streaming_user_sessions(
     )
 
 
+def fold_edge_batch(batch_df: DataFrame, batch_id: int, mapping_dir: str) -> None:
+    """One incremental-canonicalization fold: merge a batch of (a, b)
+    sameAs edges into the latest snapshot from a STRICTLY EARLIER batch
+    and write snap_<batch_id>.
+
+    The strict `< batch_id` filter is the retry-safety contract: a retry
+    of batch N must not take snap_N as its input — Spark refuses to
+    overwrite a path its own plan reads, and a partially-written snap_N
+    may be unreadable.  Re-folding from snap_{N-1} instead is a semantic
+    no-op for already-merged edges, so retries are exactly-once in effect
+    (pinned by test_streaming_incremental's retry test).
+    """
+    import os
+
+    from nexus_forge_spark.operators.canonicalize import incremental_components
+
+    sp = batch_df.sparkSession
+    snaps = (
+        sorted(
+            d
+            for d in os.listdir(mapping_dir)
+            if d.startswith("snap_") and int(d[5:]) < batch_id
+        )
+        if os.path.isdir(mapping_dir)
+        else []
+    )
+    if snaps:
+        prev = sp.read.parquet(os.path.join(mapping_dir, snaps[-1]))
+    else:
+        prev = sp.createDataFrame([], "entity_id long, canonical_id long")
+    out = incremental_components(prev, batch_df.select("a", "b"))
+    out.write.mode("overwrite").parquet(
+        os.path.join(mapping_dir, f"snap_{batch_id:010d}")
+    )
+
+
 def stream_incremental_canonical(
     spark: SparkSession,
     in_path: str,
@@ -124,18 +160,13 @@ def stream_incremental_canonical(
     the accumulated graph — the property that makes nightly-scale
     canonicalization streamable at 10^12-document scale.
 
-    Snapshots are written per batch id (``snap_<batch_id>``), so a batch
-    retry overwrites its own snapshot; re-folding the same edges is a
-    semantic no-op (components of mapping ∪ already-merged edges are
-    unchanged), giving exactly-once output under foreachBatch's
-    at-least-once contract.  A production deployment would bind the
-    snapshot chain to Iceberg snapshot refs; the directory-per-batch
-    model keeps the same commit semantics locally.
+    Snapshots are written per batch id (``snap_<batch_id>``); retry
+    safety (a re-run of batch N folds from snap_{N-1}, never from its own
+    half-written snap_N) lives in ``fold_edge_batch``.  A production
+    deployment would bind the snapshot chain to Iceberg snapshot refs;
+    the directory-per-batch model keeps the same commit semantics
+    locally.
     """
-    import os
-
-    from nexus_forge_spark.operators.canonicalize import incremental_components
-
     edges = (
         spark.readStream.schema("a long, b long")
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -145,20 +176,7 @@ def stream_incremental_canonical(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        sp = batch_df.sparkSession
-        snaps = (
-            sorted(d for d in os.listdir(mapping_dir) if d.startswith("snap_"))
-            if os.path.isdir(mapping_dir)
-            else []
-        )
-        if snaps:
-            prev = sp.read.parquet(os.path.join(mapping_dir, snaps[-1]))
-        else:
-            prev = sp.createDataFrame([], "entity_id long, canonical_id long")
-        out = incremental_components(prev, batch_df.select("a", "b"))
-        out.write.mode("overwrite").parquet(
-            os.path.join(mapping_dir, f"snap_{batch_id:010d}")
-        )
+        fold_edge_batch(batch_df, batch_id, mapping_dir)
 
     writer = edges.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_path

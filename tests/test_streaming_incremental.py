@@ -56,3 +56,29 @@ def test_stream_folds_match_full_recompute(spark, tmp_path):
     # everything 1..4 and 10,11,20,21 collapsed as expected
     roots = dict(got)
     assert roots[4] == 1 and roots[21] == 10 and roots[30] == 30
+
+
+def test_fold_batch_retry_reads_earlier_snapshot(spark, tmp_path):
+    """A retry of batch N must fold from snap_{N-1}, never from its own
+    (possibly half-written) snap_N — and must converge to the same
+    mapping (exactly-once in effect)."""
+    from nexus_forge_spark.streaming.stream_pipeline import fold_edge_batch
+
+    mapping_dir = str(tmp_path / "m")
+    b0 = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    b1 = spark.createDataFrame([(2, 3)], "a long, b long")
+    fold_edge_batch(b0, 0, mapping_dir)
+    fold_edge_batch(b1, 1, mapping_dir)
+    first = {
+        (r["entity_id"], r["canonical_id"])
+        for r in spark.read.parquet(os.path.join(mapping_dir, "snap_0000000001")).collect()
+    }
+    # retry batch 1: snap_0000000001 already exists and MUST NOT be read
+    # as prev (self-overwrite); the re-fold from snap_0 must reproduce it
+    fold_edge_batch(b1, 1, mapping_dir)
+    again = {
+        (r["entity_id"], r["canonical_id"])
+        for r in spark.read.parquet(os.path.join(mapping_dir, "snap_0000000001")).collect()
+    }
+    assert first == again
+    assert {c for _, c in again} == {1}  # 1-2-3-4 all one component
