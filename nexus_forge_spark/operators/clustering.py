@@ -1,0 +1,119 @@
+"""Distributed Lloyd k-means over embedding columns — integer-exact.
+
+The float trap in cross-engine (and cross-partitioning!) clustering is
+summation order: float distance sums differ between engines and between
+partition layouts, so assignments can flip on ties-by-epsilon and nothing
+is reproducible.  Everything here therefore runs in BIGINT:
+
+* vectors quantize once: ``q_d = floor((double(x) + shift) * scale)`` —
+  float32 ⊂ double, one IEEE add/multiply and a floor, so the quantized
+  ints are bit-identical on any engine (the quantized-LSH lesson,
+  similarity.py).  The shift keeps every component positive, which makes
+  truncating integer division equal floor division in both Spark (`DIV`)
+  and DuckDB (`//`) for the centroid means;
+* distances are integer squared-L2; argmin ties break to the lowest
+  centroid id;
+* centroid updates are per-dimension truncated integer means; clusters
+  that lose all points keep their previous centroid.
+
+Scale shape per iteration: assignment is MAP-SIDE — centroids broadcast
+as a numpy constant into an Arrow-batched int64 matmul
+(``dist = q·q - 2 q·C + c·c``; per-plane HOF folds interpret ~20x slower,
+the round-1 MinHash finding), then ONE hash aggregation of dim partial
+sums per cluster (map-side combine).  The driver collects k rows per
+iteration (the centroids), exactly like the connected-components and BPE
+argmax loops.  Determinism end-to-end is what makes the unrolled
+DuckDB-oracle contract query possible (kmeans_embeddings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KMEANS_SCALE = 1000
+KMEANS_SHIFT = 2.0
+
+
+def quantize_vectors(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(vid, qv array<long>) — positive engine-exact integer components."""
+    return df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor((x + F.lit(KMEANS_SHIFT)) * KMEANS_SCALE).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+
+
+def assign_clusters(points: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """(vid, qv) x broadcast centroid constants -> (vid, qv, cid, dist).
+
+    dist = ||q||^2 - 2 q·c + ||c||^2 computed in int64 — identical to the
+    sum of squared differences, no overflow at these magnitudes (component
+    ~ scale*(shift+1), squared ~ 1e7, x dim 64 ~ 1e9 << 2^63).
+    """
+    C = np.array(centroids, dtype=np.int64)  # (k, dim)
+    c_norm = (C * C).sum(axis=1)  # (k,)
+    Ct = np.ascontiguousarray(C.T)
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("cid", T.IntegerType()),
+                T.StructField("dist", T.LongType()),
+            ]
+        )
+    )
+    def pick(qv: pd.Series) -> pd.DataFrame:
+        if not len(qv):
+            return pd.DataFrame({"cid": [], "dist": []})
+        q = np.stack(qv.to_numpy()).astype(np.int64)  # (n, dim)
+        scores = q @ Ct * -2 + c_norm  # (n, k) int64
+        cid = scores.argmin(axis=1)  # first occurrence = lowest cid on ties
+        dist = scores[np.arange(len(q)), cid] + (q * q).sum(axis=1)
+        return pd.DataFrame({"cid": cid.astype(np.int32), "dist": dist})
+
+    out = points.withColumn("_a", pick(F.col("qv")))
+    return out.select("vid", "qv", F.col("_a.cid").alias("cid"), F.col("_a.dist").alias("dist"))
+
+
+def kmeans_train(
+    points: DataFrame, k: int, iters: int
+) -> tuple[list[list[int]], DataFrame]:
+    """Lloyd iterations over (vid, qv); initial centroids are the k
+    lowest-vid vectors (deterministic seeding — at production scale use a
+    hash-sampled deterministic subset the same way).
+
+    Returns (final centroids, final assignment DataFrame (vid, cid, dist)).
+    """
+    pts = points.localCheckpoint(eager=True)
+    first = pts.select(F.size("qv")).first()
+    if first is None:
+        raise ValueError("kmeans_train: empty input")
+    dim = int(first[0])
+    cents = [list(map(int, r["qv"])) for r in pts.orderBy("vid").limit(k).collect()]
+    for _ in range(iters):
+        assigned = assign_clusters(pts, cents)
+        stats = (
+            assigned.groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("qv")[d]).alias(f"s{d}") for d in range(dim)],
+            )
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty clusters keep old centroid
+        for r in stats:
+            n = int(r["n"])
+            new[int(r["cid"])] = [int(r[f"s{d}"]) // n for d in range(dim)]
+        cents = new
+    final = assign_clusters(pts, cents).select("vid", "cid", "dist")
+    return cents, final

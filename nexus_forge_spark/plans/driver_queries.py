@@ -3355,6 +3355,86 @@ def sql_global_row_number() -> str:
 FROM documents"""
 
 
+# ---------------------------------------------------------------- k-means
+
+_KM_K, _KM_ITERS, _KM_DIM = 4, 3, 64
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means, integer-exact (operators/clustering.py):
+    vectors quantize to positive BIGINTs once, assignment is a map-side
+    Arrow int64 matmul against broadcast centroids, updates are one hash
+    agg of per-dim partial sums.  The oracle unrolls all 3 Lloyd
+    iterations in SQL (assign -> per-dim truncated mean -> splice empty
+    clusters), so hash equality pins the entire training trajectory —
+    including argmin tie-breaks and empty-cluster handling."""
+    from nexus_forge_spark.operators.clustering import (
+        kmeans_train,
+        quantize_vectors,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    _, final = kmeans_train(quantize_vectors(emb), _KM_K, _KM_ITERS)
+    return final.select(
+        F.col("vid").cast("long").alias("vec_id"),
+        F.col("cid").cast("int").alias("cid"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def sql_kmeans() -> str:
+    dist = (
+        "list_sum(list_transform(list_zip(p.qv, c.qv),"
+        " z -> (z[1]-z[2])*(z[1]-z[2])))"
+    )
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT vid, cid, dist FROM (
+    SELECT vid, cid, dist,
+           row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+    FROM (SELECT p.vid, c.cid, {dist} AS dist
+          FROM pts p CROSS JOIN {cents} c)
+  ) WHERE rn = 1)"""
+
+    parts = [
+        """pts AS MATERIALIZED (
+  SELECT vec_id AS vid,
+         list_transform(embedding,
+           x -> CAST(floor((CAST(x AS DOUBLE) + 2.0) * 1000) AS BIGINT)) AS qv
+  FROM embeddings)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INT) AS cid, qv
+  FROM (SELECT vid, qv FROM pts ORDER BY vid LIMIT {_KM_K}))""",
+    ]
+    for i in range(1, _KM_ITERS + 1):
+        parts.append(assign_cte(f"a{i}", f"c{i - 1}"))
+        parts.append(
+            f"""m{i} AS MATERIALIZED (
+  SELECT cid, dimi, CAST(sum(comp) // count(*) AS BIGINT) AS v
+  FROM (SELECT a.cid, u.z[1] AS comp, u.z[2] AS dimi
+        FROM a{i} a JOIN pts p USING (vid),
+             UNNEST(list_zip(p.qv, range(1, {_KM_DIM + 1}))) AS u(z))
+  GROUP BY cid, dimi)"""
+        )
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT prev.cid, coalesce(nw.qv, prev.qv) AS qv
+  FROM c{i - 1} prev LEFT JOIN
+       (SELECT cid, list(v ORDER BY dimi) AS qv FROM m{i} GROUP BY cid) nw
+       USING (cid))"""
+        )
+    parts.append(assign_cte("afinal", f"c{_KM_ITERS}"))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT CAST(vid AS BIGINT) AS vec_id, CAST(cid AS INT) AS cid,
+       CAST(dist AS BIGINT) AS dist
+FROM afinal"""
+    )
+
+
 # ------------------------------------------------------------------- BPE
 
 _BPE_MERGES = 16
@@ -3859,6 +3939,7 @@ QUERIES = {
     "exact_percentiles_tokens": (q_exact_percentiles, sql_exact_percentiles),
     "kg_canonical_triples": (q_kg_canonical_triples, sql_kg_canonical_triples),
     "dedup_incremental_lsh": (q_dedup_incremental, sql_dedup_incremental),
+    "kmeans_embeddings": (q_kmeans, sql_kmeans),
     "bpe_train_merges": (q_bpe_train, sql_bpe_train),
     "bpe_encode_tokens": (q_bpe_encode, sql_bpe_encode),
     "hll_distinct_bigrams": (q_hll_distinct, sql_hll_distinct),
