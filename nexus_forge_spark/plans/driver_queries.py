@@ -3076,6 +3076,59 @@ SELECT min(us) AS session_start_us,
 FROM sess GROUP BY user_id, sid"""
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator in the graded contract: the
+    applyInPandasWithState first-seen exact dedup
+    (streaming/stream_pipeline.py) run with trigger(availableNow) into an
+    append-mode memory sink.  Exact duplicates are injected INSIDE the
+    stream (each doc exploded into itself + an id+2000000 copy), so every
+    signature arrives at least twice and the state actually drops rows.
+    documents.parquet is a single file, so availableNow yields ONE
+    micro-batch and "first seen" is deterministic: min doc_id per
+    signature — which is exactly the batch GROUP BY the oracle runs."""
+    from nexus_forge_spark.streaming.stream_pipeline import (
+        streaming_first_seen_dedup,
+    )
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    dup = docs.withColumn(
+        "doc_id",
+        F.explode(F.array(F.col("doc_id"), F.col("doc_id") + 2000000)),
+    ).select("doc_id", "text")
+    out = streaming_first_seen_dedup(dup)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_dedup").select(
+        "sig", F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+def sql_stream_dedup() -> str:
+    return """WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')) AS sig
+  FROM docs
+)
+SELECT sig, min(doc_id) AS doc_id FROM sig GROUP BY sig"""
+
+
 PAGERANK_ITERS = 5
 PART_NODE_OFFSET = 2_000_000
 
@@ -3859,6 +3912,124 @@ LEFT JOIN cells c ON c.row = p.row AND c.col = p.col
 GROUP BY t.rank, t.token, t.exact_cnt"""
 
 
+_EDITJOIN_PART_CAP = 4000  # keeps the O(n^2) DuckDB oracle tractable at any sf
+
+
+def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance similarity self-join (PassJoin segment
+    pigeonhole, operators/editjoin.py): part names ∪ deterministic typo
+    mutants (5th char dropped, ed=1), all unordered pairs with
+    levenshtein <= 1.  Candidate generation is ONE equi-join on short
+    (len, seg_idx, segment) keys — no cartesian — with JVM threshold-
+    levenshtein verification; the oracle is the brute-force length-
+    filtered cross join, so any pigeonhole false negative shows up as a
+    row-count mismatch."""
+    from nexus_forge_spark.operators.editjoin import edit_distance_pairs
+
+    part = load_table(spark, "part", sf_dir).where(
+        F.col("p_partkey") <= _EDITJOIN_PART_CAP
+    )
+    corpus = part.select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    ).unionByName(
+        part.select(
+            (F.col("p_partkey") + 1000000).alias("id"),
+            F.concat(
+                F.substring("p_name", 1, 4), F.expr("substring(p_name, 6)")
+            ).alias("name"),
+        )
+    )
+    return edit_distance_pairs(corpus, max_dist=1)
+
+
+def sql_edit_distance_join() -> str:
+    return f"""WITH corpus AS (
+  SELECT p_partkey AS id, p_name AS name FROM part WHERE p_partkey <= {_EDITJOIN_PART_CAP}
+  UNION ALL
+  SELECT p_partkey + 1000000, substr(p_name, 1, 4) || substr(p_name, 6)
+  FROM part WHERE p_partkey <= {_EDITJOIN_PART_CAP}
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+FROM corpus a JOIN corpus b
+  ON a.id < b.id
+ AND abs(length(a.name) - length(b.name)) <= 1
+ AND levenshtein(a.name, b.name) <= 1"""
+
+
+_SNM_WINDOW = 8
+
+
+def q_snm_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking + verify (operators/blocking.py):
+    part names ∪ typo mutants sorted by name, every record paired with
+    its 8 successors (exchange-free parallel ranking + one equi-join on
+    the block id — no global window, no SinglePartition), verified with
+    JVM levenshtein <= 2.  The typo mutants share their original's first
+    4 chars, so they sort adjacent and SNM recovers them — the recall
+    story the oracle checks pair-for-pair."""
+    from nexus_forge_spark.operators.blocking import sorted_neighborhood_pairs
+
+    part = load_table(spark, "part", sf_dir)
+    corpus = part.select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    ).unionByName(
+        part.select(
+            (F.col("p_partkey") + 1000000).alias("id"),
+            F.concat(
+                F.substring("p_name", 1, 4), F.expr("substring(p_name, 6)")
+            ).alias("name"),
+        )
+    )
+    pairs = sorted_neighborhood_pairs(corpus, "id", "name", window=_SNM_WINDOW)
+    named = (
+        pairs.join(
+            corpus.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "name", "name_a"
+            ),
+            "id_a",
+        )
+        .join(
+            corpus.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "name", "name_b"
+            ),
+            "id_b",
+        )
+    )
+    dist = F.levenshtein("name_a", "name_b", 2)
+    return (
+        named.select(
+            "id_a", "id_b", "rn_a", "rn_b", dist.alias("dist")
+        )
+        .where(F.col("dist") >= 0)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("rn_a").cast("long").alias("rn_a"),
+            F.col("rn_b").cast("long").alias("rn_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
+def sql_snm_blocking() -> str:
+    return f"""WITH corpus AS (
+  SELECT p_partkey AS id, p_name AS name FROM part
+  UNION ALL
+  SELECT p_partkey + 1000000, substr(p_name, 1, 4) || substr(p_name, 6)
+  FROM part
+),
+ranked AS (
+  SELECT id, name, row_number() OVER (ORDER BY name, id) AS rn FROM corpus
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(a.rn AS BIGINT) AS rn_a, CAST(b.rn AS BIGINT) AS rn_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+FROM ranked a JOIN ranked b
+  ON b.rn > a.rn AND b.rn <= a.rn + {_SNM_WINDOW}
+WHERE levenshtein(a.name, b.name) <= 2"""
+
+
 QUERIES = {
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
@@ -3923,6 +4094,7 @@ QUERIES = {
     "dedup_components": (q_dedup_components, sql_dedup_components),
     "stream_window_counts": (q_stream_window_counts, sql_stream_window_counts),
     "stream_sessions": (q_stream_sessions, sql_stream_sessions),
+    "stream_dedup": (q_stream_dedup, sql_stream_dedup),
     "curation_pipeline": (q_curation_pipeline, sql_curation_pipeline),
     "pagerank_copurchase": (q_pagerank_copurchase, sql_pagerank_copurchase),
     "triangle_counts_neardup": (q_triangle_counts, sql_triangle_counts),
@@ -3945,4 +4117,6 @@ QUERIES = {
     "hll_distinct_bigrams": (q_hll_distinct, sql_hll_distinct),
     "kmv_corpus_jaccard": (q_kmv_jaccard, sql_kmv_jaccard),
     "cms_heavy_hitters": (q_cms_heavy_hitters, sql_cms_heavy_hitters),
+    "edit_distance_join": (q_edit_distance_join, sql_edit_distance_join),
+    "snm_blocking": (q_snm_blocking, sql_snm_blocking),
 }

@@ -295,3 +295,30 @@ def test_global_row_number_query_no_single_partition(spark, sf01):
     # claims are: no single-reducer exchange anywhere, offsets broadcast
     assert "SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_editjoin_candidates_are_equi_join(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["edit_distance_join"][0](spark, sf01))
+    # PassJoin candidate generation is a plain equi-join on the short
+    # (len, seg_idx, segment) key — never an all-pairs product; the only
+    # nested-loop branch is the broadcast over the (empty here) <k-char
+    # residue, so a plain CartesianProduct must never appear
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan \
+        or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # verification stays JVM-side: no Python eval operators anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snm_blocking_no_single_partition(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["snm_blocking"][0](spark, sf01))
+    # sorted-neighborhood runs on the exchange-free parallel ranking and
+    # one equi-join on the block id: no global-window single reducer, no
+    # cross product
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
