@@ -631,3 +631,41 @@ def curate_corpus(
             ).alias("kept_final"),
         )
     )
+
+
+def elect_cluster_representatives(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware dedup election: keep ONE document per near-dup
+    cluster — the highest ``score_col``, ties to the smallest id — and
+    flag everything else for drop.  This is the keep-best step real
+    training pipelines run after near-dup clustering (drop-all-but-one
+    by id loses the best-quality copy; see Dolma / RefinedWeb dedup
+    write-ups).
+
+    One map-side-combine hash aggregation (``min_by`` over the
+    (-score, id) struct — deterministic under any partitioning, NO
+    window funneling hot clusters through per-group sorts) plus one
+    equi-join back; scale posture identical to golden_records
+    (canonicalize.py).
+
+    Input: one row per (id, cluster, score).  Output: input columns +
+    ``keep`` boolean.
+    """
+    reps = scored.groupBy(cluster_col).agg(
+        F.min_by(
+            F.col(id_col),
+            F.struct(
+                (-F.col(score_col)).alias("neg_score"),
+                F.col(id_col).alias("id"),
+            ),
+        ).alias("_rep")
+    )
+    return (
+        scored.join(reps, cluster_col)
+        .withColumn("keep", F.col(id_col) == F.col("_rep"))
+        .drop("_rep")
+    )

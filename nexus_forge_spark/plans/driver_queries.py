@@ -3957,6 +3957,71 @@ FROM corpus a JOIN corpus b
  AND levenshtein(a.name, b.name) <= 1"""
 
 
+def q_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: near-dup clusters (MinHash+LSH -> verify ->
+    connected components) + per-doc quality score (token count), then
+    keep-best election per cluster (max score, tie -> min doc_id) via one
+    min_by hash agg — the keep-the-best-copy loop a real training
+    pipeline runs instead of keep-min-id.  Mutants have their first token
+    dropped, so the original wins every mixed cluster; singletons keep
+    themselves."""
+    from nexus_forge_spark.operators.canonicalize import connected_components
+    from nexus_forge_spark.operators.curation import (
+        elect_cluster_representatives,
+    )
+    from nexus_forge_spark.operators.text import token_count
+
+    docs = _docs_with_mutants(spark, sf_dir)
+    pairs = q_dedup_minhash(spark, sf_dir).select("a", "b")
+    comp = connected_components(pairs)
+    scored = (
+        docs.select(
+            "doc_id", token_count(F.col("text")).cast("long").alias("score")
+        )
+        .join(
+            comp.select(
+                F.col("entity_id").alias("doc_id"), "canonical_id"
+            ),
+            "doc_id",
+            "left",
+        )
+        .withColumn(
+            "cluster_id", F.coalesce("canonical_id", "doc_id")
+        )
+        .drop("canonical_id")
+    )
+    out = elect_cluster_representatives(scored, "doc_id", "cluster_id", "score")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("score").cast("long").alias("score"),
+        "keep",
+    )
+
+
+def sql_quality_dedup() -> str:
+    return f"""WITH {_MUTANT_DOCS_SQL},
+comp AS ({sql_dedup_components()}),
+scored AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS score
+  FROM docs
+),
+clustered AS (
+  SELECT s.doc_id, coalesce(c.canonical_id, s.doc_id) AS cluster_id, s.score
+  FROM scored s LEFT JOIN comp c ON c.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT cluster_id, doc_id AS rep,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY score DESC, doc_id) AS rk
+  FROM clustered
+)
+SELECT c.doc_id, c.cluster_id, c.score, (c.doc_id = r.rep) AS keep
+FROM clustered c
+JOIN (SELECT cluster_id, rep FROM ranked WHERE rk = 1) r USING (cluster_id)"""
+
+
 _SNM_WINDOW = 8
 
 
@@ -4119,4 +4184,5 @@ QUERIES = {
     "cms_heavy_hitters": (q_cms_heavy_hitters, sql_cms_heavy_hitters),
     "edit_distance_join": (q_edit_distance_join, sql_edit_distance_join),
     "snm_blocking": (q_snm_blocking, sql_snm_blocking),
+    "quality_aware_dedup": (q_quality_dedup, sql_quality_dedup),
 }

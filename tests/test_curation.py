@@ -384,3 +384,27 @@ def test_curate_corpus_composed_stages(spark):
     assert out[4]["n_removed"] == 0
     # '<EMAIL>' replaced the address: token count unchanged (3 + 2)
     assert out[4]["final_tokens"] == 5
+
+
+def test_elect_cluster_representatives_ties(spark):
+    from nexus_forge_spark.operators.curation import (
+        elect_cluster_representatives,
+    )
+
+    rows = [
+        # cluster 1: clear max
+        (1, 1, 10),
+        (2, 1, 30),
+        (3, 1, 20),
+        # cluster 7: tied max -> min id wins
+        (7, 7, 5),
+        (8, 7, 5),
+        # singleton
+        (9, 9, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long, score long")
+    out = {
+        r.doc_id: r.keep
+        for r in elect_cluster_representatives(df).collect()
+    }
+    assert out == {1: False, 2: True, 3: False, 7: True, 8: False, 9: True}
