@@ -23,12 +23,20 @@ DemoResolver lacks):
   are verified with the built-in JVM ``levenshtein`` (threshold form,
   early-exit above d).
 
-At 100 TB this is the plan you want: both explodes are map-side and
-bounded, the join is a plain shuffle hash join on short keys (no
-cartesian), and verification touches candidates only.  Strings shorter
-than ``k`` cannot be segmented; any partner is then itself at most
-``2d`` chars, so that residue routes through a broadcast nested-loop
-over two vanishingly small sets (still length-filtered + verified).
+Duplicate-heavy corpora are the norm (boilerplate titles, repeated
+labels), so the whole discovery phase runs over DISTINCT strings —
+the same vocabulary factoring the resolver ladder uses (resolve.py):
+``ed`` is a function of the strings, not the row ids, so the segment
+join + levenshtein verify touch each distinct string once and the id
+pairs come back through two output-bound equi-joins on the string
+value (same-string groups pair among themselves at distance 0 when
+``max_dist >= 0``).  At 100 TB this is the plan you want: explodes are
+map-side and bounded, the join keys are short, nothing is quadratic in
+ROW count — only in genuinely-distinct near-identical strings, which is
+the size of the answer itself.  Strings shorter than ``k`` cannot be
+segmented; any partner is then itself at most ``2d`` chars, so that
+residue routes through a broadcast nested-loop over two vanishingly
+small sets (still length-filtered + verified).
 """
 
 from __future__ import annotations
@@ -52,28 +60,12 @@ def _seg_len(i: int, length: Column, k: int) -> Column:
     return (base + F.when(F.lit(i) < rem, 1).otherwise(0)).cast("int")
 
 
-def edit_distance_pairs(
-    df: DataFrame,
-    id_col: str = "id",
-    text_col: str = "name",
-    max_dist: int = 1,
-) -> DataFrame:
-    """All unordered pairs with ``levenshtein(a, b) <= max_dist``.
-
-    Returns (id_a, id_b, dist) with id_a < id_b.  Exact — the segment
-    pigeonhole generates no false negatives, and every candidate is
-    verified with the threshold levenshtein (JVM codegen, early exit).
-    """
-    d = int(max_dist)
-    if d < 0:
-        raise ValueError("max_dist must be >= 0")
+def _distinct_string_pairs(strings: DataFrame, d: int) -> DataFrame:
+    """(txt_a, txt_b, dist) over a DataFrame of distinct ``txt`` values,
+    txt_a < txt_b lexicographically, 1 <= dist <= d (the dist-0 case is
+    same-string and handled by the caller's group expansion)."""
     k = d + 1
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("txt"),
-        F.length(text_col).cast("int").alias("len"),
-    ).where(F.col("txt").isNotNull())
-
+    base = strings.select("txt", F.length("txt").cast("int").alias("len"))
     long_side = base.where(F.col("len") >= k)
 
     # ---- index: the k segments of each string -------------------------
@@ -91,9 +83,8 @@ def edit_distance_pairs(
         ]
     )
     index = (
-        long_side.select("id", "txt", "len", F.explode(idx_entries).alias("e"))
+        long_side.select("txt", "len", F.explode(idx_entries).alias("e"))
         .select(
-            "id",
             "txt",
             "len",
             F.col("e.seg_idx").alias("seg_idx"),
@@ -127,16 +118,15 @@ def edit_distance_pairs(
                     )
                 )
     probe = (
-        base.select("id", "txt", "len", F.explode(F.array(*probe_entries)).alias("e"))
+        base.select("txt", F.explode(F.array(*probe_entries)).alias("e"))
         .select(
-            "id",
             "txt",
             F.col("e.p_len").alias("p_len"),
             F.col("e.seg_idx").alias("seg_idx"),
             F.col("e.seg").alias("seg"),
         )
         .where(F.col("seg").isNotNull())
-        .dropDuplicates(["id", "p_len", "seg_idx", "seg"])
+        .dropDuplicates(["txt", "p_len", "seg_idx", "seg"])
     )
 
     cand = (
@@ -146,15 +136,10 @@ def edit_distance_pairs(
             (F.col("a.len") == F.col("b.p_len"))
             & (F.col("a.seg_idx") == F.col("b.seg_idx"))
             & (F.col("a.seg") == F.col("b.seg"))
-            & (F.col("a.id") != F.col("b.id")),
+            & (F.col("a.txt") < F.col("b.txt")),
         )
-        .select(
-            F.least("a.id", "b.id").alias("id_a"),
-            F.greatest("a.id", "b.id").alias("id_b"),
-            F.col("a.txt").alias("txt_a"),
-            F.col("b.txt").alias("txt_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.txt").alias("txt_a"), F.col("b.txt").alias("txt_b"))
+        .dropDuplicates(["txt_a", "txt_b"])
     )
 
     # ---- residue: strings too short to segment ------------------------
@@ -168,21 +153,61 @@ def edit_distance_pairs(
         .join(
             near_short.alias("b"),
             (F.abs(F.col("a.len") - F.col("b.len")) <= d)
-            & (F.col("a.id") != F.col("b.id")),
+            & (F.col("a.txt") < F.col("b.txt")),
         )
+        .select(F.col("a.txt").alias("txt_a"), F.col("b.txt").alias("txt_b"))
+        .dropDuplicates(["txt_a", "txt_b"])
+    )
+
+    all_cand = cand.unionByName(short_cand).dropDuplicates(["txt_a", "txt_b"])
+    dist = F.levenshtein("txt_a", "txt_b", d)  # -1 above threshold
+    return all_cand.select(
+        "txt_a", "txt_b", dist.alias("dist")
+    ).where(F.col("dist") >= 1)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "name",
+    max_dist: int = 1,
+) -> DataFrame:
+    """All unordered pairs with ``levenshtein(a, b) <= max_dist``.
+
+    Returns (id_a, id_b, dist) with id_a < id_b.  Exact — the segment
+    pigeonhole generates no false negatives, and every candidate is
+    verified with the threshold levenshtein (JVM codegen, early exit).
+    """
+    d = int(max_dist)
+    if d < 0:
+        raise ValueError("max_dist must be >= 0")
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    ).where(F.col("txt").isNotNull())
+
+    # distance 0: pairs inside each same-string group
+    same = (
+        base.alias("a")
+        .join(base.alias("b"), F.col("a.txt") == F.col("b.txt"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+    )
+    if d == 0:
+        return same
+
+    spairs = _distinct_string_pairs(base.select("txt").distinct(), d)
+    cross = (
+        base.alias("a")
+        .join(spairs.alias("p"), F.col("a.txt") == F.col("p.txt_a"))
+        .join(base.alias("b"), F.col("b.txt") == F.col("p.txt_b"))
         .select(
             F.least("a.id", "b.id").alias("id_a"),
             F.greatest("a.id", "b.id").alias("id_b"),
-            F.col("a.txt").alias("txt_a"),
-            F.col("b.txt").alias("txt_b"),
+            F.col("p.dist").cast("int").alias("dist"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
-
-    all_cand = cand.unionByName(short_cand).dropDuplicates(["id_a", "id_b"])
-    dist = F.levenshtein("txt_a", "txt_b", d)  # -1 above threshold
-    return (
-        all_cand.select("id_a", "id_b", dist.alias("dist"))
-        .where(F.col("dist") >= 0)
-        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
-    )
+    return same.unionByName(cross)
