@@ -3085,7 +3085,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature arrives at least twice and the state actually drops rows.
     documents.parquet is a single file, so availableNow yields ONE
     micro-batch and "first seen" is deterministic: min doc_id per
-    signature — which is exactly the batch GROUP BY the oracle runs."""
+    signature — which is exactly the batch GROUP BY the oracle runs.
+
+    State partitions are sized to the input for the run (a stateful
+    Python stage pays a fixed worker + state-store cost PER PARTITION
+    per batch — measured 21 s at 32 partitions vs 2.3 s at 8 for this
+    10k-row input; a real deployment sizes spark.sql.shuffle.partitions
+    to its stream volume the same way)."""
     from nexus_forge_spark.streaming.stream_pipeline import (
         streaming_first_seen_dedup,
     )
@@ -3102,14 +3108,19 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(F.col("doc_id"), F.col("doc_id") + 2000000)),
     ).select("doc_id", "text")
     out = streaming_first_seen_dedup(dup)
-    q = (
-        out.writeStream.format("memory")
-        .queryName("stream_dedup")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table("stream_dedup").select(
         "sig", F.col("doc_id").cast("long").alias("doc_id")
     )
