@@ -322,3 +322,13 @@ def test_snm_blocking_no_single_partition(spark, sf01):
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_dedup_election_no_window(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["quality_aware_dedup"][0](spark, sf01))
+    # keep-best election is a min_by hash aggregation + join back — no
+    # per-cluster window sort funneling hot near-dup clusters
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
