@@ -669,3 +669,75 @@ def elect_cluster_representatives(
         .withColumn("keep", F.col(id_col) == F.col("_rep"))
         .drop("_rep")
     )
+
+
+# --------------------------------------------------------- URL-level dedup
+
+TRACKING_PARAM_PREFIXES = ("utm_",)
+TRACKING_PARAM_NAMES = ("gclid", "fbclid", "msclkid", "mc_eid", "igshid")
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_canon"
+) -> DataFrame:
+    """Canonical URL normalization — the FIRST dedup stage of C4/RefinedWeb
+    style web pipelines (URL dedup runs before any content dedup because
+    it needs no text comparison at all).  Pure map-side native string
+    expressions; no UDF, no shuffle.
+
+    Normalization (the standard safe subset):
+      * strip the fragment (``#...``);
+      * lowercase scheme and authority (host is case-insensitive, path is
+        NOT — path case is preserved);
+      * drop a leading ``www.`` and the scheme's default port
+        (``:80`` http / ``:443`` https);
+      * strip trailing slashes from the path (host root -> empty path);
+      * drop tracking query params (``utm_*`` prefixes + the usual click
+        ids), drop empty params, and SORT the survivors so param order
+        cannot distinguish identical resources.
+    """
+    u = F.regexp_replace(F.col(url_col), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    auth = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+    auth = F.regexp_replace(auth, r"^www\.", "")
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+
+    def _keep(p):
+        key = F.element_at(F.split(p, "="), 1)
+        tracking = F.lit(False)
+        for pref in TRACKING_PARAM_PREFIXES:
+            tracking = tracking | key.startswith(pref)
+        tracking = tracking | key.isin(*TRACKING_PARAM_NAMES)
+        return (p != "") & ~tracking
+
+    qcanon = F.array_join(F.array_sort(F.filter(F.split(query, "&"), _keep)), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(qcanon == "", F.lit("")).otherwise(F.concat(F.lit("?"), qcanon)),
+    )
+    return df.withColumn(out_col, canon)
+
+
+def url_dedup_election(
+    df: DataFrame, url_canon_col: str = "url_canon", id_col: str = "doc_id"
+) -> DataFrame:
+    """Elect ONE keeper per canonical URL (smallest id — deterministic
+    under any partitioning) and count the collapsed variants.  A single
+    map-side-combining hash aggregation on the canonical URL — no window,
+    so crawl-frequency skew (one hot URL fetched millions of times) never
+    funnels through a per-group sort.  Output: one row per canonical URL
+    ``(url_canon, keeper_id, n_variants)``."""
+    return df.groupBy(F.col(url_canon_col).alias("url_canon")).agg(
+        F.min(F.col(id_col)).cast("long").alias("keeper_id"),
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+    )

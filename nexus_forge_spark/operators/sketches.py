@@ -265,6 +265,128 @@ def kmv_jaccard(
     )
 
 
+# -------------------------------------------------------------- Bloom filter
+
+BLOOM_WORD_BITS = 63  # bits packed per BIGINT word (sign bit never set)
+
+
+def _bloom_cells(value: Column, n_hashes: int, n_bits: int, salt: str):
+    """(word, mask) cells for one value: k hash positions packed into
+    63-bit BIGINT words.  Bit index < 63, so ``shiftleft(1L, bit)`` stays
+    positive — no sign-extension divergence between engines."""
+    ks = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("k")
+    pos = F.pmod(
+        hash60(F.concat(value.cast("string"), F.lit("#"), F.col("k").cast("string")),
+               salt),
+        F.lit(n_bits),
+    )
+    word = F.floor(pos / F.lit(BLOOM_WORD_BITS)).cast("long")
+    mask = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), pos.cast("int") % BLOOM_WORD_BITS
+    )
+    return ks, word.alias("word"), mask.alias("mask")
+
+
+def bloom_sketch(
+    df: DataFrame,
+    value_col: str,
+    n_bits: int = 4096,
+    n_hashes: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build a Bloom membership filter as a DataFrame of packed bit words:
+    one row per non-empty 63-bit word, ``(word: long, bits: long)``.
+
+    Membership is the fourth mergeable-sketch axis next to HLL
+    (cardinality), KMV (similarity) and CountMin (frequency): one-sided
+    (no false negatives), OR-mergeable across batches/days, and at most
+    ``ceil(n_bits/63)`` rows regardless of input size.  The ``bit_or``
+    aggregate partial-combines map-side, so the shuffle carries at most
+    the word table per partition — never the values."""
+    ks, word, mask = _bloom_cells(F.col("v"), n_hashes, n_bits, salt)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(value_col).alias("v"))
+        .select("v", ks)
+        .select(word, mask)
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_merge(sketches: DataFrame) -> DataFrame:
+    """Merge Bloom word tables (same n_bits/n_hashes/salt): OR per word."""
+    return sketches.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    n_bits: int = 4096,
+    n_hashes: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Probe candidates against the filter: ``maybe_present`` is true iff
+    all k bits are set (never-false-negative; false positives possible at
+    the configured load factor).  The word table is tiny — broadcast it so
+    the candidate side never shuffles for the lookup; the per-candidate
+    AND-reduction is a map-side-combining bool_and."""
+    ks, word, mask = _bloom_cells(F.col("v"), n_hashes, n_bits, salt)
+    probes = (
+        candidates.select(F.col(value_col).alias("v"))
+        .select("v", ks)
+        .select("v", word, mask)
+    )
+    hit = F.coalesce(
+        F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"), F.lit(False)
+    )
+    return (
+        probes.join(F.broadcast(sketch), "word", "left")
+        .select("v", hit.alias("hit"))
+        .groupBy("v")
+        .agg(F.bool_and("hit").alias("maybe_present"))
+        .withColumnRenamed("v", value_col)
+    )
+
+
+def sql_bloom_probe(
+    build_sql: str,
+    probe_sql: str,
+    value_expr: str = "v",
+    n_bits: int = 4096,
+    n_hashes: int = 4,
+    salt: str = "bloom",
+) -> str:
+    """DuckDB oracle running the identical bit algebra: ``build_sql`` /
+    ``probe_sql`` are relations exposing ``value_expr``; returns
+    (value_expr, maybe_present)."""
+    h = sql_hash60(
+        f"CAST({value_expr} AS VARCHAR) || '#' || CAST(k AS VARCHAR)", salt
+    )
+    return f"""WITH build AS ({build_sql}),
+probe AS ({probe_sql}),
+ks AS (SELECT unnest(generate_series(0, {n_hashes - 1})) AS k),
+cells AS (
+  SELECT ({h} % {n_bits}) // {BLOOM_WORD_BITS} AS word,
+         (1::BIGINT << CAST(({h} % {n_bits}) % {BLOOM_WORD_BITS} AS INT)) AS mask
+  FROM build CROSS JOIN ks
+  WHERE {value_expr} IS NOT NULL
+),
+words AS (SELECT word, bit_or(mask) AS bits FROM cells GROUP BY word),
+probes AS (
+  SELECT {value_expr} AS v,
+         ({h} % {n_bits}) // {BLOOM_WORD_BITS} AS word,
+         (1::BIGINT << CAST(({h} % {n_bits}) % {BLOOM_WORD_BITS} AS INT)) AS mask
+  FROM probe CROSS JOIN ks
+),
+hits AS (
+  SELECT p.v, coalesce((w.bits & p.mask) = p.mask, FALSE) AS hit
+  FROM probes p LEFT JOIN words w ON w.word = p.word
+)
+SELECT v, bool_and(hit) AS maybe_present FROM hits GROUP BY v"""
+
+
 # ----------------------------------------------------------------- CountMin
 
 def countmin_sketch(

@@ -182,6 +182,74 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam_ppm: int = 900_000,
+) -> DataFrame:
+    """Interpolated bigram corpus-LM scoring — the CCNet-style upgrade of
+    :func:`unigram_logprob_scores` (Wenzek et al. 2020 filter on a real LM;
+    a Jelinek-Mercer-interpolated bigram keeps the shape set-oriented):
+    per bigram position, ``p = lam * c(prev,w)/c(prev.) + (1-lam) * c(w)/N``
+    and the doc score is the mean ``-ln p`` in integer micro-nats.
+
+    Engine exactness: ``lam`` and ``1-lam`` are BOTH derived from the same
+    integer ppm by division (never ``1 - lam`` in doubles — 1-0.9 is NOT
+    the nearest double to 0.1), the probability is one deterministic IEEE
+    multiply/divide/add chain over exact integer counts, and the single
+    ``ln`` is rounded to micro-nats once, so per-doc sums/means are
+    engine-exact.
+
+    Scale posture: the bigram table shuffles once on (prev, w) with
+    map-side combine (bigram vocab << corpus); context totals derive from
+    the bigram table (no second corpus pass); unigram counts reuse the
+    vocab-sized aggregate.  All three count tables are vocab-sized —
+    broadcast back — so the corpus itself shuffles zero times after the
+    count aggregates.  Output: (id, n_bigrams, sum_nll_micro,
+    mean_nll_micro) over docs with >= 2 tokens.
+    """
+    lam = lam_ppm / 1_000_000.0
+    oml = (1_000_000 - lam_ppm) / 1_000_000.0
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t")).where(
+        F.size("t") >= 2
+    )
+    pairs = base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> struct(a AS prev, b AS w))"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    cu = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    total = cu.agg(F.sum("cu").alias("n_total"))
+    cb = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("cb"))
+    cp = cb.groupBy("prev").agg(F.sum("cb").alias("cp"))
+    p = F.lit(lam) * (F.col("cb") / F.col("cp").cast("double")) + F.lit(oml) * (
+        F.col("cu") / F.col("n_total").cast("double")
+    )
+    scored = (
+        pairs.join(cb, ["prev", "w"])
+        .join(F.broadcast(cp), "prev")
+        .join(F.broadcast(cu), "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.round(-F.log(p) * 1_000_000).cast("long").alias("nll_micro"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("nll_micro").alias("sum_nll_micro"),
+        F.expr("CAST(sum(nll_micro) div count(1) AS BIGINT)").alias(
+            "mean_nll_micro"
+        ),
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],

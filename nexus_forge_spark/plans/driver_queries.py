@@ -4106,6 +4106,172 @@ FROM ranked a JOIN ranked b
 WHERE levenshtein(a.name, b.name) <= 2"""
 
 
+_BLOOM_BITS, _BLOOM_K = 4096, 4
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership filter (operators/sketches.py): build the packed
+    63-bit word table over the distinct tokens of 'en' docs, probe the
+    distinct 'de' tokens plus guaranteed-absent mutants.  Membership is
+    the fourth mergeable-sketch axis (HLL=cardinality, KMV=similarity,
+    CMS=frequency): bit_or partial-combines map-side, the probe
+    broadcasts the word table so the candidate side never shuffles, and
+    truly_present pins the no-false-negative contract row by row."""
+    from nexus_forge_spark.operators import sketches as SK
+
+    docs = load_table(spark, "documents", sf_dir)
+
+    def toks(lang: str) -> DataFrame:
+        return (
+            docs.where(F.col("lang") == lang)
+            .select(F.explode(F.split("text", " ")).alias("token"))
+            .distinct()
+        )
+
+    en, de = toks("en"), toks("de")
+    probes = de.unionByName(
+        de.select(F.concat(F.col("token"), F.lit("~q")).alias("token"))
+    )
+    sketch = SK.bloom_sketch(
+        en, "token", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_K, salt="bloomq"
+    )
+    hits = SK.bloom_probe(
+        sketch, probes, "token", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_K, salt="bloomq"
+    )
+    return hits.join(
+        en.withColumn("truly_present", F.lit(True)), "token", "left"
+    ).select(
+        "token",
+        "maybe_present",
+        F.coalesce("truly_present", F.lit(False)).alias("truly_present"),
+    )
+
+
+def sql_bloom_membership() -> str:
+    from nexus_forge_spark.operators.sketches import sql_bloom_probe
+
+    en = ("SELECT DISTINCT unnest(string_split(text, ' ')) AS token "
+          "FROM documents WHERE lang = 'en'")
+    de = ("SELECT DISTINCT unnest(string_split(text, ' ')) AS token "
+          "FROM documents WHERE lang = 'de'")
+    probe = f"SELECT token FROM ({de}) UNION SELECT token || '~q' FROM ({de})"
+    inner = sql_bloom_probe(
+        en, probe, "token", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_K, salt="bloomq"
+    )
+    return f"""WITH res AS ({inner}), en AS ({en})
+SELECT res.v AS token, res.maybe_present,
+  (en.token IS NOT NULL) AS truly_present
+FROM res LEFT JOIN en ON en.token = res.v"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup, the FIRST dedup stage of C4/RefinedWeb pipelines
+    (operators/curation.py): three messy deterministic variants per doc —
+    uppercase scheme/host + www + default port + tracking params + param
+    reorder + fragment + trailing slash — must canonicalize to ONE URL,
+    then a groupBy-min election keeps the smallest variant id.  The
+    oracle computes the ground-truth canonical form directly from
+    (source, doc_id), so ANY canonicalization slip is a hash mismatch.
+    Map-side string exprs + one hash aggregation; no window, no UDF."""
+    from nexus_forge_spark.operators.curation import (
+        canonicalize_urls,
+        url_dedup_election,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    base = F.concat(F.col("source"), F.lit(".example.com"))
+    did = F.col("doc_id").cast("string")
+    variants = (
+        docs.select(
+            (F.col("doc_id") * 10).alias("id"),
+            F.concat(
+                F.lit("HTTPS://WWW."),
+                F.upper(base),
+                F.lit(":443/docs/"),
+                did,
+                F.lit("/?b=2&utm_source=rss&a=1#frag"),
+            ).alias("url"),
+        )
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") * 10 + 1).alias("id"),
+                F.concat(
+                    F.lit("https://"), base, F.lit("/docs/"), did, F.lit("?a=1&b=2")
+                ).alias("url"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") * 10 + 2).alias("id"),
+                F.concat(
+                    F.lit("https://"),
+                    base,
+                    F.lit(":443/docs/"),
+                    did,
+                    F.lit("?b=2&a=1&fbclid=XYZ"),
+                ).alias("url"),
+            )
+        )
+    )
+    return url_dedup_election(canonicalize_urls(variants), "url_canon", "id")
+
+
+def sql_url_dedup() -> str:
+    return """SELECT
+  'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+    || '?a=1&b=2' AS url_canon,
+  CAST(doc_id * 10 AS BIGINT) AS keeper_id,
+  CAST(3 AS BIGINT) AS n_variants
+FROM documents"""
+
+
+_BIGRAM_LAM_PPM = 900_000
+
+
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer-interpolated bigram corpus-LM scoring — the CCNet
+    upgrade of unigram_nll (operators/text.py): per-doc mean -ln of
+    lam*P(w|prev) + (1-lam)*P(w) in engine-exact integer micro-nats (both
+    interpolation weights derived from the SAME integer ppm; 1-lam in
+    doubles is NOT the nearest double to 0.1)."""
+    from nexus_forge_spark.operators.text import bigram_logprob_scores
+
+    return bigram_logprob_scores(
+        load_table(spark, "documents", sf_dir), lam_ppm=_BIGRAM_LAM_PPM
+    )
+
+
+def sql_bigram_nll() -> str:
+    lam = _BIGRAM_LAM_PPM / 1_000_000.0
+    oml = (1_000_000 - _BIGRAM_LAM_PPM) / 1_000_000.0
+    return rf"""WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2
+),
+pairs AS (
+  SELECT doc_id, t[i] AS prev, t[i+1] AS w
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+),
+toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents
+),
+cu AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
+total AS (SELECT sum(cu) AS n_total FROM cu),
+cb AS (SELECT prev, w, count(*) AS cb FROM pairs GROUP BY prev, w),
+cp AS (SELECT prev, sum(cb) AS cp FROM cb GROUP BY prev),
+scored AS (
+  SELECT p.doc_id,
+    CAST(round(-ln(CAST({lam!r} AS DOUBLE) * (cb / CAST(cp AS DOUBLE))
+        + CAST({oml!r} AS DOUBLE) * (cu / CAST(n_total AS DOUBLE))) * 1000000)
+      AS BIGINT) AS nll_micro
+  FROM pairs p JOIN cb USING (prev, w) JOIN cp USING (prev) JOIN cu USING (w), total
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  sum(nll_micro) AS sum_nll_micro,
+  CAST(sum(nll_micro) // count(*) AS BIGINT) AS mean_nll_micro
+FROM scored GROUP BY doc_id"""
+
+
 QUERIES = {
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
@@ -4196,4 +4362,7 @@ QUERIES = {
     "edit_distance_join": (q_edit_distance_join, sql_edit_distance_join),
     "snm_blocking": (q_snm_blocking, sql_snm_blocking),
     "quality_aware_dedup": (q_quality_dedup, sql_quality_dedup),
+    "bloom_membership": (q_bloom_membership, sql_bloom_membership),
+    "url_dedup": (q_url_dedup, sql_url_dedup),
+    "bigram_nll": (q_bigram_nll, sql_bigram_nll),
 }

@@ -408,3 +408,55 @@ def test_elect_cluster_representatives_ties(spark):
         for r in elect_cluster_representatives(df).collect()
     }
     assert out == {1: False, 2: True, 3: False, 7: True, 8: False, 9: True}
+
+
+# ---- URL canonicalization + URL-level dedup --------------------------------
+
+
+def test_canonicalize_urls_goldens(spark):
+    from nexus_forge_spark.operators.curation import canonicalize_urls
+
+    cases = [
+        # scheme/host case, www, default port, tracking params, reorder, fragment
+        ("HTTPS://WWW.A.Example.COM:443/Docs/9/?b=2&utm_source=rss&a=1#frag",
+         "https://a.example.com/Docs/9?a=1&b=2"),
+        ("https://a.example.com/Docs/9?a=1&b=2",
+         "https://a.example.com/Docs/9?a=1&b=2"),
+        ("http://a.com:80/", "http://a.com"),
+        # non-default port preserved; path case preserved
+        ("http://a.com:8080/x/", "http://a.com:8080/x"),
+        ("HTTP://WwW.D.cOm/CaseSensitive/Path", "http://d.com/CaseSensitive/Path"),
+        # click-id params dropped, empties dropped, survivors sorted
+        ("https://b.com/p?fbclid=XX&z=1&gclid=2", "https://b.com/p?z=1"),
+        ("https://c.com/?utm_medium=m&utm_campaign=c", "https://c.com"),
+        ("https://e.com/x?&&a=1", "https://e.com/x?a=1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "id long, url string"
+    )
+    got = {r.id: r.url_canon for r in canonicalize_urls(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_url_dedup_election_keeps_min_id(spark):
+    from nexus_forge_spark.operators.curation import (
+        canonicalize_urls,
+        url_dedup_election,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (7, "https://x.com/a?p=1&utm_source=s"),
+            (3, "HTTPS://WWW.X.COM:443/a/?p=1"),
+            (9, "https://x.com/a?p=1#top"),
+            (5, "https://x.com/other"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r.url_canon: (r.keeper_id, r.n_variants)
+        for r in url_dedup_election(canonicalize_urls(df)).collect()
+    }
+    assert out["https://x.com/a?p=1"] == (3, 3)
+    assert out["https://x.com/other"] == (5, 1)

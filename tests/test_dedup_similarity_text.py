@@ -317,3 +317,26 @@ def test_incremental_lsh_pairs_equals_full_rebuild(spark):
         }
         assert base_pairs | inc == full, f"cut={cut}"
         assert not (base_pairs & inc), f"cut={cut}: incremental re-emitted base pairs"
+
+
+def test_bigram_logprob_scores(spark):
+    import math
+
+    from nexus_forge_spark.operators.text import bigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (3, "a")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bigram_logprob_scores(df).collect()}
+    # unigrams over ALL docs: a=4 b=2 N=6; bigrams: (a,b)=1 (b,a)=2; cp: a=1 b=2
+    lam, oml = 900_000 / 1_000_000.0, 100_000 / 1_000_000.0
+    nll = lambda cb, cp, cu: round(  # noqa: E731
+        -math.log(lam * (cb / cp) + oml * (cu / 6.0)) * 1_000_000
+    )
+    ab, ba = nll(1, 1, 2), nll(2, 2, 4)
+    assert 3 not in out  # single-token doc has no bigram positions
+    assert out[1].n_bigrams == 2 and out[1].sum_nll_micro == ab + ba
+    assert out[1].mean_nll_micro == (ab + ba) // 2
+    assert out[2].n_bigrams == 1 and out[2].sum_nll_micro == ba
+    # the rarer continuation (a->b) costs more than the dominant one (b->a)
+    assert ab > ba

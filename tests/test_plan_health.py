@@ -332,3 +332,31 @@ def test_quality_dedup_election_no_window(spark, sf01):
     # per-cluster window sort funneling hot near-dup clusters
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_bloom_probe_broadcasts_sketch(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["bloom_membership"][0](spark, sf01))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_dedup_single_hash_agg_no_window(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["url_dedup"][0](spark, sf01))
+    assert "Window" not in plan and "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_nll_broadcast_count_tables(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["bigram_nll"][0](spark, sf01))
+    # the context/unigram/total tables come back as broadcasts; no window,
+    # no python in the hot path
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -125,3 +125,53 @@ def test_cms_weighted_counts(spark):
     cand = spark.createDataFrame([("x",), ("y",)], "v string")
     est = {r["v"]: r["cms_est"] for r in SK.countmin_lookup(sketch, cand, "v", depth=3, width=32).collect()}
     assert est["x"] >= 12 and est["y"] >= 2
+
+
+# ----------------------------------------------------------------- Bloom
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    a = _values(spark, [f"a{i}" for i in range(300)])
+    b = _values(spark, [f"b{i}" for i in range(200)])
+    sa = SK.bloom_sketch(a, "v")
+    sb = SK.bloom_sketch(b, "v")
+    merged = SK.bloom_merge(sa.unionByName(sb))
+    direct = SK.bloom_sketch(a.unionByName(b), "v")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    # every inserted value must probe true (one-sided error)
+    hits = SK.bloom_probe(merged, a.unionByName(b), "v").collect()
+    assert all(r.maybe_present for r in hits)
+
+
+def test_bloom_absent_values_mostly_rejected(spark):
+    built = _values(spark, [f"in{i}" for i in range(200)])
+    sketch = SK.bloom_sketch(built, "v")
+    absent = _values(spark, [f"out{i}" for i in range(200)])
+    res = SK.bloom_probe(sketch, absent, "v").collect()
+    fp = sum(1 for r in res if r.maybe_present)
+    # 200 keys * 4 hashes in 4096 bits -> load ~0.18, fp ~ (1-e^-0.2)^4 << 1%
+    assert fp <= 5
+    # determinism: same probe twice gives the identical verdict set
+    res2 = SK.bloom_probe(sketch, absent, "v").collect()
+    assert {(r.v, r.maybe_present) for r in res} == {
+        (r.v, r.maybe_present) for r in res2
+    }
+
+
+def test_bloom_duckdb_parity(spark):
+    import duckdb
+
+    built = _values(spark, [f"tok{i}" for i in range(150)])
+    probes = _values(spark, [f"tok{i}" for i in range(0, 300, 7)])
+    mine = {
+        r.v: r.maybe_present
+        for r in SK.bloom_probe(SK.bloom_sketch(built, "v"), probes, "v").collect()
+    }
+    sql = SK.sql_bloom_probe(
+        "SELECT 'tok' || CAST(i AS VARCHAR) AS v FROM generate_series(0,149) t(i)",
+        "SELECT 'tok' || CAST(i AS VARCHAR) AS v "
+        "FROM generate_series(0,299) t(i) WHERE i % 7 = 0",
+        "v",
+    )
+    oracle = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+    assert mine == oracle
