@@ -741,3 +741,93 @@ def url_dedup_election(
         F.min(F.col(id_col)).cast("long").alias("keeper_id"),
         F.count(F.lit(1)).cast("long").alias("n_variants"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the RAG/training
+    chunking step (fixed context budget per chunk, ``overlap`` tokens of
+    left context carried into each successor so boundary-spanning facts
+    survive the cut).
+
+    Chunk starts are ``0, step, 2*step, ...`` for ``step = chunk_size -
+    overlap``, kept only while the chunk contributes at least one NEW
+    token (``start == 0 or start + overlap < n_tokens`` — the previous
+    chunk ends at ``start + overlap``, so a start at or past that bound
+    would emit a pure-suffix duplicate); a doc shorter than one chunk
+    yields exactly one chunk.  Deterministic: chunk_id is the start's
+    ordinal, no RNG, no state.
+
+    Scale posture: map-side only — ``sequence`` + ``posexplode`` +
+    ``slice`` over the already-materialized token array; no shuffle, no
+    join, fan-out bounded by n_tokens/step per row.  Output:
+    (id, chunk_id, start, n_tokens, chunk_text).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    step = chunk_size - overlap
+    from nexus_forge_spark.operators.text import tokens
+
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t")).where(
+        F.size("t") >= 1
+    )
+    exploded = base.select(
+        F.col(id_col),
+        "t",
+        F.posexplode(
+            F.filter(
+                F.sequence(F.lit(0), F.size("t") - 1, F.lit(step)),
+                lambda s: (s == 0) | (s + overlap < F.size("t")),
+            )
+        ).alias("chunk_id", "start"),
+    )
+    ck = F.slice(F.col("t"), F.col("start") + 1, chunk_size)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start").cast("int").alias("start"),
+        F.size(ck).cast("int").alias("n_tokens"),
+        F.array_join(ck, " ").alias("chunk_text"),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    splits: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by id hash — the
+    leakage-safe alternative to random splitting: the same id lands in
+    the same split on every run, on any cluster size, regardless of row
+    order or partitioning, so re-ingesting a crawl can never migrate a
+    held-out document into train.
+
+    Thresholds are CUMULATIVE integer parts-per-million in sorted split
+    order (ppm arithmetic only — no float comparison can differ between
+    engines); any ppm remainder from rounding goes to the last split.
+
+    Scale posture: map-side only — one md5 per row, a literal CASE
+    ladder, no shuffle.  Output: input columns + ``split``.
+    """
+    if splits is None:
+        splits = {"train": 0.98, "valid": 0.01, "test": 0.01}
+    names = sorted(splits)
+    ppms = [int(round(splits[k] * PPM)) for k in names]
+    if sum(ppms) != PPM:
+        raise ValueError(f"split fractions must sum to 1.0 (got {sum(ppms)} ppm)")
+    draw = _ppm_hash(F.col(id_col), salt)
+    bounds = []
+    cum = 0
+    for name, p in zip(names[:-1], ppms[:-1]):
+        cum += p
+        bounds.append((name, cum))
+    expr = F.lit(names[-1])
+    for name, b in reversed(bounds):
+        expr = F.when(draw < b, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -296,3 +296,173 @@ def bm25_scores(
         )
     )
     return contrib.groupBy(id_col).agg(F.sum("c_micro").alias("score_micro"))
+
+
+def phrase_search(
+    df,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase retrieval over a positional posting list — the
+    companion to :func:`bm25_scores` (ranked bag-of-words) for queries
+    that need token ADJACENCY ("new york", code idioms, quoted spans).
+
+    Plan (one shuffle, anchor-group algorithm): posexplode to positional
+    postings, keep ONLY tokens that appear in the phrase (map-side filter
+    — the corpus's non-matching tokens never reach a shuffle), emit one
+    (doc, anchor=pos-slot, slot) row per phrase slot the token can fill
+    (a token may fill several slots when the phrase repeats a word), then
+    one (doc, anchor) aggregate: the phrase matches at an anchor iff all
+    ``len(phrase)`` slots are present.  ``count(*)`` is exact here — a
+    given (doc, anchor, slot) determines pos = anchor + slot, and each
+    position emits each slot at most once.  Overlapping and repeated-word
+    occurrences are counted correctly (unit-tested with periodic
+    phrases), unlike substring replace-counting.
+
+    Output: (id, n_occurrences) for docs containing the phrase.
+    """
+    k = len(phrase)
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    slots = F.array(*[F.when(F.col("tok") == w, F.lit(i)) for i, w in enumerate(phrase)])
+    probe = (
+        toks.where(F.col("tok").isin(*set(phrase)))
+        .select(
+            F.col(id_col),
+            "pos",
+            F.explode(F.filter(slots, lambda x: x.isNotNull())).alias("slot"),
+        )
+    )
+    anchored = probe.select(
+        F.col(id_col), (F.col("pos") - F.col("slot")).alias("anchor")
+    ).where(F.col("anchor") >= 0)
+    occ = (
+        anchored.groupBy(id_col, "anchor")
+        .agg(F.count(F.lit(1)).alias("nslots"))
+        .where(F.col("nslots") == k)
+    )
+    return occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+
+
+def tfidf_topk(
+    df,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the classic corpus-analysis /
+    keyword-extraction operator (weight = tf * ln(N / df)).
+
+    Engine exactness: the weight is rounded to BIGINT micro-units ONCE
+    (tf is an exact integer multiplier of the single ln), and the per-doc
+    ranking orders by the ROUNDED integer (desc, then term asc), so rank
+    ties cannot depend on sub-ulp float differences between engines.
+
+    Scale posture: one (doc, term) aggregate with map-side combine; the
+    document-frequency table is vocab-sized (derived FROM the tf table —
+    no second corpus pass) and broadcast back; the per-doc top-k window
+    partitions on the document id, whose group size is bounded by the
+    doc's vocabulary — no hot keys.  Output: (id, term, rank,
+    tfidf_micro).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    weighted = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs")) * 1_000_000
+            )
+            .cast("long")
+            .alias("tfidf_micro"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf_micro").desc(), F.col("term")
+    )
+    return (
+        weighted.withColumn("rank", F.row_number().over(win).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "tfidf_micro")
+    )
+
+
+def pmi_collocations(
+    df,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the classic
+    corpus-analysis operator (Church & Hanks 1990) for surfacing
+    multi-word expressions ("new york", "machine learning") worth
+    protecting from tokenizer splits or boosting in retrieval.
+
+    ``pmi = ln( p(w1,w2) / (p(w1) * p(w2)) )`` with ``p(w1,w2) = cb/Nb``
+    over adjacent-token bigrams and ``p(w) = cu/Nu`` over unigrams.
+
+    Engine exactness: the probability ratio is ONE deterministic IEEE
+    chain over exact integer counts and the single ``ln`` is rounded to
+    integer micro-nats once; the global top-k orders by the ROUNDED
+    integer (desc, then w1, w2 asc) so the cutoff cannot depend on
+    sub-ulp float differences between engines.
+
+    Scale posture: bigram and unigram count tables are vocab-sized
+    (map-side combine shuffles), the totals derive FROM those tables (no
+    second corpus pass), the min_count-pruned candidate table is the
+    BROADCAST build side of both unigram joins (Zipf: pairs seen >=
+    min_count times are a small fraction of the bigram vocab, while the
+    full unigram table may be too large to broadcast — it streams), and
+    the final top-k is an orderBy+limit — Spark's TakeOrderedAndProject,
+    a per-partition heap + driver merge of k rows, never a global sort
+    of the vocabulary.
+    """
+    base = df.select(tokens(F.col(text_col)).alias("t")).where(F.size("t") >= 2)
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    cu = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    nu = cu.agg(F.sum("cu").alias("n_uni"))
+    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    nb = cb.agg(F.sum("cb").alias("n_bi"))
+    p12 = F.col("cb") / F.col("n_bi").cast("double")
+    p1 = F.col("cu1") / F.col("n_uni").cast("double")
+    p2 = F.col("cu2") / F.col("n_uni").cast("double")
+    cand = F.broadcast(cb.where(F.col("cb") >= min_count)).join(
+        cu.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1"
+    )
+    scored = (
+        F.broadcast(cand)
+        .join(cu.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").alias("n_pair"),
+            F.round(F.log(p12 / (p1 * p2)) * 1_000_000)
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_micro").desc(), F.col("w1"), F.col("w2")
+    ).limit(k)

@@ -4272,6 +4272,185 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM scored GROUP BY doc_id"""
 
 
+_PHRASE = ["table", "value"]
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval via the anchor-group positional algorithm
+    (operators/text.py phrase_search): tokens not in the phrase are
+    filtered MAP-SIDE before the single (doc, anchor) shuffle, so at
+    100 TB the shuffle carries only the query terms' postings.  The
+    oracle counts phrase positions directly on the token arrays —
+    independent of the posting/anchor algebra."""
+    from nexus_forge_spark.operators.text import phrase_search
+
+    return phrase_search(load_table(spark, "documents", sf_dir), _PHRASE)
+
+
+def sql_phrase_search() -> str:
+    conds = " AND ".join(
+        f"t[i + {j}] = '{w}'" for j, w in enumerate(_PHRASE)
+    )
+    return rf"""WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+hits AS (
+  SELECT doc_id
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(1, len(t) - {len(_PHRASE) - 1})) AS i
+  )
+  WHERE {conds}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM hits GROUP BY doc_id"""
+
+
+_TFIDF_K = 5
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k TF-IDF keyword extraction per document (operators/text.py
+    tfidf_topk): weight = tf * ln(N/df) rounded ONCE to integer micro
+    units, per-doc ranking ordered by the ROUNDED integer so rank ties
+    are engine-exact.  df table derives from the tf table (no second
+    corpus pass) and broadcasts back."""
+    from nexus_forge_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(load_table(spark, "documents", sf_dir), k=_TFIDF_K)
+
+
+def sql_tfidf_keywords() -> str:
+    return rf"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+weighted AS (
+  SELECT doc_id, term,
+    CAST(round(tf * ln(n_docs / df_docs) * 1000000) AS BIGINT) AS tfidf_micro
+  FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf_micro,
+    CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf_micro DESC, term) AS INT) AS rank
+  FROM weighted
+)
+SELECT doc_id, term, rank, tfidf_micro FROM ranked WHERE rank <= {_TFIDF_K}"""
+
+
+_PMI_MIN_COUNT = 5
+_PMI_K = 25
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PMI collocations (operators/text.py pmi_collocations):
+    vocab-sized count tables with map-side combine, totals derived from
+    the count tables (no second corpus pass), min_count-pruned candidate
+    table broadcast against the streaming unigram table, micro-nat
+    integer rounding ONCE, top-k ordered by the rounded integer
+    (TakeOrderedAndProject, never a global vocab sort)."""
+    from nexus_forge_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(
+        load_table(spark, "documents", sf_dir), min_count=_PMI_MIN_COUNT, k=_PMI_K
+    )
+
+
+def sql_pmi_collocations() -> str:
+    return rf"""WITH base AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2
+),
+pairs AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+),
+toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents
+),
+cu AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
+nu AS (SELECT sum(cu) AS n_uni FROM cu),
+cb AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2),
+nb AS (SELECT sum(cb) AS n_bi FROM cb),
+scored AS (
+  SELECT w1, w2, cb AS n_pair,
+    CAST(round(ln(
+      (cb / CAST(n_bi AS DOUBLE))
+      / ((c1.cu / CAST(n_uni AS DOUBLE)) * (c2.cu / CAST(n_uni AS DOUBLE)))
+    ) * 1000000) AS BIGINT) AS pmi_micro
+  FROM cb JOIN cu c1 ON cb.w1 = c1.w JOIN cu c2 ON cb.w2 = c2.w, nb, nu
+  WHERE cb >= {_PMI_MIN_COUNT}
+)
+SELECT * FROM scored ORDER BY pmi_micro DESC, w1, w2 LIMIT {_PMI_K}"""
+
+
+_CHUNK_SIZE = 32
+_CHUNK_OVERLAP = 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking for RAG/training contexts
+    (operators/curation.py chunk_documents): map-side only — sequence +
+    posexplode + slice over the token array, no shuffle, no join.  The
+    oracle enumerates chunk starts independently with generate_series."""
+    from nexus_forge_spark.operators.curation import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, "documents", sf_dir),
+        chunk_size=_CHUNK_SIZE,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+def sql_chunk_documents() -> str:
+    step = _CHUNK_SIZE - _CHUNK_OVERLAP
+    return rf"""WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 1
+),
+chunks AS (
+  SELECT doc_id, CAST(i // {step} AS INT) AS chunk_id, CAST(i AS INT) AS start,
+    t[i + 1 : least(i + {_CHUNK_SIZE}, len(t))] AS ck
+  FROM base, LATERAL (SELECT unnest(generate_series(0, len(t) - 1, {step})) AS i)
+  WHERE i = 0 OR i + {_CHUNK_OVERLAP} < len(t)
+)
+SELECT doc_id, chunk_id, start, CAST(len(ck) AS INT) AS n_tokens,
+  array_to_string(ck, ' ') AS chunk_text
+FROM chunks"""
+
+
+_SPLITS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/valid/test assignment
+    (operators/curation.py hash_split): one md5 per row + a literal
+    cumulative-ppm CASE ladder, map-side only — the same id lands in the
+    same split on any cluster size / row order / partitioning."""
+    from nexus_forge_spark.operators.curation import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    return hash_split(docs, _SPLITS).select("doc_id", "split")
+
+
+def sql_hash_split() -> str:
+    names = sorted(_SPLITS)
+    ppms = [int(round(_SPLITS[k] * 1_000_000)) for k in names]
+    draw = _sql_ppm_hash("doc_id", "split")
+    cases = []
+    cum = 0
+    for name, p in zip(names[:-1], ppms[:-1]):
+        cum += p
+        cases.append(f"WHEN {draw} < {cum} THEN '{name}'")
+    ladder = " ".join(cases)
+    return f"""SELECT doc_id,
+  CASE {ladder} ELSE '{names[-1]}' END AS split
+FROM documents"""
+
+
 QUERIES = {
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
@@ -4365,4 +4544,9 @@ QUERIES = {
     "bloom_membership": (q_bloom_membership, sql_bloom_membership),
     "url_dedup": (q_url_dedup, sql_url_dedup),
     "bigram_nll": (q_bigram_nll, sql_bigram_nll),
+    "phrase_search": (q_phrase_search, sql_phrase_search),
+    "tfidf_keywords": (q_tfidf_keywords, sql_tfidf_keywords),
+    "pmi_collocations": (q_pmi_collocations, sql_pmi_collocations),
+    "chunk_documents": (q_chunk_documents, sql_chunk_documents),
+    "hash_split": (q_hash_split, sql_hash_split),
 }

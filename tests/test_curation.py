@@ -460,3 +460,57 @@ def test_url_dedup_election_keeps_min_id(spark):
     }
     assert out["https://x.com/a?p=1"] == (3, 3)
     assert out["https://x.com/other"] == (5, 1)
+
+
+def test_chunk_documents_boundaries(spark):
+    from nexus_forge_spark.operators.curation import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+        (2, "only three tokens"),  # shorter than one chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_size=4, overlap=2).collect()
+    d1 = sorted((r.chunk_id, r.start, r.n_tokens, r.chunk_text) for r in out if r.doc_id == 1)
+    # step=2: starts 0,2,4,6 — start 8 dropped (8+overlap >= 10, pure suffix
+    # of the chunk at 6, which already reaches the end)
+    assert [c[1] for c in d1] == [0, 2, 4, 6]
+    assert [c[0] for c in d1] == [0, 1, 2, 3]
+    assert [c[2] for c in d1] == [4, 4, 4, 4]
+    assert d1[0][3] == "t0 t1 t2 t3"
+    assert d1[-1][3] == "t6 t7 t8 t9"
+    d2 = [r for r in out if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].n_tokens == 3 and d2[0].chunk_text == "only three tokens"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+    from nexus_forge_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from nexus_forge_spark.operators.curation import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = hash_split(df, {"train": 0.8, "valid": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+    # determinism: re-running and repartitioning yields identical assignment
+    again = hash_split(df.repartition(7), {"train": 0.8, "valid": 0.1, "test": 0.1})
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in again.collect()}
+    assert a == b
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    import pytest as _pytest
+    from nexus_forge_spark.operators.curation import hash_split
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError):
+        hash_split(df, {"train": 0.8, "valid": 0.1})

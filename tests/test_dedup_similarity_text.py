@@ -340,3 +340,61 @@ def test_bigram_logprob_scores(spark):
     assert out[2].n_bigrams == 1 and out[2].sum_nll_micro == ba
     # the rarer continuation (a->b) costs more than the dominant one (b->a)
     assert ab > ba
+
+
+def test_phrase_search_overlapping_and_repeated(spark):
+    # periodic phrase: "a b a b a" contains "a b a" at anchors 0 and 2
+    rows = [
+        (1, "a b a b a"),
+        (2, "a b c"),
+        (3, "b a b"),  # no full occurrence
+        (4, "x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.n_occurrences for r in X.phrase_search(df, ["a", "b", "a"]).collect()}
+    assert out == {1: 2}
+
+
+def test_phrase_search_single_token(spark):
+    df = spark.createDataFrame([(1, "x a x a"), (2, "b")], "doc_id long, text string")
+    out = {r.doc_id: r.n_occurrences for r in X.phrase_search(df, ["a"]).collect()}
+    assert out == {1: 2}
+
+
+def test_tfidf_topk_ranks_and_ties(spark):
+    rows = [
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry date date"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tfidf_micro))
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    d1 = sorted(by_doc[1])
+    assert d1[0][1] == "apple" and d1[1][1] == "banana"
+    assert d1[0][2] == round(2 * __import__("math").log(3) * 1e6)
+    # rank ties broken by term asc deterministically
+    for ranks in by_doc.values():
+        assert [r for r, *_ in sorted(ranks)] == list(range(1, len(ranks) + 1))
+
+
+def test_pmi_collocations_values(spark):
+    import math
+
+    # "x y" always adjacent; "p"/"q" frequent but never adjacent to each other
+    rows = [(i, "x y p q" if i % 2 else "x y q p") for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.pmi_collocations(df, min_count=5, k=10).collect()
+    got = {(r.w1, r.w2): (r.n_pair, r.pmi_micro) for r in out}
+    assert ("x", "y") in got
+    n_pair, pmi = got[("x", "y")]
+    assert n_pair == 10
+    # Nb = 30 bigrams, Nu = 40 tokens, cb=10, cu(x)=cu(y)=10
+    expect = round(math.log((10 / 30.0) / ((10 / 40.0) * (10 / 40.0))) * 1e6)
+    assert pmi == expect
+    # ordered by pmi desc then lexicographic
+    pmis = [r.pmi_micro for r in out]
+    assert pmis == sorted(pmis, reverse=True)
