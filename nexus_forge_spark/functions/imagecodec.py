@@ -250,3 +250,4 @@ def block_mean_embedding(arr: np.ndarray, dim: int = 8) -> list[float]:
     out = np.zeros(dim, dtype=np.float32)
     out[: min(dim, flat.size)] = flat[:dim]
     return [float(x) for x in out]
+

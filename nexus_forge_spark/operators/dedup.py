@@ -545,3 +545,100 @@ def duplicated_window_stats(
             "CAST(coalesce(n_dup_windows, 0) * 1000000 div greatest(n_windows, 1) AS BIGINT)"
         ).alias("dup_ppm"),
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-substring dedup REWRITE (Lee et al. 2022 "ExactSubstr",
+    token granularity): every k-token window whose key occurs more than
+    once anywhere in the corpus is a duplicated substring; all of its
+    occurrences EXCEPT the globally first (min (doc_id, start) order —
+    deterministic under any partitioning) are excised from their
+    documents, and the surviving tokens are re-joined.  The companion
+    signal op is :func:`duplicated_window_stats`; this one actually
+    edits the corpus the way the paper's dedup step does.
+
+    Output text is the normalized token stream (lowercased, single
+    spaces) with the duplicated spans cut out; a document whose every
+    token is covered comes back as the empty string, not a dropped row.
+
+    Scale posture: O(tokens) window explode; the per-window election is
+    ONE hash aggregate (count + min-struct with map-side combine — a
+    window function over wkey would funnel a 10^6-occurrence window
+    through one task, the min-struct agg does not); duplicate-occurrence
+    starts fold back per doc (group size bounded by doc length), and the
+    span-merge + rebuild are pure array expressions over the already
+    materialized token array — interval merge then gap-slice
+    concatenation, O(tokens) per doc, no per-position explode.
+    """
+    toks = df.select(
+        F.col(id_col), normalized_tokens(F.col(text_col)).alias("t")
+    )
+    wins = (
+        toks.where(F.size("t") >= k)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.size("t") - k)).alias("start"),
+            "t",
+        )
+        .select(
+            F.col(id_col),
+            "start",
+            F.md5(
+                F.array_join(F.slice(F.col("t"), F.col("start") + 1, k), " ")
+            ).alias("wkey"),
+        )
+    )
+    # per-window election: global occurrence count + the lexicographically
+    # first (doc, start) — one agg, skew-safe (partial min/count map-side)
+    info = wins.groupBy("wkey").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("start").alias("s"))).alias(
+            "fst"
+        ),
+    )
+    dup_starts = (
+        wins.join(info.where(F.col("c") > 1), "wkey")
+        .where(~((F.col(id_col) == F.col("fst.d")) & (F.col("start") == F.col("fst.s"))))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("start")).alias("starts"))
+    )
+    # merge the sorted equal-length intervals [s, s+k-1] into disjoint
+    # maximal spans, then rebuild the kept text by slicing the gaps
+    spans = F.expr(
+        f"""aggregate(
+          starts,
+          CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>),
+          (acc, st) -> CASE
+            WHEN size(acc) > 0 AND st <= element_at(acc, -1).e + 1
+            THEN concat(
+              slice(acc, 1, size(acc) - 1),
+              array(named_struct('s', element_at(acc, -1).s, 'e', st + {k} - 1)))
+            ELSE concat(acc, array(named_struct('s', st, 'e', st + {k} - 1)))
+          END)"""
+    )
+    kept = F.expr(
+        """aggregate(
+          spans,
+          named_struct('nxt', 0, 'parts', CAST(array() AS ARRAY<STRING>)),
+          (acc, sp) -> named_struct(
+            'nxt', sp.e + 1,
+            'parts', concat(acc.parts, slice(t, acc.nxt + 1, sp.s - acc.nxt))),
+          acc -> concat(acc.parts, slice(t, acc.nxt + 1, greatest(size(t) - acc.nxt, 0))))"""
+    )
+    out = (
+        toks.join(dup_starts, id_col, "left")
+        .withColumn("spans", F.coalesce(spans, F.expr("CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>)")))
+        .withColumn("kept", kept)
+    )
+    return out.select(
+        id_col,
+        F.array_join("kept", " ").alias("clean_text"),
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size("t") - F.size("kept")).cast("long").alias("n_removed"),
+        F.expr(
+            "CAST((size(t) - size(kept)) * 1000000 div greatest(size(t), 1) AS BIGINT)"
+        ).alias("removed_ppm"),
+    )
+

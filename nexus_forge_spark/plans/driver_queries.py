@@ -4451,6 +4451,65 @@ def sql_hash_split() -> str:
 FROM documents"""
 
 
+def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REWRITE (Lee et al. 2022, operators/dedup.py
+    remove_duplicated_spans): every duplicated k-token window occurrence
+    except the globally first is excised and the doc text rebuilt.  The
+    per-window election is one count+min-struct hash aggregate (map-side
+    combine — never a window function over the hot wkey), and the span
+    merge + gap-slice rebuild are pure array expressions per doc.  On the
+    mutant corpus the mutants (suffix copies) collapse to empty strings
+    while the originals survive — both directions of the election are
+    exercised.  The oracle recomputes covered positions directly
+    (row_number election + per-position anti-join), independent of the
+    interval-merge algebra."""
+    from nexus_forge_spark.operators.dedup import remove_duplicated_spans
+
+    docs = _docs_with_mutants(spark, sf_dir)
+    return remove_duplicated_spans(docs, k=SUBSTR_K)
+
+
+def sql_dedup_substring_rewrite() -> str:
+    k = SUBSTR_K
+    return rf"""WITH {_MUTANT_DOCS_SQL},
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM docs
+),
+wins AS (
+  SELECT doc_id, i - 1 AS start, md5(array_to_string(t[i:i+{k - 1}], ' ')) AS wkey
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {k} + 1)) AS i)
+  WHERE len(t) >= {k}
+),
+ranked AS (
+  SELECT doc_id, start,
+    row_number() OVER (PARTITION BY wkey ORDER BY doc_id, start) AS rn,
+    count(*) OVER (PARTITION BY wkey) AS c
+  FROM wins
+),
+covered AS (
+  SELECT DISTINCT doc_id, p
+  FROM ranked, LATERAL (SELECT unnest(generate_series(start, start + {k} - 1)) AS p)
+  WHERE c > 1 AND rn > 1
+),
+tokpos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+),
+kept AS (
+  SELECT tp.doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+    count(*) AS n_kept
+  FROM tokpos tp LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.p
+  WHERE c.doc_id IS NULL GROUP BY tp.doc_id
+),
+totals AS (SELECT doc_id, len(t) AS n FROM toks)
+SELECT t.doc_id, coalesce(clean_text, '') AS clean_text,
+  CAST(n AS BIGINT) AS n_tokens,
+  CAST(n - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+  CAST((n - coalesce(n_kept, 0)) * 1000000 // greatest(n, 1) AS BIGINT)
+    AS removed_ppm
+FROM totals t LEFT JOIN kept USING (doc_id)"""
+
+
 QUERIES = {
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
@@ -4549,4 +4608,8 @@ QUERIES = {
     "pmi_collocations": (q_pmi_collocations, sql_pmi_collocations),
     "chunk_documents": (q_chunk_documents, sql_chunk_documents),
     "hash_split": (q_hash_split, sql_hash_split),
+    "dedup_substring_rewrite": (
+        q_dedup_substring_rewrite,
+        sql_dedup_substring_rewrite,
+    ),
 }

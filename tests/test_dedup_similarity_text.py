@@ -398,3 +398,61 @@ def test_pmi_collocations_values(spark):
     # ordered by pmi desc then lexicographic
     pmis = [r.pmi_micro for r in out]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_remove_duplicated_spans_first_occurrence_wins(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x a b c d e f y z w"),  # shares 3 overlapping k=4 windows with doc 1
+        (3, "unique tokens only here none"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in D.remove_duplicated_spans(df, k=4).collect()}
+    # doc 1 holds the globally-first occurrences -> untouched
+    assert out[1].clean_text == "a b c d e f g h i j" and out[1].n_removed == 0
+    # doc 2's dup windows start at 1,2,3 -> merged span covers positions 1..6
+    assert out[2].clean_text == "x y z w"
+    assert out[2].n_removed == 6 and out[2].removed_ppm == 600000
+    assert out[3].n_removed == 0
+
+
+def test_remove_duplicated_spans_full_coverage_empty_text(spark):
+    rows = [(1, "p q r s t u"), (2, "p q r s t u")]  # exact copy, k=4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in D.remove_duplicated_spans(df, k=4).collect()}
+    assert out[1].clean_text == "p q r s t u"
+    assert out[2].clean_text == "" and out[2].n_removed == 6
+    assert out[2].removed_ppm == 1000000
+
+
+def test_remove_duplicated_spans_within_doc_repeat(spark):
+    # the SAME window repeated inside one doc: first start kept, second cut
+    df = spark.createDataFrame(
+        [(1, "m n o p z z m n o p")], "doc_id long, text string"
+    )
+    out = D.remove_duplicated_spans(df, k=4).collect()[0]
+    assert out.clean_text == "m n o p z z"
+    assert out.n_removed == 4
+
+
+def test_remove_duplicated_spans_short_docs_untouched(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in D.remove_duplicated_spans(df, k=4).collect()}
+    # shorter than one window: no windows, nothing removable
+    assert out[1].clean_text == "a b c" and out[2].clean_text == "a b c"
+    assert out[1].n_removed == 0 and out[2].n_removed == 0
+
+
+def test_remove_duplicated_spans_disjoint_spans_keep_gap(spark):
+    # two separated dup spans in one doc; the gap tokens survive
+    rows = [
+        (1, "a b c d GAP1 GAP2 e f g h"),
+        (2, "a b c d w1 w2 w3 e f g h"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in D.remove_duplicated_spans(df, k=4).collect()}
+    assert out[1].n_removed == 0
+    assert out[2].clean_text == "w1 w2 w3"
+    assert out[2].n_removed == 8

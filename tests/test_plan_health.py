@@ -360,3 +360,16 @@ def test_bigram_nll_broadcast_count_tables(spark, sf01):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_substring_rewrite_no_window_no_cartesian(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["dedup_substring_rewrite"][0](spark, sf01))
+    # the per-wkey election is a count+min-struct hash aggregate, NOT a
+    # window over wkey (a 10^6-occurrence window would funnel one task);
+    # span merge + rebuild are array expressions — no per-position explode
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
