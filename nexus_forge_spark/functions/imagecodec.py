@@ -251,3 +251,21 @@ def block_mean_embedding(arr: np.ndarray, dim: int = 8) -> list[float]:
     out[: min(dim, flat.size)] = flat[:dim]
     return [float(x) for x in out]
 
+def image_dhash(arr: np.ndarray) -> int:
+    """64-bit difference hash (dHash) — the classic perceptual image
+    fingerprint: luma is resampled to a 9x8 grid and each bit records
+    whether brightness rises between horizontal neighbours, so the hash
+    tracks image STRUCTURE and survives re-encoding/rescaling while
+    exact byte hashes do not.  Returns a SIGNED 64-bit int (two's
+    complement wrap) so it stores directly in a Spark LongType column;
+    compare with bit_count(a XOR b).
+    """
+    g = grayscale(arr)
+    grid = resize_nearest(g[:, :, None], 9, 8)[:, :, 0]
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            bits = (bits << 1) | (1 if grid[r, c + 1] > grid[r, c] else 0)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits

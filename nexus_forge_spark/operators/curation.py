@@ -831,3 +831,57 @@ def hash_split(
     for name, b in reversed(bounds):
         expr = F.when(draw < b, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def prepare_training_corpus(
+    df: DataFrame,
+    quality: dict | None = None,
+    k: int = 8,
+    splits: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """The FULL training-corpus assembly in one composed plan — the
+    five-stage Dolma/RefinedWeb loop end to end: Gopher quality filter ->
+    PII redaction -> corpus duplicate-paragraph removal -> exact-substring
+    span dedup (Lee et al. ExactSubstr rewrite) -> deterministic
+    train/valid/test hash split.  Where :func:`curate_corpus` emits the
+    audit view, this one emits the corpus a trainer would actually read:
+    only survivors, with their final cleaned text and split label.
+
+    Output text is the normalized token stream (the span-rewrite stage
+    tokenizes lowercased); docs emptied by any rewrite stage are dropped,
+    not emitted as blanks.  Output: (id, split, text, n_tokens_final,
+    n_span_removed).
+
+    Scale posture: quality + redaction fuse into the scan (map-side
+    Columns); the paragraph election and span election are each ONE hash
+    aggregate with map-side combine; the split label is one md5.  The two
+    corpus-rewrite stages each scan their input several times
+    (election/totals/rebuild), so ``materialize=True`` localCheckpoints
+    the stage boundaries — at production scale these are
+    plans/checkpoint.py durable stage boundaries instead.
+    """
+    from nexus_forge_spark.operators.dedup import remove_duplicated_spans
+
+    q = gopher_quality_filter(df, text_col=text_col, **(quality or {}))
+    kept = q.where(F.col("keep")).select(id_col, text_col)
+    red = redact_pii(kept, text_col, id_col).select(id_col, text_col)
+    if materialize:
+        red = red.localCheckpoint(eager=True)
+    para = remove_duplicate_paragraphs(red, text_col, id_col)
+    base = para.where(F.col(text_col) != "").select(id_col, text_col)
+    if materialize:
+        base = base.localCheckpoint(eager=True)
+    spans = remove_duplicated_spans(base, k=k, text_col=text_col, id_col=id_col)
+    survivors = spans.where(F.col("clean_text") != "")
+    return hash_split(survivors, splits, id_col=id_col).select(
+        F.col(id_col),
+        "split",
+        F.col("clean_text").alias(text_col),
+        (F.col("n_tokens") - F.col("n_removed"))
+        .cast("long")
+        .alias("n_tokens_final"),
+        F.col("n_removed").cast("long").alias("n_span_removed"),
+    )

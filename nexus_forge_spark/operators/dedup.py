@@ -642,3 +642,69 @@ def remove_duplicated_spans(
         ).alias("removed_ppm"),
     )
 
+def hamming_pairs(
+    sigs: DataFrame,
+    max_distance: int = 6,
+    bits: int = 64,
+    sig_col: str = "sig",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Generic Hamming-distance similarity self-join over any integer
+    bit-signature column (SimHash, image dHash, audio fingerprints):
+    pairs (a < b) with ``bit_count(sig_a XOR sig_b) <= max_distance``.
+
+    Blocking is the pigeonhole split into ``max_distance + 1`` chunks —
+    two signatures within distance d must agree on at least one chunk,
+    so every candidate comes from ONE equi-join on (chunk_idx,
+    chunk_value); no cross join, lossless by construction (the same
+    argument as :func:`simhash_pairs`, generalized to any d and width).
+
+    Scale posture: fan-out is exactly d+1 rows per signature; verify is
+    one codegen'd XOR+bit_count on the joined rows.  Collapse exact
+    duplicates (groupBy sig) FIRST when multiplicity is high — identical
+    signatures pair quadratically by definition, and electing one
+    representative per distinct signature before the near-join keeps the
+    self-join linear in DISTINCT signatures.
+    """
+    n_chunks = max_distance + 1
+    width = -(-bits // n_chunks)  # ceil
+    mask = (1 << width) - 1
+    chunks = sigs.select(
+        F.col(id_col),
+        F.col(sig_col).alias("__sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col(sig_col), c * width)
+                        .bitwiseAND(F.lit(mask).cast("long"))
+                        .alias("ckey"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select(
+        id_col, "__sig", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey")
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ckey") == F.col("r.ckey"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.col("l.__sig").alias("sig_a"),
+            F.col("r.__sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("a", "b", dist.cast("int").alias("hamming")).where(
+        F.col("hamming") <= max_distance
+    )

@@ -638,3 +638,54 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             yield pdf
 
     return media.where(F.col("media_type") == "image").mapInPandas(batches, media.schema)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def image_dhash_signatures(media: DataFrame) -> DataFrame:
+    """Perceptual 64-bit dHash per image row — the signature stage of
+    image-level dedup (byte hashes miss re-encoded/rescaled copies; the
+    difference hash tracks luma structure, imagecodec.image_dhash).
+
+    REAL for every decodable format (PPM/PGM/BMP/PNG/baseline JPEG);
+    payloads the container can't decode fall back to a sha256-derived
+    pseudo-signature with decoded=false so the pipeline shape holds.
+
+    Arrow-batched mapInPandas like the other decode stages: one Python
+    round per batch, executors stream batches.  Downstream dedup should
+    collapse identical hashes FIRST (groupBy — identical signatures pair
+    quadratically) and run dedup.hamming_pairs over the DISTINCT hashes.
+    """
+
+    def _one(c) -> tuple[int, bool]:
+        raw = bytes(c)
+        if imagecodec.sniff_format(raw) in DECODE_REAL_FORMATS:
+            return imagecodec.image_dhash(imagecodec.decode_image(raw)), True
+        h = int.from_bytes(hashlib.sha256(raw).digest()[:8], "big")
+        return h - (1 << 64) if h >= 1 << 63 else h, False
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            sigs = [_one(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "dhash": pd.array([s[0] for s in sigs], dtype="int64"),
+                    "decoded": [s[1] for s in sigs],
+                }
+            )
+
+    return media.where(F.col("media_type") == "image").mapInPandas(
+        batches, DHASH_SCHEMA
+    )

@@ -1100,6 +1100,52 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level dedup over perceptual dHash signatures (rows-only
+    driver check: the decode is not SQL-expressible).  Two-tier plan —
+    the 100 TB architecture: exact-hash clusters collapse FIRST via one
+    groupBy election (identical signatures pair quadratically; a 16-image
+    payload pool makes this explicit), then dedup.hamming_pairs runs the
+    pigeonhole-blocked near-join over the DISTINCT signatures only.
+    Output: one row per distinct perceptual hash — keeper ref, exact-copy
+    count, and how many OTHER distinct hashes sit within Hamming<=6."""
+    from nexus_forge_spark.operators.dedup import hamming_pairs
+    from nexus_forge_spark.operators.multimodal import (
+        image_dhash_signatures,
+        media_from_documents,
+    )
+    from nexus_forge_spark.sources import flat_to_interleaved
+
+    docs = flat_to_interleaved(load_table(spark, "documents", sf_dir))
+    sigs = image_dhash_signatures(media_from_documents(docs))
+    clusters = sigs.groupBy("dhash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("media_ref").alias("keeper_ref"),
+    )
+    near = hamming_pairs(
+        clusters.select(F.col("dhash").alias("sig"), "keeper_ref"),
+        max_distance=6,
+        sig_col="sig",
+        id_col="keeper_ref",
+    )
+    partners = (
+        near.select(F.col("a").alias("keeper_ref"))
+        .unionAll(near.select(F.col("b").alias("keeper_ref")))
+        .groupBy("keeper_ref")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_near"))
+    )
+    return (
+        clusters.join(partners, "keeper_ref", "left")
+        .select(
+            "keeper_ref",
+            F.conv(F.col("dhash").cast("string"), 10, 16).alias("dhash_hex"),
+            "n_copies",
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+        )
+        .orderBy("keeper_ref")
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality stage (rows-only driver check).  Synthetic payloads
     are genuine PCM16 WAVs, so this runs the REAL RIFF decode + RMS /
@@ -2616,6 +2662,162 @@ LEFT JOIN rq USING (doc_id)
 LEFT JOIN red USING (doc_id)
 LEFT JOIN totals t USING (doc_id)
 LEFT JOIN rebuilt r USING (doc_id)"""
+
+
+_SPAN_SEED = (
+    " shared span alpha beta gamma delta epsilon zeta eta theta iota kappa"
+)
+
+
+def q_prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL five-stage training-corpus assembly in ONE composed plan
+    (operators/curation.py prepare_training_corpus): Gopher quality
+    filter -> PII redaction -> corpus duplicate-paragraph removal ->
+    exact-substring span dedup -> deterministic hash split; emits only
+    survivors with their final text and split label.  Input seeds PII
+    strings AND a shared 12-token span (docs % 3) so every stage has
+    real work: the span's first occurrence survives, every later doc
+    loses it to the ExactSubstr rewrite.  The oracle recomputes all five
+    stages independently (covered positions per-token, row_number
+    election) — hash equality pins the whole composition."""
+    from nexus_forge_spark.operators.curation import prepare_training_corpus
+
+    docs = _line_docs(spark, sf_dir)
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(t, F.lit(" contact alice.smith@example.org now")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(t, F.lit(" call 555-123-4567"))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(t, F.lit(" from 192.168.1.100"))
+    ).otherwise(t)
+    t = F.when(F.col("doc_id") % 3 == 0, F.concat(t, F.lit(_SPAN_SEED))).otherwise(t)
+    seeded = docs.select("doc_id", t.alias("text"))
+    return prepare_training_corpus(
+        seeded,
+        quality=dict(
+            min_tokens=QF_MIN_TOKENS,
+            max_tokens=QF_MAX_TOKENS,
+            min_mean_word_len=QF_MIN_MWL,
+            max_mean_word_len=QF_MAX_MWL,
+            min_stopword_hits=QF_MIN_STOPS,
+            min_alpha_word_ratio=QF_MIN_ALPHA,
+        ),
+        k=SUBSTR_K,
+        splits=_SPLITS,
+    )
+
+
+def sql_prepare_training_corpus() -> str:
+    from nexus_forge_spark.operators.curation import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    masks = {name: mask for name, _, mask in PII_PATTERNS}
+    stops = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to", "in", "is"))
+    k = SUBSTR_K
+    names = sorted(_SPLITS)
+    ppms = [int(round(_SPLITS[n] * 1_000_000)) for n in names]
+    draw = _sql_ppm_hash("doc_id", "split")
+    cases, cum = [], 0
+    for name, p in zip(names[:-1], ppms[:-1]):
+        cum += p
+        cases.append(f"WHEN {draw} < {cum} THEN '{name}'")
+    ladder = " ".join(cases)
+    return rf"""WITH {_LINE_DOCS_SQL},
+seeded AS (
+  SELECT doc_id, {_SEED_PII_SQL}
+      || CASE WHEN doc_id % 3 = 0 THEN '{_SPAN_SEED}' ELSE '' END AS text
+  FROM ldocs
+),
+fq AS (
+  SELECT doc_id, text,
+    len(string_split_regex(trim(lower(text)), '\s+')) AS n,
+    CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS ml,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        w -> w IN ({stops}))) AS sw,
+    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+      / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS aw
+  FROM seeded
+),
+rq AS (
+  SELECT doc_id, text FROM fq
+  WHERE n >= {QF_MIN_TOKENS} AND n <= {QF_MAX_TOKENS}
+    AND ml >= {QF_MIN_MWL} AND ml <= {QF_MAX_MWL}
+    AND sw >= {QF_MIN_STOPS} AND aw >= {QF_MIN_ALPHA}
+),
+red AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '{pats["email"]}', '{masks["email"]}', 'g'),
+        '{pats["ipv4"]}', '{masks["ipv4"]}', 'g'),
+      '{pats["phone"]}', '{masks["phone"]}', 'g') AS text
+  FROM rq
+),
+rawp AS (
+  SELECT doc_id,
+    unnest(string_split(text, chr(10))) AS para,
+    unnest(range(len(string_split(text, chr(10))))) AS pos
+  FROM red
+),
+p AS (
+  SELECT doc_id, pos, para, md5(para) AS h,
+         doc_id * 1000000 + pos AS okey
+  FROM rawp WHERE trim(para) <> ''
+),
+firstocc AS (SELECT h, min(okey) AS fo FROM p GROUP BY h),
+keptp AS (
+  SELECT p.doc_id, p.pos, p.para
+  FROM p JOIN firstocc f ON p.h = f.h AND p.okey = f.fo
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+  FROM keptp GROUP BY doc_id
+),
+toks2 AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM rebuilt WHERE text <> ''
+),
+wins2 AS (
+  SELECT doc_id, i - 1 AS start, md5(array_to_string(t[i:i+{k - 1}], ' ')) AS wkey
+  FROM toks2, LATERAL (SELECT unnest(generate_series(1, len(t) - {k} + 1)) AS i)
+  WHERE len(t) >= {k}
+),
+ranked2 AS (
+  SELECT doc_id, start,
+    row_number() OVER (PARTITION BY wkey ORDER BY doc_id, start) AS rn,
+    count(*) OVER (PARTITION BY wkey) AS c
+  FROM wins2
+),
+covered2 AS (
+  SELECT DISTINCT doc_id, pp
+  FROM ranked2, LATERAL (SELECT unnest(generate_series(start, start + {k} - 1)) AS pp)
+  WHERE c > 1 AND rn > 1
+),
+tokpos2 AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM toks2, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+),
+kept2 AS (
+  SELECT tp.doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+    count(*) AS n_kept
+  FROM tokpos2 tp LEFT JOIN covered2 c ON tp.doc_id = c.doc_id AND tp.pos = c.pp
+  WHERE c.doc_id IS NULL GROUP BY tp.doc_id
+),
+surv AS (
+  SELECT t2.doc_id, coalesce(k2.clean_text, '') AS text,
+    CAST(coalesce(k2.n_kept, 0) AS BIGINT) AS n_tokens_final,
+    CAST(len(t2.t) - coalesce(k2.n_kept, 0) AS BIGINT) AS n_span_removed
+  FROM toks2 t2 LEFT JOIN kept2 k2 USING (doc_id)
+)
+SELECT doc_id, CASE {ladder} ELSE '{names[-1]}' END AS split,
+  text, n_tokens_final, n_span_removed
+FROM surv WHERE text <> ''"""
 
 
 SESSION_GAP_S = 600
@@ -4532,6 +4734,7 @@ QUERIES = {
     "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, sql_embedding_neardup_lsh),
     "image_features": (q_image_features, None),
+    "image_dhash_neardup": (q_image_dhash_neardup, None),
     "audio_features": (q_audio_features, None),
     "video_features": (q_video_features, None),
     "es_search": (q_es_search, sql_es_search),
@@ -4611,5 +4814,9 @@ QUERIES = {
     "dedup_substring_rewrite": (
         q_dedup_substring_rewrite,
         sql_dedup_substring_rewrite,
+    ),
+    "prepare_training_corpus": (
+        q_prepare_training_corpus,
+        sql_prepare_training_corpus,
     ),
 }

@@ -456,3 +456,32 @@ def test_remove_duplicated_spans_disjoint_spans_keep_gap(spark):
     assert out[1].n_removed == 0
     assert out[2].clean_text == "w1 w2 w3"
     assert out[2].n_removed == 8
+
+
+def test_hamming_pairs_differential_vs_brute_force(spark):
+    import random
+
+    rng = random.Random(11)
+    # base signatures + planted near neighbours at distances 0..8
+    sigs = [rng.getrandbits(63) for _ in range(40)]
+    planted = []
+    for d in (0, 1, 3, 6, 7, 8):
+        base = sigs[d]
+        flipped = base
+        for b in rng.sample(range(63), d):
+            flipped ^= 1 << b
+        planted.append(flipped)
+    allsigs = sigs + planted
+    rows = [(i, s - (1 << 64) if s >= 1 << 63 else s) for i, s in enumerate(allsigs)]
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in D.hamming_pairs(df, max_distance=6, sig_col="sig").collect()
+    }
+    expect = set()
+    for i in range(len(allsigs)):
+        for j in range(i + 1, len(allsigs)):
+            h = bin((allsigs[i] ^ allsigs[j]) & ((1 << 64) - 1)).count("1")
+            if h <= 6:
+                expect.add((i, j, h))
+    assert got == expect and expect  # pigeonhole found EVERY pair <= d

@@ -263,3 +263,54 @@ def test_png_payloads_decode_end_to_end(spark, sf_dir):
         arr = imagecodec.decode_image(raw)  # stdlib zlib inflate + unfilter
         expect = imagecodec.block_mean_embedding(arr, dim=8)
         assert f.embedding == pytest.approx(expect)
+
+
+def test_image_dhash_resize_invariant_codec():
+    import numpy as np
+
+    from nexus_forge_spark.functions.imagecodec import image_dhash, resize_nearest
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    b = resize_nearest(a, 64, 64)
+    c = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    d = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert d(image_dhash(a), image_dhash(b)) == 0  # 2x NN upscale: same grid
+    assert d(image_dhash(a), image_dhash(c)) > 12  # unrelated image: far
+
+
+def test_image_dhash_signatures_real_and_stub(spark):
+    import numpy as np
+
+    from nexus_forge_spark.functions.imagecodec import encode_ppm
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            ("d1", "media://a", "image", bytearray(encode_ppm(img)),
+             ("ppm", 16, 16, None, None)),
+            ("d2", "media://b", "image", bytearray(b"\x00unknown-format"),
+             ("bin", 4, 4, None, None)),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    out = {r.media_ref: r for r in MM.image_dhash_signatures(media).collect()}
+    assert out["media://a"].decoded is True
+    assert out["media://b"].decoded is False
+    from nexus_forge_spark.functions.imagecodec import image_dhash
+
+    assert out["media://a"].dhash == image_dhash(img)
+
+
+def test_image_dhash_neardup_query_two_tier(spark, sf_dir):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    rows = QUERIES["image_dhash_neardup"][0](spark, sf_dir).collect()
+    assert rows
+    # exact-copy collapse happened: the payload pool repeats images, so at
+    # least one perceptual cluster holds multiple copies
+    assert any(r.n_copies > 1 for r in rows)
+    # keeper_ref is the min media_ref of its cluster -> unique per row
+    refs = [r.keeper_ref for r in rows]
+    assert len(refs) == len(set(refs))
