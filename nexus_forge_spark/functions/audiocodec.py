@@ -230,3 +230,27 @@ def spectral_centroid(samples: np.ndarray, rate: int) -> float:
     if total == 0:
         return 0.0
     return float((mags * freqs).sum() / total)
+
+
+def audio_energy_hash(samples: np.ndarray) -> int:
+    """64-bit perceptual audio fingerprint — the audio analogue of
+    imagecodec.image_dhash: the mono mix is split into 65 equal time
+    windows and each bit records whether mean energy RISES between
+    consecutive windows.  Gradient signs survive uniform gain changes,
+    resampling, and lossy re-encoding (ADPCM round-trips) that break
+    exact byte hashes.  Returns a SIGNED 64-bit int (two's complement
+    wrap) for direct LongType storage; compare with bit_count(a XOR b)
+    via dedup.hamming_pairs.
+    """
+    mono = samples.mean(axis=1) if samples.ndim > 1 else samples
+    mono = np.asarray(mono, dtype=np.float64)
+    if mono.size < 65:
+        mono = np.pad(mono, (0, 65 - mono.size))
+    windows = np.array_split(mono, 65)
+    energy = np.array([float(np.mean(w * w)) for w in windows])
+    bits = 0
+    for i in range(64):
+        bits = (bits << 1) | (1 if energy[i + 1] > energy[i] else 0)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits

@@ -204,3 +204,64 @@ def khop_distances(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def label_propagation(
+    edges: DataFrame, iterations: int = 4, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) over an undirected edge set, made fully deterministic so a
+    fixed-iteration run is engine-exact:
+
+    label_0(v)   = v
+    label_i+1(v) = the label most frequent among v's neighbours' round-i
+                   labels, ties broken by the SMALLEST label
+
+    Classic LPA breaks ties randomly and updates asynchronously; both
+    choices are non-reproducible across cluster sizes, so this variant
+    pins (count DESC, label ASC) argmax and synchronous rounds — the same
+    determinism discipline as :func:`pagerank`'s integer arithmetic.
+    Returns (node, community) after ``iterations`` rounds; isolated
+    nodes (none exist in a symmetrized edge set) would keep their own id.
+
+    Scale posture: each round is two hash aggregates with map-side
+    combine — ballot counts on (node, label), then the argmax via one
+    ``min_by`` over a (-count, label) struct — NO window function, so a
+    10^6-degree hub never funnels through one task's sort.  Labels stay
+    (node, long); the per-round state is 16 bytes/node.  On a real
+    cluster, bucket the edge table by node so every round reuses the
+    layout; localCheckpoint truncates the growing lineage here.
+    """
+    und = (
+        edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .where(F.col(a) != F.col(b))
+        .select(F.greatest("x", "y").alias("p"), F.least("x", "y").alias("q"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.unionByName(
+        und.select(F.col("q").alias("p"), F.col("p").alias("q"))
+    ).select(F.col("p").alias("node"), F.col("q").alias("nbr"))
+    labels = (
+        sym.select("node")
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        ballots = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("community").alias("lbl")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+        )
+        labels = ballots.groupBy("node").agg(
+            F.min_by(
+                "lbl", F.struct((-F.col("votes")).alias("nv"), F.col("lbl"))
+            ).alias("community")
+        ).localCheckpoint(eager=True)
+    return labels

@@ -689,3 +689,53 @@ def image_dhash_signatures(media: DataFrame) -> DataFrame:
     return media.where(F.col("media_type") == "image").mapInPandas(
         batches, DHASH_SCHEMA
     )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def audio_fingerprint_signatures(media: DataFrame) -> DataFrame:
+    """Perceptual 64-bit energy-gradient hash per audio row (audiocodec.
+    audio_energy_hash) — the signature stage of audio-level dedup,
+    mirroring image_dhash_signatures: gain changes and lossy ADPCM
+    round-trips keep the hash stable where byte hashes miss the copy.
+
+    REAL for every RIFF/WAVE payload (PCM16 and IMA ADPCM both decode);
+    non-WAV payloads fall back to a sha256-derived pseudo-signature with
+    decoded=false so the pipeline shape holds.  Downstream: collapse
+    identical hashes FIRST (groupBy), then dedup.hamming_pairs over the
+    DISTINCT hashes.
+    """
+
+    def _one(c) -> tuple[int, bool]:
+        raw = bytes(c)
+        if audiocodec.sniff_wav(raw):
+            samples, _ = audiocodec.decode_wav(raw)
+            return audiocodec.audio_energy_hash(samples), True
+        h = int.from_bytes(hashlib.sha256(raw).digest()[:8], "big")
+        return h - (1 << 64) if h >= 1 << 63 else h, False
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            sigs = [_one(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "ahash": pd.array([s[0] for s in sigs], dtype="int64"),
+                    "decoded": [s[1] for s in sigs],
+                }
+            )
+
+    return media.where(F.col("media_type") == "audio").mapInPandas(
+        batches, AHASH_SCHEMA
+    )

@@ -1146,6 +1146,50 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-level dedup over perceptual energy-gradient hashes (rows-only
+    driver check: the RIFF decode is not SQL-expressible) — the audio twin
+    of image_dhash_neardup, demonstrating hamming_pairs is one generic
+    near-join for every bit-signature modality.  Same two-tier plan:
+    exact-hash clusters collapse first, then the pigeonhole-blocked
+    Hamming join runs over DISTINCT signatures only."""
+    from nexus_forge_spark.operators.dedup import hamming_pairs
+    from nexus_forge_spark.operators.multimodal import (
+        audio_fingerprint_signatures,
+        media_from_documents,
+    )
+    from nexus_forge_spark.sources import flat_to_interleaved
+
+    docs = flat_to_interleaved(load_table(spark, "documents", sf_dir))
+    sigs = audio_fingerprint_signatures(media_from_documents(docs))
+    clusters = sigs.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("media_ref").alias("keeper_ref"),
+    )
+    near = hamming_pairs(
+        clusters.select(F.col("ahash").alias("sig"), "keeper_ref"),
+        max_distance=6,
+        sig_col="sig",
+        id_col="keeper_ref",
+    )
+    partners = (
+        near.select(F.col("a").alias("keeper_ref"))
+        .unionAll(near.select(F.col("b").alias("keeper_ref")))
+        .groupBy("keeper_ref")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_near"))
+    )
+    return (
+        clusters.join(partners, "keeper_ref", "left")
+        .select(
+            "keeper_ref",
+            F.conv(F.col("ahash").cast("string"), 10, 16).alias("ahash_hex"),
+            "n_copies",
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+        )
+        .orderBy("keeper_ref")
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality stage (rows-only driver check).  Synthetic payloads
     are genuine PCM16 WAVs, so this runs the REAL RIFF decode + RMS /
@@ -4712,6 +4756,60 @@ SELECT t.doc_id, coalesce(clean_text, '') AS clean_text,
 FROM totals t LEFT JOIN kept USING (doc_id)"""
 
 
+LPA_ITERS = 4
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities over the
+    MinHash near-dup pair graph (dup clusters are natural communities).
+    Ties pinned to (count DESC, label ASC) and synchronous rounds make a
+    fixed-iteration run engine-exact, so the DuckDB oracle unrolls the
+    identical recurrence — same methodology as pagerank_copurchase."""
+    from nexus_forge_spark.operators.graph import label_propagation
+
+    pairs = q_dedup_minhash(spark, sf_dir).select("a", "b")
+    return label_propagation(pairs, iterations=LPA_ITERS).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
+def sql_label_propagation() -> str:
+    parts = [
+        rf"""WITH pr AS (SELECT a, b FROM ({sql_dedup_minhash()})),
+und AS (
+  SELECT DISTINCT greatest(a, b) AS p, least(a, b) AS q
+  FROM pr WHERE a <> b
+),
+sym AS (
+  SELECT p AS node, q AS nbr FROM und
+  UNION ALL SELECT q AS node, p AS nbr FROM und
+),
+l0 AS (SELECT DISTINCT node, node AS community FROM sym)"""
+    ]
+    for i in range(LPA_ITERS):
+        parts.append(
+            rf""",
+l{i + 1} AS (
+  SELECT node, lbl AS community FROM (
+    SELECT s.node, l.community AS lbl,
+      row_number() OVER (
+        PARTITION BY s.node ORDER BY count(*) DESC, l.community ASC
+      ) AS rn
+    FROM sym s JOIN l{i} l ON l.node = s.nbr
+    GROUP BY s.node, l.community
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        rf"""
+SELECT CAST(node AS BIGINT) AS node,
+  CAST(community AS BIGINT) AS community
+FROM l{LPA_ITERS}"""
+    )
+    return "".join(parts)
+
+
 QUERIES = {
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
@@ -4735,6 +4833,7 @@ QUERIES = {
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, sql_embedding_neardup_lsh),
     "image_features": (q_image_features, None),
     "image_dhash_neardup": (q_image_dhash_neardup, None),
+    "audio_hash_neardup": (q_audio_hash_neardup, None),
     "audio_features": (q_audio_features, None),
     "video_features": (q_video_features, None),
     "es_search": (q_es_search, sql_es_search),
@@ -4819,4 +4918,5 @@ QUERIES = {
         q_prepare_training_corpus,
         sql_prepare_training_corpus,
     ),
+    "label_propagation": (q_label_propagation, sql_label_propagation),
 }

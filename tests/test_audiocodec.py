@@ -113,3 +113,42 @@ def test_adpcm_multiblock():
 def test_adpcm_rejects_empty():
     with pytest.raises(AC.AudioDecodeError):
         AC.encode_wav_adpcm(np.zeros(0))
+
+
+def test_audio_energy_hash_gain_invariant_and_discriminative():
+    import numpy as np
+
+    from nexus_forge_spark.functions.audiocodec import (
+        audio_energy_hash,
+        decode_wav,
+        encode_wav,
+        encode_wav_adpcm,
+    )
+
+    rng = np.random.default_rng(11)
+    sig = (np.sin(np.linspace(0, 80, 4000)) * np.linspace(0.1, 1, 4000)).astype(
+        np.float32
+    )
+    other = rng.normal(size=4000).astype(np.float32)
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    h = audio_energy_hash(sig)
+    # uniform gain scales every window energy equally: gradient signs hold
+    assert audio_energy_hash(sig * 0.5) == h
+    assert ham(h, audio_energy_hash(other)) > 20  # measured 34
+    # PCM16 round-trip is hash-exact; lossy ADPCM flips only borderline
+    # gradient bits (measured 9 of 64, vs 34 for an unrelated clip) —
+    # the perceptual property byte hashes lack by construction
+    pcm, _ = decode_wav(encode_wav(sig))
+    assert audio_energy_hash(pcm) == h
+    assert ham(h, audio_energy_hash(adp := decode_wav(
+        encode_wav_adpcm((sig * 32767).astype(np.int16)))[0])) <= 12
+
+
+def test_audio_energy_hash_short_input_zero_pads():
+    import numpy as np
+
+    from nexus_forge_spark.functions.audiocodec import audio_energy_hash
+
+    assert audio_energy_hash(np.zeros(10, dtype=np.float32)) == 0
+    # 3 samples: only the first windows carry energy; must not raise
+    assert isinstance(audio_energy_hash(np.array([0.5, -0.25, 0.1])), int)

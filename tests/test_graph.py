@@ -79,3 +79,60 @@ def test_khop_multi_seed_and_isolated_seed(spark):
     seeds = spark.createDataFrame([(1,), (10,), (99,)], "node long")
     got = {(r["node"], r["dist"]) for r in khop_distances(e, seeds, 2).collect()}
     assert got == {(1, 0), (10, 0), (99, 0), (2, 1), (11, 1)}
+
+
+def _lpa_naive(edges, iterations):
+    """Pure-Python synchronous LPA with (count DESC, label ASC) argmax —
+    the determinism spec label_propagation pins."""
+    und = {(max(a, b), min(a, b)) for a, b in edges if a != b}
+    adj: dict[int, list[int]] = {}
+    for p, q in und:
+        adj.setdefault(p, []).append(q)
+        adj.setdefault(q, []).append(p)
+    lab = {v: v for v in adj}
+    for _ in range(iterations):
+        new = {}
+        for v, nbrs in adj.items():
+            votes: dict[int, int] = {}
+            for u in nbrs:
+                votes[lab[u]] = votes.get(lab[u], 0) + 1
+            new[v] = min(votes, key=lambda l: (-votes[l], l))
+        lab = new
+    return lab
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    from nexus_forge_spark.operators.graph import label_propagation
+
+    # two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10.
+    # Round 1 gives node 10 a three-way ballot tie {11, 12, 3} which the
+    # label-ASC rule resolves to 3, so the bridge BLEEDS the low label
+    # into the second clique — by round 3 both cliques carry it, 1 and 3
+    # respectively, and the labelling is a fixed point (round 4 == 3).
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    out = {r.node: r.community for r in label_propagation(e, 4).collect()}
+    assert out == _lpa_naive(edges, 4)
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12] == 3
+
+
+def test_label_propagation_matches_naive_random(spark):
+    import random
+
+    from nexus_forge_spark.operators.graph import label_propagation
+
+    rng = random.Random(7)
+    edges = list(
+        {
+            (rng.randrange(40), rng.randrange(40))
+            for _ in range(120)
+        }
+    )
+    e = spark.createDataFrame(edges, "a long, b long")
+    for iters in (1, 3):
+        got = {
+            r.node: r.community
+            for r in label_propagation(e, iters).collect()
+        }
+        assert got == _lpa_naive(edges, iters)

@@ -314,3 +314,46 @@ def test_image_dhash_neardup_query_two_tier(spark, sf_dir):
     # keeper_ref is the min media_ref of its cluster -> unique per row
     refs = [r.keeper_ref for r in rows]
     assert len(refs) == len(set(refs))
+
+
+def test_audio_fingerprint_signatures_real_and_stub(spark):
+    import numpy as np
+
+    from nexus_forge_spark.functions.audiocodec import (
+        audio_energy_hash,
+        decode_wav,
+        encode_wav,
+    )
+
+    sig = (np.sin(np.linspace(0, 40, 2000)) * np.linspace(1, 0.2, 2000)).astype(
+        np.float32
+    )
+    wav = encode_wav(sig)
+    media = spark.createDataFrame(
+        [
+            ("d1", "media://a", "audio", bytearray(wav),
+             ("wav", None, None, 2000, None)),
+            ("d2", "media://b", "audio", bytearray(b"\x00not-riff"),
+             ("bin", None, None, 4, None)),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    out = {
+        r.media_ref: r for r in MM.audio_fingerprint_signatures(media).collect()
+    }
+    assert out["media://a"].decoded is True
+    assert out["media://b"].decoded is False
+    samples, _ = decode_wav(wav)
+    assert out["media://a"].ahash == audio_energy_hash(samples)
+
+
+def test_audio_hash_neardup_query_two_tier(spark, sf_dir):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    rows = QUERIES["audio_hash_neardup"][0](spark, sf_dir).collect()
+    assert rows
+    # the synthetic payload pool repeats clips (PCM + ADPCM variants), so
+    # exact-copy collapse yields multi-copy clusters
+    assert any(r.n_copies > 1 for r in rows)
+    refs = [r.keeper_ref for r in rows]
+    assert len(refs) == len(set(refs))
