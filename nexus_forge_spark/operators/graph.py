@@ -207,7 +207,11 @@ def khop_distances(
 
 
 def label_propagation(
-    edges: DataFrame, iterations: int = 4, a: str = "a", b: str = "b"
+    edges: DataFrame,
+    iterations: int = 4,
+    a: str = "a",
+    b: str = "b",
+    materialize: bool = True,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et al.
     2007) over an undirected edge set, made fully deterministic so a
@@ -230,15 +234,18 @@ def label_propagation(
     10^6-degree hub never funnels through one task's sort.  Labels stay
     (node, long); the per-round state is 16 bytes/node.  On a real
     cluster, bucket the edge table by node so every round reuses the
-    layout; localCheckpoint truncates the growing lineage here.
+    layout; localCheckpoint truncates the growing lineage here
+    (``materialize=False`` keeps the plan declarative, e.g. for plan
+    inspection or when a caller manages its own stage boundaries).
     """
     und = (
         edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
         .where(F.col(a) != F.col(b))
         .select(F.greatest("x", "y").alias("p"), F.least("x", "y").alias("q"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if materialize:
+        und = und.localCheckpoint(eager=True)
     sym = und.unionByName(
         und.select(F.col("q").alias("p"), F.col("p").alias("q"))
     ).select(F.col("p").alias("node"), F.col("q").alias("nbr"))
@@ -246,8 +253,9 @@ def label_propagation(
         sym.select("node")
         .distinct()
         .select("node", F.col("node").alias("community"))
-        .localCheckpoint(eager=True)
     )
+    if materialize:
+        labels = labels.localCheckpoint(eager=True)
     for _ in range(iterations):
         ballots = (
             sym.join(
@@ -263,5 +271,7 @@ def label_propagation(
             F.min_by(
                 "lbl", F.struct((-F.col("votes")).alias("nv"), F.col("lbl"))
             ).alias("community")
-        ).localCheckpoint(eager=True)
+        )
+        if materialize:
+            labels = labels.localCheckpoint(eager=True)
     return labels

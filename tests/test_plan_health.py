@@ -373,3 +373,46 @@ def test_substring_rewrite_no_window_no_cartesian(spark, sf01):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_hamming_pairs_equi_join_no_cartesian(spark):
+    from nexus_forge_spark.operators.dedup import hamming_pairs
+
+    sigs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.xxhash64(F.col("id").cast("string"))).alias("sig"),
+    )
+    plan = plan_of(hamming_pairs(sigs, max_distance=6))
+    # the pigeonhole candidate join is a pure equi-join on (chunk, ckey):
+    # the distance predicate verifies AFTER, never as a join condition
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan and "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_label_propagation_no_window_partial_aggs(spark):
+    from nexus_forge_spark.operators.graph import label_propagation
+
+    e = spark.range(300).select(
+        (F.col("id") % 40).alias("a"), (F.col("id") % 97).alias("b")
+    )
+    plan = plan_of(label_propagation(e, iterations=1, materialize=False))
+    # ballot argmax is a min_by hash aggregate (map-side combine), not a
+    # per-node window sort — a hub's ballot never funnels one task
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert "min_by" in plan or "HashAggregate" in plan
+
+
+def test_prepare_training_corpus_no_python_no_cartesian(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["prepare_training_corpus"][0](spark, sf01))
+    # the five-stage composition stays JVM-side end to end; stage
+    # boundaries are localCheckpoints (scan of ExistingRDD), and no stage
+    # introduces a cartesian or a global single partition
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
