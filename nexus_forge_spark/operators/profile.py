@@ -1,0 +1,120 @@
+"""Table profiling: per-column data-quality stats and exact equi-width
+histograms — the "what is in this table" pass every ingestion pipeline
+runs before trusting 100 TB of input.
+
+The reference frames this need as Resource introspection
+(kgforge/core/resource.py attribute walks + DemoStore searches); at
+engine scale the equivalent is a declarative one-pass profile whose
+output is small enough to drive partitioning / skew / validation
+decisions (e.g. picking resolver blocking keys or salt factors).
+
+Engine-exactness discipline (same as graph.py / sketches.py): counts are
+BIGINT, histogram bin assignment is pure integer arithmetic over
+pre-scaled values, min/max are native-type aggregates cast to string at
+the very end — no float division anywhere, so a DuckDB oracle running
+the same algebra matches hash-for-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-pass per-column profile in long format: (column, n_rows,
+    n_null, n_distinct, min_value, max_value) with min/max rendered as
+    strings so heterogeneous column types share one output schema.
+
+    Scale posture: ONE aggregation over the table computes every
+    column's stats simultaneously (Catalyst plans the multiple exact
+    count_distincts via a single Expand — one scan, fan-out = #columns,
+    partial-combined map-side), then the single result row unpivots to
+    long format with ``stack`` — driver never loops per column, no
+    per-column scans.  For 100 TB quick-looks swap count_distinct for
+    approx_count_distinct (HLL, no Expand); the exact form is kept here
+    because the differential oracle pins it.
+    """
+    cols = columns or df.columns
+    aggs: list = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"__dist_{c}"))
+        aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __null_{c}, __dist_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_null, n_distinct, min_value, max_value)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select("column", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
+
+
+def numeric_histogram(
+    df: DataFrame, value_col: str, bins: int = 10, scale: int = 100
+) -> DataFrame:
+    """Exact equi-width histogram over a numeric column with INTEGER bin
+    math: values are scaled to BIGINT units (``scale`` = 100 for cents),
+    the data min/max fix the range, and
+
+        bin = least(bins - 1, (v - lo) * bins div (hi - lo + 1))
+
+    — truncating integer division, so bin assignment is bit-identical on
+    any engine (a float ``(v-lo)/width`` mis-bins at representable
+    boundaries; same hazard class as the PPJoin ceil bug in ADVICE r1).
+    Empty bins are emitted with count 0 so the output always has ``bins``
+    rows.  Output: (bin, lo_scaled, hi_scaled, n) where lo/hi are the
+    bin's closed-open bounds in scaled units.
+
+    Scale posture: pass 1 is a 2-value global agg (min/max), pass 2 one
+    map-side-combined groupBy on the bin id — the shuffle carries at most
+    ``bins`` rows per partition.  NULLs are excluded (profile_table
+    reports them).
+    """
+    # floor, not cast: Spark's double->long cast truncates toward zero
+    # while DuckDB's rounds — floor(x * scale) is the same IEEE double op
+    # on both engines, so the scaled value is bit-identical cross-engine
+    v = F.floor(F.col(value_col) * scale).cast("long")
+    scaled = df.where(F.col(value_col).isNotNull()).select(v.alias("v"))
+    lo_hi = scaled.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    lo, hi = lo_hi["lo"], lo_hi["hi"]
+    if lo is None:
+        spark = df.sparkSession
+        return spark.range(bins).select(
+            F.col("id").cast("int").alias("bin"),
+            F.lit(None).cast("long").alias("lo_scaled"),
+            F.lit(None).cast("long").alias("hi_scaled"),
+            F.lit(0).cast("long").alias("n"),
+        )
+    span = hi - lo + 1
+    counts = (
+        scaled.select(
+            F.least(
+                F.lit(bins - 1),
+                F.expr(f"(v - {lo}) * {bins} div {span}"),
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    return (
+        grid.join(counts, "bin", "left")
+        .select(
+            "bin",
+            (F.lit(lo) + F.expr(f"bin * {span} div {bins}")).alias("lo_scaled"),
+            (F.lit(lo) + F.expr(f"(bin + 1) * {span} div {bins}")).alias(
+                "hi_scaled"
+            ),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("bin")
+    )

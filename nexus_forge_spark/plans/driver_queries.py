@@ -4756,6 +4756,69 @@ SELECT t.doc_id, coalesce(clean_text, '') AS clean_text,
 FROM totals t LEFT JOIN kept USING (doc_id)"""
 
 
+HIST_BINS = 12
+
+
+def q_profile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column data-quality profile of the customer table —
+    nulls, exact distincts, min/max — all columns in ONE aggregation
+    (multiple exact count_distincts plan as a single Expand scan), then
+    unpivoted to long format with stack.  The ingestion quick-look every
+    100 TB pipeline runs before trusting its input."""
+    from nexus_forge_spark.operators.profile import profile_table
+
+    cust = load_table(spark, "customer", sf_dir)
+    return profile_table(
+        cust, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    ).orderBy("column")
+
+
+def sql_profile_customers() -> str:
+    parts = []
+    for c in ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]:
+        parts.append(
+            f"""SELECT '{c}' AS "column",
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(min({c}) AS VARCHAR) AS min_value,
+  CAST(max({c}) AS VARCHAR) AS max_value
+FROM customer"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_histogram_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width histogram of customer account balances in integer
+    cent bins: floor(x*100) scaling (IEEE-identical cross-engine) and
+    truncating-integer bin assignment, so every bin edge and count is
+    engine-exact — the float (v-lo)/width formulation mis-bins at
+    representable boundaries (ADVICE-r1 PPJoin ceil class)."""
+    from nexus_forge_spark.operators.profile import numeric_histogram
+
+    cust = load_table(spark, "customer", sf_dir)
+    return numeric_histogram(cust, "c_acctbal", bins=HIST_BINS, scale=100)
+
+
+def sql_histogram_acctbal() -> str:
+    b = HIST_BINS
+    return rf"""WITH s AS (
+  SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS v
+  FROM customer WHERE c_acctbal IS NOT NULL
+),
+m AS (SELECT min(v) AS lo, max(v) - min(v) + 1 AS span FROM s),
+assigned AS (
+  SELECT least({b - 1}, ((v - lo) * {b}) // span) AS bin FROM s, m
+),
+c AS (SELECT bin, count(*) AS n FROM assigned GROUP BY bin),
+g AS (SELECT unnest(range({b})) AS bin)
+SELECT CAST(g.bin AS INT) AS bin,
+  CAST(lo + (g.bin * span) // {b} AS BIGINT) AS lo_scaled,
+  CAST(lo + ((g.bin + 1) * span) // {b} AS BIGINT) AS hi_scaled,
+  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM g CROSS JOIN m LEFT JOIN c ON c.bin = g.bin"""
+
+
 LPA_ITERS = 4
 
 
@@ -4919,4 +4982,6 @@ QUERIES = {
         sql_prepare_training_corpus,
     ),
     "label_propagation": (q_label_propagation, sql_label_propagation),
+    "profile_customers": (q_profile_customers, sql_profile_customers),
+    "histogram_acctbal": (q_histogram_acctbal, sql_histogram_acctbal),
 }

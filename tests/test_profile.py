@@ -1,0 +1,52 @@
+"""Table profiling: one-pass per-column stats + integer-exact equi-width
+histograms (profile_customers / histogram_acctbal contract queries)."""
+
+from nexus_forge_spark.operators.profile import numeric_histogram, profile_table
+
+
+def test_profile_table_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (3, "b")],
+        "k long, s string",
+    )
+    out = {r.column: r for r in profile_table(df).collect()}
+    assert set(out) == {"k", "s"}
+    assert out["k"].n_rows == 4 and out["s"].n_rows == 4
+    assert out["k"].n_null == 0 and out["s"].n_null == 1
+    assert out["k"].n_distinct == 3 and out["s"].n_distinct == 2
+    assert (out["k"].min_value, out["k"].max_value) == ("1", "3")
+    assert (out["s"].min_value, out["s"].max_value) == ("a", "b")
+
+
+def test_profile_table_column_subset(spark):
+    df = spark.createDataFrame([(1, "x")], "k long, s string")
+    rows = profile_table(df, ["s"]).collect()
+    assert [r.column for r in rows] == ["s"]
+
+
+def test_numeric_histogram_hand_computed(spark):
+    # values 0.00..0.09 in cents -> v in 0..9, lo=0, span=10, 5 bins:
+    # bin = v * 5 div 10 -> exactly 2 values per bin
+    df = spark.createDataFrame([(i / 100.0,) for i in range(10)], "x double")
+    rows = numeric_histogram(df, "x", bins=5).collect()
+    assert [r.bin for r in rows] == [0, 1, 2, 3, 4]
+    assert all(r.n == 2 for r in rows)
+    assert rows[0].lo_scaled == 0 and rows[-1].hi_scaled == 10
+    # closed-open bounds tile the range with no gaps
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_scaled == b.lo_scaled
+
+
+def test_numeric_histogram_negative_and_empty_bins(spark):
+    df = spark.createDataFrame([(-1.0,), (1.0,), (None,)], "x double")
+    rows = numeric_histogram(df, "x", bins=4).collect()
+    assert len(rows) == 4
+    assert sum(r.n for r in rows) == 2  # null excluded
+    assert rows[0].n == 1 and rows[-1].n == 1  # extremes in end bins
+    assert any(r.n == 0 for r in rows)  # interior bins emitted empty
+
+
+def test_numeric_histogram_all_null(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    rows = numeric_histogram(df, "x", bins=3).collect()
+    assert len(rows) == 3 and all(r.n == 0 for r in rows)
