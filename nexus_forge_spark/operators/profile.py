@@ -118,3 +118,62 @@ def numeric_histogram(
         )
         .orderBy("bin")
     )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_k: int = 20
+) -> DataFrame:
+    """Heavy-hitter skew diagnosis for a join/aggregation key: the top-k
+    hottest keys with absolute counts, per-key share, and cumulative
+    share in integer ppm — the measurement that justifies (or rules out)
+    salting / broadcast factoring before a 100 TB shuffle.  This engine's
+    own resolver exists BECAUSE of this profile's shape: hot ontology
+    mentions (Zipfian corpus terms) would funnel a shuffle's hottest
+    partition, which is why resolve.py factors the vocabulary before any
+    join — run this on the join key to see the skew the plan avoids.
+
+    Deterministic: ranked by (count DESC, key ASC); shares are
+    truncating-integer ppm of the total row count.  Output: (rank, key,
+    n, share_ppm, cum_share_ppm, n_rows_total, n_keys_total).
+
+    Scale posture: one map-side-combined groupBy on the key, then top-k
+    via orderBy+limit (TakeOrderedAndProject — k rows per partition
+    reach the driver-side reduce, never a global sort of the key space);
+    totals come from the same counts frame re-aggregated (two 1-row
+    aggs).  The only window runs over the k selected rows.
+    """
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.agg(
+        F.sum("n").cast("long").alias("n_rows_total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys_total"),
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("key")).limit(top_k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("key")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("key")))
+        .alias("rank"),
+        "key",
+        "n",
+        F.sum("n").over(w).alias("cum_n"),
+    )
+    return ranked.crossJoin(F.broadcast(totals)).select(
+        "rank",
+        "key",
+        "n",
+        F.expr("n * 1000000 div n_rows_total").cast("long").alias("share_ppm"),
+        F.expr("cum_n * 1000000 div n_rows_total")
+        .cast("long")
+        .alias("cum_share_ppm"),
+        "n_rows_total",
+        "n_keys_total",
+    )

@@ -4819,6 +4819,46 @@ SELECT CAST(g.bin AS INT) AS bin,
 FROM g CROSS JOIN m LEFT JOIN c ON c.bin = g.bin"""
 
 
+SKEW_TOP_K = 25
+
+
+def q_mention_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of the resolver's mention join key — the
+    north-rule skew case made measurable: Zipfian corpus terms mean the
+    hottest mentions carry an outsized share of any shuffle keyed on
+    them, which is exactly why the resolve ladder factors the vocabulary
+    (distinct mentions) before joining.  Top-25 hottest mentions with
+    integer-ppm shares; ranked (count DESC, mention ASC) so the output
+    is engine-exact."""
+    from nexus_forge_spark.operators.profile import key_skew_profile
+
+    m = _flat_mentions(spark, sf_dir)
+    return key_skew_profile(m, "mention", top_k=SKEW_TOP_K)
+
+
+def sql_mention_skew() -> str:
+    return rf"""WITH {_mentions_cte()},
+counts AS (
+  SELECT CAST(mention AS VARCHAR) AS key, count(*) AS n
+  FROM mentions WHERE mention IS NOT NULL GROUP BY mention
+),
+totals AS (
+  SELECT sum(n) AS n_rows_total, count(*) AS n_keys_total FROM counts
+),
+top AS (
+  SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rank,
+         sum(n) OVER (ORDER BY n DESC, key
+                      ROWS UNBOUNDED PRECEDING) AS cum_n
+  FROM counts ORDER BY n DESC, key LIMIT {SKEW_TOP_K}
+)
+SELECT CAST(rank AS INT) AS rank, key, CAST(n AS BIGINT) AS n,
+  CAST((n * 1000000) // n_rows_total AS BIGINT) AS share_ppm,
+  CAST((cum_n * 1000000) // n_rows_total AS BIGINT) AS cum_share_ppm,
+  CAST(n_rows_total AS BIGINT) AS n_rows_total,
+  CAST(n_keys_total AS BIGINT) AS n_keys_total
+FROM top CROSS JOIN totals"""
+
+
 LPA_ITERS = 4
 
 
@@ -4984,4 +5024,5 @@ QUERIES = {
     "label_propagation": (q_label_propagation, sql_label_propagation),
     "profile_customers": (q_profile_customers, sql_profile_customers),
     "histogram_acctbal": (q_histogram_acctbal, sql_histogram_acctbal),
+    "mention_skew": (q_mention_skew, sql_mention_skew),
 }

@@ -50,3 +50,24 @@ def test_numeric_histogram_all_null(spark):
     df = spark.createDataFrame([(None,), (None,)], "x double")
     rows = numeric_histogram(df, "x", bins=3).collect()
     assert len(rows) == 3 and all(r.n == 0 for r in rows)
+
+
+def test_key_skew_profile_hand_computed(spark):
+    from nexus_forge_spark.operators.profile import key_skew_profile
+
+    # 6 a, 3 b, 1 c, 1 null (excluded): total 10 rows, 3 keys
+    data = [("a",)] * 6 + [("b",)] * 3 + [("c",)] + [(None,)]
+    df = spark.createDataFrame(data, "k string")
+    rows = key_skew_profile(df, "k", top_k=2).collect()
+    assert [(r.rank, r.key, r.n) for r in rows] == [(1, "a", 6), (2, "b", 3)]
+    assert rows[0].share_ppm == 600_000 and rows[0].cum_share_ppm == 600_000
+    assert rows[1].share_ppm == 300_000 and rows[1].cum_share_ppm == 900_000
+    assert rows[0].n_rows_total == 10 and rows[0].n_keys_total == 3
+
+
+def test_key_skew_profile_tie_break_key_asc(spark):
+    from nexus_forge_spark.operators.profile import key_skew_profile
+
+    df = spark.createDataFrame([("z",), ("y",), ("y",), ("z",)], "k string")
+    rows = key_skew_profile(df, "k", top_k=2).collect()
+    assert [(r.rank, r.key) for r in rows] == [(1, "y"), (2, "z")]
