@@ -885,3 +885,49 @@ def prepare_training_corpus(
         .alias("n_tokens_final"),
         F.col("n_removed").cast("long").alias("n_span_removed"),
     )
+
+
+# zero-width / BOM code points stripped by normalize_unicode; the Java
+# (Spark) and RE2 (DuckDB oracle) regex dialects spell them differently
+# but match the identical set
+ZERO_WIDTH_CHARS = "​‌‍﻿"
+
+
+def normalize_unicode(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode text normalization — the C4/CCNet cleanup stage that runs
+    BEFORE any hashing or dedup so visually-identical strings hash
+    identically: NFC canonical composition (decomposed e+combining-acute
+    becomes the single é code point), zero-width/BOM removal, and
+    horizontal-whitespace collapse (space/tab runs to one space, line
+    edges trimmed) with newlines PRESERVED so paragraph structure
+    survives for remove_duplicate_paragraphs.
+
+    Output: (id, text, changed) — ``changed`` flags rows the cleanup
+    actually rewrote, so a pipeline can meter normalization drift.
+
+    Scale posture: map-side only, no shuffle.  NFC has no JVM builtin,
+    so that single step is an Arrow-batched pandas UDF (the §2.8
+    vectorized escape hatch — one Python round per batch, never per
+    row); the regex steps stay native Column exprs around it.
+    """
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    cleaned = F.regexp_replace(
+        _nfc(F.col(text_col)), f"[{ZERO_WIDTH_CHARS}]", ""
+    )
+    cleaned = F.regexp_replace(cleaned, "[ \\t]+", " ")
+    cleaned = F.regexp_replace(cleaned, " ?\\n ?", "\n")
+    cleaned = F.trim(cleaned)
+    return df.select(
+        F.col(id_col),
+        cleaned.alias(text_col),
+        (cleaned != F.col(text_col)).alias("changed"),
+    )

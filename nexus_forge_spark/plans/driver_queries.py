@@ -4819,6 +4819,64 @@ SELECT CAST(g.bin AS INT) AS bin,
 FROM g CROSS JOIN m LEFT JOIN c ON c.bin = g.bin"""
 
 
+def q_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization stage (curation.normalize_unicode) over
+    documents seeded with the real-world mess: decomposed combining
+    accents (NFC recomposes), zero-width spaces, tab runs, and padded
+    newlines — every seeded class must come out rewritten and flagged.
+    The NFC step is the Arrow-batched pandas UDF escape hatch; the
+    oracle runs DuckDB's native nfc_normalize + the same regex chain,
+    so hash equality pins the UDF's semantics exactly."""
+    from nexus_forge_spark.operators.curation import normalize_unicode
+
+    docs = _line_docs(spark, sf_dir)
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(t, F.lit(" café crème")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(t, F.lit(" zero\u200bwidth\u200d joined\ufeff")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(t, F.lit("\ttab\t\truns \n  padded line")),
+    ).otherwise(t)
+    seeded = docs.select("doc_id", t.alias("text"))
+    return normalize_unicode(seeded)
+
+
+def sql_normalize_unicode() -> str:
+    from nexus_forge_spark.operators.curation import ZERO_WIDTH_CHARS
+
+    return rf"""WITH {_LINE_DOCS_SQL},
+seeded AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+       THEN ' cafe' || chr(769) || ' cre' || chr(768) || 'me' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+       THEN ' zero' || chr(8203) || 'width' || chr(8205) || ' joined'
+            || chr(65279) ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+       THEN chr(9) || 'tab' || chr(9) || chr(9) || 'runs ' || chr(10)
+            || '  padded line' ELSE '' END AS text
+  FROM ldocs
+),
+cleaned AS (
+  SELECT doc_id, text,
+    trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(nfc_normalize(text), '[{ZERO_WIDTH_CHARS}]', '', 'g'),
+          '[ \t]+', ' ', 'g'),
+        ' ?\n ?', chr(10), 'g'),
+      ' ') AS clean
+  FROM seeded
+)
+SELECT doc_id, clean AS text, clean <> text AS changed FROM cleaned"""
+
+
 SKEW_TOP_K = 25
 
 
@@ -5025,4 +5083,5 @@ QUERIES = {
     "profile_customers": (q_profile_customers, sql_profile_customers),
     "histogram_acctbal": (q_histogram_acctbal, sql_histogram_acctbal),
     "mention_skew": (q_mention_skew, sql_mention_skew),
+    "normalize_unicode": (q_normalize_unicode, sql_normalize_unicode),
 }

@@ -514,3 +514,26 @@ def test_hash_split_rejects_bad_fractions(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with _pytest.raises(ValueError):
         hash_split(df, {"train": 0.8, "valid": 0.1})
+
+
+def test_normalize_unicode_nfc_zero_width_whitespace(spark):
+    from nexus_forge_spark.operators.curation import normalize_unicode
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "café menu"),          # decomposed -> NFC composes
+            ("d2", "zero​width﻿ x"),  # zero-width stripped
+            ("d3", "a \t b\t\tc"),              # tab/space runs collapse
+            ("d4", "line one \n  line two"),    # newline kept, edges trimmed
+            ("d5", "already clean"),
+            ("d6", None),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in normalize_unicode(df).collect()}
+    assert out["d1"].text == "café menu" and out["d1"].changed
+    assert out["d2"].text == "zerowidth x" and out["d2"].changed
+    assert out["d3"].text == "a b c" and out["d3"].changed
+    assert out["d4"].text == "line one\nline two" and out["d4"].changed
+    assert out["d5"].text == "already clean" and not out["d5"].changed
+    assert out["d6"].text is None and out["d6"].changed is None
