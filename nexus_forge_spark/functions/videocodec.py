@@ -26,6 +26,7 @@ __all__ = [
     "parse_avi",
     "decode_frame",
     "iter_frames",
+    "video_dhash",
 ]
 
 
@@ -214,3 +215,35 @@ def iter_frames(content: bytes):
     info = parse_avi(content)
     for i in range(info["n_frames"]):
         yield decode_frame(content, i, info)
+
+
+def video_dhash(content: bytes) -> int:
+    """64-bit perceptual video fingerprint: the per-frame image dHash
+    (imagecodec.image_dhash — luma 9x8 gradient signs) is computed for
+    EVERY decoded frame and the bits are combined by strict majority
+    (bit set iff >half the frames set it), so the hash tracks the
+    dominant spatial structure across time — stable under re-encoding
+    (uncompressed DIB vs Motion-JPEG of the same frames) and frame-count
+    padding, unlike byte hashes.  Ties (exactly half) clear the bit —
+    deterministic under any frame order since majority counting is
+    order-free.  Returns a SIGNED 64-bit int for LongType storage;
+    compare with dedup.hamming_pairs.
+    """
+    from nexus_forge_spark.functions import imagecodec
+
+    counts = [0] * 64
+    n = 0
+    for frame in iter_frames(content):
+        h = imagecodec.image_dhash(frame) & ((1 << 64) - 1)
+        for b in range(64):
+            counts[b] += (h >> b) & 1
+        n += 1
+    if n == 0:
+        raise ValueError("no decodable frames")
+    bits = 0
+    for b in range(64):
+        if counts[b] * 2 > n:
+            bits |= 1 << b
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits

@@ -739,3 +739,55 @@ def audio_fingerprint_signatures(media: DataFrame) -> DataFrame:
     return media.where(F.col("media_type") == "audio").mapInPandas(
         batches, AHASH_SCHEMA
     )
+
+
+VHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("vhash", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def video_fingerprint_signatures(media: DataFrame) -> DataFrame:
+    """Perceptual 64-bit majority-dHash per video row (videocodec.
+    video_dhash) — completes the modality triple: image, audio, and
+    video signatures all flow through the ONE generic
+    dedup.hamming_pairs near-join.  Re-encoding the same frames
+    (uncompressed DIB vs Motion-JPEG) moves ~1 bit; unrelated clips
+    differ by ~25.
+
+    REAL for every RIFF/AVI payload (DIB and MJPG streams both decode);
+    other containers fall back to a sha256-derived pseudo-signature
+    with decoded=false so the pipeline shape holds.
+    """
+
+    def _one(c) -> tuple[int, bool]:
+        raw = bytes(c)
+        if videocodec.sniff_avi(raw):
+            try:
+                return videocodec.video_dhash(raw), True
+            except ValueError:
+                pass
+        h = int.from_bytes(hashlib.sha256(raw).digest()[:8], "big")
+        return h - (1 << 64) if h >= 1 << 63 else h, False
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            sigs = [_one(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "vhash": pd.array([s[0] for s in sigs], dtype="int64"),
+                    "decoded": [s[1] for s in sigs],
+                }
+            )
+
+    return media.where(F.col("media_type") == "video").mapInPandas(
+        batches, VHASH_SCHEMA
+    )

@@ -1190,6 +1190,47 @@ def q_audio_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-level dedup over majority-dHash fingerprints (rows-only
+    driver check) — third modality through the SAME two-tier plan and
+    the SAME generic hamming_pairs pigeonhole join as images and audio."""
+    from nexus_forge_spark.operators.dedup import hamming_pairs
+    from nexus_forge_spark.operators.multimodal import (
+        media_from_documents,
+        video_fingerprint_signatures,
+    )
+    from nexus_forge_spark.sources import flat_to_interleaved
+
+    docs = flat_to_interleaved(load_table(spark, "documents", sf_dir))
+    sigs = video_fingerprint_signatures(media_from_documents(docs))
+    clusters = sigs.groupBy("vhash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("media_ref").alias("keeper_ref"),
+    )
+    near = hamming_pairs(
+        clusters.select(F.col("vhash").alias("sig"), "keeper_ref"),
+        max_distance=6,
+        sig_col="sig",
+        id_col="keeper_ref",
+    )
+    partners = (
+        near.select(F.col("a").alias("keeper_ref"))
+        .unionAll(near.select(F.col("b").alias("keeper_ref")))
+        .groupBy("keeper_ref")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_near"))
+    )
+    return (
+        clusters.join(partners, "keeper_ref", "left")
+        .select(
+            "keeper_ref",
+            F.conv(F.col("vhash").cast("string"), 10, 16).alias("vhash_hex"),
+            "n_copies",
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+        )
+        .orderBy("keeper_ref")
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality stage (rows-only driver check).  Synthetic payloads
     are genuine PCM16 WAVs, so this runs the REAL RIFF decode + RMS /
@@ -4995,6 +5036,7 @@ QUERIES = {
     "image_features": (q_image_features, None),
     "image_dhash_neardup": (q_image_dhash_neardup, None),
     "audio_hash_neardup": (q_audio_hash_neardup, None),
+    "video_hash_neardup": (q_video_hash_neardup, None),
     "audio_features": (q_audio_features, None),
     "video_features": (q_video_features, None),
     "es_search": (q_es_search, sql_es_search),

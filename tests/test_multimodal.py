@@ -357,3 +357,38 @@ def test_audio_hash_neardup_query_two_tier(spark, sf_dir):
     assert any(r.n_copies > 1 for r in rows)
     refs = [r.keeper_ref for r in rows]
     assert len(refs) == len(set(refs))
+
+
+def test_video_fingerprint_signatures_real_and_stub(spark):
+    import numpy as np
+
+    from nexus_forge_spark.functions.videocodec import encode_avi, video_dhash
+
+    rng = np.random.default_rng(13)
+    frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(4)]
+    avi = encode_avi(frames)
+    media = spark.createDataFrame(
+        [
+            ("d1", "media://v1", "video", bytearray(avi),
+             ("avi", 8, 8, 400, None)),
+            ("d2", "media://v2", "video", bytearray(b"\x00not-riff-avi"),
+             ("bin", None, None, None, None)),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    out = {
+        r.media_ref: r for r in MM.video_fingerprint_signatures(media).collect()
+    }
+    assert out["media://v1"].decoded is True
+    assert out["media://v1"].vhash == video_dhash(avi)
+    assert out["media://v2"].decoded is False
+
+
+def test_video_hash_neardup_query_two_tier(spark, sf_dir):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    rows = QUERIES["video_hash_neardup"][0](spark, sf_dir).collect()
+    assert rows
+    assert any(r.n_copies > 1 for r in rows)
+    refs = [r.keeper_ref for r in rows]
+    assert len(refs) == len(set(refs))

@@ -115,3 +115,32 @@ def test_dib_codec_still_exact_and_rejects_unknown():
 
     with _pytest.raises(ValueError):
         V.encode_avi(frames, codec="H264")
+
+
+def test_video_dhash_reencode_stable_unrelated_far():
+    import numpy as np
+
+    from nexus_forge_spark.functions.videocodec import encode_avi, video_dhash
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(4)]
+    other = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(4)]
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    h_dib = video_dhash(encode_avi(frames))
+    h_mjpg = video_dhash(encode_avi(frames, codec="MJPG"))
+    # lossy MJPG re-encode of the SAME frames: a couple of borderline
+    # gradient bits at most (measured 1); unrelated clips ~25
+    assert ham(h_dib, h_mjpg) <= 6
+    assert ham(h_dib, video_dhash(encode_avi(other))) > 12
+
+
+def test_video_dhash_majority_is_frame_order_free():
+    import numpy as np
+
+    from nexus_forge_spark.functions.videocodec import encode_avi, video_dhash
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(3)]
+    assert video_dhash(encode_avi(frames)) == video_dhash(
+        encode_avi(frames[::-1])
+    )
