@@ -193,3 +193,135 @@ def interval_overlap_join(
             F.least(F.col(le), F.col(re_)) - F.greatest(F.col(ls), F.col(rs)),
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each step k, how many users performed
+    step k STRICTLY AFTER their chosen step-(k-1) event — the classic
+    view -> click -> purchase conversion question, with the standard
+    greedy semantics (each step anchors on the EARLIEST qualifying
+    event; earliest is (ts, order_col) lexicographic so simultaneous
+    events break deterministically).
+
+    Output: one row per step — (step_idx, step, n_users,
+    conv_from_first_ppm, conv_from_prev_ppm) with truncating-integer ppm
+    conversions (step 1 = 1_000_000 by definition).
+
+    Scale posture: per step, one groupBy-min on the user key and one
+    equi-join back on the same key — every shuffle in the plan hashes on
+    ``user_col``, so a real cluster reuses one exchange layout end to
+    end (no windows, no sorts over the event stream, no driver loop over
+    users).  The per-user state is one (ts, id) pair per step.  Step
+    counts are k single-row aggs unioned at the end — the only tiny
+    frames in the plan.
+    """
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("oid"),
+    ).where(F.col(type_col).isin(steps))
+    reached: list[DataFrame] = []
+    prev = None
+    for step in steps:
+        cand = base.where(F.col("t") == step)
+        if prev is not None:
+            p = prev.select(
+                F.col("u"), F.col("ts").alias("pts"), F.col("oid").alias("poid")
+            )
+            cand = cand.join(p, "u").where(
+                (F.col("ts") > F.col("pts"))
+                | ((F.col("ts") == F.col("pts")) & (F.col("oid") > F.col("poid")))
+            )
+        cur = (
+            cand.groupBy("u")
+            .agg(F.min(F.struct("ts", "oid")).alias("m"))
+            .select("u", F.col("m.ts").alias("ts"), F.col("m.oid").alias("oid"))
+            .localCheckpoint(eager=True)
+        )
+        reached.append(cur)
+        prev = cur
+    counts = [df.count() for df in reached]
+    spark = events.sparkSession
+    rows = []
+    for i, (step, n) in enumerate(zip(steps, counts)):
+        first = counts[0]
+        prev_n = counts[i - 1] if i > 0 else counts[0]
+        rows.append(
+            (
+                i + 1,
+                step,
+                n,
+                (n * 1_000_000) // first if first else 0,
+                (n * 1_000_000) // prev_n if prev_n else 0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "step_idx int, step string, n_users long, "
+        "conv_from_first_ppm long, conv_from_prev_ppm long",
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the Monday-start
+    week of their FIRST event; retention at offset k = how many of that
+    cohort were active (any event) in cohort-week + k, as a
+    truncating-integer ppm of the cohort size (offset 0 is 1_000_000 by
+    definition — every user is active in their first week).
+
+    Output: (cohort_week date, week_offset int, n_active, cohort_size,
+    retention_ppm), one row per observed (cohort, offset).
+
+    Scale posture: one groupBy-min on the user key (first event), one
+    distinct over (user, week) — both partial-combine map-side — then a
+    user-key equi-join and a (cohort, offset) count agg.  Week
+    arithmetic stays exact: both weeks are date_trunc'd so the day
+    difference is always divisible by 7.
+    """
+    week = F.to_date(F.date_trunc("week", F.col(ts_col)))
+    firsts = (
+        events.groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(week).alias("cohort_week"))
+    )
+    active = (
+        events.select(F.col(user_col).alias("u"), week.alias("w")).distinct()
+    )
+    per_cell = (
+        active.join(firsts, "u")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    sizes = per_cell.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        per_cell.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.expr("n_active * 1000000 div cohort_size")
+            .cast("long")
+            .alias("retention_ppm"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -4918,6 +4918,112 @@ cleaned AS (
 SELECT doc_id, clean AS text, clean <> text AS changed FROM cleaned"""
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel with greedy earliest-event
+    semantics ((ts, event_id) lexicographic — simultaneous events break
+    deterministically).  Every shuffle hashes on user_id, so one
+    exchange layout serves the whole chain."""
+    from nexus_forge_spark.operators.events import funnel
+
+    ev = load_table(spark, "events", sf_dir)
+    return funnel(ev, FUNNEL_STEPS)
+
+
+def sql_funnel_events() -> str:
+    steps = FUNNEL_STEPS
+    quoted = ", ".join(f"'{s}'" for s in steps)
+    parts = [
+        f"""WITH base AS (
+  SELECT user_id AS u, event_type AS t, ts, event_id AS oid
+  FROM events WHERE event_type IN ({quoted})
+),
+s1 AS (
+  SELECT u, ts, oid FROM (
+    SELECT u, ts, oid,
+      row_number() OVER (PARTITION BY u ORDER BY ts, oid) AS rn
+    FROM base WHERE t = '{steps[0]}'
+  ) WHERE rn = 1
+)"""
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        parts.append(
+            f""",
+s{i} AS (
+  SELECT u, ts, oid FROM (
+    SELECT b.u, b.ts, b.oid,
+      row_number() OVER (PARTITION BY b.u ORDER BY b.ts, b.oid) AS rn
+    FROM base b JOIN s{i - 1} p ON p.u = b.u
+    WHERE b.t = '{step}'
+      AND (b.ts > p.ts OR (b.ts = p.ts AND b.oid > p.oid))
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        ",\nn AS (SELECT "
+        + ", ".join(f"(SELECT count(*) FROM s{i + 1}) AS n{i + 1}" for i in range(len(steps)))
+        + ")"
+    )
+    selects = []
+    for i, step in enumerate(steps):
+        first = "n1"
+        prev = f"n{i}" if i > 0 else "n1"
+        cur = f"n{i + 1}"
+        selects.append(
+            f"""SELECT CAST({i + 1} AS INT) AS step_idx, '{step}' AS step,
+  CAST({cur} AS BIGINT) AS n_users,
+  CAST(CASE WHEN {first} = 0 THEN 0 ELSE ({cur} * 1000000) // {first} END AS BIGINT)
+    AS conv_from_first_ppm,
+  CAST(CASE WHEN {prev} = 0 THEN 0 ELSE ({cur} * 1000000) // {prev} END AS BIGINT)
+    AS conv_from_prev_ppm
+FROM n"""
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events table: Monday-start first-
+    event cohorts, per-offset active-user counts, integer-ppm retention."""
+    from nexus_forge_spark.operators.events import cohort_retention
+
+    ev = load_table(spark, "events", sf_dir)
+    return cohort_retention(ev).select(
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        "retention_ppm",
+    )
+
+
+def sql_cohort_retention() -> str:
+    return """WITH firsts AS (
+  SELECT user_id AS u,
+    min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events
+),
+cell AS (
+  SELECT cohort_week, CAST((w - cohort_week) // 7 AS INT) AS week_offset,
+    count(*) AS n_active
+  FROM active JOIN firsts USING (u)
+  GROUP BY cohort_week, (w - cohort_week) // 7
+),
+sizes AS (
+  SELECT cohort_week, n_active AS cohort_size FROM cell WHERE week_offset = 0
+)
+SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, week_offset,
+  CAST(n_active AS BIGINT) AS n_active,
+  CAST(cohort_size AS BIGINT) AS cohort_size,
+  CAST((n_active * 1000000) // cohort_size AS BIGINT) AS retention_ppm
+FROM cell JOIN sizes USING (cohort_week)"""
+
+
 SKEW_TOP_K = 25
 
 
@@ -5126,4 +5232,6 @@ QUERIES = {
     "histogram_acctbal": (q_histogram_acctbal, sql_histogram_acctbal),
     "mention_skew": (q_mention_skew, sql_mention_skew),
     "normalize_unicode": (q_normalize_unicode, sql_normalize_unicode),
+    "funnel_events": (q_funnel_events, sql_funnel_events),
+    "cohort_retention": (q_cohort_retention, sql_cohort_retention),
 }

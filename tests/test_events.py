@@ -217,3 +217,69 @@ def test_interval_overlap_randomized_vs_naive(spark):
             .collect()
         }
         assert got == naive, f"bucket width {w}"
+
+
+def test_funnel_greedy_ordered_semantics(spark):
+    from datetime import datetime
+
+    from nexus_forge_spark.operators.events import funnel
+
+    T = datetime
+    rows = [
+        # u1 completes in order: view@1, click@2, purchase@3
+        (1, T(2026, 1, 1, 10, 0, 1), 100, "view"),
+        (2, T(2026, 1, 1, 10, 0, 2), 100, "click"),
+        (3, T(2026, 1, 1, 10, 0, 3), 100, "purchase"),
+        # u2: purchase BEFORE any view/click -> stops at view
+        (4, T(2026, 1, 1, 9, 0, 0), 200, "purchase"),
+        (5, T(2026, 1, 1, 10, 0, 0), 200, "view"),
+        # u3: view then purchase but never clicks -> stops at view
+        (6, T(2026, 1, 1, 10, 0, 0), 300, "view"),
+        (7, T(2026, 1, 1, 10, 0, 5), 300, "purchase"),
+        # u4: simultaneous view/click at same ts — event_id breaks the tie:
+        # click(9) > view(8) so the click DOES count as after the view
+        (8, T(2026, 1, 1, 11, 0, 0), 400, "view"),
+        (9, T(2026, 1, 1, 11, 0, 0), 400, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.step: r for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out["view"].n_users == 4
+    assert out["click"].n_users == 2  # u1 and the tie-broken u4
+    assert out["purchase"].n_users == 1  # only u1
+    assert out["view"].conv_from_first_ppm == 1_000_000
+    assert out["click"].conv_from_prev_ppm == 500_000
+    assert out["purchase"].conv_from_prev_ppm == 500_000
+
+
+def test_cohort_retention_week_boundaries(spark):
+    from datetime import datetime
+
+    from nexus_forge_spark.operators.events import cohort_retention
+
+    T = datetime
+    rows = [
+        # cohort week of Mon 2026-01-05: u1 active wk0 and wk2, u2 wk0 only
+        (1, T(2026, 1, 5), 1, "view"),
+        (2, T(2026, 1, 19), 1, "view"),   # +14 days = offset 2
+        (3, T(2026, 1, 11), 2, "view"),   # Sunday, still week of Jan 5
+        # u3 cohorted a week later
+        (4, T(2026, 1, 12), 3, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r.cohort_week.isoformat(), r.week_offset): (
+            r.n_active,
+            r.cohort_size,
+            r.retention_ppm,
+        )
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2026-01-05", 0): (2, 2, 1_000_000),
+        ("2026-01-05", 2): (1, 2, 500_000),
+        ("2026-01-12", 0): (1, 1, 1_000_000),
+    }
