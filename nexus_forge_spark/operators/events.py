@@ -214,11 +214,11 @@ def funnel(
     conv_from_first_ppm, conv_from_prev_ppm) with truncating-integer ppm
     conversions (step 1 = 1_000_000 by definition).
 
-    Scale posture: per step, one groupBy-min on the user key and one
-    equi-join back on the same key — every shuffle in the plan hashes on
-    ``user_col``, so a real cluster reuses one exchange layout end to
-    end (no windows, no sorts over the event stream, no driver loop over
-    users).  The per-user state is one (ts, id) pair per step.  Step
+    Scale posture: per step, two chained HASH aggregates (no struct
+    buffers, so no SortAggregate fallback — verified in plan tests) and
+    one equi-join back on the user key — every shuffle in the plan
+    hashes on ``user_col`` or its (user, ts) refinement, no windows, no
+    sorts over the event stream, no driver loop over users.  The per-user state is one (ts, id) pair per step.  Step
     counts are k single-row aggs unioned at the end — the only tiny
     frames in the plan.
     """
@@ -240,10 +240,16 @@ def funnel(
                 (F.col("ts") > F.col("pts"))
                 | ((F.col("ts") == F.col("pts")) & (F.col("oid") > F.col("poid")))
             )
+        # lexicographic (ts, oid) min WITHOUT a struct aggregate: any
+        # struct in an agg buffer forces SortAggregate (per-partition
+        # sorts); two chained HASH aggregates stay sort-free — (u, ts)
+        # collapses ties to one oid, then (u) picks the earliest ts and
+        # min_by with a SCALAR ordering key is hash-aggregable
         cur = (
-            cand.groupBy("u")
-            .agg(F.min(F.struct("ts", "oid")).alias("m"))
-            .select("u", F.col("m.ts").alias("ts"), F.col("m.oid").alias("oid"))
+            cand.groupBy("u", "ts")
+            .agg(F.min("oid").alias("oid"))
+            .groupBy("u")
+            .agg(F.min("ts").alias("ts"), F.min_by("oid", "ts").alias("oid"))
             .localCheckpoint(eager=True)
         )
         reached.append(cur)

@@ -228,10 +228,14 @@ def label_propagation(
     Returns (node, community) after ``iterations`` rounds; isolated
     nodes (none exist in a symmetrized edge set) would keep their own id.
 
-    Scale posture: each round is two hash aggregates with map-side
-    combine — ballot counts on (node, label), then the argmax via one
-    ``min_by`` over a (-count, label) struct — NO window function, so a
-    10^6-degree hub never funnels through one task's sort.  Labels stay
+    Scale posture: each round is two partial-combined aggregates —
+    ballot counts on (node, label) hash-aggregate; the argmax via
+    ``min_by`` over a (-count, label) struct plans as SortAggregate
+    (struct buffers are not hash-aggregable) whose sort is mapper-local
+    over pre-combined ballot rows — still NO window function, so a
+    10^6-degree hub never funnels through one task.  (A sort-free
+    3-stage chained-hash form exists — see events.funnel — but trades
+    the local sort for an extra shuffle; not worth it per round here.)  Labels stay
     (node, long); the per-round state is 16 bytes/node.  On a real
     cluster, bucket the edge table by node so every round reuses the
     layout; localCheckpoint truncates the growing lineage here

@@ -416,3 +416,38 @@ def test_prepare_training_corpus_no_python_no_cartesian(spark, sf01):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_funnel_all_shuffles_on_user_key(spark, sf01):
+    from nexus_forge_spark.operators.events import funnel
+    from nexus_forge_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf01)
+    funnel(ev, ["view", "click", "purchase"])  # runs the checkpointed steps
+    # the output frame itself is a tiny createDataFrame; the heavy work
+    # ran in the per-step localCheckpointed aggregations — assert the
+    # step shape inline: a struct aggregate would force SortAggregate
+    # (per-partition sorts), the chained scalar form must stay hash
+    from pyspark.sql import functions as G
+
+    base = ev.where(G.col("event_type").isin(["view", "click"]))
+    step = (
+        base.groupBy("user_id", "ts")
+        .agg(G.min("event_id").alias("oid"))
+        .groupBy("user_id")
+        .agg(G.min("ts").alias("ts"), G.min_by("oid", "ts").alias("oid"))
+    )
+    p = plan_of(step)
+    assert "CartesianProduct" not in p and "Window" not in p
+    assert "HashAggregate" in p
+    assert "SortAggregate" not in p
+
+
+def test_cohort_retention_broadcast_sizes_no_window(spark, sf01):
+    from nexus_forge_spark.operators.events import cohort_retention
+    from nexus_forge_spark.sources import load_table
+
+    plan = plan_of(cohort_retention(load_table(spark, "events", sf01)))
+    assert "BroadcastHashJoin" in plan  # cohort sizes broadcast back
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
