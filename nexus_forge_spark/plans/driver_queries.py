@@ -4918,6 +4918,73 @@ cleaned AS (
 SELECT doc_id, clean AS text, clean <> text AS changed FROM cleaned"""
 
 
+ZORDER_BITS = 16
+ZORDER_BUCKET_SHIFT = 24  # top 8 z-code bits -> 256 quadtree cells
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout statistics over lineitem (l_partkey,
+    l_suppkey): both keys normalize to 16 bits with exact integer
+    arithmetic, interleave into one z-code (a single codegen
+    projection), and the top 8 bits bucket rows into 256 quadtree
+    cells.  Per-cell min/max EXTENTS on BOTH raw keys are the payoff
+    being demonstrated: range-partitioning a 100 TB table on this
+    z-code bounds both dimensions per file, so parquet/Iceberg min-max
+    stats prune two-dimensional filters — sort on one key and the other
+    key's extent per file is the full domain.  The DuckDB oracle runs
+    the identical interleave expression."""
+    from nexus_forge_spark.functions.layout import morton_code, normalize_to_bits
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    mm = li.agg(
+        F.min("l_partkey").alias("xlo"),
+        (F.max("l_partkey") - F.min("l_partkey") + 1).alias("xspan"),
+        F.min("l_suppkey").alias("ylo"),
+        (F.max("l_suppkey") - F.min("l_suppkey") + 1).alias("yspan"),
+    ).collect()[0]
+    x = normalize_to_bits(F.col("l_partkey"), mm["xlo"], mm["xspan"], ZORDER_BITS)
+    y = normalize_to_bits(F.col("l_suppkey"), mm["ylo"], mm["yspan"], ZORDER_BITS)
+    z = morton_code(x, y, ZORDER_BITS)
+    return (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.shiftrightunsigned(z, ZORDER_BUCKET_SHIFT).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.max("l_partkey") - F.min("l_partkey")).cast("long").alias("x_span"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).cast("long").alias("y_span"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def sql_zorder_layout() -> str:
+    from nexus_forge_spark.functions.layout import morton_sql, normalize_sql
+
+    xn = normalize_sql("l_partkey", "m.xlo", "m.xspan", ZORDER_BITS)
+    yn = normalize_sql("l_suppkey", "m.ylo", "m.yspan", ZORDER_BITS)
+    return rf"""WITH m AS (
+  SELECT min(l_partkey) AS xlo,
+         max(l_partkey) - min(l_partkey) + 1 AS xspan,
+         min(l_suppkey) AS ylo,
+         max(l_suppkey) - min(l_suppkey) + 1 AS yspan
+  FROM lineitem
+),
+coded AS (
+  SELECT l_partkey, l_suppkey,
+    {morton_sql(f"({xn})", f"({yn})", ZORDER_BITS)} >> {ZORDER_BUCKET_SHIFT}
+      AS bucket
+  FROM lineitem CROSS JOIN m
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+  CAST(max(l_partkey) - min(l_partkey) AS BIGINT) AS x_span,
+  CAST(max(l_suppkey) - min(l_suppkey) AS BIGINT) AS y_span
+FROM coded GROUP BY bucket"""
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -5234,4 +5301,5 @@ QUERIES = {
     "normalize_unicode": (q_normalize_unicode, sql_normalize_unicode),
     "funnel_events": (q_funnel_events, sql_funnel_events),
     "cohort_retention": (q_cohort_retention, sql_cohort_retention),
+    "zorder_layout": (q_zorder_layout, sql_zorder_layout),
 }
