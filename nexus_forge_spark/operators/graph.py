@@ -279,3 +279,163 @@ def label_propagation(
         if materialize:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def cooccurrence_edges(
+    memberships: DataFrame,
+    group_col: str = "doc_id",
+    item_col: str = "entity_id",
+    min_pair_groups: int = 1,
+) -> DataFrame:
+    """Relation-candidate generation: co-occurrence edges between resolved
+    entities that appear in the same document, with exact association
+    statistics.
+
+    The reference's KG loop stops at per-mention annotation triples
+    (forge.map + forge.resolve); the natural next stage of KG construction
+    is proposing *relations* between the entities a document links — the
+    classic distant-supervision candidate generator.  This emits one edge
+    per unordered entity pair with the counts needed for PMI/lift scoring:
+
+    (entity_a, entity_b, pair_groups, groups_a, groups_b, n_groups,
+     positively_associated)
+
+    ``positively_associated`` is the exact integer cross-multiplication
+    ``pair_groups * n_groups > groups_a * groups_b`` (i.e. PMI > 0) — no
+    log, no float, engine-exact.  Consumers that want the real PMI value
+    compute ``ln(pair*n / (ca*cb))`` from the emitted integers.
+
+    Scale posture: the pair generation NEVER self-joins the membership
+    table on the group key.  Distinct items are collected per group (one
+    hash aggregate; per-document entity sets are small and bounded by
+    document length) and the i<j pairs are generated map-side from the
+    sorted array — a hub entity appearing in 10^9 documents costs 10^9
+    short array rows, not a 10^18-row join.  Pair counting and item
+    counting are partial-combined hash aggregates; the two count
+    dictionaries (bounded by the resolver vocabulary) broadcast onto the
+    pair table.  At 10^12-group scale the cross-multiplication operands
+    exceed BIGINT — cast the comparison to DECIMAL(38,0) there; the
+    emitted counts themselves stay exact.
+    """
+    g = (
+        memberships.select(
+            F.col(group_col).alias("g"), F.col(item_col).alias("item")
+        )
+        .where(F.col(item_col).isNotNull())
+        .distinct()
+    )
+    item_counts = g.groupBy("item").agg(F.count(F.lit(1)).alias("groups"))
+    n_groups = g.select(F.countDistinct("g").alias("n_groups"))
+
+    sets = g.groupBy("g").agg(F.sort_array(F.collect_set("item")).alias("items"))
+    pair_gen = F.flatten(
+        F.expr(
+            "transform(items, (x, i) -> "
+            "transform(slice(items, i + 2, size(items)), "
+            "y -> struct(x AS a, y AS b)))"
+        )
+    )
+    pairs = (
+        sets.select(F.explode(pair_gen).alias("p"))
+        .select(F.col("p.a").alias("entity_a"), F.col("p.b").alias("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_groups"))
+        .where(F.col("pair_groups") >= min_pair_groups)
+    )
+    ca = item_counts.select(
+        F.col("item").alias("entity_a"), F.col("groups").alias("groups_a")
+    )
+    cb = item_counts.select(
+        F.col("item").alias("entity_b"), F.col("groups").alias("groups_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "entity_a")
+        .join(F.broadcast(cb), "entity_b")
+        .join(F.broadcast(n_groups))
+        .select(
+            "entity_a",
+            "entity_b",
+            F.col("pair_groups").cast("long").alias("pair_groups"),
+            F.col("groups_a").cast("long").alias("groups_a"),
+            F.col("groups_b").cast("long").alias("groups_b"),
+            F.col("n_groups").cast("long").alias("n_groups"),
+            (
+                F.col("pair_groups") * F.col("n_groups")
+                > F.col("groups_a") * F.col("groups_b")
+            ).alias("positively_associated"),
+        )
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    a: str = "a",
+    b: str = "b",
+    max_iter: int = 16,
+    materialize: bool = True,
+) -> DataFrame:
+    """The k-core of an undirected graph: iteratively peel nodes of degree
+    < k until every surviving node has >= k surviving neighbours.  The
+    standard KG / dedup-cluster density filter — "keep entities embedded
+    in a dense neighborhood, discard stragglers" — and the classic
+    preprocessing step before community detection or triangle counting.
+
+    Deterministic by construction (peeling has a unique fixpoint,
+    independent of removal order), so any two engines that run peeling to
+    convergence agree exactly.
+
+    Scale posture: each round is one partial-combined degree aggregate
+    over the surviving symmetric edge list plus a broadcast-eligible
+    semi-join of edges against surviving nodes (AQE turns the node-set
+    side into a broadcast once it shrinks below threshold).  The edge set
+    only ever shrinks; ``localCheckpoint`` pins each round so lineage
+    stays flat (``materialize=False`` keeps the plan declarative for
+    inspection).  Converges in O(degeneracy) rounds; raises if
+    ``max_iter`` is exhausted first (same honesty contract as
+    canonicalize.connected_components).
+
+    Returns (node, degree) for nodes in the k-core, with their in-core
+    degree.
+    """
+    und = (
+        edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .where(F.col(a) != F.col(b))
+        .select(F.greatest("x", "y").alias("p"), F.least("x", "y").alias("q"))
+        .distinct()
+    )
+    if materialize:
+        und = und.localCheckpoint(eager=True)
+    n_edges = und.count()  # one action per round total (not two): the
+    # previous round's count is remembered, never recomputed
+    for _ in range(max_iter):
+        sym = und.unionByName(
+            und.select(F.col("q").alias("p"), F.col("p").alias("q"))
+        )
+        deg = sym.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+        survivors = deg.where(F.col("deg") >= k).select("p")
+        pruned = (
+            und.join(survivors.select(F.col("p").alias("_sp")),
+                     F.col("p") == F.col("_sp"), "left_semi")
+            .join(survivors.select(F.col("p").alias("_sq")),
+                  F.col("q") == F.col("_sq"), "left_semi")
+        )
+        if materialize:
+            pruned = pruned.localCheckpoint(eager=True)
+        n_pruned = pruned.count()
+        und = pruned
+        # fixpoint: no edge was dropped this round
+        if n_pruned == n_edges:
+            break
+        n_edges = n_pruned
+    else:
+        raise RuntimeError(
+            f"kcore did not converge in {max_iter} peeling rounds; "
+            "raise max_iter (expected O(degeneracy) rounds)"
+        )
+    sym = und.unionByName(
+        und.select(F.col("q").alias("p"), F.col("p").alias("q"))
+    )
+    return sym.groupBy(F.col("p").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )

@@ -65,3 +65,48 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
     """Graph set semantics: one row per (subj, pred, obj).  This is the one
     required shuffle of the materialize stage; AQE coalesces the output."""
     return triples.dropDuplicates(["subj", "pred", "obj"])
+
+
+def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot delta between two KG triple sets: which (subj, pred, obj)
+    facts were added / removed between snapshot *old* and snapshot *new*.
+
+    The KG-maintenance primitive a periodic re-crawl pipeline needs: diff
+    yesterday's materialized graph against today's so downstream consumers
+    ingest a delta instead of the full graph.  Set semantics on both sides
+    (rdflib.Graph is a set — kgforge/core/conversions/rdf.py:275-312 —
+    so duplicates within a snapshot are not changes).
+
+    Scale posture: ONE shuffle.  Both snapshots are tagged map-side and
+    unioned, then a single hash aggregation on (subj, pred, obj) with
+    map-side partial combine decides presence on each side; rows present
+    on both sides collapse and are filtered out BEFORE any further stage.
+    This beats the two anti-join formulation (old EXCEPT new UNION new
+    EXCEPT old), which shuffles both inputs twice.
+
+    Output: (subj, pred, obj, change) with change in {'added', 'removed'}.
+    """
+    o = old.select(
+        "subj", "pred", "obj",
+        F.lit(1).alias("_in_old"), F.lit(0).alias("_in_new"),
+    )
+    n = new.select(
+        "subj", "pred", "obj",
+        F.lit(0).alias("_in_old"), F.lit(1).alias("_in_new"),
+    )
+    presence = (
+        o.unionByName(n)
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.max("_in_old").alias("_in_old"),
+            F.max("_in_new").alias("_in_new"),
+        )
+    )
+    return presence.where(F.col("_in_old") != F.col("_in_new")).select(
+        "subj",
+        "pred",
+        "obj",
+        F.when(F.col("_in_new") == 1, F.lit("added"))
+        .otherwise(F.lit("removed"))
+        .alias("change"),
+    )

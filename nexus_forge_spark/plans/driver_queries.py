@@ -5185,7 +5185,207 @@ FROM l{LPA_ITERS}"""
     return "".join(parts)
 
 
+# ------------------------------------------- KG maintenance + graph density
+
+
+def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG snapshot delta (operators/triples.py triple_diff): two overlapping
+    snapshots of the materialized graph are diffed into (subj, pred, obj,
+    change) with ONE shuffle — map-side presence tags + a single hash
+    aggregation, instead of the two-anti-join EXCEPT formulation that
+    shuffles both snapshots twice.  Snapshots are deterministic thirds of
+    the full triple set (portable md5-based hash), so both directions of
+    the diff are exercised.  The oracle derives the expected delta
+    directly from the hash bucket — an independent computation path."""
+    from nexus_forge_spark.operators.sketches import hash60
+    from nexus_forge_spark.operators.triples import triple_diff
+
+    trip = q_kg_triples(spark, sf_dir).localCheckpoint(eager=False)
+    h = (
+        hash60(
+            F.concat_ws("\x1f", F.col("subj"), F.col("pred"), F.col("obj")),
+            "kgdiff",
+        )
+        % 3
+    )
+    old = trip.where(h != 0)  # bucket 0 absent from old -> 'added'
+    new = trip.where(h != 1)  # bucket 1 absent from new -> 'removed'
+    return triple_diff(old, new)
+
+
+def sql_kg_diff() -> str:
+    from nexus_forge_spark.operators.sketches import sql_hash60
+
+    h = sql_hash60("subj || chr(31) || pred || chr(31) || obj", "kgdiff")
+    return f"""WITH trip AS (SELECT * FROM ({sql_kg_triples()})),
+bucketed AS (SELECT subj, pred, obj, {h} % 3 AS h FROM trip)
+SELECT subj, pred, obj,
+       CASE WHEN h = 0 THEN 'added' ELSE 'removed' END AS change
+FROM bucketed WHERE h IN (0, 1)"""
+
+
+def q_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-candidate generation (operators/graph.py
+    cooccurrence_edges): exact-resolved entities that co-occur in a
+    document become scored undirected edges — pair/marginal/corpus counts
+    plus the integer cross-multiplied PMI>0 flag.  Pair generation is a
+    map-side i<j expansion of each document's sorted distinct-entity set
+    (never a self-join on doc_id), so a hub entity cannot quadratically
+    explode the shuffle."""
+    from nexus_forge_spark.operators.graph import cooccurrence_edges
+
+    resolved = q_kg_exact(spark, sf_dir).select("doc_id", "entity_id")
+    return cooccurrence_edges(
+        resolved, group_col="doc_id", item_col="entity_id"
+    )
+
+
+def sql_entity_cooccurrence() -> str:
+    return f"""WITH resolved AS (SELECT * FROM ({sql_kg_exact()})),
+g AS (SELECT DISTINCT doc_id, entity_id FROM resolved),
+ic AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS groups FROM g GROUP BY entity_id),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_groups FROM g),
+pairs AS (
+  SELECT x.entity_id AS entity_a, y.entity_id AS entity_b,
+         CAST(count(*) AS BIGINT) AS pair_groups
+  FROM g x JOIN g y ON x.doc_id = y.doc_id AND x.entity_id < y.entity_id
+  GROUP BY x.entity_id, y.entity_id
+)
+SELECT p.entity_a, p.entity_b, p.pair_groups,
+       ca.groups AS groups_a, cb.groups AS groups_b, n.n_groups,
+       p.pair_groups * n.n_groups > ca.groups * cb.groups
+         AS positively_associated
+FROM pairs p
+JOIN ic ca ON p.entity_a = ca.entity_id
+JOIN ic cb ON p.entity_b = cb.entity_id
+CROSS JOIN n"""
+
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 16
+
+
+def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core density filter (operators/graph.py kcore) over the undirected
+    customer<->part co-purchase graph: iterative peeling to the unique
+    fixpoint where every surviving node keeps >= k surviving neighbours.
+    Spark peels to convergence (degree aggregate + two AQE-broadcast
+    semi-joins per round, edge set only shrinks); the oracle unrolls 16
+    peeling rounds as MATERIALIZED CTEs — rounds past convergence
+    are no-ops, so fixpoint equality is exactly what matching hashes
+    prove."""
+    from nexus_forge_spark.operators.graph import kcore
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_partkey") + PART_NODE_OFFSET).alias("b"),
+        )
+        .distinct()
+    )
+    out = kcore(edges, k=_KCORE_K, max_iter=_KCORE_ROUNDS)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("degree").cast("long").alias("degree"),
+    )
+
+
+def sql_kcore_copurchase() -> str:
+    k = _KCORE_K
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT GREATEST(o.o_custkey, l.l_partkey + {PART_NODE_OFFSET}) AS p,
+         LEAST(o.o_custkey, l.l_partkey + {PART_NODE_OFFSET}) AS q
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)"""
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        prev = f"e{i - 1}"
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT p AS n, count(*) AS deg
+  FROM (SELECT p, q FROM {prev} UNION ALL SELECT q AS p, p AS q FROM {prev})
+  GROUP BY p
+)"""
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE deg >= {k})"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT e.p, e.q FROM {prev} e
+  JOIN s{i} sp ON e.p = sp.n JOIN s{i} sq ON e.q = sq.n
+)"""
+        )
+    last = f"e{_KCORE_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(n AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT p AS n FROM {last} UNION ALL SELECT q AS n FROM {last})
+GROUP BY n"""
+    )
+
+
+def q_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test assignment at NEAR-DUP-COMPONENT
+    granularity: every document is keyed by its near-duplicate component
+    representative (MinHash+LSH candidates -> Jaccard verify -> connected
+    components), then the deterministic ppm-hash split ladder draws on
+    the COMPONENT key — so two near-duplicate documents can never land on
+    opposite sides of a train/eval boundary (the contamination mode plain
+    per-doc hash splitting cannot prevent)."""
+    from nexus_forge_spark.operators.canonicalize import connected_components
+    from nexus_forge_spark.operators.curation import hash_split
+
+    docs = _docs_with_mutants(spark, sf_dir).select("doc_id")
+    pairs = q_dedup_minhash(spark, sf_dir).select("a", "b")
+    comp = connected_components(pairs).select(
+        F.col("entity_id").alias("doc_id"),
+        F.col("canonical_id").alias("canon"),
+    )
+    keyed = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("canon"), F.col("doc_id")).alias("canon"),
+    )
+    out = hash_split(keyed, _SPLITS, id_col="canon", salt="csplit")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("canon").cast("long").alias("canonical_id"),
+        "split",
+    )
+
+
+def sql_component_split() -> str:
+    names = sorted(_SPLITS)
+    ppms = [int(round(_SPLITS[k] * 1_000_000)) for k in names]
+    draw = _sql_ppm_hash("canon", "csplit")
+    cases = []
+    cum = 0
+    for name, p in zip(names[:-1], ppms[:-1]):
+        cum += p
+        cases.append(f"WHEN {draw} < {cum} THEN '{name}'")
+    ladder = " ".join(cases)
+    return f"""WITH {_MUTANT_DOCS_SQL},
+comp AS (SELECT * FROM ({sql_dedup_components()})),
+keyed AS (
+  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canon
+  FROM docs d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(canon AS BIGINT) AS canonical_id,
+       CASE {ladder} ELSE '{names[-1]}' END AS split
+FROM keyed"""
+
+
 QUERIES = {
+    "kg_diff": (q_kg_diff, sql_kg_diff),
+    "entity_cooccurrence": (q_entity_cooccurrence, sql_entity_cooccurrence),
+    "kcore_copurchase": (q_kcore_copurchase, sql_kcore_copurchase),
+    "component_split": (q_component_split, sql_component_split),
     "kg_exact_resolve": (q_kg_exact, sql_kg_exact),
     "kg_exact_ci_resolve": (q_kg_exact_ci, sql_kg_exact_ci),
     "kg_fuzzy_best_resolve": (q_kg_fuzzy_best, sql_kg_fuzzy_best),

@@ -136,3 +136,114 @@ def test_label_propagation_matches_naive_random(spark):
             for r in label_propagation(e, iters).collect()
         }
         assert got == _lpa_naive(edges, iters)
+
+
+# ------------------------------------------------ k-core / co-occurrence
+
+
+def test_kcore_peels_tail_into_triangle(spark):
+    # triangle 1-2-3 with a pendant chain 3-4-5: 2-core = the triangle.
+    # peeling is iterative (5 falls first, THEN 4 loses its last support)
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    from nexus_forge_spark.operators.graph import kcore
+
+    out = {r.node: r.degree for r in kcore(e, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_empty_when_overdemanding(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long")
+    from nexus_forge_spark.operators.graph import kcore
+
+    assert kcore(e, k=3).count() == 0
+
+
+def test_kcore_k4_complete_graph_survives_whole(spark):
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    from nexus_forge_spark.operators.graph import kcore
+
+    out = {r.node: r.degree for r in kcore(e, k=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_matches_naive_peeling_random(spark):
+    import random
+
+    rnd = random.Random(7)
+    nodes = list(range(30))
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rnd.choice(nodes), rnd.choice(nodes)) for _ in range(120)
+            )
+            if a != b
+        }
+    )
+
+    def naive_kcore(edge_list, k):
+        es = set(edge_list)
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            drop = {n for n, d in deg.items() if d < k}
+            if not drop:
+                return deg
+            nxt = {(a, b) for a, b in es if a not in drop and b not in drop}
+            if nxt == es:
+                return deg
+            es = nxt
+
+    from nexus_forge_spark.operators.graph import kcore
+
+    for k in (2, 3, 4):
+        expected = naive_kcore(edges, k)
+        e = spark.createDataFrame(edges, "a long, b long")
+        got = {r.node: r.degree for r in kcore(e, k=k).collect()}
+        assert got == expected, f"k={k}"
+
+
+def test_cooccurrence_counts_and_association(spark):
+    # docs: d1 {A,B}, d2 {A,B}, d3 {A,C}, d4 {B}; n_groups=4
+    rows = [
+        (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"), (2, "B"),  # duplicate membership ignored
+        (3, "A"), (3, "C"),
+        (4, "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, entity_id string")
+    from nexus_forge_spark.operators.graph import cooccurrence_edges
+
+    out = {
+        (r.entity_a, r.entity_b): r
+        for r in cooccurrence_edges(df).collect()
+    }
+    ab = out[("A", "B")]
+    # pair 2, A in 3, B in 3, n 4 -> 2*4=8 < 9 -> not positively associated
+    assert (ab.pair_groups, ab.groups_a, ab.groups_b, ab.n_groups) == (2, 3, 3, 4)
+    assert not ab.positively_associated
+    ac = out[("A", "C")]
+    # pair 1, A in 3, C in 1, n 4 -> 4 > 3 -> positively associated
+    assert (ac.pair_groups, ac.groups_a, ac.groups_b) == (1, 3, 1)
+    assert ac.positively_associated
+    assert ("B", "C") not in out  # never co-occur
+
+
+def test_cooccurrence_pair_generation_is_ordered_and_distinct(spark):
+    # one doc with 4 entities -> C(4,2)=6 pairs, all a<b
+    rows = [(1, e) for e in ["d", "b", "a", "c", "a"]]
+    df = spark.createDataFrame(rows, "doc_id long, entity_id string")
+    from nexus_forge_spark.operators.graph import cooccurrence_edges
+
+    got = sorted(
+        (r.entity_a, r.entity_b)
+        for r in cooccurrence_edges(df).collect()
+    )
+    assert got == [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    ]
