@@ -5381,7 +5381,93 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(canon AS BIGINT) AS canonical_id,
 FROM keyed"""
 
 
+# ------------------------------------- N-Triples serialization + KGE negatives
+
+
+_NT_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+_NT_VOCAB = "http://schema.org/"
+
+
+def q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples wire-format serialization (operators/triples.py
+    to_ntriples) of the struct-materialized customer graph — the
+    `forge.as_graph(...).serialize(format="ntriples")` analogue
+    (conversions/rdf.py:275-312 + rdflib's ntserializer).  Zero shuffles,
+    zero UDFs: curie/@vocab expansion and ECHAR literal escaping are one
+    codegen projection; deterministic skolem blank labels make the lines
+    stable across runs (rdflib's process-local bnode ids are not)."""
+    from nexus_forge_spark.operators.triples import to_ntriples
+
+    return to_ntriples(q_struct_triples(spark, sf_dir), _NT_PREFIXES, _NT_VOCAB)
+
+
+def sql_kg_ntriples() -> str:
+    from nexus_forge_spark.operators.triples import sql_nt_escape, sql_nt_iri
+
+    s = sql_nt_iri("subj", _NT_PREFIXES, None)
+    p = sql_nt_iri("pred", _NT_PREFIXES, _NT_VOCAB)
+    oi = sql_nt_iri("obj", _NT_PREFIXES, _NT_VOCAB)
+    dt = sql_nt_iri("obj_datatype", _NT_PREFIXES, None)
+    lit = (
+        f"'\"' || {sql_nt_escape('obj')} || '\"' || "
+        f"CASE WHEN obj_datatype IS NOT NULL AND obj_datatype <> 'xsd:string' "
+        f"THEN '^^' || {dt} ELSE '' END"
+    )
+    return f"""WITH t AS ({sql_struct_triples()})
+SELECT {s} || ' ' || {p} || ' '
+       || CASE WHEN obj_is_literal THEN {lit} ELSE {oi} END || ' .' AS line
+FROM t"""
+
+
+_KGE_K = 3
+
+
+def q_kge_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic filtered negative sampling for KG-embedding training
+    (operators/kge.py): K object-corrupted triples per positive, drawn by
+    content hash from the ordered entity vocabulary; draws colliding with
+    the true object or any positive are dropped, not resampled.  Vocabulary
+    index is a broadcast join; the filtered anti-join against the positives
+    is the single required shuffle."""
+    from nexus_forge_spark.operators.kge import negative_samples
+
+    pos = q_kg_triples(spark, sf_dir).where(F.col("pred") == "nsg:hasBody")
+    return negative_samples(pos, k=_KGE_K, salt="kge")
+
+
+def sql_kge_negatives() -> str:
+    from nexus_forge_spark.operators.sketches import sql_hash60
+
+    h = sql_hash60(
+        "subj || chr(31) || pred || chr(31) || obj || chr(31) || "
+        "CAST(slot AS VARCHAR)",
+        "kge",
+    )
+    slots = ", ".join(str(j) for j in range(_KGE_K))
+    return f"""WITH trip AS ({sql_kg_triples()}),
+pos AS (SELECT subj, pred, obj FROM trip WHERE pred = 'nsg:hasBody'),
+ents AS (SELECT DISTINCT obj AS entity_id FROM pos),
+idx AS (SELECT entity_id, ROW_NUMBER() OVER (ORDER BY entity_id) AS rn FROM ents),
+cand AS (
+  SELECT subj, pred, obj, slot,
+         ({h} % (SELECT count(*) FROM ents)) + 1 AS rn
+  FROM pos CROSS JOIN (SELECT unnest([{slots}]) AS slot) js
+)
+SELECT c.subj, c.pred, i.entity_id AS obj_neg, CAST(c.slot AS INT) AS slot
+FROM cand c JOIN idx i USING (rn)
+WHERE i.entity_id <> c.obj
+  AND NOT EXISTS (
+    SELECT 1 FROM pos p2
+    WHERE p2.subj = c.subj AND p2.pred = c.pred AND p2.obj = i.entity_id
+  )"""
+
+
 QUERIES = {
+    "kg_ntriples": (q_kg_ntriples, sql_kg_ntriples),
+    "kge_negatives": (q_kge_negatives, sql_kge_negatives),
     "kg_diff": (q_kg_diff, sql_kg_diff),
     "entity_cooccurrence": (q_entity_cooccurrence, sql_entity_cooccurrence),
     "kcore_copurchase": (q_kcore_copurchase, sql_kcore_copurchase),

@@ -1,0 +1,110 @@
+"""N-Triples serialization goldens (operators/triples.py to_ntriples).
+
+Reference behavior: forge.as_graph(...) produces an rdflib.Graph
+(kgforge/core/conversions/rdf.py:275-312) whose ntserializer emits
+`<s> <p> <o> .` lines with ECHAR-escaped literals; this engine's serializer
+must agree on escaping, curie/@vocab expansion, typed-literal rendering,
+and blank-node passthrough.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nexus_forge_spark.operators.triples import to_ntriples
+
+PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "doc": "https://example.org/doc/",
+}
+VOCAB = "http://schema.org/"
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+        T.StructField("obj_is_literal", T.BooleanType()),
+        T.StructField("obj_datatype", T.StringType()),
+    ]
+)
+
+
+def lines(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return [r.line for r in to_ntriples(df, PREFIXES, VOCAB).collect()]
+
+
+def test_iri_triple_curie_and_vocab(spark):
+    out = lines(spark, [("doc:42", "rdf:type", "Document", False, None)])
+    assert out == [
+        "<https://example.org/doc/42> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://schema.org/Document> ."
+    ]
+
+
+def test_absolute_iri_and_unknown_curie_pass_through(spark):
+    out = lines(
+        spark,
+        [("http://c/1", "nsg:hasBody", "http://e/2", False, None)],
+    )
+    # unknown prefix nsg: -> wrapped verbatim (no registered namespace)
+    assert out == ["<http://c/1> <nsg:hasBody> <http://e/2> ."]
+
+
+def test_blank_node_labels_verbatim(spark):
+    out = lines(spark, [("_:b0deadbeef", "part", "_:b1cafe", False, None)])
+    assert out == ["_:b0deadbeef <http://schema.org/part> _:b1cafe ."]
+
+
+def test_plain_literal_and_xsd_string_identical(spark):
+    plain = lines(spark, [("doc:1", "name", "Alice", True, None)])
+    typed = lines(spark, [("doc:1", "name", "Alice", True, "xsd:string")])
+    assert plain == typed == [
+        '<https://example.org/doc/1> <http://schema.org/name> "Alice" .'
+    ]
+
+
+def test_typed_literal_datatype_expanded(spark):
+    out = lines(spark, [("doc:1", "balance", "711.56", True, "xsd:decimal")])
+    assert out == [
+        "<https://example.org/doc/1> <http://schema.org/balance> "
+        '"711.56"^^<http://www.w3.org/2001/XMLSchema#decimal> .'
+    ]
+
+
+@pytest.mark.parametrize(
+    "raw,escaped",
+    [
+        ('say "hi"', 'say \\"hi\\"'),
+        ("a\\b", "a\\\\b"),
+        ("line1\nline2", "line1\\nline2"),
+        ("col\tumn", "col\\tumn"),
+        ("cr\rlf", "cr\\rlf"),
+        # backslash-first ordering: the backslash in an existing \n sequence
+        # is escaped, THEN the raw newline — never double-escaped
+        ("mix\\n\n", "mix\\\\n\\n"),
+    ],
+)
+def test_literal_escaping(spark, raw, escaped):
+    out = lines(spark, [("doc:1", "name", raw, True, None)])
+    assert out == [
+        f'<https://example.org/doc/1> <http://schema.org/name> "{escaped}" .'
+    ]
+
+
+def test_unicode_rides_through_raw(spark):
+    out = lines(spark, [("doc:1", "name", "naïve 知識", True, None)])
+    assert out == [
+        '<https://example.org/doc/1> <http://schema.org/name> "naïve 知識" .'
+    ]
+
+
+def test_serializer_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame(
+        [("doc:1", "name", "x", True, None)], SCHEMA
+    )
+    plan = to_ntriples(df, PREFIXES, VOCAB)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
