@@ -1,0 +1,100 @@
+"""Slowly-changing-dimension (SCD Type-2) history construction.
+
+A KG/warehouse ingestion loop rarely receives clean "versions" — it
+receives a stream of change events (key, ts, attributes) where most
+events repeat the previous attribute values.  SCD2 collapses that stream
+into one row per *distinct consecutive value run* with a validity
+interval, the canonical shape for point-in-time joins (``asof_join``)
+and for the store's ``retrieve(id, version)`` semantics at warehouse
+scale (reference analogue: the ``_rev``/version chain that
+DemoStore/BlueBrainNexus keep per resource — demo_store.py keeps every
+revision; SCD2 is the set-oriented, interval-keyed materialization of
+the same history).
+
+Scale posture: one shuffle on the entity key.  Both window passes
+(change detection, interval close-off) declare the identical
+partitioning + ordering, so Catalyst plans a single Exchange + Sort and
+runs both Window operators over it.  No driver-side iteration, no
+collect; 10^12 change events hash-partition by key like any other wide
+op.  Skewed hot keys are bounded by their own history length (a window
+never crosses keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Collapse a change-event stream into SCD Type-2 interval rows.
+
+    Returns one row per run of consecutive identical attribute values per
+    key: ``key_cols + attr_cols + (version, valid_from, valid_to,
+    is_current)`` where ``version`` numbers runs from 1 in event order,
+    ``valid_from`` is the first event ts of the run, ``valid_to`` is the
+    next run's ``valid_from`` (NULL on the open, current run) and
+    ``is_current`` flags it.  Events that repeat the previous values are
+    absorbed into the run (classic SCD2 change suppression).
+
+    ``tiebreak_cols`` break same-timestamp ordering deterministically
+    (default: the attribute columns themselves).
+    """
+    tiebreak = tiebreak_cols if tiebreak_cols is not None else list(attr_cols)
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+
+    # a run starts where any attribute differs (null-safely) from the
+    # previous event of the same key; the first event always starts one
+    changed: Column = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    first = F.lag(F.col(ts_col)).over(w).isNull()
+    starts = changes.withColumn("__start", first | changed).where(F.col("__start"))
+
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    out = starts.select(
+        *key_cols,
+        *attr_cols,
+        F.row_number().over(w2).cast("int").alias("version"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+    return out
+
+
+def sql_scd2_history(
+    source_sql: str,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> str:
+    """DuckDB oracle rendering of the identical SCD2 recurrence."""
+    tiebreak = tiebreak_cols if tiebreak_cols is not None else list(attr_cols)
+    keys = ", ".join(key_cols)
+    order = ", ".join([ts_col] + tiebreak)
+    win = f"PARTITION BY {keys} ORDER BY {order}"
+    change = " OR ".join(
+        f"NOT ({c} IS NOT DISTINCT FROM lag({c}) OVER ({win}))" for c in attr_cols
+    )
+    attrs = ", ".join(attr_cols)
+    return f"""WITH src AS ({source_sql}),
+flagged AS (
+  SELECT *,
+         (lag({ts_col}) OVER ({win}) IS NULL OR {change}) AS __start
+  FROM src
+),
+starts AS (SELECT * FROM flagged WHERE __start)
+SELECT {keys}, {attrs},
+       CAST(row_number() OVER ({win}) AS INT) AS version,
+       {ts_col} AS valid_from,
+       lead({ts_col}) OVER ({win}) AS valid_to,
+       lead({ts_col}) OVER ({win}) IS NULL AS is_current
+FROM starts"""

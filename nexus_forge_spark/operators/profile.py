@@ -120,6 +120,100 @@ def numeric_histogram(
     )
 
 
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    scale: int = 100,
+    k: int = 3,
+) -> DataFrame:
+    """Per-group robust outlier flags via median/MAD — the distributional
+    gate an ingestion pipeline runs on numeric feeds (balances, token
+    counts, latencies) before trusting them, where mean/stddev would be
+    dragged by the very outliers being hunted.
+
+    Integer-exactness discipline: values scale to BIGINT units
+    (``floor(v * scale)``), and the two order statistics are carried as
+    ``med2 = 2*median(units)`` and ``mad4 = 2*median(|2*units - med2|)``
+    — both exact integers even when an even-count median interpolates
+    (the interpolated midpoint times 2 is the sum of the two middle
+    values; doubles below 2^53 represent it exactly, so Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` agree bit-for-bit).
+    The flag is the cross-multiplied integer comparison
+
+        |v - med| > k * MAD   <=>   2*|2*units - med2| > k * mad4
+
+    with no float division anywhere (same hazard class as the PPJoin
+    ceil bug in ADVICE r1).
+
+    Scale posture: two map-side-combined aggregations on the group key
+    (median is a SortAggregate over the group — mapper-local sort), each
+    joined back as a broadcast (one row per group); the fact table itself
+    never shuffles.  Output: input columns + (value_units, med2, mad4,
+    is_outlier).
+    """
+    units = F.floor(F.col(value_col) * scale).cast("long")
+    base = df.withColumn("__u", units).where(F.col("__u").isNotNull())
+    med = base.groupBy(*group_cols).agg(
+        (F.expr("percentile(__u, 0.5D)") * 2).cast("long").alias("med2")
+    )
+    with_med = base.join(F.broadcast(med), list(group_cols))
+    dev2 = F.abs(F.lit(2) * F.col("__u") - F.col("med2"))
+    with_dev = with_med.withColumn("__dev2", dev2)
+    mad = with_dev.groupBy(*group_cols).agg(
+        (F.expr("percentile(__dev2, 0.5D)") * 2).cast("long").alias("mad4")
+    )
+    out = with_dev.join(F.broadcast(mad), list(group_cols))
+    return out.select(
+        *df.columns,
+        F.col("__u").alias("value_units"),
+        "med2",
+        "mad4",
+        (F.lit(2) * F.col("__dev2") > F.lit(k) * F.col("mad4")).alias(
+            "is_outlier"
+        ),
+    )
+
+
+def sql_robust_outliers(
+    source_sql: str,
+    value_col: str,
+    group_cols: list[str],
+    out_cols: list[str],
+    scale: int = 100,
+    k: int = 3,
+) -> str:
+    """DuckDB oracle rendering of the identical median/MAD algebra."""
+    keys = ", ".join(group_cols)
+    on = " AND ".join(
+        f"b.{c} IS NOT DISTINCT FROM m.{c}" for c in group_cols
+    )
+    on2 = " AND ".join(
+        f"d.{c} IS NOT DISTINCT FROM a.{c}" for c in group_cols
+    )
+    outs = ", ".join(f"d.{c}" for c in out_cols)
+    return f"""WITH src AS ({source_sql}),
+base AS (
+  SELECT *, CAST(floor({value_col} * {scale}) AS BIGINT) AS __u
+  FROM src WHERE floor({value_col} * {scale}) IS NOT NULL
+),
+med AS (
+  SELECT {keys}, CAST(2 * quantile_cont(__u, 0.5) AS BIGINT) AS med2
+  FROM base GROUP BY {keys}
+),
+dev AS (
+  SELECT b.*, m.med2, abs(2 * b.__u - m.med2) AS __dev2
+  FROM base b JOIN med m ON {on}
+),
+mad AS (
+  SELECT {keys}, CAST(2 * quantile_cont(__dev2, 0.5) AS BIGINT) AS mad4
+  FROM dev GROUP BY {keys}
+)
+SELECT {outs}, d.__u AS value_units, d.med2, a.mad4,
+       2 * d.__dev2 > {k} * a.mad4 AS is_outlier
+FROM dev d JOIN mad a ON {on2}"""
+
+
 def key_skew_profile(
     df: DataFrame, key_col: str, top_k: int = 20
 ) -> DataFrame:

@@ -112,6 +112,102 @@ def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
+def infer_types(
+    triples: DataFrame,
+    decls: DataFrame,
+    type_pred: str = RDF_TYPE,
+    literal_col: str | None = None,
+) -> DataFrame:
+    """RDFS domain/range type inference (rdfs2 + rdfs3): every use of a
+    property whose ``rdfs:domain`` / ``rdfs:range`` is declared types its
+    subject / object.  The reference applies the same schema knowledge at
+    validation time (RdfModel SHACL ``sh:class`` targets resolve through
+    the ontology — kgforge/specializations/models/rdf_model.py); this is
+    the forward-chaining materialization of it, the step that makes an
+    incompletely-typed extracted graph queryable by class.
+
+    ``decls`` is the tiny schema table (pred, domain_class, range_class —
+    either nullable); it broadcasts.  Range inference only fires on IRI
+    objects: pass ``literal_col`` (a boolean column marking literal
+    objects) to exclude literals; rdfs3 never types a literal value.
+
+    Output: (subj, pred, obj, novel) — one row per distinct inferred
+    (entity, rdf:type, class) fact, ``novel`` false when the type was
+    already asserted.  Scale posture: two broadcast joins against the
+    schema table (fact side never shuffles for them), one distinct on the
+    inferred set (small: entities x classes), one broadcast-or-shuffled
+    left join against the asserted types to mark novelty.
+    """
+    facts = triples.where(F.col("pred") != type_pred)
+    d = F.broadcast(decls)
+    dom = facts.join(
+        d.where(F.col("domain_class").isNotNull()).select("pred", "domain_class"),
+        "pred",
+    ).select(F.col("subj").alias("entity"), F.col("domain_class").alias("cls"))
+    rng_facts = facts
+    if literal_col is not None:
+        rng_facts = facts.where(~F.col(literal_col))
+    rng = rng_facts.join(
+        d.where(F.col("range_class").isNotNull()).select("pred", "range_class"),
+        "pred",
+    ).select(F.col("obj").alias("entity"), F.col("range_class").alias("cls"))
+    inferred = dom.unionByName(rng).distinct()
+    asserted = (
+        triples.where(F.col("pred") == type_pred)
+        .select(F.col("subj").alias("entity"), F.col("obj").alias("cls"))
+        .distinct()
+        .withColumn("_asserted", F.lit(1))
+    )
+    return (
+        inferred.join(asserted, ["entity", "cls"], "left")
+        .select(
+            F.col("entity").alias("subj"),
+            F.lit(type_pred).alias("pred"),
+            F.col("cls").alias("obj"),
+            F.col("_asserted").isNull().alias("novel"),
+        )
+    )
+
+
+def sql_infer_types(
+    triples_sql: str,
+    decl_rows: list[tuple[str, str | None, str | None]],
+    type_pred: str = RDF_TYPE,
+    literal_col: str | None = None,
+) -> str:
+    """DuckDB oracle rendering of the identical rdfs2/rdfs3 inference."""
+
+    def _v(x: str | None) -> str:
+        return "NULL" if x is None else f"'{x}'"
+
+    values = ", ".join(
+        f"({_v(p)}, {_v(dm)}, {_v(rg)})" for p, dm, rg in decl_rows
+    )
+    lit_filter = f" AND NOT {literal_col}" if literal_col else ""
+    return f"""WITH trip AS ({triples_sql}),
+decls(pred, domain_class, range_class) AS (VALUES {values}),
+facts AS (SELECT * FROM trip WHERE pred <> '{type_pred}'),
+inferred AS (
+  SELECT DISTINCT entity, cls FROM (
+    SELECT f.subj AS entity, d.domain_class AS cls
+    FROM facts f JOIN decls d ON f.pred = d.pred
+    WHERE d.domain_class IS NOT NULL
+    UNION ALL
+    SELECT f.obj AS entity, d.range_class AS cls
+    FROM facts f JOIN decls d ON f.pred = d.pred
+    WHERE d.range_class IS NOT NULL{lit_filter}
+  )
+),
+asserted AS (
+  SELECT DISTINCT subj AS entity, obj AS cls FROM trip
+  WHERE pred = '{type_pred}'
+)
+SELECT i.entity AS subj, '{type_pred}' AS pred, i.cls AS obj,
+       a.entity IS NULL AS novel
+FROM inferred i LEFT JOIN asserted a
+  ON i.entity = a.entity AND i.cls = a.cls"""
+
+
 # ----------------------------------------------------------------- N-Triples
 
 

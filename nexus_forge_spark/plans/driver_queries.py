@@ -5465,7 +5465,263 @@ WHERE i.entity_id <> c.obj
   )"""
 
 
+# --------------------------------------- RDFS inference + Fellegi-Sunter ER
+
+
+_IT_DECLS = [
+    ("account", "schema:Customer", "schema:Account"),
+    ("balance", "schema:Account", None),
+    ("name", "schema:Customer", None),
+    ("segment", "schema:Customer", None),
+]
+
+
+def q_kg_inferred_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS domain/range forward chaining (operators/triples.py
+    infer_types, rdfs2+rdfs3): the struct-materialized customer graph is
+    deliberately de-typed of its Account assertions, then every use of a
+    declared property re-types its subject (domain) and IRI object
+    (range); ``novel`` marks inferences the de-typed graph didn't already
+    assert.  Schema decls broadcast; the fact side never shuffles for
+    the rule joins."""
+    from nexus_forge_spark.operators.triples import infer_types
+
+    trip = q_struct_triples(spark, sf_dir).localCheckpoint(eager=False)
+    incomplete = trip.where(
+        ~((F.col("pred") == "rdf:type") & (F.col("obj") == "Account"))
+    )
+    decls = spark.createDataFrame(
+        _IT_DECLS, "pred string, domain_class string, range_class string"
+    )
+    return infer_types(incomplete, decls, literal_col="obj_is_literal")
+
+
+def sql_kg_inferred_types() -> str:
+    from nexus_forge_spark.operators.triples import sql_infer_types
+
+    inner = f"""SELECT * FROM ({sql_struct_triples()})
+WHERE NOT (pred = 'rdf:type' AND obj = 'Account')"""
+    return sql_infer_types(inner, _IT_DECLS, literal_col="obj_is_literal")
+
+
+_FS_WEIGHTS = {
+    "text_strong": (4000, -1500),
+    "same_source": (800, -300),
+    "same_lang": (300, -1200),
+    "len_bucket_eq": (700, -700),
+}
+_FS_UPPER = 4000
+_FS_LOWER = 2000
+
+
+def q_er_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage decisions (operators/er.py
+    fs_classify) over the MinHash+LSH candidate pairs: four agreement
+    fields (strong text Jaccard, source, language, 64-char length
+    bucket) contribute integer milli-weights and the summed
+    log-likelihood score thresholds into match / possible / nonmatch —
+    the multi-evidence upgrade of the resolver's single lexical score.
+    Scoring is one map-side projection over the blocked pairs; the two
+    per-side feature lookups broadcast."""
+    from nexus_forge_spark.operators.er import fs_classify
+
+    pairs = q_dedup_minhash(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "lang"
+    )
+    texts = _docs_with_mutants(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("len")
+    )
+    feat = (
+        texts.withColumn("base_id", F.col("doc_id") % 1000000)
+        .join(F.broadcast(docs), F.col("base_id") == docs.doc_id)
+        .select(
+            texts.doc_id.alias("id"),
+            "source",
+            "lang",
+            F.expr("len div 64").alias("len_bucket"),
+        )
+    )
+    fa = feat.select(
+        F.col("id").alias("a"), F.col("source").alias("src_a"),
+        F.col("lang").alias("lang_a"), F.col("len_bucket").alias("lb_a"),
+    )
+    fb = feat.select(
+        F.col("id").alias("b"), F.col("source").alias("src_b"),
+        F.col("lang").alias("lang_b"), F.col("len_bucket").alias("lb_b"),
+    )
+    enriched = (
+        pairs.join(F.broadcast(fa), "a")
+        .join(F.broadcast(fb), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("jaccard") >= 0.8).alias("text_strong"),
+            (F.col("src_a") == F.col("src_b")).alias("same_source"),
+            (F.col("lang_a") == F.col("lang_b")).alias("same_lang"),
+            (F.col("lb_a") == F.col("lb_b")).alias("len_bucket_eq"),
+        )
+    )
+    return fs_classify(enriched, _FS_WEIGHTS, _FS_UPPER, _FS_LOWER).select(
+        "a", "b", "text_strong", "same_source", "same_lang",
+        "len_bucket_eq", "score_milli", "decision",
+    )
+
+
+def sql_er_fs_scores() -> str:
+    from nexus_forge_spark.operators.er import sql_fs_classify
+
+    pairs_sql = f"""WITH {_MUTANT_DOCS_SQL},
+lsh AS (SELECT * FROM ({sql_dedup_minhash()})),
+feat AS (
+  SELECT t.doc_id AS id, d.source, d.lang, length(t.text) // 64 AS len_bucket
+  FROM docs t JOIN documents d ON t.doc_id % 1000000 = d.doc_id
+)
+SELECT p.a, p.b,
+       p.jaccard >= 0.8 AS text_strong,
+       fa.source = fb.source AS same_source,
+       fa.lang = fb.lang AS same_lang,
+       fa.len_bucket = fb.len_bucket AS len_bucket_eq
+FROM lsh p
+JOIN feat fa ON p.a = fa.id
+JOIN feat fb ON p.b = fb.id"""
+    return sql_fs_classify(
+        pairs_sql,
+        _FS_WEIGHTS,
+        _FS_UPPER,
+        _FS_LOWER,
+        out_cols=[
+            "a", "b", "text_strong", "same_source", "same_lang",
+            "len_bucket_eq",
+        ],
+    )
+
+
+# ------------------------------------- warehouse history + robust profiling
+
+
+def q_scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (operators/history.py scd2_history):
+    each customer's order-priority change stream collapses into validity
+    intervals (version, valid_from, valid_to, is_current), suppressing
+    events that repeat the previous value — the set-oriented analogue of
+    the reference store's per-resource _rev chain (demo_store.py keeps
+    every revision; this materializes the interval view point-in-time
+    joins need).  One shuffle: both window passes share the customer-key
+    partitioning, so Catalyst plans a single Exchange."""
+    from nexus_forge_spark.operators.history import scd2_history
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey"
+    )
+    return scd2_history(
+        orders,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+        tiebreak_cols=["o_orderkey"],
+    ).select(
+        "o_custkey", "o_orderpriority", "version",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+def sql_scd2_order_priority() -> str:
+    from nexus_forge_spark.operators.history import sql_scd2_history
+
+    inner = sql_scd2_history(
+        "SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey FROM orders",
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+        tiebreak_cols=["o_orderkey"],
+    )
+    return f"""SELECT o_custkey, o_orderpriority, version,
+       valid_from, valid_to, is_current
+FROM ({inner})"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level ROLLUP aggregation (returnflag -> linestatus -> grand
+    total) in integral cents, with per-dimension GROUPING flags to
+    disambiguate subtotal NULLs from data NULLs — the OLAP cube slice a
+    reporting layer asks of the same lineitem feed.  One Expand + one
+    hash aggregate: Spark evaluates every grouping set in a single
+    map-side-combined pass, no per-level rescans."""
+    li = load_table(spark, "lineitem", sf_dir)
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.sum(price_c * (F.lit(100) - disc_c)).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "g_flag",
+            "g_status",
+            "revenue_e4",
+            "n_items",
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+def sql_rollup_revenue() -> str:
+    return """SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4,
+  count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus"""
+
+
+def q_outliers_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation robust outlier detection on customer balances
+    (operators/profile.py robust_outliers): median/MAD flags carried as
+    exact integers (med2 = 2*median of cents, mad4 = 2*median of
+    |2*cents - med2|) so the |v-med| > 3*MAD test is a cross-multiplied
+    BIGINT comparison — no float division for a normalizer to diverge
+    on.  The fact table never shuffles; the two per-nation order
+    statistics broadcast back onto it."""
+    from nexus_forge_spark.operators.profile import robust_outliers
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    return robust_outliers(
+        cust, value_col="c_acctbal", group_cols=["c_nationkey"], scale=100, k=3
+    ).select(
+        "c_custkey", "c_nationkey", "value_units", "med2", "mad4", "is_outlier"
+    )
+
+
+def sql_outliers_acctbal() -> str:
+    from nexus_forge_spark.operators.profile import sql_robust_outliers
+
+    return sql_robust_outliers(
+        "SELECT c_custkey, c_nationkey, c_acctbal FROM customer",
+        value_col="c_acctbal",
+        group_cols=["c_nationkey"],
+        out_cols=["c_custkey", "c_nationkey"],
+        scale=100,
+        k=3,
+    )
+
+
 QUERIES = {
+    "kg_inferred_types": (q_kg_inferred_types, sql_kg_inferred_types),
+    "er_fs_scores": (q_er_fs_scores, sql_er_fs_scores),
+    "scd2_order_priority": (q_scd2_order_priority, sql_scd2_order_priority),
+    "rollup_revenue": (q_rollup_revenue, sql_rollup_revenue),
+    "outliers_acctbal": (q_outliers_acctbal, sql_outliers_acctbal),
     "kg_ntriples": (q_kg_ntriples, sql_kg_ntriples),
     "kge_negatives": (q_kge_negatives, sql_kge_negatives),
     "kg_diff": (q_kg_diff, sql_kg_diff),

@@ -1,0 +1,92 @@
+"""SCD2 history construction and robust median/MAD outlier semantics
+(engine parity is covered by the scd2_order_priority / outliers_acctbal
+contract queries)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from nexus_forge_spark.operators.history import scd2_history
+from nexus_forge_spark.operators.profile import robust_outliers
+
+SCHEMA = "k long, ts timestamp_ntz, v string, tb long"
+
+
+def _d(day):
+    return datetime(2024, 1, day)
+
+
+def test_scd2_collapses_repeats(spark):
+    rows = [
+        (1, _d(1), "a", 10),
+        (1, _d(2), "a", 11),  # repeat -> absorbed
+        (1, _d(3), "b", 12),  # change -> version 2
+        (1, _d(4), "b", 13),  # repeat -> absorbed
+        (1, _d(5), "a", 14),  # back to a -> version 3 (runs, not values)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = scd2_history(df, ["k"], "ts", ["v"], tiebreak_cols=["tb"]).collect()
+    got = sorted((r.version, r.v, r.valid_from, r.valid_to, r.is_current) for r in out)
+    assert got == [
+        (1, "a", _d(1), _d(3), False),
+        (2, "b", _d(3), _d(5), False),
+        (3, "a", _d(5), None, True),
+    ]
+
+
+def test_scd2_keys_independent_and_null_attr(spark):
+    rows = [
+        (1, _d(1), None, 1),
+        (1, _d(2), None, 2),  # null == null (null-safe) -> absorbed
+        (1, _d(3), "x", 3),
+        (2, _d(1), "x", 4),  # other key independent
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = scd2_history(df, ["k"], "ts", ["v"], tiebreak_cols=["tb"])
+    rows_out = {(r.k, r.version): (r.v, r.is_current) for r in out.collect()}
+    assert rows_out == {
+        (1, 1): (None, False),
+        (1, 2): ("x", True),
+        (2, 1): ("x", True),
+    }
+
+
+def test_scd2_same_ts_tiebreak(spark):
+    # two changes at the identical timestamp order by the tiebreak column
+    rows = [(1, _d(1), "a", 1), (1, _d(1), "b", 2), (1, _d(2), "b", 3)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = scd2_history(df, ["k"], "ts", ["v"], tiebreak_cols=["tb"]).collect()
+    by_ver = {r.version: r.v for r in out}
+    assert by_ver == {1: "a", 2: "b"}
+
+
+def test_robust_outliers_flags_exact(spark):
+    # group 7: values 1..9 plus 100 -> median 5.5 (even count),
+    # med2 = 11; devs2 = |2v-11| = 9,7,5,3,1,1,3,5,7,189 -> sorted
+    # [1,1,3,3,5,5,7,7,9,189], mad2' = 5, mad4 = 10.
+    # outlier iff 2*|2v-11| > 3*10=30 <=> |2v-11| > 15 <=> v=100 only.
+    rows = [(7, float(v)) for v in range(1, 10)] + [(7, 100.0)]
+    df = spark.createDataFrame(rows, "g int, x double")
+    out = robust_outliers(df, "x", ["g"], scale=1, k=3).collect()
+    flagged = sorted(r.x for r in out if r.is_outlier)
+    assert flagged == [100.0]
+    one = out[0]
+    assert one.med2 == 11 and one.mad4 == 10
+
+
+def test_robust_outliers_groups_isolated(spark):
+    # a value ordinary in one group is an outlier in another
+    rows = [(1, float(v)) for v in [10, 11, 12, 13, 50]] + [
+        (2, float(v)) for v in [40, 45, 50, 55, 60]
+    ]
+    df = spark.createDataFrame(rows, "g int, x double")
+    out = robust_outliers(df, "x", ["g"], scale=1, k=3).collect()
+    flagged = sorted((r.g, r.x) for r in out if r.is_outlier)
+    assert flagged == [(1, 50.0)]
+
+
+def test_robust_outliers_keeps_all_rows(spark):
+    df = spark.createDataFrame([(1, 2.5), (1, 3.5), (2, 9.0)], "g int, x double")
+    out = robust_outliers(df, "x", ["g"], scale=100)
+    assert out.count() == 3
+    assert {r.value_units for r in out.collect()} == {250, 350, 900}

@@ -1,0 +1,98 @@
+"""RDFS domain/range inference and Fellegi-Sunter classification semantics
+(engine parity is covered by the kg_inferred_types / er_fs_scores contract
+queries)."""
+
+import pytest
+
+from nexus_forge_spark.operators.er import fs_classify
+from nexus_forge_spark.operators.triples import infer_types
+
+TRIP_SCHEMA = "subj string, pred string, obj string, obj_is_literal boolean"
+DECL_SCHEMA = "pred string, domain_class string, range_class string"
+
+
+def _decls(spark):
+    return spark.createDataFrame(
+        [
+            ("knows", "Person", "Person"),
+            ("name", "Person", None),
+            ("memberOf", None, "Org"),
+        ],
+        DECL_SCHEMA,
+    )
+
+
+def test_infer_types_domain_and_range(spark):
+    trip = spark.createDataFrame(
+        [
+            ("a", "knows", "b", False),
+            ("a", "name", "Ada", True),
+            ("b", "memberOf", "acme", False),
+        ],
+        TRIP_SCHEMA,
+    )
+    out = infer_types(trip, _decls(spark), literal_col="obj_is_literal")
+    got = {(r.subj, r.obj): r.novel for r in out.collect()}
+    assert got == {
+        ("a", "Person"): True,  # domain of knows + domain of name (dedup'd)
+        ("b", "Person"): True,  # range of knows
+        ("acme", "Org"): True,  # range of memberOf
+    }
+    assert all(r.pred == "rdf:type" for r in out.collect())
+
+
+def test_infer_types_literal_objects_never_typed(spark):
+    # 'name' has no range decl, but even with one a literal obj must not
+    # be typed when literal_col is passed
+    trip = spark.createDataFrame([("a", "knows", "lit", True)], TRIP_SCHEMA)
+    out = infer_types(trip, _decls(spark), literal_col="obj_is_literal")
+    got = {(r.subj, r.obj) for r in out.collect()}
+    assert got == {("a", "Person")}  # domain fires, range suppressed
+
+
+def test_infer_types_novel_flag(spark):
+    trip = spark.createDataFrame(
+        [
+            ("a", "knows", "b", False),
+            ("a", "rdf:type", "Person", False),  # already asserted
+        ],
+        TRIP_SCHEMA,
+    )
+    out = {(r.subj, r.obj): r.novel for r in
+           infer_types(trip, _decls(spark), literal_col="obj_is_literal").collect()}
+    assert out == {("a", "Person"): False, ("b", "Person"): True}
+
+
+WEIGHTS = {"f1": (2000, -1000), "f2": (500, -500)}
+
+
+def test_fs_classify_bands(spark):
+    rows = [
+        (1, True, True),    # 2500 -> match
+        (2, True, False),   # 1500 -> possible
+        (3, False, False),  # -1500 -> nonmatch
+        (4, False, True),   # -500 -> nonmatch
+    ]
+    df = spark.createDataFrame(rows, "id int, f1 boolean, f2 boolean")
+    out = {r.id: (r.score_milli, r.decision)
+           for r in fs_classify(df, WEIGHTS, 2500, 0).collect()}
+    assert out == {
+        1: (2500, "match"),
+        2: (1500, "possible"),
+        3: (-1500, "nonmatch"),
+        4: (-500, "nonmatch"),
+    }
+
+
+def test_fs_classify_null_contributes_zero(spark):
+    df = spark.createDataFrame(
+        [(1, None, True)], "id int, f1 boolean, f2 boolean"
+    )
+    r = fs_classify(df, WEIGHTS, 2500, 0).collect()[0]
+    assert r.score_milli == 500 and r.decision == "possible"
+
+
+def test_fs_classify_rejects_inverted_thresholds(spark):
+    df = spark.createDataFrame([(1, True)], "id int, f1 boolean")
+    with pytest.raises(ValueError):
+        fs_classify(df, {"f1": (1, -1)}, upper_milli=0, lower_milli=10)
