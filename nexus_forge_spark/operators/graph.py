@@ -439,3 +439,175 @@ def kcore(
     return sym.groupBy(F.col("p").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
+
+
+def sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+    materialize: bool = True,
+) -> DataFrame:
+    """Multi-seed single-source shortest paths over positively-weighted
+    edges by synchronous Bellman-Ford relaxation — hop-weighted
+    reachability for KG neighborhoods where edge cost matters (khop is
+    the unit-weight special case, but its visited-set pruning cannot
+    carry weights: a later path with MORE hops can be CHEAPER).
+
+    Each round relaxes every edge out of the current distance table and
+    folds the candidates back with one min-aggregate:
+
+        dist_{r+1}(v) = min(dist_r(v), min over (u,v,w) of dist_r(u)+w)
+
+    Fixed ``rounds`` (= max path length in edges, like kcore's bound)
+    keeps the recurrence engine-exact: an unrolled SQL oracle running the
+    identical algebra matches hash-for-hash, and rounds past convergence
+    are no-ops.  Weights must be non-negative integers (BIGINT adds, no
+    float accumulation order to diverge on).
+
+    Scale posture: each round is one shuffle-join of the distance table
+    onto the edge list (bucket edges by src on a real cluster so every
+    round reuses the layout) plus one partial-combined min-aggregate;
+    localCheckpoint per round keeps lineage flat.  The distance table
+    only grows up to reachable-set size — at 10^12 edges, rounds stream;
+    nothing collects to the driver.
+
+    Returns (node, dist) for every node reachable within ``rounds`` edges.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    dist = seeds.select(F.col(node).alias("node")).distinct().withColumn(
+        "dist", F.lit(0).cast("long")
+    )
+    if materialize:
+        dist = dist.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relaxed = dist.join(e, dist["node"] == e["src"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if materialize:
+            dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
+def sql_sssp(edges_sql: str, seeds_sql: str, rounds: int) -> str:
+    """DuckDB oracle rendering of the identical Bellman-Ford recurrence,
+    unrolled to ``rounds`` MATERIALIZED CTEs (plain CTEs inline
+    exponentially — the BPE lesson)."""
+    ctes = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        f"d0 AS MATERIALIZED (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM ({seeds_sql}))",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"d{r - 1}"
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM {p}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + e.w AS dist
+    FROM {p} p JOIN e ON p.node = e.src
+  ) GROUP BY node
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, dist FROM d{rounds}"
+
+
+def link_prediction(
+    edges: DataFrame,
+    item_col: str = "item",
+    via_col: str = "via",
+    max_via_degree: int | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Neighborhood-overlap link prediction: score unlinked item pairs by
+    their shared neighbors — common-neighbor count plus the
+    resource-allocation index (Zhou/Lu/Zhang 2009), each shared neighbor
+    contributing 1/degree so promiscuous neighbors say little.  In a KG
+    this proposes missing sameAs/relatedTo edges from co-reference
+    structure; in a recommender, co-purchase affinity.
+
+    Engine-exactness: RA is carried as ``sum(scale div degree)`` —
+    truncating INTEGER division per shared neighbor, then a BIGINT sum,
+    so no float ordering can diverge (the 1e-6 truncation error is far
+    below any ranking granularity that matters).
+
+    Scale posture: the same map-side i<j expansion as cooccurrence_edges
+    — shared neighbors are grouped once, each group emits its sorted
+    item pairs from an array transform (never an equi-self-join on the
+    neighbor key), and one partial-combined hash aggregate sums both
+    scores.  ``max_via_degree`` drops hub neighbors BEFORE expansion:
+    the standard guard (a neighbor shared by 10^6 items would emit
+    ~10^12 pairs while contributing scale/10^6 ~ 1 each — cost without
+    signal).  The filter is part of the operator's contract, applied
+    identically by the SQL oracle.
+
+    Returns (a, b, common_via, ra_scaled) for unordered pairs a < b.
+    """
+    g = (
+        edges.select(F.col(item_col).alias("item"), F.col(via_col).alias("via"))
+        .where(F.col(item_col).isNotNull() & F.col(via_col).isNotNull())
+        .distinct()
+    )
+    deg = g.groupBy("via").agg(F.count(F.lit(1)).alias("deg"))
+    if max_via_degree is not None:
+        deg = deg.where(F.col("deg") <= max_via_degree)
+    contrib = g.join(F.broadcast(deg), "via").select(
+        "via", "item", F.expr(f"{scale} div deg").cast("long").alias("contrib")
+    )
+    sets = contrib.groupBy("via", "contrib").agg(
+        F.sort_array(F.collect_set("item")).alias("items")
+    )
+    pair_gen = F.flatten(
+        F.expr(
+            "transform(items, (x, i) -> "
+            "transform(slice(items, i + 2, size(items)), "
+            "y -> struct(x AS a, y AS b)))"
+        )
+    )
+    return (
+        sets.select(F.col("contrib"), F.explode(pair_gen).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_via"),
+            F.sum("contrib").cast("long").alias("ra_scaled"),
+        )
+    )
+
+
+def sql_link_prediction(
+    edges_sql: str,
+    max_via_degree: int | None = None,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB oracle for link_prediction (join-based pair generation —
+    an independent computation path from the array expansion)."""
+    deg_filter = (
+        f"HAVING count(*) <= {max_via_degree}" if max_via_degree is not None else ""
+    )
+    return f"""WITH g AS (
+  SELECT DISTINCT item, via FROM ({edges_sql})
+  WHERE item IS NOT NULL AND via IS NOT NULL
+),
+deg AS (SELECT via, count(*) AS deg FROM g GROUP BY via {deg_filter}),
+contrib AS (
+  SELECT g.via, g.item, {scale} // d.deg AS contrib
+  FROM g JOIN deg d ON g.via = d.via
+)
+SELECT x.item AS a, y.item AS b,
+       CAST(count(*) AS BIGINT) AS common_via,
+       CAST(sum(x.contrib) AS BIGINT) AS ra_scaled
+FROM contrib x JOIN contrib y
+  ON x.via = y.via AND x.item < y.item
+GROUP BY x.item, y.item"""

@@ -5465,6 +5465,116 @@ WHERE i.entity_id <> c.obj
   )"""
 
 
+# ----------------------------------- weighted paths + link prediction
+
+
+_SSSP_ROUNDS = 6
+_SSSP_SEED = 1
+
+
+def _copurchase_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric customer<->part edges weighted by the cheapest observed
+    quantity (integer units of 0.01)."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    half = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_partkey") + PART_NODE_OFFSET).alias("dst"),
+        )
+        .agg(F.min(F.round(F.col("l_quantity") * 100).cast("long")).alias("w"))
+    )
+    return half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+
+
+_COPURCHASE_EDGES_SQL = f"""SELECT src, dst, w FROM (
+  SELECT o.o_custkey AS src, l.l_partkey + {{off}} AS dst,
+         min(CAST(round(l.l_quantity * 100) AS BIGINT)) AS w
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_custkey, l.l_partkey
+) UNION ALL
+SELECT dst AS src, src AS dst, w FROM (
+  SELECT o.o_custkey AS src, l.l_partkey + {{off}} AS dst,
+         min(CAST(round(l.l_quantity * 100) AS BIGINT)) AS w
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_custkey, l.l_partkey
+)"""
+
+
+def q_sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (operators/graph.py sssp): synchronous
+    Bellman-Ford over the quantity-weighted co-purchase graph from one
+    seed customer — khop's unit-weight pruning cannot carry weights
+    (a longer-hop path can be cheaper), so relaxation + min-fold it is.
+    Fixed 6 rounds keep the recurrence engine-exact; the oracle unrolls
+    the identical algebra.  BIGINT weights, no float accumulation."""
+    from nexus_forge_spark.operators.graph import sssp
+
+    edges = _copurchase_weighted_edges(spark, sf_dir)
+    seeds = spark.range(_SSSP_SEED, _SSSP_SEED + 1).select(
+        F.col("id").alias("node")
+    )
+    return sssp(edges, seeds, rounds=_SSSP_ROUNDS).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def sql_sssp_copurchase() -> str:
+    from nexus_forge_spark.operators.graph import sql_sssp
+
+    edges = _COPURCHASE_EDGES_SQL.format(off=PART_NODE_OFFSET)
+    seeds = f"SELECT CAST({_SSSP_SEED} AS BIGINT) AS node"
+    return sql_sssp(edges, seeds, rounds=_SSSP_ROUNDS)
+
+
+_LP_MAX_VIA_DEG = 20
+_LP_MIN_COMMON = 2
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (operators/graph.py link_prediction): score
+    customer pairs by shared purchased parts — common-neighbor count +
+    integer-exact resource-allocation index (each shared part contributes
+    1000000 div degree).  Hub parts (degree > 20) are dropped before the
+    map-side i<j expansion: cost without signal.  Pairs with >= 2 shared
+    parts survive."""
+    from nexus_forge_spark.operators.graph import link_prediction
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    memb = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("item"), F.col("l_partkey").alias("via")
+    )
+    out = link_prediction(
+        memb, max_via_degree=_LP_MAX_VIA_DEG
+    ).where(F.col("common_via") >= _LP_MIN_COMMON)
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "common_via",
+        "ra_scaled",
+    )
+
+
+def sql_link_prediction_q() -> str:
+    from nexus_forge_spark.operators.graph import sql_link_prediction
+
+    edges = """SELECT o.o_custkey AS item, l.l_partkey AS via
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"""
+    inner = sql_link_prediction(edges, max_via_degree=_LP_MAX_VIA_DEG)
+    return f"""SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       common_via, ra_scaled
+FROM ({inner}) WHERE common_via >= {_LP_MIN_COMMON}"""
+
+
 # --------------------------------------- RDFS inference + Fellegi-Sunter ER
 
 
@@ -5717,6 +5827,8 @@ def sql_outliers_acctbal() -> str:
 
 
 QUERIES = {
+    "sssp_copurchase": (q_sssp_copurchase, sql_sssp_copurchase),
+    "link_prediction": (q_link_prediction, sql_link_prediction_q),
     "kg_inferred_types": (q_kg_inferred_types, sql_kg_inferred_types),
     "er_fs_scores": (q_er_fs_scores, sql_er_fs_scores),
     "scd2_order_priority": (q_scd2_order_priority, sql_scd2_order_priority),

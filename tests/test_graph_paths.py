@@ -1,0 +1,75 @@
+"""Bellman-Ford SSSP and neighborhood-overlap link-prediction semantics
+(engine parity is covered by the sssp_copurchase / link_prediction
+contract queries)."""
+
+from nexus_forge_spark.operators.graph import link_prediction, sssp
+
+E_SCHEMA = "src long, dst long, w long"
+
+
+def _sym(rows):
+    return rows + [(b, a, w) for a, b, w in rows]
+
+
+def test_sssp_prefers_cheaper_longer_path(spark):
+    # 1->4 direct costs 10; 1->2->3->4 costs 3 — more hops, cheaper.
+    rows = _sym([(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1)])
+    edges = spark.createDataFrame(rows, E_SCHEMA)
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in sssp(edges, seeds, rounds=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_sssp_rounds_cap_limits_path_length(spark):
+    # with only 1 round the relaxed 3-edge path hasn't propagated yet
+    rows = _sym([(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1)])
+    edges = spark.createDataFrame(rows, E_SCHEMA)
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in sssp(edges, seeds, rounds=1).collect()}
+    assert got == {1: 0, 2: 1, 4: 10}  # node 3 unreached at round 1
+
+
+def test_sssp_multi_seed_min(spark):
+    rows = _sym([(1, 2, 5), (9, 2, 1)])
+    edges = spark.createDataFrame(rows, E_SCHEMA)
+    seeds = spark.createDataFrame([(1,), (9,)], "node long")
+    got = {r.node: r.dist for r in sssp(edges, seeds, rounds=3).collect()}
+    assert got[2] == 1  # the cheaper seed wins
+
+
+M_SCHEMA = "item long, via long"
+
+
+def test_link_prediction_scores(spark):
+    # items 1,2 share vias 10 (deg 2) and 11 (deg 3); items 1,3 share 11.
+    rows = [(1, 10), (2, 10), (1, 11), (2, 11), (3, 11)]
+    df = spark.createDataFrame(rows, M_SCHEMA)
+    got = {
+        (r.a, r.b): (r.common_via, r.ra_scaled)
+        for r in link_prediction(df).collect()
+    }
+    # via 10 contributes 1000000//2 = 500000; via 11 contributes 333333
+    assert got == {
+        (1, 2): (2, 833333),
+        (1, 3): (1, 333333),
+        (2, 3): (1, 333333),
+    }
+
+
+def test_link_prediction_hub_suppression(spark):
+    rows = [(1, 10), (2, 10), (1, 99), (2, 99), (3, 99)]
+    df = spark.createDataFrame(rows, M_SCHEMA)
+    got = {
+        (r.a, r.b): r.common_via
+        for r in link_prediction(df, max_via_degree=2).collect()
+    }
+    assert got == {(1, 2): 1}  # via 99 (deg 3) dropped entirely
+
+
+def test_link_prediction_dedups_multi_edges(spark):
+    # duplicate (item, via) rows must not double-count
+    rows = [(1, 10), (1, 10), (2, 10)]
+    df = spark.createDataFrame(rows, M_SCHEMA)
+    got = {(r.a, r.b): (r.common_via, r.ra_scaled)
+           for r in link_prediction(df).collect()}
+    assert got == {(1, 2): (1, 500000)}
