@@ -611,3 +611,131 @@ SELECT x.item AS a, y.item AS b,
 FROM contrib x JOIN contrib y
   ON x.via = y.via AND x.item < y.item
 GROUP BY x.item, y.item"""
+
+
+def random_walks(
+    edges: DataFrame,
+    num_walks: int,
+    walk_length: int,
+    salt: str = "walk",
+    src: str = "src",
+    dst: str = "dst",
+    starts: DataFrame | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Deterministic random-walk corpus generation (the DeepWalk /
+    node2vec p=q=1 sampling stage): ``num_walks`` walks of up to
+    ``walk_length`` steps from every start node, emitted long-format as
+    (start, rep, step, node) with step 0 = the start itself — ready to
+    window into skip-gram pairs for embedding training (the corpus that
+    feeds the same KGE loop kge.negative_samples serves).
+
+    Determinism instead of RNG state: the step draw is the portable
+    60-bit content hash of (start, rep, step, salt) modulo the current
+    node's degree, indexing its SORTED neighbor list — every engine (and
+    every retry of a failed stage: Spark task re-execution included)
+    reproduces the identical corpus, which is what makes the walks
+    checkpointable and oracle-checkable at all.  Statistically this is a
+    fixed pseudo-random function of the walk coordinates — exactly what
+    seeded RNG walks are, minus the partition-order dependence.
+
+    Scale posture: the adjacency table (one sorted collect_set per
+    node) builds once and each step is one shuffle-join of the frontier
+    onto it (bucket adjacency by node on a real cluster so all
+    ``walk_length`` joins reuse the layout); localCheckpoint per step
+    keeps lineage flat.  Walks ending on a dangling node (no out-edges)
+    truncate — inner join, no padding.  Hub rows cost O(degree) once in
+    the adjacency build, never per-walk.
+    """
+    from nexus_forge_spark.operators.sketches import hash60
+
+    adj = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .distinct()
+        .groupBy("node")
+        .agg(F.sort_array(F.collect_set("nbr")).alias("nbrs"))
+    )
+    if materialize:
+        adj = adj.localCheckpoint(eager=True)
+    base = starts if starts is not None else edges.select(
+        F.col(src).alias("node")
+    ).distinct()
+    cur = base.select(F.col("node").alias("start")).distinct().select(
+        "start",
+        F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))).alias("rep"),
+        F.col("start").alias("node"),
+    )
+    out = cur.select(
+        "start", "rep", F.lit(0).cast("int").alias("step"), "node"
+    )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        cur = cur.localCheckpoint(eager=True)
+    for step in range(1, walk_length + 1):
+        draw = hash60(
+            F.concat_ws("\x1f", F.col("start"), F.col("rep"), F.lit(step)),
+            salt,
+        )
+        stepped = (
+            cur.join(adj, "node")
+            .select(
+                "start",
+                "rep",
+                F.element_at(
+                    F.col("nbrs"), (draw % F.size("nbrs") + 1).cast("int")
+                ).alias("node"),
+            )
+        )
+        if materialize:
+            stepped = stepped.localCheckpoint(eager=True)
+        out = out.unionByName(
+            stepped.select(
+                "start", "rep", F.lit(step).cast("int").alias("step"), "node"
+            )
+        )
+        cur = stepped
+    return out
+
+
+def sql_random_walks(
+    edges_sql: str,
+    num_walks: int,
+    walk_length: int,
+    salt: str = "walk",
+    starts_sql: str | None = None,
+) -> str:
+    """DuckDB oracle rendering of the identical hash-seeded walk
+    recurrence, one MATERIALIZED CTE per step."""
+    from nexus_forge_spark.operators.sketches import sql_hash60
+
+    reps = ", ".join(str(r) for r in range(num_walks))
+    base = (
+        f"SELECT DISTINCT node FROM ({starts_sql})"
+        if starts_sql is not None
+        else f"SELECT DISTINCT src AS node FROM ({edges_sql})"
+    )
+    ctes = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "adj AS MATERIALIZED (SELECT src AS node, list(DISTINCT dst ORDER BY dst) AS nbrs FROM e GROUP BY src)",
+        f"""w0 AS MATERIALIZED (
+  SELECT node AS start, CAST(rep AS BIGINT) AS rep, node
+  FROM ({base}) CROSS JOIN (SELECT unnest([{reps}]) AS rep)
+)""",
+    ]
+    for step in range(1, walk_length + 1):
+        h = sql_hash60(
+            f"CAST(w.start AS VARCHAR) || chr(31) || CAST(w.rep AS VARCHAR) "
+            f"|| chr(31) || '{step}'",
+            salt,
+        )
+        ctes.append(
+            f"""w{step} AS MATERIALIZED (
+  SELECT w.start, w.rep, a.nbrs[CAST({h} % len(a.nbrs) AS INT) + 1] AS node
+  FROM w{step - 1} w JOIN adj a ON w.node = a.node
+)"""
+        )
+    selects = [
+        f"SELECT start, rep, CAST({s} AS INT) AS step, node FROM w{s}"
+        for s in range(walk_length + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

@@ -208,6 +208,105 @@ FROM inferred i LEFT JOIN asserted a
   ON i.entity = a.entity AND i.cls = a.cls"""
 
 
+def schema_graph(
+    triples: DataFrame,
+    type_pred: str = RDF_TYPE,
+    literal_col: str | None = None,
+    datatype_col: str | None = None,
+) -> DataFrame:
+    """Schema induction from instance data: summarize an extracted graph
+    into its class-level shape — (subj_type, pred, obj_type, n_triples)
+    — the mining step that recovers the SHACL model the reference ships
+    by hand (RdfModel shapes declare exactly these property/class/
+    datatype triples; kgforge/specializations/models/rdf_model.py).  Run
+    it on a freshly-extracted corpus to see what shapes the data actually
+    exhibits before validating against what it should.
+
+    Subject/object classes come from the graph's own ``type_pred``
+    assertions (left joins — untyped endpoints stay NULL rather than
+    being guessed); literal objects type as their datatype
+    (``datatype_col``, default ``xsd:string``) when ``literal_col``
+    marks them.  Entities with multiple types contribute one schema edge
+    per type, the standard convention.
+
+    Scale posture: two hash joins of the fact table against the
+    type-assertion table (both shuffle on entity ids — co-partitioned if
+    the triple store is bucketed by subj) and one partial-combined count
+    aggregate whose output is schema-sized, not data-sized.
+    """
+    types = triples.where(F.col("pred") == type_pred).select(
+        F.col("subj").alias("ent"), F.col("obj").alias("t")
+    ).distinct()
+    facts = triples.where(F.col("pred") != type_pred)
+    st = facts.join(
+        types.select(F.col("ent"), F.col("t").alias("subj_type")),
+        facts["subj"] == F.col("ent"),
+        "left",
+    ).drop("ent")
+    if literal_col is not None:
+        dt = (
+            F.coalesce(F.col(datatype_col), F.lit(XSD_STRING))
+            if datatype_col is not None
+            else F.lit(XSD_STRING)
+        )
+        iri_side = st.where(~F.col(literal_col))
+        lit_side = st.where(F.col(literal_col)).withColumn("obj_type", dt)
+        iri_side = iri_side.join(
+            types.select(F.col("ent"), F.col("t").alias("obj_type")),
+            iri_side["obj"] == F.col("ent"),
+            "left",
+        ).drop("ent")
+        both = iri_side.unionByName(lit_side.select(*iri_side.columns))
+    else:
+        both = st.join(
+            types.select(F.col("ent"), F.col("t").alias("obj_type")),
+            st["obj"] == F.col("ent"),
+            "left",
+        ).drop("ent")
+    return both.groupBy("subj_type", "pred", "obj_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples")
+    )
+
+
+def predicate_profile(triples: DataFrame, type_pred: str = RDF_TYPE) -> DataFrame:
+    """Per-predicate cardinality profile: (pred, n_triples, n_subjects,
+    n_objects, max_per_subj, is_functional) — the statistics that decide
+    SHACL cardinality constraints (sh:maxCount 1 <=> is_functional), KG
+    join selectivity, and which predicates are safe canonicalization
+    evidence (a functional property disagreeing across two records is a
+    conflict; a multi-valued one is not).
+
+    Scale posture: one (pred, subj) hash aggregate rolled up to pred
+    (both partial-combined; the rollup input is already
+    subject-deduplicated so the second shuffle carries one row per
+    (pred, subj)), plus one distinct-count aggregate per pred for the
+    object side.  Output is vocabulary-sized.  ``type_pred`` rows are
+    profiled like any other predicate.
+    """
+    per_subj = triples.groupBy("pred", "subj").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    subj_stats = per_subj.groupBy("pred").agg(
+        F.sum("n").cast("long").alias("n_triples"),
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.max("n").cast("long").alias("max_per_subj"),
+    )
+    obj_stats = triples.groupBy("pred").agg(
+        F.countDistinct("obj").cast("long").alias("n_objects")
+    )
+    return (
+        subj_stats.join(obj_stats, "pred")
+        .select(
+            "pred",
+            "n_triples",
+            "n_subjects",
+            "n_objects",
+            "max_per_subj",
+            (F.col("max_per_subj") == 1).alias("is_functional"),
+        )
+    )
+
+
 # ----------------------------------------------------------------- N-Triples
 
 

@@ -5465,6 +5465,134 @@ WHERE i.entity_id <> c.obj
   )"""
 
 
+# --------------------------------------------------- KG schema induction
+
+
+def q_kg_schema_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema induction (operators/triples.py schema_graph): the
+    struct-materialized customer graph summarized to class-level shape
+    edges (subj_type, pred, obj_type, n_triples) — mining the SHACL
+    model the reference declares by hand from the instance data itself.
+    Literal objects type as their datatype; untyped endpoints stay
+    NULL."""
+    from nexus_forge_spark.operators.triples import schema_graph
+
+    trip = q_struct_triples(spark, sf_dir)
+    return schema_graph(
+        trip, literal_col="obj_is_literal", datatype_col="obj_datatype"
+    )
+
+
+def sql_kg_schema_graph() -> str:
+    return f"""WITH trip AS ({sql_struct_triples()}),
+types AS (
+  SELECT DISTINCT subj AS ent, obj AS t FROM trip WHERE pred = 'rdf:type'
+),
+facts AS (SELECT * FROM trip WHERE pred <> 'rdf:type'),
+typed AS (
+  SELECT f.pred,
+         ts.t AS subj_type,
+         CASE WHEN f.obj_is_literal
+              THEN coalesce(f.obj_datatype, 'xsd:string')
+              ELSE tobj.t END AS obj_type
+  FROM facts f
+  LEFT JOIN types ts ON f.subj = ts.ent
+  LEFT JOIN types tobj ON NOT f.obj_is_literal AND f.obj = tobj.ent
+)
+SELECT subj_type, pred, obj_type, CAST(count(*) AS BIGINT) AS n_triples
+FROM typed GROUP BY subj_type, pred, obj_type"""
+
+
+def q_kg_predicate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate cardinality profile (operators/triples.py
+    predicate_profile): triple/subject/object counts, max objects per
+    subject, and the functional-property flag (sh:maxCount 1 evidence)
+    over the full extracted KG — vocabulary-sized output from two
+    partial-combined aggregates."""
+    from nexus_forge_spark.operators.triples import predicate_profile
+
+    trip = q_kg_triples(spark, sf_dir).unionByName(
+        q_struct_triples(spark, sf_dir).select("subj", "pred", "obj")
+    )
+    return predicate_profile(trip)
+
+
+def sql_kg_predicate_profile() -> str:
+    return f"""WITH trip AS (
+  SELECT subj, pred, obj FROM ({sql_kg_triples()})
+  UNION ALL
+  SELECT subj, pred, obj FROM ({sql_struct_triples()})
+),
+per_subj AS (
+  SELECT pred, subj, count(*) AS n FROM trip GROUP BY pred, subj
+),
+subj_stats AS (
+  SELECT pred, CAST(sum(n) AS BIGINT) AS n_triples,
+         CAST(count(*) AS BIGINT) AS n_subjects,
+         CAST(max(n) AS BIGINT) AS max_per_subj
+  FROM per_subj GROUP BY pred
+),
+obj_stats AS (
+  SELECT pred, CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
+  FROM trip GROUP BY pred
+)
+SELECT s.pred, s.n_triples, s.n_subjects, o.n_objects, s.max_per_subj,
+       s.max_per_subj = 1 AS is_functional
+FROM subj_stats s JOIN obj_stats o ON s.pred = o.pred"""
+
+
+_RW_NUM = 2
+_RW_LEN = 4
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus (operators/graph.py random_walks):
+    2 hash-seeded walks of 4 steps from every customer over the symmetric
+    co-purchase graph — the DeepWalk sampling stage, reproducible across
+    engines, retries, and cluster layouts because each step draw is a
+    content hash of the walk coordinates, not RNG state."""
+    from nexus_forge_spark.operators.graph import random_walks
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    half = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_partkey") + PART_NODE_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    starts = half.select(F.col("src").alias("node")).distinct()
+    out = random_walks(edges, num_walks=_RW_NUM, walk_length=_RW_LEN, starts=starts)
+    return out.select(
+        F.col("start").cast("long").alias("start"),
+        F.col("rep").cast("long").alias("rep"),
+        "step",
+        F.col("node").cast("long").alias("node"),
+    )
+
+
+def sql_random_walks_q() -> str:
+    from nexus_forge_spark.operators.graph import sql_random_walks
+
+    half = f"""SELECT DISTINCT o.o_custkey AS src,
+       l.l_partkey + {PART_NODE_OFFSET} AS dst
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"""
+    edges = f"""SELECT src, dst FROM ({half})
+UNION ALL SELECT dst AS src, src AS dst FROM ({half})"""
+    starts = f"SELECT DISTINCT src AS node FROM ({half})"
+    inner = sql_random_walks(
+        edges, num_walks=_RW_NUM, walk_length=_RW_LEN, starts_sql=starts
+    )
+    return f"""SELECT CAST(start AS BIGINT) AS start, CAST(rep AS BIGINT) AS rep,
+       step, CAST(node AS BIGINT) AS node
+FROM ({inner})"""
+
+
 # ----------------------------------- weighted paths + link prediction
 
 
@@ -5827,6 +5955,9 @@ def sql_outliers_acctbal() -> str:
 
 
 QUERIES = {
+    "kg_schema_graph": (q_kg_schema_graph, sql_kg_schema_graph),
+    "random_walks": (q_random_walks, sql_random_walks_q),
+    "kg_predicate_profile": (q_kg_predicate_profile, sql_kg_predicate_profile),
     "sssp_copurchase": (q_sssp_copurchase, sql_sssp_copurchase),
     "link_prediction": (q_link_prediction, sql_link_prediction_q),
     "kg_inferred_types": (q_kg_inferred_types, sql_kg_inferred_types),
