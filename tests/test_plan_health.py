@@ -451,3 +451,67 @@ def test_cohort_retention_broadcast_sizes_no_window(spark, sf01):
     assert "BroadcastHashJoin" in plan  # cohort sizes broadcast back
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_exchange(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["scd2_order_priority"][0](spark, sf01))
+    # both window passes share the o_custkey partitioning: ONE Exchange
+    # (plus nothing else — no joins, no aggregates)
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_outliers_fact_table_never_shuffles(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["outliers_acctbal"][0](spark, sf01))
+    # per-group order statistics broadcast back onto the fact table
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_single_expand_single_agg(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["rollup_revenue"][0](spark, sf01))
+    # every grouping set evaluated in one Expand + one agg pass, no rescans
+    assert plan.count("Expand") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_fs_scoring_is_broadcast_only(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["er_fs_scores"][0](spark, sf01))
+    # feature enrichment + scoring add no shuffled joins over the blocker's
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_infer_types_broadcasts_schema_decls(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["kg_inferred_types"][0](spark, sf01))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_no_self_join_on_via(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["link_prediction"][0](spark, sf01))
+    # pair generation is the map-side array expansion (Generate explode),
+    # never an equi-self-join on the shared-neighbor key
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_random_walks_adjacency_join_per_step(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["random_walks"][0](spark, sf01))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
