@@ -120,6 +120,80 @@ def numeric_histogram(
     )
 
 
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    buckets: int,
+    scale: int = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact equi-depth (equal-frequency) histogram — the quantile-sliced
+    companion to numeric_histogram's equi-width bins, and the statistic
+    behind feature bucketization and range-partition boundary choice.
+    ``ntile() OVER (ORDER BY v)`` computes the same thing through an
+    Exchange SinglePartition (every row through ONE task); this builds it
+    on the exchange-free parallel ranking instead.
+
+    Bucket assignment is pure integer arithmetic on the global rank:
+    ``bucket = (rn - 1) * buckets div n`` — sizes differ by at most one,
+    with the remainder spread rank-proportionally (SQL ntile front-loads
+    it instead; same family, different remainder rule — the oracle runs
+    this exact algebra).  Rows tied on the value can straddle a bucket
+    boundary (their relative ranks are arbitrary), but every emitted
+    column is still deterministic: bucket sizes are fixed by the rank
+    algebra, and a straddling tie makes the neighbouring buckets' min/max
+    equal the tied value itself.
+
+    Scale posture: one range exchange (it IS the sort) + a one-row-per-
+    partition stats pass from global_row_numbers, then ONE partial-
+    combined aggregate on the bucket id.  Output: (bucket, n, lo_scaled,
+    hi_scaled) — ``buckets`` rows.
+    """
+    from nexus_forge_spark.operators.ranking import _ranked_with_total
+
+    units = F.floor(F.col(value_col) * scale).cast("long")
+    scaled = df.where(F.col(value_col).isNotNull()).select(units.alias("v"))
+    ranked, n = _ranked_with_total(scaled, ["v"], num_partitions, "rn")
+    if n == 0:
+        spark = df.sparkSession
+        return spark.createDataFrame([], "bucket int, n long, lo_scaled long, hi_scaled long")
+    return (
+        ranked.select(
+            F.expr(f"CAST((rn - 1) * {buckets} div {n} AS INT)").alias("bucket"),
+            "v",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("v").alias("lo_scaled"),
+            F.max("v").alias("hi_scaled"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def sql_equidepth_histogram(
+    source_sql: str, value_col: str, buckets: int, scale: int = 100
+) -> str:
+    """DuckDB oracle: the identical rank algebra over a window row_number
+    (fine at oracle scale; the Spark side exists precisely to avoid it)."""
+    return f"""WITH src AS ({source_sql}),
+scaled AS (
+  SELECT CAST(floor({value_col} * {scale}) AS BIGINT) AS v
+  FROM src WHERE {value_col} IS NOT NULL
+),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+         count(*) OVER () AS n
+  FROM scaled
+)
+SELECT CAST((rn - 1) * {buckets} // n AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(v) AS lo_scaled, max(v) AS hi_scaled
+FROM ranked
+GROUP BY 1 ORDER BY 1"""
+
+
 def robust_outliers(
     df: DataFrame,
     value_col: str,

@@ -5541,6 +5541,87 @@ SELECT s.pred, s.n_triples, s.n_subjects, o.n_objects, s.max_per_subj,
 FROM subj_stats s JOIN obj_stats o ON s.pred = o.pred"""
 
 
+_PPR_ITERS = 4
+_PPR_SEEDS = [1, 2, 3]
+
+
+def q_ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py personalized_pagerank):
+    teleport mass returns to a 3-customer seed set, so the integer
+    micro-prob scores measure co-purchase relevance TO those customers —
+    the KG neighborhood-relevance primitive.  Same BIGINT truncating
+    recurrence as pagerank_copurchase; the oracle unrolls it."""
+    from nexus_forge_spark.operators.graph import personalized_pagerank
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    half = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_partkey") + PART_NODE_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.createDataFrame([(s,) for s in _PPR_SEEDS], "node long")
+    out = personalized_pagerank(edges, seeds, iterations=_PPR_ITERS)
+    return out.select(
+        F.col("node").cast("long").alias("node"), "rank_micro"
+    ).where(F.col("rank_micro") > 0)
+
+
+def sql_ppr_copurchase() -> str:
+    n_seeds = len(_PPR_SEEDS)
+    base = (1_000_000 * 15) // (100 * n_seeds)
+    init = 1_000_000 // n_seeds
+    seed_vals = ", ".join(f"({s})" for s in _PPR_SEEDS)
+    parts = [
+        rf"""WITH half AS (
+  SELECT DISTINCT o.o_custkey AS src, {PART_NODE_OFFSET} + l.l_partkey AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
+seeds(node) AS (VALUES {seed_vals}),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+  UNION SELECT node FROM seeds
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL THEN {init} ELSE 0 END AS r
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+)"""
+    ]
+    for i in range(_PPR_ITERS):
+        parts.append(
+            rf""",
+r{i + 1} AS (
+  SELECT n.node,
+    CASE WHEN sd.node IS NOT NULL THEN {base} ELSE 0 END
+      + (85 * coalesce(c.s, 0)) // 100 AS r
+  FROM nodes n
+  LEFT JOIN seeds sd ON n.node = sd.node
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.r // d.outdeg) AS s
+    FROM edges e
+    JOIN r{i} r ON r.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)"""
+        )
+    parts.append(
+        rf"""
+SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro
+FROM r{_PPR_ITERS} WHERE r > 0"""
+    )
+    return "".join(parts)
+
+
 _RW_NUM = 2
 _RW_LEN = 4
 
@@ -5879,6 +5960,136 @@ def sql_scd2_order_priority() -> str:
 FROM ({inner})"""
 
 
+_SCD2_CUTOFF = "1996-01-01"
+
+
+def q_scd2_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (operators/history.py scd2_merge):
+    the dimension built from pre-1996 order events absorbs the post-1996
+    change batch touching only affected customers — untouched intervals
+    move through one broadcast anti-join, only touched keys re-window.
+    The oracle is the FULL recompute over the entire event stream, so
+    hash equality proves incremental == from-scratch for append-only
+    deltas."""
+    from nexus_forge_spark.operators.history import scd2_history, scd2_merge
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    cutoff = F.lit(_SCD2_CUTOFF).cast("timestamp")
+    base = scd2_history(
+        orders.where(F.col("o_orderdate") < cutoff),
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+    )
+    delta = orders.where(F.col("o_orderdate") >= cutoff)
+    merged = scd2_merge(
+        base,
+        delta,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+    )
+    return merged.select(
+        "o_custkey", "o_orderpriority", "version",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+def sql_scd2_merge_orders() -> str:
+    from nexus_forge_spark.operators.history import sql_scd2_history
+
+    inner = sql_scd2_history(
+        "SELECT o_custkey, o_orderdate, o_orderpriority FROM orders",
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+    )
+    return f"""SELECT o_custkey, o_orderpriority, version,
+       valid_from, valid_to, is_current
+FROM ({inner})"""
+
+
+def q_stream_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 maintenance (streaming/stream_pipeline.py
+    stream_scd2): order-priority change events arrive as two
+    time-ordered file micro-batches (explicit mtimes pin source order)
+    and fold into the persisted dimension via scd2_merge.  The oracle is
+    the full SCD2 recompute over ALL events, so hash equality proves the
+    micro-batch fold chain converges to the batch answer."""
+    import os
+    import tempfile
+
+    from nexus_forge_spark.streaming.stream_pipeline import stream_scd2
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    cutoff = F.lit(_SCD2_CUTOFF).cast("timestamp")
+    base = tempfile.mkdtemp(prefix="stream_scd2_")
+    in_dir = os.path.join(base, "events")
+    for i, batch in enumerate(
+        [
+            orders.where(F.col("o_orderdate") < cutoff),
+            orders.where(F.col("o_orderdate") >= cutoff),
+        ]
+    ):
+        batch.coalesce(1).write.mode("append").parquet(in_dir)
+        # FileStreamSource orders files by modification time: pin it so
+        # the earlier-dated batch is always micro-batch 0
+        for f in os.listdir(in_dir):
+            p = os.path.join(in_dir, f)
+            if f.endswith(".parquet") and os.path.getmtime(p) > 1_000_000_000 + i:
+                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+    dim_dir = os.path.join(base, "dim")
+    q = stream_scd2(
+        spark,
+        in_dir,
+        "o_custkey bigint, o_orderdate timestamp, o_orderpriority string",
+        dim_dir,
+        os.path.join(base, "ckpt"),
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+    )
+    q.awaitTermination()
+    snaps = sorted(d for d in os.listdir(dim_dir) if d.startswith("snap_"))
+    out = spark.read.parquet(os.path.join(dim_dir, snaps[-1]))
+    return out.select(
+        "o_custkey", "o_orderpriority", "version",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+def sql_stream_scd2_orders() -> str:
+    # the streamed fold chain must equal the from-scratch SCD2 build
+    return sql_scd2_merge_orders()
+
+
+_EQD_BUCKETS = 8
+
+
+def q_equidepth_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram (operators/profile.py
+    equidepth_histogram): 8 equal-frequency buckets over customer
+    balances via the exchange-free parallel ranking — ntile semantics
+    ((rn-1)*k div n) without the Exchange SinglePartition that a global
+    window would plan."""
+    from nexus_forge_spark.operators.profile import equidepth_histogram
+
+    cust = load_table(spark, "customer", sf_dir)
+    return equidepth_histogram(cust, "c_acctbal", buckets=_EQD_BUCKETS, scale=100)
+
+
+def sql_equidepth_acctbal() -> str:
+    from nexus_forge_spark.operators.profile import sql_equidepth_histogram
+
+    return sql_equidepth_histogram(
+        "SELECT c_acctbal FROM customer", "c_acctbal", _EQD_BUCKETS, scale=100
+    )
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level ROLLUP aggregation (returnflag -> linestatus -> grand
     total) in integral cents, with per-dimension GROUPING flags to
@@ -5957,12 +6168,16 @@ def sql_outliers_acctbal() -> str:
 QUERIES = {
     "kg_schema_graph": (q_kg_schema_graph, sql_kg_schema_graph),
     "random_walks": (q_random_walks, sql_random_walks_q),
+    "ppr_copurchase": (q_ppr_copurchase, sql_ppr_copurchase),
     "kg_predicate_profile": (q_kg_predicate_profile, sql_kg_predicate_profile),
     "sssp_copurchase": (q_sssp_copurchase, sql_sssp_copurchase),
     "link_prediction": (q_link_prediction, sql_link_prediction_q),
     "kg_inferred_types": (q_kg_inferred_types, sql_kg_inferred_types),
     "er_fs_scores": (q_er_fs_scores, sql_er_fs_scores),
     "scd2_order_priority": (q_scd2_order_priority, sql_scd2_order_priority),
+    "scd2_merge_orders": (q_scd2_merge_orders, sql_scd2_merge_orders),
+    "stream_scd2_orders": (q_stream_scd2_orders, sql_stream_scd2_orders),
+    "equidepth_acctbal": (q_equidepth_acctbal, sql_equidepth_acctbal),
     "rollup_revenue": (q_rollup_revenue, sql_rollup_revenue),
     "outliers_acctbal": (q_outliers_acctbal, sql_outliers_acctbal),
     "kg_ntriples": (q_kg_ntriples, sql_kg_ntriples),

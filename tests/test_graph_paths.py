@@ -73,3 +73,41 @@ def test_link_prediction_dedups_multi_edges(spark):
     got = {(r.a, r.b): (r.common_via, r.ra_scaled)
            for r in link_prediction(df).collect()}
     assert got == {(1, 2): (1, 500000)}
+
+
+def test_personalized_pagerank_matches_python_recurrence(spark):
+    from nexus_forge_spark.operators.graph import personalized_pagerank
+
+    rows = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.rank_micro
+           for r in personalized_pagerank(edges, seeds, iterations=3).collect()}
+
+    # pure-python replica of the integer recurrence
+    PPM, d = 1_000_000, 85
+    out_edges = {1: [2], 2: [1, 3], 3: [2]}
+    nodes = [1, 2, 3]
+    base = (PPM * (100 - d)) // (100 * 1)
+    r = {v: (PPM if v == 1 else 0) for v in nodes}
+    for _ in range(3):
+        contrib = {v: 0 for v in nodes}
+        for u, outs in out_edges.items():
+            per = r[u] // len(outs)
+            for v in outs:
+                contrib[v] += per
+        r = {v: (base if v == 1 else 0) + d * contrib[v] // 100 for v in nodes}
+    assert got == r
+    # seed-locality: the seed outranks the far node
+    assert got[1] > got[3]
+
+
+def test_personalized_pagerank_rejects_empty_seeds(spark):
+    import pytest
+
+    from nexus_forge_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([], "node long")
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, seeds)

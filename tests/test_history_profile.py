@@ -90,3 +90,95 @@ def test_robust_outliers_keeps_all_rows(spark):
     out = robust_outliers(df, "x", ["g"], scale=100)
     assert out.count() == 3
     assert {r.value_units for r in out.collect()} == {250, 350, 900}
+
+
+def test_scd2_merge_appendonly_equals_full(spark):
+    # base events before t=5, delta after; merge == full recompute
+    from nexus_forge_spark.operators.history import scd2_merge
+
+    events = [
+        (1, _d(1), "a", 0), (1, _d(2), "a", 0), (1, _d(3), "b", 0),
+        (1, _d(6), "b", 0), (1, _d(7), "c", 0),
+        (2, _d(2), "x", 0), (2, _d(8), "y", 0),
+        (3, _d(1), "q", 0),  # untouched by the delta
+    ]
+    df = spark.createDataFrame(events, SCHEMA).select("k", "ts", "v")
+    base = scd2_history(df.where(F.col("ts") < _d(5)), ["k"], "ts", ["v"])
+    delta = df.where(F.col("ts") >= _d(5))
+    merged = scd2_merge(base, delta, ["k"], "ts", ["v"])
+    full = scd2_history(df, ["k"], "ts", ["v"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_scd2_merge_untouched_rows_pass_through(spark):
+    from nexus_forge_spark.operators.history import scd2_merge
+
+    df = spark.createDataFrame(
+        [(1, _d(1), "a", 0), (2, _d(1), "x", 0)], SCHEMA
+    ).select("k", "ts", "v")
+    base = scd2_history(df, ["k"], "ts", ["v"])
+    delta = spark.createDataFrame([(2, _d(3), "y", 0)], SCHEMA).select(
+        "k", "ts", "v"
+    )
+    merged = {(r.k, r.version): (r.v, r.is_current)
+              for r in scd2_merge(base, delta, ["k"], "ts", ["v"]).collect()}
+    assert merged == {
+        (1, 1): ("a", True),
+        (2, 1): ("x", False),
+        (2, 2): ("y", True),
+    }
+
+
+def test_equidepth_histogram_exact_buckets(spark):
+    from nexus_forge_spark.operators.profile import equidepth_histogram
+
+    # 10 values, 4 buckets; (rn-1)*4 div 10 -> sizes 3,2,3,2
+    rows = [(float(v),) for v in [5, 1, 9, 3, 7, 2, 8, 4, 6, 10]]
+    df = spark.createDataFrame(rows, "x double")
+    out = {r.bucket: (r.n, r.lo_scaled, r.hi_scaled)
+           for r in equidepth_histogram(df, "x", buckets=4, scale=1).collect()}
+    assert out == {
+        0: (3, 1, 3),
+        1: (2, 4, 5),
+        2: (3, 6, 8),
+        3: (2, 9, 10),
+    }
+
+
+def test_equidepth_histogram_tie_straddle_deterministic(spark):
+    from nexus_forge_spark.operators.profile import equidepth_histogram
+
+    # four equal values over two buckets: min/max of both buckets pinned
+    df = spark.createDataFrame([(2.0,)] * 4, "x double")
+    out = {r.bucket: (r.n, r.lo_scaled, r.hi_scaled)
+           for r in equidepth_histogram(df, "x", buckets=2, scale=1).collect()}
+    assert out == {0: (2, 2, 2), 1: (2, 2, 2)}
+
+
+def test_fold_scd2_batch_retry_reads_earlier_snapshot(spark, tmp_path):
+    """A retry of SCD2 batch N must fold from snap_{N-1}, never its own
+    snap_N, and must reproduce the identical dimension (exactly-once in
+    effect)."""
+    import os
+
+    from nexus_forge_spark.streaming.stream_pipeline import fold_scd2_batch
+
+    dim_dir = str(tmp_path / "dim")
+    b0 = spark.createDataFrame(
+        [(1, _d(1), "a", 0), (1, _d(2), "b", 0)], SCHEMA
+    ).select("k", "ts", "v")
+    b1 = spark.createDataFrame([(1, _d(3), "c", 0)], SCHEMA).select(
+        "k", "ts", "v"
+    )
+    fold_scd2_batch(b0, 0, dim_dir, ["k"], "ts", ["v"])
+    fold_scd2_batch(b1, 1, dim_dir, ["k"], "ts", ["v"])
+    path = os.path.join(dim_dir, "snap_0000000001")
+    first = sorted(map(tuple, spark.read.parquet(path).collect()))
+    fold_scd2_batch(b1, 1, dim_dir, ["k"], "ts", ["v"])  # retry
+    again = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert first == again
+    vers = {r.version: (r.v, r.is_current)
+            for r in spark.read.parquet(path).collect()}
+    assert vers == {1: ("a", False), 2: ("b", False), 3: ("c", True)}
