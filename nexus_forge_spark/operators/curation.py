@@ -931,3 +931,83 @@ def normalize_unicode(
         cleaned.alias(text_col),
         (cleaned != F.col(text_col)).alias("changed"),
     )
+
+
+def c4_line_cleaning(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the public
+    heuristics) — the layout-noise scrub that runs BEFORE Gopher-style
+    document scoring: keep only lines that end in terminal punctuation,
+    carry at least ``min_words_per_line`` words, and do not mention
+    javascript (boilerplate cookie/JS warnings); then drop whole
+    documents that retain fewer than ``min_kept_lines`` lines, contain a
+    curly brace (code), or the phrase "lorem ipsum".
+
+    Output: input columns + cleaned ``text`` (kept lines re-joined),
+    n_lines / n_lines_kept, and the document ``keep`` verdict — rejected
+    docs stay as auditable rows (filter on ``keep`` to drop).
+
+    Map-side only: line split, per-line predicates, and the re-join are
+    array expressions inside one codegen projection — at 100 TB this
+    fuses into the scan, no shuffle, no UDF.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def _line_ok(line):
+        words = F.split(F.trim(line), r"\s+")
+        return (
+            F.substring(F.rtrim(line), -1, 1).isin(".", "!", "?", '"')
+            & (F.size(words) >= min_words_per_line)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    kept = F.filter(lines, _line_ok)
+    doc_ok = (
+        (F.size(kept) >= min_kept_lines)
+        & ~t.contains("{")
+        & ~F.lower(t).contains("lorem ipsum")
+    )
+    others = [c for c in df.columns if c != text_col]
+    return df.select(
+        *others,
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_lines_kept"),
+        doc_ok.alias("keep"),
+    )
+
+
+def sql_c4_line_cleaning(
+    source_sql: str,
+    out_cols: list[str],
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> str:
+    """DuckDB oracle rendering of the identical line algebra."""
+    line_ok = (
+        f"""right(rtrim(x), 1) IN ('.', '!', '?', '"')
+      AND len(regexp_split_to_array(trim(x), '\\s+')) >= {min_words_per_line}
+      AND NOT contains(lower(x), 'javascript')"""
+    )
+    outs = ", ".join(out_cols)
+    return f"""WITH src AS ({source_sql}),
+split AS (
+  SELECT *, string_split({text_col}, chr(10)) AS __lines FROM src
+),
+kept AS (
+  SELECT *, list_filter(__lines, x -> {line_ok}) AS __kept FROM split
+)
+SELECT {outs},
+       array_to_string(__kept, chr(10)) AS {text_col},
+       CAST(len(__lines) AS INT) AS n_lines,
+       CAST(len(__kept) AS INT) AS n_lines_kept,
+       len(__kept) >= {min_kept_lines}
+         AND NOT contains({text_col}, '{{')
+         AND NOT contains(lower({text_col}), 'lorem ipsum') AS keep
+FROM kept"""

@@ -6011,6 +6011,59 @@ def sql_scd2_merge_orders() -> str:
 FROM ({inner})"""
 
 
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (operators/curation.py c4_line_cleaning,
+    Raffel et al. 2020 §2.2): the line-structured corpus is decorated so
+    every rule fires — line j%3==0 gains terminal punctuation (kept),
+    j%3==1 stays unterminated (dropped), j%3==2 mentions javascript
+    (dropped); every 7th doc gains a curly brace and every 11th a lorem
+    ipsum line (both doc-level rejections).  Entirely map-side: the
+    whole filter fuses into the scan."""
+    from nexus_forge_spark.operators.curation import c4_line_cleaning
+
+    base = _line_docs(spark, sf_dir)
+    lines = F.split(F.col("text"), "\n")
+    dec = F.transform(
+        lines,
+        lambda ln, j: F.when(j % 3 == 0, F.concat(ln, F.lit(".")))
+        .when(j % 3 == 1, ln)
+        .otherwise(F.concat(ln, F.lit(" javascript."))),
+    )
+    text2 = F.concat(
+        F.array_join(dec, "\n"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" {")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("\nlorem ipsum dolor sit amet consectetur adipiscing."),
+        ).otherwise(F.lit("")),
+    )
+    corpus = base.select("doc_id", text2.alias("text"))
+    return c4_line_cleaning(corpus)
+
+
+def sql_c4_line_filter() -> str:
+    from nexus_forge_spark.operators.curation import sql_c4_line_cleaning
+
+    corpus = rf"""WITH {_LINE_DOCS_SQL},
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM ldocs),
+dec AS (
+  SELECT doc_id,
+    [CASE WHEN j % 3 = 0 THEN l[j+1] || '.'
+          WHEN j % 3 = 1 THEN l[j+1]
+          ELSE l[j+1] || ' javascript.' END
+     FOR j IN range(0, len(l))] AS d
+  FROM sp
+)
+SELECT doc_id,
+  array_to_string(d, chr(10))
+  || CASE WHEN doc_id % 7 = 0 THEN ' {{' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+      THEN chr(10) || 'lorem ipsum dolor sit amet consectetur adipiscing.'
+      ELSE '' END AS text
+FROM dec"""
+    return sql_c4_line_cleaning(corpus, out_cols=["doc_id"])
+
+
 def q_stream_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SCD2 maintenance (streaming/stream_pipeline.py
     stream_scd2): order-priority change events arrive as two
@@ -6177,6 +6230,7 @@ QUERIES = {
     "scd2_order_priority": (q_scd2_order_priority, sql_scd2_order_priority),
     "scd2_merge_orders": (q_scd2_merge_orders, sql_scd2_merge_orders),
     "stream_scd2_orders": (q_stream_scd2_orders, sql_stream_scd2_orders),
+    "c4_line_filter": (q_c4_line_filter, sql_c4_line_filter),
     "equidepth_acctbal": (q_equidepth_acctbal, sql_equidepth_acctbal),
     "rollup_revenue": (q_rollup_revenue, sql_rollup_revenue),
     "outliers_acctbal": (q_outliers_acctbal, sql_outliers_acctbal),

@@ -537,3 +537,34 @@ def test_normalize_unicode_nfc_zero_width_whitespace(spark):
     assert out["d4"].text == "line one\nline two" and out["d4"].changed
     assert out["d5"].text == "already clean" and not out["d5"].changed
     assert out["d6"].text is None and out["d6"].changed is None
+
+
+def test_c4_line_cleaning_rules(spark):
+    from nexus_forge_spark.operators.curation import c4_line_cleaning
+
+    good = "the quick brown fox jumps high."
+    docs = [
+        # 3 good lines -> kept doc
+        (1, "\n".join([good, good, good])),
+        # unterminated / short / javascript lines all drop -> only 2 kept
+        (2, "\n".join([good, "no terminal punctuation here",
+                       "too short.", "enable javascript to view this.",
+                       good])),
+        # curly brace rejects the whole doc even with enough good lines
+        (3, "\n".join([good, good, good]) + "\nfunction() {"),
+        # lorem ipsum rejects too
+        (4, "\n".join([good, good, good, "lorem ipsum dolor sit amet."])),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_line_cleaning(df).collect()}
+    assert out[1].keep and out[1].n_lines_kept == 3
+    assert not out[2].keep and out[2].n_lines_kept == 2
+    assert out[2].text == good + "\n" + good
+    assert not out[3].keep and out[3].n_lines_kept == 3  # doc-level rule
+    assert not out[4].keep
+    # the quote terminal is accepted
+    q = spark.createDataFrame(
+        [(9, 'he said it was "fine by me"\n' * 3)], "doc_id long, text string"
+    )
+    r9 = c4_line_cleaning(q).collect()[0]
+    assert r9.n_lines_kept == 3
