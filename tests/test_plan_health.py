@@ -515,3 +515,31 @@ def test_random_walks_adjacency_join_per_step(spark, sf01):
     plan = plan_of(QUERIES["random_walks"][0](spark, sf01))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_equidepth_no_single_partition_exchange(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["equidepth_acctbal"][0](spark, sf01))
+    # equal-frequency buckets without the ntile global-window funnel
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_merge_untouched_path_is_broadcast_anti(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["scd2_merge_orders"][0](spark, sf01))
+    # untouched-key pass-through: broadcast anti/semi joins, never shuffled
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_c4_line_filter_is_shuffle_free(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["c4_line_filter"][0](spark, sf01))
+    # the whole cleaning stage fuses into the scan: no exchange at all
+    assert "Exchange" not in plan
+    assert "Join" not in plan
