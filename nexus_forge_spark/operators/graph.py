@@ -829,3 +829,96 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Sampled-source harmonic centrality: H(v) = sum over sampled
+    sources s of 1/d(s,v), distances truncated at ``max_hops`` — the
+    standard scalable centrality estimate (exact closeness needs
+    all-pairs distances; sampling sources + bounding the radius is how
+    Eppstein-Wang-style estimators make it tractable at graph scale, and
+    harmonic handles disconnected graphs where closeness breaks).
+
+    Contributions are INTEGER ``scale div dist`` (per-source unit-hop
+    distances), summed as BIGINTs — engine-exact, no float harmonic sums
+    whose order could diverge.  Returns (node, harmonic_micro,
+    n_sources_reached); the source set is part of the contract (pass a
+    deterministic sample).
+
+    Scale posture: one level-synchronous BFS carrying the (seed, node)
+    key — per hop one frontier-onto-edges shuffle join plus one
+    (seed, node) anti-join against the visited set, so state is
+    O(reached pairs), work per hop O(edges touched x seeds reaching
+    them); localCheckpoint per hop keeps lineage flat.  Seeds scale the
+    cost linearly — that is the sampling dial.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    frontier = (
+        sources.select(F.col(node).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"), F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+            .withColumn("dist", F.lit(hop).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        visited.where(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.sum(F.expr(f"{scale} div dist")).cast("long").alias("harmonic_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_sources_reached"),
+        )
+    )
+
+
+def sql_harmonic_centrality(
+    edges_sql: str, sources_sql: str, max_hops: int, scale: int = 1_000_000
+) -> str:
+    """DuckDB oracle: unit-weight Bellman-Ford per (seed, node) — min
+    distance within k hops equals BFS first-reach depth, an independent
+    computation path from the frontier/anti-join formulation."""
+    ctes = [
+        f"e AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}))",
+        f"""d0 AS MATERIALIZED (
+  SELECT DISTINCT node AS seed, node, 0 AS dist FROM ({sources_sql})
+)""",
+    ]
+    for k in range(1, max_hops + 1):
+        p = f"d{k - 1}"
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT seed, node, min(dist) AS dist FROM (
+    SELECT seed, node, dist FROM {p}
+    UNION ALL
+    SELECT d.seed, e.dst AS node, d.dist + 1 AS dist
+    FROM {p} d JOIN e ON d.node = e.src
+  ) GROUP BY seed, node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(sum({scale} // dist) AS BIGINT) AS harmonic_micro,
+       CAST(count(*) AS BIGINT) AS n_sources_reached
+FROM d{max_hops} WHERE dist > 0
+GROUP BY node"""
+    )

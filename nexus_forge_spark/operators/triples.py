@@ -307,6 +307,36 @@ def predicate_profile(triples: DataFrame, type_pred: str = RDF_TYPE) -> DataFram
     )
 
 
+def rank_entity_facts(triples: DataFrame, top_k: int = 3) -> DataFrame:
+    """Entity summarization: keep each subject's ``top_k`` most
+    informative facts, informativeness = predicate rarity (LinkSUM/
+    RELIN-family heuristic — a fact stated through a rare predicate says
+    more about an entity than one every entity carries).  Ranking is the
+    integer triple (pred_triples ASC, pred, obj) — no idf division, no
+    float, fully deterministic.
+
+    Scale posture: the predicate-frequency table is vocabulary-sized and
+    broadcasts; the only window partitions on ``subj``, whose group size
+    is the entity's own fact count — bounded, no hot keys (contrast a
+    global rank).  Output: (subj, pred, obj, pred_triples, fact_rank).
+    """
+    from pyspark.sql import Window
+
+    freq = triples.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("pred_triples")
+    )
+    w = Window.partitionBy("subj").orderBy(
+        F.col("pred_triples").asc(), F.col("pred"), F.col("obj")
+    )
+    return (
+        triples.select("subj", "pred", "obj")
+        .join(F.broadcast(freq), "pred")
+        .withColumn("fact_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("fact_rank") <= top_k)
+        .select("subj", "pred", "obj", "pred_triples", "fact_rank")
+    )
+
+
 # ----------------------------------------------------------------- N-Triples
 
 

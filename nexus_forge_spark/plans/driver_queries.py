@@ -5541,6 +5541,102 @@ SELECT s.pred, s.n_triples, s.n_subjects, o.n_objects, s.max_per_subj,
 FROM subj_stats s JOIN obj_stats o ON s.pred = o.pred"""
 
 
+_HC_HOPS = 4
+_HC_SEED_MOD = 250
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source harmonic centrality (operators/graph.py
+    harmonic_centrality): H(v) = sum of scale div d(s,v) over a
+    deterministic customer sample, distances truncated at 4 hops — the
+    Eppstein-Wang-style scalable centrality estimate, integer-exact.
+    Spark runs the (seed, node)-keyed BFS; the oracle re-derives
+    distances by unit-weight Bellman-Ford — independent paths."""
+    from nexus_forge_spark.operators.graph import harmonic_centrality
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    half = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_partkey") + PART_NODE_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        load_table(spark, "customer", sf_dir)
+        .where(F.col("c_custkey") % _HC_SEED_MOD == 1)
+        .select(F.col("c_custkey").alias("node"))
+    )
+    out = harmonic_centrality(edges, seeds, max_hops=_HC_HOPS)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        "harmonic_micro",
+        "n_sources_reached",
+    )
+
+
+def sql_harmonic_centrality_q() -> str:
+    from nexus_forge_spark.operators.graph import sql_harmonic_centrality
+
+    half = f"""SELECT DISTINCT o.o_custkey AS src,
+       l.l_partkey + {PART_NODE_OFFSET} AS dst
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"""
+    edges = f"""SELECT src, dst FROM ({half})
+UNION ALL SELECT dst AS src, src AS dst FROM ({half})"""
+    seeds = (
+        f"SELECT c_custkey AS node FROM customer "
+        f"WHERE c_custkey % {_HC_SEED_MOD} = 1"
+    )
+    inner = sql_harmonic_centrality(edges, seeds, max_hops=_HC_HOPS)
+    return f"""SELECT CAST(node AS BIGINT) AS node, harmonic_micro,
+       n_sources_reached
+FROM ({inner})"""
+
+
+_EFR_TOPK = 2
+
+
+def q_entity_fact_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity summarization (operators/triples.py rank_entity_facts):
+    each subject's top-2 facts by predicate rarity — the LinkSUM-family
+    heuristic with a pure integer ranking (pred frequency ASC, pred,
+    obj), predicate table broadcast, window bounded by per-entity fact
+    count."""
+    from nexus_forge_spark.operators.triples import rank_entity_facts
+
+    trip = q_kg_triples(spark, sf_dir).unionByName(
+        q_struct_triples(spark, sf_dir).select("subj", "pred", "obj")
+    )
+    return rank_entity_facts(trip, top_k=_EFR_TOPK)
+
+
+def sql_entity_fact_ranking() -> str:
+    return f"""WITH trip AS (
+  SELECT subj, pred, obj FROM ({sql_kg_triples()})
+  UNION ALL
+  SELECT subj, pred, obj FROM ({sql_struct_triples()})
+),
+freq AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS pred_triples
+  FROM trip GROUP BY pred
+),
+ranked AS (
+  SELECT t.subj, t.pred, t.obj, f.pred_triples,
+         CAST(row_number() OVER (
+           PARTITION BY t.subj
+           ORDER BY f.pred_triples ASC, t.pred, t.obj
+         ) AS INT) AS fact_rank
+  FROM trip t JOIN freq f ON t.pred = f.pred
+)
+SELECT subj, pred, obj, pred_triples, fact_rank
+FROM ranked WHERE fact_rank <= {_EFR_TOPK}"""
+
+
 _PPR_ITERS = 4
 _PPR_SEEDS = [1, 2, 3]
 
@@ -6222,6 +6318,8 @@ QUERIES = {
     "kg_schema_graph": (q_kg_schema_graph, sql_kg_schema_graph),
     "random_walks": (q_random_walks, sql_random_walks_q),
     "ppr_copurchase": (q_ppr_copurchase, sql_ppr_copurchase),
+    "harmonic_centrality": (q_harmonic_centrality, sql_harmonic_centrality_q),
+    "entity_fact_ranking": (q_entity_fact_ranking, sql_entity_fact_ranking),
     "kg_predicate_profile": (q_kg_predicate_profile, sql_kg_predicate_profile),
     "sssp_copurchase": (q_sssp_copurchase, sql_sssp_copurchase),
     "link_prediction": (q_link_prediction, sql_link_prediction_q),

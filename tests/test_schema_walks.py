@@ -109,3 +109,29 @@ def test_random_walks_salt_changes_draws(spark):
     b = {(r.rep, r.step): r.node
          for r in random_walks(edges, 4, 1, salt="s2", starts=starts).collect()}
     assert a != b
+
+
+def test_rank_entity_facts_rarity_order(spark):
+    from nexus_forge_spark.operators.triples import rank_entity_facts
+
+    trip = spark.createDataFrame(
+        [
+            ("a", "common", "x"),
+            ("b", "common", "y"),
+            ("c", "common", "z"),
+            ("a", "rare", "r"),
+            ("a", "mid", "m1"),
+            ("b", "mid", "m2"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {(r.subj, r.fact_rank): (r.pred, r.pred_triples)
+           for r in rank_entity_facts(trip, top_k=2).collect()}
+    # a: rare (1 use) then mid (2 uses); common (3 uses) cut by top-2
+    assert out == {
+        ("a", 1): ("rare", 1),
+        ("a", 2): ("mid", 2),
+        ("b", 1): ("mid", 2),
+        ("b", 2): ("common", 3),
+        ("c", 1): ("common", 3),
+    }
