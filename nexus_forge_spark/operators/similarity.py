@@ -660,3 +660,63 @@ def semantic_dedup(
             ).alias("keep"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    centroid_stride: int = 29,
+    threshold: float = 0.9,
+    round_digits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-set SEMANTIC benchmark decontamination: flag corpus items
+    whose embedding is >= ``threshold`` cosine to ANY benchmark item —
+    the embedding-space upgrade of n-gram decontamination
+    (curation.decontaminate), catching paraphrased eval leakage that
+    shares no 8-gram with the benchmark.
+
+    Comparisons happen only within shared IVF cells (nprobe=1 — the same
+    documented approximation as semantic_dedup, applied identically by
+    the SQL oracle): both sides assign to centroids drawn
+    deterministically from the BENCHMARK side, then one equi-join on
+    centroid_id + exact cosine verify.
+
+    Scale posture: eval sets are small — the benchmark's assigned table
+    broadcasts into the verify join, so the 100 TB corpus side performs
+    one map-side centroid assignment (broadcast codebook, one argmax
+    window on vec_id) and one broadcast join; it never shuffles against
+    itself or the benchmark.  Output: every corpus id with
+    ``contaminated`` flag — auditable, filter to drop.
+    """
+    cents = benchmark.where(F.col(id_col) % centroid_stride == 1).select(
+        id_col, vec_col
+    )
+    ca = ivf_assign(corpus, cents, id_col, vec_col, round_digits).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"), "centroid_id"
+    )
+    ba = ivf_assign(benchmark, cents, id_col, vec_col, round_digits).select(
+        F.col(id_col).alias("bid"), F.col(vec_col).alias("bv"), "centroid_id"
+    )
+    hits = (
+        ca.join(F.broadcast(ba), "centroid_id")
+        .where(
+            F.round(
+                cosine(
+                    F.col("cv").cast("array<double>"),
+                    F.col("bv").cast("array<double>"),
+                ),
+                round_digits,
+            )
+            >= threshold
+        )
+        .select(F.col("cid"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(hits, F.col(id_col) == F.col("cid"), "left")
+        .select(id_col, F.col("_hit").isNotNull().alias("contaminated"))
+    )

@@ -3108,6 +3108,77 @@ SELECT pool.vec_id,
 FROM pool LEFT JOIN comp ON comp.n = pool.vec_id"""
 
 
+_SDC_STRIDE = 7
+_SDC_T = 0.9
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-set semantic decontamination (operators/similarity.py
+    semantic_decontaminate): corpus embeddings vs a benchmark built from
+    perturbed copies of every 23rd corpus vector (paraphrase stand-ins
+    that n-gram decontamination would miss) plus the raw originals of
+    every 41st — flagged when >= 0.9 cosine within a shared IVF cell
+    (nprobe=1, mirrored by the oracle).  Corpus side: one map-side
+    centroid assignment + one broadcast join, never self-shuffles."""
+    from nexus_forge_spark.operators.similarity import semantic_decontaminate
+
+    corpus = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = corpus.where(F.col("vec_id") % 23 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", F.lit(2), F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    raw = corpus.where(F.col("vec_id") % 41 == 0).select(
+        (F.col("vec_id") + 600000).alias("vec_id"), "embedding"
+    )
+    bench = pert.unionByName(raw)
+    return semantic_decontaminate(
+        corpus, bench, centroid_stride=_SDC_STRIDE, threshold=_SDC_T
+    )
+
+
+def sql_semantic_decontaminate() -> str:
+    cos = (
+        "round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+        "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
+    )
+    assign = (
+        "SELECT vec_id, v, centroid_id FROM ("
+        "SELECT p.vec_id, p.v, c.centroid_id, "
+        "row_number() OVER (PARTITION BY p.vec_id "
+        f"ORDER BY {cos.format(a='p.v', b='c.cv')} DESC, c.centroid_id) AS _r "
+        "FROM {side} p CROSS JOIN cents c) WHERE _r = 1"
+    )
+    return f"""WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bench AS (
+  SELECT vec_id + 500000 AS vec_id,
+    list_concat([v[1] + 0.05], v[2:]) AS v
+  FROM corpus WHERE vec_id % 23 = 0
+  UNION ALL
+  SELECT vec_id + 600000 AS vec_id, v FROM corpus WHERE vec_id % 41 = 0
+),
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM bench
+  WHERE vec_id % {_SDC_STRIDE} = 1
+),
+ca AS ({assign.format(side='corpus')}),
+ba AS ({assign.format(side='bench')}),
+hits AS (
+  SELECT DISTINCT ca.vec_id
+  FROM ca JOIN ba ON ca.centroid_id = ba.centroid_id
+  WHERE {cos.format(a='ca.v', b='ba.v')} >= {_SDC_T}
+)
+SELECT c.vec_id, h.vec_id IS NOT NULL AS contaminated
+FROM corpus c LEFT JOIN hits h ON c.vec_id = h.vec_id"""
+
+
 BM25_TERMS = ["table", "window", "stream"]
 BM25_K1, BM25_B = 1.2, 0.75
 
@@ -6320,6 +6391,10 @@ QUERIES = {
     "ppr_copurchase": (q_ppr_copurchase, sql_ppr_copurchase),
     "harmonic_centrality": (q_harmonic_centrality, sql_harmonic_centrality_q),
     "entity_fact_ranking": (q_entity_fact_ranking, sql_entity_fact_ranking),
+    "semantic_decontaminate": (
+        q_semantic_decontaminate,
+        sql_semantic_decontaminate,
+    ),
     "kg_predicate_profile": (q_kg_predicate_profile, sql_kg_predicate_profile),
     "sssp_copurchase": (q_sssp_copurchase, sql_sssp_copurchase),
     "link_prediction": (q_link_prediction, sql_link_prediction_q),

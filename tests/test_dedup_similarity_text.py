@@ -485,3 +485,29 @@ def test_hamming_pairs_differential_vs_brute_force(spark):
             if h <= 6:
                 expect.add((i, j, h))
     assert got == expect and expect  # pigeonhole found EVERY pair <= d
+
+
+def test_semantic_decontaminate_flags_near_matches_only(spark):
+    from nexus_forge_spark.operators.similarity import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [
+            (101, [0.99, 0.05, 0.0]),   # near corpus 1
+            (103, [0.5, 0.5, 0.5]),     # near nothing at 0.9
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    # stride 2 makes BOTH benchmark rows centroids (odd ids)
+    out = {r.vec_id: r.contaminated
+           for r in semantic_decontaminate(
+               corpus, bench, centroid_stride=2, threshold=0.9
+           ).collect()}
+    assert out == {1: True, 2: False, 3: False}
