@@ -3108,6 +3108,50 @@ SELECT pool.vec_id,
 FROM pool LEFT JOIN comp ON comp.n = pool.vec_id"""
 
 
+_ROLL_DAYS = 30
+
+
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range windowed aggregation: per order, the customer's rolling
+    30-day order count and revenue (integral cents) over a RANGE frame
+    keyed on the order timestamp — the time-decayed feature/monitoring
+    primitive ROWS frames cannot express (gaps and ties change what '30
+    days' means).  One shuffle on the customer key; the range frame
+    sorts within the partition only (customer history length bounds the
+    frame scan, no hot-key funnel beyond the customer's own orders)."""
+    orders = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    # NTZ won't cast straight to BIGINT; via TIMESTAMP under the session's
+    # pinned UTC zone the wall-clock epoch seconds equal DuckDB's epoch()
+    ts = F.col("o_orderdate").cast("timestamp").cast("long")
+    lo = -(_ROLL_DAYS * 86400)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(ts)
+        .rangeBetween(lo, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).cast("long").alias("orders_30d"),
+        F.sum(cents).over(w).cast("long").alias("revenue_30d_cents"),
+    )
+
+
+def sql_rolling_revenue() -> str:
+    secs = _ROLL_DAYS * 86400
+    return f"""SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(count(*) OVER w AS BIGINT) AS orders_30d,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+    AS revenue_30d_cents
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+  RANGE BETWEEN {secs} PRECEDING AND CURRENT ROW
+)"""
+
+
 _SDC_STRIDE = 7
 _SDC_T = 0.9
 
@@ -6395,6 +6439,7 @@ QUERIES = {
         q_semantic_decontaminate,
         sql_semantic_decontaminate,
     ),
+    "rolling_revenue": (q_rolling_revenue, sql_rolling_revenue),
     "kg_predicate_profile": (q_kg_predicate_profile, sql_kg_predicate_profile),
     "sssp_copurchase": (q_sssp_copurchase, sql_sssp_copurchase),
     "link_prediction": (q_link_prediction, sql_link_prediction_q),

@@ -283,3 +283,32 @@ def test_cohort_retention_week_boundaries(spark):
         ("2026-01-05", 2): (1, 2, 500_000),
         ("2026-01-12", 0): (1, 1, 1_000_000),
     }
+
+
+def test_rolling_revenue_range_frame_boundary(spark, tmp_path):
+    """RANGE frame includes the row exactly 30 days back and excludes
+    30 days + 1 second (inclusive lower bound semantics on both
+    engines)."""
+    import datetime as dt
+
+    from nexus_forge_spark.plans.driver_queries import q_rolling_revenue
+
+    base = dt.datetime(1995, 1, 31)
+    rows = [
+        (1, 10, base - dt.timedelta(days=30, seconds=1), 1.00),
+        (1, 11, base - dt.timedelta(days=30), 2.00),
+        (1, 12, base, 4.00),
+        (2, 20, base, 8.00),  # other customer independent
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_custkey long, o_orderkey long, o_orderdate timestamp_ntz, "
+        "o_totalprice double",
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(sf + "/orders.parquet")
+    out = {r.o_orderkey: (r.orders_30d, r.revenue_30d_cents)
+           for r in q_rolling_revenue(spark, sf).collect()}
+    assert out[12] == (2, 600)   # includes key 11 (exactly 30d), not 10
+    assert out[10] == (1, 100)
+    assert out[20] == (1, 800)
