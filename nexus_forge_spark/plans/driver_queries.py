@@ -3108,6 +3108,64 @@ SELECT pool.vec_id,
 FROM pool LEFT JOIN comp ON comp.n = pool.vec_id"""
 
 
+def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: local-supplier revenue per nation for
+    one region and one order-date year (1996 — the synthetic tables span 1995-2001), in integral e4 units — the
+    classic multi-join the optimizer must plan as broadcast-dim hash
+    joins with the date filter pushed to the orders scan (plan-health
+    test pins no SortMergeJoin on the dim edges and PushedFilters
+    present).  The customer-nation == supplier-nation equality rides the
+    join keys, not a post-filter."""
+    region = load_table(spark, "region", sf_dir).where(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, "nation", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(price_c * (F.lit(100) - disc_c)).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue_e4").desc(), "n_name")
+    )
+
+
+def sql_star_join_revenue() -> str:
+    return """SELECT n_name,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_e4 DESC, n_name"""
+
+
 _ROLL_DAYS = 30
 
 
@@ -6440,6 +6498,7 @@ QUERIES = {
         sql_semantic_decontaminate,
     ),
     "rolling_revenue": (q_rolling_revenue, sql_rolling_revenue),
+    "star_join_revenue": (q_star_join_revenue, sql_star_join_revenue),
     "kg_predicate_profile": (q_kg_predicate_profile, sql_kg_predicate_profile),
     "sssp_copurchase": (q_sssp_copurchase, sql_sssp_copurchase),
     "link_prediction": (q_link_prediction, sql_link_prediction_q),

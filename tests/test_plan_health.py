@@ -543,3 +543,14 @@ def test_c4_line_filter_is_shuffle_free(spark, sf01):
     # the whole cleaning stage fuses into the scan: no exchange at all
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_star_join_broadcasts_dims_and_pushes_date_filter(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["star_join_revenue"][0](spark, sf01))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the order-date range reaches the parquet scan
+    assert "PushedFilters:" in plan
+    assert "o_orderdate" in plan.split("PushedFilters:", 1)[1][:500]
