@@ -708,3 +708,86 @@ def hamming_pairs(
     return pairs.select("a", "b", dist.cast("int").alias("hamming")).where(
         F.col("hamming") <= max_distance
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    threshold: float = 0.8,
+    broadcast_verify: bool = True,
+) -> DataFrame:
+    """Exact shingle-CONTAINMENT join: (contained, container) pairs with
+    C(A in B) = |S_A ∩ S_B| / |S_A| >= t — the asymmetric companion to
+    ngram_jaccard_pairs.  Symmetric Jaccard misses wholesale inclusion
+    (a quote, a syndicated article inside a portal page): a short doc
+    fully embedded in a long one has tiny Jaccard but containment 1.0.
+
+    Exactness: if none of A's first ``|A| - ceil(t|A|) + 1`` shingles
+    under the global rarest-first order are in B, the remaining
+    ``ceil(t|A|) - 1`` cannot reach the required overlap — so probing
+    only A's prefix is lossless.  The container side indexes ALL its
+    shingles (containment puts no size bound on B — a quote can live in
+    any larger doc), which is why the probe prefix being RAREST-first
+    matters doubly here: hot stopword shingles sit deep in every probe
+    list and are almost never probed, so the full inverted index's hot
+    postings stay cold.  Bounds use the same integer-rational t (tn/td)
+    discipline as ngram_jaccard_pairs (ADVICE-r1 float-ceil class).
+
+    Verify recomputes true containment on the full shingle sets.
+    Output: (contained, container, containment) — both orientations
+    emerge naturally since C is asymmetric.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    tn, td = frac.numerator, frac.denominator
+
+    def _ceil_div(num: Column, den: int) -> Column:
+        return F.floor((num + F.lit(den - 1)) / F.lit(den)).cast("long")
+
+    with_sh = df.select(
+        F.col(id_col),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n), lambda g: F.xxhash64(g)
+        ).alias("sh"),
+    ).localCheckpoint(eager=True)
+    exploded = with_sh.select(id_col, F.explode("sh").alias("g"))
+    freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    pos_w = Window.partitionBy(id_col).orderBy("df", "g")
+    ranked = (
+        exploded.join(freq, "g")
+        .withColumn("pos", F.row_number().over(pos_w))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    probe = ranked.where(
+        F.col("pos") <= F.col("sz") - _ceil_div(F.lit(tn) * F.col("sz"), td) + 1
+    ).select(F.col(id_col).alias("a"), "g", F.col("sz").alias("sz_a"))
+    index = exploded.select(F.col(id_col).alias("b"), "g")
+    cand = (
+        probe.join(index, "g")
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    a_sh = with_sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b_sh = with_sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    if broadcast_verify:
+        a_sh, b_sh = F.broadcast(a_sh), F.broadcast(b_sh)
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    containment = (
+        F.when(F.size("sh_a") > 0, inter / F.size("sh_a"))
+        .otherwise(F.lit(0.0))
+        .cast("double")
+    )
+    return (
+        cand.join(a_sh, "a")
+        .join(b_sh, "b")
+        .select(
+            F.col("a").alias("contained"),
+            F.col("b").alias("container"),
+            F.round(containment, 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

@@ -815,6 +815,51 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.py containment_pairs):
+    12-token excerpts of every 2nd document (ids +3000000) are wholesale
+    inclusions their tiny Jaccard hides; C(excerpt in original) >= 0.8
+    finds them via a rarest-first prefix probe against the full inverted
+    index."""
+    from nexus_forge_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    excerpts = docs.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12), " "
+        ).alias("text"),
+    )
+    pool = docs.unionByName(excerpts)
+    return containment_pairs(pool, shingle_n=2, threshold=0.8)
+
+
+def sql_dedup_containment() -> str:
+    return rf"""WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+    array_to_string(string_split_regex(trim(text), '\s+')[1:12], ' ') AS text
+  FROM documents WHERE doc_id % 2 = 0
+),
+{_SHINGLES_SQL},
+grams AS (SELECT doc_id, unnest(sh) AS g FROM shingles),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM grams l JOIN grams r ON l.g = r.g AND l.doc_id <> r.doc_id
+),
+cont AS (
+  SELECT c.a AS contained, c.b AS container,
+    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          len(sa.sh), 6) AS containment
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.a
+  JOIN shingles sb ON sb.doc_id = c.b
+  WHERE len(sa.sh) > 0
+)
+SELECT contained, container, containment FROM cont WHERE containment >= 0.8"""
+
+
 _SHINGLES_SQL = """toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM docs
 ),
@@ -6499,6 +6544,7 @@ QUERIES = {
     ),
     "rolling_revenue": (q_rolling_revenue, sql_rolling_revenue),
     "star_join_revenue": (q_star_join_revenue, sql_star_join_revenue),
+    "dedup_containment": (q_dedup_containment, sql_dedup_containment),
     "kg_predicate_profile": (q_kg_predicate_profile, sql_kg_predicate_profile),
     "sssp_copurchase": (q_sssp_copurchase, sql_sssp_copurchase),
     "link_prediction": (q_link_prediction, sql_link_prediction_q),

@@ -511,3 +511,31 @@ def test_semantic_decontaminate_flags_near_matches_only(spark):
                corpus, bench, centroid_stride=2, threshold=0.9
            ).collect()}
     assert out == {1: True, 2: False, 3: False}
+
+
+def test_containment_pairs_asymmetric(spark):
+    from nexus_forge_spark.operators.dedup import containment_pairs
+
+    long_doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    quote = "gamma delta epsilon zeta"  # 3 bigrams, all inside long_doc
+    other = "one two three four five six"
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, quote), (3, other)], "doc_id long, text string"
+    )
+    out = {(r.contained, r.container): r.containment
+           for r in containment_pairs(df, threshold=0.8).collect()}
+    # the quote is fully contained in the long doc; NOT vice versa
+    assert out == {(2, 1): 1.0}
+
+
+def test_containment_exact_threshold_boundary(spark):
+    from nexus_forge_spark.operators.dedup import containment_pairs
+
+    # A has 5 bigrams, exactly 4 shared -> containment 0.8 must SURVIVE
+    # (integer-rational bound; a float-ceil prefix would drop it)
+    a = "a b c d e z"        # bigrams: ab bc cd de ez
+    b = "a b c d e x y"      # shares ab bc cd de (4 of A's 5)
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    out = {(r.contained, r.container): r.containment
+           for r in containment_pairs(df, threshold=0.8).collect()}
+    assert out[(1, 2)] == 0.8
