@@ -86,3 +86,62 @@ SELECT {outs}, score_milli,
             WHEN score_milli <= {lower_milli} THEN 'nonmatch'
             ELSE 'possible' END AS decision
 FROM scored"""
+
+
+def blocking_metrics(
+    candidate_pairs: DataFrame,
+    truth_pairs: DataFrame,
+    n_records: int,
+) -> DataFrame:
+    """Blocking-quality evaluation (the Christen ER-survey metrics):
+    ``reduction_ratio_ppm`` — how much of the n*(n-1)/2 comparison space
+    the blocker pruned — and ``pair_completeness_ppm`` — how many true
+    matches survived as candidates (the blocker's recall; what the
+    prefix/LSH/SNM losslessness arguments claim, here measured).
+
+    Both candidate and truth pairs are normalized to unordered (a < b)
+    form first, so orientation conventions can't skew the counts.  All
+    ratios are truncating integer ppm — engine-exact.
+
+    Scale posture: one distinct per side + one broadcast semi-join
+    (truth sets are labeled data — small by definition) + two 1-row
+    aggregates; the candidate table never self-joins.  Output is a
+    single row: (n_candidates, n_truth, n_truth_covered,
+    reduction_ratio_ppm, pair_completeness_ppm).
+    """
+    total_pairs = n_records * (n_records - 1) // 2
+
+    def _norm(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    cand = _norm(candidate_pairs)
+    truth = _norm(truth_pairs)
+    covered = cand.join(F.broadcast(truth), ["a", "b"], "left_semi")
+    counts = (
+        cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth")))
+        .crossJoin(
+            covered.agg(
+                F.count(F.lit(1)).cast("long").alias("n_truth_covered")
+            )
+        )
+    )
+    return counts.select(
+        "n_candidates",
+        "n_truth",
+        "n_truth_covered",
+        F.expr(
+            f"(({total_pairs} - n_candidates) * 1000000) div {total_pairs}"
+        )
+        .cast("long")
+        .alias("reduction_ratio_ppm"),
+        F.expr("CASE WHEN n_truth > 0 THEN (n_truth_covered * 1000000) div n_truth ELSE 0 END")
+        .cast("long")
+        .alias("pair_completeness_ppm"),
+    )

@@ -337,6 +337,47 @@ def rank_entity_facts(triples: DataFrame, top_k: int = 3) -> DataFrame:
     )
 
 
+def dangling_refs(
+    triples: DataFrame,
+    literal_col: str | None = None,
+    type_pred: str = RDF_TYPE,
+) -> DataFrame:
+    """KG referential-integrity check: IRI objects that are never
+    described — they appear as an object but never as a subject (no
+    facts, not even a type assertion).  The graph-shaped analogue of a
+    foreign-key violation and the first thing a KG quality gate reports
+    after ingestion: dangling refs are extraction bugs, vocabulary
+    drift, or deliberate external references, and consumers need the
+    list to tell which.
+
+    Class terms are excluded structurally: an object of ``type_pred``
+    is a class, not an entity reference.  Pass ``literal_col`` to
+    exclude literal objects (strings aren't references).
+
+    Output: (ref, n_uses, example_pred) — one row per dangling IRI with
+    its reference count and the lexicographically-first predicate using
+    it (a deterministic debugging pointer).
+
+    Scale posture: one distinct on each side + one left-anti join on the
+    entity id (both sides shuffle on it — co-partitioned if the store
+    buckets by subj), then a count aggregate over the (small) dangling
+    set's uses.
+    """
+    obj_refs = triples.where(F.col("pred") != type_pred)
+    if literal_col is not None:
+        obj_refs = obj_refs.where(~F.col(literal_col))
+    subjects = triples.select(F.col("subj").alias("ref")).distinct()
+    return (
+        obj_refs.select(F.col("obj").alias("ref"), "pred")
+        .join(subjects, "ref", "left_anti")
+        .groupBy("ref")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_uses"),
+            F.min("pred").alias("example_pred"),
+        )
+    )
+
+
 # ----------------------------------------------------------------- N-Triples
 
 

@@ -5683,6 +5683,102 @@ WHERE i.entity_id <> c.obj
   )"""
 
 
+def q_kg_dangling_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG referential integrity (operators/triples.py dangling_refs): the
+    struct graph is de-described of every 5th customer's account node
+    (its rdf:type/balance/segment facts dropped), leaving the `account`
+    edge pointing at an entity with no description — the foreign-key
+    violation a KG quality gate must surface.  One anti-join against the
+    subject set; literals and class terms excluded structurally."""
+    from nexus_forge_spark.operators.triples import dangling_refs
+
+    trip = q_struct_triples(spark, sf_dir).localCheckpoint(eager=False)
+    custkey = F.substring(F.col("subj"), 10, 100).cast("long")
+    dropped_accounts = (
+        trip.where((F.col("pred") == "account") & (custkey % 5 == 0))
+        .select(F.col("obj").alias("drop_subj"))
+        .distinct()
+    )
+    incomplete = trip.join(
+        F.broadcast(dropped_accounts),
+        trip["subj"] == F.col("drop_subj"),
+        "left_anti",
+    )
+    return dangling_refs(incomplete, literal_col="obj_is_literal")
+
+
+def sql_kg_dangling_refs() -> str:
+    return f"""WITH trip AS ({sql_struct_triples()}),
+dropped AS (
+  SELECT DISTINCT obj AS drop_subj FROM trip
+  WHERE pred = 'account' AND CAST(substr(subj, 10) AS BIGINT) % 5 = 0
+),
+incomplete AS (
+  SELECT t.* FROM trip t
+  WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE t.subj = d.drop_subj)
+),
+subjects AS (SELECT DISTINCT subj AS ref FROM incomplete),
+obj_refs AS (
+  SELECT obj AS ref, pred FROM incomplete
+  WHERE pred <> 'rdf:type' AND NOT obj_is_literal
+)
+SELECT o.ref, CAST(count(*) AS BIGINT) AS n_uses,
+       min(o.pred) AS example_pred
+FROM obj_refs o
+WHERE NOT EXISTS (SELECT 1 FROM subjects s WHERE s.ref = o.ref)
+GROUP BY o.ref"""
+
+
+def q_er_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality metrics (operators/er.py blocking_metrics) for
+    the MinHash+LSH blocker against the planted near-dup ground truth
+    (doc, doc+1000000 mutants): reduction ratio (comparison-space
+    pruning) and pair completeness (blocker recall) in integer ppm —
+    measuring what the losslessness/recall docstrings claim."""
+    from nexus_forge_spark.operators.er import blocking_metrics
+
+    cand = q_dedup_minhash(spark, sf_dir).select("a", "b")
+    docs = load_table(spark, "documents", sf_dir)
+    truth = docs.select(
+        F.col("doc_id").alias("a"),
+        (F.col("doc_id") + 1000000).alias("b"),
+    )
+    n_records = 2 * docs.count()
+    return blocking_metrics(cand, truth, n_records)
+
+
+def sql_er_blocking_metrics() -> str:
+    return f"""WITH lsh AS (SELECT a, b FROM ({sql_dedup_minhash()})),
+cand AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM lsh WHERE a <> b
+),
+truth AS (
+  SELECT DISTINCT least(doc_id, doc_id + 1000000) AS a,
+         greatest(doc_id, doc_id + 1000000) AS b
+  FROM documents
+),
+n AS (SELECT 2 * count(*) AS nr FROM documents),
+tp AS (SELECT nr * (nr - 1) // 2 AS total FROM n),
+covered AS (
+  SELECT c.a, c.b FROM cand c JOIN truth t ON c.a = t.a AND c.b = t.b
+),
+counts AS (
+  SELECT (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM covered) AS n_truth_covered
+)
+SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_truth_covered AS BIGINT) AS n_truth_covered,
+       CAST(((tp.total - n_candidates) * 1000000) // tp.total AS BIGINT)
+         AS reduction_ratio_ppm,
+       CAST(CASE WHEN n_truth > 0
+            THEN (n_truth_covered * 1000000) // n_truth ELSE 0 END AS BIGINT)
+         AS pair_completeness_ppm
+FROM counts, tp"""
+
+
 # --------------------------------------------------- KG schema induction
 
 
@@ -6545,6 +6641,8 @@ QUERIES = {
     "rolling_revenue": (q_rolling_revenue, sql_rolling_revenue),
     "star_join_revenue": (q_star_join_revenue, sql_star_join_revenue),
     "dedup_containment": (q_dedup_containment, sql_dedup_containment),
+    "kg_dangling_refs": (q_kg_dangling_refs, sql_kg_dangling_refs),
+    "er_blocking_metrics": (q_er_blocking_metrics, sql_er_blocking_metrics),
     "kg_predicate_profile": (q_kg_predicate_profile, sql_kg_predicate_profile),
     "sssp_copurchase": (q_sssp_copurchase, sql_sssp_copurchase),
     "link_prediction": (q_link_prediction, sql_link_prediction_q),

@@ -96,3 +96,38 @@ def test_fs_classify_rejects_inverted_thresholds(spark):
     df = spark.createDataFrame([(1, True)], "id int, f1 boolean")
     with pytest.raises(ValueError):
         fs_classify(df, {"f1": (1, -1)}, upper_milli=0, lower_milli=10)
+
+
+def test_blocking_metrics_hand_computed(spark):
+    from nexus_forge_spark.operators.er import blocking_metrics
+
+    # 5 records -> 10 possible pairs; blocker proposed 3 (one reversed,
+    # one self-pair to be ignored); truth has 2 pairs, 1 covered
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 1), (4, 4)], "a long, b long"
+    )
+    truth = spark.createDataFrame([(2, 1), (4, 5)], "a long, b long")
+    r = blocking_metrics(cand, truth, n_records=5).collect()[0]
+    assert (r.n_candidates, r.n_truth, r.n_truth_covered) == (2, 2, 1)
+    assert r.reduction_ratio_ppm == (10 - 2) * 1000000 // 10
+    assert r.pair_completeness_ppm == 500000
+
+
+def test_dangling_refs_detection(spark):
+    from nexus_forge_spark.operators.triples import dangling_refs
+
+    trip = spark.createDataFrame(
+        [
+            ("a", "rdf:type", "Person", False),
+            ("a", "knows", "ghost", False),   # ghost never described
+            ("b", "knows", "ghost", False),
+            ("a", "memberOf", "b", False),    # b IS described (below)
+            ("b", "name", "B Corp", True),
+            ("a", "note", "hello", True),     # literal: not a reference
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean",
+    )
+    out = {r.ref: (r.n_uses, r.example_pred)
+           for r in dangling_refs(trip, literal_col="obj_is_literal").collect()}
+    # 'Person' excluded as a class term, 'hello' as a literal, 'b' described
+    assert out == {"ghost": (2, "knows")}
