@@ -378,6 +378,99 @@ def dangling_refs(
     )
 
 
+def infer_inverses(
+    triples: DataFrame,
+    decls: DataFrame,
+    literal_col: str | None = None,
+) -> DataFrame:
+    """OWL-lite inverse/symmetric property materialization: for every
+    declared ``owl:inverseOf`` pair (p, q), each (s, p, o) entails
+    (o, q, s); a symmetric property is the self-inverse special case
+    (q = p).  The forward-chaining companion to infer_types — run both
+    before querying an extracted graph so SPARQL patterns need not be
+    written in both directions.
+
+    ``decls`` is the tiny schema table (pred, inverse_pred); symmetric
+    properties declare pred == inverse_pred.  Literal-object triples
+    never invert (a literal cannot be a subject) — pass ``literal_col``
+    to enforce it.  Output: (subj, pred, obj, novel) — distinct entailed
+    triples, ``novel`` false when already asserted.
+
+    Scale posture: one broadcast join against the decls, one distinct on
+    the entailed set, one left join vs the asserted facts for novelty.
+    """
+    facts = triples
+    if literal_col is not None:
+        facts = facts.where(~F.col(literal_col))
+    entailed = (
+        facts.join(F.broadcast(decls), "pred")
+        .select(
+            F.col("obj").alias("subj"),
+            F.col("inverse_pred").alias("pred"),
+            F.col("subj").alias("obj"),
+        )
+        .distinct()
+    )
+    asserted = (
+        triples.select("subj", "pred", "obj")
+        .distinct()
+        .withColumn("_asserted", F.lit(1))
+    )
+    return entailed.join(asserted, ["subj", "pred", "obj"], "left").select(
+        "subj", "pred", "obj", F.col("_asserted").isNull().alias("novel")
+    )
+
+
+def range_violations(
+    triples: DataFrame,
+    decls: DataFrame,
+    type_pred: str = RDF_TYPE,
+    literal_col: str | None = None,
+) -> DataFrame:
+    """The validation dual of rdfs3 forward chaining: report facts whose
+    object's ASSERTED type contradicts the property's declared
+    ``rdfs:range`` — under inference a mistyped object would silently
+    acquire a second type; under validation it is a constraint violation
+    (SHACL ``sh:class`` semantics — rdf_model.py's class-conformance
+    check, applied graph-wide as one plan instead of per resource).
+
+    Only objects that HAVE asserted types are judged (open-world: an
+    untyped object is unknown, not wrong — infer_types is the tool for
+    those), and an object conforms if ANY of its types matches the
+    range.  Output: (subj, pred, obj, expected_class, actual_types).
+
+    Scale posture: broadcast decls join, one entity-key join against the
+    aggregated type table, map-side conformance check on the collected
+    (small, per-entity) type set.
+    """
+    facts = triples.where(F.col("pred") != type_pred)
+    if literal_col is not None:
+        facts = facts.where(~F.col(literal_col))
+    declared = facts.join(
+        F.broadcast(
+            decls.where(F.col("range_class").isNotNull()).select(
+                "pred", "range_class"
+            )
+        ),
+        "pred",
+    )
+    types = (
+        triples.where(F.col("pred") == type_pred)
+        .groupBy(F.col("subj").alias("ent"))
+        .agg(F.sort_array(F.collect_set("obj")).alias("actual_types"))
+    )
+    joined = declared.join(types, declared["obj"] == F.col("ent"), "inner")
+    return joined.where(
+        ~F.array_contains(F.col("actual_types"), F.col("range_class"))
+    ).select(
+        "subj",
+        "pred",
+        "obj",
+        F.col("range_class").alias("expected_class"),
+        "actual_types",
+    )
+
+
 # ----------------------------------------------------------------- N-Triples
 
 

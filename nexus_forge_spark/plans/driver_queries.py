@@ -5683,6 +5683,108 @@ WHERE i.entity_id <> c.obj
   )"""
 
 
+def q_kg_inverse_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL-lite inverse materialization (operators/triples.py
+    infer_inverses): account owl:inverseOf accountOf entails one
+    (account-node, accountOf, customer) triple per customer — the
+    forward chaining that lets SPARQL patterns run in either direction.
+    Literal objects structurally excluded from inversion."""
+    from nexus_forge_spark.operators.triples import infer_inverses
+
+    trip = q_struct_triples(spark, sf_dir)
+    decls = spark.createDataFrame(
+        [("account", "accountOf")], "pred string, inverse_pred string"
+    )
+    return infer_inverses(trip, decls, literal_col="obj_is_literal")
+
+
+def sql_kg_inverse_triples() -> str:
+    return f"""WITH trip AS ({sql_struct_triples()}),
+decls(pred, inverse_pred) AS (VALUES ('account', 'accountOf')),
+entailed AS (
+  SELECT DISTINCT t.obj AS subj, d.inverse_pred AS pred, t.subj AS obj
+  FROM trip t JOIN decls d ON t.pred = d.pred
+  WHERE NOT t.obj_is_literal
+)
+SELECT e.subj, e.pred, e.obj,
+       NOT EXISTS (
+         SELECT 1 FROM trip a
+         WHERE a.subj = e.subj AND a.pred = e.pred AND a.obj = e.obj
+       ) AS novel
+FROM entailed e"""
+
+
+def q_kg_range_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-wide sh:class / rdfs:range conformance (operators/triples.py
+    range_violations): every 7th customer's account node is deliberately
+    re-typed Wallet, so its `account` edge violates the declared
+    range Account — reported with the object's actual type set.
+    Open-world: untyped objects are not judged."""
+    from nexus_forge_spark.operators.triples import range_violations
+
+    trip = q_struct_triples(spark, sf_dir).localCheckpoint(eager=False)
+    custkey = F.substring(F.col("subj"), 10, 100).cast("long")
+    retyped_nodes = (
+        trip.where((F.col("pred") == "account") & (custkey % 7 == 0))
+        .select(F.col("obj").alias("rt_subj"))
+        .distinct()
+    )
+    retyped = (
+        trip.join(
+            F.broadcast(retyped_nodes),
+            trip["subj"] == F.col("rt_subj"),
+            "left",
+        )
+        .select(
+            "subj",
+            "pred",
+            F.when(
+                (F.col("pred") == "rdf:type") & F.col("rt_subj").isNotNull(),
+                F.lit("Wallet"),
+            )
+            .otherwise(F.col("obj"))
+            .alias("obj"),
+            "obj_is_literal",
+            "obj_datatype",
+        )
+    )
+    decls = spark.createDataFrame(
+        [("account", None, "Account")],
+        "pred string, domain_class string, range_class string",
+    )
+    return range_violations(retyped, decls, literal_col="obj_is_literal")
+
+
+def sql_kg_range_violations() -> str:
+    return f"""WITH trip AS ({sql_struct_triples()}),
+retyped_nodes AS (
+  SELECT DISTINCT obj AS rt_subj FROM trip
+  WHERE pred = 'account' AND CAST(substr(subj, 10) AS BIGINT) % 7 = 0
+),
+retyped AS (
+  SELECT t.subj, t.pred,
+    CASE WHEN t.pred = 'rdf:type'
+          AND EXISTS (SELECT 1 FROM retyped_nodes r WHERE r.rt_subj = t.subj)
+         THEN 'Wallet' ELSE t.obj END AS obj,
+    t.obj_is_literal
+  FROM trip t
+),
+decls(pred, range_class) AS (VALUES ('account', 'Account')),
+types AS (
+  SELECT subj AS ent, list_sort(list(DISTINCT obj)) AS actual_types
+  FROM retyped WHERE pred = 'rdf:type' GROUP BY subj
+),
+facts AS (
+  SELECT f.subj, f.pred, f.obj, d.range_class
+  FROM retyped f JOIN decls d ON f.pred = d.pred
+  WHERE f.pred <> 'rdf:type' AND NOT f.obj_is_literal
+)
+SELECT f.subj, f.pred, f.obj, f.range_class AS expected_class,
+       t.actual_types
+FROM facts f JOIN types t ON f.obj = t.ent
+WHERE NOT list_contains(t.actual_types, f.range_class)"""
+
+
 def q_kg_dangling_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG referential integrity (operators/triples.py dangling_refs): the
     struct graph is de-described of every 5th customer's account node
@@ -6642,6 +6744,8 @@ QUERIES = {
     "star_join_revenue": (q_star_join_revenue, sql_star_join_revenue),
     "dedup_containment": (q_dedup_containment, sql_dedup_containment),
     "kg_dangling_refs": (q_kg_dangling_refs, sql_kg_dangling_refs),
+    "kg_inverse_triples": (q_kg_inverse_triples, sql_kg_inverse_triples),
+    "kg_range_violations": (q_kg_range_violations, sql_kg_range_violations),
     "er_blocking_metrics": (q_er_blocking_metrics, sql_er_blocking_metrics),
     "kg_predicate_profile": (q_kg_predicate_profile, sql_kg_predicate_profile),
     "sssp_copurchase": (q_sssp_copurchase, sql_sssp_copurchase),

@@ -131,3 +131,58 @@ def test_dangling_refs_detection(spark):
            for r in dangling_refs(trip, literal_col="obj_is_literal").collect()}
     # 'Person' excluded as a class term, 'hello' as a literal, 'b' described
     assert out == {"ghost": (2, "knows")}
+
+
+def test_infer_inverses_symmetric_and_novel(spark):
+    from nexus_forge_spark.operators.triples import infer_inverses
+
+    trip = spark.createDataFrame(
+        [
+            ("a", "hasPart", "b", False),
+            ("x", "marriedTo", "y", False),   # symmetric
+            ("y", "marriedTo", "x", False),   # reverse already asserted
+            ("a", "name", "lit", True),       # literal never inverts
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean",
+    )
+    decls = spark.createDataFrame(
+        [("hasPart", "partOf"), ("marriedTo", "marriedTo")],
+        "pred string, inverse_pred string",
+    )
+    out = {(r.subj, r.pred, r.obj): r.novel
+           for r in infer_inverses(trip, decls, literal_col="obj_is_literal").collect()}
+    assert out == {
+        ("b", "partOf", "a"): True,
+        ("y", "marriedTo", "x"): False,  # both directions asserted
+        ("x", "marriedTo", "y"): False,
+    }
+
+
+def test_range_violations_any_type_conforms(spark):
+    from nexus_forge_spark.operators.triples import range_violations
+
+    trip = spark.createDataFrame(
+        [
+            ("a", "worksAt", "acme", False),
+            ("acme", "rdf:type", "Org", False),
+            ("a", "worksAt", "bob", False),
+            ("bob", "rdf:type", "Person", False),
+            ("bob", "rdf:type", "Org", False),  # ALSO an Org -> conforms
+            ("a", "worksAt", "ghost", False),   # untyped -> not judged
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean",
+    )
+    decls = spark.createDataFrame(
+        [("worksAt", None, "Org")],
+        "pred string, domain_class string, range_class string",
+    )
+    out = range_violations(trip, decls, literal_col="obj_is_literal").collect()
+    assert out == []  # acme is Org; bob has Org among its types; ghost unjudged
+
+    decls2 = spark.createDataFrame(
+        [("worksAt", None, "Person")],
+        "pred string, domain_class string, range_class string",
+    )
+    bad = {(r.obj, tuple(r.actual_types))
+           for r in range_violations(trip, decls2, literal_col="obj_is_literal").collect()}
+    assert bad == {("acme", ("Org",))}  # bob conforms via Person
