@@ -143,3 +143,53 @@ def mentions_from_flat(flat_docs: DataFrame, max_n: int = 2) -> DataFrame:
         F.col("c.n").alias("n"),
         F.col("c.mention").alias("mention"),
     )
+
+
+def mention_contexts(
+    resolved: DataFrame,
+    documents: DataFrame,
+    window: int = 3,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Relation-extraction / KGE training-example generation: for every
+    RESOLVED mention, slice the +-``window``-token context around it —
+    the (left context, mention, right context, entity) examples a
+    distant-supervision RE trainer or entity-disambiguation model
+    consumes.  The natural consumer of the resolver's output: resolve
+    links mentions to entities; this packages the evidence.
+
+    ``resolved`` needs (doc_id, tok_idx, n, mention, entity_id) — the
+    resolver output shape.  Context never crosses the document boundary
+    (clamped slices, no padding).
+
+    Scale posture: one join of the resolved table onto the tokenized
+    documents (shuffle on doc_id — co-partitioned with every other
+    doc-keyed stage), then pure map-side array slices; no explode, no
+    per-token shuffle, output rows == resolved mentions.
+    """
+    toks = documents.select(
+        F.col(doc_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+    j = resolved.join(toks, doc_col)
+    i = F.col("tok_idx")
+    left_start = F.greatest(i - window + 1, F.lit(1))
+    left = F.slice(F.col("__toks"), left_start, i + 1 - left_start)
+    right = F.slice(
+        F.col("__toks"),
+        i + F.col("n") + 1,
+        F.least(
+            F.lit(window),
+            F.greatest(F.size("__toks") - (i + F.col("n")), F.lit(0)),
+        ),
+    )
+    return j.select(
+        doc_col,
+        "tok_idx",
+        "n",
+        "mention",
+        "entity_id",
+        F.array_join(left, " ").alias("left_context"),
+        F.array_join(right, " ").alias("right_context"),
+    )

@@ -5683,6 +5683,42 @@ WHERE i.entity_id <> c.obj
   )"""
 
 
+_MC_WINDOW = 3
+
+
+def q_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-example packaging (operators/mentions.py
+    mention_contexts): every exactly-resolved mention with its +-3-token
+    context — the distant-supervision examples a relation-extraction or
+    disambiguation trainer consumes from the KG loop's output.  One
+    doc-keyed join + map-side clamped slices; rows == resolved
+    mentions."""
+    from nexus_forge_spark.operators.mentions import mention_contexts
+
+    resolved = q_kg_exact(spark, sf_dir).select(
+        "doc_id", "tok_idx", "n", "mention", "entity_id"
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    return mention_contexts(resolved, docs, window=_MC_WINDOW)
+
+
+def sql_mention_contexts() -> str:
+    w = _MC_WINDOW
+    return rf"""WITH resolved AS ({sql_kg_exact()}),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+)
+SELECT r.doc_id, r.tok_idx, r.n, r.mention, r.entity_id,
+  coalesce(array_to_string(
+      t.t[greatest(r.tok_idx + 1 - {w}, 1) : r.tok_idx], ' '), '')
+    AS left_context,
+  coalesce(array_to_string(
+      t.t[r.tok_idx + r.n + 1 : r.tok_idx + r.n + {w}], ' '), '')
+    AS right_context
+FROM resolved r JOIN toks t ON r.doc_id = t.doc_id"""
+
+
 def q_kg_inverse_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OWL-lite inverse materialization (operators/triples.py
     infer_inverses): account owl:inverseOf accountOf entails one
@@ -6746,6 +6782,7 @@ QUERIES = {
     "kg_dangling_refs": (q_kg_dangling_refs, sql_kg_dangling_refs),
     "kg_inverse_triples": (q_kg_inverse_triples, sql_kg_inverse_triples),
     "kg_range_violations": (q_kg_range_violations, sql_kg_range_violations),
+    "mention_contexts": (q_mention_contexts, sql_mention_contexts),
     "er_blocking_metrics": (q_er_blocking_metrics, sql_er_blocking_metrics),
     "kg_predicate_profile": (q_kg_predicate_profile, sql_kg_predicate_profile),
     "sssp_copurchase": (q_sssp_copurchase, sql_sssp_copurchase),

@@ -135,3 +135,26 @@ def test_rank_entity_facts_rarity_order(spark):
         ("b", 2): ("common", 3),
         ("c", 1): ("common", 3),
     }
+
+
+def test_mention_contexts_clamped_windows(spark):
+    from nexus_forge_spark.operators.mentions import mention_contexts
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id long, text string"
+    )
+    resolved = spark.createDataFrame(
+        [
+            (1, 0, 1, "a", "E1"),   # at doc start: no left context
+            (1, 3, 2, "d e", "E2"),  # bigram mid-doc
+            (1, 6, 1, "g", "E3"),   # at doc end: no right context
+        ],
+        "doc_id long, tok_idx int, n int, mention string, entity_id string",
+    )
+    out = {r.mention: (r.left_context, r.right_context)
+           for r in mention_contexts(resolved, docs, window=3).collect()}
+    assert out == {
+        "a": ("", "b c d"),
+        "d e": ("a b c", "f g"),
+        "g": ("d e f", ""),
+    }
