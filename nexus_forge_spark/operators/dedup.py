@@ -764,10 +764,18 @@ def containment_pairs(
     probe = ranked.where(
         F.col("pos") <= F.col("sz") - _ceil_div(F.lit(tn) * F.col("sz"), td) + 1
     ).select(F.col(id_col).alias("a"), "g", F.col("sz").alias("sz_a"))
-    index = exploded.select(F.col(id_col).alias("b"), "g")
+    # container length filter: |A ∩ B| <= |B|, so C >= t forces
+    # |B| >= ceil(t|A|) — exact, prunes candidates inside the join
+    sizes = ranked.select(id_col, "sz").distinct()
+    index = exploded.join(sizes, id_col).select(
+        F.col(id_col).alias("b"), "g", F.col("sz").alias("sz_b")
+    )
     cand = (
         probe.join(index, "g")
-        .where(F.col("a") != F.col("b"))
+        .where(
+            (F.col("a") != F.col("b"))
+            & (F.col("sz_b") >= _ceil_div(F.lit(tn) * F.col("sz_a"), td))
+        )
         .select("a", "b")
         .distinct()
     )

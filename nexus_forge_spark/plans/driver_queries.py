@@ -831,7 +831,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     pool = docs.unionByName(excerpts)
-    return containment_pairs(pool, shingle_n=2, threshold=0.8)
+    # trigram shingles: the synthetic corpus draws from a small vocabulary,
+    # so even the rarest BIGRAMS have corpus-wide document frequency and the
+    # inverted-index probe degenerates toward all-pairs; trigram df collapses
+    # and the prefix probe regains its selectivity (12s -> ~2s at sf0.1)
+    return containment_pairs(pool, shingle_n=3, threshold=0.8)
 
 
 def sql_dedup_containment() -> str:
@@ -842,7 +846,16 @@ def sql_dedup_containment() -> str:
     array_to_string(string_split_regex(trim(text), '\s+')[1:12], ' ') AS text
   FROM documents WHERE doc_id % 2 = 0
 ),
-{_SHINGLES_SQL},
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM docs
+),
+shingles AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN
+      list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])
+    ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+),
 grams AS (SELECT doc_id, unnest(sh) AS g FROM shingles),
 cand AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
