@@ -1011,3 +1011,72 @@ SELECT {outs},
          AND NOT contains({text_col}, '{{')
          AND NOT contains(lower({text_col}), 'lorem ipsum') AS keep
 FROM kept"""
+
+
+# ------------------------------------------------------- priority sampling
+
+TWO60 = 1 << 60
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "prio",
+) -> DataFrame:
+    """Weighted priority sampling (Duffield, Lund & Thorup, "Priority
+    sampling for estimation of arbitrary subset sums", JACM 54(6), 2007)
+    — the one-pass scheme that turns "sample k documents proportional to
+    weight" into a top-k, with unbiased subset-sum estimates attached.
+
+    Each row draws ``u = hash60(id) + 1`` (uniform in [1, 2^60], the
+    engine-portable md5/conv hash) and gets integer priority
+    ``prio = max(u div w, 1)`` — the fixed-point rendering of the
+    continuous priority u'/w.  The sample is the k smallest-priority
+    rows; ``tau`` (the (k+1)-th smallest priority) yields the estimator
+    ``w_est = max(w, 2^60 div tau)``: summing ``w_est`` over ANY subset
+    of the sample is an (asymptotically, given the 2^-60 truncation)
+    unbiased estimate of that subset's true total weight — the property
+    that makes a k-row sample answer arbitrary weighted-count questions
+    about a 100 TB corpus.
+
+    All arithmetic is BIGINT, so Spark and DuckDB agree bit-for-bit;
+    ties break on id.  Scale posture: the corpus pass is a map-side
+    projection + TakeOrderedAndProject over (k+1) rows (partial top-k on
+    every partition, no full sort, no shuffle); the estimator algebra
+    and its k-row window run on the driver-sized candidate set only.
+    Weights must be positive BIGINTs.
+    """
+    from pyspark.sql import Window
+
+    from nexus_forge_spark.operators.sketches import hash60
+
+    cand = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("w"),
+        (hash60(F.col(id_col), salt) + F.lit(1)).alias("u"),
+    ).withColumn("prio", F.greatest(F.expr("u div w"), F.lit(1)))
+    topk1 = cand.orderBy("prio", id_col).limit(k + 1)
+    ranked = topk1.withColumn(
+        "rn", F.row_number().over(Window.orderBy("prio", id_col))
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.max(F.when(F.col("rn") == k + 1, F.col("prio"))).alias("tau"),
+    )
+    return (
+        ranked.where(F.col("rn") <= k)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "w",
+            "prio",
+            F.when(F.col("n_cand") <= k, F.col("w"))
+            .otherwise(
+                F.greatest(F.col("w"), F.expr(f"{TWO60} div tau"))
+            )
+            .cast("long")
+            .alias("w_est"),
+        )
+    )

@@ -331,3 +331,48 @@ def cohort_retention(
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def event_transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for every ordered (prev_type -> next_type) adjacency in a user's
+    (ts, event_id)-ordered history, the transition count and its
+    row-normalized probability in truncating-integer ppm.  The standard
+    behavioral model behind next-event prediction, funnel discovery and
+    anomaly scoring.
+
+    Deterministic: consecutive-pair extraction orders by (ts, id) — the
+    same total order sessionize uses — so ties in ts are stable across
+    partitionings; probabilities are BIGINT ppm (n * 1e6 div row_total).
+
+    Output: (prev_type, next_type, n, row_total, prob_ppm).
+
+    Scale posture: ONE shuffle on the user key feeds the lead() window
+    (users >> cores, no hot key for organic traffic); the pair counts
+    are a map-side-combined groupBy whose output is |types|^2 rows, and
+    the row-total window runs over that tiny aggregate, not the events.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        df.select(
+            F.col(type_col).alias("prev_type"),
+            F.lead(type_col).over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wt = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.sum("n").over(wt).cast("long").alias("row_total"),
+    ).withColumn("prob_ppm", F.expr("n * 1000000 div row_total").cast("long"))

@@ -345,3 +345,61 @@ def key_skew_profile(
         "n_rows_total",
         "n_keys_total",
     )
+
+
+def token_divergence(
+    df: DataFrame,
+    side_col: str,
+    left: str,
+    right: str,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus drift: which tokens' frequencies moved most between two
+    corpus slices (two crawl snapshots, two sources, train vs incoming).
+    The drift metric is the per-token total-variation contribution in
+    integer ppm: ``p_left_ppm - p_right_ppm`` where ``p_side_ppm =
+    count_side * 1e6 div total_side`` — all BIGINT, no float division,
+    so the DuckDB oracle matches bit-for-bit, and summing
+    ``abs(drift_ppm)/2`` over ALL tokens approximates total variation
+    distance between the unigram distributions.
+
+    The reference has no corpus-level analytics (it introspects one
+    Resource at a time); at training-pipeline scale this is the standard
+    "did the crawl distribution shift" gate run before mixing a new
+    snapshot into the corpus.
+
+    Deterministic: top-k by (abs(drift_ppm) DESC, token ASC).
+
+    Output: (token, c_left, c_right, p_left_ppm, p_right_ppm, drift_ppm).
+
+    Scale posture: ONE map-side-combined groupBy on the token (the two
+    conditional sums ride the same aggregate); side totals are a 1-row
+    re-aggregate of the (tiny relative to corpus) token-count frame,
+    attached by broadcast; top-k is orderBy+limit =
+    TakeOrderedAndProject, never a global sort of the vocabulary.
+    """
+    side = F.col(side_col)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    exploded = (
+        df.where(side.isin(left, right))
+        .select(side.alias("__side"), F.explode(toks).alias("token"))
+    )
+    counts = exploded.groupBy("token").agg(
+        F.sum((F.col("__side") == left).cast("long")).alias("c_left"),
+        F.sum((F.col("__side") == right).cast("long")).alias("c_right"),
+    )
+    totals = counts.agg(
+        F.greatest(F.sum("c_left"), F.lit(1)).cast("long").alias("n_left"),
+        F.greatest(F.sum("c_right"), F.lit(1)).cast("long").alias("n_right"),
+    )
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "c_left",
+        "c_right",
+        F.expr("c_left * 1000000 div n_left").cast("long").alias("p_left_ppm"),
+        F.expr("c_right * 1000000 div n_right").cast("long").alias("p_right_ppm"),
+    ).withColumn("drift_ppm", (F.col("p_left_ppm") - F.col("p_right_ppm")).cast("long"))
+    return scored.orderBy(
+        F.abs(F.col("drift_ppm")).desc(), F.col("token")
+    ).limit(top_k)

@@ -466,3 +466,61 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi_micro").desc(), F.col("w1"), F.col("w2")
     ).limit(k)
+
+
+def ngram_novelty(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: how much of a document's distinct
+    k-token shingle set also occurs in at least one OTHER document —
+    the memorization / boilerplate scan a training pipeline runs to find
+    template-heavy documents that exact- and near-dup passes (whole-doc
+    signatures) both miss.  Complements dedup (pairwise) and
+    decontaminate (cross-set): this is a per-doc profile over the whole
+    corpus.
+
+    Output: (doc_id, n_shingles, n_shared, novelty_ppm) for documents
+    with >= k tokens, where novelty_ppm = (n_shingles - n_shared) * 1e6
+    div n_shingles — pure BIGINT arithmetic, oracle-exact.
+
+    Scale posture: shingles are interned to xxhash64 longs before any
+    shuffle (the 64-bit key, not the k-word string, is what moves); the
+    doc-frequency aggregate and the shingle->doc join share the shingle
+    key so AQE/exchange-reuse co-locates them; the final per-doc rollup
+    is a map-side-combined groupBy on the doc id.  No windows, no
+    cross products; both shuffles are on keys whose cardinality grows
+    with corpus size (no hot key: a shingle shared by every doc is still
+    one aggregate row).
+    """
+    toks = tokens(F.col(text_col))
+    sz = F.size(toks)
+    acc = toks
+    for i in range(1, k):
+        shifted = F.slice(toks, i + 1, F.greatest(sz - i, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.slice(acc, 1, F.greatest(sz - k + 1, F.lit(0)))
+    skeys = F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+    pairs = (
+        df.where(sz >= k)
+        .select(F.col(id_col).alias("doc_id"), F.explode(skeys).alias("skey"))
+    )
+    docfreq = pairs.groupBy("skey").agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    return (
+        pairs.join(docfreq, "skey")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.expr("(n_shingles - n_shared) * 1000000 div n_shingles")
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )

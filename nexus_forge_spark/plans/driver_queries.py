@@ -6779,7 +6779,257 @@ def sql_outliers_acctbal() -> str:
     )
 
 
+_DIVERGENCE_LEFT_SRCS = [f"src{i}" for i in range(10)]
+
+
+def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift gate (operators/profile.py token_divergence): unigram
+    distribution shift between two corpus slices (sources src0-9 vs
+    src10-19 standing in for two crawl snapshots), per-token
+    total-variation contribution in integer ppm, top-50 movers.  ONE
+    map-side-combined token aggregate carries both sides' counts; side
+    totals attach by broadcast; top-k is TakeOrderedAndProject."""
+    from nexus_forge_spark.operators.profile import token_divergence
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "side",
+        F.when(F.col("source").isin(_DIVERGENCE_LEFT_SRCS), "a").otherwise("b"),
+    )
+    return token_divergence(docs, "side", "a", "b", top_k=50)
+
+
+def sql_corpus_divergence() -> str:
+    srcs = ", ".join(f"'{s}'" for s in _DIVERGENCE_LEFT_SRCS)
+    return rf"""WITH toks AS (
+  SELECT CASE WHEN source IN ({srcs}) THEN 'a' ELSE 'b' END AS side,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token,
+    CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS c_left,
+    CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS c_right
+  FROM toks GROUP BY token
+),
+tot AS (
+  SELECT CAST(greatest(sum(c_left), 1) AS BIGINT) AS n_left,
+         CAST(greatest(sum(c_right), 1) AS BIGINT) AS n_right
+  FROM counts
+)
+SELECT token, c_left, c_right,
+  CAST(c_left * 1000000 // n_left AS BIGINT) AS p_left_ppm,
+  CAST(c_right * 1000000 // n_right AS BIGINT) AS p_right_ppm,
+  CAST(c_left * 1000000 // n_left - c_right * 1000000 // n_right AS BIGINT)
+    AS drift_ppm
+FROM counts, tot
+ORDER BY abs(c_left * 1000000 // n_left - c_right * 1000000 // n_right) DESC,
+         token
+LIMIT 50"""
+
+
+NOVELTY_K = 5
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shingle novelty (operators/text.py ngram_novelty): share
+    of each document's distinct 5-gram set that occurs in at least one
+    other document — the boilerplate/memorization scan whole-doc dedup
+    signatures miss.  Shingles move as xxhash64 longs; doc-frequency agg
+    and the join share the shingle key; final rollup is a per-doc
+    hash aggregate.  Oracle uses md5 shingle keys — equality semantics,
+    not hash values, are the contract."""
+    from nexus_forge_spark.operators.text import ngram_novelty
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ngram_novelty(docs, k=NOVELTY_K)
+
+
+def sql_ngram_novelty() -> str:
+    k = NOVELTY_K
+    return rf"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+pairs AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+{k - 1}], ' ')) AS skey
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {k - 1})) AS i)
+  WHERE len(t) >= {k}
+),
+dfq AS (SELECT skey, CAST(count(*) AS BIGINT) AS nd FROM pairs GROUP BY skey)
+SELECT p.doc_id,
+  CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+  CAST((count(*) - sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)) * 1000000
+       // count(*) AS BIGINT) AS novelty_ppm
+FROM pairs p JOIN dfq USING (skey)
+GROUP BY p.doc_id"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over per-user event streams
+    (operators/events.py event_transition_matrix): (prev -> next) counts
+    + truncating-integer-ppm row probabilities.  ONE shuffle on the user
+    key; the row-total window runs over the |types|^2 aggregate."""
+    from nexus_forge_spark.operators.events import event_transition_matrix
+
+    events = load_table(spark, "events", sf_dir)
+    return event_transition_matrix(events)
+
+
+def sql_event_transitions() -> str:
+    return """WITH ordered AS (
+  SELECT event_type AS prev_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+  CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+  CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+    AS prob_ppm
+FROM counts"""
+
+
+PRIO_K = 100
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sampling (operators/curation.py priority_sample;
+    Duffield-Lund-Thorup JACM'07): k=100 documents sampled proportional
+    to n_chars in ONE map-side pass + a (k+1)-row TakeOrderedAndProject;
+    each kept row carries the threshold-based unbiased subset-sum weight
+    estimate w_est = max(w, 2^60 div tau).  Integer-only algebra, so the
+    DuckDB oracle reproduces the sample hash-for-hash."""
+    from nexus_forge_spark.operators.curation import priority_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return priority_sample(docs, "n_chars", k=PRIO_K)
+
+
+def sql_priority_sample() -> str:
+    k = PRIO_K
+    two60 = 1 << 60
+    return f"""WITH cand AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':prio'), 1, 15))::BIGINT
+      + 1 AS u
+  FROM documents
+),
+pr AS (SELECT doc_id, w, greatest(u // w, 1) AS prio FROM cand),
+topk1 AS (SELECT * FROM pr ORDER BY prio, doc_id LIMIT {k + 1}),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY prio, doc_id) AS rn,
+         count(*) OVER () AS n_cand
+  FROM topk1
+),
+tau AS (
+  SELECT max(CASE WHEN rn = {k + 1} THEN prio END) AS tau,
+         max(n_cand) AS n_cand
+  FROM ranked
+)
+SELECT r.doc_id, r.w, r.prio,
+  CAST(CASE WHEN t.n_cand <= {k} THEN r.w
+            ELSE greatest(r.w, {two60} // t.tau) END AS BIGINT) AS w_est
+FROM ranked r, tau t WHERE r.rn <= {k}"""
+
+
+def q_er_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution — the full Fellegi-Sunter pipeline
+    composed in ONE plan: MinHash+LSH blocking -> multi-evidence FS
+    scoring (q_er_fs_scores) -> 'match' edges -> large-star/small-star
+    connected components -> per-cluster golden-record election (majority
+    vote, min-value tie-break) over source and lang, plus cluster sizes.
+    Every stage is the already-graded operator; this grades their
+    composition, the shape a production dedup/ER job actually runs.
+    Scale: blocking is the banded equi-join, CC touches match edges
+    only, elections are two map-side-combined hash aggregates."""
+    scored = q_er_fs_scores(spark, sf_dir)
+    edges = scored.where(F.col("decision") == "match").select("a", "b")
+    ids = _docs_with_mutants(spark, sf_dir).select(
+        F.col("doc_id").alias("entity_id")
+    )
+    mapping = CC.connected_components(edges, ids)
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "lang"
+    )
+    feat = (
+        _docs_with_mutants(spark, sf_dir)
+        .select(F.col("doc_id").alias("entity_id"))
+        .withColumn("base_id", F.col("entity_id") % 1000000)
+        .join(F.broadcast(docs), F.col("base_id") == docs.doc_id)
+        .select("entity_id", "source", "lang")
+    )
+    values = feat.select(
+        "entity_id", F.lit("source").alias("attr"), F.col("source").alias("value")
+    ).unionByName(
+        feat.select(
+            "entity_id", F.lit("lang").alias("attr"), F.col("lang").alias("value")
+        )
+    )
+    golden = CC.golden_records(values, mapping, attr_col="attr")
+    sizes = mapping.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return golden.join(sizes, "canonical_id").select(
+        F.col("canonical_id").alias("cluster_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        "attr",
+        "value",
+        F.col("support").cast("long").alias("support"),
+    )
+
+
+def sql_er_resolution() -> str:
+    return f"""WITH RECURSIVE scored AS (SELECT * FROM ({sql_er_fs_scores()}) s),
+{_MUTANT_DOCS_SQL},
+edges AS (
+  SELECT a, b FROM scored WHERE decision = 'match'
+  UNION SELECT b, a FROM scored WHERE decision = 'match'
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+mapping AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+feat AS (
+  SELECT t.doc_id AS id, d.source, d.lang
+  FROM docs t JOIN documents d ON t.doc_id % 1000000 = d.doc_id
+),
+vals AS (
+  SELECT m.cluster_id, 'source' AS attr, f.source AS value
+  FROM feat f JOIN mapping m ON f.id = m.id
+  UNION ALL
+  SELECT m.cluster_id, 'lang' AS attr, f.lang AS value
+  FROM feat f JOIN mapping m ON f.id = m.id
+),
+counted AS (
+  SELECT cluster_id, attr, value, CAST(count(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY cluster_id, attr, value
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id, attr ORDER BY cnt DESC, value) AS rn
+  FROM counted
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM mapping GROUP BY cluster_id
+)
+SELECT r.cluster_id, s.n_members, r.attr, r.value, r.cnt AS support
+FROM ranked r JOIN sizes s USING (cluster_id) WHERE rn = 1"""
+
+
 QUERIES = {
+    "er_resolution": (q_er_resolution, sql_er_resolution),
+    "priority_sample": (q_priority_sample, sql_priority_sample),
+    "corpus_divergence": (q_corpus_divergence, sql_corpus_divergence),
+    "ngram_novelty": (q_ngram_novelty, sql_ngram_novelty),
+    "event_transitions": (q_event_transitions, sql_event_transitions),
     "kg_schema_graph": (q_kg_schema_graph, sql_kg_schema_graph),
     "random_walks": (q_random_walks, sql_random_walks_q),
     "ppr_copurchase": (q_ppr_copurchase, sql_ppr_copurchase),

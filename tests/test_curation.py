@@ -568,3 +568,71 @@ def test_c4_line_cleaning_rules(spark):
     )
     r9 = c4_line_cleaning(q).collect()[0]
     assert r9.n_lines_kept == 3
+
+
+# ------------------------------------------------------- priority sampling
+
+
+def _py_priority_sample(rows, k, salt="prio"):
+    """Pure-python replay of the integer priority-sampling rule."""
+    import hashlib
+
+    TWO60 = 1 << 60
+    cand = []
+    for rid, w in rows:
+        h = hashlib.md5(f"{rid}:{salt}".encode()).hexdigest()
+        u = int(h[:15], 16) + 1
+        cand.append((max(u // w, 1), rid, w))
+    cand.sort()
+    tau = cand[k][0] if len(cand) > k else None
+    out = {}
+    for prio, rid, w in cand[:k]:
+        w_est = w if tau is None else max(w, TWO60 // tau)
+        out[rid] = (w, prio, w_est)
+    return out
+
+
+def test_priority_sample_matches_pure_python(spark):
+    from nexus_forge_spark.operators.curation import priority_sample
+
+    rows = [(i, 1 + (i * 37) % 500) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {
+        r.doc_id: (r.w, r.prio, r.w_est)
+        for r in priority_sample(df, "w", k=50, id_col="doc_id").collect()
+    }
+    assert got == _py_priority_sample(rows, 50)
+    assert len(got) == 50
+
+
+def test_priority_sample_estimator_is_calibrated(spark):
+    """Sum of w_est over the sample estimates the true total weight
+    (Duffield et al. unbiasedness) — statistical, generous tolerance."""
+    from nexus_forge_spark.operators.curation import priority_sample
+
+    rows = [(i, 1 + (i * 991) % 2000) for i in range(3000)]
+    true_total = sum(w for _, w in rows)
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = priority_sample(df, "w", k=400, id_col="doc_id").collect()
+    est = sum(r.w_est for r in out)
+    assert abs(est - true_total) / true_total < 0.15
+    assert all(r.w_est >= r.w for r in out)
+
+
+def test_priority_sample_small_input_keeps_all(spark):
+    from nexus_forge_spark.operators.curation import priority_sample
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, w long")
+    out = priority_sample(df, "w", k=5, id_col="doc_id").collect()
+    assert len(out) == 2
+    assert all(r.w_est == r.w for r in out)  # no threshold -> exact
+
+
+def test_priority_sample_heavy_weights_always_in(spark):
+    """A row with overwhelming weight is (near-)certainly sampled."""
+    from nexus_forge_spark.operators.curation import priority_sample
+
+    rows = [(i, 1) for i in range(500)] + [(999, 10_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = priority_sample(df, "w", k=20, id_col="doc_id").collect()
+    assert 999 in {r.doc_id for r in out}

@@ -539,3 +539,34 @@ def test_containment_exact_threshold_boundary(spark):
     out = {(r.contained, r.container): r.containment
            for r in containment_pairs(df, threshold=0.8).collect()}
     assert out[(1, 2)] == 0.8
+
+
+def test_ngram_novelty_hand_computed(spark):
+    from nexus_forge_spark.operators.text import ngram_novelty
+
+    rows = [
+        (1, "a b c d"),          # grams(k=2): ab bc cd
+        (2, "a b c e"),          # grams: ab bc ce -> shares ab bc with doc 1
+        (3, "q r"),              # gram qr, unique
+        (4, "x"),                # < k tokens -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.asDict() for r in ngram_novelty(df, k=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_shingles"] == 3 and out[1]["n_shared"] == 2
+    assert out[1]["novelty_ppm"] == 1 * 1_000_000 // 3
+    assert out[2]["n_shingles"] == 3 and out[2]["n_shared"] == 2
+    assert out[3]["n_shingles"] == 1 and out[3]["n_shared"] == 0
+    assert out[3]["novelty_ppm"] == 1_000_000
+
+
+def test_ngram_novelty_within_doc_repeat_not_shared(spark):
+    from nexus_forge_spark.operators.text import ngram_novelty
+
+    # "a b a b" repeats gram "a b" WITHIN one doc: distinct set per doc,
+    # so it counts once and is NOT shared unless another doc has it
+    rows = [(1, "a b a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_novelty(df, k=2).collect()[0]
+    assert out.n_shingles == 2  # grams "a b","b a","a b" -> distinct {ab, ba}
+    assert out.novelty_ppm == 1_000_000

@@ -312,3 +312,49 @@ def test_rolling_revenue_range_frame_boundary(spark, tmp_path):
     assert out[12] == (2, 600)   # includes key 11 (exactly 30d), not 10
     assert out[10] == (1, 100)
     assert out[20] == (1, 800)
+
+
+def test_event_transition_matrix_hand_computed(spark):
+    from nexus_forge_spark.operators.events import event_transition_matrix
+
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    rows = [
+        # user 7: a -> b -> a -> a  => (a,b) (b,a) (a,a)
+        (1, _ts(0), 7, "a"),
+        (2, _ts(1), 7, "b"),
+        (3, _ts(2), 7, "a"),
+        (4, _ts(3), 7, "a"),
+        # user 8: a -> b  => (a,b); singleton user 9 contributes nothing
+        (5, _ts(0), 8, "a"),
+        (6, _ts(1), 8, "b"),
+        (7, _ts(0), 9, "c"),
+    ]
+    out = {
+        (r.prev_type, r.next_type): (r.n, r.row_total, r.prob_ppm)
+        for r in event_transition_matrix(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    assert out == {
+        ("a", "b"): (2, 3, 666666),  # truncating div, not rounding
+        ("a", "a"): (1, 3, 333333),
+        ("b", "a"): (1, 1, 1000000),
+    }
+
+
+def test_event_transition_ts_tie_breaks_on_event_id(spark):
+    from nexus_forge_spark.operators.events import event_transition_matrix
+
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    rows = [  # same ts: order is event_id 1 -> 2 -> 3
+        (3, _ts(0), 7, "c"),
+        (1, _ts(0), 7, "a"),
+        (2, _ts(0), 7, "b"),
+    ]
+    out = {
+        (r.prev_type, r.next_type)
+        for r in event_transition_matrix(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    assert out == {("a", "b"), ("b", "c")}

@@ -186,3 +186,23 @@ def test_range_violations_any_type_conforms(spark):
     bad = {(r.obj, tuple(r.actual_types))
            for r in range_violations(trip, decls2, literal_col="obj_is_literal").collect()}
     assert bad == {("acme", ("Org",))}  # bob conforms via Person
+
+
+def test_er_resolution_composition(spark, sf_dir):
+    """End-to-end ER: one row per (cluster, attr); cluster ids are the
+    min member; sizes consistent with the election support."""
+    from nexus_forge_spark.plans.driver_queries import q_er_resolution
+
+    out = q_er_resolution(spark, sf_dir).collect()
+    seen = {}
+    for r in out:
+        key = (r.cluster_id, r.attr)
+        assert key not in seen  # exactly one golden value per attribute
+        seen[key] = r
+        assert r.attr in ("source", "lang")
+        assert 1 <= r.support <= r.n_members
+    # every cluster elects BOTH attributes
+    clusters = {c for c, _ in seen}
+    assert all((c, "source") in seen and (c, "lang") in seen for c in clusters)
+    # at least one multi-member cluster exists (mutant docs pair up)
+    assert any(r.n_members >= 2 for r in out)

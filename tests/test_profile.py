@@ -71,3 +71,38 @@ def test_key_skew_profile_tie_break_key_asc(spark):
     df = spark.createDataFrame([("z",), ("y",), ("y",), ("z",)], "k string")
     rows = key_skew_profile(df, "k", top_k=2).collect()
     assert [(r.rank, r.key) for r in rows] == [(1, "y"), (2, "z")]
+
+
+def test_token_divergence_hand_computed(spark):
+    from nexus_forge_spark.operators.profile import token_divergence
+
+    rows = [
+        ("a", "x x y"),   # left:  x:2 y:1  (n_left=3)
+        ("b", "x z"),     # right: x:1 z:1  (n_right=2)
+    ]
+    df = spark.createDataFrame(rows, "side string, text string")
+    out = {r.token: r.asDict() for r in token_divergence(df, "side", "a", "b").collect()}
+    # p_left: x=666666 y=333333; p_right: x=500000 z=500000
+    assert out["x"]["drift_ppm"] == 666666 - 500000
+    assert out["y"]["drift_ppm"] == 333333
+    assert out["z"]["drift_ppm"] == -500000
+    assert out["x"]["c_left"] == 2 and out["x"]["c_right"] == 1
+
+
+def test_token_divergence_topk_order_deterministic(spark):
+    from nexus_forge_spark.operators.profile import token_divergence
+
+    # two tokens with equal |drift|: tie broken by token ascending
+    rows = [("a", "p"), ("b", "q")]
+    df = spark.createDataFrame(rows, "side string, text string")
+    got = [r.token for r in token_divergence(df, "side", "a", "b", top_k=1).collect()]
+    assert got == ["p"]
+
+
+def test_token_divergence_ignores_other_sides(spark):
+    from nexus_forge_spark.operators.profile import token_divergence
+
+    rows = [("a", "x"), ("b", "x"), ("c", "noise noise noise")]
+    df = spark.createDataFrame(rows, "side string, text string")
+    out = {r.token for r in token_divergence(df, "side", "a", "b").collect()}
+    assert out == {"x"}
