@@ -7024,7 +7024,65 @@ SELECT r.cluster_id, s.n_members, r.attr, r.value, r.cnt AS support
 FROM ranked r JOIN sizes s USING (cluster_id) WHERE rn = 1"""
 
 
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join in the graded contract
+    (streaming/stream_pipeline.py streaming_view_purchase_join): views
+    and purchases are two watermarked branches of the events stream,
+    inner-joined on user with view_ts in the hour before the purchase —
+    the purchase-attribution shape.  The time bound on BOTH sides lets
+    Spark evict join state (buffered views die once no future purchase
+    can reach them), so state tracks the window, not the stream; run
+    with trigger(availableNow) into an append memory sink, the finite
+    input yields exactly the batch join, which is the DuckDB oracle."""
+    from nexus_forge_spark import schemas
+    from nexus_forge_spark.streaming.stream_pipeline import (
+        streaming_view_purchase_join,
+    )
+
+    ev = (
+        spark.readStream.schema(schemas.EVENTS)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    joined = streaming_view_purchase_join(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+        window="1 hour",
+        watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("stream_attribution")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_attribution").select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        F.unix_micros(F.col("view_ts")).alias("view_us"),
+        F.unix_micros(F.col("purchase_ts")).alias("purchase_us"),
+        F.round(F.col("purchase_value") * 100).cast("long").alias(
+            "purchase_cents"
+        ),
+    )
+
+
+def sql_stream_attribution() -> str:
+    return """SELECT v.user_id, v.event_id AS view_id,
+  p.event_id AS purchase_id,
+  epoch_us(v.ts) AS view_us, epoch_us(p.ts) AS purchase_us,
+  CAST(round(p.value * 100) AS BIGINT) AS purchase_cents
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"""
+
+
 QUERIES = {
+    "stream_attribution": (q_stream_attribution, sql_stream_attribution),
     "er_resolution": (q_er_resolution, sql_er_resolution),
     "priority_sample": (q_priority_sample, sql_priority_sample),
     "corpus_divergence": (q_corpus_divergence, sql_corpus_divergence),

@@ -328,3 +328,50 @@ def stream_scd2(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_view_purchase_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER interval join — purchase attribution: every
+    (view, purchase) pair for the same user where the view happened in
+    the ``window`` before (or at) the purchase.
+
+    Both sides carry event-time watermarks and the join condition bounds
+    view_ts relative to purchase_ts, so Spark derives state-cleanup
+    watermarks for BOTH buffers: a buffered view is dropped once no
+    future purchase can reach back to it (window + watermark), and vice
+    versa — state stays proportional to the window, not the stream.
+    This is the canonical unbounded-join-made-bounded pattern; at
+    production scale the state store shards by the join key (user), so
+    the operator scales out with executors.
+    """
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return v.join(
+        p,
+        F.expr(
+            f"user_id = p_user AND "
+            f"view_ts BETWEEN purchase_ts - INTERVAL {window} AND purchase_ts"
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -82,3 +82,47 @@ def test_fold_batch_retry_reads_earlier_snapshot(spark, tmp_path):
     }
     assert first == again
     assert {c for _, c in again} == {1}  # 1-2-3-4 all one component
+
+
+def test_stream_stream_interval_join_boundaries(spark, tmp_path):
+    """The watermarked stream-stream interval join emits exactly the
+    batch-join pairs; window boundaries are inclusive at both ends of
+    [purchase - 1h, purchase]."""
+    from datetime import datetime
+
+    from nexus_forge_spark.streaming.stream_pipeline import (
+        streaming_view_purchase_join,
+    )
+
+    rows = [
+        # purchase at 13:00; views at exactly -60min (IN), -61min (OUT),
+        # 0min (IN, same instant), +1min (OUT, after purchase)
+        (1, datetime(2024, 1, 1, 13, 0, 0), 10, "purchase", 5.0, ""),
+        (2, datetime(2024, 1, 1, 12, 0, 0), 10, "view", 0.0, ""),
+        (3, datetime(2024, 1, 1, 11, 59, 0), 10, "view", 0.0, ""),
+        (4, datetime(2024, 1, 1, 13, 0, 0), 10, "view", 0.0, ""),
+        (5, datetime(2024, 1, 1, 13, 1, 0), 10, "view", 0.0, ""),
+        # different user inside the window -> no match
+        (6, datetime(2024, 1, 1, 12, 30, 0), 11, "view", 0.0, ""),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    inp = str(tmp_path / "ev")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(inp)
+
+    ev = spark.readStream.schema(schema).parquet(inp)
+    joined = streaming_view_purchase_join(
+        ev.where("event_type = 'view'"),
+        ev.where("event_type = 'purchase'"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.view_id, r.purchase_id)
+           for r in spark.table("ssj_test").collect()}
+    assert got == {(2, 1), (4, 1)}
