@@ -4183,10 +4183,14 @@ SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS INT) AS dist
 FROM walk GROUP BY node"""
 
 
+INTERVAL_PAD_US = 4 * 3_600_000_000  # sessions attribute 4h forward
+
+
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval/range join without a range predicate reaching the planner:
-    per-user view-sessions x purchase-sessions that overlap in time, via
-    the bucketed-interval equi-join (operators/events.py
+    per-user view-sessions x purchase-sessions whose 4h-padded spans
+    overlap (purchase begins within 4h of a view session), via the
+    bucketed-interval equi-join (operators/events.py
     interval_overlap_join) — (user, hour-bucket) hash join + post-filter
     + exact-once first-common-bucket guard.  The DuckDB oracle runs the
     naive inequality join; matching hashes prove the bucketed plan loses
@@ -4199,9 +4203,16 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
 
     def sessions(etype: str) -> DataFrame:
-        return session_stats(
-            ev.where(F.col("event_type") == etype), gap_seconds=SESSION_GAP_S
-        ).select("user_id", "session_idx", "start_us", "end_us")
+        return (
+            session_stats(
+                ev.where(F.col("event_type") == etype),
+                gap_seconds=SESSION_GAP_S,
+            )
+            .select("user_id", "session_idx", "start_us", "end_us")
+            .withColumn(
+                "end_us", F.col("end_us") + F.lit(INTERVAL_PAD_US)
+            )
+        )
 
     out = interval_overlap_join(
         sessions("view"), sessions("purchase"), "user_id",
@@ -4239,7 +4250,7 @@ sess AS (
 ),
 roll AS (
   SELECT user_id, event_type, CAST(session_idx AS BIGINT) AS session_idx,
-         min(us) AS start_us, max(us) AS end_us
+         min(us) AS start_us, max(us) + {INTERVAL_PAD_US} AS end_us
   FROM sess GROUP BY user_id, event_type, session_idx
 )
 SELECT v.user_id, v.session_idx AS view_idx, p.session_idx AS purchase_idx,
