@@ -720,3 +720,50 @@ def semantic_decontaminate(
         .join(hits, F.col(id_col) == F.col("cid"), "left")
         .select(id_col, F.col("_hit").isNotNull().alias("contaminated"))
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    ``fused(d) = sum over rankings r of scale div (k + rank_r(d))`` — the
+    calibration-free way to combine retrievers whose scores live on
+    incomparable scales (BM25 micro-units vs cosine), which is why
+    hybrid lexical+dense retrieval defaults to it.  Integer truncating
+    division keeps both engines bit-identical.
+
+    Inputs are DataFrames with (id_col, rank), rank 1-based, typically
+    each retriever's top-n.  Output: one row per item seen by ANY
+    retriever with ``rrf_micro``, ``n_lists`` (how many retrievers
+    surfaced it), and per-input ``rank_<i>`` columns (NULL when that
+    retriever missed it).
+
+    Scale posture: the union+groupBy runs over the CONCATENATED TOP-N
+    LISTS (per-query-bounded, not corpus-bounded), with map-side partial
+    combine — fusing 1000 retriever outputs of 100 rows each is a
+    100k-row aggregate regardless of corpus size.
+    """
+    from functools import reduce
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    tagged = [
+        r.select(
+            F.col(id_col),
+            F.lit(i).alias("__src"),
+            F.col("rank").cast("long").alias("__rank"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    aggs = [
+        F.sum(F.expr(f"{scale} div ({k} + __rank)")).alias("rrf_micro"),
+        F.count(F.lit(1)).alias("n_lists"),
+    ] + [
+        F.min(F.when(F.col("__src") == i, F.col("__rank"))).alias(f"rank_{i}")
+        for i in range(len(tagged))
+    ]
+    return u.groupBy(id_col).agg(*aggs)

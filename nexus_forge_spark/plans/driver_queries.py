@@ -7092,7 +7092,124 @@ FROM events v JOIN events p
  AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"""
 
 
+HYBRID_TOPN = 20
+HYBRID_DENSE_QUERY = 0
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval (operators/similarity.py rrf_fuse): three
+    retrievers' top-20 lists — BM25, raw query-term frequency (both
+    lexical, genuinely overlapping, so list consensus is exercised), and
+    dense cosine (query vector = embedding 0, the 1:1-aligned id space)
+    — fused by reciprocal rank fusion, the calibration-free score
+    combiner hybrid RAG retrieval defaults to.  Fusion is a
+    map-side-combined aggregate over the concatenated top-n lists (never
+    the corpus); integer div keeps engines bit-identical."""
+    from pyspark.sql import Window
+
+    from nexus_forge_spark.operators.similarity import cosine_topk, rrf_fuse
+    from nexus_forge_spark.operators.text import bm25_scores, tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    rank_w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+
+    def topn(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("rank", F.row_number().over(rank_w))
+            .where(F.col("rank") <= HYBRID_TOPN)
+            .select("doc_id", "rank")
+        )
+
+    lex = topn(
+        bm25_scores(docs, BM25_TERMS, k1=BM25_K1, b=BM25_B).select(
+            "doc_id", F.col("score_micro").alias("score")
+        )
+    )
+    tf = topn(
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .where(F.col("t").isin(BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    dense = (
+        cosine_topk(
+            emb, [HYBRID_DENSE_QUERY], k=HYBRID_TOPN, round_digits=3
+        )
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    fused = rrf_fuse([lex, tf, dense], id_col="doc_id")
+    return fused.select(
+        "doc_id",
+        F.col("rrf_micro").cast("long").alias("rrf_micro"),
+        F.col("n_lists").cast("long").alias("n_lists"),
+        F.col("rank_0").cast("long").alias("rank_lex"),
+        F.col("rank_1").cast("long").alias("rank_tf"),
+        F.col("rank_2").cast("long").alias("rank_dense"),
+    )
+
+
+def sql_hybrid_rrf() -> str:
+    n, qid = HYBRID_TOPN, HYBRID_DENSE_QUERY
+    terms_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""WITH bm25 AS ({sql_bm25_search()}),
+lex AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, CAST(row_number() OVER (
+      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+    FROM bm25
+  ) WHERE rank <= {n}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+    round(
+      list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+      (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))) *
+       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])))),
+    3) AS score
+  FROM q, embeddings e WHERE e.vec_id <> {qid}
+),
+dense AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, CAST(row_number() OVER (
+      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM scored
+  ) WHERE rank <= {n}
+),
+tfreq AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, CAST(row_number() OVER (
+      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS score FROM (
+        SELECT doc_id,
+          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+        FROM documents
+      ) WHERE t IN ({terms_list})
+      GROUP BY doc_id
+    )
+  ) WHERE rank <= {n}
+),
+u AS (
+  SELECT doc_id, 0 AS src, rank FROM lex
+  UNION ALL
+  SELECT doc_id, 1 AS src, rank FROM tfreq
+  UNION ALL
+  SELECT doc_id, 2 AS src, rank FROM dense
+)
+SELECT doc_id,
+  CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro,
+  CAST(count(*) AS BIGINT) AS n_lists,
+  CAST(min(CASE WHEN src = 0 THEN rank END) AS BIGINT) AS rank_lex,
+  CAST(min(CASE WHEN src = 1 THEN rank END) AS BIGINT) AS rank_tf,
+  CAST(min(CASE WHEN src = 2 THEN rank END) AS BIGINT) AS rank_dense
+FROM u GROUP BY doc_id"""
+
+
 QUERIES = {
+    "hybrid_rrf_search": (q_hybrid_rrf, sql_hybrid_rrf),
     "stream_attribution": (q_stream_attribution, sql_stream_attribution),
     "er_resolution": (q_er_resolution, sql_er_resolution),
     "priority_sample": (q_priority_sample, sql_priority_sample),

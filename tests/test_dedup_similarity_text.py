@@ -570,3 +570,21 @@ def test_ngram_novelty_within_doc_repeat_not_shared(spark):
     out = ngram_novelty(df, k=2).collect()[0]
     assert out.n_shingles == 2  # grams "a b","b a","a b" -> distinct {ab, ba}
     assert out.novelty_ppm == 1_000_000
+
+
+def test_rrf_fuse_math_and_misses(spark):
+    """RRF: integer truncating contributions, per-list ranks, NULL for
+    retrievers that missed the item."""
+    from nexus_forge_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rank int")
+    out = {r.doc_id: r for r in rrf_fuse([a, b]).collect()}
+    M = 1_000_000
+    assert out[3].rrf_micro == M // 63 + M // 61
+    assert out[3].n_lists == 2 and out[3].rank_0 == 3 and out[3].rank_1 == 1
+    assert out[1].rrf_micro == M // 61
+    assert out[1].n_lists == 1 and out[1].rank_1 is None
+    assert out[4].rrf_micro == M // 62 and out[4].rank_0 is None
+    # consensus item outranks every single-list item here
+    assert out[3].rrf_micro > max(out[1].rrf_micro, out[4].rrf_micro)
