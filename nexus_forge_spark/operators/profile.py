@@ -389,6 +389,10 @@ def token_divergence(
         F.sum((F.col("__side") == left).cast("long")).alias("c_left"),
         F.sum((F.col("__side") == right).cast("long")).alias("c_right"),
     )
+    # counts feeds BOTH the totals branch and the scored output; without
+    # pinning it, Catalyst re-derives each consumer from the scan and the
+    # corpus is tokenized+aggregated TWICE (verified in test_plan_health)
+    counts = counts.localCheckpoint(eager=False)
     totals = counts.agg(
         F.greatest(F.sum("c_left"), F.lit(1)).cast("long").alias("n_left"),
         F.greatest(F.sum("c_right"), F.lit(1)).cast("long").alias("n_right"),

@@ -554,3 +554,53 @@ def test_star_join_broadcasts_dims_and_pushes_date_filter(spark, sf01):
     # the order-date range reaches the parquet scan
     assert "PushedFilters:" in plan
     assert "o_orderdate" in plan.split("PushedFilters:", 1)[1][:500]
+
+
+def test_priority_sample_is_takeordered(spark, sf01):
+    """The corpus pass must be a partial top-k (TakeOrderedAndProject),
+    never a global sort, and the estimator join a broadcast."""
+    from nexus_forge_spark.plans.driver_queries import q_priority_sample
+
+    plan = plan_of(q_priority_sample(spark, sf01))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the k+1-row stats side attaches broadcast (crossJoin of a 1-row agg
+    # plans as BroadcastNestedLoopJoin — bounded by k, fine); the corpus
+    # itself must not sort-exchange
+    assert plan.count("Sort ") <= 2  # only the tiny candidate-set window
+
+
+def test_er_resolution_no_cartesian_blocked_candidates(spark, sf01):
+    """End-to-end ER: candidate generation stays a banded equi-join —
+    no cartesian/nested-loop blowup anywhere in the composed plan."""
+    from nexus_forge_spark.plans.driver_queries import q_er_resolution
+
+    plan = plan_of(q_er_resolution(spark, sf01))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hybrid_rrf_fusion_is_aggregate_not_join(spark, sf01):
+    """RRF fuses by union+groupBy over top-n lists with map-side partial
+    aggregation — no join between the retriever outputs."""
+    from nexus_forge_spark.plans.driver_queries import q_hybrid_rrf
+
+    plan = plan_of(q_hybrid_rrf(spark, sf01))
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+    assert "HashAggregate" in plan
+
+
+def test_token_divergence_single_token_aggregate(spark, sf01):
+    """Both sides' counts ride ONE token aggregate (conditional sums) —
+    the plan must not scan or aggregate the corpus twice."""
+    from nexus_forge_spark.plans.driver_queries import q_corpus_divergence
+
+    plan = plan_of(q_corpus_divergence(spark, sf01))
+    # the tokenize+aggregate subtree is pinned by localCheckpoint; both
+    # consumers (totals + scored) read the SAME materialized counts — the
+    # outer plan has NO parquet scan (it lives once, inside the pin) and
+    # two ExistingRDD readers of it
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "TakeOrderedAndProject" in plan  # top-50 movers, no global sort
