@@ -117,3 +117,67 @@ def kmeans_train(
         cents = new
     final = assign_clusters(pts, cents).select("vid", "cid", "dist")
     return cents, final
+
+
+def kcenter_select(
+    points: DataFrame, k: int, dim: int
+) -> tuple[list[int], DataFrame]:
+    """Greedy farthest-point k-center selection (Gonzalez 1985, the
+    classic 2-approximation) — the diversity-maximizing coreset selector
+    a curation pipeline uses to pick k maximally-spread exemplars
+    (dedup-aware eval seeds, diverse few-shot pools, cluster seeds).
+
+    Seed = lowest vid; each round selects the point with the LARGEST
+    min-distance to the already-selected set (squared L2 over the
+    quantized BIGINT vectors — exact integers, ties -> min vid) and
+    every point's running (dmin, nearest-center) pair folds in the new
+    center with a strictly-less compare, so on distance ties the
+    EARLIER-selected center keeps the point (the rule the oracle
+    replays).
+
+    Scale posture: the running min-dist is localCheckpointed each round,
+    so round r is ONE map-side projection against the single newest
+    center (never a k-way cross join or a rescan of all centers) plus a
+    1-row TakeOrdered argmax — O(k) linear passes, distances unrolled
+    per-dim into one codegen expression.
+
+    Returns (selected vids in order, assignment DF (vid, center_vid,
+    dist)).
+    """
+    pts = points.localCheckpoint(eager=True)
+    seed = pts.orderBy("vid").limit(1).collect()
+    if not seed:
+        raise ValueError("kcenter_select: empty input")
+
+    def sqdist(c: list[int]):
+        terms = None
+        for d in range(dim):
+            t = (F.col("qv")[d] - F.lit(int(c[d]))) * (
+                F.col("qv")[d] - F.lit(int(c[d]))
+            )
+            terms = t if terms is None else terms + t
+        return terms.cast("long")
+
+    selected = [int(seed[0]["vid"])]
+    cur = pts.select(
+        "vid",
+        "qv",
+        sqdist(list(seed[0]["qv"])).alias("dmin"),
+        F.lit(selected[0]).cast("long").alias("cvid"),
+    ).localCheckpoint(eager=True)
+    for _ in range(k - 1):
+        far = cur.orderBy(F.col("dmin").desc(), "vid").limit(1).collect()[0]
+        c_vid = int(far["vid"])
+        selected.append(c_vid)
+        dnew = sqdist(list(far["qv"]))
+        cur = cur.select(
+            "vid",
+            "qv",
+            F.when(dnew < F.col("dmin"), dnew)
+            .otherwise(F.col("dmin"))
+            .alias("dmin"),
+            F.when(dnew < F.col("dmin"), F.lit(c_vid).cast("long"))
+            .otherwise(F.col("cvid"))
+            .alias("cvid"),
+        ).localCheckpoint(eager=True)
+    return selected, cur.select("vid", F.col("cvid").alias("center_vid"), F.col("dmin").alias("dist"))

@@ -145,3 +145,81 @@ def blocking_metrics(
         .cast("long")
         .alias("pair_completeness_ppm"),
     )
+
+
+def align_releases(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "entity_id",
+    label_col: str = "label",
+    threshold_milli: int = 500,
+) -> DataFrame:
+    """KB release alignment / rename detection: when entity ids are NOT
+    stable across two ontology releases, align the releases by label.
+
+    Labels present in both releases (exact lower-cased match) are stable
+    and drop out via anti-joins; the REMOVED x ADDED remainder is matched
+    by character-trigram Jaccard — candidates come from an equi-join on
+    shared grams (a pair with zero shared trigrams can't clear any useful
+    threshold, so the gram join is a lossless block for it), and because
+    each side's gram set is distinct, counting joined rows per pair IS
+    the intersection size — the block and the verification are the same
+    join.  sim_milli = inter * 1000 div (|A| + |B| - inter), integer.
+    Output: best new-label match per removed entity (max sim, min new id
+    tie-break) at sim >= threshold_milli: (old_id, old_label, new_id,
+    new_label, sim_milli).
+
+    Scale posture: two anti-joins on the label + one gram equi-join
+    (short keys, shuffle-partitioned) + one pair-count aggregate + one
+    per-old-entity min_by election — no label cross product anywhere; at
+    10^6-term releases the gram join's hot grams can be salted exactly
+    like resolve_ladder_blocked.
+    """
+    from nexus_forge_spark.operators.resolve import trigrams
+
+    lo = old.select(
+        F.col(id_col).alias("old_id"),
+        F.lower(F.col(label_col)).alias("old_label"),
+    )
+    ln = new.select(
+        F.col(id_col).alias("new_id"),
+        F.lower(F.col(label_col)).alias("new_label"),
+    )
+    removed = lo.join(
+        ln, lo.old_label == ln.new_label, "left_anti"
+    ).withColumn("na", F.size(trigrams(F.col("old_label"))))
+    added = ln.join(
+        lo, ln.new_label == lo.old_label, "left_anti"
+    ).withColumn("nb", F.size(trigrams(F.col("new_label"))))
+    og = removed.withColumn("g", F.explode(trigrams(F.col("old_label"))))
+    ng = added.withColumn("g", F.explode(trigrams(F.col("new_label"))))
+    pairs = (
+        og.join(ng, "g")
+        .groupBy("old_id", "old_label", "na", "new_id", "new_label", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "sim_milli",
+            F.expr("inter * 1000 div (na + nb - inter)").cast("long"),
+        )
+        .where(F.col("sim_milli") >= threshold_milli)
+    )
+    return (
+        pairs.groupBy("old_id", "old_label")
+        .agg(
+            F.max("sim_milli").alias("sim_milli"),
+            F.min_by(
+                F.struct("new_id", "new_label"),
+                F.struct(
+                    (-F.col("sim_milli")).alias("ns"),
+                    F.col("new_id").alias("nid"),
+                ),
+            ).alias("best"),
+        )
+        .select(
+            "old_id",
+            "old_label",
+            F.col("best.new_id").alias("new_id"),
+            F.col("best.new_label").alias("new_label"),
+            F.col("sim_milli").cast("long").alias("sim_milli"),
+        )
+    )

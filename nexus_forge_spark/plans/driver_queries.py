@@ -7208,7 +7208,201 @@ SELECT doc_id,
 FROM u GROUP BY doc_id"""
 
 
+def q_ontology_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KB release alignment / rename detection (operators/er.py
+    align_releases): release B of a term dictionary (part names standing
+    in for ontology labels) re-ids every entity, renames every 3rd term
+    (first word dropped) and deletes some others; stable labels cancel
+    via anti-joins and the removed x added remainder aligns by trigram
+    Jaccard — the gram equi-join IS both the block and the intersection
+    count.  The maintenance query every curated-KB pipeline runs when an
+    upstream vocabulary ships a new version with unstable ids."""
+    from nexus_forge_spark.operators.er import align_releases
+
+    part = load_table(spark, "part", sf_dir)
+    # ontology-style unique labels: name + accession tail, GO/CHEBI style
+    term = F.concat(F.lit(" (term:"), F.col("p_partkey").cast("string"), F.lit(")"))
+    old = part.select(
+        F.col("p_partkey").cast("long").alias("entity_id"),
+        F.concat(F.col("p_name"), term).alias("label"),
+    )
+    new = (
+        part.where((F.col("p_partkey") % 3 == 0) | (F.col("p_partkey") % 7 != 0))
+        .select(
+            (F.col("p_partkey") + 500000).cast("long").alias("entity_id"),
+            F.concat(
+                F.when(
+                    F.col("p_partkey") % 3 == 0,
+                    F.regexp_replace(F.col("p_name"), r"^\S+\s*", ""),
+                ).otherwise(F.col("p_name")),
+                term,
+            ).alias("label"),
+        )
+    )
+    # 640 splits measured sims cleanly at sf0.01: true renames >= 647,
+    # best false matches <= 636 — detection recovers exactly the renames
+    return align_releases(old, new, threshold_milli=640)
+
+
+def sql_ontology_align() -> str:
+    tri = (
+        "CASE WHEN len({l}) >= 3 THEN "
+        "list_distinct([substr({l}, i, 3) FOR i IN range(1, len({l}) - 1)]) "
+        "ELSE [{l}] END"
+    )
+    return f"""WITH rel_old AS (
+  SELECT CAST(p_partkey AS BIGINT) AS old_id,
+         lower(p_name || ' (term:' || p_partkey || ')') AS old_label
+  FROM part
+),
+rel_new AS (
+  SELECT CAST(p_partkey + 500000 AS BIGINT) AS new_id,
+    lower(CASE WHEN p_partkey % 3 = 0
+               THEN regexp_replace(p_name, '^\\S+\\s*', '')
+               ELSE p_name END || ' (term:' || p_partkey || ')') AS new_label
+  FROM part WHERE p_partkey % 3 = 0 OR p_partkey % 7 <> 0
+),
+removed AS (
+  SELECT o.*, len({tri.format(l='o.old_label')}) AS na,
+         {tri.format(l='o.old_label')} AS ga
+  FROM rel_old o LEFT JOIN rel_new n ON o.old_label = n.new_label
+  WHERE n.new_label IS NULL
+),
+added AS (
+  SELECT n.*, len({tri.format(l='n.new_label')}) AS nb,
+         {tri.format(l='n.new_label')} AS gb
+  FROM rel_new n LEFT JOIN rel_old o ON n.new_label = o.old_label
+  WHERE o.old_label IS NULL
+),
+og AS (SELECT old_id, old_label, na, unnest(ga) AS g FROM removed),
+ng AS (SELECT new_id, new_label, nb, unnest(gb) AS g FROM added),
+pairs AS (
+  SELECT old_id, old_label, na, new_id, new_label, nb,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM og JOIN ng USING (g)
+  GROUP BY old_id, old_label, na, new_id, new_label, nb
+),
+scored AS (
+  SELECT *, CAST(inter * 1000 // (na + nb - inter) AS BIGINT) AS sim_milli
+  FROM pairs
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY old_id ORDER BY sim_milli DESC, new_id) AS rn
+  FROM scored WHERE sim_milli >= 640
+)
+SELECT old_id, old_label, new_id, new_label, sim_milli
+FROM ranked WHERE rn = 1"""
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (returnflag, shipmode): all four grouping sets —
+    cells, both one-dimension marginals, grand total — with GROUPING
+    flags, integral e4 revenue.  Complements the ROLLUP row: CUBE's
+    cross-marginals (per-shipmode totals across flags) are the pivot-
+    table ask ROLLUP's prefix hierarchy cannot produce.  Still ONE
+    Expand + one map-side-combined hash aggregate."""
+    li = load_table(spark, "lineitem", sf_dir).withColumn(
+        "ship_month", F.month("l_shipdate").cast("int")
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.cube("l_returnflag", "ship_month")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("ship_month").cast("int").alias("g_month"),
+            F.sum(price_c * (F.lit(100) - disc_c)).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "l_returnflag", "ship_month", "g_flag", "g_month",
+            "revenue_e4", "n_items",
+        )
+    )
+
+
+def sql_cube_revenue() -> str:
+    return """SELECT l_returnflag, CAST(month(l_shipdate) AS INT) AS ship_month,
+  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+  CAST(GROUPING(month(l_shipdate)) AS INT) AS g_month,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4,
+  count(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, month(l_shipdate))"""
+
+
+_KC_K = 6
+
+
+def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-point k-center coreset selection
+    (operators/clustering.py kcenter_select, Gonzalez 1985): 6 maximally
+    spread exemplar vectors + every point's (nearest exemplar, exact
+    integer squared-L2).  Each round is one map-side fold of the single
+    newest center into the running min-dist (localCheckpointed — no
+    center rescans, no cross join) + a 1-row TakeOrdered argmax.  The
+    oracle unrolls all 6 rounds, so hash equality pins the entire greedy
+    trajectory including tie-breaks."""
+    from nexus_forge_spark.operators.clustering import (
+        kcenter_select,
+        quantize_vectors,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    _, assign = kcenter_select(quantize_vectors(emb), _KC_K, _KM_DIM)
+    return assign.select(
+        F.col("vid").cast("long").alias("vec_id"),
+        F.col("center_vid").cast("long").alias("center_vid"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def sql_kcenter() -> str:
+    dn = (
+        "CAST(list_sum(list_transform(list_zip(d.qv, s.qv), "
+        "z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)"
+    )
+    parts = [
+        """pts AS MATERIALIZED (
+  SELECT vec_id AS vid,
+         list_transform(embedding,
+           x -> CAST(floor((CAST(x AS DOUBLE) + 2.0) * 1000) AS BIGINT)) AS qv
+  FROM embeddings)""",
+        "s1 AS MATERIALIZED (SELECT vid, qv FROM pts ORDER BY vid LIMIT 1)",
+        f"""d1 AS MATERIALIZED (
+  SELECT d.vid, d.qv, {dn} AS dmin, s.vid AS cvid
+  FROM pts d CROSS JOIN s1 s)""",
+    ]
+    for i in range(2, _KC_K + 1):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT vid, qv FROM d{i - 1} ORDER BY dmin DESC, vid LIMIT 1)"""
+        )
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT vid, qv,
+    CASE WHEN dn < dmin THEN dn ELSE dmin END AS dmin,
+    CASE WHEN dn < dmin THEN svid ELSE cvid END AS cvid
+  FROM (
+    SELECT d.vid, d.qv, d.dmin, d.cvid, s.vid AS svid, {dn} AS dn
+    FROM d{i - 1} d CROSS JOIN s{i} s))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(vid AS BIGINT) AS vec_id, CAST(cvid AS BIGINT) AS center_vid,
+       CAST(dmin AS BIGINT) AS dist
+FROM d{_KC_K}"""
+    )
+
+
 QUERIES = {
+    "kcenter_coreset": (q_kcenter, sql_kcenter),
+    "cube_revenue": (q_cube_revenue, sql_cube_revenue),
+    "ontology_align": (q_ontology_align, sql_ontology_align),
     "hybrid_rrf_search": (q_hybrid_rrf, sql_hybrid_rrf),
     "stream_attribution": (q_stream_attribution, sql_stream_attribution),
     "er_resolution": (q_er_resolution, sql_er_resolution),

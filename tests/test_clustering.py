@@ -105,3 +105,60 @@ def test_assignment_is_arrow_batched_not_per_row(spark):
     )
     assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
     assert "BatchEvalPython" not in plan
+
+
+def test_kcenter_greedy_trajectory_and_assignment(spark):
+    """Hand-checkable greedy farthest-point run: selection order, strict
+    '<' tie rule (earlier center keeps the point), exact integer dists."""
+    from nexus_forge_spark.operators.clustering import kcenter_select
+
+    pts = spark.createDataFrame(
+        [(1, [0, 0]), (2, [1, 0]), (3, [10, 0]), (4, [11, 0]), (5, [20, 0])],
+        "vid long, qv array<long>",
+    )
+    selected, assign = kcenter_select(pts, k=3, dim=2)
+    # seed = lowest vid (1, at 0); farthest = 20 (vid 5); then 10 (vid 3):
+    # min-dists to {0,20}: p2=1, p3=100, p4=81 -> argmax p3
+    assert selected == [1, 5, 3]
+    got = {r.vid: (r.center_vid, r.dist) for r in assign.collect()}
+    assert got == {
+        1: (1, 0),
+        2: (1, 1),      # 1 vs 81 to center 3 -> stays with seed
+        3: (3, 0),
+        4: (3, 1),
+        5: (5, 0),
+    }
+
+
+def test_kcenter_matches_pure_python_random(spark):
+    """Randomized differential vs a literal python replay of the rule."""
+    import random
+
+    from nexus_forge_spark.operators.clustering import kcenter_select
+
+    rng = random.Random(7)
+    rows = [(i, [rng.randrange(0, 100) for _ in range(4)]) for i in range(60)]
+    k = 5
+
+    def replay():
+        sel = [min(r[0] for r in rows)]
+        byid = dict(rows)
+
+        def sq(a, b):
+            return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+        st = {i: (sq(v, byid[sel[0]]), sel[0]) for i, v in rows}
+        for _ in range(k - 1):
+            far = max(st.items(), key=lambda kv: (kv[1][0], -kv[0]))[0]
+            sel.append(far)
+            for i, v in rows:
+                dn = sq(v, byid[far])
+                if dn < st[i][0]:
+                    st[i] = (dn, far)
+        return sel, {i: (c, d) for i, (d, c) in st.items()}
+
+    exp_sel, exp_assign = replay()
+    df = spark.createDataFrame(rows, "vid long, qv array<long>")
+    selected, assign = kcenter_select(df, k=k, dim=4)
+    assert selected == exp_sel
+    assert {r.vid: (r.center_vid, r.dist) for r in assign.collect()} == exp_assign

@@ -206,3 +206,42 @@ def test_er_resolution_composition(spark, sf_dir):
     assert all((c, "source") in seen and (c, "lang") in seen for c in clusters)
     # at least one multi-member cluster exists (mutant docs pair up)
     assert any(r.n_members >= 2 for r in out)
+
+
+def test_align_releases_rename_detection(spark):
+    from nexus_forge_spark.operators.er import align_releases
+
+    def tri(s):
+        s = s.lower()
+        return set(s[i:i + 3] for i in range(len(s) - 2)) if len(s) >= 3 else {s}
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "stable name")],
+        "entity_id long, label string",
+    )
+    new = spark.createDataFrame(
+        [(11, "beta gamma"), (12, "stable name"), (13, "zzz qqq vvv")],
+        "entity_id long, label string",
+    )
+    out = {r.old_id: r for r in align_releases(old, new).collect()}
+    # stable label cancels: old 3 never appears
+    assert 3 not in out
+    # rename detected with the exact integer trigram-jaccard score
+    a, b = tri("alpha beta gamma"), tri("beta gamma")
+    expected = len(a & b) * 1000 // len(a | b)
+    assert expected >= 500
+    assert out[1].new_id == 11 and out[1].sim_milli == expected
+    # dissimilar removed label has no match above threshold
+    assert 2 not in out
+
+
+def test_align_releases_best_match_tiebreak(spark):
+    from nexus_forge_spark.operators.er import align_releases
+
+    old = spark.createDataFrame([(1, "abcdef")], "entity_id long, label string")
+    # two identical-similarity candidates -> min new_id wins
+    new = spark.createDataFrame(
+        [(20, "abcdefg"), (10, "abcdefg")], "entity_id long, label string"
+    )
+    out = align_releases(old, new).collect()
+    assert len(out) == 1 and out[0].new_id == 10
