@@ -376,3 +376,41 @@ def event_transition_matrix(
         "n",
         F.sum("n").over(wt).cast("long").alias("row_total"),
     ).withColumn("prob_ppm", F.expr("n * 1000000 div row_total").cast("long"))
+
+
+def decayed_sum(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    qty_col: str,
+    ref_date: str,
+    half_life_days: int,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Recency-weighted aggregation with ENGINE-EXACT exponential decay:
+    weight = 2^scale_bits >> (age_days div half_life_days) — the decay
+    ladder is integer bit-shifts of an integer scale, so Spark and DuckDB
+    agree bit-for-bit where float pow(0.5, age/hl) never would.  This is
+    the feature-store / recsys "decayed popularity" primitive: recent
+    interactions count full scale, each elapsed half-life halves them.
+
+    Steps clamp to [0, 62] (past 62 the BIGINT weight is 0 anyway).
+    Output per key: decayed_score (sum qty*weight), raw_qty, n_rows.
+    Scale posture: one map-side weight projection + one partial-combined
+    hash aggregate on the key — the decay needs no window, no state, no
+    per-key history."""
+    w = F.expr(
+        f"shiftright(CAST({1 << scale_bits} AS BIGINT), "
+        f"CAST(greatest(0, least(datediff(DATE'{ref_date}', "
+        f"CAST({ts_col} AS DATE)) div {half_life_days}, 62)) AS INT))"
+    )
+    qty = F.round(F.col(qty_col)).cast("long")
+    return (
+        df.withColumn("__w", w)
+        .groupBy(*key_cols)
+        .agg(
+            F.sum(qty * F.col("__w")).alias("decayed_score"),
+            F.sum(qty).alias("raw_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

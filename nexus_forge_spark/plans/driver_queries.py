@@ -7399,7 +7399,55 @@ FROM d{_KC_K}"""
     )
 
 
+_DECAY_REF, _DECAY_HL = "2001-09-01", 182
+
+
+def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted part popularity (operators/events.py
+    decayed_sum): per-part quantity where each elapsed 26-week half-life
+    HALVES the contribution — weight = 2^20 >> (age div 182), an integer
+    bit-shift ladder both engines compute bit-identically (float
+    pow(0.5, age/hl) never would).  One orderkey join + one map-side
+    weight projection + one partial-combined part aggregate — no window,
+    no per-key history."""
+    from nexus_forge_spark.operators.events import decayed_sum
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    facts = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return decayed_sum(
+        facts,
+        ts_col="o_orderdate",
+        key_cols=["l_partkey"],
+        qty_col="l_quantity",
+        ref_date=_DECAY_REF,
+        half_life_days=_DECAY_HL,
+    ).select(
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+        F.col("decayed_score").cast("long").alias("decayed_score"),
+        F.col("raw_qty").cast("long").alias("raw_qty"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+def sql_decayed_popularity() -> str:
+    return f"""SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+  CAST(sum(CAST(round(l_quantity) AS BIGINT) *
+    (1048576 >> greatest(0, least(
+       datediff('day', CAST(o_orderdate AS DATE), DATE '{_DECAY_REF}')
+       // {_DECAY_HL}, 62)))) AS BIGINT) AS decayed_score,
+  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS raw_qty,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_partkey"""
+
+
 QUERIES = {
+    "decayed_popularity": (q_decayed_popularity, sql_decayed_popularity),
     "kcenter_coreset": (q_kcenter, sql_kcenter),
     "cube_revenue": (q_cube_revenue, sql_cube_revenue),
     "ontology_align": (q_ontology_align, sql_ontology_align),

@@ -358,3 +358,32 @@ def test_event_transition_ts_tie_breaks_on_event_id(spark):
         ).collect()
     }
     assert out == {("a", "b"), ("b", "c")}
+
+
+def test_decayed_sum_halving_boundaries(spark):
+    """Weight halves exactly at each half-life boundary; day half_life-1
+    still carries full scale (integer div semantics)."""
+    from pyspark.sql import functions as F
+
+    from nexus_forge_spark.operators.events import decayed_sum
+
+    rows = [
+        (1, "2024-06-30", 1.0),   # age 0d   -> steps 0 -> w 1048576
+        (2, "2024-06-24", 1.0),   # age 6d   -> steps 0 (hl=7)
+        (3, "2024-06-23", 1.0),   # age 7d   -> steps 1 -> w 524288
+        (4, "2024-06-09", 1.0),   # age 21d  -> steps 3 -> w 131072
+        (5, "2000-01-01", 2.0),   # ancient  -> steps clamp 62 -> w 0
+    ]
+    df = spark.createDataFrame(rows, "k long, ts string, qty double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.k: (r.decayed_score, r.raw_qty)
+        for r in decayed_sum(
+            df, "ts", ["k"], "qty", ref_date="2024-06-30", half_life_days=7
+        ).collect()
+    }
+    assert out[1] == (1048576, 1)
+    assert out[2] == (1048576, 1)
+    assert out[3] == (524288, 1)
+    assert out[4] == (131072, 1)
+    assert out[5] == (0, 2)
