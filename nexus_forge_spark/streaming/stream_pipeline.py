@@ -375,3 +375,33 @@ def streaming_view_purchase_join(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def streaming_sliding_counts(
+    events_stream: DataFrame,
+    window: str = "6 hours",
+    slide: str = "2 hours",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked SLIDING-window aggregation: each event contributes to
+    window/slide overlapping windows (epoch-aligned starts), the
+    monitoring shape ("counts over the last 6h, refreshed every 2h")
+    tumbling windows cannot express.  State is one row per (open window,
+    type); the watermark evicts windows whose end falls behind event
+    time."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
