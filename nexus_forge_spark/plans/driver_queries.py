@@ -7516,7 +7516,71 @@ WHERE us >= wstart AND us < wstart + {win_us}
 GROUP BY wstart, event_type"""
 
 
+_HLLW_SLIDE_US = _SLIDE_STEP_H * 3_600_000_000
+_HLLW_WIN_US = _SLIDE_WIN_H * 3_600_000_000
+
+
+def q_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DISTINCT-user estimation via HLL register
+    mergeability (operators/sketches.py): the raw events hash into
+    per-2h-bucket registers ONCE; each 6h window then merges its 3
+    buckets' registers (max rho — associative), so overlapping windows
+    never rescan events.  At 100 TB this is THE way to serve 'distinct
+    users per sliding window': per-window state is 2^p registers and the
+    raw stream is touched once regardless of overlap factor.  The oracle
+    computes each window's sketch directly from events — hash equality
+    PROVES merge-then-estimate == estimate-of-union."""
+    from nexus_forge_spark.operators import sketches as SK
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).withColumn(
+        "bucket_us", F.expr(f"(us div {_HLLW_SLIDE_US}) * {_HLLW_SLIDE_US}")
+    )
+    regs = SK.hll_sketch(ev, "user_id", ["bucket_us"], precision=7)
+    win_regs = regs.withColumn(
+        "window_start_us",
+        F.explode(
+            F.array(
+                *[
+                    F.col("bucket_us") - F.lit(k * _HLLW_SLIDE_US)
+                    for k in range(_SLIDE_WIN_H // _SLIDE_STEP_H)
+                ]
+            )
+        ),
+    )
+    merged = SK.hll_merge(win_regs, ["window_start_us"])
+    est = SK.hll_estimate(merged, ["window_start_us"], precision=7)
+    return est.select(
+        F.col("window_start_us").cast("long").alias("window_start_us"),
+        (F.col("window_start_us") + _HLLW_WIN_US)
+        .cast("long")
+        .alias("window_end_us"),
+        "present_regs",
+        "harmonic_num",
+        "est_distinct",
+    )
+
+
+def sql_hll_sliding() -> str:
+    from nexus_forge_spark.operators import sketches as SK
+
+    n_over = _SLIDE_WIN_H // _SLIDE_STEP_H
+    inner = (
+        f"SELECT ((epoch_us(ts) // {_HLLW_SLIDE_US}) - k.k) * {_HLLW_SLIDE_US} "
+        "AS window_start_us, user_id FROM events CROSS JOIN "
+        f"(SELECT unnest(generate_series(0, {n_over - 1})) AS k) k"
+    )
+    est = SK.sql_hll_estimate(inner, "user_id", ["window_start_us"], precision=7)
+    return f"""SELECT CAST(window_start_us AS BIGINT) AS window_start_us,
+  CAST(window_start_us + {_HLLW_WIN_US} AS BIGINT) AS window_end_us,
+  present_regs, harmonic_num, est_distinct
+FROM ({est})"""
+
+
 QUERIES = {
+    "hll_sliding_distinct": (q_hll_sliding, sql_hll_sliding),
     "stream_sliding_counts": (q_stream_sliding, sql_stream_sliding),
     "decayed_popularity": (q_decayed_popularity, sql_decayed_popularity),
     "kcenter_coreset": (q_kcenter, sql_kcenter),
