@@ -212,3 +212,47 @@ def bpe_token_counts(
         .groupBy(id_col)
         .agg(F.sum("n_toks").cast("long").alias("n_bpe_tokens"))
     )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    group_col: str = "lang",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Tokenizer fertility audit: BPE tokens per word, per corpus slice
+    (language, domain, source) — the multilingual-fairness metric.  A
+    merge table trained on a skewed mix under-serves minority slices,
+    which then pay more tokens per word (higher training/inference cost
+    per unit text and a shorter effective context); this measures it.
+
+    Same distinct-word factoring as bpe_token_counts: the merge chain
+    runs once per DISTINCT word; the per-slice rollup is one hash
+    aggregate.  fertility_milli = tokens * 1000 div words (BIGINT).
+    """
+    words = docs.select(
+        group_col,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "word"
+        ),
+    ).where(F.col("word") != "")
+    vocab = (
+        words.select("word")
+        .distinct()
+        .select("word", F.size(bpe_tokens(F.col("word"), merges)).alias("n_toks"))
+    )
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    return (
+        words.join(vocab, "word")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility_milli",
+            F.expr("n_bpe_tokens * 1000 div n_words").cast("long"),
+        )
+    )

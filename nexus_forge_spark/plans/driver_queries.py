@@ -7579,7 +7579,45 @@ def sql_hll_sliding() -> str:
 FROM ({est})"""
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit (operators/bpe.py bpe_fertility): BPE
+    tokens per word by LANGUAGE under the corpus-trained 16-merge table
+    — the multilingual-fairness metric (slices the merge table
+    under-serves pay more tokens per word).  The merge chain runs once
+    per distinct word; the per-language rollup is one hash aggregate.
+    The oracle re-trains with the unrolled CTE chain and replays the
+    same integer fertility algebra."""
+    from nexus_forge_spark.operators.bpe import (
+        bpe_fertility,
+        bpe_train,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = bpe_train(word_frequencies(docs), _BPE_MERGES)
+    return bpe_fertility(docs, merges, group_col="lang")
+
+
+def sql_tokenizer_fertility() -> str:
+    k = _BPE_MERGES
+    return (
+        "WITH "
+        + _bpe_train_ctes(k)
+        + f""",
+doc_words AS (
+  SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(len(v.toks)) AS BIGINT) AS n_bpe_tokens,
+  CAST(sum(len(v.toks)) * 1000 // count(*) AS BIGINT) AS fertility_milli
+FROM doc_words JOIN w{k} AS v USING (word)
+GROUP BY lang"""
+    )
+
+
 QUERIES = {
+    "tokenizer_fertility": (q_tokenizer_fertility, sql_tokenizer_fertility),
     "hll_sliding_distinct": (q_hll_sliding, sql_hll_sliding),
     "stream_sliding_counts": (q_stream_sliding, sql_stream_sliding),
     "decayed_popularity": (q_decayed_popularity, sql_decayed_popularity),
