@@ -7616,7 +7616,102 @@ GROUP BY lang"""
     )
 
 
+_KNN_IDS = list(range(0, 200, 7))  # 29 probes, present at every sf
+_KNN_K = 5
+
+
+def q_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label-consistency audit (mislabel detection): for
+    29 probe vectors, the top-5 cosine neighbors vote on a label
+    (majority, min-label tie-break) and disagreement with the vector's
+    OWN label flags a mislabel candidate — the k-NN screening pass a
+    labeled-corpus curation pipeline runs before training.  Composes the
+    graded cosine_topk with one broadcast label join and one
+    vote-election aggregate."""
+    from nexus_forge_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    labels = emb.select("vec_id", F.col("label").cast("int").alias("lbl"))
+    topk = cosine_topk(emb, _KNN_IDS, k=_KNN_K, round_digits=3)
+    votes = (
+        topk.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "lbl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    elected = votes.groupBy("query_id").agg(
+        F.min_by(
+            "lbl",
+            F.struct((-F.col("votes")).alias("nv"), F.col("lbl").alias("l")),
+        ).alias("top_label"),
+        F.max("votes").alias("votes"),
+    )
+    own = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "lbl", "own_label"
+    )
+    return (
+        elected.join(F.broadcast(own), "query_id")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("own_label").cast("int").alias("own_label"),
+            F.col("top_label").cast("int").alias("top_label"),
+            F.col("votes").cast("long").alias("votes"),
+            (F.col("own_label") == F.col("top_label")).alias("consistent"),
+        )
+    )
+
+
+def sql_knn_label_consistency() -> str:
+    ids = ", ".join(str(i) for i in _KNN_IDS)
+    return f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({ids})
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round(
+      list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+      (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))) *
+       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])))),
+    3) AS score
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {_KNN_K}
+),
+votes AS (
+  SELECT t.query_id, CAST(e.label AS INT) AS lbl,
+         CAST(count(*) AS BIGINT) AS votes
+  FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+  GROUP BY t.query_id, lbl
+),
+elected AS (
+  SELECT query_id, lbl AS top_label, votes FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY votes DESC, lbl) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT CAST(el.query_id AS BIGINT) AS query_id,
+  CAST(e.label AS INT) AS own_label,
+  el.top_label,
+  el.votes,
+  CAST(e.label AS INT) = el.top_label AS consistent
+FROM elected el JOIN embeddings e ON el.query_id = e.vec_id"""
+
+
 QUERIES = {
+    "knn_label_consistency": (
+        q_knn_label_consistency,
+        sql_knn_label_consistency,
+    ),
     "tokenizer_fertility": (q_tokenizer_fertility, sql_tokenizer_fertility),
     "hll_sliding_distinct": (q_hll_sliding, sql_hll_sliding),
     "stream_sliding_counts": (q_stream_sliding, sql_stream_sliding),
