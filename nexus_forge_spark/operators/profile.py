@@ -407,3 +407,48 @@ def token_divergence(
     return scored.orderBy(
         F.abs(F.col("drift_ppm")).desc(), F.col("token")
     ).limit(top_k)
+
+
+def fd_profile(
+    df: DataFrame, candidates: list[tuple[list[str], str]], table: str = ""
+) -> DataFrame:
+    """Approximate functional-dependency profiling: for each candidate
+    FD ``lhs -> rhs``, measure how far the table is from satisfying it.
+
+    The g3 error (Kivinen/Mannila) is the minimum fraction of rows to
+    delete so the FD holds exactly: for each lhs group keep the plurality
+    rhs value, everything else is a violation —
+
+        violations = n_rows - SUM over lhs groups of max_rhs count(lhs, rhs)
+
+    Schema-discovery pipelines run this to find keys / denormalization
+    errors before choosing merge keys or blocking attributes.
+
+    Plan per candidate: two chained hash aggregates (groupBy(lhs+rhs)
+    .count then groupBy(lhs).agg(sum, max)) + a 1-row final agg — all
+    map-side-combinable, no window, no join; candidates UNION at the end
+    (each is one row).  g3 is reported as integer ppm (violations *
+    1_000_000 div n_rows) so both engines agree bit-for-bit.
+    """
+    outs = []
+    for lhs, rhs in candidates:
+        name = (f"{table}: " if table else "") + ",".join(lhs) + " -> " + rhs
+        pair = df.groupBy(*lhs, rhs).agg(F.count(F.lit(1)).alias("_c"))
+        grp = pair.groupBy(*lhs).agg(
+            F.sum("_c").alias("_n"), F.max("_c").alias("_keep")
+        )
+        one = grp.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("lhs_groups"),
+            F.sum("_n").cast("long").alias("n_rows"),
+            (F.sum("_n") - F.sum("_keep")).cast("long").alias("violations"),
+        )
+        outs.append(
+            one.withColumn(
+                "g3_ppm", F.expr("(violations * 1000000L) div n_rows")
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

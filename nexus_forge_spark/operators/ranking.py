@@ -33,7 +33,7 @@ for the numbering to be deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -126,3 +126,79 @@ def _ranked_with_total(
         .drop("_pid", "_mid", "_base", "_off")
     )
     return ranked, offset
+
+
+def pareto_audit_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    num_partitions: int | None = None,
+    flag_col: str = "on_frontier",
+) -> DataFrame:
+    """2-D Pareto-frontier (skyline) audit: flag every row as dominated or
+    frontier under (minimize ASC, maximize DESC) preference.
+
+    A row p is ON the frontier iff no q has ``q.min <= p.min AND
+    q.max >= p.max`` with at least one inequality strict.  The classic
+    formulation is a quadratic NOT EXISTS self-join; the 2-D case reduces
+    to prefix maxima over the minimize axis:
+
+      dominated(p)  <=>  bestmax(min' <  p.min) >= p.max
+                      OR bestmax(min' <= p.min) >  p.max
+
+    Plan (no SinglePartition window, no self-join):
+      1. groupBy(minimize).max(maximize) — ONE key shuffle, map-side
+         combine; the working set shrinks to |distinct minimize|.
+      2. repartitionByRange + sortWithinPartitions on minimize, then a
+         PARTITION-LOCAL running max (window partitioned by pid — fully
+         parallel); per-partition max -> driver -> exclusive prefix max
+         broadcast back (the `global_row_numbers` two-pass scheme, with
+         max as the scan monoid instead of count).
+      3. one key join of the per-minimize bounds back to the input rows.
+
+    Rows with NULL in either axis are excluded (no dominance order).
+    Ties: equal (minimize, maximize) duplicates do not dominate each
+    other — both carry the frontier flag.
+    """
+    base = df.filter(F.col(minimize).isNotNull() & F.col(maximize).isNotNull())
+    per = base.groupBy(minimize).agg(F.max(maximize).alias("_gmax"))
+    if num_partitions is not None:
+        part = per.repartitionByRange(num_partitions, minimize)
+    else:
+        part = per.repartitionByRange(minimize)
+    tagged = (
+        part.sortWithinPartitions(minimize)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    stats = (
+        tagged.groupBy("_pid").agg(F.max("_gmax").alias("_pmax")).orderBy("_pid").collect()
+    )
+    rows, running = [], None
+    for r in stats:  # exclusive prefix max over partition-level maxima
+        rows.append((int(r["_pid"]), running))
+        pm = r["_pmax"]
+        running = pm if running is None or pm > running else running
+    spark = df.sparkSession
+    max_type = tagged.schema["_gmax"].dataType.simpleString()
+    prefixes = spark.createDataFrame(rows, f"_pid int, _prefix {max_type}")
+    w = Window.partitionBy("_pid").orderBy(minimize)
+    bounds = (
+        tagged.join(F.broadcast(prefixes), "_pid")
+        .withColumn(
+            "_lt_local", F.max("_gmax").over(w.rowsBetween(Window.unboundedPreceding, -1))
+        )
+        .select(
+            minimize,
+            F.greatest(F.col("_lt_local"), F.col("_prefix")).alias("_best_lt"),
+            F.greatest(F.col("_gmax"), F.col("_prefix")).alias("_best_le"),
+        )
+    )
+    dominated = (
+        F.col("_best_lt").isNotNull() & (F.col("_best_lt") >= F.col(maximize))
+    ) | (F.col("_best_le") > F.col(maximize))
+    return (
+        base.join(bounds, minimize)
+        .withColumn(flag_col, ~dominated)
+        .drop("_best_lt", "_best_le")
+    )

@@ -7707,7 +7707,92 @@ SELECT CAST(el.query_id AS BIGINT) AS query_id,
 FROM elected el JOIN embeddings e ON el.query_id = e.vec_id"""
 
 
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier (skyline) audit of the parts catalog: flag each
+    part as frontier/dominated under (cheapest price, largest size)
+    preference.  The Spark side uses the prefix-max reduction
+    (ranking.pareto_audit_2d — one key shuffle + a distinct-key prefix
+    scan, no self-join); the oracle states the dominance DEFINITION as a
+    quadratic NOT EXISTS, so hash== proves the reduction correct."""
+    from nexus_forge_spark.operators.ranking import pareto_audit_2d
+
+    part = load_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return pareto_audit_2d(part, "p_retailprice", "p_size").select(
+        F.col("p_partkey").cast("long").alias("part_key"),
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+        F.col("on_frontier"),
+    )
+
+
+def sql_pareto_parts() -> str:
+    return """SELECT CAST(p.p_partkey AS BIGINT) AS part_key,
+  CAST(p.p_retailprice AS DOUBLE) AS price,
+  CAST(p.p_size AS INT) AS size,
+  NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+  ) AS on_frontier
+FROM part p"""
+
+
+_FD_CANDIDATES = {
+    "customer": [
+        (["c_custkey"], "c_name"),
+        (["c_nationkey"], "c_mktsegment"),
+    ],
+    "orders": [
+        (["o_orderkey"], "o_orderstatus"),
+        (["o_custkey"], "o_orderpriority"),
+    ],
+    "lineitem": [(["l_partkey"], "l_suppkey")],
+}
+
+
+def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery profile: g3 error (min fraction of
+    rows to delete for the FD to hold) for five candidate FDs across
+    three tables — the schema-discovery pass that picks merge keys and
+    blocking attributes before entity resolution.  Each FD is two chained
+    map-side-combinable hash aggregates; no joins, no windows."""
+    from nexus_forge_spark.operators.profile import fd_profile
+
+    outs = []
+    for table, cands in _FD_CANDIDATES.items():
+        outs.append(fd_profile(load_table(spark, table, sf_dir), cands, table))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def sql_fd_profile() -> str:
+    parts = []
+    for table, cands in _FD_CANDIDATES.items():
+        for lhs, rhs in cands:
+            name = f"{table}: " + ",".join(lhs) + " -> " + rhs
+            lhs_sql = ", ".join(lhs)
+            parts.append(
+                f"""SELECT '{name}' AS fd,
+  CAST(count(*) AS BIGINT) AS lhs_groups,
+  CAST(sum(_n) AS BIGINT) AS n_rows,
+  CAST(sum(_n) - sum(_keep) AS BIGINT) AS violations,
+  CAST(((sum(_n) - sum(_keep)) * 1000000) // sum(_n) AS BIGINT) AS g3_ppm
+FROM (
+  SELECT {lhs_sql}, sum(_c) AS _n, max(_c) AS _keep
+  FROM (SELECT {lhs_sql}, {rhs}, count(*) AS _c FROM {table} GROUP BY ALL)
+  GROUP BY ALL
+)"""
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
+    "pareto_parts": (q_pareto_parts, sql_pareto_parts),
+    "fd_profile": (q_fd_profile, sql_fd_profile),
     "knn_label_consistency": (
         q_knn_label_consistency,
         sql_knn_label_consistency,

@@ -106,3 +106,23 @@ def test_token_divergence_ignores_other_sides(spark):
     df = spark.createDataFrame(rows, "side string, text string")
     out = {r.token for r in token_divergence(df, "side", "a", "b").collect()}
     assert out == {"x"}
+
+
+def test_fd_profile_exact_and_violated(spark):
+    from nexus_forge_spark.operators.profile import fd_profile
+
+    rows = [
+        (1, "a", "x"),
+        (1, "a", "x"),
+        (1, "b", "x"),  # k->v violated once for k=1 (keep 'a' x2, drop 'b')
+        (2, "c", "y"),
+        (2, "c", "z"),  # k->w violated once for k=2
+    ]
+    df = spark.createDataFrame(rows, "k long, v string, w string")
+    got = {
+        r["fd"]: (r["lhs_groups"], r["n_rows"], r["violations"], r["g3_ppm"])
+        for r in fd_profile(df, [(["k"], "v"), (["k", "v"], "w")], "t").collect()
+    }
+    assert got["t: k -> v"] == (2, 5, 1, 200000)
+    # (k,v) -> w: group (2,c) has {y,z} -> 1 violation
+    assert got["t: k,v -> w"] == (3, 5, 1, 200000)

@@ -72,3 +72,61 @@ def test_exact_percentiles_empty(spark):
 
     df = spark.createDataFrame([], "v long")
     assert exact_percentiles(df, "v", [50]).collect() == []
+
+
+def _brute_frontier(points):
+    out = set()
+    for i, (pid, mn, mx) in enumerate(points):
+        dominated = any(
+            qmn <= mn and qmx >= mx and (qmn < mn or qmx > mx)
+            for j, (_q, qmn, qmx) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            out.add(pid)
+    return out
+
+
+def test_pareto_audit_matches_bruteforce(spark):
+    import random
+
+    from nexus_forge_spark.operators.ranking import pareto_audit_2d
+
+    rng = random.Random(7)
+    pts = [(i, rng.randint(0, 40), rng.randint(0, 40)) for i in range(300)]
+    # duplicates + same-minimize ties must be exercised
+    pts += [(1000, pts[0][1], pts[0][2]), (1001, pts[1][1], pts[1][2] + 1)]
+    df = spark.createDataFrame(pts, "id long, mn long, mx long")
+    got = {
+        r["id"]
+        for r in pareto_audit_2d(df, "mn", "mx", num_partitions=5)
+        .filter("on_frontier")
+        .collect()
+    }
+    assert got == _brute_frontier(pts)
+
+
+def test_pareto_audit_ties_and_nulls(spark):
+    from nexus_forge_spark.operators.ranking import pareto_audit_2d
+
+    rows = [(1, 10, 5), (2, 10, 5), (3, 10, 4), (4, 9, 5), (5, None, 7)]
+    df = spark.createDataFrame(rows, "id long, mn long, mx long")
+    out = {r["id"]: r["on_frontier"] for r in pareto_audit_2d(df, "mn", "mx").collect()}
+    # duplicates (1,2) don't dominate each other but 4 dominates both;
+    # null axis rows are excluded entirely
+    assert out == {1: False, 2: False, 3: False, 4: True}
+
+
+def test_pareto_audit_no_single_partition_exchange(spark):
+    from nexus_forge_spark.operators.ranking import pareto_audit_2d
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.pmod(F.col("id") * 13, F.lit(211)).alias("mn"),
+        F.pmod(F.col("id") * 29, F.lit(193)).alias("mx"),
+    )
+    out = pareto_audit_2d(df, "mn", "mx", num_partitions=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the naive skyline window would be Window(ORDER BY) = SinglePartition
+    assert "SinglePartition" not in plan
+    assert out.count() == 2000
