@@ -414,3 +414,32 @@ def decayed_sum(
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+def forward_fill(
+    df: DataFrame,
+    key_col: str,
+    order_by: list[str],
+    value_cols: list[str],
+    prefix: str = "filled_",
+) -> DataFrame:
+    """Forward-fill (last-observation-carried-forward) imputation: for each
+    NULL in `value_cols`, carry the most recent non-NULL value of the same
+    key under the `order_by` total order; leading NULLs (no prior
+    observation) stay NULL.
+
+    The sensor-dropout / sparse-telemetry gap-repair pass.  Plan: ONE key
+    shuffle; every fill is `last(col, ignorenulls) OVER (key, order)` —
+    running state within the sorted partition, no join, no self-union.
+    Include a unique tiebreaker in `order_by` or fills at equal
+    timestamps are nondeterministic.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(prefix + c, F.last(c, ignorenulls=True).over(w))
+    return out

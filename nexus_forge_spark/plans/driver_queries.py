@@ -7790,7 +7790,52 @@ FROM (
     return "\nUNION ALL\n".join(parts)
 
 
+def q_ffill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill imputation over a telemetry stream with deterministic
+    dropout: 'error' events lose their reading (masked NULL) and inherit
+    the user's most recent healthy value; leading gaps stay NULL.  One
+    key shuffle, running `last(ignorenulls)` state — no join."""
+    from nexus_forge_spark.operators.events import forward_fill
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("reading"),
+    )
+    out = forward_fill(ev, "user_id", ["ts_us", "event_id"], ["reading"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "event_type",
+        "reading",
+        F.col("filled_reading"),
+        (F.col("reading").isNull() & F.col("filled_reading").isNotNull()).alias(
+            "was_filled"
+        ),
+    )
+
+
+def sql_ffill_values() -> str:
+    return """WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+    CASE WHEN event_type <> 'error' THEN value END AS reading
+  FROM events
+)
+SELECT event_id, user_id, ts_us, event_type, reading,
+  last_value(reading IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_reading,
+  reading IS NULL AND last_value(reading IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL AS was_filled
+FROM ev"""
+
+
 QUERIES = {
+    "ffill_values": (q_ffill_values, sql_ffill_values),
     "pareto_parts": (q_pareto_parts, sql_pareto_parts),
     "fd_profile": (q_fd_profile, sql_fd_profile),
     "knn_label_consistency": (

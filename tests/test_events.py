@@ -387,3 +387,29 @@ def test_decayed_sum_halving_boundaries(spark):
     assert out[3] == (524288, 1)
     assert out[4] == (131072, 1)
     assert out[5] == (0, 2)
+
+
+def test_forward_fill_carries_and_leading_nulls(spark):
+    from nexus_forge_spark.operators.events import forward_fill
+
+    rows = [
+        ("u1", 1, None),   # leading gap stays NULL
+        ("u1", 2, 5.0),
+        ("u1", 3, None),   # -> 5.0
+        ("u1", 4, 7.0),
+        ("u1", 5, None),   # -> 7.0
+        ("u2", 1, None),   # other key: still leading NULL
+    ]
+    df = spark.createDataFrame(rows, "k string, seq long, v double")
+    got = {
+        (r["k"], r["seq"]): r["filled_v"]
+        for r in forward_fill(df, "k", ["seq"], ["v"]).collect()
+    }
+    assert got == {
+        ("u1", 1): None,
+        ("u1", 2): 5.0,
+        ("u1", 3): 5.0,
+        ("u1", 4): 7.0,
+        ("u1", 5): 7.0,
+        ("u2", 1): None,
+    }
