@@ -443,3 +443,69 @@ def forward_fill(
     for c in value_cols:
         out = out.withColumn(prefix + c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def match_event_pattern(
+    df: DataFrame,
+    pattern: str,
+    symbols: dict[str, str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite complex-event-processing: encode each user's
+    (ts, id)-ordered event history as a one-char-per-event symbol string
+    and count non-overlapping regex matches of ``pattern`` over it.  The
+    classic funnel/journey pattern detector (e.g. ``V+CP`` = "one or more
+    views, then a click, then a purchase") without a per-row state
+    machine.
+
+    Engine-exactness: Java regex (Spark) and RE2 (DuckDB) agree on
+    leftmost non-overlapping matching for alternation-free concatenations
+    of distinct symbol classes — keep ``pattern`` in that family (no
+    lookaround: RE2 has none).  Symbol order inside the sequence is the
+    (ts, id) total order, reproduced by sorting the collected
+    (ts_us, id, sym) structs, so ties in ts are stable.
+
+    Output: (user_id, seq_len, n_matches, matched) plus one ``n_<S>``
+    count per symbol.
+
+    Scale posture: ONE shuffle on the user key; the symbol projection and
+    per-symbol counts partial-aggregate map-side, and the regex runs once
+    per user over a string bounded by that user's event count (users >>
+    cores; a single-user firehose would serialize — at that scale switch
+    to the streaming state operator).  No join, no window.
+    """
+    sym = F.lit(None).cast("string")
+    for etype, s in sorted(symbols.items()):
+        if len(s) != 1:
+            raise ValueError(f"symbol for {etype!r} must be one char")
+        sym = F.when(F.col(type_col) == etype, F.lit(s)).otherwise(sym)
+    base = df.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__ts_us"),
+        F.col(id_col).alias("__id"),
+        sym.alias("__sym"),
+    ).where(F.col("__sym").isNotNull())
+    per_sym = [
+        F.sum((F.col("__sym") == s).cast("long")).alias(f"n_{s}")
+        for s in sorted(set(symbols.values()))
+    ]
+    agg = base.groupBy("user_id").agg(
+        F.collect_list(F.struct("__ts_us", "__id", "__sym")).alias("__evs"),
+        *per_sym,
+    )
+    seq = F.array_join(
+        F.transform(F.array_sort(F.col("__evs")), lambda x: x["__sym"]), ""
+    )
+    return (
+        agg.withColumn("seq", seq)
+        .select(
+            "user_id",
+            F.length("seq").cast("long").alias("seq_len"),
+            F.regexp_count("seq", F.lit(pattern)).cast("long").alias("n_matches"),
+            *[f"n_{s}" for s in sorted(set(symbols.values()))],
+        )
+        .withColumn("matched", (F.col("n_matches") > 0).cast("boolean"))
+    )

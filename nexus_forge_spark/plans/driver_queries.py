@@ -7834,7 +7834,59 @@ SELECT event_id, user_id, ts_us, event_type, reading,
 FROM ev"""
 
 
+CEP_SYMBOLS = {
+    "view": "V",
+    "click": "C",
+    "purchase": "P",
+    "signup": "S",
+    "error": "E",
+}
+CEP_PATTERN = "V+CP"
+
+
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite CEP (operators/events.py match_event_pattern):
+    per-user event histories become one-char-per-event symbol strings and
+    the funnel pattern ``V+CP`` (views then a click then a purchase) is
+    counted as non-overlapping regex matches — the pattern family where
+    Java regex and RE2 agree exactly.  ONE user-key shuffle; symbol counts
+    partial-aggregate map-side; the regex runs once per user."""
+    from nexus_forge_spark.operators.events import match_event_pattern
+
+    events = load_table(spark, "events", sf_dir)
+    return match_event_pattern(events, CEP_PATTERN, CEP_SYMBOLS)
+
+
+def sql_event_pattern_match() -> str:
+    sym_case = " ".join(
+        f"WHEN '{etype}' THEN '{s}'" for etype, s in sorted(CEP_SYMBOLS.items())
+    )
+    sym_counts = ", ".join(
+        f"CAST(count(*) FILTER (s = '{s}') AS BIGINT) AS n_{s}"
+        for s in sorted(set(CEP_SYMBOLS.values()))
+    )
+    sym_cols = ", ".join(f"n_{s}" for s in sorted(set(CEP_SYMBOLS.values())))
+    return f"""WITH sym AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+    CASE event_type {sym_case} END AS s
+  FROM events
+  WHERE CASE event_type {sym_case} END IS NOT NULL
+),
+seqs AS (
+  SELECT user_id,
+    string_agg(s, '' ORDER BY ts_us, event_id) AS seq,
+    {sym_counts}
+  FROM sym GROUP BY user_id
+)
+SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+  CAST(len(regexp_extract_all(seq, '{CEP_PATTERN}')) AS BIGINT) AS n_matches,
+  {sym_cols},
+  len(regexp_extract_all(seq, '{CEP_PATTERN}')) > 0 AS matched
+FROM seqs"""
+
+
 QUERIES = {
+    "event_pattern_match": (q_event_pattern_match, sql_event_pattern_match),
     "ffill_values": (q_ffill_values, sql_ffill_values),
     "pareto_parts": (q_pareto_parts, sql_pareto_parts),
     "fd_profile": (q_fd_profile, sql_fd_profile),

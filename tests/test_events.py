@@ -413,3 +413,54 @@ def test_forward_fill_carries_and_leading_nulls(spark):
         ("u1", 5): 7.0,
         ("u2", 1): None,
     }
+
+
+def test_match_event_pattern_counts_nonoverlapping(spark):
+    from nexus_forge_spark.operators.events import match_event_pattern
+
+    # u1 sequence in (ts, id) order: V V C P V C P  -> 2 matches of V+CP
+    # u2: V C V (cart-free tail)                    -> 0 matches
+    # u3: C P (no leading view)                     -> 0 matches
+    rows = [
+        (1, "2024-01-01 00:00:01", 1, "view"),
+        (1, "2024-01-01 00:00:02", 2, "view"),
+        (1, "2024-01-01 00:00:03", 3, "click"),
+        (1, "2024-01-01 00:00:04", 4, "purchase"),
+        (1, "2024-01-01 00:00:05", 5, "view"),
+        (1, "2024-01-01 00:00:06", 6, "click"),
+        (1, "2024-01-01 00:00:07", 7, "purchase"),
+        (2, "2024-01-01 00:00:01", 8, "view"),
+        (2, "2024-01-01 00:00:02", 9, "click"),
+        (2, "2024-01-01 00:00:03", 10, "view"),
+        (3, "2024-01-01 00:00:01", 11, "click"),
+        (3, "2024-01-01 00:00:02", 12, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    )
+    syms = {"view": "V", "click": "C", "purchase": "P"}
+    got = {
+        r.user_id: (r.seq_len, r.n_matches, r.matched, r.n_V, r.n_C, r.n_P)
+        for r in match_event_pattern(df, "V+CP", syms).collect()
+    }
+    assert got[1] == (7, 2, True, 3, 2, 2)
+    assert got[2] == (3, 0, False, 2, 1, 0)
+    assert got[3] == (2, 0, False, 0, 1, 1)
+
+
+def test_match_event_pattern_ts_tie_broken_by_id(spark):
+    from nexus_forge_spark.operators.events import match_event_pattern
+
+    # same timestamp: order must follow event_id -> V C P (a match), not
+    # any shuffle-dependent permutation
+    rows = [
+        (1, "2024-01-01 00:00:01", 3, "purchase"),
+        (1, "2024-01-01 00:00:01", 1, "view"),
+        (1, "2024-01-01 00:00:01", 2, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    )
+    syms = {"view": "V", "click": "C", "purchase": "P"}
+    [r] = match_event_pattern(df, "V+CP", syms).collect()
+    assert (r.n_matches, r.matched) == (1, True)
