@@ -1080,3 +1080,103 @@ def priority_sample(
             .alias("w_est"),
         )
     )
+
+
+def temperature_sampling_plan(
+    df: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    target_total: int | None = None,
+) -> DataFrame:
+    """Per-domain epoch plan for temperature sampling at tau=2 (XLM-R /
+    multilingual-LM style): target share of domain i is
+    ``n_i^0.5 / sum_j n_j^0.5``, so small domains are upsampled and huge
+    ones downsampled while the total stays ``target_total`` (default: the
+    corpus size).
+
+    Exponent 1/2 is the one non-integer step: IEEE-754 requires sqrt to
+    be correctly rounded (pow is NOT), so ``floor(sqrt(n) * 1e6)`` is the
+    same BIGINT on every engine and all arithmetic after it is integer —
+    ``target_i = T * w_i div W``, ``full_copies_i = target_i div n_i``,
+    ``extras_i = target_i % n_i`` (extras = how many docs of the domain
+    get one additional copy).
+
+    Overflow bound: T * w_i < 2^63 holds while T * 1e6*sqrt(n_max) fits,
+    i.e. up to ~1e9 docs per domain at 1e12 total; beyond that drop the
+    1e6 weight scale a decade.
+
+    Scale posture: one map-side-combined count per domain, one 2-row
+    global aggregate, broadcast back — the corpus itself is never
+    shuffled by the plan.
+    """
+    counts = df.groupBy(F.col(key_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    counts = counts.withColumn(
+        "w_scaled", F.floor(F.sqrt(F.col("n_docs")) * PPM).cast("long")
+    )
+    tot = counts.agg(
+        F.sum("n_docs").cast("long").alias("__t"),
+        F.sum("w_scaled").cast("long").alias("__w"),
+    )
+    if target_total is not None:
+        tot = tot.select(F.lit(int(target_total)).cast("long").alias("__t"), "__w")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "n_docs",
+            "w_scaled",
+            F.expr("__t * w_scaled div __w").cast("long").alias("target_count"),
+        )
+        .select(
+            "*",
+            F.expr("target_count div n_docs").cast("long").alias("full_copies"),
+            F.expr("target_count % n_docs").cast("long").alias("extras"),
+        )
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    target_total: int | None = None,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Materialize the temperature-sampling plan as an exact per-document
+    copy count: every doc of domain i gets ``full_copies_i`` copies and
+    the ``extras_i`` docs ranked first by id-hash get one more, so the
+    per-domain total is EXACTLY ``target_i`` (hash-threshold draws would
+    only hit it in expectation).  Docs from fully downsampled domains can
+    get 0 copies — they are kept in the output with n_copies=0 so the
+    caller can audit drops.
+
+    Scale posture: plan is broadcast; the remainder rank is ONE window
+    per domain ordered by (hash, id).  A single mega-domain serializes
+    its rank into one partition — for that shape swap the window for the
+    exchange-free global ranking (operators/ranking.py) per domain; at
+    organic domain cardinality this is the cheaper plan (domains >>
+    cores is not required, docs-per-domain >> cores is fine because the
+    window sort spills).
+    """
+    from pyspark.sql import Window
+
+    plan = F.broadcast(
+        temperature_sampling_plan(df, key_col, id_col, target_total)
+    )
+    joined = df.join(plan, df[key_col] == plan["domain"], "inner")
+    w = Window.partitionBy("domain").orderBy(
+        _ppm_hash(F.col(id_col), salt), F.col(id_col)
+    )
+    rank0 = (F.row_number().over(w) - F.lit(1)).cast("long")
+    return joined.select(
+        F.col(id_col),
+        F.col("domain"),
+        F.col("n_docs"),
+        F.col("target_count"),
+        (
+            F.col("full_copies")
+            + (rank0 < F.col("extras")).cast("long")
+        ).alias("n_copies"),
+    )

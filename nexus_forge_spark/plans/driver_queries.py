@@ -7885,7 +7885,56 @@ SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
 FROM seqs"""
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling at tau=2 (curation.py temperature_mix):
+    domain target share is sqrt-proportional (XLM-R style upsample of
+    small domains), materialized as an EXACT per-document copy count —
+    full_copies for every doc plus one extra for the hash-ranked first
+    ``extras`` docs, so per-domain totals hit the integer target exactly.
+    sqrt is the one float step and IEEE requires it correctly rounded;
+    everything after floor(sqrt(n)*1e6) is BIGINT on both engines."""
+    from nexus_forge_spark.operators.curation import temperature_mix
+
+    docs = load_table(spark, "documents", sf_dir)
+    return temperature_mix(docs)
+
+
+def sql_temperature_mix() -> str:
+    h = _sql_ppm_hash("d.doc_id", "tmix")
+    return f"""WITH counts AS (
+  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS w_scaled
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS t, CAST(sum(w_scaled) AS BIGINT) AS w
+  FROM counts
+),
+plan AS (
+  SELECT domain, n_docs, w_scaled,
+    CAST(t * w_scaled // w AS BIGINT) AS target_count
+  FROM counts, tot
+),
+plan2 AS (
+  SELECT *, target_count // n_docs AS full_copies,
+    target_count % n_docs AS extras
+  FROM plan
+),
+ranked AS (
+  SELECT d.doc_id, p.domain, p.n_docs, p.target_count, p.full_copies,
+    p.extras,
+    row_number() OVER (PARTITION BY p.domain ORDER BY {h}, d.doc_id) - 1
+      AS rank0
+  FROM documents d JOIN plan2 p ON d.source = p.domain
+)
+SELECT doc_id, domain, n_docs, target_count,
+  CAST(full_copies + CASE WHEN rank0 < extras THEN 1 ELSE 0 END AS BIGINT)
+    AS n_copies
+FROM ranked"""
+
+
 QUERIES = {
+    "temperature_mix": (q_temperature_mix, sql_temperature_mix),
     "event_pattern_match": (q_event_pattern_match, sql_event_pattern_match),
     "ffill_values": (q_ffill_values, sql_ffill_values),
     "pareto_parts": (q_pareto_parts, sql_pareto_parts),

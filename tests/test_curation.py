@@ -636,3 +636,50 @@ def test_priority_sample_heavy_weights_always_in(spark):
     df = spark.createDataFrame(rows, "doc_id long, w long")
     out = priority_sample(df, "w", k=20, id_col="doc_id").collect()
     assert 999 in {r.doc_id for r in out}
+
+
+def test_temperature_mix_exact_targets_and_direction(spark):
+    from nexus_forge_spark.operators.curation import (
+        temperature_mix,
+        temperature_sampling_plan,
+    )
+
+    # 3 domains with counts 64 / 16 / 4: sqrt weights 8 / 4 / 2 -> shares
+    # 4/7, 2/7, 1/7 of T=84 -> targets 48, 24, 12.
+    rows = [(f"a{i}", "big") for i in range(64)]
+    rows += [(f"b{i}", "mid") for i in range(16)]
+    rows += [(f"c{i}", "small") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+
+    plan = {
+        r.domain: (r.n_docs, r.target_count, r.full_copies, r.extras)
+        for r in temperature_sampling_plan(df).collect()
+    }
+    assert plan["big"] == (64, 48, 0, 48)
+    assert plan["mid"] == (16, 24, 1, 8)
+    assert plan["small"] == (4, 12, 3, 0)
+
+    out = temperature_mix(df).collect()
+    per_domain = {}
+    for r in out:
+        per_domain.setdefault(r.domain, []).append(r.n_copies)
+    # per-domain totals are EXACTLY the integer targets
+    assert sum(per_domain["big"]) == 48
+    assert sum(per_domain["mid"]) == 24
+    assert sum(per_domain["small"]) == 12
+    # direction: small domains upsampled, big downsampled
+    assert all(c == 3 for c in per_domain["small"])
+    assert set(per_domain["mid"]) == {1, 2}
+    assert set(per_domain["big"]) == {0, 1}
+    # every input doc appears exactly once in the audit output
+    assert len(out) == 84
+
+
+def test_temperature_mix_deterministic(spark):
+    from nexus_forge_spark.operators.curation import temperature_mix
+
+    rows = [(f"d{i}", "x" if i % 3 else "y") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    a = sorted((r.doc_id, r.n_copies) for r in temperature_mix(df).collect())
+    b = sorted((r.doc_id, r.n_copies) for r in temperature_mix(df).collect())
+    assert a == b
