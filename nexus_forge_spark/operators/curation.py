@@ -1180,3 +1180,118 @@ def temperature_mix(
             + (rank0 < F.col("extras")).cast("long")
         ).alias("n_copies"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    is_target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    top_k: int | None = None,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how target-like its hashed
+    n-gram feature distribution is, then Gumbel-top-k resample from the
+    raw pool proportionally to the importance weight.
+
+    * Features are hashed unigrams: ``hash60(token) % n_buckets`` — the
+      paper's hashed n-gram feature space (they use 10k buckets over
+      uni+bigrams; bucket count is a parameter).
+    * Per-bucket log-ratio with add-one smoothing:
+      ``lr = ln(((ct+1) * (Ns+B)) / ((cs+1) * (Nt+B)))`` where ct/cs are
+      target/source bucket counts and Nt/Ns the total target/source
+      token counts.  Rounded ONCE to integer micro-nats (the
+      operators/text.py convention — libm 1-ulp differences vanish at
+      micro precision), so per-doc sums are engine-exact BIGINTs.
+    * ``weight_micro = sum over token occurrences of lr_micro`` = the log
+      importance weight of the doc (up to the shared normalizer, which
+      cancels in top-k).
+    * Gumbel key: ``key = weight + g`` with
+      ``g = -ln(-ln((h+0.5)/1e6))`` from the doc-id hash — the Gumbel
+      top-k trick samples k docs without replacement with probability
+      proportional to the importance weight, deterministically here.
+    * ``selected`` marks the top-k SOURCE docs by (key desc, id asc);
+      target docs are scored for audit but never selected.
+
+    Scale posture: bucket-count aggregates are map-side-combined over a
+    B-row key space; the lr table (<= B rows) and the two scalar totals
+    broadcast back, so scoring is one broadcast join + one per-doc
+    aggregate — the corpus shuffles once on the doc key.  Selection is
+    TakeOrderedAndProject(top_k) + a broadcast semi-mark, never a global
+    sort.
+    """
+    B = int(n_buckets)
+    from nexus_forge_spark.operators.sketches import hash60
+    from nexus_forge_spark.operators.text import tokens
+
+    base = df.select(
+        F.col(id_col), F.col(text_col), is_target.alias("__is_target")
+    )
+    feats = base.select(
+        id_col,
+        "__is_target",
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    ).select(
+        id_col, "__is_target", F.pmod(hash60(F.col("__t"), salt), F.lit(B)).alias("__b")
+    )
+    counts = feats.groupBy("__b").agg(
+        F.sum(F.col("__is_target").cast("long")).alias("ct"),
+        F.sum((~F.col("__is_target")).cast("long")).alias("cs"),
+    )
+    totals = counts.agg(
+        F.sum("ct").cast("long").alias("nt"), F.sum("cs").cast("long").alias("ns")
+    )
+    lr = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            F.round(
+                F.log(
+                    ((F.col("ct") + F.lit(1.0)) * (F.col("ns") + F.lit(B)))
+                    / ((F.col("cs") + F.lit(1.0)) * (F.col("nt") + F.lit(B)))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(lr), "__b")
+        .groupBy(id_col, "__is_target")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lr_micro").cast("long").alias("weight_micro"),
+        )
+    )
+    u = (_ppm_hash(F.col(id_col), salt + ":g") + F.lit(0.5)) / F.lit(float(PPM))
+    gumbel = F.round(-F.log(-F.log(u)) * 1_000_000).cast("long")
+    scored = scored.select(
+        F.col(id_col),
+        F.col("__is_target").alias("is_target"),
+        "n_feats",
+        "weight_micro",
+        (F.col("weight_micro") + gumbel).alias("key_micro"),
+    )
+    if top_k is None:
+        return scored
+    winners = (
+        scored.where(~F.col("is_target"))
+        .orderBy(F.col("key_micro").desc(), F.col(id_col))
+        .limit(int(top_k))
+        .select(F.col(id_col).alias("__win_id"))
+    )
+    return scored.join(
+        F.broadcast(winners),
+        scored[id_col] == F.col("__win_id"),
+        "left",
+    ).select(
+        id_col,
+        "is_target",
+        "n_feats",
+        "weight_micro",
+        "key_micro",
+        F.col("__win_id").isNotNull().alias("selected"),
+    )

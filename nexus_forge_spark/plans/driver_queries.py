@@ -7933,7 +7933,82 @@ SELECT doc_id, domain, n_docs, target_count,
 FROM ranked"""
 
 
+DSIR_BUCKETS, DSIR_K = 1024, 100
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (curation.py dsir_weights; Xie et al. 2023):
+    target distribution = the English docs, raw pool = everything else.
+    Per-doc log importance weight = sum over hashed-unigram features of
+    the add-one-smoothed target/source log-ratio in integer micro-nats;
+    Gumbel-top-k (hash-seeded) resamples the top 100 pool docs.  Bucket
+    counts, the <=1024-row lr table, and the two totals broadcast; the
+    corpus shuffles once on doc_id and selection is
+    TakeOrderedAndProject, never a global sort."""
+    from nexus_forge_spark.operators.curation import dsir_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_weights(
+        docs,
+        F.col("lang") == "en",
+        n_buckets=DSIR_BUCKETS,
+        top_k=DSIR_K,
+    )
+
+
+def sql_dsir_select() -> str:
+    b = (
+        "('0x' || substr(md5(__t || ':dsir'), 1, 15))::BIGINT"
+        f" % {DSIR_BUCKETS}"
+    )
+    g_u = f"({_sql_ppm_hash('doc_id', 'dsir:g')} + 0.5) / 1000000"
+    return rf"""WITH feats AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+    {b} AS __b
+  FROM (
+    SELECT doc_id, lang,
+      unnest(string_split_regex(trim(lower(text)), '\s+')) AS __t
+    FROM documents
+  )
+),
+counts AS (
+  SELECT __b,
+    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+    CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cs
+  FROM feats GROUP BY __b
+),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cs) AS BIGINT) AS ns
+        FROM counts),
+lr AS (
+  SELECT __b,
+    CAST(round(ln(((ct + 1.0) * (ns + {DSIR_BUCKETS})) /
+                  ((cs + 1.0) * (nt + {DSIR_BUCKETS}))) * 1000000) AS BIGINT)
+      AS lr_micro
+  FROM counts, tot
+),
+scored AS (
+  SELECT doc_id, is_target,
+    CAST(count(*) AS BIGINT) AS n_feats,
+    CAST(sum(lr_micro) AS BIGINT) AS weight_micro
+  FROM feats JOIN lr USING (__b)
+  GROUP BY doc_id, is_target
+),
+keyed AS (
+  SELECT *, weight_micro +
+    CAST(round(-ln(-ln({g_u})) * 1000000) AS BIGINT) AS key_micro
+  FROM scored
+),
+winners AS (
+  SELECT doc_id FROM keyed WHERE NOT is_target
+  ORDER BY key_micro DESC, doc_id LIMIT {DSIR_K}
+)
+SELECT k.doc_id, k.is_target, k.n_feats, k.weight_micro, k.key_micro,
+  w.doc_id IS NOT NULL AS selected
+FROM keyed k LEFT JOIN winners w ON k.doc_id = w.doc_id"""
+
+
 QUERIES = {
+    "dsir_select": (q_dsir_select, sql_dsir_select),
     "temperature_mix": (q_temperature_mix, sql_temperature_mix),
     "event_pattern_match": (q_event_pattern_match, sql_event_pattern_match),
     "ffill_values": (q_ffill_values, sql_ffill_values),

@@ -683,3 +683,96 @@ def test_temperature_mix_deterministic(spark):
     a = sorted((r.doc_id, r.n_copies) for r in temperature_mix(df).collect())
     b = sorted((r.doc_id, r.n_copies) for r in temperature_mix(df).collect())
     assert a == b
+
+
+def _py_hash60(s: str, salt: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{s}:{salt}".encode()).hexdigest()[:15], 16)
+
+
+def _py_ppm_hash(s: str, salt: str) -> int:
+    return _py_hash60(s, salt) % 1_000_000
+
+
+def test_dsir_weights_differential_and_selection(spark):
+    import math
+
+    from nexus_forge_spark.operators.curation import dsir_weights
+
+    # target docs speak "alpha beta", source pool mixes alpha-ish and
+    # noise-ish docs; DSIR must rank the alpha-ish source docs first.
+    rows = []
+    for i in range(6):
+        rows.append((f"t{i}", "alpha beta alpha beta gamma", True))
+    for i in range(5):
+        rows.append((f"s_good{i}", "alpha beta alpha", False))
+    for i in range(5):
+        rows.append((f"s_bad{i}", f"noise{i} junk{i} filler{i} blah{i}", False))
+    df = spark.createDataFrame(rows, "doc_id string, text string, is_t boolean")
+    B, salt, k = 64, "dsir", 5
+    out = {
+        r.doc_id: r
+        for r in dsir_weights(
+            df, F.col("is_t"), id_col="doc_id", n_buckets=B, top_k=k, salt=salt
+        ).collect()
+    }
+
+    # pure-python recompute of the same definition
+    ct, cs = {}, {}
+    docs = {}
+    for doc_id, text, is_t in rows:
+        toks = text.strip().lower().split()
+        bs = [_py_hash60(t, salt) % B for t in toks]
+        docs[doc_id] = (bs, is_t)
+        for b in bs:
+            (ct if is_t else cs)[b] = (ct if is_t else cs).get(b, 0) + 1
+    nt, ns = sum(ct.values()), sum(cs.values())
+    lr = {
+        b: round(
+            math.log(
+                ((ct.get(b, 0) + 1.0) * (ns + B))
+                / ((cs.get(b, 0) + 1.0) * (nt + B))
+            )
+            * 1_000_000
+        )
+        for b in set(ct) | set(cs)
+    }
+    keys = {}
+    for doc_id, (bs, is_t) in docs.items():
+        w = sum(lr[b] for b in bs)
+        u = (_py_ppm_hash(doc_id, salt + ":g") + 0.5) / 1_000_000
+        g = round(-math.log(-math.log(u)) * 1_000_000)
+        assert out[doc_id].weight_micro == w, doc_id
+        assert out[doc_id].key_micro == w + g, doc_id
+        assert out[doc_id].is_target == is_t
+        if not is_t:
+            keys[doc_id] = w + g
+    expect_sel = {
+        d for d, _ in sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    }
+    got_sel = {d for d, r in out.items() if r.selected}
+    assert got_sel == expect_sel
+    # target docs are never selected
+    assert not any(out[f"t{i}"].selected for i in range(6))
+    # direction: every alpha-ish source doc outweighs every noise doc
+    assert min(out[f"s_good{i}"].weight_micro for i in range(5)) > max(
+        out[f"s_bad{i}"].weight_micro for i in range(5)
+    )
+
+
+def test_dsir_weights_deterministic(spark):
+    from nexus_forge_spark.operators.curation import dsir_weights
+
+    rows = [(f"d{i}", f"w{i % 7} w{i % 3} common", i % 4 == 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, text string, is_t boolean")
+    a = sorted(
+        (r.doc_id, r.weight_micro, r.selected)
+        for r in dsir_weights(df, F.col("is_t"), top_k=10).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.weight_micro, r.selected)
+        for r in dsir_weights(df, F.col("is_t"), top_k=10).collect()
+    )
+    assert a == b
+    assert sum(1 for _, _, s in a if s) == 10

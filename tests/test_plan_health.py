@@ -604,3 +604,15 @@ def test_token_divergence_single_token_aggregate(spark, sf01):
     assert plan.count("Scan parquet") == 0
     assert plan.count("Scan ExistingRDD") == 2
     assert "TakeOrderedAndProject" in plan  # top-50 movers, no global sort
+
+
+def test_dsir_select_broadcast_only_and_topk(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import q_dsir_select
+
+    plan = plan_of(q_dsir_select(spark, sf01), execute=True)
+    # lr table / totals / winners all broadcast; the corpus never
+    # shuffles for a join and selection is top-k, not a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
