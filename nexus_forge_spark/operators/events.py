@@ -509,3 +509,80 @@ def match_event_pattern(
         )
         .withColumn("matched", (F.col("n_matches") > 0).cast("boolean"))
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    seq_col: str,
+    value_col: str,
+    allowance_micro: int,
+    threshold_micro: int,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection (Page 1954) over a
+    per-key sequence of integer measurements, with the sequential
+    recurrence ``S_i = max(0, S_{i-1} + d_i)`` rewritten as the Lindley
+    reflection closed form ``S_i = P_i - min(0, min_{j<=i} P_j)`` with
+    ``P`` the running sum of drifts — so the whole detector is plain
+    window functions, no recursion, no UDF.
+
+    The per-key reference level is the key's own integer floor-mean in
+    micro units (``sum(x)*1e6 div n``); upward drift
+    ``d = x*1e6 - (mu + allowance)``, downward mirrored.  Everything
+    after the input values is BIGINT micro-units, so both engines agree
+    bit-for-bit.  An alarm fires while the reflected statistic is at or
+    above ``threshold_micro``.
+
+    Scale posture: ONE key shuffle — the full-frame mean windows, both
+    running sums, and both running mins all share the same
+    partitionBy(key)/orderBy(seq) Exchange+Sort (the plan stacks Window
+    operators on a single exchange, the scd2 pattern).  Per-key state is
+    a sort within the partition, which spills; keys >> cores is the
+    operating regime.
+    """
+    run_w = Window.partitionBy(key_col).orderBy(seq_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    x_micro = F.col("x") * F.lit(1_000_000)
+    mu = F.expr(
+        f"CAST(sum({value_col}) OVER "
+        f"(PARTITION BY {key_col} ORDER BY {seq_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+        f"* 1000000 div count(1) OVER "
+        f"(PARTITION BY {key_col} ORDER BY {seq_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+        f"AS BIGINT)"
+    )
+    staged = df.select(
+        F.col(key_col),
+        F.col(seq_col),
+        F.col(value_col).cast("long").alias("x"),
+        mu.alias("mu_micro"),
+    ).select(
+        key_col,
+        seq_col,
+        "x",
+        "mu_micro",
+        F.sum(
+            x_micro - (F.col("mu_micro") + F.lit(int(allowance_micro)))
+        ).over(run_w).alias("p_up"),
+        F.sum(
+            (F.col("mu_micro") - F.lit(int(allowance_micro))) - x_micro
+        ).over(run_w).alias("p_dn"),
+    )
+    refl_up = F.col("p_up") - F.least(
+        F.lit(0).cast("long"), F.min("p_up").over(run_w)
+    )
+    refl_dn = F.col("p_dn") - F.least(
+        F.lit(0).cast("long"), F.min("p_dn").over(run_w)
+    )
+    return staged.select(
+        key_col,
+        seq_col,
+        "x",
+        "mu_micro",
+        refl_up.alias("cusum_up_micro"),
+        refl_dn.alias("cusum_dn_micro"),
+        (refl_up >= F.lit(int(threshold_micro))).alias("alarm_up"),
+        (refl_dn >= F.lit(int(threshold_micro))).alias("alarm_dn"),
+    )

@@ -8007,7 +8007,86 @@ SELECT k.doc_id, k.is_target, k.n_feats, k.weight_micro, k.key_micro,
 FROM keyed k LEFT JOIN winners w ON k.doc_id = w.doc_id"""
 
 
+CUSUM_ALLOW, CUSUM_THRESH = 2_000_000, 15_000_000
+
+
+def q_cusum_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point detection (events.py
+    cusum_changepoints) on daily event counts per event_type: Page's
+    sequential max(0, S+d) recurrence computed as the Lindley reflection
+    closed form (running sum minus clamped running min), so the detector
+    is pure window functions sharing ONE key exchange.  All BIGINT
+    micro-units after the counts."""
+    from nexus_forge_spark.operators.events import cusum_changepoints
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return cusum_changepoints(
+        daily,
+        "event_type",
+        "day",
+        "n",
+        allowance_micro=CUSUM_ALLOW,
+        threshold_micro=CUSUM_THRESH,
+    ).select(
+        "event_type",
+        "day",
+        F.col("x").alias("n"),
+        "mu_micro",
+        "cusum_up_micro",
+        "cusum_dn_micro",
+        "alarm_up",
+        "alarm_dn",
+    )
+
+
+def sql_cusum_event_rates() -> str:
+    return f"""WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+),
+staged AS (
+  SELECT event_type, day, n,
+    CAST(sum(n) OVER w_all * 1000000 // count(*) OVER w_all AS BIGINT)
+      AS mu_micro
+  FROM daily
+  WINDOW w_all AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+sums AS (
+  SELECT *,
+    sum(n * 1000000 - (mu_micro + {CUSUM_ALLOW})) OVER w_run AS p_up,
+    sum((mu_micro - {CUSUM_ALLOW}) - n * 1000000) OVER w_run AS p_dn
+  FROM staged
+  WINDOW w_run AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+refl AS (
+  SELECT *,
+    CAST(p_up - least(0, min(p_up) OVER w_run) AS BIGINT) AS cusum_up_micro,
+    CAST(p_dn - least(0, min(p_dn) OVER w_run) AS BIGINT) AS cusum_dn_micro
+  FROM sums
+  WINDOW w_run AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, n, mu_micro, cusum_up_micro, cusum_dn_micro,
+  cusum_up_micro >= {CUSUM_THRESH} AS alarm_up,
+  cusum_dn_micro >= {CUSUM_THRESH} AS alarm_dn
+FROM refl"""
+
+
 QUERIES = {
+    "cusum_event_rates": (q_cusum_event_rates, sql_cusum_event_rates),
     "dsir_select": (q_dsir_select, sql_dsir_select),
     "temperature_mix": (q_temperature_mix, sql_temperature_mix),
     "event_pattern_match": (q_event_pattern_match, sql_event_pattern_match),

@@ -464,3 +464,86 @@ def test_match_event_pattern_ts_tie_broken_by_id(spark):
     syms = {"view": "V", "click": "C", "purchase": "P"}
     [r] = match_event_pattern(df, "V+CP", syms).collect()
     assert (r.n_matches, r.matched) == (1, True)
+
+
+def _py_cusum(xs, allowance, threshold):
+    """Direct Page recurrence in micro units: the sequential definition
+    the Lindley-reflection plan must reproduce exactly."""
+    n = len(xs)
+    mu = sum(xs) * 1_000_000 // n
+    s_up = s_dn = 0
+    out = []
+    for x in xs:
+        s_up = max(0, s_up + (x * 1_000_000 - (mu + allowance)))
+        s_dn = max(0, s_dn + ((mu - allowance) - x * 1_000_000))
+        out.append((s_up, s_dn, s_up >= threshold, s_dn >= threshold))
+    return mu, out
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    import random
+
+    from nexus_forge_spark.operators.events import cusum_changepoints
+
+    rng = random.Random(7)
+    rows = []
+    expected = {}
+    for key in ("flat", "step_up", "step_dn", "noisy"):
+        if key == "flat":
+            xs = [50] * 20
+        elif key == "step_up":
+            xs = [50] * 10 + [80] * 10  # planted upward shift
+        elif key == "step_dn":
+            xs = [50] * 10 + [20] * 10  # planted downward shift
+        else:
+            xs = [rng.randint(40, 60) for _ in range(30)]
+        mu, seq = _py_cusum(xs, allowance=2_000_000, threshold=30_000_000)
+        expected[key] = (mu, seq)
+        rows += [(key, i, x) for i, x in enumerate(xs)]
+
+    df = spark.createDataFrame(rows, "k string, i long, x long")
+    got = cusum_changepoints(
+        df, "k", "i", "x", allowance_micro=2_000_000,
+        threshold_micro=30_000_000,
+    ).collect()
+    for r in got:
+        mu, seq = expected[r.k]
+        s_up, s_dn, a_up, a_dn = seq[r.i]
+        assert r.mu_micro == mu, (r.k, r.i)
+        assert r.cusum_up_micro == s_up, (r.k, r.i)
+        assert r.cusum_dn_micro == s_dn, (r.k, r.i)
+        assert (r.alarm_up, r.alarm_dn) == (a_up, a_dn), (r.k, r.i)
+    # the planted shifts actually fire, the flat series never does
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r.k, []).append(r)
+    assert any(r.alarm_up for r in by_key["step_up"])
+    assert any(r.alarm_dn for r in by_key["step_dn"])
+    assert not any(r.alarm_up or r.alarm_dn for r in by_key["flat"])
+
+
+def test_cusum_single_exchange(spark):
+    from nexus_forge_spark.operators.events import cusum_changepoints
+
+    rows = [("a", i, 10 + (i % 3)) for i in range(12)]
+    df = spark.createDataFrame(rows, "k string, i long, x long")
+    out = cusum_changepoints(df, "k", "i", "x", 500_000, 5_000_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # the mean windows, running sums, and running mins all reuse ONE
+    # key exchange (stacked Window operators, scd2 pattern)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_cusum_value_col_not_named_x(spark):
+    from nexus_forge_spark.operators.events import cusum_changepoints
+
+    rows = [("a", i, v) for i, v in enumerate([5, 5, 5, 9, 9, 9])]
+    df = spark.createDataFrame(rows, "k string, i long, v long")
+    got = {
+        r.i: r.cusum_up_micro
+        for r in cusum_changepoints(df, "k", "i", "v", 0, 1).collect()
+    }
+    mu, seq = _py_cusum([5, 5, 5, 9, 9, 9], 0, 1)
+    assert got == {i: s[0] for i, s in enumerate(seq)}
