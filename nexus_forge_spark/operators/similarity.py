@@ -767,3 +767,68 @@ def rrf_fuse(
         for i in range(len(tagged))
     ]
     return u.groupBy(id_col).agg(*aggs)
+
+
+def intdot(a: Column, b: Column) -> Column:
+    """Exact BIGINT dot product of two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def maxsim_topk(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 5,
+    doc_col: str = "doc_id",
+    query_col: str = "query_id",
+    tok_col: str = "tok_id",
+    vec_col: str = "qv",
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    SIGIR'20): score(q, d) = sum over query tokens of the MAX dot product
+    against any of d's token vectors, top-k docs per query.
+
+    Both sides carry one row per token with an ``array<long>``
+    floor-quantized vector (the clustering.py convention — floor is
+    IEEE-identical across engines), so every dot product, max, and sum is
+    BIGINT-exact; ranks tie-break on doc id.
+
+    Scale posture: the query-token side (queries x ~32 tokens) broadcasts
+    and the corpus-token side streams through a broadcast nested-loop —
+    the brute-force exact baseline, same posture as cosine_topk; for
+    corpus-scale serving, pre-filter candidate docs with the IVF/LSH
+    blockers in this module and feed the surviving (query, doc) pairs
+    here.  MaxSim per query token is a map-side-combinable max, the doc
+    score one sum — two hash aggregates on (query, doc) keys, then a
+    per-query top-k window over k' <= docs rows.
+    """
+    q = query_tokens.select(
+        F.col(query_col).alias("__q"),
+        F.col(vec_col).alias("__qvec"),
+        F.col(tok_col).alias("__qtok"),
+    )
+    d = doc_tokens.select(
+        F.col(doc_col).alias("__d"), F.col(vec_col).alias("__dvec")
+    )
+    per_tok = (
+        d.join(F.broadcast(q))
+        .groupBy("__q", "__d", "__qtok")
+        .agg(F.max(intdot(F.col("__qvec"), F.col("__dvec"))).alias("__m"))
+    )
+    scored = per_tok.groupBy("__q", "__d").agg(
+        F.sum("__m").cast("long").alias("score_q")
+    )
+    w = Window.partitionBy("__q").orderBy(F.col("score_q").desc(), F.col("__d"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= int(k))
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("__d").alias(doc_col),
+            "score_q",
+            "rank",
+        )
+    )

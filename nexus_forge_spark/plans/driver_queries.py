@@ -8085,7 +8085,65 @@ SELECT event_type, day, n, mu_micro, cusum_up_micro, cusum_dn_micro,
 FROM refl"""
 
 
+def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (similarity.py
+    maxsim_topk): multi-vector docs are synthesized by grouping 4
+    consecutive embeddings per doc; every 50th vector is a query token
+    (2 tokens per query).  score(q,d) = sum over query tokens of the max
+    BIGINT dot against d's tokens, top-5 docs per query.  Vectors
+    floor-quantize once (IEEE-identical on both engines); the query side
+    broadcasts and MaxSim is two map-side-combinable hash aggregates."""
+    from nexus_forge_spark.operators.similarity import maxsim_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    quant = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1000).cast("long"),
+    )
+    docs = emb.select(
+        F.expr("vec_id div 4").cast("long").alias("doc_id"), quant.alias("qv")
+    )
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.expr("vec_id div 100").cast("long").alias("query_id"),
+        F.col("vec_id").alias("tok_id"),
+        quant.alias("qv"),
+    )
+    return maxsim_topk(docs, queries, k=5)
+
+
+def sql_maxsim_retrieval() -> str:
+    quant = (
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> CAST(floor(x * 1000) AS BIGINT))"
+    )
+    return f"""WITH dt AS (
+  SELECT vec_id // 4 AS doc_id, {quant} AS dv FROM embeddings
+),
+qt AS (
+  SELECT vec_id // 100 AS query_id, vec_id AS tok_id, {quant} AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+per_tok AS (
+  SELECT query_id, doc_id, tok_id,
+    max(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(dv AS DOUBLE[]))
+             AS BIGINT)) AS m
+  FROM qt, dt GROUP BY query_id, doc_id, tok_id
+),
+scored AS (
+  SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS score_q
+  FROM per_tok GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_q DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score_q, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5"""
+
+
 QUERIES = {
+    "maxsim_retrieval": (q_maxsim_retrieval, sql_maxsim_retrieval),
     "cusum_event_rates": (q_cusum_event_rates, sql_cusum_event_rates),
     "dsir_select": (q_dsir_select, sql_dsir_select),
     "temperature_mix": (q_temperature_mix, sql_temperature_mix),

@@ -588,3 +588,70 @@ def test_rrf_fuse_math_and_misses(spark):
     assert out[4].rrf_micro == M // 62 and out[4].rank_0 is None
     # consensus item outranks every single-list item here
     assert out[3].rrf_micro > max(out[1].rrf_micro, out[4].rrf_micro)
+
+
+def test_maxsim_hand_case(spark):
+    # doc A has a token matching each query token exactly; doc B only one
+    docs = spark.createDataFrame(
+        [
+            (10, [10, 0]), (10, [0, 10]),          # doc 10: e1, e2 (x10)
+            (20, [10, 0]), (20, [10, 0]),          # doc 20: e1 twice
+            (30, [-10, 0]), (30, [0, -10]),        # doc 30: anti-aligned
+        ],
+        "doc_id long, qv array<long>",
+    )
+    queries = spark.createDataFrame(
+        [(1, 0, [1, 0]), (1, 1, [0, 1])],
+        "query_id long, tok_id long, qv array<long>",
+    )
+    out = {
+        (r.query_id, r.doc_id): (r.score_q, r.rank)
+        for r in S.maxsim_topk(docs, queries, k=3).collect()
+    }
+    # maxsim(q1): tok0 -> max(10, 0)=10 ; tok1 -> max(0, 10)=10 => 20
+    assert out[(1, 10)] == (20, 1)
+    # doc 20: tok0 -> 10, tok1 -> 0 => 10
+    assert out[(1, 20)] == (10, 2)
+    # doc 30: maxes are 0 (best of -10 and 0 per tok)
+    assert out[(1, 30)] == (0, 3)
+
+
+def test_maxsim_differential_random(spark):
+    import random
+
+    rng = random.Random(11)
+    doc_rows = [
+        (d, [rng.randint(-5, 5) for _ in range(6)])
+        for d in range(8)
+        for _ in range(rng.randint(1, 4))
+    ]
+    q_rows = [
+        (q, t, [rng.randint(-5, 5) for _ in range(6)])
+        for q in range(3)
+        for t in range(rng.randint(1, 3))
+    ]
+    docs = spark.createDataFrame(doc_rows, "doc_id long, qv array<long>")
+    queries = spark.createDataFrame(
+        q_rows, "query_id long, tok_id long, qv array<long>"
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.score_q, r.rank)
+        for r in S.maxsim_topk(docs, queries, k=100).collect()
+    }
+    by_doc = {}
+    for d, v in doc_rows:
+        by_doc.setdefault(d, []).append(v)
+    by_q = {}
+    for q, _, v in q_rows:
+        by_q.setdefault(q, []).append(v)
+    for q, qtoks in by_q.items():
+        scores = {
+            d: sum(
+                max(sum(a * b for a, b in zip(qt, dt)) for dt in dts)
+                for qt in qtoks
+            )
+            for d, dts in by_doc.items()
+        }
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank0, (d, s) in enumerate(ranked):
+            assert got[(q, d)] == (s, rank0 + 1), (q, d)
