@@ -799,3 +799,133 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    divisor: int = 32,
+    salt: str = "cdc",
+) -> DataFrame:
+    """Content-defined chunking (the storage-dedup technique behind
+    LBFS/rsync/restic): split each document at positions where the hash
+    of the trailing ``window`` characters is 0 mod ``divisor``, so chunk
+    boundaries survive insertions/deletions elsewhere in the document —
+    unlike fixed-size blocks, shifted content still yields identical
+    chunks.  Expected chunk length is ~``divisor`` chars; the document
+    end is always a boundary.  (Classic CDC rolls a gear/Rabin hash
+    byte-by-byte — an inherently sequential loop; hashing the trailing
+    fixed window at every position is the same boundary rule expressed
+    set-oriented, one explode over character positions.)
+
+    Output: one row per chunk occurrence
+    ``(id, start, chunk_len, chunk_hash)`` with 1-based start.
+
+    Scale posture: the position explode is map-side O(total chars) (the
+    rolling_fingerprint pattern, measured fine at corpus scale); the
+    boundary list reduces per doc via one doc-keyed aggregate, and chunk
+    materialization is a map-side transform+explode after one doc-keyed
+    join — two shuffles on the doc key total, nothing quadratic.
+    """
+    from nexus_forge_spark.operators.sketches import hash60
+
+    # a doc shorter than the window is one chunk (sequence(w, len) with
+    # len < w would COUNT DOWN in Spark — guard it out)
+    pos = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.length(F.col(text_col)) >= int(window),
+                F.sequence(F.lit(int(window)), F.length(F.col(text_col))),
+            ).otherwise(F.array(F.length(F.col(text_col))))
+        ).alias("__p"),
+        F.col(text_col).alias("__t"),
+    )
+    # substring(text, p-window+1, window) is the trailing window at p
+    bounds = (
+        pos.where(
+            (
+                F.pmod(
+                    hash60(
+                        F.expr(f"substring(__t, __p - {int(window)} + 1, {int(window)})"),
+                        salt,
+                    ),
+                    F.lit(int(divisor)),
+                )
+                == 0
+            )
+            | (F.col("__p") == F.length("__t"))
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("__p")).alias("__bs"))
+    )
+    spans = (
+        df.select(F.col(id_col), F.col(text_col).alias("__t"))
+        .join(bounds, id_col)
+        .select(
+            id_col,
+            "__t",
+            F.explode(
+                F.zip_with(
+                    F.concat(F.array(F.lit(0)), F.slice("__bs", 1, F.size("__bs") - 1)),
+                    F.col("__bs"),
+                    lambda a, b: F.struct(
+                        (a + 1).alias("start"), (b - a).alias("chunk_len")
+                    ),
+                )
+            ).alias("__s"),
+        )
+    )
+    return spans.select(
+        id_col,
+        F.col("__s.start").cast("long").alias("start"),
+        F.col("__s.chunk_len").cast("long").alias("chunk_len"),
+        F.md5(F.expr("substring(__t, __s.start, __s.chunk_len)")).alias(
+            "chunk_hash"
+        ),
+    )
+
+
+def cdc_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    divisor: int = 32,
+    salt: str = "cdc",
+) -> DataFrame:
+    """Per-document chunk-level dedup audit over :func:`cdc_chunks`:
+    every chunk occurrence whose identical chunk text first occurs
+    earlier (lexicographic (doc, start) election) is a duplicate; report
+    per doc the chunk count, total bytes, and duplicate bytes — the
+    storage/training-tokens saving chunk-level dedup would buy.
+
+    The first-occurrence election is the chained-hash-agg form (groupBy
+    (hash, doc) min(start), then groupBy(hash) min(doc) + min_by) so
+    both aggregates stay map-side-combinable hash aggregates — no
+    SortAggregate, no window over the full occurrence set.
+    """
+    chunks = cdc_chunks(df, text_col, id_col, window, divisor, salt)
+    per_doc = chunks.groupBy("chunk_hash", id_col).agg(
+        F.min("start").alias("__s0")
+    )
+    winners = per_doc.groupBy("chunk_hash").agg(
+        F.min(id_col).alias("__d0"),
+        F.min_by("__s0", id_col).alias("__w_s0"),
+    )
+    # winners is distinct-chunk-sized (corpus scale) — this join shuffles
+    # on chunk_hash; do NOT broadcast it
+    occ = chunks.join(winners, "chunk_hash")
+    is_dup = ~(
+        (F.col(id_col) == F.col("__d0")) & (F.col("start") == F.col("__w_s0"))
+    )
+    return occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("chunk_len").cast("long").alias("n_bytes"),
+        F.sum(is_dup.cast("long")).cast("long").alias("n_dup_chunks"),
+        F.sum(F.when(is_dup, F.col("chunk_len")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_bytes"),
+    )

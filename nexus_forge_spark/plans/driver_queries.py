@@ -8142,7 +8142,73 @@ SELECT query_id, doc_id, score_q, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5"""
 
 
+CDC_W, CDC_D = 8, 32
+
+
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup audit (dedup.py cdc_dedup_stats):
+    chunk boundaries where the trailing-8-char window hashes to 0 mod 32
+    (so boundaries survive insertions — the LBFS/rsync trick), exact
+    chunk-hash first-occurrence election via two chained hash aggregates,
+    per-doc duplicate-byte report.  The position explode is map-side
+    O(chars); the election join shuffles on chunk_hash (never broadcast
+    — distinct chunks are corpus-sized)."""
+    from nexus_forge_spark.operators.dedup import cdc_dedup_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return cdc_dedup_stats(docs, window=CDC_W, divisor=CDC_D)
+
+
+def sql_cdc_dedup() -> str:
+    h = (
+        f"('0x' || substr(md5(substr(t, p - {CDC_W - 1}, {CDC_W}) || ':cdc'), "
+        f"1, 15))::BIGINT % {CDC_D}"
+    )
+    return f"""WITH pos AS (
+  SELECT doc_id, text AS t,
+    unnest(CASE WHEN length(text) >= {CDC_W}
+                THEN range({CDC_W}, length(text) + 1)
+                ELSE [length(text)] END) AS p
+  FROM documents
+),
+bounds AS (
+  SELECT doc_id, list_sort(list(DISTINCT p)) AS bs
+  FROM pos
+  WHERE {h} = 0 OR p = length(t)
+  GROUP BY doc_id
+),
+chunks AS (
+  SELECT b.doc_id,
+    CASE WHEN i = 1 THEN 1 ELSE bs[i - 1] + 1 END AS start,
+    bs[i] - CASE WHEN i = 1 THEN 0 ELSE bs[i - 1] END AS chunk_len,
+    md5(substr(d.text,
+               CASE WHEN i = 1 THEN 1 ELSE bs[i - 1] + 1 END,
+               bs[i] - CASE WHEN i = 1 THEN 0 ELSE bs[i - 1] END))
+      AS chunk_hash
+  FROM bounds b JOIN documents d USING (doc_id),
+       LATERAL unnest(generate_series(1, len(bs))) AS u(i)
+),
+per_doc AS (
+  SELECT chunk_hash, doc_id, min(start) AS s0
+  FROM chunks GROUP BY chunk_hash, doc_id
+),
+winners AS (
+  SELECT chunk_hash, min(doc_id) AS d0, arg_min(s0, doc_id) AS ws0
+  FROM per_doc GROUP BY chunk_hash
+)
+SELECT c.doc_id,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(c.chunk_len) AS BIGINT) AS n_bytes,
+  CAST(sum(CASE WHEN c.doc_id = w.d0 AND c.start = w.ws0 THEN 0 ELSE 1 END)
+       AS BIGINT) AS n_dup_chunks,
+  CAST(sum(CASE WHEN c.doc_id = w.d0 AND c.start = w.ws0 THEN 0
+                ELSE c.chunk_len END) AS BIGINT) AS dup_bytes
+FROM chunks c JOIN winners w USING (chunk_hash)
+GROUP BY c.doc_id"""
+
+
 QUERIES = {
+    "cdc_dedup": (q_cdc_dedup, sql_cdc_dedup),
     "maxsim_retrieval": (q_maxsim_retrieval, sql_maxsim_retrieval),
     "cusum_event_rates": (q_cusum_event_rates, sql_cusum_event_rates),
     "dsir_select": (q_dsir_select, sql_dsir_select),

@@ -655,3 +655,87 @@ def test_maxsim_differential_random(spark):
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         for rank0, (d, s) in enumerate(ranked):
             assert got[(q, d)] == (s, rank0 + 1), (q, d)
+
+
+def _py_cdc_spans(text, window=8, divisor=32, salt="cdc"):
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(f"{s}:{salt}".encode()).hexdigest()[:15], 16)
+
+    n = len(text)
+    if n < window:
+        bs = [n]
+    else:
+        bs = [
+            p
+            for p in range(window, n + 1)
+            if h60(text[p - window : p]) % divisor == 0 or p == n
+        ]
+    spans, prev = [], 0
+    for b in bs:
+        spans.append((prev + 1, b - prev))
+        prev = b
+    return spans
+
+
+def test_cdc_chunks_differential_and_reconstruction(spark):
+    import random
+
+    rng = random.Random(3)
+    texts = [
+        "".join(rng.choice("abcdefg ") for _ in range(rng.randint(1, 200)))
+        for _ in range(12)
+    ] + ["tiny"]  # shorter than the window
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {}
+    for r in D.cdc_chunks(df).collect():
+        out.setdefault(r.doc_id, []).append((r.start, r.chunk_len, r.chunk_hash))
+    import hashlib
+
+    for i, t in enumerate(texts):
+        got = sorted(out[i])
+        expect = _py_cdc_spans(t)
+        assert [(s, l) for s, l, _ in got] == expect, i
+        # chunks tile the document exactly and hash its real substrings
+        assert sum(l for _, l, _ in got) == len(t)
+        for s, l, h in got:
+            assert h == hashlib.md5(t[s - 1 : s - 1 + l].encode()).hexdigest()
+
+
+def test_cdc_boundaries_survive_prefix_insertion(spark):
+    import random
+
+    rng = random.Random(9)
+    body = "".join(rng.choice("abcdefgh ") for _ in range(400))
+    docs = spark.createDataFrame(
+        [(1, body), (2, "INSERTED-PREFIX-123 " + body)],
+        "doc_id long, text string",
+    )
+    chunks = {}
+    for r in D.cdc_chunks(docs).collect():
+        chunks.setdefault(r.doc_id, []).append((r.start, r.chunk_hash))
+    a = [h for _, h in sorted(chunks[1])]
+    b = {h for _, h in chunks[2]}
+    # every chunk of the original except the first (whose start shifted)
+    # reappears verbatim in the prefixed doc — fixed-size blocks get zero
+    assert len(a) >= 3
+    assert all(h in b for h in a[1:])
+
+
+def test_cdc_dedup_stats_exact_duplicate(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 4),
+         (2, "the quick brown fox jumps over the lazy dog " * 4),
+         (3, "completely unrelated text that shares nothing at all")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.cdc_dedup_stats(docs).collect()}
+    # doc 2 is byte-identical to doc 1: every chunk is a duplicate
+    assert out[2].n_dup_chunks == out[2].n_chunks
+    assert out[2].dup_bytes == out[2].n_bytes
+    # doc 1 holds the first occurrences, minus its own internal repeats
+    assert out[1].n_dup_chunks < out[1].n_chunks
+    assert out[3].dup_bytes == 0
