@@ -1295,3 +1295,83 @@ def dsir_weights(
         "key_micro",
         F.col("__win_id").isNotNull().alias("selected"),
     )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    sep: str = "\n",
+    max_doc_ratio_ppm: int = 50_000,
+) -> DataFrame:
+    """Domain-frequency boilerplate removal (the CCNet/RefinedWeb rule
+    that kills nav bars, cookie banners, and footers): a paragraph that
+    occurs in at least ``max_doc_ratio_ppm`` parts-per-million of its
+    OWN domain's documents is boilerplate and is stripped from every
+    document of that domain — unlike remove_duplicate_paragraphs, which
+    keeps the first occurrence and only drops repeats.
+
+    The ratio test is integer cross-multiplied
+    (``n_docs_with * 1e6 >= ppm * domain_docs``), so no float division
+    can differ between engines.  Whitespace-only paragraphs strip
+    unconditionally.
+
+    Scale posture: one (domain, paragraph-hash) count-distinct aggregate
+    (map-side partial), a broadcast domain-size table, and the surviving
+    boilerplate table — tiny by construction, it lists only paragraphs
+    above the frequency floor — broadcasts into an anti join; the corpus
+    shuffles once on the doc key for the rebuild.
+    """
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.col(domain_col).alias("__dom"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .where(F.trim(F.col("para")) != "")
+        .select(id_col, "__dom", "pos", "para", F.md5("para").alias("h"))
+    )
+    domain_docs = df.groupBy(F.col(domain_col).alias("__dom")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_dom")
+    )
+    freq = paras.groupBy("__dom", "h").agg(
+        F.countDistinct(id_col).cast("long").alias("__n_with")
+    )
+    boiler = (
+        freq.join(F.broadcast(domain_docs), "__dom")
+        .where(
+            F.col("__n_with") * F.lit(1_000_000)
+            >= F.lit(int(max_doc_ratio_ppm)) * F.col("__n_dom")
+        )
+        .select("__dom", "h")
+    )
+    kept = paras.join(F.broadcast(boiler), ["__dom", "h"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_paragraphs")
+    )
+    return (
+        df.select(F.col(id_col), F.col(domain_col))
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            domain_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_paragraphs", F.lit(0)).cast("long").alias("n_paragraphs"),
+            (
+                F.coalesce("n_paragraphs", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )

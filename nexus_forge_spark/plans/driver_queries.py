@@ -8207,7 +8207,85 @@ FROM chunks c JOIN winners w USING (chunk_hash)
 GROUP BY c.doc_id"""
 
 
+BOILER_PPM = 340_000
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-frequency boilerplate removal (curation.py
+    strip_boilerplate, the CCNet/RefinedWeb nav-bar/footer rule): a
+    paragraph in >=34% of its own domain's docs strips domain-wide.  The
+    corpus has no organic boilerplate, so the query plants it: every doc
+    gets its domain's banner (100% — always strips) and docs with
+    doc_id%3==0 get a survey invite (~33% of each domain — straddles the
+    floor, so SOME domains strip it and others keep it, exercising the
+    per-domain decision).  Ratio test is integer cross-multiplied; the
+    boilerplate table is tiny by construction and broadcast-anti-joins."""
+    from nexus_forge_spark.operators.curation import strip_boilerplate
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("PROMO BANNER FOR "),
+            F.col("source"),
+            F.lit("\n"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("TAKE OUR SURVEY\n")
+            ).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return strip_boilerplate(docs, max_doc_ratio_ppm=BOILER_PPM)
+
+
+def sql_strip_boilerplate() -> str:
+    return f"""WITH docs AS (
+  SELECT doc_id, source,
+    'PROMO BANNER FOR ' || source || chr(10) ||
+    CASE WHEN doc_id % 3 = 0 THEN 'TAKE OUR SURVEY' || chr(10) ELSE '' END ||
+    text AS text
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, source AS dom, pos - 1 AS pos, para, md5(para) AS h
+  FROM (
+    SELECT doc_id, source,
+      unnest(string_split(text, chr(10))) AS para,
+      generate_subscripts(string_split(text, chr(10)), 1) AS pos
+    FROM docs
+  )
+  WHERE trim(para) != ''
+),
+domain_docs AS (SELECT source AS dom, count(*) AS n_dom FROM docs GROUP BY source),
+freq AS (
+  SELECT dom, h, count(DISTINCT doc_id) AS n_with FROM paras GROUP BY dom, h
+),
+boiler AS (
+  SELECT dom, h FROM freq JOIN domain_docs USING (dom)
+  WHERE n_with * 1000000 >= {BOILER_PPM} * n_dom
+),
+kept AS (
+  SELECT p.* FROM paras p ANTI JOIN boiler b ON p.dom = b.dom AND p.h = b.h
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+    CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs
+  FROM paras GROUP BY doc_id
+)
+SELECT d.doc_id, d.source, coalesce(r.text, '') AS text,
+  coalesce(t.n_paragraphs, 0) AS n_paragraphs,
+  CAST(coalesce(t.n_paragraphs, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+    AS n_removed
+FROM docs d LEFT JOIN totals t USING (doc_id)
+LEFT JOIN rebuilt r ON d.doc_id = r.doc_id"""
+
+
 QUERIES = {
+    "strip_boilerplate": (q_strip_boilerplate, sql_strip_boilerplate),
     "cdc_dedup": (q_cdc_dedup, sql_cdc_dedup),
     "maxsim_retrieval": (q_maxsim_retrieval, sql_maxsim_retrieval),
     "cusum_event_rates": (q_cusum_event_rates, sql_cusum_event_rates),

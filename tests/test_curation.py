@@ -776,3 +776,48 @@ def test_dsir_weights_deterministic(spark):
     )
     assert a == b
     assert sum(1 for _, _, s in a if s) == 10
+
+
+def test_strip_boilerplate_domain_scoped(spark):
+    from nexus_forge_spark.operators.curation import strip_boilerplate
+
+    # domain A: 4 docs, banner in 3/4 (75%) -> stripped at 50% threshold;
+    # "rare" appears in 1/4 (25%) -> kept.  domain B: same banner text in
+    # only 1/3 of docs -> kept there (the rule is per-domain).
+    rows = [
+        (1, "A", "BANNER\nunique one"),
+        (2, "A", "BANNER\nunique two"),
+        (3, "A", "BANNER\nrare\nunique three"),
+        (4, "A", "unique four\nrare"),  # rare: 2/4 = 50% -> stripped too
+        (5, "B", "BANNER\nb-only text"),
+        (6, "B", "other b text"),
+        (7, "B", "more b text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in strip_boilerplate(df, max_doc_ratio_ppm=500_000).collect()
+    }
+    assert out[1].text == "unique one" and out[1].n_removed == 1
+    assert out[2].text == "unique two"
+    # doc 3 loses BANNER and rare (rare hits exactly the 50% floor)
+    assert out[3].text == "unique three" and out[3].n_removed == 2
+    assert out[4].text == "unique four" and out[4].n_removed == 1
+    # domain B keeps the banner (1/3 < 50%)
+    assert out[5].text == "BANNER\nb-only text" and out[5].n_removed == 0
+    assert out[6].n_paragraphs == 1 and out[6].n_removed == 0
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+
+
+def test_strip_boilerplate_all_stripped_doc_survives(spark):
+    from nexus_forge_spark.operators.curation import strip_boilerplate
+
+    rows = [(1, "A", "X"), (2, "A", "X"), (3, "A", "X\nkeep me")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in strip_boilerplate(df, max_doc_ratio_ppm=900_000).collect()
+    }
+    # doc 1's only paragraph is boilerplate: row survives with empty text
+    assert out[1].text == "" and out[1].n_removed == 1
+    assert out[3].text == "keep me"
