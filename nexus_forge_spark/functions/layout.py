@@ -69,3 +69,88 @@ def morton_sql(x: str, y: str, bits: int = 16) -> str:
 def normalize_sql(col: str, lo: str, span: str, bits: int = 16) -> str:
     """lo/span are SQL expressions (e.g. scalar-CTE column references)."""
     return f"least({(1 << bits) - 1}, (({col} - {lo}) * {1 << bits}) // ({span}))"
+
+
+def layout_skip_audit(
+    df,
+    x_col: str,
+    y_col: str,
+    predicates: list[tuple[int, int, int, int, int]],
+    bits: int = 16,
+    cell_bits: int = 8,
+):
+    """Measure what min/max file skipping actually buys for two physical
+    layouts of the same table — the audit behind OPTIMIZE ZORDER
+    decisions, since data skipping is the dominant scan lever at 100 TB:
+
+    * ``zorder``: files = quadtree cells (top ``cell_bits`` bits of the
+      Morton code) — every file bounds BOTH dimensions;
+    * ``xsort``: files = equal-width ranges of the normalized x key
+      alone — the y extent per file is the full domain.
+
+    ``predicates`` are inclusive boxes ``(pred_id, x_lo, x_hi, y_lo,
+    y_hi)`` in raw key units; a file is skipped iff its (min, max)
+    extent proves the box empty — exactly the parquet/Iceberg row-group
+    pruning rule.  Output one row per (layout, pred_id): file counts,
+    scanned-file count, scanned-row count, and scan ppm — all integer.
+
+    Scale posture: extents are one map-side-combined aggregate per
+    layout over ≤2^cell_bits cells; the predicate table (a handful of
+    rows) cross-joins the ≤2^cell_bits-row extent table — nothing
+    touches the corpus after the two cell aggregates.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401 (signature clarity)
+
+    mm = df.agg(
+        F.min(x_col).alias("xlo"),
+        (F.max(x_col) - F.min(x_col) + 1).alias("xspan"),
+        F.min(y_col).alias("ylo"),
+        (F.max(y_col) - F.min(y_col) + 1).alias("yspan"),
+    ).collect()[0]
+    x = normalize_to_bits(F.col(x_col), mm["xlo"], mm["xspan"], bits)
+    y = normalize_to_bits(F.col(y_col), mm["ylo"], mm["yspan"], bits)
+    z = morton_code(x, y, bits)
+    coded = df.select(
+        F.col(x_col).alias("xv"),
+        F.col(y_col).alias("yv"),
+        F.shiftright(z, 2 * bits - cell_bits).alias("zcell"),
+        F.shiftright(x, bits - cell_bits).alias("xcell"),
+    )
+    spark = df.sparkSession
+    preds = spark.createDataFrame(
+        [tuple(p) for p in predicates],
+        "pred_id long, x_lo long, x_hi long, y_lo long, y_hi long",
+    )
+    out = []
+    for layout, cell in (("zorder", "zcell"), ("xsort", "xcell")):
+        extents = coded.groupBy(F.col(cell).alias("cell")).agg(
+            F.min("xv").alias("fx_min"),
+            F.max("xv").alias("fx_max"),
+            F.min("yv").alias("fy_min"),
+            F.max("yv").alias("fy_max"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        scanned = (
+            ~(
+                (F.col("fx_max") < F.col("x_lo"))
+                | (F.col("fx_min") > F.col("x_hi"))
+                | (F.col("fy_max") < F.col("y_lo"))
+                | (F.col("fy_min") > F.col("y_hi"))
+            )
+        ).cast("long")
+        out.append(
+            extents.crossJoin(F.broadcast(preds))
+            .groupBy("pred_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum(scanned).cast("long").alias("n_scanned"),
+                F.sum(scanned * F.col("n_rows")).cast("long").alias("rows_scanned"),
+                F.expr(
+                    "CAST(sum(CASE WHEN fx_max < x_lo OR fx_min > x_hi OR "
+                    "fy_max < y_lo OR fy_min > y_hi THEN 0 ELSE 1 END) "
+                    "* 1000000 div count(1) AS BIGINT)"
+                ).alias("scan_ppm"),
+            )
+            .select(F.lit(layout).alias("layout"), "*")
+        )
+    return out[0].unionByName(out[1])

@@ -8284,7 +8284,97 @@ FROM docs d LEFT JOIN totals t USING (doc_id)
 LEFT JOIN rebuilt r ON d.doc_id = r.doc_id"""
 
 
+SKIP_BITS, SKIP_CELL_BITS = 16, 8
+
+
+def q_layout_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max file-skipping effectiveness audit (layout.py
+    layout_skip_audit): the same lineitem rows filed two ways — Morton
+    quadtree cells vs x-sorted ranges — probed with five box predicates
+    (y-slab, x-slab, center box, full domain, x-point) under the exact
+    parquet/Iceberg row-group pruning rule.  Shows WHY z-order exists:
+    the y-slab prunes under zorder and scans 100% under xsort.  After
+    two <=256-cell aggregates nothing touches the corpus."""
+    from nexus_forge_spark.functions.layout import layout_skip_audit
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    mm = li.agg(
+        F.min("l_partkey").alias("xlo"),
+        (F.max("l_partkey") - F.min("l_partkey") + 1).alias("xspan"),
+        F.min("l_suppkey").alias("ylo"),
+        (F.max("l_suppkey") - F.min("l_suppkey") + 1).alias("yspan"),
+    ).collect()[0]
+    xlo, xspan, ylo, yspan = mm["xlo"], mm["xspan"], mm["ylo"], mm["yspan"]
+    preds = [
+        (1, xlo, xlo + xspan - 1, ylo, ylo + yspan // 4 - 1),
+        (2, xlo, xlo + xspan // 4 - 1, ylo, ylo + yspan - 1),
+        (3, xlo + xspan // 4, xlo + xspan // 2 - 1,
+         ylo + yspan // 4, ylo + yspan // 2 - 1),
+        (4, xlo, xlo + xspan - 1, ylo, ylo + yspan - 1),
+        (5, xlo + xspan // 3, xlo + xspan // 3, ylo, ylo + yspan - 1),
+    ]
+    return layout_skip_audit(
+        li, "l_partkey", "l_suppkey", preds, SKIP_BITS, SKIP_CELL_BITS
+    )
+
+
+def sql_layout_skip_audit() -> str:
+    from nexus_forge_spark.functions.layout import morton_sql, normalize_sql
+
+    xn = normalize_sql("l_partkey", "m.xlo", "m.xspan", SKIP_BITS)
+    yn = normalize_sql("l_suppkey", "m.ylo", "m.yspan", SKIP_BITS)
+    return rf"""WITH m AS (
+  SELECT min(l_partkey) AS xlo,
+         max(l_partkey) - min(l_partkey) + 1 AS xspan,
+         min(l_suppkey) AS ylo,
+         max(l_suppkey) - min(l_suppkey) + 1 AS yspan
+  FROM lineitem
+),
+preds AS (
+  SELECT 1 AS pred_id, xlo AS x_lo, xlo + xspan - 1 AS x_hi,
+         ylo AS y_lo, ylo + yspan // 4 - 1 AS y_hi FROM m
+  UNION ALL SELECT 2, xlo, xlo + xspan // 4 - 1, ylo, ylo + yspan - 1 FROM m
+  UNION ALL SELECT 3, xlo + xspan // 4, xlo + xspan // 2 - 1,
+                      ylo + yspan // 4, ylo + yspan // 2 - 1 FROM m
+  UNION ALL SELECT 4, xlo, xlo + xspan - 1, ylo, ylo + yspan - 1 FROM m
+  UNION ALL SELECT 5, xlo + xspan // 3, xlo + xspan // 3,
+                      ylo, ylo + yspan - 1 FROM m
+),
+coded AS (
+  SELECT l_partkey AS xv, l_suppkey AS yv,
+    {morton_sql(f"({xn})", f"({yn})", SKIP_BITS)}
+      >> {2 * SKIP_BITS - SKIP_CELL_BITS} AS zcell,
+    ({xn}) >> {SKIP_BITS - SKIP_CELL_BITS} AS xcell
+  FROM lineitem CROSS JOIN m
+),
+ext AS (
+  SELECT 'zorder' AS layout, zcell AS cell,
+    min(xv) AS fx_min, max(xv) AS fx_max,
+    min(yv) AS fy_min, max(yv) AS fy_max,
+    CAST(count(*) AS BIGINT) AS n_rows
+  FROM coded GROUP BY zcell
+  UNION ALL
+  SELECT 'xsort', xcell,
+    min(xv), max(xv), min(yv), max(yv), CAST(count(*) AS BIGINT)
+  FROM coded GROUP BY xcell
+)
+SELECT layout, CAST(pred_id AS BIGINT) AS pred_id,
+  CAST(count(*) AS BIGINT) AS n_files,
+  CAST(sum(CASE WHEN fx_max < x_lo OR fx_min > x_hi
+                  OR fy_max < y_lo OR fy_min > y_hi
+            THEN 0 ELSE 1 END) AS BIGINT) AS n_scanned,
+  CAST(sum(CASE WHEN fx_max < x_lo OR fx_min > x_hi
+                  OR fy_max < y_lo OR fy_min > y_hi
+            THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned,
+  CAST(sum(CASE WHEN fx_max < x_lo OR fx_min > x_hi
+                  OR fy_max < y_lo OR fy_min > y_hi
+            THEN 0 ELSE 1 END) * 1000000 // count(*) AS BIGINT) AS scan_ppm
+FROM ext CROSS JOIN preds
+GROUP BY layout, pred_id"""
+
+
 QUERIES = {
+    "layout_skip_audit": (q_layout_skip_audit, sql_layout_skip_audit),
     "strip_boilerplate": (q_strip_boilerplate, sql_strip_boilerplate),
     "cdc_dedup": (q_cdc_dedup, sql_cdc_dedup),
     "maxsim_retrieval": (q_maxsim_retrieval, sql_maxsim_retrieval),

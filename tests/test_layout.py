@@ -63,3 +63,61 @@ def test_zorder_buckets_bound_both_dimensions(spark):
     )
     assert len(cells) == 256
     assert all(c.xs <= 3 and c.ys <= 3 for c in cells)
+
+
+def test_layout_skip_audit_brute_force(spark):
+    from nexus_forge_spark.functions.layout import layout_skip_audit
+
+    # 32x32 grid of points, one per (x, y)
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    preds = [
+        (1, 0, 31, 0, 7),    # y-only slab: zorder should prune, xsort can't
+        (2, 0, 7, 0, 31),    # x-only slab: both layouts prune
+        (3, 4, 11, 4, 11),   # small box
+        (4, 0, 31, 0, 31),   # full domain: nobody skips anything
+    ]
+    bits, cell_bits = 10, 4  # 16 files per layout
+    out = {
+        (r.layout, r.pred_id): r
+        for r in layout_skip_audit(df, "x", "y", preds, bits, cell_bits).collect()
+    }
+
+    # brute-force recompute of both layouts' extents and the skip rule
+    def norm(v):
+        return v * (1 << bits) // 32
+
+    def morton(xn, yn):
+        z = 0
+        for b in range(bits):
+            z |= ((xn >> b) & 1) << (2 * b + 1) | ((yn >> b) & 1) << (2 * b)
+        return z
+
+    cells = {"zorder": {}, "xsort": {}}
+    for x, y in rows:
+        xn, yn = norm(x), norm(y)
+        for layout, c in (
+            ("zorder", morton(xn, yn) >> (2 * bits - cell_bits)),
+            ("xsort", xn >> (bits - cell_bits)),
+        ):
+            e = cells[layout].setdefault(c, [10**9, -1, 10**9, -1, 0])
+            e[0], e[1] = min(e[0], x), max(e[1], x)
+            e[2], e[3] = min(e[2], y), max(e[3], y)
+            e[4] += 1
+    for layout in ("zorder", "xsort"):
+        for pid, xlo, xhi, ylo, yhi in preds:
+            scanned = [
+                e
+                for e in cells[layout].values()
+                if not (e[1] < xlo or e[0] > xhi or e[3] < ylo or e[2] > yhi)
+            ]
+            r = out[(layout, pid)]
+            assert r.n_files == len(cells[layout])
+            assert r.n_scanned == len(scanned), (layout, pid)
+            assert r.rows_scanned == sum(e[4] for e in scanned)
+            assert r.scan_ppm == len(scanned) * 1_000_000 // len(cells[layout])
+    # the headline: a y-only filter prunes under zorder, not under xsort
+    assert out[("zorder", 1)].n_scanned < out[("zorder", 1)].n_files
+    assert out[("xsort", 1)].n_scanned == out[("xsort", 1)].n_files
+    # and the full-domain predicate scans everything everywhere
+    assert out[("zorder", 4)].scan_ppm == 1_000_000
