@@ -524,3 +524,64 @@ def ngram_novelty(
             .alias("novelty_ppm"),
         )
     )
+
+
+ACRONYM_RE = r"([A-Za-z]+(?: [A-Za-z]+){1,5}) \(([A-Z]{2,6})\)"
+
+
+def mine_acronyms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Acronym/expansion pair mining — the initialism core of
+    Schwartz & Hearst (PSB 2003) "long form (SF)" extraction: a
+    parenthesized 2-6 letter uppercase token is an acronym candidate,
+    and it VERIFIES iff the initials of the |SF| words immediately
+    before the parenthesis spell it (case-insensitive).  The verified
+    (acronym, expansion) pairs with support counts are exactly the rows
+    a resolver alias table wants appended (operators/resolve.py
+    build_alias_table unions them like any other alias source).
+
+    Both the candidate window and the verify step are leftmost-first
+    regex + array algebra with identical semantics in Java regex and
+    RE2, so the oracle mirrors them verbatim.
+
+    Scale posture: extraction is map-side regexp_extract_all (bounded
+    per-match work, no token self-join); aggregation is one
+    (acronym, expansion)-keyed hash agg with map-side combine.
+    """
+    ms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(F.col(text_col), F.lit(ACRONYM_RE), 1).alias(
+                    "lf"
+                ),
+                F.regexp_extract_all(F.col(text_col), F.lit(ACRONYM_RE), 2).alias(
+                    "sf"
+                ),
+            )
+        ).alias("m"),
+    )
+    words = F.split(F.col("m.lf"), " ")
+    n = F.length(F.col("m.sf"))
+    # slice start must stay >= 1 (Spark errors on 0, counts from the END
+    # on negatives) — a window with fewer words than the acronym has
+    # letters can never verify, so give it an empty slice
+    exp_words = F.when(
+        F.size(words) >= n, F.slice(words, F.size(words) - n + 1, n)
+    ).otherwise(F.array().cast("array<string>"))
+    initials = F.upper(
+        F.array_join(F.transform(exp_words, lambda w: F.substring(w, 1, 1)), "")
+    )
+    occ = (
+        ms.where((F.size(words) >= n) & (initials == F.col("m.sf")))
+        .select(
+            F.col(id_col),
+            F.col("m.sf").alias("acronym"),
+            F.lower(F.array_join(exp_words, " ")).alias("expansion"),
+        )
+    )
+    return occ.groupBy("acronym", "expansion").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+    )

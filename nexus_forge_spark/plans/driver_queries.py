@@ -8373,7 +8373,70 @@ FROM ext CROSS JOIN preds
 GROUP BY layout, pred_id"""
 
 
+ACRO_PLANTS = [
+    " we asked the World Health Organization (WHO) for help",
+    " the wide harbor office (WHO) disagrees",  # same SF, different LF
+    " the European Union (EU) responded",
+    " a metal oxide chip (CPU) shipped",  # initials fail -> rejected
+    "",  # no parenthetical
+]
+
+
+def q_mine_acronyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acronym/expansion mining (text.py mine_acronyms, the Schwartz-
+    Hearst initialism rule): parenthesized 2-6 letter uppercase tokens
+    verify iff the initials of the preceding |SF| words spell them —
+    the alias-table enrichment pass a resolver runs over a raw corpus.
+    The corpus has no organic parentheticals, so five deterministic
+    sentence plants cycle by doc_id%5: an ambiguous acronym (two long
+    forms for WHO), a clean one, a rejected initials-mismatch, and a
+    no-op.  Extraction is map-side regex; one pair-keyed hash agg."""
+    from nexus_forge_spark.operators.text import mine_acronyms
+
+    docs = load_table(spark, "documents", sf_dir)
+    plant = F.element_at(
+        F.array(*[F.lit(s) for s in ACRO_PLANTS]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), plant).alias("text")
+    )
+    return mine_acronyms(planted)
+
+
+def sql_mine_acronyms() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{s.replace(chr(39), chr(39) * 2)}'"
+        for i, s in enumerate(ACRO_PLANTS)
+    )
+    re = r"([A-Za-z]+(?: [A-Za-z]+){1,5}) \(([A-Z]{2,6})\)"
+    return rf"""WITH planted AS (
+  SELECT doc_id, text || CASE doc_id % 5 {cases} END AS text
+  FROM documents
+),
+ms AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(text, '{re}', 1)) AS lf,
+    unnest(regexp_extract_all(text, '{re}', 2)) AS sf
+  FROM planted
+),
+verified AS (
+  SELECT doc_id, sf AS acronym,
+    lower(array_to_string(ws[len(ws) - length(sf) + 1 :], ' ')) AS expansion
+  FROM (SELECT doc_id, sf, string_split(lf, ' ') AS ws FROM ms)
+  WHERE len(ws) >= length(sf)
+    AND upper(array_to_string(
+          list_transform(ws[len(ws) - length(sf) + 1 :],
+                         w -> substr(w, 1, 1)), '')) = sf
+)
+SELECT acronym, expansion,
+  CAST(count(*) AS BIGINT) AS n_mentions,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM verified GROUP BY acronym, expansion"""
+
+
 QUERIES = {
+    "mine_acronyms": (q_mine_acronyms, sql_mine_acronyms),
     "layout_skip_audit": (q_layout_skip_audit, sql_layout_skip_audit),
     "strip_boilerplate": (q_strip_boilerplate, sql_strip_boilerplate),
     "cdc_dedup": (q_cdc_dedup, sql_cdc_dedup),

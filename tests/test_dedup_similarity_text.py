@@ -739,3 +739,29 @@ def test_cdc_dedup_stats_exact_duplicate(spark):
     # doc 1 holds the first occurrences, minus its own internal repeats
     assert out[1].n_dup_chunks < out[1].n_chunks
     assert out[3].dup_bytes == 0
+
+
+def test_mine_acronyms(spark):
+    rows = [
+        (1, "we asked the World Health Organization (WHO) for help"),
+        (2, "the World Health Organization (WHO) and the European Union (EU)"),
+        # initials don't spell it -> rejected by the verify step
+        (3, "a metal oxide chip (CPU) shipped"),
+        # window shorter than the acronym -> rejected, no crash
+        (4, "see Also (ABCDEF) here"),
+        # lowercase parenthetical is not an acronym candidate
+        (5, "a small note (nb) follows"),
+        (6, "the Global Widget Assembly (GWA) and world health organization (WHO)"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.acronym, r.expansion): (r.n_mentions, r.n_docs)
+        for r in X.mine_acronyms(df).collect()
+    }
+    # case-insensitive verify, lowercased expansion, support aggregated
+    assert out[("WHO", "world health organization")] == (3, 3)
+    assert out[("EU", "european union")] == (1, 1)
+    assert out[("GWA", "global widget assembly")] == (1, 1)
+    assert not any(a == "CPU" for a, _ in out)
+    assert not any(a == "ABCDEF" for a, _ in out)
+    assert len(out) == 3
