@@ -585,3 +585,55 @@ def mine_acronyms(
         F.count(F.lit(1)).cast("long").alias("n_mentions"),
         F.countDistinct(id_col).cast("long").alias("n_docs"),
     )
+
+
+def vocab_growth_curve(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Vocabulary growth (Heaps'-law) curve — the tokenizer-sizing and
+    dedup-health audit: at every power-of-2 prefix of the token stream
+    (corpus order = (doc_id, position), plus the full-corpus point),
+    how many DISTINCT types have appeared?  Sub-linear growth is healthy
+    natural text; near-linear growth screams unique-id/boilerplate noise.
+
+    Output: (prefix_tokens, n_types, types_ppm) with integer ppm.
+
+    Scale posture: token occurrences get exact global positions through
+    the exchange-free range-partition ranking (operators/ranking.py —
+    no SinglePartition window); first occurrence per type is one
+    map-side-combined min; the curve itself aggregates the vocab-sized
+    firsts table against a <=63-row broadcast grid.
+    """
+    from nexus_forge_spark.operators.ranking import global_row_numbers
+
+    toks = df.select(
+        F.col(id_col).alias("__d"),
+        F.posexplode(tokens(F.col(text_col))).alias("__p", "__t"),
+    )
+    ranked = global_row_numbers(toks, ["__d", "__p"], out_col="__gpos")
+    firsts = ranked.groupBy("__t").agg(F.min("__gpos").alias("__first"))
+    total = ranked.agg(F.max("__gpos").alias("n")).collect()[0]["n"]
+    grid = []
+    k = 1
+    while k <= total:
+        grid.append(k)
+        k <<= 1
+    if not grid or grid[-1] != total:
+        grid.append(total)
+    spark = df.sparkSession
+    grid_df = spark.createDataFrame(
+        [(g,) for g in grid], "prefix_tokens long"
+    )
+    return (
+        firsts.crossJoin(F.broadcast(grid_df))
+        .where(F.col("__first") <= F.col("prefix_tokens"))
+        .groupBy("prefix_tokens")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+        .select(
+            "prefix_tokens",
+            "n_types",
+            F.expr("CAST(n_types * 1000000 div prefix_tokens AS BIGINT)").alias(
+                "types_ppm"
+            ),
+        )
+    )

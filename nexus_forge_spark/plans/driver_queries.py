@@ -8435,7 +8435,47 @@ SELECT acronym, expansion,
 FROM verified GROUP BY acronym, expansion"""
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve (text.py vocab_growth_curve):
+    distinct types seen at every power-of-2 token-stream prefix in
+    corpus order — the tokenizer-sizing / dedup-health audit.  Global
+    token positions come from the exchange-free range-partition ranking
+    (no SinglePartition window); the curve aggregates the vocab-sized
+    first-occurrence table against a <=63-row broadcast grid."""
+    from nexus_forge_spark.operators.text import vocab_growth_curve
+
+    return vocab_growth_curve(load_table(spark, "documents", sf_dir))
+
+
+def sql_vocab_growth() -> str:
+    return r"""WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t,
+    generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1)
+      AS pos
+  FROM documents
+),
+ranked AS (
+  SELECT t, row_number() OVER (ORDER BY doc_id, pos) AS gpos FROM toks
+),
+firsts AS (SELECT t, min(gpos) AS first_pos FROM ranked GROUP BY t),
+total AS (SELECT max(gpos) AS n FROM ranked),
+grid AS (
+  SELECT CAST(1::BIGINT << k AS BIGINT) AS prefix_tokens
+  FROM generate_series(0, 62) s(k), total
+  WHERE (1::BIGINT << k) <= n
+  UNION
+  SELECT n FROM total
+)
+SELECT prefix_tokens,
+  CAST(count(*) AS BIGINT) AS n_types,
+  CAST(count(*) * 1000000 // prefix_tokens AS BIGINT) AS types_ppm
+FROM firsts JOIN grid ON first_pos <= prefix_tokens
+GROUP BY prefix_tokens"""
+
+
 QUERIES = {
+    "vocab_growth": (q_vocab_growth, sql_vocab_growth),
     "mine_acronyms": (q_mine_acronyms, sql_mine_acronyms),
     "layout_skip_audit": (q_layout_skip_audit, sql_layout_skip_audit),
     "strip_boilerplate": (q_strip_boilerplate, sql_strip_boilerplate),

@@ -765,3 +765,39 @@ def test_mine_acronyms(spark):
     assert not any(a == "CPU" for a, _ in out)
     assert not any(a == "ABCDEF" for a, _ in out)
     assert len(out) == 3
+
+
+def test_vocab_growth_curve_differential(spark):
+    import random
+
+    rng = random.Random(5)
+    texts = [
+        " ".join(rng.choice(["a", "b", "c", "d", "e", "f", "g", "h"])
+                 for _ in range(rng.randint(1, 9)))
+        for _ in range(10)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.prefix_tokens: (r.n_types, r.types_ppm)
+        for r in X.vocab_growth_curve(df).collect()
+    }
+    # pure-python replay of the definition
+    stream = [w for _, t in sorted(enumerate(texts)) for w in t.split()]
+    total = len(stream)
+    firsts = {}
+    for i, w in enumerate(stream, start=1):
+        firsts.setdefault(w, i)
+    grid, k = [], 1
+    while k <= total:
+        grid.append(k)
+        k <<= 1
+    if grid[-1] != total:
+        grid.append(total)
+    for n in grid:
+        n_types = sum(1 for f in firsts.values() if f <= n)
+        assert got[n] == (n_types, n_types * 1_000_000 // n), n
+    assert set(got) == set(grid)
+    # growth is monotone and saturates at the full vocabulary
+    assert got[grid[-1]][0] == len(firsts)
