@@ -922,3 +922,75 @@ SELECT node, CAST(sum({scale} // dist) AS BIGINT) AS harmonic_micro,
 FROM d{max_hops} WHERE dist > 0
 GROUP BY node"""
     )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    a: str = "a",
+    b: str = "b",
+    max_iter: int = 16,
+    materialize: bool = True,
+) -> DataFrame:
+    """The k-truss of an undirected graph: iteratively drop edges in
+    fewer than k-2 triangles until every surviving edge has >= k-2
+    surviving triangles — the edge-level density filter (strictly
+    stronger than k-core's node degrees) that keeps cohesive duplicate/
+    community clusters and sheds spurious bridge edges.  Like k-core,
+    the fixpoint is unique and removal-order-independent, so any two
+    engines that peel to convergence agree exactly.
+
+    Triangles are enumerated once per round on value-ordered edges
+    (lo < hi; wedges (u,v)+(v,w) closed by (u,w)) — the orientation the
+    SQL oracle mirrors verbatim.  For hub-skewed graphs the degree-
+    ordered orientation (:func:`oriented_edges`) caps wedge fan-out;
+    value order keeps engine parity and the near-dup graphs this runs
+    on are degree-capped by LSH banding already.
+
+    Scale posture: per round, one self-join pair for triangles (equi
+    keys, AQE-skew-handled), one edge-keyed support aggregate
+    (map-side-combined), one filter; the edge set only shrinks and each
+    round is pinned with localCheckpoint so lineage stays flat.
+    Converges in O(peeling depth) rounds; raises on max_iter exhaustion
+    (the kcore/connected_components honesty contract).
+
+    Returns the surviving edges as (lo, hi, support).
+    """
+    und = (
+        edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .where(F.col(a) != F.col(b))
+        .select(F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi"))
+        .distinct()
+    )
+    if materialize:
+        und = und.localCheckpoint(eager=True)
+    n_edges = und.count()
+    sup = None
+    for _ in range(max_iter):
+        e12 = und.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        e23 = und.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+        e13 = und.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+        tris = e12.join(e23, "v").join(e13, ["u", "w"])
+        sup = (
+            tris.select(F.col("u").alias("lo"), F.col("v").alias("hi"))
+            .unionAll(tris.select(F.col("v").alias("lo"), F.col("w").alias("hi")))
+            .unionAll(tris.select(F.col("u").alias("lo"), F.col("w").alias("hi")))
+            .groupBy("lo", "hi")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .where(F.col("support") >= k - 2)
+        )
+        if materialize:
+            sup = sup.localCheckpoint(eager=True)
+        n_pruned = sup.count()
+        und = sup.select("lo", "hi")
+        if n_pruned == n_edges:
+            break
+        n_edges = n_pruned
+        if n_pruned == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"ktruss did not converge in {max_iter} peeling rounds; "
+            "raise max_iter (expected O(peeling depth) rounds)"
+        )
+    return sup

@@ -8474,7 +8474,68 @@ FROM firsts JOIN grid ON first_pos <= prefix_tokens
 GROUP BY prefix_tokens"""
 
 
+_KTRUSS_K, _KTRUSS_ROUNDS = 4, 8
+
+
+def q_ktruss_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss edge-density filter (graph.py ktruss) over the MinHash
+    near-dup pair graph: peel edges in < k-2 surviving triangles to the
+    unique fixpoint — keeps cohesive duplicate clusters, sheds bridge
+    edges that k-core's node degrees cannot distinguish.  The oracle
+    unrolls 8 peeling rounds as MATERIALIZED CTEs; rounds past
+    convergence are no-ops, so hash equality proves fixpoint equality."""
+    from nexus_forge_spark.operators.graph import ktruss
+
+    pairs = q_dedup_minhash(spark, sf_dir).select("a", "b")
+    out = ktruss(pairs, k=_KTRUSS_K, max_iter=_KTRUSS_ROUNDS)
+    return out.select(
+        F.col("lo").cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+        F.col("support").cast("long").alias("support"),
+    )
+
+
+def sql_ktruss_neardup() -> str:
+    k = _KTRUSS_K
+    ctes = [
+        f"""pr AS MATERIALIZED (SELECT a, b FROM ({sql_dedup_minhash()})),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+  FROM pr WHERE a <> b
+)"""
+    ]
+    for i in range(1, _KTRUSS_ROUNDS + 1):
+        prev = f"e{i - 1}"
+        ctes.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT e12.lo AS u, e12.hi AS v, e23.hi AS w
+  FROM {prev} e12
+  JOIN {prev} e23 ON e12.hi = e23.lo
+  JOIN {prev} e13 ON e13.lo = e12.lo AND e13.hi = e23.hi
+)"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT lo, hi, CAST(count(*) AS BIGINT) AS support
+  FROM (
+    SELECT u AS lo, v AS hi FROM t{i}
+    UNION ALL SELECT v, w FROM t{i}
+    UNION ALL SELECT u, w FROM t{i}
+  ) GROUP BY lo, hi HAVING count(*) >= {k - 2}
+)"""
+        )
+    last = f"e{_KTRUSS_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi, support
+FROM {last}"""
+    )
+
+
 QUERIES = {
+    "ktruss_neardup": (q_ktruss_neardup, sql_ktruss_neardup),
     "vocab_growth": (q_vocab_growth, sql_vocab_growth),
     "mine_acronyms": (q_mine_acronyms, sql_mine_acronyms),
     "layout_skip_audit": (q_layout_skip_audit, sql_layout_skip_audit),

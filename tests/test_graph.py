@@ -247,3 +247,54 @@ def test_cooccurrence_pair_generation_is_ordered_and_distinct(spark):
         ("a", "b"), ("a", "c"), ("a", "d"),
         ("b", "c"), ("b", "d"), ("c", "d"),
     ]
+
+
+def _py_ktruss(edge_list, k):
+    edges = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    while True:
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        sup = {
+            (u, v): len(adj[u] & adj[v])
+            for u, v in edges
+        }
+        keep = {e for e in edges if sup[e] >= k - 2}
+        if keep == edges:
+            return {e: sup[e] for e in edges}
+        edges = keep
+
+
+def test_ktruss_k4_plus_pendant_triangle(spark):
+    from nexus_forge_spark.operators.graph import ktruss
+
+    # K4 on {1,2,3,4} (every edge in 2 triangles) + triangle {4,5,6}
+    # hanging off node 4 (each of its edges in 1 triangle)
+    k4 = [(u, v) for u in range(1, 5) for v in range(u + 1, 5)]
+    pend = [(4, 5), (4, 6), (5, 6)]
+    df = spark.createDataFrame(k4 + pend, "a long, b long")
+    out4 = {(r.lo, r.hi): r.support for r in ktruss(df, k=4).collect()}
+    assert out4 == {(u, v): 2 for u, v in k4}
+    # at k=3 everything survives (every edge is in >= 1 triangle)
+    out3 = {(r.lo, r.hi): r.support for r in ktruss(df, k=3).collect()}
+    assert set(out3) == set(k4 + pend)
+    # at k=5 nothing survives
+    assert ktruss(df, k=5).count() == 0
+
+
+def test_ktruss_differential_random(spark):
+    import random
+
+    from nexus_forge_spark.operators.graph import ktruss
+
+    rng = random.Random(13)
+    edge_list = list({
+        tuple(sorted((rng.randint(1, 14), rng.randint(1, 14))))
+        for _ in range(60)
+    })
+    edge_list = [e for e in edge_list if e[0] != e[1]]
+    df = spark.createDataFrame(edge_list, "a long, b long")
+    for k in (3, 4, 5):
+        got = {(r.lo, r.hi): r.support for r in ktruss(df, k=k).collect()}
+        assert got == _py_ktruss(edge_list, k), k
