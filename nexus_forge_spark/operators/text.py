@@ -637,3 +637,63 @@ def vocab_growth_curve(
             ),
         )
     )
+
+
+def readability_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade in integer
+    micro-units — the classic readability quality signal (very low ease
+    = legalese/boilerplate, implausibly high = word salad).
+
+    Heuristics, deterministic and engine-portable:
+    * sentences = runs of ``[.!?]+`` (min 1);
+    * words = whitespace tokens (min 1);
+    * syllables per word = vowel-group count ``[aeiouy]+`` with the
+      silent-e discount (trailing 'e' not preceded by a vowel drops one
+      group when the word has >1), floored at 1.
+
+    Scores are the standard formulas scaled to micro-units with BIGINT
+    division (ease = 206.835 - 1.015 w/s - 84.6 syl/w), so both engines
+    agree bit-for-bit; everything is one map-side projection.
+    """
+    t = F.lower(F.trim(F.col(text_col)))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    ).cast("long")
+    toks = F.split(t, r"\s+")
+    n_words = F.greatest(F.size(toks), F.lit(1)).cast("long")
+    groups = F.size(F.regexp_extract_all(t, F.lit(r"[aeiouy]+"), 0)).cast("long")
+    # silent-e: a word ending in e where the e is its own vowel group
+    # (not "ee"/"ie" etc.) counted one group too many
+    silent = F.size(
+        F.filter(
+            toks,
+            lambda w: w.rlike("[^aeiouy]e$")
+            & (F.size(F.regexp_extract_all(w, F.lit(r"[aeiouy]+"), 0)) > 1),
+        )
+    ).cast("long")
+    n_syll = F.greatest(groups - silent, n_words).cast("long")
+    ease = (
+        F.lit(206_835_000).cast("long")
+        - F.expr(f"1015000 * __w div __s")
+        - F.expr(f"84600000 * __y div __w")
+    )
+    grade = (
+        F.expr("390000 * __w div __s")
+        + F.expr("11800000 * __y div __w")
+        - F.lit(15_590_000).cast("long")
+    )
+    return df.select(
+        F.col(id_col),
+        n_sent.alias("__s"),
+        n_words.alias("__w"),
+        n_syll.alias("__y"),
+    ).select(
+        id_col,
+        F.col("__s").alias("n_sentences"),
+        F.col("__w").alias("n_words"),
+        F.col("__y").alias("n_syllables"),
+        ease.alias("ease_micro"),
+        grade.alias("grade_micro"),
+    )

@@ -8534,7 +8534,103 @@ FROM {last}"""
     )
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade (text.py
+    readability_scores) in integer micro-units: vowel-group syllables
+    with the silent-e discount, BIGINT-division formulas, one map-side
+    projection over the corpus."""
+    from nexus_forge_spark.operators.text import readability_scores
+
+    return readability_scores(load_table(spark, "documents", sf_dir))
+
+
+def sql_readability() -> str:
+    return r"""WITH base AS (
+  SELECT doc_id, trim(lower(text)) AS t FROM documents
+),
+feats AS (
+  SELECT doc_id,
+    greatest(len(regexp_extract_all(t, '[.!?]+')), 1)::BIGINT AS s,
+    greatest(len(string_split_regex(t, '\s+')), 1)::BIGINT AS w,
+    len(regexp_extract_all(t, '[aeiouy]+'))::BIGINT AS groups,
+    len(list_filter(string_split_regex(t, '\s+'),
+        tok -> regexp_matches(tok, '[^aeiouy]e$')
+               AND len(regexp_extract_all(tok, '[aeiouy]+')) > 1))::BIGINT
+      AS silent
+  FROM base
+)
+SELECT doc_id, s AS n_sentences, w AS n_words,
+  greatest(groups - silent, w) AS n_syllables,
+  CAST(206835000 - 1015000 * w // s
+       - 84600000 * greatest(groups - silent, w) // w AS BIGINT)
+    AS ease_micro,
+  CAST(390000 * w // s + 11800000 * greatest(groups - silent, w) // w
+       - 15590000 AS BIGINT) AS grade_micro
+FROM feats"""
+
+
+def q_alias_ambiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolver-dictionary ambiguity audit: for every case-folded alias
+    in the ontology and agent dictionaries, how many DISTINCT entities
+    claim it?  Ambiguous aliases are exactly where EXACT/BEST strategies
+    silently pick by (score, dict_idx) tie-break, so this is the
+    dictionary-health report a KG team reviews before trusting resolver
+    output.  Both dims unpivot through the graded build_alias_table;
+    one alias-keyed hash aggregate."""
+    onto = R.build_alias_table(
+        dims.ontology_terms_idx(spark), dims.ONTOLOGY_MATCH_PROPS
+    ).select(F.lit("ontology").alias("dict"), "entity_id",
+             F.lower("alias").alias("alias_norm"))
+    ag = R.build_alias_table(
+        dims.agents_idx(spark), dims.AGENT_MATCH_PROPS
+    ).select(F.lit("agents").alias("dict"), "entity_id",
+             F.lower("alias").alias("alias_norm"))
+    return (
+        onto.unionByName(ag)
+        .groupBy("dict", "alias_norm")
+        .agg(
+            F.countDistinct("entity_id").cast("long").alias("n_entities"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("entity_id").alias("first_entity"),
+        )
+        .select(
+            "*", (F.col("n_entities") > 1).alias("ambiguous")
+        )
+    )
+
+
+def sql_alias_ambiguity() -> str:
+    def unpivot(dict_name, values_sql, props):
+        coalesce = "coalesce(" + ", ".join(props) + ")"
+        branches = [
+            f"SELECT '{dict_name}' AS dict, id AS entity_id, "
+            f"lower({p}) AS alias_norm "
+            f"FROM {dict_name}_dim WHERE {p} IS NOT NULL AND NOT deprecated"
+            for p in props
+        ]
+        return (
+            f"{dict_name}_dim AS (SELECT * FROM {values_sql}),\n"
+            f"{dict_name}_al AS (\n" + "\nUNION ALL\n".join(branches) + "\n)"
+        )
+
+    onto = unpivot(
+        "ontology", dims.ontology_sql_values("d"), dims.ONTOLOGY_MATCH_PROPS
+    )
+    ag = unpivot("agents", dims.agents_sql_values("a"), dims.AGENT_MATCH_PROPS)
+    return f"""WITH {onto},
+{ag}
+SELECT dict, alias_norm,
+  CAST(count(DISTINCT entity_id) AS BIGINT) AS n_entities,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  min(entity_id) AS first_entity,
+  count(DISTINCT entity_id) > 1 AS ambiguous
+FROM (SELECT * FROM ontology_al UNION ALL SELECT * FROM agents_al)
+GROUP BY dict, alias_norm"""
+
+
 QUERIES = {
+    "alias_ambiguity": (q_alias_ambiguity, sql_alias_ambiguity),
+    "readability": (q_readability, sql_readability),
     "ktruss_neardup": (q_ktruss_neardup, sql_ktruss_neardup),
     "vocab_growth": (q_vocab_growth, sql_vocab_growth),
     "mine_acronyms": (q_mine_acronyms, sql_mine_acronyms),

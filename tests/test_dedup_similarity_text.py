@@ -801,3 +801,48 @@ def test_vocab_growth_curve_differential(spark):
     assert set(got) == set(grid)
     # growth is monotone and saturates at the full vocabulary
     assert got[grid[-1]][0] == len(firsts)
+
+
+def test_readability_scores_hand(spark):
+    rows = [
+        (1, "The cat sat. The dog ran!"),
+        (2, "Considerable inevitability necessitates extraordinary deliberation."),
+        (3, "wordsalad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in X.readability_scores(df).collect()}
+
+    def py_score(text):
+        import re
+
+        t = text.strip().lower()
+        s = max(len(re.findall(r"[.!?]+", t)), 1)
+        toks = re.split(r"\s+", t)
+        w = max(len(toks), 1)
+        groups = len(re.findall(r"[aeiouy]+", t))
+        silent = sum(
+            1
+            for tok in toks
+            if re.search(r"[^aeiouy]e$", tok)
+            and len(re.findall(r"[aeiouy]+", tok)) > 1
+        )
+        y = max(groups - silent, w)
+        ease = 206_835_000 - 1_015_000 * w // s - 84_600_000 * y // w
+        grade = 390_000 * w // s + 11_800_000 * y // w - 15_590_000
+        return s, w, y, ease, grade
+
+    for i, t in rows:
+        s, w, y, ease, grade = py_score(t)
+        r = out[i]
+        assert (r.n_sentences, r.n_words, r.n_syllables) == (s, w, y), i
+        assert (r.ease_micro, r.grade_micro) == (ease, grade), i
+    # direction: simple sentences read far easier than sesquipedalia
+    assert out[1].ease_micro > out[2].ease_micro
+    assert out[1].grade_micro < out[2].grade_micro
+    # silent-e discount actually fires ("sesquipedalian words" above has
+    # none; check a clean case)
+    one = {r.doc_id: r for r in X.readability_scores(
+        spark.createDataFrame([(9, "the plate")], "doc_id long, text string")
+    ).collect()}
+    # "plate": groups a,e -> silent-e drops to 1; "the": 1 -> total 2
+    assert one[9].n_syllables == 2
