@@ -17,7 +17,7 @@ the same algebra matches hash-for-hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -452,3 +452,48 @@ def fd_profile(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def domain_quantile_calibration(
+    df: DataFrame,
+    score_col: str,
+    domain_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain quantile calibration of a score — the domain-fair
+    thresholding trick (RefinedWeb-style): a single global cutoff on a
+    raw score over-prunes whole domains whose score distribution sits
+    low, so re-express every row's score as its percentile WITHIN its
+    own domain and threshold on that instead.
+
+    ``pct_ppm = (rank - 1) * 1e6 div max(n_dom - 1, 1)`` with ties
+    sharing a rank (``rank()``), so equal scores calibrate equally and
+    the output spans [0, 1e6] exactly — all integer.
+
+    Scale posture: one domain-keyed Exchange shared by the rank window
+    and the full-frame count (stacked Window operators, the scd2/cusum
+    pattern); the rank sort spills, so docs-per-domain >> cores is the
+    operating regime.
+    """
+    rank_w = Window.partitionBy(domain_col).orderBy(score_col)
+    n_w = (
+        Window.partitionBy(domain_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.col(score_col),
+        (
+            (F.rank().over(rank_w) - F.lit(1)).cast("long") * F.lit(1_000_000)
+        ).alias("__num"),
+        F.greatest(F.count(F.lit(1)).over(n_w) - F.lit(1), F.lit(1))
+        .cast("long")
+        .alias("__den"),
+    ).select(
+        id_col,
+        domain_col,
+        score_col,
+        F.expr("CAST(__num div __den AS BIGINT)").alias("pct_ppm"),
+    )

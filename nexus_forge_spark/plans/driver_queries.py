@@ -8628,7 +8628,31 @@ FROM (SELECT * FROM ontology_al UNION ALL SELECT * FROM agents_al)
 GROUP BY dict, alias_norm"""
 
 
+def q_domain_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quantile calibration (profile.py
+    domain_quantile_calibration) of doc length: each doc's n_chars is
+    re-expressed as its integer-ppm percentile WITHIN its own source —
+    the domain-fair thresholding trick (a global cutoff over-prunes
+    whole domains whose raw distribution sits low).  Ties share a rank;
+    rank window and count share ONE domain exchange."""
+    from nexus_forge_spark.operators.profile import domain_quantile_calibration
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "n_chars"
+    )
+    return domain_quantile_calibration(docs, "n_chars", "source")
+
+
+def sql_domain_calibration() -> str:
+    return """SELECT doc_id, source, n_chars,
+  CAST((rank() OVER (PARTITION BY source ORDER BY n_chars) - 1) * 1000000
+       // greatest(count(*) OVER (PARTITION BY source) - 1, 1) AS BIGINT)
+    AS pct_ppm
+FROM documents"""
+
+
 QUERIES = {
+    "domain_calibration": (q_domain_calibration, sql_domain_calibration),
     "alias_ambiguity": (q_alias_ambiguity, sql_alias_ambiguity),
     "readability": (q_readability, sql_readability),
     "ktruss_neardup": (q_ktruss_neardup, sql_ktruss_neardup),

@@ -126,3 +126,28 @@ def test_fd_profile_exact_and_violated(spark):
     assert got["t: k -> v"] == (2, 5, 1, 200000)
     # (k,v) -> w: group (2,c) has {y,z} -> 1 violation
     assert got["t: k,v -> w"] == (3, 5, 1, 200000)
+
+
+def test_domain_quantile_calibration(spark):
+    from nexus_forge_spark.operators.profile import domain_quantile_calibration
+
+    rows = [
+        # domain A scores low overall; domain B high — a global cutoff
+        # would nuke all of A, calibration treats both fairly
+        (1, "A", 10), (2, "A", 20), (3, "A", 20), (4, "A", 30), (5, "A", 40),
+        (6, "B", 100), (7, "B", 200),
+        (8, "C", 7),  # singleton domain: pct 0, den clamps to 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    out = {
+        r.doc_id: r.pct_ppm
+        for r in domain_quantile_calibration(df, "score", "source").collect()
+    }
+    # A: ranks 1,2,2,4,5 over n-1=4 -> 0, 250000, 250000, 750000, 1000000
+    assert out[1] == 0 and out[2] == 250_000 and out[3] == 250_000
+    assert out[4] == 750_000 and out[5] == 1_000_000
+    assert out[6] == 0 and out[7] == 1_000_000
+    assert out[8] == 0
+    # domain-fair cutoff: keep top half -> survivors from BOTH domains
+    keep = {d for d, p in out.items() if p >= 500_000}
+    assert 4 in keep and 5 in keep and 7 in keep and 1 not in keep
