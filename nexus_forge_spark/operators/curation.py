@@ -1375,3 +1375,41 @@ def strip_boilerplate(
             ).cast("long").alias("n_removed"),
         )
     )
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "hrw",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
+    1996, the stable-assignment trick behind consistent routing: a doc
+    goes to the shard whose ``hash(doc, shard)`` is largest.  Growing
+    N -> N+1 moves ONLY the docs the new shard wins (~1/(N+1) of them)
+    and never reshuffles docs between surviving shards — exactly what a
+    resumable 100 TB pipeline wants when it rescales its output layout
+    (hash-mod moves ~half the corpus instead).
+
+    Ties break to the SMALLER shard id (max hash, then min shard), so
+    the assignment is a pure deterministic function of (id, salt, N).
+
+    Scale posture: one map-side projection — the argmax is a
+    ``greatest`` over n_shards (hash, -shard) structs, no explode, no
+    shuffle, no state.
+    """
+    from nexus_forge_spark.operators.sketches import hash60
+
+    best = F.greatest(
+        *[
+            F.struct(
+                hash60(
+                    F.concat(F.col(id_col).cast("string"), F.lit(f"#{s}")), salt
+                ).alias("h"),
+                F.lit(-s).alias("neg"),
+            )
+            for s in range(int(n_shards))
+        ]
+    )
+    return df.withColumn(out_col, (-best.getField("neg")).cast("long"))

@@ -8651,7 +8651,52 @@ def sql_domain_calibration() -> str:
 FROM documents"""
 
 
+HRW_N = 8
+
+
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous/HRW sharding (curation.py rendezvous_shard) at N=8 and
+    N=9 side by side with the moved flag — the stable-routing guarantee
+    a resumable pipeline rescale depends on: only the docs the NEW shard
+    wins move (hash-mod would reshuffle ~half).  Pure map-side greatest
+    over (hash, -shard) structs, no shuffle."""
+    from nexus_forge_spark.operators.curation import rendezvous_shard
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    out = rendezvous_shard(docs, HRW_N, out_col="shard_n")
+    out = rendezvous_shard(out, HRW_N + 1, out_col="shard_n1")
+    return out.select(
+        "doc_id",
+        "shard_n",
+        "shard_n1",
+        (F.col("shard_n") != F.col("shard_n1")).alias("moved"),
+    )
+
+
+def sql_rendezvous_shards() -> str:
+    def assign(n, name):
+        h = (
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || s "
+            "|| ':hrw'), 1, 15))::BIGINT"
+        )
+        return f"""{name} AS (
+  SELECT doc_id, CAST(s AS BIGINT) AS {name}_shard
+  FROM (
+    SELECT doc_id, s,
+      row_number() OVER (PARTITION BY doc_id ORDER BY {h} DESC, s) AS rn
+    FROM documents, generate_series(0, {n - 1}) g(s)
+  ) WHERE rn = 1
+)"""
+
+    return f"""WITH {assign(HRW_N, 'a8')},
+{assign(HRW_N + 1, 'a9')}
+SELECT d.doc_id, a8.a8_shard AS shard_n, a9.a9_shard AS shard_n1,
+  a8.a8_shard <> a9.a9_shard AS moved
+FROM documents d JOIN a8 USING (doc_id) JOIN a9 USING (doc_id)"""
+
+
 QUERIES = {
+    "rendezvous_shards": (q_rendezvous_shards, sql_rendezvous_shards),
     "domain_calibration": (q_domain_calibration, sql_domain_calibration),
     "alias_ambiguity": (q_alias_ambiguity, sql_alias_ambiguity),
     "readability": (q_readability, sql_readability),

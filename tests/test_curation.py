@@ -821,3 +821,32 @@ def test_strip_boilerplate_all_stripped_doc_survives(spark):
     # doc 1's only paragraph is boilerplate: row survives with empty text
     assert out[1].text == "" and out[1].n_removed == 1
     assert out[3].text == "keep me"
+
+
+def test_rendezvous_shard_minimal_movement(spark):
+    from nexus_forge_spark.operators.curation import rendezvous_shard
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(400)], "doc_id long"
+    )
+    s8 = rendezvous_shard(df, 8, out_col="s8")
+    both = rendezvous_shard(s8, 9, out_col="s9").collect()
+    # all shards in range and used
+    assert {r.s8 for r in both} == set(range(8))
+    assert {r.s9 for r in both} <= set(range(9))
+    moved = [r for r in both if r.s8 != r.s9]
+    # THE rendezvous property: every moved doc moved TO the new shard,
+    # never between surviving shards
+    assert moved and all(r.s9 == 8 for r in moved)
+    # and roughly 1/9 of docs move (hash-mod would move ~7/9)
+    assert len(moved) < 400 * 2 // 9
+
+    # pure-python differential of the assignment rule
+    import hashlib
+
+    def h60(s, salt="hrw"):
+        return int(hashlib.md5(f"{s}:{salt}".encode()).hexdigest()[:15], 16)
+
+    for r in both[:50]:
+        expect = max(range(8), key=lambda s: (h60(f"{r.doc_id}#{s}"), -s))
+        assert r.s8 == expect
