@@ -84,7 +84,10 @@ def main() -> None:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1200"))
     bench_start = time.time()
     skipped: list[str] = []
-    for name, (fn, _sql) in QUERIES.items():
+    # sweep OLDEST-first (new queries are prepended to QUERIES), so if the
+    # budget bites under external load, the long-standing core queries
+    # still get timed and only the newest additions are skipped
+    for name, (fn, _sql) in reversed(list(QUERIES.items())):
         if time.time() - bench_start > budget:
             skipped.append(name)
             continue

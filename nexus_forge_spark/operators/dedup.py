@@ -907,7 +907,11 @@ def cdc_dedup_stats(
     both aggregates stay map-side-combinable hash aggregates — no
     SortAggregate, no window over the full occurrence set.
     """
-    chunks = cdc_chunks(df, text_col, id_col, window, divisor, salt)
+    # the chunk derivation feeds BOTH the election and the occurrence
+    # join — pin it once (chunk rows are ~3% of corpus chars)
+    chunks = cdc_chunks(df, text_col, id_col, window, divisor, salt).localCheckpoint(
+        eager=True
+    )
     per_doc = chunks.groupBy("chunk_hash", id_col).agg(
         F.min("start").alias("__s0")
     )
