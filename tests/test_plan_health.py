@@ -616,3 +616,73 @@ def test_dsir_select_broadcast_only_and_topk(spark, sf01):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rendezvous_and_readability_are_shuffle_free(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import (
+        q_readability,
+        q_rendezvous_shards,
+    )
+
+    for q in (q_rendezvous_shards, q_readability):
+        plan = plan_of(q(spark, sf01), execute=True)
+        assert "Exchange" not in plan, q.__name__
+        assert "Join" not in plan, q.__name__
+
+
+def test_strip_boilerplate_broadcast_anti(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import q_strip_boilerplate
+
+    plan = plan_of(q_strip_boilerplate(spark, sf01), execute=True)
+    # the tiny-by-construction boilerplate table anti-joins broadcast
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_mix_plan_is_broadcast(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import q_temperature_mix
+
+    plan = plan_of(q_temperature_mix(spark, sf01), execute=True)
+    # the epoch plan reaches the corpus as a broadcast — the corpus never
+    # shuffles for a join (the one exchange is the per-domain rank window)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_maxsim_broadcasts_queries_only(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import q_maxsim_retrieval
+
+    plan = plan_of(q_maxsim_retrieval(spark, sf01), execute=True)
+    # the all-pairs token scoring is the documented brute-force baseline:
+    # query tokens broadcast through a nested-loop, corpus side streams
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdc_dedup_never_broadcasts_winners(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import q_cdc_dedup
+
+    df = q_cdc_dedup(spark, sf01)
+    plan = plan_of(df, execute=True)
+    assert "CartesianProduct" not in plan
+    # the election join keys on chunk_hash (corpus-sized side): no
+    # EXPLICIT broadcast hint may force it — at sf0.01 AQE legitimately
+    # broadcasts the runtime-small side, at 100 TB it won't, and a
+    # hard-coded hint would take that choice away
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in logical.lower(), logical
+
+
+def test_domain_calibration_single_exchange(spark, sf01):
+    import re
+
+    from nexus_forge_spark.plans.driver_queries import q_domain_calibration
+
+    plan = plan_of(q_domain_calibration(spark, sf01), execute=True)
+    # count only the executed plan — the AQE string repeats the tree in
+    # its "== Initial Plan ==" section
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+    # rank and count stack into ONE Window operator on one sort
+    assert len(re.findall(r"\bWindow\b", final)) == 1
