@@ -994,3 +994,111 @@ def ktruss(
             "raise max_iter (expected O(peeling depth) rounds)"
         )
     return sup
+
+
+def boruvka_msf(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    w_col: str = "w",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Minimum spanning forest by Borůvka's algorithm — the backbone of
+    single-linkage clustering at scale (cut the MSF at a distance
+    threshold and the components ARE the single-linkage clusters, no
+    sequential dendrogram needed).
+
+    Edges are totally ordered by (w, lo, hi), which makes the MSF UNIQUE
+    (distinct keys -> every cut has one minimum edge), so any two
+    engines agree exactly; the oracle checks the same forest through the
+    cycle property instead of replaying rounds.
+
+    Per round every component elects its minimum outgoing edge (the cut
+    property guarantees all elected edges belong to the MSF), the
+    elected edges merge components, and the component count at least
+    halves — O(log n) rounds.  Merging uses the graded
+    large-star/small-star connected components on the COMPONENT graph,
+    which is at most half the size of the previous round's.
+
+    Scale posture: each round is two broadcast-eligible comp-mapping
+    joins + one component-keyed min aggregate (SortAggregate from the
+    struct min — mapper-local sort, partial-combined) + CC on the
+    shrinking component graph; every round's state is
+    localCheckpoint-pinned.  Raises on max_iter exhaustion (the
+    kcore/ktruss honesty contract).
+    """
+    from nexus_forge_spark.operators.canonicalize import connected_components
+
+    e = (
+        edges.where(F.col(a) != F.col(b))
+        .select(
+            F.least(a, b).alias("lo"),
+            F.greatest(a, b).alias("hi"),
+            F.col(w_col).cast("long").alias("w"),
+        )
+        .groupBy("lo", "hi")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        e.select(F.col("lo").alias("node"))
+        .unionByName(e.select(F.col("hi").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    msf = None
+    for _ in range(max_iter):
+        ec = (
+            e.join(
+                comp.select(F.col("node").alias("lo"), F.col("comp").alias("cl")),
+                "lo",
+            )
+            .join(
+                comp.select(F.col("node").alias("hi"), F.col("comp").alias("ch")),
+                "hi",
+            )
+            .where(F.col("cl") != F.col("ch"))
+        )
+        key = F.struct("w", "lo", "hi", "cl", "ch")
+        cand = ec.select(F.col("cl").alias("c"), key.alias("k")).unionAll(
+            ec.select(F.col("ch").alias("c"), key.alias("k"))
+        )
+        sel = (
+            cand.groupBy("c")
+            .agg(F.min("k").alias("k"))
+            .select("k.*")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if sel.isEmpty():
+            break
+        picked = sel.select("lo", "hi", "w")
+        msf = (
+            picked
+            if msf is None
+            else msf.unionByName(picked).localCheckpoint(eager=True)
+        )
+        mapping = connected_components(
+            sel.select(F.col("cl").alias("a"), F.col("ch").alias("b"))
+        )
+        comp = (
+            comp.join(
+                mapping.select(
+                    F.col("entity_id").alias("comp"),
+                    F.col("canonical_id").alias("__new"),
+                ),
+                "comp",
+                "left",
+            )
+            .select("node", F.coalesce("__new", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"boruvka_msf did not converge in {max_iter} rounds; "
+            "raise max_iter (components at least halve per round)"
+        )
+    if msf is None:
+        return e.where(F.lit(False)).select("lo", "hi", "w")
+    return msf

@@ -8695,7 +8695,61 @@ SELECT d.doc_id, a8.a8_shard AS shard_n, a9.a9_shard AS shard_n1,
 FROM documents d JOIN a8 USING (doc_id) JOIN a9 USING (doc_id)"""
 
 
+def q_msf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest (graph.py boruvka_msf) over the near-dup
+    pair graph with distance weights 1e6 - floor(jaccard*1e6): cutting
+    this forest at any threshold yields the single-linkage clusters, no
+    sequential dendrogram.  The (w, lo, hi) total order makes the forest
+    UNIQUE, so the oracle never replays Borůvka rounds — it checks the
+    CYCLE PROPERTY instead (an edge is in the MSF iff no path of
+    strictly smaller edges connects its endpoints), a fully independent
+    characterization."""
+    from nexus_forge_spark.operators.graph import boruvka_msf
+
+    pairs = q_dedup_minhash(spark, sf_dir).select(
+        "a",
+        "b",
+        (
+            F.lit(1_000_000) - F.floor(F.col("jaccard") * 1_000_000)
+        ).cast("long").alias("w"),
+    )
+    out = boruvka_msf(pairs)
+    return out.select(
+        F.col("lo").cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+        F.col("w").cast("long").alias("w"),
+    )
+
+
+def sql_msf_neardup() -> str:
+    return f"""WITH RECURSIVE pr AS (
+  SELECT a, b, 1000000 - CAST(floor(jaccard * 1000000) AS BIGINT) AS w
+  FROM ({sql_dedup_minhash()})
+),
+e AS (
+  SELECT least(a, b) AS lo, greatest(a, b) AS hi, min(w) AS w
+  FROM pr WHERE a <> b GROUP BY least(a, b), greatest(a, b)
+),
+reach(elo, ehi, ew, node) AS (
+  SELECT lo, hi, w, lo FROM e
+  UNION
+  SELECT r.elo, r.ehi, r.ew,
+    CASE WHEN e2.lo = r.node THEN e2.hi ELSE e2.lo END
+  FROM reach r JOIN e e2
+    ON (e2.lo = r.node OR e2.hi = r.node)
+   AND (e2.w, e2.lo, e2.hi) < (r.ew, r.elo, r.ehi)
+)
+SELECT CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+  CAST(w AS BIGINT) AS w
+FROM e
+WHERE NOT EXISTS (
+  SELECT 1 FROM reach r
+  WHERE r.elo = e.lo AND r.ehi = e.hi AND r.node = e.hi
+)"""
+
+
 QUERIES = {
+    "msf_neardup": (q_msf_neardup, sql_msf_neardup),
     "rendezvous_shards": (q_rendezvous_shards, sql_rendezvous_shards),
     "domain_calibration": (q_domain_calibration, sql_domain_calibration),
     "alias_ambiguity": (q_alias_ambiguity, sql_alias_ambiguity),

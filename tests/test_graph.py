@@ -298,3 +298,56 @@ def test_ktruss_differential_random(spark):
     for k in (3, 4, 5):
         got = {(r.lo, r.hi): r.support for r in ktruss(df, k=k).collect()}
         assert got == _py_ktruss(edge_list, k), k
+
+
+def _py_kruskal(edge_list):
+    """MSF under the (w, lo, hi) total order — the unique forest the
+    Borůvka plan must reproduce."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    canon = sorted(
+        {(min(a, b), max(a, b)): w for a, b, w in sorted(
+            ((a, b, w) for a, b, w in edge_list if a != b),
+            key=lambda e: e[2], reverse=True)  # keep MIN w per pair
+        }.items()
+    )
+    for (lo, hi), w in sorted(canon, key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(lo), find(hi)
+        if ra != rb:
+            parent[ra] = rb
+            out.add((lo, hi, w))
+    return out
+
+
+def test_boruvka_msf_hand_and_random(spark):
+    import random
+
+    from nexus_forge_spark.operators.graph import boruvka_msf
+
+    # hand case: square with diagonal — MSF drops the two heaviest sides
+    hand = [(1, 2, 1), (2, 3, 2), (3, 4, 5), (4, 1, 4), (1, 3, 3)]
+    df = spark.createDataFrame(hand, "a long, b long, w long")
+    got = {(r.lo, r.hi, r.w) for r in boruvka_msf(df).collect()}
+    assert got == {(1, 2, 1), (2, 3, 2), (1, 4, 4)}
+
+    rng = random.Random(21)
+    # two disconnected blobs + duplicate weights to exercise the
+    # (w, lo, hi) tie-break and the forest (not tree) case
+    edge_list = [
+        (rng.randint(1, 10), rng.randint(1, 10), rng.randint(1, 5))
+        for _ in range(30)
+    ] + [
+        (rng.randint(20, 26), rng.randint(20, 26), rng.randint(1, 5))
+        for _ in range(15)
+    ]
+    edge_list = [e for e in edge_list if e[0] != e[1]]
+    df = spark.createDataFrame(edge_list, "a long, b long, w long")
+    got = {(r.lo, r.hi, r.w) for r in boruvka_msf(df).collect()}
+    assert got == _py_kruskal(edge_list)
