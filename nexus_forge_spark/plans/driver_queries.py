@@ -8748,7 +8748,58 @@ WHERE NOT EXISTS (
 )"""
 
 
+SL_THRESHOLDS = [125_000 * i for i in range(9)]
+
+
+def q_single_linkage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage dendrogram profile from the MSF in ONE aggregation:
+    because the forest restricted to w <= t IS the single-linkage merge
+    set at distance t, the cluster count at every threshold is the
+    closed form n_nodes - |{msf edges with w <= t}| — no per-threshold
+    clustering, no dendrogram walk.  Grid of 9 thresholds x one
+    broadcast join over the (tiny) forest edge set."""
+    msf = q_msf_neardup(spark, sf_dir)
+    nodes = (
+        q_dedup_minhash(spark, sf_dir)
+        .select(F.explode(F.array("a", "b")).alias("n"))
+        .agg(F.countDistinct("n").cast("long").alias("n_nodes"))
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in SL_THRESHOLDS], "threshold long"
+    )
+    kept = (
+        F.broadcast(grid)
+        .join(msf, msf.w <= F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(F.count(msf.w).cast("long").alias("edges_kept"))
+    )
+    return kept.crossJoin(F.broadcast(nodes)).select(
+        "threshold",
+        "edges_kept",
+        "n_nodes",
+        (F.col("n_nodes") - F.col("edges_kept")).cast("long").alias("n_clusters"),
+    )
+
+
+def sql_single_linkage_curve() -> str:
+    ts = ", ".join(f"({t})" for t in SL_THRESHOLDS)
+    return f"""WITH msf AS ({sql_msf_neardup()}),
+nodes AS (
+  SELECT CAST(count(DISTINCT n) AS BIGINT) AS n_nodes
+  FROM (SELECT a AS n FROM ({sql_dedup_minhash()})
+        UNION ALL SELECT b FROM ({sql_dedup_minhash()}))
+),
+grid(threshold) AS (VALUES {ts})
+SELECT CAST(g.threshold AS BIGINT) AS threshold,
+  CAST(count(m.w) AS BIGINT) AS edges_kept,
+  n.n_nodes,
+  CAST(n.n_nodes - count(m.w) AS BIGINT) AS n_clusters
+FROM grid g LEFT JOIN msf m ON m.w <= g.threshold, nodes n
+GROUP BY g.threshold, n.n_nodes"""
+
+
 QUERIES = {
+    "single_linkage_curve": (q_single_linkage_curve, sql_single_linkage_curve),
     "msf_neardup": (q_msf_neardup, sql_msf_neardup),
     "rendezvous_shards": (q_rendezvous_shards, sql_rendezvous_shards),
     "domain_calibration": (q_domain_calibration, sql_domain_calibration),
