@@ -8798,7 +8798,87 @@ FROM grid g LEFT JOIN msf m ON m.w <= g.threshold, nodes n
 GROUP BY g.threshold, n.n_nodes"""
 
 
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING two-sided CUSUM (streaming/stream_pipeline.py
+    stream_cusum): daily event rates arrive as three time-ordered file
+    micro-batches; per-key detector state is just (running drift sum,
+    running prefix-min) per direction because the Lindley reflection
+    decomposes over prefixes.  The reference level is the full-series
+    integer mean, so the folded outputs must equal the batch operator —
+    the oracle IS the batch cusum_event_rates SQL, and hash equality
+    proves the prefix decomposition."""
+    import os
+    import tempfile
+
+    from nexus_forge_spark.streaming.stream_pipeline import stream_cusum
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    base = tempfile.mkdtemp(prefix="stream_cusum_")
+    in_dir = os.path.join(base, "in")
+    ref_path = os.path.join(base, "ref")
+    daily.groupBy("event_type").agg(
+        F.expr("CAST(sum(n) * 1000000 div count(1) AS BIGINT)").alias(
+            "mu_micro"
+        )
+    ).write.parquet(ref_path)
+    lo, hi = daily.agg(F.min("day"), F.max("day")).collect()[0]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    batches = [
+        daily.where(F.col("day") <= cut1),
+        daily.where((F.col("day") > cut1) & (F.col("day") <= cut2)),
+        daily.where(F.col("day") > cut2),
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(in_dir)
+        for f in os.listdir(in_dir):
+            p = os.path.join(in_dir, f)
+            if f.endswith(".parquet") and os.path.getmtime(p) > 1_000_000_000 + i:
+                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+    q = stream_cusum(
+        spark,
+        in_dir,
+        "event_type string, day bigint, n bigint",
+        os.path.join(base, "state"),
+        os.path.join(base, "out"),
+        ref_path,
+        os.path.join(base, "ckpt"),
+        key_col="event_type",
+        seq_col="day",
+        value_col="n",
+        allowance_micro=CUSUM_ALLOW,
+        threshold_micro=CUSUM_THRESH,
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(os.path.join(base, "out", "batch_*"))
+    return out.select(
+        "event_type",
+        "day",
+        F.col("x").alias("n"),
+        "mu_micro",
+        "cusum_up_micro",
+        "cusum_dn_micro",
+        "alarm_up",
+        "alarm_dn",
+    )
+
+
+def sql_stream_cusum() -> str:
+    # the streamed fold must equal the batch detector exactly
+    return sql_cusum_event_rates()
+
+
 QUERIES = {
+    "stream_cusum_events": (q_stream_cusum, sql_stream_cusum),
     "single_linkage_curve": (q_single_linkage_curve, sql_single_linkage_curve),
     "msf_neardup": (q_msf_neardup, sql_msf_neardup),
     "rendezvous_shards": (q_rendezvous_shards, sql_rendezvous_shards),

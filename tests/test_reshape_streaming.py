@@ -223,3 +223,46 @@ def test_streaming_user_sessions_gap_boundary(spark):
         assert {r.session_idx for r in sessionize(df2).collect()} == {0, 1}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_fold_cusum_batch_retry_and_equivalence(spark):
+    import os
+
+    from nexus_forge_spark.operators.events import cusum_changepoints
+    from nexus_forge_spark.streaming.stream_pipeline import fold_cusum_batch
+
+    rows = [("k1", i, [50] * 6 + [90] * 6) for i in range(12)]
+    data = [(k, i, xs[i]) for k, i, xs in rows]
+    data += [("k2", i, 30 + (i % 3)) for i in range(12)]
+    df = spark.createDataFrame(data, "k string, i long, x long")
+    base = tempfile.mkdtemp(prefix="cusum_fold_")
+    ref_path = os.path.join(base, "ref")
+    df.groupBy("k").agg(
+        F.expr("CAST(sum(x) * 1000000 div count(1) AS BIGINT)").alias("mu_micro")
+    ).write.parquet(ref_path)
+    state_dir, out_dir = os.path.join(base, "st"), os.path.join(base, "out")
+
+    def fold(b, bid):
+        fold_cusum_batch(
+            b, bid, state_dir, out_dir, ref_path,
+            "k", "i", "x", 1_000_000, 20_000_000,
+        )
+
+    b0 = df.where(F.col("i") < 5)
+    b1 = df.where(F.col("i") >= 5)
+    fold(b0, 0)
+    fold(b1, 1)
+    fold(b1, 1)  # RETRY: re-fold from snap_0 must be a no-op
+
+    got = {
+        (r.k, r.i): (r.cusum_up_micro, r.cusum_dn_micro, r.alarm_up, r.alarm_dn)
+        for r in spark.read.parquet(os.path.join(out_dir, "batch_*")).collect()
+    }
+    expect = {
+        (r.k, r.i): (r.cusum_up_micro, r.cusum_dn_micro, r.alarm_up, r.alarm_dn)
+        for r in cusum_changepoints(df, "k", "i", "x", 1_000_000, 20_000_000).collect()
+    }
+    assert got == expect
+    # the planted k1 step actually alarms
+    assert any(a for (k, _), (_, _, a, _) in got.items() if k == "k1")
+    shutil.rmtree(base)
