@@ -223,3 +223,66 @@ def align_releases(
             F.col("sim_milli").cast("long").alias("sim_milli"),
         )
     )
+
+
+SOUNDEX_CLASSES = [
+    ("[AEIOUY]", "0"),
+    ("[BFPV]", "1"),
+    ("[CGJKQSXZ]", "2"),
+    ("[DT]", "3"),
+    ("L", "4"),
+    ("[MN]", "5"),
+    ("R", "6"),
+]
+
+
+def soundex_code(col) -> "F.Column":
+    """American Soundex (the Knuth/US-Census variant) as pure column
+    algebra — implemented from scratch rather than F.soundex so the SQL
+    oracle runs the IDENTICAL chain (and so H/W transparency is explicit:
+    same-code letters separated by h/w collapse, separated by vowels
+    don't).  Backref-free throughout — RE2 (the oracle's engine) has no
+    backreferences, so adjacent-duplicate collapse is one replace per
+    digit class.
+
+    Returns letter + 3 digits (zero-padded), NULL for strings with no
+    letters.  The classic ER blocking key for person/org names: robust
+    to the misspellings edit-distance blocking misses cheaply.
+    """
+    s = F.upper(F.regexp_replace(col, "[^A-Za-z]", ""))
+    first = F.substring(s, 1, 1)
+    t = F.regexp_replace(s, "[HW]", "")
+    d = t
+    for pat, code in SOUNDEX_CLASSES:
+        d = F.regexp_replace(d, pat, code)
+    for i in range(7):
+        d = F.regexp_replace(d, f"{i}{i}+", str(i))
+    # non-HW-initial: the collapsed string's first digit is the first
+    # letter's own code (already merged with a same-code run) — drop it
+    digits = F.when(
+        first.isin("H", "W"), F.regexp_replace(d, "0", "")
+    ).otherwise(F.regexp_replace(F.substring(d, 2, 1_000_000), "0", ""))
+    return F.when(
+        F.length(s) > 0,
+        F.concat(first, F.rpad(F.substring(digits, 1, 3), 3, "0")),
+    )
+
+
+def sql_soundex_code(expr: str) -> str:
+    """DuckDB rendering of :func:`soundex_code` — the identical chain."""
+    s = f"upper(regexp_replace({expr}, '[^A-Za-z]', '', 'g'))"
+    inner = f"regexp_replace({s}, '[HW]', '', 'g')"
+    for pat, code in SOUNDEX_CLASSES:
+        inner = f"regexp_replace({inner}, '{pat}', '{code}', 'g')"
+    for i in range(7):
+        inner = f"regexp_replace({inner}, '{i}{i}+', '{i}', 'g')"
+    first = f"substr({s}, 1, 1)"
+    digits = (
+        f"CASE WHEN {first} IN ('H', 'W') "
+        f"THEN regexp_replace({inner}, '0', '', 'g') "
+        f"ELSE regexp_replace(substr({inner}, 2), '0', '', 'g') END"
+    )
+    return (
+        f"CASE WHEN length({s}) > 0 "
+        f"THEN {first} || rpad(substr({digits}, 1, 3), 3, '0') END"
+    )

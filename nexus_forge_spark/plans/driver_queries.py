@@ -8877,7 +8877,49 @@ def sql_stream_cusum() -> str:
     return sql_cusum_event_rates()
 
 
+def q_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking profile (er.py soundex_code, implemented from
+    scratch backref-free so RE2 runs the identical chain): soundex key
+    per part-name word, per-key block sizes + distinct spellings — the
+    classic cheap ER blocker for misspelled names, and this report is
+    its block-size skew audit.  Map-side key + one hash agg."""
+    from nexus_forge_spark.operators.er import soundex_code
+
+    words = (
+        load_table(spark, "part", sf_dir)
+        .select(F.explode(F.split(F.col("p_name"), " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    return (
+        words.select(soundex_code(F.col("w")).alias("code"), "w")
+        .where(F.col("code").isNotNull())
+        .groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.countDistinct("w").cast("long").alias("n_spellings"),
+            F.min("w").alias("example"),
+        )
+    )
+
+
+def sql_soundex_blocks() -> str:
+    from nexus_forge_spark.operators.er import sql_soundex_code
+
+    code = sql_soundex_code("w")
+    return f"""WITH words AS (
+  SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+),
+coded AS (
+  SELECT {code} AS code, w FROM words WHERE w <> ''
+)
+SELECT code, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(count(DISTINCT w) AS BIGINT) AS n_spellings,
+  min(w) AS example
+FROM coded WHERE code IS NOT NULL GROUP BY code"""
+
+
 QUERIES = {
+    "soundex_blocks": (q_soundex_blocks, sql_soundex_blocks),
     "stream_cusum_events": (q_stream_cusum, sql_stream_cusum),
     "single_linkage_curve": (q_single_linkage_curve, sql_single_linkage_curve),
     "msf_neardup": (q_msf_neardup, sql_msf_neardup),

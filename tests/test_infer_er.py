@@ -3,6 +3,7 @@
 queries)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from nexus_forge_spark.operators.er import fs_classify
 from nexus_forge_spark.operators.triples import infer_types
@@ -245,3 +246,51 @@ def test_align_releases_best_match_tiebreak(spark):
     )
     out = align_releases(old, new).collect()
     assert len(out) == 1 and out[0].new_id == 10
+
+
+def test_soundex_standard_vectors(spark):
+    from nexus_forge_spark.operators.er import soundex_code
+
+    vectors = [
+        ("Robert", "R163"),
+        ("Rupert", "R163"),
+        ("Ashcraft", "A261"),   # h-transparency: S,C merge across the H
+        ("Ashcroft", "A261"),
+        ("Tymczak", "T522"),
+        ("Pfister", "P236"),    # first-letter run merges (P,F both 1)
+        ("Honeyman", "H555"),   # HW-initial branch
+        ("Jackson", "J250"),
+        ("lee", "L000"),
+        ("Washington", "W252"),
+        ("123", None),
+        ("O'Brien", "O165"),
+    ]
+    df = spark.createDataFrame([(n,) for n, _ in vectors], "name string")
+    got = {
+        r.name: r.code
+        for r in df.select("name", soundex_code(F.col("name")).alias("code")).collect()
+    }
+    for name, expect in vectors:
+        assert got[name] == expect, (name, got[name], expect)
+
+
+def test_soundex_sql_matches_spark(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.er import soundex_code, sql_soundex_code
+
+    names = [
+        "Robert", "Ashcraft", "Honeyman", "Pfister", "Washington",
+        "Wu", "Hwang", "Czarkowska", "de la Cruz", "Schmidt", "Smythe",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        r.name: r.code
+        for r in df.select("name", soundex_code(F.col("name")).alias("code")).collect()
+    }
+    con = duckdb.connect()
+    for n in names:
+        (code,) = con.sql(
+            f"SELECT {sql_soundex_code('?')}".replace("?", f"'{n}'")
+        ).fetchone()
+        assert got[n] == code, (n, got[n], code)
