@@ -497,3 +497,107 @@ def domain_quantile_calibration(
         score_col,
         F.expr("CAST(__num div __den AS BIGINT)").alias("pct_ppm"),
     )
+
+
+# log10(1 + 1/d) in ppm for d = 1..9; sums to exactly 1e6
+BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+def benford_audit(
+    df: DataFrame, value_col: str, scale: int = 100
+) -> DataFrame:
+    """Benford's-law first-significant-digit audit — the classic
+    fabricated-or-truncated-data screen for financial/measurement
+    columns: organic multi-magnitude data follows
+    P(d) = log10(1 + 1/d); capped, generated, or defaulted values
+    don't.
+
+    Values scale to BIGINT units first (floor, the engine-identical
+    convention), the first significant digit is the leading character
+    of the absolute units, and the report carries observed ppm next to
+    the Benford ppm plus the absolute deviation — all integer.
+
+    Scale posture: one map-side digit projection + one 9-row hash agg.
+    """
+    units = F.abs(F.floor(F.col(value_col) * scale).cast("long"))
+    digit = F.substring(units.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .select(digit.alias("digit"))
+        .where(F.col("digit") > 0)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    spark = df.sparkSession
+    expect = spark.createDataFrame(
+        [(d + 1, ppm) for d, ppm in enumerate(BENFORD_PPM)],
+        "digit int, benford_ppm long",
+    )
+    return (
+        expect.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.expr("CAST(coalesce(n, 0) * 1000000 div total AS BIGINT)").alias(
+                "observed_ppm"
+            ),
+            "benford_ppm",
+            F.abs(
+                F.expr("CAST(coalesce(n, 0) * 1000000 div total AS BIGINT)")
+                - F.col("benford_ppm")
+            ).cast("long").alias("abs_dev_ppm"),
+        )
+    )
+
+
+def group_gini(
+    df: DataFrame, value_col: str, group_col: str, scale: int = 100
+) -> DataFrame:
+    """Per-group Gini concentration of a nonnegative value — the
+    inequality/skew measure that tells a partitioning planner how
+    hot-keyed a dimension is (Gini 0 = uniform load, ->1 = one key
+    carries everything).
+
+    Exact integer algebra on the within-group value ranks
+    (ties broken by the value's own rank order are irrelevant because
+    equal values contribute symmetrically):
+
+        gini_ppm = (2 * sum(rn * v) - (n + 1) * sum(v)) * 1e6
+                   div (n * sum(v))
+
+    Scale posture: ONE group exchange — the rank window and the
+    full-frame aggregates stack on a single sort (the scd2/cusum
+    pattern), then a one-row-per-group final agg.
+    """
+    units = F.floor(F.col(value_col) * scale).cast("long")
+    staged = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), units.alias("__v"))
+        .select(
+            "grp",
+            "__v",
+            F.row_number().over(
+                Window.partitionBy("grp").orderBy("__v")
+            ).cast("long").alias("__rn"),
+        )
+    )
+    return (
+        staged.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__v").cast("long").alias("sum_v"),
+            F.sum(F.col("__rn") * F.col("__v")).cast("long").alias("sum_rv"),
+        )
+        .where(F.col("sum_v") > 0)
+        .select(
+            "grp",
+            "n",
+            "sum_v",
+            F.expr(
+                "CAST((2 * sum_rv - (n + 1) * sum_v) * 1000000 "
+                "div (n * sum_v) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+    )

@@ -8918,7 +8918,74 @@ SELECT code, CAST(count(*) AS BIGINT) AS n_words,
 FROM coded WHERE code IS NOT NULL GROUP BY code"""
 
 
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (profile.py benford_audit) on order
+    totals — the fabricated/truncated-data screen; observed vs Benford
+    ppm with absolute deviation, all integer.  One map-side digit
+    projection + a 9-row agg."""
+    from nexus_forge_spark.operators.profile import benford_audit
+
+    return benford_audit(load_table(spark, "orders", sf_dir), "o_totalprice")
+
+
+def sql_benford_prices() -> str:
+    from nexus_forge_spark.operators.profile import BENFORD_PPM
+
+    vals = ", ".join(
+        f"({d + 1}, {ppm})" for d, ppm in enumerate(BENFORD_PPM)
+    )
+    return f"""WITH digits AS (
+  SELECT CAST(substr(CAST(abs(CAST(floor(o_totalprice * 100) AS BIGINT))
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits
+  WHERE digit > 0 GROUP BY digit
+),
+total AS (SELECT sum(n) AS total FROM counts),
+expect(digit, benford_ppm) AS (VALUES {vals})
+SELECT e.digit, coalesce(c.n, 0) AS n,
+  CAST(coalesce(c.n, 0) * 1000000 // t.total AS BIGINT) AS observed_ppm,
+  CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+  CAST(abs(coalesce(c.n, 0) * 1000000 // t.total - e.benford_ppm) AS BIGINT)
+    AS abs_dev_ppm
+FROM expect e LEFT JOIN counts c ON e.digit = c.digit, total t"""
+
+
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini concentration (profile.py group_gini) of customer
+    account balances — the hot-key/inequality measure a partitioning
+    planner reads before choosing salt factors.  Exact integer rank
+    algebra; rank window + aggregates share one group exchange."""
+    from nexus_forge_spark.operators.profile import group_gini
+
+    cust = load_table(spark, "customer", sf_dir).where(
+        F.col("c_acctbal") >= 0
+    )
+    return group_gini(cust, "c_acctbal", "c_nationkey").select(
+        F.col("grp").cast("long").alias("grp"), "n", "sum_v", "gini_ppm"
+    )
+
+
+def sql_gini_revenue() -> str:
+    return """WITH staged AS (
+  SELECT c_nationkey AS grp,
+    CAST(floor(c_acctbal * 100) AS BIGINT) AS v,
+    row_number() OVER (PARTITION BY c_nationkey ORDER BY
+                       CAST(floor(c_acctbal * 100) AS BIGINT)) AS rn
+  FROM customer WHERE c_acctbal >= 0 AND c_acctbal IS NOT NULL
+)
+SELECT CAST(grp AS BIGINT) AS grp, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(v) AS BIGINT) AS sum_v,
+  CAST((2 * sum(rn * v) - (count(*) + 1) * sum(v)) * 1000000
+       // (count(*) * sum(v)) AS BIGINT) AS gini_ppm
+FROM staged GROUP BY grp HAVING sum(v) > 0"""
+
+
 QUERIES = {
+    "benford_prices": (q_benford_prices, sql_benford_prices),
+    "gini_acctbal": (q_gini_revenue, sql_gini_revenue),
     "soundex_blocks": (q_soundex_blocks, sql_soundex_blocks),
     "stream_cusum_events": (q_stream_cusum, sql_stream_cusum),
     "single_linkage_curve": (q_single_linkage_curve, sql_single_linkage_curve),

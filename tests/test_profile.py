@@ -151,3 +151,38 @@ def test_domain_quantile_calibration(spark):
     # domain-fair cutoff: keep top half -> survivors from BOTH domains
     keep = {d for d, p in out.items() if p >= 500_000}
     assert 4 in keep and 5 in keep and 7 in keep and 1 not in keep
+
+
+def test_benford_audit(spark):
+    import math
+
+    from nexus_forge_spark.operators.profile import BENFORD_PPM, benford_audit
+
+    # Benford-ish sample: powers-of-ish spread across magnitudes
+    vals = [1.2, 13.0, 1.9, 175.0, 2.4, 31.0, 4.5, 1.07, 95.0, 2.22]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r.digit: r for r in benford_audit(df, "x").collect()}
+    assert set(out) == set(range(1, 10))
+    # hand check digit 1: values 1.2, 13.0, 1.9, 175.0, 1.07 -> 5 of 10
+    assert out[1].n == 5 and out[1].observed_ppm == 500_000
+    assert out[1].benford_ppm == round(math.log10(2) * 1_000_000)
+    assert out[1].abs_dev_ppm == 500_000 - 301_030
+    assert out[3].n == 1 and out[7].n == 0
+    assert sum(BENFORD_PPM) == 1_000_000
+
+
+def test_group_gini(spark):
+    from nexus_forge_spark.operators.profile import group_gini
+
+    rows = (
+        [("uniform", 5.0)] * 6
+        + [("hot", 0.0)] * 5 + [("hot", 100.0)]
+        + [("mid", 1.0), ("mid", 2.0), ("mid", 3.0), ("mid", 4.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.grp: r.gini_ppm for r in group_gini(df, "v", "g").collect()}
+    assert out["uniform"] == 0
+    # one key holds all mass in a group of 6: G = (n-1)/n = 5/6
+    assert out["hot"] == 5 * 1_000_000 // 6
+    # 1,2,3,4: G = (2*(1+4+9+16) - 5*10) / (4*10) = 10/40 = 0.25
+    assert out["mid"] == 250_000
