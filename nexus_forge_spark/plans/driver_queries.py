@@ -8983,7 +8983,127 @@ SELECT CAST(grp AS BIGINT) AS grp, CAST(count(*) AS BIGINT) AS n,
 FROM staged GROUP BY grp HAVING sum(v) > 0"""
 
 
+CURATE2_FLOOR_PPM = 250_000
+
+
+def q_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-assembly v2 in ONE plan: plant domain banners ->
+    strip_boilerplate (domain-frequency rule) -> readability on the
+    CLEANED text -> per-domain quantile calibration of the ease score ->
+    domain-fair keep floor at the 25th percentile.  Every stage is the
+    graded operator itself (not a re-implementation), every number
+    integer — the point is that the session's curation operators compose
+    engine-exactly end to end."""
+    from nexus_forge_spark.operators.curation import strip_boilerplate
+    from nexus_forge_spark.operators.profile import domain_quantile_calibration
+    from nexus_forge_spark.operators.text import readability_scores
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("PROMO BANNER FOR "),
+            F.col("source"),
+            F.lit("\n"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    cleaned = strip_boilerplate(docs, max_doc_ratio_ppm=BOILER_PPM)
+    ease = readability_scores(cleaned).select("doc_id", "ease_micro")
+    scored = cleaned.select("doc_id", "source", "n_removed").join(ease, "doc_id")
+    calib = domain_quantile_calibration(scored, "ease_micro", "source")
+    return (
+        scored.join(calib.select("doc_id", "pct_ppm"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_removed",
+            "ease_micro",
+            "pct_ppm",
+            (F.col("pct_ppm") >= CURATE2_FLOOR_PPM).alias("kept"),
+        )
+    )
+
+
+def sql_curate_v2() -> str:
+    return f"""WITH cleaned AS (
+  SELECT * FROM (
+    WITH docs AS (
+      SELECT doc_id, source,
+        'PROMO BANNER FOR ' || source || chr(10) || text AS text
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, source AS dom, pos - 1 AS pos, para, md5(para) AS h
+      FROM (
+        SELECT doc_id, source,
+          unnest(string_split(text, chr(10))) AS para,
+          generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        FROM docs
+      )
+      WHERE trim(para) != ''
+    ),
+    domain_docs AS (SELECT source AS dom, count(*) AS n_dom
+                    FROM docs GROUP BY source),
+    freq AS (
+      SELECT dom, h, count(DISTINCT doc_id) AS n_with
+      FROM paras GROUP BY dom, h
+    ),
+    boiler AS (
+      SELECT dom, h FROM freq JOIN domain_docs USING (dom)
+      WHERE n_with * 1000000 >= {BOILER_PPM} * n_dom
+    ),
+    kept AS (
+      SELECT p.* FROM paras p
+      ANTI JOIN boiler b ON p.dom = b.dom AND p.h = b.h
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+        CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs
+               FROM paras GROUP BY doc_id)
+    SELECT d.doc_id, d.source, coalesce(r.text, '') AS text,
+      CAST(coalesce(t.n_paragraphs, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+        AS n_removed
+    FROM docs d LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+  )
+),
+feats AS (
+  SELECT doc_id, source, n_removed,
+    greatest(len(regexp_extract_all(trim(lower(text)), '[.!?]+')), 1)::BIGINT
+      AS s,
+    greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)::BIGINT
+      AS w,
+    len(regexp_extract_all(trim(lower(text)), '[aeiouy]+'))::BIGINT
+      AS groups,
+    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        tok -> regexp_matches(tok, '[^aeiouy]e$')
+               AND len(regexp_extract_all(tok, '[aeiouy]+')) > 1))::BIGINT
+      AS silent
+  FROM cleaned
+),
+scored AS (
+  SELECT doc_id, source, n_removed,
+    CAST(206835000 - 1015000 * w // s
+         - 84600000 * greatest(groups - silent, w) // w AS BIGINT)
+      AS ease_micro
+  FROM feats
+)
+SELECT doc_id, source, n_removed, ease_micro,
+  CAST((rank() OVER (PARTITION BY source ORDER BY ease_micro) - 1) * 1000000
+       // greatest(count(*) OVER (PARTITION BY source) - 1, 1) AS BIGINT)
+    AS pct_ppm,
+  CAST((rank() OVER (PARTITION BY source ORDER BY ease_micro) - 1) * 1000000
+       // greatest(count(*) OVER (PARTITION BY source) - 1, 1) AS BIGINT)
+    >= {CURATE2_FLOOR_PPM} AS kept
+FROM scored"""
+
+
 QUERIES = {
+    "curate_v2": (q_curate_v2, sql_curate_v2),
     "benford_prices": (q_benford_prices, sql_benford_prices),
     "gini_acctbal": (q_gini_revenue, sql_gini_revenue),
     "soundex_blocks": (q_soundex_blocks, sql_soundex_blocks),
