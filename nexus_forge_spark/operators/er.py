@@ -25,7 +25,7 @@ sorted-neighborhood windows, trigram blocks).  At 10^12 rows the score
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -285,4 +285,72 @@ def sql_soundex_code(expr: str) -> str:
     return (
         f"CASE WHEN length({s}) > 0 "
         f"THEN {first} || rpad(substr({digits}, 1, 3), 3, '0') END"
+    )
+
+
+def pr_curve(
+    scored: DataFrame,
+    truth: DataFrame,
+    score_col: str = "score_milli",
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Precision/recall threshold sweep for a pair scorer against ground
+    truth — the tuning pass that picks a match threshold from evidence
+    instead of folklore.  At every DISTINCT score t (candidate
+    threshold): TP = true pairs scoring >= t, FN counts against ALL
+    truth pairs (including ones the blocker never surfaced — blocker
+    misses honestly depress recall), precision/recall/F1 in integer ppm
+    (F1 via the ppm harmonic mean, BIGINT division).
+
+    Scale posture: one truth left-join to label pairs, one score-keyed
+    aggregate — then the cumulative sweep runs as a window over the
+    DISTINCT-SCORE table, which is threshold-sized, not pair-sized (the
+    single-partition window is over that tiny aggregate only).
+    """
+    t = truth.select(
+        F.least(a, b).alias("__ta"), F.greatest(a, b).alias("__tb")
+    ).distinct()
+    n_pos_total = t.count()
+    labeled = (
+        scored.select(
+            F.least(a, b).alias("__a"),
+            F.greatest(a, b).alias("__b"),
+            F.col(score_col).alias("__s"),
+        )
+        .join(
+            t,
+            (F.col("__a") == F.col("__ta")) & (F.col("__b") == F.col("__tb")),
+            "left",
+        )
+        .select("__s", F.col("__ta").isNotNull().cast("long").alias("__pos"))
+    )
+    per_score = labeled.groupBy("__s").agg(
+        F.sum("__pos").alias("__np"),
+        F.sum(F.lit(1) - F.col("__pos")).alias("__nn"),
+    )
+    sweep = Window.orderBy(F.col("__s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_score.select(
+        F.col("__s").alias("threshold"),
+        F.sum("__np").over(sweep).cast("long").alias("tp"),
+        F.sum("__nn").over(sweep).cast("long").alias("fp"),
+    ).select(
+        "threshold",
+        "tp",
+        "fp",
+        (F.lit(n_pos_total) - F.col("tp")).cast("long").alias("fn"),
+        F.expr("CAST(tp * 1000000 div (tp + fp) AS BIGINT)").alias("prec_ppm"),
+        F.expr(f"CAST(tp * 1000000 div {n_pos_total} AS BIGINT)").alias(
+            "rec_ppm"
+        ),
+    )
+    return cum.select(
+        "*",
+        F.expr(
+            "CAST(CASE WHEN prec_ppm + rec_ppm = 0 THEN 0 "
+            "ELSE 2 * prec_ppm * rec_ppm div (prec_ppm + rec_ppm) END "
+            "AS BIGINT)"
+        ).alias("f1_ppm"),
     )

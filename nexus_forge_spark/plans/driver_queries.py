@@ -9102,7 +9102,63 @@ SELECT doc_id, source, n_removed, ease_micro,
 FROM scored"""
 
 
+def q_er_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep (er.py pr_curve) for the Fellegi-Sunter scorer
+    against the planted mutant ground truth: precision/recall/F1 in
+    integer ppm at every distinct score — the evidence-based way to set
+    the match threshold.  Recall counts blocker-missed truth pairs, so
+    the curve is honest about the full pipeline, not just the scorer.
+    The cumulative sweep windows over the DISTINCT-SCORE table only."""
+    from nexus_forge_spark.operators.er import pr_curve
+
+    scored = q_er_fs_scores(spark, sf_dir).select("a", "b", "score_milli")
+    docs = load_table(spark, "documents", sf_dir)
+    truth = docs.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1000000).alias("b")
+    )
+    return pr_curve(scored, truth)
+
+
+def sql_er_pr_curve() -> str:
+    return f"""WITH fs AS (SELECT a, b, score_milli FROM ({sql_er_fs_scores()})),
+truth AS (
+  SELECT DISTINCT least(doc_id, doc_id + 1000000) AS ta,
+         greatest(doc_id, doc_id + 1000000) AS tb
+  FROM documents
+),
+npos AS (SELECT count(*) AS np FROM truth),
+labeled AS (
+  SELECT fs.score_milli AS s,
+    CASE WHEN t.ta IS NOT NULL THEN 1 ELSE 0 END AS pos
+  FROM fs LEFT JOIN truth t
+    ON least(fs.a, fs.b) = t.ta AND greatest(fs.a, fs.b) = t.tb
+),
+per AS (
+  SELECT s, sum(pos) AS np_s, sum(1 - pos) AS nn FROM labeled GROUP BY s
+),
+cum AS (
+  SELECT s AS threshold,
+    CAST(sum(np_s) OVER w AS BIGINT) AS tp,
+    CAST(sum(nn) OVER w AS BIGINT) AS fp
+  FROM per
+  WINDOW w AS (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pr AS (
+  SELECT threshold, tp, fp, CAST(n.np - tp AS BIGINT) AS fn,
+    CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS prec_ppm,
+    CAST(tp * 1000000 // n.np AS BIGINT) AS rec_ppm
+  FROM cum, npos n
+)
+SELECT *,
+  CAST(CASE WHEN prec_ppm + rec_ppm = 0 THEN 0
+       ELSE 2 * prec_ppm * rec_ppm // (prec_ppm + rec_ppm) END AS BIGINT)
+    AS f1_ppm
+FROM pr"""
+
+
 QUERIES = {
+    "er_pr_curve": (q_er_pr_curve, sql_er_pr_curve),
     "curate_v2": (q_curate_v2, sql_curate_v2),
     "benford_prices": (q_benford_prices, sql_benford_prices),
     "gini_acctbal": (q_gini_revenue, sql_gini_revenue),

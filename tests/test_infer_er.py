@@ -294,3 +294,30 @@ def test_soundex_sql_matches_spark(spark):
             f"SELECT {sql_soundex_code('?')}".replace("?", f"'{n}'")
         ).fetchone()
         assert got[n] == code, (n, got[n], code)
+
+
+def test_pr_curve_hand(spark):
+    from nexus_forge_spark.operators.er import pr_curve
+
+    scored = spark.createDataFrame(
+        [(1, 2, 90), (3, 4, 80), (5, 6, 80), (7, 8, 50), (9, 10, 30)],
+        "a long, b long, score_milli long",
+    )
+    # truth: (1,2), (3,4), (9,10) in-candidates + (11,12) never surfaced
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (9, 10), (11, 12)], "a long, b long"
+    )
+    out = {r.threshold: r for r in pr_curve(scored, truth).collect()}
+    assert set(out) == {90, 80, 50, 30}
+    r90 = out[90]
+    assert (r90.tp, r90.fp, r90.fn) == (1, 0, 3)
+    assert r90.prec_ppm == 1_000_000 and r90.rec_ppm == 250_000
+    r80 = out[80]
+    assert (r80.tp, r80.fp) == (2, 1)
+    assert r80.prec_ppm == 2 * 1_000_000 // 3 and r80.rec_ppm == 500_000
+    r30 = out[30]
+    # the blocker-missed pair (11,12) depresses recall forever
+    assert (r30.tp, r30.fp, r30.fn) == (3, 2, 1)
+    assert r30.rec_ppm == 750_000
+    # f1 harmonic mean check at threshold 90: 2*1e6*25e4/(125e4)
+    assert r90.f1_ppm == 2 * 1_000_000 * 250_000 // 1_250_000
