@@ -832,3 +832,91 @@ def maxsim_topk(
             "rank",
         )
     )
+
+
+def mmr_select(
+    cand: DataFrame,
+    k: int,
+    lam_ppm: int = 700_000,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    vec_col: str = "qv",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): greedily pick k results per query maximizing
+    ``lam * relevance - (1 - lam) * max-similarity-to-already-picked`` —
+    the standard diversification pass after any top-N retrieval, so the
+    k results stop being near-duplicates of each other.
+
+    All integer: relevance and pairwise similarity are BIGINT dot
+    products over quantized vectors, lam is ppm, ties break (score desc,
+    id asc) — engines agree exactly.
+
+    Scale posture: k driver rounds (k is small), each ONE query-keyed
+    argmax aggregate over ALL queries simultaneously plus a broadcast
+    join of the per-query picks to fold the new similarity into each
+    survivor's running max (the kcenter running-min pattern);
+    per-round state is localCheckpoint-pinned.
+    """
+    state = cand.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__d"),
+        F.col(rel_col).cast("long").alias("__rel"),
+        F.col(vec_col).alias("__v"),
+        F.lit(0).cast("long").alias("__maxsim"),
+    ).localCheckpoint(eager=True)
+    lam = int(lam_ppm)
+    picked = None
+    for rnd in range(1, int(k) + 1):
+        score = (
+            F.lit(lam) * F.col("__rel")
+            - F.lit(1_000_000 - lam) * F.col("__maxsim")
+        )
+        pick = (
+            state.select(
+                "__q",
+                F.struct(
+                    score.alias("s"),
+                    (-F.col("__d")).alias("negd"),
+                    F.col("__d").alias("d"),
+                    F.col("__rel").alias("rel"),
+                    F.col("__v").alias("v"),
+                ).alias("__k"),
+            )
+            .groupBy("__q")
+            .agg(F.max("__k").alias("__k"))
+            .select(
+                "__q",
+                F.col("__k.d").alias("__pd"),
+                F.col("__k.s").alias("__ps"),
+                F.col("__k.rel").alias("__prel"),
+                F.col("__k.v").alias("__pv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out_rows = pick.select(
+            F.col("__q").alias(query_col),
+            F.col("__pd").alias(id_col),
+            F.col("__prel").alias("rel"),
+            F.col("__ps").alias("mmr_score"),
+            F.lit(rnd).cast("int").alias("rank"),
+        )
+        picked = (
+            out_rows if picked is None else picked.unionByName(out_rows)
+        )
+        state = (
+            state.join(F.broadcast(pick), "__q")
+            .where(F.col("__d") != F.col("__pd"))
+            .select(
+                "__q",
+                "__d",
+                "__rel",
+                "__v",
+                F.greatest(
+                    F.col("__maxsim"), intdot(F.col("__v"), F.col("__pv"))
+                ).alias("__maxsim"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return picked

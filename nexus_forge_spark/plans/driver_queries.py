@@ -9157,7 +9157,106 @@ SELECT *,
 FROM pr"""
 
 
+MMR_LAM, MMR_K, MMR_CAND = 700_000, 3, 8
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (similarity.py mmr_select) after retrieval:
+    4 query vectors take their top-8 integer-dot candidates, then greedy
+    re-ranking picks 3 per query maximizing lam*rel - (1-lam)*max-sim-
+    to-picked (maxsim floored at 0: dissimilar items pay no penalty).
+    k driver rounds, each one query-keyed argmax over ALL queries at
+    once + a broadcast pick-fold — the kcenter pattern.  The oracle
+    unrolls the 3 rounds; all arithmetic BIGINT."""
+    from nexus_forge_spark.operators.similarity import intdot, mmr_select
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    quant = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1000).cast("long"),
+    )
+    base = emb.select(F.col("vec_id"), quant.alias("qv"))
+    queries = base.where(F.col("vec_id") % 150 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("quv")
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            intdot(F.col("quv"), F.col("qv")).alias("rel"),
+            "qv",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id")
+    )
+    cand = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= MMR_CAND
+    )
+    return mmr_select(cand, k=MMR_K, lam_ppm=MMR_LAM)
+
+
+def sql_mmr_rerank() -> str:
+    quant = (
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> CAST(floor(x * 1000) AS BIGINT))"
+    )
+    idot = (
+        "CAST(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) "
+        "AS BIGINT)"
+    )
+    lam, lam1 = MMR_LAM, 1_000_000 - MMR_LAM
+    ctes = [
+        f"""base AS (SELECT vec_id, {quant} AS qv FROM embeddings),
+q AS (SELECT vec_id AS query_id, qv AS quv FROM base WHERE vec_id % 150 = 0),
+scored AS (
+  SELECT q.query_id, b.vec_id AS doc_id,
+    {idot.format(a='q.quv', b='b.qv')} AS rel, b.qv
+  FROM base b, q WHERE b.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, doc_id, rel, qv FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, doc_id) AS rn
+    FROM scored
+  ) WHERE rn <= {MMR_CAND}
+),
+st0 AS (SELECT query_id, doc_id, rel, qv,
+               CAST(0 AS BIGINT) AS maxsim FROM cand)"""
+    ]
+    for r in range(1, MMR_K + 1):
+        prev = f"st{r - 1}"
+        ctes.append(
+            f"""s{r} AS (
+  SELECT query_id, doc_id, rel, qv,
+    {lam} * rel - {lam1} * maxsim AS mmr_score
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY {lam} * rel - {lam1} * maxsim DESC, doc_id) AS prn
+    FROM {prev}
+  ) WHERE prn = 1
+)"""
+        )
+        ctes.append(
+            f"""st{r} AS (
+  SELECT p.query_id, p.doc_id, p.rel, p.qv,
+    greatest(p.maxsim, {idot.format(a='p.qv', b='s.qv')}) AS maxsim
+  FROM {prev} p JOIN s{r} s USING (query_id)
+  WHERE p.doc_id <> s.doc_id
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT query_id, doc_id, rel, CAST(mmr_score AS BIGINT) AS mmr_score, "
+        f"{r} AS rank FROM s{r}"
+        for r in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{sel}"
+
+
 QUERIES = {
+    "mmr_rerank": (q_mmr_rerank, sql_mmr_rerank),
     "er_pr_curve": (q_er_pr_curve, sql_er_pr_curve),
     "curate_v2": (q_curate_v2, sql_curate_v2),
     "benford_prices": (q_benford_prices, sql_benford_prices),

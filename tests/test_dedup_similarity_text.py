@@ -846,3 +846,41 @@ def test_readability_scores_hand(spark):
     ).collect()}
     # "plate": groups a,e -> silent-e drops to 1; "the": 1 -> total 2
     assert one[9].n_syllables == 2
+
+
+def test_mmr_select_differential(spark):
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    vecs = {}
+    for q in range(3):
+        for d in range(8):
+            v = [rng.randint(-4, 4) for _ in range(5)]
+            vecs[(q, d)] = v
+            rows.append((q, d, rng.randint(10, 99), v))
+    df = spark.createDataFrame(rows, "query_id long, doc_id long, rel long, qv array<long>")
+    lam, k = 700_000, 3
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.mmr_score)
+        for r in S.mmr_select(df, k=k, lam_ppm=lam).collect()
+    }
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    for q in range(3):
+        cand = {d: rel for (qq, d, rel, _) in rows if qq == q}
+        maxsim = {d: 0 for d in cand}
+        for rank in range(1, k + 1):
+            best = max(
+                cand,
+                key=lambda d: (lam * cand[d] - (1_000_000 - lam) * maxsim[d], -d),
+            )
+            score = lam * cand[best] - (1_000_000 - lam) * maxsim[best]
+            assert got[(q, rank)] == (best, score), (q, rank)
+            bv = vecs[(q, best)]
+            del cand[best]
+            del maxsim[best]
+            for d in cand:
+                maxsim[d] = max(maxsim[d], dot(vecs[(q, d)], bv))
