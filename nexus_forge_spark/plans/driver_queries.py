@@ -9255,7 +9255,75 @@ st0 AS (SELECT query_id, doc_id, rel, qv,
     return "WITH " + ",\n".join(ctes) + f"\n{sel}"
 
 
+LATE_DELAY_US = 6 * 3600 * 1_000_000
+
+
+def q_stream_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit (streaming/stream_pipeline.py
+    stream_lateness_audit): events split into three micro-batches BY
+    event_id (not by time, so timestamps interleave and later batches
+    genuinely contain events below the running watermark); per batch,
+    the count a 6h-delay watermark would drop, in integer ppm.  The
+    oracle replays the same split and the global-watermark rule
+    (max prior event time - delay) in plain SQL."""
+    import os
+    import tempfile
+
+    from nexus_forge_spark.streaming.stream_pipeline import stream_lateness_audit
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "ts")
+    base = tempfile.mkdtemp(prefix="stream_late_")
+    in_dir = os.path.join(base, "in")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        for f in os.listdir(in_dir):
+            p = os.path.join(in_dir, f)
+            if f.endswith(".parquet") and os.path.getmtime(p) > 1_000_000_000 + i:
+                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+    q = stream_lateness_audit(
+        spark,
+        in_dir,
+        "event_id bigint, ts timestamp",
+        os.path.join(base, "state"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+        ts_col="ts",
+        delay_us=LATE_DELAY_US,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(base, "out", "batch_*"))
+
+
+def sql_stream_lateness() -> str:
+    return f"""WITH tagged AS (
+  SELECT event_id % 3 AS batch_seq, epoch_us(ts) AS us FROM events
+),
+prior AS (
+  SELECT t.batch_seq, max(p.us) AS prior_max
+  FROM tagged t LEFT JOIN tagged p ON p.batch_seq < t.batch_seq
+  GROUP BY t.batch_seq
+),
+wm AS (
+  SELECT batch_seq, prior_max - {LATE_DELAY_US} AS wm_us FROM prior
+)
+SELECT CAST(t.batch_seq AS BIGINT) AS batch_seq,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CASE WHEN w.wm_us IS NOT NULL AND t.us < w.wm_us
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+  CAST(sum(CASE WHEN w.wm_us IS NOT NULL AND t.us < w.wm_us
+            THEN 1 ELSE 0 END) * 1000000
+       // greatest(count(*), 1) AS BIGINT) AS late_ppm,
+  CAST(min(t.us) AS BIGINT) AS min_ts_us,
+  CAST(max(t.us) AS BIGINT) AS max_ts_us,
+  CAST(w.wm_us AS BIGINT) AS wm_us
+FROM tagged t JOIN wm w USING (batch_seq)
+GROUP BY t.batch_seq, w.wm_us"""
+
+
 QUERIES = {
+    "stream_lateness": (q_stream_lateness, sql_stream_lateness),
     "mmr_rerank": (q_mmr_rerank, sql_mmr_rerank),
     "er_pr_curve": (q_er_pr_curve, sql_er_pr_curve),
     "curate_v2": (q_curate_v2, sql_curate_v2),
