@@ -9322,7 +9322,44 @@ FROM tagged t JOIN wm w USING (batch_seq)
 GROUP BY t.batch_seq, w.wm_us"""
 
 
+def q_msf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MSF maintenance by graph sparsification:
+    MSF(G1 ∪ G2) = MSF(MSF(G1) ∪ G2), so folding a delta of new edges
+    into yesterday's FOREST (n-1 edges, not the full history) yields the
+    exact new forest — the matroid property that makes single-linkage
+    clustering maintainable at 100 TB.  Here the near-dup pairs split
+    in half by parity, half one's forest folds with half two, and the
+    ORACLE IS the from-scratch cycle-property MSF — hash equality
+    proves the sparsification identity on real data."""
+    from nexus_forge_spark.operators.graph import boruvka_msf
+
+    pairs = q_dedup_minhash(spark, sf_dir).select(
+        "a",
+        "b",
+        (
+            F.lit(1_000_000) - F.floor(F.col("jaccard") * 1_000_000)
+        ).cast("long").alias("w"),
+    )
+    h1 = pairs.where((F.col("a") + F.col("b")) % 2 == 0)
+    h2 = pairs.where((F.col("a") + F.col("b")) % 2 == 1)
+    f1 = boruvka_msf(h1).select(
+        F.col("lo").alias("a"), F.col("hi").alias("b"), "w"
+    )
+    out = boruvka_msf(f1.unionByName(h2))
+    return out.select(
+        F.col("lo").cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+        F.col("w").cast("long").alias("w"),
+    )
+
+
+def sql_msf_incremental() -> str:
+    # the incremental fold must equal the from-scratch forest exactly
+    return sql_msf_neardup()
+
+
 QUERIES = {
+    "msf_incremental": (q_msf_incremental, sql_msf_incremental),
     "stream_lateness": (q_stream_lateness, sql_stream_lateness),
     "mmr_rerank": (q_mmr_rerank, sql_mmr_rerank),
     "er_pr_curve": (q_er_pr_curve, sql_er_pr_curve),

@@ -2,6 +2,8 @@
 (engine parity: pagerank_copurchase / triangle_counts_neardup contract
 queries)."""
 
+from pyspark.sql import functions as F
+
 from nexus_forge_spark.operators.graph import (
     oriented_edges,
     pagerank,
@@ -351,3 +353,29 @@ def test_boruvka_msf_hand_and_random(spark):
     df = spark.createDataFrame(edge_list, "a long, b long, w long")
     got = {(r.lo, r.hi, r.w) for r in boruvka_msf(df).collect()}
     assert got == _py_kruskal(edge_list)
+
+
+def test_msf_sparsification_incremental(spark):
+    import random
+
+    from nexus_forge_spark.operators.graph import boruvka_msf
+
+    rng = random.Random(31)
+    edge_list = list({
+        (rng.randint(1, 12), rng.randint(1, 12), rng.randint(1, 9))
+        for _ in range(50)
+    })
+    edge_list = [e for e in edge_list if e[0] != e[1]]
+    df = spark.createDataFrame(edge_list, "a long, b long, w long")
+    full = {(r.lo, r.hi, r.w) for r in boruvka_msf(df).collect()}
+    # sparsification: fold half the edges into the other half's forest
+    h1 = df.where((F.col("a") + F.col("b")) % 2 == 0)
+    h2 = df.where((F.col("a") + F.col("b")) % 2 == 1)
+    f1 = boruvka_msf(h1).select(
+        F.col("lo").alias("a"), F.col("hi").alias("b"), "w"
+    )
+    inc = {
+        (r.lo, r.hi, r.w)
+        for r in boruvka_msf(f1.unionByName(h2)).collect()
+    }
+    assert inc == full
