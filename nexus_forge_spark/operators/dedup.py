@@ -933,3 +933,63 @@ def cdc_dedup_stats(
         .cast("long")
         .alias("dup_bytes"),
     )
+
+
+def cdc_incremental_dup_stats(
+    existing: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    divisor: int = 32,
+    salt: str = "cdc",
+) -> DataFrame:
+    """Incremental chunk-level dedup: audit a NEW batch of documents
+    against the EXISTING corpus's chunk index without ever rescanning
+    old text against old text — the daily-ingest shape of
+    :func:`cdc_dedup_stats`.  A new chunk occurrence is a duplicate iff
+    its content hash already exists in the corpus index OR an earlier
+    (doc, start) occurrence within the new batch claimed it first.
+
+    Scale posture: the existing side reduces to its DISTINCT chunk-hash
+    index once (in production that index is the persisted output of the
+    last full audit — O(delta) per ingest, the dedup analogue of the
+    store's delta-log mutations); the probe is a hash-keyed left semi
+    shape expressed as a left join flag, never broadcast (the index is
+    corpus-sized).  The within-batch election is the same chained hash
+    aggregate as the full audit.
+    """
+    index = (
+        cdc_chunks(existing, text_col, id_col, window, divisor, salt)
+        .select("chunk_hash")
+        .distinct()
+    )
+    chunks = cdc_chunks(new, text_col, id_col, window, divisor, salt).localCheckpoint(
+        eager=True
+    )
+    per_doc = chunks.groupBy("chunk_hash", id_col).agg(
+        F.min("start").alias("__s0")
+    )
+    winners = per_doc.groupBy("chunk_hash").agg(
+        F.min(id_col).alias("__d0"),
+        F.min_by("__s0", id_col).alias("__w_s0"),
+    )
+    occ = (
+        chunks.join(winners, "chunk_hash")
+        .join(
+            index.select(F.col("chunk_hash"), F.lit(True).alias("__in_corpus")),
+            "chunk_hash",
+            "left",
+        )
+    )
+    is_dup = F.coalesce("__in_corpus", F.lit(False)) | ~(
+        (F.col(id_col) == F.col("__d0")) & (F.col("start") == F.col("__w_s0"))
+    )
+    return occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("chunk_len").cast("long").alias("n_bytes"),
+        F.sum(is_dup.cast("long")).cast("long").alias("n_dup_chunks"),
+        F.sum(F.when(is_dup, F.col("chunk_len")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_bytes"),
+    )

@@ -9358,7 +9358,83 @@ def sql_msf_incremental() -> str:
     return sql_msf_neardup()
 
 
+def q_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental chunk-level dedup (dedup.py cdc_incremental_dup_stats):
+    every fifth doc arrives as the new ingest batch and probes the rest
+    of the corpus's distinct chunk-hash index — dup if the chunk content
+    already exists in the corpus OR an earlier (doc, start) within the
+    batch claimed it.  O(delta) ingest audit; the index probe is a
+    hash-keyed join, never broadcast."""
+    from nexus_forge_spark.operators.dedup import cdc_incremental_dup_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    existing = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    return cdc_incremental_dup_stats(
+        existing, new, window=CDC_W, divisor=CDC_D
+    )
+
+
+def sql_cdc_incremental() -> str:
+    h = (
+        f"('0x' || substr(md5(substr(t, p - {CDC_W - 1}, {CDC_W}) || ':cdc'), "
+        f"1, 15))::BIGINT % {CDC_D}"
+    )
+
+    def chunks_cte(src_filter: str, prefix: str) -> str:
+        return f"""{prefix}pos AS (
+  SELECT doc_id, text AS t,
+    unnest(CASE WHEN length(text) >= {CDC_W}
+                THEN range({CDC_W}, length(text) + 1)
+                ELSE [length(text)] END) AS p
+  FROM documents WHERE {src_filter}
+),
+{prefix}bounds AS (
+  SELECT doc_id, list_sort(list(DISTINCT p)) AS bs
+  FROM {prefix}pos
+  WHERE {h} = 0 OR p = length(t)
+  GROUP BY doc_id
+),
+{prefix}chunks AS (
+  SELECT b.doc_id,
+    CASE WHEN i = 1 THEN 1 ELSE bs[i - 1] + 1 END AS start,
+    bs[i] - CASE WHEN i = 1 THEN 0 ELSE bs[i - 1] END AS chunk_len,
+    md5(substr(d.text,
+               CASE WHEN i = 1 THEN 1 ELSE bs[i - 1] + 1 END,
+               bs[i] - CASE WHEN i = 1 THEN 0 ELSE bs[i - 1] END))
+      AS chunk_hash
+  FROM {prefix}bounds b JOIN documents d USING (doc_id),
+       LATERAL unnest(generate_series(1, len(bs))) AS u(i)
+)"""
+
+    return f"""WITH {chunks_cte("doc_id % 5 <> 0", "old_")},
+{chunks_cte("doc_id % 5 = 0", "new_")},
+idx AS (SELECT DISTINCT chunk_hash FROM old_chunks),
+per_doc AS (
+  SELECT chunk_hash, doc_id, min(start) AS s0
+  FROM new_chunks GROUP BY chunk_hash, doc_id
+),
+winners AS (
+  SELECT chunk_hash, min(doc_id) AS d0, arg_min(s0, doc_id) AS ws0
+  FROM per_doc GROUP BY chunk_hash
+),
+occ AS (
+  SELECT c.*, w.d0, w.ws0, i.chunk_hash IS NOT NULL AS in_corpus
+  FROM new_chunks c JOIN winners w USING (chunk_hash)
+  LEFT JOIN idx i USING (chunk_hash)
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(chunk_len) AS BIGINT) AS n_bytes,
+  CAST(sum(CASE WHEN in_corpus OR NOT (doc_id = d0 AND start = ws0)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+  CAST(sum(CASE WHEN in_corpus OR NOT (doc_id = d0 AND start = ws0)
+            THEN chunk_len ELSE 0 END) AS BIGINT) AS dup_bytes
+FROM occ GROUP BY doc_id"""
+
+
 QUERIES = {
+    "cdc_incremental": (q_cdc_incremental, sql_cdc_incremental),
     "msf_incremental": (q_msf_incremental, sql_msf_incremental),
     "stream_lateness": (q_stream_lateness, sql_stream_lateness),
     "mmr_rerank": (q_mmr_rerank, sql_mmr_rerank),

@@ -884,3 +884,38 @@ def test_mmr_select_differential(spark):
             del maxsim[best]
             for d in cand:
                 maxsim[d] = max(maxsim[d], dot(vecs[(q, d)], bv))
+
+
+def test_cdc_incremental_dup_stats(spark):
+    base_text = "the quick brown fox jumps over the lazy dog " * 4
+    existing = spark.createDataFrame(
+        [(1, base_text), (2, "old unrelated corpus text goes here " * 3)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base_text),                       # verbatim re-ingest
+            (11, "fresh never seen content with words " * 3),
+            (12, "fresh never seen content with words " * 3),  # dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.cdc_incremental_dup_stats(existing, new).collect()}
+    # verbatim re-ingest: every chunk already in the corpus index
+    assert out[10].n_dup_chunks == out[10].n_chunks
+    assert out[10].dup_bytes == out[10].n_bytes
+    # doc 12 loses everything to doc 11's within-batch first occurrences
+    assert out[12].n_dup_chunks == out[12].n_chunks
+    # doc 11 keeps its first occurrences (minus its own internal repeats)
+    assert out[11].n_dup_chunks < out[11].n_chunks
+    # consistency with the full audit: the new batch's dup bytes vs
+    # (existing ∪ new) equal the incremental result
+    full = {
+        r.doc_id: r
+        for r in D.cdc_dedup_stats(existing.unionByName(new)).collect()
+    }
+    for d in (10, 11, 12):
+        assert (out[d].n_dup_chunks, out[d].dup_bytes) == (
+            full[d].n_dup_chunks,
+            full[d].dup_bytes,
+        ), d
