@@ -118,3 +118,49 @@ def apply_filters(df: DataFrame, *filters, limit: int | None = None, offset: int
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def search_snippets(
+    df: DataFrame,
+    terms: list[str],
+    radius: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hit-highlighting snippets for search results: for each document
+    containing any query term (case-insensitive), the context window of
+    ``radius`` chars around the EARLIEST match (ties break on the term
+    string) — the result-page presentation step after bm25/phrase
+    retrieval.  One map-side explode over the (small) term list + one
+    doc-keyed argmin; substring math is integer and engine-identical.
+
+    Output: (id, term, pos, snippet) with 1-based pos into the text.
+    """
+    hits = (
+        df.select(
+            F.col(id_col),
+            F.col(text_col).alias("__t"),
+            F.explode(F.array(*[F.lit(t.lower()) for t in terms])).alias(
+                "term"
+            ),
+        )
+        .select(
+            id_col,
+            "__t",
+            "term",
+            F.expr("locate(term, lower(__t))").alias("pos"),
+        )
+        .where(F.col("pos") > 0)
+    )
+    best = hits.groupBy(id_col).agg(
+        F.min(F.struct("pos", "term", "__t")).alias("__b")
+    )
+    return best.select(
+        id_col,
+        F.col("__b.term").alias("term"),
+        F.col("__b.pos").cast("long").alias("pos"),
+        F.expr(
+            f"substring(__b.__t, greatest(__b.pos - {int(radius)}, 1), "
+            f"{2 * int(radius)} + length(__b.term))"
+        ).alias("snippet"),
+    )

@@ -9433,7 +9433,48 @@ SELECT doc_id,
 FROM occ GROUP BY doc_id"""
 
 
+SNIPPET_TERMS, SNIPPET_RADIUS = ["merge", "filter", "scan"], 25
+
+
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hit-highlighting snippets (search.py search_snippets): for every
+    doc containing a query term, the ±25-char window around the earliest
+    case-insensitive match, ties on the term string — the presentation
+    step after bm25/phrase retrieval.  Map-side explode over 3 terms +
+    one doc-keyed argmin."""
+    from nexus_forge_spark.operators.search import search_snippets
+
+    return search_snippets(
+        load_table(spark, "documents", sf_dir),
+        SNIPPET_TERMS,
+        radius=SNIPPET_RADIUS,
+    )
+
+
+def sql_search_snippets() -> str:
+    terms = ", ".join(f"('{t}')" for t in SNIPPET_TERMS)
+    r = SNIPPET_RADIUS
+    return f"""WITH q(term) AS (VALUES {terms}),
+hits AS (
+  SELECT d.doc_id, d.text AS t, q.term,
+    strpos(lower(d.text), q.term) AS pos
+  FROM documents d, q
+  WHERE strpos(lower(d.text), q.term) > 0
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY pos, term) AS rn
+    FROM hits
+  ) WHERE rn = 1
+)
+SELECT doc_id, term, CAST(pos AS BIGINT) AS pos,
+  substr(t, greatest(pos - {r}, 1), {2 * r} + length(term)) AS snippet
+FROM best"""
+
+
 QUERIES = {
+    "search_snippets": (q_search_snippets, sql_search_snippets),
     "cdc_incremental": (q_cdc_incremental, sql_cdc_incremental),
     "msf_incremental": (q_msf_incremental, sql_msf_incremental),
     "stream_lateness": (q_stream_lateness, sql_stream_lateness),
