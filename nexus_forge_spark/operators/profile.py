@@ -601,3 +601,53 @@ def group_gini(
             ).alias("gini_ppm"),
         )
     )
+
+
+def group_weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Exact per-group weighted median: the smallest value whose running
+    weight reaches half the group's total (``2 * cumw >= totw``, integer
+    cross-multiplied — no float halving).  The robust center for skewed
+    per-key metrics (spend per segment, latency per route) where the
+    weighted mean follows the whales.
+
+    Scale posture: ONE group exchange — the running weight sum and the
+    full-frame total stack on a single partitionBy(group)/orderBy(value)
+    sort (the scd2/cusum pattern); qualifying rows form a suffix of the
+    value order, so the median is a plain min() per group afterwards.
+    """
+    units = F.floor(F.col(value_col) * scale).cast("long")
+    run_w = Window.partitionBy("grp").orderBy("v", "w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    all_w = Window.partitionBy("grp").orderBy("v", "w").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        df.where(F.col(value_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(
+            F.col(group_col).alias("grp"),
+            units.alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .select(
+            "grp",
+            "v",
+            "w",
+            F.sum("w").over(run_w).alias("cumw"),
+            F.sum("w").over(all_w).alias("totw"),
+        )
+    )
+    return (
+        staged.where(F.col("cumw") * 2 >= F.col("totw"))
+        .groupBy("grp")
+        .agg(
+            F.min("v").alias("wmedian_scaled"),
+            F.max("totw").cast("long").alias("total_weight"),
+        )
+    )

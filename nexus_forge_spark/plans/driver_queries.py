@@ -9473,7 +9473,43 @@ SELECT doc_id, term, CAST(pos AS BIGINT) AS pos,
 FROM best"""
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag quantity-weighted median of lineitem extended price
+    (profile.py group_weighted_median): smallest price whose running
+    quantity reaches half the flag's total — integer cross-multiplied,
+    one group exchange shared by both windows."""
+    from nexus_forge_spark.operators.profile import group_weighted_median
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return group_weighted_median(li, "l_extendedprice", "qty", "l_returnflag")
+
+
+def sql_weighted_median() -> str:
+    return """WITH staged AS (
+  SELECT l_returnflag AS grp,
+    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+    CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+),
+cum AS (
+  SELECT grp, v, w,
+    sum(w) OVER (PARTITION BY grp ORDER BY v, w
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+    sum(w) OVER (PARTITION BY grp) AS totw
+  FROM staged
+)
+SELECT grp, CAST(min(v) AS BIGINT) AS wmedian_scaled,
+  CAST(max(totw) AS BIGINT) AS total_weight
+FROM cum WHERE cumw * 2 >= totw GROUP BY grp"""
+
+
 QUERIES = {
+    "weighted_median_price": (q_weighted_median, sql_weighted_median),
     "search_snippets": (q_search_snippets, sql_search_snippets),
     "cdc_incremental": (q_cdc_incremental, sql_cdc_incremental),
     "msf_incremental": (q_msf_incremental, sql_msf_incremental),

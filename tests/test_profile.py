@@ -186,3 +186,27 @@ def test_group_gini(spark):
     assert out["hot"] == 5 * 1_000_000 // 6
     # 1,2,3,4: G = (2*(1+4+9+16) - 5*10) / (4*10) = 10/40 = 0.25
     assert out["mid"] == 250_000
+
+
+def test_group_weighted_median(spark):
+    from nexus_forge_spark.operators.profile import group_weighted_median
+
+    rows = [
+        # group A: value 1 carries most of the weight
+        ("A", 1.0, 7), ("A", 100.0, 2), ("A", 200.0, 2),
+        # group B: exact half boundary -> smallest v with 2*cum >= tot
+        ("B", 1.0, 1), ("B", 2.0, 1), ("B", 3.0, 1), ("B", 4.0, 1),
+        # group C: single row
+        ("C", 9.5, 3),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    out = {
+        r.grp: (r.wmedian_scaled, r.total_weight)
+        for r in group_weighted_median(df, "v", "w", "g").collect()
+    }
+    # A: cum weight at v=1.0 is 7 and 2*7 >= 11, so the smallest value
+    # already carries the median -> 1.0 = 100 scaled units
+    assert out["A"] == (100, 11)
+    # B: cum at 1.0 is 1 (2 < 4, not yet); at 2.0 it is 2 (4 >= 4) -> 200
+    assert out["B"] == (200, 4)
+    assert out["C"] == (950, 3)
