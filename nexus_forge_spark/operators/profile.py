@@ -651,3 +651,80 @@ def group_weighted_median(
             F.max("totw").cast("long").alias("total_weight"),
         )
     )
+
+
+# cumulative Poisson(1) CDF in ppm for k = 0..8 (tail mass beyond 9 is
+# < 1e-6 and maps to weight 9)
+POISSON1_CDF_PPM = [367879, 735759, 919699, 981012, 996340, 999406, 999917,
+                    999990, 999999]
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    n_resamples: int = 64,
+    salt: str = "boot",
+) -> DataFrame:
+    """Error bars for a corpus mean in ONE pass: the Poisson bootstrap
+    (each resample re-weights every row by an independent Poisson(1)
+    draw — the streaming-friendly bootstrap, since resampling n-of-n
+    without coordination is impossible distributed).  Draws are
+    hash-seeded through the integer CDF ladder, so every resample is
+    deterministic and engine-identical.
+
+    Output: one row — the point mean plus the bootstrap p02/p50/p98
+    means, all in integer micro-units (mean_micro = sum*1e6 div n per
+    resample; order statistics at fixed positions of the sorted
+    B-resample array — document the convention, don't interpolate).
+
+    Scale posture: NO explode — all ``2B`` weighted aggregates compute
+    in one map-side-combined pass with the weight columns projected
+    first (the SimHash common-subexpression lesson: repeat the hash
+    inside each aggregate and codegen recomputes it 2B times).
+    """
+    from nexus_forge_spark.operators.sketches import hash60
+
+    B = int(n_resamples)
+
+    def w(b: int):
+        u = F.pmod(
+            hash60(
+                F.concat(F.col(id_col).cast("string"), F.lit(f"#{b}")), salt
+            ),
+            F.lit(1_000_000),
+        )
+        expr = F.lit(9)
+        for k in range(len(POISSON1_CDF_PPM) - 1, -1, -1):
+            expr = F.when(u < POISSON1_CDF_PPM[k], F.lit(k)).otherwise(expr)
+        return expr.cast("long")
+
+    staged = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("long").alias("__x"),
+        *[w(b).alias(f"__w{b}") for b in range(B)],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__sx"),
+    ]
+    for b in range(B):
+        aggs.append(F.sum(F.col(f"__w{b}") * F.col("__x")).alias(f"__swx{b}"))
+        aggs.append(F.sum(f"__w{b}").alias(f"__sw{b}"))
+    one = staged.agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.expr(f"CAST(__swx{b} * 1000000 div __sw{b} AS BIGINT)")
+                for b in range(B)
+            ]
+        )
+    )
+    lo_i, med_i, hi_i = max(1, B // 50), B // 2, B - max(1, B // 50) + 1
+    return one.select(
+        F.lit(B).cast("long").alias("n_resamples"),
+        F.col("__n").alias("n_rows"),
+        F.expr("CAST(__sx * 1000000 div __n AS BIGINT)").alias("mean_micro"),
+        F.element_at(means, lo_i).alias("lo_micro"),
+        F.element_at(means, med_i).alias("med_micro"),
+        F.element_at(means, hi_i).alias("hi_micro"),
+    )

@@ -9508,7 +9508,68 @@ SELECT grp, CAST(min(v) AS BIGINT) AS wmedian_scaled,
 FROM cum WHERE cumw * 2 >= totw GROUP BY grp"""
 
 
+BOOT_B = 64
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval (profile.py
+    poisson_bootstrap_ci) for mean doc length: 64 hash-seeded Poisson(1)
+    resample weights, ALL aggregates in one map-side pass (no explode,
+    weights projected first — the SimHash CSE lesson), order statistics
+    at fixed positions of the sorted resample means.  Error bars for
+    corpus metrics that one pass at 100 TB can actually afford."""
+    from nexus_forge_spark.operators.profile import poisson_bootstrap_ci
+
+    return poisson_bootstrap_ci(
+        load_table(spark, "documents", sf_dir), "n_chars", n_resamples=BOOT_B
+    )
+
+
+def sql_bootstrap_ci() -> str:
+    from nexus_forge_spark.operators.profile import POISSON1_CDF_PPM
+
+    def w(b: int) -> str:
+        u = (
+            f"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#{b}' "
+            f"|| ':boot'), 1, 15))::BIGINT % 1000000"
+        )
+        ladder = " ".join(
+            f"WHEN u{b} < {c} THEN {k}"
+            for k, c in enumerate(POISSON1_CDF_PPM)
+        )
+        return f"{u} AS u{b}", f"CASE {ladder} ELSE 9 END AS w{b}"
+
+    us, ws = zip(*[w(b) for b in range(BOOT_B)])
+    sums = ", ".join(
+        f"CAST(sum(w{b} * x) AS BIGINT) AS swx{b}, "
+        f"CAST(sum(w{b}) AS BIGINT) AS sw{b}"
+        for b in range(BOOT_B)
+    )
+    means = ", ".join(
+        f"CAST(swx{b} * 1000000 // sw{b} AS BIGINT)" for b in range(BOOT_B)
+    )
+    lo_i = max(1, BOOT_B // 50)
+    med_i, hi_i = BOOT_B // 2, BOOT_B - max(1, BOOT_B // 50) + 1
+    return f"""WITH staged AS (
+  SELECT x, {', '.join(f'CASE {" ".join(f"WHEN u{b} < {c} THEN {k}" for k, c in enumerate(POISSON1_CDF_PPM))} ELSE 9 END AS w{b}' for b in range(BOOT_B))}
+  FROM (
+    SELECT CAST(n_chars AS BIGINT) AS x, {', '.join(us)}
+    FROM documents WHERE n_chars IS NOT NULL
+  )
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, {sums}
+  FROM staged
+),
+m AS (SELECT *, list_sort([{means}]) AS ms FROM agg)
+SELECT CAST({BOOT_B} AS BIGINT) AS n_resamples, n AS n_rows,
+  CAST(sx * 1000000 // n AS BIGINT) AS mean_micro,
+  ms[{lo_i}] AS lo_micro, ms[{med_i}] AS med_micro, ms[{hi_i}] AS hi_micro
+FROM m"""
+
+
 QUERIES = {
+    "bootstrap_ci_nchars": (q_bootstrap_ci, sql_bootstrap_ci),
     "weighted_median_price": (q_weighted_median, sql_weighted_median),
     "search_snippets": (q_search_snippets, sql_search_snippets),
     "cdc_incremental": (q_cdc_incremental, sql_cdc_incremental),

@@ -210,3 +210,42 @@ def test_group_weighted_median(spark):
     # B: cum at 1.0 is 1 (2 < 4, not yet); at 2.0 it is 2 (4 >= 4) -> 200
     assert out["B"] == (200, 4)
     assert out["C"] == (950, 3)
+
+
+def test_poisson_bootstrap_ci(spark):
+    import hashlib
+
+    from nexus_forge_spark.operators.profile import (
+        POISSON1_CDF_PPM,
+        poisson_bootstrap_ci,
+    )
+
+    vals = [(i, 100 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(vals, "doc_id long, x long")
+    B = 16
+    r = poisson_bootstrap_ci(df, "x", n_resamples=B).collect()[0]
+
+    # pure-python replay
+    def h60(s, salt="boot"):
+        return int(hashlib.md5(f"{s}:{salt}".encode()).hexdigest()[:15], 16)
+
+    def weight(doc_id, b):
+        u = h60(f"{doc_id}#{b}") % 1_000_000
+        for k, c in enumerate(POISSON1_CDF_PPM):
+            if u < c:
+                return k
+        return 9
+
+    means = []
+    for b in range(B):
+        swx = sum(weight(i, b) * x for i, x in vals)
+        sw = sum(weight(i, b) for i, _ in vals)
+        means.append(swx * 1_000_000 // sw)
+    means.sort()
+    assert r.n_rows == 200
+    assert r.mean_micro == sum(x for _, x in vals) * 1_000_000 // 200
+    assert r.lo_micro == means[0]          # element_at idx 1 (B//50 = 0 -> 1)
+    assert r.med_micro == means[B // 2 - 1]
+    assert r.hi_micro == means[B - 1]
+    # the interval brackets the point estimate on this near-constant data
+    assert r.lo_micro <= r.mean_micro <= r.hi_micro
