@@ -8758,11 +8758,26 @@ def q_single_linkage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form n_nodes - |{msf edges with w <= t}| — no per-threshold
     clustering, no dendrogram walk.  Grid of 9 thresholds x one
     broadcast join over the (tiny) forest edge set."""
-    msf = q_msf_neardup(spark, sf_dir)
-    nodes = (
-        q_dedup_minhash(spark, sf_dir)
-        .select(F.explode(F.array("a", "b")).alias("n"))
-        .agg(F.countDistinct("n").cast("long").alias("n_nodes"))
+    from nexus_forge_spark.operators.graph import boruvka_msf
+
+    # derive the near-dup pairs ONCE for both the forest and the node
+    # count (two q_* calls would run MinHash+LSH twice)
+    pairs = q_dedup_minhash(spark, sf_dir).localCheckpoint(eager=True)
+    msf = boruvka_msf(
+        pairs.select(
+            "a",
+            "b",
+            (F.lit(1_000_000) - F.floor(F.col("jaccard") * 1_000_000))
+            .cast("long")
+            .alias("w"),
+        )
+    ).select(
+        F.col("lo").cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+        F.col("w").cast("long").alias("w"),
+    )
+    nodes = pairs.select(F.explode(F.array("a", "b")).alias("n")).agg(
+        F.countDistinct("n").cast("long").alias("n_nodes")
     )
     grid = spark.createDataFrame(
         [(t,) for t in SL_THRESHOLDS], "threshold long"
@@ -9333,12 +9348,17 @@ def q_msf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the sparsification identity on real data."""
     from nexus_forge_spark.operators.graph import boruvka_msf
 
-    pairs = q_dedup_minhash(spark, sf_dir).select(
-        "a",
-        "b",
-        (
-            F.lit(1_000_000) - F.floor(F.col("jaccard") * 1_000_000)
-        ).cast("long").alias("w"),
+    # pin the pair derivation once — both halves filter the same stream
+    pairs = (
+        q_dedup_minhash(spark, sf_dir)
+        .select(
+            "a",
+            "b",
+            (
+                F.lit(1_000_000) - F.floor(F.col("jaccard") * 1_000_000)
+            ).cast("long").alias("w"),
+        )
+        .localCheckpoint(eager=True)
     )
     h1 = pairs.where((F.col("a") + F.col("b")) % 2 == 0)
     h2 = pairs.where((F.col("a") + F.col("b")) % 2 == 1)
