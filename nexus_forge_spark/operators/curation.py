@@ -1413,3 +1413,47 @@ def rendezvous_shard(
         ]
     )
     return df.withColumn(out_col, (-best.getField("neg")).cast("long"))
+
+
+def luhn_valid(digits) -> "F.Column":
+    """Luhn checksum (ISO/IEC 7812) over a digit string — the verify
+    step that separates real payment-card numbers from arbitrary digit
+    runs, so card-PII detection stops false-positiving on order ids and
+    timestamps: from the RIGHT, double every second digit, subtract 9
+    when the double exceeds 9, and the total must be ≡ 0 (mod 10).
+    Pure integer Column algebra, engine-identical.
+    """
+    rev = F.reverse(digits)
+
+    def term(i):
+        d = F.ascii(F.substr(rev, i, F.lit(1))) - F.lit(48)
+        dbl = d * 2
+        return F.when(
+            i % 2 == 0, F.when(dbl > 9, dbl - 9).otherwise(dbl)
+        ).otherwise(d)
+
+    total = F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.length(rev)), term),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    return (F.length(digits) > 0) & (F.pmod(total, F.lit(10)) == 0)
+
+
+def card_pii_audit(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Payment-card PII audit: 13-19 digit runs are candidates, the
+    Luhn checksum verifies them — per doc, candidate and verified
+    counts (the precision upgrade over the bare regex in redact_pii).
+    Map-side regexp_extract_all + per-run integer checksum, no shuffle
+    beyond the per-doc agg already inside the projection (none — this
+    is one select)."""
+    runs = F.regexp_extract_all(F.col(text_col), F.lit(r"[0-9]{13,19}"), 0)
+    valid = F.filter(runs, luhn_valid)
+    return df.select(
+        F.col(id_col),
+        F.size(runs).cast("long").alias("n_candidates"),
+        F.size(valid).cast("long").alias("n_luhn_valid"),
+        F.array_join(valid, ",").alias("valid_runs"),
+    )

@@ -9588,7 +9588,72 @@ SELECT CAST({BOOT_B} AS BIGINT) AS n_resamples, n AS n_rows,
 FROM m"""
 
 
+CARD_PLANTS = [
+    " card 4111111111111111 on file",    # valid (Luhn passes)
+    " ref 4111111111111112 not a card",  # 16 digits, checksum fails
+    " card 5500005555555559 backup",     # valid
+    "",
+]
+
+
+def q_card_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card PII audit (curation.py card_pii_audit): 13-19 digit
+    runs verified with the Luhn checksum — the precision upgrade over
+    bare digit regexes (order ids stop false-positiving).  Planted
+    cycling by doc_id%4: two valid cards, one checksum-failing run, one
+    clean doc.  One map-side projection."""
+    from nexus_forge_spark.operators.curation import card_pii_audit
+
+    docs = load_table(spark, "documents", sf_dir)
+    plant = F.element_at(
+        F.array(*[F.lit(s) for s in CARD_PLANTS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    return card_pii_audit(
+        docs.select("doc_id", F.concat("text", plant).alias("text"))
+    )
+
+
+def sql_card_pii() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(CARD_PLANTS)
+    )
+    luhn = (
+        "list_sum(list_transform(range(1, length(reverse(r)) + 1), "
+        "i -> CASE WHEN i % 2 = 0 THEN "
+        "CASE WHEN 2 * (ascii(substr(reverse(r), CAST(i AS INT), 1)) - 48) > 9 "
+        "THEN 2 * (ascii(substr(reverse(r), CAST(i AS INT), 1)) - 48) - 9 "
+        "ELSE 2 * (ascii(substr(reverse(r), CAST(i AS INT), 1)) - 48) END "
+        "ELSE ascii(substr(reverse(r), CAST(i AS INT), 1)) - 48 END)) "
+        "% 10 = 0"
+    )
+    return f"""WITH planted AS (
+  SELECT doc_id, text || CASE doc_id % 4 {cases} END AS text
+  FROM documents
+),
+runs AS (
+  SELECT doc_id, regexp_extract_all(text, '[0-9]{{13,19}}') AS rs
+  FROM planted
+),
+occ AS (
+  SELECT doc_id, unnest(rs) AS r FROM runs
+),
+valid AS (
+  SELECT doc_id, r FROM occ WHERE {luhn}
+),
+vagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_valid,
+    string_agg(r, ',' ORDER BY r) AS valid_runs
+  FROM valid GROUP BY doc_id
+)
+SELECT runs.doc_id, CAST(len(rs) AS BIGINT) AS n_candidates,
+  coalesce(v.n_valid, 0) AS n_luhn_valid,
+  coalesce(v.valid_runs, '') AS valid_runs
+FROM runs LEFT JOIN vagg v ON runs.doc_id = v.doc_id"""
+
+
 QUERIES = {
+    "card_pii_audit": (q_card_pii, sql_card_pii),
     "bootstrap_ci_nchars": (q_bootstrap_ci, sql_bootstrap_ci),
     "weighted_median_price": (q_weighted_median, sql_weighted_median),
     "search_snippets": (q_search_snippets, sql_search_snippets),

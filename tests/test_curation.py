@@ -850,3 +850,48 @@ def test_rendezvous_shard_minimal_movement(spark):
     for r in both[:50]:
         expect = max(range(8), key=lambda s: (h60(f"{r.doc_id}#{s}"), -s))
         assert r.s8 == expect
+
+
+def test_luhn_and_card_audit(spark):
+    from nexus_forge_spark.operators.curation import card_pii_audit
+
+    rows = [
+        (1, "pay with 4111111111111111 now"),          # valid visa test num
+        (2, "ref 4111111111111112 is not a card"),     # luhn fails
+        (3, "order 1234567890123 and 79927398713 ok"), # 2nd is the classic
+        (4, "no digit runs here"),
+        (5, "short 123456789012 run"),                 # 12 digits: no candidate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in card_pii_audit(df).collect()}
+    assert (out[1].n_candidates, out[1].n_luhn_valid) == (1, 1)
+    assert out[1].valid_runs == "4111111111111111"
+    assert (out[2].n_candidates, out[2].n_luhn_valid) == (1, 0)
+    # 79927398713 is 11 digits -> not a candidate; 1234567890123 fails luhn
+    assert (out[3].n_candidates, out[3].n_luhn_valid) == (1, 0)
+    assert (out[4].n_candidates, out[4].n_luhn_valid) == (0, 0)
+    assert (out[5].n_candidates, out[5].n_luhn_valid) == (0, 0)
+
+    # pure-python luhn differential over random digit strings
+    import random
+
+    rng = random.Random(3)
+    strs = ["".join(rng.choice("0123456789") for _ in range(13))
+            for _ in range(30)]
+
+    def py_luhn(s):
+        tot = 0
+        for i, ch in enumerate(reversed(s), start=1):
+            d = int(ch)
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            tot += d
+        return tot % 10 == 0
+
+    df2 = spark.createDataFrame([(i, f"x {s} y") for i, s in enumerate(strs)],
+                                "doc_id long, text string")
+    got = {r.doc_id: r.n_luhn_valid for r in card_pii_audit(df2).collect()}
+    for i, s in enumerate(strs):
+        assert got[i] == int(py_luhn(s)), s
