@@ -993,3 +993,73 @@ def cdc_incremental_dup_stats(
         .cast("long")
         .alias("dup_bytes"),
     )
+
+
+def block_cap_audit(
+    bands: DataFrame,
+    cap: int,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    block_cols: tuple[str, str] = ("band", "key"),
+) -> DataFrame:
+    """Block-size capping audit — the mega-block safety valve every
+    production blocker needs: one hot LSH bucket (or phonetic key, or
+    band collision) of size m costs m(m-1)/2 comparisons and can
+    single-handedly dominate a 100 TB dedup run, so blocks above ``cap``
+    are dropped and this report prices the decision: comparison work
+    before/after and ground-truth pair completeness before/after (a
+    truth pair only LOSES recall if EVERY block it shared was dropped).
+
+    One-row output: n_blocks, n_blocks_dropped, rows_in_dropped,
+    work_before, work_after (Σ m(m-1)/2), truth_pairs,
+    found_before/after, completeness_before/after in integer ppm.
+
+    Scale posture: one block-keyed count (map-side), one tiny aggregate;
+    the truth-completeness joins key on the ids of the truth pairs only
+    (semi-sized), never on the corpus.
+    """
+    b, k = block_cols
+    sizes = bands.groupBy(b, k).agg(F.count(F.lit(1)).alias("m"))
+    stats = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum((F.col("m") > cap).cast("long")).cast("long").alias(
+            "n_blocks_dropped"
+        ),
+        F.sum(F.when(F.col("m") > cap, F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("rows_in_dropped"),
+        F.sum(F.expr("m * (m - 1) div 2")).cast("long").alias("work_before"),
+        F.sum(
+            F.when(F.col("m") <= cap, F.expr("m * (m - 1) div 2")).otherwise(0)
+        )
+        .cast("long")
+        .alias("work_after"),
+    )
+    t = truth.select(
+        F.least("a", "b").alias("ta"), F.greatest("a", "b").alias("tb")
+    ).distinct()
+    kept_blocks = sizes.where(F.col("m") <= cap).select(b, k)
+    capped = bands.join(kept_blocks, [b, k], "left_semi")
+
+    def found(bnd: DataFrame) -> DataFrame:
+        l = bnd.select(F.col(id_col).alias("ta"), b, k)
+        r = bnd.select(F.col(id_col).alias("tb"), b, k)
+        return (
+            t.join(l, "ta").join(r, ["tb", b, k]).select("ta", "tb").distinct()
+        )
+
+    n_truth = t.count()
+    fb = found(bands).count()
+    fa = found(capped).count()
+    spark = bands.sparkSession
+    audit = spark.createDataFrame(
+        [(int(n_truth), int(fb), int(fa))],
+        "truth_pairs long, found_before long, found_after long",
+    )
+    return stats.crossJoin(F.broadcast(audit)).select(
+        "*",
+        F.expr(f"CAST(found_before * 1000000 div {max(n_truth,1)} AS BIGINT)")
+        .alias("completeness_before_ppm"),
+        F.expr(f"CAST(found_after * 1000000 div {max(n_truth,1)} AS BIGINT)")
+        .alias("completeness_after_ppm"),
+    )

@@ -9652,7 +9652,85 @@ SELECT runs.doc_id, CAST(len(rs) AS BIGINT) AS n_candidates,
 FROM runs LEFT JOIN vagg v ON runs.doc_id = v.doc_id"""
 
 
+BLOCK_CAP = 3
+
+
+def q_block_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-size capping audit (dedup.py block_cap_audit): the LSH band
+    table of the mutant corpus capped at 3 rows per block — prices the
+    mega-block safety valve with comparison work before/after and
+    planted-truth pair completeness before/after (a truth pair loses
+    recall only if EVERY block it shared was dropped).  At sf0.01 the
+    cap genuinely bites: 75 blocks of size 4-6 drop."""
+    from nexus_forge_spark.operators.dedup import (
+        block_cap_audit,
+        lsh_band_table,
+        minhash_signatures,
+    )
+
+    docs = _docs_with_mutants(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=_MINHASH_K, shingle_n=2)
+    bands = lsh_band_table(
+        sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_ROWS
+    )
+    truth = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1000000).alias("b")
+    )
+    return block_cap_audit(bands, cap=BLOCK_CAP, truth=truth)
+
+
+def sql_block_cap() -> str:
+    base = sql_dedup_minhash()
+    prefix = base[: base.index("cand AS (")]
+    return f"""{prefix}sz AS (
+  SELECT b, key, CAST(count(*) AS BIGINT) AS m FROM bands GROUP BY b, key
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+    CAST(sum(CASE WHEN m > {BLOCK_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_blocks_dropped,
+    CAST(sum(CASE WHEN m > {BLOCK_CAP} THEN m ELSE 0 END) AS BIGINT)
+      AS rows_in_dropped,
+    CAST(sum(m * (m - 1) // 2) AS BIGINT) AS work_before,
+    CAST(sum(CASE WHEN m <= {BLOCK_CAP} THEN m * (m - 1) // 2 ELSE 0 END)
+         AS BIGINT) AS work_after
+  FROM sz
+),
+truth AS (
+  SELECT DISTINCT least(doc_id, doc_id + 1000000) AS ta,
+         greatest(doc_id, doc_id + 1000000) AS tb
+  FROM documents
+),
+kept AS (SELECT b, key FROM sz WHERE m <= {BLOCK_CAP}),
+capped AS (SELECT bd.* FROM bands bd SEMI JOIN kept k
+           ON bd.b = k.b AND bd.key = k.key),
+fb AS (
+  SELECT CAST(count(*) AS BIGINT) AS found_before FROM (
+    SELECT DISTINCT t.ta, t.tb
+    FROM truth t
+    JOIN bands l ON l.doc_id = t.ta
+    JOIN bands r ON r.doc_id = t.tb AND r.b = l.b AND r.key = l.key
+  )
+),
+fa AS (
+  SELECT CAST(count(*) AS BIGINT) AS found_after FROM (
+    SELECT DISTINCT t.ta, t.tb
+    FROM truth t
+    JOIN capped l ON l.doc_id = t.ta
+    JOIN capped r ON r.doc_id = t.tb AND r.b = l.b AND r.key = l.key
+  )
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS truth_pairs FROM truth)
+SELECT s.*, nt.truth_pairs, fb.found_before, fa.found_after,
+  CAST(fb.found_before * 1000000 // greatest(nt.truth_pairs, 1) AS BIGINT)
+    AS completeness_before_ppm,
+  CAST(fa.found_after * 1000000 // greatest(nt.truth_pairs, 1) AS BIGINT)
+    AS completeness_after_ppm
+FROM stats s, nt, fb, fa"""
+
+
 QUERIES = {
+    "block_cap_audit": (q_block_cap, sql_block_cap),
     "card_pii_audit": (q_card_pii, sql_card_pii),
     "bootstrap_ci_nchars": (q_bootstrap_ci, sql_bootstrap_ci),
     "weighted_median_price": (q_weighted_median, sql_weighted_median),

@@ -919,3 +919,24 @@ def test_cdc_incremental_dup_stats(spark):
             full[d].n_dup_chunks,
             full[d].dup_bytes,
         ), d
+
+
+def test_block_cap_audit(spark):
+    # blocks: X has 4 rows (work 6), Y has 2 (work 1), Z has 3 (work 3)
+    bands = spark.createDataFrame(
+        [(0, "X", i) for i in (1, 2, 3, 4)]
+        + [(0, "Y", i) for i in (5, 6)]
+        + [(1, "Z", i) for i in (1, 5, 7)],
+        "band long, key string, doc_id long",
+    )
+    # truth: (1,2) only in X; (1,5) only in Z; (5,6) only in Y; (8,9) never
+    truth = spark.createDataFrame(
+        [(1, 2), (1, 5), (5, 6), (8, 9)], "a long, b long"
+    )
+    r = D.block_cap_audit(bands, cap=3, truth=truth).collect()[0]
+    assert (r.n_blocks, r.n_blocks_dropped, r.rows_in_dropped) == (3, 1, 4)
+    assert (r.work_before, r.work_after) == (6 + 1 + 3, 1 + 3)
+    assert (r.truth_pairs, r.found_before, r.found_after) == (4, 3, 2)
+    assert r.completeness_before_ppm == 750_000
+    # dropping X loses exactly the (1,2) pair -> 2/4
+    assert r.completeness_after_ppm == 500_000
