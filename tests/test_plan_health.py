@@ -686,3 +686,35 @@ def test_domain_calibration_single_exchange(spark, sf01):
     assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
     # rank and count stack into ONE Window operator on one sort
     assert len(re.findall(r"\bWindow\b", final)) == 1
+
+
+def test_weighted_median_single_exchange_single_window(spark, sf01):
+    import re
+
+    from nexus_forge_spark.plans.driver_queries import q_weighted_median
+
+    plan = plan_of(q_weighted_median(spark, sf01), execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    # running sum and full-frame total stack on one group exchange
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+    assert len(re.findall(r"\bWindow\b", final)) == 1
+
+
+def test_gini_no_joins(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import q_gini_revenue
+
+    plan = plan_of(q_gini_revenue(spark, sf01), execute=True)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_benford_and_snippets_sane_plans(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import (
+        q_benford_prices,
+        q_search_snippets,
+    )
+
+    for q in (q_benford_prices, q_search_snippets):
+        plan = plan_of(q(spark, sf01), execute=True)
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "SortMergeJoin" not in plan, q.__name__
