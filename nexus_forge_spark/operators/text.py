@@ -697,3 +697,68 @@ def readability_scores(
         ease.alias("ease_micro"),
         grade.alias("grade_micro"),
     )
+
+
+def heldout_unigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_ppm: int = 800_000,
+    salt: str = "lmsplit",
+) -> DataFrame:
+    """Leakage-free corpus-LM scoring: unigram counts come ONLY from the
+    hash-assigned train split, held-out docs score against them with
+    add-one smoothing over (train vocab + 1 unseen bucket) — the eval
+    hygiene :func:`unigram_logprob_scores` skips (whole-corpus counts
+    let every doc score against its own tokens, deflating rare-token
+    NLL).  Per-token -ln p in integer micro-nats, the module convention.
+
+    Output: held-out docs only — (id, n_tokens, n_unseen, sum_nll_micro,
+    mean_nll_micro), where n_unseen counts tokens outside the train
+    vocabulary (scored at the smoothing floor).
+
+    Scale posture: split is a map-side hash; counts one token-keyed
+    map-side-combined agg over the train side; the vocab-sized counts
+    broadcast back onto the held-out explode; one per-doc aggregate.
+    """
+    from nexus_forge_spark.operators.curation import _ppm_hash
+
+    is_train = _ppm_hash(F.col(id_col), salt) < train_ppm
+    toks = df.select(
+        F.col(id_col),
+        is_train.alias("__tr"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    counts = (
+        toks.where("__tr").groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.agg(
+        F.sum("c").alias("n_train"),
+        F.count(F.lit(1)).alias("v_train"),
+    )
+    scored = (
+        toks.where(~F.col("__tr"))
+        .join(F.broadcast(counts), "t", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.col("c").isNull().cast("long").alias("unseen"),
+            F.round(
+                F.log(
+                    (F.col("n_train") + F.col("v_train") + F.lit(1.0))
+                    / (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("unseen").cast("long").alias("n_unseen"),
+        F.sum("nll_micro").alias("sum_nll_micro"),
+        F.expr("CAST(sum(nll_micro) div count(1) AS BIGINT)").alias(
+            "mean_nll_micro"
+        ),
+    )

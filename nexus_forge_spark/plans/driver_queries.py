@@ -9729,7 +9729,42 @@ SELECT s.*, nt.truth_pairs, fb.found_before, fa.found_after,
 FROM stats s, nt, fb, fa"""
 
 
+def q_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free LM scoring (text.py heldout_unigram_nll): unigram
+    counts from the hash-assigned 80% train split only; held-out docs
+    score with add-one smoothing over train vocab + 1, unseen tokens at
+    the smoothing floor — the eval hygiene whole-corpus NLL skips."""
+    from nexus_forge_spark.operators.text import heldout_unigram_nll
+
+    return heldout_unigram_nll(load_table(spark, "documents", sf_dir))
+
+
+def sql_heldout_nll() -> str:
+    h = _sql_ppm_hash("doc_id", "lmsplit")
+    return rf"""WITH toks AS (
+  SELECT doc_id, {h} < 800000 AS tr,
+    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+),
+counts AS (SELECT t, count(*) AS c FROM toks WHERE tr GROUP BY t),
+totals AS (SELECT sum(c) AS n_train, count(*) AS v_train FROM counts),
+scored AS (
+  SELECT k.doc_id,
+    CASE WHEN c.c IS NULL THEN 1 ELSE 0 END AS unseen,
+    CAST(round(ln((n_train + v_train + 1.0) / (coalesce(c.c, 0) + 1.0))
+               * 1000000) AS BIGINT) AS nll_micro
+  FROM toks k LEFT JOIN counts c USING (t), totals
+  WHERE NOT k.tr
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(unseen) AS BIGINT) AS n_unseen,
+  sum(nll_micro) AS sum_nll_micro,
+  CAST(sum(nll_micro) // count(*) AS BIGINT) AS mean_nll_micro
+FROM scored GROUP BY doc_id"""
+
+
 QUERIES = {
+    "heldout_nll": (q_heldout_nll, sql_heldout_nll),
     "block_cap_audit": (q_block_cap, sql_block_cap),
     "card_pii_audit": (q_card_pii, sql_card_pii),
     "bootstrap_ci_nchars": (q_bootstrap_ci, sql_bootstrap_ci),

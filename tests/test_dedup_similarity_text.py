@@ -940,3 +940,42 @@ def test_block_cap_audit(spark):
     assert r.completeness_before_ppm == 750_000
     # dropping X loses exactly the (1,2) pair -> 2/4
     assert r.completeness_after_ppm == 500_000
+
+
+def test_heldout_unigram_nll(spark):
+    import math
+
+    rows = [(i, "alpha beta " + ("gamma" if i % 2 else "delta")) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in X.heldout_unigram_nll(df).collect()}
+    # only held-out docs appear
+    train_ids = {
+        i for i, _ in rows if _py_ppm_hash_text(i) < 800_000
+    }
+    assert set(out) == {i for i, _ in rows} - train_ids
+    # python replay for one held-out doc
+    counts = {}
+    for i, t in rows:
+        if i in train_ids:
+            for w in t.split():
+                counts[w] = counts.get(w, 0) + 1
+    n_train, v_train = sum(counts.values()), len(counts)
+    some = next(iter(out))
+    toks = dict(rows)[some].split()
+    exp = [
+        round(math.log((n_train + v_train + 1.0) / (counts.get(w, 0) + 1.0))
+              * 1_000_000)
+        for w in toks
+    ]
+    r = out[some]
+    assert r.n_tokens == len(toks)
+    assert r.sum_nll_micro == sum(exp)
+    assert r.n_unseen == sum(1 for w in toks if w not in counts)
+
+
+def _py_ppm_hash_text(doc_id, salt="lmsplit"):
+    import hashlib
+
+    return int(
+        hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:15], 16
+    ) % 1_000_000
