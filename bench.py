@@ -119,7 +119,31 @@ def main() -> None:
         m = re.findall(r"Scaling efficiency N→4N = ([0-9.]+)", open(bench_md).read())
         if m:
             out["scaling_efficiency_N_to_4N"] = float(m[-1])
+    # Robust emission (round-2 lesson: the driver's bounded TAIL capture
+    # truncated the head of one long JSON line, losing the headline):
+    # 1. the full record -> BENCH_queries.json on disk,
+    # 2. the full record as one stdout line (for whole-capture harnesses),
+    # 3. a SHORT final line with the headline + the slowest queries, so any
+    #    tail capture of >= ~2 KB always contains a complete, parseable
+    #    headline as its last line.
+    qfile = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_queries.json"
+    )
+    with open(qfile, "w") as f:
+        json.dump(out, f, indent=1)
     print(json.dumps(out))
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:25]
+    )
+    short = {
+        k: v
+        for k, v in out.items()
+        if k != "queries"
+    }
+    short["queries"] = slowest
+    short["n_queries_timed"] = len(timings)
+    short["queries_full_file"] = "BENCH_queries.json"
+    print(json.dumps(short))
 
 
 if __name__ == "__main__":

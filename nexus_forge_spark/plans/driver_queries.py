@@ -16,10 +16,27 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nexus_forge_spark import dims
+from nexus_forge_spark.functions.intlog import (
+    lnq30_py,
+    lnq30_sql,
+    micro_from_l2_sql,
+    q30_div_sql,
+)
 from nexus_forge_spark.operators import canonicalize as CC
 from nexus_forge_spark.operators import mentions as M
 from nexus_forge_spark.operators import resolve as R
 from nexus_forge_spark.sources import load_table
+
+
+def _lnq(x: str) -> str:
+    """DuckDB rendering of the deterministic fixed-point Q30 log2
+    (functions/intlog.py) — the oracle twin of the Spark operators'
+    lnq30_col."""
+    return lnq30_sql(x, "duck")
+
+
+def _l2micro(l2: str) -> str:
+    return micro_from_l2_sql(l2, "duck")
 
 # vendored public SHACL fixtures (tests/data/README.md) — no runtime
 # dependency on the reference checkout
@@ -3073,16 +3090,18 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_unigram_nll() -> str:
-    return r"""WITH toks AS (
+    return rf"""WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
   FROM documents
 ),
 counts AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+counts2 AS (SELECT t, {_lnq('c')} AS l2c FROM counts),
 total AS (SELECT sum(c) AS n_total FROM counts),
+total2 AS (SELECT {_lnq('n_total')} AS l2n FROM total),
 scored AS (
   SELECT doc_id,
-    CAST(round(ln(n_total / c) * 1000000) AS BIGINT) AS nll_micro
-  FROM toks JOIN counts USING (t), total
+    CAST({_l2micro('(l2n - l2c)')} AS BIGINT) AS nll_micro
+  FROM toks JOIN counts2 USING (t), total2
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
   sum(nll_micro) AS sum_nll_micro,
@@ -3365,20 +3384,29 @@ lens AS (
     CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS dl
   FROM documents
 ),
-stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+    {_lnq('(2 * count(*) + 2)')} AS l2num
+  FROM lens
+),
 tf AS (
   SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
   FROM toks WHERE t IN ({terms}) GROUP BY doc_id, t
 ),
-dfreq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+dfreq AS (
+  SELECT t, count(*) AS df, {_lnq('(2 * count(*) + 1)')} AS l2den
+  FROM tf GROUP BY t
+),
+idf AS (
+  SELECT t, CAST({_l2micro('(l2num - l2den)')} AS BIGINT) AS idf_micro
+  FROM dfreq, stats
+),
 contrib AS (
   SELECT tf.doc_id,
     CAST(round(
-      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-      * (tf / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)))
-      * 1000000
+      idf_micro * (tf / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)))
     ) AS BIGINT) AS c_micro
-  FROM tf JOIN dfreq USING (t) JOIN lens USING (doc_id), stats
+  FROM tf JOIN idf USING (t) JOIN lens USING (doc_id), stats
 )
 SELECT doc_id, sum(c_micro) AS score_micro FROM contrib GROUP BY doc_id"""
 
@@ -4771,8 +4799,9 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_bigram_nll() -> str:
-    lam = _BIGRAM_LAM_PPM / 1_000_000.0
-    oml = (1_000_000 - _BIGRAM_LAM_PPM) / 1_000_000.0
+    lam = _BIGRAM_LAM_PPM
+    oml = 1_000_000 - _BIGRAM_LAM_PPM
+    q30x30 = 30 * 1_073_741_824
     return rf"""WITH base AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
   WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2
@@ -4788,12 +4817,23 @@ cu AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
 total AS (SELECT sum(cu) AS n_total FROM cu),
 cb AS (SELECT prev, w, count(*) AS cb FROM pairs GROUP BY prev, w),
 cp AS (SELECT prev, sum(cb) AS cp FROM cb GROUP BY prev),
+rates0 AS (
+  SELECT prev, w,
+    {q30_div_sql('cb', 'cp', 'duck')} AS q1,
+    {q30_div_sql('cu', 'n_total', 'duck')} AS q2
+  FROM cb JOIN cp USING (prev) JOIN cu USING (w), total
+),
+rates1 AS (
+  SELECT prev, w, greatest(({lam} * q1 + {oml} * q2) // 1000000, 1) AS pq
+  FROM rates0
+),
+rates2 AS (SELECT prev, w, {_lnq('pq')} AS l2p FROM rates1),
+rates AS (
+  SELECT prev, w, CAST({_l2micro(f'({q30x30} - l2p)')} AS BIGINT) AS nll_micro
+  FROM rates2
+),
 scored AS (
-  SELECT p.doc_id,
-    CAST(round(-ln(CAST({lam!r} AS DOUBLE) * (cb / CAST(cp AS DOUBLE))
-        + CAST({oml!r} AS DOUBLE) * (cu / CAST(n_total AS DOUBLE))) * 1000000)
-      AS BIGINT) AS nll_micro
-  FROM pairs p JOIN cb USING (prev, w) JOIN cp USING (prev) JOIN cu USING (w), total
+  SELECT p.doc_id, nll_micro FROM pairs p JOIN rates USING (prev, w)
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
   sum(nll_micro) AS sum_nll_micro,
@@ -4855,11 +4895,13 @@ def sql_tfidf_keywords() -> str:
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 dfreq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+dfreq2 AS (SELECT term, {_lnq('df_docs')} AS l2df FROM dfreq),
 n AS (SELECT count(*) AS n_docs FROM documents),
+n2 AS (SELECT {_lnq('n_docs')} AS l2n FROM n),
 weighted AS (
   SELECT doc_id, term,
-    CAST(round(tf * ln(n_docs / df_docs) * 1000000) AS BIGINT) AS tfidf_micro
-  FROM tf JOIN dfreq USING (term), n
+    CAST(tf * {_l2micro('(l2n - l2df)')} AS BIGINT) AS tfidf_micro
+  FROM tf JOIN dfreq2 USING (term), n2
 ),
 ranked AS (
   SELECT doc_id, term, tfidf_micro,
@@ -4901,17 +4943,23 @@ toks AS (
   SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents
 ),
 cu AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
+cu2 AS (SELECT w, {_lnq('cu')} AS l2cu FROM cu),
 nu AS (SELECT sum(cu) AS n_uni FROM cu),
+nu2 AS (SELECT {_lnq('n_uni')} AS l2nu FROM nu),
 cb AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2),
 nb AS (SELECT sum(cb) AS n_bi FROM cb),
-scored AS (
-  SELECT w1, w2, cb AS n_pair,
-    CAST(round(ln(
-      (cb / CAST(n_bi AS DOUBLE))
-      / ((c1.cu / CAST(n_uni AS DOUBLE)) * (c2.cu / CAST(n_uni AS DOUBLE)))
-    ) * 1000000) AS BIGINT) AS pmi_micro
-  FROM cb JOIN cu c1 ON cb.w1 = c1.w JOIN cu c2 ON cb.w2 = c2.w, nb, nu
+nb2 AS (SELECT {_lnq('n_bi')} AS l2nb FROM nb),
+cb2 AS (
+  SELECT w1, w2, cb, {_lnq('cb')} AS l2cb FROM cb
   WHERE cb >= {_PMI_MIN_COUNT}
+),
+l2 AS (
+  SELECT w1, w2, cb AS n_pair,
+    (l2cb - l2nb + 2 * l2nu - c1.l2cu - c2.l2cu) AS l2v
+  FROM cb2 JOIN cu2 c1 ON cb2.w1 = c1.w JOIN cu2 c2 ON cb2.w2 = c2.w, nb2, nu2
+),
+scored AS (
+  SELECT w1, w2, n_pair, CAST({_l2micro('l2v')} AS BIGINT) AS pmi_micro FROM l2
 )
 SELECT * FROM scored ORDER BY pmi_micro DESC, w1, w2 LIMIT {_PMI_K}"""
 
@@ -7961,7 +8009,8 @@ def sql_dsir_select() -> str:
         "('0x' || substr(md5(__t || ':dsir'), 1, 15))::BIGINT"
         f" % {DSIR_BUCKETS}"
     )
-    g_u = f"({_sql_ppm_hash('doc_id', 'dsir:g')} + 0.5) / 1000000"
+    g_h = _sql_ppm_hash("doc_id", "dsir:g")
+    l2_2m, l2_1m = lnq30_py(2_000_000), lnq30_py(1_000_000)
     return rf"""WITH feats AS (
   SELECT doc_id, lang = 'en' AS is_target,
     {b} AS __b
@@ -7979,12 +8028,19 @@ counts AS (
 ),
 tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cs) AS BIGINT) AS ns
         FROM counts),
+tot2 AS (
+  SELECT {_lnq(f'(ns + {DSIR_BUCKETS})')} AS l2ns,
+         {_lnq(f'(nt + {DSIR_BUCKETS})')} AS l2nt
+  FROM tot
+),
+lr0 AS (
+  SELECT __b, {_lnq('(ct + 1)')} AS l2ct, {_lnq('(cs + 1)')} AS l2cs
+  FROM counts
+),
 lr AS (
   SELECT __b,
-    CAST(round(ln(((ct + 1.0) * (ns + {DSIR_BUCKETS})) /
-                  ((cs + 1.0) * (nt + {DSIR_BUCKETS}))) * 1000000) AS BIGINT)
-      AS lr_micro
-  FROM counts, tot
+    CAST({_l2micro('(l2ct - l2cs + l2ns - l2nt)')} AS BIGINT) AS lr_micro
+  FROM lr0, tot2
 ),
 scored AS (
   SELECT doc_id, is_target,
@@ -7993,10 +8049,17 @@ scored AS (
   FROM feats JOIN lr USING (__b)
   GROUP BY doc_id, is_target
 ),
-keyed AS (
-  SELECT *, weight_micro +
-    CAST(round(-ln(-ln({g_u})) * 1000000) AS BIGINT) AS key_micro
+gum0 AS (
+  SELECT *, greatest(
+    CAST({_l2micro(f'({l2_2m} - ' + _lnq(f'(2 * ({g_h}) + 1)') + ')')} AS BIGINT),
+    1) AS gin
   FROM scored
+),
+keyed AS (
+  SELECT doc_id, is_target, n_feats, weight_micro,
+    weight_micro +
+    CAST({_l2micro(f'({l2_1m} - ' + _lnq('gin') + ')')} AS BIGINT) AS key_micro
+  FROM gum0
 ),
 winners AS (
   SELECT doc_id FROM keyed WHERE NOT is_target
@@ -8262,7 +8325,7 @@ freq AS (
 ),
 boiler AS (
   SELECT dom, h FROM freq JOIN domain_docs USING (dom)
-  WHERE n_with * 1000000 >= {BOILER_PPM} * n_dom
+  WHERE n_with * 1000000 >= {BOILER_PPM} * n_dom AND n_with >= 2
 ),
 kept AS (
   SELECT p.* FROM paras p ANTI JOIN boiler b ON p.dom = b.dom AND p.h = b.h
@@ -9142,11 +9205,14 @@ truth AS (
   FROM documents
 ),
 npos AS (SELECT count(*) AS np FROM truth),
+pairs AS (
+  SELECT least(a, b) AS pa, greatest(a, b) AS pb, max(score_milli) AS s
+  FROM fs GROUP BY least(a, b), greatest(a, b)
+),
 labeled AS (
-  SELECT fs.score_milli AS s,
+  SELECT p.s,
     CASE WHEN t.ta IS NOT NULL THEN 1 ELSE 0 END AS pos
-  FROM fs LEFT JOIN truth t
-    ON least(fs.a, fs.b) = t.ta AND greatest(fs.a, fs.b) = t.tb
+  FROM pairs p LEFT JOIN truth t ON p.pa = t.ta AND p.pb = t.tb
 ),
 per AS (
   SELECT s, sum(pos) AS np_s, sum(1 - pos) AS nn FROM labeled GROUP BY s
@@ -9643,7 +9709,8 @@ valid AS (
 ),
 vagg AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_valid,
-    string_agg(r, ',' ORDER BY r) AS valid_runs
+    string_agg('****' || substr(r, length(r) - 3, 4), ',' ORDER BY r)
+      AS valid_runs
   FROM valid GROUP BY doc_id
 )
 SELECT runs.doc_id, CAST(len(rs) AS BIGINT) AS n_candidates,
@@ -9747,13 +9814,14 @@ def sql_heldout_nll() -> str:
   FROM documents
 ),
 counts AS (SELECT t, count(*) AS c FROM toks WHERE tr GROUP BY t),
+counts2 AS (SELECT t, {_lnq('(c + 1)')} AS l2c FROM counts),
 totals AS (SELECT sum(c) AS n_train, count(*) AS v_train FROM counts),
+totals2 AS (SELECT {_lnq('(n_train + v_train + 1)')} AS l2n FROM totals),
 scored AS (
   SELECT k.doc_id,
-    CASE WHEN c.c IS NULL THEN 1 ELSE 0 END AS unseen,
-    CAST(round(ln((n_train + v_train + 1.0) / (coalesce(c.c, 0) + 1.0))
-               * 1000000) AS BIGINT) AS nll_micro
-  FROM toks k LEFT JOIN counts c USING (t), totals
+    CASE WHEN c.l2c IS NULL THEN 1 ELSE 0 END AS unseen,
+    CAST({_l2micro('(l2n - coalesce(c.l2c, 0))')} AS BIGINT) AS nll_micro
+  FROM toks k LEFT JOIN counts2 c USING (t), totals2
   WHERE NOT k.tr
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,

@@ -30,6 +30,20 @@ O(table); this one is Iceberg-honest):
 * on a real cluster the same API binds to Iceberg ``MERGE INTO`` /
   snapshot refs; the log/manifest here is what its metadata layer does.
 
+Iceberg production port (mechanical — one DDL/DML per method; no sandbox
+Iceberg runtime exists, so this seam is documented rather than faked):
+
+| method here        | Iceberg equivalent                                   |
+|---|---|
+| register()         | ``INSERT INTO t SELECT ...`` (append snapshot); the duplicate-id report becomes a pre-insert ``LEFT SEMI`` probe or a ``MERGE ... WHEN NOT MATCHED THEN INSERT`` |
+| update()           | ``MERGE INTO t USING batch ON t.id = batch.id WHEN MATCHED THEN UPDATE SET ..., _rev = t._rev + 1`` (equality deletes + data files = this store's delta rows) |
+| deprecate()        | same MERGE with ``SET _deprecated = true``           |
+| tag(name)          | ``ALTER TABLE t CREATE TAG name`` (snapshot ref); retrieve(version=tag) = ``VERSION AS OF`` |
+| retrieve(id, v)    | ``SELECT ... VERSION AS OF <snapshot/tag>`` point lookup (metadata time travel replaces the _seq<=N filter) |
+| compact()          | ``CALL system.rewrite_data_files(t)`` + ``rewrite_position_delete_files`` — bounds MOR read amplification exactly like the base-delta rewrite here |
+| _read() MOR view   | free: Iceberg readers resolve equality deletes natively; drop the row_number window |
+| observe() counts   | snapshot summary metrics (added-records, total-records) from the commit, same zero-extra-pass property |
+
 Bookkeeping columns (the reference's _store_metadata, resource.py:34):
 ``_rev`` (int, bumped per update), ``_deprecated`` (bool); ``_seq``
 (delta sequence, internal — the snapshot id of Iceberg metadata).

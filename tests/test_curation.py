@@ -728,21 +728,31 @@ def test_dsir_weights_differential_and_selection(spark):
         for b in bs:
             (ct if is_t else cs)[b] = (ct if is_t else cs).get(b, 0) + 1
     nt, ns = sum(ct.values()), sum(cs.values())
+    from nexus_forge_spark.functions.intlog import (
+        ln_micro_py,
+        lnq30_py,
+        micro_from_l2_py,
+    )
+
     lr = {
-        b: round(
-            math.log(
-                ((ct.get(b, 0) + 1.0) * (ns + B))
-                / ((cs.get(b, 0) + 1.0) * (nt + B))
-            )
-            * 1_000_000
+        b: micro_from_l2_py(
+            lnq30_py(ct.get(b, 0) + 1) - lnq30_py(cs.get(b, 0) + 1)
+            + lnq30_py(ns + B) - lnq30_py(nt + B)
         )
         for b in set(ct) | set(cs)
     }
+    # fixed point tracks true ln within a few micro-nats
+    assert all(
+        abs(lr[b] - math.log(((ct.get(b, 0) + 1.0) * (ns + B))
+                             / ((cs.get(b, 0) + 1.0) * (nt + B))) * 1e6) <= 3
+        for b in lr
+    )
     keys = {}
     for doc_id, (bs, is_t) in docs.items():
         w = sum(lr[b] for b in bs)
-        u = (_py_ppm_hash(doc_id, salt + ":g") + 0.5) / 1_000_000
-        g = round(-math.log(-math.log(u)) * 1_000_000)
+        h = _py_ppm_hash(doc_id, salt + ":g")
+        gin = max(ln_micro_py(2_000_000, 2 * h + 1), 1)
+        g = ln_micro_py(1_000_000, gin)
         assert out[doc_id].weight_micro == w, doc_id
         assert out[doc_id].key_micro == w + g, doc_id
         assert out[doc_id].is_target == is_t
@@ -823,6 +833,36 @@ def test_strip_boilerplate_all_stripped_doc_survives(spark):
     assert out[3].text == "keep me"
 
 
+def test_strip_boilerplate_small_domain_not_emptied(spark):
+    from nexus_forge_spark.operators.curation import strip_boilerplate
+
+    # a single-doc domain: every paragraph trivially satisfies the ratio
+    # test with n_with=1; the min_support floor must keep the doc intact
+    # (round-2 ADVICE: small domains were silently emptied)
+    rows = [
+        (1, "tiny", "only doc here\nsecond unique paragraph"),
+        (2, "big", "BANNER\nbig one"),
+        (3, "big", "BANNER\nbig two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in strip_boilerplate(df, max_doc_ratio_ppm=50_000).collect()
+    }
+    assert out[1].text == "only doc here\nsecond unique paragraph"
+    assert out[1].n_removed == 0
+    # the real cross-doc banner in the big domain still strips
+    assert out[2].text == "big one" and out[2].n_removed == 1
+    # and raising the floor above the domain size disables stripping there
+    out_hi = {
+        r.doc_id: r
+        for r in strip_boilerplate(
+            df, max_doc_ratio_ppm=50_000, min_support=3
+        ).collect()
+    }
+    assert out_hi[2].n_removed == 0
+
+
 def test_rendezvous_shard_minimal_movement(spark):
     from nexus_forge_spark.operators.curation import rendezvous_shard
 
@@ -865,7 +905,10 @@ def test_luhn_and_card_audit(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in card_pii_audit(df).collect()}
     assert (out[1].n_candidates, out[1].n_luhn_valid) == (1, 1)
-    assert out[1].valid_runs == "4111111111111111"
+    # verified runs are MASKED to ****<last4> — the audit table must not
+    # itself become a plaintext PAN store
+    assert out[1].valid_runs == "****1111"
+    assert "4111111111111111" not in out[1].valid_runs
     assert (out[2].n_candidates, out[2].n_luhn_valid) == (1, 0)
     # 79927398713 is 11 digits -> not a candidate; 1234567890123 fails luhn
     assert (out[3].n_candidates, out[3].n_luhn_valid) == (1, 0)

@@ -231,8 +231,12 @@ def test_unigram_logprob_scores(spark):
         [(1, "a a b"), (2, "a c")], "doc_id long, text string"
     )
     out = {r.doc_id: r for r in unigram_logprob_scores(df).collect()}
-    # corpus: a=3, b=1, c=1, total=5
-    nll = lambda c: round(math.log(5 / c) * 1_000_000)  # noqa: E731
+    # corpus: a=3, b=1, c=1, total=5 — fixed-point reference (intlog)
+    from nexus_forge_spark.functions.intlog import ln_micro_py
+
+    nll = lambda c: ln_micro_py(5, c)  # noqa: E731
+    # fixed-point stays within 2 micro-nats of true ln
+    assert abs(nll(3) - math.log(5 / 3) * 1e6) <= 2
     assert out[1].n_tokens == 3
     assert out[1].sum_nll_micro == 2 * nll(3) + nll(1)
     assert out[1].mean_nll_micro == (2 * nll(3) + nll(1)) // 3
@@ -252,10 +256,14 @@ def test_bm25_scores(spark):
     out = {r.doc_id: r.score_micro for r in bm25_scores(df, ["x"]).collect()}
     assert set(out) == {1, 2}  # doc 3 has no query term
     # doc 1: tf=2, dl=3; doc 2: tf=1, dl=2; N=3, df=2, avgdl=8/3
-    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    # idf = ln((N+1)/(df+0.5)) = ln((2N+2)/(2df+1)) via the fixed-point log
+    from nexus_forge_spark.functions.intlog import ln_micro_py
+
+    idf_micro = ln_micro_py(2 * 3 + 2, 2 * 2 + 1)
+    assert abs(idf_micro - math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5)) * 1e6) <= 2
     tfn = lambda tf, dl: tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (8 / 3)))  # noqa: E731
-    assert out[1] == round(idf * tfn(2, 3) * 1_000_000)
-    assert out[2] == round(idf * tfn(1, 2) * 1_000_000)
+    assert out[1] == round(idf_micro * tfn(2, 3))
+    assert out[2] == round(idf_micro * tfn(1, 2))
     assert out[1] > out[2]  # higher tf wins at comparable length
 
 
@@ -329,10 +337,20 @@ def test_bigram_logprob_scores(spark):
     )
     out = {r.doc_id: r for r in bigram_logprob_scores(df).collect()}
     # unigrams over ALL docs: a=4 b=2 N=6; bigrams: (a,b)=1 (b,a)=2; cp: a=1 b=2
-    lam, oml = 900_000 / 1_000_000.0, 100_000 / 1_000_000.0
-    nll = lambda cb, cp, cu: round(  # noqa: E731
-        -math.log(lam * (cb / cp) + oml * (cu / 6.0)) * 1_000_000
+    from nexus_forge_spark.functions.intlog import (
+        lnq30_py,
+        micro_from_l2_py,
+        q30_div_py,
     )
+
+    def nll(cb, cp, cu):
+        pq = max((900_000 * q30_div_py(cb, cp) + 100_000 * q30_div_py(cu, 6))
+                 // 1_000_000, 1)
+        got = micro_from_l2_py(30 * 1_073_741_824 - lnq30_py(pq))
+        true = -math.log(0.9 * (cb / cp) + 0.1 * (cu / 6.0)) * 1e6
+        assert abs(got - true) <= 2  # fixed point tracks true ln
+        return got
+
     ab, ba = nll(1, 1, 2), nll(2, 2, 4)
     assert 3 not in out  # single-token doc has no bigram positions
     assert out[1].n_bigrams == 2 and out[1].sum_nll_micro == ab + ba
@@ -375,7 +393,9 @@ def test_tfidf_topk_ranks_and_ties(spark):
     # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
     d1 = sorted(by_doc[1])
     assert d1[0][1] == "apple" and d1[1][1] == "banana"
-    assert d1[0][2] == round(2 * __import__("math").log(3) * 1e6)
+    from nexus_forge_spark.functions.intlog import ln_micro_py
+
+    assert d1[0][2] == 2 * ln_micro_py(3, 1)  # tf * fixed-point ln(N/df)
     # rank ties broken by term asc deterministically
     for ranks in by_doc.values():
         assert [r for r, *_ in sorted(ranks)] == list(range(1, len(ranks) + 1))
@@ -393,7 +413,14 @@ def test_pmi_collocations_values(spark):
     n_pair, pmi = got[("x", "y")]
     assert n_pair == 10
     # Nb = 30 bigrams, Nu = 40 tokens, cb=10, cu(x)=cu(y)=10
-    expect = round(math.log((10 / 30.0) / ((10 / 40.0) * (10 / 40.0))) * 1e6)
+    from nexus_forge_spark.functions.intlog import lnq30_py, micro_from_l2_py
+
+    expect = micro_from_l2_py(
+        lnq30_py(10) - lnq30_py(30) + 2 * lnq30_py(40)
+        - lnq30_py(10) - lnq30_py(10)
+    )
+    true = math.log((10 / 30.0) / ((10 / 40.0) * (10 / 40.0))) * 1e6
+    assert abs(expect - true) <= 3
     assert pmi == expect
     # ordered by pmi desc then lexicographic
     pmis = [r.pmi_micro for r in out]
@@ -962,11 +989,17 @@ def test_heldout_unigram_nll(spark):
     n_train, v_train = sum(counts.values()), len(counts)
     some = next(iter(out))
     toks = dict(rows)[some].split()
+    from nexus_forge_spark.functions.intlog import ln_micro_py
+
     exp = [
-        round(math.log((n_train + v_train + 1.0) / (counts.get(w, 0) + 1.0))
-              * 1_000_000)
+        ln_micro_py(n_train + v_train + 1, counts.get(w, 0) + 1)
         for w in toks
     ]
+    assert all(
+        abs(e - math.log((n_train + v_train + 1.0) / (counts.get(w, 0) + 1.0))
+            * 1e6) <= 2
+        for e, w in zip(exp, toks)
+    )
     r = out[some]
     assert r.n_tokens == len(toks)
     assert r.sum_nll_micro == sum(exp)

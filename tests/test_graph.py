@@ -283,6 +283,12 @@ def test_ktruss_k4_plus_pendant_triangle(spark):
     assert set(out3) == set(k4 + pend)
     # at k=5 nothing survives
     assert ktruss(df, k=5).count() == 0
+    # k < 3 refuses: the 2-truss is the whole graph, but the peeling only
+    # sees triangle edges — silently dropping pendant edges would be wrong
+    import pytest
+
+    with pytest.raises(ValueError, match="k >= 3"):
+        ktruss(df, k=2)
 
 
 def test_ktruss_differential_random(spark):

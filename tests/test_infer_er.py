@@ -321,3 +321,22 @@ def test_pr_curve_hand(spark):
     assert r30.rec_ppm == 750_000
     # f1 harmonic mean check at threshold 90: 2*1e6*25e4/(125e4)
     assert r90.f1_ppm == 2 * 1_000_000 * 250_000 // 1_250_000
+
+
+def test_pr_curve_duplicate_pairs_collapse_to_max_score(spark):
+    from nexus_forge_spark.operators.er import pr_curve
+
+    # the same pair surfaced by three LSH bands at different scores, plus
+    # its flipped orientation — must count as ONE candidate at max score
+    scored = spark.createDataFrame(
+        [(1, 2, 90), (2, 1, 70), (1, 2, 50), (3, 4, 50)],
+        "a long, b long, score_milli long",
+    )
+    truth = spark.createDataFrame([(1, 2)], "a long, b long")
+    out = {r.threshold: r for r in pr_curve(scored, truth).collect()}
+    assert set(out) == {90, 50}
+    # tp never exceeds the truth size; recall capped at 1e6 ppm
+    assert (out[90].tp, out[90].fp) == (1, 0)
+    assert out[90].rec_ppm == 1_000_000
+    assert (out[50].tp, out[50].fp) == (1, 1)
+    assert all(r.rec_ppm <= 1_000_000 and r.tp <= 1 for r in out.values())

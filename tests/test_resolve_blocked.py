@@ -81,3 +81,28 @@ def test_mention_prefilter_lossless(spark, sf_dir):
     n_all = mentions.count()
     n_kept = R.mention_prefilter(mentions, alias).count()
     assert 0 < n_kept < n_all
+
+
+def test_mention_prefilter_branches_identical(spark, sf_dir):
+    """The driver-collected InSet branch (small dims) and the distributed
+    semi-join branch (big dims, nothing collected) must keep EXACTLY the
+    same mention rows — the operator picks the branch from the dim size,
+    so both must be the same function."""
+    from nexus_forge_spark import dims
+    from nexus_forge_spark.operators import resolve as R
+    from nexus_forge_spark.operators.mentions import extract_mentions
+    from nexus_forge_spark.sources import flat_to_interleaved, load_table
+
+    docs = flat_to_interleaved(load_table(spark, "documents", sf_dir))
+    alias = R.build_alias_table(
+        dims.ontology_terms_idx(spark), dims.ONTOLOGY_MATCH_PROPS
+    )
+    mentions = extract_mentions(docs).select("doc_id", "mention")
+    inset = R.mention_prefilter(mentions, alias, max_inset_terms=10**9)
+    semi = R.mention_prefilter(mentions, alias, max_inset_terms=0)
+    a = sorted((r.doc_id, r.mention) for r in inset.collect())
+    b = sorted((r.doc_id, r.mention) for r in semi.collect())
+    assert a == b and len(a) > 0
+    # the semi-join branch's plan really is a semi join (no InSet collect)
+    plan = semi._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan

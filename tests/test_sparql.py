@@ -933,3 +933,53 @@ def test_subquery_spark_dialect(spark):
     )
     got = [(r.e, r.label, r.n) for r in spark.sql(sql).collect()]
     assert got == [("ont:e1", "alpha", 1), ("ont:e2", "Beta", 2)]
+
+
+# ---------------------------------------------------------- unsupported forms
+# The reference passes raw SPARQL through to a remote store
+# (kgforge/core/archetypes/read_only_store.py:212-245), so users can write
+# constructs this single-graph engine cannot honor; each must fail with a
+# QueryingError NAMING the construct, never a mis-parse.
+
+@pytest.mark.parametrize(
+    "query,needle",
+    [
+        (
+            "SELECT ?s FROM <http://example.org/g1> WHERE { ?s ?p ?o }",
+            "FROM / FROM NAMED",
+        ),
+        (
+            "SELECT ?s FROM NAMED <http://example.org/g1> WHERE { ?s ?p ?o }",
+            "FROM / FROM NAMED",
+        ),
+        (
+            "SELECT ?s WHERE { GRAPH <http://example.org/g1> { ?s ?p ?o } }",
+            "GRAPH",
+        ),
+        (
+            "SELECT ?s WHERE { SERVICE <http://example.org/sparql> { ?s ?p ?o } }",
+            "SERVICE",
+        ),
+        (
+            "SELECT ?s WHERE { ?s (nsg:a/nsg:b)+ ?o }",
+            "sequence path inside a parenthesized group",
+        ),
+        (
+            "SELECT ?s WHERE { ?s (nsg:a/nsg:b) ?o }",
+            "sequence path inside a parenthesized group",
+        ),
+    ],
+)
+def test_unsupported_sparql_constructs_raise_named_errors(query, needle):
+    from nexus_forge_spark.functions.sparql import sparql_to_sql as s2s
+
+    with pytest.raises(QueryingError, match=needle):
+        s2s(query)
+
+
+def test_supported_parenthesized_alternatives_still_parse():
+    from nexus_forge_spark.functions.sparql import sparql_to_sql as s2s
+
+    # grouped ALTERNATIVES before a sequence remain supported
+    sql = s2s("SELECT ?s WHERE { ?s (nsg:a|nsg:b)/nsg:c ?o }")
+    assert "UNION" in sql or "IN (" in sql or "OR" in sql

@@ -49,8 +49,16 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
-def main(only: list[str] | None = None) -> int:
+def main(only: list[str] | None = None, tz: str | None = None,
+         json_path: str | None = None) -> int:
     spark = get_spark("oracle-check", shuffle_partitions=16)
+    if tz:
+        # Simulate a DRIVER session that does not run in UTC: queries must
+        # still hash-match the (timezone-free) DuckDB oracle because
+        # sources.load_table pins spark.sql.session.timeZone=UTC on the
+        # session it is handed — the round-2 cube_revenue red cell was a
+        # non-UTC driver session shifting month(l_shipdate) boundaries.
+        spark.conf.set("spark.sql.session.timeZone", tz)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
@@ -58,6 +66,7 @@ def main(only: list[str] | None = None) -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -68,9 +77,11 @@ def main(only: list[str] | None = None) -> int:
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             failures += 1
+            results[name] = {"err": f"spark: {str(e)[:200]}"}
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows")
+            results[name] = {"rows_only": True, "spark_rows": len(srows), "err": None}
             continue
         try:
             cur = con.execute(oracles[name])
@@ -79,6 +90,7 @@ def main(only: list[str] | None = None) -> int:
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             failures += 1
+            results[name] = {"err": f"duckdb: {str(e)[:200]}"}
             continue
         ok_count = len(srows) == len(drows)
         ok_cols = sorted(scols) == sorted(dcols)
@@ -86,6 +98,14 @@ def main(only: list[str] | None = None) -> int:
         status = "OK  " if (ok_count and ok_cols and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
+        results[name] = {
+            "rows_match": ok_count,
+            "schema_match": ok_cols,
+            "hash_match": ok_hash,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": None,
+        }
         print(
             f"{status} {name}: rows spark={len(srows)} duck={len(drows)} "
             f"cols={'=' if ok_cols else f'{scols} vs {dcols}'} hash={'=' if ok_hash else 'MISMATCH'}"
@@ -100,8 +120,33 @@ def main(only: list[str] | None = None) -> int:
             for ln in list(d_set - s_set)[:3]:
                 print(f"   duck-only : {ln[:160]}")
     print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    if json_path:
+        import datetime
+        import json
+
+        payload = {
+            "_meta": {
+                "sf_dir": SF_DIR,
+                "session_timezone": tz or "UTC (get_spark default)",
+                "n_queries": len(results),
+                "n_failures": failures,
+                "date": datetime.date.today().isoformat(),
+            },
+            **results,
+        }
+        with open(json_path, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {json_path}")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1:] or None))
+    _tz, _json, _names = None, None, []
+    for a in sys.argv[1:]:
+        if a.startswith("--tz="):
+            _tz = a[5:]
+        elif a.startswith("--json="):
+            _json = a[7:]
+        else:
+            _names.append(a)
+    sys.exit(main(_names or None, tz=_tz, json_path=_json))
