@@ -460,13 +460,13 @@ def pmi_collocations(
 
     Scale posture: bigram and unigram count tables are vocab-sized
     (map-side combine shuffles), the totals derive FROM those tables (no
-    second corpus pass), the min_count-pruned candidate table is the
-    BROADCAST build side of both unigram joins (Zipf: pairs seen >=
-    min_count times are a small fraction of the bigram vocab, while the
-    full unigram table may be too large to broadcast — it streams), and
-    the final top-k is an orderBy+limit — Spark's TakeOrderedAndProject,
-    a per-partition heap + driver merge of k rows, never a global sort
-    of the vocabulary.
+    second corpus pass), the min_count-pruned candidate table joins the
+    unigram table UN-hinted — AQE broadcasts whichever side fits from
+    runtime bytes (Zipf makes the pruned table small on natural corpora,
+    but at web scale even "pairs seen >= min_count" can be 10^9 rows, so
+    the hint must not be forced) — and the final top-k is an
+    orderBy+limit — Spark's TakeOrderedAndProject, a per-partition heap
+    + driver merge of k rows, never a global sort of the vocabulary.
     """
     base = df.select(tokens(F.col(text_col)).alias("t")).where(F.size("t") >= 2)
     pairs = base.select(
@@ -486,13 +486,16 @@ def pmi_collocations(
     cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     nb = cb.agg(F.sum("cb").alias("n_bi")).withColumn("l2nb", lnq30_col("n_bi"))
     nu = cu.agg(F.sum("cu").alias("n_uni")).withColumn("l2nu", lnq30_col("n_uni"))
-    cand = F.broadcast(
-        cb.where(F.col("cb") >= min_count).withColumn("l2cb", lnq30_col("cb"))
+    # the min_count-pruned candidate table is usually small (Zipf), but at
+    # web scale "pairs seen >= 5" can still be 10^9 rows — no forced
+    # broadcast hint; AQE picks broadcast vs shuffle from RUNTIME bytes
+    cand = cb.where(F.col("cb") >= min_count).withColumn(
+        "l2cb", lnq30_col("cb")
     ).join(
         cu.select(F.col("w").alias("w1"), F.col("l2cu").alias("l2cu1")), "w1"
     )
     scored = (
-        F.broadcast(cand)
+        cand
         .join(cu.select(F.col("w").alias("w2"), F.col("l2cu").alias("l2cu2")), "w2")
         .crossJoin(F.broadcast(nb))
         .crossJoin(F.broadcast(nu))

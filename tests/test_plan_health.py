@@ -718,3 +718,53 @@ def test_benford_and_snippets_sane_plans(spark, sf01):
         plan = plan_of(q(spark, sf01), execute=True)
         assert "CartesianProduct" not in plan, q.__name__
         assert "SortMergeJoin" not in plan, q.__name__
+
+
+def test_vocab_join_strategy_follows_runtime_size(spark):
+    """Round-2 VERDICT: the token-count join back to the corpus must NOT
+    force a broadcast hint — a 10^8+-token web-corpus vocab would OOM the
+    executors.  With the hint removed, AQE picks the strategy from the
+    vocab's RUNTIME bytes: broadcast when it fits the threshold, sort-
+    merge/shuffled-hash when it doesn't.  Pin both directions by moving
+    the threshold around a fixed small vocab."""
+    from nexus_forge_spark.operators.text import unigram_logprob_scores
+
+    rows = [(i, f"tok{i % 50} tok{(i * 7) % 50} common") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:
+        prev_aqe = None
+    try:
+        # threshold below any real table size -> the counts join must NOT
+        # broadcast (this is the web-scale-vocab plan)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        big_plan = plan_of(unigram_logprob_scores(df), execute=True)
+        assert "SortMergeJoin" in big_plan or "ShuffledHashJoin" in big_plan
+        small_vocab_rows = {
+            (r.doc_id, r.sum_nll_micro)
+            for r in unigram_logprob_scores(df).collect()
+        }
+        # generous threshold -> AQE upgrades the same join to broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 << 20)
+        )
+        bc_plan = plan_of(unigram_logprob_scores(df), execute=True)
+        assert "BroadcastHashJoin" in bc_plan
+        # strategy never changes values
+        bc_rows = {
+            (r.doc_id, r.sum_nll_micro)
+            for r in unigram_logprob_scores(df).collect()
+        }
+        assert bc_rows == small_vocab_rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe
+            )
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
