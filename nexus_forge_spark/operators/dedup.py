@@ -1063,3 +1063,96 @@ def block_cap_audit(
         F.expr(f"CAST(found_after * 1000000 div {max(n_truth,1)} AS BIGINT)")
         .alias("completeness_after_ppm"),
     )
+
+
+# ------------------------------------------------------------ LSH tuning
+LSH_Q30 = 1_073_741_824
+
+
+def sql_lsh_scurve(s_q30: str, rows_per_band: int, bands: int, dialect: str) -> str:
+    """The banded-MinHash S-curve P(candidate | jaccard=s) = 1-(1-s^r)^b
+    in Q30 integer fixed point (unrolled truncating multiplies — no pow,
+    no libm), returned in ppm.  ``s_q30`` should be a COLUMN REFERENCE
+    (it is repeated r+b times)."""
+    div = "//" if dialect == "duck" else "div"
+    x = s_q30
+    for _ in range(rows_per_band - 1):
+        x = f"(({x} * {s_q30}) {div} {LSH_Q30})"
+    q = f"({LSH_Q30} - {x})"
+    y = q
+    for _ in range(bands - 1):
+        y = f"(({y} * {q}) {div} {LSH_Q30})"
+    return f"((({LSH_Q30} - {y}) * 1000000) {div} {LSH_Q30})"
+
+
+def lsh_scurve_py(s_ppm: int, rows_per_band: int, bands: int) -> int:
+    sq = (s_ppm * LSH_Q30) // 1_000_000
+    x = sq
+    for _ in range(rows_per_band - 1):
+        x = (x * sq) // LSH_Q30
+    q = LSH_Q30 - x
+    y = q
+    for _ in range(bands - 1):
+        y = (y * q) // LSH_Q30
+    return ((LSH_Q30 - y) * 1_000_000) // LSH_Q30
+
+
+def lsh_parameter_audit(
+    df: DataFrame,
+    configs: list[tuple[int, int]],
+    s_grid_ppm: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Price the (bands, rows_per_band) dial BEFORE a 100 TB dedup run:
+    for each config sharing one hash budget b*r, report
+
+    * the analytic S-curve P(candidate | jaccard=s) on a similarity grid
+      (Q30 integer fixed point — what recall each config buys at each
+      similarity level), and
+    * the MEASURED candidate-pair count on this corpus under that
+      banding (sum of m*(m-1)/2 over buckets — what the verify stage
+      would actually pay).
+
+    The two columns together are the work-vs-recall trade the
+    block_cap_audit prices after the fact, moved to tuning time.
+
+    Scale posture: ONE signature pass (b*r minhashes, shared by every
+    config via localCheckpoint — configs re-band the cached signatures),
+    per config one (band, key) count aggregate (map-side combined); the
+    grid join is a broadcast of literals.  Nothing pair-shaped is ever
+    materialized.
+    """
+    budgets = {b * r for b, r in configs}
+    if len(budgets) != 1:
+        raise ValueError(f"configs must share one hash budget b*r, got {budgets}")
+    num_hashes = budgets.pop()
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes
+    ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    grid = spark.createDataFrame([(int(s),) for s in s_grid_ppm], "s_ppm long")
+    out = None
+    for bands, rows_per_band in configs:
+        bt = lsh_band_table(sigs, bands, rows_per_band, id_col)
+        n_cand = (
+            bt.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(F.sum(F.expr("m * (m - 1) div 2")).alias("nc"))
+            .select(F.coalesce("nc", F.lit(0)).cast("long").alias("nc"))
+        )
+        piece = (
+            n_cand.crossJoin(F.broadcast(grid))
+            .withColumn("__sq", F.expr(f"(s_ppm * {LSH_Q30}) div 1000000"))
+            .select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(rows_per_band).cast("long").alias("rows_per_band"),
+                "s_ppm",
+                F.expr(sql_lsh_scurve("__sq", rows_per_band, bands, "spark"))
+                .cast("long")
+                .alias("p_cand_ppm"),
+                F.col("nc").alias("n_candidate_pairs"),
+            )
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out

@@ -457,3 +457,123 @@ def countmin_lookup(
         .agg(F.min("cnt").cast("long").alias("cms_est"))
         .withColumnRenamed("v", value_col)
     )
+
+
+# ---------------------------------------------------------------- HDR
+# log2-bucketed quantile sketch (the HdrHistogram idea: Gray/Tene; the
+# deterministic alternative to KLL/t-digest): 2^sub_bits sub-buckets per
+# octave give a <= 2^-sub_bits relative-error bound on any quantile, the
+# sketch is a tiny (group, bucket, count) table, and merge = count sum —
+# associative and map-side-combining like the HLL/CMS/Bloom family above.
+# Everything is BIGINT bit algebra, so estimates are engine-exact.
+
+HDR_SUB_BITS = 4  # 16 sub-buckets/octave -> <= 6.25% relative error
+_HDR_M = 1 << HDR_SUB_BITS
+
+
+def sql_hdr_bin(v: str, dialect: str) -> str:
+    """Bucket index of a BIGINT expr >= 0, one expression, both dialects.
+
+    v < 16 -> exact buckets 0..15; else octave = bitlen-4 octaves of 16
+    sub-buckets keyed by the 4 mantissa bits after the leading 1.
+    """
+    bl = f"length(bin(CAST({v} AS BIGINT)))"
+    if dialect == "duck":
+        mant = f"((CAST({v} AS BIGINT) >> ({bl} - {HDR_SUB_BITS + 1})) & {_HDR_M - 1})"
+    else:
+        mant = (
+            f"(shiftright(CAST({v} AS BIGINT), CAST({bl} - {HDR_SUB_BITS + 1} AS INT))"
+            f" & {_HDR_M - 1})"
+        )
+    return (
+        f"(CASE WHEN {v} < {_HDR_M} THEN CAST({v} AS BIGINT)"
+        f" ELSE CAST(({bl} - {HDR_SUB_BITS}) * {_HDR_M} + {mant} AS BIGINT) END)"
+    )
+
+
+def sql_hdr_lb(b: str, dialect: str) -> str:
+    """Lower-bound (representative) value of bucket ``b`` — the quantile
+    estimate reported for a bucket."""
+    if dialect == "duck":
+        shifted = f"(({_HDR_M} + {b} % {_HDR_M}) << ({b} // {_HDR_M} - 1))"
+    else:
+        shifted = (
+            f"shiftleft({_HDR_M} + {b} % {_HDR_M},"
+            f" CAST({b} div {_HDR_M} - 1 AS INT))"
+        )
+    return f"(CASE WHEN {b} < {_HDR_M} THEN {b} ELSE {shifted} END)"
+
+
+def hdr_bin_py(v: int) -> int:
+    assert v >= 0
+    if v < _HDR_M:
+        return v
+    bl = v.bit_length()
+    return (bl - HDR_SUB_BITS) * _HDR_M + ((v >> (bl - HDR_SUB_BITS - 1)) & (_HDR_M - 1))
+
+
+def hdr_lb_py(b: int) -> int:
+    if b < _HDR_M:
+        return b
+    return (_HDR_M + b % _HDR_M) << (b // _HDR_M - 1)
+
+
+def hdr_sketch(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Build the sketch: one (group, qbin, cnt) row per occupied bucket.
+
+    Scale posture: a map-side projection + one hash aggregate whose key
+    space is <= ~960 buckets per group — every partition pre-reduces to
+    at most that many rows before the shuffle, like hll_sketch.  Values
+    must be >= 0 (clamped; lengths/counts/cents all are).
+    """
+    group_cols = group_cols or []
+    v = f"greatest(CAST({value_col} AS BIGINT), 0)"
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, F.expr(sql_hdr_bin(v, "spark")).alias("qbin"))
+        .groupBy(*group_cols, "qbin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_merge(sketches: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge sketches (shards/days): counts add per bucket."""
+    group_cols = group_cols or []
+    return sketches.groupBy(*group_cols, "qbin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hdr_quantiles(
+    sketch: DataFrame, qs_ppm: list[int], group_cols: list[str] | None = None
+) -> DataFrame:
+    """Quantile estimates from the sketch: for each q (ppm), the lower
+    bound of the first bucket whose cumulative count reaches the ceil
+    rank ``(q*n + 999999) div 1e6`` — pure integer rank algebra, within
+    one bucket width (<= 2^-sub_bits relative) of the exact value.
+
+    The window/aggregate run on the BUCKET table (hundreds of rows per
+    group), never the data.  Output: (group..., q_ppm, est).
+    """
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("qbin")
+    cum = sketch.select(
+        *group_cols,
+        "qbin",
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    spark = sketch.sparkSession
+    qs = spark.createDataFrame([(int(q),) for q in qs_ppm], "q_ppm long")
+    hit = cum.crossJoin(F.broadcast(qs)).where(
+        F.col("cum") >= F.expr("(q_ppm * n + 999999) div 1000000")
+    )
+    return hit.groupBy(*group_cols, "q_ppm").agg(
+        F.min(F.expr(sql_hdr_lb("qbin", "spark"))).alias("est")
+    )

@@ -9796,6 +9796,242 @@ SELECT s.*, nt.truth_pairs, fb.found_before, fa.found_after,
 FROM stats s, nt, fb, fa"""
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, the final
+    step their pipeline ships): per SOURCE, documents are ranked by
+    corpus-LM mean NLL (the fixed-point unigram LM here) and split into
+    head/middle/tail terciles — head (lowest perplexity) is the training
+    slice, tail is the suspect slice.  Composes unigram_nll + the
+    domain-calibration ranking into ONE plan: the NLL join-back and one
+    source-keyed window, all integer (rank ppm, tercile by integer
+    div)."""
+    from nexus_forge_spark.operators.text import unigram_logprob_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    nll = unigram_logprob_scores(docs)
+    j = nll.join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy("mean_nll_micro", "doc_id")
+    n = Window.partitionBy("source")
+    return j.select(
+        "doc_id",
+        "source",
+        "mean_nll_micro",
+        F.expr(
+            "CAST((CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY mean_nll_micro, doc_id) AS BIGINT) - 1) * 1000000 "
+            "div count(*) OVER (PARTITION BY source) AS BIGINT)"
+        ).alias("rank_ppm"),
+        F.expr(
+            "CASE (CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY mean_nll_micro, doc_id) AS BIGINT) - 1) * 3 "
+            "div count(*) OVER (PARTITION BY source) "
+            "WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"
+        ).alias("bucket"),
+    )
+
+
+def sql_ccnet_buckets() -> str:
+    return f"""WITH nll AS ({sql_unigram_nll()}),
+j AS (
+  SELECT n.doc_id, d.source, n.mean_nll_micro
+  FROM nll n JOIN documents d ON n.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, source, mean_nll_micro,
+    CAST(row_number() OVER (PARTITION BY source
+      ORDER BY mean_nll_micro, doc_id) AS BIGINT) - 1 AS rn,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM j
+)
+SELECT doc_id, source, mean_nll_micro,
+  CAST(rn * 1000000 // n AS BIGINT) AS rank_ppm,
+  CASE rn * 3 // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+    ELSE 'tail' END AS bucket
+FROM ranked"""
+
+
+LSH_AUDIT_CONFIGS = [(32, 2), (16, 4), (8, 8), (4, 16)]
+LSH_AUDIT_GRID = [i * 100_000 for i in range(1, 10)]
+
+
+def q_lsh_parameter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bands, rows_per_band) tuning table for the MinHash dedup family
+    (dedup.py lsh_parameter_audit): each config sharing the 64-hash
+    budget gets its analytic S-curve P(candidate | jaccard=s) in Q30
+    integer fixed point (no pow/libm) AND the measured candidate-pair
+    count on this corpus — the block_cap_audit work-vs-recall trade
+    moved to tuning time.  One signature pass shared by every config."""
+    from nexus_forge_spark.operators.dedup import lsh_parameter_audit
+
+    return lsh_parameter_audit(
+        load_table(spark, "documents", sf_dir), LSH_AUDIT_CONFIGS, LSH_AUDIT_GRID
+    )
+
+
+def sql_lsh_parameter_audit() -> str:
+    from nexus_forge_spark.operators.dedup import sql_lsh_scurve
+
+    k = 64
+    grid = ", ".join(str(s) for s in LSH_AUDIT_GRID)
+    pieces = []
+    for bands, rows in LSH_AUDIT_CONFIGS:
+        curve = sql_lsh_scurve("sq", rows, bands, "duck")
+        pieces.append(f"""(
+  SELECT CAST({bands} AS BIGINT) AS bands,
+    CAST({rows} AS BIGINT) AS rows_per_band,
+    g.s_ppm, CAST({curve} AS BIGINT) AS p_cand_ppm, nc.n_candidate_pairs
+  FROM (
+    SELECT coalesce(sum(m * (m - 1) // 2), 0) AS n_candidate_pairs FROM (
+      SELECT b, key, count(*) AS m FROM (
+        SELECT doc_id, b,
+          array_to_string(list_transform(
+            s[b*{rows}+1:b*{rows}+{rows}], x -> CAST(x AS VARCHAR)), '|') AS key
+        FROM sig CROSS JOIN (
+          SELECT unnest(generate_series(0, {bands - 1})) AS b)
+      ) GROUP BY b, key
+    )
+  ) nc,
+  (SELECT s_ppm, (s_ppm * CAST(1073741824 AS BIGINT)) // 1000000 AS sq
+   FROM (SELECT unnest([{grid}]) AS s_ppm)) g
+)""")
+        # the analytic curve and the measured count are orthogonal: the
+        # cross join denormalizes the per-config count onto the grid rows
+    union = "\nUNION ALL\n".join(pieces)
+    return rf"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 2 THEN
+      list_distinct([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))])
+    ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+),
+grams AS (SELECT doc_id, unnest(sh) AS g FROM shingles),
+hashed AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS h1,
+    ('0x' || substr(md5(g), 17, 15))::BIGINT % 2147483647 AS h2
+  FROM grams
+),
+mh AS (
+  SELECT doc_id, i, min((h1 + i * h2) % 2147483647) AS m
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS i)
+  GROUP BY doc_id, i
+),
+sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id)
+{union}"""
+
+
+HDR_QS_PPM = [500_000, 900_000, 990_000]
+
+
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log2-bucketed quantile sketch (sketches.py hdr_sketch —
+    the HdrHistogram/KLL-alternative with deterministic integer
+    semantics): per-source doc-length p50/p90/p99 computed from FOUR
+    per-shard sketches merged with hdr_merge.  The oracle sketches the
+    whole table directly, so hash== PROVES merge == direct (the same
+    contract hll_sliding_distinct pins for HLL).  <= 6.25% relative
+    error by construction; every partition pre-reduces to <= ~960
+    bucket rows before any shuffle."""
+    from nexus_forge_spark.operators.sketches import (
+        hdr_merge,
+        hdr_quantiles,
+        hdr_sketch,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "__shard", F.pmod(F.col("doc_id"), F.lit(4))
+    )
+    shard_sketches = hdr_sketch(docs, "n_chars", ["source", "__shard"])
+    merged = hdr_merge(shard_sketches.drop("__shard"), ["source"])
+    return hdr_quantiles(merged, HDR_QS_PPM, ["source"]).select(
+        "source",
+        F.col("q_ppm").cast("long").alias("q_ppm"),
+        F.col("est").cast("long").alias("est"),
+    )
+
+
+def sql_hdr_quantiles() -> str:
+    from nexus_forge_spark.operators.sketches import sql_hdr_bin, sql_hdr_lb
+
+    qbin = sql_hdr_bin("greatest(CAST(n_chars AS BIGINT), 0)", "duck")
+    lb = sql_hdr_lb("qbin", "duck")
+    qs = ", ".join(str(q) for q in HDR_QS_PPM)
+    return f"""WITH sk AS (
+  SELECT source, {qbin} AS qbin, count(*) AS cnt
+  FROM documents GROUP BY source, {qbin}
+),
+cum AS (
+  SELECT source, qbin,
+    sum(cnt) OVER (PARTITION BY source ORDER BY qbin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(cnt) OVER (PARTITION BY source) AS n
+  FROM sk
+),
+qs AS (SELECT unnest([{qs}]) AS q_ppm),
+hit AS (
+  SELECT source, q_ppm, qbin FROM cum, qs
+  WHERE cum >= (q_ppm * n + 999999) // 1000000
+)
+SELECT source, CAST(q_ppm AS BIGINT) AS q_ppm,
+  CAST(min({lb}) AS BIGINT) AS est
+FROM hit GROUP BY source, q_ppm"""
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID audit (text.py language_id, the stopword-
+    profile n-gram classifier): classify every document, then the
+    confusion matrix against the corpus's labeled ``lang`` column —
+    including the honest failure mode (zh has no stopword profile, so
+    its docs land in 'und' or a false European hit).  All map-side until
+    one tiny (true, pred) aggregate."""
+    from nexus_forge_spark.operators.text import language_id
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            language_id(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def sql_lang_id_confusion() -> str:
+    from nexus_forge_spark.operators.text import LANG_PROFILES
+
+    hit_cols = []
+    for lang, words in LANG_PROFILES.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        hit_cols.append(
+            f"len(list_filter(toks, t -> t IN ({lst}))) AS h_{lang}"
+        )
+    langs = list(LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    pred_cases = " ".join(
+        f"WHEN h_{lg} = {best} THEN '{lg}'" for lg in langs
+    )
+    return rf"""WITH toks AS (
+  SELECT lang AS true_lang,
+    string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+hits AS (
+  SELECT true_lang, {', '.join(hit_cols)} FROM toks
+),
+pred AS (
+  SELECT true_lang,
+    CASE WHEN {best} = 0 THEN 'und' {pred_cases} END AS pred_lang
+  FROM hits
+)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY true_lang, pred_lang"""
+
+
 def q_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free LM scoring (text.py heldout_unigram_nll): unigram
     counts from the hash-assigned 80% train split only; held-out docs
@@ -9832,6 +10068,10 @@ FROM scored GROUP BY doc_id"""
 
 
 QUERIES = {
+    "ccnet_buckets": (q_ccnet_buckets, sql_ccnet_buckets),
+    "lsh_parameter_audit": (q_lsh_parameter_audit, sql_lsh_parameter_audit),
+    "hdr_quantiles_nchars": (q_hdr_quantiles, sql_hdr_quantiles),
+    "lang_id_confusion": (q_lang_id_confusion, sql_lang_id_confusion),
     "heldout_nll": (q_heldout_nll, sql_heldout_nll),
     "block_cap_audit": (q_block_cap, sql_block_cap),
     "card_pii_audit": (q_card_pii, sql_card_pii),

@@ -1012,3 +1012,46 @@ def _py_ppm_hash_text(doc_id, salt="lmsplit"):
     return int(
         hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:15], 16
     ) % 1_000_000
+
+
+def test_lsh_scurve_tracks_true_probability():
+    from nexus_forge_spark.operators.dedup import lsh_scurve_py
+
+    # fixed point vs the float formula 1-(1-s^r)^b
+    for s_ppm in range(50_000, 1_000_000, 50_000):
+        for b, r in [(32, 2), (16, 4), (8, 8), (4, 16)]:
+            s = s_ppm / 1e6
+            true = (1 - (1 - s**r) ** b) * 1e6
+            got = lsh_scurve_py(s_ppm, r, b)
+            assert abs(got - true) <= 120  # Q30 truncation across <=46 muls
+    # the family crosses p=0.5 in the documented order: more bands with
+    # shorter rows catch LOWER similarities
+    mid = {
+        (b, r): lsh_scurve_py(500_000, r, b)
+        for b, r in [(32, 2), (16, 4), (8, 8), (4, 16)]
+    }
+    assert mid[(32, 2)] > mid[(16, 4)] > mid[(8, 8)] > mid[(4, 16)]
+
+
+def test_lsh_parameter_audit_shape_and_monotonicity(spark):
+    from nexus_forge_spark.operators.dedup import lsh_parameter_audit, lsh_scurve_py
+
+    rows = [(i, f"alpha beta gamma delta w{i % 9} w{(i * 3) % 7} end") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lsh_parameter_audit(df, [(8, 8), (4, 16)], [300_000, 600_000, 900_000]).collect()
+    assert len(out) == 2 * 3
+    for r in out:
+        assert r.p_cand_ppm == lsh_scurve_py(r.s_ppm, r.rows_per_band, r.bands)
+        assert r.n_candidate_pairs >= 0
+    # per config, the S-curve is monotone in s
+    by_cfg = {}
+    for r in out:
+        by_cfg.setdefault((r.bands, r.rows_per_band), []).append((r.s_ppm, r.p_cand_ppm))
+    for pts in by_cfg.values():
+        ps = [p for _, p in sorted(pts)]
+        assert ps == sorted(ps)
+    # mixed hash budgets refuse
+    import pytest
+
+    with pytest.raises(ValueError, match="hash budget"):
+        lsh_parameter_audit(df, [(8, 8), (4, 4)], [500_000])

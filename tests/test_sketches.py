@@ -175,3 +175,65 @@ def test_bloom_duckdb_parity(spark):
     )
     oracle = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
     assert mine == oracle
+
+
+def test_hdr_bin_python_spark_duck_agree(spark):
+    import random
+
+    import duckdb
+
+    from nexus_forge_spark.operators import sketches as S
+
+    rng = random.Random(5)
+    vals = [0, 1, 15, 16, 17, 255, 256, 2**40, 2**62 - 1] + [
+        rng.randint(0, 2**62 - 1) for _ in range(150)
+    ]
+    # python reference: exact small bins, monotone, bounded relative width
+    for v in vals:
+        b = S.hdr_bin_py(v)
+        lb = S.hdr_lb_py(b)
+        assert lb <= v
+        if v >= 16:
+            assert v - lb <= lb / 16 + 1  # one sub-bucket width
+        else:
+            assert lb == v
+    assert all(
+        S.hdr_bin_py(a) <= S.hdr_bin_py(b)
+        for a, b in zip(sorted(vals), sorted(vals)[1:])
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    from pyspark.sql import functions as F
+
+    got = df.select("v", F.expr(S.sql_hdr_bin("v", "spark")).alias("b")).collect()
+    for r in got:
+        assert r.b == S.hdr_bin_py(r.v), r.v
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    for v, b in con.execute(
+        f"SELECT v, {S.sql_hdr_bin('v', 'duck')} FROM t"
+    ).fetchall():
+        assert b == S.hdr_bin_py(v), v
+
+
+def test_hdr_merge_equals_direct_and_estimates_bounded(spark):
+    import random
+
+    from nexus_forge_spark.operators import sketches as S
+
+    rng = random.Random(9)
+    vals = [int(rng.lognormvariate(6, 1.5)) for _ in range(4000)]
+    rows = [(i % 8, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "shard long, v long")
+    direct = S.hdr_sketch(df, "v")
+    sharded = S.hdr_merge(S.hdr_sketch(df, "v", ["shard"]).drop("shard"))
+    a = sorted((r.qbin, r.cnt) for r in direct.collect())
+    b = sorted((r.qbin, r.cnt) for r in sharded.collect())
+    assert a == b
+    qs = [500_000, 900_000, 990_000]
+    est = {r.q_ppm: r.est for r in S.hdr_quantiles(direct, qs).collect()}
+    sv = sorted(vals)
+    for q in qs:
+        exact = sv[max(0, -(-q * len(sv) // 1_000_000) - 1)]
+        assert est[q] <= exact  # lower bound by construction
+        assert exact - est[q] <= exact / 16 + 1  # within one sub-bucket
