@@ -602,3 +602,156 @@ def resolve_ladder(
             .alias("strategy"),
         )
     )
+
+
+def coherence_disambiguate(
+    candidates: DataFrame,
+    doc_col: str = "doc_id",
+    mention_col: str = "mention",
+    entity_col: str = "entity_id",
+) -> DataFrame:
+    """Collective entity disambiguation by document coherence — the
+    linking pass AFTER candidate generation that the reference's
+    per-mention resolver (demo_resolver.py scores each mention against
+    the dictionary in isolation) cannot express: an ambiguous mention
+    (several candidate entities in one document) is resolved toward the
+    candidate that CO-OCCURS most with the document's unambiguous
+    entities across the corpus (Cucerzan 2007 / Milne-Witten-style
+    relatedness, with raw co-occurrence counts as the relatedness
+    measure — integer, engine-exact).
+
+    * context(doc)  = entities of the doc's UNambiguous mentions;
+    * cooc(e1, e2)  = number of docs whose context contains both
+      (counted on normalized e1 < e2 pairs — contexts are small, the
+      per-doc pair expansion is bounded by context size squared);
+    * coherence(doc, mention, e) = sum over c in context(doc), c != e,
+      of cooc(e, c);
+    * winner per (doc, mention): max coherence, ties to the smaller
+      entity_id — all-zero coherence degrades to the deterministic
+      lexicographic fallback.
+
+    Input: a candidate table (doc, mention, entity) — e.g. the fuzzy
+    ALL_MATCHES output; duplicates (the same mention at several token
+    positions) are collapsed first.  Output: one row per AMBIGUOUS
+    (doc, mention): (doc, mention, entity_id, coherence, n_candidates).
+
+    Scale posture: everything is doc-keyed or entity-pair-keyed hash
+    aggregation with map-side combine; the cooc table is entity-vocab
+    sized and joins UN-hinted (AQE broadcasts when it fits); nothing
+    mention-occurrence-shaped survives past the first distinct.
+    """
+    cand = candidates.select(
+        F.col(doc_col).alias("doc"),
+        F.col(mention_col).alias("men"),
+        F.col(entity_col).alias("ent"),
+    ).distinct()
+    n_cand = cand.groupBy("doc", "men").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    cand = cand.join(n_cand, ["doc", "men"])
+    context = (
+        cand.where(F.col("n_candidates") == 1).select("doc", "ent").distinct()
+    )
+    pairs = (
+        context.alias("x")
+        .join(context.alias("y"), "doc")
+        .where(F.col("x.ent") < F.col("y.ent"))
+        .select(F.col("x.ent").alias("e1"), F.col("y.ent").alias("e2"))
+    )
+    cooc = pairs.groupBy("e1", "e2").agg(F.count(F.lit(1)).alias("cnt"))
+    amb = cand.where(F.col("n_candidates") >= 2)
+    votes = (
+        amb.join(context.select("doc", F.col("ent").alias("ctx")), "doc")
+        .where(F.col("ctx") != F.col("ent"))
+        .select(
+            "doc",
+            "men",
+            "ent",
+            "n_candidates",
+            F.least("ent", "ctx").alias("e1"),
+            F.greatest("ent", "ctx").alias("e2"),
+        )
+        .join(cooc, ["e1", "e2"])
+        .groupBy("doc", "men", "ent", "n_candidates")
+        .agg(F.sum("cnt").alias("coherence"))
+    )
+    scored = amb.join(
+        votes.select("doc", "men", "ent", "coherence"), ["doc", "men", "ent"], "left"
+    ).select(
+        "doc",
+        "men",
+        "ent",
+        "n_candidates",
+        F.coalesce("coherence", F.lit(0)).cast("long").alias("coherence"),
+    )
+    w = Window.partitionBy("doc", "men").orderBy(
+        F.col("coherence").desc(), F.col("ent")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("doc").alias(doc_col),
+            F.col("men").alias(mention_col),
+            F.col("ent").alias(entity_col),
+            "coherence",
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+        )
+    )
+
+
+def discover_entities(
+    mentions: DataFrame,
+    alias_table: DataFrame,
+    min_count: int = 3,
+    min_len: int = 4,
+    id_prefix: str = "nsg:discovered/",
+    doc_col: str = "doc_id",
+    mention_col: str = "mention",
+) -> DataFrame:
+    """NIL detection / entity discovery — the KG-construction step after
+    linking: mentions that match NO dictionary alias under the ladder's
+    containment rule, seen often enough to matter, become CANDIDATE NEW
+    ENTITIES with deterministically minted ids (md5 of the lowercased
+    surface form — stable across runs/engines, so re-runs and incremental
+    batches mint the SAME id; the IRI-minting discipline of the
+    reference's freeze/versioned-id path applied to discovery).
+
+    The reference has no analogue: unresolved mentions there simply fail
+    resolution (demo_resolver returns None).  A 100 TB corpus run needs
+    the complement — what entities does the corpus talk about that the
+    ontology lacks?
+
+    Scale posture: the non-match test runs on the DISTINCT mention
+    vocabulary, not occurrences, as a LEFT ANTI join against the alias
+    containment candidates (the same lossless trigram blocking as
+    resolve_ladder_blocked would apply for huge dims; at dictionary
+    sizes the broadcast NLJ is fine); occurrence/doc counts are one
+    map-side-combined aggregate.  Output: (mention, n_occurrences,
+    n_docs, entity_id), ordered by nothing (set semantics).
+    """
+    occ = mentions.select(
+        F.col(doc_col).alias("doc"), F.col(mention_col).alias("men")
+    ).where(F.length(F.col(mention_col)) >= int(min_len))
+    vocab = occ.select("men").distinct()
+    a = F.broadcast(alias_table.select("alias").distinct())
+    unresolved = vocab.join(
+        a, F.instr(F.lower(F.col("alias")), F.lower(F.col("men"))) > 0, "left_anti"
+    )
+    stats = (
+        occ.join(unresolved, "men", "left_semi")
+        .groupBy("men")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc").cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= int(min_count))
+    )
+    return stats.select(
+        F.col("men").alias(mention_col),
+        "n_occurrences",
+        "n_docs",
+        F.concat(
+            F.lit(id_prefix), F.substring(F.md5(F.lower(F.col("men"))), 1, 16)
+        ).alias("entity_id"),
+    )

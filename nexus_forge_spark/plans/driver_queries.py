@@ -9796,6 +9796,115 @@ SELECT s.*, nt.truth_pairs, fb.found_before, fa.found_after,
 FROM stats s, nt, fb, fa"""
 
 
+def q_kg_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collective entity disambiguation (resolve.py coherence_disambiguate;
+    Cucerzan 2007-style): ambiguous mentions (several containment
+    candidates in one doc) resolve toward the candidate co-occurring most
+    with the doc's UNambiguous entities across the corpus — the linking
+    pass the reference's isolated per-mention resolver cannot express.
+    Candidates come from the same containment rule as the fuzzy ladder,
+    factored through the distinct mention vocabulary."""
+    m = _flat_mentions(spark, sf_dir).select("doc_id", "mention")
+    vocab = m.select("mention").distinct().alias("m")
+    a = F.broadcast(_alias(spark).alias("a"))
+    cand_vocab = vocab.join(
+        a,
+        F.instr(F.lower(F.col("a.alias")), F.lower(F.col("m.mention"))) > 0,
+    ).select("m.mention", "a.entity_id").distinct()
+    cand = m.join(cand_vocab, "mention").select("doc_id", "mention", "entity_id")
+    return R.coherence_disambiguate(cand)
+
+
+def sql_kg_coherence() -> str:
+    return f"""WITH dim AS (SELECT * FROM {dims.ontology_sql_values('d')}),
+{_alias_cte()},
+{_mentions_cte()},
+cand AS (
+  SELECT DISTINCT m.doc_id AS doc, m.mention AS men, al.entity_id AS ent
+  FROM mentions m JOIN alias_t al
+    ON contains(lower(al.alias), lower(m.mention))
+),
+ncand AS (
+  SELECT doc, men, count(*) AS n_candidates FROM cand GROUP BY doc, men
+),
+cand2 AS (SELECT cand.*, n_candidates FROM cand JOIN ncand USING (doc, men)),
+context AS (
+  SELECT DISTINCT doc, ent FROM cand2 WHERE n_candidates = 1
+),
+cooc AS (
+  SELECT x.ent AS e1, y.ent AS e2, count(*) AS cnt
+  FROM context x JOIN context y ON x.doc = y.doc AND x.ent < y.ent
+  GROUP BY x.ent, y.ent
+),
+amb AS (SELECT * FROM cand2 WHERE n_candidates >= 2),
+votes AS (
+  SELECT a.doc, a.men, a.ent, sum(c.cnt) AS coherence
+  FROM amb a
+  JOIN context k ON k.doc = a.doc AND k.ent <> a.ent
+  JOIN cooc c ON c.e1 = least(a.ent, k.ent) AND c.e2 = greatest(a.ent, k.ent)
+  GROUP BY a.doc, a.men, a.ent
+),
+scored AS (
+  SELECT a.doc, a.men, a.ent, a.n_candidates,
+    CAST(coalesce(v.coherence, 0) AS BIGINT) AS coherence
+  FROM amb a LEFT JOIN votes v
+    ON v.doc = a.doc AND v.men = a.men AND v.ent = a.ent
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc, men ORDER BY coherence DESC, ent) AS rn
+  FROM scored
+)
+SELECT doc AS doc_id, men AS mention, ent AS entity_id, coherence,
+  CAST(n_candidates AS BIGINT) AS n_candidates
+FROM ranked WHERE rn = 1"""
+
+
+KG_DISCOVER_MIN_COUNT, KG_DISCOVER_MIN_LEN = 3, 4
+
+
+def q_kg_entity_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NIL detection / entity discovery (resolve.py discover_entities):
+    mentions matching NO ontology alias under the ladder's containment
+    rule, frequent enough to matter, become candidate new entities with
+    deterministically minted md5 ids — the complement of resolution the
+    reference leaves as a silent None."""
+    return R.discover_entities(
+        _flat_mentions(spark, sf_dir),
+        _alias(spark),
+        min_count=KG_DISCOVER_MIN_COUNT,
+        min_len=KG_DISCOVER_MIN_LEN,
+    )
+
+
+def sql_kg_entity_discovery() -> str:
+    return f"""WITH dim AS (SELECT * FROM {dims.ontology_sql_values('d')}),
+{_alias_cte()},
+{_mentions_cte()},
+occ AS (
+  SELECT doc_id AS doc, mention AS men FROM mentions
+  WHERE length(mention) >= {KG_DISCOVER_MIN_LEN}
+),
+vocab AS (SELECT DISTINCT men FROM occ),
+unresolved AS (
+  SELECT men FROM vocab v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM (SELECT DISTINCT alias FROM alias_t) a
+    WHERE contains(lower(a.alias), lower(v.men))
+  )
+),
+stats AS (
+  SELECT men, CAST(count(*) AS BIGINT) AS n_occurrences,
+    CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+  FROM occ JOIN unresolved USING (men)
+  GROUP BY men
+  HAVING count(*) >= {KG_DISCOVER_MIN_COUNT}
+)
+SELECT men AS mention, n_occurrences, n_docs,
+  'nsg:discovered/' || substr(md5(lower(men)), 1, 16) AS entity_id
+FROM stats"""
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020, the final
     step their pipeline ships): per SOURCE, documents are ranked by
@@ -10068,6 +10177,8 @@ FROM scored GROUP BY doc_id"""
 
 
 QUERIES = {
+    "kg_coherence_disambiguation": (q_kg_coherence, sql_kg_coherence),
+    "kg_entity_discovery": (q_kg_entity_discovery, sql_kg_entity_discovery),
     "ccnet_buckets": (q_ccnet_buckets, sql_ccnet_buckets),
     "lsh_parameter_audit": (q_lsh_parameter_audit, sql_lsh_parameter_audit),
     "hdr_quantiles_nchars": (q_hdr_quantiles, sql_hdr_quantiles),

@@ -106,3 +106,59 @@ def test_mention_prefilter_branches_identical(spark, sf_dir):
     # the semi-join branch's plan really is a semi join (no InSet collect)
     plan = semi._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_coherence_disambiguation_beats_lexicographic_fallback(spark):
+    from nexus_forge_spark.operators import resolve as R
+
+    # docs 1,2 establish that E1 and E2 co-occur (both unambiguous);
+    # doc 3's ambiguous mention "x" must pick E2 (coherent with its
+    # unambiguous E1 context) over the lexicographically smaller E0
+    cand = spark.createDataFrame(
+        [
+            (1, "a", "E1"), (1, "b", "E2"),
+            (2, "a", "E1"), (2, "b", "E2"),
+            (3, "a", "E1"),
+            (3, "x", "E0"), (3, "x", "E2"),
+            # doc 4: ambiguous with NO coherence signal -> lexicographic
+            (4, "y", "E5"), (4, "y", "E7"),
+        ],
+        "doc_id long, mention string, entity_id string",
+    )
+    out = {
+        (r.doc_id, r.mention): r
+        for r in R.coherence_disambiguate(cand).collect()
+    }
+    # only ambiguous mentions appear
+    assert set(out) == {(3, "x"), (4, "y")}
+    r3 = out[(3, "x")]
+    assert r3.entity_id == "E2" and r3.coherence == 2 and r3.n_candidates == 2
+    r4 = out[(4, "y")]
+    assert r4.entity_id == "E5" and r4.coherence == 0
+
+
+def test_discover_entities_mints_stable_ids(spark):
+    import hashlib
+
+    from nexus_forge_spark.operators import resolve as R
+
+    alias = spark.createDataFrame(
+        [("E1", 0, 10, 0, "alpha beta")],
+        "entity_id string, dict_idx long, score_len int, prop_order int, alias string",
+    )
+    rows = (
+        [(d, "alpha") for d in range(3)]        # resolves (substring) -> out
+        + [(d, "zzznew") for d in range(3)]     # unresolved, frequent -> in
+        + [(0, "rare"), (1, "rare")]            # below min_count -> out
+        + [(d, "abc") for d in range(5)]        # below min_len -> out
+    )
+    m = spark.createDataFrame(rows, "doc_id long, mention string")
+    out = R.discover_entities(m, alias, min_count=3, min_len=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.mention == "zzznew" and r.n_occurrences == 3 and r.n_docs == 3
+    expect = "nsg:discovered/" + hashlib.md5(b"zzznew").hexdigest()[:16]
+    assert r.entity_id == expect
+    # determinism across runs (stable minting is the contract)
+    again = R.discover_entities(m, alias, min_count=3, min_len=4).collect()[0]
+    assert again.entity_id == r.entity_id
