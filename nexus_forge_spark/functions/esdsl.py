@@ -12,10 +12,13 @@ DataFrame — Catalyst pushes the term/range clauses into the parquet scan,
 Supported clauses: bool (must / filter / should / must_not,
 minimum_should_match), term, terms, range (gt/gte/lt/lte), match (all
 lowercased tokens contained), match_phrase (substring, case-insensitive),
-match_all, exists, prefix, wildcard (* and ?), ids.  Scoring is not
-re-implemented (filter-context semantics — the reference's own ES usage is
-filter-shaped; relevance-ranked search is forge.search's Filter DSL or the
-similarity operators, SURVEY S4/R16).
+match_all, exists, prefix, wildcard (* and ?), ids.  BM25-style text
+relevance is not re-implemented (filter-context semantics — the
+reference's own ES usage is filter-shaped; ranked text retrieval is
+operators/text.py bm25_scores), but ``script_score`` WITH the reference
+dense-linker script (cosineSimilarity(params.v, 'field') + c,
+es_query_builder.py:430-434) compiles to a ``_score`` Column and the ES
+default score-descending order — closing SURVEY S4's last ES gap.
 """
 
 from __future__ import annotations
@@ -159,14 +162,71 @@ def _compile_bool(body: dict) -> Column:
     return out
 
 
+_COSINE_RE = re.compile(
+    r"cosineSimilarity\(params\.(\w+),\s*'([\w.]+)'\)(?:\s*\+\s*([0-9.]+))?"
+)
+
+
+def _script_score_column(body: dict) -> tuple[Column, Column]:
+    """(filter predicate, _score column) for a script_score query.
+
+    Supports the reference's own relevance script
+    (kgforge/specializations/stores/nexus/es_query_builder.py:430-434):
+    ``cosineSimilarity(params.<name>, '<field>') + <const>`` — the dense
+    ES linker.  The query vector is a literal (it arrives in params), so
+    the score compiles to pure Column arithmetic: one zip_with dot
+    product + the doc-side norm, no UDF, map-side only.  Anything else
+    raises EsQueryError naming the limitation.
+    """
+    inner = body.get("query", {"match_all": {}})
+    script = body.get("script", {})
+    m = _COSINE_RE.fullmatch(str(script.get("source", "")).strip())
+    if not m:
+        raise EsQueryError(
+            "script_score supports only "
+            "cosineSimilarity(params.<v>, '<field>') [+ const] "
+            f"(the reference ES linker's script); got: {script.get('source')!r}"
+        )
+    pname, field, add = m.groups()
+    qvec = (script.get("params") or {}).get(pname)
+    if not isinstance(qvec, (list, tuple)) or not qvec:
+        raise EsQueryError(f"script_score params.{pname} must be a number list")
+    qlits = F.array(*[F.lit(float(x)) for x in qvec])
+    qnorm = sum(float(x) * float(x) for x in qvec) ** 0.5
+    v = _field(field)
+    dv = F.transform(v, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(dv, qlits, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(dv, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    score = dot / (norm * F.lit(qnorm)) + F.lit(float(add) if add else 0.0)
+    return compile_clause(inner), score
+
+
 def es_search(df: DataFrame, query: dict) -> DataFrame:
     """Full ES search-body semantics over a DataFrame 'index':
     query -> filter, sort -> orderBy, from/size -> offset/limit,
-    _source -> column projection."""
+    _source -> column projection; script_score (cosine relevance, the
+    reference's dense-linker form) -> a ``_score`` column with the ES
+    default score-descending order."""
     q = query.get("query", {"match_all": {}})
-    out = df.where(compile_clause(q))
+    scored = False
+    if isinstance(q, dict) and set(q) == {"script_score"}:
+        pred, score = _script_score_column(q["script_score"])
+        out = df.where(pred).withColumn("_score", score)
+        scored = True
+    else:
+        out = df.where(compile_clause(q))
 
     sort = query.get("sort")
+    if scored and not sort:
+        sort = [{"_score": {"order": "desc"}}]
     if sort:
         cols = []
         for s in _as_list(sort):

@@ -755,3 +755,77 @@ def discover_entities(
             F.lit(id_prefix), F.substring(F.md5(F.lower(F.col("men"))), 1, 16)
         ).alias("entity_id"),
     )
+
+
+def discovery_stats(
+    mentions: DataFrame,
+    alias_table: DataFrame,
+    min_len: int = 4,
+    doc_col: str = "doc_id",
+    mention_col: str = "mention",
+) -> DataFrame:
+    """The MAINTAINABLE state behind :func:`discover_entities`: per
+    unresolved mention, (n_occurrences, n_docs) with NO frequency floor —
+    the floor must be applied at READ time, because a mention below it in
+    every batch can cross it in the union (thresholding the state would
+    lose those forever).  ``n_docs`` is additive across batches only when
+    batches partition the doc space (the ingest contract: a doc belongs
+    to exactly one batch)."""
+    occ = mentions.select(
+        F.col(doc_col).alias("doc"), F.col(mention_col).alias("men")
+    ).where(F.length(F.col(mention_col)) >= int(min_len))
+    vocab = occ.select("men").distinct()
+    a = F.broadcast(alias_table.select("alias").distinct())
+    unresolved = vocab.join(
+        a, F.instr(F.lower(F.col("alias")), F.lower(F.col("men"))) > 0, "left_anti"
+    )
+    return (
+        occ.join(unresolved, "men", "left_semi")
+        .groupBy("men")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc").cast("long").alias("n_docs"),
+        )
+        .select(F.col("men").alias(mention_col), "n_occurrences", "n_docs")
+    )
+
+
+def fold_discovery_stats(
+    base_stats: DataFrame,
+    delta_stats: DataFrame,
+    mention_col: str = "mention",
+) -> DataFrame:
+    """O(delta) incremental entity discovery: fold a new batch's stats
+    into the persisted state by per-mention count addition — the same
+    contract as the incremental LSH / CDC / SCD2 family (fold == full
+    recompute, pytest- and oracle-pinned).  Unioning two vocab-sized
+    stats tables costs nothing corpus-shaped; the expensive part (the
+    batch's own anti-join) touched only the delta."""
+    return (
+        base_stats.unionByName(delta_stats)
+        .groupBy(mention_col)
+        .agg(
+            F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def discovered_from_stats(
+    stats: DataFrame,
+    min_count: int = 3,
+    id_prefix: str = "nsg:discovered/",
+    mention_col: str = "mention",
+) -> DataFrame:
+    """Read-time view of the discovery state: apply the frequency floor
+    and mint the stable ids (same minting as :func:`discover_entities`,
+    so batch and incremental paths emit IDENTICAL rows)."""
+    return stats.where(F.col("n_occurrences") >= int(min_count)).select(
+        F.col(mention_col),
+        "n_occurrences",
+        "n_docs",
+        F.concat(
+            F.lit(id_prefix),
+            F.substring(F.md5(F.lower(F.col(mention_col))), 1, 16),
+        ).alias("entity_id"),
+    )

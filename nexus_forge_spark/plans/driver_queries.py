@@ -9905,6 +9905,72 @@ SELECT men AS mention, n_occurrences, n_docs,
 FROM stats"""
 
 
+ES_SCORE_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+ES_SCORE_MAX_ID = 1500
+
+
+def q_es_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script_score relevance (functions/esdsl.py): the reference
+    dense-linker body — a range-filtered query rescored by
+    cosineSimilarity(params.qv, 'embedding') + 1.0
+    (es_query_builder.py:430-434) — compiled to a _score Column (one
+    zip_with dot product + doc norm, map-side, no UDF).  Closes SURVEY
+    S4's last ES gap (esdsl was filter-context only).  Scores rounded to
+    3 digits for engine-stable hashing, the cosine_topk discipline."""
+    from nexus_forge_spark.functions.esdsl import es_search
+
+    body = {
+        "query": {
+            "script_score": {
+                "query": {"range": {"vec_id": {"lt": ES_SCORE_MAX_ID}}},
+                "script": {
+                    "source": "cosineSimilarity(params.qv, 'embedding') + 1.0",
+                    "params": {"qv": ES_SCORE_VEC},
+                },
+            }
+        }
+    }
+    emb = load_table(spark, "embeddings", sf_dir)
+    return es_search(emb, body).select(
+        "vec_id", F.round(F.col("_score"), 3).alias("score")
+    )
+
+
+def sql_es_script_score() -> str:
+    qv = ", ".join(repr(float(x)) for x in ES_SCORE_VEC)
+    qnorm = repr(sum(float(x) * float(x) for x in ES_SCORE_VEC) ** 0.5)
+    return f"""WITH q AS (SELECT [{qv}]::DOUBLE[] AS qv)
+SELECT vec_id,
+  round(
+    list_dot_product(qv, CAST(embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[]))) * {qnorm})
+    + 1.0, 3) AS score
+FROM embeddings, q
+WHERE vec_id < {ES_SCORE_MAX_ID}"""
+
+
+def q_kg_discovery_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(delta) incremental entity discovery (resolve.py
+    fold_discovery_stats): per-batch unresolved-mention stats fold by
+    count addition, frequency floor applied at READ time (a mention
+    below the floor in every batch can cross it in the union).  The
+    corpus is split by doc parity into two 'ingest batches'; the oracle
+    recomputes discovery from scratch on the whole corpus — hash==
+    PROVES fold == full recompute, the same contract as incremental
+    LSH/CDC/SCD2/MSF."""
+    m = _flat_mentions(spark, sf_dir).select("doc_id", "mention")
+    alias = _alias(spark)
+    base = R.discovery_stats(
+        m.where(F.col("doc_id") % 2 == 0), alias, min_len=KG_DISCOVER_MIN_LEN
+    )
+    delta = R.discovery_stats(
+        m.where(F.col("doc_id") % 2 == 1), alias, min_len=KG_DISCOVER_MIN_LEN
+    )
+    folded = R.fold_discovery_stats(base, delta)
+    return R.discovered_from_stats(folded, min_count=KG_DISCOVER_MIN_COUNT)
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020, the final
     step their pipeline ships): per SOURCE, documents are ranked by
@@ -10179,6 +10245,8 @@ FROM scored GROUP BY doc_id"""
 QUERIES = {
     "kg_coherence_disambiguation": (q_kg_coherence, sql_kg_coherence),
     "kg_entity_discovery": (q_kg_entity_discovery, sql_kg_entity_discovery),
+    "kg_discovery_incremental": (q_kg_discovery_incremental, sql_kg_entity_discovery),
+    "es_script_score": (q_es_script_score, sql_es_script_score),
     "ccnet_buckets": (q_ccnet_buckets, sql_ccnet_buckets),
     "lsh_parameter_audit": (q_lsh_parameter_audit, sql_lsh_parameter_audit),
     "hdr_quantiles_nchars": (q_hdr_quantiles, sql_hdr_quantiles),

@@ -115,3 +115,52 @@ def test_forge_elastic_verb(spark, index):
 def test_unsupported_clause_raises(index):
     with pytest.raises(EsQueryError, match="unsupported"):
         es_search(index, {"query": {"fuzzy": {"title": "alpa"}}})
+
+
+def test_script_score_cosine_matches_numpy(spark):
+    import math
+
+    from nexus_forge_spark.functions.esdsl import es_search
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.6, 0.8, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [9.9, 0.0, 0.0]),  # filtered out by the range clause
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    body = {
+        "query": {
+            "script_score": {
+                "query": {"range": {"vec_id": {"lt": 3}}},
+                "script": {
+                    "source": "cosineSimilarity(params.qv, 'embedding') + 1.0",
+                    "params": {"qv": [1.0, 0.0, 0.0]},
+                },
+            }
+        }
+    }
+    out = es_search(emb, body).collect()
+    got = {r.vec_id: r["_score"] for r in out}
+    assert set(got) == {0, 1, 2}
+    assert math.isclose(got[0], 2.0, rel_tol=1e-9)
+    assert math.isclose(got[1], 1.6, rel_tol=1e-6)
+    assert math.isclose(got[2], 1.0, rel_tol=1e-9)
+    # ES default order: score descending
+    assert [r.vec_id for r in out] == [0, 1, 2]
+
+
+def test_script_score_rejects_unknown_script(spark):
+    import pytest
+
+    from nexus_forge_spark.functions.esdsl import EsQueryError, es_search
+
+    emb = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(EsQueryError, match="script_score supports only"):
+        es_search(
+            emb,
+            {"query": {"script_score": {
+                "query": {"match_all": {}},
+                "script": {"source": "doc['x'].value * 2"},
+            }}},
+        )

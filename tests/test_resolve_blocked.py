@@ -162,3 +162,33 @@ def test_discover_entities_mints_stable_ids(spark):
     # determinism across runs (stable minting is the contract)
     again = R.discover_entities(m, alias, min_count=3, min_len=4).collect()[0]
     assert again.entity_id == r.entity_id
+
+
+def test_discovery_fold_equals_full_and_floor_at_read(spark):
+    from nexus_forge_spark.operators import resolve as R
+
+    alias = spark.createDataFrame(
+        [("E1", 0, 10, 0, "alpha beta")],
+        "entity_id string, dict_idx long, score_len int, prop_order int, alias string",
+    )
+    # "creep" appears ONCE per batch (below any per-batch floor) but 3x in
+    # the union -> only the read-time floor discovers it
+    batches = [
+        [(0, "zzznew"), (0, "creep")],
+        [(1, "zzznew"), (1, "creep")],
+        [(2, "zzznew"), (2, "creep"), (2, "alpha")],
+    ]
+    schema = "doc_id long, mention string"
+    full = spark.createDataFrame(sum(batches, []), schema)
+    state = None
+    for b in batches:
+        s = R.discovery_stats(spark.createDataFrame(b, schema), alias)
+        state = s if state is None else R.fold_discovery_stats(state, s)
+    inc = sorted(
+        tuple(r) for r in R.discovered_from_stats(state, min_count=3).collect()
+    )
+    direct = sorted(
+        tuple(r) for r in R.discover_entities(full, alias, min_count=3).collect()
+    )
+    assert inc == direct
+    assert {r[0] for r in inc} == {"zzznew", "creep"}
