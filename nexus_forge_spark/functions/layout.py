@@ -154,3 +154,57 @@ def layout_skip_audit(
             .select(F.lit(layout).alias("layout"), "*")
         )
     return out[0].unionByName(out[1])
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    key_col: str = "part_key",
+    file_col: str = "file_id",
+    size_col: str = "bytes",
+) -> DataFrame:
+    """Iceberg binPack-style small-file compaction planner: within each
+    table partition, files (in deterministic (size desc, file_id) order)
+    are assigned to output groups by running-size division — the groups
+    partition the partition's cumulative byte line into target-sized
+    spans, so the GROUP COUNT is exactly ceil(partition_bytes / target)
+    (the rewrite-task count binPack budgets for) and each group's total
+    varies around the target by at most one file size.  Files already
+    at/above the target always land alone (their span covers a full
+    bin) and are flagged so the rewrite skips them.  This is the
+    maintenance pass the store's compact() seam maps to at production
+    scale (rewrite_data_files) — the planner itself is pure window
+    algebra: one key-partitioned cumulative sum, no driver-side
+    listing, so planning 10^7 manifests is one shuffle on the
+    partition key.
+
+    Output: (key, file, bytes, grp, grp_bytes, grp_files,
+    already_compact).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(size_col).desc(), F.col(file_col)
+    )
+    t = int(target_bytes)
+    staged = files.select(
+        key_col,
+        file_col,
+        F.col(size_col).cast("long").alias("bytes"),
+        (
+            F.sum(F.col(size_col).cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col(size_col).cast("long")
+        ).alias("cum_before"),
+    ).withColumn("grp", F.expr(f"CAST(cum_before div {t} AS BIGINT)"))
+    gw = Window.partitionBy(key_col, "grp")
+    return staged.select(
+        key_col,
+        file_col,
+        "bytes",
+        "grp",
+        F.sum("bytes").over(gw).cast("long").alias("grp_bytes"),
+        F.count(F.lit(1)).over(gw).cast("long").alias("grp_files"),
+        (F.col("bytes") >= t).alias("already_compact"),
+    )

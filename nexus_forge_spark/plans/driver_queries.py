@@ -9905,6 +9905,61 @@ SELECT men AS mention, n_occurrences, n_docs,
 FROM stats"""
 
 
+COMPACT_TARGET = 400_000
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (functions/layout.py
+    compaction_plan — Iceberg rewrite_data_files binPack): a synthetic
+    file listing (one 'file' per (event_type, day) with bytes ~ row
+    count) is binned per partition into >= target groups by one
+    key-partitioned cumulative-sum window — pure window algebra, no
+    driver-side listing, the maintenance pass behind the store's
+    compact() seam."""
+    from nexus_forge_spark.functions.layout import compaction_plan
+
+    ev = load_table(spark, "events", sf_dir)
+    files = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg((F.count(F.lit(1)) * 1000).cast("long").alias("bytes"))
+    )
+    return compaction_plan(
+        files, COMPACT_TARGET, key_col="event_type", file_col="day"
+    )
+
+
+def sql_compaction_plan() -> str:
+    t = COMPACT_TARGET
+    return f"""WITH files AS (
+  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+    CAST(count(*) * 1000 AS BIGINT) AS bytes
+  FROM events
+  GROUP BY event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+),
+staged AS (
+  SELECT event_type, day, bytes,
+    sum(bytes) OVER (PARTITION BY event_type ORDER BY bytes DESC, day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - bytes AS cum_before
+  FROM files
+),
+grouped AS (
+  SELECT event_type, day, bytes, CAST(cum_before // {t} AS BIGINT) AS grp
+  FROM staged
+)
+SELECT event_type, day, bytes, grp,
+  CAST(sum(bytes) OVER (PARTITION BY event_type, grp) AS BIGINT) AS grp_bytes,
+  CAST(count(*) OVER (PARTITION BY event_type, grp) AS BIGINT) AS grp_files,
+  bytes >= {t} AS already_compact
+FROM grouped"""
+
+
 ES_SCORE_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
 ES_SCORE_MAX_ID = 1500
 
@@ -10247,6 +10302,7 @@ QUERIES = {
     "kg_entity_discovery": (q_kg_entity_discovery, sql_kg_entity_discovery),
     "kg_discovery_incremental": (q_kg_discovery_incremental, sql_kg_entity_discovery),
     "es_script_score": (q_es_script_score, sql_es_script_score),
+    "compaction_plan": (q_compaction_plan, sql_compaction_plan),
     "ccnet_buckets": (q_ccnet_buckets, sql_ccnet_buckets),
     "lsh_parameter_audit": (q_lsh_parameter_audit, sql_lsh_parameter_audit),
     "hdr_quantiles_nchars": (q_hdr_quantiles, sql_hdr_quantiles),

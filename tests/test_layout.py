@@ -121,3 +121,37 @@ def test_layout_skip_audit_brute_force(spark):
     assert out[("xsort", 1)].n_scanned == out[("xsort", 1)].n_files
     # and the full-domain predicate scans everything everywhere
     assert out[("zorder", 4)].scan_ppm == 1_000_000
+
+
+def test_compaction_plan_properties(spark):
+    from nexus_forge_spark.functions.layout import compaction_plan
+
+    t = 100
+    rows = [
+        ("p1", 1, 150),  # already compact -> alone
+        ("p1", 2, 60), ("p1", 3, 55), ("p1", 4, 40), ("p1", 5, 10),
+        ("p2", 6, 30), ("p2", 7, 20),
+    ]
+    files = spark.createDataFrame(rows, "part_key string, file_id long, bytes long")
+    out = compaction_plan(files, t).collect()
+    by_file = {(r.part_key, r.file_id): r for r in out}
+    assert len(out) == len(rows)
+    # a file at/above target sits alone and is flagged
+    big = by_file[("p1", 1)]
+    assert big.already_compact and big.grp_files == 1 and big.grp_bytes == 150
+    # groups partition the cumulative byte line: group count per
+    # partition == ceil(total_bytes / target) — the rewrite-task budget
+    groups = {}
+    totals = {}
+    for r in out:
+        groups.setdefault((r.part_key, r.grp), []).append(r)
+        totals[r.part_key] = totals.get(r.part_key, 0) + r.bytes
+    for pk, tot in totals.items():
+        n_groups = len({g for p, g in groups if p == pk})
+        assert n_groups == -(-tot // t), pk
+    for members in groups.values():
+        assert members[0].grp_bytes == sum(m.bytes for m in members)
+        assert members[0].grp_files == len(members)
+    # deterministic: second run identical
+    again = compaction_plan(files, t).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
