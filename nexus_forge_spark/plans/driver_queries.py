@@ -9905,6 +9905,54 @@ SELECT men AS mention, n_occurrences, n_docs,
 FROM stats"""
 
 
+def q_stream_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quantile monitoring (stream_pipeline.py
+    stream_hdr_sketch): doc lengths arrive as three file micro-batches;
+    the per-batch fold is hdr_merge(state, batch sketch) — bucket counts
+    are additive, so state stays bucket-table sized forever.  The final
+    snapshot's p50/p90/p99 per source are graded against the DIRECT
+    whole-data sketch oracle (sql_hdr_quantiles): hash equality proves
+    fold == batch regardless of batch boundaries."""
+    import os
+    import tempfile
+
+    from nexus_forge_spark.operators.sketches import hdr_quantiles
+    from nexus_forge_spark.streaming.stream_pipeline import stream_hdr_sketch
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    base = tempfile.mkdtemp(prefix="stream_hdr_")
+    in_dir = os.path.join(base, "in")
+    batches = [
+        docs.where(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(in_dir)
+        for f in os.listdir(in_dir):
+            p = os.path.join(in_dir, f)
+            if f.endswith(".parquet") and os.path.getmtime(p) > 1_000_000_000 + i:
+                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+    state_dir = os.path.join(base, "state")
+    q = stream_hdr_sketch(
+        spark,
+        in_dir,
+        "doc_id long, source string, n_chars long",
+        state_dir,
+        os.path.join(base, "ckpt"),
+        "n_chars",
+        ["source"],
+    )
+    q.awaitTermination()
+    snaps = sorted(d for d in os.listdir(state_dir) if d.startswith("snap_"))
+    final = spark.read.parquet(os.path.join(state_dir, snaps[-1]))
+    return hdr_quantiles(final, HDR_QS_PPM, ["source"]).select(
+        "source",
+        F.col("q_ppm").cast("long").alias("q_ppm"),
+        F.col("est").cast("long").alias("est"),
+    )
+
+
 COMPACT_TARGET = 400_000
 
 
@@ -10303,6 +10351,7 @@ QUERIES = {
     "kg_discovery_incremental": (q_kg_discovery_incremental, sql_kg_entity_discovery),
     "es_script_score": (q_es_script_score, sql_es_script_score),
     "compaction_plan": (q_compaction_plan, sql_compaction_plan),
+    "stream_hdr_quantiles": (q_stream_hdr, sql_hdr_quantiles),
     "ccnet_buckets": (q_ccnet_buckets, sql_ccnet_buckets),
     "lsh_parameter_audit": (q_lsh_parameter_audit, sql_lsh_parameter_audit),
     "hdr_quantiles_nchars": (q_hdr_quantiles, sql_hdr_quantiles),

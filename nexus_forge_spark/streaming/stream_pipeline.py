@@ -684,3 +684,80 @@ def stream_lateness_audit(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def fold_hdr_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    value_col: str,
+    group_cols: list[str],
+) -> None:
+    """One streaming HDR-quantile-sketch fold: bucket counts are ADDITIVE,
+    so the whole streaming operator is hdr_merge(carried state, batch
+    sketch) — the mergeable-sketch property that makes HLL/CMS/HDR the
+    streaming-native summaries.  snap_<batch_id> is derived only from
+    snapshots with id < batch_id and written with overwrite, so a
+    replayed batch refolds to the identical snapshot (the fold_scd2 /
+    fold_cusum retry contract)."""
+    import os
+
+    from nexus_forge_spark.operators.sketches import hdr_merge, hdr_sketch
+
+    sp = batch_df.sparkSession
+    snaps = (
+        sorted(
+            d
+            for d in os.listdir(state_dir)
+            if d.startswith("snap_") and int(d[5:]) < batch_id
+        )
+        if os.path.isdir(state_dir)
+        else []
+    )
+    batch_sketch = hdr_sketch(batch_df, value_col, group_cols)
+    if snaps:
+        prev = sp.read.parquet(os.path.join(state_dir, snaps[-1]))
+        cur = hdr_merge(prev.unionByName(batch_sketch), group_cols)
+    else:
+        cur = batch_sketch
+    cur.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"snap_{batch_id}")
+    )
+
+
+def stream_hdr_sketch(
+    spark: SparkSession,
+    in_path: str,
+    schema: str,
+    state_dir: str,
+    checkpoint_path: str,
+    value_col: str,
+    group_cols: list[str],
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming quantile monitoring over file micro-batches: the state
+    is the (group, bucket, count) HDR sketch — vocab-of-buckets sized
+    regardless of stream length — and any snapshot answers any quantile
+    at <= 6.25% relative error via sketches.hdr_quantiles.  The
+    stream_hdr_quantiles contract query grades the final snapshot's
+    quantiles against the DIRECT whole-data sketch oracle: hash equality
+    proves fold == batch (count addition is associative+commutative, so
+    batch boundaries cannot matter)."""
+    rows = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fold_hdr_batch(batch_df, batch_id, state_dir, value_col, group_cols)
+
+    writer = rows.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -126,3 +126,33 @@ def test_stream_stream_interval_join_boundaries(spark, tmp_path):
     got = {(r.view_id, r.purchase_id)
            for r in spark.table("ssj_test").collect()}
     assert got == {(2, 1), (4, 1)}
+
+
+def test_fold_hdr_batch_retry_and_equals_direct(spark, tmp_path):
+    from nexus_forge_spark.operators.sketches import hdr_sketch
+    from nexus_forge_spark.streaming.stream_pipeline import fold_hdr_batch
+
+    rows = [(i, "s%d" % (i % 2), (i * 13) % 500 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, v long")
+    state = str(tmp_path / "state")
+    b0 = df.where("doc_id % 3 = 0")
+    b1 = df.where("doc_id % 3 = 1")
+    b2 = df.where("doc_id % 3 = 2")
+    fold_hdr_batch(b0, 0, state, "v", ["source"])
+    fold_hdr_batch(b1, 1, state, "v", ["source"])
+    # RETRY batch 1: must refold from snap_0 and overwrite snap_1 with the
+    # identical sketch (the fold_scd2/fold_cusum retry contract)
+    snap1 = sorted(
+        tuple(r) for r in spark.read.parquet(state + "/snap_1").collect()
+    )
+    fold_hdr_batch(b1, 1, state, "v", ["source"])
+    snap1b = sorted(
+        tuple(r) for r in spark.read.parquet(state + "/snap_1").collect()
+    )
+    assert snap1 == snap1b
+    fold_hdr_batch(b2, 2, state, "v", ["source"])
+    final = sorted(
+        tuple(r) for r in spark.read.parquet(state + "/snap_2").collect()
+    )
+    direct = sorted(tuple(r) for r in hdr_sketch(df, "v", ["source"]).collect())
+    assert final == direct
