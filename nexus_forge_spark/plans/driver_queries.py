@@ -4211,6 +4211,87 @@ SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS INT) AS dist
 FROM walk GROUP BY node"""
 
 
+_DIAM_HOPS = 8
+
+
+def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien/Latapy/Habib 2009 —
+    the standard cheap diameter estimator): BFS from the minimum node id,
+    jump to the farthest node found (ties to the smaller id), BFS again;
+    the second eccentricity lower-bounds the true diameter and is exact
+    on trees.  Two khop_distances runs + two 1-row argmax collects — the
+    kcenter driver-round pattern; each sweep is the level-synchronous
+    frontier/visited plan, hop-capped at {hops}.  Output: one row
+    (seed, far_node, ecc1, diameter_lb, n_reached)."""
+    from nexus_forge_spark.operators.graph import khop_distances
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    fwd = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_partkey") + PART_NODE_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    seed_val = edges.agg(F.min("src")).collect()[0][0]
+    seeds = spark.createDataFrame([(int(seed_val),)], "node long")
+    d1 = khop_distances(edges, seeds, max_hops=_DIAM_HOPS)
+    far = (
+        d1.orderBy(F.col("dist").desc(), F.col("node")).limit(1).collect()[0]
+    )
+    seeds2 = spark.createDataFrame([(int(far.node),)], "node long")
+    d2 = khop_distances(edges, seeds2, max_hops=_DIAM_HOPS)
+    return d2.agg(
+        F.lit(int(seed_val)).cast("long").alias("seed"),
+        F.lit(int(far.node)).cast("long").alias("far_node"),
+        F.lit(int(far.dist)).cast("int").alias("ecc1"),
+        F.max("dist").cast("int").alias("diameter_lb"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    )
+
+
+q_graph_diameter.__doc__ = q_graph_diameter.__doc__.format(hops=_DIAM_HOPS)
+
+
+def sql_graph_diameter() -> str:
+    return f"""WITH RECURSIVE fwd AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_partkey + {PART_NODE_OFFSET} AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+),
+seed AS (SELECT min(src) AS node FROM edges),
+walk1 AS (
+  SELECT node, 0 AS dist FROM seed
+  UNION
+  SELECT e.dst AS node, w.dist + 1 AS dist
+  FROM walk1 w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {_DIAM_HOPS}
+),
+d1 AS (SELECT node, min(dist) AS dist FROM walk1 GROUP BY node),
+far AS (SELECT node, dist FROM d1 ORDER BY dist DESC, node LIMIT 1),
+walk2 AS (
+  SELECT node, 0 AS dist FROM far
+  UNION
+  SELECT e.dst AS node, w.dist + 1 AS dist
+  FROM walk2 w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {_DIAM_HOPS}
+),
+d2 AS (SELECT node, min(dist) AS dist FROM walk2 GROUP BY node)
+SELECT CAST((SELECT node FROM seed) AS BIGINT) AS seed,
+  CAST((SELECT node FROM far) AS BIGINT) AS far_node,
+  CAST((SELECT dist FROM far) AS INT) AS ecc1,
+  CAST(max(dist) AS INT) AS diameter_lb,
+  CAST(count(*) AS BIGINT) AS n_reached
+FROM d2"""
+
+
 INTERVAL_PAD_US = 4 * 3_600_000_000  # sessions attribute 4h forward
 
 
@@ -10521,6 +10602,7 @@ QUERIES = {
     "semantic_dedup": (q_semantic_dedup, sql_semantic_dedup),
     "interval_overlap_sessions": (q_interval_overlap, sql_interval_overlap),
     "khop_copurchase": (q_khop_copurchase, sql_khop_copurchase),
+    "graph_diameter": (q_graph_diameter, sql_graph_diameter),
     "kg_incremental_canonical": (q_kg_incremental, sql_kg_incremental),
     "global_row_number": (q_global_row_number, sql_global_row_number),
     "stream_incremental_kg": (q_stream_incremental, sql_stream_incremental),
