@@ -10426,8 +10426,204 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM scored GROUP BY doc_id"""
 
 
+def q_kg_class_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS subClassOf closure + instance rollup (operators/ontology.py
+    class_rollup, rdfs9/rdfs11): customers typed by nation, nations
+    subClassOf regions, regions subClassOf geo:World, unioned with the
+    embedded resolver ontology's own subClassOf edges (dims.py
+    ONTOLOGY_ROWS — the reference's demo-resolver fixtures carry the same
+    field).  Direct counts are ONE hash aggregate over the fact side;
+    the iterative-doubling closure then rolls the per-class count table —
+    O(classes) work after the single fact scan, zero-padded for classes
+    with no instances (the dims classes)."""
+    from nexus_forge_spark.operators.ontology import class_rollup
+
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+    inst = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("instance"),
+        F.concat(F.lit("nation:"), F.col("n_name")).alias("cls"),
+    )
+    geo_edges = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.concat(F.lit("nation:"), F.col("n_name")).alias("child"),
+            F.concat(F.lit("region:"), F.col("r_name")).alias("parent"),
+        )
+        .unionByName(
+            region.select(
+                F.concat(F.lit("region:"), F.col("r_name")).alias("child"),
+                F.lit("geo:World").alias("parent"),
+            )
+        )
+    )
+    dim_edges = (
+        dims.ontology_terms(spark)
+        .where(F.col("subClassOf").isNotNull())
+        .select(F.col("id").alias("child"), F.col("subClassOf").alias("parent"))
+    )
+    return class_rollup(inst, geo_edges.unionByName(dim_edges))
+
+
+def sql_kg_class_rollup() -> str:
+    from nexus_forge_spark.operators.ontology import sql_class_rollup
+
+    edges = f"""SELECT 'nation:' || n.n_name AS child, 'region:' || r.r_name AS parent
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+UNION ALL
+SELECT 'region:' || r_name, 'geo:World' FROM region
+UNION ALL
+SELECT d.id, d.subClassOf FROM {dims.ontology_sql_values('d')}
+WHERE d.subClassOf IS NOT NULL"""
+    inst = """SELECT 'cust:' || c.c_custkey AS instance, 'nation:' || n.n_name AS cls
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey"""
+    return sql_class_rollup(edges, inst)
+
+
+def q_kg_list_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rdf:first/rdf:rest list reassembly (operators/ontology.py
+    flatten_rdf_lists): each order's lineitems become a cons chain
+    (JSON-LD @list containers arrive exactly like this from the
+    reference's rdflib graphs), then pointer-doubling recovers (head,
+    pos, item) in ceil(log2 L) shuffle rounds — L is 13 here, so 4
+    rounds instead of 13 sequential self-joins."""
+    from pyspark.sql.window import Window
+
+    from nexus_forge_spark.operators.ontology import flatten_rdf_lists
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber"
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    cells = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_orderkey")).alias("cnt"),
+    )
+    cell = F.concat(F.lit("cell:o"), F.col("ok").cast("string"), F.lit(":"), F.col("rn").cast("string"))
+    first = cells.select(
+        cell.alias("subj"),
+        F.lit("rdf:first").alias("pred"),
+        F.concat(
+            F.lit("li:"), F.col("ok").cast("string"), F.lit(":"), F.col("ln").cast("string")
+        ).alias("obj"),
+    )
+    rest = cells.select(
+        cell.alias("subj"),
+        F.lit("rdf:rest").alias("pred"),
+        F.when(F.col("rn") == F.col("cnt") - 1, F.lit("rdf:nil"))
+        .otherwise(
+            F.concat(
+                F.lit("cell:o"),
+                F.col("ok").cast("string"),
+                F.lit(":"),
+                (F.col("rn") + 1).cast("string"),
+            )
+        )
+        .alias("obj"),
+    )
+    return flatten_rdf_lists(first.unionByName(rest))
+
+
+def sql_kg_list_flatten() -> str:
+    from nexus_forge_spark.operators.ontology import sql_flatten_rdf_lists
+
+    cells = """(SELECT l_orderkey AS ok, l_linenumber AS ln,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS rn,
+         count(*) OVER (PARTITION BY l_orderkey) AS cnt
+  FROM lineitem)"""
+    trips = f"""SELECT 'cell:o' || ok || ':' || rn AS subj, 'rdf:first' AS pred,
+       'li:' || ok || ':' || ln AS obj
+FROM {cells} cells_a
+UNION ALL
+SELECT 'cell:o' || ok || ':' || rn, 'rdf:rest',
+       CASE WHEN rn = cnt - 1 THEN 'rdf:nil'
+            ELSE 'cell:o' || ok || ':' || (rn + 1) END
+FROM {cells} cells_b"""
+    return sql_flatten_rdf_lists(trips)
+
+
+_TD_ROUNDS = 2
+
+
+def q_kg_truth_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conflicting-claim fusion (operators/fusion.py truth_discovery,
+    TruthFinder-family reliability voting in integer ppm): every supplier
+    asserts a returnflag value for each part it shipped — 2000/2000 parts
+    receive conflicting values — and two reliability rounds elect one
+    value per part, weighting sources by how often their claims agree
+    with the consensus.  Each round is two map-side-combinable hash
+    aggregates keyed on source resp. entity; duplicate assertions by one
+    source are pre-collapsed so spam cannot double-vote."""
+    from nexus_forge_spark.operators.fusion import truth_discovery
+
+    claims = load_table(spark, "lineitem", sf_dir).select(
+        F.concat(F.lit("sup:"), F.col("l_suppkey").cast("string")).alias("source"),
+        F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("entity"),
+        F.col("l_returnflag").alias("value"),
+    )
+    return truth_discovery(claims, rounds=_TD_ROUNDS)
+
+
+def sql_kg_truth_discovery() -> str:
+    from nexus_forge_spark.operators.fusion import sql_truth_discovery
+
+    claims = """SELECT 'sup:' || l_suppkey AS source,
+       'part:' || l_partkey AS entity, l_returnflag AS value
+FROM lineitem"""
+    return sql_truth_discovery(claims, rounds=_TD_ROUNDS)
+
+
+def q_kg_property_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instance-based schema matching between two releases
+    (operators/fusion.py align_properties): release B renames every
+    predicate of the struct-materialized customer graph and loses ~1/8
+    of its balance triples (md5-keyed deterministic drop), and the
+    aligner recovers the rename map purely from (subj, obj) extension
+    overlap — the complement of ontology_align's label-similarity
+    matching.  Candidates come from an equi-join on the instance pair,
+    so disjoint properties never meet."""
+    from nexus_forge_spark.operators.fusion import align_properties
+
+    left = q_struct_triples(spark, sf_dir).select("subj", "pred", "obj")
+    rename = F.create_map(
+        F.lit("rdf:type"), F.lit("ex:kind"),
+        F.lit("name"), F.lit("ex:fullName"),
+        F.lit("account"), F.lit("ex:hasAccount"),
+        F.lit("balance"), F.lit("ex:amount"),
+        F.lit("segment"), F.lit("ex:marketSegment"),
+    )
+    right = left.select(
+        "subj", rename[F.col("pred")].alias("pred"), "obj"
+    ).where(
+        ~((F.col("pred") == "ex:amount") & F.substring(F.md5("subj"), 1, 1).isin("0", "1"))
+    )
+    return align_properties(left, right, min_overlap=2)
+
+
+def sql_kg_property_align() -> str:
+    from nexus_forge_spark.operators.fusion import sql_align_properties
+
+    left = f"SELECT subj, pred, obj FROM ({sql_struct_triples()})"
+    right = f"""SELECT subj,
+  CASE pred WHEN 'rdf:type' THEN 'ex:kind' WHEN 'name' THEN 'ex:fullName'
+            WHEN 'account' THEN 'ex:hasAccount' WHEN 'balance' THEN 'ex:amount'
+            WHEN 'segment' THEN 'ex:marketSegment' END AS pred, obj
+FROM ({sql_struct_triples()})
+WHERE NOT (pred = 'balance' AND substr(md5(subj), 1, 1) IN ('0', '1'))"""
+    return sql_align_properties(left, right, min_overlap=2)
+
+
 QUERIES = {
     "kg_coherence_disambiguation": (q_kg_coherence, sql_kg_coherence),
+    "kg_class_rollup": (q_kg_class_rollup, sql_kg_class_rollup),
+    "kg_list_flatten": (q_kg_list_flatten, sql_kg_list_flatten),
+    "kg_truth_discovery": (q_kg_truth_discovery, sql_kg_truth_discovery),
+    "kg_property_align": (q_kg_property_align, sql_kg_property_align),
     "kg_entity_discovery": (q_kg_entity_discovery, sql_kg_entity_discovery),
     "kg_discovery_incremental": (q_kg_discovery_incremental, sql_kg_entity_discovery),
     "es_script_score": (q_es_script_score, sql_es_script_score),

@@ -1,0 +1,116 @@
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from nexus_forge_spark.operators.ontology import (
+    ClosureError,
+    class_rollup,
+    flatten_rdf_lists,
+    sql_class_rollup,
+    sql_flatten_rdf_lists,
+    transitive_closure,
+)
+
+
+def test_closure_deep_chain_converges_in_log_rounds(spark):
+    # depth-70 chain: naive propagation needs 70 rounds; doubling needs 7.
+    edges = spark.createDataFrame(
+        [(f"c{i}", f"c{i + 1}") for i in range(70)], "child string, parent string"
+    )
+    out = transitive_closure(edges, max_rounds=9)
+    rows = {(r.node, r.anc) for r in out.collect()}
+    assert ("c0", "c70") in rows
+    assert len(rows) == 70 * 71 // 2
+
+
+def test_closure_diamond_counts_once(spark):
+    # d -> b -> a and d -> c -> a: (d, a) must appear exactly once.
+    edges = spark.createDataFrame(
+        [("d", "b"), ("d", "c"), ("b", "a"), ("c", "a")],
+        "child string, parent string",
+    )
+    out = transitive_closure(edges).collect()
+    assert sum(1 for r in out if (r.node, r.anc) == ("d", "a")) == 1
+
+
+def test_closure_nonconvergence_raises(spark):
+    edges = spark.createDataFrame(
+        [(f"c{i}", f"c{i + 1}") for i in range(70)], "child string, parent string"
+    )
+    with pytest.raises(ClosureError):
+        transitive_closure(edges, max_rounds=2)
+
+
+def test_class_rollup_diamond_no_double_count(spark):
+    edges = spark.createDataFrame(
+        [("d", "b"), ("d", "c"), ("b", "a"), ("c", "a")],
+        "child string, parent string",
+    )
+    inst = spark.createDataFrame(
+        [("x1", "d"), ("x2", "d"), ("x3", "b"), ("x4", "zero_free")],
+        "instance string, cls string",
+    )
+    got = {r.cls: (r.direct_cnt, r.subtree_cnt) for r in class_rollup(inst, edges).collect()}
+    # a's subtree: d(2) + b(1) counted once despite two paths from d.
+    assert got["a"] == (0, 3)
+    assert got["b"] == (1, 3)
+    assert got["c"] == (0, 2)
+    assert got["d"] == (2, 2)
+    assert got["zero_free"] == (1, 1)  # instance class outside the hierarchy
+
+
+def test_class_rollup_matches_duckdb_oracle(spark):
+    edges = [(f"c{i}", f"c{i + 1}") for i in range(12)] + [("side", "c3")]
+    inst = [(f"x{i}", f"c{i % 5}") for i in range(200)] + [("y", "side")]
+    e_df = spark.createDataFrame(edges, "child string, parent string")
+    i_df = spark.createDataFrame(inst, "instance string, cls string")
+    got = sorted(
+        (r.cls, r.direct_cnt, r.subtree_cnt) for r in class_rollup(i_df, e_df).collect()
+    )
+    e_sql = " UNION ALL ".join(f"SELECT '{c}' AS child, '{p}' AS parent" for c, p in edges)
+    i_sql = " UNION ALL ".join(f"SELECT '{i}' AS instance, '{c}' AS cls" for i, c in inst)
+    want = sorted(duckdb.connect().execute(sql_class_rollup(e_sql, i_sql)).fetchall())
+    assert got == [tuple(w) for w in want]
+
+
+def _list_triples(spark, lists: dict[str, list[str]], dangle: bool = False):
+    rows = []
+    for head, items in lists.items():
+        for i, item in enumerate(items):
+            cell = head if i == 0 else f"{head}#{i}"
+            nxt = "rdf:nil" if i == len(items) - 1 else f"{head}#{i + 1}"
+            if dangle and i == len(items) - 1:
+                nxt = "ghost:cell"  # malformed tail: rest points nowhere
+            rows.append((cell, "rdf:first", item))
+            rows.append((cell, "rdf:rest", nxt))
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_flatten_lists_positions_and_multiple_lists(spark):
+    trips = _list_triples(
+        spark, {"L1": [f"i{k}" for k in range(13)], "L2": ["a"], "L3": ["p", "q"]}
+    )
+    got = {(r.head, r.pos, r.item) for r in flatten_rdf_lists(trips).collect()}
+    assert ("L1", 0, "i0") in got and ("L1", 12, "i12") in got
+    assert ("L2", 0, "a") in got
+    assert ("L3", 1, "q") in got
+    assert len(got) == 13 + 1 + 2
+
+
+def test_flatten_lists_dangling_tail_truncates_not_raises(spark):
+    trips = _list_triples(spark, {"L": ["a", "b", "c"]}, dangle=True)
+    got = sorted((r.pos, r.item) for r in flatten_rdf_lists(trips).collect())
+    # the dangling rest target has no first edge -> chain ends at c.
+    assert got == [(0, "a"), (1, "b"), (2, "c")]
+
+
+def test_flatten_lists_matches_duckdb_oracle(spark):
+    trips = _list_triples(spark, {f"L{j}": [f"v{j}_{k}" for k in range(j + 1)] for j in range(9)})
+    got = sorted((r.head, r.pos, r.item) for r in flatten_rdf_lists(trips).collect())
+    t_sql = " UNION ALL ".join(
+        f"SELECT '{s}' AS subj, '{p}' AS pred, '{o}' AS obj"
+        for s, p, o in (tuple(r) for r in trips.collect())
+    )
+    want = sorted(duckdb.connect().execute(sql_flatten_rdf_lists(t_sql)).fetchall())
+    assert got == [tuple(w) for w in want]
