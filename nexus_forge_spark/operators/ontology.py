@@ -246,3 +246,287 @@ walk(head, cell, pos) AS (
 )
 SELECT w.head, w.pos, f.item
 FROM walk w JOIN first_e f ON w.cell = f.cell"""
+
+
+def functional_violations(
+    triples: DataFrame, functional_preds: list[str]
+) -> DataFrame:
+    """owl:FunctionalProperty audit: subjects asserting MORE than one
+    distinct object for a declared-functional predicate.
+
+    -> (subj, pred, n_values, values) where ``values`` is the sorted
+    '|'-joined distinct object list (deterministic across engines; the
+    audit surfaces merge/extraction errors BEFORE canonicalization fuses
+    entities on bad evidence).  ONE hash aggregate keyed on (subj, pred)
+    after a predicate-pushdown filter — the functional predicate list is
+    a literal IN, so the scan prunes to the audited predicates.
+    """
+    return (
+        triples.where(F.col("pred").isin(functional_preds))
+        .groupBy("subj", "pred")
+        .agg(F.collect_set("obj").alias("objs"))
+        .where(F.size("objs") > 1)
+        .select(
+            "subj",
+            "pred",
+            F.size("objs").cast("long").alias("n_values"),
+            F.concat_ws("|", F.sort_array("objs")).alias("values"),
+        )
+    )
+
+
+def sql_functional_violations(triples_sql: str, functional_preds: list[str]) -> str:
+    """DuckDB oracle for functional_violations."""
+    preds = ", ".join(f"'{p}'" for p in functional_preds)
+    return f"""SELECT subj, pred,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_values,
+       list_aggregate(list_sort(list(DISTINCT obj)), 'string_agg', '|') AS "values"
+FROM ({triples_sql})
+WHERE pred IN ({preds})
+GROUP BY subj, pred
+HAVING count(DISTINCT obj) > 1"""
+
+
+def disjoint_violations(
+    types: DataFrame,
+    subclass: DataFrame,
+    disjoint: DataFrame,
+    instance_col: str = "instance",
+    class_col: str = "cls",
+    child_col: str = "child",
+    parent_col: str = "parent",
+) -> DataFrame:
+    """owl:disjointWith audit UNDER RDFS entailment: instances whose
+    closure-entailed type set contains both sides of a declared-disjoint
+    class pair (rdfs9/rdfs11 first, then the pairwise check — a direct
+    check misses every violation expressed through subclasses).
+
+    types(instance, cls) + subclass(child, parent) + disjoint(a, b,
+    unordered) -> distinct (instance, cls_a, cls_b), cls_a < cls_b.
+    Shape: the closure and disjoint tables are class-vocabulary-sized
+    (broadcastable); the fact side is touched by exactly one entailment
+    join and one self-join keyed on instance restricted to the (tiny)
+    disjoint class set — the pre-filter keeps the self-join off the
+    10^12-row typed universe.
+    """
+    closure = transitive_closure(subclass, child_col, parent_col)
+    base = types.select(
+        F.col(instance_col).alias("instance"), F.col(class_col).alias("cls")
+    )
+    entailed = (
+        base.unionByName(
+            base.join(closure, base.cls == closure.node).select(
+                "instance", F.col("anc").alias("cls")
+            )
+        )
+        .distinct()
+    )
+    pairs = disjoint.select(
+        F.least("a", "b").alias("cls_a"), F.greatest("a", "b").alias("cls_b")
+    ).distinct()
+    flat = pairs.select(F.col("cls_a").alias("cls")).unionByName(
+        pairs.select(F.col("cls_b").alias("cls"))
+    ).distinct()
+    hot = entailed.join(F.broadcast(flat), "cls")
+    lhs = hot.select("instance", F.col("cls").alias("cls_a"))
+    rhs = hot.select("instance", F.col("cls").alias("cls_b"))
+    return (
+        lhs.join(rhs, "instance")
+        .join(F.broadcast(pairs), ["cls_a", "cls_b"])
+        .select("instance", "cls_a", "cls_b")
+        .distinct()
+    )
+
+
+def sql_disjoint_violations(
+    types_sql: str, edges_sql: str, disjoint_sql: str
+) -> str:
+    """DuckDB oracle: recursive-CTE closure + the same entailment and
+    pairwise joins.  types_sql -> (instance, cls); edges_sql -> (child,
+    parent); disjoint_sql -> (a, b)."""
+    return f"""WITH RECURSIVE edges AS MATERIALIZED ({edges_sql}),
+types_t AS MATERIALIZED ({types_sql}),
+reach(node, anc) AS (
+  SELECT child, parent FROM edges WHERE child <> parent
+  UNION
+  SELECT r.node, e.parent FROM reach r JOIN edges e ON r.anc = e.child
+  WHERE r.node <> e.parent
+),
+entailed AS (
+  SELECT DISTINCT instance, cls FROM (
+    SELECT instance, cls FROM types_t
+    UNION ALL
+    SELECT t.instance, r.anc FROM types_t t JOIN reach r ON t.cls = r.node
+  )
+),
+pairs AS (
+  SELECT DISTINCT least(a, b) AS cls_a, greatest(a, b) AS cls_b
+  FROM ({disjoint_sql})
+)
+SELECT DISTINCT l.instance, p.cls_a, p.cls_b
+FROM pairs p
+JOIN entailed l ON l.cls = p.cls_a
+JOIN entailed r ON r.cls = p.cls_b AND r.instance = l.instance"""
+
+
+def wl_colors(
+    triples: DataFrame,
+    rounds: int = 3,
+    bnode_prefix: str = "_:",
+) -> DataFrame:
+    """Weisfeiler-Leman color refinement over the triple graph -> one
+    structural signature per node: the deterministic skolemization /
+    graph-canonicalization primitive (URDNA2015's hash-first-degree-quads
+    idea, re-derived as k rounds of WL refinement — public algorithms).
+
+    Blank nodes start with a UNIFORM color (their label carries no
+    identity, exactly the RDF semantics); named nodes start from their
+    IRI hash.  Each round rehashes every node over the MULTISET of its
+    in- and out-edge contributions hash60(dir|pred|neighbor_color),
+    combined as (count, exact integer sum) — a commutative multiset hash,
+    so after k rounds two blank nodes share a color iff their depth-k
+    neighborhood unfolds identically (up to 60-bit hash-sum collision;
+    negligible for non-adversarial graphs and engine-exact on both
+    sides).
+
+    Scale shape: one edge-table self-design — (node, dir, pred, nbr) both
+    directions — then per round ONE join (neighbor color lookup, keyed on
+    nbr) + ONE hash aggregate keyed on node.  The sum-combine is the
+    point at 10^12 edges: it is map-side partial-aggregable and a
+    10^8-degree celebrity node costs one accumulator, where the textbook
+    sorted-concat multiset would collect_list a multi-GB string on one
+    executor.  The sum is exact DECIMAL(38,0)/HUGEINT (no float, no
+    overflow below 10^20 edges per node x 2^60).  rounds is a small
+    constant (diameter of the bnode islands, 2-4 in practice), lineage
+    truncated per round.  No windows, no driver state.
+    """
+    from nexus_forge_spark.operators.sketches import hash60
+    t = triples.select("subj", "pred", "obj")
+    nodes = (
+        t.select(F.col("subj").alias("node"))
+        .unionByName(t.select(F.col("obj").alias("node")))
+        .distinct()
+    )
+    color = nodes.select(
+        "node",
+        F.when(
+            F.col("node").startswith(bnode_prefix), F.md5(F.lit(""))
+        )
+        .otherwise(F.md5(F.col("node")))
+        .alias("color"),
+    ).localCheckpoint(eager=False)
+    edges = (
+        t.select(
+            F.col("subj").alias("node"),
+            F.lit("o").alias("dir"),
+            "pred",
+            F.col("obj").alias("nbr"),
+        )
+        .unionByName(
+            t.select(
+                F.col("obj").alias("node"),
+                F.lit("i").alias("dir"),
+                "pred",
+                F.col("subj").alias("nbr"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        nbr_color = color.select(
+            F.col("node").alias("nbr"), F.col("color").alias("nbr_color")
+        )
+        msig = (
+            edges.join(nbr_color, "nbr")
+            .select(
+                "node",
+                hash60(
+                    F.concat_ws("|", F.col("dir"), F.col("pred"), F.col("nbr_color")),
+                    "wl",
+                )
+                .cast("decimal(38,0)")
+                .alias("esig"),
+            )
+            .groupBy("node")
+            .agg(
+                F.count(F.lit(1)).alias("deg"),
+                F.sum("esig").alias("esum"),
+            )
+            .select(
+                "node",
+                F.concat_ws(
+                    ":", F.col("deg").cast("string"), F.col("esum").cast("string")
+                ).alias("msig"),
+            )
+        )
+        color = (
+            color.join(msig, "node", "left")
+            .select(
+                "node",
+                F.md5(
+                    F.concat(F.col("color"), F.lit("#"), F.coalesce("msig", F.lit("")))
+                ).alias("color"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return color
+
+
+def skolemize_bnodes(
+    triples: DataFrame, rounds: int = 3, bnode_prefix: str = "_:"
+) -> DataFrame:
+    """Blank node -> deterministic skolem IRI 'sk:<wl color>'.  Two bnodes
+    with identical depth-``rounds`` structure receive the SAME skolem IRI
+    (structural dedup across documents/engines/runs); named nodes pass
+    through.  -> (node, skolem)."""
+    colors = wl_colors(triples, rounds=rounds, bnode_prefix=bnode_prefix)
+    return colors.select(
+        "node",
+        F.when(
+            F.col("node").startswith(bnode_prefix),
+            F.concat(F.lit("sk:"), F.col("color")),
+        )
+        .otherwise(F.col("node"))
+        .alias("skolem"),
+    )
+
+
+def sql_wl_colors(triples_sql: str, rounds: int = 3, bnode_prefix: str = "_:") -> str:
+    """DuckDB oracle: the identical refinement unrolled to ``rounds``
+    chained CTEs (list_sort + string_agg = the sorted multiset)."""
+    prologue = f"""WITH t AS MATERIALIZED (SELECT subj, pred, obj FROM ({triples_sql})),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT subj AS node FROM t UNION ALL SELECT obj FROM t
+  )
+),
+edges AS MATERIALIZED (
+  SELECT subj AS node, 'o' AS dir, pred, obj AS nbr FROM t
+  UNION ALL
+  SELECT obj, 'i', pred, subj FROM t
+),
+c0 AS (
+  SELECT node,
+         CASE WHEN starts_with(node, '{bnode_prefix}') THEN md5('')
+              ELSE md5(node) END AS color
+  FROM nodes
+)"""
+    rounds_sql = []
+    for k in range(rounds):
+        prev, cur = f"c{k}", f"c{k + 1}"
+        esig = (
+            "('0x' || substr(md5(e.dir || '|' || e.pred || '|' || c.color"
+            " || ':wl'), 1, 15))::BIGINT"
+        )
+        rounds_sql.append(f""",
+{cur} AS MATERIALIZED (
+  SELECT p.node, md5(p.color || '#' || coalesce(a.msig, '')) AS color
+  FROM {prev} p LEFT JOIN (
+    SELECT e.node,
+           CAST(count(*) AS VARCHAR) || ':' ||
+           CAST(sum(CAST({esig} AS HUGEINT)) AS VARCHAR) AS msig
+    FROM edges e JOIN {prev} c ON e.nbr = c.node
+    GROUP BY e.node
+  ) a ON p.node = a.node
+)""")
+    return prologue + "".join(rounds_sql) + f"\nSELECT node, color FROM c{rounds}"

@@ -10618,7 +10618,411 @@ WHERE NOT (pred = 'balance' AND substr(md5(subj), 1, 1) IN ('0', '1'))"""
     return sql_align_properties(left, right, min_overlap=2)
 
 
+_RULE_MIN_SUPPORT = 5
+_RULE_HUB_CAP = 200_000
+
+
+def _rule_mining_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-predicate KG slice for rule mining: purchase chain
+    (placed/contains with a date-gated `bought` head) + geography chain
+    (located_in/part_of with parity-gated `operates_in` and `cust_region`
+    heads — suppliers in odd nations assert NO operates_in fact, so PCA
+    confidence hits 1.0 where standard confidence reports the even-nation
+    share: exactly the open-world gap PCA exists for)."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+    c = lambda p, col: F.concat(F.lit(p), F.col(col).cast("string"))  # noqa: E731
+    placed = orders.select(
+        c("cust:", "o_custkey").alias("subj"),
+        F.lit("placed").alias("pred"),
+        c("ord:", "o_orderkey").alias("obj"),
+    )
+    contains = li.select(
+        c("ord:", "l_orderkey").alias("subj"),
+        F.lit("contains").alias("pred"),
+        c("part:", "l_partkey").alias("obj"),
+    )
+    bought = (
+        orders.where(F.col("o_orderdate") < F.lit("1998-01-01"))
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            c("cust:", "o_custkey").alias("subj"),
+            F.lit("bought").alias("pred"),
+            c("part:", "l_partkey").alias("obj"),
+        )
+    )
+    sup_nat = sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+    located = sup_nat.select(
+        c("sup:", "s_suppkey").alias("subj"),
+        F.lit("located_in").alias("pred"),
+        F.concat(F.lit("nat:"), F.col("n_name")).alias("obj"),
+    )
+    part_of = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(
+        F.concat(F.lit("nat:"), F.col("n_name")).alias("subj"),
+        F.lit("part_of").alias("pred"),
+        F.concat(F.lit("reg:"), F.col("r_name")).alias("obj"),
+    )
+    operates = (
+        sup_nat.where(F.col("n_nationkey") % 2 == 0)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select(
+            c("sup:", "s_suppkey").alias("subj"),
+            F.lit("operates_in").alias("pred"),
+            F.concat(F.lit("reg:"), F.col("r_name")).alias("obj"),
+        )
+    )
+    cust_nat = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    from_nation = cust_nat.select(
+        c("cust:", "c_custkey").alias("subj"),
+        F.lit("from_nation").alias("pred"),
+        F.concat(F.lit("nat:"), F.col("n_name")).alias("obj"),
+    )
+    cust_region = (
+        cust_nat.where(F.col("c_custkey") % 4 != 0)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select(
+            c("cust:", "c_custkey").alias("subj"),
+            F.lit("cust_region").alias("pred"),
+            F.concat(F.lit("reg:"), F.col("r_name")).alias("obj"),
+        )
+    )
+    out = placed
+    for part in (contains, bought, located, part_of, operates, from_nation, cust_region):
+        out = out.unionByName(part)
+    return out
+
+
+def q_kg_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style chain-rule mining (operators/rules.py mine_chain_rules)
+    over an 8-predicate KG slice: standard vs PCA confidence in integer
+    ppm, hub-capped body join (nothing exceeds the cap on this slice —
+    the guard is exercised, priced, and mirrored by the oracle)."""
+    from nexus_forge_spark.operators.rules import mine_chain_rules
+
+    return mine_chain_rules(
+        _rule_mining_triples(spark, sf_dir),
+        min_support=_RULE_MIN_SUPPORT,
+        hub_cap=_RULE_HUB_CAP,
+    )
+
+
+def sql_kg_rule_mining() -> str:
+    from nexus_forge_spark.operators.rules import sql_mine_chain_rules
+
+    trips = """SELECT 'cust:' || o_custkey AS subj, 'placed' AS pred,
+       'ord:' || o_orderkey AS obj FROM orders
+UNION ALL
+SELECT 'ord:' || l_orderkey, 'contains', 'part:' || l_partkey FROM lineitem
+UNION ALL
+SELECT 'cust:' || o.o_custkey, 'bought', 'part:' || l.l_partkey
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+UNION ALL
+SELECT 'sup:' || s.s_suppkey, 'located_in', 'nat:' || n.n_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'nat:' || n.n_name, 'part_of', 'reg:' || r.r_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+UNION ALL
+SELECT 'sup:' || s.s_suppkey, 'operates_in', 'reg:' || r.r_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE n.n_nationkey % 2 = 0
+UNION ALL
+SELECT 'cust:' || c.c_custkey, 'from_nation', 'nat:' || n.n_name
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'cust:' || c.c_custkey, 'cust_region', 'reg:' || r.r_name
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_custkey % 4 <> 0"""
+    return sql_mine_chain_rules(
+        trips, min_support=_RULE_MIN_SUPPORT, hub_cap=_RULE_HUB_CAP
+    )
+
+
+def q_kg_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:FunctionalProperty audit (operators/ontology.py
+    functional_violations): `from_nation` is declared functional; every
+    customer asserts their own nation and customers with custkey % 97 == 0
+    additionally assert the NEXT nation (deterministic injected extraction
+    error) — the audit must return exactly those subjects with the sorted
+    value list.  One predicate-pruned scan + one (subj, pred) hash agg."""
+    from nexus_forge_spark.operators.ontology import functional_violations
+
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    base = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    subj = F.concat(F.lit("cust:"), F.col("c_custkey").cast("string"))
+    own = base.select(
+        subj.alias("subj"),
+        F.lit("from_nation").alias("pred"),
+        F.concat(F.lit("nat:"), F.col("n_name")).alias("obj"),
+    )
+    extra = (
+        cust.where(F.col("c_custkey") % 97 == 0)
+        .join(
+            F.broadcast(nation),
+            (cust.c_nationkey + 1) % 25 == nation.n_nationkey,
+        )
+        .select(
+            subj.alias("subj"),
+            F.lit("from_nation").alias("pred"),
+            F.concat(F.lit("nat:"), F.col("n_name")).alias("obj"),
+        )
+    )
+    mkt = load_table(spark, "customer", sf_dir).select(
+        subj.alias("subj"),
+        F.lit("segment").alias("pred"),
+        F.col("c_mktsegment").alias("obj"),
+    )
+    trips = own.unionByName(extra).unionByName(mkt)
+    return functional_violations(trips, ["from_nation", "segment"])
+
+
+def sql_kg_cardinality_audit() -> str:
+    from nexus_forge_spark.operators.ontology import sql_functional_violations
+
+    trips = """SELECT 'cust:' || c.c_custkey AS subj, 'from_nation' AS pred,
+       'nat:' || n.n_name AS obj
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'cust:' || c.c_custkey, 'from_nation', 'nat:' || n.n_name
+FROM customer c JOIN nation n ON (c.c_nationkey + 1) % 25 = n.n_nationkey
+WHERE c.c_custkey % 97 = 0
+UNION ALL
+SELECT 'cust:' || c_custkey, 'segment', c_mktsegment FROM customer"""
+    return sql_functional_violations(trips, ["from_nation", "segment"])
+
+
+def q_kg_disjoint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:disjointWith audit under RDFS entailment (operators/ontology.py
+    disjoint_violations): nation classes ⊑ region classes, all region
+    pairs declared disjoint; customers typed by nation, and custkey % 101
+    == 0 instances also typed by a rotated nation (+7 mod 25) — the
+    violation exists only at the ENTAILED region level (and only when the
+    rotation crosses regions), so a closure-free checker returns nothing."""
+    from nexus_forge_spark.operators.ontology import disjoint_violations
+
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+    edges = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(
+        F.concat(F.lit("nation:"), F.col("n_name")).alias("child"),
+        F.concat(F.lit("region:"), F.col("r_name")).alias("parent"),
+    )
+    inst = F.concat(F.lit("cust:"), F.col("c_custkey").cast("string"))
+    types = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            inst.alias("instance"),
+            F.concat(F.lit("nation:"), F.col("n_name")).alias("cls"),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 101 == 0)
+            .join(
+                F.broadcast(nation),
+                (cust.c_nationkey + 7) % 25 == nation.n_nationkey,
+            )
+            .select(
+                inst.alias("instance"),
+                F.concat(F.lit("nation:"), F.col("n_name")).alias("cls"),
+            )
+        )
+    )
+    r2 = region.select(F.col("r_name").alias("r2_name"))
+    disjoint = (
+        region.crossJoin(F.broadcast(r2))
+        .where(F.col("r_name") < F.col("r2_name"))
+        .select(
+            F.concat(F.lit("region:"), F.col("r_name")).alias("a"),
+            F.concat(F.lit("region:"), F.col("r2_name")).alias("b"),
+        )
+    )
+    return disjoint_violations(types, edges, disjoint)
+
+
+def sql_kg_disjoint_audit() -> str:
+    from nexus_forge_spark.operators.ontology import sql_disjoint_violations
+
+    types = """SELECT 'cust:' || c.c_custkey AS instance, 'nation:' || n.n_name AS cls
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'cust:' || c.c_custkey, 'nation:' || n.n_name
+FROM customer c JOIN nation n ON (c.c_nationkey + 7) % 25 = n.n_nationkey
+WHERE c.c_custkey % 101 = 0"""
+    edges = """SELECT 'nation:' || n.n_name AS child, 'region:' || r.r_name AS parent
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey"""
+    disjoint = """SELECT 'region:' || a.r_name AS a, 'region:' || b.r_name AS b
+FROM region a JOIN region b ON a.r_name < b.r_name"""
+    return sql_disjoint_violations(types, edges, disjoint)
+
+
+_WL_ROUNDS = 3
+
+
+def _skolem_triples_sql() -> str:
+    return """SELECT '_:ord' || o_orderkey AS subj, 'status' AS pred,
+       'st:' || o_orderstatus AS obj FROM orders
+UNION ALL
+SELECT '_:ord' || o_orderkey, 'prio', 'pr:' || o_orderpriority FROM orders
+UNION ALL
+SELECT '_:ord' || l_orderkey, 'contains', 'part:' || l_partkey FROM lineitem
+UNION ALL
+SELECT '_:ord' || o_orderkey, 'by', '_:cust' || o_custkey FROM orders
+UNION ALL
+SELECT '_:cust' || c.c_custkey, 'in_nation', 'nat:' || n.n_name
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey"""
+
+
+def q_kg_skolemize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic blank-node skolemization via Weisfeiler-Leman color
+    refinement (operators/ontology.py wl_colors/skolemize_bnodes, the
+    URDNA2015 canonical-labeling idea as k rounds of dataflow): orders and
+    customers are blank nodes (labels carry NO identity), parts / nations
+    / status literals are named; after 3 rounds each bnode's color hashes
+    its depth-3 unfolding, so structurally identical orders collapse to
+    one skolem IRI and the nation signal reaches orders THROUGH the
+    customer bnode.  The multiset combine is a (count, sum-of-hash60)
+    accumulator — map-side partial-aggregable, hub-safe at 10^12 edges."""
+    from nexus_forge_spark.operators.ontology import skolemize_bnodes
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    osub = F.concat(F.lit("_:ord"), F.col("o_orderkey").cast("string"))
+    trips = (
+        orders.select(
+            osub.alias("subj"),
+            F.lit("status").alias("pred"),
+            F.concat(F.lit("st:"), F.col("o_orderstatus")).alias("obj"),
+        )
+        .unionByName(
+            orders.select(
+                osub.alias("subj"),
+                F.lit("prio").alias("pred"),
+                F.concat(F.lit("pr:"), F.col("o_orderpriority")).alias("obj"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("_:ord"), F.col("l_orderkey").cast("string")).alias(
+                    "subj"
+                ),
+                F.lit("contains").alias("pred"),
+                F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias(
+                    "obj"
+                ),
+            )
+        )
+        .unionByName(
+            orders.select(
+                osub.alias("subj"),
+                F.lit("by").alias("pred"),
+                F.concat(F.lit("_:cust"), F.col("o_custkey").cast("string")).alias(
+                    "obj"
+                ),
+            )
+        )
+        .unionByName(
+            cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .select(
+                F.concat(F.lit("_:cust"), F.col("c_custkey").cast("string")).alias(
+                    "subj"
+                ),
+                F.lit("in_nation").alias("pred"),
+                F.concat(F.lit("nat:"), F.col("n_name")).alias("obj"),
+            )
+        )
+    )
+    return skolemize_bnodes(trips, rounds=_WL_ROUNDS)
+
+
+def sql_kg_skolemize() -> str:
+    from nexus_forge_spark.operators.ontology import sql_wl_colors
+
+    colors = sql_wl_colors(_skolem_triples_sql(), rounds=_WL_ROUNDS)
+    return f"""SELECT node,
+       CASE WHEN starts_with(node, '_:') THEN 'sk:' || color ELSE node END AS skolem
+FROM ({colors})"""
+
+
+def q_kg_merge_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-canonicalization merge audit: after sameAs connected components
+    fuse co-referent entities, any per-property disagreement INSIDE a
+    canonical cluster is evidence of an over-merge (or a source conflict
+    golden_records would vote away) — the quality gate between
+    canonicalize and golden-record election.  Composition: the SAME CC
+    mapping the north-rule pipeline uses, then each cluster-property pair
+    is treated as a functional predicate and audited with
+    functional_violations (operators/ontology.py) — one rewrite join +
+    one hash agg, no new machinery."""
+    from nexus_forge_spark.operators.ontology import functional_violations
+
+    alias = _alias(spark)
+    mapping = CC.connected_components(
+        CC.sameas_edges(alias), alias.select("entity_id").distinct()
+    )
+    vals = (
+        alias.join(mapping, "entity_id", "left")
+        .select(
+            F.coalesce("canonical_id", "entity_id").alias("subj"),
+            F.concat(F.lit("prop"), F.col("prop_order").cast("string")).alias("pred"),
+            F.col("alias").alias("obj"),
+        )
+    )
+    preds = [f"prop{i}" for i in range(4)]
+    return functional_violations(vals, preds)
+
+
+def sql_kg_merge_conflicts() -> str:
+    from nexus_forge_spark.operators.ontology import sql_functional_violations
+
+    preds = [f"prop{i}" for i in range(4)]
+    inner = sql_functional_violations("SELECT subj, pred, obj FROM vals", preds)
+    return f"""WITH RECURSIVE dim AS (SELECT * FROM {dims.ontology_sql_values('d')}),
+{_alias_cte()},
+edges AS (
+  SELECT DISTINCT a.entity_id AS a, b.entity_id AS b
+  FROM alias_t a JOIN alias_t b ON a.alias = b.alias AND a.entity_id <> b.entity_id
+),
+reach(src, dst) AS (
+  SELECT entity_id, entity_id FROM (SELECT DISTINCT entity_id FROM alias_t)
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+mapping AS (SELECT src AS entity_id, min(dst) AS canonical_id FROM reach GROUP BY src),
+vals AS (
+  SELECT coalesce(m.canonical_id, a.entity_id) AS subj,
+         'prop' || CAST(a.prop_order AS VARCHAR) AS pred, a.alias AS obj
+  FROM alias_t a LEFT JOIN mapping m ON a.entity_id = m.entity_id
+)
+{inner}"""
+
+
 QUERIES = {
+    "kg_rule_mining": (q_kg_rule_mining, sql_kg_rule_mining),
+    "kg_cardinality_audit": (q_kg_cardinality_audit, sql_kg_cardinality_audit),
+    "kg_disjoint_audit": (q_kg_disjoint_audit, sql_kg_disjoint_audit),
+    "kg_skolemize": (q_kg_skolemize, sql_kg_skolemize),
+    "kg_merge_conflicts": (q_kg_merge_conflicts, sql_kg_merge_conflicts),
     "kg_coherence_disambiguation": (q_kg_coherence, sql_kg_coherence),
     "kg_class_rollup": (q_kg_class_rollup, sql_kg_class_rollup),
     "kg_list_flatten": (q_kg_list_flatten, sql_kg_list_flatten),
