@@ -264,3 +264,70 @@ def incremental_components(
         F.broadcast(relabeled.select("entity_id")), "entity_id", "left_anti"
     )
     return untouched.unionByName(relabeled)
+
+
+def ifp_sameas_edges(
+    triples: DataFrame,
+    ifp_preds: list[str],
+    max_block: int | None = None,
+) -> DataFrame:
+    """owl:InverseFunctionalProperty entity-equality derivation: two
+    subjects asserting the SAME object on an IFP (mbox, ISBN, DOI, ORCID)
+    denote the same entity -> sameAs edges feeding connected_components.
+
+    Scale shape — STAR REPLACEMENT, not cliques: k entities sharing one
+    value logically form a k-clique of sameAs edges (O(k^2)); for
+    connected-components purposes the clique is equivalent to a star on
+    the group's MIN entity (O(k)), so this emits (min_entity, member)
+    pairs from one (pred, obj)-keyed aggregate + one join back — a
+    10^6-entity shared-value block (the classic dirty-data "value is
+    'unknown'" hub) costs 10^6 edges, not 10^12.  ``max_block`` drops
+    value blocks larger than the cap entirely (junk values shared by too
+    many entities carry no identity signal — the CCNet/ER blocking
+    discipline); dropped blocks are a recall trade the caller prices, and
+    the oracle applies the identical cap.  Output is symmetric (a, b)
+    both directions, a <> b, matching sameas_edges' contract.
+    """
+    claims = (
+        triples.where(F.col("pred").isin(ifp_preds))
+        .select("pred", "obj", F.col("subj").alias("entity"))
+        .distinct()
+    )
+    groups = claims.groupBy("pred", "obj").agg(
+        F.min("entity").alias("root"), F.count(F.lit(1)).alias("k")
+    )
+    if max_block is not None:
+        groups = groups.where(F.col("k") <= F.lit(max_block))
+    star = (
+        claims.join(groups.where(F.col("k") > 1), ["pred", "obj"])
+        .where(F.col("entity") != F.col("root"))
+        .select(F.col("root").alias("a"), F.col("entity").alias("b"))
+        .distinct()
+    )
+    return star.unionByName(
+        star.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+
+
+def sql_ifp_sameas_edges(
+    triples_sql: str, ifp_preds: list[str], max_block: int | None = None
+) -> str:
+    """DuckDB oracle for ifp_sameas_edges."""
+    preds = ", ".join(f"'{p}'" for p in ifp_preds)
+    cap = f"AND k <= {max_block}" if max_block is not None else ""
+    return f"""WITH claims AS MATERIALIZED (
+  SELECT DISTINCT pred, obj, subj AS entity FROM ({triples_sql})
+  WHERE pred IN ({preds})
+),
+groups AS (
+  SELECT pred, obj, min(entity) AS root, count(*) AS k
+  FROM claims GROUP BY pred, obj
+),
+star AS (
+  SELECT DISTINCT g.root AS a, c.entity AS b
+  FROM claims c JOIN groups g ON c.pred = g.pred AND c.obj = g.obj
+  WHERE g.k > 1 {cap} AND c.entity <> g.root
+)
+SELECT a, b FROM star
+UNION ALL
+SELECT b, a FROM star"""

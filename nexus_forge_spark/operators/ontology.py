@@ -530,3 +530,91 @@ c0 AS (
   ) a ON p.node = a.node
 )""")
     return prologue + "".join(rounds_sql) + f"\nSELECT node, color FROM c{rounds}"
+
+
+def mine_disjointness(
+    types: DataFrame,
+    min_support: int = 10,
+    max_overlap_ppm: int = 0,
+    instance_col: str = "instance",
+    class_col: str = "cls",
+) -> DataFrame:
+    """Negative-constraint mining: propose owl:disjointWith candidates
+    from instance data (the discovery inverse of disjoint_violations;
+    Völker/Niepert's statistical schema induction, public method,
+    re-derived as integer-ppm dataflow).
+
+    A class pair (A, B) is a candidate when both have >= min_support
+    instances and their observed co-typing rate is <= max_overlap_ppm of
+    the SMALLER class (0 = strictly never co-typed; a small tolerance
+    absorbs extraction noise in real KGs).  -> (cls_a, cls_b, n_a, n_b,
+    n_overlap, overlap_ppm), cls_a < cls_b.
+
+    Shape: per-class counts are ONE fact-side hash agg; observed overlaps
+    come from an instance-keyed self-join whose fan-out is bounded by
+    types-per-instance squared (single digits), NEVER class-pair count;
+    the candidate grid itself is built from the class-COUNT table
+    (vocabulary-sized, broadcast cross join after the support filter) so
+    unobserved pairs cost zero fact-side work.  Callers with 10^5+
+    qualifying classes should raise min_support — the grid is
+    O(classes^2) rows of counts, not of instances.
+    """
+    base = types.select(
+        F.col(instance_col).alias("instance"), F.col(class_col).alias("cls")
+    ).distinct()
+    counts = base.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).where(
+        F.col("n") >= F.lit(min_support)
+    )
+    lhs = base.select("instance", F.col("cls").alias("cls_a"))
+    rhs = base.select("instance", F.col("cls").alias("cls_b"))
+    overlap = (
+        lhs.join(rhs, "instance")
+        .where(F.col("cls_a") < F.col("cls_b"))
+        .groupBy("cls_a", "cls_b")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    ca = counts.select(F.col("cls").alias("cls_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("cls").alias("cls_b"), F.col("n").alias("n_b"))
+    grid = ca.crossJoin(F.broadcast(cb)).where(F.col("cls_a") < F.col("cls_b"))
+    return (
+        grid.join(overlap, ["cls_a", "cls_b"], "left")
+        .select(
+            "cls_a",
+            "cls_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr(
+                "coalesce(n_overlap, 0) * 1000000 DIV least(n_a, n_b)"
+            ).cast("long").alias("overlap_ppm"),
+        )
+        .where(F.col("overlap_ppm") <= F.lit(max_overlap_ppm))
+    )
+
+
+def sql_mine_disjointness(
+    types_sql: str, min_support: int = 10, max_overlap_ppm: int = 0
+) -> str:
+    """DuckDB oracle for mine_disjointness."""
+    return f"""WITH base AS MATERIALIZED (
+  SELECT DISTINCT instance, cls FROM ({types_sql})
+),
+counts AS (
+  SELECT cls, count(*) AS n FROM base GROUP BY cls HAVING count(*) >= {min_support}
+),
+overlap AS (
+  SELECT l.cls AS cls_a, r.cls AS cls_b, count(*) AS n_overlap
+  FROM base l JOIN base r ON l.instance = r.instance AND l.cls < r.cls
+  GROUP BY l.cls, r.cls
+)
+SELECT g.cls_a, g.cls_b,
+       CAST(g.n_a AS BIGINT) AS n_a, CAST(g.n_b AS BIGINT) AS n_b,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(coalesce(o.n_overlap, 0) * 1000000 // least(g.n_a, g.n_b) AS BIGINT)
+         AS overlap_ppm
+FROM (
+  SELECT a.cls AS cls_a, b.cls AS cls_b, a.n AS n_a, b.n AS n_b
+  FROM counts a JOIN counts b ON a.cls < b.cls
+) g
+LEFT JOIN overlap o ON g.cls_a = o.cls_a AND g.cls_b = o.cls_b
+WHERE coalesce(o.n_overlap, 0) * 1000000 // least(g.n_a, g.n_b) <= {max_overlap_ppm}"""

@@ -11017,7 +11017,133 @@ vals AS (
 {inner}"""
 
 
+_IFP_MAX_BLOCK = 10
+
+
+def q_kg_ifp_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:InverseFunctionalProperty equality chain end-to-end
+    (operators/canonicalize.py ifp_sameas_edges + connected_components):
+    customers sharing a minted email (custkey DIV 3 -> ~3-entity blocks)
+    are the same entity; a 'phone'='unknown' junk block (custkey % 50)
+    exceeds max_block and is dropped — the dirty-data hub that would emit
+    k^2 bogus sameAs edges contributes NOTHING.  Star replacement keeps
+    the derived edge set O(k) per value block while preserving the
+    components exactly."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    subj = F.concat(F.lit("cust:"), F.col("c_custkey").cast("string"))
+    email = cust.select(
+        subj.alias("subj"),
+        F.lit("email").alias("pred"),
+        F.concat(F.lit("mb:"), F.expr("c_custkey DIV 3").cast("string")).alias("obj"),
+    )
+    phone = cust.where(F.col("c_custkey") % 50 == 0).select(
+        subj.alias("subj"),
+        F.lit("phone").alias("pred"),
+        F.lit("unknown").alias("obj"),
+    )
+    trips = email.unionByName(phone)
+    edges = CC.ifp_sameas_edges(trips, ["email", "phone"], max_block=_IFP_MAX_BLOCK)
+    nodes = trips.select(F.col("subj").alias("entity_id")).distinct()
+    return CC.connected_components(edges, nodes)
+
+
+def sql_kg_ifp_canonical() -> str:
+    # the star CTEs are inlined at top level: DuckDB mis-scopes a nested
+    # WITH block inside a WITH RECURSIVE prologue (same gotcha class as
+    # the SPARQL compiler's tr-CTE splice, see _splice notes above)
+    return f"""WITH RECURSIVE claims AS MATERIALIZED (
+  SELECT DISTINCT pred, obj, subj AS entity FROM (
+    SELECT 'cust:' || c_custkey AS subj, 'email' AS pred,
+           'mb:' || (c_custkey // 3) AS obj FROM customer
+    UNION ALL
+    SELECT 'cust:' || c_custkey, 'phone', 'unknown' FROM customer
+    WHERE c_custkey % 50 = 0
+  )
+),
+groups AS (
+  SELECT pred, obj, min(entity) AS root, count(*) AS k
+  FROM claims GROUP BY pred, obj
+),
+star AS (
+  SELECT DISTINCT g.root AS a, c.entity AS b
+  FROM claims c JOIN groups g ON c.pred = g.pred AND c.obj = g.obj
+  WHERE g.k > 1 AND k <= {_IFP_MAX_BLOCK} AND c.entity <> g.root
+),
+e AS MATERIALIZED (
+  SELECT a, b FROM star UNION ALL SELECT b, a FROM star
+),
+nodes AS (SELECT DISTINCT 'cust:' || c_custkey AS entity_id FROM customer),
+reach(src, dst) AS (
+  SELECT entity_id, entity_id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+)
+SELECT src AS entity_id, min(dst) AS canonical_id FROM reach GROUP BY src"""
+
+
+def q_kg_disjoint_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical disjointness induction (operators/ontology.py
+    mine_disjointness): customers carry a segment class and a region
+    class (plus % 101 injected second-region noise); at 3% co-typing
+    tolerance the miner proposes exactly the segment-segment and
+    region-region pairs (each customer has one of each, noise absorbed)
+    and rejects every segment x region pair (massive overlap)."""
+    from nexus_forge_spark.operators.ontology import mine_disjointness
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_regionkey")
+    region = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+    inst = F.concat(F.lit("cust:"), F.col("c_custkey").cast("string"))
+    seg = cust.select(
+        inst.alias("instance"),
+        F.concat(F.lit("seg:"), F.col("c_mktsegment")).alias("cls"),
+    )
+    creg = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select(
+            inst.alias("instance"),
+            F.concat(F.lit("reg:"), F.col("r_name")).alias("cls"),
+        )
+    )
+    noise = (
+        cust.where(F.col("c_custkey") % 101 == 0)
+        .join(
+            F.broadcast(nation),
+            (cust.c_nationkey + 7) % 25 == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select(
+            inst.alias("instance"),
+            F.concat(F.lit("reg:"), F.col("r_name")).alias("cls"),
+        )
+    )
+    types = seg.unionByName(creg).unionByName(noise)
+    return mine_disjointness(types, min_support=20, max_overlap_ppm=30_000)
+
+
+def sql_kg_disjoint_mining() -> str:
+    from nexus_forge_spark.operators.ontology import sql_mine_disjointness
+
+    types = """SELECT 'cust:' || c_custkey AS instance,
+       'seg:' || c_mktsegment AS cls FROM customer
+UNION ALL
+SELECT 'cust:' || c.c_custkey, 'reg:' || r.r_name
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+UNION ALL
+SELECT 'cust:' || c.c_custkey, 'reg:' || r.r_name
+FROM customer c JOIN nation n ON (c.c_nationkey + 7) % 25 = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_custkey % 101 = 0"""
+    return sql_mine_disjointness(types, min_support=20, max_overlap_ppm=30_000)
+
+
 QUERIES = {
+    "kg_ifp_canonical": (q_kg_ifp_canonical, sql_kg_ifp_canonical),
+    "kg_disjoint_mining": (q_kg_disjoint_mining, sql_kg_disjoint_mining),
     "kg_rule_mining": (q_kg_rule_mining, sql_kg_rule_mining),
     "kg_cardinality_audit": (q_kg_cardinality_audit, sql_kg_cardinality_audit),
     "kg_disjoint_audit": (q_kg_disjoint_audit, sql_kg_disjoint_audit),
