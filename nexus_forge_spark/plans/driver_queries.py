@@ -11141,7 +11141,66 @@ WHERE c.c_custkey % 101 = 0"""
     return sql_mine_disjointness(types, min_support=20, max_overlap_ppm=30_000)
 
 
+_R2RML_MAPS = {
+    "customers": {
+        "table": "customer",
+        "subject": "cust:{c_custkey}",
+        "types": ["ex:Customer"],
+        "pom": [
+            {"pred": "ex:name", "column": "c_name"},
+            {"pred": "ex:segment", "template": "seg:{c_mktsegment}"},
+            {"pred": "ex:nation", "parent": "nations", "join": [["c_nationkey", "n_nationkey"]]},
+        ],
+    },
+    "nations": {
+        "table": "nation",
+        "subject": "nat:{n_name}",
+        "types": ["ex:Nation"],
+        "pom": [
+            {"pred": "ex:region", "parent": "regions", "join": [["n_regionkey", "r_regionkey"]]},
+        ],
+    },
+    "regions": {
+        "table": "region",
+        "subject": "reg:{r_name}",
+        "types": ["ex:Region"],
+        "pom": [{"pred": "ex:kind", "constant": "ex:Geo"}],
+    },
+    "orders": {
+        "table": "orders",
+        "subject": "ord:{o_orderkey}",
+        "pom": [
+            {"pred": "ex:status", "template": "st:{o_orderstatus}"},
+            {"pred": "ex:by", "parent": "customers", "join": [["o_custkey", "c_custkey"]]},
+        ],
+    },
+}
+
+
+def q_kg_r2rml_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2RML-style declarative relational->RDF mapping
+    (operators/r2rml.py compile_triples_maps; W3C R2RML subject
+    templates, column/template/constant predicate-object maps, and
+    rr:parentTriplesMap equi-joins): four TriplesMaps over
+    customer/nation/region/orders compile to ONE union plan whose scans
+    are column-pruned to exactly the referenced columns — the relational
+    twin of the reference's DictionaryMapper (dictionaries.py:31-62),
+    with zero per-row evaluation."""
+    from nexus_forge_spark.operators.r2rml import compile_triples_maps
+
+    return compile_triples_maps(
+        spark, _R2RML_MAPS, lambda t: load_table(spark, t, sf_dir)
+    )
+
+
+def sql_kg_r2rml_map() -> str:
+    from nexus_forge_spark.operators.r2rml import sql_compile_triples_maps
+
+    return sql_compile_triples_maps(_R2RML_MAPS)
+
+
 QUERIES = {
+    "kg_r2rml_map": (q_kg_r2rml_map, sql_kg_r2rml_map),
     "kg_ifp_canonical": (q_kg_ifp_canonical, sql_kg_ifp_canonical),
     "kg_disjoint_mining": (q_kg_disjoint_mining, sql_kg_disjoint_mining),
     "kg_rule_mining": (q_kg_rule_mining, sql_kg_rule_mining),
