@@ -28,7 +28,10 @@ GROUP_CONCAT, COUNT(DISTINCT ...), COUNT(*)), basic graph patterns with
 ``;``/``,`` continuations, ``/`` sequence paths and ``|`` predicate
 alternatives (parenthesized when mixed with ``/``), inverse ``^p``,
 closure modifiers ``p+``/``p*``/``p?`` (recursive-CTE closure; the
-zero-length arm is the graph-term identity per SPARQL 1.1 §9.3), negated
+zero-length arm is the graph-term identity per SPARQL 1.1 §9.3) —
+including CLOSURE OVER A SEQUENCE ``(p1/p2)+``/``*``/``?`` via a
+composite step-edge CTE the recursion walks (and ``^(p1/p2)`` reversal,
+``(p1/p2)/p3`` splicing) — negated
 property sets ``!p`` / ``!(p1|p2)``, ``a`` for rdf:type, FILTER with
 comparisons / arithmetic / IN / && / || / ! / regex / contains / strstarts
 / strends / bound / str / concat / coalesce / ucase / lcase / strlen / if,
@@ -657,43 +660,69 @@ class _Parser:
     def parse_path(self) -> list[tuple[list[str], bool]]:
         """Property path -> list of hops, each hop (alternative predicates,
         inverted?).  Supported: sequences p1/p2, alternatives p1|p2,
-        inverse ^p (also ^(p1|p2) and inside sequences a/^b), and
-        parenthesized alternative hops (p1|p2)/p3.  Mixing a BARE
-        alternative with a following '/' is rejected (SPARQL binds '/'
-        tighter than '|'; parenthesize to disambiguate)."""
-        hops = [self.parse_path_hop()]
-        bare_alt = len(hops[0][0]) > 1 and not self._hop_parenthesized
+        inverse ^p (also ^(p1|p2) and inside sequences a/^b),
+        parenthesized alternative hops (p1|p2)/p3, parenthesized
+        sub-sequences (p1/p2)/p3 (spliced), and CLOSURE OVER A SEQUENCE
+        (p1/p2)+ / * / ? (a recursive join over the composite step edge).
+        Mixing a BARE alternative with a following '/' is rejected (SPARQL
+        binds '/' tighter than '|'; parenthesize to disambiguate)."""
+        hops = list(self.parse_path_hop())
+        bare_alt = (
+            isinstance(hops[-1][0], list)
+            and len(hops[-1][0]) > 1
+            and not self._hop_parenthesized
+        )
         while self.kw("/"):
             if bare_alt:
                 raise QueryingError(
                     "ambiguous path: parenthesize alternatives before '/'"
                 )
-            hops.append(self.parse_path_hop())
-            bare_alt = len(hops[-1][0]) > 1 and not self._hop_parenthesized
+            hops.extend(self.parse_path_hop())
+            bare_alt = (
+                isinstance(hops[-1][0], list)
+                and len(hops[-1][0]) > 1
+                and not self._hop_parenthesized
+            )
         return hops
 
-    def parse_path_hop(self) -> tuple[list[str], bool, str | None, bool]:
+    def parse_path_hop(self) -> list[tuple]:
+        """One path element -> a LIST of hops (a parenthesized sub-sequence
+        without a closure modifier splices into its parent; everything
+        else is a single hop)."""
         self._hop_parenthesized = False
         inv = self.kw("^")
         neg = self.kw("!")  # negated property set !p / !(p1|p2)
         if neg and self.kw("^"):
             raise QueryingError("inverse inside a negated property set")
+        seq: list[tuple[list[str], bool]] | None = None
         if self.kw("("):
             self._hop_parenthesized = True
-            alts = [self.parse_term(pred=True)]
-            while self.kw("|"):
-                alts.append(self.parse_term(pred=True))
-            if (t := self.peek()) == "/":
-                # (p1/p2)+ etc.: closure over a SEQUENCE needs a recursive
-                # join over a composite step — outside the supported
-                # subset; name the construct instead of a bare parse error
-                raise QueryingError(
-                    "sequence path inside a parenthesized group "
-                    "('(p1/p2)', '(p1/p2)+') is not supported: only "
-                    "alternatives may be grouped — rewrite the closure "
-                    "over a sequence as an explicit recursive query"
-                )
-            self.expect(")")
+            if neg:
+                # !(p1|p2) stays supported; !(p1/p2) is not a property set
+                alts = [self.parse_term(pred=True)]
+                while self.kw("|"):
+                    alts.append(self.parse_term(pred=True))
+                if self.peek() == "/":
+                    raise QueryingError(
+                        "sequence path inside a negated property set"
+                    )
+                self.expect(")")
+            else:
+                parts: list[tuple[list[str], bool]] = []
+                while True:
+                    inv2 = self.kw("^")
+                    alts2 = [self.parse_term(pred=True)]
+                    while self.kw("|"):
+                        alts2.append(self.parse_term(pred=True))
+                    parts.append((alts2, inv2))
+                    if not self.kw("/"):
+                        break
+                self.expect(")")
+                if len(parts) == 1:
+                    alts = parts[0][0]
+                    inv = inv != parts[0][1]  # ^(^p) == p
+                else:
+                    seq = parts
         else:
             alts = [self.parse_term(pred=True)]
             while self.kw("|"):
@@ -705,7 +734,16 @@ class _Parser:
                 break
         if neg and mod is not None:
             raise QueryingError("closure modifier on a negated property set")
-        return alts, inv, mod, neg
+        if seq is not None:
+            if inv:
+                # ^(a/b) == (^b/^a): reverse order, flip each hop
+                seq = [(a, not iv) for a, iv in reversed(seq)]
+            if mod is None:
+                # pure grouping: splice (a/(b/c)/d == a/b/c/d)
+                return [(a, iv, None, False) for a, iv in seq]
+            # closure over the composite step edge
+            return [(("seq", tuple((tuple(a), iv) for a, iv in seq)), False, mod, False)]
+        return [(alts, inv, mod, neg)]
 
     def emit_path(
         self,
@@ -767,9 +805,52 @@ class SparqlToSql:
             return sql
         return "WITH RECURSIVE " + ", ".join(self._ctes) + " " + sql
 
-    def _closure_cte(self, alts: list[str]) -> str:
-        """Register (once per predicate set) a transitive-closure CTE over
-        the triples table and return its name; columns (s, o).
+    def _seq_edge_cte(self, seq: tuple) -> str:
+        """Composite step edge for a parenthesized sequence path: ONE
+        (h-1)-fold self-join of the triples table, columns (s, o) — the
+        edge relation a sequence closure recurses over.  Each sequence
+        element carries (alternative predicates, inverted?); an inverted
+        element walks obj->subj."""
+        key = ("seqedge", tuple((tuple(sorted(set(a))), iv) for a, iv in seq))
+        if key in self._tc_cache:
+            return self._tc_cache[key]
+        name = f"__se{len(self._tc_cache)}"
+        froms, conds = [], []
+        first_start = prev_end = ""
+        for i, (alts, iv) in enumerate(seq):
+            in_list = ", ".join(_sql_str(_split_iri(t)) for t in sorted(set(alts)))
+            start, end = ("obj", "subj") if iv else ("subj", "obj")
+            froms.append(f"{self.table} t{i}")
+            conds.append(f"t{i}.pred IN ({in_list})")
+            if i == 0:
+                first_start = f"t0.{start}"
+            else:
+                conds.append(f"t{i}.{start} = {prev_end}")
+            prev_end = f"t{i}.{end}"
+        self._ctes.append(
+            f"{name} AS (SELECT DISTINCT {first_start} AS s, {prev_end} AS o "
+            f"FROM {', '.join(froms)} WHERE {' AND '.join(conds)})"
+        )
+        self._tc_cache[key] = name
+        return name
+
+    def _edge_shape(self, alts) -> tuple[str, str, str]:
+        """-> (edge relation, s-column filter, o-column) pieces for a
+        closure base/step: a plain predicate set walks the triples table
+        directly; a ('seq', ...) descriptor walks its composite edge CTE."""
+        if isinstance(alts, tuple) and alts and alts[0] == "seq":
+            edge = self._seq_edge_cte(alts[1])
+            return edge, "s", "o"
+        return self.table, "subj", "obj"
+
+    def _closure_key(self, alts) -> tuple:
+        if isinstance(alts, tuple) and alts and alts[0] == "seq":
+            return ("seq", tuple((tuple(sorted(set(a))), iv) for a, iv in alts[1]))
+        return tuple(sorted(set(alts)))
+
+    def _closure_cte(self, alts) -> str:
+        """Register (once per predicate set / sequence edge) a
+        transitive-closure CTE and return its name; columns (s, o).
 
         Spark's recursive CTEs only allow UNION ALL (UNION_NOT_SUPPORTED_
         IN_RECURSIVE_CTE as of 4.1), so the Spark shape is a raw UNION ALL
@@ -777,28 +858,39 @@ class SparqlToSql:
         `p+` use cases: subClassOf, broader, partOf hierarchies), and a
         cyclic graph fails loudly at spark.sql.cteRecursionLevelLimit
         rather than looping.  DuckDB recursion is UNION (set semantics),
-        which is cycle-safe."""
-        key = tuple(sorted(set(alts)))
+        which is cycle-safe.  Closure over a SEQUENCE ('(p1/p2)+')
+        recurses over the composite step edge CTE instead of the raw
+        triples table — same recursion, one extra self-join to build the
+        step relation."""
+        key = self._closure_key(alts)
         if key in self._tc_cache:
             return self._tc_cache[key]
         n = len(self._tc_cache)
         name = f"__tc{n}"
-        in_list = ", ".join(_sql_str(_split_iri(t)) for t in key)
-        base = (
-            f"SELECT subj AS s, obj AS o FROM {self.table} "
-            f"WHERE pred IN ({in_list})"
-        )
+        rel, scol, ocol = self._edge_shape(alts)
+        if rel is self.table:
+            in_list = ", ".join(
+                _sql_str(_split_iri(t)) for t in sorted(set(alts))
+            )
+            pred_cond = f" AND t.pred IN ({in_list})"
+            base = (
+                f"SELECT subj AS s, obj AS o FROM {self.table} "
+                f"WHERE pred IN ({in_list})"
+            )
+        else:
+            pred_cond = ""
+            base = f"SELECT s, o FROM {rel}"
         if self.dialect == "duckdb":
             step = (
-                f"SELECT r.s, t.obj FROM {name} r JOIN {self.table} t "
-                f"ON t.subj = r.o AND t.pred IN ({in_list})"
+                f"SELECT r.s, t.{ocol} FROM {name} r JOIN {rel} t "
+                f"ON t.{scol} = r.o{pred_cond}"
             )
             self._ctes.append(f"{name} AS ({base} UNION {step})")
         else:
             raw = f"__tcr{n}"
             step = (
-                f"SELECT r.s, t.obj FROM {raw} r JOIN {self.table} t "
-                f"ON t.subj = r.o AND t.pred IN ({in_list})"
+                f"SELECT r.s, t.{ocol} FROM {raw} r JOIN {rel} t "
+                f"ON t.{scol} = r.o{pred_cond}"
             )
             self._ctes.append(f"{raw} AS ({base} UNION ALL {step})")
             self._ctes.append(f"{name} AS (SELECT DISTINCT s, o FROM {raw})")
@@ -821,9 +913,9 @@ class SparqlToSql:
             self._tc_cache["__nodes"] = "__nodes"
         return "__nodes"
 
-    def _closure_star_cte(self, alts: list[str]) -> str:
+    def _closure_star_cte(self, alts) -> str:
         """p* = p+ closure UNION the zero-length identity over graph terms."""
-        key = ("*",) + tuple(sorted(set(alts)))
+        key = ("*",) + (self._closure_key(alts),)
         if key in self._tc_cache:
             return self._tc_cache[key]
         plus = self._closure_cte(alts)
@@ -837,18 +929,25 @@ class SparqlToSql:
         self._tc_cache[key] = name
         return name
 
-    def _zero_or_one_cte(self, alts: list[str]) -> str:
+    def _zero_or_one_cte(self, alts) -> str:
         """p? = single edges UNION the zero-length identity."""
-        key = ("?",) + tuple(sorted(set(alts)))
+        key = ("?",) + (self._closure_key(alts),)
         if key in self._tc_cache:
             return self._tc_cache[key]
         nodes = self._nodes_cte()
-        in_list = ", ".join(_sql_str(_split_iri(t)) for t in sorted(set(alts)))
+        rel, scol, ocol = self._edge_shape(alts)
+        if rel is self.table:
+            in_list = ", ".join(_sql_str(_split_iri(t)) for t in sorted(set(alts)))
+            edge = (
+                f"SELECT subj AS s, obj AS o FROM {self.table} "
+                f"WHERE pred IN ({in_list})"
+            )
+        else:
+            edge = f"SELECT s, o FROM {rel}"
         name = f"__zo{len(self._tc_cache)}"
         self._ctes.append(
             f"{name} AS (SELECT DISTINCT s, o FROM "
-            f"(SELECT subj AS s, obj AS o FROM {self.table} "
-            f"WHERE pred IN ({in_list}) "
+            f"({edge} "
             f"UNION ALL SELECT n AS s, n AS o FROM {nodes}) u)"
         )
         self._tc_cache[key] = name

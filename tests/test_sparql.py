@@ -961,12 +961,8 @@ def test_subquery_spark_dialect(spark):
             "SERVICE",
         ),
         (
-            "SELECT ?s WHERE { ?s (nsg:a/nsg:b)+ ?o }",
-            "sequence path inside a parenthesized group",
-        ),
-        (
-            "SELECT ?s WHERE { ?s (nsg:a/nsg:b) ?o }",
-            "sequence path inside a parenthesized group",
+            "SELECT ?s WHERE { ?s !(nsg:a/nsg:b) ?o }",
+            "sequence path inside a negated property set",
         ),
     ],
 )
@@ -983,3 +979,93 @@ def test_supported_parenthesized_alternatives_still_parse():
     # grouped ALTERNATIVES before a sequence remain supported
     sql = s2s("SELECT ?s WHERE { ?s (nsg:a|nsg:b)/nsg:c ?o }")
     assert "UNION" in sql or "IN (" in sql or "OR" in sql
+
+
+# ---- round-3: closure over a sequence path '(p1/p2)+' -------------------
+
+CHAIN = [
+    ("ont:a", "ont:p", "ont:x1"),
+    ("ont:x1", "ont:q", "ont:b"),
+    ("ont:b", "ont:p", "ont:x2"),
+    ("ont:x2", "ont:q", "ont:c"),
+    ("ont:b", "ont:r", "ont:z"),
+    ("ont:lone", "ont:p", "ont:nowhere"),  # p without a following q
+]
+
+
+@pytest.fixture()
+def duck_chain():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE triples(subj VARCHAR, pred VARCHAR, obj VARCHAR)")
+    con.executemany("INSERT INTO triples VALUES (?, ?, ?)", CHAIN)
+    return con
+
+
+def test_sequence_closure_plus(duck_chain):
+    rows = run(
+        duck_chain, "SELECT ?o WHERE { ont:a (ont:p/ont:q)+ ?o } ORDER BY ?o"
+    )
+    assert rows == [("ont:b",), ("ont:c",)]
+
+
+def test_sequence_closure_inverse(duck_chain):
+    # ^(p/q)+ == ((^q)/(^p))+ : walk the composite edges backwards
+    rows = run(
+        duck_chain, "SELECT ?o WHERE { ont:c ^(ont:p/ont:q)+ ?o } ORDER BY ?o"
+    )
+    assert rows == [("ont:a",), ("ont:b",)]
+
+
+def test_sequence_closure_star_and_opt(duck_chain):
+    rows = run(
+        duck_chain, "SELECT ?o WHERE { ont:a (ont:p/ont:q)* ?o } ORDER BY ?o"
+    )
+    assert rows == [("ont:a",), ("ont:b",), ("ont:c",)]
+    rows = run(
+        duck_chain, "SELECT ?o WHERE { ont:a (ont:p/ont:q)? ?o } ORDER BY ?o"
+    )
+    assert rows == [("ont:a",), ("ont:b",)]
+
+
+def test_sequence_group_splices_without_modifier(duck_chain):
+    # (p/q)/r == p/q/r: pure grouping
+    got = run(duck_chain, "SELECT ?o WHERE { ont:a (ont:p/ont:q)/ont:r ?o }")
+    want = run(duck_chain, "SELECT ?o WHERE { ont:a ont:p/ont:q/ont:r ?o }")
+    assert got == want == [("ont:z",)]
+
+
+def test_sequence_closure_in_longer_path(duck_chain):
+    # closure bounded on both sides by plain hops
+    rows = run(
+        duck_chain,
+        "SELECT ?o WHERE { ont:x1 ont:q/(ont:p/ont:q)+/ont:r ?o }",
+    )
+    # x1 -q-> b ; (p/q)+ from b = {c}; c has no r edge -> empty
+    assert rows == []
+    rows = run(
+        duck_chain,
+        "SELECT ?o WHERE { ont:x1 ont:q/(ont:p/ont:q)*/ont:r ?o }",
+    )
+    # zero-length arm keeps b -> b -r-> z
+    assert rows == [("ont:z",)]
+
+
+def test_sequence_closure_spark_dialect_matches_duckdb(spark, duck_chain):
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    spark.createDataFrame(
+        CHAIN, schema="subj string, pred string, obj string"
+    ).createOrReplaceTempView("seqtc_triples_v")
+    for q in (
+        "SELECT ?s ?o WHERE { ?s (ont:p/ont:q)+ ?o } ORDER BY ?s ?o",
+        "SELECT ?s ?o WHERE { ?s (ont:p/ont:q)? ?o } ORDER BY ?s ?o",
+        "SELECT ?o WHERE { ont:c ^(ont:p/ont:q)+ ?o } ORDER BY ?o",
+    ):
+        got = [
+            tuple(r)
+            for r in spark.sql(
+                sparql_to_sql(q, table="seqtc_triples_v", dialect="spark")
+            ).collect()
+        ]
+        want = run(duck_chain, q)
+        assert got == want
