@@ -373,6 +373,7 @@ def wl_colors(
     triples: DataFrame,
     rounds: int = 3,
     bnode_prefix: str = "_:",
+    freeze_named: bool = True,
 ) -> DataFrame:
     """Weisfeiler-Leman color refinement over the triple graph -> one
     structural signature per node: the deterministic skolemization /
@@ -388,6 +389,15 @@ def wl_colors(
     neighborhood unfolds identically (up to 60-bit hash-sum collision;
     negligible for non-adversarial graphs and engine-exact on both
     sides).
+
+    ``freeze_named`` (the default, URDNA2015's ground-term semantics):
+    named nodes keep their CONSTANT IRI-hash color across rounds —
+    identity flows from ground terms INTO blank nodes, never the other
+    way, so an edit in one bnode island can never relabel a different
+    island through a shared named hub (degree changes at nat:FR don't
+    echo back into every customer).  freeze_named=False is pure WL over
+    the whole graph (named nodes refine too) — the canonical-form /
+    isomorphism-signature mode.
 
     Scale shape: one edge-table self-design — (node, dir, pred, nbr) both
     directions — then per round ONE join (neighbor color lookup, keyed on
@@ -415,23 +425,26 @@ def wl_colors(
         .otherwise(F.md5(F.col("node")))
         .alias("color"),
     ).localCheckpoint(eager=False)
-    edges = (
+    edges = t.select(
+        F.col("subj").alias("node"),
+        F.lit("o").alias("dir"),
+        "pred",
+        F.col("obj").alias("nbr"),
+    ).unionByName(
         t.select(
-            F.col("subj").alias("node"),
-            F.lit("o").alias("dir"),
+            F.col("obj").alias("node"),
+            F.lit("i").alias("dir"),
             "pred",
-            F.col("obj").alias("nbr"),
+            F.col("subj").alias("nbr"),
         )
-        .unionByName(
-            t.select(
-                F.col("obj").alias("node"),
-                F.lit("i").alias("dir"),
-                "pred",
-                F.col("subj").alias("nbr"),
-            )
-        )
-        .localCheckpoint(eager=False)
     )
+    if freeze_named:
+        # frozen nodes never consume their multiset — drop their
+        # contributions up front: the 10^5-degree named hub (st:F,
+        # part:4711) costs ZERO aggregate work per round instead of
+        # re-summing its whole neighborhood for a color that can't change
+        edges = edges.where(F.col("node").startswith(bnode_prefix))
+    edges = edges.localCheckpoint(eager=False)
     for _ in range(rounds):
         nbr_color = color.select(
             F.col("node").alias("nbr"), F.col("color").alias("nbr_color")
@@ -459,14 +472,16 @@ def wl_colors(
                 ).alias("msig"),
             )
         )
+        refined = F.md5(
+            F.concat(F.col("color"), F.lit("#"), F.coalesce("msig", F.lit("")))
+        )
+        if freeze_named:
+            refined = F.when(
+                F.col("node").startswith(bnode_prefix), refined
+            ).otherwise(F.col("color"))
         color = (
             color.join(msig, "node", "left")
-            .select(
-                "node",
-                F.md5(
-                    F.concat(F.col("color"), F.lit("#"), F.coalesce("msig", F.lit("")))
-                ).alias("color"),
-            )
+            .select("node", refined.alias("color"))
             .localCheckpoint(eager=False)
         )
     return color
@@ -491,9 +506,14 @@ def skolemize_bnodes(
     )
 
 
-def sql_wl_colors(triples_sql: str, rounds: int = 3, bnode_prefix: str = "_:") -> str:
+def sql_wl_colors(
+    triples_sql: str,
+    rounds: int = 3,
+    bnode_prefix: str = "_:",
+    freeze_named: bool = True,
+) -> str:
     """DuckDB oracle: the identical refinement unrolled to ``rounds``
-    chained CTEs (list_sort + string_agg = the sorted multiset)."""
+    chained CTEs ((count, hash-sum) multiset combine)."""
     prologue = f"""WITH t AS MATERIALIZED (SELECT subj, pred, obj FROM ({triples_sql})),
 nodes AS (
   SELECT DISTINCT node FROM (
@@ -501,9 +521,11 @@ nodes AS (
   )
 ),
 edges AS MATERIALIZED (
-  SELECT subj AS node, 'o' AS dir, pred, obj AS nbr FROM t
-  UNION ALL
-  SELECT obj, 'i', pred, subj FROM t
+  SELECT * FROM (
+    SELECT subj AS node, 'o' AS dir, pred, obj AS nbr FROM t
+    UNION ALL
+    SELECT obj, 'i', pred, subj FROM t
+  ) {"WHERE starts_with(node, '" + bnode_prefix + "')" if freeze_named else ""}
 ),
 c0 AS (
   SELECT node,
@@ -518,9 +540,15 @@ c0 AS (
             "('0x' || substr(md5(e.dir || '|' || e.pred || '|' || c.color"
             " || ':wl'), 1, 15))::BIGINT"
         )
+        refined = "md5(p.color || '#' || coalesce(a.msig, ''))"
+        if freeze_named:
+            refined = (
+                f"CASE WHEN starts_with(p.node, '{bnode_prefix}') "
+                f"THEN {refined} ELSE p.color END"
+            )
         rounds_sql.append(f""",
 {cur} AS MATERIALIZED (
-  SELECT p.node, md5(p.color || '#' || coalesce(a.msig, '')) AS color
+  SELECT p.node, {refined} AS color
   FROM {prev} p LEFT JOIN (
     SELECT e.node,
            CAST(count(*) AS VARCHAR) || ':' ||
@@ -618,3 +646,72 @@ FROM (
 ) g
 LEFT JOIN overlap o ON g.cls_a = o.cls_a AND g.cls_b = o.cls_b
 WHERE coalesce(o.n_overlap, 0) * 1000000 // least(g.n_a, g.n_b) <= {max_overlap_ppm}"""
+
+
+def diff_bnode_invariant(
+    old: DataFrame, new: DataFrame, rounds: int = 3, bnode_prefix: str = "_:"
+) -> DataFrame:
+    """Graph diff UP TO BLANK-NODE RENAMING: skolemize both snapshots with
+    WL colors, rewrite each triple through its own skolem map, then set-
+    diff (triples.triple_diff's one-shuffle presence aggregate).
+
+    A plain diff of two rdflib serializations reports EVERY bnode-touching
+    triple as changed whenever the serializer re-labels (_:b0 today is
+    _:b17 tomorrow) — at re-crawl scale that drowns the real delta.  WL
+    skolem IRIs depend only on depth-``rounds`` structure, so re-labeled
+    but structurally identical islands cancel and the diff carries the
+    REAL changes (plus, for a changed island, its relabeled neighborhood
+    up to the WL horizon — the honest resolution limit of a k-round
+    refinement).  Output: (subj, pred, obj, change) over skolemized terms.
+    """
+    rewritten = []
+    for g in (old, new):
+        sk = skolemize_bnodes(g, rounds=rounds, bnode_prefix=bnode_prefix)
+        s_map = sk.select(F.col("node").alias("subj"), F.col("skolem").alias("_ssk"))
+        o_map = sk.select(F.col("node").alias("obj"), F.col("skolem").alias("_osk"))
+        rewritten.append(
+            g.join(s_map, "subj")
+            .join(o_map, "obj")
+            .select(
+                F.col("_ssk").alias("subj"),
+                "pred",
+                F.col("_osk").alias("obj"),
+            )
+        )
+    from nexus_forge_spark.operators.triples import triple_diff
+
+    return triple_diff(rewritten[0], rewritten[1])
+
+
+def sql_diff_bnode_invariant(
+    old_sql: str, new_sql: str, rounds: int = 3, bnode_prefix: str = "_:"
+) -> str:
+    """DuckDB oracle: skolemize each side with the WL oracle, rewrite,
+    then the same presence-aggregate diff."""
+    sides = []
+    for tag, src in (("o", old_sql), ("n", new_sql)):
+        colors = sql_wl_colors(src, rounds=rounds, bnode_prefix=bnode_prefix)
+        sides.append(f"""{tag}_g AS MATERIALIZED ({src}),
+{tag}_sk AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN starts_with(node, '{bnode_prefix}') THEN 'sk:' || color
+              ELSE node END AS skolem
+  FROM ({colors})
+),
+{tag}_rw AS (
+  SELECT s.skolem AS subj, g.pred, o.skolem AS obj
+  FROM {tag}_g g JOIN {tag}_sk s ON g.subj = s.node
+  JOIN {tag}_sk o ON g.obj = o.node
+)""")
+    return f"""WITH {sides[0]},
+{sides[1]}
+SELECT subj, pred, obj,
+       CASE WHEN in_new = 1 THEN 'added' ELSE 'removed' END AS change
+FROM (
+  SELECT subj, pred, obj, max(in_old) AS in_old, max(in_new) AS in_new
+  FROM (
+    SELECT DISTINCT subj, pred, obj, 1 AS in_old, 0 AS in_new FROM o_rw
+    UNION ALL
+    SELECT DISTINCT subj, pred, obj, 0, 1 FROM n_rw
+  ) GROUP BY subj, pred, obj
+) WHERE in_old <> in_new"""

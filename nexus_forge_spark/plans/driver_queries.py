@@ -11258,7 +11258,81 @@ WHERE c_custkey + s.step <= s.maxk"""
     return _wrap_triples_cte(tr, inner)
 
 
+def _bnode_diff_sides_sql() -> tuple[str, str]:
+    old = """SELECT '_:o' || o_orderkey AS subj, 'status' AS pred,
+       'st:' || o_orderstatus AS obj FROM orders
+UNION ALL
+SELECT '_:o' || o_orderkey, 'prio', 'pr:' || o_orderpriority FROM orders
+UNION ALL
+SELECT '_:o' || l_orderkey, 'contains', 'part:' || l_partkey FROM lineitem"""
+    new = """SELECT '_:n' || o_orderkey AS subj, 'status' AS pred,
+       CASE WHEN o_orderkey % 211 = 0 THEN 'st:FLIPPED'
+            ELSE 'st:' || o_orderstatus END AS obj FROM orders
+UNION ALL
+SELECT '_:n' || o_orderkey, 'prio', 'pr:' || o_orderpriority FROM orders
+WHERE o_orderkey % 401 <> 0
+UNION ALL
+SELECT '_:n' || l_orderkey, 'contains', 'part:' || l_partkey FROM lineitem"""
+    return old, new
+
+
+def q_kg_bnode_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph diff up to blank-node renaming (operators/ontology.py
+    diff_bnode_invariant): the NEW snapshot relabels EVERY order bnode
+    (_:o -> _:n, exactly what a re-serialization does) and really changes
+    two small slices (status flip on %211, dropped prio edge on %401) —
+    a label-sensitive diff would report all ~750k triples changed; the
+    WL-skolemized diff reports only the truly edited islands.  Named
+    nodes keep frozen colors (URDNA2015 ground-term semantics), so an
+    edit cannot echo into unrelated islands through a shared part/status
+    hub."""
+    from nexus_forge_spark.operators.ontology import diff_bnode_invariant
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+
+    def side(tag: str, flip: bool) -> DataFrame:
+        sub = F.concat(F.lit(f"_:{tag}"), F.col("o_orderkey").cast("string"))
+        status_obj = F.concat(F.lit("st:"), F.col("o_orderstatus"))
+        if flip:
+            status_obj = F.when(
+                F.col("o_orderkey") % 211 == 0, F.lit("st:FLIPPED")
+            ).otherwise(status_obj)
+        status = orders.select(
+            sub.alias("subj"), F.lit("status").alias("pred"), status_obj.alias("obj")
+        )
+        prio = orders.select(
+            sub.alias("subj"),
+            F.lit("prio").alias("pred"),
+            F.concat(F.lit("pr:"), F.col("o_orderpriority")).alias("obj"),
+        )
+        if flip:
+            prio = prio.where(
+                F.expr("CAST(substring(subj, 4) AS BIGINT) % 401 <> 0")
+            )
+        contains = li.select(
+            F.concat(F.lit(f"_:{tag}"), F.col("l_orderkey").cast("string")).alias(
+                "subj"
+            ),
+            F.lit("contains").alias("pred"),
+            F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("obj"),
+        )
+        return status.unionByName(prio).unionByName(contains)
+
+    return diff_bnode_invariant(side("o", False), side("n", True), rounds=2)
+
+
+def sql_kg_bnode_diff() -> str:
+    from nexus_forge_spark.operators.ontology import sql_diff_bnode_invariant
+
+    old, new = _bnode_diff_sides_sql()
+    return sql_diff_bnode_invariant(old, new, rounds=2)
+
+
 QUERIES = {
+    "kg_bnode_diff": (q_kg_bnode_diff, sql_kg_bnode_diff),
     "sparql_seq_closure": (q_sparql_seq_closure, sql_sparql_seq_closure),
     "kg_r2rml_map": (q_kg_r2rml_map, sql_kg_r2rml_map),
     "kg_ifp_canonical": (q_kg_ifp_canonical, sql_kg_ifp_canonical),
