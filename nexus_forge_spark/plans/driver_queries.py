@@ -11331,7 +11331,94 @@ def sql_kg_bnode_diff() -> str:
     return sql_diff_bnode_invariant(old, new, rounds=2)
 
 
+_KGE_EVAL_MAX_VIA = 40
+
+
+def q_kge_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction quality measured by the filtered ranking protocol
+    (operators/kge.py ranking_eval over operators/graph.py
+    link_prediction): co-purchase edges are split by ORDER (train = 7/8
+    of orders, no pair leakage), candidates scored by the
+    resource-allocation index on the TRAIN graph only, and each held-out
+    pair's true partner is ranked among the scored candidates with train
+    positives excluded — MRR/Hits@k in integer ppm, no per-query sort
+    anywhere (Hits@k needs only the count of candidates beating the true
+    one)."""
+    from nexus_forge_spark.operators.graph import link_prediction
+    from nexus_forge_spark.operators.kge import ranking_eval
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    train_e = li.where(F.col("l_orderkey") % 8 != 0).select(
+        F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("item"),
+        F.concat(F.lit("ord:"), F.col("l_orderkey").cast("string")).alias("via"),
+    )
+    scored = link_prediction(train_e, max_via_degree=_KGE_EVAL_MAX_VIA).select(
+        F.col("a").alias("q"), F.col("b").alias("cand"),
+        F.col("ra_scaled").alias("score"),
+    )
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_orderkey").alias("ok"),
+            F.concat(F.lit("part:"), F.col("x.l_partkey").cast("string")).alias("q"),
+            F.concat(F.lit("part:"), F.col("y.l_partkey").cast("string")).alias(
+                "cand"
+            ),
+        )
+    )
+    train_pairs = pairs.where(F.col("ok") % 8 != 0).select("q", "cand").distinct()
+    test_pairs = (
+        pairs.where(F.col("ok") % 8 == 0)
+        .select("q", F.col("cand").alias("true_cand"))
+        .distinct()
+        .join(
+            train_pairs.select("q", F.col("cand").alias("true_cand")),
+            ["q", "true_cand"],
+            "left_anti",
+        )
+    )
+    return ranking_eval(scored, test_pairs, train_pairs)
+
+
+def sql_kge_ranking_eval() -> str:
+    from nexus_forge_spark.operators.kge import sql_ranking_eval
+
+    # the RA-scored candidate table: shared-order neighbors over TRAIN
+    # orders with the same max_via_degree hub guard and integer div
+    scored = f"""WITH g AS (
+  SELECT DISTINCT 'part:' || l_partkey AS item, 'ord:' || l_orderkey AS via
+  FROM lineitem WHERE l_orderkey % 8 <> 0
+),
+deg AS (
+  SELECT via, count(*) AS deg FROM g GROUP BY via
+  HAVING count(*) <= {_KGE_EVAL_MAX_VIA}
+),
+contrib AS (
+  SELECT g.via, g.item, 1000000 // d.deg AS contrib
+  FROM g JOIN deg d ON g.via = d.via
+)
+SELECT x.item AS q, y.item AS cand,
+       CAST(sum(x.contrib) AS BIGINT) AS score
+FROM contrib x JOIN contrib y ON x.via = y.via AND x.item < y.item
+GROUP BY x.item, y.item"""
+    pairs = """SELECT x.l_orderkey AS ok,
+       'part:' || x.l_partkey AS q, 'part:' || y.l_partkey AS cand
+FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+WHERE x.l_partkey < y.l_partkey"""
+    train = f"SELECT DISTINCT q, cand FROM ({pairs}) WHERE ok % 8 <> 0"
+    test = f"""SELECT q, true_cand FROM (
+  SELECT DISTINCT q, cand AS true_cand FROM ({pairs}) WHERE ok % 8 = 0
+) h
+WHERE NOT EXISTS (
+  SELECT 1 FROM ({train}) tr WHERE tr.q = h.q AND tr.cand = h.true_cand
+)"""
+    return sql_ranking_eval(scored, test, train)
+
+
 QUERIES = {
+    "kge_ranking_eval": (q_kge_ranking_eval, sql_kge_ranking_eval),
     "kg_bnode_diff": (q_kg_bnode_diff, sql_kg_bnode_diff),
     "sparql_seq_closure": (q_sparql_seq_closure, sql_sparql_seq_closure),
     "kg_r2rml_map": (q_kg_r2rml_map, sql_kg_r2rml_map),
