@@ -170,14 +170,19 @@ def flatten_rdf_lists(
 ) -> DataFrame:
     """rdf:first/rdf:rest cons chains -> (head, pos, item), pos 0-based.
 
-    Heads are cons cells no rest-edge points to.  Positions come from a
-    min-plus pointer-doubling closure over the rest successor function:
-    dist_{k+1} = min(dist_k, dist_k + dist_k), so a length-L list needs
-    ceil(log2 L) shuffle-join rounds, not L (the successor function is
-    functional, so every (src, dst) distance is unique and min() is just
-    dedup).  Cells with a dangling rest target (neither a cell nor nil)
-    terminate their chain at that cell — malformed tails surface as a
-    shorter list, not an error.
+    Heads are cons cells no rest-edge points to.  Positions come from
+    Wyllie list ranking: a per-node jump table (2^k-th successor +
+    distance, saturating at the chain end) is squared each round while a
+    per-head "known positions" set doubles by shifting itself through the
+    jump table.  Both sides stay O(nodes) rows per round — the full
+    (src, dst) closure the previous design materialized was O(L^2) per
+    list — so a length-L list costs ceil(log2 L) shuffle-join rounds and
+    O(L log L) total rows.  Shared tails stay correct because every
+    extension follows real successor pointers (a node in one list's
+    exclusive prefix is never attributed to another head).  Cells with a
+    dangling rest target (neither a cell nor nil) terminate their chain
+    at that cell — malformed tails surface as a shorter list, not an
+    error.
     """
     first = triples.where(F.col("pred") == first_pred).select(
         F.col("subj").alias("cell"), F.col("obj").alias("item")
@@ -187,39 +192,47 @@ def flatten_rdf_lists(
     ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
 
     cells = first.select(F.col("cell").alias("src")).distinct()
-    ident = cells.select("src", F.col("src").alias("dst"), F.lit(0).alias("d"))
-    reach = (
-        ident.unionByName(rest.select("src", "dst", F.lit(1).alias("d")))
-        .distinct()
+    nodes = cells.unionByName(rest.select(F.col("dst").alias("src"))).distinct()
+    jump = (
+        nodes.join(rest, "src", "left")
+        .select(
+            "src",
+            F.coalesce("dst", F.col("src")).alias("j"),
+            F.when(F.col("dst").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("d"),
+        )
         .localCheckpoint(eager=True)
     )
-    n = reach.count()
+    heads = cells.join(
+        rest.select(F.col("dst").alias("src")).distinct(), "src", "left_anti"
+    )
+    known = heads.select(
+        F.col("src").alias("head"),
+        F.col("src").alias("node"),
+        F.lit(0).alias("pos"),
+    ).localCheckpoint(eager=True)
+    n = known.count()
     for _ in range(max_rounds):
-        hop = reach.select(F.col("src").alias("_j"), F.col("dst"), F.col("d").alias("d2"))
-        step = (
-            reach.select("src", F.col("dst").alias("_j"), "d")
-            .join(hop, "_j")
-            .select("src", "dst", (F.col("d") + F.col("d2")).alias("d"))
+        shifted = known.join(
+            jump.select(F.col("src").alias("node"), "j", "d"), "node"
+        ).select(
+            "head", F.col("j").alias("node"), (F.col("pos") + F.col("d")).alias("pos")
         )
-        nxt = reach.unionByName(step).distinct().localCheckpoint(eager=True)
+        nxt = known.unionByName(shifted).distinct().localCheckpoint(eager=True)
         n2 = nxt.count()
         if n2 == n:
             break
-        reach, n = nxt, n2
+        sq = jump.select(F.col("src").alias("j"), F.col("j").alias("j2"), F.col("d").alias("d2"))
+        jump = (
+            jump.join(sq, "j")
+            .select("src", F.col("j2").alias("j"), (F.col("d") + F.col("d2")).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        known, n = nxt, n2
     else:
         raise ClosureError(f"flatten_rdf_lists: not converged in {max_rounds} rounds")
 
-    heads = cells.join(
-        rest.select(F.col("dst").alias("src")).distinct(), "src", "left_anti"
-    ).select(F.col("src").alias("head"))
-    return (
-        reach.join(heads, reach.src == F.col("head"))
-        .join(first, reach.dst == first.cell)
-        .select(
-            F.col("head"),
-            F.col("d").cast("long").alias("pos"),
-            F.col("item"),
-        )
+    return known.join(first, known.node == first.cell).select(
+        F.col("head"), F.col("pos").cast("long").alias("pos"), F.col("item")
     )
 
 
