@@ -17,9 +17,8 @@ hierarchies and length-L lists converge in ceil(log2) rounds, not d/L
 rounds; each round is one shuffle keyed on the hop node, with
 ``localCheckpoint`` truncating lineage.  Ontology class universes are
 10^2..10^6 rows (always broadcastable against a 10^12-instance fact
-side), and rdf lists in practice are short (bounded per-document spans);
-the O(L^2) pair closure a doubling walk materializes is bounded by
-sum_of_squares over per-list lengths, not corpus size.
+side), and rdf lists cost O(L log L) rows via Wyllie list ranking —
+never an O(L^2) pair closure.
 """
 
 from __future__ import annotations
@@ -728,3 +727,230 @@ FROM (
     SELECT DISTINCT subj, pred, obj, 0, 1 FROM n_rw
   ) GROUP BY subj, pred, obj
 ) WHERE in_old <> in_new"""
+
+
+def rdfs_entailment(
+    triples: DataFrame,
+    subclass: DataFrame,
+    subprop: DataFrame,
+    domains: DataFrame,
+    ranges: DataFrame,
+    type_pred: str = "rdf:type",
+    subclass_pred: str = "rdfs:subClassOf",
+    subprop_pred: str = "rdfs:subPropertyOf",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Full RDFS materialization over the rdfs2/3/5/7/9/11 fragment.
+
+    Inputs: data triples (subj, pred, obj) — rows whose pred equals
+    ``type_pred`` are treated as asserted types; schema tables
+    subclass/subprop as (child, parent), domains/ranges as (pred, cls).
+    Output: the DISTINCT entailed graph — property triples closed under
+    subPropertyOf (rdfs7), rdf:type triples from asserted types plus
+    domain (rdfs2) and range (rdfs3) typing of the CLOSED property
+    triples, rolled up the subClassOf closure (rdfs9/11), plus the
+    schema closure itself emitted as subClassOf/subPropertyOf triples
+    (rdfs5/11).
+
+    The RDFS fragment stratifies — subPropertyOf closure feeds rdfs7,
+    whose output feeds rdfs2/3, whose output feeds rdfs9 — so NO
+    global fixpoint loop is needed: two iterative-doubling closures
+    over the (tiny, broadcastable) schema plus three broadcast joins
+    against the fact side, each fact partition touched once per rule.
+    At 10^12 triples every rule is map-side: the schema closures are
+    O(schema^2) rows at worst and broadcast, the fact side never
+    re-shuffles.  Reference analogue: nexus-forge validates against
+    RDFS-entailed shapes (kgforge/specializations/models/rdf_model.py
+    imports + sh:node flattening) but never materializes entailment at
+    scale.
+    """
+    spc = transitive_closure(subprop, max_rounds=max_rounds)
+    scc = transitive_closure(subclass, max_rounds=max_rounds)
+
+    data = triples.select("subj", "pred", "obj")
+    props = data.where(F.col("pred") != type_pred)
+    # rdfs7: p subPropertyOf* q, (s p o) => (s q o)
+    prop_ent = props.unionByName(
+        props.join(F.broadcast(spc), props.pred == spc.node).select(
+            "subj", F.col("anc").alias("pred"), "obj"
+        )
+    )
+    dom = domains.select(F.col("pred").alias("_p"), F.col("cls"))
+    rng = ranges.select(F.col("pred").alias("_p"), F.col("cls"))
+    types0 = (
+        data.where(F.col("pred") == type_pred)
+        .select(F.col("subj").alias("inst"), F.col("obj").alias("cls"))
+        .unionByName(
+            prop_ent.join(F.broadcast(dom), prop_ent.pred == dom._p).select(
+                F.col("subj").alias("inst"), "cls"
+            )
+        )
+        .unionByName(
+            prop_ent.join(F.broadcast(rng), prop_ent.pred == rng._p).select(
+                F.col("obj").alias("inst"), "cls"
+            )
+        )
+    )
+    types_all = types0.unionByName(
+        types0.join(F.broadcast(scc), types0.cls == scc.node).select(
+            "inst", F.col("anc").alias("cls")
+        )
+    )
+    schema = (
+        subclass.select(
+            F.col("child").alias("subj"),
+            F.lit(subclass_pred).alias("pred"),
+            F.col("parent").alias("obj"),
+        )
+        .where(F.col("subj") != F.col("obj"))
+        .unionByName(
+            scc.select(
+                F.col("node").alias("subj"),
+                F.lit(subclass_pred).alias("pred"),
+                F.col("anc").alias("obj"),
+            )
+        )
+        .unionByName(
+            subprop.select(
+                F.col("child").alias("subj"),
+                F.lit(subprop_pred).alias("pred"),
+                F.col("parent").alias("obj"),
+            ).where(F.col("subj") != F.col("obj"))
+        )
+        .unionByName(
+            spc.select(
+                F.col("node").alias("subj"),
+                F.lit(subprop_pred).alias("pred"),
+                F.col("anc").alias("obj"),
+            )
+        )
+    )
+    return (
+        prop_ent.unionByName(
+            types_all.select(
+                F.col("inst").alias("subj"),
+                F.lit(type_pred).alias("pred"),
+                F.col("cls").alias("obj"),
+            )
+        )
+        .unionByName(schema)
+        .distinct()
+    )
+
+
+def sql_rdfs_entailment(
+    triples_sql: str,
+    subclass_sql: str,
+    subprop_sql: str,
+    domains_sql: str,
+    ranges_sql: str,
+    type_pred: str = "rdf:type",
+    subclass_pred: str = "rdfs:subClassOf",
+    subprop_pred: str = "rdfs:subPropertyOf",
+) -> str:
+    """DuckDB oracle: recursive-CTE schema closures + the same stratified
+    rule joins.  triples_sql -> (subj, pred, obj); subclass/subprop ->
+    (child, parent); domains/ranges -> (pred, cls)."""
+    return f"""WITH RECURSIVE trip AS MATERIALIZED ({triples_sql}),
+sub_c AS MATERIALIZED ({subclass_sql}),
+sub_p AS MATERIALIZED ({subprop_sql}),
+dom AS MATERIALIZED ({domains_sql}),
+rng AS MATERIALIZED ({ranges_sql}),
+spc(node, anc) AS (
+  SELECT child, parent FROM sub_p WHERE child <> parent
+  UNION
+  SELECT s.node, p.parent FROM spc s JOIN sub_p p ON s.anc = p.child
+  WHERE s.node <> p.parent
+),
+scc(node, anc) AS (
+  SELECT child, parent FROM sub_c WHERE child <> parent
+  UNION
+  SELECT s.node, p.parent FROM scc s JOIN sub_c p ON s.anc = p.child
+  WHERE s.node <> p.parent
+),
+prop_ent AS (
+  SELECT subj, pred, obj FROM trip WHERE pred <> '{type_pred}'
+  UNION ALL
+  SELECT t.subj, s.anc AS pred, t.obj FROM trip t JOIN spc s ON t.pred = s.node
+  WHERE t.pred <> '{type_pred}'
+),
+types0 AS (
+  SELECT subj AS inst, obj AS cls FROM trip WHERE pred = '{type_pred}'
+  UNION ALL
+  SELECT p.subj, d.cls FROM prop_ent p JOIN dom d ON p.pred = d.pred
+  UNION ALL
+  SELECT p.obj, r.cls FROM prop_ent p JOIN rng r ON p.pred = r.pred
+),
+types_all AS (
+  SELECT inst, cls FROM types0
+  UNION ALL
+  SELECT t.inst, c.anc FROM types0 t JOIN scc c ON t.cls = c.node
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM prop_ent
+  UNION ALL
+  SELECT inst, '{type_pred}', cls FROM types_all
+  UNION ALL
+  SELECT child, '{subclass_pred}', parent FROM sub_c WHERE child <> parent
+  UNION ALL
+  SELECT node, '{subclass_pred}', anc FROM scc
+  UNION ALL
+  SELECT child, '{subprop_pred}', parent FROM sub_p WHERE child <> parent
+  UNION ALL
+  SELECT node, '{subprop_pred}', anc FROM spc
+)"""
+
+
+def owl_transitive_entail(
+    triples: DataFrame,
+    trans_preds: list[str],
+    max_rounds: int = 20,
+) -> DataFrame:
+    """owl:TransitiveProperty entailment: for each pred declared
+    transitive, the full closure (s p o), (o p o2) => (s p o2),
+    self-loops included when cycles entail them.
+
+    ALL listed predicates close in ONE plan: the pred is part of the
+    join key, so iterative doubling reach_{k+1} = reach_k UNION
+    (reach_k JOIN reach_k ON (pred, node)) converges in ceil(log2 d)
+    shuffle rounds where d is the DEEPEST chain across all preds —
+    shallow predicates ride along at no extra rounds.  The closure of a
+    chain is inherently O(L^2) pairs; callers bound L by construction
+    (provenance chains, containment hierarchies), not the operator.
+    """
+    reach = (
+        triples.where(F.col("pred").isin(list(trans_preds)))
+        .select("subj", "pred", "obj")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = reach.count()
+    for _ in range(max_rounds):
+        hop = reach.select(
+            F.col("pred").alias("_p"), F.col("subj").alias("_j"), F.col("obj")
+        )
+        step = (
+            reach.select("subj", F.col("pred").alias("_p"), F.col("obj").alias("_j"))
+            .join(hop, ["_p", "_j"])
+            .select("subj", F.col("_p").alias("pred"), "obj")
+        )
+        nxt = reach.unionByName(step).distinct().localCheckpoint(eager=True)
+        n2 = nxt.count()
+        if n2 == n:
+            return nxt
+        reach, n = nxt, n2
+    raise ClosureError(f"owl_transitive_entail: not converged in {max_rounds} rounds")
+
+
+def sql_owl_transitive_entail(triples_sql: str, trans_preds: list[str]) -> str:
+    """DuckDB oracle: linear recursive closure keyed by pred."""
+    preds = ", ".join(f"'{p}'" for p in trans_preds)
+    return f"""WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT subj, pred, obj FROM ({triples_sql}) WHERE pred IN ({preds})
+),
+cl(subj, pred, obj) AS (
+  SELECT subj, pred, obj FROM e
+  UNION
+  SELECT c.subj, c.pred, e.obj FROM cl c JOIN e ON c.pred = e.pred AND c.obj = e.subj
+)
+SELECT subj, pred, obj FROM cl"""

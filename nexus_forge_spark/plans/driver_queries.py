@@ -11417,7 +11417,140 @@ WHERE NOT EXISTS (
     return sql_ranking_eval(scored, test, train)
 
 
+def q_kg_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full RDFS materialization (operators/ontology.py rdfs_entailment,
+    rdfs2/3/5/7/9/11): order placements become ord:placed triples whose
+    subPropertyOf chain (placed < participatedIn < relatedTo) entails two
+    more predicates per fact, domains/ranges type both endpoints, asserted
+    :PremiumCustomer types (acctbal > 5000) roll up the class hierarchy.
+    The schema closes via two iterative-doubling joins over the tiny
+    (child, parent) tables; every rule is then ONE broadcast join against
+    the fact side — the 10^12-triple posture is fact-scan x rule count,
+    no fact re-shuffle.  Reference analogue: RdfModel validates against
+    RDFS-entailed shapes (kgforge/specializations/models/rdf_model.py)
+    but never materializes entailment."""
+    from nexus_forge_spark.operators.ontology import rdfs_entailment
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_acctbal")
+    facts = orders.select(
+        F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")).alias("subj"),
+        F.lit("ord:placed").alias("pred"),
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("obj"),
+    ).unionByName(
+        cust.where(F.col("c_acctbal") > 5000).select(
+            F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("subj"),
+            F.lit("rdf:type").alias("pred"),
+            F.lit(":PremiumCustomer").alias("obj"),
+        )
+    )
+    subclass = spark.createDataFrame(
+        [
+            (":PremiumCustomer", ":Customer"),
+            (":Customer", ":Agent"),
+            (":Agent", ":Entity"),
+            (":Order", ":Artifact"),
+            (":Artifact", ":Entity"),
+        ],
+        "child string, parent string",
+    )
+    subprop = spark.createDataFrame(
+        [("ord:placed", "ord:participatedIn"), ("ord:participatedIn", "ord:relatedTo")],
+        "child string, parent string",
+    )
+    domains = spark.createDataFrame(
+        [("ord:placed", ":Customer"), ("ord:participatedIn", ":Agent")],
+        "pred string, cls string",
+    )
+    ranges = spark.createDataFrame([("ord:placed", ":Order")], "pred string, cls string")
+    return rdfs_entailment(facts, subclass, subprop, domains, ranges)
+
+
+def sql_kg_rdfs_entailment() -> str:
+    from nexus_forge_spark.operators.ontology import sql_rdfs_entailment
+
+    facts = """SELECT 'cust:' || o_custkey AS subj, 'ord:placed' AS pred,
+       'order:' || o_orderkey AS obj FROM orders
+UNION ALL
+SELECT 'cust:' || c_custkey, 'rdf:type', ':PremiumCustomer'
+FROM customer WHERE c_acctbal > 5000"""
+    subclass = """SELECT * FROM (VALUES
+  (':PremiumCustomer', ':Customer'), (':Customer', ':Agent'),
+  (':Agent', ':Entity'), (':Order', ':Artifact'),
+  (':Artifact', ':Entity')) AS t(child, parent)"""
+    subprop = """SELECT * FROM (VALUES
+  ('ord:placed', 'ord:participatedIn'),
+  ('ord:participatedIn', 'ord:relatedTo')) AS t(child, parent)"""
+    domains = """SELECT * FROM (VALUES
+  ('ord:placed', ':Customer'),
+  ('ord:participatedIn', ':Agent')) AS t(pred, cls)"""
+    ranges = "SELECT * FROM (VALUES ('ord:placed', ':Order')) AS t(pred, cls)"
+    return sql_rdfs_entailment(facts, subclass, subprop, domains, ranges)
+
+
+def q_kg_transitive_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:TransitiveProperty entailment (operators/ontology.py
+    owl_transitive_entail): per-customer order chains (each order
+    ord:precedes the customer's next order by date) and the geo
+    containment chain (nation geo:within region geo:within geo:World)
+    close TOGETHER in one iterative-doubling plan — the pred is part of
+    the join key, so the deepest chain (~10 orders per customer) sets
+    the round count (ceil log2) and the 2-deep geo chain rides along."""
+    from pyspark.sql.window import Window
+
+    from nexus_forge_spark.operators.ontology import owl_transitive_entail
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    precedes = orders.select(
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("subj"),
+        F.lit("ord:precedes").alias("pred"),
+        F.lead(F.concat(F.lit("order:"), F.col("o_orderkey").cast("string"))).over(w).alias("obj"),
+    ).where(F.col("obj").isNotNull())
+    nation = load_table(spark, "nation", sf_dir).select("n_name", "n_regionkey")
+    region = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+    geo = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.concat(F.lit("nation:"), F.col("n_name")).alias("subj"),
+            F.lit("geo:within").alias("pred"),
+            F.concat(F.lit("region:"), F.col("r_name")).alias("obj"),
+        )
+        .unionByName(
+            region.select(
+                F.concat(F.lit("region:"), F.col("r_name")).alias("subj"),
+                F.lit("geo:within").alias("pred"),
+                F.lit("geo:World").alias("obj"),
+            )
+        )
+    )
+    return owl_transitive_entail(
+        precedes.unionByName(geo), ["ord:precedes", "geo:within"]
+    )
+
+
+def sql_kg_transitive_entail() -> str:
+    from nexus_forge_spark.operators.ontology import sql_owl_transitive_entail
+
+    triples = """SELECT subj, pred, obj FROM (
+  SELECT 'order:' || o_orderkey AS subj, 'ord:precedes' AS pred,
+         'order:' || lead(o_orderkey) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS obj
+  FROM orders
+) WHERE obj IS NOT NULL
+UNION ALL
+SELECT 'nation:' || n.n_name, 'geo:within', 'region:' || r.r_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+UNION ALL
+SELECT 'region:' || r_name, 'geo:within', 'geo:World' FROM region"""
+    return sql_owl_transitive_entail(triples, ["ord:precedes", "geo:within"])
+
+
 QUERIES = {
+    "kg_rdfs_entailment": (q_kg_rdfs_entailment, sql_kg_rdfs_entailment),
+    "kg_transitive_entail": (q_kg_transitive_entail, sql_kg_transitive_entail),
     "kge_ranking_eval": (q_kge_ranking_eval, sql_kge_ranking_eval),
     "kg_bnode_diff": (q_kg_bnode_diff, sql_kg_bnode_diff),
     "sparql_seq_closure": (q_sparql_seq_closure, sql_sparql_seq_closure),

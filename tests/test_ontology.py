@@ -114,3 +114,99 @@ def test_flatten_lists_matches_duckdb_oracle(spark):
     )
     want = sorted(duckdb.connect().execute(sql_flatten_rdf_lists(t_sql)).fetchall())
     assert got == [tuple(w) for w in want]
+
+
+def _trips(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_rdfs_entailment_stratified_rules(spark):
+    """rdfs7 output must feed rdfs2 (domain of a SUPER-property types the
+    subject) and rdfs9/11 must roll asserted + derived types up the
+    subClassOf closure."""
+    from nexus_forge_spark.operators.ontology import rdfs_entailment
+
+    facts = _trips(spark, [("a", "p", "b"), ("x", "rdf:type", ":Sub")])
+    subclass = spark.createDataFrame(
+        [(":Sub", ":Mid"), (":Mid", ":Top"), (":QDom", ":DomTop")],
+        "child string, parent string",
+    )
+    subprop = spark.createDataFrame([("p", "q")], "child string, parent string")
+    domains = spark.createDataFrame([("q", ":QDom")], "pred string, cls string")
+    ranges = spark.createDataFrame([("q", ":QRng")], "pred string, cls string")
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in rdfs_entailment(facts, subclass, subprop, domains, ranges).collect()
+    }
+    # rdfs7: (a q b); rdfs2 on the ENTAILED triple: (a type :QDom);
+    # rdfs11 rolls it to :DomTop; rdfs3: (b type :QRng)
+    assert ("a", "q", "b") in got
+    assert ("a", "rdf:type", ":QDom") in got
+    assert ("a", "rdf:type", ":DomTop") in got
+    assert ("b", "rdf:type", ":QRng") in got
+    # asserted type rolled up two levels
+    assert ("x", "rdf:type", ":Mid") in got and ("x", "rdf:type", ":Top") in got
+    # schema closure emitted as triples
+    assert (":Sub", "rdfs:subClassOf", ":Top") in got
+    assert ("p", "rdfs:subPropertyOf", "q") in got
+    # original triple survives, and nothing is duplicated
+    assert ("a", "p", "b") in got
+
+
+def test_rdfs_entailment_matches_duckdb(spark):
+    from nexus_forge_spark.operators.ontology import (
+        rdfs_entailment,
+        sql_rdfs_entailment,
+    )
+
+    fact_rows = [(f"s{i % 7}", "p" if i % 3 else "p2", f"o{i % 5}") for i in range(40)]
+    fact_rows += [(f"s{i}", "rdf:type", ":A") for i in range(4)]
+    facts = _trips(spark, fact_rows)
+    subclass = spark.createDataFrame(
+        [(":A", ":B"), (":B", ":C")], "child string, parent string"
+    )
+    subprop = spark.createDataFrame(
+        [("p", "q"), ("p2", "q")], "child string, parent string"
+    )
+    domains = spark.createDataFrame([("q", ":B")], "pred string, cls string")
+    ranges = spark.createDataFrame([("p", ":A")], "pred string, cls string")
+    got = sorted(
+        (r.subj, r.pred, r.obj)
+        for r in rdfs_entailment(facts, subclass, subprop, domains, ranges).collect()
+    )
+    f_sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"('{s}', '{p}', '{o}')" for s, p, o in fact_rows
+    ) + ") AS t(subj, pred, obj)"
+    sql = sql_rdfs_entailment(
+        f_sql,
+        "SELECT * FROM (VALUES (':A', ':B'), (':B', ':C')) AS t(child, parent)",
+        "SELECT * FROM (VALUES ('p', 'q'), ('p2', 'q')) AS t(child, parent)",
+        "SELECT * FROM (VALUES ('q', ':B')) AS t(pred, cls)",
+        "SELECT * FROM (VALUES ('p', ':A')) AS t(pred, cls)",
+    )
+    want = sorted(duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_owl_transitive_entail_two_preds_one_plan(spark):
+    from nexus_forge_spark.operators.ontology import owl_transitive_entail
+
+    rows = [(f"n{i}", "deep", f"n{i + 1}") for i in range(9)]
+    rows += [("a", "shallow", "b"), ("b", "shallow", "c")]
+    rows += [("x", "other", "y"), ("y", "other", "z")]  # NOT closed
+    out = owl_transitive_entail(_trips(spark, rows), ["deep", "shallow"])
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("n0", "deep", "n9") in got
+    assert ("a", "shallow", "c") in got
+    assert not any(p == "other" for _, p, _ in got)
+    assert sum(1 for _, p, _ in got if p == "deep") == 9 * 10 // 2
+
+
+def test_owl_transitive_cycle_entails_self_loops(spark):
+    from nexus_forge_spark.operators.ontology import owl_transitive_entail
+
+    out = owl_transitive_entail(
+        _trips(spark, [("a", "t", "b"), ("b", "t", "a")]), ["t"]
+    )
+    got = {(r.subj, r.obj) for r in out.collect()}
+    assert got == {("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")}
