@@ -435,3 +435,191 @@ def pr_curve(
             "AS BIGINT)"
         ).alias("f1_ppm"),
     )
+
+
+def _em_w_sql(lam: str, ms: list[str], us: list[str], gcols: list[str], div: str) -> str:
+    """Render the E-step posterior w_ppm as one integer SQL expression.
+
+    w = lam*prod(m-terms) / (lam*prod(m) + (1-lam)*prod(u)) in ppm,
+    every multiply immediately rescaled by DIV 1e6 (truncating; all
+    operands non-negative so Spark DIV, DuckDB // and Python // agree).
+    Degenerate all-zero numerator+denominator falls back to 500000.
+    Params arrive as SQL expression strings so the same builder serves
+    literal ints (round 1 / Spark driver loop) and CTE column refs
+    (the unrolled DuckDB oracle)."""
+    num = f"CAST({lam} AS BIGINT)"
+    for m, c in zip(ms, gcols):
+        num = (
+            f"(({num}) * (CASE WHEN {c} = 1 THEN ({m}) "
+            f"ELSE (1000000 - ({m})) END)) {div} 1000000"
+        )
+    den = f"CAST(1000000 - ({lam}) AS BIGINT)"
+    for u, c in zip(us, gcols):
+        den = (
+            f"(({den}) * (CASE WHEN {c} = 1 THEN ({u}) "
+            f"ELSE (1000000 - ({u})) END)) {div} 1000000"
+        )
+    return (
+        f"(CASE WHEN ({num}) + ({den}) = 0 THEN 500000 "
+        f"ELSE (({num}) * 1000000) {div} (({num}) + ({den})) END)"
+    )
+
+
+def _clamp_ppm(x: int) -> int:
+    return max(1, min(999999, x))
+
+
+def em_fs_train(
+    pairs: DataFrame,
+    gamma_cols: list[str],
+    id_cols: tuple[str, str] = ("a", "b"),
+    rounds: int = 2,
+    init_lambda_ppm: int = 500000,
+    init_m_ppm: int = 750000,
+    init_u_ppm: int = 250000,
+    match_threshold_ppm: int = 500000,
+):
+    """Unsupervised Fellegi-Sunter parameter estimation by EM
+    (Splink-style): learn per-field m = P(agree|match), u =
+    P(agree|unmatch) and the match prior lambda from UNLABELED blocked
+    candidate pairs, then score every pair with the learned posterior.
+
+    Engine-exactness: all probabilities are BIGINT ppm; every product
+    rescales with truncating integer division and every ratio is
+    (num*1e6) DIV den, so the DuckDB oracle (sql_em_fs_train, the same
+    algebra unrolled into per-round CTEs) matches hash-for-hash — the
+    naive float EM would drift across libm builds exactly like the
+    F.log micro-nat hazard this repo already swept out.
+
+    Scale: each round is ONE map-side-combined aggregate over the pair
+    table (the E-step posterior is a pure per-row expression — no
+    shuffle beyond the final partial-agg exchange) producing a single
+    2K+3-value row; the M-step division happens driver-side on exact
+    Python ints (same truncation), so K fields x R rounds costs R fact
+    scans and zero data shuffles.  Params are clamped to [1, 999999]
+    ppm so no field becomes absorbing.  Returns (scored_pairs, params):
+    scored_pairs = (id_cols..., w_ppm, matched), params =
+    {"lambda_ppm": int, "m_ppm": [..], "u_ppm": [..]}.
+
+    Reference analogue: the resolver's single lexical score
+    (kgforge/core/archetypes/resolver.py) has no learned calibration;
+    this supplies the standard one for multi-evidence ER.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    K = len(gamma_cols)
+    gnames = [f"g{k}" for k in range(K)]
+    g = pairs.select(
+        *[F.col(c) for c in id_cols],
+        *[
+            F.coalesce(F.col(c).cast("int"), F.lit(0)).alias(gn)
+            for c, gn in zip(gamma_cols, gnames)
+        ],
+    ).localCheckpoint(eager=True)  # R rounds re-scan this, not the blocker upstream
+    lam = init_lambda_ppm
+    ms = [init_m_ppm] * K
+    us = [init_u_ppm] * K
+    for _ in range(rounds):
+        w_sql = _em_w_sql(str(lam), [str(m) for m in ms], [str(u) for u in us], gnames, "DIV")
+        scored = g.select(*gnames, F.expr(w_sql).alias("w"))
+        aggs = [
+            F.sum("w").alias("sw"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.lit(1000000) - F.col("w")).alias("swu"),
+        ]
+        for k, gn in enumerate(gnames):
+            aggs.append(F.sum(F.col("w") * F.col(gn)).alias(f"a{k}"))
+            aggs.append(
+                F.sum((F.lit(1000000) - F.col("w")) * F.col(gn)).alias(f"b{k}")
+            )
+        row = scored.agg(*aggs).collect()[0]
+        sw, n, swu = int(row["sw"] or 0), int(row["n"]), int(row["swu"] or 0)
+        if n > 0:
+            lam = _clamp_ppm(sw // n)
+        for k in range(K):
+            if sw > 0:
+                ms[k] = _clamp_ppm((int(row[f"a{k}"]) * 1000000) // sw)
+            if swu > 0:
+                us[k] = _clamp_ppm((int(row[f"b{k}"]) * 1000000) // swu)
+    w_sql = _em_w_sql(str(lam), [str(m) for m in ms], [str(u) for u in us], gnames, "DIV")
+    out = g.select(
+        *id_cols,
+        F.expr(w_sql).cast("long").alias("w_ppm"),
+    ).withColumn(
+        "matched",
+        F.when(F.col("w_ppm") >= match_threshold_ppm, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return out, {"lambda_ppm": lam, "m_ppm": ms, "u_ppm": us}
+
+
+def sql_em_fs_train(
+    pairs_sql: str,
+    gamma_exprs: list[str],
+    id_cols: tuple[str, str] = ("a", "b"),
+    rounds: int = 2,
+    init_lambda_ppm: int = 500000,
+    init_m_ppm: int = 750000,
+    init_u_ppm: int = 250000,
+    match_threshold_ppm: int = 500000,
+) -> str:
+    """DuckDB oracle: the identical integer EM unrolled — one scored CTE
+    + one sums CTE + one params CTE per round, each params CTE carrying
+    the previous round's values for the zero-denominator fallback.
+    pairs_sql must yield id_cols + the gamma expressions."""
+    K = len(gamma_exprs)
+    gnames = [f"g{k}" for k in range(K)]
+    ida, idb = id_cols
+    gsel = ", ".join(
+        f"coalesce(CAST({e} AS INT), 0) AS {gn}" for e, gn in zip(gamma_exprs, gnames)
+    )
+    parts = [
+        f"pairs AS MATERIALIZED (SELECT {ida}, {idb}, {gsel} FROM ({pairs_sql}))",
+        "p0 AS (SELECT "
+        + ", ".join(
+            [f"CAST({init_lambda_ppm} AS BIGINT) AS lam"]
+            + [f"CAST({init_m_ppm} AS BIGINT) AS m{k}" for k in range(K)]
+            + [f"CAST({init_u_ppm} AS BIGINT) AS u{k}" for k in range(K)]
+        )
+        + ")",
+    ]
+    for i in range(1, rounds + 1):
+        w = _em_w_sql(
+            "p.lam", [f"p.m{k}" for k in range(K)], [f"p.u{k}" for k in range(K)], gnames, "//"
+        )
+        parts.append(
+            f"r{i} AS (SELECT {', '.join(gnames)}, {w} AS w FROM pairs, p{i - 1} p)"
+        )
+        sums = ["sum(w) AS sw", "count(*) AS n", "sum(1000000 - w) AS swu"]
+        for k, gn in enumerate(gnames):
+            sums.append(f"sum(w * {gn}) AS a{k}")
+            sums.append(f"sum((1000000 - w) * {gn}) AS b{k}")
+        parts.append(f"s{i} AS (SELECT {', '.join(sums)} FROM r{i})")
+        cols = [
+            "CASE WHEN s.n = 0 THEN q.lam "
+            "ELSE greatest(1, least(999999, CAST(s.sw // s.n AS BIGINT))) END AS lam"
+        ]
+        for k in range(K):
+            cols.append(
+                f"CASE WHEN s.sw = 0 THEN q.m{k} ELSE greatest(1, least(999999, "
+                f"CAST((s.a{k} * 1000000) // s.sw AS BIGINT))) END AS m{k}"
+            )
+            cols.append(
+                f"CASE WHEN s.swu = 0 THEN q.u{k} ELSE greatest(1, least(999999, "
+                f"CAST((s.b{k} * 1000000) // s.swu AS BIGINT))) END AS u{k}"
+            )
+        parts.append(f"p{i} AS (SELECT {', '.join(cols)} FROM s{i} s, p{i - 1} q)")
+    w_final = _em_w_sql(
+        "p.lam",
+        [f"p.m{k}" for k in range(K)],
+        [f"p.u{k}" for k in range(K)],
+        gnames,
+        "//",
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT {ida}, {idb}, CAST({w_final} AS BIGINT) AS w_ppm,
+       CASE WHEN {w_final} >= {match_threshold_ppm} THEN 1 ELSE 0 END AS matched
+FROM pairs, p{rounds} p"""
+    )

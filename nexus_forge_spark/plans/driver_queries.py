@@ -11548,7 +11548,35 @@ SELECT 'region:' || r_name, 'geo:within', 'geo:World' FROM region"""
     return sql_owl_transitive_entail(triples, ["ord:precedes", "geo:within"])
 
 
+_EM_FS_GAMMAS = ["text_strong", "same_source", "same_lang", "len_bucket_eq"]
+
+
+def q_er_em_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised Fellegi-Sunter EM (operators/er.py em_fs_train,
+    Splink-style): learn m/u/lambda in exact integer ppm from the SAME
+    unlabeled blocked pairs er_fs_scores hand-weights, then score every
+    pair with the learned posterior.  Two EM rounds = two map-side
+    aggregates over a localCheckpointed gamma table (the LSH blocker
+    runs once, not once per round); the M-step is driver-side exact
+    integer division on a single collected row, so the whole fit adds
+    zero data shuffles to the blocking cost at any scale."""
+    from nexus_forge_spark.operators.er import em_fs_train
+
+    gammas = q_er_fs_scores(spark, sf_dir).select("a", "b", *_EM_FS_GAMMAS)
+    out, _params = em_fs_train(gammas, _EM_FS_GAMMAS, rounds=2)
+    return out
+
+
+def sql_er_em_fs() -> str:
+    from nexus_forge_spark.operators.er import sql_em_fs_train
+
+    return sql_em_fs_train(
+        f"SELECT * FROM ({sql_er_fs_scores()})", _EM_FS_GAMMAS, rounds=2
+    )
+
+
 QUERIES = {
+    "er_em_fs": (q_er_em_fs, sql_er_em_fs),
     "kg_rdfs_entailment": (q_kg_rdfs_entailment, sql_kg_rdfs_entailment),
     "kg_transitive_entail": (q_kg_transitive_entail, sql_kg_transitive_entail),
     "kge_ranking_eval": (q_kge_ranking_eval, sql_kge_ranking_eval),

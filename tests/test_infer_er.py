@@ -340,3 +340,72 @@ def test_pr_curve_duplicate_pairs_collapse_to_max_score(spark):
     assert out[90].rec_ppm == 1_000_000
     assert (out[50].tp, out[50].fp) == (1, 1)
     assert all(r.rec_ppm <= 1_000_000 and r.tp <= 1 for r in out.values())
+
+
+# ------------------------------------------------ EM-trained Fellegi-Sunter
+
+
+def _em_pairs(spark, rows):
+    return spark.createDataFrame(
+        rows, "a long, b long, f0 boolean, f1 boolean"
+    )
+
+
+def test_em_fs_separates_planted_mixture(spark):
+    """Two planted populations: dups agree on both fields, non-dups on
+    neither.  EM must learn m >> u for both fields and classify the
+    agreeing pairs as matches."""
+    from nexus_forge_spark.operators.er import em_fs_train
+
+    rows = [(i, i + 1000, True, True) for i in range(30)]
+    rows += [(i + 100, i + 2000, False, False) for i in range(70)]
+    out, params = em_fs_train(
+        _em_pairs(spark, rows), ["f0", "f1"], rounds=3
+    )
+    got = {(r.a, r.b): r.matched for r in out.collect()}
+    assert all(got[(i, i + 1000)] == 1 for i in range(30))
+    assert all(got[(i + 100, i + 2000)] == 0 for i in range(70))
+    assert params["m_ppm"][0] > params["u_ppm"][0]
+    assert params["m_ppm"][1] > params["u_ppm"][1]
+    # lambda should land near the planted 30% dup rate
+    assert 200000 < params["lambda_ppm"] < 400000
+
+
+def test_em_fs_matches_duckdb_bit_exact(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.er import em_fs_train, sql_em_fs_train
+
+    # deterministic pseudo-random gammas incl. NULLs (treated as 0)
+    rows = []
+    for i in range(200):
+        f0 = None if i % 17 == 0 else (i * 7 % 13 < 5)
+        f1 = (i * 11 % 19) < 9
+        rows.append((i, i + 10000, f0, f1))
+    out, params = em_fs_train(_em_pairs(spark, rows), ["f0", "f1"], rounds=3)
+    got = sorted((r.a, r.b, r.w_ppm, r.matched) for r in out.collect())
+    vals = ", ".join(
+        f"({a}, {b}, {'NULL' if f0 is None else f0}, {f1})" for a, b, f0, f1 in rows
+    )
+    sql = sql_em_fs_train(
+        f"SELECT * FROM (VALUES {vals}) AS t(a, b, f0, f1)",
+        ["f0", "f1"],
+        rounds=3,
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_em_fs_empty_and_bad_rounds(spark):
+    from nexus_forge_spark.operators.er import em_fs_train
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        em_fs_train(_em_pairs(spark, [(1, 2, True, True)]), ["f0", "f1"], rounds=0)
+    out, params = em_fs_train(
+        _em_pairs(spark, []).limit(0), ["f0", "f1"], rounds=2
+    )
+    assert out.count() == 0
+    # params stay at (clamped) inits when there is nothing to learn
+    assert params["lambda_ppm"] == 500000
