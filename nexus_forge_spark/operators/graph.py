@@ -1113,3 +1113,140 @@ def boruvka_msf(
     if msf is None:
         return e.where(F.lit(False)).select("lo", "hi", "w")
     return msf
+
+
+def fastrp_embeddings(
+    edges: DataFrame,
+    dims: int = 8,
+    rounds: int = 2,
+    scale: int = 1000000,
+    weights: list[int] | None = None,
+    node_col: str = "node",
+    nbr_col: str = "nbr",
+) -> DataFrame:
+    """FastRP node embeddings (Chen et al. 2019) in exact signed
+    fixed-point: very sparse random projection init (density 1/3,
+    signs from the portable 60-bit md5 hash) iterated through the
+    mean-aggregation operator x_t(v) = sum_{u in N(v)} x_{t-1}(u) DIV
+    deg(v), output = sum_t weights[t] * x_t per (node, dim).
+
+    Engine-exactness: every value is BIGINT; Spark ``DIV`` and DuckDB
+    ``//`` BOTH truncate toward zero on negatives (verified), so the
+    signed means match hash-for-hash — no float matmul, no libm.
+
+    Scale: one shuffle join (edges x current iterate, keyed on the
+    neighbor) plus one (node, dim) hash aggregate per round; the
+    iterate is O(nodes x dims) rows and localCheckpointed so round r
+    never recomputes round r-1.  deg joins on the same (node) key the
+    aggregate just produced.  Nodes with no out-neighbors hold value 0
+    for that iterate (they still feed others' means).  Pass both edge
+    directions for an undirected graph.
+    """
+    from nexus_forge_spark.operators.sketches import hash60
+
+    if weights is None:
+        weights = [1] * rounds
+    if len(weights) != rounds or rounds < 1:
+        raise ValueError("weights must have one integer per round, rounds >= 1")
+    e = edges.select(F.col(node_col).alias("node"), F.col(nbr_col).alias("nbr"))
+    nodes = (
+        e.select("node")
+        .unionByName(e.select(F.col("nbr").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    init = nodes.select(
+        "node", F.explode(F.sequence(F.lit(0), F.lit(dims - 1))).alias("dim")
+    )
+    h = (
+        hash60(
+            F.concat(
+                F.col("node").cast("string"), F.lit("|"), F.col("dim").cast("string")
+            ),
+            "fastrp",
+        )
+        % 6
+    )
+    x = init.select(
+        "node",
+        "dim",
+        F.when(h == 0, F.lit(scale))
+        .when(h == 1, F.lit(-scale))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("v"),
+    ).localCheckpoint(eager=True)
+    acc = None
+    for t in range(rounds):
+        nbsum = (
+            e.join(x.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "dim")
+            .agg(F.sum("v").alias("s"))
+            .join(deg, "node")
+            .select("node", "dim", F.expr("s DIV deg").alias("v"))
+        )
+        # nodes without out-neighbors: value 0 this iterate
+        x = (
+            init.join(nbsum, ["node", "dim"], "left")
+            .select("node", "dim", F.coalesce("v", F.lit(0)).cast("long").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        contrib = x.select("node", "dim", (F.col("v") * F.lit(weights[t])).alias("c"))
+        acc = contrib if acc is None else acc.unionByName(contrib)
+    return (
+        acc.groupBy("node", "dim")
+        .agg(F.sum("c").cast("long").alias("val"))
+        .select("node", "dim", "val")
+    )
+
+
+def sql_fastrp_embeddings(
+    edges_sql: str,
+    dims: int = 8,
+    rounds: int = 2,
+    scale: int = 1000000,
+    weights: list[int] | None = None,
+) -> str:
+    """DuckDB oracle: the same signed fixed-point iteration unrolled.
+    edges_sql -> (node, nbr)."""
+    if weights is None:
+        weights = [1] * rounds
+    sign = (
+        "CASE (('0x' || substr(md5(CAST(n.node AS VARCHAR) || '|' || "
+        "CAST(d.dim AS VARCHAR) || ':fastrp'), 1, 15))::BIGINT % 6) "
+        f"WHEN 0 THEN {scale} WHEN 1 THEN -{scale} ELSE 0 END"
+    )
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT node FROM e UNION ALL SELECT nbr FROM e))",
+        "deg AS (SELECT node, count(*) AS deg FROM e GROUP BY node)",
+        f"dims AS (SELECT * FROM generate_series(0, {dims - 1}) AS t(dim))",
+        f"x0 AS (SELECT n.node, d.dim, CAST({sign} AS BIGINT) AS v "
+        "FROM nodes n CROSS JOIN dims d)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""s{t} AS (
+  SELECT e.node, x.dim, sum(x.v) AS s
+  FROM e JOIN x{t - 1} x ON e.nbr = x.node GROUP BY e.node, x.dim)"""
+        )
+        parts.append(
+            f"""x{t} AS (
+  SELECT i.node, i.dim,
+         CAST(coalesce(s.s // g.deg, 0) AS BIGINT) AS v
+  FROM (SELECT n.node, d.dim FROM nodes n CROSS JOIN dims d) i
+  LEFT JOIN s{t} s ON i.node = s.node AND i.dim = s.dim
+  LEFT JOIN deg g ON i.node = g.node)"""
+        )
+    combo = " UNION ALL ".join(
+        f"SELECT node, dim, v * {weights[t - 1]} AS c FROM x{t}"
+        for t in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node, dim, CAST(sum(c) AS BIGINT) AS val
+FROM ({combo}) GROUP BY node, dim"""
+    )

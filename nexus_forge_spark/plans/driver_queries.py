@@ -11575,7 +11575,51 @@ def sql_er_em_fs() -> str:
     )
 
 
+def q_fastrp_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastRP structural node embeddings (operators/graph.py
+    fastrp_embeddings) over the undirected customer-part co-purchase
+    graph: sparse md5-signed random projections propagated through two
+    rounds of integer mean-aggregation, combined 1:1.  Per round: one
+    neighbor-keyed shuffle join + one (node, dim) aggregate over an
+    O(nodes x dims) localCheckpointed iterate — at 10^12 edges the cost
+    is rounds x one edge scan, and the signed BIGINT arithmetic makes
+    the DuckDB unrolled recurrence match hash-for-hash (Spark DIV and
+    DuckDB // both truncate toward zero)."""
+    from nexus_forge_spark.operators.graph import fastrp_embeddings
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    fwd = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("node"),
+            (F.col("l_partkey") + PART_NODE_OFFSET).alias("nbr"),
+        )
+        .distinct()
+    )
+    both = fwd.unionByName(
+        fwd.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+    )
+    return fastrp_embeddings(both, dims=8, rounds=2)
+
+
+def sql_fastrp_embeddings() -> str:
+    from nexus_forge_spark.operators.graph import sql_fastrp_embeddings
+
+    edges = f"""SELECT node, nbr FROM (
+  SELECT DISTINCT o.o_custkey AS node, {PART_NODE_OFFSET} + l.l_partkey AS nbr
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+UNION ALL
+SELECT nbr, node FROM (
+  SELECT DISTINCT o.o_custkey AS node, {PART_NODE_OFFSET} + l.l_partkey AS nbr
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)"""
+    return sql_fastrp_embeddings(edges, dims=8, rounds=2)
+
+
 QUERIES = {
+    "fastrp_embeddings": (q_fastrp_embeddings, sql_fastrp_embeddings),
     "er_em_fs": (q_er_em_fs, sql_er_em_fs),
     "kg_rdfs_entailment": (q_kg_rdfs_entailment, sql_kg_rdfs_entailment),
     "kg_transitive_entail": (q_kg_transitive_entail, sql_kg_transitive_entail),

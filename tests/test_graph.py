@@ -385,3 +385,67 @@ def test_msf_sparsification_incremental(spark):
         for r in boruvka_msf(f1.unionByName(h2)).collect()
     }
     assert inc == full
+
+
+# -------------------------------------------------------------- FastRP
+
+
+def test_fastrp_mean_propagation_exact(spark):
+    """On a 2-node mutual pair, each round swaps the two nodes' vectors
+    exactly (deg 1, mean = the other's value); weights [1, 1] then sum
+    the two iterates."""
+    from nexus_forge_spark.operators.graph import fastrp_embeddings
+    from nexus_forge_spark.operators.sketches import hash60
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "node string, nbr string"
+    )
+    out = {(r.node, r.dim): r.val for r in fastrp_embeddings(e, dims=4, rounds=2).collect()}
+    # compute expected from the same portable hash
+    sig = {}
+    for n in ("a", "b"):
+        for d in range(4):
+            row = spark.range(1).select(
+                (hash60(F.lit(f"{n}|{d}"), "fastrp") % 6).alias("h")
+            ).collect()[0]
+            s = 1000000 if row.h == 0 else (-1000000 if row.h == 1 else 0)
+            sig[(n, d)] = s
+    for d in range(4):
+        # x1(a) = x0(b), x2(a) = x1(b) = x0(a) -> total = x0(b) + x0(a)
+        assert out[("a", d)] == sig[("b", d)] + sig[("a", d)]
+        assert out[("b", d)] == sig[("a", d)] + sig[("b", d)]
+
+
+def test_fastrp_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.graph import (
+        fastrp_embeddings,
+        sql_fastrp_embeddings,
+    )
+
+    rows = [(f"n{i}", f"n{(i * 3 + 1) % 17}") for i in range(17 * 4)]
+    rows += [(b, a) for a, b in rows]
+    e = spark.createDataFrame(rows, "node string, nbr string")
+    got = sorted(
+        (r.node, r.dim, r.val)
+        for r in fastrp_embeddings(e, dims=6, rounds=3, weights=[2, 1, 1]).collect()
+    )
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in rows)
+    sql = sql_fastrp_embeddings(
+        f"SELECT * FROM (VALUES {vals}) AS t(node, nbr)",
+        dims=6,
+        rounds=3,
+        weights=[2, 1, 1],
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_fastrp_sink_nodes_hold_zero(spark):
+    from nexus_forge_spark.operators.graph import fastrp_embeddings
+
+    # b has no out-edges: its iterates are 0 but it still feeds a's mean
+    e = spark.createDataFrame([("a", "b")], "node string, nbr string")
+    out = {(r.node, r.dim): r.val for r in fastrp_embeddings(e, dims=2, rounds=2).collect()}
+    assert out[("b", 0)] == 0 and out[("b", 1)] == 0
