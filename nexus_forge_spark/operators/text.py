@@ -5,7 +5,7 @@ designed for a 100 TB corpus where every per-doc pass must be map-side.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword profiles (n-gram/stopword heuristic language ID)
@@ -810,3 +810,123 @@ def heldout_unigram_nll(
             "mean_nll_micro"
         ),
     )
+
+
+def rake_keywords(
+    df,
+    stopwords: list[str],
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal runs of content tokens between stopword/punctuation breaks;
+    each word scores deg/freq where deg sums the lengths of the phrases
+    its occurrences sit in and freq counts occurrences (both PER
+    DOCUMENT, the classic formulation); a phrase scores the sum of its
+    words' scores; top-k phrases per doc win.
+
+    Engine exactness: word score is (deg * 1e6) DIV freq — exact BIGINT
+    ppm, no float — and ranking orders by (score desc, phrase asc), so
+    ties are text-deterministic.  A token counts as a word only if it
+    equals its leading [a-z0-9]+ run (tokens carrying punctuation are
+    phrase breaks, like stopwords).
+
+    Scale: everything is per-document algebra — one posexplode, one
+    row_number window and two hash aggregates, all partitioned by
+    doc_id, so Catalyst shares a single Exchange; no corpus-wide state
+    exists at all (unlike tf-idf there is no vocabulary table), making
+    this embarrassingly parallel at 10^12 docs.
+
+    Output: (id_col, phrase, score_ppm, rank), rank 1..k per doc.
+    """
+    stop = sorted(set(s.lower() for s in stopwords))
+    toks = df.select(F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
+    stripped = F.regexp_extract(F.col("tok"), "^[a-z0-9]+", 0)
+    words = toks.select(
+        F.col(id_col), "pos", stripped.alias("w")
+    ).where(
+        (stripped == F.col("tok")) & (stripped != "") & (~stripped.isin(stop))
+    )
+    w_rn = Window.partitionBy(id_col).orderBy("pos")
+    ph = words.withColumn("grp", F.col("pos") - F.row_number().over(w_rn))
+    plen = ph.withColumn(
+        "plen", F.count(F.lit(1)).over(Window.partitionBy(id_col, "grp"))
+    )
+    wstats = plen.groupBy(id_col, "w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    ).withColumn("wscore", F.expr("(deg * 1000000) DIV freq"))
+    scored = (
+        plen.join(wstats.select(id_col, "w", "wscore"), [id_col, "w"])
+        .groupBy(id_col, "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x.getField("w"),
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("wscore").cast("long").alias("score_ppm"),
+        )
+        .select(id_col, "phrase", "score_ppm")
+        .distinct()
+    )
+    w_top = Window.partitionBy(id_col).orderBy(
+        F.col("score_ppm").desc(), F.col("phrase").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_top))
+        .where(F.col("rank") <= k)
+        .select(id_col, "phrase", "score_ppm", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def sql_rake_keywords(
+    docs_sql: str,
+    stopwords: list[str],
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle: the identical per-document RAKE algebra."""
+    stop = ", ".join(f"'{s.lower()}'" for s in sorted(set(x.lower() for x in stopwords)))
+    return f"""WITH docs AS MATERIALIZED ({docs_sql}),
+toks AS (
+  SELECT {id_col},
+         CAST(unnest(generate_series(1, len(string_split_regex(trim(lower({text_col})), '\\s+')))) AS INT) - 1 AS pos,
+         unnest(string_split_regex(trim(lower({text_col})), '\\s+')) AS tok
+  FROM docs
+),
+words AS (
+  SELECT {id_col}, pos, regexp_extract(tok, '^[a-z0-9]+') AS w
+  FROM toks
+  WHERE regexp_extract(tok, '^[a-z0-9]+') = tok
+    AND tok <> '' AND tok NOT IN ({stop})
+),
+ph AS (
+  SELECT {id_col}, pos, w,
+         pos - row_number() OVER (PARTITION BY {id_col} ORDER BY pos) AS grp
+  FROM words
+),
+plen AS (
+  SELECT *, count(*) OVER (PARTITION BY {id_col}, grp) AS plen FROM ph
+),
+wstats AS (
+  SELECT {id_col}, w, (sum(plen) * 1000000) // count(*) AS wscore
+  FROM plen GROUP BY {id_col}, w
+),
+scored AS (
+  SELECT DISTINCT p.{id_col}, phrase, score_ppm FROM (
+    SELECT p.{id_col}, p.grp,
+           string_agg(p.w, ' ' ORDER BY p.pos) AS phrase,
+           CAST(sum(s.wscore) AS BIGINT) AS score_ppm
+    FROM plen p JOIN wstats s ON p.{id_col} = s.{id_col} AND p.w = s.w
+    GROUP BY p.{id_col}, p.grp
+  ) p
+)
+SELECT {id_col}, phrase, score_ppm, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {id_col} ORDER BY score_ppm DESC, phrase ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}"""

@@ -11618,7 +11618,32 @@ SELECT nbr, node FROM (
     return sql_fastrp_embeddings(edges, dims=8, rounds=2)
 
 
+_RAKE_STOPWORDS = ["the", "a", "and", "of", "join", "data"]
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (operators/text.py rake_keywords): top-3
+    candidate phrases per document by the classic deg/freq word-score
+    sum, in exact BIGINT ppm.  Purely per-document algebra — the window
+    and both aggregates share one doc_id Exchange and there is NO
+    corpus-wide state, so the operator is embarrassingly parallel at
+    10^12 docs (contrast tfidf_topk's vocabulary join)."""
+    from nexus_forge_spark.operators.text import rake_keywords
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return rake_keywords(docs, _RAKE_STOPWORDS, k=3)
+
+
+def sql_rake_keywords() -> str:
+    from nexus_forge_spark.operators.text import sql_rake_keywords
+
+    return sql_rake_keywords(
+        "SELECT doc_id, text FROM documents", _RAKE_STOPWORDS, k=3
+    )
+
+
 QUERIES = {
+    "rake_keywords": (q_rake_keywords, sql_rake_keywords),
     "fastrp_embeddings": (q_fastrp_embeddings, sql_fastrp_embeddings),
     "er_em_fs": (q_er_em_fs, sql_er_em_fs),
     "kg_rdfs_entailment": (q_kg_rdfs_entailment, sql_kg_rdfs_entailment),

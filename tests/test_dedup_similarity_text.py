@@ -1055,3 +1055,58 @@ def test_lsh_parameter_audit_shape_and_monotonicity(spark):
 
     with pytest.raises(ValueError, match="hash budget"):
         lsh_parameter_audit(df, [(8, 8), (4, 4)], [500_000])
+
+
+# ---------------------------------------------------------------- RAKE
+
+
+def test_rake_hand_example(spark):
+    """'deep learning of deep graphs.' with stopword 'of':
+    phrases = [deep learning], [deep graphs] (trailing '.' token breaks).
+    freq(deep)=2 deg(deep)=4 -> 2.0; learning/graphs: 1/2 -> 2.0;
+    both phrases score 4.0 (4000000 ppm); tie broken by text."""
+    from nexus_forge_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "deep learning of deep graphs XX.")], "doc_id long, text string"
+    )
+    out = sorted(
+        (r.phrase, r.score_ppm, r.rank)
+        for r in rake_keywords(df, ["of"], k=5).collect()
+    )
+    # 'graphs XX.' -> token 'xx.' contains punctuation: break, not a word
+    assert out == [("deep graphs", 4000000, 1), ("deep learning", 4000000, 2)]
+
+
+def test_rake_duplicate_phrases_dedup(spark):
+    from nexus_forge_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta of alpha beta of gamma")], "doc_id long, text string"
+    )
+    rows = rake_keywords(df, ["of"], k=10).collect()
+    phrases = [r.phrase for r in rows]
+    assert phrases.count("alpha beta") == 1  # two occurrences, one row
+
+
+def test_rake_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.text import rake_keywords, sql_rake_keywords
+
+    vocab = ["spark", "merge", "sort", "the", "a", "scan", "x9", "big,"]
+    rows = [
+        (i, " ".join(vocab[(i * 7 + j * 3) % len(vocab)] for j in range(30)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.phrase, r.score_ppm, r.rank)
+        for r in rake_keywords(df, ["the", "a"], k=3).collect()
+    )
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    sql = sql_rake_keywords(
+        f"SELECT * FROM (VALUES {vals}) AS t(doc_id, text)", ["the", "a"], k=3
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
