@@ -9,7 +9,7 @@ stably across runs — rdflib bnode ids are not stable (SURVEY.md §4.6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 RDF_TYPE = "rdf:type"
@@ -586,3 +586,55 @@ def sql_nt_escape(expr: str) -> str:
     out = f"replace({out}, chr(13), '\\r')"
     out = f"replace({out}, chr(9), '\\t')"
     return out
+
+
+def asof_triples(
+    assertions: DataFrame,
+    cutoff_micros: int,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    ts_micros_col: str = "ts_micros",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Point-in-time KG snapshot from a timestamped assertion stream:
+    the state of each (subj, pred) at the cutoff is its LATEST assertion
+    with ts <= cutoff, ties broken by the monotone sequence column
+    (event id / log offset) — the same last-writer-wins rule the
+    reference's _rev chain applies per resource (demo_store.py keeps
+    every revision; this reconstructs the graph as of any instant).
+
+    Engine exactness: time is compared as epoch MICROSECONDS (BIGINT) —
+    no calendar function ever touches the timestamp, so no session-
+    timezone hazard exists by construction.  Deterministic because
+    (ts_micros, seq) is a total order per key.
+
+    Scale: one window over (subj, pred) AFTER the cutoff filter prunes
+    the scan (predicate pushes to parquet); at 10^12 assertions the
+    shuffle carries only rows at or before the cutoff, and repartitioning
+    is by the same key a downstream diff/join would use.
+    """
+    w = Window.partitionBy(subj_col, pred_col).orderBy(
+        F.col(ts_micros_col).desc(), F.col(seq_col).desc()
+    )
+    return (
+        assertions.where(F.col(ts_micros_col) <= F.lit(int(cutoff_micros)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col(subj_col).alias("subj"),
+            F.col(pred_col).alias("pred"),
+            F.col(obj_col).alias("obj"),
+        )
+    )
+
+
+def sql_asof_triples(assertions_sql: str, cutoff_micros: int) -> str:
+    """DuckDB oracle for :func:`asof_triples`.  assertions_sql ->
+    (subj, pred, obj, ts_micros, seq)."""
+    return f"""SELECT subj, pred, obj FROM (
+  SELECT subj, pred, obj,
+         row_number() OVER (PARTITION BY subj, pred
+                            ORDER BY ts_micros DESC, seq DESC) AS rn
+  FROM ({assertions_sql}) WHERE ts_micros <= {int(cutoff_micros)}
+) WHERE rn = 1"""

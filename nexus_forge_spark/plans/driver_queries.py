@@ -11642,7 +11642,67 @@ def sql_rake_keywords() -> str:
     )
 
 
+# epoch micros for 2024-01-15 / 2024-01-25 00:00:00 UTC
+_ASOF_T1 = 1705276800 * 1000000
+_ASOF_T2 = 1706140800 * 1000000
+
+
+def _event_assertions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> timestamped property assertions: each event asserts the
+    user's current value for its event_type property.  Values become
+    integral cents via floor(value*100) (float multiply + floor is
+    IEEE-identical across engines; a bare CAST would truncate in Spark
+    but ROUND in DuckDB)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("subj"),
+        F.concat(F.lit("ev:"), F.col("event_type")).alias("pred"),
+        F.floor(F.col("value") * 100).cast("long").cast("string").alias("obj"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_micros"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+_EVENT_ASSERTIONS_SQL = """SELECT 'user:' || user_id AS subj,
+       'ev:' || event_type AS pred,
+       CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) AS obj,
+       epoch_us(ts) AS ts_micros, event_id AS seq
+FROM events"""
+
+
+def q_kg_asof_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time KG reconstruction + snapshot delta (operators/
+    triples.py asof_triples + triple_diff): the user-property graph as
+    of Jan 15 vs Jan 25 (last-writer-wins per (subj, pred) on exact
+    epoch-micros order — no calendar function, so no TZ hazard by
+    construction), diffed with the one-shuffle presence aggregate.
+    This is the KG-maintenance loop a re-crawl pipeline runs daily:
+    reconstruct yesterday's state, reconstruct today's, ship the delta."""
+    from nexus_forge_spark.operators.triples import asof_triples, triple_diff
+
+    a = _event_assertions(spark, sf_dir)
+    return triple_diff(asof_triples(a, _ASOF_T1), asof_triples(a, _ASOF_T2))
+
+
+def sql_kg_asof_diff() -> str:
+    from nexus_forge_spark.operators.triples import sql_asof_triples
+
+    s1 = sql_asof_triples(_EVENT_ASSERTIONS_SQL, _ASOF_T1)
+    s2 = sql_asof_triples(_EVENT_ASSERTIONS_SQL, _ASOF_T2)
+    return f"""WITH presence AS (
+  SELECT subj, pred, obj, max(in_old) AS in_old, max(in_new) AS in_new FROM (
+    SELECT subj, pred, obj, 1 AS in_old, 0 AS in_new FROM ({s1})
+    UNION ALL
+    SELECT subj, pred, obj, 0, 1 FROM ({s2})
+  ) GROUP BY subj, pred, obj
+)
+SELECT subj, pred, obj,
+       CASE WHEN in_old = 1 THEN 'removed' ELSE 'added' END AS change
+FROM presence WHERE in_old <> in_new"""
+
+
 QUERIES = {
+    "kg_asof_diff": (q_kg_asof_diff, sql_kg_asof_diff),
     "rake_keywords": (q_rake_keywords, sql_rake_keywords),
     "fastrp_embeddings": (q_fastrp_embeddings, sql_fastrp_embeddings),
     "er_em_fs": (q_er_em_fs, sql_er_em_fs),

@@ -108,3 +108,40 @@ def test_serializer_plan_is_shuffle_free(spark):
     )
     plan = to_ntriples(df, PREFIXES, VOCAB)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_asof_triples_last_writer_wins(spark):
+    from nexus_forge_spark.operators.triples import asof_triples
+
+    rows = [
+        ("u1", "p", "v1", 100, 1),
+        ("u1", "p", "v2", 200, 2),   # latest at cutoff 250
+        ("u1", "p", "v3", 300, 3),   # after cutoff
+        ("u1", "p", "v4", 200, 9),   # same ts as v2, higher seq -> wins
+        ("u2", "q", "w1", 50, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, ts_micros long, seq long"
+    )
+    got = {(r.subj, r.pred): r.obj for r in asof_triples(df, 250).collect()}
+    assert got == {("u1", "p"): "v4", ("u2", "q"): "w1"}
+
+
+def test_asof_triples_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.triples import asof_triples, sql_asof_triples
+
+    rows = [
+        (f"u{i % 5}", f"p{i % 3}", f"v{i}", (i * 37) % 1000, i) for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, ts_micros long, seq long"
+    )
+    got = sorted((r.subj, r.pred, r.obj) for r in asof_triples(df, 500).collect())
+    vals = ", ".join(f"('{s}', '{p}', '{o}', {t}, {q})" for s, p, o, t, q in rows)
+    sql = sql_asof_triples(
+        f"SELECT * FROM (VALUES {vals}) AS t(subj, pred, obj, ts_micros, seq)", 500
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
