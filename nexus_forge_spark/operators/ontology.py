@@ -954,3 +954,134 @@ cl(subj, pred, obj) AS (
   SELECT c.subj, c.pred, e.obj FROM cl c JOIN e ON c.pred = e.pred AND c.obj = e.subj
 )
 SELECT subj, pred, obj FROM cl"""
+
+
+def property_chain_entail(
+    triples: DataFrame,
+    chains: list[tuple[str, str, str]],
+) -> DataFrame:
+    """owl:propertyChainAxiom entailment for length-2 chains: for each
+    axiom (p1, p2, r), (s p1 m), (m p2 o) => (s r o).
+
+    ONE plan for all axioms: the fact side is filtered to the predicates
+    any axiom mentions (predicate pushdown prunes the scan), then a
+    single self-equi-join on (mid) keyed by the axiom table — the axiom
+    list is a broadcast literal, so at 10^12 triples the cost is one
+    shuffle of the two pruned predicate slices.  Output is the DISTINCT
+    entailed triples only (callers union with the base graph).
+    """
+    if not chains:
+        raise ValueError("chains must be non-empty")
+    firsts = {p1 for p1, _, _ in chains}
+    seconds = {p2 for _, p2, _ in chains}
+    left = triples.where(F.col("pred").isin(sorted(firsts))).select(
+        F.col("subj").alias("s"), F.col("pred").alias("p1"), F.col("obj").alias("m")
+    )
+    right = triples.where(F.col("pred").isin(sorted(seconds))).select(
+        F.col("subj").alias("m"), F.col("pred").alias("p2"), F.col("obj").alias("o")
+    )
+    axioms = left.sparkSession.createDataFrame(
+        list(chains), "p1 string, p2 string, r string"
+    )
+    return (
+        left.join(right, "m")
+        .join(F.broadcast(axioms), ["p1", "p2"])
+        .select(
+            F.col("s").alias("subj"),
+            F.col("r").alias("pred"),
+            F.col("o").alias("obj"),
+        )
+        .distinct()
+    )
+
+
+def sql_property_chain_entail(
+    triples_sql: str, chains: list[tuple[str, str, str]]
+) -> str:
+    """DuckDB oracle for :func:`property_chain_entail`."""
+    ax = ", ".join(f"('{a}', '{b}', '{c}')" for a, b, c in chains)
+    return f"""WITH trip AS MATERIALIZED ({triples_sql}),
+axioms AS (SELECT * FROM (VALUES {ax}) AS t(p1, p2, r))
+SELECT DISTINCT l.subj, a.r AS pred, rr.obj
+FROM trip l
+JOIN trip rr ON l.obj = rr.subj
+JOIN axioms a ON l.pred = a.p1 AND rr.pred = a.p2"""
+
+
+def unreify(
+    triples: DataFrame,
+    subject_pred: str = "rdf:subject",
+    predicate_pred: str = "rdf:predicate",
+    object_pred: str = "rdf:object",
+    statement_type: str = "rdf:Statement",
+) -> DataFrame:
+    """RDF reification flattening: statement nodes carrying
+    rdf:subject/rdf:predicate/rdf:object become plain (subj, pred, obj)
+    triples, and every OTHER property of the statement node becomes an
+    annotation row attached to the flattened triple.
+
+    Output: (subj, pred, obj, ann_pred, ann_obj) — one row per
+    annotation, plus one row with NULL ann_pred/ann_obj for bare
+    statements (so the flattened triple itself always survives).
+    Statements missing any of the three role edges are dropped
+    (malformed reification), and rdf:type rdf:Statement rows are
+    consumed, not emitted as annotations.
+
+    Scale: three predicate-pruned slices of one scan joined on the
+    statement id (same key, one shuffle partitioning reused), then a
+    left join for annotations — never a per-statement collect.  The
+    reference materializes reified provenance through rdflib graphs
+    (kgforge/core/conversions/rdf.py); this is the batch inverse.
+    """
+    stmt = triples
+    subs = stmt.where(F.col("pred") == subject_pred).select(
+        F.col("subj").alias("stid"), F.col("obj").alias("t_subj")
+    )
+    preds = stmt.where(F.col("pred") == predicate_pred).select(
+        F.col("subj").alias("stid"), F.col("obj").alias("t_pred")
+    )
+    objs = stmt.where(F.col("pred") == object_pred).select(
+        F.col("subj").alias("stid"), F.col("obj").alias("t_obj")
+    )
+    core = subs.join(preds, "stid").join(objs, "stid")
+    anns = stmt.where(
+        (~F.col("pred").isin([subject_pred, predicate_pred, object_pred]))
+        & ~((F.col("pred") == "rdf:type") & (F.col("obj") == statement_type))
+    ).select(
+        F.col("subj").alias("stid"),
+        F.col("pred").alias("ann_pred"),
+        F.col("obj").alias("ann_obj"),
+    )
+    return core.join(anns, "stid", "left").select(
+        F.col("t_subj").alias("subj"),
+        F.col("t_pred").alias("pred"),
+        F.col("t_obj").alias("obj"),
+        "ann_pred",
+        "ann_obj",
+    )
+
+
+def sql_unreify(
+    triples_sql: str,
+    subject_pred: str = "rdf:subject",
+    predicate_pred: str = "rdf:predicate",
+    object_pred: str = "rdf:object",
+    statement_type: str = "rdf:Statement",
+) -> str:
+    """DuckDB oracle for :func:`unreify`."""
+    return f"""WITH trip AS MATERIALIZED ({triples_sql}),
+core AS (
+  SELECT s.subj AS stid, s.obj AS t_subj, p.obj AS t_pred, o.obj AS t_obj
+  FROM trip s
+  JOIN trip p ON s.subj = p.subj AND p.pred = '{predicate_pred}'
+  JOIN trip o ON s.subj = o.subj AND o.pred = '{object_pred}'
+  WHERE s.pred = '{subject_pred}'
+),
+anns AS (
+  SELECT subj AS stid, pred AS ann_pred, obj AS ann_obj FROM trip
+  WHERE pred NOT IN ('{subject_pred}', '{predicate_pred}', '{object_pred}')
+    AND NOT (pred = 'rdf:type' AND obj = '{statement_type}')
+)
+SELECT c.t_subj AS subj, c.t_pred AS pred, c.t_obj AS obj,
+       a.ann_pred, a.ann_obj
+FROM core c LEFT JOIN anns a ON c.stid = a.stid"""

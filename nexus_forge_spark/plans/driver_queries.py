@@ -11701,7 +11701,137 @@ SELECT subj, pred, obj,
 FROM presence WHERE in_old <> in_new"""
 
 
+_CHAIN_AXIOMS = [
+    ("ord:placed", "ord:contains", "ord:purchased"),
+    ("ord:contains", "part:brandOf", "ord:stocksBrand"),
+]
+
+
+def q_kg_property_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:propertyChainAxiom entailment (operators/ontology.py
+    property_chain_entail): placed . contains => purchased (customer
+    buys part) and contains . brandOf => stocksBrand (order carries
+    brand), BOTH axioms in one broadcast-axiom self-join — the fact
+    scan is predicate-pruned to the mentioned slices and shuffles once
+    on the chain midpoint."""
+    from nexus_forge_spark.operators.ontology import property_chain_entail
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    trips = (
+        orders.select(
+            F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")).alias("subj"),
+            F.lit("ord:placed").alias("pred"),
+            F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("obj"),
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("order:"), F.col("l_orderkey").cast("string")).alias("subj"),
+                F.lit("ord:contains").alias("pred"),
+                F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("obj"),
+            )
+        )
+        .unionByName(
+            part.select(
+                F.concat(F.lit("part:"), F.col("p_partkey").cast("string")).alias("subj"),
+                F.lit("part:brandOf").alias("pred"),
+                F.concat(F.lit("brand:"), F.col("p_brand")).alias("obj"),
+            )
+        )
+    )
+    return property_chain_entail(trips, _CHAIN_AXIOMS)
+
+
+def sql_kg_property_chain() -> str:
+    from nexus_forge_spark.operators.ontology import sql_property_chain_entail
+
+    trips = """SELECT 'cust:' || o_custkey AS subj, 'ord:placed' AS pred,
+       'order:' || o_orderkey AS obj FROM orders
+UNION ALL
+SELECT 'order:' || l_orderkey, 'ord:contains', 'part:' || l_partkey FROM lineitem
+UNION ALL
+SELECT 'part:' || p_partkey, 'part:brandOf', 'brand:' || p_brand FROM part"""
+    return sql_property_chain_entail(trips, _CHAIN_AXIOMS)
+
+
+def q_kg_unreify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reification flattening (operators/ontology.py unreify): order
+    placements arrive as rdf:Statement nodes (the shape rdflib emits
+    for statement-level provenance); 1-in-97 statements lack their
+    rdf:object edge (malformed, dropped), 1-in-5 carry no annotations
+    (flattened with a NULL annotation row).  Three predicate-pruned
+    slices join on the statement id — one shuffle key reused."""
+    from nexus_forge_spark.operators.ontology import unreify
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    st = F.concat(F.lit("stmt:"), F.col("o_orderkey").cast("string"))
+    trips = (
+        orders.select(
+            st.alias("subj"), F.lit("rdf:type").alias("pred"),
+            F.lit("rdf:Statement").alias("obj"),
+        )
+        .unionByName(
+            orders.select(
+                st.alias("subj"), F.lit("rdf:subject").alias("pred"),
+                F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")).alias("obj"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                st.alias("subj"), F.lit("rdf:predicate").alias("pred"),
+                F.lit("ord:placed").alias("obj"),
+            )
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 97 != 0).select(
+                st.alias("subj"), F.lit("rdf:object").alias("pred"),
+                F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("obj"),
+            )
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 5 != 0).select(
+                st.alias("subj"), F.lit("prov:priority").alias("pred"),
+                F.col("o_orderpriority").alias("obj"),
+            )
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 10 == 7).select(
+                st.alias("subj"), F.lit("prov:cents").alias("pred"),
+                F.floor(F.col("o_totalprice") * 100).cast("long").cast("string").alias("obj"),
+            )
+        )
+    )
+    return unreify(trips)
+
+
+def sql_kg_unreify() -> str:
+    from nexus_forge_spark.operators.ontology import sql_unreify
+
+    trips = """SELECT 'stmt:' || o_orderkey AS subj, 'rdf:type' AS pred,
+       'rdf:Statement' AS obj FROM orders
+UNION ALL
+SELECT 'stmt:' || o_orderkey, 'rdf:subject', 'cust:' || o_custkey FROM orders
+UNION ALL
+SELECT 'stmt:' || o_orderkey, 'rdf:predicate', 'ord:placed' FROM orders
+UNION ALL
+SELECT 'stmt:' || o_orderkey, 'rdf:object', 'order:' || o_orderkey
+FROM orders WHERE o_orderkey % 97 <> 0
+UNION ALL
+SELECT 'stmt:' || o_orderkey, 'prov:priority', o_orderpriority
+FROM orders WHERE o_orderkey % 5 <> 0
+UNION ALL
+SELECT 'stmt:' || o_orderkey, 'prov:cents',
+       CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+FROM orders WHERE o_orderkey % 10 = 7"""
+    return sql_unreify(trips)
+
+
 QUERIES = {
+    "kg_property_chain": (q_kg_property_chain, sql_kg_property_chain),
+    "kg_unreify": (q_kg_unreify, sql_kg_unreify),
     "kg_asof_diff": (q_kg_asof_diff, sql_kg_asof_diff),
     "rake_keywords": (q_rake_keywords, sql_rake_keywords),
     "fastrp_embeddings": (q_fastrp_embeddings, sql_fastrp_embeddings),

@@ -210,3 +210,53 @@ def test_owl_transitive_cycle_entails_self_loops(spark):
     )
     got = {(r.subj, r.obj) for r in out.collect()}
     assert got == {("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")}
+
+
+def test_property_chain_entail(spark):
+    from nexus_forge_spark.operators.ontology import property_chain_entail
+
+    trips = _trips(
+        spark,
+        [
+            ("c1", "placed", "o1"),
+            ("o1", "contains", "p1"),
+            ("o1", "contains", "p2"),
+            ("c2", "placed", "o9"),  # o9 has no contents -> nothing entailed
+            ("p1", "other", "x"),
+        ],
+    )
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in property_chain_entail(
+            trips, [("placed", "contains", "purchased")]
+        ).collect()
+    }
+    assert got == {("c1", "purchased", "p1"), ("c1", "purchased", "p2")}
+
+
+def test_unreify_roles_annotations_and_malformed(spark):
+    from nexus_forge_spark.operators.ontology import unreify
+
+    trips = _trips(
+        spark,
+        [
+            ("st1", "rdf:type", "rdf:Statement"),
+            ("st1", "rdf:subject", "a"),
+            ("st1", "rdf:predicate", "knows"),
+            ("st1", "rdf:object", "b"),
+            ("st1", "prov:source", "crawl7"),
+            ("st1", "prov:conf", "900"),
+            ("st2", "rdf:subject", "c"),     # missing predicate+object -> dropped
+            ("st3", "rdf:subject", "d"),
+            ("st3", "rdf:predicate", "knows"),
+            ("st3", "rdf:object", "e"),      # bare statement -> NULL annotation
+        ],
+    )
+    rows = unreify(trips).collect()
+    got = {(r.subj, r.pred, r.obj, r.ann_pred, r.ann_obj) for r in rows}
+    assert ("a", "knows", "b", "prov:source", "crawl7") in got
+    assert ("a", "knows", "b", "prov:conf", "900") in got
+    assert ("d", "knows", "e", None, None) in got
+    assert not any(r.subj == "c" for r in rows)
+    # rdf:type rdf:Statement consumed, never an annotation
+    assert not any(r.ann_pred == "rdf:type" for r in rows)
