@@ -69,3 +69,112 @@ def sorted_neighborhood_pairs(
             F.col("b.rn").alias("rn_b"),
         )
     )
+
+
+def meta_blocking_wnp(
+    assignments: DataFrame,
+    entity_col: str = "entity",
+    block_col: str = "block",
+    max_block: int = 256,
+) -> DataFrame:
+    """Meta-blocking with Weighted Node Pruning (Papadakis et al., TKDE
+    2014): turn a redundancy-positive block collection (one row per
+    (entity, block) assignment) into a PRUNED comparison set.
+
+    Stages, all set-oriented: (1) block purging — blocks larger than
+    ``max_block`` are dropped entirely (they carry near-zero signal and
+    quadratic cost; the standard first defense); (2) the comparison
+    graph — edge weight = Common Blocks Scheme (CBS), the number of
+    surviving blocks an unordered pair co-occupies; (3) WNP — each
+    entity's pruning threshold is the MEAN weight of its incident
+    edges, and an edge survives iff its weight reaches the average of
+    its two endpoints' thresholds.  The float-free rendering of
+    ``w >= (avg_a + avg_b) / 2`` is the exact integer cross-product
+    ``2 * w * cnt_a * cnt_b >= sum_a * cnt_b + sum_b * cnt_a``.
+
+    Scale: pair generation NEVER self-joins on the block key — entities
+    are collected per block (bounded by ``max_block`` after purging)
+    and i<j pairs expand map-side from the sorted array; edge weights
+    and per-entity stats are partial-combined hash aggregates; the
+    final rule is one join of the edge table with two slices of the
+    (entity-sized) stat table.  Output: (a, b, weight) for surviving
+    comparisons, a < b.
+    """
+    g = (
+        assignments.select(
+            F.col(block_col).alias("blk"), F.col(entity_col).alias("item")
+        )
+        .where(F.col(entity_col).isNotNull())
+        .distinct()
+    )
+    sized = g.groupBy("blk").agg(
+        F.sort_array(F.collect_set("item")).alias("items")
+    ).where(F.size("items").between(2, max_block))
+    pair_gen = F.flatten(
+        F.expr(
+            "transform(items, (x, i) -> "
+            "transform(slice(items, i + 2, size(items)), "
+            "y -> struct(x AS a, y AS b)))"
+        )
+    )
+    edges = (
+        sized.select(F.explode(pair_gen).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    stats = (
+        edges.select(F.col("a").alias("node"), "w")
+        .unionByName(edges.select(F.col("b").alias("node"), "w"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("w").alias("s"))
+    )
+    sa = stats.select(
+        F.col("node").alias("a"), F.col("cnt").alias("cnt_a"), F.col("s").alias("s_a")
+    )
+    sb = stats.select(
+        F.col("node").alias("b"), F.col("cnt").alias("cnt_b"), F.col("s").alias("s_b")
+    )
+    return (
+        edges.join(sa, "a")
+        .join(sb, "b")
+        .where(
+            2 * F.col("w") * F.col("cnt_a") * F.col("cnt_b")
+            >= F.col("s_a") * F.col("cnt_b") + F.col("s_b") * F.col("cnt_a")
+        )
+        .select("a", "b", F.col("w").alias("weight"))
+    )
+
+
+def sql_meta_blocking_wnp(
+    assignments_sql: str,
+    max_block: int = 256,
+) -> str:
+    """DuckDB oracle: same purge -> CBS weights -> WNP integer rule.
+    assignments_sql -> (entity, block)."""
+    return f"""WITH g AS MATERIALIZED (
+  SELECT DISTINCT block AS blk, entity AS item FROM ({assignments_sql})
+  WHERE entity IS NOT NULL
+),
+bsize AS (
+  SELECT blk FROM g GROUP BY blk
+  HAVING count(*) BETWEEN 2 AND {max_block}
+),
+edges AS (
+  SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS w
+  FROM g x JOIN g y ON x.blk = y.blk AND x.item < y.item
+  JOIN bsize s ON x.blk = s.blk
+  GROUP BY x.item, y.item
+),
+stats AS (
+  SELECT node, count(*) AS cnt, sum(w) AS s FROM (
+    SELECT a AS node, w FROM edges
+    UNION ALL
+    SELECT b, w FROM edges
+  ) GROUP BY node
+)
+SELECT e.a, e.b, e.w AS weight
+FROM edges e
+JOIN stats sa ON e.a = sa.node
+JOIN stats sb ON e.b = sb.node
+WHERE 2 * e.w * sa.cnt * sb.cnt >= sa.s * sb.cnt + sb.s * sa.cnt"""

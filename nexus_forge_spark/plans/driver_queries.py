@@ -11829,7 +11829,118 @@ FROM orders WHERE o_orderkey % 10 = 7"""
     return sql_unreify(trips)
 
 
+def _chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-precedes chains as (child, parent) edges."""
+    from pyspark.sql.window import Window as _W
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    w = _W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("child"),
+        F.lead(F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")))
+        .over(w)
+        .alias("parent"),
+    ).where(F.col("parent").isNotNull())
+
+
+_CHAIN_EDGES_SQL = """SELECT child, parent FROM (
+  SELECT 'order:' || o_orderkey AS child,
+         'order:' || lead(o_orderkey) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS parent
+  FROM orders
+) WHERE parent IS NOT NULL"""
+
+
+def q_kg_closure_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental transitive-closure maintenance (operators/ontology.py
+    transitive_closure_incremental): 1-in-8 chain edges arrive as a
+    delta batch; the old closure (built from the other 7/8) is seeded
+    with the delta and re-doubled — converging in ceil(log2(k+1))
+    rounds for k delta edges per path instead of log(depth) from
+    scratch.  Graded against the full-recompute oracle (recursive CTE
+    over ALL edges): hash equality IS the fold==recompute invariant
+    this repo's incremental family shares."""
+    from nexus_forge_spark.operators.ontology import (
+        transitive_closure,
+        transitive_closure_incremental,
+    )
+    from nexus_forge_spark.operators.sketches import hash60
+
+    edges = _chain_edges(spark, sf_dir)
+    is_delta = (
+        hash60(F.concat(F.col("child"), F.lit("|"), F.col("parent")), "cdelta") % 8
+    ) == 0
+    old = edges.where(~is_delta)
+    delta = edges.where(is_delta)
+    closure_old = transitive_closure(old)
+    return transitive_closure_incremental(closure_old, delta)
+
+
+def sql_kg_closure_incremental() -> str:
+    return f"""WITH RECURSIVE e AS MATERIALIZED ({_CHAIN_EDGES_SQL}),
+reach(node, anc) AS (
+  SELECT child, parent FROM e WHERE child <> parent
+  UNION
+  SELECT r.node, e2.parent FROM reach r JOIN e e2 ON r.anc = e2.child
+  WHERE r.node <> e2.parent
+)
+SELECT node, anc FROM reach"""
+
+
+def q_er_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking with Weighted Node Pruning (operators/blocking.py
+    meta_blocking_wnp): four redundancy-positive blocking schemes over
+    parts (name adjective, name noun, brand|type, size-decade) feed the
+    CBS comparison graph; size-decade blocks exceed max_block and are
+    PURGED, and WNP keeps only pairs at or above their endpoints' mean
+    edge weight — the standard ER answer to quadratic block cost."""
+    from nexus_forge_spark.operators.blocking import meta_blocking_wnp
+
+    part = load_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    )
+    ent = F.concat(F.lit("part:"), F.col("p_partkey").cast("string"))
+    words = F.split(F.col("p_name"), " ")
+    assigns = (
+        part.select(ent.alias("entity"), F.concat(F.lit("w1:"), words[0]).alias("block"))
+        .unionByName(
+            part.select(ent.alias("entity"), F.concat(F.lit("w2:"), words[1]).alias("block"))
+        )
+        .unionByName(
+            part.select(
+                ent.alias("entity"),
+                F.concat(F.lit("bt:"), F.col("p_brand"), F.lit("|"), F.col("p_type")).alias("block"),
+            )
+        )
+        .unionByName(
+            part.select(
+                ent.alias("entity"),
+                F.concat(F.lit("sz:"), F.expr("p_size DIV 10").cast("string")).alias("block"),
+            )
+        )
+    )
+    return meta_blocking_wnp(assigns, max_block=256)
+
+
+def sql_er_meta_blocking() -> str:
+    from nexus_forge_spark.operators.blocking import sql_meta_blocking_wnp
+
+    assigns = """SELECT 'part:' || p_partkey AS entity,
+       'w1:' || string_split(p_name, ' ')[1] AS block FROM part
+UNION ALL
+SELECT 'part:' || p_partkey, 'w2:' || string_split(p_name, ' ')[2] FROM part
+UNION ALL
+SELECT 'part:' || p_partkey, 'bt:' || p_brand || '|' || p_type FROM part
+UNION ALL
+SELECT 'part:' || p_partkey, 'sz:' || CAST(p_size // 10 AS VARCHAR) FROM part"""
+    return sql_meta_blocking_wnp(assigns, max_block=256)
+
+
 QUERIES = {
+    "kg_closure_incremental": (q_kg_closure_incremental, sql_kg_closure_incremental),
+    "er_meta_blocking": (q_er_meta_blocking, sql_er_meta_blocking),
     "kg_property_chain": (q_kg_property_chain, sql_kg_property_chain),
     "kg_unreify": (q_kg_unreify, sql_kg_unreify),
     "kg_asof_diff": (q_kg_asof_diff, sql_kg_asof_diff),

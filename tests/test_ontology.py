@@ -260,3 +260,65 @@ def test_unreify_roles_annotations_and_malformed(spark):
     assert not any(r.subj == "c" for r in rows)
     # rdf:type rdf:Statement consumed, never an annotation
     assert not any(r.ann_pred == "rdf:type" for r in rows)
+
+
+def test_incremental_closure_equals_full_recompute(spark):
+    """Delta edges BRIDGE two chains: the incremental result must equal
+    the from-scratch closure of the union, pair for pair."""
+    from nexus_forge_spark.operators.ontology import (
+        transitive_closure,
+        transitive_closure_incremental,
+    )
+
+    old_edges = [(f"a{i}", f"a{i + 1}") for i in range(6)]
+    old_edges += [(f"b{i}", f"b{i + 1}") for i in range(6)]
+    delta = [("a6", "b0"), ("x", "a0")]  # bridge + new source node
+    mk = lambda rows: spark.createDataFrame(rows, "child string, parent string")
+    full = {
+        (r.node, r.anc) for r in transitive_closure(mk(old_edges + delta)).collect()
+    }
+    inc = {
+        (r.node, r.anc)
+        for r in transitive_closure_incremental(
+            transitive_closure(mk(old_edges)), mk(delta)
+        ).collect()
+    }
+    assert inc == full
+    assert ("x", "b6") in inc  # path threading both delta edges
+
+
+def test_meta_blocking_wnp_purge_and_prune(spark):
+    from nexus_forge_spark.operators.blocking import meta_blocking_wnp
+
+    rows = []
+    # block B1 holds e1,e2,e3; block B2 holds e1,e2 -> (e1,e2) weight 2
+    for b, es in [("B1", ["e1", "e2", "e3"]), ("B2", ["e1", "e2"])]:
+        rows += [(e, b) for e in es]
+    # an oversized block must be purged entirely
+    rows += [(f"z{i}", "BIG") for i in range(10)]
+    df = spark.createDataFrame(rows, "entity string, block string")
+    got = {(r.a, r.b): r.weight for r in meta_blocking_wnp(df, max_block=8).collect()}
+    # weights: (e1,e2)=2, (e1,e3)=1, (e2,e3)=1.
+    # avgs: e1=e2=3/2, e3=1 -> (e1,e2): 2 >= 3/2 keep; (e1,e3): 1 >= 5/4 drop
+    assert got == {("e1", "e2"): 2}
+    assert not any(a.startswith("z") for a, _ in got)
+
+
+def test_meta_blocking_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.blocking import (
+        meta_blocking_wnp,
+        sql_meta_blocking_wnp,
+    )
+
+    rows = [(f"e{i % 23}", f"b{(i * 5) % 11}") for i in range(150)]
+    rows += [(f"e{i}", "mega") for i in range(20)]
+    df = spark.createDataFrame(rows, "entity string, block string")
+    got = sorted((r.a, r.b, r.weight) for r in meta_blocking_wnp(df, max_block=12).collect())
+    vals = ", ".join(f"('{e}', '{b}')" for e, b in rows)
+    sql = sql_meta_blocking_wnp(
+        f"SELECT * FROM (VALUES {vals}) AS t(entity, block)", max_block=12
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
