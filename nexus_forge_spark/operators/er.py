@@ -623,3 +623,104 @@ SELECT {ida}, {idb}, CAST({w_final} AS BIGINT) AS w_ppm,
        CASE WHEN {w_final} >= {match_threshold_ppm} THEN 1 ELSE 0 END AS matched
 FROM pairs, p{rounds} p"""
     )
+
+
+def one_to_one_matching(
+    edges: DataFrame,
+    rounds: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+    score_col: str = "score",
+) -> DataFrame:
+    """Distributed greedy 1-1 assignment by LOCAL-MAX matching (Preis's
+    locally heaviest edges): each round, every left node nominates its
+    best incident edge and every right node likewise (max score, ties
+    to the lexicographically smallest partner); an edge matched by BOTH
+    endpoints locks, and all edges touching locked nodes drop.  This is
+    the assignment step ontology alignment needs after pair scoring
+    (align_releases emits scored candidates; a 1-1 alignment must pick
+    a non-conflicting subset) — the sequential greedy is inherently
+    serial, the local-max variant is its order-free equivalent: every
+    locked edge is locally heaviest, and >= half the remaining weight
+    locks per round in expectation.
+
+    Determinism/engine-exactness: scores are integers; per-node argmax
+    is max(score) then min(partner) (two hash aggregates, window-free);
+    a FIXED round count runs on BOTH engines — edges still ambiguous
+    after ``rounds`` stay unmatched (documented contract; 4 rounds
+    settle all but adversarial score chains).
+
+    Scale: per round two partial-combined aggregates + two semi/anti
+    joins on the node key, state localCheckpointed.  No global sort, no
+    driver-side edge list — contrast the textbook greedy, which is a
+    sequential scan of globally sorted edges.
+
+    Output: (a, b, score, round) for locked pairs, round 1-based.
+    """
+    e = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b"),
+        F.col(score_col).cast("long").alias("score"),
+    ).localCheckpoint(eager=True)
+    matched = None
+    for r in range(1, rounds + 1):
+        if e.isEmpty():
+            break
+        best_a = (
+            e.groupBy("a").agg(F.max("score").alias("score"))
+            .join(e, ["a", "score"])
+            .groupBy("a", "score").agg(F.min("b").alias("b"))
+        )
+        best_b = (
+            e.groupBy("b").agg(F.max("score").alias("score"))
+            .join(e, ["b", "score"])
+            .groupBy("b", "score").agg(F.min("a").alias("a"))
+        )
+        locked = best_a.join(best_b, ["a", "b", "score"]).select(
+            "a", "b", "score", F.lit(r).alias("round")
+        ).localCheckpoint(eager=True)
+        matched = locked if matched is None else matched.unionByName(locked)
+        e = (
+            e.join(locked.select("a"), "a", "left_anti")
+            .join(locked.select("b"), "b", "left_anti")
+            .select("a", "b", "score")
+            .localCheckpoint(eager=True)
+        )
+    if matched is None:
+        return e.select("a", "b", "score", F.lit(1).alias("round")).where(F.lit(False))
+    return matched.select("a", "b", "score", F.col("round").cast("int").alias("round"))
+
+
+def sql_one_to_one_matching(edges_sql: str, rounds: int = 4) -> str:
+    """DuckDB oracle: the same fixed-round local-max loop unrolled.
+    edges_sql -> (a, b, score)."""
+    parts = [f"e1 AS MATERIALIZED (SELECT a, b, CAST(score AS BIGINT) AS score FROM ({edges_sql}))"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""ba{r} AS (
+  SELECT e.a, e.score, min(e.b) AS b
+  FROM e{r} e JOIN (SELECT a, max(score) AS score FROM e{r} GROUP BY a) t
+    ON e.a = t.a AND e.score = t.score
+  GROUP BY e.a, e.score)"""
+        )
+        parts.append(
+            f"""bb{r} AS (
+  SELECT e.b, e.score, min(e.a) AS a
+  FROM e{r} e JOIN (SELECT b, max(score) AS score FROM e{r} GROUP BY b) t
+    ON e.b = t.b AND e.score = t.score
+  GROUP BY e.b, e.score)"""
+        )
+        parts.append(
+            f"""m{r} AS (
+  SELECT x.a, x.b, x.score, {r} AS round
+  FROM ba{r} x JOIN bb{r} y ON x.a = y.a AND x.b = y.b AND x.score = y.score)"""
+        )
+        parts.append(
+            f"""e{r + 1} AS (
+  SELECT * FROM e{r}
+  WHERE a NOT IN (SELECT a FROM m{r}) AND b NOT IN (SELECT b FROM m{r}))"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, rounds + 1))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT a, b, score, CAST(round AS INT) AS round FROM ({union})"
+    )

@@ -11938,7 +11938,114 @@ SELECT 'part:' || p_partkey, 'sz:' || CAST(p_size // 10 AS VARCHAR) FROM part"""
     return sql_meta_blocking_wnp(assigns, max_block=256)
 
 
+def q_er_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed greedy 1-1 assignment (operators/er.py
+    one_to_one_matching, Preis local-max matching): the FS-scored
+    near-dup candidate pairs resolve into a non-conflicting one-to-one
+    pairing — each round two window-free argmax aggregates lock the
+    locally heaviest edges, fixed 4 rounds on both engines.  The
+    textbook greedy is a sequential scan of a globally sorted edge
+    list; this is its order-free distributed equivalent."""
+    from nexus_forge_spark.operators.er import one_to_one_matching
+
+    edges = q_er_fs_scores(spark, sf_dir).select("a", "b", F.col("score_milli").alias("score"))
+    return one_to_one_matching(edges, rounds=4)
+
+
+def sql_er_one_to_one() -> str:
+    from nexus_forge_spark.operators.er import sql_one_to_one_matching
+
+    return sql_one_to_one_matching(
+        f"SELECT a, b, score_milli AS score FROM ({sql_er_fs_scores()})", rounds=4
+    )
+
+
+def _catalog_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 4-predicate fact mix with very different key cardinalities —
+    the shape a catalog-stats table exists to expose."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    return (
+        orders.select(
+            F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")).alias("subj"),
+            F.lit("ord:placed").alias("pred"),
+            F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("obj"),
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("order:"), F.col("l_orderkey").cast("string")).alias("subj"),
+                F.lit("ord:contains").alias("pred"),
+                F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("obj"),
+            )
+        )
+        .unionByName(
+            part.select(
+                F.concat(F.lit("part:"), F.col("p_partkey").cast("string")).alias("subj"),
+                F.lit("part:brandOf").alias("pred"),
+                F.concat(F.lit("brand:"), F.col("p_brand")).alias("obj"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("subj"),
+                F.lit("cust:segment").alias("pred"),
+                F.concat(F.lit("seg:"), F.col("c_mktsegment")).alias("obj"),
+            )
+        )
+    )
+
+
+_CATALOG_TRIPLES_SQL = """SELECT 'cust:' || o_custkey AS subj, 'ord:placed' AS pred,
+       'order:' || o_orderkey AS obj FROM orders
+UNION ALL
+SELECT 'order:' || l_orderkey, 'ord:contains', 'part:' || l_partkey FROM lineitem
+UNION ALL
+SELECT 'part:' || p_partkey, 'part:brandOf', 'brand:' || p_brand FROM part
+UNION ALL
+SELECT 'cust:' || c_custkey, 'cust:segment', 'seg:' || c_mktsegment FROM customer"""
+
+
+def q_kg_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate catalog statistics (ANALYZE for the triple store):
+    triple count plus HLL distinct-subject and distinct-object
+    estimates per predicate — the stats a SPARQL join planner needs to
+    order triple patterns.  Three partial-combined aggregates over one
+    fact scan lineage; the HLL sketches reduce every partition to at
+    most 2^p rows before the shuffle (operators/sketches.py), so the
+    catalog costs O(preds x 128) shuffled rows at any corpus size."""
+    from nexus_forge_spark.operators.sketches import hll_estimate, hll_sketch
+
+    t = _catalog_triples(spark, sf_dir)
+    n = t.groupBy("pred").agg(F.count(F.lit(1)).cast("long").alias("n_triples"))
+    s_est = hll_estimate(
+        hll_sketch(t, "subj", ["pred"], salt="cat_s"), ["pred"]
+    ).select("pred", F.col("est_distinct").alias("subj_ndv_est"))
+    o_est = hll_estimate(
+        hll_sketch(t, "obj", ["pred"], salt="cat_o"), ["pred"]
+    ).select("pred", F.col("est_distinct").alias("obj_ndv_est"))
+    return n.join(s_est, "pred").join(o_est, "pred").select(
+        "pred", "n_triples", "subj_ndv_est", "obj_ndv_est"
+    )
+
+
+def sql_kg_catalog_stats() -> str:
+    from nexus_forge_spark.operators.sketches import sql_hll_estimate
+
+    s = sql_hll_estimate(_CATALOG_TRIPLES_SQL, "subj", ["pred"], salt="cat_s")
+    o = sql_hll_estimate(_CATALOG_TRIPLES_SQL, "obj", ["pred"], salt="cat_o")
+    return f"""WITH t AS MATERIALIZED ({_CATALOG_TRIPLES_SQL}),
+n AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_triples FROM t GROUP BY pred),
+se AS (SELECT pred, est_distinct AS subj_ndv_est FROM ({s})),
+oe AS (SELECT pred, est_distinct AS obj_ndv_est FROM ({o}))
+SELECT n.pred, n.n_triples, se.subj_ndv_est, oe.obj_ndv_est
+FROM n JOIN se ON n.pred = se.pred JOIN oe ON n.pred = oe.pred"""
+
+
 QUERIES = {
+    "er_one_to_one": (q_er_one_to_one, sql_er_one_to_one),
+    "kg_catalog_stats": (q_kg_catalog_stats, sql_kg_catalog_stats),
     "kg_closure_incremental": (q_kg_closure_incremental, sql_kg_closure_incremental),
     "er_meta_blocking": (q_er_meta_blocking, sql_er_meta_blocking),
     "kg_property_chain": (q_kg_property_chain, sql_kg_property_chain),

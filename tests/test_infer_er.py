@@ -409,3 +409,58 @@ def test_em_fs_empty_and_bad_rounds(spark):
     assert out.count() == 0
     # params stay at (clamped) inits when there is nothing to learn
     assert params["lambda_ppm"] == 500000
+
+
+# ------------------------------------------------ local-max 1-1 matching
+
+
+def test_one_to_one_locks_mutual_best(spark):
+    from nexus_forge_spark.operators.er import one_to_one_matching
+
+    edges = spark.createDataFrame(
+        [
+            ("a1", "b1", 90), ("a1", "b2", 80),
+            ("a2", "b1", 70), ("a2", "b2", 60),
+        ],
+        "a string, b string, score long",
+    )
+    got = sorted((r.a, r.b, r.score, r.round) for r in one_to_one_matching(edges).collect())
+    # round 1: (a1,b1) mutual best; round 2: (a2,b2) is all that's left
+    assert got == [("a1", "b1", 90, 1), ("a2", "b2", 60, 2)]
+
+
+def test_one_to_one_never_conflicts_and_ties_deterministic(spark):
+    from nexus_forge_spark.operators.er import one_to_one_matching
+
+    edges = spark.createDataFrame(
+        [("a1", "b1", 50), ("a1", "b2", 50), ("a2", "b1", 50)],
+        "a string, b string, score long",
+    )
+    rows = one_to_one_matching(edges).collect()
+    a_side = [r.a for r in rows]
+    b_side = [r.b for r in rows]
+    assert len(set(a_side)) == len(a_side) and len(set(b_side)) == len(b_side)
+    # min-partner tie-break: a1 pairs with b1
+    assert ("a1", "b1") in {(r.a, r.b) for r in rows}
+
+
+def test_one_to_one_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.er import (
+        one_to_one_matching,
+        sql_one_to_one_matching,
+    )
+
+    rows = [
+        (f"a{i % 13}", f"b{(i * 7) % 11}", (i * 37) % 100) for i in range(120)
+    ]
+    rows = list({(a, b): (a, b, s) for a, b, s in rows}.values())
+    edges = spark.createDataFrame(rows, "a string, b string, score long")
+    got = sorted(tuple(r) for r in one_to_one_matching(edges, rounds=4).collect())
+    vals = ", ".join(f"('{a}', '{b}', {s})" for a, b, s in rows)
+    sql = sql_one_to_one_matching(
+        f"SELECT * FROM (VALUES {vals}) AS t(a, b, score)", rounds=4
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
