@@ -1493,3 +1493,68 @@ def card_pii_audit(
         F.size(valid).cast("long").alias("n_luhn_valid"),
         F.array_join(masked, ",").alias("valid_runs"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    min_l: int = 2,
+) -> DataFrame:
+    """Privacy-risk audit before a corpus release: k-anonymity and
+    l-diversity over the quasi-identifier combination.
+
+    Every equivalence class (one row per distinct quasi-identifier
+    tuple) reports its size, the number of distinct sensitive values
+    it carries, and two flags: ``k_violation`` (size < k — the class
+    re-identifies its members) and ``l_violation`` (distinct sensitive
+    values < min_l — the class leaks its members' sensitive attribute
+    even WITHOUT re-identification, the homogeneity attack k-anonymity
+    alone misses).  Sweeney's k-anonymity and Machanavajjhala's
+    l-diversity, re-rendered as two exact aggregates.
+
+    Scale: ONE hash aggregate over the fact table (count +
+    count-distinct share the same grouping), map-side combined; the
+    output is class-sized, not row-sized.  Complements the row-level
+    PII operators (redact_pii, card_pii_audit) with the release-level
+    governance check.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_size"),
+            F.countDistinct(sensitive_col).cast("long").alias("n_sensitive"),
+        )
+        .select(
+            *quasi_cols,
+            "class_size",
+            "n_sensitive",
+            (F.col("class_size") < k).alias("k_violation"),
+            (F.col("n_sensitive") < min_l).alias("l_violation"),
+        )
+    )
+
+
+def sql_k_anonymity_audit(
+    source_sql: str,
+    quasi_exprs: list[str],
+    sensitive_expr: str,
+    k: int = 5,
+    min_l: int = 2,
+) -> str:
+    """DuckDB oracle for :func:`k_anonymity_audit`.  quasi_exprs are
+    SELECT expressions aliased to the same names the Spark side uses."""
+    q_sel = ", ".join(quasi_exprs)
+    q_names = ", ".join(e.split(" AS ")[-1].strip() for e in quasi_exprs)
+    return f"""WITH src AS MATERIALIZED (
+  SELECT {q_sel}, {sensitive_expr} AS _sens FROM ({source_sql})
+)
+SELECT {q_names},
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(DISTINCT _sens) AS BIGINT) AS n_sensitive,
+       count(*) < {k} AS k_violation,
+       count(DISTINCT _sens) < {min_l} AS l_violation
+FROM src GROUP BY {q_names}"""

@@ -1250,3 +1250,122 @@ def sql_fastrp_embeddings(
 SELECT node, dim, CAST(sum(c) AS BIGINT) AS val
 FROM ({combo}) GROUP BY node, dim"""
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 1000000,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) in exact integer
+    arithmetic: a(v) = sum of incoming hubs, h(u) = sum of outgoing
+    authorities, each vector renormalized by its MAX (not the L2 norm —
+    max-normalization keeps every step a BIGINT multiply + truncating
+    DIV, and converges to the same principal direction).
+
+    Per round: two shuffle joins (edges x current vector) + two hash
+    aggregates + one 1-row max — no float, no sqrt, so the unrolled
+    DuckDB recurrence matches hash-for-hash.  Nodes without in-edges
+    hold authority 0, without out-edges hub 0 (kept via the node
+    universe).  Output: (node, hub_ppm, auth_ppm) after ``rounds``.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = nodes.select("node", F.lit(scale).cast("long").alias("v"))
+    a = None
+    for _ in range(rounds):
+        a_raw = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("v").alias("raw"))
+        )
+        a = _max_normalize(nodes, a_raw, scale).localCheckpoint(eager=True)
+        h_raw = (
+            e.join(a.withColumnRenamed("node", "dst").withColumnRenamed("v", "av"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("av").alias("raw"))
+        )
+        h = _max_normalize(nodes, h_raw, scale).localCheckpoint(eager=True)
+    return (
+        nodes.join(h.withColumnRenamed("v", "hub_ppm"), "node", "left")
+        .join(a.withColumnRenamed("v", "auth_ppm"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub_ppm", F.lit(0)).cast("long").alias("hub_ppm"),
+            F.coalesce("auth_ppm", F.lit(0)).cast("long").alias("auth_ppm"),
+        )
+    )
+
+
+def _max_normalize(nodes: DataFrame, raw: DataFrame, scale: int) -> DataFrame:
+    """(node, raw) -> (node, v) with v = raw*scale DIV max(raw), zero-padded
+    over the node universe.  max is a 1-row aggregate broadcast back."""
+    mx = raw.agg(F.max("raw").alias("mx"))
+    return (
+        nodes.join(raw, "node", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "node",
+            F.when(
+                F.col("mx").isNull() | (F.col("mx") == 0), F.lit(0)
+            )
+            .otherwise(F.expr(f"(coalesce(raw, 0) * {scale}) DIV mx"))
+            .cast("long")
+            .alias("v"),
+        )
+    )
+
+
+def sql_hits_scores(edges_sql: str, rounds: int = 3, scale: int = 1000000) -> str:
+    """DuckDB oracle: the identical max-normalized recurrence unrolled."""
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS v FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""ar{r} AS (
+  SELECT e.dst AS node, sum(h.v) AS raw
+  FROM e JOIN h{r - 1} h ON e.src = h.node GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""a{r} AS (
+  SELECT n.node,
+         CAST(CASE WHEN m.mx IS NULL OR m.mx = 0 THEN 0
+              ELSE (coalesce(r.raw, 0) * {scale}) // m.mx END AS BIGINT) AS v
+  FROM nodes n
+  LEFT JOIN ar{r} r ON n.node = r.node
+  CROSS JOIN (SELECT max(raw) AS mx FROM ar{r}) m)"""
+        )
+        parts.append(
+            f"""hr{r} AS (
+  SELECT e.src AS node, sum(a.v) AS raw
+  FROM e JOIN a{r} a ON e.dst = a.node GROUP BY e.src)"""
+        )
+        parts.append(
+            f"""h{r} AS (
+  SELECT n.node,
+         CAST(CASE WHEN m.mx IS NULL OR m.mx = 0 THEN 0
+              ELSE (coalesce(r.raw, 0) * {scale}) // m.mx END AS BIGINT) AS v
+  FROM nodes n
+  LEFT JOIN hr{r} r ON n.node = r.node
+  CROSS JOIN (SELECT max(raw) AS mx FROM hr{r}) m)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT n.node, h.v AS hub_ppm, a.v AS auth_ppm
+FROM nodes n
+JOIN h{rounds} h ON n.node = h.node
+JOIN a{rounds} a ON n.node = a.node"""
+    )

@@ -930,3 +930,97 @@ SELECT {id_col}, phrase, score_ppm, CAST(rank AS INT) AS rank FROM (
     PARTITION BY {id_col} ORDER BY score_ppm DESC, phrase ASC) AS rank
   FROM scored
 ) WHERE rank <= {k}"""
+
+
+def zipf_fit(
+    freqs: DataFrame,
+    term_col: str = "term",
+    freq_col: str = "freq",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over a term-frequency table: least-squares slope of
+    ln(freq) against ln(rank) for the top_n terms (rank by freq desc,
+    term asc) — the corpus-health diagnostic (natural text ~ -1.0;
+    boilerplate-heavy or synthetic corpora drift off).
+
+    Engine exactness: logs are the deterministic fixed-point intlog
+    micro-nats coarsened to MILLI-nats, and the normal-equation sums
+    stay in BIGINT because top_n is capped at 1000 (documented bound:
+    with x <= ln(1000)*1e3 and y <= ln(1e12)*1e3 every intermediate,
+    including num*1000, fits in 63 bits — Spark's DECIMAL(38,0) DIV is
+    broken for >63-bit operands, so the bound is load-bearing).
+    slope_milli = (n*Sxy - Sx*Sy) * 1000 DIV (n*Sxx - Sx*Sx), both
+    engines truncating toward zero on negatives (verified).
+
+    Scale: the freq table is vocabulary-sized; top-n extraction is a
+    TakeOrderedAndProject (never a global sort) and the fit is one
+    aggregate over <= 1000 rows.  Output: one row (n_terms,
+    slope_milli).
+    """
+    from nexus_forge_spark.functions.intlog import ln_micro_col
+
+    if top_n > 1000:
+        raise ValueError("top_n > 1000 would overflow the BIGINT normal equations")
+    top = (
+        freqs.select(F.col(term_col).alias("t"), F.col(freq_col).cast("long").alias("f"))
+        .orderBy(F.col("f").desc(), F.col("t").asc())
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("f").desc(), F.col("t").asc())
+    ranked = top.select(
+        F.row_number().over(w).cast("long").alias("r"), "f"
+    )  # <= top_n rows: the single-partition window is bounded, not corpus-sized
+    logs = ranked.select(
+        (ln_micro_col("r", "1") / F.lit(1000)).cast("long").alias("x"),
+        (ln_micro_col("f", "1") / F.lit(1000)).cast("long").alias("y"),
+    )
+    agg = logs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx = 0 THEN 0 ELSE "
+            "((n * sxy - sx * sy) * 1000) DIV (n * sxx - sx * sx) END"
+        )
+        .cast("long")
+        .alias("slope_milli"),
+    )
+
+
+def sql_zipf_fit(
+    freqs_sql: str,
+    top_n: int = 1000,
+) -> str:
+    """DuckDB oracle for :func:`zipf_fit`.  freqs_sql -> (term, freq)."""
+    from nexus_forge_spark.functions.intlog import ln_micro_sql
+
+    x = ln_micro_sql("r", "1", "duck")
+    y = ln_micro_sql("f", "1", "duck")
+    return f"""WITH top AS MATERIALIZED (
+  SELECT term AS t, CAST(freq AS BIGINT) AS f FROM ({freqs_sql})
+  ORDER BY f DESC, t ASC LIMIT {top_n}
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY f DESC, t ASC) AS r, f FROM top
+),
+logs AS (
+  SELECT CAST(({x}) // 1000 AS BIGINT) AS x,
+         CAST(({y}) // 1000 AS BIGINT) AS y
+  FROM ranked
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM logs
+)
+SELECT n AS n_terms,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0 ELSE
+            ((n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx) END AS BIGINT)
+       AS slope_milli
+FROM agg"""

@@ -12043,7 +12043,99 @@ SELECT n.pred, n.n_triples, se.subj_ndv_est, oe.obj_ndv_est
 FROM n JOIN se ON n.pred = se.pred JOIN oe ON n.pred = oe.pred"""
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity release audit (operators/curation.py
+    k_anonymity_audit): customers quasi-identified by (nation,
+    acctbal-kilobucket), sensitive attribute = market segment.  ONE
+    map-side-combined aggregate; output is equivalence-class-sized.
+    The release-level governance check beside the row-level PII ops."""
+    from nexus_forge_spark.operators.curation import k_anonymity_audit
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_nationkey",
+        F.expr("CAST(floor(c_acctbal) AS BIGINT) DIV 1000").alias("bal_kbucket"),
+        "c_mktsegment",
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "bal_kbucket"], "c_mktsegment", k=5, min_l=2
+    )
+
+
+def sql_k_anonymity() -> str:
+    from nexus_forge_spark.operators.curation import sql_k_anonymity_audit
+
+    return sql_k_anonymity_audit(
+        "SELECT * FROM customer",
+        [
+            "c_nationkey",
+            "CAST(floor(c_acctbal) AS BIGINT) // 1000 AS bal_kbucket",
+        ],
+        "c_mktsegment",
+        k=5,
+        min_l=2,
+    )
+
+
+def q_hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graph.py hits_scores) over the
+    directed customer->part co-purchase graph: hub customers buy the
+    authoritative parts.  Max-normalized integer recurrence — two
+    shuffle joins + two aggregates + one 1-row max per round, no sqrt,
+    no float — so the unrolled oracle matches hash-for-hash."""
+    from nexus_forge_spark.operators.graph import hits_scores
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_scores(edges, rounds=3)
+
+
+def sql_hits_copurchase() -> str:
+    from nexus_forge_spark.operators.graph import sql_hits_scores
+
+    edges = """SELECT DISTINCT 'cust:' || o.o_custkey AS src,
+       'part:' || l.l_partkey AS dst
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"""
+    return sql_hits_scores(edges, rounds=3)
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law corpus diagnostic (operators/text.py zipf_fit): the
+    least-squares slope of ln(freq) vs ln(rank) over the top token
+    frequencies, in engine-exact milli-nat fixed point (intlog, capped
+    top_n so the BIGINT normal equations cannot overflow — Spark's
+    DECIMAL(38,0) DIV wraps silently past 63 bits, measured)."""
+    from nexus_forge_spark.operators.text import tokens, zipf_fit
+
+    docs = load_table(spark, "documents", sf_dir).select("text")
+    freqs = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return zipf_fit(freqs, top_n=40)
+
+
+def sql_zipf_slope() -> str:
+    from nexus_forge_spark.operators.text import sql_zipf_fit
+
+    freqs = r"""SELECT t AS term, count(*) AS freq FROM (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t FROM documents
+) GROUP BY t"""
+    return sql_zipf_fit(freqs, top_n=40)
+
+
 QUERIES = {
+    "k_anonymity_audit": (q_k_anonymity, sql_k_anonymity),
+    "hits_copurchase": (q_hits_copurchase, sql_hits_copurchase),
+    "zipf_slope": (q_zipf_slope, sql_zipf_slope),
     "er_one_to_one": (q_er_one_to_one, sql_er_one_to_one),
     "kg_catalog_stats": (q_kg_catalog_stats, sql_kg_catalog_stats),
     "kg_closure_incremental": (q_kg_closure_incremental, sql_kg_closure_incremental),

@@ -938,3 +938,39 @@ def test_luhn_and_card_audit(spark):
     got = {r.doc_id: r.n_luhn_valid for r in card_pii_audit(df2).collect()}
     for i, s in enumerate(strs):
         assert got[i] == int(py_luhn(s)), s
+
+
+def test_k_anonymity_flags(spark):
+    from nexus_forge_spark.operators.curation import k_anonymity_audit
+
+    rows = [("US", 1, "A")] * 5 + [("US", 1, "B")] + [("FR", 2, "C")] * 2
+    df = spark.createDataFrame(rows, "nat string, bucket int, seg string")
+    out = {
+        (r.nat, r.bucket): (r.class_size, r.n_sensitive, r.k_violation, r.l_violation)
+        for r in k_anonymity_audit(df, ["nat", "bucket"], "seg", k=5, min_l=2).collect()
+    }
+    # (US,1): 6 rows, 2 segments -> safe on both
+    assert out[("US", 1)] == (6, 2, False, False)
+    # (FR,2): 2 rows < k, 1 sensitive value < l -> both violations
+    assert out[("FR", 2)] == (2, 1, True, True)
+
+
+def test_k_anonymity_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.curation import (
+        k_anonymity_audit,
+        sql_k_anonymity_audit,
+    )
+
+    rows = [(f"n{i % 4}", i % 3, f"s{i % 5}") for i in range(100)]
+    df = spark.createDataFrame(rows, "nat string, bucket int, seg string")
+    got = sorted(tuple(r) for r in k_anonymity_audit(df, ["nat", "bucket"], "seg").collect())
+    vals = ", ".join(f"('{n}', {b}, '{s}')" for n, b, s in rows)
+    sql = sql_k_anonymity_audit(
+        f"SELECT * FROM (VALUES {vals}) AS t(nat, bucket, seg)",
+        ["nat", "bucket AS bucket"],
+        "seg",
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want

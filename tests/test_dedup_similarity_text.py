@@ -1110,3 +1110,35 @@ def test_rake_matches_duckdb(spark):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------- Zipf
+
+
+def test_zipf_slope_on_exact_power_law(spark):
+    """freq(r) = C / r gives slope exactly -1 (within fixed-point
+    rounding): feed a synthetic perfect Zipf table."""
+    from nexus_forge_spark.operators.text import zipf_fit
+
+    rows = [(f"t{r:03d}", 100000 // r) for r in range(1, 201)]
+    df = spark.createDataFrame(rows, "term string, freq long")
+    out = zipf_fit(df, top_n=200).collect()[0]
+    assert out.n_terms == 200
+    assert -1050 <= out.slope_milli <= -950
+
+
+def test_zipf_matches_duckdb_and_caps_topn(spark):
+    import duckdb
+    import pytest as _pytest
+
+    from nexus_forge_spark.operators.text import sql_zipf_fit, zipf_fit
+
+    rows = [(f"w{i}", (i * 13) % 50 + 1) for i in range(120)]
+    df = spark.createDataFrame(rows, "term string, freq long")
+    got = [tuple(r) for r in zipf_fit(df, top_n=64).collect()]
+    vals = ", ".join(f"('{t}', {f})" for t, f in rows)
+    sql = sql_zipf_fit(f"SELECT * FROM (VALUES {vals}) AS t(term, freq)", top_n=64)
+    want = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    assert got == want
+    with _pytest.raises(ValueError):
+        zipf_fit(df, top_n=1001)

@@ -449,3 +449,36 @@ def test_fastrp_sink_nodes_hold_zero(spark):
     e = spark.createDataFrame([("a", "b")], "node string, nbr string")
     out = {(r.node, r.dim): r.val for r in fastrp_embeddings(e, dims=2, rounds=2).collect()}
     assert out[("b", 0)] == 0 and out[("b", 1)] == 0
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def test_hits_star_graph(spark):
+    """One hub pointing at 3 authorities, a spectator edge elsewhere:
+    the hub takes hub_ppm = scale, the shared authorities saturate."""
+    from nexus_forge_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame(
+        [("h", "a1"), ("h", "a2"), ("h", "a3"), ("x", "y")],
+        "src string, dst string",
+    )
+    out = {r.node: (r.hub_ppm, r.auth_ppm) for r in hits_scores(edges, rounds=2).collect()}
+    assert out["h"][0] == 1000000          # dominant hub
+    assert out["a1"][1] == out["a2"][1] == out["a3"][1] == 1000000
+    assert out["h"][1] == 0                # nothing points at the hub
+    assert out["x"][0] < 1000000           # weaker hub than h
+
+
+def test_hits_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.graph import hits_scores, sql_hits_scores
+
+    rows = [(f"u{i % 7}", f"v{(i * 3) % 11}") for i in range(60)]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = sorted(tuple(r) for r in hits_scores(edges, rounds=3).collect())
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in rows)
+    sql = sql_hits_scores(f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", rounds=3)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
