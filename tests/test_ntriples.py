@@ -145,3 +145,25 @@ def test_asof_triples_matches_duckdb(spark):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_fold_asof_state_order_insensitive(spark):
+    from nexus_forge_spark.operators.triples import asof_triples, fold_asof_state
+
+    rows = [
+        (f"u{i % 4}", f"p{i % 2}", f"v{i}", (i * 31) % 500, i) for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, ts_micros long, seq long"
+    )
+    full = sorted(
+        (r.subj, r.pred, r.obj) for r in asof_triples(df, 10**9).collect()
+    )
+    # fold in two different batch orders
+    b = [df.where(F.col("seq") % 3 == i) for i in range(3)]
+    for order in ([0, 1, 2], [2, 0, 1]):
+        state = None
+        for i in order:
+            state = fold_asof_state(state, b[i])
+        got = sorted((r.subj, r.pred, r.obj) for r in state.collect())
+        assert got == full
