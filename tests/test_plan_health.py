@@ -768,3 +768,51 @@ def test_vocab_join_strategy_follows_runtime_size(spark):
             )
         else:
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_rdfs_entailment_schema_joins_broadcast(spark, sf01):
+    """Every rule join must broadcast the (tiny) schema side; the fact
+    side never sort-merge-joins against schema tables."""
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["kg_rdfs_entailment"][0](spark, sf01), execute=True)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_meta_blocking_no_block_self_join(spark, sf01):
+    """Pair generation is map-side array expansion: the plan must carry
+    a Generate (explode) and no join at all before the weight aggregate;
+    the only joins are the two stat joins on the node key."""
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["er_meta_blocking"][0](spark, sf01), execute=True)
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_property_chain_prunes_predicates(spark, sf01):
+    """The axiom table is a broadcast literal and the fact scan is
+    filtered to the mentioned predicate slices before the midpoint join."""
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["kg_property_chain"][0](spark, sf01), execute=True)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_cutoff_pushes_to_scan(spark, sf01):
+    """The epoch-micros cutoff filter must prune before the window
+    shuffle: the filter sits below the Window exchange in the plan."""
+    from nexus_forge_spark.operators.triples import asof_triples
+    from nexus_forge_spark.plans.driver_queries import (
+        _ASOF_T1,
+        _event_assertions,
+    )
+
+    df = asof_triples(_event_assertions(spark, "/root/testdata/sf0.01"), _ASOF_T1)
+    plan = plan_of(df, execute=True)
+    w = plan.index("Window")
+    f = plan.index("unix_micros")  # the filter references the micros expr
+    assert f > w  # plan prints top-down: the filter is BELOW the window
