@@ -724,3 +724,84 @@ def sql_one_to_one_matching(edges_sql: str, rounds: int = 4) -> str:
         "WITH " + ",\n".join(parts)
         + f"\nSELECT a, b, score, CAST(round AS INT) AS round FROM ({union})"
     )
+
+
+def bcubed_metrics(
+    assignments: DataFrame,
+    item_col: str = "item",
+    pred_col: str = "pred_cluster",
+    truth_col: str = "true_cluster",
+) -> DataFrame:
+    """Cluster-level ER evaluation: B-cubed precision / recall / F1
+    (Bagga & Baldwin 1998) — the standard complement to pairwise
+    metrics (pr_curve): per-item precision is the fraction of the
+    item's PREDICTED cluster sharing its true cluster, per-item recall
+    the fraction of its TRUE cluster it reaches, both averaged over
+    items.  Pairwise metrics over-reward shattering big clusters;
+    B-cubed prices both over-merging and over-splitting per item.
+
+    Every per-item value is constant within a (pred, truth) cell, so
+    the whole evaluation is CELL algebra: one (pred, truth) aggregate
+    (cells << items), two cluster-size rollups derived FROM the cell
+    table (no second fact pass), one weighted sum.  Integer ppm with
+    truncating DIV at the two documented points — engine-exact.
+
+    Output: one row (n_items, precision_ppm, recall_ppm, f1_ppm).
+    """
+    cells = assignments.groupBy(
+        F.col(pred_col).alias("p"), F.col(truth_col).alias("t")
+    ).agg(F.count(F.lit(1)).alias("n_pt"))
+    np_ = cells.groupBy("p").agg(F.sum("n_pt").alias("n_p"))
+    nt_ = cells.groupBy("t").agg(F.sum("n_pt").alias("n_t"))
+    contrib = (
+        cells.join(np_, "p")
+        .join(nt_, "t")
+        .select(
+            "n_pt",
+            (F.col("n_pt") * F.expr("(n_pt * 1000000) DIV n_p")).alias("pc"),
+            (F.col("n_pt") * F.expr("(n_pt * 1000000) DIV n_t")).alias("rc"),
+        )
+    )
+    agg = contrib.agg(
+        F.sum("n_pt").alias("n"), F.sum("pc").alias("sp"), F.sum("rc").alias("sr")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.expr("sp DIV n").cast("long").alias("precision_ppm"),
+        F.expr("sr DIV n").cast("long").alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN (sp DIV n) + (sr DIV n) = 0 THEN 0 "
+            "ELSE (2 * (sp DIV n) * (sr DIV n)) DIV ((sp DIV n) + (sr DIV n)) END"
+        )
+        .cast("long")
+        .alias("f1_ppm"),
+    )
+
+
+def sql_bcubed_metrics(assignments_sql: str) -> str:
+    """DuckDB oracle for :func:`bcubed_metrics`.  assignments_sql ->
+    (item, pred_cluster, true_cluster)."""
+    return f"""WITH cells AS MATERIALIZED (
+  SELECT pred_cluster AS p, true_cluster AS t, CAST(count(*) AS BIGINT) AS n_pt
+  FROM ({assignments_sql}) GROUP BY pred_cluster, true_cluster
+),
+np AS (SELECT p, sum(n_pt) AS n_p FROM cells GROUP BY p),
+nt AS (SELECT t, sum(n_pt) AS n_t FROM cells GROUP BY t),
+contrib AS (
+  SELECT c.n_pt,
+         c.n_pt * ((c.n_pt * 1000000) // np.n_p) AS pc,
+         c.n_pt * ((c.n_pt * 1000000) // nt.n_t) AS rc
+  FROM cells c JOIN np ON c.p = np.p JOIN nt ON c.t = nt.t
+),
+agg AS (
+  SELECT CAST(sum(n_pt) AS BIGINT) AS n,
+         CAST(sum(pc) AS BIGINT) AS sp, CAST(sum(rc) AS BIGINT) AS sr
+  FROM contrib
+)
+SELECT n AS n_items,
+       CAST(sp // n AS BIGINT) AS precision_ppm,
+       CAST(sr // n AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN (sp // n) + (sr // n) = 0 THEN 0
+            ELSE (2 * (sp // n) * (sr // n)) // ((sp // n) + (sr // n)) END AS BIGINT)
+       AS f1_ppm
+FROM agg"""

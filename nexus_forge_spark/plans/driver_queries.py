@@ -12158,7 +12158,49 @@ def sql_kg_asof_incremental() -> str:
     return sql_asof_triples(_EVENT_ASSERTIONS_SQL, _ASOF_T2)
 
 
+def q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed cluster-level ER evaluation (operators/er.py
+    bcubed_metrics): the end-to-end FS pipeline's connected components
+    scored against the planted truth (base_id = entity_id % 1e6) —
+    per-item precision/recall averaged via pure (pred, truth) CELL
+    algebra, so the evaluation costs one cells aggregate regardless of
+    corpus size.  Complements the pairwise er_pr_curve."""
+    from nexus_forge_spark.operators.er import bcubed_metrics
+
+    scored = q_er_fs_scores(spark, sf_dir)
+    edges = scored.where(F.col("decision") == "match").select("a", "b")
+    ids = _docs_with_mutants(spark, sf_dir).select(F.col("doc_id").alias("entity_id"))
+    mapping = CC.connected_components(edges, ids)
+    assigns = mapping.select(
+        F.col("entity_id").alias("item"),
+        F.col("canonical_id").alias("pred_cluster"),
+        (F.col("entity_id") % 1000000).alias("true_cluster"),
+    )
+    return bcubed_metrics(assigns)
+
+
+def sql_er_bcubed() -> str:
+    from nexus_forge_spark.operators.er import sql_bcubed_metrics
+
+    assigns = f"""WITH RECURSIVE scored AS (SELECT * FROM ({sql_er_fs_scores()}) s),
+{_MUTANT_DOCS_SQL},
+edges AS (
+  SELECT a, b FROM scored WHERE decision = 'match'
+  UNION SELECT b, a FROM scored WHERE decision = 'match'
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+mapping AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT id AS item, cluster_id AS pred_cluster, id % 1000000 AS true_cluster
+FROM mapping"""
+    return sql_bcubed_metrics(assigns)
+
+
 QUERIES = {
+    "er_bcubed": (q_er_bcubed, sql_er_bcubed),
     "kg_asof_incremental": (q_kg_asof_incremental, sql_kg_asof_incremental),
     "k_anonymity_audit": (q_k_anonymity, sql_k_anonymity),
     "hits_copurchase": (q_hits_copurchase, sql_hits_copurchase),

@@ -464,3 +464,52 @@ def test_one_to_one_matches_duckdb(spark):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+# ------------------------------------------------------------- B-cubed
+
+
+def test_bcubed_hand_example(spark):
+    """Classic example: truth {1,2,3},{4,5}; prediction merges all into
+    one cluster -> recall 1.0, precision = (3*3/5 + 2*2/5)/5 = 13/25."""
+    from nexus_forge_spark.operators.er import bcubed_metrics
+
+    rows = [(i, "P", "T1") for i in (1, 2, 3)] + [(i, "P", "T2") for i in (4, 5)]
+    df = spark.createDataFrame(rows, "item long, pred_cluster string, true_cluster string")
+    r = bcubed_metrics(df).collect()[0]
+    assert r.n_items == 5
+    assert r.recall_ppm == 1000000
+    assert abs(r.precision_ppm - 520000) <= 1  # 13/25 with truncating div
+
+
+def test_bcubed_perfect_and_shattered(spark):
+    from nexus_forge_spark.operators.er import bcubed_metrics
+
+    perfect = spark.createDataFrame(
+        [(i, f"c{i % 3}", f"c{i % 3}") for i in range(30)],
+        "item long, pred_cluster string, true_cluster string",
+    )
+    r = bcubed_metrics(perfect).collect()[0]
+    assert (r.precision_ppm, r.recall_ppm, r.f1_ppm) == (1000000, 1000000, 1000000)
+    shattered = spark.createDataFrame(
+        [(i, f"s{i}", "T") for i in range(10)],
+        "item long, pred_cluster string, true_cluster string",
+    )
+    r2 = bcubed_metrics(shattered).collect()[0]
+    assert r2.precision_ppm == 1000000 and r2.recall_ppm == 100000
+
+
+def test_bcubed_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.er import bcubed_metrics, sql_bcubed_metrics
+
+    rows = [(i, f"p{(i * 7) % 6}", f"t{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "item long, pred_cluster string, true_cluster string")
+    got = [tuple(r) for r in bcubed_metrics(df).collect()]
+    vals = ", ".join(f"({i}, '{p}', '{t}')" for i, p, t in rows)
+    sql = sql_bcubed_metrics(
+        f"SELECT * FROM (VALUES {vals}) AS t(item, pred_cluster, true_cluster)"
+    )
+    want = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    assert got == want
