@@ -677,3 +677,92 @@ def fold_asof_state(
         F.col(f"_m.{ts_micros_col}").alias("ts_micros"),
         F.col(f"_m.{seq_col}").alias("seq"),
     )
+
+
+def sql_predicate_profile(triples_sql: str) -> str:
+    """DuckDB oracle for :func:`predicate_profile` over any triple SQL."""
+    return f"""WITH trip AS MATERIALIZED ({triples_sql}),
+per_subj AS (
+  SELECT pred, subj, count(*) AS n FROM trip GROUP BY pred, subj
+),
+subj_stats AS (
+  SELECT pred, CAST(sum(n) AS BIGINT) AS n_triples,
+         CAST(count(*) AS BIGINT) AS n_subjects,
+         CAST(max(n) AS BIGINT) AS max_per_subj
+  FROM per_subj GROUP BY pred
+),
+obj_stats AS (
+  SELECT pred, CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
+  FROM trip GROUP BY pred
+)
+SELECT s.pred, s.n_triples, s.n_subjects, o.n_objects, s.max_per_subj,
+       s.max_per_subj = 1 AS is_functional
+FROM subj_stats s JOIN obj_stats o ON s.pred = o.pred"""
+
+
+def schema_drift(profile_old: DataFrame, profile_new: DataFrame) -> DataFrame:
+    """Schema evolution report between two KG releases, from their
+    vocabulary-sized predicate profiles (predicate_profile output):
+    per predicate — 'added' / 'removed' / 'kept', old/new triple counts
+    (0-padded), and whether the functional (sh:maxCount 1) contract
+    CHANGED — the silent break that corrupts downstream
+    canonicalization evidence (a property consumers treated as
+    single-valued going multi-valued is the classic KG release bug).
+
+    Scale: both inputs are predicate-vocabulary-sized, so this is a
+    full-outer join of two tiny tables — the fact scans happened once
+    inside the profiles.  Output: (pred, change, n_old, n_new,
+    was_functional, is_functional, functional_changed).
+    """
+    o = profile_old.select(
+        "pred",
+        F.col("n_triples").alias("n_old"),
+        F.col("is_functional").alias("was_functional"),
+    )
+    n = profile_new.select(
+        "pred",
+        F.col("n_triples").alias("n_new"),
+        F.col("is_functional").alias("is_functional"),
+    )
+    j = o.join(n, "pred", "full_outer")
+    return j.select(
+        "pred",
+        F.when(F.col("n_old").isNull(), F.lit("added"))
+        .when(F.col("n_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+        .alias("change"),
+        F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        F.coalesce("was_functional", F.lit(False)).alias("was_functional"),
+        F.coalesce("is_functional", F.lit(False)).alias("is_functional"),
+        (
+            F.col("n_old").isNotNull()
+            & F.col("n_new").isNotNull()
+            & (F.col("was_functional") != F.col("is_functional"))
+        ).alias("functional_changed"),
+    )
+
+
+def sql_schema_drift(old_triples_sql: str, new_triples_sql: str) -> str:
+    """DuckDB oracle: profile both releases, full-outer join, classify."""
+    po = sql_predicate_profile(old_triples_sql)
+    pn = sql_predicate_profile(new_triples_sql)
+    return f"""WITH po AS MATERIALIZED ({po}),
+pn AS MATERIALIZED ({pn}),
+j AS (
+  SELECT coalesce(po.pred, pn.pred) AS pred,
+         po.n_triples AS n_old_raw, pn.n_triples AS n_new_raw,
+         po.is_functional AS was_f_raw, pn.is_functional AS is_f_raw
+  FROM po FULL OUTER JOIN pn ON po.pred = pn.pred
+)
+SELECT pred,
+       CASE WHEN n_old_raw IS NULL THEN 'added'
+            WHEN n_new_raw IS NULL THEN 'removed'
+            ELSE 'kept' END AS change,
+       CAST(coalesce(n_old_raw, 0) AS BIGINT) AS n_old,
+       CAST(coalesce(n_new_raw, 0) AS BIGINT) AS n_new,
+       coalesce(was_f_raw, false) AS was_functional,
+       coalesce(is_f_raw, false) AS is_functional,
+       (n_old_raw IS NOT NULL AND n_new_raw IS NOT NULL
+        AND was_f_raw <> is_f_raw) AS functional_changed
+FROM j"""

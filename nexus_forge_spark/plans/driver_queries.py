@@ -12199,7 +12199,106 @@ FROM mapping"""
     return sql_bcubed_metrics(assigns)
 
 
+def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-ensemble attribution audit: the SAME mutant corpus through
+    three already-graded detectors — MinHash-LSH (bit 1), SimHash
+    pigeonhole (bit 2), exact bigram-Jaccard (bit 4) — merged per
+    normalized pair into a method bitmap + method count.  The audit a
+    pipeline owner reads to decide which detector earns its cost:
+    unique-contribution pairs have n_methods = 1.  One union + one
+    (a, b) aggregate on top of the three candidate plans; nothing
+    re-scans the corpus."""
+    tag = lambda df, bit: df.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"),
+        F.lit(bit).alias("bit"),
+    ).distinct()
+    pairs = (
+        tag(q_dedup_minhash(spark, sf_dir), 1)
+        .unionByName(tag(q_simhash_pairs(spark, sf_dir), 2))
+        .unionByName(tag(q_dedup_ngram_jaccard(spark, sf_dir), 4))
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(
+            F.sum("bit").cast("long").alias("methods_bitmap"),
+            F.count(F.lit(1)).cast("long").alias("n_methods"),
+        )
+    )
+
+
+def sql_dedup_ensemble() -> str:
+    return f"""WITH mh AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b, 1 AS bit
+  FROM ({sql_dedup_minhash()})
+),
+sh AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b, 2 AS bit
+  FROM ({sql_simhash_pairs()})
+),
+ng AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b, 4 AS bit
+  FROM ({sql_dedup_ngram_jaccard()})
+)
+SELECT a, b, CAST(sum(bit) AS BIGINT) AS methods_bitmap,
+       CAST(count(*) AS BIGINT) AS n_methods
+FROM (SELECT * FROM mh UNION ALL SELECT * FROM sh UNION ALL SELECT * FROM ng)
+GROUP BY a, b"""
+
+
+def _catalog_triples_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release B of the catalog graph: part:brandOf dropped, part:typeOf
+    added, cust:segment multi-valued for every 3rd customer — the three
+    schema-evolution classes a drift report must catch."""
+    base = _catalog_triples(spark, sf_dir).where(F.col("pred") != "part:brandOf")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    return base.unionByName(
+        part.select(
+            F.concat(F.lit("part:"), F.col("p_partkey").cast("string")).alias("subj"),
+            F.lit("part:typeOf").alias("pred"),
+            F.concat(F.lit("type:"), F.col("p_type")).alias("obj"),
+        )
+    ).unionByName(
+        cust.where(F.col("c_custkey") % 3 == 0).select(
+            F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("subj"),
+            F.lit("cust:segment").alias("pred"),
+            F.lit("seg:EXTRA").alias("obj"),
+        )
+    )
+
+
+_CATALOG_TRIPLES_V2_SQL = f"""SELECT * FROM ({_CATALOG_TRIPLES_SQL})
+WHERE pred <> 'part:brandOf'
+UNION ALL
+SELECT 'part:' || p_partkey, 'part:typeOf', 'type:' || p_type FROM part
+UNION ALL
+SELECT 'cust:' || c_custkey, 'cust:segment', 'seg:EXTRA'
+FROM customer WHERE c_custkey % 3 = 0"""
+
+
+def q_kg_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution report between two KG releases (operators/
+    triples.py schema_drift): predicate_profile each release (fact scan
+    once per release), then a full-outer join of the two
+    vocabulary-sized profiles classifies added / removed / kept and
+    flags the silent killer — a property's functional (sh:maxCount 1)
+    contract flipping (cust:segment goes multi-valued in release B)."""
+    from nexus_forge_spark.operators.triples import predicate_profile, schema_drift
+
+    po = predicate_profile(_catalog_triples(spark, sf_dir))
+    pn = predicate_profile(_catalog_triples_v2(spark, sf_dir))
+    return schema_drift(po, pn)
+
+
+def sql_kg_schema_drift() -> str:
+    from nexus_forge_spark.operators.triples import sql_schema_drift
+
+    return sql_schema_drift(_CATALOG_TRIPLES_SQL, _CATALOG_TRIPLES_V2_SQL)
+
+
 QUERIES = {
+    "kg_schema_drift": (q_kg_schema_drift, sql_kg_schema_drift),
+    "dedup_ensemble": (q_dedup_ensemble, sql_dedup_ensemble),
     "er_bcubed": (q_er_bcubed, sql_er_bcubed),
     "kg_asof_incremental": (q_kg_asof_incremental, sql_kg_asof_incremental),
     "k_anonymity_audit": (q_k_anonymity, sql_k_anonymity),

@@ -167,3 +167,26 @@ def test_fold_asof_state_order_insensitive(spark):
             state = fold_asof_state(state, b[i])
         got = sorted((r.subj, r.pred, r.obj) for r in state.collect())
         assert got == full
+
+
+def test_schema_drift_classes(spark):
+    from nexus_forge_spark.operators.triples import predicate_profile, schema_drift
+
+    mk = lambda rows: spark.createDataFrame(rows, "subj string, pred string, obj string")
+    old = mk(
+        [("s1", "p_keep", "a"), ("s2", "p_keep", "b"), ("s1", "p_gone", "x"),
+         ("s1", "p_flip", "v1")]
+    )
+    new = mk(
+        [("s1", "p_keep", "a"), ("s2", "p_keep", "b"), ("s1", "p_new", "y"),
+         ("s1", "p_flip", "v1"), ("s1", "p_flip", "v2")]  # goes multi-valued
+    )
+    out = {r.pred: r for r in schema_drift(
+        predicate_profile(old), predicate_profile(new)
+    ).collect()}
+    assert out["p_keep"].change == "kept" and not out["p_keep"].functional_changed
+    assert out["p_gone"].change == "removed"
+    assert out["p_new"].change == "added"
+    f = out["p_flip"]
+    assert f.change == "kept" and f.was_functional and not f.is_functional
+    assert f.functional_changed
