@@ -1369,3 +1369,172 @@ FROM nodes n
 JOIN h{rounds} h ON n.node = h.node
 JOIN a{rounds} a ON n.node = a.node"""
     )
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Sampled-source betweenness centrality (Brandes 2001, the
+    level-synchronous distributed rendering): forward BFS from each
+    sampled seed accumulates shortest-path COUNTS sigma per (seed,
+    node, level); the backward sweep then folds dependencies level by
+    level — delta(v) = sum over successors w of (sigma_v/sigma_w) *
+    (1 + delta_w) — and betweenness(v) is the delta sum over seeds,
+    seeds themselves excluded.  Radius truncated at ``max_hops`` and
+    seeds sampled: the standard way betweenness stays tractable at
+    graph scale (exact needs all-pairs).
+
+    Engine exactness: sigma values are exact BIGINT path counts; the
+    dependency ratio is fixed-point ppm with truncating division at
+    the TWO documented points (sigma_v*scale DIV sigma_w, then
+    *(scale+delta_w) DIV scale) — sigma_v <= sigma_w by construction so
+    the ratio never exceeds scale, and both engines truncate toward
+    zero.  Ordering effects cannot exist: every step is a sum.
+
+    Scale: forward = one frontier-edges shuffle + one (seed, node)
+    aggregate + one anti-join per hop (the harmonic_centrality shape
+    plus the sigma sum); backward = one join per LEVEL (max_hops of
+    them), each touching only that level's pairs.  Seeds dial cost
+    linearly.  Output: (node, betweenness_ppm, n_seed_paths).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    frontier = (
+        sources.select(F.col(node).alias("seed"))
+        .distinct()
+        .select(
+            "seed",
+            F.col("seed").alias("node"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier.select("seed", "node")
+    levels = [frontier]
+    for _hop in range(1, max_hops + 1):
+        nxt = (
+            levels[-1]
+            .join(e, levels[-1]["node"] == e["src"])
+            .select("seed", F.col("dst").alias("node"), "sigma")
+            .join(visited, ["seed", "node"], "left_anti")
+            .groupBy("seed", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt.select("seed", "node")).localCheckpoint(
+            eager=True
+        )
+        levels.append(nxt)
+    delta = None  # (seed, node, delta_ppm) at the level below the cursor
+    acc = None
+    for lvl in range(len(levels) - 1, 0, -1):
+        down = levels[lvl].select(
+            "seed", F.col("node").alias("w"), F.col("sigma").alias("sigma_w")
+        )
+        if delta is not None:
+            down = down.join(
+                delta.select("seed", F.col("node").alias("w"), F.col("delta_ppm").alias("dw")),
+                ["seed", "w"],
+                "left",
+            ).select("seed", "w", "sigma_w", F.coalesce("dw", F.lit(0)).alias("dw"))
+        else:
+            down = down.select("seed", "w", "sigma_w", F.lit(0).cast("long").alias("dw"))
+        up = levels[lvl - 1]
+        contrib = (
+            up.join(e, up["node"] == e["src"])
+            .select("seed", "node", "sigma", F.col("dst").alias("w"))
+            .join(down, ["seed", "w"])
+            .select(
+                "seed",
+                "node",
+                F.expr(
+                    f"((sigma * {scale}) DIV sigma_w) * ({scale} + dw) DIV {scale}"
+                ).alias("c"),
+            )
+        )
+        delta = (
+            contrib.groupBy("seed", "node")
+            .agg(F.sum("c").cast("long").alias("delta_ppm"))
+            .localCheckpoint(eager=True)
+        )
+        if lvl - 1 > 0:
+            acc = delta if acc is None else acc.unionByName(delta)
+    if acc is None:
+        return frontier.select(
+            F.col("node"),
+            F.lit(0).cast("long").alias("betweenness_ppm"),
+            F.lit(0).cast("long").alias("n_seed_paths"),
+        ).where(F.lit(False))
+    return acc.groupBy("node").agg(
+        F.sum("delta_ppm").cast("long").alias("betweenness_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_seed_paths"),
+    )
+
+
+def sql_betweenness_sampled(
+    edges_sql: str, sources_sql: str, max_hops: int, scale: int = 1_000_000
+) -> str:
+    """DuckDB oracle: forward levels f0..fH then backward deltas, same
+    fixed-point algebra unrolled."""
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        f"seeds AS (SELECT DISTINCT node AS seed FROM ({sources_sql}))",
+        "f0 AS (SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma FROM seeds)",
+        "v0 AS (SELECT seed, node FROM f0)",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"""f{h} AS (
+  SELECT f.seed, e.dst AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+  FROM f{h - 1} f JOIN e ON f.node = e.src
+  WHERE NOT EXISTS (
+    SELECT 1 FROM v{h - 1} v WHERE v.seed = f.seed AND v.node = e.dst)
+  GROUP BY f.seed, e.dst)"""
+        )
+        parts.append(
+            f"v{h} AS (SELECT seed, node FROM v{h - 1} "
+            f"UNION ALL SELECT seed, node FROM f{h})"
+        )
+    # backward: d{H} derives from f{H} with dw=0; each d{l} from f{l}+d{l+1}
+    parts.append(
+        f"""d{max_hops} AS (
+  SELECT u.seed, u.node,
+         CAST(sum(((u.sigma * {scale}) // w.sigma) * {scale} // {scale}) AS BIGINT)
+         AS delta_ppm
+  FROM f{max_hops - 1} u
+  JOIN e ON u.node = e.src
+  JOIN f{max_hops} w ON w.seed = u.seed AND w.node = e.dst
+  GROUP BY u.seed, u.node)"""
+    )
+    for lvl in range(max_hops - 1, 0, -1):
+        parts.append(
+            f"""d{lvl} AS (
+  SELECT u.seed, u.node,
+         CAST(sum(((u.sigma * {scale}) // w.sigma) * ({scale} + coalesce(d.delta_ppm, 0)) // {scale}) AS BIGINT)
+         AS delta_ppm
+  FROM f{lvl - 1} u
+  JOIN e ON u.node = e.src
+  JOIN f{lvl} w ON w.seed = u.seed AND w.node = e.dst
+  LEFT JOIN d{lvl + 1} d ON d.seed = u.seed AND d.node = w.node
+  GROUP BY u.seed, u.node)"""
+        )
+    # d{l} holds deltas of nodes at LEVEL l-1; level-0 nodes are the seeds
+    # themselves and are excluded (Brandes sums delta over v != s), so the
+    # union starts at d2.
+    union = " UNION ALL ".join(
+        f"SELECT seed, node, delta_ppm FROM d{l}" for l in range(2, max_hops + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node, CAST(sum(delta_ppm) AS BIGINT) AS betweenness_ppm,
+       CAST(count(*) AS BIGINT) AS n_seed_paths
+FROM ({union})
+GROUP BY node"""
+    )

@@ -12296,7 +12296,59 @@ def sql_kg_schema_drift() -> str:
     return sql_schema_drift(_CATALOG_TRIPLES_SQL, _CATALOG_TRIPLES_V2_SQL)
 
 
+_BC_SEED_MOD = 500
+_BC_HOPS = 3
+
+
+def q_betweenness_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled Brandes betweenness (operators/graph.py
+    betweenness_sampled) over the undirected co-purchase graph: forward
+    (seed, node)-keyed BFS carries exact BIGINT path counts, the
+    backward sweep folds dependencies level by level in truncating
+    fixed-point ppm — which brokers carry the shortest-path mass.
+    Radius 3, deterministic customer seed sample; seeds dial cost
+    linearly and the oracle unrolls the identical algebra."""
+    from nexus_forge_spark.operators.graph import betweenness_sampled
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    half = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_partkey") + PART_NODE_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        load_table(spark, "customer", sf_dir)
+        .where(F.col("c_custkey") % _BC_SEED_MOD == 1)
+        .select(F.col("c_custkey").alias("node"))
+    )
+    out = betweenness_sampled(edges, seeds, max_hops=_BC_HOPS)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        "betweenness_ppm",
+        "n_seed_paths",
+    )
+
+
+def sql_betweenness_copurchase() -> str:
+    from nexus_forge_spark.operators.graph import sql_betweenness_sampled
+
+    half = f"""SELECT DISTINCT o.o_custkey AS src,
+       {PART_NODE_OFFSET} + l.l_partkey AS dst
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"""
+    edges = f"SELECT src, dst FROM ({half}) UNION ALL SELECT dst, src FROM ({half})"
+    seeds = f"SELECT c_custkey AS node FROM customer WHERE c_custkey % {_BC_SEED_MOD} = 1"
+    return sql_betweenness_sampled(edges, seeds, max_hops=_BC_HOPS)
+
+
 QUERIES = {
+    "betweenness_copurchase": (q_betweenness_copurchase, sql_betweenness_copurchase),
     "kg_schema_drift": (q_kg_schema_drift, sql_kg_schema_drift),
     "dedup_ensemble": (q_dedup_ensemble, sql_dedup_ensemble),
     "er_bcubed": (q_er_bcubed, sql_er_bcubed),

@@ -482,3 +482,59 @@ def test_hits_matches_duckdb(spark):
     sql = sql_hits_scores(f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", rounds=3)
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------- betweenness
+
+
+def test_betweenness_path_graph(spark):
+    """Path a->b->c->d, seed {a}: classic Brandes gives delta(b)=2
+    (c and d both route through b), delta(c)=1, endpoints 0."""
+    from nexus_forge_spark.operators.graph import betweenness_sampled
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r.node: r.betweenness_ppm for r in betweenness_sampled(e, seeds, 4).collect()}
+    assert out.get("b") == 2000000
+    assert out.get("c") == 1000000
+    assert "a" not in out  # seeds excluded
+    assert "d" not in out or out["d"] == 0
+
+
+def test_betweenness_split_paths(spark):
+    """Diamond a->{b,c}->d: sigma(d)=2, each middle node carries
+    (1/2)*(1+0) = 0.5 from d's dependency."""
+    from nexus_forge_spark.operators.graph import betweenness_sampled
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r.node: r.betweenness_ppm for r in betweenness_sampled(e, seeds, 3).collect()}
+    assert out["b"] == 500000 and out["c"] == 500000
+
+
+def test_betweenness_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.graph import (
+        betweenness_sampled,
+        sql_betweenness_sampled,
+    )
+
+    rows = [(f"n{i}", f"n{(i * 3 + 1) % 19}") for i in range(19 * 3)]
+    rows += [(b, a) for a, b in rows[:20]]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    seeds = spark.createDataFrame([(f"n{i}",) for i in range(0, 19, 4)], "node string")
+    got = sorted(tuple(r) for r in betweenness_sampled(e, seeds, 4).collect())
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in rows)
+    svals = ", ".join(f"('n{i}')" for i in range(0, 19, 4))
+    sql = sql_betweenness_sampled(
+        f"SELECT DISTINCT * FROM (VALUES {vals}) AS t(src, dst)",
+        f"SELECT * FROM (VALUES {svals}) AS t(node)",
+        max_hops=4,
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
