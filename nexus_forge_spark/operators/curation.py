@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1558,3 +1558,109 @@ SELECT {q_names},
        count(*) < {k} AS k_violation,
        count(DISTINCT _sens) < {min_l} AS l_violation
 FROM src GROUP BY {q_names}"""
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+) -> DataFrame:
+    """Optimal stratified-sample allocation (Neyman 1934): sample budget
+    split across strata proportional to N_h * S_h — big AND
+    high-variance strata earn more of the budget than proportional
+    allocation gives them.
+
+    Engine exactness: the spread term is the integer scaled variance
+    SS_h = N_h * sum(x^2) - sum(x)^2 (exact BIGINT; x must be integral
+    — pass cents), and w_h = floor(N_h * sqrt(SS_h)) is deterministic
+    because IEEE-754 REQUIRES sqrt and multiply correctly rounded (the
+    one sanctioned float step, same contract as temperature_mix).
+    Integer allocations use the largest-remainder method: base =
+    (budget * w_h) DIV sum(w), leftover seats go to the largest
+    remainders (stratum asc tie-break) — total EXACTLY equals budget.
+
+    Scale: one map-side-combined aggregate over the fact table; the
+    allocation algebra runs on the strata table (vocabulary-sized), so
+    the window there is bounded, not corpus-sized.  Output: (stratum,
+    n_rows, weight, n_alloc).
+    """
+    # sum(x^2) and the SS term exceed BIGINT at warehouse scale: carry them
+    # as DECIMAL(38,0) (== DuckDB HUGEINT, exact), convert once to double
+    # for the sqrt (integer->double and sqrt are IEEE correctly rounded).
+    x = F.col(value_col).cast("decimal(38,0)")
+    stats = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(value_col).cast("long")).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    ss = (
+        F.col("n_rows").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sx").cast("decimal(38,0)")
+    )
+    w = stats.select(
+        "stratum",
+        "n_rows",
+        F.floor(F.col("n_rows").cast("double") * F.sqrt(ss.cast("double")))
+        .cast("long")
+        .alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").alias("sw"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_rows",
+        "weight",
+        F.expr(f"CASE WHEN sw = 0 THEN 0 ELSE ({budget} * weight) DIV sw END").alias("base"),
+        F.expr(f"CASE WHEN sw = 0 THEN 0 ELSE ({budget} * weight) % sw END").alias("rem"),
+        F.col("sw"),
+    )
+    wleft = Window.orderBy(F.col("rem").desc(), F.col("stratum").asc())
+    leftover = F.lit(budget) - F.sum("base").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return base.select(
+        "stratum",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "weight",
+        (
+            F.col("base")
+            + F.when(F.row_number().over(wleft) <= leftover, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_alloc"),
+    )
+
+
+def sql_neyman_allocation(
+    source_sql: str, stratum_expr: str, value_expr: str, budget: int
+) -> str:
+    """DuckDB oracle for :func:`neyman_allocation`."""
+    return f"""WITH src AS MATERIALIZED (
+  SELECT {stratum_expr} AS stratum, CAST({value_expr} AS BIGINT) AS x FROM ({source_sql})
+),
+stats AS (
+  SELECT stratum, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx
+  FROM src GROUP BY stratum
+),
+w AS (
+  SELECT stratum, n_rows,
+         CAST(floor(CAST(n_rows AS DOUBLE) *
+              sqrt(CAST(CAST(n_rows AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)))
+              AS BIGINT) AS weight
+  FROM stats
+),
+tot AS (SELECT sum(weight) AS sw FROM w),
+base AS (
+  SELECT stratum, n_rows, weight,
+         CASE WHEN t.sw = 0 THEN 0 ELSE ({budget} * weight) // t.sw END AS base,
+         CASE WHEN t.sw = 0 THEN 0 ELSE ({budget} * weight) % t.sw END AS rem
+  FROM w, tot t
+),
+seats AS (SELECT {budget} - sum(base) AS leftover FROM base)
+SELECT b.stratum, b.n_rows, b.weight,
+       CAST(b.base + CASE WHEN row_number() OVER (ORDER BY b.rem DESC, b.stratum ASC)
+                          <= s.leftover THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+FROM base b, seats s"""

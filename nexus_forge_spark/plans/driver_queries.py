@@ -12347,7 +12347,34 @@ FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"""
     return sql_betweenness_sampled(edges, seeds, max_hops=_BC_HOPS)
 
 
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (operators/
+    curation.py neyman_allocation): a 1000-row audit budget split
+    across order priorities proportional to N_h * S_h over integral
+    price cents — big AND volatile strata earn seats; largest-remainder
+    rounding makes the total exactly the budget.  One fact aggregate;
+    the allocation window runs on the 5-row strata table."""
+    from nexus_forge_spark.operators.curation import neyman_allocation
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderpriority", F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return neyman_allocation(orders, "o_orderpriority", "cents", budget=1000)
+
+
+def sql_neyman_allocation_q() -> str:
+    from nexus_forge_spark.operators.curation import sql_neyman_allocation
+
+    return sql_neyman_allocation(
+        "SELECT * FROM orders",
+        "o_orderpriority",
+        "CAST(floor(o_totalprice * 100) AS BIGINT)",
+        budget=1000,
+    )
+
+
 QUERIES = {
+    "neyman_allocation": (q_neyman_allocation, sql_neyman_allocation_q),
     "betweenness_copurchase": (q_betweenness_copurchase, sql_betweenness_copurchase),
     "kg_schema_drift": (q_kg_schema_drift, sql_kg_schema_drift),
     "dedup_ensemble": (q_dedup_ensemble, sql_dedup_ensemble),

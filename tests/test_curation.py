@@ -974,3 +974,36 @@ def test_k_anonymity_matches_duckdb(spark):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_neyman_allocation_budget_and_proportions(spark):
+    from nexus_forge_spark.operators.curation import neyman_allocation
+
+    # stratum A: large + volatile; B: large + constant; C: small + volatile
+    rows = [("A", (i % 10) * 100) for i in range(100)]
+    rows += [("B", 500)] * 100
+    rows += [("C", (i % 10) * 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "stratum string, v long")
+    out = {r.stratum: r for r in neyman_allocation(df, "stratum", "v", 100).collect()}
+    assert sum(r.n_alloc for r in out.values()) == 100  # exact budget
+    assert out["B"].n_alloc == 0          # zero variance -> zero weight
+    assert out["A"].n_alloc > out["C"].n_alloc  # same S, 10x the size
+
+
+def test_neyman_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.curation import (
+        neyman_allocation,
+        sql_neyman_allocation,
+    )
+
+    rows = [(f"s{i % 7}", ((i * 37) % 1000) * 1000) for i in range(500)]
+    df = spark.createDataFrame(rows, "stratum string, v long")
+    got = sorted(tuple(r) for r in neyman_allocation(df, "stratum", "v", 333).collect())
+    vals = ", ".join(f"('{a}', {b})" for a, b in rows)
+    sql = sql_neyman_allocation(
+        f"SELECT * FROM (VALUES {vals}) AS t(stratum, v)", "stratum", "v", 333
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
