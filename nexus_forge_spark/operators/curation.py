@@ -1605,8 +1605,22 @@ def neyman_allocation(
         .cast("long")
         .alias("weight"),
     )
-    tot = w.agg(F.sum("weight").alias("sw"))
-    base = w.crossJoin(F.broadcast(tot)).select(
+    # budget * weight must fit BIGINT at ANY data magnitude: right-shift
+    # every weight by k = max(0, bit_length(max_weight) - 40) first (a
+    # deterministic normalization — allocation only reads weight RATIOS,
+    # and the shifted algebra is the spec both engines run).  Overflow
+    # was real: sf0.1 price cents produced weight ~1.4e16 and
+    # budget*weight wrapped 2^63.
+    mx = w.agg(F.max("weight").alias("mx")).select(
+        F.expr("greatest(0, length(bin(greatest(mx, 1))) - 40)").alias("k")
+    )
+    ws = w.crossJoin(F.broadcast(mx)).select(
+        "stratum",
+        "n_rows",
+        F.expr("shiftright(weight, CAST(k AS INT))").alias("weight"),
+    )
+    tot = ws.agg(F.sum("weight").alias("sw"))
+    base = ws.crossJoin(F.broadcast(tot)).select(
         "stratum",
         "n_rows",
         "weight",
@@ -1652,12 +1666,18 @@ w AS (
               AS BIGINT) AS weight
   FROM stats
 ),
-tot AS (SELECT sum(weight) AS sw FROM w),
+shift AS (
+  SELECT greatest(0, length(bin(greatest(max(weight), 1))) - 40) AS k FROM w
+),
+ws AS (
+  SELECT stratum, n_rows, weight >> s.k AS weight FROM w, shift s
+),
+tot AS (SELECT sum(weight) AS sw FROM ws),
 base AS (
   SELECT stratum, n_rows, weight,
          CASE WHEN t.sw = 0 THEN 0 ELSE ({budget} * weight) // t.sw END AS base,
          CASE WHEN t.sw = 0 THEN 0 ELSE ({budget} * weight) % t.sw END AS rem
-  FROM w, tot t
+  FROM ws, tot t
 ),
 seats AS (SELECT {budget} - sum(base) AS leftover FROM base)
 SELECT b.stratum, b.n_rows, b.weight,
