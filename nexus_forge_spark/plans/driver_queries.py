@@ -12373,7 +12373,44 @@ def sql_neyman_allocation_q() -> str:
     )
 
 
+def q_kg_ntriples_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples ingest (operators/triples.py from_ntriples): parse the
+    serializer's own output back to triples.  The oracle is the
+    NORMALIZED ORIGINAL graph (curies expanded, xsd:string folded to
+    plain) computed WITHOUT serializing — so hash equality proves the
+    serialize->parse loop is lossless, incl. the ECHAR escape/unescape
+    inverse.  Parser is one regexp+replace codegen projection."""
+    from nexus_forge_spark.operators.triples import from_ntriples, to_ntriples
+
+    lines = to_ntriples(q_struct_triples(spark, sf_dir), _NT_PREFIXES, _NT_VOCAB)
+    return from_ntriples(lines)
+
+
+def sql_kg_ntriples_roundtrip() -> str:
+    from nexus_forge_spark.operators.triples import sql_nt_iri
+
+    def unwrap(expr: str) -> str:
+        return (
+            f"CASE WHEN substr({expr}, 1, 1) = '<' "
+            f"THEN substr({expr}, 2, length({expr}) - 2) ELSE {expr} END"
+        )
+
+    s = unwrap(sql_nt_iri("subj", _NT_PREFIXES, None))
+    p = unwrap(sql_nt_iri("pred", _NT_PREFIXES, _NT_VOCAB))
+    oi = unwrap(sql_nt_iri("obj", _NT_PREFIXES, _NT_VOCAB))
+    dt = unwrap(sql_nt_iri("obj_datatype", _NT_PREFIXES, None))
+    return f"""WITH t AS ({sql_struct_triples()})
+SELECT {s} AS subj, {p} AS pred,
+       CASE WHEN obj_is_literal THEN obj ELSE {oi} END AS obj,
+       obj_is_literal,
+       CASE WHEN obj_is_literal AND obj_datatype IS NOT NULL
+                 AND obj_datatype <> 'xsd:string'
+            THEN {dt} ELSE NULL END AS obj_datatype
+FROM t"""
+
+
 QUERIES = {
+    "kg_ntriples_roundtrip": (q_kg_ntriples_roundtrip, sql_kg_ntriples_roundtrip),
     "neyman_allocation": (q_neyman_allocation, sql_neyman_allocation_q),
     "betweenness_copurchase": (q_betweenness_copurchase, sql_betweenness_copurchase),
     "kg_schema_drift": (q_kg_schema_drift, sql_kg_schema_drift),

@@ -190,3 +190,43 @@ def test_schema_drift_classes(spark):
     f = out["p_flip"]
     assert f.change == "kept" and f.was_functional and not f.is_functional
     assert f.functional_changed
+
+
+def test_from_ntriples_roundtrip_hostile_literals(spark):
+    """Escaped quotes, backslashes, newlines, tabs, typed literals,
+    bnodes — every ECHAR case must survive serialize -> parse."""
+    from nexus_forge_spark.operators.triples import from_ntriples, to_ntriples
+
+    rows = [
+        ("http://e/s1", "http://e/p", 'say "hi" \\ twice', True, None),
+        ("http://e/s2", "http://e/p", "line1\nline2\ttabbed\r", True, None),
+        ("http://e/s3", "http://e/p", "42", True, "http://www.w3.org/2001/XMLSchema#integer"),
+        ("_:b0", "http://e/p", "http://e/o", False, None),
+        ("http://e/s4", "http://e/p", "_:b1", False, None),
+        ("http://e/s5", "http://e/p", "plain", True, "xsd:string"),  # folds to NULL dt
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_literal boolean, obj_datatype string",
+    )
+    back = {
+        (r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_datatype)
+        for r in from_ntriples(to_ntriples(t)).collect()
+    }
+    want = {
+        (s, p, o, il, None if dt == "xsd:string" else dt)
+        for s, p, o, il, dt in rows
+    }
+    assert back == want
+
+
+def test_from_ntriples_drops_malformed(spark):
+    from nexus_forge_spark.operators.triples import from_ntriples
+
+    lines = spark.createDataFrame(
+        [("<http://e/s> <http://e/p> <http://e/o> .",),
+         ("this is not a triple",), ("",)],
+        "line string",
+    )
+    out = from_ntriples(lines).collect()
+    assert len(out) == 1 and out[0].subj == "http://e/s"
