@@ -12409,7 +12409,63 @@ SELECT {s} AS subj, {p} AS pred,
 FROM t"""
 
 
+def q_kg_rdfs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental RDFS materialization: with a STATIC schema every
+    rdfs2/3/7/9 rule is per-single-triple, so entailment distributes
+    over batches — entail(b1) UNION entail(b2) (distinct) equals
+    entail(all), and THAT equality is the graded contract (oracle =
+    the full-recompute entailment).  The property a streaming KG
+    pipeline relies on to entail only the delta per micro-batch; the
+    schema-closure triples overlap across batches and collapse in the
+    distinct, exactly as in a real incremental run."""
+    from nexus_forge_spark.operators.ontology import rdfs_entailment
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_acctbal")
+    facts = orders.select(
+        F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")).alias("subj"),
+        F.lit("ord:placed").alias("pred"),
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("obj"),
+        (F.col("o_orderkey") % 2).alias("batch"),
+    ).unionByName(
+        cust.where(F.col("c_acctbal") > 5000).select(
+            F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("subj"),
+            F.lit("rdf:type").alias("pred"),
+            F.lit(":PremiumCustomer").alias("obj"),
+            (F.col("c_custkey") % 2).alias("batch"),
+        )
+    )
+    subclass = spark.createDataFrame(
+        [
+            (":PremiumCustomer", ":Customer"),
+            (":Customer", ":Agent"),
+            (":Agent", ":Entity"),
+            (":Order", ":Artifact"),
+            (":Artifact", ":Entity"),
+        ],
+        "child string, parent string",
+    )
+    subprop = spark.createDataFrame(
+        [("ord:placed", "ord:participatedIn"), ("ord:participatedIn", "ord:relatedTo")],
+        "child string, parent string",
+    )
+    domains = spark.createDataFrame(
+        [("ord:placed", ":Customer"), ("ord:participatedIn", ":Agent")],
+        "pred string, cls string",
+    )
+    ranges = spark.createDataFrame([("ord:placed", ":Order")], "pred string, cls string")
+    parts = [
+        rdfs_entailment(
+            facts.where(F.col("batch") == b).drop("batch"),
+            subclass, subprop, domains, ranges,
+        )
+        for b in (0, 1)
+    ]
+    return parts[0].unionByName(parts[1]).distinct()
+
+
 QUERIES = {
+    "kg_rdfs_incremental": (q_kg_rdfs_incremental, sql_kg_rdfs_entailment),
     "kg_ntriples_roundtrip": (q_kg_ntriples_roundtrip, sql_kg_ntriples_roundtrip),
     "neyman_allocation": (q_neyman_allocation, sql_neyman_allocation_q),
     "betweenness_copurchase": (q_betweenness_copurchase, sql_betweenness_copurchase),
