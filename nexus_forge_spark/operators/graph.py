@@ -1538,3 +1538,133 @@ SELECT node, CAST(sum(delta_ppm) AS BIGINT) AS betweenness_ppm,
 FROM ({union})
 GROUP BY node"""
     )
+
+
+def community_quality(
+    edges: DataFrame,
+    assignment: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "node",
+    community_col: str = "community",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Partition-quality metrics for a community assignment: per
+    community — size, volume (degree sum), internal-edge count, cut
+    size, CONDUCTANCE (cut / min(vol, 2m - vol)) and the community's
+    Newman MODULARITY contribution (e_c/m - (vol_c/2m)^2), both in
+    integer ppm.  The evaluation every community detector (LPA, CC,
+    Louvain-style) needs before its output is trusted downstream.
+
+    Exact integer algebra: conductance_ppm = (cut * scale) DIV
+    min(vol, 2m - vol); the modularity contribution quantizes in a
+    DOCUMENTED order that keeps every operand in BIGINT at 10^12
+    edges: part1_ppm = (e_c * 1e6) DIV m, r_milli = (vol_c * 1e3) DIV
+    (2m), contribution = part1_ppm - r_milli^2 (quantize the ratio
+    FIRST, then square — the spec both engines run; error vs the real
+    quotient is < 2e-3 absolute, constant across engines).
+
+    Scale: edges normalize + dedup once; degrees, volumes, internal
+    counts are three partial-combined aggregates; the per-community
+    algebra runs on the community-sized table.  Nodes in ``assignment``
+    with no edges contribute size only.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("x"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("y"),
+        )
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    asg = assignment.select(
+        F.col(node_col).alias("n"), F.col(community_col).alias("c")
+    ).distinct()
+    m_df = e.agg(F.count(F.lit(1)).alias("m"))
+    deg = (
+        e.select(F.col("x").alias("n"))
+        .unionByName(e.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    node_stats = asg.join(deg, "n", "left").select(
+        "n", "c", F.coalesce("deg", F.lit(0)).alias("deg")
+    )
+    per_c = node_stats.groupBy("c").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("deg").alias("vol")
+    )
+    ex = e.join(asg.withColumnRenamed("n", "x").withColumnRenamed("c", "cx"), "x").join(
+        asg.withColumnRenamed("n", "y").withColumnRenamed("c", "cy"), "y"
+    )
+    internal = (
+        ex.where(F.col("cx") == F.col("cy"))
+        .groupBy(F.col("cx").alias("c"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    j = (
+        per_c.join(internal, "c", "left")
+        .select("c", "n_nodes", "vol", F.coalesce("e_in", F.lit(0)).alias("e_in"))
+        .crossJoin(F.broadcast(m_df))
+    )
+    cut = F.col("vol") - 2 * F.col("e_in")
+    denom = F.least(F.col("vol"), 2 * F.col("m") - F.col("vol"))
+    part1 = F.expr(f"(e_in * {scale}) DIV m")
+    r_milli = F.expr("(vol * 1000) DIV (2 * m)")
+    return j.select(
+        F.col("c").alias(community_col),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("vol").cast("long").alias("vol"),
+        F.col("e_in").cast("long").alias("e_in"),
+        cut.cast("long").alias("cut"),
+        F.when(denom == 0, F.lit(0))
+        .otherwise(F.expr(f"(({'vol'} - 2 * e_in) * {scale}) DIV least(vol, 2 * m - vol)"))
+        .cast("long")
+        .alias("conductance_ppm"),
+        (part1 - r_milli * r_milli).cast("long").alias("modularity_contrib_ppm"),
+    )
+
+
+def sql_community_quality(
+    edges_sql: str, assignment_sql: str, scale: int = 1_000_000
+) -> str:
+    """DuckDB oracle for :func:`community_quality`.  edges_sql -> (a, b);
+    assignment_sql -> (node, community)."""
+    return f"""WITH e AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+  FROM ({edges_sql}) WHERE a <> b
+),
+asg AS MATERIALIZED (
+  SELECT DISTINCT node AS n, community AS c FROM ({assignment_sql})
+),
+m_t AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT x AS n FROM e UNION ALL SELECT y FROM e
+  ) GROUP BY n
+),
+node_stats AS (
+  SELECT a.n, a.c, coalesce(d.deg, 0) AS deg
+  FROM asg a LEFT JOIN deg d ON a.n = d.n
+),
+per_c AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS n_nodes, CAST(sum(deg) AS BIGINT) AS vol
+  FROM node_stats GROUP BY c
+),
+internal AS (
+  SELECT ax.c, CAST(count(*) AS BIGINT) AS e_in
+  FROM e
+  JOIN asg ax ON e.x = ax.n
+  JOIN asg ay ON e.y = ay.n
+  WHERE ax.c = ay.c
+  GROUP BY ax.c
+)
+SELECT p.c AS community, p.n_nodes, p.vol,
+       coalesce(i.e_in, 0) AS e_in,
+       p.vol - 2 * coalesce(i.e_in, 0) AS cut,
+       CAST(CASE WHEN least(p.vol, 2 * t.m - p.vol) = 0 THEN 0
+            ELSE ((p.vol - 2 * coalesce(i.e_in, 0)) * {scale})
+                 // least(p.vol, 2 * t.m - p.vol) END AS BIGINT) AS conductance_ppm,
+       CAST((coalesce(i.e_in, 0) * {scale}) // t.m
+            - ((p.vol * 1000) // (2 * t.m)) * ((p.vol * 1000) // (2 * t.m))
+            AS BIGINT) AS modularity_contrib_ppm
+FROM per_c p LEFT JOIN internal i ON p.c = i.c, m_t t"""

@@ -12464,7 +12464,30 @@ def q_kg_rdfs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1]).distinct()
 
 
+def q_community_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-quality audit (operators/graph.py community_quality)
+    of the LPA communities over the near-dup pair graph: per community
+    size, volume, internal/cut edges, conductance ppm and the Newman
+    modularity contribution in the documented BIGINT quantization —
+    the acceptance gate before a detector's output drives dedup
+    decisions downstream."""
+    from nexus_forge_spark.operators.graph import community_quality
+
+    pairs = q_dedup_minhash(spark, sf_dir).select("a", "b")
+    assign = q_label_propagation(spark, sf_dir)
+    return community_quality(pairs, assign)
+
+
+def sql_community_quality_q() -> str:
+    from nexus_forge_spark.operators.graph import sql_community_quality
+
+    edges = f"SELECT a, b FROM ({sql_dedup_minhash()})"
+    assign = f"SELECT node, community FROM ({sql_label_propagation()})"
+    return sql_community_quality(edges, assign)
+
+
 QUERIES = {
+    "community_quality": (q_community_quality, sql_community_quality_q),
     "kg_rdfs_incremental": (q_kg_rdfs_incremental, sql_kg_rdfs_entailment),
     "kg_ntriples_roundtrip": (q_kg_ntriples_roundtrip, sql_kg_ntriples_roundtrip),
     "neyman_allocation": (q_neyman_allocation, sql_neyman_allocation_q),

@@ -538,3 +538,52 @@ def test_betweenness_matches_duckdb(spark):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+# ----------------------------------------------------- community quality
+
+
+def test_community_quality_two_cliques(spark):
+    """Two triangles joined by one bridge edge: each community has
+    e_in=3, vol=7 (bridge endpoint has deg 3), cut=1, m=7."""
+    from nexus_forge_spark.operators.graph import community_quality
+
+    edges = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+             ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("a1", "b1")]
+    e = spark.createDataFrame(edges, "a string, b string")
+    asg = spark.createDataFrame(
+        [(n, n[0]) for n in ("a1", "a2", "a3", "b1", "b2", "b3")],
+        "node string, community string",
+    )
+    out = {r.community: r for r in community_quality(e, asg).collect()}
+    for c in ("a", "b"):
+        r = out[c]
+        assert (r.n_nodes, r.vol, r.e_in, r.cut) == (3, 7, 3, 1)
+        # conductance = 1/7 -> 142857 ppm (truncating)
+        assert r.conductance_ppm == 142857
+        # part1 = 3e6 DIV 7 = 428571; r_milli = 7000 DIV 14 = 500 -> 250000
+        assert r.modularity_contrib_ppm == 428571 - 250000
+
+
+def test_community_quality_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.graph import (
+        community_quality,
+        sql_community_quality,
+    )
+
+    edges = [(f"n{i}", f"n{(i * 5 + 2) % 23}") for i in range(60)]
+    e = spark.createDataFrame(edges, "a string, b string")
+    asg = spark.createDataFrame(
+        [(f"n{i}", i % 4) for i in range(23)], "node string, community int"
+    )
+    got = sorted(tuple(r) for r in community_quality(e, asg).collect())
+    ev = ", ".join(f"('{a}', '{b}')" for a, b in edges)
+    av = ", ".join(f"('n{i}', {i % 4})" for i in range(23))
+    sql = sql_community_quality(
+        f"SELECT * FROM (VALUES {ev}) AS t(a, b)",
+        f"SELECT * FROM (VALUES {av}) AS t(node, community)",
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
