@@ -1574,3 +1574,92 @@ class SparqlToSql:
 
 def sparql_to_sql(query: str, table: str = "triples", dialect: str = "spark") -> str:
     return SparqlToSql(table, dialect).compile(query)
+
+
+_UPDATE_RE = re.compile(
+    r"^\s*(?P<prologue>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
+    r"(?P<verb>INSERT\s+DATA|DELETE\s+DATA|DELETE\s+WHERE)\s*"
+    r"(?P<body>\{.*\})\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _ground_term_sql(term: str) -> str:
+    """Ground UPDATE term -> SQL literal in the engine's storage form:
+    quoted literals lose their quotes, <iri> loses brackets, CURIEs stay
+    as written (the same convention the pattern compiler applies)."""
+    if term.startswith("?"):
+        raise QueryingError("INSERT/DELETE DATA blocks must be ground (no ?vars)")
+    if term.startswith(("'", '"')):
+        return _sql_str(term.strip(chr(39) + chr(34)))
+    return _sql_str(_split_iri(term))
+
+
+def sparql_update_to_sql(
+    update: str, table: str = "triples", dialect: str = "spark"
+) -> str:
+    """Compile the SPARQL 1.1 UPDATE subset — INSERT DATA, DELETE DATA,
+    DELETE WHERE — to ONE SQL statement producing the UPDATED graph
+    (subj, pred, obj), set semantics like rdflib.Graph.
+
+    The reference applies updates through the store's HTTP API
+    (kgforge/core/archetypes/store.py register/update); batch KG
+    maintenance wants them as set algebra instead: INSERT DATA is a
+    distinct union with a VALUES relation, DELETE DATA an anti-join
+    against one, and DELETE WHERE reuses the CONSTRUCT compiler —
+    DELETE WHERE {P} deletes exactly CONSTRUCT {P} WHERE {P}, so every
+    pattern feature the CONSTRUCT subset supports (joins across shared
+    variables included) works in deletions, and unsupported forms fail
+    with the compiler's own named QueryingError.  Everything stays ONE
+    declarative statement: at 10^12 triples Catalyst sees a scan + a
+    broadcast anti-join (DATA deletions are literal row sets) or a
+    self-join pattern plan — no driver-side mutation loop.
+
+    Unsupported verbs (INSERT ... WHERE, LOAD, CLEAR, graph management)
+    raise QueryingError naming the form.
+    """
+    m = _UPDATE_RE.match(update)
+    if not m:
+        raise QueryingError(
+            "unsupported SPARQL UPDATE form: expected INSERT DATA / "
+            "DELETE DATA / DELETE WHERE { ... }"
+        )
+    verb = " ".join(m.group("verb").upper().split())
+    prologue = m.group("prologue") or ""
+    body = m.group("body")
+    base = f"SELECT subj, pred, obj FROM {table}"
+    if verb == "DELETE WHERE":
+        construct = f"{prologue} CONSTRUCT {body} WHERE {body}"
+        del_sql = SparqlToSql(table, dialect).compile(construct)
+        return (
+            f"SELECT subj, pred, obj FROM ({base}) t WHERE NOT EXISTS ("
+            f"SELECT 1 FROM ({del_sql}) d "
+            f"WHERE d.subj = t.subj AND d.pred = t.pred AND d.obj = t.obj)"
+        )
+    p = _Parser(_tokenize(body))
+    g = p.parse_group()
+    if (
+        g.filters or g.optionals or g.unions or g.binds or g.values
+        or g.minuses or g.exists or g.transitives
+    ):
+        raise QueryingError(f"{verb} block must contain only ground triples")
+    if not g.patterns:
+        raise QueryingError(f"{verb} block is empty")
+    rows = []
+    for s, pr, o in g.patterns:
+        if isinstance(pr, (tuple, list)):
+            raise QueryingError(f"{verb} block must contain only ground triples")
+        rows.append(
+            f"({_ground_term_sql(s)}, {_ground_term_sql(pr)}, {_ground_term_sql(o)})"
+        )
+    vals = f"SELECT * FROM (VALUES {', '.join(rows)}) AS __d(subj, pred, obj)"
+    if verb == "INSERT DATA":
+        return (
+            f"SELECT DISTINCT subj, pred, obj FROM ("
+            f"{base} UNION ALL {vals})"
+        )
+    return (
+        f"SELECT subj, pred, obj FROM ({base}) t WHERE NOT EXISTS ("
+        f"SELECT 1 FROM ({vals}) d "
+        f"WHERE d.subj = t.subj AND d.pred = t.pred AND d.obj = t.obj)"
+    )

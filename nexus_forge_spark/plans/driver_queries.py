@@ -12486,7 +12486,45 @@ def sql_community_quality_q() -> str:
     return sql_community_quality(edges, assign)
 
 
+_SPARQL_DELETE_TEXT = "DELETE WHERE { ?doc <nsg:hasBody> ?e }"
+_SPARQL_INSERT_TEXT = (
+    "INSERT DATA { <kg:release> <prov:wasGeneratedBy> <kg:crawl7> . "
+    '<kg:release> <rdfs:label> "release seven" }'
+)
+
+
+def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 UPDATE subset (functions/sparql.py
+    sparql_update_to_sql): DELETE WHERE — which reuses the CONSTRUCT
+    compiler, so multi-pattern joins work in deletions too — strips
+    every hasBody annotation (type triples survive), then INSERT DATA adds
+    release provenance; each update is ONE declarative statement (scan
+    + anti-join / distinct union), chained through temp views exactly
+    as a batch maintenance job would run them — no driver-side
+    mutation loop."""
+    from nexus_forge_spark.functions.sparql import sparql_update_to_sql
+
+    triples = q_kg_triples(spark, sf_dir).localCheckpoint(eager=True)
+    triples.createOrReplaceTempView("upd_triples_v0")
+    step1 = spark.sql(
+        sparql_update_to_sql(_SPARQL_DELETE_TEXT, table="upd_triples_v0", dialect="spark")
+    )
+    step1.createOrReplaceTempView("upd_triples_v1")
+    return spark.sql(
+        sparql_update_to_sql(_SPARQL_INSERT_TEXT, table="upd_triples_v1", dialect="spark")
+    )
+
+
+def sql_sparql_update() -> str:
+    from nexus_forge_spark.functions.sparql import sparql_update_to_sql
+
+    s1 = sparql_update_to_sql(_SPARQL_DELETE_TEXT, table="tr0", dialect="duckdb")
+    s2 = sparql_update_to_sql(_SPARQL_INSERT_TEXT, table="tr1", dialect="duckdb")
+    return f"WITH tr0 AS ({sql_kg_triples()}), tr1 AS ({s1}) {s2}"
+
+
 QUERIES = {
+    "sparql_update": (q_sparql_update, sql_sparql_update),
     "community_quality": (q_community_quality, sql_community_quality_q),
     "kg_rdfs_incremental": (q_kg_rdfs_incremental, sql_kg_rdfs_entailment),
     "kg_ntriples_roundtrip": (q_kg_ntriples_roundtrip, sql_kg_ntriples_roundtrip),

@@ -1069,3 +1069,62 @@ def test_sequence_closure_spark_dialect_matches_duckdb(spark, duck_chain):
         ]
         want = run(duck_chain, q)
         assert got == want
+
+
+# --------------------------------------------------------- SPARQL UPDATE
+
+
+def _upd_graph(spark):
+    t = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "knows", "c"), ("a", "rdf:type", "Person"),
+         ("b", "rdf:type", "Person")],
+        "subj string, pred string, obj string",
+    )
+    t.createOrReplaceTempView("upd_t")
+    return t
+
+
+def test_update_insert_data_distinct_union(spark):
+    from nexus_forge_spark.functions.sparql import sparql_update_to_sql
+
+    _upd_graph(spark)
+    out = spark.sql(sparql_update_to_sql(
+        'INSERT DATA { <a> <knows> <b> . <x> <likes> "pie" }', table="upd_t"
+    ))
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("x", "likes", "pie") in rows
+    assert len(rows) == 5  # existing (a knows b) not duplicated
+
+
+def test_update_delete_where_join_pattern(spark):
+    from nexus_forge_spark.functions.sparql import sparql_update_to_sql
+
+    _upd_graph(spark)
+    # delete knows-edges only when the SUBJECT is typed Person via a join
+    out = spark.sql(sparql_update_to_sql(
+        "DELETE WHERE { ?s <knows> ?o . ?s <rdf:type> <Person> }", table="upd_t"
+    ))
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    # the construct template instantiates BOTH patterns per solution:
+    # knows-edges AND the matched type triples are deleted
+    assert ("a", "knows", "b") not in rows and ("b", "knows", "c") not in rows
+    assert ("a", "rdf:type", "Person") not in rows
+
+
+def test_update_rejects_unsupported_forms(spark):
+    import pytest as _pytest
+
+    from nexus_forge_spark.functions.sparql import (
+        QueryingError,
+        sparql_update_to_sql,
+    )
+
+    for bad in (
+        "INSERT { ?s <p> <o> } WHERE { ?s <q> <o> }",
+        "LOAD <http://x/file.nt>",
+        "CLEAR GRAPH <g>",
+        "INSERT DATA { ?v <p> <o> }",          # not ground
+        "INSERT DATA { <s> <p> <o> FILTER(1) }",  # non-pattern feature
+    ):
+        with _pytest.raises(QueryingError):
+            sparql_update_to_sql(bad)
