@@ -1618,11 +1618,36 @@ def sparql_update_to_sql(
     Unsupported verbs (INSERT ... WHERE, LOAD, CLEAR, graph management)
     raise QueryingError naming the form.
     """
+    base0 = f"SELECT subj, pred, obj FROM {table}"
+    tm = re.match(
+        r"^\s*(?P<prologue>(?:PREFIX\s+\S+\s*<[^>]*>\s*)*)"
+        r"(?P<verb>INSERT|DELETE)\s*(?P<rest>\{.*\})\s*$",
+        update,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if tm and re.search(r"\}\s*WHERE\s*\{", tm.group("rest"), re.IGNORECASE):
+        # rule form: INSERT {T} WHERE {P} / DELETE {T} WHERE {P} — the
+        # template+pattern pair IS the CONSTRUCT grammar, so the derived
+        # triple set comes straight from the CONSTRUCT compiler.
+        derived = SparqlToSql(table, dialect).compile(
+            f"{tm.group('prologue')} CONSTRUCT {tm.group('rest')}"
+        )
+        if tm.group("verb").upper() == "INSERT":
+            return (
+                f"SELECT DISTINCT subj, pred, obj FROM ("
+                f"{base0} UNION ALL SELECT subj, pred, obj FROM ({derived}))"
+            )
+        return (
+            f"SELECT subj, pred, obj FROM ({base0}) t WHERE NOT EXISTS ("
+            f"SELECT 1 FROM ({derived}) d "
+            f"WHERE d.subj = t.subj AND d.pred = t.pred AND d.obj = t.obj)"
+        )
     m = _UPDATE_RE.match(update)
     if not m:
         raise QueryingError(
             "unsupported SPARQL UPDATE form: expected INSERT DATA / "
-            "DELETE DATA / DELETE WHERE { ... }"
+            "DELETE DATA / DELETE WHERE / INSERT {T} WHERE {P} / "
+            "DELETE {T} WHERE {P}"
         )
     verb = " ".join(m.group("verb").upper().split())
     prologue = m.group("prologue") or ""

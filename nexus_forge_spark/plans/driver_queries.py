@@ -12523,7 +12523,36 @@ def sql_sparql_update() -> str:
     return f"WITH tr0 AS ({sql_kg_triples()}), tr1 AS ({s1}) {s2}"
 
 
+_SPARQL_RULE_TEXT = (
+    "INSERT { ?c <ord:purchased> ?p } "
+    "WHERE { ?c <ord:placed> ?o . ?o <ord:contains> ?p }"
+)
+
+
+def q_sparql_rule_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule materialization via SPARQL UPDATE (functions/sparql.py
+    sparql_update_to_sql, INSERT {T} WHERE {P} — the standard way KGs
+    encode entailment rules): the placed/contains join derives
+    purchased edges and the graph grows by their distinct union, all in
+    ONE declarative statement riding the CONSTRUCT compiler."""
+    from nexus_forge_spark.functions.sparql import sparql_update_to_sql
+
+    triples = _catalog_triples(spark, sf_dir).localCheckpoint(eager=True)
+    triples.createOrReplaceTempView("rule_triples_v")
+    return spark.sql(
+        sparql_update_to_sql(_SPARQL_RULE_TEXT, table="rule_triples_v", dialect="spark")
+    )
+
+
+def sql_sparql_rule_insert() -> str:
+    from nexus_forge_spark.functions.sparql import sparql_update_to_sql
+
+    inner = sparql_update_to_sql(_SPARQL_RULE_TEXT, table="tr", dialect="duckdb")
+    return f"WITH tr AS ({_CATALOG_TRIPLES_SQL}) {inner}"
+
+
 QUERIES = {
+    "sparql_rule_insert": (q_sparql_rule_insert, sql_sparql_rule_insert),
     "sparql_update": (q_sparql_update, sql_sparql_update),
     "community_quality": (q_community_quality, sql_community_quality_q),
     "kg_rdfs_incremental": (q_kg_rdfs_incremental, sql_kg_rdfs_entailment),

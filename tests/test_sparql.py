@@ -1120,7 +1120,6 @@ def test_update_rejects_unsupported_forms(spark):
     )
 
     for bad in (
-        "INSERT { ?s <p> <o> } WHERE { ?s <q> <o> }",
         "LOAD <http://x/file.nt>",
         "CLEAR GRAPH <g>",
         "INSERT DATA { ?v <p> <o> }",          # not ground
@@ -1128,3 +1127,31 @@ def test_update_rejects_unsupported_forms(spark):
     ):
         with _pytest.raises(QueryingError):
             sparql_update_to_sql(bad)
+
+
+def test_update_insert_where_rule(spark):
+    from nexus_forge_spark.functions.sparql import sparql_update_to_sql
+
+    _upd_graph(spark)
+    out = spark.sql(sparql_update_to_sql(
+        "INSERT { ?x <knows2> ?z } WHERE { ?x <knows> ?y . ?y <knows> ?z }",
+        table="upd_t",
+    ))
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("a", "knows2", "c") in rows
+    assert len(rows) == 5  # base 4 + one derived
+
+
+def test_update_delete_template_where(spark):
+    from nexus_forge_spark.functions.sparql import sparql_update_to_sql
+
+    _upd_graph(spark)
+    # delete ONLY the type triple of nodes that know someone (template
+    # narrower than the pattern)
+    out = spark.sql(sparql_update_to_sql(
+        "DELETE { ?s <rdf:type> <Person> } WHERE { ?s <knows> ?o . ?s <rdf:type> <Person> }",
+        table="upd_t",
+    ))
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("a", "rdf:type", "Person") not in rows
+    assert ("a", "knows", "b") in rows  # knows edges SURVIVE
