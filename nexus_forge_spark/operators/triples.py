@@ -819,3 +819,221 @@ def from_ntriples(lines: DataFrame, line_col: str = "line") -> DataFrame:
             "obj_datatype"
         ),
     )
+
+
+def void_description(
+    triples: DataFrame,
+    dataset_iri: str = "_:dataset",
+    type_pred: str = "rdf:type",
+) -> DataFrame:
+    """W3C VoID dataset description, emitted AS TRIPLES: overall
+    void:triples / void:distinctSubjects / void:distinctObjects /
+    void:properties / void:classes, one void:propertyPartition node per
+    predicate (with its void:triples count) and one void:classPartition
+    node per class (with its void:entities count) — the metadata a
+    SPARQL endpoint publishes so clients can plan federated queries.
+
+    All counts are exact integers stringified into the object position
+    (VoID uses xsd:integer literals); partition node IRIs are
+    deterministic ('<dataset>/prop/<pred>').  Three partial-combined
+    aggregates over one scan lineage; output is vocabulary-sized.
+    """
+    t = triples.select("subj", "pred", "obj")
+    ds = F.lit(dataset_iri)
+    overall = t.agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+        F.countDistinct("pred").alias("n_pred"),
+        F.countDistinct(
+            F.when(F.col("pred") == type_pred, F.col("obj"))
+        ).alias("n_classes"),
+    )
+    overall_triples = overall.select(
+        F.explode(
+            F.array(
+                F.struct(ds.alias("subj"), F.lit("void:triples").alias("pred"),
+                         F.col("n_triples").cast("string").alias("obj")),
+                F.struct(ds.alias("subj"), F.lit("void:distinctSubjects").alias("pred"),
+                         F.col("n_subj").cast("string").alias("obj")),
+                F.struct(ds.alias("subj"), F.lit("void:distinctObjects").alias("pred"),
+                         F.col("n_obj").cast("string").alias("obj")),
+                F.struct(ds.alias("subj"), F.lit("void:properties").alias("pred"),
+                         F.col("n_pred").cast("string").alias("obj")),
+                F.struct(ds.alias("subj"), F.lit("void:classes").alias("pred"),
+                         F.col("n_classes").cast("string").alias("obj")),
+            )
+        ).alias("t")
+    ).select("t.subj", "t.pred", "t.obj")
+    pp = t.groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+    pp_node = F.concat(ds, F.lit("/prop/"), F.col("pred"))
+    prop_triples = (
+        pp.select(
+            F.explode(
+                F.array(
+                    F.struct(ds.alias("subj"), F.lit("void:propertyPartition").alias("pred"),
+                             pp_node.alias("obj")),
+                    F.struct(pp_node.alias("subj"), F.lit("void:property").alias("pred"),
+                             F.col("pred").alias("obj")),
+                    F.struct(pp_node.alias("subj"), F.lit("void:triples").alias("pred"),
+                             F.col("n").cast("string").alias("obj")),
+                )
+            ).alias("t")
+        ).select("t.subj", "t.pred", "t.obj")
+    )
+    cp = (
+        t.where(F.col("pred") == type_pred)
+        .groupBy(F.col("obj").alias("cls"))
+        .agg(F.countDistinct("subj").alias("n"))
+    )
+    cp_node = F.concat(ds, F.lit("/class/"), F.col("cls"))
+    class_triples = (
+        cp.select(
+            F.explode(
+                F.array(
+                    F.struct(ds.alias("subj"), F.lit("void:classPartition").alias("pred"),
+                             cp_node.alias("obj")),
+                    F.struct(cp_node.alias("subj"), F.lit("void:class").alias("pred"),
+                             F.col("cls").alias("obj")),
+                    F.struct(cp_node.alias("subj"), F.lit("void:entities").alias("pred"),
+                             F.col("n").cast("string").alias("obj")),
+                )
+            ).alias("t")
+        ).select("t.subj", "t.pred", "t.obj")
+    )
+    return overall_triples.unionByName(prop_triples).unionByName(class_triples)
+
+
+def sql_void_description(
+    triples_sql: str,
+    dataset_iri: str = "_:dataset",
+    type_pred: str = "rdf:type",
+) -> str:
+    """DuckDB oracle for :func:`void_description`."""
+    ds = f"'{dataset_iri}'"
+    return f"""WITH t AS MATERIALIZED ({triples_sql}),
+overall AS (
+  SELECT count(*) AS n_triples,
+         count(DISTINCT subj) AS n_subj, count(DISTINCT obj) AS n_obj,
+         count(DISTINCT pred) AS n_pred,
+         count(DISTINCT CASE WHEN pred = '{type_pred}' THEN obj END) AS n_classes
+  FROM t
+),
+pp AS (SELECT pred, count(*) AS n FROM t GROUP BY pred),
+cp AS (SELECT obj AS cls, count(DISTINCT subj) AS n FROM t
+       WHERE pred = '{type_pred}' GROUP BY obj)
+SELECT {ds} AS subj, 'void:triples' AS pred, CAST(n_triples AS VARCHAR) AS obj FROM overall
+UNION ALL SELECT {ds}, 'void:distinctSubjects', CAST(n_subj AS VARCHAR) FROM overall
+UNION ALL SELECT {ds}, 'void:distinctObjects', CAST(n_obj AS VARCHAR) FROM overall
+UNION ALL SELECT {ds}, 'void:properties', CAST(n_pred AS VARCHAR) FROM overall
+UNION ALL SELECT {ds}, 'void:classes', CAST(n_classes AS VARCHAR) FROM overall
+UNION ALL SELECT {ds}, 'void:propertyPartition', {ds} || '/prop/' || pred FROM pp
+UNION ALL SELECT {ds} || '/prop/' || pred, 'void:property', pred FROM pp
+UNION ALL SELECT {ds} || '/prop/' || pred, 'void:triples', CAST(n AS VARCHAR) FROM pp
+UNION ALL SELECT {ds}, 'void:classPartition', {ds} || '/class/' || cls FROM cp
+UNION ALL SELECT {ds} || '/class/' || cls, 'void:class', cls FROM cp
+UNION ALL SELECT {ds} || '/class/' || cls, 'void:entities', CAST(n AS VARCHAR) FROM cp"""
+
+
+def shacl_induction(
+    triples: DataFrame,
+    type_pred: str = "rdf:type",
+    min_count_coverage_ppm: int = 1_000_000,
+) -> DataFrame:
+    """SHACL shape INDUCTION from instance data, emitted as shape
+    triples: for every (class, predicate) pair observed on the class's
+    instances — a sh:property node with sh:path, sh:minCount 1 when
+    coverage reaches ``min_count_coverage_ppm`` (default: every
+    instance carries the predicate), and sh:maxCount 1 when no
+    instance repeats it.  The statistics-to-constraints direction the
+    reference only consumes (RdfModel validates hand-written shapes,
+    kgforge/specializations/models/rdf_model.py); inducing them from
+    data is how those shapes get written at KG scale.
+
+    Shapes: (shape:<cls>, sh:targetClass, <cls>) plus per-pair
+    (shape:<cls>, sh:property, prop:<cls>|<pred>), (prop node, sh:path,
+    pred), optional min/max-count triples.  Coverage is exact integer
+    ppm.  Two aggregates over the typed-instance join; output is
+    schema-sized.
+    """
+    types = triples.where(F.col("pred") == type_pred).select(
+        F.col("subj").alias("inst"), F.col("obj").alias("cls")
+    ).distinct()
+    cls_sizes = types.groupBy("cls").agg(F.count(F.lit(1)).alias("n_inst"))
+    facts = triples.where(F.col("pred") != type_pred).select(
+        F.col("subj").alias("inst"), "pred"
+    )
+    per_inst = facts.join(types, "inst").groupBy("cls", "pred", "inst").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_pair = per_inst.groupBy("cls", "pred").agg(
+        F.count(F.lit(1)).alias("n_with"),
+        F.max("n").alias("max_per_inst"),
+    ).join(cls_sizes, "cls")
+    shape_node = F.concat(F.lit("shape:"), F.col("cls"))
+    prop_node = F.concat(F.lit("prop:"), F.col("cls"), F.lit("|"), F.col("pred"))
+    target = cls_sizes.select(
+        F.concat(F.lit("shape:"), F.col("cls")).alias("subj"),
+        F.lit("sh:targetClass").alias("pred"),
+        F.col("cls").alias("obj"),
+    )
+    pairs = per_pair.select(
+        "cls", "pred", "n_with", "max_per_inst", "n_inst",
+        shape_node.alias("shape"), prop_node.alias("prop"),
+    )
+    base = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("shape").alias("subj"), F.lit("sh:property").alias("pred"),
+                         F.col("prop").alias("obj")),
+                F.struct(F.col("prop").alias("subj"), F.lit("sh:path").alias("pred"),
+                         F.col("pred").alias("obj")),
+            )
+        ).alias("t")
+    ).select("t.subj", "t.pred", "t.obj")
+    mins = pairs.where(
+        F.expr(f"(n_with * 1000000) DIV n_inst >= {int(min_count_coverage_ppm)}")
+    ).select(
+        F.col("prop").alias("subj"), F.lit("sh:minCount").alias("pred"),
+        F.lit("1").alias("obj"),
+    )
+    maxs = pairs.where(F.col("max_per_inst") == 1).select(
+        F.col("prop").alias("subj"), F.lit("sh:maxCount").alias("pred"),
+        F.lit("1").alias("obj"),
+    )
+    return target.unionByName(base).unionByName(mins).unionByName(maxs)
+
+
+def sql_shacl_induction(
+    triples_sql: str,
+    type_pred: str = "rdf:type",
+    min_count_coverage_ppm: int = 1_000_000,
+) -> str:
+    """DuckDB oracle for :func:`shacl_induction`."""
+    return f"""WITH t AS MATERIALIZED ({triples_sql}),
+types AS (
+  SELECT DISTINCT subj AS inst, obj AS cls FROM t WHERE pred = '{type_pred}'
+),
+cls_sizes AS (SELECT cls, count(*) AS n_inst FROM types GROUP BY cls),
+per_inst AS (
+  SELECT ty.cls, f.pred, f.subj AS inst, count(*) AS n
+  FROM t f JOIN types ty ON f.subj = ty.inst
+  WHERE f.pred <> '{type_pred}'
+  GROUP BY ty.cls, f.pred, f.subj
+),
+per_pair AS (
+  SELECT p.cls, p.pred, count(*) AS n_with, max(p.n) AS max_per_inst, s.n_inst
+  FROM per_inst p JOIN cls_sizes s ON p.cls = s.cls
+  GROUP BY p.cls, p.pred, s.n_inst
+)
+SELECT 'shape:' || cls AS subj, 'sh:targetClass' AS pred, cls AS obj FROM cls_sizes
+UNION ALL
+SELECT 'shape:' || cls, 'sh:property', 'prop:' || cls || '|' || pred FROM per_pair
+UNION ALL
+SELECT 'prop:' || cls || '|' || pred, 'sh:path', pred FROM per_pair
+UNION ALL
+SELECT 'prop:' || cls || '|' || pred, 'sh:minCount', '1' FROM per_pair
+WHERE (n_with * 1000000) // n_inst >= {int(min_count_coverage_ppm)}
+UNION ALL
+SELECT 'prop:' || cls || '|' || pred, 'sh:maxCount', '1' FROM per_pair
+WHERE max_per_inst = 1"""

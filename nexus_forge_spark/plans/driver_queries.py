@@ -12551,7 +12551,85 @@ def sql_sparql_rule_insert() -> str:
     return f"WITH tr AS ({_CATALOG_TRIPLES_SQL}) {inner}"
 
 
+def _typed_catalog_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog facts + rdf:type triples (segment / part-type / :Order) —
+    the typed graph the VoID and SHACL-induction queries describe."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey")
+    return (
+        _catalog_triples(spark, sf_dir)
+        .unionByName(
+            cust.select(
+                F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("subj"),
+                F.lit("rdf:type").alias("pred"),
+                F.concat(F.lit("seg:"), F.col("c_mktsegment")).alias("obj"),
+            )
+        )
+        .unionByName(
+            part.select(
+                F.concat(F.lit("part:"), F.col("p_partkey").cast("string")).alias("subj"),
+                F.lit("rdf:type").alias("pred"),
+                F.concat(F.lit("type:"), F.col("p_type")).alias("obj"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("subj"),
+                F.lit("rdf:type").alias("pred"),
+                F.lit(":Order").alias("obj"),
+            )
+        )
+    )
+
+
+_TYPED_CATALOG_SQL = f"""SELECT * FROM ({_CATALOG_TRIPLES_SQL})
+UNION ALL
+SELECT 'cust:' || c_custkey, 'rdf:type', 'seg:' || c_mktsegment FROM customer
+UNION ALL
+SELECT 'part:' || p_partkey, 'rdf:type', 'type:' || p_type FROM part
+UNION ALL
+SELECT 'order:' || o_orderkey, 'rdf:type', ':Order' FROM orders"""
+
+
+def q_kg_void_description(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3C VoID dataset description emitted AS TRIPLES (operators/
+    triples.py void_description): overall counts + property partitions
+    + class partitions — the metadata a SPARQL endpoint publishes for
+    federated query planning.  Three aggregates over one scan lineage;
+    output is vocabulary-sized."""
+    from nexus_forge_spark.operators.triples import void_description
+
+    return void_description(_typed_catalog_triples(spark, sf_dir), "kg:dataset")
+
+
+def sql_kg_void_description() -> str:
+    from nexus_forge_spark.operators.triples import sql_void_description
+
+    return sql_void_description(_TYPED_CATALOG_SQL, "kg:dataset")
+
+
+def q_kg_shacl_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL shape induction (operators/triples.py shacl_induction):
+    learn sh:property / sh:minCount / sh:maxCount constraints per
+    (class, predicate) from typed instance data — cust:segment and
+    part:brandOf induce minCount 1 AND maxCount 1 (total functional),
+    ord:placed/ord:contains stay multi-valued.  The statistics-to-
+    constraints inverse of the validator, which only CONSUMES shapes."""
+    from nexus_forge_spark.operators.triples import shacl_induction
+
+    return shacl_induction(_typed_catalog_triples(spark, sf_dir))
+
+
+def sql_kg_shacl_induction() -> str:
+    from nexus_forge_spark.operators.triples import sql_shacl_induction
+
+    return sql_shacl_induction(_TYPED_CATALOG_SQL)
+
+
 QUERIES = {
+    "kg_void_description": (q_kg_void_description, sql_kg_void_description),
+    "kg_shacl_induction": (q_kg_shacl_induction, sql_kg_shacl_induction),
     "sparql_rule_insert": (q_sparql_rule_insert, sql_sparql_rule_insert),
     "sparql_update": (q_sparql_update, sql_sparql_update),
     "community_quality": (q_community_quality, sql_community_quality_q),

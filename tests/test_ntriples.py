@@ -230,3 +230,39 @@ def test_from_ntriples_drops_malformed(spark):
     )
     out = from_ntriples(lines).collect()
     assert len(out) == 1 and out[0].subj == "http://e/s"
+
+
+def test_void_description_counts(spark):
+    from nexus_forge_spark.operators.triples import void_description
+
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "q", "y"), ("b", "p", "x"),
+         ("a", "rdf:type", "C1"), ("b", "rdf:type", "C2")],
+        "subj string, pred string, obj string",
+    )
+    rows = {(r.subj, r.pred, r.obj) for r in void_description(t, "ds").collect()}
+    assert ("ds", "void:triples", "5") in rows
+    assert ("ds", "void:distinctSubjects", "2") in rows
+    assert ("ds", "void:classes", "2") in rows
+    assert ("ds/prop/p", "void:triples", "2") in rows
+    assert ("ds/class/C1", "void:entities", "1") in rows
+
+
+def test_shacl_induction_constraints(spark):
+    from nexus_forge_spark.operators.triples import shacl_induction
+
+    rows = [("i1", "rdf:type", "C"), ("i2", "rdf:type", "C"),
+            ("i1", "name", "n1"), ("i2", "name", "n2"),       # total, functional
+            ("i1", "tag", "t1"), ("i1", "tag", "t2"),          # partial, multi
+            ("i1", "code", "c1"), ("i2", "code", "c2"), ("i2", "code", "c3")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {(r.subj, r.pred, r.obj) for r in shacl_induction(t).collect()}
+    assert ("shape:C", "sh:targetClass", "C") in got
+    assert ("prop:C|name", "sh:minCount", "1") in got
+    assert ("prop:C|name", "sh:maxCount", "1") in got
+    # tag: only i1 has it -> no minCount; i1 has 2 -> no maxCount
+    assert ("prop:C|tag", "sh:minCount", "1") not in got
+    assert ("prop:C|tag", "sh:maxCount", "1") not in got
+    # code: total but i2 repeats -> minCount only
+    assert ("prop:C|code", "sh:minCount", "1") in got
+    assert ("prop:C|code", "sh:maxCount", "1") not in got
