@@ -1668,3 +1668,116 @@ SELECT p.c AS community, p.n_nodes, p.vol,
             - ((p.vol * 1000) // (2 * t.m)) * ((p.vol * 1000) // (2 * t.m))
             AS BIGINT) AS modularity_contrib_ppm
 FROM per_c p LEFT JOIN internal i ON p.c = i.c, m_t t"""
+
+
+def earliest_arrival(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ts_col: str = "ts_micros",
+    node_col: str = "node",
+) -> DataFrame:
+    """Time-respecting earliest-arrival reachability (Wu et al., VLDB
+    2014): from each seed, the earliest time every node can be reached
+    along paths whose edge timestamps are NON-DECREASING — the temporal
+    analogue of BFS, and what static reachability gets WRONG on
+    temporal graphs (a late edge cannot feed an earlier one).  Seeds
+    start at arrival 0, so every outgoing edge of a seed is usable.
+
+    Exact integer label-correcting rounds: frontier (seed, node, arr)
+    joins edges with ts >= arr, candidate arrival = ts; one (seed, dst)
+    min-aggregate; a candidate survives only if it IMPROVES the best
+    known arrival (anti-join by comparison), so each round's frontier
+    carries only improved labels and the loop is monotone — at most
+    ``max_hops`` rounds, each one shuffle join + one aggregate +
+    one improvement join, state localCheckpointed.  All epoch-micros
+    BIGINT, no calendar functions (no TZ hazard by construction).
+
+    Output: (seed, node, arrival_micros, hops) — hops = round that
+    first achieved the arrival; seeds themselves are omitted.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(ts_col).cast("long").alias("ts"),
+    )
+    best = (
+        sources.select(F.col(node_col).alias("seed"))
+        .distinct()
+        .select(
+            "seed",
+            F.col("seed").alias("node"),
+            F.lit(0).cast("long").alias("arr"),
+            F.lit(0).cast("int").alias("hops"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = best
+    for hop in range(1, max_hops + 1):
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .where(F.col("ts") >= F.col("arr"))
+            .groupBy("seed", F.col("dst").alias("node"))
+            .agg(F.min("ts").alias("arr"))
+        )
+        improved = (
+            cand.join(
+                best.select("seed", "node", F.col("arr").alias("old_arr")),
+                ["seed", "node"],
+                "left",
+            )
+            .where(F.col("old_arr").isNull() | (F.col("arr") < F.col("old_arr")))
+            .select("seed", "node", "arr", F.lit(hop).cast("int").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        best = (
+            best.join(improved.select("seed", "node"), ["seed", "node"], "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return best.where(F.col("hops") > 0).select(
+        "seed", "node", F.col("arr").alias("arrival_micros"), "hops"
+    )
+
+
+def sql_earliest_arrival(
+    edges_sql: str, sources_sql: str, max_hops: int
+) -> str:
+    """DuckDB oracle: the same label-correcting rounds unrolled.
+    edges_sql -> (src, dst, ts_micros); sources_sql -> (node)."""
+    parts = [
+        f"e AS MATERIALIZED (SELECT src, dst, CAST(ts_micros AS BIGINT) AS ts FROM ({edges_sql}))",
+        "b0 AS (SELECT DISTINCT node AS seed, node, CAST(0 AS BIGINT) AS arr, "
+        f"0 AS hops FROM ({sources_sql}))",
+        "f0 AS (SELECT * FROM b0)",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"""c{h} AS (
+  SELECT f.seed, e.dst AS node, min(e.ts) AS arr
+  FROM f{h - 1} f JOIN e ON f.node = e.src AND e.ts >= f.arr
+  GROUP BY f.seed, e.dst)"""
+        )
+        parts.append(
+            f"""i{h} AS (
+  SELECT c.seed, c.node, c.arr, {h} AS hops
+  FROM c{h} c LEFT JOIN b{h - 1} b ON c.seed = b.seed AND c.node = b.node
+  WHERE b.arr IS NULL OR c.arr < b.arr)"""
+        )
+        parts.append(
+            f"""b{h} AS (
+  SELECT b.* FROM b{h - 1} b
+  WHERE NOT EXISTS (SELECT 1 FROM i{h} i WHERE i.seed = b.seed AND i.node = b.node)
+  UNION ALL SELECT * FROM i{h})"""
+        )
+        parts.append(f"f{h} AS (SELECT * FROM i{h})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT seed, node, arr AS arrival_micros, hops
+FROM b{max_hops} WHERE hops > 0"""
+    )

@@ -12627,7 +12627,69 @@ def sql_kg_shacl_induction() -> str:
     return sql_shacl_induction(_TYPED_CATALOG_SQL)
 
 
+_TR_SEED_MOD = 100
+_TR_HOPS = 3
+
+
+def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting earliest-arrival reachability (operators/graph.py
+    earliest_arrival) over the co-purchase graph with order-date
+    timestamps: from each seed customer, the earliest time every
+    part/customer is reachable along NON-DECREASING-timestamp paths —
+    the temporal diffusion question static reachability answers
+    wrongly.  Label-correcting min rounds, all epoch-micros BIGINT (no
+    calendar math, no TZ hazard)."""
+    from nexus_forge_spark.operators.graph import earliest_arrival
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    half = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_partkey") + PART_NODE_OFFSET).alias("p"),
+        )
+        .agg(F.min(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("ts"))
+    )
+    edges = half.select(
+        F.col("c").alias("src"), F.col("p").alias("dst"), F.col("ts").alias("ts_micros")
+    ).unionByName(
+        half.select(
+            F.col("p").alias("src"), F.col("c").alias("dst"), F.col("ts").alias("ts_micros")
+        )
+    )
+    seeds = (
+        load_table(spark, "customer", sf_dir)
+        .where(F.col("c_custkey") % _TR_SEED_MOD == 1)
+        .select(F.col("c_custkey").alias("node"))
+    )
+    return earliest_arrival(edges, seeds, max_hops=_TR_HOPS).select(
+        F.col("seed").cast("long").alias("seed"),
+        F.col("node").cast("long").alias("node"),
+        "arrival_micros",
+        "hops",
+    )
+
+
+def sql_temporal_reachability() -> str:
+    from nexus_forge_spark.operators.graph import sql_earliest_arrival
+
+    half = f"""SELECT o.o_custkey AS c, {PART_NODE_OFFSET} + l.l_partkey AS p,
+       min(epoch_us(o.o_orderdate)) AS ts
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_custkey, {PART_NODE_OFFSET} + l.l_partkey"""
+    edges = (
+        f"SELECT c AS src, p AS dst, ts AS ts_micros FROM ({half}) "
+        f"UNION ALL SELECT p, c, ts FROM ({half})"
+    )
+    seeds = f"SELECT c_custkey AS node FROM customer WHERE c_custkey % {_TR_SEED_MOD} = 1"
+    return sql_earliest_arrival(edges, seeds, max_hops=_TR_HOPS)
+
+
 QUERIES = {
+    "temporal_reachability": (q_temporal_reachability, sql_temporal_reachability),
     "kg_void_description": (q_kg_void_description, sql_kg_void_description),
     "kg_shacl_induction": (q_kg_shacl_induction, sql_kg_shacl_induction),
     "sparql_rule_insert": (q_sparql_rule_insert, sql_sparql_rule_insert),

@@ -587,3 +587,60 @@ def test_community_quality_matches_duckdb(spark):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+# -------------------------------------------------- temporal reachability
+
+
+def test_earliest_arrival_respects_time_order(spark):
+    """a -(t=10)-> b -(t=5)-> c: c is NOT reachable from a (the second
+    edge departs before the first arrives); b -(t=20)-> d IS."""
+    from nexus_forge_spark.operators.graph import earliest_arrival
+
+    e = spark.createDataFrame(
+        [("a", "b", 10), ("b", "c", 5), ("b", "d", 20)],
+        "src string, dst string, ts_micros long",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {(r.seed, r.node): (r.arrival_micros, r.hops)
+           for r in earliest_arrival(e, seeds, 3).collect()}
+    assert out[("a", "b")] == (10, 1)
+    assert out[("a", "d")] == (20, 2)
+    assert ("a", "c") not in out
+
+
+def test_earliest_arrival_improvement_across_rounds(spark):
+    """A longer path can still yield an EARLIER arrival than a direct
+    late edge; the label-correcting rounds must keep the minimum."""
+    from nexus_forge_spark.operators.graph import earliest_arrival
+
+    e = spark.createDataFrame(
+        [("s", "x", 100), ("s", "m", 1), ("m", "x", 2)],
+        "src string, dst string, ts_micros long",
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    out = {r.node: (r.arrival_micros, r.hops)
+           for r in earliest_arrival(e, seeds, 3).collect()}
+    assert out["x"] == (2, 2)  # via m, not the direct t=100 edge
+
+
+def test_earliest_arrival_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.graph import (
+        earliest_arrival,
+        sql_earliest_arrival,
+    )
+
+    rows = [(f"n{i % 11}", f"n{(i * 7 + 3) % 11}", (i * 13) % 50) for i in range(80)]
+    e = spark.createDataFrame(rows, "src string, dst string, ts_micros long")
+    seeds = spark.createDataFrame([("n0",), ("n5",)], "node string")
+    got = sorted(tuple(r) for r in earliest_arrival(e, seeds, 4).collect())
+    ev = ", ".join(f"('{a}', '{b}', {t})" for a, b, t in rows)
+    sql = sql_earliest_arrival(
+        f"SELECT * FROM (VALUES {ev}) AS t(src, dst, ts_micros)",
+        "SELECT * FROM (VALUES ('n0'), ('n5')) AS t(node)",
+        max_hops=4,
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
