@@ -1781,3 +1781,103 @@ def sql_earliest_arrival(
 SELECT seed, node, arr AS arrival_micros, hops
 FROM b{max_hops} WHERE hops > 0"""
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over undirected edges — positive = hubs attach to
+    hubs (social nets), negative = hubs attach to leaves (the typical
+    KG/co-purchase shape).  The one-number structure diagnostic that
+    decides whether hub-mitigation (salting, star replacement) is the
+    binding concern.
+
+    Determinism contract: all five correlation sums are EXACT
+    DECIMAL(38,0)/HUGEINT (each edge contributes its degree pair in
+    both orientations, the standard undirected convention); the final
+    r = num / sqrt(dx * dy) runs as a short chain of IEEE
+    correctly-rounded double ops on those exact integers (cast, one
+    multiply, sqrt, one divide, one multiply, floor) — identical on any
+    engine, same sanctioned-float contract as neyman_allocation.
+    Output: one row (n_edges, r_milli).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("x"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("y"),
+        )
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("x").alias("n"))
+        .unionByName(e.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    pairs = (
+        e.join(deg.withColumnRenamed("n", "x").withColumnRenamed("deg", "dx"), "x")
+        .join(deg.withColumnRenamed("n", "y").withColumnRenamed("deg", "dy"), "y")
+        .select("dx", "dy")
+    )
+    both = pairs.unionByName(
+        pairs.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    agg = both.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(d("dx")).alias("sx"),
+        F.sum(d("dy")).alias("sy"),
+        F.sum(d("dx") * d("dy")).alias("sxy"),
+        F.sum(d("dx") * d("dx")).alias("sxx"),
+        F.sum(d("dy") * d("dy")).alias("syy"),
+    )
+    num = F.col("m2").cast("decimal(38,0)") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("m2").cast("decimal(38,0)") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("m2").cast("decimal(38,0)") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = num.cast("double") / F.sqrt(den_x.cast("double") * den_y.cast("double"))
+    return agg.select(
+        F.expr("m2 DIV 2").cast("long").alias("n_edges"),
+        F.when(
+            (den_x == 0) | (den_y == 0), F.lit(0)
+        ).otherwise(F.floor(r * 1000)).cast("long").alias("r_milli"),
+    )
+
+
+def sql_degree_assortativity(edges_sql: str) -> str:
+    """DuckDB oracle for :func:`degree_assortativity`."""
+    return f"""WITH e AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+  FROM ({edges_sql}) WHERE a <> b
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT x AS n FROM e UNION ALL SELECT y FROM e
+  ) GROUP BY n
+),
+pairs AS (
+  SELECT dx.deg AS dx, dy.deg AS dy
+  FROM e JOIN deg dx ON e.x = dx.n JOIN deg dy ON e.y = dy.n
+),
+bo AS (
+  SELECT dx, dy FROM pairs UNION ALL SELECT dy, dx FROM pairs
+),
+agg AS (
+  SELECT CAST(count(*) AS HUGEINT) AS m2,
+         CAST(sum(CAST(dx AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(dy AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy
+  FROM bo
+)
+SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+       CAST(CASE WHEN (m2 * sxx - sx * sx) = 0 OR (m2 * syy - sy * sy) = 0 THEN 0
+            ELSE floor(CAST(m2 * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE)
+                        * CAST(m2 * syy - sy * sy AS DOUBLE)) * 1000) END AS BIGINT)
+       AS r_milli
+FROM agg"""

@@ -12688,7 +12688,38 @@ GROUP BY o.o_custkey, {PART_NODE_OFFSET} + l.l_partkey"""
     return sql_earliest_arrival(edges, seeds, max_hops=_TR_HOPS)
 
 
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (operators/graph.py degree_assortativity)
+    of the undirected co-purchase graph: the one-number diagnostic for
+    whether hubs attach to hubs (positive) or to leaves (negative, the
+    typical bipartite-projection shape) — i.e. whether hub mitigation
+    is the binding scale concern.  Exact HUGEINT correlation sums, a
+    sanctioned correctly-rounded float tail."""
+    from nexus_forge_spark.operators.graph import degree_assortativity
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_partkey") + PART_NODE_OFFSET).alias("b"),
+        )
+        .distinct()
+    )
+    return degree_assortativity(edges)
+
+
+def sql_degree_assortativity_q() -> str:
+    from nexus_forge_spark.operators.graph import sql_degree_assortativity
+
+    edges = f"""SELECT DISTINCT o.o_custkey AS a, {PART_NODE_OFFSET} + l.l_partkey AS b
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"""
+    return sql_degree_assortativity(edges)
+
+
 QUERIES = {
+    "degree_assortativity": (q_degree_assortativity, sql_degree_assortativity_q),
     "temporal_reachability": (q_temporal_reachability, sql_temporal_reachability),
     "kg_void_description": (q_kg_void_description, sql_kg_void_description),
     "kg_shacl_induction": (q_kg_shacl_induction, sql_kg_shacl_induction),

@@ -644,3 +644,36 @@ def test_earliest_arrival_matches_duckdb(spark):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+# ------------------------------------------------------- assortativity
+
+
+def test_assortativity_star_is_negative(spark):
+    """A star graph is maximally disassortative (hub deg n meets leaves
+    deg 1): r = -1."""
+    from nexus_forge_spark.operators.graph import degree_assortativity
+
+    e = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(6)], "a string, b string"
+    )
+    r = degree_assortativity(e).collect()[0]
+    assert r.n_edges == 6
+    assert r.r_milli == -1000
+
+
+def test_assortativity_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.graph import (
+        degree_assortativity,
+        sql_degree_assortativity,
+    )
+
+    rows = [(f"n{i % 13}", f"n{(i * 5 + 1) % 13}") for i in range(50)]
+    e = spark.createDataFrame(rows, "a string, b string")
+    got = [tuple(r) for r in degree_assortativity(e).collect()]
+    ev = ", ".join(f"('{a}', '{b}')" for a, b in rows)
+    sql = sql_degree_assortativity(f"SELECT * FROM (VALUES {ev}) AS t(a, b)")
+    want = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    assert got == want
