@@ -805,3 +805,90 @@ SELECT n AS n_items,
             ELSE (2 * (sp // n) * (sr // n)) // ((sp // n) + (sr // n)) END AS BIGINT)
        AS f1_ppm
 FROM agg"""
+
+
+def muc_metrics(
+    assignments: DataFrame,
+    item_col: str = "item",
+    pred_col: str = "pred_cluster",
+    truth_col: str = "true_cluster",
+) -> DataFrame:
+    """MUC link-based coreference scoring (Vilain et al. 1995), the
+    classic complement to B-cubed: precision = sum over predicted
+    clusters of (|p| - #distinct-truth-partitions-in-p) / (|p| - 1),
+    recall the mirror image — counts the MINIMUM links that must be cut
+    / added, so it ignores singleton structure (which B-cubed prices).
+    Reporting both is the standard coref protocol (CoNLL averages MUC,
+    B-cubed, CEAF; CEAF's optimal matching is deliberately out of
+    scope — the greedy local-max matcher is not the Kuhn-Munkres
+    optimum and a wrong CEAF is worse than none).
+
+    Same CELL algebra as bcubed_metrics: one (pred, truth) aggregate,
+    two rollups derived from it, integer ppm.  Output: one row
+    (n_items, precision_ppm, recall_ppm, f1_ppm).
+    """
+    cells = assignments.groupBy(
+        F.col(pred_col).alias("p"), F.col(truth_col).alias("t")
+    ).agg(F.count(F.lit(1)).alias("n_pt"))
+    byp = cells.groupBy("p").agg(
+        F.sum("n_pt").alias("size"), F.count(F.lit(1)).alias("parts")
+    )
+    byt = cells.groupBy("t").agg(
+        F.sum("n_pt").alias("size"), F.count(F.lit(1)).alias("parts")
+    )
+    pa = byp.agg(
+        F.sum(F.col("size") - F.col("parts")).alias("num"),
+        F.sum(F.col("size") - 1).alias("den"),
+        F.sum("size").alias("n"),
+    )
+    ra = byt.agg(
+        F.sum(F.col("size") - F.col("parts")).alias("num"),
+        F.sum(F.col("size") - 1).alias("den"),
+    )
+    j = pa.crossJoin(
+        ra.select(F.col("num").alias("rnum"), F.col("den").alias("rden"))
+    )
+    prec = F.expr("CASE WHEN den = 0 THEN 0 ELSE (num * 1000000) DIV den END")
+    rec = F.expr("CASE WHEN rden = 0 THEN 0 ELSE (rnum * 1000000) DIV rden END")
+    return j.select(
+        F.col("n").cast("long").alias("n_items"),
+        prec.cast("long").alias("precision_ppm"),
+        rec.cast("long").alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN (CASE WHEN den = 0 THEN 0 ELSE (num * 1000000) DIV den END)"
+            " + (CASE WHEN rden = 0 THEN 0 ELSE (rnum * 1000000) DIV rden END) = 0 THEN 0 "
+            "ELSE (2 * (CASE WHEN den = 0 THEN 0 ELSE (num * 1000000) DIV den END)"
+            " * (CASE WHEN rden = 0 THEN 0 ELSE (rnum * 1000000) DIV rden END))"
+            " DIV ((CASE WHEN den = 0 THEN 0 ELSE (num * 1000000) DIV den END)"
+            " + (CASE WHEN rden = 0 THEN 0 ELSE (rnum * 1000000) DIV rden END)) END"
+        )
+        .cast("long")
+        .alias("f1_ppm"),
+    )
+
+
+def sql_muc_metrics(assignments_sql: str) -> str:
+    """DuckDB oracle for :func:`muc_metrics`."""
+    return f"""WITH cells AS MATERIALIZED (
+  SELECT pred_cluster AS p, true_cluster AS t, CAST(count(*) AS BIGINT) AS n_pt
+  FROM ({assignments_sql}) GROUP BY pred_cluster, true_cluster
+),
+byp AS (SELECT p, sum(n_pt) AS sz, count(*) AS parts FROM cells GROUP BY p),
+byt AS (SELECT t, sum(n_pt) AS sz, count(*) AS parts FROM cells GROUP BY t),
+pa AS (SELECT CAST(sum(sz - parts) AS BIGINT) AS num,
+              CAST(sum(sz - 1) AS BIGINT) AS den,
+              CAST(sum(sz) AS BIGINT) AS n FROM byp),
+ra AS (SELECT CAST(sum(sz - parts) AS BIGINT) AS rnum,
+              CAST(sum(sz - 1) AS BIGINT) AS rden FROM byt),
+vals AS (
+  SELECT n,
+         CASE WHEN den = 0 THEN 0 ELSE (num * 1000000) // den END AS prec,
+         CASE WHEN rden = 0 THEN 0 ELSE (rnum * 1000000) // rden END AS rec
+  FROM pa, ra
+)
+SELECT n AS n_items,
+       CAST(prec AS BIGINT) AS precision_ppm,
+       CAST(rec AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN prec + rec = 0 THEN 0
+            ELSE (2 * prec * rec) // (prec + rec) END AS BIGINT) AS f1_ppm
+FROM vals"""

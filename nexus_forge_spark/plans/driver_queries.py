@@ -12718,7 +12718,48 @@ FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"""
     return sql_degree_assortativity(edges)
 
 
+def q_er_muc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUC link-based coreference score (operators/er.py muc_metrics)
+    of the same FS-pipeline clustering er_bcubed grades — the standard
+    two-metric coref protocol (MUC counts minimum link edits and
+    ignores singletons; B-cubed prices them), both pure (pred, truth)
+    cell algebra."""
+    from nexus_forge_spark.operators.er import muc_metrics
+
+    scored = q_er_fs_scores(spark, sf_dir)
+    edges = scored.where(F.col("decision") == "match").select("a", "b")
+    ids = _docs_with_mutants(spark, sf_dir).select(F.col("doc_id").alias("entity_id"))
+    mapping = CC.connected_components(edges, ids)
+    assigns = mapping.select(
+        F.col("entity_id").alias("item"),
+        F.col("canonical_id").alias("pred_cluster"),
+        (F.col("entity_id") % 1000000).alias("true_cluster"),
+    )
+    return muc_metrics(assigns)
+
+
+def sql_er_muc() -> str:
+    from nexus_forge_spark.operators.er import sql_muc_metrics
+
+    assigns = f"""WITH RECURSIVE scored AS (SELECT * FROM ({sql_er_fs_scores()}) s),
+{_MUTANT_DOCS_SQL},
+edges AS (
+  SELECT a, b FROM scored WHERE decision = 'match'
+  UNION SELECT b, a FROM scored WHERE decision = 'match'
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+mapping AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT id AS item, cluster_id AS pred_cluster, id % 1000000 AS true_cluster
+FROM mapping"""
+    return sql_muc_metrics(assigns)
+
+
 QUERIES = {
+    "er_muc": (q_er_muc, sql_er_muc),
     "degree_assortativity": (q_degree_assortativity, sql_degree_assortativity_q),
     "temporal_reachability": (q_temporal_reachability, sql_temporal_reachability),
     "kg_void_description": (q_kg_void_description, sql_kg_void_description),

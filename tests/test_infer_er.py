@@ -513,3 +513,36 @@ def test_bcubed_matches_duckdb(spark):
     )
     want = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
     assert got == want
+
+
+def test_muc_hand_example(spark):
+    """Vilain's canonical case: truth {1,2,3,4}; prediction {1,2},{3,4}:
+    recall = (4-2)/(4-1) = 2/3, precision = (2-1)+(2-1) / (1+1) = 1."""
+    from nexus_forge_spark.operators.er import muc_metrics
+
+    rows = [(1, "p1", "T"), (2, "p1", "T"), (3, "p2", "T"), (4, "p2", "T")]
+    df = spark.createDataFrame(rows, "item long, pred_cluster string, true_cluster string")
+    r = muc_metrics(df).collect()[0]
+    assert r.precision_ppm == 1000000
+    assert r.recall_ppm == 666666
+    # singletons are invisible to MUC: adding matched singletons changes nothing
+    rows2 = rows + [(5, "p5", "S5"), (6, "p6", "S6")]
+    df2 = spark.createDataFrame(rows2, "item long, pred_cluster string, true_cluster string")
+    r2 = muc_metrics(df2).collect()[0]
+    assert (r2.precision_ppm, r2.recall_ppm) == (r.precision_ppm, r.recall_ppm)
+
+
+def test_muc_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.er import muc_metrics, sql_muc_metrics
+
+    rows = [(i, f"p{(i * 3) % 5}", f"t{i % 4}") for i in range(120)]
+    df = spark.createDataFrame(rows, "item long, pred_cluster string, true_cluster string")
+    got = [tuple(r) for r in muc_metrics(df).collect()]
+    vals = ", ".join(f"({i}, '{p}', '{t}')" for i, p, t in rows)
+    sql = sql_muc_metrics(
+        f"SELECT * FROM (VALUES {vals}) AS t(item, pred_cluster, true_cluster)"
+    )
+    want = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    assert got == want
