@@ -892,3 +892,90 @@ SELECT n AS n_items,
        CAST(CASE WHEN prec + rec = 0 THEN 0
             ELSE (2 * prec * rec) // (prec + rec) END AS BIGINT) AS f1_ppm
 FROM vals"""
+
+
+def calibration_bins(
+    scored: DataFrame,
+    truth_pairs: DataFrame,
+    bins: int = 10,
+    score_col: str = "w_ppm",
+) -> DataFrame:
+    """Reliability diagram for a pairwise match scorer: bucket pairs by
+    predicted probability (ppm score -> ``bins`` equal-width buckets),
+    and per bucket report the EXACT mean predicted ppm and the observed
+    truth rate ppm — a calibrated scorer has mean_predicted ~
+    observed.  The acceptance check a learned scorer (em_fs_train)
+    needs before its threshold drives merges.
+
+    Both sides of every pair are normalized (least, greatest) before
+    the truth join, scored pairs deduplicate by max score (the pr_curve
+    lesson: band-duplicated candidates must not double-count).  One
+    broadcast truth join + one bucket aggregate; all integer ppm with
+    truncating DIV.  Output: (bin, n_pairs, mean_pred_ppm,
+    observed_ppm), bin 0-based.
+    """
+    s = (
+        scored.select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            F.col(score_col).cast("long").alias("w"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.max("w").alias("w"))
+    )
+    t = (
+        truth_pairs.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .withColumn("is_true", F.lit(1))
+    )
+    joined = s.join(F.broadcast(t), ["a", "b"], "left").select(
+        F.least(
+            F.lit(bins - 1), F.expr(f"(w * {bins}) DIV 1000000")
+        ).alias("bin"),
+        "w",
+        F.coalesce("is_true", F.lit(0)).alias("is_true"),
+    )
+    return (
+        joined.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("w").alias("sw"),
+            F.sum("is_true").alias("nt"),
+        )
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.expr("sw DIV n_pairs").cast("long").alias("mean_pred_ppm"),
+            F.expr("(nt * 1000000) DIV n_pairs").cast("long").alias("observed_ppm"),
+        )
+    )
+
+
+def sql_calibration_bins(
+    scored_sql: str, truth_sql: str, bins: int = 10
+) -> str:
+    """DuckDB oracle for :func:`calibration_bins`.  scored_sql ->
+    (a, b, w_ppm); truth_sql -> (a, b)."""
+    return f"""WITH s AS MATERIALIZED (
+  SELECT a, b, max(w) AS w FROM (
+    SELECT least(a, b) AS a, greatest(a, b) AS b, CAST(w_ppm AS BIGINT) AS w
+    FROM ({scored_sql}) WHERE a <> b
+  ) GROUP BY a, b
+),
+t AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM ({truth_sql}) WHERE a <> b
+),
+j AS (
+  SELECT least({bins - 1}, (s.w * {bins}) // 1000000) AS bin, s.w,
+         CASE WHEN t.a IS NULL THEN 0 ELSE 1 END AS is_true
+  FROM s LEFT JOIN t ON s.a = t.a AND s.b = t.b
+)
+SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(w) // count(*) AS BIGINT) AS mean_pred_ppm,
+       CAST((sum(is_true) * 1000000) // count(*) AS BIGINT) AS observed_ppm
+FROM j GROUP BY bin"""

@@ -12758,7 +12758,33 @@ FROM mapping"""
     return sql_muc_metrics(assigns)
 
 
+def q_er_em_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (operators/er.py calibration_bins) for the
+    EM-learned Fellegi-Sunter posterior: decile buckets of w_ppm vs the
+    observed planted-duplicate rate — the check that the unsupervised
+    fit is CALIBRATED before its threshold drives merges.  One
+    broadcast truth join + one bucket aggregate over the scored
+    pairs."""
+    from nexus_forge_spark.operators.er import calibration_bins
+
+    scored = q_er_em_fs(spark, sf_dir).select("a", "b", "w_ppm")
+    docs = load_table(spark, "documents", sf_dir)
+    truth = docs.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1000000).alias("b")
+    )
+    return calibration_bins(scored, truth, bins=10)
+
+
+def sql_er_em_calibration() -> str:
+    from nexus_forge_spark.operators.er import sql_calibration_bins
+
+    scored = f"SELECT a, b, w_ppm FROM ({sql_er_em_fs()})"
+    truth = "SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents"
+    return sql_calibration_bins(scored, truth, bins=10)
+
+
 QUERIES = {
+    "er_em_calibration": (q_er_em_calibration, sql_er_em_calibration),
     "er_muc": (q_er_muc, sql_er_muc),
     "degree_assortativity": (q_degree_assortativity, sql_degree_assortativity_q),
     "temporal_reachability": (q_temporal_reachability, sql_temporal_reachability),

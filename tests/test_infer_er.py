@@ -546,3 +546,20 @@ def test_muc_matches_duckdb(spark):
     )
     want = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
     assert got == want
+
+
+def test_calibration_bins_exact(spark):
+    from nexus_forge_spark.operators.er import calibration_bins
+
+    scored = spark.createDataFrame(
+        [(1, 2, 950000), (3, 4, 980000), (5, 6, 50000), (7, 8, 40000),
+         (2, 1, 900000)],  # reversed duplicate of (1,2): max wins
+        "a long, b long, w_ppm long",
+    )
+    truth = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    out = {r.bin: r for r in calibration_bins(scored, truth, bins=10).collect()}
+    # top bucket: pairs (1,2)->950000 and (3,4)->980000, both true
+    assert out[9].n_pairs == 2 and out[9].observed_ppm == 1000000
+    assert out[9].mean_pred_ppm == (950000 + 980000) // 2
+    # bottom bucket: two false pairs
+    assert out[0].n_pairs == 2 and out[0].observed_ppm == 0
