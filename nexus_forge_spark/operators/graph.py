@@ -1881,3 +1881,176 @@ SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
                         * CAST(m2 * syy - sy * sy AS DOUBLE)) * 1000) END AS BIGINT)
        AS r_milli
 FROM agg"""
+
+
+def louvain_moves(
+    edges: DataFrame,
+    rounds: int = 3,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """One-level Louvain-style community refinement, SYNCHRONOUS and
+    deterministic: every round each node evaluates moving to the
+    community of a neighbor by exact integer modularity gain — score
+    S(v, c) = 2m * e_{v,c} - deg_v * vol'_c, where vol'_c excludes v
+    itself when c is v's current community — and nodes apply their
+    argmax move (S desc, community asc tie-break) at once, but only
+    HALF the nodes are eligible per round (md5-parity alternation; the
+    round's parity selects the class) — the standard distributed-
+    Louvain fix for synchronous oscillation: two adjacent singletons
+    would otherwise swap communities forever, and the two-coloring
+    breaks the symmetry deterministically.  Classic Louvain is
+    sequential and visit-order-dependent (results change with
+    partitioning); this rendering trades convergence speed for
+    ENGINE-EXACT determinism, the same trade label_propagation makes.
+    Nodes start in singleton communities.
+
+    Per round: one neighbor-community aggregate (v, c) -> e_vc, one
+    community volume rollup, one per-node argmax (two hash aggregates,
+    window-free), all shuffles on the node/community keys,
+    localCheckpoint per round.  Fixed ``rounds`` on both engines.
+    Output: (node, community) after the last round.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("x"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("y"),
+        )
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    deg = und.groupBy(F.col("x").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    m2 = e.count() * 2  # 2m, a driver scalar (one count action)
+    from nexus_forge_spark.operators.sketches import hash60
+
+    comm = deg.select("node", F.col("node").alias("community")).localCheckpoint(
+        eager=True
+    )
+    for rnd in range(rounds):
+        cu = comm.select(F.col("node").alias("y"), F.col("community").alias("c_u"))
+        evc = (
+            und.join(cu, "y")
+            .groupBy(F.col("x").alias("node"), F.col("c_u").alias("cand"))
+            .agg(F.count(F.lit(1)).alias("e_vc"))
+        )
+        vol = (
+            comm.join(deg, "node")
+            .groupBy("community")
+            .agg(F.sum("deg").alias("vol"))
+            .select(F.col("community").alias("cand"), "vol")
+        )
+        own = comm.select("node", F.col("community").alias("own"))
+        scored = (
+            evc.join(vol, "cand")
+            .join(own, "node")
+            .join(deg, "node")
+            .select(
+                "node",
+                "cand",
+                (
+                    F.lit(m2) * F.col("e_vc")
+                    - F.col("deg")
+                    * F.when(
+                        F.col("cand") == F.col("own"), F.col("vol") - F.col("deg")
+                    ).otherwise(F.col("vol"))
+                ).alias("s"),
+                "own",
+            )
+        )
+        # the stay option must exist even when v has no edge into its own
+        # community (e_vc row absent): union an explicit stay row
+        stay = (
+            own.join(vol.withColumnRenamed("cand", "own"), "own")
+            .join(deg, "node")
+            .select(
+                "node",
+                F.col("own").alias("cand"),
+                (-F.col("deg") * (F.col("vol") - F.col("deg"))).alias("s"),
+                "own",
+            )
+        )
+        cand_all = scored.unionByName(stay).groupBy("node", "cand", "own").agg(
+            F.max("s").alias("s")
+        )
+        best_s = cand_all.groupBy("node").agg(F.max("s").alias("s"))
+        best = (
+            cand_all.join(best_s, ["node", "s"])
+            .groupBy("node", "s")
+            .agg(F.min("cand").alias("community"))
+        )
+        eligible = (hash60(F.col("node"), "lv") % 2) == (rnd % 2)
+        comm = (
+            best.select("node", F.col("community").alias("new_c"))
+            .join(comm.select("node", F.col("community").alias("old_c")), "node")
+            .select(
+                "node",
+                F.when(eligible, F.col("new_c")).otherwise(F.col("old_c")).alias(
+                    "community"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return comm
+
+
+def sql_louvain_moves(edges_sql: str, rounds: int = 3) -> str:
+    """DuckDB oracle: the identical synchronous rounds unrolled."""
+    parts = [
+        f"""e AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+  FROM ({edges_sql}) WHERE a <> b)""",
+        "und AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e)",
+        "deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY x)",
+        "m2_t AS (SELECT CAST(2 * count(*) AS BIGINT) AS m2 FROM e)",
+        "c0 AS (SELECT node, node AS community FROM deg)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""evc{r} AS (
+  SELECT u.x AS node, c.community AS cand, CAST(count(*) AS BIGINT) AS e_vc
+  FROM und u JOIN c{p} c ON u.y = c.node
+  GROUP BY u.x, c.community)"""
+        )
+        parts.append(
+            f"""vol{r} AS (
+  SELECT c.community AS cand, CAST(sum(d.deg) AS BIGINT) AS vol
+  FROM c{p} c JOIN deg d ON c.node = d.node GROUP BY c.community)"""
+        )
+        parts.append(
+            f"""sc{r} AS (
+  SELECT s.node, s.cand, s.own, max(s.s) AS s FROM (
+    SELECT e.node, e.cand, o.community AS own,
+           t.m2 * e.e_vc - d.deg *
+             (CASE WHEN e.cand = o.community THEN v.vol - d.deg ELSE v.vol END) AS s
+    FROM evc{r} e
+    JOIN vol{r} v ON e.cand = v.cand
+    JOIN c{p} o ON e.node = o.node
+    JOIN deg d ON e.node = d.node, m2_t t
+    UNION ALL
+    SELECT o.node, o.community, o.community,
+           -d.deg * (v.vol - d.deg)
+    FROM c{p} o JOIN vol{r} v ON o.community = v.cand
+    JOIN deg d ON o.node = d.node
+  ) s GROUP BY s.node, s.cand, s.own)"""
+        )
+        parts.append(
+            f"""bst{r} AS (
+  SELECT s.node, min(s.cand) AS new_c
+  FROM sc{r} s
+  JOIN (SELECT node, max(s) AS s FROM sc{r} GROUP BY node) b
+    ON s.node = b.node AND s.s = b.s
+  GROUP BY s.node)"""
+        )
+        parts.append(
+            f"""c{r} AS (
+  SELECT b.node,
+         CASE WHEN (('0x' || substr(md5(CAST(b.node AS VARCHAR) || ':lv'), 1, 15))::BIGINT % 2) = {(r - 1) % 2}
+              THEN b.new_c ELSE o.community END AS community
+  FROM bst{r} b JOIN c{p} o ON b.node = o.node)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT node, community FROM c{rounds}"
+    )

@@ -12783,7 +12783,28 @@ def sql_er_em_calibration() -> str:
     return sql_calibration_bins(scored, truth, bins=10)
 
 
+def q_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous Louvain-style community refinement (operators/
+    graph.py louvain_moves): exact integer modularity-gain argmax
+    moves, applied synchronously for determinism (classic Louvain is
+    visit-order-dependent — results would change with partitioning),
+    three rounds over the near-dup pair graph.  The modularity-
+    optimizing counterpart to label_propagation; community_quality
+    grades either's output."""
+    from nexus_forge_spark.operators.graph import louvain_moves
+
+    pairs = q_dedup_minhash(spark, sf_dir).select("a", "b")
+    return louvain_moves(pairs, rounds=3)
+
+
+def sql_louvain_communities() -> str:
+    from nexus_forge_spark.operators.graph import sql_louvain_moves
+
+    return sql_louvain_moves(f"SELECT a, b FROM ({sql_dedup_minhash()})", rounds=3)
+
+
 QUERIES = {
+    "louvain_communities": (q_louvain_communities, sql_louvain_communities),
     "er_em_calibration": (q_er_em_calibration, sql_er_em_calibration),
     "er_muc": (q_er_muc, sql_er_muc),
     "degree_assortativity": (q_degree_assortativity, sql_degree_assortativity_q),

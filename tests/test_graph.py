@@ -677,3 +677,34 @@ def test_assortativity_matches_duckdb(spark):
     sql = sql_degree_assortativity(f"SELECT * FROM (VALUES {ev}) AS t(a, b)")
     want = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
     assert got == want
+
+
+# ------------------------------------------------------------- Louvain
+
+
+def test_louvain_merges_clique_and_respects_modularity(spark):
+    """Two triangles + one bridge: each triangle collapses into one
+    community; the bridge does not merge them (negative gain)."""
+    from nexus_forge_spark.operators.graph import louvain_moves
+
+    edges = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+             ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("a3", "b1")]
+    e = spark.createDataFrame(edges, "a string, b string")
+    out = {r.node: r.community for r in louvain_moves(e, rounds=4).collect()}
+    assert out["a1"] == out["a2"] == out["a3"]
+    assert out["b1"] == out["b2"] == out["b3"]
+    assert out["a1"] != out["b1"]
+
+
+def test_louvain_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.graph import louvain_moves, sql_louvain_moves
+
+    rows = [(f"n{i % 17}", f"n{(i * 5 + 2) % 17}") for i in range(70)]
+    e = spark.createDataFrame(rows, "a string, b string")
+    got = sorted(tuple(r) for r in louvain_moves(e, rounds=3).collect())
+    ev = ", ".join(f"('{a}', '{b}')" for a, b in rows)
+    sql = sql_louvain_moves(f"SELECT * FROM (VALUES {ev}) AS t(a, b)", rounds=3)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
