@@ -2054,3 +2054,136 @@ def sql_louvain_moves(edges_sql: str, rounds: int = 3) -> str:
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT node, community FROM c{rounds}"
     )
+
+
+def hyperball_nf(
+    edges: DataFrame,
+    rounds: int = 3,
+    precision: int = 6,
+    salt: str = "hb",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HyperBall neighborhood function (Boldi & Vigna, "In-Core
+    Computation of Geometric Centralities with HyperBall", 2013): each
+    node carries an HLL counter of the nodes within t hops; round t
+    unions every node's counter with its out-neighbors' counters, so
+    after t rounds counter(v) estimates |ball(v, t)|.  The per-round
+    sum over nodes is the neighborhood function N(t) — the curve whose
+    90%-crossing is the effective diameter, the standard
+    one-pass-per-hop diameter estimate for graphs too large for exact
+    BFS from every node.
+
+    Scale shape: state is at most ``2^precision`` rows per node (the
+    mergeable register representation from operators/sketches.py), the
+    per-round step is one equi-join on ``dst`` plus one map-side
+    combining ``max(rho)`` aggregate — exactly the published systolic
+    sketch-merge, O(log diameter)-ish rounds, no frontier explosion.
+    State is localCheckpoint-pinned per round.
+
+    Determinism contract: registers/rho are pure integer algebra on the
+    portable 60-bit md5 hash; each per-node estimate is the sanctioned
+    one-chain IEEE multiply/divide of exactly-representable integers
+    (sketches.hll_estimate), rounded to BIGINT *before* the cross-node
+    sum, so the sum is order-independent integer addition.  Output:
+    one row per t in [0, rounds] — (t, ball_sum, pct_ppm of the final
+    ball_sum, integer-floored).
+
+    No reference analogue (beyond-reference graph toolkit, SURVEY §6);
+    the reference's graph surface is SPARQL passthrough
+    (kgforge/core/archetypes/read_only_store.py:212-245).
+    """
+    from nexus_forge_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sk = hll_sketch(nodes, "node", ["node"], precision, salt).localCheckpoint(
+        eager=True
+    )
+
+    def ball_sum(sketch: DataFrame, t: int) -> DataFrame:
+        return hll_estimate(sketch, ["node"], precision).agg(
+            F.lit(t).cast("int").alias("t"),
+            F.sum("est_distinct").cast("long").alias("ball_sum"),
+        )
+
+    out = ball_sum(sk, 0)
+    for t in range(1, rounds + 1):
+        prop = (
+            e.join(sk.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "register", "rho")
+        )
+        sk = hll_merge(sk.unionByName(prop), ["node"]).localCheckpoint(eager=True)
+        out = out.unionByName(ball_sum(sk, t))
+    fin = out.where(F.col("t") == rounds).select(F.col("ball_sum").alias("fin"))
+    return out.crossJoin(F.broadcast(fin)).select(
+        "t",
+        "ball_sum",
+        F.expr("ball_sum * 1000000 DIV fin").cast("long").alias("pct_ppm"),
+    )
+
+
+def sql_hyperball_nf(
+    edges_sql: str, rounds: int = 3, precision: int = 6, salt: str = "hb"
+) -> str:
+    """DuckDB oracle for :func:`hyperball_nf`: identical rounds unrolled."""
+    from nexus_forge_spark.operators.sketches import HASH_BITS, sql_hash60
+
+    m = 1 << precision
+    rho_max = HASH_BITS - precision + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    parts = [
+        f"""e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst)""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"""s0 AS (
+  SELECT node, CAST(h % {m} AS INT) AS register,
+    CASE WHEN h // {m} = 0 THEN {rho_max}
+         ELSE CAST(round(log2((h // {m}) & -(h // {m}))) AS INT) + 1 END AS rho
+  FROM (SELECT node, {sql_hash60('node', salt)} AS h FROM nodes))""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""s{t} AS (
+  SELECT node, register, max(rho) AS rho FROM (
+    SELECT node, register, rho FROM s{t - 1}
+    UNION ALL
+    SELECT e.src AS node, s.register, s.rho
+    FROM e JOIN s{t - 1} s ON s.node = e.dst
+  ) GROUP BY node, register)"""
+        )
+    for t in range(rounds + 1):
+        parts.append(
+            f"""nf{t} AS (
+  SELECT {t} AS t, CAST(sum(est) AS BIGINT) AS ball_sum FROM (
+    SELECT CAST(round(CAST({alpha!r} AS DOUBLE) * {m} * {m}
+                * CAST({1 << rho_max} AS DOUBLE)
+                / CAST(num AS DOUBLE)) AS BIGINT) AS est
+    FROM (
+      SELECT node,
+        CAST(sum(CAST(1::BIGINT << ({rho_max} - rho) AS BIGINT)) AS BIGINT)
+          + CAST({m} - count(*) AS BIGINT)
+            * CAST(1::BIGINT << {rho_max} AS BIGINT) AS num
+      FROM s{t} GROUP BY node)))"""
+        )
+    union = "\n  UNION ALL ".join(f"SELECT t, ball_sum FROM nf{t}" for t in range(rounds + 1))
+    parts.append(f"nf AS ({union})")
+    parts.append(f"fin AS (SELECT ball_sum AS fin FROM nf WHERE t = {rounds})")
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT t, ball_sum, CAST(ball_sum * 1000000 // fin AS BIGINT) AS pct_ppm"
+        + "\nFROM nf, fin"
+    )

@@ -12803,7 +12803,43 @@ def sql_louvain_communities() -> str:
     return sql_louvain_moves(f"SELECT a, b FROM ({sql_dedup_minhash()})", rounds=3)
 
 
+def q_hyperball_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function (operators/graph.py
+    hyperball_nf) of the undirected co-purchase graph: per-node HLL
+    ball counters merged along edges for three systolic rounds; the
+    per-round integer ball-sum curve (and its ppm-of-final column) is
+    the effective-diameter estimate — the published sketch answer to
+    "how far is everything from everything" when exact all-pairs BFS
+    is off the table at 10^12 docs."""
+    from nexus_forge_spark.operators.graph import hyperball_nf
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    half = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_partkey") + PART_NODE_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return hyperball_nf(edges, rounds=3, precision=6)
+
+
+def sql_hyperball_diameter() -> str:
+    from nexus_forge_spark.operators.graph import sql_hyperball_nf
+
+    half = f"""SELECT DISTINCT o.o_custkey AS src, {PART_NODE_OFFSET} + l.l_partkey AS dst
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"""
+    edges = f"SELECT src, dst FROM ({half}) UNION ALL SELECT dst, src FROM ({half})"
+    return sql_hyperball_nf(edges, rounds=3, precision=6)
+
+
 QUERIES = {
+    "hyperball_diameter": (q_hyperball_diameter, sql_hyperball_diameter),
     "louvain_communities": (q_louvain_communities, sql_louvain_communities),
     "er_em_calibration": (q_er_em_calibration, sql_er_em_calibration),
     "er_muc": (q_er_muc, sql_er_muc),

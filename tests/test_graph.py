@@ -708,3 +708,36 @@ def test_louvain_matches_duckdb(spark):
     sql = sql_louvain_moves(f"SELECT * FROM (VALUES {ev}) AS t(a, b)", rounds=3)
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+# ------------------------------------------------------------- HyperBall
+
+
+def test_hyperball_ball_sum_monotone_and_converges(spark):
+    """On a path graph the ball sum strictly grows per round until the
+    ball covers the graph; pct_ppm ends at exactly 1000000."""
+    from nexus_forge_spark.operators.graph import hyperball_nf
+
+    path = [(f"p{i}", f"p{i + 1}") for i in range(6)]
+    edges = path + [(b, a) for a, b in path]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    rows = {r.t: r for r in hyperball_nf(e, rounds=3).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    sums = [rows[t].ball_sum for t in range(4)]
+    assert sums == sorted(sums)
+    assert sums[0] < sums[3]
+    assert rows[3].pct_ppm == 1000000
+
+
+def test_hyperball_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.graph import hyperball_nf, sql_hyperball_nf
+
+    rows = [(f"n{i % 23}", f"n{(i * 7 + 3) % 23}") for i in range(80)]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    got = sorted(tuple(r) for r in hyperball_nf(e, rounds=4).collect())
+    ev = ", ".join(f"('{a}', '{b}')" for a, b in rows)
+    sql = sql_hyperball_nf(f"SELECT * FROM (VALUES {ev}) AS t(src, dst)", rounds=4)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
