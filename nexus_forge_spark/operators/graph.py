@@ -2187,3 +2187,189 @@ def sql_hyperball_nf(
         + "\nSELECT t, ball_sum, CAST(ball_sum * 1000000 // fin AS BIGINT) AS pct_ppm"
         + "\nFROM nf, fin"
     )
+
+
+def scan_clusters(
+    edges: DataFrame,
+    eps_num: int = 6,
+    eps_den: int = 10,
+    mu: int = 3,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """SCAN structural graph clustering (Xu, Yuruk, Feng, Schweiger,
+    KDD 2007): an edge is an epsilon-link when the structural
+    similarity of its endpoints' CLOSED neighborhoods,
+    sigma(x,y) = |N[x] ∩ N[y]| / sqrt(|N[x]| |N[y]|), is at least
+    eps; a node with >= mu epsilon-neighbors (self included) is a
+    core; clusters are connected components over core-core
+    epsilon-links; epsilon-reachable non-cores join as borders; the
+    rest split into hubs (adjacent to >= 2 distinct clusters) and
+    outliers — the roles label-propagation and modularity methods
+    can't give you (bridges vs noise).
+
+    Everything is integer-exact: sigma >= eps is tested cross-
+    multiplied as (cn + 2)^2 * eps_den^2 >= eps_num^2 * (dx+1)(dy+1)
+    (cn = common OPEN neighbors; the +2 is the adjacent endpoints
+    themselves), so no float ever forms.  Common-neighbor counting is
+    the edge-support join (one adjacency expansion + one equi-join,
+    same shape as ktruss support); components use the O(log^2 n)
+    large-star/small-star CC, min-id canonical.  Border nodes take the
+    MIN cluster id among their core epsilon-neighbors (the published
+    algorithm is visit-order-dependent there; min is the
+    deterministic, partitioning-independent choice).
+
+    Output: (node, cluster BIGINT nullable — NULL for hub/outlier,
+    role in {'core','border','hub','outlier'}).
+    """
+    from nexus_forge_spark.operators.canonicalize import connected_components
+
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("x"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("y"),
+        )
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    deg = und.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
+    w = und.select(F.col("x").alias("u"), F.col("y").alias("n"))
+    cand = e.join(w, e.x == w.u).select("x", "y", "n")
+    common = (
+        cand.join(
+            w.select(F.col("u").alias("v"), F.col("n").alias("n2")),
+            (F.col("y") == F.col("v")) & (F.col("n") == F.col("n2")),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    degx = deg.select(F.col("x"), F.col("deg").alias("dx"))
+    degy = deg.select(F.col("x").alias("y"), F.col("deg").alias("dy"))
+    sig = (
+        e.join(degx, "x")
+        .join(degy, "y")
+        .join(common, ["x", "y"], "left")
+        .select("x", "y", "dx", "dy", F.coalesce("cn", F.lit(0)).alias("cn"))
+    )
+    lhs = (F.col("cn") + 2) * (F.col("cn") + 2) * F.lit(eps_den * eps_den)
+    rhs = F.lit(eps_num * eps_num) * (F.col("dx") + 1) * (F.col("dy") + 1)
+    eps_e = sig.where(lhs >= rhs).select("x", "y").localCheckpoint(eager=True)
+    eps_und = eps_e.unionByName(
+        eps_e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    ecnt = eps_und.groupBy("x").agg((F.count(F.lit(1)) + 1).alias("ncnt"))
+    cores = ecnt.where(F.col("ncnt") >= mu).select(F.col("x").alias("node"))
+    core_e = (
+        eps_e.join(cores.withColumnRenamed("node", "x"), "x", "leftsemi")
+        .join(cores.withColumnRenamed("node", "y"), "y", "leftsemi")
+    )
+    cc = connected_components(
+        core_e.select(F.col("x").alias("a"), F.col("y").alias("b")),
+        cores.withColumnRenamed("node", "entity_id"),
+    )
+    core_assign = cc.select(
+        F.col("entity_id").alias("node"),
+        F.col("canonical_id").alias("cluster"),
+        F.lit("core").alias("role"),
+    ).localCheckpoint(eager=True)
+    border = (
+        eps_und.join(cores.withColumnRenamed("node", "x"), "x", "leftanti")
+        .join(
+            core_assign.select(F.col("node").alias("y"), "cluster"), "y"
+        )
+        .groupBy("x")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("x").alias("node"), "cluster", F.lit("border").alias("role"))
+    )
+    assigned = core_assign.unionByName(border).localCheckpoint(eager=True)
+    allnodes = deg.select(F.col("x").alias("node"))
+    rest = allnodes.join(assigned.select("node"), "node", "leftanti")
+    nbrc = (
+        und.select(F.col("x").alias("node"), F.col("y").alias("nbr"))
+        .join(rest, "node", "leftsemi")
+        .join(assigned.select(F.col("node").alias("nbr"), "cluster"), "nbr")
+        .groupBy("node")
+        .agg(F.countDistinct("cluster").alias("ncl"))
+    )
+    ctype = dict(assigned.dtypes)["cluster"]
+    hubs = nbrc.where(F.col("ncl") >= 2).select(
+        "node", F.lit(None).cast(ctype).alias("cluster"), F.lit("hub").alias("role")
+    )
+    outliers = (
+        rest.join(hubs.select("node"), "node", "leftanti")
+        .select(
+            "node",
+            F.lit(None).cast(ctype).alias("cluster"),
+            F.lit("outlier").alias("role"),
+        )
+    )
+    return assigned.unionByName(hubs).unionByName(outliers)
+
+
+def sql_scan_clusters(
+    edges_sql: str, eps_num: int = 6, eps_den: int = 10, mu: int = 3
+) -> str:
+    """DuckDB oracle for :func:`scan_clusters` (recursive-CTE CC)."""
+    return f"""WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+  FROM ({edges_sql}) WHERE a <> b
+),
+und AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+deg AS (SELECT x AS n, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY x),
+common AS (
+  SELECT e.x, e.y, CAST(count(*) AS BIGINT) AS cn
+  FROM e JOIN und w1 ON w1.x = e.x JOIN und w2 ON w2.x = e.y AND w2.y = w1.y
+  GROUP BY e.x, e.y
+),
+eps_e AS MATERIALIZED (
+  SELECT e.x, e.y
+  FROM e JOIN deg dx ON dx.n = e.x JOIN deg dy ON dy.n = e.y
+  LEFT JOIN common c ON c.x = e.x AND c.y = e.y
+  WHERE (coalesce(c.cn, 0) + 2) * (coalesce(c.cn, 0) + 2) * {eps_den * eps_den}
+        >= {eps_num * eps_num} * (dx.deg + 1) * (dy.deg + 1)
+),
+eps_und AS (SELECT x, y FROM eps_e UNION ALL SELECT y, x FROM eps_e),
+cores AS MATERIALIZED (
+  SELECT x AS node FROM eps_und GROUP BY x HAVING count(*) + 1 >= {mu}
+),
+ceu AS MATERIALIZED (
+  SELECT u.x, u.y FROM eps_und u
+  JOIN cores c1 ON c1.node = u.x JOIN cores c2 ON c2.node = u.y
+),
+reach(src, dst) AS (
+  SELECT node, node FROM cores
+  UNION
+  SELECT r.src, u.y FROM reach r JOIN ceu u ON r.dst = u.x
+),
+core_assign AS MATERIALIZED (
+  SELECT src AS node, min(dst) AS cluster FROM reach GROUP BY src
+),
+border AS (
+  SELECT u.x AS node, min(ca.cluster) AS cluster
+  FROM eps_und u
+  JOIN core_assign ca ON ca.node = u.y
+  WHERE u.x NOT IN (SELECT node FROM cores)
+  GROUP BY u.x
+),
+assigned AS MATERIALIZED (
+  SELECT node, cluster, 'core' AS role FROM core_assign
+  UNION ALL SELECT node, cluster, 'border' FROM border
+),
+rest AS (
+  SELECT n AS node FROM deg
+  WHERE n NOT IN (SELECT node FROM assigned)
+),
+hubs AS (
+  SELECT u.x AS node
+  FROM und u JOIN rest r ON r.node = u.x
+  JOIN assigned a ON a.node = u.y
+  GROUP BY u.x HAVING count(DISTINCT a.cluster) >= 2
+)
+SELECT node, cluster, role FROM assigned
+UNION ALL
+SELECT node, NULL, 'hub' FROM hubs
+UNION ALL
+SELECT node, NULL, 'outlier' FROM rest
+WHERE node NOT IN (SELECT node FROM hubs)"""

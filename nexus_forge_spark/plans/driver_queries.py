@@ -12838,7 +12838,38 @@ FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"""
     return sql_hyperball_nf(edges, rounds=3, precision=6)
 
 
+def q_scan_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN structural clustering (operators/graph.py scan_clusters)
+    of the within-order part co-purchase graph (parts sharing an
+    order; basket size bounds the per-order pair fan-out, so edge
+    generation is map-side-bounded at any corpus scale).  Yields the
+    role census community methods can't: cores/borders form basket
+    communities, hubs are the cross-community bridge parts, outliers
+    are noise.  All similarity tests integer cross-multiplied."""
+    from nexus_forge_spark.operators.graph import scan_clusters
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        li.join(l2, (li.l_orderkey == l2.k) & (li.l_partkey < l2.p2))
+        .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+    )
+    return scan_clusters(edges, eps_num=6, eps_den=10, mu=3)
+
+
+def sql_scan_roles() -> str:
+    from nexus_forge_spark.operators.graph import sql_scan_clusters
+
+    edges = """SELECT x.l_partkey AS a, y.l_partkey AS b
+FROM lineitem x JOIN lineitem y
+  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"""
+    return sql_scan_clusters(edges, eps_num=6, eps_den=10, mu=3)
+
+
 QUERIES = {
+    "scan_roles": (q_scan_roles, sql_scan_roles),
     "hyperball_diameter": (q_hyperball_diameter, sql_hyperball_diameter),
     "louvain_communities": (q_louvain_communities, sql_louvain_communities),
     "er_em_calibration": (q_er_em_calibration, sql_er_em_calibration),

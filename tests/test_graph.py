@@ -741,3 +741,40 @@ def test_hyperball_matches_duckdb(spark):
     sql = sql_hyperball_nf(f"SELECT * FROM (VALUES {ev}) AS t(src, dst)", rounds=4)
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+# ------------------------------------------------------------------ SCAN
+
+
+def test_scan_roles_cliques_hub_outlier(spark):
+    """Two 4-cliques bridged by one node, plus a dangling pair: the
+    cliques become core clusters, the bridge is a hub, the pair are
+    outliers (the SCAN paper's figure-1 shape)."""
+    from nexus_forge_spark.operators.graph import scan_clusters
+
+    c1 = [(a, b) for i, a in enumerate(["a1", "a2", "a3", "a4"])
+          for b in ["a1", "a2", "a3", "a4"][i + 1:]]
+    c2 = [(a, b) for i, a in enumerate(["b1", "b2", "b3", "b4"])
+          for b in ["b1", "b2", "b3", "b4"][i + 1:]]
+    rows = c1 + c2 + [("a1", "hh"), ("b1", "hh"), ("z1", "z2")]
+    e = spark.createDataFrame(rows, "a string, b string")
+    out = {r.node: (r.cluster, r.role) for r in scan_clusters(e, 6, 10, 3).collect()}
+    assert {out[n] for n in ["a1", "a2", "a3", "a4"]} == {("a1", "core")}
+    assert {out[n] for n in ["b1", "b2", "b3", "b4"]} == {("b1", "core")}
+    assert out["hh"] == (None, "hub")
+    assert out["z1"] == (None, "outlier") and out["z2"] == (None, "outlier")
+
+
+def test_scan_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.graph import scan_clusters, sql_scan_clusters
+
+    rows = [(f"n{i % 19}", f"n{(i * 5 + 2) % 19}") for i in range(70)]
+    e = spark.createDataFrame(rows, "a string, b string")
+    got = sorted((r.node, r.cluster, r.role)
+                 for r in scan_clusters(e, 5, 10, 4).collect())
+    ev = ", ".join(f"('{a}', '{b}')" for a, b in rows)
+    sql = sql_scan_clusters(f"SELECT * FROM (VALUES {ev}) AS t(a, b)", 5, 10, 4)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
