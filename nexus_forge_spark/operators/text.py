@@ -1024,3 +1024,93 @@ SELECT n AS n_terms,
             ((n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx) END AS BIGINT)
        AS slope_milli
 FROM agg"""
+
+
+def kn_bigram_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    d_num: int = 3,
+    d_den: int = 4,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    Chen & Goodman 1998 interpolated form every production LM
+    pipeline ships) — the principled upgrade of the Jelinek-Mercer mix
+    in :func:`bigram_logprob_scores`: the backoff distribution is the
+    CONTINUATION probability (in how many distinct contexts does w
+    appear) rather than raw frequency, so "Francisco" stops looking
+    probable outside "San _":
+
+        p(w|prev) = max(c(prev,w) - d, 0) / c(prev.)
+                  + d * N1+(prev.) / c(prev.) * N1+(.w) / T
+
+    with discount ``d = d_num/d_den`` (default 3/4) and T = distinct
+    bigram types.  All four count tables fall out of ONE bigram
+    aggregate (cb -> per-prev totals + distinct-continuation counts,
+    per-w distinct-predecessor counts, one global type count): no
+    second corpus pass.
+
+    Engine exactness: the discount is applied in integer arithmetic
+    (``d_den*cb - d_num`` over ``d_den*cp``), each probability leg is a
+    Q30 fixed-point quotient (intlog.q30_div, overflow-safe), the
+    interpolation weight ``d*N1+(prev.)/c(prev.)`` scales the Q30
+    continuation probability in BIGINT (d_num * nf * pcont_q30 <=
+    3 * 2^30 * vocab — no overflow below 2^33 distinct continuations
+    per context, unreachable), and -ln(p) is the deterministic
+    fixed-point log of functions/intlog.py.  No doubles, no libm.
+    Output: (id, n_bigrams, sum_nll_micro, mean_nll_micro), docs with
+    >= 2 tokens.
+    """
+    from nexus_forge_spark.functions.intlog import (
+        Q30,
+        lnq30_col,
+        micro_from_l2_col,
+        q30_div_col,
+    )
+
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t")).where(
+        F.size("t") >= 2
+    )
+    pairs = base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> struct(a AS prev, b AS w))"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
+    cb = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("cb"))
+    cp = cb.groupBy("prev").agg(
+        F.sum("cb").alias("cp"), F.count(F.lit(1)).alias("nf")
+    )
+    nb = cb.groupBy("w").agg(F.count(F.lit(1)).alias("nb"))
+    tt = cb.agg(F.count(F.lit(1)).alias("tt"))
+    rates = (
+        cb.join(cp, "prev")
+        .join(nb, "w")
+        .crossJoin(F.broadcast(tt))
+        .withColumn(
+            "__disc", F.greatest(F.lit(d_den) * F.col("cb") - F.lit(d_num), F.lit(0))
+        )
+        .withColumn("__q1", q30_div_col("__disc", f"({d_den} * cp)"))
+        .withColumn("__pc", q30_div_col("nb", "tt"))
+        .withColumn(
+            "__q2", F.expr(f"({d_num} * nf * __pc) div ({d_den} * cp)")
+        )
+        .withColumn("__pq", F.greatest(F.col("__q1") + F.col("__q2"), F.lit(1)))
+        .withColumn("__l2p", lnq30_col("__pq"))
+        .select(
+            "prev",
+            "w",
+            micro_from_l2_col(f"({30 * Q30} - __l2p)").alias("nll_micro"),
+        )
+    )
+    scored = pairs.join(rates, ["prev", "w"]).select(F.col(id_col), "nll_micro")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("nll_micro").alias("sum_nll_micro"),
+        F.expr("CAST(sum(nll_micro) div count(1) AS BIGINT)").alias(
+            "mean_nll_micro"
+        ),
+    )

@@ -12868,7 +12868,63 @@ FROM lineitem x JOIN lineitem y
     return sql_scan_clusters(edges, eps_num=6, eps_den=10, mu=3)
 
 
+def q_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (operators/text.py
+    kn_bigram_scores): absolute-discount d=3/4 with the continuation-
+    probability backoff — the production-LM smoothing (Chen & Goodman
+    1998) beside the Jelinek-Mercer mix bigram_nll grades.  All four
+    count tables from ONE bigram aggregate; probabilities in Q30
+    integer fixed point, -ln via the deterministic intlog, zero
+    libm."""
+    from nexus_forge_spark.operators.text import kn_bigram_scores
+
+    return kn_bigram_scores(load_table(spark, "documents", sf_dir))
+
+
+def sql_kn_bigram_nll() -> str:
+    q30x30 = 30 * 1_073_741_824
+    d_num, d_den = 3, 4
+    return rf"""WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2
+),
+pairs AS (
+  SELECT doc_id, t[i] AS prev, t[i+1] AS w
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+),
+cb AS (SELECT prev, w, count(*) AS cb FROM pairs GROUP BY prev, w),
+cp AS (SELECT prev, sum(cb) AS cp, count(*) AS nf FROM cb GROUP BY prev),
+nb AS (SELECT w, count(*) AS nb FROM cb GROUP BY w),
+tt AS (SELECT count(*) AS tt FROM cb),
+rates0 AS (
+  SELECT prev, w,
+    greatest({d_den} * cb - {d_num}, 0) AS disc,
+    {d_den} * cp AS dcp, nf, nb, tt
+  FROM cb JOIN cp USING (prev) JOIN nb USING (w), tt
+),
+rates1 AS (
+  SELECT prev, w,
+    greatest({q30_div_sql('disc', 'dcp', 'duck')}
+             + ({d_num} * nf * {q30_div_sql('nb', 'tt', 'duck')}) // dcp,
+             1) AS pq
+  FROM rates0
+),
+rates2 AS (SELECT prev, w, {_lnq('pq')} AS l2p FROM rates1),
+rates AS (
+  SELECT prev, w, CAST({_l2micro(f'({q30x30} - l2p)')} AS BIGINT) AS nll_micro
+  FROM rates2
+),
+scored AS (
+  SELECT p.doc_id, nll_micro FROM pairs p JOIN rates USING (prev, w)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  sum(nll_micro) AS sum_nll_micro,
+  CAST(sum(nll_micro) // count(*) AS BIGINT) AS mean_nll_micro
+FROM scored GROUP BY doc_id"""
+
+
 QUERIES = {
+    "kn_bigram_nll": (q_kn_bigram_nll, sql_kn_bigram_nll),
     "scan_roles": (q_scan_roles, sql_scan_roles),
     "hyperball_diameter": (q_hyperball_diameter, sql_hyperball_diameter),
     "louvain_communities": (q_louvain_communities, sql_louvain_communities),

@@ -1142,3 +1142,62 @@ def test_zipf_matches_duckdb_and_caps_topn(spark):
     assert got == want
     with _pytest.raises(ValueError):
         zipf_fit(df, top_n=1001)
+
+
+def test_kn_bigram_scores_hand_computed(spark):
+    import math
+
+    from nexus_forge_spark.functions.intlog import (
+        lnq30_py,
+        micro_from_l2_py,
+        q30_div_py,
+    )
+    from nexus_forge_spark.operators.text import kn_bigram_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (3, "a")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in kn_bigram_scores(df).collect()}
+    # bigram types: (a,b) cb=1, (b,a) cb=2 -> T=2
+    # cp: a -> (cp=1, nf=1); b -> (cp=2, nf=1); nb: b=1, a=1
+
+    def nll(cb, cp, nf, nb, tt=2, d_num=3, d_den=4):
+        disc = max(d_den * cb - d_num, 0)
+        pq = max(
+            q30_div_py(disc, d_den * cp)
+            + (d_num * nf * q30_div_py(nb, tt)) // (d_den * cp),
+            1,
+        )
+        got = micro_from_l2_py(30 * 1_073_741_824 - lnq30_py(pq))
+        true = -math.log(
+            max(cb - d_num / d_den, 0) / cp
+            + (d_num / d_den) * nf / cp * (nb / tt)
+        ) * 1e6
+        assert abs(got - true) <= 3  # fixed point tracks true KN ln
+        return got
+
+    ab = nll(cb=1, cp=1, nf=1, nb=1)
+    ba = nll(cb=2, cp=2, nf=1, nb=1)
+    assert 3 not in out
+    assert out[1].n_bigrams == 2 and out[1].sum_nll_micro == ab + ba
+    assert out[1].mean_nll_micro == (ab + ba) // 2
+    assert out[2].n_bigrams == 1 and out[2].sum_nll_micro == ba
+    # discounting: the once-seen continuation costs more than the twice-seen
+    assert ab > ba
+
+
+def test_kn_continuation_beats_raw_frequency(spark):
+    """'francisco' is frequent but ONLY follows 'san'; 'the' is equally
+    frequent across many contexts.  Raw-frequency backoff would score
+    p(francisco|novel-context) ~ p(the|novel-context); KN's continuation
+    count makes the francisco continuation strictly costlier."""
+    from nexus_forge_spark.operators.text import kn_bigram_scores
+
+    corpus = [(i, "san francisco") for i in range(8)]
+    corpus += [(100 + i, f"w{i} the") for i in range(8)]
+    # novel contexts: 'q francisco' vs 'q the' — same cb=1, cp, nf;
+    # only the continuation count nb differs (francisco: 2, the: 9)
+    corpus += [(200, "q francisco"), (201, "q the")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r.doc_id: r.sum_nll_micro for r in kn_bigram_scores(df).collect()}
+    assert out[200] > out[201]
