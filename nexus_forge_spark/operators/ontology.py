@@ -1142,3 +1142,146 @@ def transitive_closure_incremental(
     raise ClosureError(
         f"transitive_closure_incremental: not converged in {max_rounds} rounds"
     )
+
+
+def bisim_summary(triples: DataFrame, rounds: int = 2, salt: str = "bs") -> DataFrame:
+    """Forward k-bisimulation structural summary (the A(k)-index of
+    Kaushik et al., ICDE 2002, as used by RDF structural indexes /
+    quotient summaries): nodes start partitioned by their namespace
+    (the label prefix before ':'), and each round splits blocks by the
+    MULTISET of (pred, block(obj)) over outgoing edges, so after k
+    rounds two nodes share a block iff their outgoing k-unfoldings are
+    label-isomorphic.  The result is the quotient graph — the
+    compile-time structure index a SPARQL planner prunes against, and
+    the one-screen schema summary of a 10^12-triple graph.
+
+    Same scale algebra as wl_colors: the block-refinement multiset is a
+    (count, exact DECIMAL(38,0)/HUGEINT hash60-sum) accumulator —
+    map-side partial-aggregable, one join + one hash aggregate per
+    round, hub-safe (a 10^8-degree node costs one accumulator, not a
+    collected list), lineage truncated per round.  Forward-only edges
+    (bisimulation is directional; wl_colors is the symmetric variant).
+
+    Output: one row per quotient edge — (src_color, pred, dst_color,
+    n_triples, src_block_size, dst_block_size).
+    """
+    from nexus_forge_spark.operators.sketches import hash60
+
+    t = triples.select("subj", "pred", "obj")
+    nodes = (
+        t.select(F.col("subj").alias("node"))
+        .unionByName(t.select(F.col("obj").alias("node")))
+        .distinct()
+    )
+    color = nodes.select(
+        "node", F.md5(F.substring_index(F.col("node"), ":", 1)).alias("color")
+    ).localCheckpoint(eager=False)
+    out_e = t.select(
+        F.col("subj").alias("node"), "pred", F.col("obj").alias("nbr")
+    ).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        nbrc = color.select(F.col("node").alias("nbr"), F.col("color").alias("nc"))
+        msig = (
+            out_e.join(nbrc, "nbr")
+            .select(
+                "node",
+                hash60(F.concat_ws("|", F.col("pred"), F.col("nc")), salt)
+                .cast("decimal(38,0)")
+                .alias("esig"),
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"), F.sum("esig").alias("esum"))
+            .select(
+                "node",
+                F.concat_ws(
+                    ":", F.col("deg").cast("string"), F.col("esum").cast("string")
+                ).alias("msig"),
+            )
+        )
+        color = (
+            color.join(msig, "node", "left")
+            .select(
+                "node",
+                F.md5(
+                    F.concat(F.col("color"), F.lit("#"), F.coalesce("msig", F.lit("")))
+                ).alias("color"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    blocks = color.groupBy("color").agg(F.count(F.lit(1)).alias("n_nodes"))
+    qe = (
+        t.join(color.select(F.col("node").alias("subj"), F.col("color").alias("src_color")), "subj")
+        .join(color.select(F.col("node").alias("obj"), F.col("color").alias("dst_color")), "obj")
+        .groupBy("src_color", "pred", "dst_color")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+    )
+    return (
+        qe.join(
+            blocks.select(
+                F.col("color").alias("src_color"), F.col("n_nodes").alias("src_block_size")
+            ),
+            "src_color",
+        )
+        .join(
+            blocks.select(
+                F.col("color").alias("dst_color"), F.col("n_nodes").alias("dst_block_size")
+            ),
+            "dst_color",
+        )
+        .select(
+            "src_color", "pred", "dst_color", "n_triples",
+            "src_block_size", "dst_block_size",
+        )
+    )
+
+
+def sql_bisim_summary(triples_sql: str, rounds: int = 2, salt: str = "bs") -> str:
+    """DuckDB oracle for :func:`bisim_summary`: identical refinement
+    unrolled."""
+    from nexus_forge_spark.operators.sketches import sql_hash60
+
+    parts = [
+        f"t AS MATERIALIZED (SELECT subj, pred, obj FROM ({triples_sql}))",
+        """nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT subj AS node FROM t UNION ALL SELECT obj FROM t
+  )
+)""",
+        "c0 AS (SELECT node, md5(split_part(node, ':', 1)) AS color FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        esig = sql_hash60("e.pred || '|' || nc.color", salt)
+        parts.append(
+            f"""m{r} AS (
+  SELECT e.subj AS node,
+         CAST(count(*) AS VARCHAR) || ':' ||
+         CAST(sum(CAST({esig} AS HUGEINT)) AS VARCHAR) AS msig
+  FROM t e JOIN c{p} nc ON nc.node = e.obj
+  GROUP BY e.subj)"""
+        )
+        parts.append(
+            f"""c{r} AS (
+  SELECT c.node, md5(c.color || '#' || coalesce(m.msig, '')) AS color
+  FROM c{p} c LEFT JOIN m{r} m ON m.node = c.node)"""
+        )
+    parts.append(
+        f"blocks AS (SELECT color, CAST(count(*) AS BIGINT) AS n_nodes "
+        f"FROM c{rounds} GROUP BY color)"
+    )
+    parts.append(
+        f"""qe AS (
+  SELECT cs.color AS src_color, t.pred, co.color AS dst_color,
+         CAST(count(*) AS BIGINT) AS n_triples
+  FROM t JOIN c{rounds} cs ON cs.node = t.subj
+       JOIN c{rounds} co ON co.node = t.obj
+  GROUP BY cs.color, t.pred, co.color)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + """
+SELECT qe.src_color, qe.pred, qe.dst_color, qe.n_triples,
+       bs.n_nodes AS src_block_size, bd.n_nodes AS dst_block_size
+FROM qe JOIN blocks bs ON bs.color = qe.src_color
+     JOIN blocks bd ON bd.color = qe.dst_color"""
+    )

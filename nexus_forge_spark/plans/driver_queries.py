@@ -10955,6 +10955,62 @@ def q_kg_skolemize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skolemize_bnodes(trips, rounds=_WL_ROUNDS)
 
 
+def _skolem_triples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_kg_skolemize triple graph as a DataFrame (shared by the
+    bisimulation summary)."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    osub = F.concat(F.lit("_:ord"), F.col("o_orderkey").cast("string"))
+    return (
+        orders.select(
+            osub.alias("subj"),
+            F.lit("status").alias("pred"),
+            F.concat(F.lit("st:"), F.col("o_orderstatus")).alias("obj"),
+        )
+        .unionByName(
+            orders.select(
+                osub.alias("subj"),
+                F.lit("prio").alias("pred"),
+                F.concat(F.lit("pr:"), F.col("o_orderpriority")).alias("obj"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("_:ord"), F.col("l_orderkey").cast("string")).alias(
+                    "subj"
+                ),
+                F.lit("contains").alias("pred"),
+                F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias(
+                    "obj"
+                ),
+            )
+        )
+        .unionByName(
+            orders.select(
+                osub.alias("subj"),
+                F.lit("by").alias("pred"),
+                F.concat(F.lit("_:cust"), F.col("o_custkey").cast("string")).alias(
+                    "obj"
+                ),
+            )
+        )
+        .unionByName(
+            cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .select(
+                F.concat(F.lit("_:cust"), F.col("c_custkey").cast("string")).alias(
+                    "subj"
+                ),
+                F.lit("in_nation").alias("pred"),
+                F.concat(F.lit("nat:"), F.col("n_name")).alias("obj"),
+            )
+        )
+    )
+
+
 def sql_kg_skolemize() -> str:
     from nexus_forge_spark.operators.ontology import sql_wl_colors
 
@@ -12923,7 +12979,27 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM scored GROUP BY doc_id"""
 
 
+def q_kg_bisim_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward 2-bisimulation quotient summary (operators/ontology.py
+    bisim_summary, the A(k)-index of Kaushik et al. 2002) of the
+    skolemization triple graph: namespace-initialized blocks split by
+    outgoing (pred, block) multisets, then the block-level quotient
+    edges with sizes — the structure index / one-screen schema of the
+    graph.  Same hub-safe (count, hash-sum) multiset algebra as
+    wl_colors, forward-only."""
+    from nexus_forge_spark.operators.ontology import bisim_summary
+
+    return bisim_summary(_skolem_triples_df(spark, sf_dir), rounds=2)
+
+
+def sql_kg_bisim_summary() -> str:
+    from nexus_forge_spark.operators.ontology import sql_bisim_summary
+
+    return sql_bisim_summary(_skolem_triples_sql(), rounds=2)
+
+
 QUERIES = {
+    "kg_bisim_summary": (q_kg_bisim_summary, sql_kg_bisim_summary),
     "kn_bigram_nll": (q_kn_bigram_nll, sql_kn_bigram_nll),
     "scan_roles": (q_scan_roles, sql_scan_roles),
     "hyperball_diameter": (q_hyperball_diameter, sql_hyperball_diameter),

@@ -322,3 +322,47 @@ def test_meta_blocking_matches_duckdb(spark):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+# -------------------------------------------------------- bisim summary
+
+
+def test_bisim_summary_splits_by_unfolding(spark):
+    """Two 'doc' nodes with identical outgoing shape share a block; a
+    third with an extra edge splits off; leaves group by namespace."""
+    from nexus_forge_spark.operators.ontology import bisim_summary
+
+    trips = [
+        ("d:1", "has", "t:x"), ("d:2", "has", "t:x"),
+        ("d:3", "has", "t:x"), ("d:3", "extra", "t:y"),
+    ]
+    t = spark.createDataFrame(trips, "subj string, pred string, obj string")
+    out = bisim_summary(t, rounds=2).collect()
+    # quotient edges: {d12}-has->{t}, {d3}-has->{t}, {d3}-extra->{t}
+    by_pred = {}
+    for r in out:
+        by_pred.setdefault(r.pred, []).append(r)
+    assert {r.src_block_size for r in by_pred["has"]} == {1, 2}
+    assert len(by_pred["extra"]) == 1 and by_pred["extra"][0].src_block_size == 1
+    # t:x and t:y share the leaf block (same namespace, no out-edges)
+    assert all(r.dst_block_size == 2 for r in out)
+
+
+def test_bisim_summary_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.ontology import (
+        bisim_summary,
+        sql_bisim_summary,
+    )
+
+    trips = [(f"a:{i % 7}", f"p{i % 3}", f"b:{(i * 3 + 1) % 5}") for i in range(40)]
+    trips += [(f"b:{i}", "leafp", "c:z") for i in range(3)]
+    t = spark.createDataFrame(trips, "subj string, pred string, obj string")
+    got = sorted(tuple(r) for r in bisim_summary(t, rounds=3).collect())
+    ev = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in trips)
+    sql = sql_bisim_summary(
+        f"SELECT * FROM (VALUES {ev}) AS t(subj, pred, obj)", rounds=3
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
