@@ -728,3 +728,130 @@ def poisson_bootstrap_ci(
         F.element_at(means, med_i).alias("med_micro"),
         F.element_at(means, hi_i).alias("hi_micro"),
     )
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Exact mutual information between two categorical columns, in
+    deterministic integer micro-nats — the feature-association measure
+    (Cover & Thomas) that decides whether a column pair is worth a
+    composite blocking key / stratification axis, and the core of
+    MI-based feature selection over training metadata.
+
+        MI = (1/N) * sum_xy c_xy * ln(c_xy * N / (c_x * c_y))
+
+    plus both marginal entropies and the normalized MI
+    ``2*MI/(H_a+H_b)`` in ppm (Strehl & Ghosh's NMI, the symmetric
+    [0,1] calibration).
+
+    Engine exactness: every logarithm is the fixed-point intlog
+    ``ln_micro(a, b)`` over integer-ratio arguments (no libm), each
+    cell's contribution ``c_xy * ln_micro(...)`` is BIGINT, and the
+    single division by N happens once at the end in integer
+    arithmetic.  ``c_xy * N`` bounds the intermediate at N^2 — BIGINT-
+    safe below ~3e9 rows per profiled shard; profile per-partition and
+    average above that.
+
+    Scale posture: one (a,b) cell aggregate (map-side combined; cells
+    << rows for categorical columns), two tiny marginal re-aggregates
+    OF THE CELL TABLE (no second scan), one broadcast of the 1-row
+    total.  Output: one row (n, cells, mi_micro, h_a_micro, h_b_micro,
+    nmi_ppm).
+    """
+    from nexus_forge_spark.functions.intlog import ln_micro_col
+
+    cells = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(
+            F.col(col_a).cast("string").alias("a"),
+            F.col(col_b).cast("string").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .localCheckpoint(eager=False)
+    )
+    ma = cells.groupBy("a").agg(F.sum("cxy").alias("cx"))
+    mb = cells.groupBy("b").agg(F.sum("cxy").alias("cy"))
+    tot = cells.agg(
+        F.sum("cxy").alias("n"), F.count(F.lit(1)).alias("cells")
+    )
+    joined = (
+        cells.join(ma, "a")
+        .join(mb, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "cells",
+            "cxy",
+            "cx",
+            "cy",
+            (F.col("cxy") * ln_micro_col("(cxy * n)", "(cx * cy)")).alias("mi_term"),
+        )
+    )
+    agg = joined.groupBy("n", "cells").agg(
+        F.sum("mi_term").alias("mi_sum"),
+    )
+    marg_h = (
+        ma.select(F.col("cx").alias("c"))
+        .crossJoin(F.broadcast(tot.select("n")))
+        .select(F.lit("a").alias("side"), (F.col("c") * ln_micro_col("n", "c")).alias("h_term"))
+        .unionByName(
+            mb.select(F.col("cy").alias("c"))
+            .crossJoin(F.broadcast(tot.select("n")))
+            .select(F.lit("b").alias("side"), (F.col("c") * ln_micro_col("n", "c")).alias("h_term"))
+        )
+        .groupBy("side")
+        .agg(F.sum("h_term").alias("h_sum"))
+        .groupBy()
+        .pivot("side", ["a", "b"])
+        .agg(F.first("h_sum"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(marg_h))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("cells").cast("long").alias("cells"),
+            F.expr("mi_sum div n").cast("long").alias("mi_micro"),
+            F.expr("a div n").cast("long").alias("h_a_micro"),
+            F.expr("b div n").cast("long").alias("h_b_micro"),
+            F.expr(
+                "CASE WHEN (a div n) + (b div n) = 0 THEN 0 "
+                "ELSE (2 * (mi_sum div n) * 1000000) div ((a div n) + (b div n)) END"
+            ).cast("long").alias("nmi_ppm"),
+        )
+    )
+
+
+def sql_mutual_information(source_sql: str, col_a: str, col_b: str) -> str:
+    """DuckDB oracle for :func:`mutual_information`."""
+    from nexus_forge_spark.functions.intlog import ln_micro_sql
+
+    mi_t = ln_micro_sql("(cxy * n)", "(cx * cy)", "duck")
+    h_a = ln_micro_sql("n", "cx", "duck")
+    h_b = ln_micro_sql("n", "cy", "duck")
+    return f"""WITH src AS (
+  SELECT CAST({col_a} AS VARCHAR) AS a, CAST({col_b} AS VARCHAR) AS b
+  FROM ({source_sql})
+  WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+),
+cells AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS cxy FROM src GROUP BY a, b
+),
+ma AS (SELECT a, CAST(sum(cxy) AS BIGINT) AS cx FROM cells GROUP BY a),
+mb AS (SELECT b, CAST(sum(cxy) AS BIGINT) AS cy FROM cells GROUP BY b),
+tot AS (SELECT CAST(sum(cxy) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS cells FROM cells),
+mi AS (
+  SELECT CAST(sum(cxy * CAST({mi_t} AS BIGINT)) AS BIGINT) AS mi_sum
+  FROM cells JOIN ma USING (a) JOIN mb USING (b), tot
+),
+ha AS (SELECT CAST(sum(cx * CAST({h_a} AS BIGINT)) AS BIGINT) AS a_sum FROM ma, tot),
+hb AS (SELECT CAST(sum(cy * CAST({h_b} AS BIGINT)) AS BIGINT) AS b_sum FROM mb, tot)
+SELECT t.n, t.cells,
+  CAST(mi.mi_sum // t.n AS BIGINT) AS mi_micro,
+  CAST(ha.a_sum // t.n AS BIGINT) AS h_a_micro,
+  CAST(hb.b_sum // t.n AS BIGINT) AS h_b_micro,
+  CAST(CASE WHEN (ha.a_sum // t.n) + (hb.b_sum // t.n) = 0 THEN 0
+       ELSE (2 * (mi.mi_sum // t.n) * 1000000)
+            // ((ha.a_sum // t.n) + (hb.b_sum // t.n)) END AS BIGINT) AS nmi_ppm
+FROM tot t, mi, ha, hb"""

@@ -12998,7 +12998,35 @@ def sql_kg_bisim_summary() -> str:
     return sql_bisim_summary(_skolem_triples_sql(), rounds=2)
 
 
+def q_mi_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mutual information (operators/profile.py
+    mutual_information) between customer market segment and nation —
+    micro-nat MI, both marginal entropies, and Strehl-Ghosh NMI in
+    ppm, every logarithm the deterministic fixed-point intlog.  The
+    association screen that decides composite blocking keys and
+    stratification axes before a 100 TB ER run."""
+    from nexus_forge_spark.operators.profile import mutual_information
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_mktsegment", "c_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_mktsegment", "n_name")
+    return mutual_information(joined, "c_mktsegment", "n_name")
+
+
+def sql_mi_segment_nation() -> str:
+    from nexus_forge_spark.operators.profile import sql_mutual_information
+
+    src = """SELECT c_mktsegment, n_name
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey"""
+    return sql_mutual_information(src, "c_mktsegment", "n_name")
+
+
 QUERIES = {
+    "mi_segment_nation": (q_mi_segment_nation, sql_mi_segment_nation),
     "kg_bisim_summary": (q_kg_bisim_summary, sql_kg_bisim_summary),
     "kn_bigram_nll": (q_kn_bigram_nll, sql_kn_bigram_nll),
     "scan_roles": (q_scan_roles, sql_scan_roles),

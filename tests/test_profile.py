@@ -249,3 +249,48 @@ def test_poisson_bootstrap_ci(spark):
     assert r.hi_micro == means[B - 1]
     # the interval brackets the point estimate on this near-constant data
     assert r.lo_micro <= r.mean_micro <= r.hi_micro
+
+
+# ------------------------------------------------------ mutual information
+
+
+def test_mutual_information_independent_and_dependent(spark):
+    import math
+
+    from nexus_forge_spark.operators.profile import mutual_information
+
+    # perfectly dependent: b == a -> MI == H(a) == ln 2, NMI == 1
+    dep = spark.createDataFrame(
+        [("x", "x")] * 4 + [("y", "y")] * 4, "u string, v string"
+    )
+    r = mutual_information(dep, "u", "v").collect()[0]
+    assert abs(r.mi_micro - 1_000_000 * math.log(2)) <= 5
+    assert r.h_a_micro == r.h_b_micro == r.mi_micro
+    assert r.nmi_ppm == 1_000_000
+    # independent uniform 2x2 -> MI ~ 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq" for _ in range(3)],
+        "u string, v string",
+    )
+    r2 = mutual_information(ind, "u", "v").collect()[0]
+    assert abs(r2.mi_micro) <= 5
+    assert abs(r2.h_a_micro - 1_000_000 * math.log(2)) <= 5
+
+
+def test_mutual_information_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.profile import (
+        mutual_information,
+        sql_mutual_information,
+    )
+
+    rows = [(f"a{i % 3}", f"b{(i * 2 + i // 5) % 4}") for i in range(60)]
+    df = spark.createDataFrame(rows, "u string, v string")
+    got = [tuple(r) for r in mutual_information(df, "u", "v").collect()]
+    ev = ", ".join(f"('{a}', '{b}')" for a, b in rows)
+    sql = sql_mutual_information(
+        f"SELECT * FROM (VALUES {ev}) AS t(u, v)", "u", "v"
+    )
+    want = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    assert got == want
