@@ -1684,3 +1684,120 @@ SELECT b.stratum, b.n_rows, b.weight,
        CAST(b.base + CASE WHEN row_number() OVER (ORDER BY b.rem DESC, b.stratum ASC)
                           <= s.leftover THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
 FROM base b, seats s"""
+
+
+def budget_pack(
+    df: DataFrame,
+    token_budget: int,
+    domain_cap: int,
+    tokens_col: str = "n_tokens",
+    quality_col: str = "quality_ppm",
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic budgeted corpus selection under per-domain caps —
+    the "assemble exactly B training tokens, no domain above C" step of
+    corpus curation (the data-constrained-scaling recipe: greedy
+    quality-ranked fill with domain ceilings), as a fully distributed
+    plan:
+
+      stage 1 (cap):    within each domain, rank by (quality DESC, id)
+                        and keep the prefix whose inclusive token
+                        cumsum stays <= domain_cap;
+      stage 2 (budget): rank survivors globally the same way and keep
+                        the prefix with cumulative tokens <= budget.
+
+    Ties break on the id column, so the pick is total-order
+    deterministic regardless of partitioning.
+
+    Scale posture: stage 1 is a domain-partitioned window (parallel
+    across domains).  Stage 2 never funnels rows to one partition: it
+    range-repartitions on the global order key, takes a per-partition
+    window cumsum, and adds driver-computed per-partition token offsets
+    (#partitions rows collected — the same two-phase exact-prefix
+    pattern as ranking.global_row_numbers).  Output: the SELECTED rows
+    (id, domain, tokens, quality, cum_tokens with cum_tokens the
+    inclusive global prefix sum).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(id_col, domain_col, tokens_col, quality_col)
+    wd = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    surv = (
+        base.withColumn("_dcum", F.sum(tokens_col).over(wd))
+        .where(F.col("_dcum") <= domain_cap)
+        .drop("_dcum")
+    )
+    keys = [F.col(quality_col).desc(), F.col(id_col)]
+    part = (
+        surv.repartitionByRange(*keys)
+        if num_partitions is None
+        else surv.repartitionByRange(num_partitions, *keys)
+    )
+    tagged = (
+        part.sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wl = (
+        Window.partitionBy("_pid")
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stats = (
+        tagged.groupBy("_pid").agg(F.sum(tokens_col).alias("_s")).orderBy("_pid")
+        .collect()
+    )
+    offs, off = [], 0
+    for r in stats:
+        offs.append((int(r["_pid"]), off))
+        off += int(r["_s"])
+    offsets = tagged.sparkSession.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    return (
+        tagged.withColumn("_lcum", F.sum(tokens_col).over(wl))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("cum_tokens", (F.col("_lcum") + F.col("_off")).cast("long"))
+        .where(F.col("cum_tokens") <= token_budget)
+        .drop("_pid", "_lcum", "_off")
+    )
+
+
+def sql_budget_pack(
+    source_sql: str,
+    token_budget: int,
+    domain_cap: int,
+    tokens_col: str = "n_tokens",
+    quality_col: str = "quality_ppm",
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`budget_pack` (plain window cumsums —
+    the single-node semantics the distributed two-phase plan must
+    reproduce exactly)."""
+    return f"""WITH base AS (
+  SELECT {id_col}, {domain_col}, {tokens_col}, {quality_col}
+  FROM ({source_sql})
+),
+surv AS (
+  SELECT * FROM (
+    SELECT *, sum({tokens_col}) OVER (
+      PARTITION BY {domain_col}
+      ORDER BY {quality_col} DESC, {id_col}
+      ROWS UNBOUNDED PRECEDING) AS _dcum
+    FROM base)
+  WHERE _dcum <= {domain_cap}
+)
+SELECT {id_col}, {domain_col}, {tokens_col}, {quality_col},
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM (
+  SELECT {id_col}, {domain_col}, {tokens_col}, {quality_col},
+         sum({tokens_col}) OVER (
+           ORDER BY {quality_col} DESC, {id_col}
+           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM surv)
+WHERE cum_tokens <= {token_budget}"""

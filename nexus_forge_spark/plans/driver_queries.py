@@ -13025,7 +13025,56 @@ FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey"""
     return sql_mutual_information(src, "c_mktsegment", "n_name")
 
 
+_PACK_BUDGET = 15_000
+_PACK_DOMAIN_CAP = 1_200
+
+
+def q_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus assembly (operators/curation.py budget_pack):
+    greedy quality-ranked fill to an exact token budget with per-domain
+    ceilings — domain-windowed cap pass, then the two-phase exact
+    global prefix sum (range repartition + per-partition offsets), so
+    the 'take the best B tokens' step never single-partitions at
+    100 TB.  Quality here is integer lexical diversity
+    (distinct-token ppm); ties break on doc_id."""
+    from nexus_forge_spark.operators.curation import budget_pack
+    from nexus_forge_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = (
+        docs.select(
+            "doc_id",
+            F.col("source").alias("domain"),
+            tokens(F.col("text")).alias("t"),
+        )
+        .where(F.size("t") >= 1)
+        .select(
+            "doc_id",
+            "domain",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST(size(array_distinct(t)) * 1000000 DIV size(t) AS BIGINT)"
+            ).alias("quality_ppm"),
+        )
+    )
+    return budget_pack(scored, _PACK_BUDGET, _PACK_DOMAIN_CAP)
+
+
+def sql_budget_pack_q() -> str:
+    from nexus_forge_spark.operators.curation import sql_budget_pack
+
+    scored = r"""SELECT doc_id, source AS domain,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) * 1000000 // len(t) AS BIGINT) AS quality_ppm
+FROM (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+) WHERE len(t) >= 1"""
+    return sql_budget_pack(scored, _PACK_BUDGET, _PACK_DOMAIN_CAP)
+
+
 QUERIES = {
+    "budget_pack": (q_budget_pack, sql_budget_pack_q),
     "mi_segment_nation": (q_mi_segment_nation, sql_mi_segment_nation),
     "kg_bisim_summary": (q_kg_bisim_summary, sql_kg_bisim_summary),
     "kn_bigram_nll": (q_kn_bigram_nll, sql_kn_bigram_nll),

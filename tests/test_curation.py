@@ -1007,3 +1007,56 @@ def test_neyman_matches_duckdb(spark):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------- budget pack
+
+
+def test_budget_pack_caps_and_budget(spark):
+    from nexus_forge_spark.operators.curation import budget_pack
+
+    rows = [
+        # domain A: qualities 900,800,700 with 5 tokens each; cap 10 keeps 2
+        (1, "A", 5, 900), (2, "A", 5, 800), (3, "A", 5, 700),
+        # domain B: one big doc over the cap alone never survives
+        (4, "B", 50, 999),
+        # domain C: small high-quality docs
+        (5, "C", 4, 950), (6, "C", 4, 940),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, domain string, n_tokens long, quality_ppm long"
+    )
+    out = {r.doc_id: r.cum_tokens
+           for r in budget_pack(df, token_budget=14, domain_cap=10).collect()}
+    # global order among survivors: 5 (950, cum 4), 1 (900, cum 9), 2 (800, cum 14), 6 (940... )
+    # wait: order is quality desc -> 5(950),6(940),1(900),2(800); cums 4,8,13,18
+    assert out == {5: 4, 6: 8, 1: 13}
+
+
+def test_budget_pack_partitioning_invariant_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.curation import budget_pack, sql_budget_pack
+
+    rows = [
+        (i, f"d{i % 5}", 3 + (i * 7) % 9, 100_000 + ((i * 37) % 11) * 1000)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, domain string, n_tokens long, quality_ppm long"
+    )
+    ev = ", ".join(f"({a}, '{b}', {c}, {d})" for a, b, c, d in rows)
+    sql = sql_budget_pack(
+        f"SELECT * FROM (VALUES {ev}) AS t(doc_id, domain, n_tokens, quality_ppm)",
+        token_budget=150,
+        domain_cap=60,
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    for nparts in (1, 7):
+        got = sorted(
+            tuple(r)
+            for r in budget_pack(
+                df, token_budget=150, domain_cap=60, num_partitions=nparts
+            ).collect()
+        )
+        assert got == want, f"num_partitions={nparts}"
