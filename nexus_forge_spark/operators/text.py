@@ -1114,3 +1114,129 @@ def kn_bigram_scores(
             "mean_nll_micro"
         ),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-token shingle,
+    slide a window of ``w`` consecutive shingle hashes, and keep each
+    window's minimum — the guarantee is that any match of length
+    >= w + k - 1 tokens shares at least one selected fingerprint, at
+    ~2/(w+1) density.  This is the POSITIONAL upgrade of
+    :func:`rolling_fingerprint` (which keeps one global min per doc):
+    the selected set supports partial-overlap / plagiarism-span
+    detection, not just whole-doc near-dup.
+
+    Engine exactness + hub safety: the (hash, position) pair is packed
+    into ONE BIGINT key ``(h >> 17) * 2^20 + pos`` — a 43-bit shingle
+    hash beside a 20-bit position stays under 2^63, so the
+    per-window argmin is a plain integer ``min`` with the
+    lexicographic tie-break "smallest position among equal hashes"
+    built in: no DECIMAL arithmetic (Spark DECIMAL DIV wraps past 63
+    bits) and no engine-specific min_by tie semantics anywhere.  The
+    43-bit fingerprint space is the documented trade (births a
+    collision only past ~10^6 distinct shingles per doc pair); docs
+    are capped at 2^20 shingle positions.  Shingle hashing is
+    codegen md5 on exploded rows; window mins are a doc-partitioned
+    window (parallel across docs, no global shuffle); docs with fewer
+    than ``w`` shingles contribute their single overall min (the same
+    short-doc semantics rolling_fingerprint uses).
+
+    Output: distinct (id, pos, fp) — pos is the 0-based token index of
+    the selected shingle, fp its 60-bit hash.
+    """
+    from pyspark.sql import Window
+
+    from nexus_forge_spark.operators.sketches import hash60
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks")).where(
+        F.size("toks") >= k
+    )
+    grams = (
+        toks.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.size("toks") - k)).alias("i"),
+            "toks",
+        )
+        .select(
+            id_col,
+            F.col("i"),
+            hash60(
+                F.array_join(F.slice(F.col("toks"), F.col("i") + 1, k), " "), "win"
+            ).alias("h"),
+        )
+        .withColumn(
+            "key",
+            F.expr("(h div 131072) * 1048576 + i"),
+        )
+    )
+    wcnt = Window.partitionBy(id_col)
+    wmin = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    wall = wcnt.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    keyed = grams.withColumn("n", F.count(F.lit(1)).over(wcnt)).withColumn(
+        "mk",
+        F.when(F.col("n") < w, F.min("key").over(wall)).otherwise(
+            F.min("key").over(wmin)
+        ),
+    )
+    sel = keyed.where((F.col("n") < w) | (F.col("i") <= F.col("n") - w)).select(
+        id_col, F.col("mk")
+    ).distinct()
+    return sel.select(
+        id_col,
+        (F.col("mk") % 1_048_576).cast("long").alias("pos"),
+        F.expr("CAST(mk div 1048576 AS BIGINT)").alias("fp"),
+    )
+
+
+def sql_winnowing_fingerprints(
+    source_sql: str,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`winnowing_fingerprints`."""
+    from nexus_forge_spark.operators.sketches import sql_hash60
+
+    gram = "array_to_string(t[i + 1:i + " + str(k) + "], ' ')"
+    h = sql_hash60(gram, "win")
+    return rf"""WITH base AS (
+  SELECT {id_col}, string_split_regex(trim(lower({text_col})), '\s+') AS t
+  FROM ({source_sql})
+  WHERE len(string_split_regex(trim(lower({text_col})), '\s+')) >= {k}
+),
+grams AS (
+  SELECT {id_col}, i,
+         (CAST({h} AS BIGINT) // 131072) * 1048576 + i AS key
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(0, len(t) - {k})) AS i)
+),
+keyed AS (
+  SELECT {id_col}, i,
+         count(*) OVER (PARTITION BY {id_col}) AS n,
+         CASE WHEN count(*) OVER (PARTITION BY {id_col}) < {w}
+              THEN min(key) OVER (PARTITION BY {id_col})
+              ELSE min(key) OVER (PARTITION BY {id_col} ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) END AS mk
+  FROM grams
+),
+sel AS (
+  SELECT DISTINCT {id_col}, mk FROM keyed
+  WHERE n < {w} OR i <= n - {w}
+)
+SELECT {id_col}, CAST(mk % 1048576 AS BIGINT) AS pos,
+       CAST(mk // 1048576 AS BIGINT) AS fp
+FROM sel"""

@@ -13073,7 +13073,26 @@ FROM (
     return sql_budget_pack(scored, _PACK_BUDGET, _PACK_DOMAIN_CAP)
 
 
+def q_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (operators/text.py
+    winnowing_fingerprints, the MOSS algorithm): per-window shingle-
+    hash minima with the >= w+k-1 match guarantee — the positional
+    fingerprints that find plagiarism SPANS, not just whole-doc
+    near-dups.  BIGINT-packed (hash, pos) keys keep the argmin an
+    integer min with deterministic ties."""
+    from nexus_forge_spark.operators.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(load_table(spark, "documents", sf_dir))
+
+
+def sql_winnowing_fp() -> str:
+    from nexus_forge_spark.operators.text import sql_winnowing_fingerprints
+
+    return sql_winnowing_fingerprints("SELECT doc_id, text FROM documents")
+
+
 QUERIES = {
+    "winnowing_fp": (q_winnowing_fp, sql_winnowing_fp),
     "budget_pack": (q_budget_pack, sql_budget_pack_q),
     "mi_segment_nation": (q_mi_segment_nation, sql_mi_segment_nation),
     "kg_bisim_summary": (q_kg_bisim_summary, sql_kg_bisim_summary),

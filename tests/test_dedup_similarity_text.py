@@ -1201,3 +1201,54 @@ def test_kn_continuation_beats_raw_frequency(spark):
     df = spark.createDataFrame(corpus, "doc_id long, text string")
     out = {r.doc_id: r.sum_nll_micro for r in kn_bigram_scores(df).collect()}
     assert out[200] > out[201]
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Any shared run of >= w + k - 1 tokens must share a fingerprint;
+    the local-edit doc still overlaps, a disjoint doc does not."""
+    from nexus_forge_spark.operators.text import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one two " + shared),
+            (2, shared + " totally different tail here"),
+            (3, "unrelated words entirely about other topics and themes"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnowing_fingerprints(df, k=3, w=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared 12-token run must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    # density ~ 2/(w+1): far fewer fingerprints than shingles
+    n_grams_1 = len(df.collect()[0].text.split()) - 2
+    assert len(fps[1]) < n_grams_1
+
+
+def test_winnowing_short_doc_and_duckdb_parity(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.text import (
+        sql_winnowing_fingerprints,
+        winnowing_fingerprints,
+    )
+
+    rows = [(1, "a b c"), (2, "a b c d"), (3, "x y"),
+            (4, "p q r s t u v w x y z aa bb cc dd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in winnowing_fingerprints(df, k=3, w=4).collect())
+    ev = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    sql = sql_winnowing_fingerprints(
+        f"SELECT * FROM (VALUES {ev}) AS t(doc_id, text)", k=3, w=4
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+    by_doc = {}
+    for d, pos, fp in got:
+        by_doc.setdefault(d, []).append((pos, fp))
+    assert 3 not in by_doc          # < k tokens: no shingles at all
+    assert len(by_doc[1]) == 1      # single shingle -> its min
+    assert len(by_doc[2]) == 1      # n_grams=2 < w -> one overall min
