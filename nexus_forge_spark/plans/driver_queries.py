@@ -13091,7 +13091,107 @@ def sql_winnowing_fp() -> str:
     return sql_winnowing_fingerprints("SELECT doc_id, text FROM documents")
 
 
+_TEXTRANK_TOPK = 25
+_TEXTRANK_MINLEN = 4
+_TEXTRANK_ITERS = 5
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords (Mihalcea & Tarau, EMNLP 2004):
+    content tokens (len >= 4) adjacent in the filtered sequence form
+    an undirected word graph; 5 rounds of the integer micro-ppm
+    PageRank (operators/graph.py pagerank — bit-exact truncating
+    recurrence) rank the vocabulary; top 25 by (rank, word).  Pure
+    composition: the word graph is vocab-sized, the corpus is read
+    once."""
+    from nexus_forge_spark.operators.graph import pagerank
+    from nexus_forge_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    filt = docs.select(
+        F.expr(
+            f"filter(split(trim(lower(text)), '\\\\s+'), t -> length(t) >= {_TEXTRANK_MINLEN})"
+        ).alias("t")
+    ).where(F.size("t") >= 2)
+    pairs = filt.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    und = (
+        pairs.where(F.col("w1") != F.col("w2"))
+        .select(F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b"))
+        .distinct()
+    )
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=_TEXTRANK_ITERS)
+    return (
+        ranks.orderBy(F.col("rank_micro").desc(), F.col("node"))
+        .limit(_TEXTRANK_TOPK)
+        .select(F.col("node").alias("word"), "rank_micro")
+    )
+
+
+def sql_textrank_keywords() -> str:
+    parts = [
+        rf"""WITH base AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> length(t) >= {_TEXTRANK_MINLEN}) AS t
+  FROM documents
+),
+pairs AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 2
+),
+und AS (
+  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+  FROM pairs WHERE w1 <> w2
+),
+edges AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+meta AS (
+  SELECT count(*) AS n,
+         (1000000 * 15) // (100 * count(*)) AS base,
+         1000000 // count(*) AS r_init
+  FROM nodes
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, r_init AS r FROM nodes, meta)"""
+    ]
+    for i in range(_TEXTRANK_ITERS):
+        parts.append(
+            rf""",
+r{i + 1} AS (
+  SELECT nodes.node,
+    base + (85 * coalesce(s.s, 0)) // 100 AS r
+  FROM nodes CROSS JOIN meta
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.r // d.outdeg) AS s
+    FROM edges e
+    JOIN r{i} r ON r.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = nodes.node
+)"""
+        )
+    parts.append(
+        rf"""
+SELECT node AS word, CAST(r AS BIGINT) AS rank_micro
+FROM r{_TEXTRANK_ITERS}
+ORDER BY r DESC, node
+LIMIT {_TEXTRANK_TOPK}"""
+    )
+    return "".join(parts)
+
+
 QUERIES = {
+    "textrank_keywords": (q_textrank_keywords, sql_textrank_keywords),
     "winnowing_fp": (q_winnowing_fp, sql_winnowing_fp),
     "budget_pack": (q_budget_pack, sql_budget_pack_q),
     "mi_segment_nation": (q_mi_segment_nation, sql_mi_segment_nation),
