@@ -140,3 +140,94 @@ SELECT {keys}, {attrs},
        lead({ts_col}) OVER ({win}) AS valid_to,
        lead({ts_col}) OVER ({win}) IS NULL AS is_current
 FROM starts"""
+
+
+def interval_coalesce(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Coalesce overlapping / touching half-open validity intervals per
+    key into maximal disjoint runs — the classical temporal-database
+    COALESCE operator (Böhlen, Snodgrass, Soo, VLDB 1996: "Coalescing
+    in Temporal Databases"), the normalization every interval-keyed
+    fact table (SCD2 output, sensor on-times, supplier busy windows)
+    needs before interval joins count anything correctly.
+
+    Gaps-and-islands in two window passes over ONE partitioning:
+    running max of prior ends detects island starts
+    (``start > max(end) over preceding rows``; touching intervals
+    ``start == prev_end`` merge, matching half-open [start, end)
+    semantics), a running sum of island-start flags numbers the
+    islands, then one aggregate per (key, island) emits
+    (start = min start, end = max end, n_merged).  All comparisons and
+    ids are BIGINT; ordering ties on (start, end) are total per key
+    once inputs are distinct, and the aggregate is order-free — the
+    output is partitioning-independent.
+
+    Scale posture: one shuffle on the key columns; both windows
+    declare the identical partitioning + ordering so Catalyst plans a
+    single Exchange + Sort (same plan shape as scd2_history above);
+    hot keys cost their own history length, never a cross-key sort.
+    """
+    w_order = [F.col(start_col), F.col(end_col)]
+    wp = Window.partitionBy(*key_cols).orderBy(*w_order)
+    prev_max = F.max(end_col).over(
+        wp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.select(*key_cols, start_col, end_col).withColumn(
+        "_new",
+        F.when(
+            prev_max.isNull() | (F.col(start_col) > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "_island",
+        F.sum("_new").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(*key_cols, "_island")
+        .agg(
+            F.min(start_col).cast("long").alias(start_col),
+            F.max(end_col).cast("long").alias(end_col),
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+        )
+        .drop("_island")
+    )
+
+
+def sql_interval_coalesce(
+    source_sql: str,
+    key_cols: list[str],
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> str:
+    """DuckDB oracle for :func:`interval_coalesce`."""
+    keys = ", ".join(key_cols)
+    return f"""WITH src AS (
+  SELECT {keys}, {start_col}, {end_col} FROM ({source_sql})
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN max({end_col}) OVER (
+           PARTITION BY {keys} ORDER BY {start_col}, {end_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR {start_col} > max({end_col}) OVER (
+           PARTITION BY {keys} ORDER BY {start_col}, {end_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS _new
+  FROM src
+),
+islands AS (
+  SELECT *, sum(_new) OVER (
+    PARTITION BY {keys} ORDER BY {start_col}, {end_col}
+    ROWS UNBOUNDED PRECEDING) AS _island
+  FROM flagged
+)
+SELECT {keys},
+       CAST(min({start_col}) AS BIGINT) AS {start_col},
+       CAST(max({end_col}) AS BIGINT) AS {end_col},
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM islands
+GROUP BY {keys}, _island"""

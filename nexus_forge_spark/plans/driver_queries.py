@@ -13190,7 +13190,38 @@ LIMIT {_TEXTRANK_TOPK}"""
     return "".join(parts)
 
 
+def q_supplier_busy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal COALESCE (operators/history.py interval_coalesce,
+    Böhlen-Snodgrass-Soo): each shipment keeps its supplier busy for a
+    7-day half-open window from shipdate; overlapping/touching runs
+    merge into maximal disjoint busy windows per supplier — the
+    normalization every interval join needs first.  One key shuffle,
+    both windows share one Exchange+Sort."""
+    from nexus_forge_spark.operators.history import interval_coalesce
+
+    week_us = 7 * 86_400_000_000
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("start_us"),
+        (
+            F.unix_micros(F.col("l_shipdate").cast("timestamp")) + F.lit(week_us)
+        ).alias("end_us"),
+    )
+    return interval_coalesce(li.distinct(), ["l_suppkey"])
+
+
+def sql_supplier_busy_windows() -> str:
+    from nexus_forge_spark.operators.history import sql_interval_coalesce
+
+    src = """SELECT DISTINCT l_suppkey,
+       epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS start_us,
+       epoch_us(CAST(l_shipdate AS TIMESTAMP)) + 604800000000 AS end_us
+FROM lineitem"""
+    return sql_interval_coalesce(src, ["l_suppkey"])
+
+
 QUERIES = {
+    "supplier_busy_windows": (q_supplier_busy_windows, sql_supplier_busy_windows),
     "textrank_keywords": (q_textrank_keywords, sql_textrank_keywords),
     "winnowing_fp": (q_winnowing_fp, sql_winnowing_fp),
     "budget_pack": (q_budget_pack, sql_budget_pack_q),

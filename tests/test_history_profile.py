@@ -182,3 +182,49 @@ def test_fold_scd2_batch_retry_reads_earlier_snapshot(spark, tmp_path):
     vers = {r.version: (r.v, r.is_current)
             for r in spark.read.parquet(path).collect()}
     assert vers == {1: ("a", False), 2: ("b", False), 3: ("c", True)}
+
+
+# ------------------------------------------------------ interval coalesce
+
+
+def test_interval_coalesce_merges_touching_keeps_gaps(spark):
+    from nexus_forge_spark.operators.history import interval_coalesce
+
+    rows = [
+        ("s1", 0, 10), ("s1", 10, 20),   # touching -> one run [0,20)
+        ("s1", 5, 12),                   # contained/overlap -> same run
+        ("s1", 30, 40),                  # gap -> second run
+        ("s2", 0, 100), ("s2", 50, 60),  # contained -> one run
+    ]
+    df = spark.createDataFrame(rows, "k string, start_us long, end_us long")
+    out = sorted(
+        (r.k, r.start_us, r.end_us, r.n_merged)
+        for r in interval_coalesce(df, ["k"]).collect()
+    )
+    assert out == [
+        ("s1", 0, 20, 3),
+        ("s1", 30, 40, 1),
+        ("s2", 0, 100, 2),
+    ]
+
+
+def test_interval_coalesce_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.history import (
+        interval_coalesce,
+        sql_interval_coalesce,
+    )
+
+    rows = [
+        (f"k{i % 4}", (i * 13) % 50, (i * 13) % 50 + 3 + (i % 5))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "k string, start_us long, end_us long")
+    got = sorted(tuple(r) for r in interval_coalesce(df, ["k"]).collect())
+    ev = ", ".join(f"('{k}', {s}, {e})" for k, s, e in rows)
+    sql = sql_interval_coalesce(
+        f"SELECT * FROM (VALUES {ev}) AS t(k, start_us, end_us)", ["k"]
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
