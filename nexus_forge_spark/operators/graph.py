@@ -2373,3 +2373,88 @@ SELECT node, NULL, 'hub' FROM hubs
 UNION ALL
 SELECT node, NULL, 'outlier' FROM rest
 WHERE node NOT IN (SELECT node FROM hubs)"""
+
+
+def butterfly_counts(
+    edges: DataFrame,
+    left_col: str = "l",
+    right_col: str = "r",
+    max_expand_degree: int | None = None,
+) -> DataFrame:
+    """Bipartite butterfly (2x2-biclique) census (Sanei-Mehri,
+    Sariyüce, Tirthapura, KDD 2018) — the bipartite analogue of the
+    triangle count: butterflies measure co-clustering in
+    incidence-shaped data (order x part, doc x shingle, user x item)
+    where triangles cannot exist by construction.
+
+    Counting identity: expand each LEFT node's sorted distinct
+    right-neighbor set into i<j pairs (map-side, bounded by the
+    expansion side's degree — pick the naturally bounded side, e.g.
+    basket size; ``max_expand_degree`` drops hub left-nodes and is
+    REPORTED, not silent), count left-support ``c`` per right pair,
+    then butterflies = sum C(c,2), wedges = sum c — all BIGINT exact.
+
+    Output: one row (n_wedges, n_connected_pairs, n_butterflies,
+    n_expand_dropped).
+    """
+    e = (
+        edges.select(F.col(left_col).alias("l"), F.col(right_col).alias("r"))
+        .distinct()
+    )
+    grouped = e.groupBy("l").agg(F.sort_array(F.collect_set("r")).alias("rs"))
+    if max_expand_degree is not None:
+        dropped = grouped.where(F.size("rs") > max_expand_degree)
+        n_dropped = dropped.count()
+        grouped = grouped.where(F.size("rs") <= max_expand_degree)
+    else:
+        n_dropped = 0
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(rs, (x, i) ->"
+                " transform(slice(rs, i + 2, size(rs)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    support = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    return support.agg(
+        F.sum("c").cast("long").alias("n_wedges"),
+        F.count(F.lit(1)).cast("long").alias("n_connected_pairs"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("n_butterflies"),
+        F.lit(n_dropped).cast("long").alias("n_expand_dropped"),
+    )
+
+
+def sql_butterfly_counts(
+    edges_sql: str,
+    max_expand_degree: int | None = None,
+) -> str:
+    """DuckDB oracle for :func:`butterfly_counts` (pair self-join —
+    the single-node semantics the map-side expansion must match)."""
+    cap = (
+        f"WHERE l IN (SELECT l FROM e GROUP BY l HAVING count(*) <= {max_expand_degree})"
+        if max_expand_degree is not None
+        else ""
+    )
+    dropped = (
+        f"(SELECT CAST(count(*) AS BIGINT) FROM ("
+        f"SELECT l FROM e GROUP BY l HAVING count(*) > {max_expand_degree}))"
+        if max_expand_degree is not None
+        else "CAST(0 AS BIGINT)"
+    )
+    return f"""WITH e AS MATERIALIZED (
+  SELECT DISTINCT l, r FROM ({edges_sql})
+),
+kept AS (SELECT l, r FROM e {cap}),
+pairs AS (
+  SELECT x.l, x.r AS a, y.r AS b
+  FROM kept x JOIN kept y ON x.l = y.l AND x.r < y.r
+),
+support AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY a, b
+)
+SELECT CAST(sum(c) AS BIGINT) AS n_wedges,
+       CAST(count(*) AS BIGINT) AS n_connected_pairs,
+       CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_butterflies,
+       {dropped} AS n_expand_dropped
+FROM support"""

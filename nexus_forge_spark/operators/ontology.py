@@ -1285,3 +1285,107 @@ SELECT qe.src_color, qe.pred, qe.dst_color, qe.n_triples,
 FROM qe JOIN blocks bs ON bs.color = qe.src_color
      JOIN blocks bd ON bd.color = qe.dst_color"""
     )
+
+
+def qualified_cardinality_audit(
+    triples: DataFrame,
+    subject_class: str,
+    pred: str,
+    filler_class: str,
+    min_q: int | None = None,
+    max_q: int | None = None,
+    type_pred: str = "rdf:type",
+) -> DataFrame:
+    """OWL qualified-cardinality restriction audit — the shape check
+    SHACL's sh:qualifiedMinCount/sh:qualifiedMaxCount express and
+    OWL 2 writes as ``C SubClassOf (>= n p.Q)``: every instance of
+    ``subject_class`` must have between ``min_q`` and ``max_q``
+    DISTINCT ``pred``-objects that are typed ``filler_class``.
+    Unqualified cardinality (functional_violations above) counts all
+    objects; the qualified form only counts fillers of the right
+    class — the difference that catches "order has 6 line REFERENCES
+    but only 1 typed Part" extraction bugs.
+
+    Plan: instances and filler types are predicate-pruned scans of the
+    type relation; the audited edge set predicate-prunes to ``pred``;
+    one (subj)-keyed distinct-count aggregate; a LEFT join back onto
+    the instance set keeps zero-filler subjects (a min violation the
+    edge-side aggregate alone cannot see).  Output: violating rows
+    only — (subj, n_qualified, violation in {'min','max'}).
+    """
+    if min_q is None and max_q is None:
+        raise ValueError("qualified_cardinality_audit: set min_q and/or max_q")
+    t = triples.select("subj", "pred", "obj")
+    instances = (
+        t.where((F.col("pred") == type_pred) & (F.col("obj") == subject_class))
+        .select(F.col("subj"))
+        .distinct()
+    )
+    fillers = (
+        t.where((F.col("pred") == type_pred) & (F.col("obj") == filler_class))
+        .select(F.col("subj").alias("obj"))
+        .distinct()
+    )
+    qualified = (
+        t.where(F.col("pred") == pred)
+        .join(fillers, "obj", "leftsemi")
+        .groupBy("subj")
+        .agg(F.count_distinct("obj").alias("n_qualified"))
+    )
+    counted = instances.join(qualified, "subj", "left").select(
+        "subj", F.coalesce("n_qualified", F.lit(0)).cast("long").alias("n_qualified")
+    )
+    viol = F.when(
+        F.lit(min_q is not None) & (F.col("n_qualified") < F.lit(min_q or 0)),
+        F.lit("min"),
+    ).otherwise(
+        F.when(
+            F.lit(max_q is not None) & (F.col("n_qualified") > F.lit(max_q or 0)),
+            F.lit("max"),
+        )
+    )
+    return (
+        counted.withColumn("violation", viol)
+        .where(F.col("violation").isNotNull())
+        .select("subj", "n_qualified", "violation")
+    )
+
+
+def sql_qualified_cardinality_audit(
+    triples_sql: str,
+    subject_class: str,
+    pred: str,
+    filler_class: str,
+    min_q: int | None = None,
+    max_q: int | None = None,
+    type_pred: str = "rdf:type",
+) -> str:
+    """DuckDB oracle for :func:`qualified_cardinality_audit`."""
+    conds = []
+    if min_q is not None:
+        conds.append(f"WHEN n_qualified < {min_q} THEN 'min'")
+    if max_q is not None:
+        conds.append(f"WHEN n_qualified > {max_q} THEN 'max'")
+    case = "CASE " + " ".join(conds) + " END"
+    return f"""WITH t AS MATERIALIZED (SELECT subj, pred, obj FROM ({triples_sql})),
+instances AS (
+  SELECT DISTINCT subj FROM t
+  WHERE pred = '{type_pred}' AND obj = '{subject_class}'
+),
+fillers AS (
+  SELECT DISTINCT subj AS obj FROM t
+  WHERE pred = '{type_pred}' AND obj = '{filler_class}'
+),
+qualified AS (
+  SELECT e.subj, CAST(count(DISTINCT e.obj) AS BIGINT) AS n_qualified
+  FROM t e JOIN fillers f ON f.obj = e.obj
+  WHERE e.pred = '{pred}'
+  GROUP BY e.subj
+),
+counted AS (
+  SELECT i.subj, coalesce(q.n_qualified, 0) AS n_qualified
+  FROM instances i LEFT JOIN qualified q ON q.subj = i.subj
+)
+SELECT subj, CAST(n_qualified AS BIGINT) AS n_qualified, {case} AS violation
+FROM counted
+WHERE {case} IS NOT NULL"""

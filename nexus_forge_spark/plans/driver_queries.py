@@ -13220,7 +13220,97 @@ FROM lineitem"""
     return sql_interval_coalesce(src, ["l_suppkey"])
 
 
+def q_kg_qualified_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL qualified-cardinality audit (operators/ontology.py
+    qualified_cardinality_audit): Order SubClassOf >=2 and <=4
+    contains.Part, where only even partkeys are TYPED Part — the
+    qualified count differs from raw fan-out exactly where the filler
+    type matters.  Left join keeps zero-filler orders (min
+    violations raw edge aggregation cannot see)."""
+    from nexus_forge_spark.operators.ontology import qualified_cardinality_audit
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    types = (
+        orders.select(
+            F.concat(F.lit("ord:"), F.col("o_orderkey").cast("string")).alias("subj"),
+            F.lit("rdf:type").alias("pred"),
+            F.lit("Order").alias("obj"),
+        )
+        .unionByName(
+            li.where(F.col("l_partkey") % 2 == 0)
+            .select(
+                F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias(
+                    "subj"
+                ),
+                F.lit("rdf:type").alias("pred"),
+                F.lit("Part").alias("obj"),
+            )
+            .distinct()
+        )
+    )
+    contains = li.select(
+        F.concat(F.lit("ord:"), F.col("l_orderkey").cast("string")).alias("subj"),
+        F.lit("contains").alias("pred"),
+        F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("obj"),
+    ).distinct()
+    trips = types.unionByName(contains)
+    return qualified_cardinality_audit(
+        trips, "Order", "contains", "Part", min_q=2, max_q=4
+    )
+
+
+def sql_kg_qualified_cardinality() -> str:
+    from nexus_forge_spark.operators.ontology import (
+        sql_qualified_cardinality_audit,
+    )
+
+    trips = """SELECT 'ord:' || o_orderkey AS subj, 'rdf:type' AS pred, 'Order' AS obj
+FROM orders
+UNION ALL
+SELECT DISTINCT 'part:' || l_partkey, 'rdf:type', 'Part'
+FROM lineitem WHERE l_partkey % 2 = 0
+UNION ALL
+SELECT DISTINCT 'ord:' || l_orderkey, 'contains', 'part:' || l_partkey
+FROM lineitem"""
+    return sql_qualified_cardinality_audit(
+        trips, "Order", "contains", "Part", min_q=2, max_q=4
+    )
+
+
+_BUTTERFLY_CAP = 6
+
+
+def q_butterfly_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite butterfly census (operators/graph.py
+    butterfly_counts, Sanei-Mehri et al. 2018) of the order x part
+    incidence graph: wedges / connected part pairs / 2x2 bicliques,
+    with the expansion capped at basket degree 6 and the dropped hub
+    count REPORTED — the co-clustering diagnostic where triangles
+    cannot exist."""
+    from nexus_forge_spark.operators.graph import butterfly_counts
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("l"), F.col("l_partkey").alias("r")
+    )
+    return butterfly_counts(li, max_expand_degree=_BUTTERFLY_CAP)
+
+
+def sql_butterfly_census() -> str:
+    from nexus_forge_spark.operators.graph import sql_butterfly_counts
+
+    return sql_butterfly_counts(
+        "SELECT l_orderkey AS l, l_partkey AS r FROM lineitem",
+        max_expand_degree=_BUTTERFLY_CAP,
+    )
+
+
 QUERIES = {
+    "kg_qualified_cardinality": (
+        q_kg_qualified_cardinality,
+        sql_kg_qualified_cardinality,
+    ),
+    "butterfly_census": (q_butterfly_census, sql_butterfly_census),
     "supplier_busy_windows": (q_supplier_busy_windows, sql_supplier_busy_windows),
     "textrank_keywords": (q_textrank_keywords, sql_textrank_keywords),
     "winnowing_fp": (q_winnowing_fp, sql_winnowing_fp),

@@ -778,3 +778,46 @@ def test_scan_matches_duckdb(spark):
     sql = sql_scan_clusters(f"SELECT * FROM (VALUES {ev}) AS t(a, b)", 5, 10, 4)
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+# ------------------------------------------------------------ butterflies
+
+
+def test_butterfly_counts_hand_graph(spark):
+    """K_{2,2} = exactly one butterfly; adding a pendant edge adds
+    wedges but no butterfly."""
+    from nexus_forge_spark.operators.graph import butterfly_counts
+
+    e = spark.createDataFrame(
+        [("l1", "r1"), ("l1", "r2"), ("l2", "r1"), ("l2", "r2"), ("l3", "r1")],
+        "l string, r string",
+    )
+    r = butterfly_counts(e).collect()[0]
+    # pairs per left: l1 -> (r1,r2), l2 -> (r1,r2); support c(r1,r2)=2
+    assert r.n_wedges == 2
+    assert r.n_connected_pairs == 1
+    assert r.n_butterflies == 1
+    assert r.n_expand_dropped == 0
+
+
+def test_butterfly_cap_and_duckdb_parity(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.graph import (
+        butterfly_counts,
+        sql_butterfly_counts,
+    )
+
+    rows = [(f"l{i % 9}", f"r{(i * 5 + 2) % 11}") for i in range(70)]
+    rows += [("hub", f"r{i}") for i in range(11)]  # over any small cap
+    e = spark.createDataFrame(rows, "l string, r string")
+    for cap in (None, 5):
+        got = [tuple(r) for r in butterfly_counts(
+            e, max_expand_degree=cap).collect()]
+        ev = ", ".join(f"('{a}', '{b}')" for a, b in rows)
+        sql = sql_butterfly_counts(
+            f"SELECT * FROM (VALUES {ev}) AS t(l, r)", max_expand_degree=cap)
+        want = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+        assert got == want, f"cap={cap}"
+    r5 = butterfly_counts(e, max_expand_degree=5).collect()[0]
+    assert r5.n_expand_dropped >= 1

@@ -366,3 +366,50 @@ def test_bisim_summary_matches_duckdb(spark):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+# ------------------------------------------- qualified cardinality
+
+
+def test_qualified_cardinality_min_max_and_zero(spark):
+    from nexus_forge_spark.operators.ontology import qualified_cardinality_audit
+
+    trips = [
+        ("o1", "rdf:type", "Order"), ("o2", "rdf:type", "Order"),
+        ("o3", "rdf:type", "Order"), ("o4", "rdf:type", "Order"),
+        ("p1", "rdf:type", "Part"), ("p2", "rdf:type", "Part"),
+        ("p3", "rdf:type", "Part"),
+        # o1: 2 typed parts (ok); o2: 1 typed + 1 untyped (min viol);
+        # o3: 3 typed (max viol at max_q=2); o4: no contains at all (min viol)
+        ("o1", "contains", "p1"), ("o1", "contains", "p2"),
+        ("o2", "contains", "p1"), ("o2", "contains", "x9"),
+        ("o3", "contains", "p1"), ("o3", "contains", "p2"),
+        ("o3", "contains", "p3"),
+    ]
+    t = spark.createDataFrame(trips, "subj string, pred string, obj string")
+    out = {r.subj: (r.n_qualified, r.violation)
+           for r in qualified_cardinality_audit(
+               t, "Order", "contains", "Part", min_q=2, max_q=2).collect()}
+    assert out == {"o2": (1, "min"), "o3": (3, "max"), "o4": (0, "min")}
+
+
+def test_qualified_cardinality_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.ontology import (
+        qualified_cardinality_audit,
+        sql_qualified_cardinality_audit,
+    )
+
+    trips = [(f"s{i % 6}", "rdf:type", "C") for i in range(6)]
+    trips += [(f"f{i}", "rdf:type", "Q") for i in range(4)]
+    trips += [(f"s{i % 6}", "p", f"f{(i * 3) % 7}") for i in range(25)]
+    t = spark.createDataFrame(trips, "subj string, pred string, obj string")
+    got = sorted(tuple(r) for r in qualified_cardinality_audit(
+        t, "C", "p", "Q", min_q=2, max_q=3).collect())
+    ev = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in trips)
+    sql = sql_qualified_cardinality_audit(
+        f"SELECT * FROM (VALUES {ev}) AS t(subj, pred, obj)",
+        "C", "p", "Q", min_q=2, max_q=3)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
