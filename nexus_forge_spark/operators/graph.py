@@ -2458,3 +2458,168 @@ SELECT CAST(sum(c) AS BIGINT) AS n_wedges,
        CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_butterflies,
        {dropped} AS n_expand_dropped
 FROM support"""
+
+
+class ColoringError(RuntimeError):
+    """jp_coloring failed to color every node within max_iter rounds."""
+
+
+def jp_coloring(
+    edges: DataFrame,
+    max_iter: int = 20,
+    salt: str = "jp",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Jones-Plassmann distributed greedy coloring (Jones & Plassmann
+    1993, the Luby-style symmetry-breaking workhorse): every node gets
+    a random-but-deterministic priority (the portable 60-bit hash,
+    ties on node id); each round, nodes that beat all their UNCOLORED
+    neighbors' priorities color themselves with the minimum excludant
+    of their already-colored neighbors' colors.  Terminates in
+    O(log n) rounds w.h.p.; the output is a proper coloring — the
+    conflict-free parallel schedule for merge/update waves (two
+    same-colored entities never share an edge, so a whole color class
+    commits concurrently).
+
+    Determinism: priorities are pure data (hash60), winner selection
+    and mex are set algebra — the coloring is a function of the graph
+    alone, independent of partitioning or visit order.  The mex is a
+    fold over the SORTED distinct neighbor-color list (bounded by
+    degree; identical ``aggregate``/``list_reduce`` semantics on both
+    engines).  Raises :class:`ColoringError` on round exhaustion
+    rather than returning a partial coloring.
+
+    Output: (node, color) with color a dense small int >= 0.
+    """
+    from nexus_forge_spark.operators.sketches import hash60
+
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("x"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("y"),
+        )
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).localCheckpoint(eager=True)
+    nodes = sym.select(F.col("x").alias("node")).distinct()
+    pri = nodes.select(
+        "node", hash60(F.col("node"), salt).alias("h")
+    ).localCheckpoint(eager=True)
+    uncolored = pri
+    colored = None
+    for _ in range(max_iter):
+        if uncolored.isEmpty():
+            break
+        ux = uncolored.select(F.col("node").alias("x"), F.col("h").alias("hx"))
+        uy = uncolored.select(F.col("node").alias("y"), F.col("h").alias("hy"))
+        blocked = (
+            sym.join(ux, "x")
+            .join(uy, "y")
+            .where(
+                (F.col("hy") > F.col("hx"))
+                | ((F.col("hy") == F.col("hx")) & (F.col("y") > F.col("x")))
+            )
+            .select(F.col("x").alias("node"))
+            .distinct()
+        )
+        winners = uncolored.join(blocked, "node", "leftanti").localCheckpoint(
+            eager=True
+        )
+        if colored is None:
+            ncolors = winners.select(
+                "node", F.array().cast("array<int>").alias("cs")
+            )
+        else:
+            nbrc = (
+                sym.join(
+                    winners.select(F.col("node").alias("x")), "x", "leftsemi"
+                )
+                .join(
+                    colored.select(
+                        F.col("node").alias("y"), F.col("color")
+                    ),
+                    "y",
+                )
+                .groupBy(F.col("x").alias("node"))
+                .agg(F.sort_array(F.collect_set("color")).alias("cs"))
+            )
+            ncolors = winners.select("node").join(nbrc, "node", "left").select(
+                "node",
+                F.coalesce("cs", F.array().cast("array<int>")).alias("cs"),
+            )
+        newc = ncolors.select(
+            "node",
+            F.expr(
+                "aggregate(cs, 0, (acc, c) ->"
+                " CASE WHEN c = acc THEN acc + 1 ELSE acc END)"
+            ).cast("int").alias("color"),
+        )
+        colored = (
+            newc if colored is None else colored.unionByName(newc)
+        ).localCheckpoint(eager=True)
+        uncolored = uncolored.join(winners, "node", "leftanti").localCheckpoint(
+            eager=True
+        )
+    if not uncolored.isEmpty():
+        raise ColoringError(f"uncolored nodes remain after {max_iter} rounds")
+    return colored if colored is not None else nodes.select(
+        "node", F.lit(0).cast("int").alias("color")
+    )
+
+
+def sql_jp_coloring(edges_sql: str, rounds: int = 20, salt: str = "jp") -> str:
+    """DuckDB oracle for :func:`jp_coloring`: identical rounds
+    unrolled (choose ``rounds`` >= the converged round count — extra
+    rounds are no-ops on an empty uncolored set)."""
+    from nexus_forge_spark.operators.sketches import sql_hash60
+
+    h = sql_hash60("node", salt)
+    parts = [
+        f"""e AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+  FROM ({edges_sql}) WHERE a <> b)""",
+        "sym AS MATERIALIZED (SELECT x, y FROM e UNION ALL SELECT y, x FROM e)",
+        f"""pri AS MATERIALIZED (
+  SELECT node, {h} AS hp FROM (SELECT DISTINCT x AS node FROM sym))""",
+        "u0 AS (SELECT node, hp FROM pri)",
+        "c0 AS (SELECT node, 0 AS color FROM pri WHERE false)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT ux.node, ux.hp FROM u{p} ux
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sym s JOIN u{p} uy ON uy.node = s.y
+    WHERE s.x = ux.node
+      AND (uy.hp > ux.hp OR (uy.hp = ux.hp AND uy.node > ux.node))))"""
+        )
+        parts.append(
+            f"""n{r} AS MATERIALIZED (
+  SELECT w.node,
+    list_reduce(
+      [0] || coalesce(ls.cs, []),
+      (acc, c) -> CASE WHEN c = acc THEN acc + 1 ELSE acc END) AS color
+  FROM w{r} w LEFT JOIN (
+    SELECT s.x AS node, list_sort(list(DISTINCT c.color)) AS cs
+    FROM sym s JOIN c{p} c ON c.node = s.y
+    GROUP BY s.x
+  ) ls ON ls.node = w.node)"""
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT node, color FROM c{p} "
+            f"UNION ALL SELECT node, color FROM n{r})"
+        )
+        parts.append(
+            f"""u{r} AS MATERIALIZED (
+  SELECT u.node, u.hp FROM u{p} u
+  WHERE u.node NOT IN (SELECT node FROM w{r}))"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, CAST(color AS INT) AS color FROM c{rounds}"
+    )

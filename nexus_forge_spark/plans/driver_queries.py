@@ -13305,7 +13305,35 @@ def sql_butterfly_census() -> str:
     )
 
 
+_JP_ROUNDS = 12
+
+
+def q_merge_schedule_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann coloring (operators/graph.py jp_coloring) of
+    the MinHash near-dup pair graph: hash-priority symmetry breaking,
+    mex over colored neighbors — a proper coloring whose color
+    classes are conflict-free parallel merge waves (no two
+    same-colored docs share a duplicate edge).  O(log n) rounds
+    w.h.p., deterministic under any partitioning."""
+    from nexus_forge_spark.operators.graph import jp_coloring
+
+    pairs = q_dedup_minhash(spark, sf_dir).select("a", "b")
+    return jp_coloring(pairs, max_iter=_JP_ROUNDS)
+
+
+def sql_merge_schedule_coloring() -> str:
+    from nexus_forge_spark.operators.graph import sql_jp_coloring
+
+    return sql_jp_coloring(
+        f"SELECT a, b FROM ({sql_dedup_minhash()})", rounds=_JP_ROUNDS
+    )
+
+
 QUERIES = {
+    "merge_schedule_coloring": (
+        q_merge_schedule_coloring,
+        sql_merge_schedule_coloring,
+    ),
     "kg_qualified_cardinality": (
         q_kg_qualified_cardinality,
         sql_kg_qualified_cardinality,

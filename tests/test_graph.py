@@ -821,3 +821,49 @@ def test_butterfly_cap_and_duckdb_parity(spark):
         assert got == want, f"cap={cap}"
     r5 = butterfly_counts(e, max_expand_degree=5).collect()[0]
     assert r5.n_expand_dropped >= 1
+
+
+# ---------------------------------------------------------- JP coloring
+
+
+def test_jp_coloring_proper_and_deterministic(spark):
+    from nexus_forge_spark.operators.graph import jp_coloring
+
+    rows = [(f"n{i % 11}", f"n{(i * 3 + 1) % 11}") for i in range(30)]
+    e = spark.createDataFrame(rows, "a string, b string")
+    got1 = sorted(tuple(r) for r in jp_coloring(e, max_iter=15).collect())
+    got2 = sorted(
+        tuple(r) for r in jp_coloring(e.repartition(7), max_iter=15).collect()
+    )
+    assert got1 == got2  # partitioning-independent
+    cmap = dict(got1)
+    for a, b in rows:
+        if a != b:
+            assert cmap[a] != cmap[b]
+    # mex rule gives dense small colors
+    assert min(cmap.values()) == 0
+
+
+def test_jp_coloring_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.graph import jp_coloring, sql_jp_coloring
+
+    rows = [(f"n{i % 13}", f"n{(i * 5 + 1) % 13}") for i in range(40)]
+    e = spark.createDataFrame(rows, "a string, b string")
+    got = sorted(tuple(r) for r in jp_coloring(e, max_iter=15).collect())
+    ev = ", ".join(f"('{a}', '{b}')" for a, b in rows)
+    sql = sql_jp_coloring(f"SELECT * FROM (VALUES {ev}) AS t(a, b)", rounds=15)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_jp_coloring_raises_on_exhaustion(spark):
+    import pytest as _pytest
+
+    from nexus_forge_spark.operators.graph import ColoringError, jp_coloring
+
+    path = [(f"p{i}", f"p{i + 1}") for i in range(6)]
+    e = spark.createDataFrame(path, "a string, b string")
+    with _pytest.raises(ColoringError):
+        jp_coloring(e, max_iter=1)
