@@ -2093,12 +2093,11 @@ def hyperball_nf(
     the reference's graph surface is SPARQL passthrough
     (kgforge/core/archetypes/read_only_store.py:212-245).
     """
-    from nexus_forge_spark.operators.sketches import (
-        hll_estimate,
-        hll_merge,
-        hll_sketch,
-    )
+    from nexus_forge_spark.operators.sketches import HASH_BITS, hash60
 
+    m = 1 << precision
+    rho_max = HASH_BITS - precision + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -2110,23 +2109,61 @@ def hyperball_nf(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    sk = hll_sketch(nodes, "node", ["node"], precision, salt).localCheckpoint(
-        eager=True
+    # registers live PACKED as one array<int> per node (absent register ==
+    # rho 0 — the estimate algebra already prices rho 0 as an absent
+    # register, so values are identical to the row-per-register form the
+    # DuckDB oracle keeps).  The packed form is the round-cost dial: the
+    # per-round merge join moves |E| array rows instead of |E| x m
+    # register rows (measured 39s -> 20s at sf0.1, m=64), and the merge
+    # itself is m map-side-combining max() aggregates.
+    h = hash60(F.col("node"), salt)
+    wq = F.shiftright(h, precision)
+    tz = F.round(F.log2(wq.bitwiseAND(-wq))).cast("int")
+    rho = F.when(wq == 0, F.lit(rho_max)).otherwise(tz + F.lit(1))
+    sk = nodes.select(
+        "node",
+        F.pmod(h, F.lit(m)).cast("int").alias("reg"),
+        rho.alias("rho"),
+    ).select(
+        "node",
+        F.expr(
+            f"transform(sequence(0, {m - 1}),"
+            " i -> CAST(CASE WHEN i = reg THEN rho ELSE 0 END AS INT))"
+        ).alias("regs"),
+    ).localCheckpoint(eager=True)
+
+    est_num = F.expr(
+        f"aggregate(regs, CAST(0 AS BIGINT),"
+        f" (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), {rho_max} - r))"
+    )
+    est = (
+        F.lit(alpha)
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(1 << rho_max))
+        / est_num.cast("double")
     )
 
     def ball_sum(sketch: DataFrame, t: int) -> DataFrame:
-        return hll_estimate(sketch, ["node"], precision).agg(
+        return sketch.select(F.round(est).cast("long").alias("est")).agg(
             F.lit(t).cast("int").alias("t"),
-            F.sum("est_distinct").cast("long").alias("ball_sum"),
+            F.sum("est").cast("long").alias("ball_sum"),
         )
 
+    merge_aggs = [F.max(F.col("regs")[i]).alias(f"_r{i}") for i in range(m)]
+    pack = F.array(*[F.col(f"_r{i}") for i in range(m)]).alias("regs")
     out = ball_sum(sk, 0)
     for t in range(1, rounds + 1):
-        prop = (
-            e.join(sk.withColumnRenamed("node", "dst"), "dst")
-            .select(F.col("src").alias("node"), "register", "rho")
+        prop = e.join(sk.withColumnRenamed("node", "dst"), "dst").select(
+            F.col("src").alias("node"), "regs"
         )
-        sk = hll_merge(sk.unionByName(prop), ["node"]).localCheckpoint(eager=True)
+        sk = (
+            sk.unionByName(prop)
+            .groupBy("node")
+            .agg(*merge_aggs)
+            .select("node", pack)
+            .localCheckpoint(eager=True)
+        )
         out = out.unionByName(ball_sum(sk, t))
     fin = out.where(F.col("t") == rounds).select(F.col("ball_sum").alias("fin"))
     return out.crossJoin(F.broadcast(fin)).select(
@@ -2235,13 +2272,30 @@ def scan_clusters(
     )
     und = e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
     deg = und.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
-    w = und.select(F.col("x").alias("u"), F.col("y").alias("n"))
-    cand = e.join(w, e.x == w.u).select("x", "y", "n")
+    # common neighbors per edge == per-edge triangle support: enumerate
+    # each triangle ONCE as a wedge from the DEGREE-ORDERED orientation
+    # (oriented_edges caps wedge fan-out at sqrt(m)-ish on hubs) closed
+    # against the normalized edge set, then credit all three edges.
+    # Counts are orientation-independent, so the oracle's plain
+    # adjacency-intersection SQL grades the same values; vs expanding
+    # every edge by its endpoint adjacency (sum(deg) rows) the oriented
+    # wedge count is the hub-capped sqrt(m)-ish bound.
+    o = oriented_edges(e, "x", "y")
+    w1 = o.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    w2 = o.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    wed = w1.join(w2, "u").where(F.col("v") < F.col("w"))
+    tris = wed.join(
+        e,
+        (F.least("v", "w") == F.col("x")) & (F.greatest("v", "w") == F.col("y")),
+    ).select("u", "v", "w")
     common = (
-        cand.join(
-            w.select(F.col("u").alias("v"), F.col("n").alias("n2")),
-            (F.col("y") == F.col("v")) & (F.col("n") == F.col("n2")),
+        tris.select(F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y"))
+        .unionAll(
+            tris.select(
+                F.least("u", "w").alias("x"), F.greatest("u", "w").alias("y")
+            )
         )
+        .unionAll(tris.select(F.col("v").alias("x"), F.col("w").alias("y")))
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("cn"))
     )

@@ -12897,8 +12897,10 @@ FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"""
 def q_scan_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCAN structural clustering (operators/graph.py scan_clusters)
     of the within-order part co-purchase graph (parts sharing an
-    order; basket size bounds the per-order pair fan-out, so edge
-    generation is map-side-bounded at any corpus scale).  Yields the
+    order with co-purchase support >= 2 — the single-co-occurrence
+    noise floor is pruned before any graph work; basket size bounds
+    the per-order pair fan-out, so edge generation is map-side-bounded
+    at any corpus scale).  Yields the
     role census community methods can't: cores/borders form basket
     communities, hubs are the cross-community bridge parts, outliers
     are noise.  All similarity tests integer cross-multiplied."""
@@ -12910,7 +12912,12 @@ def q_scan_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = (
         li.join(l2, (li.l_orderkey == l2.k) & (li.l_partkey < l2.p2))
-        .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .groupBy(
+            F.col("l_partkey").alias("a"), F.col("p2").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("a", "b")
     )
     return scan_clusters(edges, eps_num=6, eps_den=10, mu=3)
 
@@ -12920,7 +12927,8 @@ def sql_scan_roles() -> str:
 
     edges = """SELECT x.l_partkey AS a, y.l_partkey AS b
 FROM lineitem x JOIN lineitem y
-  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"""
+  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+GROUP BY x.l_partkey, y.l_partkey HAVING count(*) >= 2"""
     return sql_scan_clusters(edges, eps_num=6, eps_den=10, mu=3)
 
 
