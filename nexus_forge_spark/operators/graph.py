@@ -2677,3 +2677,165 @@ def sql_jp_coloring(edges_sql: str, rounds: int = 20, salt: str = "jp") -> str:
         "WITH " + ",\n".join(parts)
         + f"\nSELECT node, CAST(color AS INT) AS color FROM c{rounds}"
     )
+
+
+def hyperball_closeness(
+    edges: DataFrame,
+    rounds: int = 3,
+    precision: int = 6,
+    salt: str = "hb",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node distance-sum / closeness estimates from the HyperBall
+    counters — the paper's headline application (Boldi & Vigna 2013
+    compute closeness/harmonic centrality on billion-node graphs this
+    way): with e_t(v) the HLL estimate of |ball(v, t)|, the estimated
+    sum of distances to nodes within ``rounds`` hops telescopes to
+
+        dist_sum(v) = rounds * e_R(v) - sum_{t < R} e_t(v)
+
+    (each newly reached shell at distance t contributes t), so one
+    integer aggregate over the per-round estimate rows replaces any
+    per-distance bookkeeping.  Same packed-register round loop and
+    sanctioned one-chain IEEE estimate as :func:`hyperball_nf`; e_t is
+    rounded to BIGINT per (node, t) BEFORE the telescoping sum, so the
+    output is engine-exact integer algebra.
+
+    Output: (node, ball_final, dist_sum) — ball_final the t=R ball
+    estimate, dist_sum the estimated within-R distance sum (the
+    closeness denominator; 0 for isolated-in-R nodes).
+    """
+    from nexus_forge_spark.operators.sketches import HASH_BITS, hash60
+
+    m = 1 << precision
+    rho_max = HASH_BITS - precision + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = hash60(F.col("node"), salt)
+    wq = F.shiftright(h, precision)
+    tz = F.round(F.log2(wq.bitwiseAND(-wq))).cast("int")
+    rho = F.when(wq == 0, F.lit(rho_max)).otherwise(tz + F.lit(1))
+    sk = nodes.select(
+        "node",
+        F.pmod(h, F.lit(m)).cast("int").alias("reg"),
+        rho.alias("rho"),
+    ).select(
+        "node",
+        F.expr(
+            f"transform(sequence(0, {m - 1}),"
+            " i -> CAST(CASE WHEN i = reg THEN rho ELSE 0 END AS INT))"
+        ).alias("regs"),
+    ).localCheckpoint(eager=True)
+    est_num = F.expr(
+        f"aggregate(regs, CAST(0 AS BIGINT),"
+        f" (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), {rho_max} - r))"
+    )
+    est = (
+        F.lit(alpha)
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(1 << rho_max))
+        / est_num.cast("double")
+    )
+
+    def est_frame(sketch: DataFrame, t: int) -> DataFrame:
+        return sketch.select(
+            "node",
+            F.lit(t).cast("int").alias("t"),
+            F.round(est).cast("long").alias("est"),
+        )
+
+    merge_aggs = [F.max(F.col("regs")[i]).alias(f"_r{i}") for i in range(m)]
+    pack = F.array(*[F.col(f"_r{i}") for i in range(m)]).alias("regs")
+    ests = est_frame(sk, 0)
+    for t in range(1, rounds + 1):
+        prop = e.join(sk.withColumnRenamed("node", "dst"), "dst").select(
+            F.col("src").alias("node"), "regs"
+        )
+        sk = (
+            sk.unionByName(prop)
+            .groupBy("node")
+            .agg(*merge_aggs)
+            .select("node", pack)
+            .localCheckpoint(eager=True)
+        )
+        ests = ests.unionByName(est_frame(sk, t))
+    return ests.groupBy("node").agg(
+        F.max(F.when(F.col("t") == rounds, F.col("est"))).alias("ball_final"),
+        F.sum(
+            F.when(F.col("t") == rounds, F.lit(rounds) * F.col("est")).otherwise(
+                -F.col("est")
+            )
+        ).cast("long").alias("dist_sum"),
+    )
+
+
+def sql_hyperball_closeness(
+    edges_sql: str, rounds: int = 3, precision: int = 6, salt: str = "hb"
+) -> str:
+    """DuckDB oracle for :func:`hyperball_closeness`: identical rounds
+    unrolled on the row-per-register representation (absent register
+    == rho 0 prices identically, so values match the packed form)."""
+    from nexus_forge_spark.operators.sketches import HASH_BITS, sql_hash60
+
+    m = 1 << precision
+    rho_max = HASH_BITS - precision + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    parts = [
+        f"""e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst)""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"""s0 AS MATERIALIZED (
+  SELECT node, CAST(h % {m} AS INT) AS register,
+    CASE WHEN h // {m} = 0 THEN {rho_max}
+         ELSE CAST(round(log2((h // {m}) & -(h // {m}))) AS INT) + 1 END AS rho
+  FROM (SELECT node, {sql_hash60('node', salt)} AS h FROM nodes))""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT node, register, max(rho) AS rho FROM (
+    SELECT node, register, rho FROM s{t - 1}
+    UNION ALL
+    SELECT e.src AS node, s.register, s.rho
+    FROM e JOIN s{t - 1} s ON s.node = e.dst
+  ) GROUP BY node, register)"""
+        )
+    for t in range(rounds + 1):
+        parts.append(
+            f"""est{t} AS (
+  SELECT node, {t} AS t,
+    CAST(round(CAST({alpha!r} AS DOUBLE) * {m} * {m}
+         * CAST({1 << rho_max} AS DOUBLE)
+         / CAST(num AS DOUBLE)) AS BIGINT) AS est
+  FROM (
+    SELECT node,
+      CAST(sum(CAST(1::BIGINT << ({rho_max} - rho) AS BIGINT)) AS BIGINT)
+        + CAST({m} - count(*) AS BIGINT)
+          * CAST(1::BIGINT << {rho_max} AS BIGINT) AS num
+    FROM s{t} GROUP BY node))"""
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT node, t, est FROM est{t}" for t in range(rounds + 1)
+    )
+    parts.append(f"ests AS ({union})")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT node,
+  CAST(max(CASE WHEN t = {rounds} THEN est END) AS BIGINT) AS ball_final,
+  CAST(sum(CASE WHEN t = {rounds} THEN {rounds} * est ELSE -est END) AS BIGINT)
+    AS dist_sum
+FROM ests GROUP BY node"""
+    )

@@ -1240,3 +1240,95 @@ sel AS (
 SELECT {id_col}, CAST(mk % 1048576 AS BIGINT) AS pos,
        CAST(mk // 1048576 AS BIGINT) AS fp
 FROM sel"""
+
+
+def good_turing_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    max_r: int = 50,
+    ngram: int = 1,
+) -> DataFrame:
+    """Good-Turing count-of-counts table (Good, 1953) over the token
+    vocabulary: N_r = number of types seen exactly r times, and the
+    adjusted count r* = (r+1) * N_{r+1} / N_r in integer ppm — the
+    smoothing diagnostic every LM pipeline reads before trusting raw
+    MLE counts (r* << r at small r means heavy unseen mass; the r=1
+    row's N_1/N is the Turing estimate of unseen probability).
+
+    One vocab aggregate -> one count-of-counts aggregate (both
+    map-side combining) -> an equi-join of the N table onto itself at
+    r+1 (lead() would silently skip ABSENT r values; sparse
+    count-of-counts make that a real bug class, so the shift is an
+    explicit join).  ``max_r`` bounds the output (smoothing only
+    matters at small r) and the ppm numerator at (max_r+1) * vocab *
+    1e6 — BIGINT-safe to 10^11 types.
+
+    Output: (r, n_types, n_next, r_star_ppm) for r <= max_r,
+    r_star_ppm = 0 where N_{r+1} is absent (the standard cutoff).
+    ``ngram`` picks the type universe (1 = tokens, 2 = bigrams — the
+    sparser universe where GT smoothing actually bites).
+    """
+    if ngram == 1:
+        toks = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    elif ngram == 2:
+        base = df.select(tokens(F.col(text_col)).alias("t")).where(
+            F.size("t") >= 2
+        )
+        toks = base.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("w")
+        )
+    else:
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    cu = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nr = cu.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).alias("n_types")
+    )
+    nxt = nr.select((F.col("r") - 1).alias("r"), F.col("n_types").alias("n_next"))
+    return (
+        nr.join(nxt, "r", "left")
+        .where(F.col("r") <= max_r)
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.coalesce("n_next", F.lit(0)).cast("long").alias("n_next"),
+            F.expr(
+                "CAST((r + 1) * coalesce(n_next, 0) * 1000000 div n_types"
+                " AS BIGINT)"
+            ).alias("r_star_ppm"),
+        )
+    )
+
+
+def sql_good_turing_counts(
+    source_sql: str, text_col: str = "text", max_r: int = 50, ngram: int = 1
+) -> str:
+    """DuckDB oracle for :func:`good_turing_counts`."""
+    if ngram == 1:
+        toks = rf"""toks AS (
+  SELECT unnest(string_split_regex(trim(lower({text_col})), '\s+')) AS w
+  FROM ({source_sql})
+)"""
+    else:
+        toks = rf"""base AS (
+  SELECT string_split_regex(trim(lower({text_col})), '\s+') AS t
+  FROM ({source_sql})
+  WHERE len(string_split_regex(trim(lower({text_col})), '\s+')) >= 2
+),
+toks AS (
+  SELECT t[i] || ' ' || t[i+1] AS w
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+)"""
+    return rf"""WITH {toks},
+cu AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+nr AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_types FROM cu GROUP BY c)
+SELECT CAST(n.r AS BIGINT) AS r, n.n_types,
+       CAST(coalesce(x.n_types, 0) AS BIGINT) AS n_next,
+       CAST((n.r + 1) * coalesce(x.n_types, 0) * 1000000 // n.n_types AS BIGINT)
+         AS r_star_ppm
+FROM nr n LEFT JOIN nr x ON x.r = n.r + 1
+WHERE n.r <= {max_r}"""

@@ -13337,7 +13337,61 @@ def sql_merge_schedule_coloring() -> str:
     )
 
 
+def q_hyperball_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node closeness estimates from HyperBall counters
+    (operators/graph.py hyperball_closeness — the Boldi-Vigna
+    billion-node centrality recipe): the within-3-hop distance sum
+    telescopes from the per-round ball estimates, rounded to BIGINT
+    per (node, round) before the integer aggregate, so the whole
+    centrality table is engine-exact."""
+    from nexus_forge_spark.operators.graph import hyperball_closeness
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    half = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_partkey") + PART_NODE_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return hyperball_closeness(edges, rounds=3, precision=6)
+
+
+def sql_hyperball_closeness_q() -> str:
+    from nexus_forge_spark.operators.graph import sql_hyperball_closeness
+
+    half = f"""SELECT DISTINCT o.o_custkey AS src, {PART_NODE_OFFSET} + l.l_partkey AS dst
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"""
+    edges = f"SELECT src, dst FROM ({half}) UNION ALL SELECT dst, src FROM ({half})"
+    return sql_hyperball_closeness(edges, rounds=3, precision=6)
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing count-of-counts (operators/text.py
+    good_turing_counts): N_r and the adjusted r* in integer ppm over
+    the documents BIGRAM universe (sparse enough that GT bites) —
+    the unseen-mass / smoothing diagnostic
+    read before trusting MLE counts, with the r+1 shift as an
+    explicit join so sparse count-of-counts never mis-shift."""
+    from nexus_forge_spark.operators.text import good_turing_counts
+
+    return good_turing_counts(load_table(spark, "documents", sf_dir), ngram=2)
+
+
+def sql_good_turing() -> str:
+    from nexus_forge_spark.operators.text import sql_good_turing_counts
+
+    return sql_good_turing_counts("SELECT text FROM documents", ngram=2)
+
+
 QUERIES = {
+    "hyperball_closeness": (q_hyperball_closeness, sql_hyperball_closeness_q),
+    "good_turing": (q_good_turing, sql_good_turing),
     "merge_schedule_coloring": (
         q_merge_schedule_coloring,
         sql_merge_schedule_coloring,

@@ -1252,3 +1252,39 @@ def test_winnowing_short_doc_and_duckdb_parity(spark):
     assert 3 not in by_doc          # < k tokens: no shingles at all
     assert len(by_doc[1]) == 1      # single shingle -> its min
     assert len(by_doc[2]) == 1      # n_grams=2 < w -> one overall min
+
+
+def test_good_turing_hand_counts(spark):
+    from nexus_forge_spark.operators.text import good_turing_counts
+
+    # vocab: a x4, b x2, c x2, d x1, e x1, f x1 -> N_1=3, N_2=2, N_4=1
+    df = spark.createDataFrame(
+        [(1, "a a a a b b c c d e f")], "doc_id long, text string"
+    )
+    out = {r.r: r for r in good_turing_counts(df).collect()}
+    assert out[1].n_types == 3 and out[1].n_next == 2
+    # r*=1: (1+1) * N_2 / N_1 = 2*2/3 -> 1333333 ppm
+    assert out[1].r_star_ppm == 1_333_333
+    assert out[2].n_types == 2 and out[2].n_next == 0
+    assert out[2].r_star_ppm == 0
+    assert out[4].n_types == 1 and out[4].r_star_ppm == 0
+
+
+def test_good_turing_bigrams_match_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.text import (
+        good_turing_counts,
+        sql_good_turing_counts,
+    )
+
+    rows = [(i, " ".join(f"w{(i * j) % 7}" for j in range(10))) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for ng in (1, 2):
+        got = sorted(tuple(r) for r in good_turing_counts(df, ngram=ng).collect())
+        ev = ", ".join(f"({i}, '{t}')" for i, t in rows)
+        sql = sql_good_turing_counts(
+            f"SELECT * FROM (VALUES {ev}) AS t(doc_id, text)", ngram=ng
+        )
+        want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+        assert got == want, f"ngram={ng}"

