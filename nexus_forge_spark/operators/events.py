@@ -586,3 +586,86 @@ def cusum_changepoints(
         (refl_up >= F.lit(int(threshold_micro))).alias("alarm_up"),
         (refl_dn >= F.lit(int(threshold_micro))).alias("alarm_dn"),
     )
+
+
+def journey_trigrams(
+    df: DataFrame,
+    max_gap_us: int = 1_800_000_000,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top user-journey paths: contiguous length-3 event-type
+    sequences per user (consecutive steps at most ``max_gap_us``
+    apart) with occurrence and distinct-user counts — the
+    Sankey/flow table product analytics reads, and the length-3
+    upgrade of the Markov pair matrix (event_transition_matrix above)
+    that distinguishes view→cart→purchase from view→cart→abandon.
+
+    One user-partitioned window (two leads of type and timestamp over
+    the (ts, event_id) total order — epoch-micros BIGINT, so no
+    calendar/TZ hazard), then one path-keyed aggregate.  A hot user
+    costs their own event count in one partition's sort, never a
+    cross-user shuffle; no per-user collect.
+
+    Output: (step1, step2, step3, n_paths, n_users).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t1"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).alias("eid"),
+    )
+    w = Window.partitionBy("u").orderBy("us", "eid")
+    paths = (
+        base.withColumn("t2", F.lead("t1", 1).over(w))
+        .withColumn("t3", F.lead("t1", 2).over(w))
+        .withColumn("us2", F.lead("us", 1).over(w))
+        .withColumn("us3", F.lead("us", 2).over(w))
+        .where(
+            F.col("t3").isNotNull()
+            & ((F.col("us2") - F.col("us")) <= max_gap_us)
+            & ((F.col("us3") - F.col("us2")) <= max_gap_us)
+        )
+    )
+    return paths.groupBy(
+        F.col("t1").alias("step1"),
+        F.col("t2").alias("step2"),
+        F.col("t3").alias("step3"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths"),
+        F.count_distinct("u").cast("long").alias("n_users"),
+    )
+
+
+def sql_journey_trigrams(
+    source_sql: str,
+    max_gap_us: int = 1_800_000_000,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB oracle for :func:`journey_trigrams`."""
+    return f"""WITH base AS (
+  SELECT {user_col} AS u, {type_col} AS t1,
+         epoch_us(CAST({ts_col} AS TIMESTAMP)) AS us, {id_col} AS eid
+  FROM ({source_sql})
+),
+led AS (
+  SELECT u, t1,
+    lead(t1, 1) OVER w AS t2, lead(t1, 2) OVER w AS t3,
+    us, lead(us, 1) OVER w AS us2, lead(us, 2) OVER w AS us3
+  FROM base
+  WINDOW w AS (PARTITION BY u ORDER BY us, eid)
+)
+SELECT t1 AS step1, t2 AS step2, t3 AS step3,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_users
+FROM led
+WHERE t3 IS NOT NULL AND us2 - us <= {max_gap_us}
+  AND us3 - us2 <= {max_gap_us}
+GROUP BY t1, t2, t3"""

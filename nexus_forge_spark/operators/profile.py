@@ -855,3 +855,128 @@ SELECT t.n, t.cells,
        ELSE (2 * (mi.mi_sum // t.n) * 1000000)
             // ((ha.a_sum // t.n) + (hb.b_sum // t.n)) END AS BIGINT) AS nmi_ppm
 FROM tot t, mi, ha, hb"""
+
+
+def psi_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cents_col: str,
+    lo_cents: int,
+    hi_cents: int,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two releases of a numeric
+    column — the standard model-risk drift gate (PSI < 0.1 stable,
+    > 0.25 drifted), here engine-exact: inputs are pre-scaled integer
+    cents (the repo's histogram discipline — no float bin edges), bin
+    assignment is pure integer arithmetic with edge clamping, bucket
+    shares are integer ppm (clamped at 1 ppm so empty cells price
+    like the standard epsilon instead of dividing by zero), and each
+    bin's term (pa - pb) * ln(pa/pb) uses the fixed-point intlog —
+    micro-PSI with zero libm.
+
+    Two map-side-combined bin aggregates (one scan each side), then
+    ppm algebra on the ``bins``-row join.  Output: one row per bin —
+    (bin, cnt_a, cnt_b, pa_ppm, pb_ppm, term_micro); PSI_micro =
+    sum(term_micro).
+    """
+    from nexus_forge_spark.functions.intlog import ln_micro_sql
+
+    width = hi_cents - lo_cents
+    if width <= 0 or bins <= 0:
+        raise ValueError("psi_report: need hi_cents > lo_cents and bins > 0")
+
+    def bucket(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.expr(
+                    f"CAST(({cents_col} - {lo_cents}) * {bins} DIV {width} AS INT)"
+                ),
+            ),
+        )
+        return df.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias(out))
+
+    grid = (
+        df_a.sparkSession.range(bins)
+        .select(F.col("id").cast("int").alias("bin"))
+    )
+    joined = (
+        grid.join(bucket(df_a, "cnt_a"), "bin", "left")
+        .join(bucket(df_b, "cnt_b"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb")
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "cnt_a",
+            "cnt_b",
+            F.expr("greatest(cnt_a * 1000000 div ta, 1)").alias("pa_ppm"),
+            F.expr("greatest(cnt_b * 1000000 div tb, 1)").alias("pb_ppm"),
+        )
+        .select(
+            "bin",
+            "cnt_a",
+            "cnt_b",
+            F.col("pa_ppm").cast("long").alias("pa_ppm"),
+            F.col("pb_ppm").cast("long").alias("pb_ppm"),
+            F.expr(
+                "CAST((pa_ppm - pb_ppm) * ("
+                + ln_micro_sql("pa_ppm", "pb_ppm", "spark")
+                + ") div 1000000 AS BIGINT)"
+            ).alias("term_micro"),
+        )
+    )
+
+
+def sql_psi_report(
+    source_a_sql: str,
+    source_b_sql: str,
+    cents_expr: str,
+    lo_cents: int,
+    hi_cents: int,
+    bins: int = 10,
+) -> str:
+    """DuckDB oracle for :func:`psi_report` (``cents_expr`` must already
+    be integer cents, mirroring the Spark input contract)."""
+    from nexus_forge_spark.functions.intlog import ln_micro_sql as _lms
+
+    width = hi_cents - lo_cents
+    bin_e = (
+        f"least({bins - 1}, greatest(0, "
+        f"CAST(({cents_expr} - {lo_cents}) * {bins} // {width} AS INT)))"
+    )
+    term = _lms("pa_ppm", "pb_ppm", "duck")
+    return f"""WITH ba AS (
+  SELECT {bin_e} AS bin, CAST(count(*) AS BIGINT) AS cnt_a
+  FROM ({source_a_sql}) GROUP BY 1
+),
+bb AS (
+  SELECT {bin_e} AS bin, CAST(count(*) AS BIGINT) AS cnt_b
+  FROM ({source_b_sql}) GROUP BY 1
+),
+grid AS (SELECT unnest(generate_series(0, {bins - 1})) AS bin),
+joined AS (
+  SELECT g.bin, coalesce(ba.cnt_a, 0) AS cnt_a, coalesce(bb.cnt_b, 0) AS cnt_b
+  FROM grid g LEFT JOIN ba ON ba.bin = g.bin LEFT JOIN bb ON bb.bin = g.bin
+),
+tot AS (SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb FROM joined),
+ppm AS (
+  SELECT bin, cnt_a, cnt_b,
+         greatest(cnt_a * 1000000 // ta, 1) AS pa_ppm,
+         greatest(cnt_b * 1000000 // tb, 1) AS pb_ppm
+  FROM joined, tot
+)
+SELECT CAST(bin AS INT) AS bin, cnt_a, cnt_b,
+       CAST(pa_ppm AS BIGINT) AS pa_ppm, CAST(pb_ppm AS BIGINT) AS pb_ppm,
+       CAST((pa_ppm - pb_ppm) * ({term}) // 1000000 AS BIGINT) AS term_micro
+FROM ppm"""

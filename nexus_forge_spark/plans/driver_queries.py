@@ -13389,7 +13389,58 @@ def sql_good_turing() -> str:
     return sql_good_turing_counts("SELECT text FROM documents", ngram=2)
 
 
+def q_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-3 user-journey paths (operators/events.py
+    journey_trigrams): contiguous event-type trigrams within a
+    30-minute step gap, with occurrence and distinct-user counts —
+    the Sankey table; one user-partitioned window over epoch-micros
+    (no calendar function, no TZ hazard) and one path aggregate."""
+    from nexus_forge_spark.operators.events import journey_trigrams
+
+    return journey_trigrams(load_table(spark, "events", sf_dir))
+
+
+def sql_journey_paths() -> str:
+    from nexus_forge_spark.operators.events import sql_journey_trigrams
+
+    return sql_journey_trigrams(
+        "SELECT event_id, ts, user_id, event_type FROM events"
+    )
+
+
+_PSI_LO, _PSI_HI, _PSI_BINS = 0, 11_000_000, 20
+
+
+def q_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (operators/profile.py psi_report)
+    of the returned-lineitem price distribution vs the rest — the
+    model-risk drift gate in engine-exact micro-PSI: integer-cent
+    bins, ppm shares clamped at the standard epsilon, intlog terms,
+    zero libm."""
+    from nexus_forge_spark.operators.profile import psi_report
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    a = li.where(F.col("l_returnflag") == "R").select("cents")
+    b = li.where(F.col("l_returnflag") != "R").select("cents")
+    return psi_report(a, b, "cents", _PSI_LO, _PSI_HI, _PSI_BINS)
+
+
+def sql_psi_price_drift() -> str:
+    from nexus_forge_spark.operators.profile import sql_psi_report
+
+    a = """SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+FROM lineitem WHERE l_returnflag = 'R'"""
+    b = """SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+FROM lineitem WHERE l_returnflag <> 'R'"""
+    return sql_psi_report(a, b, "cents", _PSI_LO, _PSI_HI, _PSI_BINS)
+
+
 QUERIES = {
+    "journey_paths": (q_journey_paths, sql_journey_paths),
+    "psi_price_drift": (q_psi_price_drift, sql_psi_price_drift),
     "hyperball_closeness": (q_hyperball_closeness, sql_hyperball_closeness_q),
     "good_turing": (q_good_turing, sql_good_turing),
     "merge_schedule_coloring": (

@@ -547,3 +547,58 @@ def test_cusum_value_col_not_named_x(spark):
     }
     mu, seq = _py_cusum([5, 5, 5, 9, 9, 9], 0, 1)
     assert got == {i: s[0] for i, s in enumerate(seq)}
+
+
+# ------------------------------------------------------- journey trigrams
+
+
+def test_journey_trigrams_gap_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from nexus_forge_spark.operators.events import journey_trigrams
+
+    us = 1_000_000
+    rows = [
+        # user 1: view->cart->buy contiguous, then a gap breaks the chain
+        (1, "2024-01-01 10:00:00", 10, "view"),
+        (2, "2024-01-01 10:01:00", 10, "cart"),
+        (3, "2024-01-01 10:02:00", 10, "buy"),
+        (4, "2024-01-01 12:00:00", 10, "view"),
+        # user 2: same first path
+        (5, "2024-01-02 09:00:00", 20, "view"),
+        (6, "2024-01-02 09:00:30", 20, "cart"),
+        (7, "2024-01-02 09:01:00", 20, "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r.step1, r.step2, r.step3): (r.n_paths, r.n_users)
+           for r in journey_trigrams(df, max_gap_us=30 * 60 * us).collect()}
+    assert out == {("view", "cart", "buy"): (2, 2)}
+
+
+def test_journey_trigrams_matches_duckdb(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from nexus_forge_spark.operators.events import (
+        journey_trigrams,
+        sql_journey_trigrams,
+    )
+
+    rows = [
+        (i, f"2024-01-01 10:{i % 60:02d}:00", i % 5, ["a", "b", "c"][i % 3])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(tuple(r) for r in journey_trigrams(df).collect())
+    ev = ", ".join(
+        f"({i}, TIMESTAMP '{t}', {u}, '{k}')" for i, t, u, k in rows
+    )
+    sql = sql_journey_trigrams(
+        f"SELECT * FROM (VALUES {ev}) AS t(event_id, ts, user_id, event_type)"
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want

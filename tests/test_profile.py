@@ -294,3 +294,38 @@ def test_mutual_information_matches_duckdb(spark):
     )
     want = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
     assert got == want
+
+
+# ----------------------------------------------------------------- PSI
+
+
+def test_psi_identical_is_zero_and_shift_is_positive(spark):
+    from nexus_forge_spark.operators.profile import psi_report
+
+    a = spark.createDataFrame([(i * 100,) for i in range(100)], "cents long")
+    out = psi_report(a, a, "cents", 0, 10_000, bins=10).collect()
+    assert sum(r.term_micro for r in out) == 0
+    b = spark.createDataFrame([(i * 100 + 5_000,) for i in range(100)], "cents long")
+    out2 = psi_report(a, b, "cents", 0, 10_000, bins=10).collect()
+    assert sum(r.term_micro for r in out2) > 250_000  # > 0.25 = drifted
+
+
+def test_psi_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.profile import psi_report, sql_psi_report
+
+    ra = [((i * 37) % 1000,) for i in range(200)]
+    rb = [((i * 53 + 100) % 1000,) for i in range(150)]
+    a = spark.createDataFrame(ra, "cents long")
+    b = spark.createDataFrame(rb, "cents long")
+    got = sorted(tuple(r) for r in psi_report(a, b, "cents", 0, 1000, 8).collect())
+    eva = ", ".join(f"({v})" for (v,) in ra)
+    evb = ", ".join(f"({v})" for (v,) in rb)
+    sql = sql_psi_report(
+        f"SELECT * FROM (VALUES {eva}) AS t(cents)",
+        f"SELECT * FROM (VALUES {evb}) AS t(cents)",
+        "cents", 0, 1000, 8,
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
