@@ -331,3 +331,119 @@ star AS (
 SELECT a, b FROM star
 UNION ALL
 SELECT b, a FROM star"""
+
+
+def refine_sameas_components(
+    edges: DataFrame,
+    properties: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Conflict-aware refinement of sameAs components (the Raad-
+    Pernelle-Saïs 2018 erroneous-identity-link idea, re-rendered as
+    set algebra): an identity edge whose endpoints carry DIFFERENT
+    values for any functional property is evidence of an over-merge —
+    cut those edges, re-run connected components, and report each
+    entity's before/after canonical ids so the splits are auditable.
+
+    ``properties`` is (entity_id, pred, value) functional evidence;
+    multiple values per (entity, pred) are reduced to the MIN value
+    first (deterministic; a multi-valued input would otherwise make
+    "conflict" depend on row order).  Conflict detection is two hash
+    joins of the normalized edge set onto the property table keyed on
+    (entity, pred) — no neighborhood expansion, hub-safe — and both
+    component passes are the O(log^2 n) large-star/small-star CC.
+
+    Output: (entity_id, canonical_raw, canonical_refined) — rows where
+    the two differ are members of clusters that were split.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    props = (
+        properties.groupBy(
+            F.col("entity_id"), F.col("pred")
+        )
+        .agg(F.min("value").alias("value"))
+    )
+    pa = props.select(
+        F.col("entity_id").alias("a"), "pred", F.col("value").alias("va")
+    )
+    pb = props.select(
+        F.col("entity_id").alias("b"), "pred", F.col("value").alias("vb")
+    )
+    conflicting = (
+        e.join(pa, "a")
+        .join(pb, ["b", "pred"])
+        .where(F.col("va") != F.col("vb"))
+        .select("a", "b")
+        .distinct()
+    )
+    clean = e.join(conflicting, ["a", "b"], "leftanti")
+    nodes = (
+        e.select(F.col("a").alias("entity_id"))
+        .unionByName(e.select(F.col("b").alias("entity_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    before = connected_components(e, nodes).withColumnRenamed(
+        "canonical_id", "canonical_raw"
+    )
+    after = connected_components(clean, nodes).withColumnRenamed(
+        "canonical_id", "canonical_refined"
+    )
+    return before.join(after, "entity_id").select(
+        "entity_id", "canonical_raw", "canonical_refined"
+    )
+
+
+def sql_refine_sameas_components(edges_sql: str, properties_sql: str) -> str:
+    """DuckDB oracle for :func:`refine_sameas_components` (recursive
+    reachability for both component passes)."""
+    return f"""WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM ({edges_sql}) WHERE a <> b
+),
+props AS MATERIALIZED (
+  SELECT entity_id, pred, min(value) AS value
+  FROM ({properties_sql}) GROUP BY entity_id, pred
+),
+conflicting AS MATERIALIZED (
+  SELECT DISTINCT e.a, e.b
+  FROM e
+  JOIN props pa ON pa.entity_id = e.a
+  JOIN props pb ON pb.entity_id = e.b AND pb.pred = pa.pred
+  WHERE pa.value <> pb.value
+),
+clean AS MATERIALIZED (
+  SELECT a, b FROM e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM conflicting c WHERE c.a = e.a AND c.b = e.b)
+),
+nodes AS MATERIALIZED (
+  SELECT a AS node FROM e UNION SELECT b FROM e
+),
+sym_e AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+sym_c AS (SELECT a, b FROM clean UNION ALL SELECT b, a FROM clean),
+reach_e(src, dst) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.src, s.b FROM reach_e r JOIN sym_e s ON s.a = r.dst
+),
+reach_c(src, dst) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.src, s.b FROM reach_c r JOIN sym_c s ON s.a = r.dst
+),
+before_m AS (SELECT src AS entity_id, min(dst) AS canonical_raw
+             FROM reach_e GROUP BY src),
+after_m AS (SELECT src AS entity_id, min(dst) AS canonical_refined
+            FROM reach_c GROUP BY src)
+SELECT b.entity_id, b.canonical_raw, a.canonical_refined
+FROM before_m b JOIN after_m a ON a.entity_id = b.entity_id"""

@@ -13438,7 +13438,51 @@ FROM lineitem WHERE l_returnflag <> 'R'"""
     return sql_psi_report(a, b, "cents", _PSI_LO, _PSI_HI, _PSI_BINS)
 
 
+def q_kg_sameas_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conflict-aware sameAs refinement (operators/canonicalize.py
+    refine_sameas_components, the erroneous-identity-link cut): the
+    MinHash near-dup sameAs graph refined against 'source' as
+    functional provenance evidence — cross-source identity edges are
+    cut, components re-form, and every entity reports its before/
+    after canonical so over-merges are auditable."""
+    from nexus_forge_spark.operators.canonicalize import (
+        refine_sameas_components,
+    )
+
+    pairs = q_dedup_minhash(spark, sf_dir).select("a", "b")
+    src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    props = (
+        src.select(
+            F.col("doc_id").alias("entity_id"),
+            F.lit("source").alias("pred"),
+            F.col("source").alias("value"),
+        )
+        .unionByName(
+            src.select(
+                (F.col("doc_id") + 1000000).alias("entity_id"),
+                F.lit("source").alias("pred"),
+                F.col("source").alias("value"),
+            )
+        )
+    )
+    return refine_sameas_components(pairs, props)
+
+
+def sql_kg_sameas_refinement() -> str:
+    from nexus_forge_spark.operators.canonicalize import (
+        sql_refine_sameas_components,
+    )
+
+    edges = f"SELECT a, b FROM ({sql_dedup_minhash()})"
+    props = """SELECT doc_id AS entity_id, 'source' AS pred, source AS value
+FROM documents
+UNION ALL
+SELECT doc_id + 1000000, 'source', source FROM documents"""
+    return sql_refine_sameas_components(edges, props)
+
+
 QUERIES = {
+    "kg_sameas_refinement": (q_kg_sameas_refinement, sql_kg_sameas_refinement),
     "journey_paths": (q_journey_paths, sql_journey_paths),
     "psi_price_drift": (q_psi_price_drift, sql_psi_price_drift),
     "hyperball_closeness": (q_hyperball_closeness, sql_hyperball_closeness_q),

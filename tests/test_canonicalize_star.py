@@ -146,3 +146,55 @@ def test_golden_records_majority_and_ties(spark):
         (1, "city"): ("bern", 1),
         (99, "name"): ("solo", 1),
     }
+
+
+# ------------------------------------------------ sameAs refinement
+
+
+def test_refine_sameas_cuts_conflicting_bridge(spark):
+    """a1-a2-b1-b2 chain where the a's and b's disagree on a
+    functional property: the a2-b1 bridge is cut, two clusters
+    emerge; a conflict-free chain stays whole."""
+    from nexus_forge_spark.operators.canonicalize import (
+        refine_sameas_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "b1"), ("b1", "b2"), ("c1", "c2")],
+        "a string, b string",
+    )
+    props = spark.createDataFrame(
+        [("a1", "src", "X"), ("a2", "src", "X"),
+         ("b1", "src", "Y"), ("b2", "src", "Y"),
+         ("c1", "src", "Z"), ("c2", "src", "Z")],
+        "entity_id string, pred string, value string",
+    )
+    out = {r.entity_id: (r.canonical_raw, r.canonical_refined)
+           for r in refine_sameas_components(edges, props).collect()}
+    # raw: one big a1-rooted cluster; refined: a-cluster and b-cluster split
+    assert out["b2"][0] == "a1" and out["b2"][1] == "b1"
+    assert out["a2"] == ("a1", "a1")
+    assert out["c2"] == ("c1", "c1")
+
+
+def test_refine_sameas_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.canonicalize import (
+        refine_sameas_components,
+        sql_refine_sameas_components,
+    )
+
+    edges = [(f"n{i % 9}", f"n{(i * 4 + 1) % 9}") for i in range(20)]
+    props = [(f"n{i}", "p", f"v{i % 3}") for i in range(9)]
+    e = spark.createDataFrame(edges, "a string, b string")
+    pr = spark.createDataFrame(props, "entity_id string, pred string, value string")
+    got = sorted(tuple(r) for r in refine_sameas_components(e, pr).collect())
+    ee = ", ".join(f"('{a}', '{b}')" for a, b in edges)
+    pp = ", ".join(f"('{x}', '{p}', '{v}')" for x, p, v in props)
+    sql = sql_refine_sameas_components(
+        f"SELECT * FROM (VALUES {ee}) AS t(a, b)",
+        f"SELECT * FROM (VALUES {pp}) AS t(entity_id, pred, value)",
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
