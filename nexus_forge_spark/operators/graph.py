@@ -2839,3 +2839,194 @@ SELECT node,
     AS dist_sum
 FROM ests GROUP BY node"""
     )
+
+
+class DensestError(RuntimeError):
+    """densest_subgraph failed to exhaust the graph within max_iter."""
+
+
+def densest_subgraph(
+    edges: DataFrame,
+    eps_num: int = 3,
+    eps_den: int = 2,
+    max_iter: int = 30,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Parallel densest-subgraph 2(1+eps)-approximation (Bahmani,
+    Kumar, Vassilvitskii, VLDB 2012 — the MapReduce version of
+    Charikar's peeling): each round removes EVERY node whose degree is
+    at most (eps_num/eps_den) times the current average degree
+    (deg * n * eps_den <= 2 * m * eps_num, all BIGINT cross-
+    multiplied), records the round's (n, m), and the answer is the
+    survivor set entering the round of maximum density — the densest
+    community core that seeds spam/collusion detection and dense-
+    duplicate mining.  O(log_{1+eps} n) rounds by the paper's
+    guarantee; raises :class:`DensestError` if max_iter rounds fail to
+    exhaust the graph.
+
+    Determinism: the only comparison is integer; the best round is
+    the FIRST round attaining the maximum scaled density
+    ``m * 10^12 div n`` (the documented quantization — exact rational
+    argmax needs cross-round pairwise cross-multiplication; at 10^12
+    scale the quantized argmax is the contract).  Per round: one
+    degree aggregate, one threshold filter, two semi-joins to shrink
+    the edge set, state localCheckpoint-pinned; round stats are two
+    1-row collects.
+
+    Output: (node, leave_round, in_densest, best_n, best_m) for every
+    node of the input graph (leave_round = the round the node was
+    peeled; survivors of the final round get the last round index).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("x"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("y"),
+        )
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive_n = (
+        e.select(F.col("x").alias("node"))
+        .unionByName(e.select(F.col("y").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive_e = e
+    labeled = None
+    stats: list[tuple[int, int, int]] = []  # (round, n, m)
+    for r in range(max_iter):
+        und = alive_e.unionByName(
+            alive_e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+        )
+        # degree over the ALIVE NODE SET (isolated survivors price deg 0 —
+        # dropping them silently loses nodes from the output)
+        deg = alive_n.join(
+            und.groupBy(F.col("x").alias("node")).agg(
+                F.count(F.lit(1)).alias("deg")
+            ),
+            "node",
+            "left",
+        ).select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+        nm = deg.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("deg").alias("m2")
+        ).collect()[0]
+        n = int(nm["n"])
+        if n == 0:
+            break
+        m = int(nm["m2"] or 0) // 2
+        stats.append((r, n, m))
+        removed = deg.where(
+            F.col("deg") * F.lit(n) * F.lit(eps_den)
+            <= F.lit(2 * m) * F.lit(eps_num)
+        ).select("node", F.lit(r).cast("int").alias("leave_round"))
+        labeled = (
+            removed if labeled is None else labeled.unionByName(removed)
+        ).localCheckpoint(eager=True)
+        alive_n = alive_n.join(removed, "node", "leftanti").localCheckpoint(
+            eager=True
+        )
+        alive_e = (
+            alive_e.join(
+                alive_n.withColumnRenamed("node", "x"), "x", "leftsemi"
+            )
+            .join(alive_n.withColumnRenamed("node", "y"), "y", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if not alive_n.isEmpty():
+            raise DensestError(
+                f"graph not exhausted after {max_iter} peel rounds"
+            )
+    if labeled is None:
+        labeled = alive_n.select(
+            "node", F.lit(0).cast("int").alias("leave_round")
+        )
+    if not stats:
+        return labeled.select(
+            "node", "leave_round",
+            F.lit(False).alias("in_densest"),
+            F.lit(0).cast("long").alias("best_n"),
+            F.lit(0).cast("long").alias("best_m"),
+        )
+    best_r, best_n, best_m = max(
+        stats, key=lambda s: (s[2] * 10**12 // s[1], -s[0])
+    )
+    return labeled.select(
+        "node",
+        "leave_round",
+        (F.col("leave_round") >= F.lit(best_r)).alias("in_densest"),
+        F.lit(best_n).cast("long").alias("best_n"),
+        F.lit(best_m).cast("long").alias("best_m"),
+    )
+
+
+def sql_densest_subgraph(
+    edges_sql: str, eps_num: int = 3, eps_den: int = 2, rounds: int = 30
+) -> str:
+    """DuckDB oracle for :func:`densest_subgraph`: identical peel
+    rounds unrolled (rounds >= the converged count; empty rounds are
+    no-ops), best round by the same quantized-density argmax."""
+    parts = [
+        f"""a0 AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+  FROM ({edges_sql}) WHERE a <> b)""",
+        """v0 AS MATERIALIZED (
+  SELECT x AS node FROM a0 UNION SELECT y FROM a0)""",
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"""d{t} AS MATERIALIZED (
+  SELECT v.node, CAST(coalesce(g.deg, 0) AS BIGINT) AS deg
+  FROM v{t} v LEFT JOIN (
+    SELECT x AS node, count(*) AS deg FROM (
+      SELECT x, y FROM a{t} UNION ALL SELECT y, x FROM a{t}
+    ) GROUP BY x
+  ) g ON g.node = v.node)"""
+        )
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT {t} AS r, CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(deg), 0) // 2 AS BIGINT) AS m
+  FROM d{t})"""
+        )
+        parts.append(
+            f"""rm{t} AS MATERIALIZED (
+  SELECT d.node, {t} AS leave_round
+  FROM d{t} d, s{t} s
+  WHERE d.deg * s.n * {eps_den} <= 2 * s.m * {eps_num})"""
+        )
+        parts.append(
+            f"""v{t + 1} AS MATERIALIZED (
+  SELECT node FROM v{t} WHERE node NOT IN (SELECT node FROM rm{t}))"""
+        )
+        parts.append(
+            f"""a{t + 1} AS MATERIALIZED (
+  SELECT x, y FROM a{t}
+  WHERE x IN (SELECT node FROM v{t + 1})
+    AND y IN (SELECT node FROM v{t + 1}))"""
+        )
+    rm_union = "\n  UNION ALL ".join(
+        f"SELECT node, leave_round FROM rm{t}" for t in range(rounds)
+    )
+    st_union = "\n  UNION ALL ".join(
+        f"SELECT r, n, m FROM s{t} WHERE n > 0" for t in range(rounds)
+    )
+    parts.append(f"labeled AS ({rm_union})")
+    parts.append(f"stats AS ({st_union})")
+    parts.append(
+        """best AS (
+  SELECT r AS best_r, n AS best_n, m AS best_m
+  FROM stats
+  ORDER BY CAST(m AS HUGEINT) * 1000000000000 // n DESC, r ASC
+  LIMIT 1)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + """
+SELECT l.node, CAST(l.leave_round AS INT) AS leave_round,
+       l.leave_round >= b.best_r AS in_densest,
+       CAST(b.best_n AS BIGINT) AS best_n, CAST(b.best_m AS BIGINT) AS best_m
+FROM labeled l, best b"""
+    )

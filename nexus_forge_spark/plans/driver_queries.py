@@ -13481,7 +13481,40 @@ SELECT doc_id + 1000000, 'source', source FROM documents"""
     return sql_refine_sameas_components(edges, props)
 
 
+def q_densest_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel densest-subgraph peeling (operators/graph.py
+    densest_subgraph, Bahmani-Kumar-Vassilvitskii VLDB'12) on the
+    support>=2 co-purchase part graph: every round strips nodes under
+    (11/10)x the average degree, the best-density survivor set is the
+    dense co-purchase core — collusion/spam-shaped structure k-core
+    misses.  Integer cross-multiplied thresholds, quantized-density
+    argmax as the documented spec."""
+    from nexus_forge_spark.operators.graph import densest_subgraph
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    l2 = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
+    edges = (
+        li.join(l2, (li.l_orderkey == l2.k) & (li.l_partkey < l2.p2))
+        .groupBy(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    return densest_subgraph(edges, eps_num=11, eps_den=10, max_iter=25)
+
+
+def sql_densest_copurchase() -> str:
+    from nexus_forge_spark.operators.graph import sql_densest_subgraph
+
+    edges = """SELECT x.l_partkey AS a, y.l_partkey AS b
+FROM lineitem x JOIN lineitem y
+  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+GROUP BY x.l_partkey, y.l_partkey HAVING count(*) >= 2"""
+    return sql_densest_subgraph(edges, eps_num=11, eps_den=10, rounds=25)
+
+
 QUERIES = {
+    "densest_copurchase": (q_densest_copurchase, sql_densest_copurchase),
     "kg_sameas_refinement": (q_kg_sameas_refinement, sql_kg_sameas_refinement),
     "journey_paths": (q_journey_paths, sql_journey_paths),
     "psi_price_drift": (q_psi_price_drift, sql_psi_price_drift),

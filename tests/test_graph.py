@@ -894,3 +894,43 @@ def test_hyperball_closeness_telescoping_and_duckdb(spark):
     assert d["p3"] >= 0
     by_ball = {n: b for n, b, _ in got}
     assert by_ball["p3"] >= by_ball["p0"]
+
+
+# ----------------------------------------------------- densest subgraph
+
+
+def test_densest_subgraph_finds_clique(spark):
+    from nexus_forge_spark.operators.graph import densest_subgraph
+
+    clique = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    tail = [("c0", "t1"), ("t1", "t2"), ("t2", "t3")]
+    e = spark.createDataFrame(clique + tail, "a string, b string")
+    out = densest_subgraph(e, eps_num=11, eps_den=10, max_iter=10).collect()
+    dens = {r.node for r in out if r.in_densest}
+    assert dens == {"c0", "c1", "c2", "c3", "c4"}
+    r0 = out[0]
+    assert r0.best_n == 5 and r0.best_m == 10  # the clique round
+    # every input node is labeled (isolated survivors must not vanish)
+    assert {r.node for r in out} == {f"c{i}" for i in range(5)} | {
+        "t1", "t2", "t3"
+    }
+
+
+def test_densest_subgraph_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.graph import (
+        densest_subgraph,
+        sql_densest_subgraph,
+    )
+
+    rows = [(f"n{i % 11}", f"n{(i * 3 + 2) % 11}") for i in range(35)]
+    e = spark.createDataFrame(rows, "a string, b string")
+    got = sorted(tuple(r) for r in densest_subgraph(
+        e, eps_num=11, eps_den=10, max_iter=15).collect())
+    ev = ", ".join(f"('{a}', '{b}')" for a, b in rows)
+    sql = sql_densest_subgraph(
+        f"SELECT * FROM (VALUES {ev}) AS t(a, b)",
+        eps_num=11, eps_den=10, rounds=15)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
