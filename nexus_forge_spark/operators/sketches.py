@@ -577,3 +577,91 @@ def hdr_quantiles(
     return hit.groupBy(*group_cols, "q_ppm").agg(
         F.min(F.expr(sql_hdr_lb("qbin", "spark"))).alias("est")
     )
+
+
+# ------------------------------------------------------------------ AMS F2
+
+def ams_f2_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    estimators: int = 9,
+    salt: str = "ams",
+) -> DataFrame:
+    """AMS second-moment sketch (Alon, Matias, Szegedy, STOC 1996):
+    each estimator j keeps Z_j = sum_x s_j(x) * f(x) with s_j(x) a
+    +/-1 four-wise-ish hash sign — here the parity of an independent
+    60-bit md5 hash, deterministic and engine-portable.  F2 = sum f^2
+    is the SELF-JOIN SIZE: the statistic a join planner needs to price
+    a key's skew before shuffling 100 TB on it, estimated from one
+    pass of fixed state instead of an exact per-key count.
+
+    Mergeable: Z sums add across shards/batches (one row per (group,
+    estimator)); the whole sketch is ``estimators`` BIGINTs per group,
+    map-side combined.  Z is exact integer arithmetic — |Z| <= total
+    row count, no overflow below 2^63 rows per group.
+    """
+    group_cols = group_cols or []
+    rows = df.where(F.col(value_col).isNotNull())
+    aggs = []
+    for j in range(estimators):
+        sign = F.when(
+            hash60(F.col(value_col), f"{salt}{j}") % 2 == 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+        aggs.append(F.sum(sign).cast("long").alias(f"z{j}"))
+    # ONE scan: all estimator sums in a single map-side-combined
+    # aggregate, then unpivot the fixed-width row to (estimator, z)
+    wide = rows.groupBy(*group_cols).agg(*aggs)
+    stack = ", ".join(f"{j}, z{j}" for j in range(estimators))
+    return wide.selectExpr(
+        *group_cols, f"stack({estimators}, {stack}) AS (estimator, z)"
+    )
+
+
+def ams_f2_estimate(
+    sketch: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """F2 estimate per group: the exact integer MEDIAN of the Z_j^2
+    values (odd estimator count -> the median is an element, so both
+    engines agree exactly; no mean-of-means float path).  Exact below
+    Z^2 < 2^53 (the median passes through a double) — 9.4e7 rows per
+    group per sign imbalance; far beyond that, widen estimators
+    instead.
+    """
+    group_cols = group_cols or []
+    sq = sketch.select(*group_cols, (F.col("z") * F.col("z")).alias("z2"))
+    return sq.groupBy(*group_cols).agg(
+        F.expr("CAST(median(z2) AS BIGINT)").alias("f2_est"),
+        F.count(F.lit(1)).cast("long").alias("n_estimators"),
+    )
+
+
+def sql_ams_f2(
+    source_sql: str,
+    value_expr: str,
+    group_exprs: list[str] | None = None,
+    estimators: int = 9,
+    salt: str = "ams",
+) -> str:
+    """DuckDB oracle for sketch+estimate over ``source_sql``."""
+    group_exprs = group_exprs or []
+    g = ", ".join(group_exprs)
+    g_sel = (g + ", ") if g else ""
+    g_by = f"GROUP BY {g}" if g else ""
+    zs = []
+    for j in range(estimators):
+        sign = (
+            f"CASE WHEN {sql_hash60(value_expr, f'{salt}{j}')} % 2 = 0"
+            " THEN 1 ELSE -1 END"
+        )
+        zs.append(
+            f"""SELECT {g_sel}{j} AS estimator,
+  CAST(sum({sign}) AS BIGINT) AS z
+FROM src WHERE {value_expr} IS NOT NULL {g_by}"""
+        )
+    z_union = "\nUNION ALL\n".join(zs)
+    return f"""WITH src AS MATERIALIZED ({source_sql}),
+zraw AS ({z_union})
+SELECT {g_sel}CAST(median(z * z) AS BIGINT) AS f2_est,
+       CAST(count(*) AS BIGINT) AS n_estimators
+FROM zraw {g_by}"""

@@ -13513,7 +13513,45 @@ GROUP BY x.l_partkey, y.l_partkey HAVING count(*) >= 2"""
     return sql_densest_subgraph(edges, eps_num=11, eps_den=10, rounds=25)
 
 
+def q_ams_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 self-join-size estimates (operators/sketches.py
+    ams_f2_sketch/estimate, Alon-Matias-Szegedy): per predicate of
+    the co-purchase triple slice, the sketch a join planner prices
+    shuffle skew with — 9 sign-sum estimators in ONE map-side
+    aggregate, exact integer median of Z^2."""
+    from nexus_forge_spark.operators.sketches import (
+        ams_f2_estimate,
+        ams_f2_sketch,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    rows = (
+        orders.select(
+            F.lit("placed").alias("pred"), F.col("o_custkey").alias("v")
+        )
+        .unionByName(
+            li.select(F.lit("contains").alias("pred"), F.col("l_partkey").alias("v"))
+        )
+        .unionByName(
+            li.select(F.lit("in_order").alias("pred"), F.col("l_orderkey").alias("v"))
+        )
+    )
+    sk = ams_f2_sketch(rows, "v", ["pred"])
+    return ams_f2_estimate(sk, ["pred"])
+
+
+def sql_ams_selfjoin_size() -> str:
+    from nexus_forge_spark.operators.sketches import sql_ams_f2
+
+    src = """SELECT 'placed' AS pred, o_custkey AS v FROM orders
+UNION ALL SELECT 'contains', l_partkey FROM lineitem
+UNION ALL SELECT 'in_order', l_orderkey FROM lineitem"""
+    return sql_ams_f2(src, "v", ["pred"])
+
+
 QUERIES = {
+    "ams_selfjoin_size": (q_ams_selfjoin_size, sql_ams_selfjoin_size),
     "densest_copurchase": (q_densest_copurchase, sql_densest_copurchase),
     "kg_sameas_refinement": (q_kg_sameas_refinement, sql_kg_sameas_refinement),
     "journey_paths": (q_journey_paths, sql_journey_paths),

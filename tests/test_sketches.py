@@ -237,3 +237,54 @@ def test_hdr_merge_equals_direct_and_estimates_bounded(spark):
         exact = sv[max(0, -(-q * len(sv) // 1_000_000) - 1)]
         assert est[q] <= exact  # lower bound by construction
         assert exact - est[q] <= exact / 16 + 1  # within one sub-bucket
+
+
+# ---------------------------------------------------------------- AMS F2
+
+
+def test_ams_f2_tracks_true_self_join_size(spark):
+    from nexus_forge_spark.operators.sketches import (
+        ams_f2_estimate,
+        ams_f2_sketch,
+    )
+
+    # skewed key set: one value 40x, twenty values 1x -> F2 = 1620
+    rows = [("hot",)] * 40 + [(f"v{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "v string")
+    est = ams_f2_estimate(ams_f2_sketch(df, "v", estimators=9)).collect()[0]
+    true_f2 = 40 * 40 + 20
+    assert est.n_estimators == 9
+    # unbiased estimator, median of 9: within a factor ~2 on this skew
+    assert true_f2 / 2 <= est.f2_est <= true_f2 * 2
+    # uniform set of the same size: F2 = 60, far below the skewed F2
+    uni = spark.createDataFrame([(f"u{i}",) for i in range(60)], "v string")
+    est_u = ams_f2_estimate(ams_f2_sketch(uni, "v", estimators=9)).collect()[0]
+    assert est_u.f2_est < est.f2_est
+
+
+def test_ams_f2_matches_duckdb_and_merges(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.sketches import (
+        ams_f2_estimate,
+        ams_f2_sketch,
+        sql_ams_f2,
+    )
+
+    rows = [(f"g{i % 2}", f"k{(i * 7) % 13}") for i in range(80)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = sorted(tuple(r) for r in ams_f2_estimate(
+        ams_f2_sketch(df, "v", ["g"]), ["g"]).collect())
+    ev = ", ".join(f"('{g}', '{v}')" for g, v in rows)
+    sql = sql_ams_f2(f"SELECT * FROM (VALUES {ev}) AS t(g, v)", "v", ["g"])
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
+    # mergeability: sketch(shard1) + sketch(shard2) summed == sketch(all)
+    h1 = spark.createDataFrame(rows[:40], "g string, v string")
+    h2 = spark.createDataFrame(rows[40:], "g string, v string")
+    merged = (
+        ams_f2_sketch(h1, "v", ["g"]).unionByName(ams_f2_sketch(h2, "v", ["g"]))
+        .groupBy("g", "estimator").sum("z").withColumnRenamed("sum(z)", "z")
+    )
+    got_m = sorted(tuple(r) for r in ams_f2_estimate(merged, ["g"]).collect())
+    assert got_m == got
