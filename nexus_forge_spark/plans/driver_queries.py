@@ -13550,7 +13550,41 @@ UNION ALL SELECT 'in_order', l_orderkey FROM lineitem"""
     return sql_ams_f2(src, "v", ["pred"])
 
 
+_CLERICAL_LO, _CLERICAL_HI, _CLERICAL_K = 100_000, 900_000, 50
+
+
+def q_er_clerical_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Fellegi-Sunter CLERICAL band (the third decision region of
+    the 1969 model beside match/non-match): pairs whose EM-learned
+    posterior lands between the two thresholds get queued for human
+    review, hardest-first (closest to the 500000 ppm boundary, ties
+    on the pair id) — the review-queue selection every production
+    linkage runs.  Pure composition over er_em_fs; top-k via
+    TakeOrderedAndProject, no global sort."""
+    scored = q_er_em_fs(spark, sf_dir).select("a", "b", "w_ppm")
+    band = scored.where(
+        (F.col("w_ppm") >= _CLERICAL_LO) & (F.col("w_ppm") <= _CLERICAL_HI)
+    )
+    return (
+        band.withColumn(
+            "uncertainty", F.abs(F.col("w_ppm") - F.lit(500_000)).cast("long")
+        )
+        .orderBy("uncertainty", "a", "b")
+        .limit(_CLERICAL_K)
+    )
+
+
+def sql_er_clerical_queue() -> str:
+    return f"""SELECT a, b, w_ppm,
+       CAST(abs(w_ppm - 500000) AS BIGINT) AS uncertainty
+FROM ({sql_er_em_fs()})
+WHERE w_ppm BETWEEN {_CLERICAL_LO} AND {_CLERICAL_HI}
+ORDER BY uncertainty, a, b
+LIMIT {_CLERICAL_K}"""
+
+
 QUERIES = {
+    "er_clerical_queue": (q_er_clerical_queue, sql_er_clerical_queue),
     "ams_selfjoin_size": (q_ams_selfjoin_size, sql_ams_selfjoin_size),
     "densest_copurchase": (q_densest_copurchase, sql_densest_copurchase),
     "kg_sameas_refinement": (q_kg_sameas_refinement, sql_kg_sameas_refinement),
