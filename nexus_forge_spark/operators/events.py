@@ -669,3 +669,85 @@ FROM led
 WHERE t3 IS NOT NULL AND us2 - us <= {max_gap_us}
   AND us3 - us2 <= {max_gap_us}
 GROUP BY t1, t2, t3"""
+
+
+def active_user_metrics(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU / WAU / MAU / stickiness per day — the product-analytics
+    headline metrics, calendar-free: day = epoch_micros DIV 86400e6
+    (pure integer, so no session-timezone hazard can move a midnight
+    event across days).  Trailing windows are EXACT distinct-user
+    counts: the (day, user) distinct table joins to the day spine on
+    a bounded range (<= 30 rows per activity row), then one distinct
+    aggregate per metric — correct under users active on multiple
+    days, where a naive sum-of-DAU would double-count.
+
+    Scale posture: the corpus reduces to the (day, user) distinct
+    table first (one map-side-combined distinct), and every later join
+    is against the tiny day spine — fan-out 30, never |events|^2.
+    Output: (day, dau, wau, mau, stickiness_ppm = dau * 1e6 div mau).
+    """
+    du = (
+        df.select(
+            F.expr(
+                f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP))"
+                " DIV 86400000000 AS BIGINT)"
+            ).alias("day"),
+            F.col(user_col).alias("u"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count_distinct("u").alias("dau"))
+
+    def trailing(n: int, out: str) -> DataFrame:
+        j = days.join(
+            du.select(F.col("day").alias("d2"), "u"),
+            (F.col("d2") <= F.col("day")) & (F.col("d2") > F.col("day") - n),
+        )
+        return j.groupBy("day").agg(F.count_distinct("u").alias(out))
+
+    return (
+        dau.join(trailing(7, "wau"), "day")
+        .join(trailing(30, "mau"), "day")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.expr("CAST(dau * 1000000 DIV mau AS BIGINT)").alias(
+                "stickiness_ppm"
+            ),
+        )
+    )
+
+
+def sql_active_user_metrics(
+    source_sql: str, user_col: str = "user_id", ts_col: str = "ts"
+) -> str:
+    """DuckDB oracle for :func:`active_user_metrics`."""
+    return f"""WITH du AS MATERIALIZED (
+  SELECT DISTINCT
+    CAST(epoch_us(CAST({ts_col} AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+    {user_col} AS u
+  FROM ({source_sql})
+),
+days AS (SELECT DISTINCT day FROM du),
+dau AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS dau FROM du GROUP BY day),
+wau AS (
+  SELECT d.day, CAST(count(DISTINCT x.u) AS BIGINT) AS wau
+  FROM days d JOIN du x ON x.day <= d.day AND x.day > d.day - 7
+  GROUP BY d.day
+),
+mau AS (
+  SELECT d.day, CAST(count(DISTINCT x.u) AS BIGINT) AS mau
+  FROM days d JOIN du x ON x.day <= d.day AND x.day > d.day - 30
+  GROUP BY d.day
+)
+SELECT dau.day, dau.dau, wau.wau, mau.mau,
+       CAST(dau.dau * 1000000 // mau.mau AS BIGINT) AS stickiness_ppm
+FROM dau JOIN wau ON wau.day = dau.day JOIN mau ON mau.day = dau.day"""

@@ -13583,7 +13583,24 @@ ORDER BY uncertainty, a, b
 LIMIT {_CLERICAL_K}"""
 
 
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU/stickiness (operators/events.py
+    active_user_metrics) over the events stream: integer epoch-day
+    buckets (no calendar function, no TZ hazard), EXACT trailing
+    distinct-user windows via the bounded day-spine range join."""
+    from nexus_forge_spark.operators.events import active_user_metrics
+
+    return active_user_metrics(load_table(spark, "events", sf_dir))
+
+
+def sql_active_users() -> str:
+    from nexus_forge_spark.operators.events import sql_active_user_metrics
+
+    return sql_active_user_metrics("SELECT user_id, ts FROM events")
+
+
 QUERIES = {
+    "active_users": (q_active_users, sql_active_users),
     "er_clerical_queue": (q_er_clerical_queue, sql_er_clerical_queue),
     "ams_selfjoin_size": (q_ams_selfjoin_size, sql_ams_selfjoin_size),
     "densest_copurchase": (q_densest_copurchase, sql_densest_copurchase),

@@ -602,3 +602,54 @@ def test_journey_trigrams_matches_duckdb(spark):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+# ------------------------------------------------------ active users
+
+
+def test_active_user_metrics_exact_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from nexus_forge_spark.operators.events import active_user_metrics
+
+    rows = [
+        # day 0: users 1, 2; day 1: user 1 twice (dedup!); day 8: user 3
+        (1, "1970-01-01 05:00:00"), (2, "1970-01-01 09:00:00"),
+        (1, "1970-01-02 01:00:00"), (1, "1970-01-02 23:00:00"),
+        (3, "1970-01-09 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {r.day: r for r in active_user_metrics(df).collect()}
+    assert out[0].dau == 2 and out[0].wau == 2 and out[0].mau == 2
+    # day 1: dau 1 (user 1 deduped), wau covers days 0-1 -> users {1,2}
+    assert out[1].dau == 1 and out[1].wau == 2
+    # day 8: wau covers days 2-8 -> only user 3; mau covers day 0-8 -> 3 users
+    assert out[8].dau == 1 and out[8].wau == 1 and out[8].mau == 3
+    assert out[8].stickiness_ppm == 1_000_000 // 3
+
+
+def test_active_user_metrics_matches_duckdb(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from nexus_forge_spark.operators.events import (
+        active_user_metrics,
+        sql_active_user_metrics,
+    )
+
+    rows = [
+        (i % 7, f"1970-01-{1 + (i * 3) % 28:02d} {i % 24:02d}:00:00")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = sorted(tuple(r) for r in active_user_metrics(df).collect())
+    ev = ", ".join(f"({u}, TIMESTAMP '{t}')" for u, t in rows)
+    sql = sql_active_user_metrics(
+        f"SELECT * FROM (VALUES {ev}) AS t(user_id, ts)"
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
