@@ -1801,3 +1801,155 @@ FROM (
            ROWS UNBOUNDED PRECEDING) AS cum_tokens
   FROM surv)
 WHERE cum_tokens <= {token_budget}"""
+
+
+def mondrian_partition(
+    df: DataFrame,
+    qi_cols: list[str],
+    id_col: str,
+    k: int = 50,
+    depth: int = 4,
+) -> DataFrame:
+    """Mondrian multidimensional k-anonymity partitioning (LeFevre,
+    DeWitt, Ramakrishnan, ICDE 2006, the relaxed variant): recursively
+    split the quasi-identifier space — each round, every partition
+    with >= 2k rows splits at the MEDIAN RANK of its widest-range
+    dimension (ties to the first dimension in ``qi_cols`` order) —
+    until depth is exhausted or no partition can split.  The output
+    partitions are the generalization cells: publish each row with its
+    cell's [min, max] per QI instead of the raw values and the release
+    is k-anonymous by construction (every split leaves both sides
+    >= floor(n/2) >= k).
+
+    Determinism: the split is by RANK over (value, id) — the relaxed-
+    Mondrian tie handling — so equal QI values may land on both sides
+    but the cut point is a total-order function of the data, never of
+    partitioning or visit order.  All range comparisons are BIGINT
+    (inputs are the repo's integer-cents discipline).
+
+    Scale posture: per round, one stats aggregate per partition (cell
+    count x dims rows), one rank window PARTITIONED BY CELL (parallel
+    across cells, a cell never crosses executors' sort boundaries
+    needlessly), one pid update — depth rounds total, each one
+    Exchange on the cell id.
+
+    Output: one row per final cell — (pid, n, <dim>_min/_max per QI).
+    """
+    from pyspark.sql import Window
+
+    if not qi_cols:
+        raise ValueError("mondrian_partition: need at least one QI column")
+    cur = df.select(
+        F.lit(1).cast("long").alias("pid"), id_col, *qi_cols
+    ).localCheckpoint(eager=True)
+    for _ in range(depth):
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in qi_cols:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        stats = cur.groupBy("pid").agg(*aggs)
+        # widest-range dimension, ties to the first listed
+        dim_expr = None
+        best_range = None
+        for c in qi_cols:
+            rng = F.col(f"_hi_{c}") - F.col(f"_lo_{c}")
+            if dim_expr is None:
+                dim_expr, best_range = F.lit(c), rng
+            else:
+                dim_expr = F.when(rng > best_range, F.lit(c)).otherwise(dim_expr)
+                best_range = F.greatest(rng, best_range)
+        stats = stats.select(
+            "pid", "_n", dim_expr.alias("_dim"), best_range.alias("_rng")
+        )
+        joined = cur.join(F.broadcast(stats), "pid")
+        vd = None
+        for c in qi_cols:
+            vd = (
+                F.when(F.col("_dim") == c, F.col(c))
+                if vd is None
+                else vd.when(F.col("_dim") == c, F.col(c))
+            )
+        w = Window.partitionBy("pid").orderBy(vd.asc(), F.col(id_col).asc())
+        ranked = joined.withColumn("_rn", F.row_number().over(w))
+        splittable = (F.col("_n") >= 2 * k) & (F.col("_rng") > 0)
+        new_pid = F.when(
+            ~splittable, F.col("pid")
+        ).otherwise(
+            F.when(F.col("_rn") <= F.expr("_n DIV 2"), F.col("pid") * 2)
+            .otherwise(F.col("pid") * 2 + 1)
+        )
+        cur = ranked.select(
+            new_pid.cast("long").alias("pid"), id_col, *qi_cols
+        ).localCheckpoint(eager=True)
+    out_aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in qi_cols:
+        out_aggs += [
+            F.min(c).cast("long").alias(f"{c}_min"),
+            F.max(c).cast("long").alias(f"{c}_max"),
+        ]
+    return cur.groupBy("pid").agg(*out_aggs)
+
+
+def sql_mondrian_partition(
+    source_sql: str,
+    qi_cols: list[str],
+    id_col: str,
+    k: int = 50,
+    depth: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`mondrian_partition`: identical rounds
+    unrolled."""
+    qs = ", ".join(qi_cols)
+    parts = [
+        f"c0 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS pid, {id_col}, {qs} "
+        f"FROM ({source_sql}))"
+    ]
+    for t in range(depth):
+        stat_cols = ", ".join(
+            f"min({c}) AS _lo_{c}, max({c}) AS _hi_{c}" for c in qi_cols
+        )
+        dim_case = f"'{qi_cols[0]}'"
+        rng_expr = f"(_hi_{qi_cols[0]} - _lo_{qi_cols[0]})"
+        for c in qi_cols[1:]:
+            dim_case = (
+                f"CASE WHEN (_hi_{c} - _lo_{c}) > {rng_expr} THEN '{c}' "
+                f"ELSE {dim_case} END"
+            )
+            rng_expr = f"greatest((_hi_{c} - _lo_{c}), {rng_expr})"
+        vd_case = " ".join(
+            f"WHEN s._dim = '{c}' THEN x.{c}" for c in qi_cols
+        )
+        parts.append(
+            f"""st{t} AS MATERIALIZED (
+  SELECT pid, count(*) AS _n, {stat_cols} FROM c{t} GROUP BY pid)"""
+        )
+        parts.append(
+            f"""sd{t} AS MATERIALIZED (
+  SELECT pid, _n, {dim_case} AS _dim, {rng_expr} AS _rng FROM st{t})"""
+        )
+        parts.append(
+            f"""rk{t} AS MATERIALIZED (
+  SELECT x.pid, x.{id_col}, {', '.join('x.' + c for c in qi_cols)},
+         s._n, s._rng,
+         row_number() OVER (
+           PARTITION BY x.pid
+           ORDER BY CASE {vd_case} END ASC, x.{id_col} ASC) AS _rn
+  FROM c{t} x JOIN sd{t} s ON s.pid = x.pid)"""
+        )
+        parts.append(
+            f"""c{t + 1} AS MATERIALIZED (
+  SELECT CASE WHEN _n < {2 * k} OR _rng <= 0 THEN pid
+              WHEN _rn <= _n // 2 THEN pid * 2 ELSE pid * 2 + 1 END AS pid,
+         {id_col}, {qs}
+  FROM rk{t})"""
+        )
+    out_cols = ", ".join(
+        f"CAST(min({c}) AS BIGINT) AS {c}_min, "
+        f"CAST(max({c}) AS BIGINT) AS {c}_max"
+        for c in qi_cols
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT pid, CAST(count(*) AS BIGINT) AS n, {out_cols}
+FROM c{depth} GROUP BY pid"""
+    )

@@ -13599,7 +13599,39 @@ def sql_active_users() -> str:
     return sql_active_user_metrics("SELECT user_id, ts FROM events")
 
 
+def q_mondrian_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian k-anonymity generalization cells (operators/
+    curation.py mondrian_partition, LeFevre ICDE'06 relaxed variant):
+    customers partitioned on (acctbal cents, nationkey) by median-
+    rank splits of the widest dimension until cells can't split at
+    k=50 — the generalization lattice the k_anonymity_audit gate
+    would then verify.  Rank splits are total-order deterministic."""
+    from nexus_forge_spark.operators.curation import mondrian_partition
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("bal_cents"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+    )
+    return mondrian_partition(
+        cust, ["bal_cents", "nation"], "c_custkey", k=50, depth=4
+    )
+
+
+def sql_mondrian_cells() -> str:
+    from nexus_forge_spark.operators.curation import sql_mondrian_partition
+
+    src = """SELECT c_custkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+       CAST(c_nationkey AS BIGINT) AS nation
+FROM customer"""
+    return sql_mondrian_partition(
+        src, ["bal_cents", "nation"], "c_custkey", k=50, depth=4
+    )
+
+
 QUERIES = {
+    "mondrian_cells": (q_mondrian_cells, sql_mondrian_cells),
     "active_users": (q_active_users, sql_active_users),
     "er_clerical_queue": (q_er_clerical_queue, sql_er_clerical_queue),
     "ams_selfjoin_size": (q_ams_selfjoin_size, sql_ams_selfjoin_size),

@@ -1060,3 +1060,43 @@ def test_budget_pack_partitioning_invariant_matches_duckdb(spark):
             ).collect()
         )
         assert got == want, f"num_partitions={nparts}"
+
+
+# ----------------------------------------------------------- Mondrian
+
+
+def test_mondrian_cells_k_guarantee_and_splits(spark):
+    from nexus_forge_spark.operators.curation import mondrian_partition
+
+    # 40 rows, k=10: enough for exactly one depth of splitting on the
+    # wide dimension (v spans 0..390), then both 20-row halves split
+    # again (>= 2k = 20) into 10-row cells
+    rows = [(i, i * 10, i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "rid long, v long, z long")
+    out = mondrian_partition(df, ["v", "z"], "rid", k=10, depth=3).collect()
+    assert sum(r.n for r in out) == 40
+    assert all(r.n >= 10 for r in out)          # k-anonymity by construction
+    assert len(out) == 4                        # 40 -> 20+20 -> 10x4, then stuck
+    # cells generalize the wide dim into disjoint rank bands
+    bands = sorted((r.v_min, r.v_max) for r in out)
+    assert bands[0][0] == 0 and bands[-1][1] == 390
+
+
+def test_mondrian_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.curation import (
+        mondrian_partition,
+        sql_mondrian_partition,
+    )
+
+    rows = [(i, (i * 37) % 100, (i * 13) % 7) for i in range(75)]
+    df = spark.createDataFrame(rows, "rid long, v long, z long")
+    got = sorted(tuple(r) for r in mondrian_partition(
+        df, ["v", "z"], "rid", k=8, depth=4).collect())
+    ev = ", ".join(f"({a}, {b}, {c})" for a, b, c in rows)
+    sql = sql_mondrian_partition(
+        f"SELECT * FROM (VALUES {ev}) AS t(rid, v, z)",
+        ["v", "z"], "rid", k=8, depth=4)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
