@@ -181,3 +181,127 @@ def kcenter_select(
             .alias("cvid"),
         ).localCheckpoint(eager=True)
     return selected, cur.select("vid", F.col("cvid").alias("center_vid"), F.col("dmin").alias("dist"))
+
+
+def dbscan_from_pairs(
+    pairs: DataFrame,
+    points: DataFrame,
+    min_pts: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+    id_col: str = "id",
+) -> DataFrame:
+    """DBSCAN (Ester, Kriegel, Sander, Xu, KDD 1996) factored the way
+    a 100 TB pipeline actually runs it: the epsilon-neighborhood pairs
+    arrive from whatever blocked similarity join fits the space
+    (LSH-bucketed cosine for embeddings, pigeonhole Hamming for
+    signatures — this module never recomputes distances), and this
+    operator does the density algebra:
+
+      core:   |N_eps(p)| + 1 >= min_pts  (self included, the paper's
+              convention);
+      clusters: connected components over CORE-CORE epsilon edges
+              (min-id canonical — deterministic where the paper's
+              scan order is not);
+      border: non-core with a core epsilon-neighbor, assigned the MIN
+              core cluster id;
+      noise:  everything else (including epsilon-isolated points,
+              which never appear in ``pairs`` — hence the explicit
+              ``points`` roster).
+
+    One degree aggregate + two semi-joins + the O(log^2 n)
+    large-star/small-star CC; no step expands neighborhoods beyond
+    the given pair list.  Output: (id, cluster nullable, role in
+    {'core','border','noise'}).
+    """
+    from nexus_forge_spark.operators.canonicalize import connected_components
+
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("x"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("y"),
+        )
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    deg = und.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
+    cores = deg.where(F.col("deg") + 1 >= min_pts).select(
+        F.col("x").alias("node")
+    )
+    core_e = (
+        e.join(cores.withColumnRenamed("node", "x"), "x", "leftsemi")
+        .join(cores.withColumnRenamed("node", "y"), "y", "leftsemi")
+    )
+    cc = connected_components(
+        core_e.select(F.col("x").alias("a"), F.col("y").alias("b")),
+        cores.withColumnRenamed("node", "entity_id"),
+    )
+    core_assign = cc.select(
+        F.col("entity_id").alias("id"),
+        F.col("canonical_id").alias("cluster"),
+        F.lit("core").alias("role"),
+    ).localCheckpoint(eager=True)
+    border = (
+        und.join(cores.withColumnRenamed("node", "x"), "x", "leftanti")
+        .join(
+            core_assign.select(F.col("id").alias("y"), "cluster"), "y"
+        )
+        .groupBy("x")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("x").alias("id"), "cluster", F.lit("border").alias("role"))
+    )
+    assigned = core_assign.unionByName(border)
+    ctype = dict(assigned.dtypes)["cluster"]
+    noise = (
+        points.select(F.col(id_col).alias("id"))
+        .join(assigned.select("id"), "id", "leftanti")
+        .select(
+            "id",
+            F.lit(None).cast(ctype).alias("cluster"),
+            F.lit("noise").alias("role"),
+        )
+    )
+    return assigned.unionByName(noise)
+
+
+def sql_dbscan_from_pairs(
+    pairs_sql: str, points_sql: str, min_pts: int = 4, id_col: str = "id"
+) -> str:
+    """DuckDB oracle for :func:`dbscan_from_pairs`."""
+    return f"""WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+  FROM ({pairs_sql}) WHERE a <> b
+),
+und AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+cores AS MATERIALIZED (
+  SELECT x AS node FROM und GROUP BY x HAVING count(*) + 1 >= {min_pts}
+),
+ce AS MATERIALIZED (
+  SELECT u.x, u.y FROM und u
+  JOIN cores c1 ON c1.node = u.x JOIN cores c2 ON c2.node = u.y
+),
+reach(src, dst) AS (
+  SELECT node, node FROM cores
+  UNION
+  SELECT r.src, u.y FROM reach r JOIN ce u ON r.dst = u.x
+),
+core_assign AS MATERIALIZED (
+  SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src
+),
+border AS (
+  SELECT u.x AS id, min(ca.cluster) AS cluster
+  FROM und u JOIN core_assign ca ON ca.id = u.y
+  WHERE u.x NOT IN (SELECT node FROM cores)
+  GROUP BY u.x
+),
+assigned AS MATERIALIZED (
+  SELECT id, cluster, 'core' AS role FROM core_assign
+  UNION ALL SELECT id, cluster, 'border' FROM border
+)
+SELECT id, cluster, role FROM assigned
+UNION ALL
+SELECT p.{id_col}, NULL, 'noise'
+FROM ({points_sql}) p
+WHERE p.{id_col} NOT IN (SELECT id FROM assigned)"""

@@ -13630,7 +13630,76 @@ FROM customer"""
     )
 
 
+def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering (operators/clustering.py
+    dbscan_from_pairs, Ester KDD'96) factored over the blocked
+    epsilon-pair join: originals with three perturbed mutants form
+    density stars (core = the original at min_pts=4, mutants =
+    border), unperturbed singletons fall out as noise — the
+    embedding-space cluster/noise census, with the distance work done
+    once by the similarity join, never inside the density algebra."""
+    from nexus_forge_spark.operators.clustering import dbscan_from_pairs
+    from nexus_forge_spark.operators.similarity import cosine_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = emb.where(F.col("vec_id") % 17 == 0)
+    pool = seeds
+    for j, eps in ((1, 0.25), (2, 0.25), (3, 0.45)):
+        pool = pool.unionByName(
+            seeds.select(
+                (F.col("vec_id") + 100000 * j).alias("vec_id"),
+                F.concat(
+                    F.slice("v", F.lit(1), F.lit(j - 1)),
+                    F.array(F.element_at("v", j) + F.lit(eps)),
+                    F.slice("v", F.lit(j + 1), F.size("v") - j),
+                ).alias("v"),
+            )
+        )
+    pool = pool.unionByName(
+        emb.where((F.col("vec_id") % 17 != 0) & (F.col("vec_id") % 11 == 0))
+    )
+    pairs = cosine_pairs(pool, threshold=0.9, vec_col="v", round_digits=3)
+    return dbscan_from_pairs(
+        pairs.select(F.col("a"), F.col("b")),
+        pool.select(F.col("vec_id").alias("id")),
+        min_pts=4,
+    )
+
+
+def sql_dbscan_embeddings() -> str:
+    from nexus_forge_spark.operators.clustering import sql_dbscan_from_pairs
+
+    pool = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+FROM embeddings WHERE vec_id % 17 = 0
+UNION ALL
+SELECT vec_id + 100000, list_concat([v[1] + 0.25], v[2:len(v)])
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id % 17 = 0)
+UNION ALL
+SELECT vec_id + 200000, list_concat(list_concat([v[1]], [v[2] + 0.25]), v[3:len(v)])
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id % 17 = 0)
+UNION ALL
+SELECT vec_id + 300000, list_concat(list_concat([v[1], v[2]], [v[3] + 0.45]), v[4:len(v)])
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id % 17 = 0)
+UNION ALL
+SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+FROM embeddings WHERE vec_id % 17 <> 0 AND vec_id % 11 = 0"""
+    pairs = f"""WITH pool AS MATERIALIZED ({pool})
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM pool a JOIN pool b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= 0.9"""
+    points = f"SELECT vec_id AS id FROM ({pool})"
+    return sql_dbscan_from_pairs(pairs, points, min_pts=4)
+
+
 QUERIES = {
+    "dbscan_embeddings": (q_dbscan_embeddings, sql_dbscan_embeddings),
     "mondrian_cells": (q_mondrian_cells, sql_mondrian_cells),
     "active_users": (q_active_users, sql_active_users),
     "er_clerical_queue": (q_er_clerical_queue, sql_er_clerical_queue),

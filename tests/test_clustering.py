@@ -162,3 +162,50 @@ def test_kcenter_matches_pure_python_random(spark):
     selected, assign = kcenter_select(df, k=k, dim=4)
     assert selected == exp_sel
     assert {r.vid: (r.center_vid, r.dist) for r in assign.collect()} == exp_assign
+
+
+# --------------------------------------------------------------- DBSCAN
+
+
+def test_dbscan_roles_star_and_noise(spark):
+    from nexus_forge_spark.operators.clustering import dbscan_from_pairs
+
+    # star: hub h adjacent to 3 leaves (min_pts=4 -> hub core, leaves
+    # border); pair p1-p2 below density; isolated q never in pairs
+    pairs = spark.createDataFrame(
+        [("h", "l1"), ("h", "l2"), ("h", "l3"), ("p1", "p2")],
+        "a string, b string",
+    )
+    points = spark.createDataFrame(
+        [("h",), ("l1",), ("l2",), ("l3",), ("p1",), ("p2",), ("q",)],
+        "id string",
+    )
+    out = {r.id: (r.cluster, r.role)
+           for r in dbscan_from_pairs(pairs, points, min_pts=4).collect()}
+    assert out["h"] == ("h", "core")
+    assert out["l1"] == ("h", "border")
+    assert out["p1"] == (None, "noise") and out["q"] == (None, "noise")
+
+
+def test_dbscan_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.clustering import (
+        dbscan_from_pairs,
+        sql_dbscan_from_pairs,
+    )
+
+    pairs = [(f"n{i % 12}", f"n{(i * 5 + 1) % 12}") for i in range(30)]
+    points = [(f"n{i}",) for i in range(15)]
+    pe = spark.createDataFrame(pairs, "a string, b string")
+    po = spark.createDataFrame(points, "id string")
+    got = sorted(tuple(r) for r in dbscan_from_pairs(pe, po, min_pts=3).collect())
+    ev = ", ".join(f"('{a}', '{b}')" for a, b in pairs)
+    pv = ", ".join(f"('{x}')" for (x,) in points)
+    sql = sql_dbscan_from_pairs(
+        f"SELECT * FROM (VALUES {ev}) AS t(a, b)",
+        f"SELECT * FROM (VALUES {pv}) AS t(id)",
+        min_pts=3,
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
