@@ -1271,7 +1271,13 @@ def hits_scores(
     hold authority 0, without out-edges hub 0 (kept via the node
     universe).  Output: (node, hub_ppm, auth_ppm) after ``rounds``.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # the edge set is loop-invariant and read six times across the
+    # rounds plus twice in the epilogue — pin it, or Catalyst re-derives
+    # the upstream edge producer (e.g. a distinct co-purchase join) on
+    # every single join
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

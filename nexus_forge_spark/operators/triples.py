@@ -1037,3 +1037,97 @@ WHERE (n_with * 1000000) // n_inst >= {int(min_count_coverage_ppm)}
 UNION ALL
 SELECT 'prop:' || cls || '|' || pred, 'sh:maxCount', '1' FROM per_pair
 WHERE max_per_inst = 1"""
+
+
+def temporal_functional_conflicts(
+    intervals: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Functional-at-every-instant audit for interval-stamped
+    assertions: a predicate declared functional must never carry two
+    DIFFERENT objects with overlapping validity — the temporal
+    upgrade of the snapshot-level functional_violations above, and
+    the integrity check an SCD2/asof fact table needs before
+    point-in-time joins are trusted.
+
+    Exact without any self-join: same-object intervals are coalesced
+    FIRST (operators/history.py interval_coalesce per (subj, pred,
+    obj) — after which same-object intervals are disjoint by
+    construction), so ANY remaining overlap within a (subj, pred)
+    group must involve two different objects.  Overlap detection is
+    then two window passes over one (subj, pred) Exchange+Sort:
+    backward (start < running max of prior ends) and forward (end >
+    running min of following starts), so BOTH sides of every
+    conflicting pair are flagged.  Half-open [start, end) semantics —
+    touching intervals do not conflict.
+
+    Output: the coalesced rows with a conflict flag — (subj, pred,
+    obj, start_us, end_us, conflict).
+    """
+    from pyspark.sql import Window
+
+    from nexus_forge_spark.operators.history import interval_coalesce
+
+    merged = interval_coalesce(
+        intervals.select(subj_col, pred_col, obj_col, start_col, end_col),
+        [subj_col, pred_col, obj_col],
+        start_col,
+        end_col,
+    ).drop("n_merged")
+    w = Window.partitionBy(subj_col, pred_col).orderBy(
+        F.col(start_col), F.col(end_col), F.col(obj_col)
+    )
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_min_start = F.min(start_col).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    return merged.select(
+        subj_col,
+        pred_col,
+        obj_col,
+        F.col(start_col).cast("long").alias(start_col),
+        F.col(end_col).cast("long").alias(end_col),
+        (
+            (prev_max_end.isNotNull() & (F.col(start_col) < prev_max_end))
+            | (next_min_start.isNotNull() & (F.col(end_col) > next_min_start))
+        ).alias("conflict"),
+    )
+
+
+def sql_temporal_functional_conflicts(
+    source_sql: str,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> str:
+    """DuckDB oracle for :func:`temporal_functional_conflicts`."""
+    from nexus_forge_spark.operators.history import sql_interval_coalesce
+
+    merged = sql_interval_coalesce(
+        source_sql, [subj_col, pred_col, obj_col], start_col, end_col
+    )
+    return f"""WITH merged AS MATERIALIZED (
+  SELECT {subj_col}, {pred_col}, {obj_col}, {start_col}, {end_col}
+  FROM ({merged})
+)
+SELECT {subj_col}, {pred_col}, {obj_col},
+       CAST({start_col} AS BIGINT) AS {start_col},
+       CAST({end_col} AS BIGINT) AS {end_col},
+       (coalesce({start_col} < max({end_col}) OVER (
+          PARTITION BY {subj_col}, {pred_col}
+          ORDER BY {start_col}, {end_col}, {obj_col}
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), false)
+        OR coalesce({end_col} > min({start_col}) OVER (
+          PARTITION BY {subj_col}, {pred_col}
+          ORDER BY {start_col}, {end_col}, {obj_col}
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), false))
+       AS conflict
+FROM merged"""

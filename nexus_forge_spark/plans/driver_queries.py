@@ -13698,7 +13698,47 @@ WHERE list_dot_product(a.v, b.v) /
     return sql_dbscan_from_pairs(pairs, points, min_pts=4)
 
 
+def q_kg_temporal_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-at-every-instant audit (operators/triples.py
+    temporal_functional_conflicts): each order asserts its customer's
+    status for a 30-day validity window; overlapping windows with
+    DIFFERENT statuses are temporal functional violations.  Same-
+    object intervals coalesce first (so any surviving overlap is a
+    real conflict), then two window passes over one Exchange+Sort —
+    no self-join anywhere."""
+    from nexus_forge_spark.operators.triples import (
+        temporal_functional_conflicts,
+    )
+
+    month_us = 30 * 86_400_000_000
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")).alias("subj"),
+        F.lit("status").alias("pred"),
+        F.concat(F.lit("st:"), F.col("o_orderstatus")).alias("obj"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("start_us"),
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            + F.lit(month_us)
+        ).alias("end_us"),
+    )
+    return temporal_functional_conflicts(orders)
+
+
+def sql_kg_temporal_conflicts() -> str:
+    from nexus_forge_spark.operators.triples import (
+        sql_temporal_functional_conflicts,
+    )
+
+    src = """SELECT 'cust:' || o_custkey AS subj, 'status' AS pred,
+       'st:' || o_orderstatus AS obj,
+       epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS start_us,
+       epoch_us(CAST(o_orderdate AS TIMESTAMP)) + 2592000000000 AS end_us
+FROM orders"""
+    return sql_temporal_functional_conflicts(src)
+
+
 QUERIES = {
+    "kg_temporal_conflicts": (q_kg_temporal_conflicts, sql_kg_temporal_conflicts),
     "dbscan_embeddings": (q_dbscan_embeddings, sql_dbscan_embeddings),
     "mondrian_cells": (q_mondrian_cells, sql_mondrian_cells),
     "active_users": (q_active_users, sql_active_users),

@@ -413,3 +413,59 @@ def test_qualified_cardinality_matches_duckdb(spark):
         "C", "p", "Q", min_q=2, max_q=3)
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+# ------------------------------------------- temporal functional audit
+
+
+def test_temporal_functional_conflicts_semantics(spark):
+    from nexus_forge_spark.operators.triples import (
+        temporal_functional_conflicts,
+    )
+
+    rows = [
+        # s1: A [0,10) then B [5,15) -> both conflict; B again [20,30) is fine
+        ("s1", "p", "A", 0, 10),
+        ("s1", "p", "B", 5, 15),
+        ("s1", "p", "B", 20, 30),
+        # s2: same obj overlapping intervals coalesce -> no conflict
+        ("s2", "p", "A", 0, 10),
+        ("s2", "p", "A", 5, 15),
+        # s3: touching different objs do NOT conflict (half-open)
+        ("s3", "p", "A", 0, 10),
+        ("s3", "p", "B", 10, 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, start_us long, end_us long"
+    )
+    out = {(r.subj, r.obj, r.start_us): r.conflict
+           for r in temporal_functional_conflicts(df).collect()}
+    assert out[("s1", "A", 0)] is True
+    assert out[("s1", "B", 5)] is True
+    assert out[("s1", "B", 20)] is False
+    assert out[("s2", "A", 0)] is False     # coalesced to [0,15)
+    assert out[("s3", "A", 0)] is False and out[("s3", "B", 10)] is False
+
+
+def test_temporal_functional_conflicts_matches_duckdb(spark):
+    import duckdb
+
+    from nexus_forge_spark.operators.triples import (
+        sql_temporal_functional_conflicts,
+        temporal_functional_conflicts,
+    )
+
+    rows = [
+        (f"s{i % 5}", "p", f"o{(i * 3) % 4}", (i * 11) % 40, (i * 11) % 40 + 8)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, start_us long, end_us long"
+    )
+    got = sorted(tuple(r) for r in temporal_functional_conflicts(df).collect())
+    ev = ", ".join(f"('{s}', '{p}', '{o}', {a}, {b})" for s, p, o, a, b in rows)
+    sql = sql_temporal_functional_conflicts(
+        f"SELECT * FROM (VALUES {ev}) AS t(subj, pred, obj, start_us, end_us)"
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want

@@ -15,8 +15,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import subprocess
 import sys
+
+GEN = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+n_docs, path = int(sys.argv[1]), sys.argv[2]
+from nexus_forge_spark.session import get_spark
+from nexus_forge_spark.sources import synthesize_documents
+spark = get_spark("scaling-gen")
+spark.sparkContext.setLogLevel("ERROR")
+synthesize_documents(spark, n_docs, num_partitions=256).write.mode("overwrite").parquet(path)
+"""
 
 CHILD = r"""
 import json, os, sys, time
@@ -60,6 +72,25 @@ def main() -> None:
     levels = [int(x) for x in args.execs.split(",")]
     assert len(levels) == 2 and levels[1] == 4 * levels[0]
     corpus = f"/root/repo/.data/scaling_corpus_{args.docs}"
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        # fresh container: synthesize the deterministic corpus first (the
+        # same seeded datagen scaling_bench.py uses — identical at any
+        # parallelism)
+        gen = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                GEN,
+                str(args.docs),
+                corpus,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            cwd="/root/repo",
+        )
+        if gen.returncode != 0:
+            raise RuntimeError(f"corpus gen failed: {gen.stderr[-2000:]}")
     results = []
     for k in levels:
         out = subprocess.run(
