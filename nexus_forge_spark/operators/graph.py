@@ -1292,13 +1292,13 @@ def hits_scores(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("v").alias("raw"))
         )
-        a = _max_normalize(nodes, a_raw, scale).localCheckpoint(eager=True)
+        a = _max_normalize(a_raw, scale).localCheckpoint(eager=True)
         h_raw = (
             e.join(a.withColumnRenamed("node", "dst").withColumnRenamed("v", "av"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("av").alias("raw"))
         )
-        h = _max_normalize(nodes, h_raw, scale).localCheckpoint(eager=True)
+        h = _max_normalize(h_raw, scale).localCheckpoint(eager=True)
     return (
         nodes.join(h.withColumnRenamed("v", "hub_ppm"), "node", "left")
         .join(a.withColumnRenamed("v", "auth_ppm"), "node", "left")
@@ -1310,22 +1310,19 @@ def hits_scores(
     )
 
 
-def _max_normalize(nodes: DataFrame, raw: DataFrame, scale: int) -> DataFrame:
-    """(node, raw) -> (node, v) with v = raw*scale DIV max(raw), zero-padded
-    over the node universe.  max is a 1-row aggregate broadcast back."""
+def _max_normalize(raw: DataFrame, scale: int) -> DataFrame:
+    """(node, raw) -> (node, v) with v = raw*scale DIV max(raw).  max is a
+    1-row aggregate broadcast back.  The vector stays SPARSE between
+    rounds — zero/absent entries contribute nothing to the next round's
+    sums, so padding the node universe per round would be 6 wasted
+    joins; the epilogue zero-pads once."""
     mx = raw.agg(F.max("raw").alias("mx"))
-    return (
-        nodes.join(raw, "node", "left")
-        .crossJoin(F.broadcast(mx))
-        .select(
-            "node",
-            F.when(
-                F.col("mx").isNull() | (F.col("mx") == 0), F.lit(0)
-            )
-            .otherwise(F.expr(f"(coalesce(raw, 0) * {scale}) DIV mx"))
-            .cast("long")
-            .alias("v"),
-        )
+    return raw.crossJoin(F.broadcast(mx)).select(
+        "node",
+        F.when(F.col("mx") == 0, F.lit(0))
+        .otherwise(F.expr(f"(raw * {scale}) DIV mx"))
+        .cast("long")
+        .alias("v"),
     )
 
 
