@@ -751,3 +751,113 @@ mau AS (
 SELECT dau.day, dau.dau, wau.wau, mau.mau,
        CAST(dau.dau * 1000000 // mau.mau AS BIGINT) AS stickiness_ppm
 FROM dau JOIN wau ON wau.day = dau.day JOIN mau ON mau.day = dau.day"""
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic marketing triage, engine-exact: per user one
+    aggregate gives last-active epoch-day (integer, no calendar
+    function), event count, and integer-cent spend; each metric is
+    then cut into terciles at its EXACT 33rd/67th percentile values
+    (ranking.exact_percentiles — range-partition + offsets, no
+    single-reducer sort, integer rank arithmetic), and the segment
+    code is r*100 + f*10 + m with bucket 2 = top tercile.
+
+    Ties sit deterministically in the lower bucket (value <= cut);
+    cut values are data, not floats.  Scale: one corpus aggregate +
+    three fully parallel ranked passes over the USER table (already
+    corpus-reduced), thresholds broadcast as literals.
+
+    Output: (user, r_day, f_events, m_cents, r_bucket, f_bucket,
+    m_bucket, segment).
+    """
+    from nexus_forge_spark.operators.ranking import exact_percentiles
+
+    per_user = (
+        df.groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.max(
+                F.expr(
+                    f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP))"
+                    " DIV 86400000000 AS BIGINT)"
+                )
+            ).alias("r_day"),
+            F.count(F.lit(1)).cast("long").alias("f_events"),
+            F.sum(
+                F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
+            ).alias("m_cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def cuts(col: str) -> tuple[int, int]:
+        rows = {
+            r["p"]: int(r["value"])
+            for r in exact_percentiles(per_user, col, [33, 67]).collect()
+        }
+        return rows[33], rows[67]
+
+    out = per_user
+    for col, b in (("r_day", "r_bucket"), ("f_events", "f_bucket"),
+                   ("m_cents", "m_bucket")):
+        lo, hi = cuts(col)
+        out = out.withColumn(
+            b,
+            F.when(F.col(col) <= lo, F.lit(0))
+            .when(F.col(col) <= hi, F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("int"),
+        )
+    return out.withColumn(
+        "segment",
+        (
+            F.col("r_bucket") * 100 + F.col("f_bucket") * 10 + F.col("m_bucket")
+        ).cast("int"),
+    )
+
+
+def sql_rfm_segments(
+    source_sql: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB oracle for :func:`rfm_segments` (same integer rank
+    arithmetic: cut value at rank (p*n+99)//100 ascending)."""
+    def cut(col: str, p: int) -> str:
+        return f"""(SELECT {col} FROM (
+  SELECT {col}, row_number() OVER (ORDER BY {col}) AS rn FROM per_user)
+  WHERE rn = (SELECT ({p} * count(*) + 99) // 100 FROM per_user))"""
+
+    buckets = []
+    for col, b in (("r_day", "r_bucket"), ("f_events", "f_bucket"),
+                   ("m_cents", "m_bucket")):
+        buckets.append(
+            f"""CASE WHEN {col} <= {cut(col, 33)} THEN 0
+     WHEN {col} <= {cut(col, 67)} THEN 1 ELSE 2 END AS {b}"""
+        )
+    bsql = ",\n       ".join(buckets)
+    return f"""WITH per_user AS MATERIALIZED (
+  SELECT {user_col} AS user,
+         CAST(max(epoch_us(CAST({ts_col} AS TIMESTAMP)) // 86400000000)
+              AS BIGINT) AS r_day,
+         CAST(count(*) AS BIGINT) AS f_events,
+         CAST(sum(CAST(round({value_col} * 100) AS BIGINT)) AS BIGINT)
+           AS m_cents
+  FROM ({source_sql}) GROUP BY {user_col}
+),
+bucketed AS (
+  SELECT user, r_day, f_events, m_cents,
+       {bsql}
+  FROM per_user
+)
+SELECT user, r_day, f_events, m_cents,
+       CAST(r_bucket AS INT) AS r_bucket, CAST(f_bucket AS INT) AS f_bucket,
+       CAST(m_bucket AS INT) AS m_bucket,
+       CAST(r_bucket * 100 + f_bucket * 10 + m_bucket AS INT) AS segment
+FROM bucketed"""

@@ -13737,7 +13737,24 @@ FROM orders"""
     return sql_temporal_functional_conflicts(src)
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (operators/events.py rfm_segments): per-user
+    recency/frequency/monetary terciles at EXACT percentile cuts (the
+    two-phase ranked pass, integer rank arithmetic), segment code
+    r*100+f*10+m — the marketing triage table, engine-exact."""
+    from nexus_forge_spark.operators.events import rfm_segments
+
+    return rfm_segments(load_table(spark, "events", sf_dir))
+
+
+def sql_rfm_segments_q() -> str:
+    from nexus_forge_spark.operators.events import sql_rfm_segments
+
+    return sql_rfm_segments("SELECT user_id, ts, value FROM events")
+
+
 QUERIES = {
+    "rfm_segments": (q_rfm_segments, sql_rfm_segments_q),
     "kg_temporal_conflicts": (q_kg_temporal_conflicts, sql_kg_temporal_conflicts),
     "dbscan_embeddings": (q_dbscan_embeddings, sql_dbscan_embeddings),
     "mondrian_cells": (q_mondrian_cells, sql_mondrian_cells),

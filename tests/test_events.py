@@ -653,3 +653,51 @@ def test_active_user_metrics_matches_duckdb(spark):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+# --------------------------------------------------------------- RFM
+
+
+def test_rfm_segments_tercile_cuts(spark):
+    from pyspark.sql import functions as F
+
+    from nexus_forge_spark.operators.events import rfm_segments
+
+    # 9 users with strictly increasing activity on every axis
+    rows = []
+    for u in range(9):
+        for j in range(u + 1):  # frequency u+1
+            rows.append((u, f"1970-01-{u + 1:02d} 10:00:00", float(u + 1)))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.user: r for r in rfm_segments(df).collect()}
+    # users 0-2 -> bucket 0, 3-5 -> 1, 6-8 -> 2 on every axis
+    assert out[0].segment == 0
+    assert out[4].segment == 111
+    assert out[8].segment == 222
+    assert out[8].m_cents == 9 * 100 * 9  # 9 events x 9.00
+
+
+def test_rfm_matches_duckdb(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from nexus_forge_spark.operators.events import (
+        rfm_segments,
+        sql_rfm_segments,
+    )
+
+    rows = [
+        (i % 11, f"1970-01-{1 + (i * 3) % 27:02d} 08:00:00",
+         float((i * 7) % 13) + 0.25)
+        for i in range(70)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(tuple(r) for r in rfm_segments(df).collect())
+    ev = ", ".join(f"({u}, TIMESTAMP '{t}', {v})" for u, t, v in rows)
+    sql = sql_rfm_segments(f"SELECT * FROM (VALUES {ev}) AS t(user_id, ts, value)")
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
