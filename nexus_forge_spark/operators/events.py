@@ -861,3 +861,128 @@ SELECT user, r_day, f_events, m_cents,
        CAST(m_bucket AS INT) AS m_bucket,
        CAST(r_bucket * 100 + f_bucket * 10 + m_bucket AS INT) AS segment
 FROM bucketed"""
+
+
+def position_attribution(
+    df: DataFrame,
+    conversion_type: str,
+    window_us: int = 7 * 86_400_000_000,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the
+    standard 40/20/40 marketing credit model, made engine-exact: for
+    each conversion event, the user's preceding touches inside the
+    lookback window form the path; one touch takes the full credit,
+    two take half each, and with n >= 3 the first and last take
+    400000 ppm each while the middles split 200000 ppm by
+    LARGEST-REMAINDER integer seats (earliest middles get the
+    remainder — the neyman_allocation discipline, so every
+    conversion's credits sum to EXACTLY 1000000).
+
+    One per-user range join (touch to conversions within the window —
+    fan-out bounded by user activity, never cross-user) + one
+    per-conversion rank window.  All epoch-micros BIGINT.
+
+    Output: (user, conv_id, touch_id, position, n_touches,
+    credit_ppm).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).alias("eid"),
+    )
+    convs = base.where(F.col("k") == conversion_type).select(
+        "u", F.col("us").alias("cus"), F.col("eid").alias("conv_id")
+    )
+    touches = base.where(F.col("k") != conversion_type).select(
+        "u", F.col("us").alias("tus"), F.col("eid").alias("touch_id")
+    )
+    joined = convs.join(touches, "u").where(
+        (F.col("tus") < F.col("cus"))
+        & (F.col("tus") >= F.col("cus") - F.lit(window_us))
+    )
+    w = Window.partitionBy("u", "conv_id").orderBy("tus", "touch_id")
+    ranked = (
+        joined.withColumn("position", F.row_number().over(w))
+        .withColumn(
+            "n_touches",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("u", "conv_id").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    n = F.col("n_touches")
+    pos = F.col("position")
+    mid_base = F.expr("200000 DIV (n_touches - 2)")
+    mid_rem = F.lit(200_000) - mid_base * (n - 2)
+    credit = (
+        F.when(n == 1, F.lit(1_000_000))
+        .when(n == 2, F.lit(500_000))
+        .when(pos == 1, F.lit(400_000))
+        .when(pos == n, F.lit(400_000))
+        .otherwise(
+            mid_base + F.when(pos - 1 <= mid_rem, F.lit(1)).otherwise(F.lit(0))
+        )
+    )
+    return ranked.select(
+        F.col("u").alias("user"),
+        "conv_id",
+        "touch_id",
+        F.col("position").cast("int").alias("position"),
+        F.col("n_touches").cast("long").alias("n_touches"),
+        credit.cast("long").alias("credit_ppm"),
+    )
+
+
+def sql_position_attribution(
+    source_sql: str,
+    conversion_type: str,
+    window_us: int = 7 * 86_400_000_000,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB oracle for :func:`position_attribution`."""
+    return f"""WITH base AS (
+  SELECT {user_col} AS u, {type_col} AS k,
+         epoch_us(CAST({ts_col} AS TIMESTAMP)) AS us, {id_col} AS eid
+  FROM ({source_sql})
+),
+convs AS (SELECT u, us AS cus, eid AS conv_id FROM base
+          WHERE k = '{conversion_type}'),
+touches AS (SELECT u, us AS tus, eid AS touch_id FROM base
+            WHERE k <> '{conversion_type}'),
+joined AS (
+  SELECT c.u, c.conv_id, c.cus, t.tus, t.touch_id
+  FROM convs c JOIN touches t ON t.u = c.u
+  WHERE t.tus < c.cus AND t.tus >= c.cus - {window_us}
+),
+ranked AS (
+  SELECT u, conv_id, touch_id,
+    row_number() OVER (PARTITION BY u, conv_id ORDER BY tus, touch_id)
+      AS position,
+    count(*) OVER (PARTITION BY u, conv_id) AS n_touches
+  FROM joined
+)
+SELECT u AS user, conv_id, touch_id, CAST(position AS INT) AS position,
+  CAST(n_touches AS BIGINT) AS n_touches,
+  CAST(CASE
+    WHEN n_touches = 1 THEN 1000000
+    WHEN n_touches = 2 THEN 500000
+    WHEN position = 1 THEN 400000
+    WHEN position = n_touches THEN 400000
+    ELSE 200000 // (n_touches - 2)
+         + CASE WHEN position - 1 <=
+                     200000 - (200000 // (n_touches - 2)) * (n_touches - 2)
+                THEN 1 ELSE 0 END
+  END AS BIGINT) AS credit_ppm
+FROM ranked"""

@@ -13753,7 +13753,30 @@ def sql_rfm_segments_q() -> str:
     return sql_rfm_segments("SELECT user_id, ts, value FROM events")
 
 
+def q_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution (operators/events.py
+    position_attribution): 40/20/40 credit over each purchase's
+    7-day touch path, middles split by LARGEST-REMAINDER integer
+    seats so every conversion's credits sum to exactly 1e6 ppm — the
+    marketing-credit table, engine-exact."""
+    from nexus_forge_spark.operators.events import position_attribution
+
+    return position_attribution(
+        load_table(spark, "events", sf_dir), conversion_type="purchase"
+    )
+
+
+def sql_attribution_credits() -> str:
+    from nexus_forge_spark.operators.events import sql_position_attribution
+
+    return sql_position_attribution(
+        "SELECT event_id, ts, user_id, event_type FROM events",
+        conversion_type="purchase",
+    )
+
+
 QUERIES = {
+    "attribution_credits": (q_attribution_credits, sql_attribution_credits),
     "rfm_segments": (q_rfm_segments, sql_rfm_segments_q),
     "kg_temporal_conflicts": (q_kg_temporal_conflicts, sql_kg_temporal_conflicts),
     "dbscan_embeddings": (q_dbscan_embeddings, sql_dbscan_embeddings),

@@ -701,3 +701,75 @@ def test_rfm_matches_duckdb(spark):
     sql = sql_rfm_segments(f"SELECT * FROM (VALUES {ev}) AS t(user_id, ts, value)")
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+# ------------------------------------------------------- attribution
+
+
+def test_position_attribution_credits_sum_exactly(spark):
+    from pyspark.sql import functions as F
+
+    from nexus_forge_spark.operators.events import position_attribution
+
+    rows = [
+        # user 1: 5 touches then purchase -> 40/m/m/m/40 with middles
+        # splitting 200000 by largest remainder (66667, 66667, 66666)
+        (1, "1970-01-01 01:00:00", 1, "view"),
+        (2, "1970-01-01 02:00:00", 1, "click"),
+        (3, "1970-01-01 03:00:00", 1, "view"),
+        (4, "1970-01-01 04:00:00", 1, "click"),
+        (5, "1970-01-01 05:00:00", 1, "view"),
+        (6, "1970-01-01 06:00:00", 1, "purchase"),
+        # user 2: single touch -> full credit; user 3: two -> halves
+        (7, "1970-01-02 01:00:00", 2, "view"),
+        (8, "1970-01-02 02:00:00", 2, "purchase"),
+        (9, "1970-01-03 01:00:00", 3, "view"),
+        (10, "1970-01-03 02:00:00", 3, "click"),
+        (11, "1970-01-03 03:00:00", 3, "purchase"),
+        # touch OUTSIDE the window never credits
+        (12, "1969-12-01 01:00:00", 1, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = position_attribution(df, "purchase").collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    # exact-sum invariant per conversion
+    for conv, rs in by_conv.items():
+        assert sum(r.credit_ppm for r in rs) == 1_000_000, conv
+    u1 = sorted(by_conv[6], key=lambda r: r.position)
+    assert [r.credit_ppm for r in u1] == [400000, 66667, 66667, 66666, 400000]
+    assert [r.credit_ppm for r in by_conv[8]] == [1_000_000]
+    assert sorted(r.credit_ppm for r in by_conv[11]) == [500000, 500000]
+    assert all(r.touch_id != 12 for r in out)
+
+
+def test_position_attribution_matches_duckdb(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from nexus_forge_spark.operators.events import (
+        position_attribution,
+        sql_position_attribution,
+    )
+
+    rows = [
+        (i, f"1970-01-{1 + i % 9:02d} {i % 24:02d}:00:00", i % 4,
+         ["view", "click", "purchase"][i % 3])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(tuple(r) for r in position_attribution(df, "purchase").collect())
+    ev = ", ".join(
+        f"({i}, TIMESTAMP '{t}', {u}, '{k}')" for i, t, u, k in rows
+    )
+    sql = sql_position_attribution(
+        f"SELECT * FROM (VALUES {ev}) AS t(event_id, ts, user_id, event_type)",
+        "purchase",
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
