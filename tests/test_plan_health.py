@@ -816,3 +816,45 @@ def test_asof_cutoff_pushes_to_scan(spark, sf01):
     w = plan.index("Window")
     f = plan.index("unix_micros")  # the filter references the micros expr
     assert f > w  # plan prints top-down: the filter is BELOW the window
+
+
+def test_budget_pack_no_single_partition_window(spark, sf01):
+    """The global token prefix sum must come from range repartition +
+    per-partition offsets, never a SinglePartition global window."""
+    from nexus_forge_spark.plans.driver_queries import q_budget_pack
+
+    df = q_budget_pack(spark, sf01)
+    plan = plan_of(df, execute=True)
+    assert "SinglePartition" not in plan
+
+
+def test_winnowing_window_partitioned_by_doc(spark, sf01):
+    """Winnowing's argmin windows are doc-partitioned (parallel across
+    docs) — no global ordering anywhere in the plan."""
+    from nexus_forge_spark.plans.driver_queries import q_winnowing_fp
+
+    df = q_winnowing_fp(spark, sf01)
+    plan = plan_of(df, execute=True)
+    assert "SinglePartition" not in plan
+    assert "Window" in plan and "doc_id" in plan
+
+
+def test_mutual_information_single_cell_scan(spark, sf01):
+    """MI reads the fact side once: one hash-aggregate lineage for the
+    cell table; the marginal re-aggregates consume the cells, not the
+    corpus (exactly 1 scan of the customer table)."""
+    from nexus_forge_spark.plans.driver_queries import q_mi_segment_nation
+
+    df = q_mi_segment_nation(spark, sf01)
+    plan = plan_of(df, execute=True)
+    assert plan.count("FileScan parquet") <= 3  # customer + nation (+reuse)
+
+
+def test_attribution_join_is_per_user(spark, sf01):
+    """Attribution's touch-to-conversion range join must be keyed on the
+    user (hash join on u), never a cross join."""
+    from nexus_forge_spark.plans.driver_queries import q_attribution_credits
+
+    df = q_attribution_credits(spark, sf01)
+    plan = plan_of(df, execute=True)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
