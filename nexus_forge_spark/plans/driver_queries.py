@@ -13775,7 +13775,37 @@ def sql_attribution_credits() -> str:
     )
 
 
+def q_rfm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental RFM maintenance (operators/events.py rfm_state /
+    fold_rfm_state): three event_id%3 batches folded in a shuffled
+    order, graded against the FULL-recompute oracle — hash equality
+    IS fold==recompute, the repo's incremental-family invariant (the
+    per-user state is max/sum/sum, associative+commutative, so any
+    arrival order reproduces the batch answer)."""
+    from nexus_forge_spark.operators.events import fold_rfm_state, rfm_state
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    state = rfm_state(ev.where(F.col("event_id") % 3 == 1))
+    for b in (2, 0):
+        state = fold_rfm_state(
+            state, rfm_state(ev.where(F.col("event_id") % 3 == b))
+        ).localCheckpoint(eager=True)
+    return state
+
+
+def sql_rfm_incremental() -> str:
+    return """SELECT user_id AS user,
+       CAST(max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS BIGINT)
+         AS r_day,
+       CAST(count(*) AS BIGINT) AS f_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+FROM events GROUP BY user_id"""
+
+
 QUERIES = {
+    "rfm_incremental": (q_rfm_incremental, sql_rfm_incremental),
     "attribution_credits": (q_attribution_credits, sql_attribution_credits),
     "rfm_segments": (q_rfm_segments, sql_rfm_segments_q),
     "kg_temporal_conflicts": (q_kg_temporal_conflicts, sql_kg_temporal_conflicts),

@@ -773,3 +773,26 @@ def test_position_attribution_matches_duckdb(spark):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_rfm_fold_equals_recompute_any_order(spark):
+    from pyspark.sql import functions as F
+
+    from nexus_forge_spark.operators.events import fold_rfm_state, rfm_state
+
+    rows = [
+        (i, f"1970-01-{1 + i % 20:02d} 09:00:00", i % 5, float(i % 7) + 0.5)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    full = sorted(tuple(r) for r in rfm_state(df).collect())
+    for order in ([0, 1, 2], [2, 0, 1]):
+        state = rfm_state(df.where(F.col("event_id") % 3 == order[0]))
+        for b in order[1:]:
+            state = fold_rfm_state(
+                state, rfm_state(df.where(F.col("event_id") % 3 == b))
+            )
+        got = sorted(tuple(r) for r in state.collect())
+        assert got == full, order
