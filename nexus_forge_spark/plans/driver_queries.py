@@ -13804,7 +13804,62 @@ def sql_rfm_incremental() -> str:
 FROM events GROUP BY user_id"""
 
 
+def q_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watts-Strogatz local clustering coefficients (operators/
+    graph.py clustering_coefficients) over the near-dup pair graph:
+    per-node cohesion in integer ppm — high C inside dense duplicate
+    clusters, low C at star-shaped hubs worth auditing.  Reuses the
+    degree-ordered triangle enumeration; BIGINT truncating DIV."""
+    from nexus_forge_spark.operators.graph import clustering_coefficients
+
+    pairs = q_dedup_minhash(spark, sf_dir).select("a", "b")
+    return clustering_coefficients(pairs)
+
+
+def sql_clustering_coefficients() -> str:
+    return rf"""WITH pr AS (SELECT a, b FROM ({sql_dedup_minhash()})),
+und AS (
+  SELECT DISTINCT greatest(a, b) AS p, least(a, b) AS q
+  FROM pr WHERE a <> b
+),
+sym AS (SELECT p, q FROM und UNION ALL SELECT q AS p, p AS q FROM und),
+deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY p),
+o AS (
+  SELECT s.p AS lo, s.q AS hi
+  FROM sym s
+  JOIN deg d1 ON d1.p = s.p
+  JOIN deg d2 ON d2.p = s.q
+  WHERE d1.d < d2.d OR (d1.d = d2.d AND s.p < s.q)
+),
+tri AS (
+  SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+  FROM o e1
+  JOIN o e2 ON e2.lo = e1.hi
+  JOIN o e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+corners AS (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+),
+cc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       FROM corners GROUP BY node),
+nodes AS (SELECT lo AS node FROM o UNION SELECT hi FROM o)
+SELECT CAST(n.node AS BIGINT) AS node,
+  CAST(d.d AS BIGINT) AS deg,
+  CAST(coalesce(cc.n_triangles, 0) AS BIGINT) AS n_triangles,
+  CAST(CASE WHEN d.d < 2 THEN 0
+       ELSE (2 * coalesce(cc.n_triangles, 0) * 1000000) // (d.d * (d.d - 1))
+       END AS BIGINT) AS cc_ppm
+FROM nodes n JOIN deg d ON d.p = n.node
+LEFT JOIN cc ON cc.node = n.node"""
+
+
 QUERIES = {
+    "clustering_coefficients": (
+        q_clustering_coefficients,
+        sql_clustering_coefficients,
+    ),
     "rfm_incremental": (q_rfm_incremental, sql_rfm_incremental),
     "attribution_credits": (q_attribution_credits, sql_attribution_credits),
     "rfm_segments": (q_rfm_segments, sql_rfm_segments_q),

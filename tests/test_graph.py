@@ -934,3 +934,19 @@ def test_densest_subgraph_matches_duckdb(spark):
         eps_num=11, eps_den=10, rounds=15)
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+# --------------------------------------------- clustering coefficients
+
+
+def test_clustering_coefficients_triangle_vs_star(spark):
+    from nexus_forge_spark.operators.graph import clustering_coefficients
+
+    # triangle abc: C=1 everywhere; star hub h->3 leaves: C(h)=0
+    rows = [("a", "b"), ("b", "c"), ("a", "c"),
+            ("h", "x"), ("h", "y"), ("h", "z")]
+    e = spark.createDataFrame(rows, "a string, b string")
+    out = {r.node: r for r in clustering_coefficients(e).collect()}
+    assert out["a"].cc_ppm == 1_000_000 and out["a"].deg == 2
+    assert out["h"].cc_ppm == 0 and out["h"].deg == 3
+    assert out["x"].cc_ppm == 0  # deg 1 -> 0 by convention
