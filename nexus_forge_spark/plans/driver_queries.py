@@ -38,6 +38,97 @@ def _lnq(x: str) -> str:
 def _l2micro(l2: str) -> str:
     return micro_from_l2_sql(l2, "duck")
 
+
+# --------------------------------------------------------------------------
+# Version-stable oracle SQL for the intlog family (round-4 hardening).
+#
+# Round 3's one driver-red cell (kn_bigram_nll) was a hash-only mismatch that
+# passes locally on DuckDB 1.0.0 — every INDIVIDUAL construct in its oracle
+# (list_reduce fold, bin() bit length, shifts, LATERAL unnest, string split)
+# is cleared by some driver-GREEN oracle, so the drift class is the query
+# SHAPE: deeply nested single-expression folds inside a multi-join SELECT
+# that a different DuckDB release's optimizer may rewrite.  These helpers
+# re-express the same bit-exact integer algorithms in the maximally
+# version-stable subset — pure comparisons, '*', '//', '%', CASE, explicit
+# ON/CROSS joins, one MATERIALIZED CTE per fold step — with NO lambdas, NO
+# bin(), NO shift operators.  Values are proven identical to the
+# functions/intlog.py Python reference (tests/test_intlog.py) and to the old
+# rendering (tests/test_oracle_portable.py), so the Spark side is untouched.
+
+
+def _bl_case(col: str) -> str:
+    """Bit length of a non-negative BIGINT via pure comparisons —
+    value-identical to length(bin(x)) for x >= 1 (and to bit_length 1 for
+    x = 0, matching bin(0) = '0')."""
+    whens = " ".join(f"WHEN {col} < {1 << k} THEN {k}" for k in range(1, 63))
+    return f"(CASE {whens} ELSE 63 END)"
+
+
+def _p2_case(bl_col: str, lo: int, hi: int, expo) -> str:
+    """CASE mapping a bit-length column to the power-of-two constant
+    2**expo(bl) for bl in [lo, hi] — replaces variable-amount shifts."""
+    whens = " ".join(
+        f"WHEN {bl_col} = {bl} THEN {1 << expo(bl)}" for bl in range(lo, hi + 1)
+    )
+    return f"(CASE {whens} END)"
+
+
+def _q30_div_portable(a: str, b: str, bl_col: str) -> str:
+    """intlog.q30_div_sql re-expressed without bin()/shifts: floor-ish
+    (a * 2^30 / b), overflow-safe, bit-identical to q30_div_py.  ``bl_col``
+    must hold _bl_case(a)."""
+    big_up = _p2_case(bl_col, 33, 62, lambda bl: 62 - bl)
+    big_dn = _p2_case(bl_col, 33, 62, lambda bl: bl - 32)
+    return (
+        f"(CASE WHEN {bl_col} <= 32 THEN ({a} * 1073741824) // {b}"
+        f" ELSE ({a} * {big_up}) // greatest({b} // {big_dn}, 1) END)"
+    )
+
+
+def _lnq30_unrolled_ctes(
+    prefix: str, src: str, carry: list[str], x: str, out: str
+) -> tuple[str, str]:
+    """Unrolled fixed-point Q30 log2 (intlog.lnq30_py) as a chain of
+    MATERIALIZED CTEs: normalize the mantissa, then 30 squaring steps, each
+    its own single-reference CTE so no engine's projection-merge can blow
+    the expression up exponentially.  Returns (cte_sql, final_cte_name);
+    the final CTE carries ``carry`` plus ``out`` (the Q30 log2 of ``x``).
+    Bit-identical to lnq30_sql/lnq30_py for x >= 1."""
+    cols = ", ".join(carry)
+    q30, q31 = 1_073_741_824, 2_147_483_648
+    norm_up = _p2_case("__bl", 1, 31, lambda bl: 31 - bl)
+    norm_dn = _p2_case("__bl", 32, 63, lambda bl: bl - 31)
+    parts = [
+        f"{prefix}_n0 AS MATERIALIZED (\n"
+        f"  SELECT {cols}, CAST({x} AS BIGINT) AS __x,"
+        f" {_bl_case(f'CAST({x} AS BIGINT)')} AS __bl FROM {src}\n)",
+        f"{prefix}_n1 AS MATERIALIZED (\n"
+        f"  SELECT {cols}, __bl,"
+        f" (CASE WHEN __bl <= 31 THEN __x * {norm_up}"
+        f" ELSE __x // {norm_dn} END) * {q30} AS __acc FROM {prefix}_n0\n)",
+    ]
+    prev = f"{prefix}_n1"
+    for k in range(1, 31):
+        name = f"{prefix}_s{k}"
+        s = f"((__acc // {q30}) * (__acc // {q30})) // {q30}"
+        parts.append(
+            f"{name} AS MATERIALIZED (\n"
+            f"  SELECT {cols}, __bl,"
+            f" CASE WHEN {s} >= {q31}"
+            f" THEN (({s}) // 2) * {q30} + ((__acc % {q30}) * 2 + 1)"
+            f" ELSE ({s}) * {q30} + (__acc % {q30}) * 2 END AS __acc"
+            f" FROM {prev}\n)"
+        )
+        prev = name
+    final = f"{prefix}_fin"
+    parts.append(
+        f"{final} AS MATERIALIZED (\n"
+        f"  SELECT {cols},"
+        f" CAST(__bl - 1 AS BIGINT) * {q30} + (__acc % {q30}) AS {out}"
+        f" FROM {prev}\n)"
+    )
+    return ",\n".join(parts), final
+
 # vendored public SHACL fixtures (tests/data/README.md) — no runtime
 # dependency on the reference checkout
 import os as _os
@@ -4880,45 +4971,67 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_bigram_nll() -> str:
+    # Version-stable rendering — see sql_kn_bigram_nll and the round-4
+    # hardening note above.
     lam = _BIGRAM_LAM_PPM
     oml = 1_000_000 - _BIGRAM_LAM_PPM
     q30x30 = 30 * 1_073_741_824
-    return rf"""WITH base AS (
+    ln_ctes, ln_fin = _lnq30_unrolled_ctes(
+        "bg", "rates1", ["doc_id", "prev", "w"], "pq", "l2p"
+    )
+    return rf"""WITH base AS MATERIALIZED (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
   WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT doc_id, t[i] AS prev, t[i+1] AS w
   FROM base, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
 ),
-toks AS (
+toks AS MATERIALIZED (
   SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents
 ),
-cu AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
-total AS (SELECT sum(cu) AS n_total FROM cu),
-cb AS (SELECT prev, w, count(*) AS cb FROM pairs GROUP BY prev, w),
-cp AS (SELECT prev, sum(cb) AS cp FROM cb GROUP BY prev),
-rates0 AS (
+cu AS MATERIALIZED (SELECT w, count(*) AS cu FROM toks GROUP BY w),
+total AS MATERIALIZED (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM cu),
+cb AS MATERIALIZED (SELECT prev, w, count(*) AS cb FROM pairs GROUP BY prev, w),
+cp AS MATERIALIZED (SELECT prev, sum(cb) AS cp FROM cb GROUP BY prev),
+j0 AS MATERIALIZED (
+  SELECT cb.prev AS prev, cb.w AS w,
+    CAST(cb.cb AS BIGINT) AS cb,
+    CAST(cp.cp AS BIGINT) AS cp,
+    CAST(cu.cu AS BIGINT) AS cu,
+    total.n_total AS n_total
+  FROM cb
+  JOIN cp ON cb.prev = cp.prev
+  JOIN cu ON cb.w = cu.w
+  CROSS JOIN total
+),
+j1 AS MATERIALIZED (
+  SELECT prev, w, cb, cp, cu, n_total,
+    {_bl_case('cb')} AS blb, {_bl_case('cu')} AS blu
+  FROM j0
+),
+j2 AS MATERIALIZED (
   SELECT prev, w,
-    {q30_div_sql('cb', 'cp', 'duck')} AS q1,
-    {q30_div_sql('cu', 'n_total', 'duck')} AS q2
-  FROM cb JOIN cp USING (prev) JOIN cu USING (w), total
+    {_q30_div_portable('cb', 'cp', 'blb')} AS q1,
+    {_q30_div_portable('cu', 'n_total', 'blu')} AS q2
+  FROM j1
 ),
-rates1 AS (
-  SELECT prev, w, greatest(({lam} * q1 + {oml} * q2) // 1000000, 1) AS pq
-  FROM rates0
+rates0 AS MATERIALIZED (
+  SELECT pairs.doc_id AS doc_id, pairs.prev AS prev, pairs.w AS w,
+    greatest(({lam} * j2.q1 + {oml} * j2.q2) // 1000000, 1) AS pq
+  FROM pairs JOIN j2 ON pairs.prev = j2.prev AND pairs.w = j2.w
 ),
-rates2 AS (SELECT prev, w, {_lnq('pq')} AS l2p FROM rates1),
-rates AS (
-  SELECT prev, w, CAST({_l2micro(f'({q30x30} - l2p)')} AS BIGINT) AS nll_micro
-  FROM rates2
-),
-scored AS (
-  SELECT p.doc_id, nll_micro FROM pairs p JOIN rates USING (prev, w)
+rates1 AS MATERIALIZED (SELECT doc_id, prev, w, pq FROM rates0),
+{ln_ctes},
+scored AS MATERIALIZED (
+  SELECT doc_id,
+    CAST({_l2micro(f'({q30x30} - l2p)')} AS BIGINT) AS nll_micro
+  FROM {ln_fin}
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-  sum(nll_micro) AS sum_nll_micro,
-  CAST(sum(nll_micro) // count(*) AS BIGINT) AS mean_nll_micro
+  CAST(sum(nll_micro) AS BIGINT) AS sum_nll_micro,
+  CAST(CAST(sum(nll_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT)
+    AS mean_nll_micro
 FROM scored GROUP BY doc_id"""
 
 
@@ -12946,44 +13059,68 @@ def q_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_kn_bigram_nll() -> str:
+    # Version-stable rendering (see the round-4 hardening note above):
+    # identical integer algorithm to the Spark operator, expressed with
+    # explicit ON/CROSS joins, comparison-CASE bit lengths, multiplicative
+    # q30_div, and the unrolled MATERIALIZED lnq30 chain.
     q30x30 = 30 * 1_073_741_824
     d_num, d_den = 3, 4
-    return rf"""WITH base AS (
+    ln_ctes, ln_fin = _lnq30_unrolled_ctes(
+        "kn", "rates1", ["doc_id", "prev", "w"], "pq", "l2p"
+    )
+    return rf"""WITH base AS MATERIALIZED (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
   WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT doc_id, t[i] AS prev, t[i+1] AS w
   FROM base, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
 ),
-cb AS (SELECT prev, w, count(*) AS cb FROM pairs GROUP BY prev, w),
-cp AS (SELECT prev, sum(cb) AS cp, count(*) AS nf FROM cb GROUP BY prev),
-nb AS (SELECT w, count(*) AS nb FROM cb GROUP BY w),
-tt AS (SELECT count(*) AS tt FROM cb),
-rates0 AS (
-  SELECT prev, w,
-    greatest({d_den} * cb - {d_num}, 0) AS disc,
-    {d_den} * cp AS dcp, nf, nb, tt
-  FROM cb JOIN cp USING (prev) JOIN nb USING (w), tt
+cb AS MATERIALIZED (SELECT prev, w, count(*) AS cb FROM pairs GROUP BY prev, w),
+cp AS MATERIALIZED (
+  SELECT prev, sum(cb) AS cp, count(*) AS nf FROM cb GROUP BY prev
 ),
-rates1 AS (
-  SELECT prev, w,
-    greatest({q30_div_sql('disc', 'dcp', 'duck')}
-             + ({d_num} * nf * {q30_div_sql('nb', 'tt', 'duck')}) // dcp,
-             1) AS pq
-  FROM rates0
+nb AS MATERIALIZED (SELECT w, count(*) AS nb FROM cb GROUP BY w),
+tt AS MATERIALIZED (SELECT count(*) AS tt FROM cb),
+j0 AS MATERIALIZED (
+  SELECT cb.prev AS prev, cb.w AS w,
+    CAST(greatest({d_den} * cb.cb - {d_num}, 0) AS BIGINT) AS disc,
+    CAST({d_den} * cp.cp AS BIGINT) AS dcp,
+    CAST(cp.nf AS BIGINT) AS nf,
+    CAST(nb.nb AS BIGINT) AS nb,
+    CAST(tt.tt AS BIGINT) AS tt
+  FROM cb
+  JOIN cp ON cb.prev = cp.prev
+  JOIN nb ON cb.w = nb.w
+  CROSS JOIN tt
 ),
-rates2 AS (SELECT prev, w, {_lnq('pq')} AS l2p FROM rates1),
-rates AS (
-  SELECT prev, w, CAST({_l2micro(f'({q30x30} - l2p)')} AS BIGINT) AS nll_micro
-  FROM rates2
+j1 AS MATERIALIZED (
+  SELECT prev, w, disc, dcp, nf, nb, tt,
+    {_bl_case('disc')} AS bld, {_bl_case('nb')} AS bln
+  FROM j0
 ),
-scored AS (
-  SELECT p.doc_id, nll_micro FROM pairs p JOIN rates USING (prev, w)
+j2 AS MATERIALIZED (
+  SELECT prev, w, dcp, nf,
+    {_q30_div_portable('disc', 'dcp', 'bld')} AS q1,
+    {_q30_div_portable('nb', 'tt', 'bln')} AS pc
+  FROM j1
+),
+rates0 AS MATERIALIZED (
+  SELECT pairs.doc_id AS doc_id, pairs.prev AS prev, pairs.w AS w,
+    greatest(j2.q1 + ({d_num} * j2.nf * j2.pc) // j2.dcp, 1) AS pq
+  FROM pairs JOIN j2 ON pairs.prev = j2.prev AND pairs.w = j2.w
+),
+rates1 AS MATERIALIZED (SELECT doc_id, prev, w, pq FROM rates0),
+{ln_ctes},
+scored AS MATERIALIZED (
+  SELECT doc_id,
+    CAST({_l2micro(f'({q30x30} - l2p)')} AS BIGINT) AS nll_micro
+  FROM {ln_fin}
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-  sum(nll_micro) AS sum_nll_micro,
-  CAST(sum(nll_micro) // count(*) AS BIGINT) AS mean_nll_micro
+  CAST(sum(nll_micro) AS BIGINT) AS sum_nll_micro,
+  CAST(CAST(sum(nll_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT)
+    AS mean_nll_micro
 FROM scored GROUP BY doc_id"""
 
 

@@ -50,8 +50,13 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main(only: list[str] | None = None, tz: str | None = None,
-         json_path: str | None = None) -> int:
+         json_path: str | None = None, ansi: str | None = None) -> int:
     spark = get_spark("oracle-check", shuffle_partitions=16)
+    if ansi is not None:
+        # Env-matrix axis: the driver's Spark session may run with ANSI SQL
+        # mode either way (Spark 4 flipped the default to on); every
+        # contract query must produce identical values under both.
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
     if tz:
         # Simulate a DRIVER session that does not run in UTC: queries must
         # still hash-match the (timezone-free) DuckDB oracle because
@@ -141,12 +146,14 @@ def main(only: list[str] | None = None, tz: str | None = None,
 
 
 if __name__ == "__main__":
-    _tz, _json, _names = None, None, []
+    _tz, _json, _ansi, _names = None, None, None, []
     for a in sys.argv[1:]:
         if a.startswith("--tz="):
             _tz = a[5:]
         elif a.startswith("--json="):
             _json = a[7:]
+        elif a.startswith("--ansi="):
+            _ansi = a[7:]
         else:
             _names.append(a)
-    sys.exit(main(_names or None, tz=_tz, json_path=_json))
+    sys.exit(main(_names or None, tz=_tz, json_path=_json, ansi=_ansi))
