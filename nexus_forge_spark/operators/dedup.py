@@ -208,6 +208,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     id_col: str = "doc_id",
     materialize: bool = True,
+    two_tier: bool = False,
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket are candidates.
     Returns distinct (a, b) with a < b.
@@ -219,9 +220,43 @@ def lsh_candidate_pairs(
     materialize=True localCheckpoints the signatures before the self-join —
     otherwise both join sides recompute the whole signature subtree
     (measured: the join was 30x slower without it).
+
+    two_tier=True is the boilerplate-heavy-crawl discipline (the one the
+    hamming family already applies, see hamming_pairs): k documents with
+    IDENTICAL signatures collide in every band, so the plain band join
+    emits the O(k^2) clique.  The two-tier form first elects one
+    representative per distinct signature (one map-side-combinable
+    groupBy), emits the k-1 star edges (rep, member), and runs the band
+    join over distinct signatures only — candidate count is linear in the
+    cluster size, and the candidate graph is COMPONENT-EQUAL to the
+    clique form (star spans the same-signature cluster; any cross-cluster
+    band collision survives via the representatives, which carry the same
+    signatures).  Use it when the consumer is a clustering/components
+    pass; the pairwise-verify consumers keep the exact clique because a
+    verify filter may drop star edges while keeping clique edges.
     """
     if materialize:
         sigs = sigs.localCheckpoint(eager=True)
+    if two_tier:
+        keyed = sigs.select(
+            id_col,
+            "sig",
+            F.array_join(
+                F.transform("sig", lambda x: x.cast("string")), "|"
+            ).alias("__sk"),
+        )
+        reps = keyed.groupBy("__sk").agg(F.min(id_col).alias("__rep"))
+        joined = keyed.join(reps, "__sk")
+        star = joined.where(F.col(id_col) != F.col("__rep")).select(
+            F.col("__rep").alias("a"), F.col(id_col).alias("b")
+        )
+        rep_sigs = joined.where(F.col(id_col) == F.col("__rep")).select(
+            id_col, "sig"
+        )
+        rep_pairs = lsh_candidate_pairs(
+            rep_sigs, bands, rows_per_band, id_col, materialize=False
+        )
+        return star.unionByName(rep_pairs).distinct()
     banded = lsh_band_table(sigs, bands, rows_per_band, id_col)
     l = banded.alias("l")
     r = banded.alias("r")

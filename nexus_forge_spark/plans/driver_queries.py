@@ -3924,6 +3924,79 @@ SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id
 FROM reach GROUP BY n"""
 
 
+def q_dedup_twotier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier LSH candidate generation (operators/dedup.py
+    lsh_candidate_pairs two_tier=True): identical-signature clusters are
+    collapsed to one representative before the band join — k copies of a
+    boilerplate page cost k-1 star edges instead of the O(k^2) clique a
+    RefinedWeb-style crawl would otherwise pay — then connected components
+    over the RAW candidate graph.  The oracle builds the naive CLIQUE
+    candidate graph and runs the same components, so hash-equality proves
+    the two-tier candidate graph is component-equal to the quadratic one."""
+    from nexus_forge_spark.operators import dedup as D
+    from nexus_forge_spark.operators.canonicalize import connected_components
+
+    docs = _docs_with_mutants(spark, sf_dir)
+    sigs = D.minhash_signatures(docs, num_hashes=_MINHASH_K, shingle_n=2)
+    cand = D.lsh_candidate_pairs(
+        sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_ROWS, two_tier=True
+    )
+    comp = connected_components(cand)
+    return comp.select(
+        F.col("entity_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+def sql_dedup_twotier() -> str:
+    # Naive clique candidates (no two-tier) + recursive components: the
+    # Spark side's star+representative graph must land in identical
+    # components.
+    k, bands, rows = _MINHASH_K, _MINHASH_BANDS, _MINHASH_ROWS
+    return f"""WITH RECURSIVE {_MUTANT_DOCS_SQL},
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM docs
+),
+shingles AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 2 THEN
+      list_distinct([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))])
+    ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+),
+grams AS (SELECT doc_id, unnest(sh) AS g FROM shingles),
+hashed AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS h1,
+    ('0x' || substr(md5(g), 17, 15))::BIGINT % 2147483647 AS h2
+  FROM grams
+),
+mh AS (
+  SELECT doc_id, i, min((h1 + i * h2) % 2147483647) AS m
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS i)
+  GROUP BY doc_id, i
+),
+sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY doc_id),
+bandtab AS (
+  SELECT doc_id, b,
+    array_to_string(list_transform(s[b*{rows}+1:b*{rows}+{rows}], x -> CAST(x AS VARCHAR)), '|') AS key
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS b)
+),
+p AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bandtab l JOIN bandtab r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+),
+edges AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+)
+SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id
+FROM reach GROUP BY n"""
+
+
 def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental canonicalization: components are first built over the
     original-docs near-dup edges only, then the mutant-involving edges
@@ -14241,6 +14314,7 @@ QUERIES = {
     "sessionize_events": (q_sessionize_events, sql_sessionize_events),
     "asof_view_purchase": (q_asof_view_purchase, sql_asof_view_purchase),
     "dedup_components": (q_dedup_components, sql_dedup_components),
+    "dedup_twotier_components": (q_dedup_twotier, sql_dedup_twotier),
     "stream_window_counts": (q_stream_window_counts, sql_stream_window_counts),
     "stream_sessions": (q_stream_sessions, sql_stream_sessions),
     "stream_dedup": (q_stream_dedup, sql_stream_dedup),

@@ -37,6 +37,48 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 4) not in pairs
 
 
+def test_two_tier_candidate_count_linear_on_identical_cluster(spark):
+    """A boilerplate-heavy crawl: 2000 identical copies of one page plus a
+    handful of distinct docs.  The clique band join would emit ~2M pairs
+    for the cluster; the two-tier form must emit exactly k-1 star edges
+    for it — linear — while keeping the same connected components."""
+    k = 2000
+    rows = [(i, "cookie banner accept all cookies to continue") for i in range(k)]
+    rows += [
+        (100000, "the quick brown fox jumps over the lazy dog"),
+        (100001, "quick brown fox jumps over the lazy dog"),
+        (100002, "completely different content about spark engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signatures(docs, num_hashes=16, shingle_n=2)
+
+    two = D.lsh_candidate_pairs(sigs, two_tier=True)
+    pairs = [(r.a, r.b) for r in two.collect()]
+    cluster_pairs = [p for p in pairs if p[0] < k and p[1] < k]
+    # star: exactly k-1 edges, all anchored at the min-id representative
+    assert len(cluster_pairs) == k - 1
+    assert all(a == 0 for a, _ in cluster_pairs)
+    # cross-signature collisions survive via the representatives
+    assert (100000, 100001) in pairs
+
+    # component-equality vs the clique form on a small slice (the full
+    # clique on 2000 copies is deliberately not materialized)
+    small = docs.where((F.col("doc_id") < 5) | (F.col("doc_id") >= 100000))
+    ssigs = D.minhash_signatures(small, num_hashes=16, shingle_n=2)
+
+    def comps(pairs_df):
+        from nexus_forge_spark.operators.canonicalize import connected_components
+
+        return {
+            (r.entity_id, r.canonical_id)
+            for r in connected_components(pairs_df).collect()
+        }
+
+    assert comps(D.lsh_candidate_pairs(ssigs, two_tier=True)) == comps(
+        D.lsh_candidate_pairs(ssigs)
+    )
+
+
 def test_minhash_estimates_jaccard(spark):
     docs = _docs(spark)
     sigs = {r.doc_id: r.sig for r in D.minhash_signatures(docs, num_hashes=16).collect()}
