@@ -273,6 +273,9 @@ class _Group:
     # { SELECT ... } subqueries: (sub-parser, sub-group); the sub-parser
     # carries the projection/modifier state, the group the pattern
     subqueries: list[tuple["_Parser", "_Group"]] = field(default_factory=list)
+    # GRAPH blocks: (graph term — <iri>/CURIE/?var — , inner group);
+    # compiled only when the store is graph-enabled (graph_col set)
+    graphs: list[tuple[str, "_Group"]] = field(default_factory=list)
 
 
 class _Parser:
@@ -521,18 +524,23 @@ class _Parser:
                     self.i = save
                 g.filters.append(self.parse_parenthesized())
                 continue
-            if t.lower() in ("graph", "service"):
-                # named-graph scoping and federation address OTHER graphs;
-                # this engine holds one logical graph, so fail loudly with
+            if t.lower() == "service":
+                # federation addresses a REMOTE endpoint; fail loudly with
                 # the construct's name instead of mis-parsing it as a
                 # triple term (round-2 VERDICT: document the unsupported
                 # SPARQL surface with clean QueryingErrors)
                 raise QueryingError(
-                    f"{t.upper()} {{ ... }} is not supported: this engine "
-                    "queries a single logical graph (no named graphs, no "
-                    "federation); materialize the remote/named graph into "
-                    "the triples table instead"
+                    "SERVICE { ... } is not supported: this engine "
+                    "queries local tables (no federation); materialize "
+                    "the remote graph into the triples table instead"
                 )
+            if t.lower() == "graph":
+                # named-graph scoping: parse the block; the COMPILER
+                # rejects it with a named error unless the store is
+                # graph-enabled (SparqlToSql(graph_col=...))
+                self.next()
+                g.graphs.append((self.next(), self.parse_group()))
+                continue
             if t.lower() == "minus":
                 self.next()
                 g.minuses.append(self.parse_group())
@@ -794,11 +802,41 @@ class SparqlToSql:
     DuckDB has regexp_matches — everything else is shared SQL.
     """
 
-    def __init__(self, table: str = "triples", dialect: str = "spark"):
+    def __init__(
+        self,
+        table: str = "triples",
+        dialect: str = "spark",
+        graph_col: str | None = None,
+    ):
         self.table = table
         self.dialect = dialect
+        # graph_col enables the quad-store surface: the triples table
+        # carries one extra column naming the graph each row belongs to
+        # (NULL = the default graph).  Patterns outside GRAPH match the
+        # default graph; GRAPH <g> filters to that graph; GRAPH ?g ranges
+        # over the named graphs and binds ?g.  With graph_col=None (the
+        # single-graph store) GRAPH blocks raise a named QueryingError.
+        self.graph_col = graph_col
+        self._graph_ctx: str | None = None
         self._ctes: list[str] = []
-        self._tc_cache: dict[tuple[str, ...], str] = {}
+        self._tc_cache: dict[tuple, str] = {}
+
+    def _scan(self) -> str:
+        """Graph-scoped triples relation for closure CTEs / DESCRIBE: the
+        raw table in single-graph mode; in quad mode, the default graph
+        outside GRAPH blocks and the named graph inside one."""
+        if not self.graph_col:
+            return self.table
+        gc = self.graph_col
+        if self._graph_ctx is None:
+            return f"(SELECT * FROM {self.table} WHERE {gc} IS NULL)"
+        if self._graph_ctx.startswith("?"):
+            raise QueryingError(
+                "property paths inside GRAPH ?var are not supported: "
+                "name the graph (GRAPH <iri> { ... })"
+            )
+        g = _sql_str(_split_iri(self._graph_ctx))
+        return f"(SELECT * FROM {self.table} WHERE {gc} = {g})"
 
     def _with_ctes(self, sql: str) -> str:
         if not self._ctes:
@@ -811,7 +849,11 @@ class SparqlToSql:
         edge relation a sequence closure recurses over.  Each sequence
         element carries (alternative predicates, inverted?); an inverted
         element walks obj->subj."""
-        key = ("seqedge", tuple((tuple(sorted(set(a))), iv) for a, iv in seq))
+        key = (
+            "seqedge",
+            self._graph_ctx,
+            tuple((tuple(sorted(set(a))), iv) for a, iv in seq),
+        )
         if key in self._tc_cache:
             return self._tc_cache[key]
         name = f"__se{len(self._tc_cache)}"
@@ -820,7 +862,7 @@ class SparqlToSql:
         for i, (alts, iv) in enumerate(seq):
             in_list = ", ".join(_sql_str(_split_iri(t)) for t in sorted(set(alts)))
             start, end = ("obj", "subj") if iv else ("subj", "obj")
-            froms.append(f"{self.table} t{i}")
+            froms.append(f"{self._scan()} t{i}")
             conds.append(f"t{i}.pred IN ({in_list})")
             if i == 0:
                 first_start = f"t0.{start}"
@@ -844,9 +886,15 @@ class SparqlToSql:
         return self.table, "subj", "obj"
 
     def _closure_key(self, alts) -> tuple:
+        # graph ctx in the key: the same predicate set closed inside two
+        # different GRAPH scopes is two different edge relations
         if isinstance(alts, tuple) and alts and alts[0] == "seq":
-            return ("seq", tuple((tuple(sorted(set(a))), iv) for a, iv in alts[1]))
-        return tuple(sorted(set(alts)))
+            return (
+                "seq",
+                self._graph_ctx,
+                tuple((tuple(sorted(set(a))), iv) for a, iv in alts[1]),
+            )
+        return (self._graph_ctx,) + tuple(sorted(set(alts)))
 
     def _closure_cte(self, alts) -> str:
         """Register (once per predicate set / sequence edge) a
@@ -869,12 +917,13 @@ class SparqlToSql:
         name = f"__tc{n}"
         rel, scol, ocol = self._edge_shape(alts)
         if rel is self.table:
+            rel = self._scan()
             in_list = ", ".join(
                 _sql_str(_split_iri(t)) for t in sorted(set(alts))
             )
             pred_cond = f" AND t.pred IN ({in_list})"
             base = (
-                f"SELECT subj AS s, obj AS o FROM {self.table} "
+                f"SELECT subj AS s, obj AS o FROM {rel} "
                 f"WHERE pred IN ({in_list})"
             )
         else:
@@ -901,17 +950,20 @@ class SparqlToSql:
         """All RDF terms in the graph (subjects + objects) — the domain of
         zero-length path arms (SPARQL 1.1 §9.3: a zero-length path matches
         every graph term; joins with the rest of the pattern constrain it)."""
-        if "__nodes" not in self._tc_cache:
+        key = ("__nodes", self._graph_ctx)
+        if key not in self._tc_cache:
             # explicit DISTINCT wrapper: DuckDB 1.0 does not apply UNION
             # set semantics to non-recursive members of a WITH RECURSIVE
             # list, so bare UNION would leak duplicates
+            name = f"__nodes{len(self._tc_cache)}" if self._graph_ctx else "__nodes"
+            scan = self._scan()
             self._ctes.append(
-                f"__nodes AS (SELECT DISTINCT n FROM "
-                f"(SELECT subj AS n FROM {self.table} "
-                f"UNION ALL SELECT obj FROM {self.table}) u)"
+                f"{name} AS (SELECT DISTINCT n FROM "
+                f"(SELECT subj AS n FROM {scan} "
+                f"UNION ALL SELECT obj FROM {scan}) u)"
             )
-            self._tc_cache["__nodes"] = "__nodes"
-        return "__nodes"
+            self._tc_cache[key] = name
+        return self._tc_cache[key]
 
     def _closure_star_cte(self, alts) -> str:
         """p* = p+ closure UNION the zero-length identity over graph terms."""
@@ -939,7 +991,7 @@ class SparqlToSql:
         if rel is self.table:
             in_list = ", ".join(_sql_str(_split_iri(t)) for t in sorted(set(alts)))
             edge = (
-                f"SELECT subj AS s, obj AS o FROM {self.table} "
+                f"SELECT subj AS s, obj AS o FROM {self._scan()} "
                 f"WHERE pred IN ({in_list})"
             )
         else:
@@ -1024,7 +1076,7 @@ class SparqlToSql:
         if consts:
             in_list = ", ".join(_sql_str(_split_iri(t)) for t in consts)
             arms.append(
-                f"SELECT DISTINCT subj AS s FROM {self.table} "
+                f"SELECT DISTINCT subj AS s FROM {self._scan()} "
                 f"WHERE subj IN ({in_list})"
             )
             # constants not present as subjects still describe to zero
@@ -1041,7 +1093,7 @@ class SparqlToSql:
         res = " UNION ".join(arms)
         return (
             f"SELECT DISTINCT t.subj AS subj, t.pred AS pred, t.obj AS obj "
-            f"FROM {self.table} t JOIN ({res}) d ON t.subj = d.s"
+            f"FROM {self._scan()} t JOIN ({res}) d ON t.subj = d.s"
         )
 
     def _compile_construct(
@@ -1100,14 +1152,39 @@ class SparqlToSql:
             and not g.values
             and not g.transitives
             and not g.subqueries
+            and not g.graphs
         ):
             raise QueryingError("empty graph pattern")
+        if g.graphs and self.graph_col is None:
+            raise QueryingError(
+                "GRAPH { ... } requires a graph-enabled store: this store "
+                "holds a single logical graph (compile with graph_col= "
+                "over a quad table to scope patterns by named graph)"
+            )
         bindings: dict[str, str] = {}
         conds: list[str] = []
         tables: list[str] = []
         for idx, (s, p, o) in enumerate(g.patterns):
             a = f"{alias_prefix}{idx}"
             tables.append(f"{self.table} {a}")
+            if self.graph_col:
+                # quad-store scoping: default graph (NULL) outside GRAPH;
+                # the named graph inside GRAPH <g>; any NAMED graph
+                # inside GRAPH ?g (SPARQL: ?g ranges over named graphs
+                # only), binding ?g to the row's graph column
+                gref = f"{a}.{self.graph_col}"
+                ctx = self._graph_ctx
+                if ctx is None:
+                    conds.append(f"{gref} IS NULL")
+                elif ctx.startswith("?"):
+                    gv = ctx[1:]
+                    if gv in bindings:
+                        conds.append(f"{gref} = {bindings[gv]}")
+                    else:
+                        bindings[gv] = gref
+                        conds.append(f"{gref} IS NOT NULL")
+                else:
+                    conds.append(f"{gref} = {_sql_str(_split_iri(ctx))}")
             for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
                 ref = f"{a}.{col}"
                 if isinstance(term, tuple) and term[0] == "!":
@@ -1165,6 +1242,7 @@ class SparqlToSql:
             and not g.unions
             and not g.values
             and not g.subqueries
+            and not g.graphs
         ):
             # simple path: filters ride in the same WHERE
             for ftoks in g.filters:
@@ -1223,6 +1301,38 @@ class SparqlToSql:
                 # SPARQL join on a disjoint domain is a cross product
                 out_sql += f" CROSS JOIN ({ssel}) {alias}"
             for v in svars:
+                out_bind.setdefault(v, f"{alias}.{v}")
+
+        for gi, (gterm, gg) in enumerate(g.graphs):
+            if self._graph_ctx is not None:
+                raise QueryingError(
+                    "nested GRAPH blocks are not supported: flatten the "
+                    "scopes (one GRAPH per pattern group)"
+                )
+            self._graph_ctx = gterm
+            try:
+                gsql, gbind = self._compile_group(
+                    gg, parser, f"{alias_prefix}g{gi}_"
+                )
+            finally:
+                self._graph_ctx = None
+            alias = f"gph{gi}"
+            gcols = ", ".join(f"{ref} AS {v}" for v, ref in gbind.items())
+            derived = f"(SELECT {gcols} {gsql})"
+            if out_sql is None:
+                out_sql = f"FROM {derived} {alias}"
+                out_bind = {v: f"{alias}.{v}" for v in gbind}
+                continue
+            shared = [v for v in gbind if v in out_bind]
+            if shared:
+                on = " AND ".join(
+                    f"{alias}.{v} = {out_bind[v]}" for v in shared
+                )
+                out_sql += f" JOIN {derived} {alias} ON {on}"
+            else:
+                # SPARQL join on a disjoint domain is a cross product
+                out_sql += f" CROSS JOIN {derived} {alias}"
+            for v in gbind:
                 out_bind.setdefault(v, f"{alias}.{v}")
 
         for vi, (vvars, vrows) in enumerate(g.values):
@@ -1572,8 +1682,13 @@ class SparqlToSql:
         return _sql_str(_split_iri(t))
 
 
-def sparql_to_sql(query: str, table: str = "triples", dialect: str = "spark") -> str:
-    return SparqlToSql(table, dialect).compile(query)
+def sparql_to_sql(
+    query: str,
+    table: str = "triples",
+    dialect: str = "spark",
+    graph_col: str | None = None,
+) -> str:
+    return SparqlToSql(table, dialect, graph_col=graph_col).compile(query)
 
 
 _UPDATE_RE = re.compile(

@@ -2214,6 +2214,74 @@ def sql_sparql_select() -> str:
     return f"WITH tr AS ({sql_kg_triples()}) {inner}"
 
 
+# Round-4 SPARQL surface: named-graph scoping.  The reference passes raw
+# SPARQL to the store (read_only_store.py:212-245), so migrating users'
+# queries can contain GRAPH ?g / GRAPH <g> blocks; the quad-store surface
+# (SparqlToSql graph_col=) compiles them to filters/bindings on one extra
+# graph column (NULL = default graph), per SPARQL 1.1 dataset semantics:
+# plain patterns match ONLY the default graph, GRAPH ?g ranges over the
+# named graphs.
+SPARQL_NAMED_GRAPH_TEXT = """SELECT ?g (COUNT(?s) AS ?n_docs)
+  (COUNT(DISTINCT ?e) AS ?n_entities)
+WHERE {
+  ?s rdf:type schema:Document .
+  GRAPH ?g { ?s nsg:hasBody ?e }
+}
+GROUP BY ?g
+ORDER BY ?g"""
+
+
+def q_sparql_named_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL over a quad store: extraction triples land in one named
+    graph per document source (provenance partitioning), type triples in
+    the default graph.  The default-graph pattern must NOT see named
+    rows and GRAPH ?g must NOT see default rows — the aggregate per ?g
+    proves both scopings at once."""
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    triples = q_kg_triples(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("dsubj"), "source"
+    )
+    quads = (
+        triples.join(F.broadcast(docs), triples.subj == F.col("dsubj"), "left")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.when(F.col("pred") == "rdf:type", F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("urn:graph:"), F.col("source")))
+            .alias("graph"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    quads.createOrReplaceTempView("sparql_quads_v")
+    return spark.sql(
+        sparql_to_sql(
+            SPARQL_NAMED_GRAPH_TEXT,
+            table="sparql_quads_v",
+            dialect="spark",
+            graph_col="graph",
+        )
+    )
+
+
+def sql_sparql_named_graph() -> str:
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    inner = sparql_to_sql(
+        SPARQL_NAMED_GRAPH_TEXT, table="qd", dialect="duckdb", graph_col="graph"
+    )
+    return f"""WITH tr AS ({sql_kg_triples()}),
+qd AS (
+  SELECT tr.subj, tr.pred, tr.obj,
+    CASE WHEN tr.pred = 'rdf:type' THEN NULL
+         ELSE 'urn:graph:' || d.source END AS graph
+  FROM tr LEFT JOIN documents d ON tr.subj = 'doc:' || d.doc_id
+)
+{inner}"""
+
+
 # Round-2 SPARQL surface: UNION branches with BIND'd discriminators, a
 # VALUES join, aggregate projections (COUNT / COUNT DISTINCT /
 # GROUP_CONCAT), GROUP BY + HAVING — the analytics half of the reference's
@@ -14295,6 +14363,7 @@ QUERIES = {
     "limit_offset_page": (q_limit_offset, sql_limit_offset),
     "kg_ladder_blocked": (q_kg_ladder_blocked, sql_kg_ladder_blocked),
     "sparql_select": (q_sparql_select, sql_sparql_select),
+    "sparql_named_graph": (q_sparql_named_graph, sql_sparql_named_graph),
     "sparql_analytics": (q_sparql_analytics, sql_sparql_analytics),
     "sparql_negation": (q_sparql_negation, sql_sparql_negation),
     "sparql_transitive": (q_sparql_transitive, sql_sparql_transitive),

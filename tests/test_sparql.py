@@ -1155,3 +1155,136 @@ def test_update_delete_template_where(spark):
     rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
     assert ("a", "rdf:type", "Person") not in rows
     assert ("a", "knows", "b") in rows  # knows edges SURVIVE
+
+
+# ---- round-4: named-graph (quad store) surface ---------------------------
+# SPARQL 1.1 dataset semantics over one extra graph column (NULL = default
+# graph): plain patterns match only the default graph, GRAPH <g> filters,
+# GRAPH ?g ranges over named graphs and binds.
+
+
+def _quad_con():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE quads(subj VARCHAR, pred VARCHAR, obj VARCHAR, g VARCHAR)")
+    con.executemany(
+        "INSERT INTO quads VALUES (?,?,?,?)",
+        [
+            ("a", "knows", "b", None),
+            ("b", "knows", "c", None),
+            ("a", "knows", "z", "urn:g1"),
+            ("z", "rdf:type", "Person", "urn:g1"),
+            ("a", "knows", "y", "urn:g2"),
+            ("y", "rdf:type", "Robot", "urn:g2"),
+            ("z", "sub", "top", "urn:g1"),
+            ("top", "sub", "root", "urn:g1"),
+        ],
+    )
+    return con
+
+
+def _q(con, text):
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    return con.execute(
+        sparql_to_sql(text, table="quads", dialect="duckdb", graph_col="g")
+    ).fetchall()
+
+
+def test_graph_default_scope_excludes_named_rows():
+    rows = _q(_quad_con(), "SELECT ?s ?o WHERE { ?s <knows> ?o }")
+    assert sorted(rows) == [("a", "b"), ("b", "c")]
+
+
+def test_graph_constant_filters_one_graph():
+    rows = _q(
+        _quad_con(),
+        "SELECT ?o WHERE { GRAPH <urn:g1> { <a> <knows> ?o } }",
+    )
+    assert rows == [("z",)]
+
+
+def test_graph_var_ranges_over_named_graphs_only():
+    rows = _q(
+        _quad_con(),
+        "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <knows> ?o } }",
+    )
+    # the two default-graph knows edges must NOT appear under any ?g
+    assert sorted(rows) == [("urn:g1", "a", "z"), ("urn:g2", "a", "y")]
+
+
+def test_graph_var_joins_with_default_pattern():
+    rows = _q(
+        _quad_con(),
+        "SELECT ?g ?t WHERE { <a> <knows> ?b . GRAPH ?g { ?x <rdf:type> ?t } }",
+    )
+    assert sorted(set(rows)) == [("urn:g1", "Person"), ("urn:g2", "Robot")]
+
+
+def test_graph_same_var_constrains_both_blocks():
+    # same ?g on two patterns inside one block: both must be in one graph
+    rows = _q(
+        _quad_con(),
+        "SELECT ?g WHERE { GRAPH ?g { <a> <knows> ?z . ?z <rdf:type> <Person> } }",
+    )
+    assert rows == [("urn:g1",)]
+
+
+def test_graph_closure_path_inside_constant_graph():
+    rows = _q(
+        _quad_con(),
+        "SELECT ?o WHERE { GRAPH <urn:g1> { <z> <sub>+ ?o } }",
+    )
+    assert sorted(rows) == [("root",), ("top",)]
+
+
+def test_graph_closure_default_graph_is_scoped():
+    # default graph has NO sub edges: the closure must be empty, not leak g1
+    rows = _q(_quad_con(), "SELECT ?o WHERE { <z> <sub>+ ?o }")
+    assert rows == []
+
+
+def test_graph_nested_raises():
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    with pytest.raises(QueryingError, match="nested GRAPH"):
+        sparql_to_sql(
+            "SELECT ?s WHERE { GRAPH ?g { GRAPH <urn:g1> { ?s ?p ?o } } }",
+            table="quads",
+            graph_col="g",
+        )
+
+
+def test_graph_path_inside_graph_var_raises():
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    with pytest.raises(QueryingError, match="name the graph"):
+        sparql_to_sql(
+            "SELECT ?o WHERE { GRAPH ?g { <z> <sub>+ ?o } }",
+            table="quads",
+            graph_col="g",
+        )
+
+
+def test_graph_spark_duckdb_differential(spark):
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    con = _quad_con()
+    sdf = spark.createDataFrame(
+        con.execute("SELECT * FROM quads").fetchall(),
+        "subj string, pred string, obj string, g string",
+    )
+    sdf.createOrReplaceTempView("quads_v")
+    text = (
+        "SELECT ?g (COUNT(?s) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } "
+        "GROUP BY ?g ORDER BY ?g"
+    )
+    got_spark = [
+        tuple(r)
+        for r in spark.sql(
+            sparql_to_sql(text, table="quads_v", dialect="spark", graph_col="g")
+        ).collect()
+    ]
+    got_duck = con.execute(
+        sparql_to_sql(text, table="quads", dialect="duckdb", graph_col="g")
+    ).fetchall()
+    assert got_spark == got_duck == [("urn:g1", 4), ("urn:g2", 2)]
