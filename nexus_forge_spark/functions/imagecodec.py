@@ -32,8 +32,8 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(content: bytes) -> str | None:
-    """'ppm' | 'pgm' | 'bmp' | 'png' | 'jpeg' for decodable payloads,
-    else None."""
+    """'ppm' | 'pgm' | 'bmp' | 'png' | 'jpeg' | 'gif' for decodable
+    payloads, else None."""
     if content[:2] == b"P6":
         return "ppm"
     if content[:2] == b"P5":
@@ -44,6 +44,8 @@ def sniff_format(content: bytes) -> str | None:
         return "png"
     if content[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if content[:4] == b"GIF8":
+        return "gif"
     return None
 
 
@@ -105,6 +107,8 @@ def decode_image(content: bytes) -> np.ndarray:
         return rows[:, :, ::-1].copy()  # BGR -> RGB
     if fmt == "png":
         return _decode_png(bytes(content))
+    if fmt == "gif":
+        return _decode_gif(bytes(content))
     if fmt == "jpeg":
         from nexus_forge_spark.functions import jpegcodec
 
@@ -183,6 +187,207 @@ def _decode_png(buf: bytes) -> np.ndarray:
         out[y] = cur.astype(np.uint8)
         prev = out[y]
     return out.reshape(height, width, channels)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF variable-width LZW (LSB-first bit packing): clear code resets
+    the table, EOI stops, code width grows after the table fills each
+    power of two up to 12 bits."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code_size)]
+    table += [b"", b""]  # clear + eoi placeholders
+
+    bitpos = 0
+    width = min_code_size + 1
+    prev: bytes | None = None
+    total_bits = len(data) * 8
+    while bitpos + width <= total_bits:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ImageDecodeError("corrupt GIF LZW stream")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) >= n_pixels:
+            break
+    if len(out) < n_pixels:
+        raise ImageDecodeError("truncated GIF LZW stream")
+    return bytes(out[:n_pixels])
+
+
+def _decode_gif(buf: bytes) -> np.ndarray:
+    """GIF87a/89a first frame -> (H, W, 3) uint8: logical screen
+    descriptor + global/local color table, extension blocks skipped,
+    variable-width LZW, interlace pass reordering."""
+    if len(buf) < 13:
+        raise ImageDecodeError("truncated GIF header")
+    flags = buf[10]
+    i = 13
+    gct: np.ndarray | None = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(buf, np.uint8, n * 3, i).reshape(n, 3)
+        i += n * 3
+    while i < len(buf):
+        b = buf[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(buf) and buf[i] != 0:
+                i += 1 + buf[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            w, h = struct.unpack_from("<HH", buf, i + 5)
+            iflags = buf[i + 9]
+            i += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(buf, np.uint8, n * 3, i).reshape(n, 3)
+                i += n * 3
+            if pal is None:
+                raise ImageDecodeError("GIF frame has no color table")
+            min_code = buf[i]
+            i += 1
+            data = bytearray()
+            while i < len(buf) and buf[i] != 0:
+                size = buf[i]
+                data += buf[i + 1 : i + 1 + size]
+                i += 1 + size
+            idx = np.frombuffer(
+                _lzw_decode(bytes(data), min_code, w * h), np.uint8
+            ).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = [
+                    r
+                    for start, step in _GIF_INTERLACE_PASSES
+                    for r in range(start, h, step)
+                ]
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            return pal[np.minimum(idx, len(pal) - 1)]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ImageDecodeError(f"unknown GIF block 0x{b:02x}")
+    raise ImageDecodeError("GIF contains no image frame")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> single-frame GIF89a with a per-image palette
+    (requires <= 256 distinct colors) and REAL variable-width LZW."""
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ImageDecodeError("encode_gif expects (H, W, 3)")
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ImageDecodeError("encode_gif: > 256 distinct colors")
+    # LZW min code size >= 2; the stored color table must then hold
+    # exactly 2^min_code entries (the size field and the code size share
+    # one exponent)
+    psize = 2
+    while psize < len(colors):
+        psize *= 2
+    min_code = max(2, psize.bit_length() - 1)
+    pal = np.zeros((1 << min_code, 3), np.uint8)
+    pal[: len(colors)] = colors
+
+    # The emission WIDTH follows a simulation of the decoder's table (which
+    # lags the encoder's by one entry — the decoder adds an entry only when
+    # the NEXT code arrives), so the width-growth timing matches any
+    # spec-conforming decoder by construction instead of by off-by-one luck.
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    base = (1 << min_code) + 2
+    codes: list[tuple[int, int]] = []
+    table: dict[bytes, int] = {}
+    next_code = 0
+    dec_size = 0
+    width = 0
+    k = 0  # data codes emitted since the last clear
+
+    def reset() -> None:
+        nonlocal table, next_code, dec_size, width, k
+        table = {bytes([i]): i for i in range(1 << min_code)}
+        next_code = eoi + 1
+        dec_size = base
+        width = min_code + 1
+        k = 0
+
+    def emit_data(code: int) -> None:
+        nonlocal k, dec_size, width
+        codes.append((code, width))
+        k += 1
+        if k >= 2 and dec_size < 4096:
+            dec_size += 1
+            if dec_size == (1 << width) and width < 12:
+                width += 1
+
+    reset()
+    codes.append((clear, width))
+    seq = b""
+    for px in idx.astype(np.uint8).tobytes():
+        nxt = seq + bytes([px])
+        if nxt in table:
+            seq = nxt
+            continue
+        emit_data(table[seq])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        else:
+            codes.append((clear, width))
+            reset()
+        seq = bytes([px])
+    if seq:
+        emit_data(table[seq])
+    codes.append((eoi, width))
+
+    acc = bitlen = 0
+    packed = bytearray()
+    for code, cw in codes:
+        acc |= code << bitlen
+        bitlen += cw
+        while bitlen >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            bitlen -= 8
+    if bitlen:
+        packed.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (min_code - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code)
+    for off in range(0, len(packed), 255):
+        chunk = packed[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:

@@ -17,7 +17,7 @@ uncompressed AVI and COMPRESSED Motion-JPEG AVI (functions/videocodec.py:
 RIFF parser; MJPG frames decode through the baseline-JPEG codec — frame
 sampling and motion features run on actual pixels).  Synthetic payloads
 from ``media_from_documents`` are genuine 4x4 P6 PPM files (1/4 genuine
-baseline JPEGs, 1/4 genuine zlib-IDAT PNGs), genuine PCM16 WAVs (1/4 IMA
+baseline JPEGs, 1/4 genuine zlib-IDAT PNGs, ~1/6 genuine LZW GIFs), genuine PCM16 WAVs (1/4 IMA
 ADPCM compressed), and
 genuine 4-frame AVIs (1/4 Motion-JPEG compressed), so the default
 pipeline exercises every real path end to end.  Remaining formats
@@ -49,7 +49,7 @@ from nexus_forge_spark.functions import audiocodec, imagecodec, videocodec
 # real for PCM/IEEE-float AND compressed IMA ADPCM; inter-frame video
 # (H.264/...) and transform audio (MP3/...) still stub (libs absent
 # from this container)
-DECODE_REAL_FORMATS = frozenset({"ppm", "pgm", "bmp", "png", "jpeg"})
+DECODE_REAL_FORMATS = frozenset({"ppm", "pgm", "bmp", "png", "jpeg", "gif"})
 DECODE_REAL_AUDIO_FORMATS = frozenset({"wav"})
 DECODE_REAL_VIDEO_FORMATS = frozenset({"avi"})
 DECODE_IS_STUBBED = False  # real for the sets above; see module doc
@@ -106,6 +106,23 @@ def _build_png_pool(n: int = 16) -> list[bytes]:
 
 
 _PNG_POOL = _build_png_pool()
+
+
+def _build_gif_pool(n: int = 16) -> list[bytes]:
+    """Pool of genuine single-frame GIF89a payloads (4x4, md5-derived
+    pixels, per-image palette, REAL variable-width LZW — imagecodec
+    encode_gif) — the palette-format member of the image pool family."""
+    pool = []
+    for i in range(n):
+        raw = b"".join(
+            hashlib.md5(f"gif-pool-{i}-{j}".encode()).digest() for j in range(3)
+        )
+        arr = np.frombuffer(raw, dtype=np.uint8)[: 4 * 4 * 3].reshape(4, 4, 3)
+        pool.append(imagecodec.encode_gif(arr))
+    return pool
+
+
+_GIF_POOL = _build_gif_pool()
 
 
 def _build_mjpg_pool(n: int = 16) -> list[bytes]:
@@ -260,6 +277,15 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         ),
     )
     is_png_ref = F.pmod(F.xxhash64(ref, F.lit(21)), F.lit(3)) == 0
+    # of the remaining image refs, a third (~1/6 overall) carry genuine
+    # GIFs — the palette + LZW decode path (driver-encoded pool)
+    gif_bytes = F.element_at(
+        F.array(*[F.lit(p) for p in _GIF_POOL]),
+        (F.pmod(F.xxhash64(ref, F.lit(27)), F.lit(len(_GIF_POOL))) + 1).cast(
+            "int"
+        ),
+    )
+    is_gif_ref = F.pmod(F.xxhash64(ref, F.lit(25)), F.lit(3)) == 0
     # 1/4 of video refs carry genuine Motion-JPEG AVIs (compressed path)
     mjpg_bytes = F.element_at(
         F.array(*[F.lit(p) for p in _MJPG_POOL]),
@@ -320,6 +346,7 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         media_type.alias("media_type"),
         F.when(is_image & is_jpeg_ref, jpeg_bytes)
         .when(is_image & is_png_ref, png_bytes)
+        .when(is_image & is_gif_ref, gif_bytes)
         .when(is_image, ppm_bytes)
         .when(is_audio & is_adpcm_ref, adpcm_bytes)
         .when(is_audio, wav_bytes)
@@ -330,6 +357,7 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         F.struct(
             F.when(is_image & is_jpeg_ref, F.lit("jpeg"))
             .when(is_image & is_png_ref, F.lit("png"))
+            .when(is_image & is_gif_ref, F.lit("gif"))
             .when(is_image, F.lit("ppm"))
             .when(is_audio, F.lit("wav"))
             .when(is_video, F.lit("avi"))
@@ -351,6 +379,70 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
             F.lit(16000).alias("sample_rate"),
         ).alias("metadata"),
     )
+
+
+# ----------------------------------------------------------- byte fetch
+
+FETCHED_SCHEMA_SUFFIX = "content binary, fetched boolean"
+
+
+def fetch_media_bytes(
+    media: DataFrame,
+    ref_col: str = "media_ref",
+    content_col: str = "content",
+) -> DataFrame:
+    """Fill missing media payloads from their references (S13, the
+    reference's ``download`` — read_only_store.py:98-183 fetches any
+    content-type from the store's URL; here the in-sandbox scheme is
+    ``file://``).
+
+    Arrow-batched ``mapInPandas`` stage: rows whose ``content`` is already
+    present pass through untouched (``fetched`` false — nothing was
+    transferred); NULL-content rows with a ``file://`` reference read the
+    local bytes (``fetched`` true); unreachable or non-file references
+    stay NULL with ``fetched`` false, so a downstream decode sees the
+    same honest NULL it would for any missing payload.  Production swaps
+    the ``open()`` body for the object-store batched GET — the stage
+    shape (schema, batch contract, executor-side IO, no driver collect)
+    is exactly what a 100 TB run needs: each executor fetches only its
+    partition's references.
+    """
+    out_fields = [f for f in media.schema.fields if f.name != content_col]
+    schema = T.StructType(
+        out_fields
+        + [
+            T.StructField(content_col, T.BinaryType()),
+            T.StructField("fetched", T.BooleanType()),
+        ]
+    )
+    other_cols = [f.name for f in out_fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            contents, fetched = [], []
+            for c, ref in zip(pdf[content_col], pdf[ref_col]):
+                if c is not None:
+                    contents.append(bytes(c))
+                    fetched.append(False)
+                    continue
+                if isinstance(ref, str) and ref.startswith("file://"):
+                    try:
+                        with open(ref[len("file://"):], "rb") as fh:
+                            contents.append(fh.read())
+                        fetched.append(True)
+                        continue
+                    except OSError:
+                        pass
+                contents.append(None)
+                fetched.append(False)
+            out = pdf[other_cols].copy()
+            out[content_col] = contents
+            out["fetched"] = fetched
+            yield out
+
+    return media.mapInPandas(batches, schema)
 
 
 # ---------------------------------------------------------------- stubs

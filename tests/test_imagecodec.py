@@ -174,3 +174,77 @@ def test_png_unsupported_features_raise():
     )
     with pytest.raises(IC.ImageDecodeError):
         IC.decode_image(buf)
+
+
+# ---- round-4: GIF (palette + variable-width LZW) -------------------------
+
+
+def _rand_paletted(rng, h, w, ncol):
+    import numpy as np
+
+    pal = np.unique(
+        rng.integers(0, 256, (ncol, 3), dtype=np.uint8), axis=0
+    )
+    return pal[rng.integers(0, len(pal), (h, w))]
+
+
+def test_gif_roundtrip_fuzz():
+    import numpy as np
+
+    from nexus_forge_spark.functions import imagecodec as ic
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        arr = _rand_paletted(
+            rng, int(rng.integers(1, 64)), int(rng.integers(1, 64)),
+            int(rng.integers(1, 257)),
+        )
+        gif = ic.encode_gif(arr)
+        assert ic.sniff_format(gif) == "gif"
+        assert (ic.decode_image(gif) == arr).all()
+
+
+def test_gif_lzw_dictionary_reset_path():
+    """Enough distinct contexts to fill the 4096-entry LZW table and force
+    the mid-stream CLEAR + width reset."""
+    import numpy as np
+
+    from nexus_forge_spark.functions import imagecodec as ic
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (256, 256), dtype=np.uint8)
+    arr = np.stack([g, g // 2, 255 - g], axis=-1)
+    assert (ic.decode_image(ic.encode_gif(arr)) == arr).all()
+
+
+def test_gif_extension_blocks_skipped_and_interlace():
+    """A GIF89a with a graphic-control extension and the interlace flag:
+    extensions skip cleanly; interlaced rows come back in display order."""
+    import struct
+
+    import numpy as np
+
+    from nexus_forge_spark.functions import imagecodec as ic
+
+    rng = np.random.default_rng(3)
+    arr = _rand_paletted(rng, 16, 8, 32)
+    gif = bytearray(ic.encode_gif(arr))
+    # splice a GCE extension (0x21 0xF9, 4-byte block, terminator) right
+    # after the logical screen descriptor + GCT
+    flags = gif[10]
+    gct_len = 3 * (2 << (flags & 7))
+    pos = 13 + gct_len
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = bytes(gif[:pos]) + gce + bytes(gif[pos:])
+    assert (ic.decode_image(with_ext) == arr).all()
+
+    # interlace: rewrite the frame with rows in pass order + the flag set
+    order = [r for s, t in ic._GIF_INTERLACE_PASSES for r in range(s, 16, t)]
+    inter_rows = arr[order]
+    gif2 = bytearray(ic.encode_gif(inter_rows))
+    # set the interlace bit in the image descriptor (after LSD + GCT)
+    flags2 = gif2[10]
+    pos2 = 13 + 3 * (2 << (flags2 & 7))
+    assert gif2[pos2] == 0x2C
+    gif2[pos2 + 9] |= 0x40
+    assert (ic.decode_image(bytes(gif2)) == arr).all()

@@ -36,6 +36,12 @@ def test_media_schema_and_payload(spark, sf_dir):
                 assert raw[:8] == b"\x89PNG\r\n\x1a\n"
                 assert raw in MM._PNG_POOL
                 assert r.metadata.width == 4 and r.metadata.height == 4
+            elif r.metadata.format == "gif":
+                # real 4x4 GIF89a from the driver-encoded pool
+                raw = bytes(r.content)
+                assert raw[:6] == b"GIF89a"
+                assert raw in MM._GIF_POOL
+                assert r.metadata.width == 4 and r.metadata.height == 4
             else:
                 # real 4x4 P6 PPM payload: header + 48 pixel bytes
                 assert bytes(r.content).startswith(b"P6\n4 4\n255\n")
@@ -392,3 +398,81 @@ def test_video_hash_neardup_query_two_tier(spark, sf_dir):
     assert any(r.n_copies > 1 for r in rows)
     refs = [r.keeper_ref for r in rows]
     assert len(refs) == len(set(refs))
+
+
+def test_gif_payloads_decode_end_to_end(spark, sf_dir):
+    import pytest
+
+    from nexus_forge_spark.functions import imagecodec
+
+    media = _media(spark, sf_dir)
+    gifs = media.where(F.col("metadata.format") == "gif")
+    rows = gifs.limit(5).collect()
+    assert rows, "hash split should yield some gif refs"
+    feats = {
+        (r.doc_id, r.media_ref): r
+        for r in MM.extract_image_features(gifs, dim=8).collect()
+    }
+    for r in rows:
+        raw = bytes(r.content)
+        assert raw[:6] == b"GIF89a"
+        f = feats[(r.doc_id, r.media_ref)]
+        assert (f.width, f.height, f.channels) == (4, 4, 3)
+        arr = imagecodec.decode_image(raw)  # palette + LZW decode
+        expect = imagecodec.block_mean_embedding(arr, dim=8)
+        assert f.embedding == pytest.approx(expect)
+
+
+def test_fetch_media_bytes_file_scheme_end_to_end(spark, sf_dir, tmp_path):
+    """S13 byte-fetch differential: materialize every image payload as a
+    local file, strip content, point media_ref at file:// paths, fetch in
+    the Arrow-batched stage, and require features IDENTICAL to the
+    embedded-content run — with decoded geometry on 100% of image rows
+    (every image format in the synthetic corpus now decodes for real)."""
+    media = _media(spark, sf_dir).where(F.col("media_type") == "image")
+    rows = media.limit(40).collect()
+    assert rows
+    refs = []
+    for i, r in enumerate(rows):
+        p = tmp_path / f"m{i}.bin"
+        p.write_bytes(bytes(r.content))
+        refs.append((r.doc_id, f"file://{p}", r.media_type, r.metadata))
+    base = spark.createDataFrame(
+        [(d, ref, t, None, m) for (d, ref, t, m) in refs],
+        MM.MEDIA_SCHEMA,
+    )
+    fetched = MM.fetch_media_bytes(base)
+    frows = fetched.collect()
+    assert all(fr.fetched for fr in frows)
+    assert all(fr.content is not None for fr in frows)
+
+    feats_fetched = sorted(
+        (tuple(r)[2:] for r in MM.extract_image_features(fetched.drop("fetched")).collect()),
+    )
+    embedded = spark.createDataFrame(
+        [
+            (d, ref, t, bytes(rows[i].content), m)
+            for i, (d, ref, t, m) in enumerate(refs)
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    feats_embedded = sorted(
+        (tuple(r)[2:] for r in MM.extract_image_features(embedded).collect()),
+    )
+    assert feats_fetched == feats_embedded
+    # decode-verified: every image row reports real pixel geometry
+    assert all(f[0] == 4 or f[0] == 8 for f in feats_fetched)  # width
+    # unreachable ref stays honest: NULL content, fetched=false
+    bad = spark.createDataFrame(
+        [(0, "file:///nonexistent/x.bin", "image", None, None)],
+        MM.MEDIA_SCHEMA,
+    )
+    brow = MM.fetch_media_bytes(bad).collect()[0]
+    assert brow.content is None and brow.fetched is False
+    # embedded content passes through untouched, fetched=false
+    keep = spark.createDataFrame(
+        [(1, "media://x", "image", b"P6\n1 1\n255\nabc", None)],
+        MM.MEDIA_SCHEMA,
+    )
+    krow = MM.fetch_media_bytes(keep).collect()[0]
+    assert bytes(krow.content) == b"P6\n1 1\n255\nabc" and krow.fetched is False
