@@ -213,7 +213,19 @@ def dbscan_from_pairs(
     large-star/small-star CC; no step expands neighborhoods beyond
     the given pair list.  Output: (id, cluster nullable, role in
     {'core','border','noise'}).
+
+    ``min_pts >= 2`` is the supported range: with min_pts = 1 every
+    point is trivially core by the self-inclusive convention, but
+    epsilon-isolated points never appear in ``pairs`` so this operator
+    could not see them as cores — validated here instead of silently
+    misclassifying (round-3 ADVICE).
     """
+    if min_pts < 2:
+        raise ValueError(
+            "dbscan_from_pairs: min_pts must be >= 2 (min_pts=1 cores "
+            "include epsilon-isolated points, which a pair list cannot "
+            "represent)"
+        )
     from nexus_forge_spark.operators.canonicalize import connected_components
 
     e = (

@@ -2261,7 +2261,18 @@ def scan_clusters(
 
     Output: (node, cluster BIGINT nullable — NULL for hub/outlier,
     role in {'core','border','hub','outlier'}).
+
+    ``mu >= 2`` is the supported range: mu = 1 would make every
+    isolated node a core by the self-inclusive convention, but
+    isolated nodes never appear in an edge list — validated instead
+    of silently misclassifying (round-3 ADVICE, same contract as
+    dbscan_from_pairs).
     """
+    if mu < 2:
+        raise ValueError(
+            "scan_clusters: mu must be >= 2 (mu=1 cores include isolated "
+            "nodes, which an edge list cannot represent)"
+        )
     from nexus_forge_spark.operators.canonicalize import connected_components
 
     e = (

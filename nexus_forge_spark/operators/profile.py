@@ -920,8 +920,16 @@ def psi_report(
             "bin",
             "cnt_a",
             "cnt_b",
-            F.expr("greatest(cnt_a * 1000000 div ta, 1)").alias("pa_ppm"),
-            F.expr("greatest(cnt_b * 1000000 div tb, 1)").alias("pb_ppm"),
+            # greatest(total, 1): an EMPTY side degenerates to the 1-ppm
+            # epsilon floor in every bin instead of dividing by zero —
+            # Spark's div-by-zero NULL and DuckDB's error would otherwise
+            # DISAGREE on the degenerate case (round-3 ADVICE)
+            F.expr(
+                "greatest(cnt_a * 1000000 div greatest(ta, 1), 1)"
+            ).alias("pa_ppm"),
+            F.expr(
+                "greatest(cnt_b * 1000000 div greatest(tb, 1), 1)"
+            ).alias("pb_ppm"),
         )
         .select(
             "bin",
@@ -972,8 +980,8 @@ joined AS (
 tot AS (SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb FROM joined),
 ppm AS (
   SELECT bin, cnt_a, cnt_b,
-         greatest(cnt_a * 1000000 // ta, 1) AS pa_ppm,
-         greatest(cnt_b * 1000000 // tb, 1) AS pb_ppm
+         greatest(cnt_a * 1000000 // greatest(ta, 1), 1) AS pa_ppm,
+         greatest(cnt_b * 1000000 // greatest(tb, 1), 1) AS pb_ppm
   FROM joined, tot
 )
 SELECT CAST(bin AS INT) AS bin, cnt_a, cnt_b,

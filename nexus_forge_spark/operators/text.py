@@ -1055,7 +1055,7 @@ def kn_bigram_scores(
     Q30 fixed-point quotient (intlog.q30_div, overflow-safe), the
     interpolation weight ``d*N1+(prev.)/c(prev.)`` scales the Q30
     continuation probability in BIGINT (d_num * nf * pcont_q30 <=
-    3 * 2^30 * vocab — no overflow below 2^33 distinct continuations
+    3 * nf * 2^30 — no overflow below ~2^31 distinct continuations
     per context, unreachable), and -ln(p) is the deterministic
     fixed-point log of functions/intlog.py.  No doubles, no libm.
     Output: (id, n_bigrams, sum_nll_micro, mean_nll_micro), docs with
@@ -1142,7 +1142,11 @@ def winnowing_fingerprints(
     bits) and no engine-specific min_by tie semantics anywhere.  The
     43-bit fingerprint space is the documented trade (births a
     collision only past ~10^6 distinct shingles per doc pair); docs
-    are capped at 2^20 shingle positions.  Shingle hashing is
+    are capped at 2^20 shingle positions, and the cap is ENFORCED —
+    docs with more shingles are dropped (a >1M-token "document" is a
+    concatenation artifact, not a fingerprintable unit; silently
+    wrapped positions would corrupt fp/pos identically in both
+    engines, invisible to the differential).  Shingle hashing is
     codegen md5 on exploded rows; window mins are a doc-partitioned
     window (parallel across docs, no global shuffle); docs with fewer
     than ``w`` shingles contribute their single overall min (the same
@@ -1156,7 +1160,7 @@ def winnowing_fingerprints(
     from nexus_forge_spark.operators.sketches import hash60
 
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks")).where(
-        F.size("toks") >= k
+        (F.size("toks") >= k) & (F.size("toks") - k + 1 <= F.lit(1 << 20))
     )
     grams = (
         toks.select(
@@ -1217,6 +1221,8 @@ def sql_winnowing_fingerprints(
   SELECT {id_col}, string_split_regex(trim(lower({text_col})), '\s+') AS t
   FROM ({source_sql})
   WHERE len(string_split_regex(trim(lower({text_col})), '\s+')) >= {k}
+    AND len(string_split_regex(trim(lower({text_col})), '\s+')) - {k} + 1
+        <= {1 << 20}
 ),
 grams AS (
   SELECT {id_col}, i,

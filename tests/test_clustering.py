@@ -209,3 +209,14 @@ def test_dbscan_matches_duckdb(spark):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_dbscan_min_pts_validated(spark):
+    import pytest
+
+    from nexus_forge_spark.operators.clustering import dbscan_from_pairs
+
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    pts = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    with pytest.raises(ValueError, match="min_pts"):
+        dbscan_from_pairs(pairs, pts, min_pts=1)

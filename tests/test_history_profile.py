@@ -228,3 +228,31 @@ def test_interval_coalesce_matches_duckdb(spark):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_psi_empty_side_degenerates_identically(spark):
+    """Round-3 ADVICE: with one side empty, both engines must agree
+    (epsilon-floor ppm) instead of Spark yielding null-skipped values
+    while DuckDB raises division-by-zero."""
+    import duckdb
+
+    from nexus_forge_spark.operators.profile import psi_report, sql_psi_report
+
+    a = spark.createDataFrame([(100,), (250,), (900,)], "cents long")
+    b = a.where(F.lit(False))
+    got = sorted(
+        tuple(r) for r in psi_report(a, b, "cents", 0, 1000, bins=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ta(cents BIGINT)")
+    con.executemany("INSERT INTO ta VALUES (?)", [(100,), (250,), (900,)])
+    con.execute("CREATE TABLE tb(cents BIGINT)")
+    want = sorted(
+        con.execute(
+            sql_psi_report(
+                "SELECT cents FROM ta", "SELECT cents FROM tb", "cents", 0, 1000, 4
+            )
+        ).fetchall()
+    )
+    assert got == want
+    assert all(r[4] == 1 for r in got)  # empty side floors at 1 ppm
