@@ -31,7 +31,9 @@ O(table); this one is Iceberg-honest):
   snapshot refs; the log/manifest here is what its metadata layer does.
 
 Iceberg production port (mechanical — one DDL/DML per method; no sandbox
-Iceberg runtime exists, so this seam is documented rather than faked):
+Iceberg runtime exists, so the seam is EMITTED AS TESTED CODE in
+store/iceberg_ddl.py — golden-pinned statements, Spark-grammar-parsed
+where vanilla Spark covers the syntax — with this table as the spec):
 
 | method here        | Iceberg equivalent                                   |
 |---|---|
