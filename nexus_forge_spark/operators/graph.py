@@ -25,6 +25,7 @@ def pagerank(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
+    metrics=None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in integer micro-probabilities.
 
@@ -63,7 +64,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     ranks = nodes.select("node", F.lit(PPM // n).cast("long").alias("rank_micro"))
-    for _ in range(iterations):
+    for it in range(iterations):
+        prev = ranks
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
@@ -85,6 +87,29 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        if metrics is not None:
+            # both frames are checkpointed -> cached scans, no recompute;
+            # `changed` stalling at a high plateau = oscillation/skew,
+            # `mass_micro` decaying = dangling drain growing
+            agg = (
+                ranks.join(
+                    prev.withColumnRenamed("rank_micro", "prev_micro"), "node"
+                )
+                .agg(
+                    F.sum(
+                        (F.col("rank_micro") != F.col("prev_micro")).cast("long")
+                    ).alias("changed"),
+                    F.sum("rank_micro").alias("mass"),
+                )
+                .collect()[0]
+            )
+            metrics.record(
+                "pagerank",
+                it,
+                changed=int(agg["changed"] or 0),
+                mass_micro=int(agg["mass"] or 0),
+                nodes=n,
+            )
     return ranks
 
 
@@ -374,6 +399,7 @@ def kcore(
     b: str = "b",
     max_iter: int = 16,
     materialize: bool = True,
+    metrics=None,
 ) -> DataFrame:
     """The k-core of an undirected graph: iteratively peel nodes of degree
     < k until every surviving node has >= k surviving neighbours.  The
@@ -408,7 +434,7 @@ def kcore(
         und = und.localCheckpoint(eager=True)
     n_edges = und.count()  # one action per round total (not two): the
     # previous round's count is remembered, never recomputed
-    for _ in range(max_iter):
+    for _it in range(max_iter):
         sym = und.unionByName(
             und.select(F.col("q").alias("p"), F.col("p").alias("q"))
         )
@@ -423,6 +449,10 @@ def kcore(
         if materialize:
             pruned = pruned.localCheckpoint(eager=True)
         n_pruned = pruned.count()
+        if metrics is not None:
+            metrics.record(
+                "kcore", _it, edges=n_pruned, peeled=n_edges - n_pruned
+            )
         und = pruned
         # fixpoint: no edge was dropped this round
         if n_pruned == n_edges:
@@ -450,6 +480,7 @@ def sssp(
     weight: str = "w",
     node: str = "node",
     materialize: bool = True,
+    metrics=None,
 ) -> DataFrame:
     """Multi-seed single-source shortest paths over positively-weighted
     edges by synchronous Bellman-Ford relaxation — hop-weighted
@@ -487,7 +518,8 @@ def sssp(
     )
     if materialize:
         dist = dist.localCheckpoint(eager=True)
-    for _ in range(rounds):
+    prev_n = None
+    for it in range(rounds):
         relaxed = dist.join(e, dist["node"] == e["src"]).select(
             F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
@@ -498,6 +530,18 @@ def sssp(
         )
         if materialize:
             dist = dist.localCheckpoint(eager=True)
+        if metrics is not None:
+            # reached-set growth per round: a frontier that stops growing
+            # while rounds remain = converged (later rounds no-op); a
+            # round whose growth stalls without converging = skew signal
+            cur_n = dist.count()
+            metrics.record(
+                "sssp",
+                it,
+                reached=cur_n,
+                grew=cur_n - (prev_n if prev_n is not None else 0),
+            )
+            prev_n = cur_n
     return dist
 
 

@@ -36,6 +36,7 @@ def transitive_closure(
     child_col: str = "child",
     parent_col: str = "parent",
     max_rounds: int = 20,
+    metrics=None,
 ) -> DataFrame:
     """(child, parent) edges -> all (node, ancestor) pairs, node <> ancestor.
 
@@ -53,7 +54,7 @@ def transitive_closure(
         .localCheckpoint(eager=True)
     )
     n = reach.count()
-    for _ in range(max_rounds):
+    for _it in range(max_rounds):
         hop = reach.select(F.col("node").alias("_j"), F.col("anc"))
         step = (
             reach.select("node", F.col("anc").alias("_j"))
@@ -67,6 +68,8 @@ def transitive_closure(
             .localCheckpoint(eager=True)
         )
         n2 = nxt.count()
+        if metrics is not None:
+            metrics.record("transitive_closure", _it, pairs=n2, new_pairs=n2 - n)
         if n2 == n:
             return nxt
         reach, n = nxt, n2
