@@ -295,6 +295,8 @@ class _Parser:
         self.offset: int | None = None
         self.n_anon = 0
         self.form = "select"  # select | construct | ask | describe
+        self.from_graphs: list[str] = []  # FROM <g> dataset clauses
+        self.from_named: list[str] = []  # FROM NAMED <g> dataset clauses
         self.template: list[tuple[str, object, str]] = []  # CONSTRUCT patterns
         self.describe_terms: list[str] = []  # DESCRIBE targets (vars/IRIs)
         self.describe_group: _Group | None = None
@@ -449,16 +451,19 @@ class _Parser:
                     self.vars.append(alias)
                 else:
                     break
-        if (t := self.peek()) is not None and t.lower() == "from":
-            # dataset clauses select among named graphs; this engine stores
-            # ONE logical graph (the triples table), so reject cleanly
-            # instead of mis-parsing (reference stores pass raw SPARQL
-            # through to a remote endpoint — read_only_store.py:212-245 —
-            # so a user COULD write these; we name the unsupported form)
-            raise QueryingError(
-                "FROM / FROM NAMED dataset clauses are not supported: this "
-                "engine queries a single logical graph (the triples table)"
-            )
+        while (t := self.peek()) is not None and t.lower() == "from":
+            # dataset clauses (SPARQL 1.1 §13.2): FROM graphs union into
+            # the query's default graph, FROM NAMED graphs bound what
+            # GRAPH ?g ranges over.  Parsed here; the COMPILER rejects
+            # them with a named error unless the store is graph-enabled
+            # (reference stores pass raw SPARQL to a remote endpoint —
+            # read_only_store.py:212-245 — so user queries contain these).
+            self.next()
+            if (n := self.peek()) is not None and n.lower() == "named":
+                self.next()
+                self.from_named.append(self.next())
+            else:
+                self.from_graphs.append(self.next())
         self.expect("WHERE")
         group = self.parse_group()
         self._parse_trailers()
@@ -818,25 +823,55 @@ class SparqlToSql:
         # single-graph store) GRAPH blocks raise a named QueryingError.
         self.graph_col = graph_col
         self._graph_ctx: str | None = None
+        # (FROM graphs, FROM NAMED graphs) — SPARQL 1.1 §13.2 dataset
+        # clauses; empty lists = query the stored dataset as-is
+        self._dataset: tuple[list[str], list[str]] = ([], [])
         self._ctes: list[str] = []
         self._tc_cache: dict[tuple, str] = {}
 
+    def _from_in(self, graphs: list[str]) -> str:
+        return ", ".join(_sql_str(_split_iri(g)) for g in graphs)
+
+    def _default_graph_cond(self, gref: str) -> str:
+        """Condition for a pattern OUTSIDE GRAPH blocks: the stored
+        default graph (NULL), or — with FROM clauses — the union of the
+        listed graphs (the query's constructed default graph)."""
+        from_graphs = self._dataset[0]
+        if from_graphs:
+            return f"{gref} IN ({self._from_in(from_graphs)})"
+        return f"{gref} IS NULL"
+
+    def _named_graph_cond(self, gref: str) -> str:
+        """Range restriction for GRAPH ?var: all named graphs, or — with
+        FROM NAMED — only the listed ones."""
+        from_named = self._dataset[1]
+        if from_named:
+            return f"{gref} IN ({self._from_in(from_named)})"
+        return f"{gref} IS NOT NULL"
+
     def _scan(self) -> str:
         """Graph-scoped triples relation for closure CTEs / DESCRIBE: the
-        raw table in single-graph mode; in quad mode, the default graph
-        outside GRAPH blocks and the named graph inside one."""
+        raw table in single-graph mode; in quad mode, the (possibly
+        FROM-constructed) default graph outside GRAPH blocks and the
+        named graph inside one."""
         if not self.graph_col:
             return self.table
         gc = self.graph_col
         if self._graph_ctx is None:
-            return f"(SELECT * FROM {self.table} WHERE {gc} IS NULL)"
+            return (
+                f"(SELECT * FROM {self.table} "
+                f"WHERE {self._default_graph_cond(gc)})"
+            )
         if self._graph_ctx.startswith("?"):
             raise QueryingError(
                 "property paths inside GRAPH ?var are not supported: "
                 "name the graph (GRAPH <iri> { ... })"
             )
         g = _sql_str(_split_iri(self._graph_ctx))
-        return f"(SELECT * FROM {self.table} WHERE {gc} = {g})"
+        cond = f"{gc} = {g}"
+        if self._dataset[1]:
+            cond += f" AND {self._named_graph_cond(gc)}"
+        return f"(SELECT * FROM {self.table} WHERE {cond})"
 
     def _with_ctes(self, sql: str) -> str:
         if not self._ctes:
@@ -1007,8 +1042,18 @@ class SparqlToSql:
 
     def compile(self, query: str) -> str:
         self._ctes, self._tc_cache = [], {}
+        self._dataset = ([], [])
         parser = _Parser(_tokenize(query))
         group = parser.parse()
+        if parser.from_graphs or parser.from_named:
+            if self.graph_col is None:
+                raise QueryingError(
+                    "FROM / FROM NAMED dataset clauses require a "
+                    "graph-enabled store: this store holds a single "
+                    "logical graph (compile with graph_col= over a quad "
+                    "table)"
+                )
+            self._dataset = (parser.from_graphs, parser.from_named)
         if parser.form == "describe":
             return self._with_ctes(self._compile_describe(parser))
         sql, bindings = self._compile_group(group, parser)
@@ -1175,16 +1220,18 @@ class SparqlToSql:
                 gref = f"{a}.{self.graph_col}"
                 ctx = self._graph_ctx
                 if ctx is None:
-                    conds.append(f"{gref} IS NULL")
+                    conds.append(self._default_graph_cond(gref))
                 elif ctx.startswith("?"):
                     gv = ctx[1:]
                     if gv in bindings:
                         conds.append(f"{gref} = {bindings[gv]}")
                     else:
                         bindings[gv] = gref
-                        conds.append(f"{gref} IS NOT NULL")
+                    conds.append(self._named_graph_cond(gref))
                 else:
                     conds.append(f"{gref} = {_sql_str(_split_iri(ctx))}")
+                    if self._dataset[1]:
+                        conds.append(self._named_graph_cond(gref))
             for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
                 ref = f"{a}.{col}"
                 if isinstance(term, tuple) and term[0] == "!":

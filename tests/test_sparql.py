@@ -1288,3 +1288,31 @@ def test_graph_spark_duckdb_differential(spark):
         sparql_to_sql(text, table="quads", dialect="duckdb", graph_col="g")
     ).fetchall()
     assert got_spark == got_duck == [("urn:g1", 4), ("urn:g2", 2)]
+
+
+def test_from_clauses_construct_the_dataset():
+    """SPARQL 1.1 §13.2: FROM graphs union into the query's default
+    graph (the stored default is then excluded); FROM NAMED bounds what
+    GRAPH ?g ranges over; a constant GRAPH outside the FROM NAMED list
+    is empty."""
+    con = _quad_con()
+    assert sorted(
+        _q(con, "SELECT ?o FROM <urn:g1> FROM <urn:g2> WHERE { <a> <knows> ?o }")
+    ) == [("y",), ("z",)]
+    assert _q(
+        con,
+        "SELECT ?g ?o FROM NAMED <urn:g2> WHERE { GRAPH ?g { <a> <knows> ?o } }",
+    ) == [("urn:g2", "y")]
+    assert (
+        _q(
+            con,
+            "SELECT ?o FROM NAMED <urn:g2> WHERE { GRAPH <urn:g1> { <a> <knows> ?o } }",
+        )
+        == []
+    )
+    # closure paths walk the FROM-constructed default graph
+    assert sorted(
+        _q(con, "SELECT ?o FROM <urn:g1> WHERE { <z> <sub>+ ?o }")
+    ) == [("root",), ("top",)]
+    # the stored default graph is excluded once FROM is present
+    assert _q(con, "SELECT ?o FROM <urn:g1> WHERE { <b> <knows> ?o }") == []
