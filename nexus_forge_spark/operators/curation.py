@@ -1953,3 +1953,49 @@ def sql_mondrian_partition(
 SELECT pid, CAST(count(*) AS BIGINT) AS n, {out_cols}
 FROM c{depth} GROUP BY pid"""
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    train_pct: int = 80,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/test split that cannot leak through near-duplicates
+    (round-4): documents are split by the canonical id of their near-dup
+    CLUSTER, not their own id, so two near-duplicate documents can never
+    land on opposite sides of the boundary — the failure mode a plain
+    per-doc hash split has on any deduplicated-but-not-perfectly corpus
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", measures exactly this train-test leakage).
+
+    ``dup_pairs`` is whatever verified near-dup edge set the pipeline
+    already produced (MinHash+LSH candidates after jaccard verify, the
+    dedup_components input).  Components use the O(log^2 n)
+    large-star/small-star CC; unclustered docs are their own canonical.
+    The split decision is hash60(canonical) % 100 < train_pct — pure
+    map-side after one left join of the (small) cluster mapping onto the
+    corpus.  Output: (id, canonical_id, split in {'train','test'}).
+    """
+    from nexus_forge_spark.operators.canonicalize import connected_components
+    from nexus_forge_spark.operators.sketches import hash60
+
+    comp = connected_components(dup_pairs).select(
+        F.col("entity_id").alias(id_col), F.col("canonical_id").alias("__c")
+    )
+    out = (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__c"), F.col(id_col)).alias("canonical_id"),
+        )
+    )
+    bucket = F.pmod(hash60(F.col("canonical_id"), "split"), F.lit(100))
+    return out.select(
+        id_col,
+        "canonical_id",
+        F.when(bucket < train_pct, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

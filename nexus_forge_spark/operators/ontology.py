@@ -1392,3 +1392,107 @@ counted AS (
 SELECT subj, CAST(n_qualified AS BIGINT) AS n_qualified, {case} AS violation
 FROM counted
 WHERE {case} IS NOT NULL"""
+
+
+def property_characteristics_audit(
+    triples: DataFrame, declarations: DataFrame
+) -> DataFrame:
+    """OWL property-characteristics audit (round-4; completes the audit
+    family beside disjoint_violations / functional_violations /
+    qualified_cardinality_audit): given (subj, pred, obj) assertions and
+    (pred, characteristic) declarations with characteristic in
+    {'symmetric', 'asymmetric', 'irreflexive'}, report every violating
+    assertion —
+
+      symmetric   p: (a p b) asserted but (b p a) absent — the entailment
+                  gap a repair pass would materialize (OWL2 SymmetricProperty);
+      asymmetric  p: both (a p b) and (b p a) asserted (AsymmetricProperty
+                  contradiction; self-loops double as violations);
+      irreflexive p: (a p a) asserted (IrreflexiveProperty).
+
+    Reference analogue: the reference validates SHACL shapes per resource
+    (kgforge/specializations/models/rdf_model.py) but has no graph-level
+    property-axiom audit; this is the batch form a KG-construction
+    pipeline runs before publishing.
+
+    Scale shape: declarations broadcast (schema-sized); symmetric and
+    asymmetric checks are ONE self equi-join each on the reversed key
+    (anti for the gap, semi for the contradiction) — the fact side
+    shuffles once per characteristic on (pred, subj, obj); irreflexive
+    is a map-side filter.  Output: (pred, subj, obj, violation).
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    d = F.broadcast(declarations.select("pred", "characteristic").distinct())
+    sym = t.join(
+        d.where(F.col("characteristic") == "symmetric").select("pred"), "pred"
+    )
+    rev = sym.select(
+        F.col("pred"),
+        F.col("obj").alias("subj"),
+        F.col("subj").alias("obj"),
+    )
+    missing_rev = sym.join(rev, ["pred", "subj", "obj"], "left_anti").select(
+        "pred", "subj", "obj", F.lit("missing_inverse").alias("violation")
+    )
+    asym = t.join(
+        d.where(F.col("characteristic") == "asymmetric").select("pred"), "pred"
+    )
+    arev = asym.select(
+        F.col("pred"),
+        F.col("obj").alias("subj"),
+        F.col("subj").alias("obj"),
+    )
+    mutual = asym.join(arev, ["pred", "subj", "obj"], "left_semi").select(
+        "pred", "subj", "obj", F.lit("mutual_asymmetric").alias("violation")
+    )
+    irr = (
+        t.join(
+            d.where(F.col("characteristic") == "irreflexive").select("pred"),
+            "pred",
+        )
+        .where(F.col("subj") == F.col("obj"))
+        .select("pred", "subj", "obj", F.lit("self_loop").alias("violation"))
+    )
+    return missing_rev.unionByName(mutual).unionByName(irr)
+
+
+def sql_property_characteristics_audit(
+    triples_sql: str, decls_sql: str
+) -> str:
+    """DuckDB oracle for :func:`property_characteristics_audit`."""
+    return f"""WITH t AS MATERIALIZED (
+  SELECT DISTINCT subj, pred, obj FROM ({triples_sql})
+),
+d AS MATERIALIZED (SELECT DISTINCT pred, characteristic FROM ({decls_sql})),
+sym AS (
+  SELECT t.pred, t.subj, t.obj FROM t
+  JOIN d ON d.pred = t.pred AND d.characteristic = 'symmetric'
+),
+missing_rev AS (
+  SELECT s.pred, s.subj, s.obj, 'missing_inverse' AS violation
+  FROM sym s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sym r
+    WHERE r.pred = s.pred AND r.subj = s.obj AND r.obj = s.subj
+  )
+),
+asym AS (
+  SELECT t.pred, t.subj, t.obj FROM t
+  JOIN d ON d.pred = t.pred AND d.characteristic = 'asymmetric'
+),
+mutual AS (
+  SELECT a.pred, a.subj, a.obj, 'mutual_asymmetric' AS violation
+  FROM asym a
+  WHERE EXISTS (
+    SELECT 1 FROM asym r
+    WHERE r.pred = a.pred AND r.subj = a.obj AND r.obj = a.subj
+  )
+),
+irr AS (
+  SELECT t.pred, t.subj, t.obj, 'self_loop' AS violation FROM t
+  JOIN d ON d.pred = t.pred AND d.characteristic = 'irreflexive'
+  WHERE t.subj = t.obj
+)
+SELECT * FROM missing_rev
+UNION ALL SELECT * FROM mutual
+UNION ALL SELECT * FROM irr"""

@@ -1338,3 +1338,110 @@ SELECT CAST(n.r AS BIGINT) AS r, n.n_types,
          AS r_star_ppm
 FROM nr n LEFT JOIN nr x ON x.r = n.r + 1
 WHERE n.r <= {max_r}"""
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source n-gram contamination matrix (round-4): for every
+    source pair, how much of each side's distinct shingle vocabulary the
+    other side shares — the eval-integrity report behind
+    train/benchmark decontamination (Brown et al. 2020 app. C runs
+    exactly this audit before removal; the REMOVAL operator is
+    curation.decontaminate, this is the measurement).
+
+    Per source: the DISTINCT 60-bit shingle-hash set (one map-side
+    explode + hash aggregate).  Pair overlap: ONE equi-join on the
+    shingle hash — the join fans out only where sources genuinely share
+    a gram, never the |A| x |B| cross — then jaccard in integer ppm.
+    Output: (src_a, src_b, grams_a, grams_b, common, jaccard_ppm) for
+    src_a < src_b.  At 100 TB the shingle sets would first pass through
+    a KMV/minhash sketch (operators/sketches.py) — this exact form is
+    the calibration baseline the sketched estimate is judged against.
+    """
+    from nexus_forge_spark.operators.dedup import word_shingles
+    from nexus_forge_spark.operators.sketches import hash60
+
+    grams = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g"),
+        )
+        .select("src", hash60(F.col("g"), "ctm").alias("h"))
+        .distinct()
+    )
+    totals = grams.groupBy("src").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ta = totals.select(
+        F.col("src").alias("src_a"), F.col("n_grams").alias("grams_a")
+    )
+    tb = totals.select(
+        F.col("src").alias("src_b"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        common.join(ta, "src_a")
+        .join(tb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("grams_a").cast("long").alias("grams_a"),
+            F.col("grams_b").cast("long").alias("grams_b"),
+            F.col("common").cast("long").alias("common"),
+            F.expr(
+                "CAST(common * 1000000 div (grams_a + grams_b - common)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+def sql_source_overlap_matrix(source_sql: str, shingle_n: int = 3) -> str:
+    """DuckDB oracle for :func:`source_overlap_matrix`."""
+    from nexus_forge_spark.operators.sketches import sql_hash60
+
+    k = shingle_n
+    gram = f"array_to_string(t[i + 1:i + {k}], ' ')"
+    h = sql_hash60(gram, "ctm")
+    return rf"""WITH base AS (
+  SELECT source AS src,
+         string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM ({source_sql})
+),
+grams AS (
+  SELECT DISTINCT src,
+    CASE WHEN len(t) >= {k} THEN {h}
+         ELSE {sql_hash60("array_to_string(t, ' ')", "ctm")} END AS h
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(0, greatest(len(t) - {k}, 0))) AS i)
+  WHERE len(t) >= {k} OR i = 0
+),
+totals AS (SELECT src, count(*) AS n_grams FROM grams GROUP BY src),
+common AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*) AS common
+  FROM grams a JOIN grams b ON a.h = b.h AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT c.src_a, c.src_b,
+  CAST(ta.n_grams AS BIGINT) AS grams_a,
+  CAST(tb.n_grams AS BIGINT) AS grams_b,
+  CAST(c.common AS BIGINT) AS common,
+  CAST(c.common * 1000000 // (ta.n_grams + tb.n_grams - c.common) AS BIGINT)
+    AS jaccard_ppm
+FROM common c
+JOIN totals ta ON ta.src = c.src_a
+JOIN totals tb ON tb.src = c.src_b"""

@@ -3459,3 +3459,94 @@ def sql_kg_temporal_conflicts() -> str:
        epoch_us(CAST(o_orderdate AS TIMESTAMP)) + 2592000000000 AS end_us
 FROM orders"""
     return sql_temporal_functional_conflicts(src)
+
+
+def q_kg_characteristics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL property-characteristics audit (operators/ontology.py
+    property_characteristics_audit — symmetric / asymmetric /
+    irreflexive, completing the axiom-audit family beside the
+    disjointness, functional and qualified-cardinality audits).  Edges
+    come from co-supply facts per order: `cost:near_cost_of` (declared
+    symmetric — a one-directional near-cost edge is a missing-inverse
+    entailment gap), `supply:more_qty_than` (declared asymmetric —
+    supplier pairs mutually ahead on DIFFERENT lineitems contradict the
+    axiom), `mkt:competes_with` (declared irreflexive — a supplier
+    appearing twice in one order competes with itself).  Declarations
+    broadcast; each check is one reversed-key self join."""
+    from nexus_forge_spark.operators.ontology import (
+        property_characteristics_audit,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        F.concat(F.lit("supplier:"), F.col("l_suppkey")).alias("sup"),
+        (F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    a, b = li.alias("a"), li.alias("b")
+    same_order = F.col("a.l_orderkey") == F.col("b.l_orderkey")
+    pairs = a.join(b, same_order).select(
+        F.col("a.sup").alias("subj"),
+        F.col("b.sup").alias("obj"),
+        F.col("a.cents").alias("ca"),
+        F.col("b.cents").alias("cb"),
+        F.col("a.qty").alias("qa"),
+        F.col("b.qty").alias("qb"),
+    )
+    near_cost = (
+        pairs.where(
+            (F.col("subj") != F.col("obj"))
+            & (F.col("ca") >= F.col("cb"))
+            & (F.col("ca") - F.col("cb") <= 1000000)
+        )
+        .select(F.lit("cost:near_cost_of").alias("pred"), "subj", "obj")
+    )
+    more_qty = (
+        pairs.where(
+            (F.col("subj") != F.col("obj")) & (F.col("qa") > F.col("qb"))
+        )
+        .select(F.lit("supply:more_qty_than").alias("pred"), "subj", "obj")
+    )
+    competes = pairs.select(
+        F.lit("mkt:competes_with").alias("pred"), "subj", "obj"
+    )
+    triples = near_cost.unionByName(more_qty).unionByName(competes)
+    decls = spark.createDataFrame(
+        [
+            ("cost:near_cost_of", "symmetric"),
+            ("supply:more_qty_than", "asymmetric"),
+            ("mkt:competes_with", "irreflexive"),
+        ],
+        "pred string, characteristic string",
+    )
+    return property_characteristics_audit(triples, decls)
+
+
+def sql_kg_characteristics_audit() -> str:
+    from nexus_forge_spark.operators.ontology import (
+        sql_property_characteristics_audit,
+    )
+
+    triples = """WITH li AS (
+  SELECT l_orderkey, 'supplier:' || l_suppkey AS sup,
+         CAST(l_extendedprice * 100 AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+pairs AS (
+  SELECT a.sup AS subj, b.sup AS obj, a.cents AS ca, b.cents AS cb,
+         a.qty AS qa, b.qty AS qb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+)
+SELECT 'cost:near_cost_of' AS pred, subj, obj FROM pairs
+WHERE subj <> obj AND ca >= cb AND ca - cb <= 1000000
+UNION ALL
+SELECT 'supply:more_qty_than' AS pred, subj, obj FROM pairs
+WHERE subj <> obj AND qa > qb
+UNION ALL
+SELECT 'mkt:competes_with' AS pred, subj, obj FROM pairs"""
+    decls = """SELECT * FROM (VALUES
+  ('cost:near_cost_of', 'symmetric'),
+  ('supply:more_qty_than', 'asymmetric'),
+  ('mkt:competes_with', 'irreflexive')) AS d(pred, characteristic)"""
+    return sql_property_characteristics_audit(triples, decls)

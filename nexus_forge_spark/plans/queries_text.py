@@ -2398,3 +2398,49 @@ FROM customer"""
     return sql_mondrian_partition(
         src, ["bal_cents", "nation"], "c_custkey", k=50, depth=4
     )
+
+
+def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination audit (operators/text.py
+    source_overlap_matrix): distinct-trigram jaccard for every source
+    pair — the measurement decontaminate acts on."""
+    from nexus_forge_spark.operators.text import source_overlap_matrix
+
+    return source_overlap_matrix(
+        load_table(spark, "documents", sf_dir), shingle_n=3
+    )
+
+
+def sql_contamination_matrix() -> str:
+    from nexus_forge_spark.operators.text import sql_source_overlap_matrix
+
+    return sql_source_overlap_matrix(
+        "SELECT source, text FROM documents", shingle_n=3
+    )
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware split (operators/curation.py leakage_safe_split):
+    the verified near-dup pairs from the dedup family become components,
+    and the split keys on the CLUSTER canonical — mutants and their
+    originals always land on the same side.  Graded against an oracle
+    that recomputes components + the same hash split from scratch."""
+    from nexus_forge_spark.operators.curation import leakage_safe_split
+
+    docs = _docs_with_mutants(spark, sf_dir)
+    pairs = q_dedup_minhash(spark, sf_dir).select("a", "b")
+    return leakage_safe_split(docs, pairs, train_pct=80)
+
+
+def sql_leakage_safe_split() -> str:
+    from nexus_forge_spark.operators.sketches import sql_hash60
+
+    bucket = sql_hash60("canonical_id", "split") + " % 100"
+    return f"""WITH {_MUTANT_DOCS_SQL},
+mapped AS (
+  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+  FROM docs d LEFT JOIN ({sql_dedup_components()}) c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, canonical_id,
+  CASE WHEN {bucket} < 80 THEN 'train' ELSE 'test' END AS split
+FROM mapped"""

@@ -1100,3 +1100,26 @@ def test_mondrian_matches_duckdb(spark):
         ["v", "z"], "rid", k=8, depth=4)
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_leakage_safe_split_no_cluster_crosses_boundary(spark):
+    from nexus_forge_spark.operators.curation import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(20)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (10, 11)], "a long, b long"
+    )
+    out = leakage_safe_split(docs, pairs, train_pct=50).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 20
+    # every near-dup pair lands on the same side
+    for a, b in [(0, 1), (1, 2), (0, 2), (5, 6), (10, 11)]:
+        assert by_id[a].split == by_id[b].split
+        assert by_id[a].canonical_id == by_id[b].canonical_id
+    # singletons canonicalize to themselves
+    assert by_id[19].canonical_id == 19
+    # both sides populated at 50/50 over 20 docs (deterministic hash)
+    splits = {r.split for r in out}
+    assert splits == {"train", "test"}
