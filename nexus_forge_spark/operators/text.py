@@ -1445,3 +1445,111 @@ SELECT c.src_a, c.src_b,
 FROM common c
 JOIN totals ta ON ta.src = c.src_a
 JOIN totals tb ON tb.src = c.src_b"""
+
+
+_SCRIPT_CLASSES = [
+    # (name, java regex class, re2 regex class) — engine-verified equal
+    ("latin", r"[\p{IsLatin}]", r"[\p{Latin}]"),
+    ("cyrillic", r"[\p{IsCyrillic}]", r"[\p{Cyrillic}]"),
+    ("han", r"[\p{IsHan}]", r"[\p{Han}]"),
+    ("digit", "[0-9]", "[0-9]"),
+]
+_SCRIPT_ORDER = [n for n, _, _ in _SCRIPT_CLASSES]
+
+
+def _dominant_case(col_of) -> str:
+    """Fixed-priority argmax over the script-count columns: a later
+    class wins only on a STRICTLY greater count, so ties resolve to the
+    earlier class identically in both engines."""
+    expr = f"'{_SCRIPT_ORDER[0]}'"
+    seen = [col_of(_SCRIPT_ORDER[0])]
+    for name in _SCRIPT_ORDER[1:]:
+        best = seen[0] if len(seen) == 1 else f"greatest({', '.join(seen)})"
+        expr = (
+            f"CASE WHEN {col_of(name)} > {best} "
+            f"THEN '{name}' ELSE {expr} END"
+        )
+        seen.append(col_of(name))
+    return expr
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode-script composition per document (round-4): ppm of
+    non-whitespace characters in Latin / Cyrillic / Han / digit / other,
+    plus the dominant script — the charset gate a multilingual crawl
+    runs beside language_id (mixed-script spam, mojibake, and
+    wrong-language leakage surface here first; CCNet-style pipelines
+    filter on it).
+
+    Everything is codegen Column algebra: each class count is
+    length(text) - length(regexp_replace(text, class, '')) — one scan,
+    no explode, no UDF.  Java regex names scripts \\p{IsX}; the DuckDB
+    oracle uses RE2's \\p{X} — the class syntax differs, the membership
+    does not (engine-verified in tests).  ppm uses truncating integer
+    div; 'other' is the non-whitespace remainder clamped at 0 (a char
+    can match two classes only pathologically); dominant = fixed-order
+    argmax, 'none' for empty docs.
+    """
+    txt = F.col(text_col)
+    staged = df.select(
+        F.col(id_col),
+        F.length(F.regexp_replace(txt, r"\s", "")).alias("__total"),
+        *[
+            (F.length(txt) - F.length(F.regexp_replace(txt, java, "")))
+            .alias(f"__{name}")
+            for name, java, _ in _SCRIPT_CLASSES
+        ],
+    )
+    known = " + ".join(f"__{n}" for n in _SCRIPT_ORDER)
+    ppm_cols = [
+        F.expr(
+            f"CAST(CASE WHEN __total > 0 THEN __{n} * 1000000 div __total"
+            f" ELSE 0 END AS BIGINT)"
+        ).alias(f"{n}_ppm")
+        for n in _SCRIPT_ORDER
+    ]
+    other = F.expr(
+        f"CAST(CASE WHEN __total > 0 THEN greatest(__total - ({known}), 0)"
+        f" * 1000000 div __total ELSE 0 END AS BIGINT)"
+    ).alias("other_ppm")
+    dom = F.expr(
+        f"CASE WHEN __total = 0 THEN 'none' "
+        f"ELSE {_dominant_case(lambda n: f'__{n}')} END"
+    ).alias("dominant")
+    return staged.select(
+        id_col,
+        F.col("__total").cast("long").alias("n_chars"),
+        *ppm_cols,
+        other,
+        dom,
+    )
+
+
+def sql_script_profile(source_sql: str) -> str:
+    """DuckDB oracle for :func:`script_profile` (RE2 class syntax)."""
+    sel = ",\n  ".join(
+        f"(length(text) - length(regexp_replace(text, '{re2}', '', 'g')))"
+        f" AS c_{n}"
+        for n, _, re2 in _SCRIPT_CLASSES
+    )
+    known = " + ".join(f"c_{n}" for n in _SCRIPT_ORDER)
+    ppm = ",\n  ".join(
+        f"CAST(CASE WHEN total > 0 THEN c_{n} * 1000000 // total ELSE 0 END"
+        f" AS BIGINT) AS {n}_ppm"
+        for n in _SCRIPT_ORDER
+    )
+    dom = _dominant_case(lambda n: f"c_{n}")
+    return rf"""WITH staged AS (
+  SELECT doc_id,
+  length(regexp_replace(text, '\s', '', 'g')) AS total,
+  {sel}
+  FROM ({source_sql})
+)
+SELECT doc_id, CAST(total AS BIGINT) AS n_chars,
+  {ppm},
+  CAST(CASE WHEN total > 0 THEN greatest(total - ({known}), 0) * 1000000
+       // total ELSE 0 END AS BIGINT) AS other_ppm,
+  CASE WHEN total = 0 THEN 'none' ELSE {dom} END AS dominant
+FROM staged"""

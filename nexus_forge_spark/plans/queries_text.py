@@ -2444,3 +2444,42 @@ mapped AS (
 SELECT doc_id, canonical_id,
   CASE WHEN {bucket} < 80 THEN 'train' ELSE 'test' END AS split
 FROM mapped"""
+
+
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition gate (operators/text.py
+    script_profile) over a deterministically multilingualized corpus:
+    a hash-selected quarter of docs gains Cyrillic tokens, a quarter
+    Han, a quarter a mixed tail — so Latin/Cyrillic/Han/digit/other and
+    the dominant-script argmax all carry live signal at sf0.01."""
+    from nexus_forge_spark.operators.sketches import hash60
+    from nexus_forge_spark.operators.text import script_profile
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    h = F.pmod(hash60(F.col("doc_id"), "scr"), F.lit(4))
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(h == 1, F.lit(" привет мир данные"))
+            .when(h == 2, F.lit(" 世界 数据 你好"))
+            .when(h == 3, F.lit(" мир 世界 2024"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_profile(aug)
+
+
+def sql_script_mix() -> str:
+    from nexus_forge_spark.operators.sketches import sql_hash60
+    from nexus_forge_spark.operators.text import sql_script_profile
+
+    h = f"({sql_hash60('doc_id', 'scr')} % 4)"
+    src = f"""SELECT doc_id,
+  text || CASE {h}
+    WHEN 1 THEN ' привет мир данные'
+    WHEN 2 THEN ' 世界 数据 你好'
+    WHEN 3 THEN ' мир 世界 2024'
+    ELSE '' END AS text
+FROM documents"""
+    return sql_script_profile(src)

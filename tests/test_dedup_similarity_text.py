@@ -1330,3 +1330,45 @@ def test_good_turing_bigrams_match_duckdb(spark):
         )
         want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
         assert got == want, f"ngram={ng}"
+
+
+def test_script_profile_engine_parity_and_classes(spark):
+    """Class membership must agree between Java regex (\\p{IsX}) and
+    RE2 (\\p{X}) — the one place the operator and its oracle use
+    different SYNTAX for the same sets — plus dominant/empty corners."""
+    import duckdb
+
+    from nexus_forge_spark.operators.text import (
+        script_profile,
+        sql_script_profile,
+    )
+
+    rows = [
+        (1, "hello world abc"),
+        (2, "привет мир"),
+        (3, "世界 你好 数据"),
+        (4, "mixed мир 世界 123"),
+        (5, ""),
+        (6, "12345 67890"),
+        (7, "naïve café résumé"),  # Latin incl. accents
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in script_profile(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = sorted(
+        con.execute(
+            sql_script_profile("SELECT doc_id, text FROM d")
+        ).fetchall()
+    )
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    dom = {i: by_id[i][-1] for i in by_id}
+    assert dom[1] == "latin" and dom[2] == "cyrillic" and dom[3] == "han"
+    assert dom[5] == "none" and dom[6] == "digit"
+    assert dom[7] == "latin"
+    # ppms partition the doc (within truncation) and 'other' catches Ω etc.
+    for r in got:
+        if r[1] > 0:
+            assert 1_000_000 - 6 <= sum(r[2:7]) <= 1_000_000
