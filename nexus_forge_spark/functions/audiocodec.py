@@ -72,6 +72,10 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
             arr = np.frombuffer(data, dtype="<f8").astype(np.float32)
         else:
             raise AudioDecodeError(f"unsupported float bit depth {bits}")
+    elif audio_format in (6, 7):  # G.711 A-law / mu-law, 8 bit/sample
+        table = _ULAW_TABLE if audio_format == 7 else _ALAW_TABLE
+        pcm16 = table[np.frombuffer(data, dtype=np.uint8)]
+        arr = pcm16.astype(np.float32) / 32768.0
     elif audio_format == 0x11:  # IMA/DVI ADPCM (compressed, 4 bit/sample)
         if channels != 1:
             raise AudioDecodeError("IMA ADPCM decode supports mono only")
@@ -254,3 +258,73 @@ def audio_energy_hash(samples: np.ndarray) -> int:
     if bits >= 1 << 63:
         bits -= 1 << 64
     return bits
+
+
+# ------------------------------------------------ G.711 mu-law / A-law
+# ITU-T G.711 (1972/1988) companded telephony audio — WAV format codes 6
+# (A-law) and 7 (mu-law), 8 bits/sample.  Decode tables are derived from
+# the published segment algorithms; spot values pinned in tests against
+# the spec tables (mu 0xFF -> 0, A 0xD5 -> +8).
+
+
+def _ulaw_decode_byte(b: int) -> int:
+    b = ~b & 0xFF
+    sign = b & 0x80
+    exp = (b >> 4) & 7
+    mant = b & 0x0F
+    s = (((mant << 3) + 0x84) << exp) - 0x84
+    return -s if sign else s
+
+
+def _alaw_decode_byte(b: int) -> int:
+    a = b ^ 0x55
+    sign = a & 0x80
+    seg = (a >> 4) & 7
+    t = ((a & 0x0F) << 4) + 8
+    if seg:
+        t = (t + 0x100) << (seg - 1)
+    return t if sign else -t
+
+
+_ULAW_TABLE = np.asarray([_ulaw_decode_byte(b) for b in range(256)], "<i2")
+_ALAW_TABLE = np.asarray([_alaw_decode_byte(b) for b in range(256)], "<i2")
+
+
+def _ulaw_encode_val(s: int) -> int:
+    sign = 0x80 if s < 0 else 0
+    s = min(abs(s), 32635) + 0x84
+    exp = s.bit_length() - 8  # s >= 0x84 -> bit_length >= 8
+    mant = (s >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def _alaw_encode_val(s: int) -> int:
+    sign = 0x80 if s >= 0 else 0
+    s = min(abs(s), 32767)
+    if s < 256:
+        out = s >> 4
+    else:
+        seg = s.bit_length() - 8
+        out = (seg << 4) | ((s >> (seg + 3)) & 0x0F)
+    return (sign | out) ^ 0x55
+
+
+def encode_wav_g711(
+    samples: np.ndarray, rate: int = 8000, law: str = "ulaw"
+) -> bytes:
+    """(n,) float in [-1, 1] -> mono G.711 WAV bytes (format code 7 for
+    mu-law, 6 for A-law) — the fixture encoder for the decoder below."""
+    a = np.asarray(samples, dtype=np.float64).reshape(-1)
+    pcm = np.clip(np.round(a * 32767.0), -32768, 32767).astype(np.int64)
+    enc = _ulaw_encode_val if law == "ulaw" else _alaw_encode_val
+    data = bytes(enc(int(v)) for v in pcm)
+    code = 7 if law == "ulaw" else 6
+    fmt = struct.pack("<HHIIHH", code, 1, rate, rate, 1, 8)
+    fact = struct.pack("<I", len(data))
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -18,7 +18,7 @@ RIFF parser; MJPG frames decode through the baseline-JPEG codec — frame
 sampling and motion features run on actual pixels).  Synthetic payloads
 from ``media_from_documents`` are genuine 4x4 P6 PPM files (1/4 genuine
 baseline JPEGs, 1/4 genuine zlib-IDAT PNGs, ~1/6 genuine LZW GIFs), genuine PCM16 WAVs (1/4 IMA
-ADPCM compressed), and
+ADPCM compressed, a further third G.711 mu-law and a quarter A-law), and
 genuine 4-frame AVIs (1/4 Motion-JPEG compressed), so the default
 pipeline exercises every real path end to end.  Remaining formats
 (progressive JPEG, inter-frame video like H.264, transform audio like
@@ -168,6 +168,27 @@ def _build_adpcm_pool(n: int = 16, n_samples: int = 256) -> list[bytes]:
 
 _ADPCM_POOL = _build_adpcm_pool()
 
+
+def _build_g711_pool(law: str, n: int = 16, n_samples: int = 256) -> list[bytes]:
+    """Pool of genuine G.711 companded WAVs (mu-law format 7 / A-law
+    format 6, 8 bit/sample) with md5-derived sample values — the
+    telephony-audio members of the compressed pool family."""
+    from nexus_forge_spark.functions import audiocodec
+
+    pool = []
+    for i in range(n):
+        raw = b"".join(
+            hashlib.md5(f"g711-{law}-pool-{i}-{j}".encode()).digest()
+            for j in range(n_samples * 2 // 16)
+        )
+        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        pool.append(audiocodec.encode_wav_g711(pcm, rate=8000, law=law))
+    return pool
+
+
+_ULAW_POOL = _build_g711_pool("ulaw")
+_ALAW_POOL = _build_g711_pool("alaw")
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
@@ -302,6 +323,23 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         ),
     )
     is_adpcm_ref = F.pmod(F.xxhash64(ref, F.lit(19)), F.lit(4)) == 0
+    # of the non-ADPCM audio refs, a third carry G.711 mu-law and a
+    # further quarter A-law (formats 7/6) — telephony companding decodes
+    # for real through the LUT path
+    ulaw_bytes = F.element_at(
+        F.array(*[F.lit(p) for p in _ULAW_POOL]),
+        (F.pmod(F.xxhash64(ref, F.lit(29)), F.lit(len(_ULAW_POOL))) + 1).cast(
+            "int"
+        ),
+    )
+    is_ulaw_ref = F.pmod(F.xxhash64(ref, F.lit(31)), F.lit(3)) == 0
+    alaw_bytes = F.element_at(
+        F.array(*[F.lit(p) for p in _ALAW_POOL]),
+        (F.pmod(F.xxhash64(ref, F.lit(33)), F.lit(len(_ALAW_POOL))) + 1).cast(
+            "int"
+        ),
+    )
+    is_alaw_ref = F.pmod(F.xxhash64(ref, F.lit(35)), F.lit(4)) == 0
     # audio payloads are REAL PCM16 mono WAVs: constant 44-byte RIFF header
     # (128 data bytes = 64 samples @ 16 kHz) + hash-derived sample bytes
     wav_header = (
@@ -349,6 +387,8 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         .when(is_image & is_gif_ref, gif_bytes)
         .when(is_image, ppm_bytes)
         .when(is_audio & is_adpcm_ref, adpcm_bytes)
+        .when(is_audio & is_ulaw_ref, ulaw_bytes)
+        .when(is_audio & is_alaw_ref, alaw_bytes)
         .when(is_audio, wav_bytes)
         .when(is_video & is_mjpg_ref, mjpg_bytes)
         .when(is_video, avi_bytes)

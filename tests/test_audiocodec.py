@@ -152,3 +152,49 @@ def test_audio_energy_hash_short_input_zero_pads():
     assert audio_energy_hash(np.zeros(10, dtype=np.float32)) == 0
     # 3 samples: only the first windows carry energy; must not raise
     assert isinstance(audio_energy_hash(np.array([0.5, -0.25, 0.1])), int)
+
+
+# ---- round-4: G.711 mu-law / A-law (WAV formats 7 / 6) -------------------
+
+
+def test_g711_spec_spot_values():
+    from nexus_forge_spark.functions import audiocodec as ac
+
+    assert ac._ulaw_decode_byte(0xFF) == 0  # mu-law +0
+    assert ac._ulaw_decode_byte(0x7F) == 0  # mu-law -0 collapses to 0
+    assert ac._alaw_decode_byte(0xD5) == 8  # A-law smallest positive
+    assert ac._alaw_decode_byte(0x55) == -8
+
+
+def test_g711_tables_self_inverse():
+    from nexus_forge_spark.functions import audiocodec as ac
+
+    # A-law: every code round-trips; mu-law: all but the -0 byte (0x7F),
+    # which decodes to 0 and re-encodes as +0 (0xFF) per the spec
+    assert all(
+        ac._alaw_encode_val(ac._alaw_decode_byte(b)) == b for b in range(256)
+    )
+    bad = [
+        b
+        for b in range(256)
+        if ac._ulaw_encode_val(ac._ulaw_decode_byte(b)) != b
+    ]
+    assert bad == [0x7F]
+
+
+def test_g711_wav_roundtrip_and_features():
+    import numpy as np
+
+    from nexus_forge_spark.functions import audiocodec as ac
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-1, 1, 1024)
+    for law in ("ulaw", "alaw"):
+        wav = ac.encode_wav_g711(x, rate=8000, law=law)
+        assert ac.sniff_wav(wav)
+        arr, rate = ac.decode_wav(wav)
+        assert rate == 8000 and arr.shape == (1024, 1)
+        # logarithmic companding: bounded relative error away from zero
+        rel = np.abs(arr[:, 0] - x) / np.maximum(np.abs(x), 1e-2)
+        assert rel.max() < 0.08
+        assert ac.rms_energy(arr[:, 0]) > 0

@@ -49,9 +49,17 @@ def test_media_schema_and_payload(spark, sf_dir):
                 assert r.metadata.format == "ppm"
                 assert r.metadata.width == 4 and r.metadata.height == 4
         elif r.media_type == "audio":
-            # real PCM16 mono WAV: 44-byte RIFF header + 128 sample bytes
-            assert bytes(r.content).startswith(b"RIFF")
-            assert len(r.content) == 44 + 128
+            # real RIFF/WAVE; payload family varies: PCM16, IMA ADPCM,
+            # or G.711 mu/A-law — every one decodes for real
+            import struct as _struct
+
+            raw = bytes(r.content)
+            assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+            code = _struct.unpack_from("<H", raw, 20)[0]
+            assert code in (1, 6, 7, 0x11)
+            if code == 1:
+                # uncompressed pool: 44-byte header + 128 sample bytes
+                assert len(raw) == 44 + 128
             assert r.metadata.format == "wav"
             assert r.metadata.sample_rate == 16000
         else:
@@ -211,22 +219,25 @@ def test_missing_content_raises_not_implemented(spark):
 
 
 def test_audio_features_real_wav_decode(spark, sf_dir):
-    """Synthetic audio payloads are genuine WAVs — 3/4 PCM16 (64 samples,
-    4 ms) and 1/4 IMA ADPCM compressed (256 samples, 16 ms); the feature
-    stage decodes BOTH for real (decoded=True)."""
+    """Synthetic audio payloads are genuine WAVs across four codec
+    families — PCM16 (64 samples @ 16 kHz, 4 ms), IMA ADPCM (256 @
+    16 kHz, 16 ms), and G.711 mu/A-law (256 @ 8 kHz, 32 ms); the
+    feature stage decodes ALL of them for real (decoded=True)."""
     media = _media(spark, sf_dir)
     feats = MM.extract_audio_features(media)
-    rows = feats.limit(60).collect()
+    rows = feats.limit(120).collect()
     assert rows
     for r in rows:
         assert r.decoded is True
-        assert r.sample_rate == 16000
-        assert r.duration_ms in (4, 16)  # PCM16 pool vs ADPCM pool
+        assert r.sample_rate in (16000, 8000)
+        # PCM16 / ADPCM / G.711 pools respectively
+        assert r.duration_ms in (4, 16, 32)
+        assert (r.sample_rate == 8000) == (r.duration_ms == 32)
         assert 0.0 <= r.rms <= 1.0
         assert 0.0 <= r.zero_crossing_rate <= 1.0
         assert 0.0 <= r.spectral_centroid_hz <= 8000.0
     durations = {r.duration_ms for r in rows}
-    assert durations == {4, 16}  # both codec paths exercised
+    assert durations == {4, 16, 32}  # every codec path exercised
 
 
 def test_audio_features_deterministic(spark, sf_dir):
