@@ -113,7 +113,8 @@ def decode_image(content: bytes) -> np.ndarray:
         from nexus_forge_spark.functions import jpegcodec
 
         try:
-            return jpegcodec.decode_baseline_jpeg(bytes(content))
+            # routes baseline (SOF0/1) and progressive (SOF2) payloads
+            return jpegcodec.decode_jpeg(bytes(content))
         except jpegcodec.JpegDecodeError as exc:
             raise ImageDecodeError(str(exc)) from exc
     raise ImageDecodeError("unknown image format")

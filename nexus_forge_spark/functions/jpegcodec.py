@@ -535,3 +535,440 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
     if nc == 3:
         return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
     raise JpegDecodeError(f"unsupported component count {nc}")
+
+
+# ------------------------------------------------- progressive (SOF2)
+# ITU T.81 Annex G: spectral selection + successive approximation.  The
+# encoder emits a fixed scan script (DC first [+ DC refine], one AC
+# first scan per component [+ one AC refine scan per component]) using
+# only the baseline Huffman tables (EOB runs are emitted per block, so
+# no EOBn symbols beyond 0x00 are needed); the decoder implements the
+# GENERAL Annex G algorithms — arbitrary scan scripts, EOBRUN batching,
+# ZRL-in-refinement, table redefinition between scans — in the
+# IJG-documented form.  Correctness anchor: with identical quantization
+# the progressive pipeline must reconstruct the EXACT same coefficient
+# tensor as the baseline pipeline, so decode(progressive encode(x)) ==
+# decode(baseline encode(x)) bit-for-bit (pinned in tests) — the
+# transmission layers are validated against each other, not just
+# round-tripped.
+
+
+def encode_progressive_jpeg(
+    arr: np.ndarray, quality: int = 75, successive: bool = True
+) -> bytes:
+    """(H, W), (H, W, 1) or (H, W, 3) uint8 -> progressive JFIF bytes
+    (4:4:4, SOF2).  ``successive=True`` adds successive-approximation
+    scans (Al=1 first passes + refinement passes) on top of spectral
+    selection."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch not in (1, 3):
+        raise ValueError(f"unsupported channel count {ch}")
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(arr, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    planes = (
+        [padded[:, :, 0].astype(np.float64)]
+        if ch == 1
+        else list(np.moveaxis(_rgb_to_ycbcr(padded), 2, 0))
+    )
+    qlum = _scale_quant(_QUANT_LUM, quality)
+    qchrom = _scale_quant(_QUANT_CHROM, quality)
+    qtabs = [qlum] if ch == 1 else [qlum, qchrom]
+    comp_q = [0] if ch == 1 else [0, 1, 1]
+    coefs = []
+    for ci, plane in enumerate(planes):
+        blk = _blocks(plane) - 128.0
+        dct = np.einsum("ij,njk,lk->nil", _T, blk, _T)
+        zz = dct.reshape(-1, 64)[:, ZIGZAG]
+        coefs.append(np.round(zz / qtabs[comp_q[ci]]).astype(np.int64))
+
+    dc_codes = [_build_codes(*_DC_LUM)]
+    ac_codes = [_build_codes(*_AC_LUM)]
+    if ch == 3:
+        dc_codes.append(_build_codes(*_DC_CHROM))
+        ac_codes.append(_build_codes(*_AC_CHROM))
+    comp_h = [0] if ch == 1 else [0, 1, 1]
+    n_blocks = coefs[0].shape[0]
+
+    def dc_first_scan(al: int) -> bytes:
+        wr = _BitWriter()
+        pred = [0] * ch
+        for m in range(n_blocks):
+            for ci in range(ch):
+                v = int(coefs[ci][m][0]) >> al  # DC point transform: arith shift
+                diff = v - pred[ci]
+                pred[ci] = v
+                cat, extra = _magnitude(diff)
+                code, ln = dc_codes[comp_h[ci]][cat]
+                wr.write(code, ln)
+                if cat:
+                    wr.write(extra, cat)
+        return wr.flush()
+
+    def dc_refine_scan(al: int) -> bytes:
+        wr = _BitWriter()
+        for m in range(n_blocks):
+            for ci in range(ch):
+                wr.write((int(coefs[ci][m][0]) >> al) & 1, 1)
+        return wr.flush()
+
+    def ac_first_scan(ci: int, al: int) -> bytes:
+        wr = _BitWriter()
+        tab = ac_codes[comp_h[ci]]
+        for m in range(n_blocks):
+            blk = coefs[ci][m]
+            # point transform: magnitude shift (truncate toward zero)
+            vals = [
+                (abs(int(v)) >> al) * (1 if v >= 0 else -1) for v in blk
+            ]
+            last_nz = 0
+            for k in range(1, 64):
+                if vals[k]:
+                    last_nz = k
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = vals[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = tab[0xF0]
+                    wr.write(code, ln)
+                    run -= 16
+                cat, extra = _magnitude(v)
+                code, ln = tab[(run << 4) | cat]
+                wr.write(code, ln)
+                wr.write(extra, cat)
+                run = 0
+            if last_nz < 63:
+                code, ln = tab[0x00]  # EOB (run of 1)
+                wr.write(code, ln)
+        return wr.flush()
+
+    def ac_refine_scan(ci: int, al: int) -> bytes:
+        # IJG jcphuff.c encode_mcu_AC_refine, per-block EOB flush
+        wr = _BitWriter()
+        tab = ac_codes[comp_h[ci]]
+        ah = al + 1
+        for m in range(n_blocks):
+            blk = coefs[ci][m]
+            absv = [abs(int(v)) >> al for v in blk]
+            eob = 0
+            for k in range(1, 64):
+                if absv[k] == 1:
+                    eob = k  # last NEWLY significant coefficient
+            run = 0
+            pending: list[int] = []
+            for k in range(1, 64):
+                t = absv[k]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob:
+                    code, ln = tab[0xF0]
+                    wr.write(code, ln)
+                    run -= 16
+                    for bit in pending:
+                        wr.write(bit, 1)
+                    pending = []
+                if t > 1:
+                    # previously significant: buffer the correction bit
+                    pending.append(t & 1)
+                    continue
+                code, ln = tab[(run << 4) | 1]
+                wr.write(code, ln)
+                wr.write(1 if blk[k] >= 0 else 0, 1)
+                for bit in pending:
+                    wr.write(bit, 1)
+                pending = []
+                run = 0
+            if run > 0 or pending:
+                code, ln = tab[0x00]  # EOBRUN of 1
+                wr.write(code, ln)
+                for bit in pending:
+                    wr.write(bit, 1)
+        return wr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, q in enumerate(qtabs):
+        out += seg(0xDB, bytes([ti]) + bytes(int(x) for x in q))
+    sof = struct.pack(">BHHB", 8, h, w, ch)
+    for ci in range(ch):
+        sof += bytes([ci + 1, 0x11, comp_q[ci]])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    huffs = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
+    if ch == 3:
+        huffs += [(0x01, _DC_CHROM), (0x11, _AC_CHROM)]
+    for tc, (bits, vals) in huffs:
+        out += seg(0xC4, bytes([tc]) + bytes(bits) + bytes(vals))
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        p = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            td = comp_h[ci]
+            ta = comp_h[ci]
+            p += bytes([ci + 1, (td << 4) | ta])
+        return seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    al0 = 1 if successive else 0
+    out += sos(list(range(ch)), 0, 0, 0, al0)
+    out += dc_first_scan(al0)
+    if successive:
+        out += sos(list(range(ch)), 0, 0, 1, 0)
+        out += dc_refine_scan(0)
+    for ci in range(ch):
+        out += sos([ci], 1, 63, 0, al0)
+        out += ac_first_scan(ci, al0)
+    if successive:
+        for ci in range(ch):
+            out += sos([ci], 1, 63, 1, 0)
+            out += ac_refine_scan(ci, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _find_next_marker(b: bytes, pos: int) -> int:
+    """Skip entropy-coded data (stuffed 0xFF00 and RST markers) to the
+    next segment marker position."""
+    n = len(b)
+    while pos + 1 < n:
+        if b[pos] == 0xFF and b[pos + 1] != 0x00 and not (
+            0xD0 <= b[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    raise JpegDecodeError("ran off the end looking for a marker")
+
+
+def decode_progressive_jpeg(buf: bytes) -> np.ndarray:
+    """Progressive JFIF bytes (SOF2, 4:4:4 or grayscale) -> (H, W, 1|3)
+    uint8.  Implements the general Annex G scan algebra: spectral
+    selection, successive approximation (DC and AC first + refinement),
+    EOBRUN batching, ZRL inside refinement, interleaved DC scans."""
+    b = bytes(buf)
+    if b[:2] != b"\xff\xd8":
+        raise JpegDecodeError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    coefs = None
+    comp_idx: dict[int, int] = {}
+    n_blocks = 0
+    n = len(b)
+    while pos + 2 <= n:
+        if b[pos] != 0xFF:
+            raise JpegDecodeError("expected marker")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        length = struct.unpack_from(">H", b, pos + 2)[0]
+        payload = b[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:
+            i = 0
+            while i < len(payload):
+                pq, tq = payload[i] >> 4, payload[i] & 0xF
+                if pq != 0:
+                    raise JpegDecodeError("16-bit quant tables unsupported")
+                qtabs[tq] = np.frombuffer(
+                    payload, dtype=np.uint8, count=64, offset=i + 1
+                ).astype(np.int64)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(payload):
+                tc, th = payload[i] >> 4, payload[i] & 0xF
+                bits = list(payload[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(payload[i + 17 : i + 17 + nv])
+                huff[(tc, th)] = _build_decode_map(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise JpegDecodeError(f"unsupported precision {prec}")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    raise JpegDecodeError("subsampled chroma unsupported")
+                comps.append((cid, tq))
+                comp_idx[cid] = ci
+            frame = (h, w, comps)
+            n_blocks = ((h + 7) // 8) * ((w + 7) // 8)
+            coefs = np.zeros((nc, n_blocks, 64), dtype=np.int64)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise JpegDecodeError("not a progressive (SOF2) JPEG")
+        elif marker == 0xDA:
+            if frame is None or coefs is None:
+                raise JpegDecodeError("SOS before SOF2")
+            ns = payload[0]
+            scan_comps = []
+            for i in range(ns):
+                cid = payload[1 + 2 * i]
+                tdta = payload[2 + 2 * i]
+                scan_comps.append((comp_idx[cid], tdta >> 4, tdta & 0xF))
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            rd = _BitReader(b, pos)
+            _decode_prog_scan(
+                rd, coefs, scan_comps, ss, se, ah, al, huff, n_blocks
+            )
+            pos = _find_next_marker(b, rd.pos)
+    if frame is None or coefs is None:
+        raise JpegDecodeError("missing SOF2")
+    h, w, comps = frame
+    mh, mw = (h + 7) // 8, (w + 7) // 8
+    planes = []
+    inv_zigzag = np.argsort(ZIGZAG)
+    for ci, (cid, tq) in enumerate(comps):
+        q = qtabs.get(tq)
+        if q is None:
+            raise JpegDecodeError("missing quant table")
+        deq = (coefs[ci] * q)[:, inv_zigzag].reshape(-1, 8, 8).astype(np.float64)
+        spatial = np.einsum("ji,njk,kl->nil", _T, deq, _T) + 128.0
+        plane = (
+            spatial.reshape(mh, mw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(mh * 8, mw * 8)[:h, :w]
+        )
+        planes.append(plane)
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+    if len(planes) == 3:
+        return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+    raise JpegDecodeError(f"unsupported component count {len(planes)}")
+
+
+def _decode_prog_scan(
+    rd, coefs, scan_comps, ss, se, ah, al, huff, n_blocks
+) -> None:
+    def read_symbol(table):
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | rd.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise JpegDecodeError("invalid Huffman code")
+
+    if ss == 0:  # DC scan (interleaved over all scan components)
+        if se != 0:
+            raise JpegDecodeError("DC scan with Se != 0")
+        if ah == 0:
+            pred = [0] * len(scan_comps)
+            for m in range(n_blocks):
+                for si, (ci, td, _ta) in enumerate(scan_comps):
+                    tab = huff.get((0, td))
+                    if tab is None:
+                        raise JpegDecodeError("missing DC Huffman table")
+                    cat = read_symbol(tab)
+                    diff = _extend(rd.receive(cat), cat)
+                    pred[si] += diff
+                    coefs[ci, m, 0] = pred[si] << al
+        else:
+            for m in range(n_blocks):
+                for ci, _td, _ta in scan_comps:
+                    if rd.bit():
+                        coefs[ci, m, 0] |= 1 << al
+        return
+    # AC scan: single component required
+    if len(scan_comps) != 1:
+        raise JpegDecodeError("interleaved AC scan")
+    ci, _td, ta = scan_comps[0]
+    tab = huff.get((1, ta))
+    if tab is None:
+        raise JpegDecodeError("missing AC Huffman table")
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -(1 << al)
+    if ah == 0:  # AC first scan
+        for m in range(n_blocks):
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = read_symbol(tab)
+                run, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if run == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += rd.receive(run)
+                    break
+                k += run
+                if k > se:
+                    raise JpegDecodeError("AC run past band end")
+                coefs[ci, m, k] = _extend(rd.receive(size), size) << al
+                k += 1
+        return
+    # AC refinement scan (IJG jdphuff.c decode_mcu_AC_refine)
+    for m in range(n_blocks):
+        blk = coefs[ci, m]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = read_symbol(tab)
+                run, size = rs >> 4, rs & 0xF
+                newval = 0
+                if size == 0:
+                    if run != 15:
+                        eobrun = (1 << run)
+                        if run:
+                            eobrun += rd.receive(run)
+                        break
+                    # ZRL: skip 16 zero-history positions
+                else:
+                    if size != 1:
+                        raise JpegDecodeError("AC refine size != 1")
+                    newval = p1 if rd.bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        if rd.bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        run -= 1
+                        if run < 0:
+                            break
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if rd.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Any supported JFIF payload -> (H, W, 1|3) uint8: routes to the
+    baseline or progressive decoder by the frame marker."""
+    b = bytes(buf)
+    pos = 2
+    n = len(b)
+    while pos + 4 <= n and b[pos] == 0xFF:
+        marker = b[pos + 1]
+        if marker == 0xC2:
+            return decode_progressive_jpeg(b)
+        if marker in (0xC0, 0xC1):
+            return decode_baseline_jpeg(b)
+        if marker in (0xD9, 0xDA):
+            break
+        length = struct.unpack_from(">H", b, pos + 2)[0]
+        pos += 2 + length
+    return decode_baseline_jpeg(b)

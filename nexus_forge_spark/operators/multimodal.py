@@ -21,9 +21,10 @@ baseline JPEGs, 1/4 genuine zlib-IDAT PNGs, ~1/6 genuine LZW GIFs), genuine PCM1
 ADPCM compressed, a further third G.711 mu-law and a quarter A-law), and
 genuine 4-frame AVIs (1/4 Motion-JPEG compressed), so the default
 pipeline exercises every real path end to end.  Remaining formats
-(progressive JPEG, inter-frame video like H.264, transform audio like
-MP3 — all needing libs absent from this container) fall back to the
-deterministic hash stub, still marked by ``DECODE_IS_STUBBED``.
+(inter-frame video like H.264, transform audio like MP3) fall back to
+the deterministic hash stub, still marked by ``DECODE_IS_STUBBED``;
+progressive JPEG (SOF2) decodes for REAL since round 4 —
+jpegcodec.decode_jpeg routes both frame types.
 Everything Spark-side — schemas, partitioning, the mapInPandas batch
 contract, null handling — is real and tested.
 """
@@ -43,7 +44,7 @@ from pyspark.sql import types as T
 
 from nexus_forge_spark.functions import audiocodec, imagecodec, videocodec
 
-# PPM/PGM/BMP/PNG/baseline-JPEG image decode is real (numpy + stdlib
+# PPM/PGM/BMP/PNG/JPEG-(baseline+progressive)/GIF image decode is real (numpy + stdlib
 # zlib/struct); WAV audio decode is real; AVI video decode is real for
 # BOTH uncompressed DIB and compressed Motion-JPEG; WAV audio decode is
 # real for PCM/IEEE-float AND compressed IMA ADPCM; inter-frame video
@@ -72,6 +73,9 @@ _JPEG_DIM = 8
 
 
 def _build_jpeg_pool(n: int = 16) -> list[bytes]:
+    """Half the pool is baseline (SOF0), half PROGRESSIVE (SOF2, with
+    successive-approximation scans) — both decode for real through
+    jpegcodec.decode_jpeg."""
     from nexus_forge_spark.functions import jpegcodec
 
     pool = []
@@ -83,7 +87,14 @@ def _build_jpeg_pool(n: int = 16) -> list[bytes]:
         arr = np.frombuffer(raw, dtype=np.uint8).reshape(
             _JPEG_DIM, _JPEG_DIM, 3
         )
-        pool.append(jpegcodec.encode_baseline_jpeg(arr, quality=90))
+        if i % 2:
+            pool.append(
+                jpegcodec.encode_progressive_jpeg(
+                    arr, quality=90, successive=True
+                )
+            )
+        else:
+            pool.append(jpegcodec.encode_baseline_jpeg(arr, quality=90))
     return pool
 
 

@@ -134,3 +134,71 @@ def test_header_geometry():
     i = enc.index(bytes([0xFF, 0xC0]))
     _prec, h, w, nc = struct.unpack_from(">BHHB", enc, i + 4)
     assert (h, w, nc) == (10, 20, 3)
+
+
+# ---- round-4: progressive (SOF2) -----------------------------------------
+
+
+def test_progressive_equals_baseline_reconstruction():
+    """The decisive differential: identical quantization means the
+    progressive pipeline must reconstruct the EXACT coefficient tensor
+    the baseline pipeline does — decode(prog encode(x)) ==
+    decode(base encode(x)) bit-for-bit, both with and without
+    successive-approximation scans, color and grayscale."""
+    import numpy as np
+
+    from nexus_forge_spark.functions import jpegcodec as jc
+
+    rng = np.random.default_rng(77)
+    for trial in range(6):
+        h, w = int(rng.integers(4, 48)), int(rng.integers(4, 48))
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        base = jc.decode_baseline_jpeg(jc.encode_baseline_jpeg(arr, quality=80))
+        for succ in (False, True):
+            prog = jc.decode_progressive_jpeg(
+                jc.encode_progressive_jpeg(arr, quality=80, successive=succ)
+            )
+            assert np.array_equal(base, prog), (trial, succ)
+    g = rng.integers(0, 256, (19, 7), dtype=np.uint8)
+    assert np.array_equal(
+        jc.decode_baseline_jpeg(jc.encode_baseline_jpeg(g, quality=60)),
+        jc.decode_progressive_jpeg(
+            jc.encode_progressive_jpeg(g, quality=60, successive=True)
+        ),
+    )
+
+
+def test_decode_jpeg_routes_by_frame_marker():
+    import numpy as np
+
+    from nexus_forge_spark.functions import jpegcodec as jc
+
+    arr = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    b = jc.encode_baseline_jpeg(arr, quality=90)
+    p = jc.encode_progressive_jpeg(arr, quality=90)
+    assert np.array_equal(jc.decode_jpeg(b), jc.decode_baseline_jpeg(b))
+    assert np.array_equal(jc.decode_jpeg(p), jc.decode_progressive_jpeg(p))
+    # baseline decoder still refuses progressive payloads loudly
+    import pytest
+
+    with pytest.raises(jc.JpegDecodeError):
+        jc.decode_baseline_jpeg(p)
+
+
+def test_progressive_smooth_image_quality():
+    """Smooth gradients survive the full scan script with small error
+    (sanity that the refinement scans actually refine)."""
+    import numpy as np
+
+    from nexus_forge_spark.functions import jpegcodec as jc
+
+    x = np.linspace(0, 255, 64)
+    arr = np.stack(
+        [np.tile(x, (64, 1)), np.tile(x[::-1], (64, 1)), np.full((64, 64), 128.0)],
+        axis=-1,
+    ).astype(np.uint8)
+    out = jc.decode_progressive_jpeg(
+        jc.encode_progressive_jpeg(arr, quality=90, successive=True)
+    )
+    err = np.abs(out.astype(int) - arr.astype(int))
+    assert err.mean() < 4 and err.max() < 40

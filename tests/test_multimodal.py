@@ -100,11 +100,15 @@ def test_jpeg_payloads_decode_end_to_end(spark, sf_dir):
     for r in rows:
         f = feats[(r.doc_id, r.media_ref)]
         assert (f.width, f.height, f.channels) == (8, 8, 3)
-        # embedding comes from REAL decoded pixels, not the hash stub
+        # embedding comes from REAL decoded pixels, not the hash stub;
+        # the pool mixes baseline (SOF0) and progressive (SOF2) payloads
         arr = imagecodec.decode_image(bytes(r.content))
-        assert np.array_equal(arr, jpegcodec.decode_baseline_jpeg(bytes(r.content)))
+        assert np.array_equal(arr, jpegcodec.decode_jpeg(bytes(r.content)))
         expect = imagecodec.block_mean_embedding(arr, dim=8)
         assert f.embedding == pytest.approx(expect)
+    # both frame types present in the pool
+    assert any(b"\xff\xc2" in p for p in MM._JPEG_POOL)
+    assert any(b"\xff\xc0" in p for p in MM._JPEG_POOL)
 
 
 def test_image_features_deterministic(spark, sf_dir):
