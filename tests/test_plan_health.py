@@ -858,3 +858,42 @@ def test_attribution_join_is_per_user(spark, sf01):
     df = q_attribution_credits(spark, sf01)
     plan = plan_of(df, execute=True)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_script_profile_is_exchange_free(spark, sf01):
+    """script_profile is pure per-row Column algebra: one scan, zero
+    shuffles, no UDF — the plan must contain no Exchange at all."""
+    from nexus_forge_spark.operators.text import script_profile
+    from nexus_forge_spark.sources import load_table
+
+    plan = plan_of(
+        script_profile(load_table(spark, "documents", sf01).select("doc_id", "text"))
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_characteristics_audit_broadcasts_declarations(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["kg_characteristics_audit"][0](spark, sf01))
+    assert "BroadcastHashJoin" in plan  # schema-sized declarations
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_matrix_no_cartesian(spark, sf01):
+    """The source-pair overlap must come from the gram equi-join, never
+    an all-pairs product over sources or grams."""
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["contamination_matrix"][0](spark, sf01))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_two_tier_lsh_no_cartesian_and_partial_agg(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["dedup_twotier_components"][0](spark, sf01))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
