@@ -988,3 +988,241 @@ SELECT CAST(bin AS INT) AS bin, cnt_a, cnt_b,
        CAST(pa_ppm AS BIGINT) AS pa_ppm, CAST(pb_ppm AS BIGINT) AS pb_ppm,
        CAST((pa_ppm - pb_ppm) * ({term}) // 1000000 AS BIGINT) AS term_micro
 FROM ppm"""
+
+
+def embedding_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension embedding population drift between two releases
+    (round-4; the vector-space sibling of :func:`psi_report`): re-embed
+    a corpus with a new model or a new checkpoint and this is the gate
+    that says which DIMENSIONS moved — the standard pre-flight before
+    trusting an ANN index built on the old vectors.
+
+    Engine-exact by quantization: every component is first cast to integer
+    micro-units (round(v * 1e6)), so sums and means are BIGINT-exact —
+    no float accumulation order to diverge on.  Per dimension: n, mean
+    (micro), mean absolute deviation around the integer mean (micro; MAD
+    needs no sqrt and no > 2^63 intermediate, unlike variance), the
+    inter-release mean shift, and shift/MAD in ppm — the scale-free
+    drift score.
+
+    Shape: posexplode -> ONE partial-combinable aggregate per side; the
+    MAD pass re-joins the (dims-sized, broadcast) means; final join is
+    dims x dims-sized.  At 10^12 vectors each pass is one scan.
+    """
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        comp = df.select(
+            F.posexplode(F.col(vec_col)).alias("dim", "v")
+        ).select(
+            "dim", F.round(F.col("v") * 1000000).cast("long").alias("vm")
+        )
+        means = comp.groupBy("dim").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum("vm").alias("s"),
+        ).select(
+            "dim",
+            f"n_{tag}",
+            F.expr(f"CAST(s div n_{tag} AS BIGINT)").alias(f"mean_{tag}_micro"),
+        )
+        mad = (
+            comp.join(F.broadcast(means), "dim")
+            .groupBy("dim")
+            .agg(
+                F.expr(
+                    f"CAST(sum(abs(vm - mean_{tag}_micro)) div count(1) AS BIGINT)"
+                ).alias(f"mad_{tag}_micro")
+            )
+        )
+        return means.join(mad, "dim")
+
+    a = side(df_a, "a")
+    b = side(df_b, "b")
+    return (
+        a.join(b, "dim")
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "mean_a_micro",
+            "mean_b_micro",
+            (F.col("mean_b_micro") - F.col("mean_a_micro")).alias("shift_micro"),
+            "mad_a_micro",
+            F.expr(
+                "CAST(abs(mean_b_micro - mean_a_micro) * 1000000"
+                " div (mad_a_micro + 1) AS BIGINT)"
+            ).alias("drift_ppm"),
+        )
+    )
+
+
+def sql_embedding_drift(source_a_sql: str, source_b_sql: str) -> str:
+    """DuckDB oracle for :func:`embedding_drift` (sources -> one
+    ``embedding`` list column each)."""
+
+    def side(src: str, tag: str) -> str:
+        return f"""comp_{tag} AS MATERIALIZED (
+  SELECT CAST(i - 1 AS INT) AS dim,
+         CAST(round(e[i] * 1000000) AS BIGINT) AS vm
+  FROM (SELECT embedding AS e FROM ({src})),
+       LATERAL (SELECT unnest(generate_series(1, len(e))) AS i)
+),
+means_{tag} AS MATERIALIZED (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n_{tag},
+         CAST(sum(vm) // count(*) AS BIGINT) AS mean_{tag}_micro
+  FROM comp_{tag} GROUP BY dim
+),
+mad_{tag} AS MATERIALIZED (
+  SELECT c.dim,
+         CAST(sum(abs(c.vm - m.mean_{tag}_micro)) // count(*) AS BIGINT)
+           AS mad_{tag}_micro
+  FROM comp_{tag} c JOIN means_{tag} m ON c.dim = m.dim
+  GROUP BY c.dim
+)"""
+
+    return f"""WITH {side(source_a_sql, 'a')},
+{side(source_b_sql, 'b')}
+SELECT ma.dim, ma.n_a, mb.n_b, ma.mean_a_micro, mb.mean_b_micro,
+  mb.mean_b_micro - ma.mean_a_micro AS shift_micro,
+  da.mad_a_micro,
+  CAST(abs(mb.mean_b_micro - ma.mean_a_micro) * 1000000
+       // (da.mad_a_micro + 1) AS BIGINT) AS drift_ppm
+FROM means_a ma
+JOIN means_b mb ON ma.dim = mb.dim
+JOIN mad_a da ON ma.dim = da.dim"""
+
+
+def winsorized_group_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    scale: int = 100,
+) -> DataFrame:
+    """Winsorized + trimmed robust means per group (round-4; the
+    outlier-insensitive companion to robust_outliers): values scale to
+    BIGINT units, the EXACT per-group percentile cuts come from a ranked
+    pass (value at rank ceil(n*p/100), the repo's exact-percentile
+    discipline — no double interpolation), then
+
+      winsorized mean: every value CLAMPED to [p_lo, p_hi], integer mean;
+      trimmed mean:    only values INSIDE [p_lo, p_hi], integer mean.
+
+    Trimming is BY VALUE, not by rank — rank-trimming is
+    tie-order-dependent, value-trimming is a pure function of the
+    multiset, so both engines agree exactly.
+
+    Shape: one window rank per group (parallel across groups, no global
+    exchange) + two aggregates.  Output: (group, n, p_lo_scaled,
+    p_hi_scaled, winsorized_mean_scaled, trimmed_mean_scaled, n_trimmed).
+    """
+    v = F.floor(F.col(value_col) * scale).cast("long")
+    # ties under orderBy("v") get arbitrary relative ranks, but the VALUE
+    # at any rank is a pure function of the multiset — every output
+    # column below is value-derived, so the result is deterministic
+    w = Window.partitionBy("g").orderBy("v")
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), v.alias("v"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    )
+    cuts = base.groupBy("g").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.greatest(
+                    F.lit(1), F.expr(f"CAST(ceil(n * {lo_pct} / 100) AS BIGINT)")
+                ),
+                F.col("v"),
+            )
+        ).alias("p_lo_scaled"),
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.greatest(
+                    F.lit(1), F.expr(f"CAST(ceil(n * {hi_pct} / 100) AS BIGINT)")
+                ),
+                F.col("v"),
+            )
+        ).alias("p_hi_scaled"),
+    )
+    joined = base.select("g", "v").join(F.broadcast(cuts), "g")
+    inside = (F.col("v") >= F.col("p_lo_scaled")) & (
+        F.col("v") <= F.col("p_hi_scaled")
+    )
+    return (
+        joined.groupBy("g")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("p_lo_scaled").alias("p_lo_scaled"),
+            F.max("p_hi_scaled").alias("p_hi_scaled"),
+            F.expr(
+                "CAST(sum(greatest(p_lo_scaled, least(p_hi_scaled, v)))"
+                " div count(1) AS BIGINT)"
+            ).alias("winsorized_mean_scaled"),
+            F.expr(
+                "CAST(sum(CASE WHEN v BETWEEN p_lo_scaled AND p_hi_scaled"
+                " THEN v END) div"
+                " sum(CASE WHEN v BETWEEN p_lo_scaled AND p_hi_scaled"
+                " THEN 1 END) AS BIGINT)"
+            ).alias("trimmed_mean_scaled"),
+            F.sum(inside.cast("long")).cast("long").alias("n_trimmed"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            "p_lo_scaled",
+            "p_hi_scaled",
+            "winsorized_mean_scaled",
+            "trimmed_mean_scaled",
+            "n_trimmed",
+        )
+    )
+
+
+def sql_winsorized_group_stats(
+    source_sql: str,
+    group_col: str,
+    value_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    scale: int = 100,
+) -> str:
+    """DuckDB oracle for :func:`winsorized_group_stats`."""
+    return f"""WITH base AS MATERIALIZED (
+  SELECT {group_col} AS g,
+         CAST(floor({value_col} * {scale}) AS BIGINT) AS v
+  FROM ({source_sql})
+  WHERE {value_col} IS NOT NULL
+),
+ranked AS MATERIALIZED (
+  SELECT g, v,
+         row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM base
+),
+cuts AS MATERIALIZED (
+  SELECT g, CAST(max(n) AS BIGINT) AS n,
+    min(CASE WHEN rn = greatest(1, CAST(ceil(n * {lo_pct} / 100) AS BIGINT))
+             THEN v END) AS p_lo_scaled,
+    min(CASE WHEN rn = greatest(1, CAST(ceil(n * {hi_pct} / 100) AS BIGINT))
+             THEN v END) AS p_hi_scaled
+  FROM ranked GROUP BY g
+)
+SELECT b.g AS {group_col}, c.n, c.p_lo_scaled, c.p_hi_scaled,
+  CAST(sum(greatest(c.p_lo_scaled, least(c.p_hi_scaled, b.v)))
+       // count(*) AS BIGINT) AS winsorized_mean_scaled,
+  CAST(sum(CASE WHEN b.v BETWEEN c.p_lo_scaled AND c.p_hi_scaled
+           THEN b.v END) //
+       sum(CASE WHEN b.v BETWEEN c.p_lo_scaled AND c.p_hi_scaled
+           THEN 1 END) AS BIGINT) AS trimmed_mean_scaled,
+  CAST(sum(CASE WHEN b.v BETWEEN c.p_lo_scaled AND c.p_hi_scaled
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed
+FROM base b JOIN cuts c ON b.g = c.g
+GROUP BY b.g, c.n, c.p_lo_scaled, c.p_hi_scaled"""

@@ -1553,3 +1553,157 @@ SELECT doc_id, CAST(total AS BIGINT) AS n_chars,
        // total ELSE 0 END AS BIGINT) AS other_ppm,
   CASE WHEN total = 0 THEN 'none' ELSE {dom} END AS dominant
 FROM staged"""
+
+
+def naive_bayes_source_scores(
+    df: DataFrame,
+    pos_sources: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Multinomial Naive-Bayes quality/source classifier (round-4): the
+    CCNet/GPT-2-WebText discipline of scoring crawl text against a
+    trusted reference slice, here trained ON the corpus itself — docs
+    from ``pos_sources`` are the positive class, the rest negative —
+    with add-one smoothing and the per-doc log-odds in deterministic
+    integer micro-nats.
+
+        log_odds(d) = ln(Np/Nn)                              (doc prior)
+                    + sum_t tf(t,d) * [ln((cp_t+1)/(Tp+V))
+                                       - ln((cn_t+1)/(Tn+V))]
+
+    Why NB and not logistic regression: training is PURE COUNTING — two
+    map-side-combinable aggregates (class-conditional token counts and
+    class totals), no gradient loop, no floats — so the trained model is
+    bit-identical on any engine and the whole operator stays
+    oracle-gradable.  Every logarithm is the fixed-point intlog; token
+    weights are computed once on the VOCAB-sized count table, then one
+    join onto per-(doc, token) counts and one sum — at 100 TB the corpus
+    shuffles once for the tf aggregate and once for the vocab join (AQE
+    picks broadcast vs shuffle from runtime vocab bytes, the r3 vocab
+    discipline).
+
+    Output: (id, n_tokens, log_odds_micro, predicted 'pos'|'neg';
+    ties at 0 -> 'pos').
+    """
+    from nexus_forge_spark.functions.intlog import ln_micro_col
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(source_col).isin(pos_sources).alias("is_pos"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    tf = toks.groupBy(id_col, "is_pos", "t").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    vocab = (
+        tf.groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("is_pos"), F.col("tf")).otherwise(0)).alias("cp"),
+            F.sum(F.when(~F.col("is_pos"), F.col("tf")).otherwise(0)).alias("cn"),
+        )
+    )
+    totals = vocab.agg(
+        F.sum("cp").alias("tp"),
+        F.sum("cn").alias("tn"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    doc_counts = df.select(
+        F.col(source_col).isin(pos_sources).alias("is_pos")
+    ).groupBy().agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(~F.col("is_pos"), 1).otherwise(0)).alias("nn"),
+    )
+    weights = (
+        vocab.crossJoin(F.broadcast(totals))
+        .select(
+            "t",
+            (
+                ln_micro_col("(cp + 1)", "(tp + v)")
+                - ln_micro_col("(cn + 1)", "(tn + v)")
+            ).alias("w_micro"),
+        )
+    )
+    scored = (
+        tf.join(weights, "t")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("w_micro")).cast("long").alias("s"),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(doc_counts))
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("s") + ln_micro_col("np", "nn")).cast("long").alias(
+                "log_odds_micro"
+            ),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "log_odds_micro",
+            F.when(F.col("log_odds_micro") >= 0, F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("predicted"),
+        )
+    )
+
+
+def sql_naive_bayes_source_scores(
+    source_sql: str, pos_sources: list[str]
+) -> str:
+    """DuckDB oracle for :func:`naive_bayes_source_scores`
+    (``source_sql`` -> (doc_id, text, source))."""
+    from nexus_forge_spark.functions.intlog import ln_micro_sql
+
+    pos_in = ", ".join(f"'{s}'" for s in pos_sources)
+    w = (
+        f"({ln_micro_sql('(cp + 1)', '(tp + v)', 'duck')}"
+        f" - {ln_micro_sql('(cn + 1)', '(tn + v)', 'duck')})"
+    )
+    prior = ln_micro_sql("np", "nn", "duck")
+    return rf"""WITH base AS MATERIALIZED (
+  SELECT doc_id, source IN ({pos_in}) AS is_pos,
+         string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM ({source_sql})
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, is_pos, t, count(*) AS tf
+  FROM base, LATERAL (SELECT unnest(toks) AS t)
+  GROUP BY doc_id, is_pos, t
+),
+vocab AS MATERIALIZED (
+  SELECT t,
+    sum(CASE WHEN is_pos THEN tf ELSE 0 END) AS cp,
+    sum(CASE WHEN NOT is_pos THEN tf ELSE 0 END) AS cn
+  FROM tf GROUP BY t
+),
+totals AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS tp, CAST(sum(cn) AS BIGINT) AS tn,
+         CAST(count(*) AS BIGINT) AS v
+  FROM vocab
+),
+docn AS (
+  SELECT
+    CAST(sum(CASE WHEN source IN ({pos_in}) THEN 1 ELSE 0 END) AS BIGINT) AS np,
+    CAST(sum(CASE WHEN source NOT IN ({pos_in}) THEN 1 ELSE 0 END) AS BIGINT) AS nn
+  FROM ({source_sql})
+),
+weights AS MATERIALIZED (
+  SELECT t, CAST({w} AS BIGINT) AS w_micro
+  FROM vocab CROSS JOIN totals
+),
+scored AS (
+  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(sum(tf.tf * w.w_micro) AS BIGINT) AS s
+  FROM tf JOIN weights w ON tf.t = w.t
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_tokens,
+  CAST(s + ({prior}) AS BIGINT) AS log_odds_micro,
+  CASE WHEN s + ({prior}) >= 0 THEN 'pos' ELSE 'neg' END AS predicted
+FROM scored CROSS JOIN docn"""

@@ -1450,3 +1450,64 @@ def sql_ams_selfjoin_size() -> str:
 UNION ALL SELECT 'contains', l_partkey FROM lineitem
 UNION ALL SELECT 'in_order', l_orderkey FROM lineitem"""
     return sql_ams_f2(src, "v", ["pred"])
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension drift between two embedding releases
+    (operators/profile.py embedding_drift): release B shifts dims 0-3 by
+    +0.05 on a hash-selected half of the vectors and rescales dim 7 by
+    1.1 — those dims must light up in drift_ppm while the untouched dims
+    stay near zero.  Integer micro-unit quantization makes every stat
+    BIGINT-exact (no float accumulation order)."""
+    from nexus_forge_spark.operators.profile import embedding_drift
+    from nexus_forge_spark.operators.sketches import hash60
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    bump = F.pmod(hash60(F.col("vec_id"), "edrift"), F.lit(2)) == 0
+    shifted = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda v, i: F.when(bump & (i < 4), v + F.lit(0.05))
+            .when(i == 7, v * F.lit(1.1))
+            .otherwise(v),
+        ).alias("embedding"),
+    )
+    return embedding_drift(emb, shifted)
+
+
+def sql_embedding_drift() -> str:
+    from nexus_forge_spark.operators.profile import sql_embedding_drift
+    from nexus_forge_spark.operators.sketches import sql_hash60
+
+    bump = f"({sql_hash60('vec_id', 'edrift')} % 2) = 0"
+    src_a = "SELECT embedding FROM embeddings"
+    src_b = f"""SELECT
+  [CASE WHEN ({bump}) AND i < 5 THEN embedding[i] + 0.05
+        WHEN i = 8 THEN embedding[i] * 1.1
+        ELSE embedding[i] END
+   FOR i IN range(1, len(embedding) + 1)] AS embedding
+FROM embeddings"""
+    return sql_embedding_drift(src_a, src_b)
+
+
+def q_winsorized_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation winsorized + trimmed mean of customer account balance
+    (operators/profile.py winsorized_group_stats): the robust central
+    tendency a profiling pass quotes when the plain mean is hostage to a
+    few extreme balances; exact integer percentile cuts, value-based
+    trimming (tie-order-proof)."""
+    from nexus_forge_spark.operators.profile import winsorized_group_stats
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_nationkey", "c_acctbal"
+    )
+    return winsorized_group_stats(cust, "c_nationkey", "c_acctbal")
+
+
+def sql_winsorized_acctbal() -> str:
+    from nexus_forge_spark.operators.profile import sql_winsorized_group_stats
+
+    return sql_winsorized_group_stats(
+        "SELECT c_nationkey, c_acctbal FROM customer", "c_nationkey", "c_acctbal"
+    )

@@ -2483,3 +2483,61 @@ def sql_script_mix() -> str:
     ELSE '' END AS text
 FROM documents"""
     return sql_script_profile(src)
+
+
+_NB_POS_SOURCES = ["src0", "src1", "src2"]
+
+
+def _nb_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with a REAL class signal: reference-source docs carry a
+    distinctive vocabulary tail ('curated reference corpus editorial') on
+    a hash-selected 3/4 of rows, and the same tail leaks into a
+    hash-selected ~1/8 of the rest — so the classifier must actually
+    separate distributions (both predicted classes occur, with errors)
+    instead of reading the degenerate prior."""
+    from nexus_forge_spark.operators.sketches import hash60
+
+    docs = load_table(spark, "documents", sf_dir)
+    is_pos = F.col("source").isin(_NB_POS_SOURCES)
+    h = F.pmod(hash60(F.col("doc_id"), "nb"), F.lit(8))
+    tail = F.lit(" curated reference corpus editorial")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(is_pos & (h < 6), tail)
+            .when(~is_pos & (h == 0), tail)
+            .otherwise(F.lit("")),
+        ).alias("text"),
+        "source",
+    )
+
+
+_NB_DOCS_SQL = """SELECT doc_id,
+  text || CASE
+    WHEN source IN ('src0', 'src1', 'src2')
+         AND ({h}) < 6 THEN ' curated reference corpus editorial'
+    WHEN source NOT IN ('src0', 'src1', 'src2')
+         AND ({h}) = 0 THEN ' curated reference corpus editorial'
+    ELSE '' END AS text,
+  source
+FROM documents"""
+
+
+def q_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-trained multinomial Naive Bayes (operators/text.py
+    naive_bayes_source_scores): docs from the reference sources are the
+    positive class; per-doc log-odds in integer micro-nats — the
+    CCNet-style quality-classification gate, fully oracle-graded because
+    training is pure aggregation."""
+    from nexus_forge_spark.operators.text import naive_bayes_source_scores
+
+    return naive_bayes_source_scores(_nb_docs(spark, sf_dir), _NB_POS_SOURCES)
+
+
+def sql_nb_source_classifier() -> str:
+    from nexus_forge_spark.operators.sketches import sql_hash60
+    from nexus_forge_spark.operators.text import sql_naive_bayes_source_scores
+
+    src = _NB_DOCS_SQL.format(h=sql_hash60("doc_id", "nb") + " % 8")
+    return sql_naive_bayes_source_scores(src, _NB_POS_SOURCES)

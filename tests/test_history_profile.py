@@ -256,3 +256,34 @@ def test_psi_empty_side_degenerates_identically(spark):
     )
     assert got == want
     assert all(r[4] == 1 for r in got)  # empty side floors at 1 ppm
+
+
+def test_winsorized_group_stats_hand_case(spark):
+    from nexus_forge_spark.operators.profile import winsorized_group_stats
+
+    # one group, values 1..20 plus an extreme outlier 1000
+    rows = [("g", float(v)) for v in list(range(1, 21)) + [1000]]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = winsorized_group_stats(df, "g", "x", lo_pct=5, hi_pct=95, scale=1).collect()[0]
+    # n=21: p5 at rank ceil(21*0.05)=2 -> 2; p95 at rank ceil(19.95)=20 -> 20
+    assert out.n == 21
+    assert out.p_lo_scaled == 2 and out.p_hi_scaled == 20
+    # winsorized: 1->2 and 1000->20; sum = (2..20 summed) + 2 + 20
+    wins = (sum(range(2, 21)) + 2 + 20) // 21
+    assert out.winsorized_mean_scaled == wins
+    # trimmed: values in [2, 20] -> 2..20
+    assert out.n_trimmed == 19
+    assert out.trimmed_mean_scaled == sum(range(2, 21)) // 19
+
+
+def test_embedding_drift_zero_on_identical_releases(spark):
+    from nexus_forge_spark.operators.profile import embedding_drift
+
+    emb = spark.createDataFrame(
+        [(i, [0.1 * i, -0.2, 0.5]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_drift(emb, emb).collect()
+    assert len(out) == 3
+    assert all(r.shift_micro == 0 and r.drift_ppm == 0 for r in out)
+    assert all(r.n_a == 10 and r.n_b == 10 for r in out)
