@@ -1021,3 +1021,432 @@ def fold_rfm_state(state: DataFrame, batch_state: DataFrame) -> DataFrame:
             F.sum("m_cents").cast("long").alias("m_cents"),
         )
     )
+
+
+def sequential_patterns(
+    df: DataFrame,
+    min_support: int = 2,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Frequent sequential patterns of length 2 and 3 (round-4; the
+    PrefixSpan/GSP family, Pei 2001) — "users who VIEW then CLICK then
+    ERROR" — counted as SUBSEQUENCE existence per user (gaps allowed,
+    order by time), with a support floor.
+
+    The naive subsequence join is cubic in events-per-user; existence
+    needs only the GREEDY-EARLIEST witness (a subsequence a>b exists
+    iff SOME b follows the FIRST a; a>b>c iff some c follows the
+    earliest such b — the classic greedy argument), so the plan is:
+
+      first occurrence per (user, type)           one aggregate
+      earliest b after first a                    ONE event-level join
+                                                  (events x #types, the
+                                                  only super-linear step)
+      c after that                                join against per-type
+                                                  MAX key only
+
+    Event order is total and engine-portable: the sort key is the
+    zero-padded string micros||event_id, so min()/comparisons are plain
+    lexicographic VARCHAR ops with identical tie semantics everywhere
+    (min_by tie rules differ between engines; padded-string min does
+    not).  Output: (pattern 'a>b' or 'a>b>c', length, support,
+    support_ppm of users) for patterns with support >= min_support.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    key = F.concat(
+        F.lpad(us.cast("string"), 20, "0"),
+        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+    )
+    occ = df.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        key.alias("k"),
+    ).localCheckpoint(eager=True)
+    first = occ.groupBy("u", F.col("t").alias("a")).agg(
+        F.min("k").alias("ka")
+    )
+    maxk = occ.groupBy("u", F.col("t").alias("c")).agg(
+        F.max("k").alias("kc")
+    )
+    ab = (
+        occ.join(first, "u")
+        .where(F.col("k") > F.col("ka"))
+        .groupBy("u", "a", F.col("t").alias("b"))
+        .agg(F.min("k").alias("kab"))
+    )
+    n_users = occ.select("u").distinct().count()
+    s2 = ab.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support")).select(
+        F.concat_ws(">", "a", "b").alias("pattern"),
+        F.lit(2).alias("length"),
+        "support",
+    )
+    s3 = (
+        ab.join(maxk, "u")
+        .where(F.col("kc") > F.col("kab"))
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .select(
+            F.concat_ws(">", "a", "b", "c").alias("pattern"),
+            F.lit(3).alias("length"),
+            "support",
+        )
+    )
+    return (
+        s2.unionByName(s3)
+        .where(F.col("support") >= min_support)
+        .select(
+            "pattern",
+            "length",
+            F.col("support").cast("long").alias("support"),
+            F.expr(f"CAST(support * 1000000 div {n_users} AS BIGINT)").alias(
+                "support_ppm"
+            ),
+        )
+    )
+
+
+def sql_sequential_patterns(source_sql: str, min_support: int = 2) -> str:
+    """DuckDB oracle for :func:`sequential_patterns` (source ->
+    (user_id, event_type, ts, event_id))."""
+    key = (
+        "lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0') || "
+        "lpad(CAST(event_id AS VARCHAR), 12, '0')"
+    )
+    return f"""WITH occ AS MATERIALIZED (
+  SELECT user_id AS u, event_type AS t, {key} AS k
+  FROM ({source_sql})
+),
+nu AS (SELECT count(DISTINCT u) AS n_users FROM occ),
+first_a AS (SELECT u, t AS a, min(k) AS ka FROM occ GROUP BY u, t),
+maxk AS (SELECT u, t AS c, max(k) AS kc FROM occ GROUP BY u, t),
+ab AS MATERIALIZED (
+  SELECT o.u, f.a, o.t AS b, min(o.k) AS kab
+  FROM occ o JOIN first_a f ON o.u = f.u
+  WHERE o.k > f.ka
+  GROUP BY o.u, f.a, o.t
+),
+s2 AS (
+  SELECT a || '>' || b AS pattern, 2 AS length, count(*) AS support
+  FROM ab GROUP BY a, b
+),
+s3 AS (
+  SELECT ab.a || '>' || ab.b || '>' || m.c AS pattern, 3 AS length,
+         count(*) AS support
+  FROM ab JOIN maxk m ON ab.u = m.u
+  WHERE m.kc > ab.kab
+  GROUP BY ab.a, ab.b, m.c
+),
+uni AS (SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+SELECT pattern, length, CAST(support AS BIGINT) AS support,
+  CAST(support * 1000000 // n_users AS BIGINT) AS support_ppm
+FROM uni CROSS JOIN nu
+WHERE support >= {min_support}"""
+
+
+MARKOV_ROUNDS = 20
+
+
+def markov_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    rounds: int = MARKOV_ROUNDS,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Markov-chain removal-effect attribution (round-4; Anderl et al.
+    2016 — the data-driven alternative to the positional U-shape in
+    position_attribution): journeys become a first-order chain
+    START -> channels -> {CONV, NULL}; a channel's value is how much the
+    chain's conversion probability DROPS when that channel is removed
+    (its state forced non-converting), normalized to credits.
+
+    Engine-exact integer algebra throughout: transition probabilities
+    are Q30 ratios of BIGINT counts, absorption probabilities come from
+    ``rounds`` synchronous value-iteration steps (v <- T v with CONV
+    pinned at Q30, NULL and the removed channel at 0 — each step is one
+    join + partial aggregate over the tiny (variant x state) frame, and
+    the fixed round count makes an unrolled SQL oracle match
+    bit-for-bit), credits are largest-remainder ppm that sum EXACTLY to
+    1e6 (the attribution_credits discipline).
+
+    Scale shape: the heavy work is the ONE distributed pass building
+    transition counts (window lead per user); the chain itself is
+    state-space-sized (channels + 3), so value iteration costs nothing
+    at any corpus size.  Output: (channel, p_full_q30, p_removed_q30,
+    removal_ppm, credit_ppm).
+    """
+    from pyspark.sql.window import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy("u").orderBy("k")
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.concat(
+            F.lpad(us.cast("string"), 20, "0"),
+            F.lpad(F.col(id_col).cast("string"), 12, "0"),
+        ).alias("k"),
+    )
+    # cut each journey at its FIRST conversion event
+    first_conv = (
+        ev.where(F.col("t") == conversion_type)
+        .groupBy("u")
+        .agg(F.min("k").alias("kconv"))
+    )
+    walked = (
+        ev.join(first_conv, "u", "left")
+        .where(F.col("kconv").isNull() | (F.col("k") <= F.col("kconv")))
+        .withColumn(
+            "t",
+            F.when(F.col("t") == conversion_type, F.lit("CONV")).otherwise(
+                F.col("t")
+            ),
+        )
+        .withColumn("nxt", F.lead("t").over(w))
+        .withColumn("prv", F.lag("t").over(w))
+    )
+    steps = (
+        walked.select(
+            F.when(F.col("prv").isNull(), F.lit("START"))
+            .otherwise(F.col("prv"))
+            .alias("s"),
+            F.col("t").alias("d"),
+        )
+        .unionByName(
+            # terminal: last state of a non-converting journey -> NULL
+            walked.where(F.col("nxt").isNull() & (F.col("t") != "CONV"))
+            .select(F.col("t").alias("s"), F.lit("NULL").alias("d"))
+        )
+    )
+    counts = steps.groupBy("s", "d").agg(F.count(F.lit(1)).alias("c"))
+    row_tot = counts.groupBy("s").agg(F.sum("c").alias("tot"))
+    q30 = 1 << 30
+    trans = (
+        counts.join(row_tot, "s")
+        .select(
+            "s", "d", F.expr(f"CAST(c * {q30} div tot AS BIGINT)").alias("p")
+        )
+        .localCheckpoint(eager=True)
+    )
+    channels = [
+        r["s"]
+        for r in trans.select("s").distinct().collect()
+        if r["s"] not in ("START", "CONV", "NULL")
+    ]
+    variants = ["__FULL__"] + sorted(channels)
+    states = sorted(set(channels) | {"START"})
+    spark = df.sparkSession
+    vframe = spark.createDataFrame(
+        [(va, st) for va in variants for st in states],
+        "variant string, state string",
+    )
+    # v_0 = 0 everywhere; absorbing values enter through the step's
+    # CONV term, so iterate: v <- sum_d T(s,d) * val(d)
+    v = vframe.select("variant", "state", F.lit(0).cast("long").alias("v"))
+    for _ in range(rounds):
+        # value of destination d under a variant: CONV=Q30, NULL=0,
+        # removed channel=0, else current v
+        dst = v.select(
+            F.col("variant").alias("dvariant"),
+            F.col("state").alias("dstate"),
+            F.col("v").alias("dv"),
+        )
+        step = (
+            vframe.join(trans, vframe.state == trans.s)
+            .join(
+                dst,
+                (F.col("variant") == F.col("dvariant"))
+                & (F.col("d") == F.col("dstate")),
+                "left",
+            )
+            .select(
+                "variant",
+                "state",
+                "p",
+                F.when(F.col("d") == "CONV", F.lit(q30))
+                .when(F.col("d") == "NULL", F.lit(0))
+                .when(F.col("d") == F.col("variant"), F.lit(0))
+                .otherwise(F.coalesce(F.col("dv"), F.lit(0)))
+                .alias("dval"),
+            )
+        )
+        v = (
+            step.groupBy("variant", "state")
+            .agg(
+                F.expr(f"CAST(sum(p * dval) div {q30} AS BIGINT)").alias("v")
+            )
+            .select(
+                "variant",
+                "state",
+                # a removed channel's own value is pinned to 0
+                F.when(F.col("state") == F.col("variant"), F.lit(0))
+                .otherwise(F.col("v"))
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    start_v = v.where(F.col("state") == "START").select(
+        "variant", F.col("v").alias("p_conv")
+    )
+    full = start_v.where(F.col("variant") == "__FULL__").select(
+        F.col("p_conv").alias("p_full")
+    )
+    per_ch = (
+        start_v.where(F.col("variant") != "__FULL__")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("variant").alias("channel"),
+            F.col("p_full").alias("p_full_q30"),
+            F.col("p_conv").alias("p_removed_q30"),
+            F.greatest(
+                F.lit(0), F.col("p_full") - F.col("p_conv")
+            ).alias("re"),
+        )
+    )
+    tot_re = per_ch.agg(F.sum("re").alias("tot_re"))
+    seats = (
+        per_ch.crossJoin(F.broadcast(tot_re))
+        .select(
+            "channel",
+            "p_full_q30",
+            "p_removed_q30",
+            F.expr("CAST(re * 1000000 div greatest(tot_re, 1) AS BIGINT)").alias(
+                "base"
+            ),
+            F.expr("CAST(re * 1000000 % greatest(tot_re, 1) AS BIGINT)").alias(
+                "rem"
+            ),
+            F.expr(
+                "CAST(re * 1000000 div greatest(tot_re, 1) AS BIGINT)"
+            ).alias("removal_base"),
+            "re",
+            "tot_re",
+        )
+    )
+    from pyspark.sql.window import Window as W2
+
+    wr = W2.orderBy(F.desc("rem"), F.asc("channel"))
+    wall = W2.rowsBetween(W2.unboundedPreceding, W2.unboundedFollowing)
+    return (
+        seats.withColumn("leftover", F.lit(1000000) - F.sum("base").over(wall))
+        .withColumn("rk", F.row_number().over(wr))
+        .select(
+            "channel",
+            "p_full_q30",
+            "p_removed_q30",
+            F.expr(f"CAST(re * 1000000 div {q30} AS BIGINT)").alias(
+                "removal_ppm"
+            ),
+            F.expr(
+                "CAST(CASE WHEN tot_re = 0 THEN 0 ELSE base + "
+                "CASE WHEN rk <= leftover THEN 1 ELSE 0 END END AS BIGINT)"
+            ).alias("credit_ppm"),
+        )
+    )
+
+
+def sql_markov_attribution(
+    source_sql: str,
+    conversion_type: str = "purchase",
+    rounds: int = MARKOV_ROUNDS,
+) -> str:
+    """DuckDB oracle for :func:`markov_attribution`: the identical
+    integer algebra with the value iteration unrolled to ``rounds``
+    MATERIALIZED CTEs (single-reference, the repo's anti-inlining
+    discipline)."""
+    q30 = 1 << 30
+    key = (
+        "lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0') || "
+        "lpad(CAST(event_id AS VARCHAR), 12, '0')"
+    )
+    round_ctes = []
+    prev = "v0"
+    for i in range(1, rounds + 1):
+        name = f"v{i}"
+        round_ctes.append(f"""{name} AS MATERIALIZED (
+  SELECT vf.variant, vf.state,
+    CASE WHEN vf.state = vf.variant THEN 0
+         ELSE CAST(sum(t.p * (
+           CASE WHEN t.d = 'CONV' THEN {q30}
+                WHEN t.d = 'NULL' THEN 0
+                WHEN t.d = vf.variant THEN 0
+                ELSE coalesce(pv.v, 0) END)) // {q30} AS BIGINT)
+    END AS v
+  FROM vframe vf
+  JOIN trans t ON t.s = vf.state
+  LEFT JOIN {prev} pv ON pv.variant = vf.variant AND pv.state = t.d
+  GROUP BY vf.variant, vf.state
+)""")
+        prev = name
+    rounds_sql = ",\n".join(round_ctes)
+    return f"""WITH ev AS MATERIALIZED (
+  SELECT user_id AS u, event_type AS t, {key} AS k
+  FROM ({source_sql})
+),
+first_conv AS (
+  SELECT u, min(k) AS kconv FROM ev WHERE t = '{conversion_type}' GROUP BY u
+),
+walked AS MATERIALIZED (
+  SELECT e.u,
+         CASE WHEN e.t = '{conversion_type}' THEN 'CONV' ELSE e.t END AS t,
+         e.k,
+         lead(CASE WHEN e.t = '{conversion_type}' THEN 'CONV' ELSE e.t END)
+           OVER (PARTITION BY e.u ORDER BY e.k) AS nxt,
+         lag(CASE WHEN e.t = '{conversion_type}' THEN 'CONV' ELSE e.t END)
+           OVER (PARTITION BY e.u ORDER BY e.k) AS prv
+  FROM ev e LEFT JOIN first_conv f ON e.u = f.u
+  WHERE f.kconv IS NULL OR e.k <= f.kconv
+),
+steps AS MATERIALIZED (
+  SELECT CASE WHEN prv IS NULL THEN 'START' ELSE prv END AS s, t AS d
+  FROM walked
+  UNION ALL
+  SELECT t AS s, 'NULL' AS d FROM walked WHERE nxt IS NULL AND t <> 'CONV'
+),
+counts AS (SELECT s, d, count(*) AS c FROM steps GROUP BY s, d),
+row_tot AS (SELECT s, sum(c) AS tot FROM counts GROUP BY s),
+trans AS MATERIALIZED (
+  SELECT c.s, c.d, CAST(c.c * {q30} // r.tot AS BIGINT) AS p
+  FROM counts c JOIN row_tot r ON c.s = r.s
+),
+channels AS (
+  SELECT DISTINCT s AS ch FROM trans WHERE s NOT IN ('START', 'CONV', 'NULL')
+),
+variants AS (
+  SELECT '__FULL__' AS variant UNION ALL SELECT ch FROM channels
+),
+states AS (
+  SELECT ch AS state FROM channels UNION ALL SELECT 'START'
+),
+vframe AS MATERIALIZED (SELECT variant, state FROM variants CROSS JOIN states),
+v0 AS (SELECT variant, state, CAST(0 AS BIGINT) AS v FROM vframe),
+{rounds_sql},
+startv AS (SELECT variant, v AS p_conv FROM {prev} WHERE state = 'START'),
+fullv AS (SELECT p_conv AS p_full FROM startv WHERE variant = '__FULL__'),
+per_ch AS (
+  SELECT s.variant AS channel, f.p_full, s.p_conv AS p_removed,
+         greatest(0, f.p_full - s.p_conv) AS re
+  FROM startv s CROSS JOIN fullv f
+  WHERE s.variant <> '__FULL__'
+),
+tot AS (SELECT sum(re) AS tot_re FROM per_ch),
+seats AS (
+  SELECT channel, p_full, p_removed, re, tot_re,
+         CAST(re * 1000000 // greatest(tot_re, 1) AS BIGINT) AS base,
+         CAST(re * 1000000 % greatest(tot_re, 1) AS BIGINT) AS rem
+  FROM per_ch CROSS JOIN tot
+)
+SELECT channel,
+  CAST(p_full AS BIGINT) AS p_full_q30,
+  CAST(p_removed AS BIGINT) AS p_removed_q30,
+  CAST(re * 1000000 // {q30} AS BIGINT) AS removal_ppm,
+  CAST(CASE WHEN tot_re = 0 THEN 0 ELSE base +
+    CASE WHEN row_number() OVER (ORDER BY rem DESC, channel)
+              <= 1000000 - sum(base) OVER () THEN 1 ELSE 0 END
+  END AS BIGINT) AS credit_ppm
+FROM seats"""

@@ -1455,3 +1455,39 @@ def sql_rfm_incremental() -> str:
        CAST(count(*) AS BIGINT) AS f_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
 FROM events GROUP BY user_id"""
+
+
+def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent behavioral subsequences (operators/events.py
+    sequential_patterns): length-2/3 ordered patterns with gaps, counted
+    by greedy-earliest witnesses so the plan never goes cubic in
+    events-per-user."""
+    from nexus_forge_spark.operators.events import sequential_patterns
+
+    return sequential_patterns(load_table(spark, "events", sf_dir))
+
+
+def sql_seq_patterns() -> str:
+    from nexus_forge_spark.operators.events import sql_sequential_patterns
+
+    return sql_sequential_patterns(
+        "SELECT user_id, event_type, ts, event_id FROM events"
+    )
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven attribution by Markov removal effect
+    (operators/events.py markov_attribution): the drop in chain
+    conversion probability when each channel is forced non-converting,
+    largest-remainder credits summing exactly to 1e6."""
+    from nexus_forge_spark.operators.events import markov_attribution
+
+    return markov_attribution(load_table(spark, "events", sf_dir))
+
+
+def sql_markov_attribution_q() -> str:
+    from nexus_forge_spark.operators.events import sql_markov_attribution
+
+    return sql_markov_attribution(
+        "SELECT user_id, event_type, ts, event_id FROM events"
+    )

@@ -796,3 +796,52 @@ def test_rfm_fold_equals_recompute_any_order(spark):
             )
         got = sorted(tuple(r) for r in state.collect())
         assert got == full, order
+
+
+def test_markov_attribution_hand_case(spark):
+    """Two clean journeys: A->purchase and B->nothing.  Removing A kills
+    ALL conversion (removal = p_full); removing B changes nothing."""
+    from datetime import datetime
+
+    from nexus_forge_spark.operators.events import markov_attribution
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1, "A", 0.0, ""),
+        (2, datetime(2024, 1, 1, 0, 1, 0), 1, "purchase", 1.0, ""),
+        (3, datetime(2024, 1, 1, 0, 0, 0), 2, "B", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    out = {r.channel: r for r in markov_attribution(df).collect()}
+    q30 = 1 << 30
+    assert out["A"].p_full_q30 == q30 // 2  # START -> A (1/2) -> CONV
+    assert out["A"].p_removed_q30 == 0
+    assert out["B"].p_removed_q30 == q30 // 2  # removing B changes nothing
+    assert out["A"].credit_ppm == 1000000 and out["B"].credit_ppm == 0
+
+
+def test_sequential_patterns_greedy_witness(spark):
+    """a>b>c must be found via the greedy-earliest witness even when the
+    FIRST b precedes the first a (the naive first-occurrence-only check
+    would miss it)."""
+    from datetime import datetime
+
+    from nexus_forge_spark.operators.events import sequential_patterns
+
+    t0 = datetime(2024, 1, 1)
+    seq = ["b", "a", "b", "c"]  # a -> (second) b -> c exists
+    rows = [
+        (i, t0.replace(minute=i), 7, t, 0.0, "") for i, t in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    pats = {
+        r.pattern for r in sequential_patterns(df, min_support=1).collect()
+    }
+    assert "a>b>c" in pats
+    assert "b>a>b" in pats  # repeated types allowed
+    assert "c>a" not in pats
