@@ -1246,9 +1246,11 @@ def markov_attribution(
         "variant string, state string",
     )
     # v_0 = 0 everywhere; absorbing values enter through the step's
-    # CONV term, so iterate: v <- sum_d T(s,d) * val(d)
+    # CONV term, so iterate: v <- sum_d T(s,d) * val(d); per-round
+    # lineage pin (measured best among {sparse checkpoints, coalesce(1),
+    # per-round} — the tiny per-round job beats a growing plan tree)
     v = vframe.select("variant", "state", F.lit(0).cast("long").alias("v"))
-    for _ in range(rounds):
+    for _r in range(rounds):
         # value of destination d under a variant: CONV=Q30, NULL=0,
         # removed channel=0, else current v
         dst = v.select(
