@@ -3134,3 +3134,115 @@ def clustering_coefficients(
             .alias("cc_ppm"),
         )
     )
+
+
+def coreness(
+    edges: DataFrame,
+    rounds: int = 12,
+    a: str = "a",
+    b: str = "b",
+    check_converged: bool = True,
+) -> DataFrame:
+    """Full core decomposition — EVERY node's core number, not just
+    membership at one k (the kcore operator's upgrade) — via the h-index
+    iteration (Lü, Zhou, Zhang & Stanley, Nature Comms 2016):
+
+        c_0(v)   = deg(v)
+        c_{t+1}(v) = H({c_t(u) : u ~ v})
+
+    where H is the h-index (the largest h with >= h neighbours of value
+    >= h).  The sequence is monotone non-increasing and its fixpoint is
+    exactly the coreness, so a FIXED round count keeps both engines
+    bit-identical (rounds past convergence are no-ops — the sssp/kcore
+    oracle discipline); ``check_converged`` raises if the last round
+    still changed anything (the honesty contract of the iterative
+    family).
+
+    Per round: one join of the value table onto the symmetric edge list
+    + one per-node window — H = max(least(rank, c_u)) over neighbours
+    sorted by value descending; the window partitions by node, so the
+    round is parallel across nodes with no global exchange, and the
+    max(min(rank, value)) form is invariant to tie order among equal
+    values (deterministic without a tiebreak).  Coreness ranks nodes by
+    embeddedness — the dedup-cluster-core vs straggler score kcore
+    thresholds coarsely.
+
+    Output: (node, coreness BIGINT).
+    """
+    from pyspark.sql.window import Window
+
+    und = (
+        edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .where(F.col(a) != F.col(b))
+        .select(F.greatest("x", "y").alias("p"), F.least("x", "y").alias("q"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("q").alias("p"), F.col("p").alias("q"))
+    ).localCheckpoint(eager=True)
+    c = sym.groupBy(F.col("p").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("p").orderBy(F.desc("cn"), "q")
+    prev = None
+    for _ in range(rounds):
+        prev = c
+        c = (
+            sym.join(
+                c.select(F.col("node").alias("q"), F.col("c").alias("cn")),
+                "q",
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .groupBy(F.col("p").alias("node"))
+            .agg(
+                F.max(F.least(F.col("rk"), F.col("cn")))
+                .cast("long")
+                .alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    if check_converged:
+        changed = (
+            c.join(
+                prev.select(F.col("node"), F.col("c").alias("c_prev")), "node"
+            )
+            .where(F.col("c") != F.col("c_prev"))
+            .count()
+        )
+        if changed:
+            raise RuntimeError(
+                f"coreness: {changed} nodes still changing after {rounds} "
+                "rounds — raise `rounds`"
+            )
+    return c.select("node", F.col("c").alias("coreness"))
+
+
+def sql_coreness(edges_sql: str, rounds: int = 12) -> str:
+    """DuckDB oracle for :func:`coreness` — identical h-index algebra,
+    rounds unrolled as MATERIALIZED CTEs."""
+    ctes = []
+    prev = "c0"
+    for i in range(1, rounds + 1):
+        name = f"c{i}"
+        ctes.append(f"""{name} AS MATERIALIZED (
+  SELECT p AS node, CAST(max(least(rk, cn)) AS BIGINT) AS c
+  FROM (
+    SELECT s.p, v.c AS cn,
+           row_number() OVER (PARTITION BY s.p ORDER BY v.c DESC, s.q) AS rk
+    FROM sym s JOIN {prev} v ON s.q = v.node
+  ) GROUP BY p
+)""")
+        prev = name
+    body = ",\n".join(ctes)
+    return f"""WITH und AS MATERIALIZED (
+  SELECT DISTINCT greatest(a, b) AS p, least(a, b) AS q
+  FROM ({edges_sql}) WHERE a <> b
+),
+sym AS MATERIALIZED (
+  SELECT p, q FROM und UNION ALL SELECT q AS p, p AS q FROM und
+),
+c0 AS MATERIALIZED (
+  SELECT p AS node, CAST(count(*) AS BIGINT) AS c FROM sym GROUP BY p
+),
+{body}
+SELECT node, c AS coreness FROM {prev}"""

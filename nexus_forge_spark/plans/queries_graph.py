@@ -1431,3 +1431,35 @@ LEFT JOIN cc ON cc.node = n.node"""
 
 
 q_graph_diameter.__doc__ = q_graph_diameter.__doc__.format(hops=_DIAM_HOPS)
+
+
+def q_coreness_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition of the co-purchase graph
+    (operators/graph.py coreness): h-index iteration to the exact per-
+    node core number — the graded companion of kcore_copurchase's single
+    threshold."""
+    from nexus_forge_spark.operators.graph import coreness
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_partkey") + PART_NODE_OFFSET).alias("b"),
+        )
+    )
+    return coreness(edges)
+
+
+def sql_coreness_copurchase() -> str:
+    from nexus_forge_spark.operators.graph import sql_coreness
+
+    edges = f"""SELECT o.o_custkey AS a,
+       l.l_partkey + {PART_NODE_OFFSET} AS b
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"""
+    return sql_coreness(edges)

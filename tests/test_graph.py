@@ -999,3 +999,25 @@ def test_iterative_round_metrics(spark):
     mdf = m.df(spark)
     assert mdf.columns == ["op", "round", "metric", "value"]
     assert mdf.count() == sum(len(r) - 2 for r in m.rows)
+
+
+def test_coreness_matches_peeling_definition(spark):
+    """Hand graph: a 4-clique (coreness 3) with a pendant path (1) and a
+    triangle bridge (2); h-index iteration must land on the exact
+    peeling core numbers, and agree with kcore membership at every k."""
+    from nexus_forge_spark.operators.graph import coreness, kcore
+
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    extra = [(3, 10), (10, 11), (11, 12), (0, 20), (1, 20)]  # path + triangle
+    edges = spark.createDataFrame(clique + extra, "a long, b long")
+    got = {r.node: r.coreness for r in coreness(edges).collect()}
+    assert {k: got[k] for k in range(4)} == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert got[20] == 2  # triangle with 0,1
+    assert got[10] == got[11] == got[12] == 1
+    for k in (1, 2, 3):
+        members = {r.node for r in kcore(edges, k=k).collect()}
+        assert members == {n for n, c in got.items() if c >= k}
+    import pytest
+
+    with pytest.raises(RuntimeError, match="still changing"):
+        coreness(edges, rounds=1)
