@@ -3246,3 +3246,115 @@ c0 AS MATERIALIZED (
 ),
 {body}
 SELECT node, c AS coreness FROM {prev}"""
+
+
+def disparity_backbone(
+    edges: DataFrame,
+    alpha_milli: int = 50,
+    a: str = "a",
+    b: str = "b",
+    w: str = "w",
+) -> DataFrame:
+    """Multiscale backbone of a weighted graph by the disparity filter
+    (Serrano, Boguñá & Vespignani, PNAS 2009): an edge survives if its
+    weight is statistically surprising against at least one endpoint's
+    null model — p-value alpha_ij = (1 - w_ij / s_i)^(k_i - 1) < alpha —
+    the standard cleanup between a co-occurrence count graph and any
+    community/centrality pass (raw co-occurrence is dominated by hub
+    noise that thresholding by weight cannot remove scale-freely).
+
+    Engine-exact in the LOG domain: -ln(alpha) = (k-1) * -ln(1 - w/s)
+    and -ln(1 - w/s) = ln(s / (s - w)) is one fixed-point
+    intlog.ln_micro over exact BIGINT sums — no float pow, no per-edge
+    fold (the direct (1-x)^k form would need a variable-length product;
+    the log form is one multiply).  Keep iff
+    (k_i - 1) * nll_micro > -ln(alpha) * 1e3 with alpha given in
+    milli-units (alpha_milli=50 -> alpha=0.05).  Degree-1 endpoints
+    cannot certify significance (their alpha is 1), per the paper.
+
+    Shape: one strength/degree aggregate + one broadcast-eligible join
+    per endpoint side.  Output: surviving (a, b, w, nll_a_micro,
+    nll_b_micro) with a < b.
+    """
+    from nexus_forge_spark.functions.intlog import ln_micro_py, ln_micro_sql
+
+    und = (
+        edges.select(
+            F.greatest(F.col(a), F.col(b)).alias("p"),
+            F.least(F.col(a), F.col(b)).alias("q"),
+            F.col(w).cast("long").alias("w"),
+        )
+        .where(F.col(a) != F.col(b))
+        .groupBy("p", "q")
+        .agg(F.sum("w").alias("w"))
+    )
+    sym = und.unionByName(
+        und.select(F.col("q").alias("p"), F.col("p").alias("q"), "w")
+    )
+    stats = sym.groupBy(F.col("p").alias("node")).agg(
+        F.sum("w").alias("s"), F.count(F.lit(1)).cast("long").alias("k")
+    )
+    # -ln(alpha_from_this_side) in micro-nats; degree-1 -> 0 (never keeps)
+    def side(node_col: str, out: str) -> DataFrame:
+        return stats.select(
+            F.col("node").alias(node_col),
+            F.col("s").alias(f"__s_{out}"),
+            F.col("k").alias(f"__k_{out}"),
+        )
+
+    nll = ln_micro_sql("__s_a", "(__s_a - w)", "spark")
+    nll_b = ln_micro_sql("__s_b", "(__s_b - w)", "spark")
+    thresh = -ln_micro_py(alpha_milli, 1000)  # -ln(alpha) in micro-nats
+    return (
+        und.join(side("p", "a"), "p")
+        .join(side("q", "b"), "q")
+        .select(
+            F.col("p").alias("a"),
+            F.col("q").alias("b"),
+            "w",
+            F.expr(
+                f"CAST(CASE WHEN __k_a > 1 THEN (__k_a - 1) * ({nll})"
+                f" ELSE 0 END AS BIGINT)"
+            ).alias("nll_a_micro"),
+            F.expr(
+                f"CAST(CASE WHEN __k_b > 1 THEN (__k_b - 1) * ({nll_b})"
+                f" ELSE 0 END AS BIGINT)"
+            ).alias("nll_b_micro"),
+        )
+        .where(
+            (F.col("nll_a_micro") > thresh) | (F.col("nll_b_micro") > thresh)
+        )
+    )
+
+
+def sql_disparity_backbone(edges_sql: str, alpha_milli: int = 50) -> str:
+    """DuckDB oracle for :func:`disparity_backbone` (edges_sql ->
+    (a, b, w))."""
+    from nexus_forge_spark.functions.intlog import ln_micro_py, ln_micro_sql
+
+    nll_a = ln_micro_sql("sa.s", "(sa.s - u.w)", "duck")
+    nll_b = ln_micro_sql("sb.s", "(sb.s - u.w)", "duck")
+    thresh = -ln_micro_py(alpha_milli, 1000)
+    return f"""WITH und AS MATERIALIZED (
+  SELECT greatest(a, b) AS p, least(a, b) AS q, CAST(sum(w) AS BIGINT) AS w
+  FROM ({edges_sql}) WHERE a <> b
+  GROUP BY 1, 2
+),
+sym AS (SELECT p, q, w FROM und UNION ALL SELECT q, p, w FROM und),
+stats AS MATERIALIZED (
+  SELECT p AS node, CAST(sum(w) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS k
+  FROM sym GROUP BY p
+),
+scored AS (
+  SELECT u.p AS a, u.q AS b, u.w,
+    CAST(CASE WHEN sa.k > 1 THEN (sa.k - 1) * ({nll_a}) ELSE 0 END
+         AS BIGINT) AS nll_a_micro,
+    CAST(CASE WHEN sb.k > 1 THEN (sb.k - 1) * ({nll_b}) ELSE 0 END
+         AS BIGINT) AS nll_b_micro
+  FROM und u
+  JOIN stats sa ON sa.node = u.p
+  JOIN stats sb ON sb.node = u.q
+)
+SELECT * FROM scored
+WHERE nll_a_micro > {thresh} OR nll_b_micro > {thresh}"""

@@ -1463,3 +1463,47 @@ def sql_coreness_copurchase() -> str:
        l.l_partkey + {PART_NODE_OFFSET} AS b
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"""
     return sql_coreness(edges)
+
+
+def q_backbone_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disparity-filter backbone (operators/graph.py disparity_backbone)
+    of the weighted word-adjacency graph (consecutive-token bigram
+    counts, the textrank edge relation): keeps the collocations whose
+    weight is statistically surprising against an endpoint's strength —
+    the hub-noise cleanup between a co-occurrence count graph and any
+    community/centrality pass.  alpha = 0.25 (the paper sweeps alpha;
+    the near-complete small-vocabulary graph needs the permissive end —
+    at 0.05 nothing on 30-node strengths can certify)."""
+    from nexus_forge_spark.operators.graph import disparity_backbone
+    from nexus_forge_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        tokens(F.col("text")).alias("t")
+    )
+    bg = docs.select(
+        F.explode(
+            F.expr(
+                "filter(zip_with(slice(t, 1, size(t) - 1),"
+                " slice(t, 2, size(t) - 1),"
+                " (x, y) -> struct(greatest(x, y) AS a, least(x, y) AS b)),"
+                " p -> p.a <> p.b)"
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    w = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    return disparity_backbone(w, alpha_milli=250)
+
+
+def sql_backbone_copurchase() -> str:
+    from nexus_forge_spark.operators.graph import sql_disparity_backbone
+
+    edges = r"""WITH t0 AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+bg AS (
+  SELECT greatest(t[i], t[i + 1]) AS a, least(t[i], t[i + 1]) AS b
+  FROM t0, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+  WHERE t[i] <> t[i + 1]
+)
+SELECT a, b, count(*) AS w FROM bg GROUP BY 1, 2"""
+    return sql_disparity_backbone(f"({edges})", alpha_milli=250)

@@ -1021,3 +1021,20 @@ def test_coreness_matches_peeling_definition(spark):
 
     with pytest.raises(RuntimeError, match="still changing"):
         coreness(edges, rounds=1)
+
+
+def test_disparity_backbone_keeps_planted_edge(spark):
+    """A hub with 20 weight-1 edges plus ONE weight-30 edge: the heavy
+    edge is statistically surprising from the hub's side and must be the
+    only survivor at alpha=0.05; uniform stars keep nothing."""
+    from nexus_forge_spark.operators.graph import disparity_backbone
+
+    rows = [(0, i, 1) for i in range(1, 21)] + [(0, 99, 30)]
+    edges = spark.createDataFrame(rows, "a long, b long, w long")
+    kept = disparity_backbone(edges, alpha_milli=50).collect()
+    assert [(r.a, r.b, r.w) for r in kept] == [(99, 0, 30)]
+    assert kept[0].nll_a_micro == 0 or kept[0].nll_b_micro > 2995732
+    uniform = spark.createDataFrame(
+        [(0, i, 5) for i in range(1, 21)], "a long, b long, w long"
+    )
+    assert disparity_backbone(uniform, alpha_milli=50).count() == 0
