@@ -1999,3 +1999,155 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+DAWID_SKENE_ROUNDS = 4
+
+
+def dawid_skene_labels(
+    labels: DataFrame,
+    rounds: int = DAWID_SKENE_ROUNDS,
+    item_col: str = "item",
+    worker_col: str = "worker",
+    label_col: str = "label",
+) -> DataFrame:
+    """Crowd / weak-supervision label aggregation by Dawid-Skene
+    (1979) in its hard-EM form — the annotation-quality workhorse
+    behind every labeled training set built from multiple imperfect
+    annotators (or labeling functions, Snorkel-style): workers get
+    per-class confusion rates, items get posterior labels, and the two
+    refine each other.
+
+    Hard EM keeps everything ENGINE-EXACT INTEGER (soft EM needs exp();
+    this repo has a deterministic log, not a deterministic exp):
+
+      init     item estimate = majority vote (ties -> 1);
+      M-step   worker confusion counts against current estimates,
+               Laplace +1 / +2 smoothed;
+      E-step   item log-odds = prior + sum over its labels of
+               ln(P(label|1) / P(label|0)) in fixed-point micro-nats;
+               estimate = (log-odds >= 0).
+
+    A FIXED round count keeps the unrolled SQL oracle bit-identical
+    (rounds past convergence are no-ops once estimates stop flipping).
+    Shape per round: one worker-level aggregate (workers x 4 counts) +
+    one broadcast join of the worker table back onto labels + one item
+    aggregate — the label table shuffles on (worker) then (item), both
+    partial-combined.  Output: (item, label_est, log_odds_micro,
+    n_labels).
+    """
+    from nexus_forge_spark.functions.intlog import ln_micro_col
+
+    lab = labels.select(
+        F.col(item_col).alias("i"),
+        F.col(worker_col).alias("wk"),
+        F.col(label_col).cast("int").alias("l"),
+    ).localCheckpoint(eager=True)
+    est = lab.groupBy("i").agg(
+        (F.sum("l") * 2 >= F.count(F.lit(1))).cast("int").alias("e")
+    )
+    for _ in range(rounds):
+        joined = lab.join(est, "i")
+        conf = joined.groupBy("wk").agg(
+            F.sum(F.expr("CASE WHEN e = 1 AND l = 1 THEN 1 ELSE 0 END")).alias("n11"),
+            F.sum(F.expr("CASE WHEN e = 1 AND l = 0 THEN 1 ELSE 0 END")).alias("n01"),
+            F.sum(F.expr("CASE WHEN e = 0 AND l = 1 THEN 1 ELSE 0 END")).alias("n10"),
+            F.sum(F.expr("CASE WHEN e = 0 AND l = 0 THEN 1 ELSE 0 END")).alias("n00"),
+        )
+        prior = est.agg(
+            F.sum(F.expr("CASE WHEN e = 1 THEN 1 ELSE 0 END")).alias("p1"),
+            F.sum(F.expr("CASE WHEN e = 0 THEN 1 ELSE 0 END")).alias("p0"),
+        )
+        w1 = ln_micro_col("((n11 + 1) * (n10 + n00 + 2))", "((n10 + 1) * (n11 + n01 + 2))")
+        w0 = ln_micro_col("((n01 + 1) * (n10 + n00 + 2))", "((n00 + 1) * (n11 + n01 + 2))")
+        weighted = (
+            lab.join(F.broadcast(conf), "wk")
+            .select(
+                "i",
+                F.when(F.col("l") == 1, w1).otherwise(w0).alias("w_micro"),
+            )
+        )
+        est = (
+            weighted.groupBy("i")
+            .agg(F.sum("w_micro").alias("s"), F.count(F.lit(1)).alias("n"))
+            .crossJoin(F.broadcast(prior))
+            .select(
+                "i",
+                "n",
+                (F.col("s") + ln_micro_col("(p1 + 1)", "(p0 + 1)")).alias("lo"),
+            )
+            .select(
+                "i",
+                "n",
+                "lo",
+                (F.col("lo") >= 0).cast("int").alias("e"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return est.select(
+        F.col("i").alias("item"),
+        F.col("e").cast("int").alias("label_est"),
+        F.col("lo").cast("long").alias("log_odds_micro"),
+        F.col("n").cast("long").alias("n_labels"),
+    )
+
+
+def sql_dawid_skene_labels(
+    source_sql: str, rounds: int = DAWID_SKENE_ROUNDS
+) -> str:
+    """DuckDB oracle for :func:`dawid_skene_labels` (source ->
+    (item, worker, label)), rounds unrolled as MATERIALIZED CTEs."""
+    from nexus_forge_spark.functions.intlog import ln_micro_sql
+
+    w1 = ln_micro_sql(
+        "((n11 + 1) * (n10 + n00 + 2))", "((n10 + 1) * (n11 + n01 + 2))", "duck"
+    )
+    w0 = ln_micro_sql(
+        "((n01 + 1) * (n10 + n00 + 2))", "((n00 + 1) * (n11 + n01 + 2))", "duck"
+    )
+    pri = ln_micro_sql("(p1 + 1)", "(p0 + 1)", "duck")
+    ctes = []
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        ctes.append(f"""conf{r} AS MATERIALIZED (
+  SELECT l.wk,
+    sum(CASE WHEN e.e = 1 AND l.l = 1 THEN 1 ELSE 0 END) AS n11,
+    sum(CASE WHEN e.e = 1 AND l.l = 0 THEN 1 ELSE 0 END) AS n01,
+    sum(CASE WHEN e.e = 0 AND l.l = 1 THEN 1 ELSE 0 END) AS n10,
+    sum(CASE WHEN e.e = 0 AND l.l = 0 THEN 1 ELSE 0 END) AS n00
+  FROM lab l JOIN {prev} e ON l.i = e.i GROUP BY l.wk
+),
+wt{r} AS MATERIALIZED (
+  SELECT wk, CAST({w1} AS BIGINT) AS w1, CAST({w0} AS BIGINT) AS w0
+  FROM conf{r}
+),
+pr{r} AS (
+  SELECT sum(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS p1,
+         sum(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS p0
+  FROM {prev}
+),
+e{r} AS MATERIALIZED (
+  SELECT l.i,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l.l = 1 THEN w.w1 ELSE w.w0 END)
+              + max(CAST({pri} AS BIGINT)) AS BIGINT) AS lo,
+         CASE WHEN sum(CASE WHEN l.l = 1 THEN w.w1 ELSE w.w0 END)
+                   + max(CAST({pri} AS BIGINT)) >= 0
+              THEN 1 ELSE 0 END AS e
+  FROM lab l JOIN wt{r} w ON l.wk = w.wk CROSS JOIN pr{r}
+  GROUP BY l.i
+)""")
+        prev = f"e{r}"
+    body = ",\n".join(ctes)
+    return f"""WITH lab AS MATERIALIZED (
+  SELECT item AS i, worker AS wk, CAST(label AS INT) AS l
+  FROM ({source_sql})
+),
+e0 AS MATERIALIZED (
+  SELECT i, CASE WHEN sum(l) * 2 >= count(*) THEN 1 ELSE 0 END AS e
+  FROM lab GROUP BY i
+),
+{body}
+SELECT i AS item, CAST(e AS INT) AS label_est,
+       CAST(lo AS BIGINT) AS log_odds_micro, n AS n_labels
+FROM {prev}"""

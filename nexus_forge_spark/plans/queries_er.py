@@ -667,3 +667,77 @@ FROM ({sql_er_em_fs()})
 WHERE w_ppm BETWEEN {_CLERICAL_LO} AND {_CLERICAL_HI}
 ORDER BY uncertainty, a, b
 LIMIT {_CLERICAL_K}"""
+
+
+_DS_WORKERS = 7
+
+
+def _ds_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic annotation table: 7 workers label orders with
+    'is fulfilled' (truth = o_orderstatus = 'F'), each covering a
+    hash-selected ~4/5 of items and flipping the truth with a
+    worker-specific error rate (5%..41%) — the standard crowd-label
+    test bed, fully deterministic."""
+    from nexus_forge_spark.operators.sketches import hash60
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("item"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("truth"),
+    )
+    wk = spark.range(_DS_WORKERS).select(F.col("id").cast("int").alias("worker"))
+    j = orders.crossJoin(F.broadcast(wk))
+    keyed = j.select(
+        "item",
+        "worker",
+        "truth",
+        F.pmod(
+            hash60(F.concat_ws(":", "item", "worker"), "dslab"), F.lit(1000)
+        ).alias("h"),
+    )
+    return keyed.where(F.col("h") % 5 != 0).select(
+        "item",
+        "worker",
+        F.when(
+            F.col("h") < 50 + 60 * F.col("worker"),
+            1 - F.col("truth"),
+        )
+        .otherwise(F.col("truth"))
+        .alias("label"),
+    )
+
+
+_DS_LABELS_SQL = """SELECT item, worker,
+  CASE WHEN h < 50 + 60 * worker THEN 1 - truth ELSE truth END AS label
+FROM (
+  SELECT o.o_orderkey AS item, w.worker,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS truth,
+         ({h}) AS h
+  FROM orders o
+  CROSS JOIN (SELECT unnest(generate_series(0, {n})) AS worker) w
+)
+WHERE h % 5 <> 0"""
+
+
+def q_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crowd-label aggregation (operators/curation.py
+    dawid_skene_labels): hard-EM Dawid-Skene over 7 deterministic noisy
+    annotators — worker confusions and item posteriors refine each
+    other for 4 fixed rounds, all in integer micro-nat log-odds."""
+    from nexus_forge_spark.operators.curation import dawid_skene_labels
+
+    return dawid_skene_labels(_ds_labels(spark, sf_dir))
+
+
+def sql_dawid_skene() -> str:
+    from nexus_forge_spark.operators.curation import sql_dawid_skene_labels
+    from nexus_forge_spark.operators.sketches import sql_hash60
+
+    src = _DS_LABELS_SQL.format(
+        h=sql_hash60(
+            "CAST(o.o_orderkey AS VARCHAR) || ':' || CAST(w.worker AS VARCHAR)",
+            "dslab",
+        )
+        + " % 1000",
+        n=_DS_WORKERS - 1,
+    )
+    return sql_dawid_skene_labels(src)

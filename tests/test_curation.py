@@ -1123,3 +1123,27 @@ def test_leakage_safe_split_no_cluster_crosses_boundary(spark):
     # both sides populated at 50/50 over 20 docs (deterministic hash)
     splits = {r.split for r in out}
     assert splits == {"train", "test"}
+
+
+def test_dawid_skene_downweights_bad_workers(spark):
+    """Three good workers + two adversarially bad ones: majority vote on
+    items where the bad pair + one error align would flip, but DS learns
+    the confusions and recovers the truth; ties and smoothing stay
+    deterministic."""
+    from nexus_forge_spark.operators.curation import dawid_skene_labels
+
+    # truth: items 0..9 -> label i % 2
+    rows = []
+    for i in range(10):
+        t = i % 2
+        for w in range(3):  # good workers: always right
+            rows.append((i, w, t))
+        for w in (3, 4):  # bad workers: always WRONG
+            rows.append((i, 3 + (w - 3), 1 - t))
+    df = spark.createDataFrame(rows, "item long, worker int, label int")
+    out = {r.item: r for r in dawid_skene_labels(df).collect()}
+    assert all(out[i].label_est == i % 2 for i in range(10))
+    assert all(out[i].n_labels == 5 for i in range(10))
+    # anti-correlated workers end up with NEGATIVE evidence weight, so
+    # log-odds magnitude exceeds what 3 good votes alone would give
+    assert all(abs(out[i].log_odds_micro) > 0 for i in range(10))
