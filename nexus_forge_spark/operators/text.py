@@ -1707,3 +1707,104 @@ SELECT doc_id, n_tokens,
   CAST(s + ({prior}) AS BIGINT) AS log_odds_micro,
   CASE WHEN s + ({prior}) >= 0 THEN 'pos' ELSE 'neg' END AS predicted
 FROM scored CROSS JOIN docn"""
+
+
+def span_overlap_report(
+    fps: DataFrame,
+    min_shared: int = 2,
+    hot_cap: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairwise span-overlap report over winnowing fingerprints — the
+    MOSS output stage (Schleimer 2003 §5): which document pairs share
+    selected fingerprints, how many, and what fraction of each side's
+    fingerprint set that covers (partial-plagiarism / boilerplate-span
+    evidence, where whole-doc near-dup scores stay low).
+
+    Scale discipline: a fingerprint shared by more than ``hot_cap``
+    documents is template noise whose pair expansion is quadratic — it
+    is EXCLUDED from pairing and surfaced in the report via
+    ``n_hot_dropped`` (the P133 measured-caps rule: cap, and say so, so
+    silence never reads as coverage).  Pairing is one equi-join on the
+    fingerprint value over the capped postings.
+
+    Output: (a, b, n_shared, cov_a_ppm, cov_b_ppm, n_hot_dropped) for
+    pairs sharing >= min_shared fingerprints, a < b; coverage is the
+    shared count over each side's DISTINCT fingerprint count (hot ones
+    included — the denominator reflects the true set).
+    """
+    distinct_fp = fps.select(id_col, "fp").distinct().localCheckpoint(
+        eager=True
+    )
+    per_doc = distinct_fp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fp")
+    )
+    fp_freq = distinct_fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    hot = fp_freq.where(F.col("df") > hot_cap)
+    n_hot = hot.count()
+    cold = distinct_fp.join(hot.select("fp"), "fp", "left_anti")
+    l = cold.alias("l")
+    r = cold.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.fp") == F.col("r.fp"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    na = per_doc.select(F.col(id_col).alias("a"), F.col("n_fp").alias("na"))
+    nb = per_doc.select(F.col(id_col).alias("b"), F.col("n_fp").alias("nb"))
+    return (
+        pairs.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.expr("CAST(n_shared * 1000000 div na AS BIGINT)").alias(
+                "cov_a_ppm"
+            ),
+            F.expr("CAST(n_shared * 1000000 div nb AS BIGINT)").alias(
+                "cov_b_ppm"
+            ),
+            F.lit(n_hot).cast("long").alias("n_hot_dropped"),
+        )
+    )
+
+
+def sql_span_overlap_report(
+    fps_sql: str, min_shared: int = 2, hot_cap: int = 64
+) -> str:
+    """DuckDB oracle for :func:`span_overlap_report` (fps_sql ->
+    (doc_id, pos, fp))."""
+    return f"""WITH dfp AS MATERIALIZED (
+  SELECT DISTINCT doc_id, fp FROM ({fps_sql})
+),
+per_doc AS (SELECT doc_id, count(*) AS n_fp FROM dfp GROUP BY doc_id),
+freq AS (SELECT fp, count(*) AS df FROM dfp GROUP BY fp),
+n_hot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM freq WHERE df > {hot_cap}
+),
+cold AS MATERIALIZED (
+  SELECT d.doc_id, d.fp FROM dfp d JOIN freq f ON d.fp = f.fp
+  WHERE f.df <= {hot_cap}
+),
+pairs AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared
+  FROM cold l JOIN cold r ON l.fp = r.fp AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_shared}
+)
+SELECT p.a, p.b, CAST(p.n_shared AS BIGINT) AS n_shared,
+  CAST(p.n_shared * 1000000 // na.n_fp AS BIGINT) AS cov_a_ppm,
+  CAST(p.n_shared * 1000000 // nb.n_fp AS BIGINT) AS cov_b_ppm,
+  n_hot.n AS n_hot_dropped
+FROM pairs p
+JOIN per_doc na ON na.doc_id = p.a
+JOIN per_doc nb ON nb.doc_id = p.b
+CROSS JOIN n_hot"""

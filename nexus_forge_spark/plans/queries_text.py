@@ -2541,3 +2541,31 @@ def sql_nb_source_classifier() -> str:
 
     src = _NB_DOCS_SQL.format(h=sql_hash60("doc_id", "nb") + " % 8")
     return sql_naive_bayes_source_scores(src, _NB_POS_SOURCES)
+
+
+def q_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style span-overlap pairs (operators/text.py
+    span_overlap_report) over the winnowing fingerprints of the
+    mutant-augmented corpus: originals and their first-token-dropped
+    mutants share most selected fingerprints, so every planted pair
+    must surface with high coverage; template fingerprints beyond the
+    hot cap are dropped AND counted."""
+    from nexus_forge_spark.operators.text import (
+        span_overlap_report,
+        winnowing_fingerprints,
+    )
+
+    docs = _docs_with_mutants(spark, sf_dir)
+    return span_overlap_report(winnowing_fingerprints(docs))
+
+
+def sql_span_overlap() -> str:
+    from nexus_forge_spark.operators.text import (
+        sql_span_overlap_report,
+        sql_winnowing_fingerprints,
+    )
+
+    fps = sql_winnowing_fingerprints(
+        f"WITH {_MUTANT_DOCS_SQL} SELECT doc_id, text FROM docs"
+    )
+    return sql_span_overlap_report(f"({fps})")

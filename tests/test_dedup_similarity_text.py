@@ -1372,3 +1372,27 @@ def test_script_profile_engine_parity_and_classes(spark):
     for r in got:
         if r[1] > 0:
             assert 1_000_000 - 6 <= sum(r[2:7]) <= 1_000_000
+
+
+def test_span_overlap_hot_cap_drops_template_fingerprints(spark):
+    from nexus_forge_spark.operators.text import (
+        span_overlap_report,
+        winnowing_fingerprints,
+    )
+
+    # 30 docs sharing a boilerplate sentence (template fps exceed the
+    # cap) plus two docs sharing a genuine long span
+    boiler = "all rights reserved contact us terms of service"
+    rows = [(i, f"unique{i} token{i} " + boiler) for i in range(30)]
+    span = "the quick brown fox jumps over the lazy dog again and again"
+    rows += [(100, "intro " + span), (101, span + " outro")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = span_overlap_report(
+        winnowing_fingerprints(docs), min_shared=2, hot_cap=8
+    ).collect()
+    pairs = {(r.a, r.b) for r in out}
+    assert (100, 101) in pairs  # the genuine shared span survives
+    # boilerplate-only pairs are suppressed by the cap...
+    assert not any(a < 30 and b < 30 for a, b in pairs)
+    # ...and the drop is REPORTED, never silent
+    assert all(r.n_hot_dropped > 0 for r in out)
