@@ -2151,3 +2151,126 @@ e0 AS MATERIALIZED (
 SELECT i AS item, CAST(e AS INT) AS label_est,
        CAST(lo AS BIGINT) AS log_odds_micro, n AS n_labels
 FROM {prev}"""
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_ppm: int = 200_000,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third rung of the privacy ladder after k-anonymity and l-diversity
+    (both already here): an equivalence class leaks when the
+    DISTRIBUTION of its sensitive attribute sits too far from the
+    global one, even if it is k-large and l-diverse.  Distance is the
+    Earth Mover's Distance over the ORDERED sensitive domain, which for
+    discrete ordered values is exactly the mean absolute CDF gap —
+    integer-exact in ppm:
+
+        EMD_ppm = sum_v |cdf_class(v) - cdf_global(v)| * 1e6
+                  div (m - 1)        (m = distinct sensitive values)
+
+    Shape: one (class x value) cell aggregate, cumulative sums by one
+    window ordered over the value domain (partitioned by class —
+    parallel), one global-side broadcast join.  Output: one row per
+    equivalence class — (quasi cols..., n, emd_ppm, leaks) with
+    ``leaks = emd_ppm > t_ppm``.
+    """
+    q = [F.col(c) for c in quasi_cols]
+    cells = df.groupBy(*q, F.col(sensitive_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    gcells = df.groupBy(F.col(sensitive_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__gc")
+    )
+    m = gcells.count()
+    n_total = df.count()
+    # every class gets every value row (zero-filled) so the CDFs align
+    classes = cells.groupBy(*q).agg(F.sum("__c").alias("__n"))
+    grid = classes.crossJoin(F.broadcast(gcells.select("__v")))
+    filled = grid.join(cells, quasi_cols + ["__v"], "left").select(
+        *q,
+        "__v",
+        "__n",
+        F.coalesce("__c", F.lit(0)).alias("__c"),
+    )
+    gcdf = gcells.select(
+        "__v",
+        F.expr(
+            f"CAST(sum(__gc) OVER (ORDER BY __v ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND CURRENT ROW) * 1000000 div {n_total} AS BIGINT)"
+        ).alias("__gcdf_ppm"),
+    )
+    qlist = ", ".join(quasi_cols)
+    with_cdf = filled.withColumn(
+        "__cdf_ppm",
+        F.expr(
+            f"CAST(sum(__c) OVER (PARTITION BY {qlist} ORDER BY __v ROWS "
+            f"BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 "
+            f"div __n AS BIGINT)"
+        ),
+    )
+    return (
+        with_cdf.join(F.broadcast(gcdf), "__v")
+        .groupBy(*q)
+        .agg(
+            F.max("__n").cast("long").alias("n"),
+            F.expr(
+                f"CAST(sum(abs(__cdf_ppm - __gcdf_ppm)) div {max(m - 1, 1)}"
+                " AS BIGINT)"
+            ).alias("emd_ppm"),
+        )
+        .select(
+            *quasi_cols,
+            "n",
+            "emd_ppm",
+            (F.col("emd_ppm") > t_ppm).alias("leaks"),
+        )
+    )
+
+
+def sql_t_closeness_audit(
+    source_sql: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_ppm: int = 200_000,
+) -> str:
+    """DuckDB oracle for :func:`t_closeness_audit`."""
+    qlist = ", ".join(quasi_cols)
+    return f"""WITH base AS MATERIALIZED (
+  SELECT {qlist}, {sensitive_col} AS v FROM ({source_sql})
+),
+gcells AS MATERIALIZED (SELECT v, count(*) AS gc FROM base GROUP BY v),
+gstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(gc) AS BIGINT) AS n_total
+  FROM gcells
+),
+cells AS (SELECT {qlist}, v, count(*) AS c FROM base GROUP BY {qlist}, v),
+classes AS (SELECT {qlist}, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY {qlist}),
+grid AS (SELECT cl.*, g.v FROM classes cl CROSS JOIN (SELECT v FROM gcells) g),
+filled AS (
+  SELECT g.*, coalesce(c.c, 0) AS c
+  FROM grid g LEFT JOIN cells c
+    ON {" AND ".join(f"g.{x} = c.{x}" for x in quasi_cols)} AND g.v = c.v
+),
+gcdf AS (
+  SELECT v, CAST(sum(gc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+    AND CURRENT ROW) * 1000000 // (SELECT n_total FROM gstats) AS BIGINT)
+    AS gcdf_ppm
+  FROM gcells
+),
+ccdf AS (
+  SELECT {qlist}, n, v,
+    CAST(sum(c) OVER (PARTITION BY {qlist} ORDER BY v ROWS BETWEEN UNBOUNDED
+      PRECEDING AND CURRENT ROW) * 1000000 // n AS BIGINT) AS cdf_ppm
+  FROM filled
+)
+SELECT {qlist}, max(cc.n) AS n,
+  CAST(sum(abs(cc.cdf_ppm - g.gcdf_ppm))
+       // greatest((SELECT m FROM gstats) - 1, 1) AS BIGINT) AS emd_ppm,
+  CAST(sum(abs(cc.cdf_ppm - g.gcdf_ppm))
+       // greatest((SELECT m FROM gstats) - 1, 1) AS BIGINT) > {t_ppm}
+    AS leaks
+FROM ccdf cc JOIN gcdf g ON cc.v = g.v
+GROUP BY {qlist}"""

@@ -1511,3 +1511,32 @@ def sql_winsorized_acctbal() -> str:
     return sql_winsorized_group_stats(
         "SELECT c_nationkey, c_acctbal FROM customer", "c_nationkey", "c_acctbal"
     )
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators/curation.py t_closeness_audit):
+    quasi-identifier = (nation, market segment), sensitive = account
+    balance decile — classes whose balance DISTRIBUTION strays from the
+    global one leak even when k-large/l-diverse.  Completes the privacy
+    ladder beside k_anonymity_audit and mondrian_cells."""
+    from nexus_forge_spark.operators.curation import t_closeness_audit
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 1000).cast("long")).alias("bal_decile"),
+    )
+    return t_closeness_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_decile"
+    )
+
+
+def sql_t_closeness() -> str:
+    from nexus_forge_spark.operators.curation import sql_t_closeness_audit
+
+    src = """SELECT c_nationkey, c_mktsegment,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_decile
+FROM customer"""
+    return sql_t_closeness_audit(
+        src, ["c_nationkey", "c_mktsegment"], "bal_decile"
+    )

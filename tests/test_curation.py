@@ -1147,3 +1147,19 @@ def test_dawid_skene_downweights_bad_workers(spark):
     # anti-correlated workers end up with NEGATIVE evidence weight, so
     # log-odds magnitude exceeds what 3 good votes alone would give
     assert all(abs(out[i].log_odds_micro) > 0 for i in range(10))
+
+
+def test_t_closeness_flags_skewed_class(spark):
+    """A class whose sensitive values all sit at one end of the ordered
+    domain must leak; a class mirroring the global mix must not."""
+    from nexus_forge_spark.operators.curation import t_closeness_audit
+
+    rows = [("bal", v % 4) for v in range(40)]  # uniform over {0,1,2,3}
+    rows += [("skew", 3)] * 10  # all mass at the top value
+    df = spark.createDataFrame(rows, "grp string, sv int")
+    out = {r.grp: r for r in t_closeness_audit(df, ["grp"], "sv").collect()}
+    assert out["skew"].leaks and not out["bal"].leaks
+    assert out["skew"].emd_ppm > out["bal"].emd_ppm
+    # balanced class: its CDF is not exactly global (global includes the
+    # skewed rows) but stays well under the threshold
+    assert out["bal"].emd_ppm <= 100000
