@@ -3138,7 +3138,7 @@ def clustering_coefficients(
 
 def coreness(
     edges: DataFrame,
-    rounds: int = 12,
+    rounds: int = 24,
     a: str = "a",
     b: str = "b",
     check_converged: bool = True,
@@ -3217,7 +3217,7 @@ def coreness(
     return c.select("node", F.col("c").alias("coreness"))
 
 
-def sql_coreness(edges_sql: str, rounds: int = 12) -> str:
+def sql_coreness(edges_sql: str, rounds: int = 24) -> str:
     """DuckDB oracle for :func:`coreness` — identical h-index algebra,
     rounds unrolled as MATERIALIZED CTEs."""
     ctes = []
