@@ -2054,17 +2054,32 @@ def dawid_skene_labels(
             F.sum(F.expr("CASE WHEN e = 0 AND l = 1 THEN 1 ELSE 0 END")).alias("n10"),
             F.sum(F.expr("CASE WHEN e = 0 AND l = 0 THEN 1 ELSE 0 END")).alias("n00"),
         )
+        # prior log-odds computed ONCE on the one-row aggregate — the
+        # interpreted intlog fold per ITEM row was the measured 347 s
+        # outlier at sf0.1 (150k items x 4 rounds x a no-codegen fold)
         prior = est.agg(
             F.sum(F.expr("CASE WHEN e = 1 THEN 1 ELSE 0 END")).alias("p1"),
             F.sum(F.expr("CASE WHEN e = 0 THEN 1 ELSE 0 END")).alias("p0"),
+        ).select(ln_micro_col("(p1 + 1)", "(p0 + 1)").alias("prior_lo"))
+        # the log folds run on the WORKER-sized frame (7 rows), never on
+        # the label rows — evaluated per label they were the other half
+        # of the measured sf0.1 outlier (interpreted fold x 840k rows)
+        wtab = conf.select(
+            "wk",
+            ln_micro_col(
+                "((n11 + 1) * (n10 + n00 + 2))", "((n10 + 1) * (n11 + n01 + 2))"
+            ).alias("w1"),
+            ln_micro_col(
+                "((n01 + 1) * (n10 + n00 + 2))", "((n00 + 1) * (n11 + n01 + 2))"
+            ).alias("w0"),
         )
-        w1 = ln_micro_col("((n11 + 1) * (n10 + n00 + 2))", "((n10 + 1) * (n11 + n01 + 2))")
-        w0 = ln_micro_col("((n01 + 1) * (n10 + n00 + 2))", "((n00 + 1) * (n11 + n01 + 2))")
         weighted = (
-            lab.join(F.broadcast(conf), "wk")
+            lab.join(F.broadcast(wtab), "wk")
             .select(
                 "i",
-                F.when(F.col("l") == 1, w1).otherwise(w0).alias("w_micro"),
+                F.when(F.col("l") == 1, F.col("w1"))
+                .otherwise(F.col("w0"))
+                .alias("w_micro"),
             )
         )
         est = (
@@ -2074,7 +2089,7 @@ def dawid_skene_labels(
             .select(
                 "i",
                 "n",
-                (F.col("s") + ln_micro_col("(p1 + 1)", "(p0 + 1)")).alias("lo"),
+                (F.col("s") + F.col("prior_lo")).alias("lo"),
             )
             .select(
                 "i",
@@ -2122,17 +2137,20 @@ wt{r} AS MATERIALIZED (
   FROM conf{r}
 ),
 pr{r} AS (
-  SELECT sum(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS p1,
-         sum(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS p0
-  FROM {prev}
+  SELECT CAST({pri} AS BIGINT) AS prior_lo
+  FROM (
+    SELECT sum(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS p1,
+           sum(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS p0
+    FROM {prev}
+  )
 ),
 e{r} AS MATERIALIZED (
   SELECT l.i,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CASE WHEN l.l = 1 THEN w.w1 ELSE w.w0 END)
-              + max(CAST({pri} AS BIGINT)) AS BIGINT) AS lo,
+              + max(prior_lo) AS BIGINT) AS lo,
          CASE WHEN sum(CASE WHEN l.l = 1 THEN w.w1 ELSE w.w0 END)
-                   + max(CAST({pri} AS BIGINT)) >= 0
+                   + max(prior_lo) >= 0
               THEN 1 ELSE 0 END AS e
   FROM lab l JOIN wt{r} w ON l.wk = w.wk CROSS JOIN pr{r}
   GROUP BY l.i
