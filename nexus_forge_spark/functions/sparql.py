@@ -276,6 +276,14 @@ class _Group:
     # GRAPH blocks: (graph term — <iri>/CURIE/?var — , inner group);
     # compiled only when the store is graph-enabled (graph_col set)
     graphs: list[tuple[str, "_Group"]] = field(default_factory=list)
+    # SERVICE blocks (SPARQL 1.1 Federated Query): (endpoint IRI,
+    # silent?, inner group); compiled against a LOCALLY REGISTERED
+    # second table when the compiler's services= map binds the endpoint
+    # (the GRAPH-column technique: federation becomes a join between two
+    # registered relations) — a genuinely remote endpoint raises a named
+    # error, and SERVICE SILENT on an unbound endpoint is the spec's
+    # identity solution (the block drops out)
+    services: list[tuple[str, bool, "_Group"]] = field(default_factory=list)
 
 
 class _Parser:
@@ -530,15 +538,23 @@ class _Parser:
                 g.filters.append(self.parse_parenthesized())
                 continue
             if t.lower() == "service":
-                # federation addresses a REMOTE endpoint; fail loudly with
-                # the construct's name instead of mis-parsing it as a
-                # triple term (round-2 VERDICT: document the unsupported
-                # SPARQL surface with clean QueryingErrors)
-                raise QueryingError(
-                    "SERVICE { ... } is not supported: this engine "
-                    "queries local tables (no federation); materialize "
-                    "the remote graph into the triples table instead"
-                )
+                # SPARQL 1.1 Federated Query: SERVICE [SILENT] <iri> {..}.
+                # Parsed here; the COMPILER maps the endpoint IRI to a
+                # locally registered table (services=) or raises a named
+                # error for a genuinely remote endpoint
+                self.next()
+                silent = False
+                if (n := self.peek()) is not None and n.lower() == "silent":
+                    self.next()
+                    silent = True
+                endpoint = self.next()
+                if endpoint.startswith("?"):
+                    raise QueryingError(
+                        "SERVICE ?var is not supported: name the endpoint "
+                        "(SERVICE <iri> { ... })"
+                    )
+                g.services.append((endpoint, silent, self.parse_group()))
+                continue
             if t.lower() == "graph":
                 # named-graph scoping: parse the block; the COMPILER
                 # rejects it with a named error unless the store is
@@ -812,9 +828,17 @@ class SparqlToSql:
         table: str = "triples",
         dialect: str = "spark",
         graph_col: str | None = None,
+        services: dict[str, str] | None = None,
     ):
         self.table = table
         self.dialect = dialect
+        # services maps SERVICE endpoint IRIs to locally registered
+        # (subj, pred, obj) tables — federation as a join between two
+        # registered relations, never an HTTP call.  Keys are stored in
+        # bracket-stripped form (the engine's IRI storage convention).
+        self.services = {
+            _split_iri(k): v for k, v in (services or {}).items()
+        }
         # graph_col enables the quad-store surface: the triples table
         # carries one extra column naming the graph each row belongs to
         # (NULL = the default graph).  Patterns outside GRAPH match the
@@ -1198,6 +1222,7 @@ class SparqlToSql:
             and not g.transitives
             and not g.subqueries
             and not g.graphs
+            and not g.services
         ):
             raise QueryingError("empty graph pattern")
         if g.graphs and self.graph_col is None:
@@ -1290,6 +1315,7 @@ class SparqlToSql:
             and not g.values
             and not g.subqueries
             and not g.graphs
+            and not g.services
         ):
             # simple path: filters ride in the same WHERE
             for ftoks in g.filters:
@@ -1381,6 +1407,57 @@ class SparqlToSql:
                 out_sql += f" CROSS JOIN {derived} {alias}"
             for v in gbind:
                 out_bind.setdefault(v, f"{alias}.{v}")
+
+        for fi, (endpoint, silent, fg) in enumerate(g.services):
+            ep = _split_iri(endpoint)
+            ftable = self.services.get(ep)
+            if ftable is None:
+                if silent:
+                    # SERVICE SILENT on an unreachable endpoint returns
+                    # the identity solution (SPARQL 1.1 §5): drop the
+                    # block, bind nothing
+                    continue
+                raise QueryingError(
+                    f"SERVICE <{ep}> addresses a remote endpoint with no "
+                    "local binding: this engine performs no HTTP "
+                    "federation — register the endpoint's graph as a "
+                    "table and compile with services={iri: table}, or "
+                    "use SERVICE SILENT to skip it"
+                )
+            # compile the block against the bound table; the federated
+            # relation is a plain (subj, pred, obj) table, so quad/graph
+            # scoping and dataset clauses do not apply inside it
+            save = (self.table, self.graph_col, self._graph_ctx)
+            self.table, self.graph_col, self._graph_ctx = ftable, None, None
+            try:
+                fsql, fbind = self._compile_group(
+                    fg, parser, f"{alias_prefix}sv{fi}_"
+                )
+            finally:
+                self.table, self.graph_col, self._graph_ctx = save
+            alias = f"svc{fi}"
+            fcols = ", ".join(f"{ref} AS {v}" for v, ref in fbind.items())
+            derived = f"(SELECT {fcols} {fsql})"
+            if out_sql is None:
+                out_sql = f"FROM {derived} {alias}"
+                out_bind = {v: f"{alias}.{v}" for v in fbind}
+                continue
+            shared = [v for v in fbind if v in out_bind]
+            if shared:
+                on = " AND ".join(
+                    f"{alias}.{v} = {out_bind[v]}" for v in shared
+                )
+                out_sql += f" JOIN {derived} {alias} ON {on}"
+            else:
+                # SPARQL join on a disjoint domain is a cross product
+                out_sql += f" CROSS JOIN {derived} {alias}"
+            for v in fbind:
+                out_bind.setdefault(v, f"{alias}.{v}")
+
+        if out_sql is None and g.services:
+            # every block dropped (all-SILENT group): the identity
+            # solution — one row, no bindings
+            out_sql = "FROM (SELECT 1 AS __unit) __u"
 
         for vi, (vvars, vrows) in enumerate(g.values):
             alias = f"vv{vi}"
@@ -1734,8 +1811,11 @@ def sparql_to_sql(
     table: str = "triples",
     dialect: str = "spark",
     graph_col: str | None = None,
+    services: dict[str, str] | None = None,
 ) -> str:
-    return SparqlToSql(table, dialect, graph_col=graph_col).compile(query)
+    return SparqlToSql(
+        table, dialect, graph_col=graph_col, services=services
+    ).compile(query)
 
 
 _UPDATE_RE = re.compile(

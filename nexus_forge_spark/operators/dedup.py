@@ -209,9 +209,22 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     materialize: bool = True,
     two_tier: bool = False,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket are candidates.
     Returns distinct (a, b) with a < b.
+
+    max_block_size is the ENFORCED half of the P133 mega-block safety
+    valve (block_cap_audit is the measuring half): a band bucket of m
+    rows emits m(m-1)/2 candidates, so one hot bucket can dominate a
+    100 TB run — with a cap, buckets above it are dropped BEFORE the
+    self-join (one map-side-combinable size count + a semi join, never
+    the quadratic fan-out).  The work/recall trade is priced by
+    block_cap_audit over the same band table: a true pair loses recall
+    only if EVERY bucket it shared was dropped.  Default None keeps the
+    exact candidate set.  Under two_tier the cap applies to the
+    distinct-signature band buckets (star edges are size-linear already
+    and never capped).
 
     The band join is an equi-join on (band_idx, band_key) — shuffle keys are
     short and uniformly distributed; this is the plan that survives 10^9
@@ -254,10 +267,19 @@ def lsh_candidate_pairs(
             id_col, "sig"
         )
         rep_pairs = lsh_candidate_pairs(
-            rep_sigs, bands, rows_per_band, id_col, materialize=False
+            rep_sigs, bands, rows_per_band, id_col, materialize=False,
+            max_block_size=max_block_size,
         )
         return star.unionByName(rep_pairs).distinct()
     banded = lsh_band_table(sigs, bands, rows_per_band, id_col)
+    if max_block_size is not None:
+        kept = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .where(F.col("__m") <= max_block_size)
+            .select("band", "key")
+        )
+        banded = banded.join(kept, ["band", "key"], "left_semi")
     l = banded.alias("l")
     r = banded.alias("r")
     return (

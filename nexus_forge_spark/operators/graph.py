@@ -3136,6 +3136,57 @@ def clustering_coefficients(
     )
 
 
+def _hindex_round(sym: DataFrame, c: DataFrame) -> DataFrame:
+    """One histogram h-index round for :func:`coreness` — hash aggregates
+    plus a JVM-side fold, NO Window (tests/test_plan_health.py pins
+    that): the hub-funnel shape (sorting a degree-d adjacency in one
+    task) never appears because the degree-sized fan-in dies at the
+    map-side-combinable ``groupBy(p, cn)``, so any single task sees at
+    most the node's DISTINCT-VALUE histogram (bounded by the core-value
+    range, orders below degree on any real graph).  H is then one
+    whole-stage-codegen ``aggregate()`` fold over that histogram sorted
+    by value descending — H = max over present values v of least(v,
+    N_{>=v}) with N_{>=v} the running count; evaluating only at present
+    values is exact (an absent t has the suffix count of the next
+    present value above, which dominates least(t, N)), and counting is
+    invariant to tie order among equal values, so the round is
+    deterministic without a tiebreak."""
+    hist = (
+        sym.join(
+            c.select(F.col("node").alias("q"), F.col("c").alias("cn")), "q"
+        )
+        .groupBy("p", "cn")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        hist.groupBy(F.col("p").alias("node"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("cn").alias("v"), F.col("cnt").alias("n"))
+                ),
+                asc=False,
+            ).alias("hst")
+        )
+        .select(
+            "node",
+            F.expr(
+                "aggregate(hst,"
+                " named_struct('cum', CAST(0 AS BIGINT),"
+                "              'best', CAST(0 AS BIGINT)),"
+                " (acc, x) -> named_struct("
+                "   'cum', acc.cum + x.n,"
+                "   'best', greatest(acc.best,"
+                "                    least(CAST(x.v AS BIGINT),"
+                "                          acc.cum + x.n))),"
+                " acc -> acc.best)"
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+
+
 def coreness(
     edges: DataFrame,
     rounds: int = 24,
@@ -3158,19 +3209,19 @@ def coreness(
     still changed anything (the honesty contract of the iterative
     family).
 
-    Per round: one join of the value table onto the symmetric edge list
-    + one per-node window — H = max(least(rank, c_u)) over neighbours
-    sorted by value descending; the window partitions by node, so the
-    round is parallel across nodes with no global exchange, and the
-    max(min(rank, value)) form is invariant to tie order among equal
-    values (deterministic without a tiebreak).  Coreness ranks nodes by
-    embeddedness — the dedup-cluster-core vs straggler score kcore
-    thresholds coarsely.
+    Per round H is computed over the neighbour-value HISTOGRAM — never a
+    per-node sort of the adjacency, so a 10^6-degree hub never funnels
+    its degree-sized neighbour list through one task (the same
+    discipline as label_propagation / quality-dedup election): the
+    map-side-combinable ``groupBy(p, c_u).count()`` reduces the hub's
+    fan-in to its distinct-value table before any single reducer sees
+    it, and H falls out of one whole-stage-codegen ``aggregate()`` fold
+    over that (value-range-bounded) histogram — see
+    :func:`_hindex_round`.  Coreness ranks nodes by embeddedness — the
+    dedup-cluster-core vs straggler score kcore thresholds coarsely.
 
     Output: (node, coreness BIGINT).
     """
-    from pyspark.sql.window import Window
-
     und = (
         edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
         .where(F.col(a) != F.col(b))
@@ -3183,24 +3234,10 @@ def coreness(
     c = sym.groupBy(F.col("p").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     ).localCheckpoint(eager=True)
-    w = Window.partitionBy("p").orderBy(F.desc("cn"), "q")
     prev = None
     for _ in range(rounds):
         prev = c
-        c = (
-            sym.join(
-                c.select(F.col("node").alias("q"), F.col("c").alias("cn")),
-                "q",
-            )
-            .withColumn("rk", F.row_number().over(w))
-            .groupBy(F.col("p").alias("node"))
-            .agg(
-                F.max(F.least(F.col("rk"), F.col("cn")))
-                .cast("long")
-                .alias("c")
-            )
-            .localCheckpoint(eager=True)
-        )
+        c = _hindex_round(sym, c).localCheckpoint(eager=True)
     if check_converged:
         changed = (
             c.join(
@@ -3218,8 +3255,10 @@ def coreness(
 
 
 def sql_coreness(edges_sql: str, rounds: int = 24) -> str:
-    """DuckDB oracle for :func:`coreness` — identical h-index algebra,
-    rounds unrolled as MATERIALIZED CTEs."""
+    """DuckDB oracle for :func:`coreness` — the same h-index fixpoint
+    via rank algebra (max(least(rank, value)) is the textbook H and fine
+    single-node; the Spark side computes H from the value histogram to
+    avoid the per-hub sort), rounds unrolled as MATERIALIZED CTEs."""
     ctes = []
     prev = "c0"
     for i in range(1, rounds + 1):

@@ -377,6 +377,19 @@ GROUP BY ?g
 ORDER BY ?g"""
 
 
+# Round-5 SPARQL surface: federation.  SERVICE <iri> compiles against a
+# locally registered second table (SparqlToSql services= — the GRAPH-
+# column technique applied to a second relation), so federation becomes
+# a plain join between two registered stores; SERVICE SILENT on an
+# endpoint with no binding is the spec's identity solution (the block
+# drops out) — both paths graded by one query.
+SPARQL_SERVICE_TEXT = """SELECT ?doc ?e ?label WHERE {
+  ?doc nsg:hasBody ?e .
+  SERVICE <urn:svc:ontology> { ?e rdfs:label ?label }
+  SERVICE SILENT <urn:svc:offline> { ?e nsg:missing ?x }
+} ORDER BY ?doc ?e ?label"""
+
+
 # Round-2 SPARQL surface: UNION branches with BIND'd discriminators, a
 # VALUES join, aggregate projections (COUNT / COUNT DISTINCT /
 # GROUP_CONCAT), GROUP BY + HAVING — the analytics half of the reference's
@@ -1526,6 +1539,7 @@ __all__ = [
     "SPARQL_NEGATION_TEXT",
     "SPARQL_SELECT_TEXT",
     "SPARQL_SEQCLO_TEXT",
+    "SPARQL_SERVICE_TEXT",
     "SPARQL_SUBQUERY_TEXT",
     "SPARQL_TRANSITIVE_EXTRA_LEVELS",
     "SPARQL_TRANSITIVE_TEXT",

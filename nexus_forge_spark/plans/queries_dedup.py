@@ -172,6 +172,48 @@ jac AS (
 SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5"""
 
 
+def q_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup with the ENFORCED mega-block cap (the acting
+    half of P133 — block_cap_audit is the measuring half): band buckets
+    above BLOCK_CAP rows are dropped BEFORE the candidate self-join, so
+    one hot bucket can never emit its quadratic fan-out.  At sf0.01 the
+    cap genuinely bites (75 blocks of size 4-6 drop), so this hash
+    differs from dedup_minhash by exactly the pairs whose every shared
+    bucket was hot — the oracle applies the identical cap rule."""
+    from nexus_forge_spark.operators import dedup as D
+
+    docs = _docs_with_mutants(spark, sf_dir)
+    sigs = D.minhash_signatures(docs, num_hashes=_MINHASH_K, shingle_n=2)
+    cand = D.lsh_candidate_pairs(
+        sigs,
+        bands=_MINHASH_BANDS,
+        rows_per_band=_MINHASH_ROWS,
+        max_block_size=BLOCK_CAP,
+    )
+    return _bigram_jaccard_verify(docs, cand)
+
+
+def sql_dedup_capped() -> str:
+    base = sql_dedup_minhash()
+    plain = """cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+),"""
+    assert plain in base, "sql_dedup_minhash cand CTE shape changed"
+    capped = f"""sz AS (
+  SELECT b, key, count(*) AS m FROM bands GROUP BY b, key
+),
+kept AS (SELECT b, key FROM sz WHERE m <= {BLOCK_CAP}),
+cbands AS (
+  SELECT bd.* FROM bands bd SEMI JOIN kept k ON bd.b = k.b AND bd.key = k.key
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM cbands l JOIN cbands r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+),"""
+    return base.replace(plain, capped)
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for 5 fixed query vectors."""
     from nexus_forge_spark.operators.similarity import cosine_topk

@@ -881,6 +881,64 @@ qd AS (
 {inner}"""
 
 
+def q_sparql_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 federation (S5 closure — the last SPARQL construct):
+    SERVICE <urn:svc:ontology> compiles against a second locally
+    registered table (SparqlToSql services=), so the federated pattern
+    joins the local extraction triples as a plain hash join between two
+    registered relations — never an HTTP call.  The ontology endpoint
+    labels only terms starting A–M, so the SERVICE join also FILTERS
+    (inner-join semantics graded, not just column attach); the second
+    block is SERVICE SILENT on an unbound endpoint — the spec's identity
+    solution — proving the silent-drop path in the same hash."""
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    triples = q_kg_triples(spark, sf_dir).localCheckpoint(eager=True)
+    triples.createOrReplaceTempView("sparql_triples_v")
+    fed = (
+        triples.where(F.col("pred") == "nsg:hasBody")
+        .select(F.col("obj").alias("subj"))
+        .distinct()
+        .withColumn("tail", F.regexp_extract("subj", "([^/]+)$", 1))
+        .where(F.substring("tail", 1, 1).between("A", "M"))
+        .select(
+            "subj",
+            F.lit("rdfs:label").alias("pred"),
+            F.concat(F.lit("Label of "), F.col("tail")).alias("obj"),
+        )
+    )
+    fed.createOrReplaceTempView("sparql_fed_v")
+    return spark.sql(
+        sparql_to_sql(
+            SPARQL_SERVICE_TEXT,
+            table="sparql_triples_v",
+            dialect="spark",
+            services={"urn:svc:ontology": "sparql_fed_v"},
+        )
+    )
+
+
+def sql_sparql_service() -> str:
+    from nexus_forge_spark.functions.sparql import sparql_to_sql
+
+    inner = sparql_to_sql(
+        SPARQL_SERVICE_TEXT,
+        table="tr",
+        dialect="duckdb",
+        services={"urn:svc:ontology": "fed"},
+    )
+    return f"""WITH tr AS ({sql_kg_triples()}),
+fed AS (
+  SELECT subj, 'rdfs:label' AS pred, 'Label of ' || tail AS obj
+  FROM (
+    SELECT subj, regexp_extract(subj, '([^/]+)$', 1) AS tail
+    FROM (SELECT DISTINCT obj AS subj FROM tr WHERE pred = 'nsg:hasBody')
+  )
+  WHERE substr(tail, 1, 1) BETWEEN 'A' AND 'M'
+)
+{inner}"""
+
+
 def q_sparql_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregating SPARQL over the triples view (S5 extension): UNION ALL
     of two pattern scans -> VALUES semi-constraint -> hash aggregate with

@@ -1396,3 +1396,42 @@ def test_span_overlap_hot_cap_drops_template_fingerprints(spark):
     assert not any(a < 30 and b < 30 for a, b in pairs)
     # ...and the drop is REPORTED, never silent
     assert all(r.n_hot_dropped > 0 for r in out)
+
+
+def test_max_block_size_drops_hot_buckets_only(spark):
+    """Enforced P133 cap: a planted cluster of 6 identical docs makes
+    every one of its band buckets hot; with max_block_size=4 those
+    buckets drop BEFORE the self-join, so the cluster emits no pairs —
+    while the small near-dup pair (whose buckets have size 2) survives
+    untouched.  Uncapped output is unchanged by default."""
+    rows = [(i, "hot boilerplate page repeated verbatim body") for i in range(6)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "quick brown fox jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signatures(docs, num_hashes=16, shingle_n=2)
+
+    plain = {(r.a, r.b) for r in D.lsh_candidate_pairs(sigs).collect()}
+    capped = {
+        (r.a, r.b)
+        for r in D.lsh_candidate_pairs(sigs, max_block_size=4).collect()
+    }
+    assert (100, 101) in plain and (100, 101) in capped
+    assert any(a < 6 and b < 6 for a, b in plain)
+    assert not any(a < 6 and b < 6 for a, b in capped)
+    # cap=None is the exact set
+    none_cap = {
+        (r.a, r.b)
+        for r in D.lsh_candidate_pairs(sigs, max_block_size=None).collect()
+    }
+    assert none_cap == plain
+    # two-tier + cap: the star keeps the identical cluster connected
+    # (size-linear, never capped); only the rep-level buckets are capped
+    two = {
+        (r.a, r.b)
+        for r in D.lsh_candidate_pairs(
+            sigs, two_tier=True, max_block_size=4
+        ).collect()
+    }
+    assert {(0, i) for i in range(1, 6)} <= two

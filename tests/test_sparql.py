@@ -1316,3 +1316,130 @@ def test_from_clauses_construct_the_dataset():
     ) == [("root",), ("top",)]
     # the stored default graph is excluded once FROM is present
     assert _q(con, "SELECT ?o FROM <urn:g1> WHERE { <b> <knows> ?o }") == []
+
+
+# ---------------------------------------------------------------- SERVICE
+
+
+def _fed_con():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE triples(subj VARCHAR, pred VARCHAR, obj VARCHAR)")
+    con.executemany(
+        "INSERT INTO triples VALUES (?,?,?)",
+        [
+            ("doc:1", "nsg:hasBody", "e1"),
+            ("doc:2", "nsg:hasBody", "e2"),
+            ("doc:3", "nsg:hasBody", "e3"),
+        ],
+    )
+    con.execute("CREATE TABLE fed(subj VARCHAR, pred VARCHAR, obj VARCHAR)")
+    con.executemany(
+        "INSERT INTO fed VALUES (?,?,?)",
+        [
+            ("e1", "rdfs:label", "one"),
+            ("e2", "rdfs:label", "two"),
+            ("e9", "rdfs:label", "ghost"),
+        ],
+    )
+    return con
+
+
+SVC = {"urn:svc:ont": "fed"}
+
+
+def _fq(con, text, **kw):
+    return con.execute(
+        sparql_to_sql(text, table="triples", dialect="duckdb", **kw)
+    ).fetchall()
+
+
+def test_service_joins_second_table():
+    rows = _fq(
+        _fed_con(),
+        "SELECT ?d ?l WHERE { ?d nsg:hasBody ?e . "
+        "SERVICE <urn:svc:ont> { ?e rdfs:label ?l } } ORDER BY ?d",
+        services=SVC,
+    )
+    # inner-join semantics: doc:3's entity has no label and drops out;
+    # the endpoint's e9 row has no local match and never appears
+    assert rows == [("doc:1", "one"), ("doc:2", "two")]
+
+
+def test_service_alone_scans_endpoint_table():
+    rows = _fq(
+        _fed_con(),
+        "SELECT ?e ?l WHERE { SERVICE <urn:svc:ont> "
+        "{ ?e rdfs:label ?l } } ORDER BY ?e",
+        services=SVC,
+    )
+    assert rows == [("e1", "one"), ("e2", "two"), ("e9", "ghost")]
+
+
+def test_service_unbound_endpoint_raises_named_error():
+    with pytest.raises(QueryingError, match="SERVICE <urn:svc:nowhere>"):
+        _fq(
+            _fed_con(),
+            "SELECT ?e ?l WHERE { SERVICE <urn:svc:nowhere> "
+            "{ ?e rdfs:label ?l } }",
+            services=SVC,
+        )
+
+
+def test_service_silent_unbound_is_identity():
+    rows = _fq(
+        _fed_con(),
+        "SELECT ?d ?e WHERE { ?d nsg:hasBody ?e . "
+        "SERVICE SILENT <urn:svc:nowhere> { ?e nsg:x ?x } } ORDER BY ?d",
+        services=SVC,
+    )
+    assert rows == [("doc:1", "e1"), ("doc:2", "e2"), ("doc:3", "e3")]
+
+
+def test_service_silent_bound_still_joins():
+    rows = _fq(
+        _fed_con(),
+        "SELECT ?d ?l WHERE { ?d nsg:hasBody ?e . "
+        "SERVICE SILENT <urn:svc:ont> { ?e rdfs:label ?l } } ORDER BY ?d",
+        services=SVC,
+    )
+    assert rows == [("doc:1", "one"), ("doc:2", "two")]
+
+
+def test_service_var_endpoint_raises():
+    with pytest.raises(QueryingError, match="SERVICE .var"):
+        _fq(
+            _fed_con(),
+            "SELECT ?e WHERE { SERVICE ?ep { ?e rdfs:label ?l } }",
+            services=SVC,
+        )
+
+
+def test_service_inside_graph_store_keeps_graph_scoping_outside_only():
+    # quad store outside, plain triple table inside SERVICE: the graph
+    # column must not leak into the federated block's scan
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE quads(subj VARCHAR, pred VARCHAR, obj VARCHAR, g VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO quads VALUES (?,?,?,?)",
+        [("d1", "nsg:hasBody", "e1", None), ("d2", "nsg:hasBody", "e2", "urn:g1")],
+    )
+    con.execute("CREATE TABLE fed(subj VARCHAR, pred VARCHAR, obj VARCHAR)")
+    con.executemany(
+        "INSERT INTO fed VALUES (?,?,?)",
+        [("e1", "rdfs:label", "one"), ("e2", "rdfs:label", "two")],
+    )
+    rows = con.execute(
+        sparql_to_sql(
+            "SELECT ?d ?l WHERE { ?d nsg:hasBody ?e . "
+            "SERVICE <urn:svc:ont> { ?e rdfs:label ?l } } ORDER BY ?d",
+            table="quads",
+            dialect="duckdb",
+            graph_col="g",
+            services=SVC,
+        )
+    ).fetchall()
+    # default-graph scoping applies to the LOCAL pattern (d2 is named-
+    # graph-only and drops); the fed table joins without a graph column
+    assert rows == [("d1", "one")]
