@@ -469,6 +469,7 @@ def resolve_ladder_blocked(
     alias_table: DataFrame,
     keys: list[str] | None = None,
     salt_buckets: int | None = None,
+    hot_grams: list[str] | None = None,
 ) -> DataFrame:
     """Scale path of resolve_ladder for dims too large to broadcast-NLJ.
 
@@ -483,6 +484,15 @@ def resolve_ladder_blocked(
     deterministic salt = pmod(xxhash64(doc_id), salt_buckets) on the mention
     side, exploded replication on the alias side (SURVEY.md §4.2); AQE skew
     join stays on as backstop.
+
+    hot_grams closes the P50 measure->act loop: pass the top-k keys from
+    ``key_skew_profile`` over the mention-side gram column and ONLY those
+    grams are salted — mention rows off the hot list keep salt 0 and the
+    alias side replicates exclusively for hot grams (an InSet predicate
+    over the broadcast-small list), so the replication cost is k rows
+    per bucket instead of the whole gram index.  Identical output to the
+    unsalted join by construction (the salt only splits a hot key's
+    partition; every (mention, alias) pair still meets exactly once).
     """
     keys = keys or MENTION_KEYS
     is_short = F.length(F.col("mention")) < 3
@@ -492,12 +502,24 @@ def resolve_ladder_blocked(
     a = build_alias_trigram_table(alias_table)
 
     if salt_buckets and salt_buckets > 1:
-        long_m = long_m.withColumn(
-            "salt", F.pmod(F.xxhash64(F.col(keys[0])), F.lit(salt_buckets)).cast("int")
-        )
-        a = a.withColumn(
-            "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
-        ).withColumn("salt", F.col("salt").cast("int"))
+        msalt = F.pmod(F.xxhash64(F.col(keys[0])), F.lit(salt_buckets))
+        all_salts = F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+        if hot_grams is not None:
+            hot = F.col("gram").isin([str(g) for g in hot_grams])
+            long_m = long_m.withColumn(
+                "salt", F.when(hot, msalt).otherwise(F.lit(0)).cast("int")
+            )
+            a = a.withColumn(
+                "salt",
+                F.explode(
+                    F.when(hot, all_salts).otherwise(F.array(F.lit(0)))
+                ),
+            ).withColumn("salt", F.col("salt").cast("int"))
+        else:
+            long_m = long_m.withColumn("salt", msalt.cast("int"))
+            a = a.withColumn("salt", F.explode(all_salts)).withColumn(
+                "salt", F.col("salt").cast("int")
+            )
         join_cond = (F.col("m.gram") == F.col("a.gram")) & (
             F.col("m.salt") == F.col("a.salt")
         )

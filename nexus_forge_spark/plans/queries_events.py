@@ -1220,6 +1220,68 @@ FROM tagged t JOIN wm w USING (batch_seq)
 GROUP BY t.batch_seq, w.wm_us"""
 
 
+_WM_TARGET_PPMS = [0, 2000, 20000, 200000]
+
+
+def q_watermark_delay_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production watermark configuration — the INVERSE of the lateness
+    audit (stream_pipeline.py min_watermark_delay): same three-way
+    batch-by-event_id split as stream_lateness, but instead of pricing a
+    given delay it derives, per target shed budget, the MINIMAL delay
+    whose shed stays within budget — the (k+1)-th largest required
+    delay, an exact order statistic via the P28 exchange-free parallel
+    rank.  target 0 ppm returns the delay that sheds nothing (the max
+    required delay); looser budgets return strictly smaller delays."""
+    from nexus_forge_spark.streaming.stream_pipeline import min_watermark_delay
+
+    ev = load_table(spark, "events", sf_dir).select(
+        (F.col("event_id") % 3).alias("b"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    return min_watermark_delay(ev, "b", "us", _WM_TARGET_PPMS)
+
+
+def sql_watermark_delay_plan() -> str:
+    values = ",".join(f"({p})" for p in _WM_TARGET_PPMS)
+    return f"""WITH tagged AS (
+  SELECT event_id % 3 AS b, epoch_us(ts) AS us FROM events
+),
+bmax AS (SELECT b, max(us) AS m FROM tagged GROUP BY b),
+prior AS (
+  SELECT t.b, max(p.m) AS pm
+  FROM bmax t LEFT JOIN bmax p ON p.b < t.b GROUP BY t.b
+),
+ev AS (SELECT pr.pm - t.us AS d FROM tagged t JOIN prior pr ON t.b = pr.b),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+  FROM ev
+),
+cand AS (
+  SELECT d, row_number() OVER (ORDER BY d DESC) AS rn FROM ev WHERE d > 0
+),
+tgt AS (SELECT * FROM (VALUES {values}) t(target_ppm)),
+pick AS (
+  SELECT t.target_ppm, s.n, s.nc, coalesce(c.d, 0) AS delay_us
+  FROM tgt t CROSS JOIN stats s
+  LEFT JOIN cand c ON c.rn = s.n * t.target_ppm // 1000000 + 1
+),
+shed AS (
+  SELECT p.target_ppm,
+    sum(CASE WHEN c.d > p.delay_us THEN 1 ELSE 0 END) AS shed_events
+  FROM pick p LEFT JOIN cand c ON 1 = 1
+  GROUP BY p.target_ppm
+)
+SELECT CAST(p.target_ppm AS BIGINT) AS target_ppm,
+  CAST(p.delay_us AS BIGINT) AS delay_us,
+  CAST(coalesce(s.shed_events, 0) AS BIGINT) AS shed_events,
+  CAST(coalesce(s.shed_events, 0) * 1000000 // greatest(p.n, 1) AS BIGINT)
+    AS shed_ppm,
+  p.n AS n_events, p.nc AS n_candidates
+FROM pick p LEFT JOIN shed s ON p.target_ppm = s.target_ppm
+ORDER BY p.target_ppm"""
+
+
 def q_stream_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING quantile monitoring (stream_pipeline.py
     stream_hdr_sketch): doc lengths arrive as three file micro-batches;

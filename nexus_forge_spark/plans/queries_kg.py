@@ -717,6 +717,86 @@ SELECT mention, entity_id, score, rank,
 FROM ranked WHERE rank = 1"""
 
 
+def q_kg_ladder_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The P50 measure->act skew loop closed (SURVEY §4.2): a planted hot
+    mention ('join' in EVERY document) makes one blocking gram dominate
+    the mention-side join key; ``key_skew_profile`` MEASURES the gram
+    distribution, its heavy hitters (>=5% share) become the broadcast
+    hot-gram salt list, and ``resolve_ladder_blocked`` salts exactly
+    those keys — alias-side replication is k hot grams x buckets instead
+    of the whole gram index.  The oracle applies the UNSALTED semantics:
+    hash equality proves the profile-guided salt only splits hot
+    partitions, never changes a result."""
+    from nexus_forge_spark.operators.profile import key_skew_profile
+    from nexus_forge_spark.operators.resolve import trigrams
+
+    base = _flat_mentions(spark, sf_dir).select("doc_id", "mention").distinct()
+    hot = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .withColumn("mention", F.lit("join"))
+    )
+    m = base.unionByName(hot).distinct().localCheckpoint(eager=True)
+    gram_stream = m.where(F.length("mention") >= 3).select(
+        F.element_at(trigrams(F.col("mention")), 1).alias("g")
+    )
+    prof = key_skew_profile(gram_stream, "g", top_k=SKEW_TOP_K)
+    hot_grams = [
+        r["key"] for r in prof.where(F.col("share_ppm") >= 50000).collect()
+    ]
+    out = R.resolve_ladder_blocked(
+        m,
+        _alias(spark),
+        keys=["doc_id", "mention"],
+        salt_buckets=8,
+        hot_grams=hot_grams,
+    )
+    return (
+        out.groupBy("entity_id", "strategy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy("entity_id", "strategy")
+    )
+
+
+def sql_kg_ladder_salted() -> str:
+    return f"""WITH dim AS (SELECT * FROM {dims.ontology_sql_values('d')}),
+{_alias_cte()},
+{_mentions_cte()},
+base AS (SELECT DISTINCT doc_id, mention FROM mentions),
+hot AS (SELECT DISTINCT doc_id, 'join' AS mention FROM documents),
+m AS (SELECT * FROM base UNION SELECT * FROM hot),
+vocab AS (SELECT DISTINCT mention FROM m),
+cand AS (
+  SELECT v.mention, al.entity_id, al.dict_idx, al.prop_order,
+         CASE WHEN v.mention = al.alias THEN 0 ELSE 1 END AS exact_rank,
+         CASE WHEN v.mention = al.alias THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(al.score_len - length(v.mention) AS DOUBLE) END AS score
+  FROM vocab v JOIN alias_t al ON contains(lower(al.alias), lower(v.mention))
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY mention
+      ORDER BY exact_rank, score, dict_idx, prop_order) AS INT) AS rank
+  FROM cand
+),
+resolved AS (
+  SELECT mention, entity_id,
+    CASE WHEN exact_rank = 0 THEN 'EXACT_MATCH' ELSE 'BEST_MATCH' END AS strategy
+  FROM ranked WHERE rank = 1
+),
+j AS (
+  SELECT m.doc_id, r.entity_id, r.strategy
+  FROM m JOIN resolved r ON m.mention = r.mention
+)
+SELECT entity_id, strategy, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM j GROUP BY entity_id, strategy
+ORDER BY entity_id, strategy"""
+
+
 def q_jsonld_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested JSON-LD compact -> remove round trip (C2/C5, rdf.py:489-527):
     id/type keys rewrite at BOTH nesting levels, @id values resolve against

@@ -686,6 +686,101 @@ def stream_lateness_audit(
     return writer.start()
 
 
+def min_watermark_delay(
+    events: DataFrame,
+    batch_col: str,
+    ts_us_col: str,
+    target_ppms: list[int],
+) -> DataFrame:
+    """The INVERSE of :func:`stream_lateness_audit` — production
+    watermark configuration: the audit prices what a GIVEN delay sheds;
+    this derives, for each target shed budget (integer ppm of all
+    events), the MINIMAL watermark delay that keeps the shed within it.
+
+    Under the global-watermark rule an event in batch b with time ``us``
+    is shed iff ``us < max(prior batch event time) - delay``, i.e. iff
+    its required delay ``d = prior_max - us`` exceeds the configured
+    one.  So shed(delay) = #{events: d > delay}, monotone non-
+    increasing, and the minimal delay for budget k = n_events *
+    target_ppm // 1e6 is the (k+1)-th LARGEST positive d (0 when there
+    are <= k candidates) — an exact order statistic, computed with the
+    P28 exchange-free parallel ranking (global_row_numbers), never a
+    SinglePartition sort.  Ties are harmless: the VALUE at a rank is
+    invariant to tie order.
+
+    Per target row: (target_ppm, delay_us, shed_events, shed_ppm,
+    n_events, n_candidates).  Scale posture: one batch-max aggregate
+    (micro-batch-count-sized), one broadcast join of it onto the event
+    frame, the parallel rank, and one conditional aggregate per target
+    over the candidate thresholds.
+    """
+    from nexus_forge_spark.operators.ranking import global_row_numbers
+
+    spark = events.sparkSession
+    bmax = events.groupBy(batch_col).agg(
+        F.max(F.col(ts_us_col)).cast("long").alias("bmax")
+    )
+    pb = bmax.select(F.col(batch_col).alias("__pb"), F.col("bmax").alias("__pm"))
+    prior = (
+        bmax.join(F.broadcast(pb), F.col("__pb") < F.col(batch_col), "left")
+        .groupBy(batch_col)
+        .agg(F.max("__pm").alias("prior_max"))
+    )
+    ev = events.join(F.broadcast(prior), batch_col).select(
+        (F.col("prior_max") - F.col(ts_us_col).cast("long")).alias("d")
+    )
+    stats = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("d") > 0).cast("long")).alias("nc"),
+    ).collect()[0]
+    n_events, n_cand = int(stats["n"]), int(stats["nc"] or 0)
+    tgt = spark.createDataFrame(
+        [
+            (int(p), n_events * int(p) // 1_000_000 + 1)
+            for p in target_ppms
+        ],
+        "target_ppm long, rank_needed long",
+    )
+    cand = ev.where(F.col("d") > 0).select(F.col("d").cast("long").alias("d"))
+    ranked = global_row_numbers(
+        cand.select((-F.col("d")).alias("nd"), "d"), ["nd"]
+    ).select(F.col("rn").alias("rank_needed"), F.col("d").alias("d_star"))
+    dstar = (
+        F.broadcast(tgt)
+        .join(ranked, "rank_needed", "left")
+        .select(
+            "target_ppm",
+            F.coalesce("d_star", F.lit(0)).cast("long").alias("delay_us"),
+        )
+    )
+    shed = (
+        cand.crossJoin(F.broadcast(dstar))
+        .groupBy("target_ppm")
+        .agg(
+            F.sum((F.col("d") > F.col("delay_us")).cast("long")).alias(
+                "shed_events"
+            )
+        )
+    )
+    return (
+        dstar.join(shed, "target_ppm", "left")
+        .select(
+            "target_ppm",
+            "delay_us",
+            F.coalesce("shed_events", F.lit(0)).cast("long").alias(
+                "shed_events"
+            ),
+            F.expr(
+                f"CAST(coalesce(shed_events, 0) * 1000000 "
+                f"div {max(n_events, 1)} AS BIGINT)"
+            ).alias("shed_ppm"),
+            F.lit(n_events).cast("long").alias("n_events"),
+            F.lit(n_cand).cast("long").alias("n_candidates"),
+        )
+        .orderBy("target_ppm")
+    )
+
+
 def fold_hdr_batch(
     batch_df: DataFrame,
     batch_id: int,

@@ -192,3 +192,43 @@ def test_discovery_fold_equals_full_and_floor_at_read(spark):
     )
     assert inc == direct
     assert {r[0] for r in inc} == {"zzznew", "creep"}
+
+
+def test_hot_gram_salting_preserves_results_and_targets_hot_keys(spark):
+    """Profile-guided salting (P50 measure->act): resolve output with
+    hot_grams salting must equal the unsalted and the uniformly-salted
+    outputs exactly — the salt only splits a hot key's partition."""
+    from nexus_forge_spark.operators import resolve as R
+    from nexus_forge_spark.operators.profile import key_skew_profile
+    from nexus_forge_spark.operators.resolve import trigrams
+
+    alias = spark.createDataFrame(
+        [
+            ("E1", 0, 9, 0, "hash join"),
+            ("E2", 1, 10, 0, "merge join"),
+            ("E3", 2, 10, 0, "table scan"),
+        ],
+        "entity_id string, dict_idx long, score_len int, prop_order int, alias string",
+    )
+    rows = [(i, "join") for i in range(50)]  # planted hot mention
+    rows += [(100, "scan"), (101, "merge join"), (102, "nomatch")]
+    m = spark.createDataFrame(rows, "doc_id long, mention string")
+
+    prof = key_skew_profile(
+        m.select(F.element_at(trigrams(F.col("mention")), 1).alias("g")), "g"
+    )
+    hot = [r["key"] for r in prof.where(F.col("share_ppm") >= 500000).collect()]
+    assert "joi" in hot  # the planted gram is measured hot
+
+    def res(**kw):
+        return sorted(
+            tuple(r)
+            for r in R.resolve_ladder_blocked(
+                m, alias, keys=["doc_id", "mention"], **kw
+            ).collect()
+        )
+
+    unsalted = res()
+    assert unsalted == res(salt_buckets=8, hot_grams=hot)
+    assert unsalted == res(salt_buckets=8)  # uniform salting unchanged too
+    assert any(r[2] == "E1" for r in unsalted)  # 'join' resolves
