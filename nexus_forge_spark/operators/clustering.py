@@ -119,6 +119,77 @@ def kmeans_train(
     return cents, final
 
 
+def simplified_silhouette(
+    assigned: DataFrame, centroids: list[list[int]]
+) -> DataFrame:
+    """Clustering-quality audit: the SIMPLIFIED silhouette (Hruschka et
+    al. 2004 — centroid distances instead of pairwise, the variant that
+    stays LINEAR in n where the classic silhouette's within-cluster
+    pairwise means are quadratic and cannot scale) over an integer
+    k-means assignment, in squared-distance integer ppm:
+
+        a(i) = d2(i, own centroid)   b(i) = min d2(i, other centroids)
+        s(i) = (b - a) * 1e6 div max(b, 1)
+
+    Squared distances keep the arithmetic BIGINT-exact (no sqrt — the
+    HLL/intlog no-transcendentals discipline); because the assignment is
+    the argmin, a <= b always, so s is in [0, 1e6] and the truncating
+    div agrees between engines.  Output: one row per cluster
+    (cid, n, mean_s_ppm) plus the overall row cid = -1 — mean_s_ppm =
+    sum(s) div n, tie-order-free.
+
+    Scale posture: one Arrow-batched matmul against the broadcast
+    centroid matrix (the assign_clusters shape) + one map-side-combined
+    aggregate; nothing pairwise, nothing quadratic.
+    """
+    if len(centroids) < 2:
+        raise ValueError("simplified_silhouette: needs k >= 2 centroids")
+    C = np.array(centroids, dtype=np.int64)
+    c_norm = (C * C).sum(axis=1)
+    Ct = np.ascontiguousarray(C.T)
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("a2", T.LongType()),
+                T.StructField("b2", T.LongType()),
+            ]
+        )
+    )
+    def ab(qv: pd.Series, cid: pd.Series) -> pd.DataFrame:
+        if not len(qv):
+            return pd.DataFrame({"a2": [], "b2": []})
+        q = np.stack(qv.to_numpy()).astype(np.int64)
+        scores = q @ Ct * -2 + c_norm + (q * q).sum(axis=1)[:, None]
+        idx = np.arange(len(q))
+        own = cid.to_numpy().astype(np.int64)
+        a2 = scores[idx, own].copy()
+        scores[idx, own] = np.iinfo(np.int64).max
+        b2 = scores.min(axis=1)
+        return pd.DataFrame({"a2": a2, "b2": b2})
+
+    per = assigned.withColumn("_ab", ab(F.col("qv"), F.col("cid"))).select(
+        "cid",
+        F.expr(
+            "(_ab.b2 - _ab.a2) * 1000000 DIV greatest(_ab.b2, 1)"
+        )
+        .cast("long")
+        .alias("s_ppm"),
+    )
+    by_cluster = per.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(s_ppm) DIV count(*) AS BIGINT)").alias("mean_s_ppm"),
+    )
+    overall = per.agg(
+        F.lit(-1).cast("int").alias("cid"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(s_ppm) DIV count(*) AS BIGINT)").alias("mean_s_ppm"),
+    )
+    return by_cluster.select(
+        F.col("cid").cast("int").alias("cid"), "n", "mean_s_ppm"
+    ).unionByName(overall).orderBy("cid")
+
+
 def kcenter_select(
     points: DataFrame, k: int, dim: int
 ) -> tuple[list[int], DataFrame]:

@@ -1182,6 +1182,177 @@ def temperature_mix(
     )
 
 
+def domain_reweight(
+    doc_losses: DataFrame,
+    domain_col: str = "source",
+    loss_col: str = "mean_nll_micro",
+    eta_ppm: int = 200_000,
+    rounds: int = 5,
+) -> DataFrame:
+    """DoReMi-style Group-DRO domain reweighting (Xie et al., NeurIPS
+    2023) in exact integer arithmetic — the mixture-LEARNING counterpart
+    of the static mixers (domain_mix/temperature_mix): domains whose
+    loss exceeds the corpus reference get their sampling weight pushed
+    up multiplicatively, round by round.
+
+    Two deliberate deviations from the paper, both forced by the
+    engine-exact contract: (1) the reference loss is the corpus mean
+    (one-model variant; the paper's per-domain reference model needs a
+    second training run), so excess_d = max(0, mean_loss_d - corpus
+    mean) in micro-nats; (2) the update is the POLYNOMIAL
+    multiplicative-weights variant w <- w * (1 + eta * excess) — exact
+    in BIGINT, agreeing with the paper's exponential variant to O(eta^2)
+    — followed by largest-remainder renormalization to EXACTLY 1e6 ppm
+    each round (the attribution_credits discipline).
+
+    Scale posture: ONE map-side-combinable aggregate over the doc-loss
+    frame; everything after runs on the k-row domain table (the only
+    windows rank k rows).  Output: (domain, n_docs, mean_loss_micro,
+    excess_micro, weight_ppm), ordered by domain.
+    """
+    per = (
+        doc_losses.groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col(loss_col)).cast("long").alias("sum_loss"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("tn"),
+        F.sum("sum_loss").cast("long").alias("ts"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    base = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "n_docs",
+            F.expr("sum_loss DIV n_docs").cast("long").alias("mean_loss_micro"),
+            F.expr("greatest(sum_loss DIV n_docs - ts DIV tn, 0)")
+            .cast("long")
+            .alias("excess_micro"),
+            "k",
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = base.select(
+        "domain",
+        F.expr(
+            "CAST(1000000 DIV k + CASE WHEN row_number() "
+            "OVER (ORDER BY domain) <= 1000000 % k THEN 1 ELSE 0 END "
+            "AS BIGINT)"
+        ).alias("w")
+    )
+    for _ in range(rounds):
+        raw = w.join(base.select("domain", "excess_micro"), "domain").select(
+            "domain",
+            F.expr(
+                f"w * (1000000 + ({eta_ppm} * excess_micro) DIV 1000000)"
+            )
+            .cast("long")
+            .alias("raw"),
+        )
+        s = raw.agg(F.sum("raw").cast("long").alias("s"))
+        flo = raw.crossJoin(F.broadcast(s)).select(
+            "domain",
+            F.expr("raw * 1000000 DIV s").cast("long").alias("flo"),
+            F.expr("raw * 1000000 % s").cast("long").alias("rem"),
+        )
+        wr = Window.orderBy(F.desc("rem"), F.asc("domain"))
+        tot_flo = flo.agg(F.sum("flo").cast("long").alias("tf"))
+        w = (
+            flo.crossJoin(F.broadcast(tot_flo))
+            .select(
+                "domain",
+                (
+                    F.col("flo")
+                    + (
+                        F.row_number().over(wr)
+                        <= (F.lit(1_000_000) - F.col("tf"))
+                    ).cast("long")
+                ).alias("w"),
+            )
+        )
+    return (
+        base.join(w, "domain")
+        .select(
+            "domain",
+            "n_docs",
+            "mean_loss_micro",
+            "excess_micro",
+            F.col("w").cast("long").alias("weight_ppm"),
+        )
+        .orderBy("domain")
+    )
+
+
+def sql_domain_reweight(
+    losses_sql: str,
+    domain: str = "source",
+    loss: str = "mean_nll_micro",
+    eta_ppm: int = 200_000,
+    rounds: int = 5,
+) -> str:
+    """DuckDB oracle for :func:`domain_reweight` — identical integer
+    algebra, rounds unrolled as CTEs."""
+    ctes = []
+    prev = "w0"
+    for i in range(1, rounds + 1):
+        ctes.append(f"""r{i} AS MATERIALIZED (
+  SELECT b.domain,
+    CAST(p.w * (1000000 + ({eta_ppm} * b.excess_micro) // 1000000)
+         AS BIGINT) AS raw
+  FROM {prev} p JOIN base b ON p.domain = b.domain
+),
+f{i} AS MATERIALIZED (
+  SELECT domain,
+    CAST(raw * 1000000 // (SELECT sum(raw) FROM r{i}) AS BIGINT) AS flo,
+    CAST(raw * 1000000 % (SELECT sum(raw) FROM r{i}) AS BIGINT) AS rem
+  FROM r{i}
+),
+w{i} AS MATERIALIZED (
+  SELECT domain, CAST(flo + CASE WHEN row_number()
+      OVER (ORDER BY rem DESC, domain)
+      <= 1000000 - (SELECT sum(flo) FROM f{i}) THEN 1 ELSE 0 END
+    AS BIGINT) AS w
+  FROM f{i}
+)""")
+        prev = f"w{i}"
+    body = ",\n".join(ctes)
+    return f"""WITH losses AS MATERIALIZED ({losses_sql}),
+per AS (
+  SELECT {domain} AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum({loss}) AS BIGINT) AS sum_loss
+  FROM losses GROUP BY {domain}
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+    CAST(sum(sum_loss) AS BIGINT) AS ts,
+    CAST(count(*) AS BIGINT) AS k
+  FROM per
+),
+base AS MATERIALIZED (
+  SELECT p.domain, p.n_docs,
+    CAST(p.sum_loss // p.n_docs AS BIGINT) AS mean_loss_micro,
+    CAST(greatest(p.sum_loss // p.n_docs - t.ts // t.tn, 0) AS BIGINT)
+      AS excess_micro,
+    t.k
+  FROM per p CROSS JOIN tot t
+),
+w0 AS (
+  SELECT domain, CAST(1000000 // k + CASE WHEN row_number()
+      OVER (ORDER BY domain) <= 1000000 % k THEN 1 ELSE 0 END
+    AS BIGINT) AS w
+  FROM base
+),
+{body}
+SELECT b.domain, b.n_docs, b.mean_loss_micro, b.excess_micro,
+  CAST(v.w AS BIGINT) AS weight_ppm
+FROM base b JOIN {prev} v ON b.domain = v.domain
+ORDER BY b.domain"""
+
+
 def dsir_weights(
     df: DataFrame,
     is_target,

@@ -195,6 +195,94 @@ def interval_overlap_join(
     )
 
 
+_ALLEN_CASE = """CASE
+  WHEN sa = sb AND ea = eb THEN 'equals'
+  WHEN ea < sb THEN 'precedes'
+  WHEN ea = sb THEN 'meets'
+  WHEN sa > eb THEN 'preceded_by'
+  WHEN sa = eb THEN 'met_by'
+  WHEN sa = sb AND ea < eb THEN 'starts'
+  WHEN sa = sb AND ea > eb THEN 'started_by'
+  WHEN sa > sb AND ea = eb THEN 'finishes'
+  WHEN sa < sb AND ea = eb THEN 'finished_by'
+  WHEN sa > sb AND ea < eb THEN 'during'
+  WHEN sa < sb AND ea > eb THEN 'contains'
+  WHEN sa < sb THEN 'overlaps'
+  ELSE 'overlapped_by'
+END"""
+
+
+def allen_relations(
+    intervals: DataFrame,
+    key_col: str,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Allen's interval algebra (Allen, CACM 1983): classify every
+    ordered pair of intervals under the same key into exactly one of the
+    13 primitive temporal relations (precedes/meets/overlaps/starts/
+    during/finishes, their inverses, and equals) — the temporal-KG
+    qualifier the conflict/reachability family (kg_temporal_conflicts,
+    temporal_reachability) coarsens to overlap-or-not.
+
+    The CASE chain is exhaustive and mutually exclusive for proper
+    intervals (start < end; rows violating that are dropped and the
+    caller can audit them by count); the pair (a, b) is oriented
+    id_a < id_b, so every unordered pair appears exactly once and the
+    relation names A's position relative to B.
+
+    Scale posture: one key-partitioned self-join (the interval_overlap
+    family's shape) — per-key cost is bounded by per-key interval count,
+    never a global product; the classification itself is a pure codegen
+    projection.  Output: (key, id_a, id_b, relation).
+    """
+    base = (
+        intervals.where(F.col(start_col) < F.col(end_col))
+        .select(
+            F.col(key_col).alias("k"),
+            F.col(id_col).alias("i"),
+            F.col(start_col).alias("s"),
+            F.col(end_col).alias("e"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    l = base.select(
+        F.col("k"),
+        F.col("i").alias("id_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+    )
+    r = base.select(
+        F.col("k"),
+        F.col("i").alias("id_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    return (
+        l.join(r, "k")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("k").alias(key_col),
+            "id_a",
+            "id_b",
+            F.expr(_ALLEN_CASE).alias("relation"),
+        )
+    )
+
+
+def sql_allen_relations(intervals_sql: str, key: str = "k") -> str:
+    """DuckDB oracle for :func:`allen_relations` — identical CASE chain
+    over the same oriented self-join.  intervals_sql -> (k, i, s, e)."""
+    return f"""WITH iv AS MATERIALIZED (
+  SELECT * FROM ({intervals_sql}) WHERE s < e
+)
+SELECT a.k AS {key}, a.i AS id_a, b.i AS id_b,
+  {_ALLEN_CASE.replace('sa', 'a.s').replace('ea', 'a.e')
+              .replace('sb', 'b.s').replace('eb', 'b.e')} AS relation
+FROM iv a JOIN iv b ON a.k = b.k AND a.i < b.i"""
+
+
 def funnel(
     events: DataFrame,
     steps: list[str],

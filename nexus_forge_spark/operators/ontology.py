@@ -163,6 +163,125 @@ LEFT JOIN direct d ON u.cls = d.cls
 LEFT JOIN subtree s ON u.cls = s.cls"""
 
 
+def class_similarity(
+    pairs: DataFrame,
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    child_col: str = "child",
+    parent_col: str = "parent",
+) -> DataFrame:
+    """Wu-Palmer taxonomy similarity (Wu & Palmer, ACL 1994) between
+    class pairs, in integer ppm — the semantic-similarity measure entity
+    linkers and ontology aligners rank candidate classes with:
+
+        wup(a, b) = 2 * depth(lca) / (depth(a) + depth(b))
+
+    with depth(c) = |ancestors-or-self(c)| (root depth 1) — exact for
+    tree-shaped taxonomies (rdfs subClassOf hierarchies here; on a DAG
+    this is the ancestor-count depth variant, still deterministic), and
+    lca = the deepest common ancestor-or-self.  Ties between equally
+    deep common ancestors don't matter (only the DEPTH enters the
+    formula), so the output is tie-order-free.
+
+    Pairs whose endpoints are not in the hierarchy drop (inner-join
+    semantics — the caller decides a default for unknown classes).
+
+    Scale posture: the taxonomy is SCHEMA-sized, so the closure /
+    ancestor-or-self / depth tables are broadcast to the pair side —
+    per-pair cost is |anc(a)| rows, the pair frame never shuffles.
+    Output: (a, b, d_a, d_b, d_lca, wup_ppm).
+    """
+    closure = transitive_closure(edges, child_col, parent_col)
+    universe = (
+        edges.select(F.col(child_col).alias("node"))
+        .unionByName(edges.select(F.col(parent_col).alias("node")))
+        .distinct()
+    )
+    aos = closure.unionByName(
+        universe.select("node", F.col("node").alias("anc"))
+    ).localCheckpoint(eager=True)
+    depth = aos.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    common = pairs.join(
+        F.broadcast(aos.select(F.col("node").alias(a_col), "anc")), a_col
+    ).join(
+        F.broadcast(aos.select(F.col("node").alias(b_col), "anc")),
+        [b_col, "anc"],
+    )
+    lca = (
+        common.join(
+            F.broadcast(
+                depth.select(F.col("node").alias("anc"), F.col("d").alias("dl"))
+            ),
+            "anc",
+        )
+        .groupBy(a_col, b_col)
+        .agg(F.max("dl").cast("long").alias("d_lca"))
+    )
+    return (
+        lca.join(
+            F.broadcast(
+                depth.select(F.col("node").alias(a_col), F.col("d").alias("d_a"))
+            ),
+            a_col,
+        )
+        .join(
+            F.broadcast(
+                depth.select(F.col("node").alias(b_col), F.col("d").alias("d_b"))
+            ),
+            b_col,
+        )
+        .select(
+            a_col,
+            b_col,
+            "d_a",
+            "d_b",
+            "d_lca",
+            F.expr("CAST(2 * d_lca * 1000000 DIV (d_a + d_b) AS BIGINT)").alias(
+                "wup_ppm"
+            ),
+        )
+    )
+
+
+def sql_class_similarity(edges_sql: str, pairs_sql: str) -> str:
+    """DuckDB oracle for :func:`class_similarity` — recursive-CTE
+    closure, identical depth/lca/ppm algebra."""
+    return f"""WITH RECURSIVE edges AS MATERIALIZED ({edges_sql}),
+pairs AS MATERIALIZED ({pairs_sql}),
+reach(node, anc) AS (
+  SELECT child, parent FROM edges WHERE child <> parent
+  UNION
+  SELECT r.node, e.parent FROM reach r JOIN edges e ON r.anc = e.child
+  WHERE r.node <> e.parent
+),
+universe AS (
+  SELECT DISTINCT node FROM (
+    SELECT child AS node FROM edges UNION ALL SELECT parent FROM edges
+  )
+),
+aos AS (
+  SELECT node, anc FROM reach UNION ALL SELECT node, node AS anc FROM universe
+),
+depth AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM aos GROUP BY node),
+common AS (
+  SELECT p.a, p.b, x.anc
+  FROM pairs p
+  JOIN aos x ON x.node = p.a
+  JOIN aos y ON y.node = p.b AND y.anc = x.anc
+),
+lca AS (
+  SELECT c.a, c.b, CAST(max(dd.d) AS BIGINT) AS d_lca
+  FROM common c JOIN depth dd ON dd.node = c.anc
+  GROUP BY c.a, c.b
+)
+SELECT l.a, l.b, da.d AS d_a, db.d AS d_b, l.d_lca,
+  CAST(2 * l.d_lca * 1000000 // (da.d + db.d) AS BIGINT) AS wup_ppm
+FROM lca l
+JOIN depth da ON da.node = l.a
+JOIN depth db ON db.node = l.b"""
+
+
 def flatten_rdf_lists(
     triples: DataFrame,
     first_pred: str = "rdf:first",

@@ -1220,6 +1220,48 @@ FROM tagged t JOIN wm w USING (batch_seq)
 GROUP BY t.batch_seq, w.wm_us"""
 
 
+def q_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-algebra census (operators/events.py
+    allen_relations): each lineitem is a shipping interval
+    [shipdate, shipdate + quantity%15 + 1 days); every pair within an
+    order is classified into one of the 13 primitive temporal relations
+    — the qualifier the temporal-KG conflict family coarsens to
+    overlap-or-not.  All 13 relations are live at sf0.01 (date
+    collisions within orders produce the equality classes).  Graded as
+    the per-relation census (n_pairs, n_orders)."""
+    from nexus_forge_spark.operators.events import allen_relations
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").alias("s"),
+        F.date_add(
+            "l_shipdate", (F.col("l_quantity").cast("int") % 15 + 1)
+        ).alias("e"),
+    )
+    rel = allen_relations(li, "l_orderkey", "l_linenumber", "s", "e")
+    return (
+        rel.groupBy("relation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        )
+        .orderBy("relation")
+    )
+
+
+def sql_allen_relations_census() -> str:
+    from nexus_forge_spark.operators.events import sql_allen_relations
+
+    iv = """SELECT l_orderkey AS k, l_linenumber AS i, l_shipdate AS s,
+  l_shipdate + INTERVAL (CAST(l_quantity AS INT) % 15 + 1) DAY AS e
+FROM lineitem"""
+    inner = sql_allen_relations(iv, key="k")
+    return f"""SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(count(DISTINCT k) AS BIGINT) AS n_orders
+FROM ({inner}) GROUP BY relation ORDER BY relation"""
+
+
 _WM_TARGET_PPMS = [0, 2000, 20000, 200000]
 
 

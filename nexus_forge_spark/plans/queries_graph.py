@@ -141,11 +141,17 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_kmeans() -> str:
-    dist = (
-        "list_sum(list_transform(list_zip(p.qv, c.qv),"
-        " z -> (z[1]-z[2])*(z[1]-z[2])))"
-    )
+_KM_DIST_SQL = (
+    "list_sum(list_transform(list_zip(p.qv, c.qv),"
+    " z -> (z[1]-z[2])*(z[1]-z[2])))"
+)
+
+
+def _kmeans_ctes() -> list[str]:
+    """The unrolled-Lloyd CTE chain shared by the kmeans and silhouette
+    oracles: pts, c0..c{iters}, a1.., m1.., ending with afinal (vid,
+    cid, dist) assigned against c{iters}."""
+    dist = _KM_DIST_SQL
 
     def assign_cte(name: str, cents: str) -> str:
         return f"""{name} AS MATERIALIZED (
@@ -184,13 +190,70 @@ def sql_kmeans() -> str:
        USING (cid))"""
         )
     parts.append(assign_cte("afinal", f"c{_KM_ITERS}"))
+    return parts
+
+
+def sql_kmeans() -> str:
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ",\n".join(_kmeans_ctes())
         + """
 SELECT CAST(vid AS BIGINT) AS vec_id, CAST(cid AS INT) AS cid,
        CAST(dist AS BIGINT) AS dist
 FROM afinal"""
+    )
+
+
+def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette audit of the k-means clustering
+    (operators/clustering.py simplified_silhouette): per-cluster and
+    overall cohesion-vs-separation in squared-distance integer ppm —
+    LINEAR in n (one Arrow matmul vs the broadcast centroids + one
+    map-side agg) where the classic silhouette's pairwise means are
+    quadratic and cannot scale.  The oracle re-derives a/b from the
+    unrolled-Lloyd CTE chain's all-pairs distance relation, so the hash
+    pins assignment, centroid trajectory, AND the audit algebra."""
+    from nexus_forge_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_train,
+        quantize_vectors,
+        simplified_silhouette,
+    )
+
+    pts = quantize_vectors(load_table(spark, "embeddings", sf_dir))
+    cents, _ = kmeans_train(pts, _KM_K, _KM_ITERS)
+    return simplified_silhouette(assign_clusters(pts, cents), cents)
+
+
+def sql_cluster_silhouette() -> str:
+    dist = _KM_DIST_SQL
+    parts = _kmeans_ctes()
+    parts.append(
+        f"""alld AS MATERIALIZED (
+  SELECT p.vid, c.cid, {dist} AS dist
+  FROM pts p CROSS JOIN c{_KM_ITERS} c)"""
+    )
+    parts.append(
+        """ab AS (
+  SELECT f.vid, f.cid, f.dist AS a2, min(d.dist) AS b2
+  FROM afinal f JOIN alld d ON d.vid = f.vid AND d.cid <> f.cid
+  GROUP BY f.vid, f.cid, f.dist)"""
+    )
+    parts.append(
+        """sil AS (
+  SELECT cid, (b2 - a2) * 1000000 // greatest(b2, 1) AS s_ppm FROM ab)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT CAST(cid AS INT) AS cid, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(s_ppm) // count(*) AS BIGINT) AS mean_s_ppm
+FROM sil GROUP BY cid
+UNION ALL
+SELECT -1, CAST(count(*) AS BIGINT), CAST(sum(s_ppm) // count(*) AS BIGINT)
+FROM sil
+ORDER BY cid"""
     )
 
 

@@ -2076,6 +2076,61 @@ FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey"""
     return sql_class_rollup(edges, inst)
 
 
+def q_kg_class_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wu-Palmer semantic similarity over the geo taxonomy
+    (operators/ontology.py class_similarity): every unordered pair of
+    nation/region classes scored by 2*d(lca)/(d(a)+d(b)) in integer ppm
+    — same-region nations land at 666666 ppm (lca = their region),
+    cross-region ones at 400000 (lca = geo:World), nation-vs-own-region
+    at 800000; the candidate-class ranking signal an entity linker uses
+    when a mention is ambiguous across taxonomy branches.  Taxonomy
+    tables broadcast; the pair frame never shuffles."""
+    from nexus_forge_spark.operators.ontology import class_similarity
+
+    nation = load_table(spark, "nation", sf_dir).select("n_name", "n_regionkey")
+    region = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+    geo_edges = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.concat(F.lit("nation:"), F.col("n_name")).alias("child"),
+            F.concat(F.lit("region:"), F.col("r_name")).alias("parent"),
+        )
+        .unionByName(
+            region.select(
+                F.concat(F.lit("region:"), F.col("r_name")).alias("child"),
+                F.lit("geo:World").alias("parent"),
+            )
+        )
+    )
+    classes = (
+        geo_edges.select(F.col("child").alias("c"))
+        .unionByName(geo_edges.select(F.col("parent").alias("c")))
+        .distinct()
+    )
+    right = classes.select(F.col("c").alias("b"))
+    pairs = (
+        classes.select(F.col("c").alias("a"))
+        .join(F.broadcast(right), F.col("a") < F.col("b"))
+    )
+    return class_similarity(pairs, geo_edges).orderBy("a", "b")
+
+
+def sql_kg_class_similarity() -> str:
+    from nexus_forge_spark.operators.ontology import sql_class_similarity
+
+    edges = """SELECT 'nation:' || n.n_name AS child, 'region:' || r.r_name AS parent
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+UNION ALL
+SELECT 'region:' || r_name AS child, 'geo:World' AS parent FROM region"""
+    pairs = f"""SELECT x.c AS a, y.c AS b FROM
+(SELECT DISTINCT child AS c FROM ({edges})
+ UNION SELECT DISTINCT parent FROM ({edges})) x,
+(SELECT DISTINCT child AS c FROM ({edges})
+ UNION SELECT DISTINCT parent FROM ({edges})) y
+WHERE x.c < y.c"""
+    return sql_class_similarity(edges, pairs) + " ORDER BY a, b"
+
+
 def q_kg_list_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rdf:first/rdf:rest list reassembly (operators/ontology.py
     flatten_rdf_lists): each order's lineitems become a cons chain

@@ -1818,6 +1818,32 @@ SELECT s.*, nt.truth_pairs, fb.found_before, fa.found_after,
 FROM stats s, nt, fb, fa"""
 
 
+def q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style Group-DRO mixture learning (curation.py
+    domain_reweight): per-source unigram-LM mean NLL -> excess over the
+    corpus mean -> 5 rounds of exact-integer polynomial multiplicative
+    weights with largest-remainder renormalization to 1e6 ppm.  The
+    mixture-LEARNING counterpart of domain_mix/temperature_mix: sources
+    the proxy LM finds hard gain weight; weights sum to exactly 1e6
+    every round by construction."""
+    from nexus_forge_spark.operators.curation import domain_reweight
+    from nexus_forge_spark.operators.text import unigram_logprob_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    nll = unigram_logprob_scores(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return domain_reweight(nll, "source", "mean_nll_micro")
+
+
+def sql_domain_reweight_q() -> str:
+    from nexus_forge_spark.operators.curation import sql_domain_reweight
+
+    losses = f"""SELECT n.doc_id, n.mean_nll_micro, d.source
+FROM ({sql_unigram_nll()}) n JOIN documents d ON n.doc_id = d.doc_id"""
+    return sql_domain_reweight(losses)
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020, the final
     step their pipeline ships): per SOURCE, documents are ranked by

@@ -220,3 +220,41 @@ def test_dbscan_min_pts_validated(spark):
     pts = spark.createDataFrame([(1,), (2,), (3,)], "id long")
     with pytest.raises(ValueError, match="min_pts"):
         dbscan_from_pairs(pairs, pts, min_pts=1)
+
+
+def test_simplified_silhouette_hand_values(spark):
+    """Two tight clusters far apart -> s near 1e6; a point midway ->
+    small s.  a2/b2 algebra checked by hand on the planted geometry."""
+    from pyspark.sql import functions as F
+
+    from nexus_forge_spark.operators.clustering import (
+        assign_clusters,
+        simplified_silhouette,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, [0, 0]), (2, [2, 0]), (3, [100, 0]), (4, [102, 0]), (5, [52, 0])],
+        "vid long, qv array<long>",
+    )
+    cents = [[1, 0], [101, 0]]
+    out = {
+        r.cid: r for r in simplified_silhouette(
+            assign_clusters(pts, cents), cents
+        ).collect()
+    }
+    # points 1,2: a2=1, b2=(101-0)^2=10201 / (101-2)^2=9801 -> s ~ 999901
+    assert out[0].n == 2 and out[1].n == 3  # midway point lands in c1
+    # midway point 5: a2=(52-1)^2=2601, b2=(101-52)^2=2401 -> assigned to
+    # cluster 1 (argmin), so a2=2401, b2=2601, s=(200)*1e6//2601
+    assert out[-1].n == 5
+    assert 0 <= out[-1].mean_s_ppm <= 1_000_000
+    assert out[0].mean_s_ppm > 600_000  # tight clusters score high
+
+
+def test_simplified_silhouette_requires_k2(spark):
+    import pytest as _pt
+
+    from nexus_forge_spark.operators.clustering import simplified_silhouette
+
+    with _pt.raises(ValueError):
+        simplified_silhouette(None, [[1, 0]])

@@ -1163,3 +1163,34 @@ def test_t_closeness_flags_skewed_class(spark):
     # balanced class: its CDF is not exactly global (global includes the
     # skewed rows) but stays well under the threshold
     assert out["bal"].emd_ppm <= 100000
+
+
+def test_domain_reweight_sums_to_million_and_orders_by_excess(spark):
+    from nexus_forge_spark.operators.curation import domain_reweight
+
+    rows = [("easy", 100)] * 4 + [("mid", 150)] * 4 + [("hard", 400)] * 4
+    df = spark.createDataFrame(
+        [(d, i, l) for i, (d, l) in enumerate(rows)],
+        "source string, doc_id long, mean_nll_micro long",
+    )
+    out = {r.domain: r for r in domain_reweight(df).collect()}
+    assert sum(r.weight_ppm for r in out.values()) == 1_000_000
+    # corpus mean = 216; only 'hard' has excess -> gains weight
+    assert out["hard"].excess_micro == 400 - 216
+    assert out["easy"].excess_micro == 0 and out["mid"].excess_micro == 0
+    assert out["hard"].weight_ppm > out["mid"].weight_ppm
+    # equal excess -> equal up to the largest-remainder +-1 (ties break
+    # by domain name asc, so 'easy' may carry the remainder unit)
+    assert abs(out["easy"].weight_ppm - out["mid"].weight_ppm) <= 1
+
+
+def test_domain_reweight_uniform_when_no_excess(spark):
+    from nexus_forge_spark.operators.curation import domain_reweight
+
+    df = spark.createDataFrame(
+        [("a", 1, 100), ("b", 2, 100), ("c", 3, 100)],
+        "source string, doc_id long, mean_nll_micro long",
+    )
+    out = {r.domain: r.weight_ppm for r in domain_reweight(df).collect()}
+    assert sum(out.values()) == 1_000_000
+    assert max(out.values()) - min(out.values()) <= 1  # largest remainder

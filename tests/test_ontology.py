@@ -469,3 +469,29 @@ def test_temporal_functional_conflicts_matches_duckdb(spark):
     )
     want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_class_similarity_wu_palmer_hand_values(spark):
+    """nation:A/B under region:R1, nation:C under region:R2, regions
+    under World: wup(A,B)=2*2/(3+3), wup(A,C)=2*1/6, wup(A,R1)=2*2/5."""
+    from pyspark.sql import functions as F
+
+    from nexus_forge_spark.operators.ontology import class_similarity
+
+    edges = spark.createDataFrame(
+        [("A", "R1"), ("B", "R1"), ("C", "R2"), ("R1", "W"), ("R2", "W")],
+        "child string, parent string",
+    )
+    pairs = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("A", "R1"), ("A", "W"), ("A", "ZZZ")],
+        "a string, b string",
+    )
+    got = {
+        (r.a, r.b): (r.d_a, r.d_b, r.d_lca, r.wup_ppm)
+        for r in class_similarity(pairs, edges).collect()
+    }
+    assert got[("A", "B")] == (3, 3, 2, 666666)
+    assert got[("A", "C")] == (3, 3, 1, 333333)
+    assert got[("A", "R1")] == (3, 2, 2, 800000)
+    assert got[("A", "W")] == (3, 1, 1, 500000)
+    assert ("A", "ZZZ") not in got  # unknown class drops (inner join)
