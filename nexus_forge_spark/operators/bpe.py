@@ -32,6 +32,8 @@ tokenization), which makes the spaced-string representation lossless.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -255,4 +257,276 @@ def bpe_fertility(
             "fertility_milli",
             F.expr("n_bpe_tokens * 1000 div n_words").cast("long"),
         )
+    )
+
+
+# ---------------------------------------------------------------- unigram LM
+# SentencePiece-style unigram-LM tokenizer (Kudo 2018), HARD-EM variant:
+# this engine has a deterministic integer log (functions/intlog), not a
+# deterministic exp, so the E-step is Viterbi (argmin total cost) rather
+# than forward-backward expectations — the dawid_skene_labels discipline.
+# Every quantity is BIGINT micro-nats, so both engines agree bit-for-bit.
+
+
+def unigram_seed_vocab(
+    words: DataFrame,
+    max_piece_len: int = 6,
+    vocab_size: int = 60,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """Seed vocabulary: every substring of length 1..L counted with
+    multiplicity, weighted by word frequency; keep the top ``vocab_size``
+    by (count DESC, piece ASC) plus ALL single characters (coverage:
+    every word stays segmentable).  One map-side explode + one hash agg
+    + a TakeOrderedAndProject — the word table is the distinct-word
+    factoring of the corpus, so this never rescans documents."""
+    L = max_piece_len
+    subs = words.select(
+        F.col(freq_col).alias("freq"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length({word_col})), i -> "
+                f"transform(sequence(i, least(i + {L - 1}, "
+                f"length({word_col}))), j -> "
+                f"substring({word_col}, i, j - i + 1))))"
+            )
+        ).alias("piece"),
+    )
+    cnt0 = subs.groupBy("piece").agg(F.sum("freq").cast("long").alias("cnt"))
+    top = cnt0.orderBy(F.desc("cnt"), "piece").limit(vocab_size)
+    chars = cnt0.where(F.length("piece") == 1)
+    return (
+        top.unionByName(chars)
+        .groupBy("piece")
+        .agg(F.max("cnt").cast("long").alias("cnt"))
+    )
+
+
+def _viterbi_segment_udf(cost_map: dict, max_piece_len: int):
+    """Arrow-batched Viterbi over words: dp[i] = min over j of dp[j] +
+    cost(word[j:i]); ties broken by SMALLEST j (prefer the longer final
+    piece) — the same (total, j) lexicographic rule the oracle's
+    row_number renders.  cost_map is vocab-sized (broadcast in the
+    closure); single chars are always present, so every word segments."""
+    from pyspark.sql import types as T
+
+    L = max_piece_len
+    INF = 1 << 62
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def seg(col: pd.Series) -> pd.Series:
+        out = []
+        for w in col:
+            n = len(w)
+            dp = [0] + [INF] * n
+            bj = [0] * (n + 1)
+            for i in range(1, n + 1):
+                best, bestj = INF, -1
+                for j in range(max(0, i - L), i):
+                    c = cost_map.get(w[j:i])
+                    if c is None or dp[j] >= INF:
+                        continue
+                    t = dp[j] + c
+                    if t < best:
+                        best, bestj = t, j
+                dp[i], bj[i] = best, bestj
+            ps, i = [], n
+            while i > 0:
+                j = bj[i]
+                ps.append(w[j:i])
+                i = j
+            out.append(ps[::-1])
+        return pd.Series(out)
+
+    return seg
+
+
+def unigram_lm_train(
+    words: DataFrame,
+    rounds: int = 2,
+    max_piece_len: int = 6,
+    vocab_size: int = 60,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training, hard-EM:
+
+      * seed = top substrings + all chars (:func:`unigram_seed_vocab`);
+      * per round: piece cost = ln(total/count) in deterministic integer
+        micro-nats (intlog — engine-exact, no libm), Viterbi-segment
+        every DISTINCT word (Arrow-batched, vocab costs broadcast in the
+        closure), re-count pieces weighted by word frequency; multi-char
+        pieces that go unused DROP, single chars floor at count 1
+        (coverage invariant);
+      * output after the fixed rounds: (piece, cnt, cost_micro) with
+        costs from the final counts, ordered by piece.
+
+    Fixed round count + deterministic tie rules keep both engines
+    bit-identical (the kmeans/bpe oracle discipline — the DuckDB twin
+    unrolls the same DP per position).
+
+    Scale posture: the corpus is touched ZERO times here (callers pass
+    the distinct-word frequency table); each round is one vocab-sized
+    cost aggregate + one Arrow pass over distinct words + one hash agg.
+    The cost table collect is vocab-sized (bounded by vocab_size + the
+    alphabet) — the centroid-broadcast pattern, not a corpus collect.
+    """
+    from nexus_forge_spark.functions.intlog import ln_micro_col
+
+    w = words.select(
+        F.col(word_col).alias("word"), F.col(freq_col).cast("long").alias("freq")
+    ).localCheckpoint(eager=True)
+    vocab = unigram_seed_vocab(
+        w, max_piece_len, vocab_size, "word", "freq"
+    ).localCheckpoint(eager=True)
+    spark = words.sparkSession
+    for _ in range(rounds):
+        tot = vocab.agg(F.sum("cnt").cast("long").alias("tot"))
+        costs = vocab.crossJoin(F.broadcast(tot)).select(
+            "piece", ln_micro_col("tot", "cnt").alias("cost")
+        )
+        cost_map = {r["piece"]: int(r["cost"]) for r in costs.collect()}
+        seg = _viterbi_segment_udf(cost_map, max_piece_len)
+        used = (
+            w.select("freq", F.explode(seg(F.col("word"))).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        charset = vocab.where(F.length("piece") == 1).select("piece")
+        vocab = (
+            charset.join(used, "piece", "left")
+            .select("piece", F.coalesce("cnt", F.lit(1)).cast("long").alias("cnt"))
+            .unionByName(used.where(F.length("piece") > 1))
+            .localCheckpoint(eager=True)
+        )
+    tot = vocab.agg(F.sum("cnt").cast("long").alias("tot"))
+    return (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            "cnt",
+            ln_micro_col("tot", "cnt").alias("cost_micro"),
+        )
+        .orderBy("piece")
+    )
+
+
+def sql_unigram_lm(
+    words_sql: str,
+    rounds: int = 2,
+    max_piece_len: int = 6,
+    vocab_size: int = 60,
+    max_word_len: int = 16,
+) -> str:
+    """DuckDB oracle for :func:`unigram_lm_train` — the Viterbi DP
+    unrolled per POSITION (d{r}_{i} CTEs: best prefix cost ending at i,
+    argmin rendered as row_number over (total, j)) and the backtrace
+    unrolled per STEP, per round; identical intlog costs, identical
+    (total, j) tie rule, identical char floor.  words_sql -> (word,
+    freq) with length(word) <= max_word_len."""
+    from nexus_forge_spark.functions.intlog import ln_micro_sql
+
+    L, V, M = max_piece_len, vocab_size, max_word_len
+    cost = ln_micro_sql("tot", "cnt", "duck")
+    parts = [
+        f"words AS MATERIALIZED ({words_sql})",
+        f"""sub0 AS (
+  SELECT substring(w.word, i.i, l.l) AS piece, w.freq
+  FROM words w,
+       UNNEST(range(1, length(w.word) + 1)) AS i(i),
+       UNNEST(range(1, {L} + 1)) AS l(l)
+  WHERE i.i + l.l - 1 <= length(w.word)
+)""",
+        """cnt0 AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM sub0 GROUP BY piece
+)""",
+        f"""top0 AS (
+  SELECT piece, cnt FROM cnt0 ORDER BY cnt DESC, piece LIMIT {V}
+)""",
+        """v0 AS MATERIALIZED (
+  SELECT piece, CAST(max(cnt) AS BIGINT) AS cnt FROM (
+    SELECT * FROM top0
+    UNION ALL SELECT piece, cnt FROM cnt0 WHERE length(piece) = 1
+  ) GROUP BY piece
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        pv = f"v{r - 1}"
+        parts.append(
+            f"t{r} AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM {pv})"
+        )
+        parts.append(
+            f"""k{r} AS MATERIALIZED (
+  SELECT piece, CAST({cost} AS BIGINT) AS cost FROM {pv}, t{r}
+)"""
+        )
+        parts.append(
+            f"d{r}_0 AS (SELECT word, freq, 0 AS pos, "
+            f"CAST(0 AS BIGINT) AS total, 0 AS bj FROM words)"
+        )
+        for i in range(1, M + 1):
+            prevs = " UNION ALL ".join(
+                f"SELECT * FROM d{r}_{j}" for j in range(max(0, i - L), i)
+            )
+            parts.append(
+                f"""d{r}_{i} AS MATERIALIZED (
+  SELECT word, freq, pos, total, bj FROM (
+    SELECT p.word, p.freq, {i} AS pos, p.total + k.cost AS total,
+           p.pos AS bj,
+           row_number() OVER (PARTITION BY p.word
+               ORDER BY p.total + k.cost, p.pos) AS rn
+    FROM ({prevs}) p
+    JOIN k{r} k
+      ON k.piece = substring(p.word, p.pos + 1, {i} - p.pos)
+    WHERE length(p.word) >= {i}
+  ) WHERE rn = 1
+)"""
+            )
+        dall = " UNION ALL ".join(
+            f"SELECT * FROM d{r}_{i}" for i in range(1, M + 1)
+        )
+        parts.append(f"dall{r} AS MATERIALIZED ({dall})")
+        parts.append(
+            f"b{r}_0 AS (SELECT word, freq, length(word) AS pos, "
+            f"CAST(NULL AS VARCHAR) AS piece FROM words)"
+        )
+        for s in range(1, M + 1):
+            parts.append(
+                f"""b{r}_{s} AS MATERIALIZED (
+  SELECT b.word, b.freq, d.bj AS pos,
+         substring(b.word, d.bj + 1, b.pos - d.bj) AS piece
+  FROM b{r}_{s - 1} b JOIN dall{r} d
+    ON d.word = b.word AND d.pos = b.pos
+  WHERE b.pos > 0
+)"""
+            )
+        ball = " UNION ALL ".join(
+            f"SELECT piece, freq FROM b{r}_{s}" for s in range(1, M + 1)
+        )
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM ({ball}) WHERE piece IS NOT NULL GROUP BY piece
+)"""
+        )
+        parts.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT c.piece, CAST(coalesce(p.cnt, 1) AS BIGINT) AS cnt
+  FROM (SELECT piece FROM {pv} WHERE length(piece) = 1) c
+  LEFT JOIN p{r} p USING (piece)
+  UNION ALL
+  SELECT piece, cnt FROM p{r} WHERE length(piece) > 1
+)"""
+        )
+    parts.append(
+        f"tf AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM v{rounds})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT v.piece, v.cnt,
+  CAST({ln_micro_sql('tf.tot', 'v.cnt', 'duck')} AS BIGINT) AS cost_micro
+FROM v{rounds} v, tf ORDER BY v.piece"""
     )

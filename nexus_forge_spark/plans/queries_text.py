@@ -1818,6 +1818,59 @@ SELECT s.*, nt.truth_pairs, fb.found_before, fa.found_after,
 FROM stats s, nt, fb, fa"""
 
 
+def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training (bpe.py
+    unigram_lm_train, Kudo 2018) — hard-EM with Viterbi E-steps in
+    deterministic integer micro-nats: the word table is the corpus'
+    distinct tokens PLUS adjacent-token compounds (so the LM genuinely
+    has subword structure to discover — the compounds decompose back
+    into the corpus' morphemes), seeded from top substrings + all
+    chars, two EM rounds.  The oracle unrolls the per-position Viterbi
+    DP and backtrace as CTEs, so hash equality pins the entire training
+    trajectory: seed election, integer costs, argmin tie rule, char
+    floor."""
+    from nexus_forge_spark.operators.bpe import unigram_lm_train
+
+    toks = load_table(spark, "documents", sf_dir).select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    uni = toks.select(F.explode("t").alias("word"))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), i -> concat(t[i], t[i+1]))"
+            )
+        ).alias("word")
+    )
+    words = (
+        uni.unionByName(big)
+        .where((F.col("word") != "") & (F.length("word") <= 16))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return unigram_lm_train(words, rounds=2, max_piece_len=6, vocab_size=60)
+
+
+def sql_unigram_lm_vocab() -> str:
+    from nexus_forge_spark.operators.bpe import sql_unigram_lm
+
+    words = r"""SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+  SELECT unnest(t) AS word
+  FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents)
+  UNION ALL
+  SELECT t[i.i] || t[i.i + 1] AS word
+  FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents),
+       UNNEST(range(1, len(t))) AS i(i)
+)
+WHERE word <> '' AND length(word) <= 16
+GROUP BY word"""
+    return sql_unigram_lm(
+        words, rounds=2, max_piece_len=6, vocab_size=60, max_word_len=16
+    )
+
+
 def q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-style Group-DRO mixture learning (curation.py
     domain_reweight): per-source unigram-LM mean NLL -> excess over the

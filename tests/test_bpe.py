@@ -211,3 +211,48 @@ def test_train_checkpoint_exhausted(spark, tmp_path):
     assert got == ref_train(counts, 10) and len(got) == 1
     # resume with a LARGER target: journal knows the supply is exhausted
     assert bpe_train(_word_df(spark, counts), 20, checkpoint_path=ckpt) == got
+
+
+def test_unigram_lm_discovers_repeated_morpheme(spark):
+    """Corpus of 'abab'/'ab' style compounds: the unigram LM must keep
+    'ab' as a high-count piece and segment 'ababab' into three 'ab's
+    (Viterbi with integer costs prefers the reused morpheme)."""
+    from nexus_forge_spark.operators.bpe import unigram_lm_train
+
+    words = spark.createDataFrame(
+        [("ab", 50), ("abab", 30), ("ababab", 10), ("cd", 5)],
+        "word string, freq long",
+    )
+    out = {r.piece: r for r in unigram_lm_train(
+        words, rounds=2, max_piece_len=4, vocab_size=6
+    ).collect()}
+    assert "ab" in out and "abab" in out
+    # the LM keeps BOTH morphemes: 'abab' (cheaper than two 'ab's at
+    # these counts) covers abab(30) + the ababab prefix(10) = 40, and
+    # 'ab' covers the standalone word(50) + the ababab tail(10) = 60 —
+    # a char-level fallback would leave both near zero
+    assert out["abab"].cnt == 40
+    assert out["ab"].cnt == 60
+    # coverage invariant: every observed char survives with cnt >= 1
+    for ch in "abcd":
+        assert ch in out and out[ch].cnt >= 1
+    # costs are consistent: higher count -> lower cost
+    assert out["ab"].cost_micro < out["c"].cost_micro
+
+
+def test_unigram_lm_tie_rule_prefers_smallest_j(spark):
+    """Equal-cost segmentations break toward the smaller split point
+    (longer final piece) — the documented (total, j) rule; the seed
+    election tie-breaks by (cnt DESC, piece ASC)."""
+    from nexus_forge_spark.operators.bpe import unigram_seed_vocab
+
+    words = spark.createDataFrame(
+        [("xy", 3), ("yx", 3)], "word string, freq long"
+    )
+    seed = {r.piece: r.cnt for r in unigram_seed_vocab(
+        words, max_piece_len=2, vocab_size=2
+    ).collect()}
+    # substring counts: x and y appear once in EACH word -> 6 apiece;
+    # xy/yx at 3 fall outside the top-2 but chars always join
+    assert seed["x"] == 6 and seed["y"] == 6
+    assert set(seed) == {"x", "y"}
