@@ -412,22 +412,119 @@ def unigram_lm_train(
     )
 
 
-def sql_unigram_lm(
-    words_sql: str,
-    rounds: int = 2,
+def unigram_fertility(
+    docs: DataFrame,
+    vocab: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
     max_piece_len: int = 6,
-    vocab_size: int = 60,
-    max_word_len: int = 16,
+) -> DataFrame:
+    """Encode the corpus with a TRAINED unigram-LM vocab (Viterbi with
+    the final costs — :func:`unigram_lm_train`'s output carries them as
+    cost_micro) and report per-group fertility: pieces per word in
+    integer milli.  The tokenizer-quality readout that decides whether
+    the learned vocab actually compresses each domain (the
+    tokenizer_fertility twin for the unigram LM).
+
+    Same distinct-word factoring as bpe_fertility: the Viterbi UDF runs
+    once per DISTINCT word (costs broadcast in the closure), then one
+    broadcast join back to word occurrences + one hash agg per group.
+    """
+    cost_map = {
+        r["piece"]: int(r["cost_micro"]) for r in vocab.collect()
+    }
+    seg = _viterbi_segment_udf(cost_map, max_piece_len)
+    words = docs.select(
+        group_col,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "word"
+        ),
+    ).where(F.col("word") != "")
+    per_word = (
+        words.select("word")
+        .distinct()
+        .select("word", F.size(seg(F.col("word"))).cast("long").alias("n_p"))
+    )
+    return (
+        words.join(F.broadcast(per_word), "word")
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_p").cast("long").alias("n_pieces"),
+        )
+        .withColumn(
+            "fertility_milli",
+            F.expr("n_pieces * 1000 div n_words").cast("long"),
+        )
+        .orderBy("grp")
+    )
+
+
+def _dp_parts(
+    parts: list, tag: str, words_cte: str, k_cte: str, L: int, M: int
 ) -> str:
-    """DuckDB oracle for :func:`unigram_lm_train` — the Viterbi DP
-    unrolled per POSITION (d{r}_{i} CTEs: best prefix cost ending at i,
-    argmin rendered as row_number over (total, j)) and the backtrace
-    unrolled per STEP, per round; identical intlog costs, identical
-    (total, j) tie rule, identical char floor.  words_sql -> (word,
-    freq) with length(word) <= max_word_len."""
+    """Append one Viterbi DP (per-position d CTEs) + backtrace (per-step
+    b CTEs) chain against cost table ``k_cte`` over ``words_cte`` (word,
+    freq); returns the name of a CTE emitting one row per (word, freq,
+    piece) of the argmin segmentation."""
+    parts.append(
+        f"d{tag}_0 AS (SELECT word, freq, 0 AS pos, "
+        f"CAST(0 AS BIGINT) AS total, 0 AS bj FROM {words_cte})"
+    )
+    for i in range(1, M + 1):
+        prevs = " UNION ALL ".join(
+            f"SELECT * FROM d{tag}_{j}" for j in range(max(0, i - L), i)
+        )
+        parts.append(
+            f"""d{tag}_{i} AS MATERIALIZED (
+  SELECT word, freq, pos, total, bj FROM (
+    SELECT p.word, p.freq, {i} AS pos, p.total + k.cost AS total,
+           p.pos AS bj,
+           row_number() OVER (PARTITION BY p.word
+               ORDER BY p.total + k.cost, p.pos) AS rn
+    FROM ({prevs}) p
+    JOIN {k_cte} k
+      ON k.piece = substring(p.word, p.pos + 1, {i} - p.pos)
+    WHERE length(p.word) >= {i}
+  ) WHERE rn = 1
+)"""
+        )
+    dall = " UNION ALL ".join(
+        f"SELECT * FROM d{tag}_{i}" for i in range(1, M + 1)
+    )
+    parts.append(f"dall{tag} AS MATERIALIZED ({dall})")
+    parts.append(
+        f"b{tag}_0 AS (SELECT word, freq, length(word) AS pos, "
+        f"CAST(NULL AS VARCHAR) AS piece FROM {words_cte})"
+    )
+    for st in range(1, M + 1):
+        parts.append(
+            f"""b{tag}_{st} AS MATERIALIZED (
+  SELECT b.word, b.freq, d.bj AS pos,
+         substring(b.word, d.bj + 1, b.pos - d.bj) AS piece
+  FROM b{tag}_{st - 1} b JOIN dall{tag} d
+    ON d.word = b.word AND d.pos = b.pos
+  WHERE b.pos > 0
+)"""
+        )
+    ball = " UNION ALL ".join(
+        f"SELECT word, freq, piece FROM b{tag}_{st}" for st in range(1, M + 1)
+    )
+    parts.append(
+        f"""emit{tag} AS MATERIALIZED (
+  SELECT word, freq, piece FROM ({ball}) WHERE piece IS NOT NULL
+)"""
+    )
+    return f"emit{tag}"
+
+
+def _unigram_lm_parts(
+    words_sql: str, rounds: int, L: int, V: int, M: int
+) -> list:
+    """Shared CTE chain: words, seed election, per-round cost tables +
+    DP/backtrace + re-count, ending at v{rounds}."""
     from nexus_forge_spark.functions.intlog import ln_micro_sql
 
-    L, V, M = max_piece_len, vocab_size, max_word_len
     cost = ln_micro_sql("tot", "cnt", "duck")
     parts = [
         f"words AS MATERIALIZED ({words_sql})",
@@ -461,53 +558,11 @@ def sql_unigram_lm(
   SELECT piece, CAST({cost} AS BIGINT) AS cost FROM {pv}, t{r}
 )"""
         )
-        parts.append(
-            f"d{r}_0 AS (SELECT word, freq, 0 AS pos, "
-            f"CAST(0 AS BIGINT) AS total, 0 AS bj FROM words)"
-        )
-        for i in range(1, M + 1):
-            prevs = " UNION ALL ".join(
-                f"SELECT * FROM d{r}_{j}" for j in range(max(0, i - L), i)
-            )
-            parts.append(
-                f"""d{r}_{i} AS MATERIALIZED (
-  SELECT word, freq, pos, total, bj FROM (
-    SELECT p.word, p.freq, {i} AS pos, p.total + k.cost AS total,
-           p.pos AS bj,
-           row_number() OVER (PARTITION BY p.word
-               ORDER BY p.total + k.cost, p.pos) AS rn
-    FROM ({prevs}) p
-    JOIN k{r} k
-      ON k.piece = substring(p.word, p.pos + 1, {i} - p.pos)
-    WHERE length(p.word) >= {i}
-  ) WHERE rn = 1
-)"""
-            )
-        dall = " UNION ALL ".join(
-            f"SELECT * FROM d{r}_{i}" for i in range(1, M + 1)
-        )
-        parts.append(f"dall{r} AS MATERIALIZED ({dall})")
-        parts.append(
-            f"b{r}_0 AS (SELECT word, freq, length(word) AS pos, "
-            f"CAST(NULL AS VARCHAR) AS piece FROM words)"
-        )
-        for s in range(1, M + 1):
-            parts.append(
-                f"""b{r}_{s} AS MATERIALIZED (
-  SELECT b.word, b.freq, d.bj AS pos,
-         substring(b.word, d.bj + 1, b.pos - d.bj) AS piece
-  FROM b{r}_{s - 1} b JOIN dall{r} d
-    ON d.word = b.word AND d.pos = b.pos
-  WHERE b.pos > 0
-)"""
-            )
-        ball = " UNION ALL ".join(
-            f"SELECT piece, freq FROM b{r}_{s}" for s in range(1, M + 1)
-        )
+        emit = _dp_parts(parts, str(r), "words", f"k{r}", L, M)
         parts.append(
             f"""p{r} AS MATERIALIZED (
   SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
-  FROM ({ball}) WHERE piece IS NOT NULL GROUP BY piece
+  FROM {emit} GROUP BY piece
 )"""
         )
         parts.append(
@@ -519,6 +574,27 @@ def sql_unigram_lm(
   SELECT piece, cnt FROM p{r} WHERE length(piece) > 1
 )"""
         )
+    return parts
+
+
+def sql_unigram_lm(
+    words_sql: str,
+    rounds: int = 2,
+    max_piece_len: int = 6,
+    vocab_size: int = 60,
+    max_word_len: int = 16,
+) -> str:
+    """DuckDB oracle for :func:`unigram_lm_train` — the Viterbi DP
+    unrolled per POSITION (d{r}_{i} CTEs: best prefix cost ending at i,
+    argmin rendered as row_number over (total, j)) and the backtrace
+    unrolled per STEP, per round; identical intlog costs, identical
+    (total, j) tie rule, identical char floor.  words_sql -> (word,
+    freq) with length(word) <= max_word_len."""
+    from nexus_forge_spark.functions.intlog import ln_micro_sql
+
+    parts = _unigram_lm_parts(
+        words_sql, rounds, max_piece_len, vocab_size, max_word_len
+    )
     parts.append(
         f"tf AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM v{rounds})"
     )
@@ -529,4 +605,58 @@ def sql_unigram_lm(
 SELECT v.piece, v.cnt,
   CAST({ln_micro_sql('tf.tot', 'v.cnt', 'duck')} AS BIGINT) AS cost_micro
 FROM v{rounds} v, tf ORDER BY v.piece"""
+    )
+
+
+def sql_unigram_fertility(
+    words_sql: str,
+    corpus_sql: str,
+    rounds: int = 2,
+    max_piece_len: int = 6,
+    vocab_size: int = 60,
+    max_word_len: int = 16,
+) -> str:
+    """DuckDB oracle for :func:`unigram_fertility`: re-derives the
+    trained vocab (same chain as sql_unigram_lm), then one MORE
+    DP/backtrace chain with the FINAL costs over the corpus word list,
+    rolled up per group.  corpus_sql -> (grp, word, n) with n = how many
+    times the word occurs in the group."""
+    from nexus_forge_spark.functions.intlog import ln_micro_sql
+
+    L, M = max_piece_len, max_word_len
+    cost = ln_micro_sql("tot", "cnt", "duck")
+    parts = _unigram_lm_parts(
+        words_sql, rounds, L, vocab_size, max_word_len
+    )
+    parts.append(
+        f"tf AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM v{rounds})"
+    )
+    parts.append(
+        f"""kf AS MATERIALIZED (
+  SELECT piece, CAST({cost} AS BIGINT) AS cost FROM v{rounds}, tf
+)"""
+    )
+    parts.append(f"corpus AS MATERIALIZED ({corpus_sql})")
+    parts.append(
+        """cw AS MATERIALIZED (
+  SELECT word, CAST(1 AS BIGINT) AS freq
+  FROM (SELECT DISTINCT word FROM corpus)
+)"""
+    )
+    emit = _dp_parts(parts, "f", "cw", "kf", L, M)
+    parts.append(
+        f"""np AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_pieces FROM {emit} GROUP BY word
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT c.grp, CAST(sum(c.n) AS BIGINT) AS n_words,
+  CAST(sum(c.n * np.n_pieces) AS BIGINT) AS n_pieces,
+  CAST(sum(c.n * np.n_pieces) * 1000 // sum(c.n) AS BIGINT)
+    AS fertility_milli
+FROM corpus c JOIN np USING (word)
+GROUP BY c.grp ORDER BY c.grp"""
     )

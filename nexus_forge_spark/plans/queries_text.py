@@ -1871,6 +1871,68 @@ GROUP BY word"""
     )
 
 
+def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fertility of the TRAINED unigram-LM tokenizer (bpe.py
+    unigram_fertility): train on tokens + compounds (same spec as
+    unigram_lm_vocab), then Viterbi-encode the real corpus words with
+    the final costs and roll up pieces-per-word in integer milli per
+    source — the tokenizer-quality readout.  The oracle re-derives the
+    whole vocab AND runs one more unrolled DP chain with the final
+    costs, so the hash pins train + encode together."""
+    from nexus_forge_spark.operators.bpe import (
+        unigram_fertility,
+        unigram_lm_train,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    uni = toks.select(F.explode("t").alias("word"))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), i -> concat(t[i], t[i+1]))"
+            )
+        ).alias("word")
+    )
+    words = (
+        uni.unionByName(big)
+        .where((F.col("word") != "") & (F.length("word") <= 16))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    vocab = unigram_lm_train(words, rounds=2, max_piece_len=6, vocab_size=60)
+    return unigram_fertility(docs, vocab, group_col="source")
+
+
+def sql_unigram_fertility_q() -> str:
+    from nexus_forge_spark.operators.bpe import sql_unigram_fertility
+
+    words = r"""SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+  SELECT unnest(t) AS word
+  FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents)
+  UNION ALL
+  SELECT t[i.i] || t[i.i + 1] AS word
+  FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents),
+       UNNEST(range(1, len(t))) AS i(i)
+)
+WHERE word <> '' AND length(word) <= 16
+GROUP BY word"""
+    corpus = r"""SELECT source AS grp, word, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+  FROM documents
+)
+WHERE word <> '' GROUP BY grp, word"""
+    return sql_unigram_fertility(
+        words, corpus, rounds=2, max_piece_len=6, vocab_size=60,
+        max_word_len=16,
+    )
+
+
 def q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-style Group-DRO mixture learning (curation.py
     domain_reweight): per-source unigram-LM mean NLL -> excess over the
