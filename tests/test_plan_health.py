@@ -915,3 +915,39 @@ def test_coreness_round_no_window_no_hub_funnel(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_watermark_delay_plan_no_single_partition(spark, sf01):
+    """The order statistic must come from the exchange-free parallel
+    rank — a global window would plan Exchange SinglePartition."""
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["watermark_delay_plan"][0](spark, sf01))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_allen_relations_equi_join_no_cartesian(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["allen_relations"][0](spark, sf01))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_class_similarity_broadcasts_taxonomy(spark, sf01):
+    """The taxonomy tables are schema-sized: every join on the pair side
+    must be a broadcast hash join — no sort-merge shuffle of pairs."""
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["kg_class_similarity"][0](spark, sf01))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ladder_salted_no_cartesian_no_single_partition(spark, sf01):
+    from nexus_forge_spark.plans.driver_queries import QUERIES
+
+    plan = plan_of(QUERIES["kg_ladder_salted"][0](spark, sf01))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
