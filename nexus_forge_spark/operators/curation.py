@@ -1182,6 +1182,90 @@ def temperature_mix(
     )
 
 
+def epoch_shuffle(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    epochs: int = 2,
+    shards: int = 8,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic GLOBAL shuffle per training epoch — the step every
+    LLM data pipeline runs between curation and the trainer: each epoch
+    gets an independent pseudo-random permutation of the corpus, written
+    as (epoch, shard, position) so the trainer streams shard files in
+    position order.  key = md5-hash(id : salt : epoch) (the engine-
+    portable _ppm_hash family); shard = key mod shards; position = rank
+    within (epoch, shard) by (key, id) — reproducible on any cluster
+    size, any engine (no RNG state).
+
+    Scale posture: the permutation is MAP-SIDE (hash per row); the only
+    shuffle is the per-(epoch, shard) rank, whose sort is bounded by the
+    shard size — shards are chosen so output files are 100-500 MB, the
+    same bound a trainer wants, so the window never sorts more than one
+    output file's worth in a task.  Output: (epoch, id, shard,
+    position).
+    """
+    e = docs.select(F.col(id_col)).crossJoin(
+        F.broadcast(
+            docs.sparkSession.range(epochs).select(
+                F.col("id").cast("int").alias("epoch")
+            )
+        )
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":" + salt + ":"),
+                    F.col("epoch").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = e.select(
+        "epoch",
+        F.col(id_col),
+        key.alias("k"),
+    ).withColumn("shard", F.pmod(F.col("k"), F.lit(shards)).cast("int"))
+    w = Window.partitionBy("epoch", "shard").orderBy("k", id_col)
+    return keyed.select(
+        "epoch",
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("long").alias("position"),
+    )
+
+
+def sql_epoch_shuffle(
+    source_sql: str,
+    id_col: str = "doc_id",
+    epochs: int = 2,
+    shards: int = 8,
+    salt: str = "epoch",
+) -> str:
+    """DuckDB oracle for :func:`epoch_shuffle` — identical md5 key,
+    shard mod, and rank.  source_sql -> one row per document."""
+    key = (
+        f"CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || "
+        f"':{salt}:' || CAST(e.epoch AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    return f"""WITH src AS MATERIALIZED ({source_sql}),
+keyed AS (
+  SELECT e.epoch, s.{id_col}, {key} AS k,
+         CAST({key} % {shards} AS INT) AS shard
+  FROM src s, (SELECT CAST(unnest(range({epochs})) AS INT) AS epoch) e
+)
+SELECT epoch, {id_col}, shard,
+  CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY k, {id_col})
+       AS BIGINT) AS position
+FROM keyed"""
+
+
 def domain_reweight(
     doc_losses: DataFrame,
     domain_col: str = "source",

@@ -1540,3 +1540,23 @@ FROM customer"""
     return sql_t_closeness_audit(
         src, ["c_nationkey", "c_mktsegment"], "bal_decile"
     )
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle (curation.py epoch_shuffle):
+    2 epochs x 8 shards over the documents corpus — independent
+    engine-portable permutations per epoch, shard-bounded rank (the only
+    sort is one output file's worth).  The trainer-facing (epoch, shard,
+    position) layout every LLM data pipeline materializes."""
+    from nexus_forge_spark.operators.curation import epoch_shuffle
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return epoch_shuffle(docs, "doc_id", epochs=2, shards=8)
+
+
+def sql_epoch_shuffle_q() -> str:
+    from nexus_forge_spark.operators.curation import sql_epoch_shuffle
+
+    return sql_epoch_shuffle(
+        "SELECT doc_id FROM documents", "doc_id", epochs=2, shards=8
+    )

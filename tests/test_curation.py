@@ -1194,3 +1194,26 @@ def test_domain_reweight_uniform_when_no_excess(spark):
     out = {r.domain: r.weight_ppm for r in domain_reweight(df).collect()}
     assert sum(out.values()) == 1_000_000
     assert max(out.values()) - min(out.values()) <= 1  # largest remainder
+
+
+def test_epoch_shuffle_contiguous_positions_and_epoch_independence(spark):
+    from nexus_forge_spark.operators.curation import epoch_shuffle
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    out = epoch_shuffle(docs, epochs=2, shards=4).collect()
+    assert len(out) == 400
+    by = {}
+    for r in out:
+        by.setdefault((r.epoch, r.shard), []).append(r.position)
+    # positions are 1..n contiguous within each (epoch, shard)
+    for ps in by.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # the two epochs give DIFFERENT permutations (shard assignment moves)
+    shard_e0 = {r.doc_id: r.shard for r in out if r.epoch == 0}
+    shard_e1 = {r.doc_id: r.shard for r in out if r.epoch == 1}
+    assert shard_e0 != shard_e1
+    # deterministic: a rerun is identical
+    again = epoch_shuffle(docs, epochs=2, shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
