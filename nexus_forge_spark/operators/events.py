@@ -1540,3 +1540,158 @@ SELECT channel,
               <= 1000000 - sum(base) OVER () THEN 1 ELSE 0 END
   END AS BIGINT) AS credit_ppm
 FROM seats"""
+
+
+def km_survival(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    cohort_col: str | None = None,
+    censor_window_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier survival curve of user ACTIVITY LIFETIMES with right
+    censoring (Kaplan & Meier 1958) — the churn readout every event
+    pipeline eventually needs, in exact integer arithmetic:
+
+      * the "user" is any subject key (a user, a user x surface pair, a
+        subscription); ``cohort_col`` must be functionally dependent on
+        it (taken as max over the subject's rows; None = one cohort 0);
+      * lifetime T_u = days between a user's first and last event;
+      * a user whose last event falls within ``censor_window_days`` of
+        the corpus horizon is CENSORED (may still be active): they leave
+        the risk set at T_u without counting as churn;
+      * per cohort, at each distinct churn time t (ascending):
+        n_t = users still at risk, d_t = churns at t, and
+        S <- S * (n_t - d_t) div n_t folded in Q30 fixed point
+        (truncating — deterministic on any engine, no float product).
+
+    The fold is ONE whole-stage-codegen ``aggregate()`` over the
+    per-cohort (T, d, c) histogram sorted by T — the coreness-round
+    shape: the user table dies at a map-side-combinable groupBy, no
+    per-cohort window, and the fold length is bounded by the distinct-
+    lifetime range, not the user count.  Output rows at churn times
+    only: (cohort, t_days, n_at_risk, n_churns, surv_ppm).
+
+    Exactness bound: the Q30 product keeps every intermediate < 2^63
+    as long as the per-cohort risk set stays below 2^33 (~8.6e9 users)
+    — beyond that, pre-bucket cohorts.
+    """
+    horizon = df.agg(F.max(F.col(ts_col)).alias("h"))
+    cohort = (
+        F.max(F.col(cohort_col)).alias("cohort")
+        if cohort_col
+        else F.lit(0).cast("int").alias("cohort")
+    )
+    users = (
+        df.groupBy(F.col(user_col).alias("u"))
+        .agg(
+            cohort,
+            F.min(F.col(ts_col)).alias("first_ts"),
+            F.max(F.col(ts_col)).alias("last_ts"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.col("u"),
+            "cohort",
+            F.datediff(F.col("last_ts"), F.col("first_ts")).alias("t"),
+            (
+                F.datediff(F.col("h"), F.col("last_ts"))
+                < F.lit(censor_window_days)
+            ).alias("censored"),
+        )
+    )
+    hist = users.groupBy("cohort", "t").agg(
+        F.sum((~F.col("censored")).cast("long")).alias("d"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    q30 = 1 << 30
+    folded = (
+        hist.groupBy("cohort")
+        .agg(
+            F.sum("c").cast("long").alias("total"),
+            F.sort_array(
+                F.collect_list(F.struct("t", "d", "c"))
+            ).alias("hst"),
+        )
+        .select(
+            "cohort",
+            F.expr(
+                f"""aggregate(hst,
+  named_struct('rem', total, 'surv', CAST({q30} AS BIGINT),
+               'out', CAST(array() AS
+                 array<struct<t:int,n:bigint,d:bigint,s:bigint>>)),
+  (acc, x) -> named_struct(
+    'rem', acc.rem - x.c,
+    'surv', CASE WHEN x.d > 0
+            THEN (acc.surv * (acc.rem - x.d)) DIV acc.rem
+            ELSE acc.surv END,
+    'out', CASE WHEN x.d > 0 THEN concat(acc.out, array(named_struct(
+      't', x.t, 'n', acc.rem, 'd', x.d,
+      's', ((acc.surv * (acc.rem - x.d)) DIV acc.rem) * 1000000
+           DIV {q30}))) ELSE acc.out END),
+  acc -> acc.out)"""
+            ).alias("out"),
+        )
+    )
+    return (
+        folded.select("cohort", F.explode("out").alias("o"))
+        .select(
+            "cohort",
+            F.col("o.t").alias("t_days"),
+            F.col("o.n").alias("n_at_risk"),
+            F.col("o.d").alias("n_churns"),
+            F.col("o.s").cast("long").alias("surv_ppm"),
+        )
+        .orderBy("cohort", "t_days")
+    )
+
+
+def sql_km_survival(
+    events_sql: str,
+    censor_window_days: int = 7,
+) -> str:
+    """DuckDB oracle for :func:`km_survival` — identical histogram and
+    Q30 truncating product, rendered as a sequential recursive-CTE fold
+    over per-cohort row numbers.  events_sql -> (u, cohort, ts) with
+    cohort functionally dependent on the subject u."""
+    q30 = 1 << 30
+    return f"""WITH RECURSIVE ev AS MATERIALIZED ({events_sql}),
+hz AS (SELECT max(ts) AS h FROM ev),
+users AS (
+  SELECT u, max(cohort) AS cohort,
+    date_diff('day', min(ts), max(ts)) AS t,
+    date_diff('day', max(ts), (SELECT h FROM hz)) < {censor_window_days}
+      AS censored
+  FROM ev GROUP BY u
+),
+hist AS (
+  SELECT cohort, t,
+    CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+    CAST(count(*) AS BIGINT) AS c
+  FROM users GROUP BY cohort, t
+),
+tot AS (SELECT cohort, CAST(sum(c) AS BIGINT) AS total FROM hist GROUP BY cohort),
+numbered AS (
+  SELECT cohort, t, d, c,
+    row_number() OVER (PARTITION BY cohort ORDER BY t) AS idx
+  FROM hist
+),
+fold(cohort, idx, rem, surv) AS (
+  SELECT cohort, 0, total, CAST({q30} AS BIGINT) FROM tot
+  UNION ALL
+  SELECT f.cohort, n.idx, f.rem - n.c,
+    CASE WHEN n.d > 0 THEN (f.surv * (f.rem - n.d)) // f.rem
+         ELSE f.surv END
+  FROM fold f JOIN numbered n
+    ON n.cohort = f.cohort AND n.idx = f.idx + 1
+),
+steps AS (
+  SELECT f.cohort, n.t, f.rem AS n_at_risk, n.d,
+    ((f.surv * (f.rem - n.d)) // f.rem) * 1000000 // {q30} AS s
+  FROM fold f JOIN numbered n
+    ON n.cohort = f.cohort AND n.idx = f.idx + 1
+  WHERE n.d > 0
+)
+SELECT cohort, CAST(t AS INT) AS t_days, n_at_risk,
+  CAST(d AS BIGINT) AS n_churns, CAST(s AS BIGINT) AS surv_ppm
+FROM steps ORDER BY cohort, t_days"""

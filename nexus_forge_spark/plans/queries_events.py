@@ -1262,6 +1262,38 @@ FROM lineitem"""
 FROM ({inner}) GROUP BY relation ORDER BY relation"""
 
 
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn curve (operators/events.py km_survival): the
+    subject is a (user, event_type) ENGAGEMENT STREAM — per-user total
+    activity never lapses in this corpus (all 150 users reach the
+    horizon; checked, the degenerate-output trap), but per-surface
+    engagement genuinely churns (35/750 streams end >= 7 days before the
+    horizon).  Cohort = event_type; survival folded as a Q30 truncating
+    product over the per-cohort lifetime histogram — one codegen
+    aggregate(), no per-cohort window.  The oracle renders the same fold
+    as a sequential recursive CTE, so the hash pins censoring, risk-set
+    accounting, and the integer product."""
+    from nexus_forge_spark.operators.events import km_survival
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.concat(
+            F.col("event_type"), F.lit(":"), F.col("user_id").cast("string")
+        ).alias("subject"),
+        F.col("event_type").alias("cohort"),
+        "ts",
+    )
+    return km_survival(ev, user_col="subject", cohort_col="cohort")
+
+
+def sql_km_survival_q() -> str:
+    from nexus_forge_spark.operators.events import sql_km_survival
+
+    return sql_km_survival(
+        "SELECT event_type || ':' || CAST(user_id AS VARCHAR) AS u, "
+        "event_type AS cohort, ts FROM events"
+    )
+
+
 _WM_TARGET_PPMS = [0, 2000, 20000, 200000]
 
 

@@ -899,3 +899,46 @@ def test_allen_relations_drops_improper_intervals(spark):
     }
     assert (1, 2) not in rel and (1, 3) not in rel  # zero-length dropped
     assert rel[(2, 3)] == "overlaps"
+
+
+def test_km_survival_hand_curve(spark):
+    """5 subjects, one cohort: a zero-lifetime censored exit, three
+    churns, one horizon survivor — risk-set accounting and the Q30
+    product checked against hand arithmetic."""
+    import datetime as dt
+
+    from nexus_forge_spark.operators.events import km_survival
+
+    d0 = dt.datetime(2024, 1, 1)
+    horizon = d0 + dt.timedelta(days=30)
+
+    def span(uid, days):
+        return [(uid, "c", d0), (uid, "c", d0 + dt.timedelta(days=days))]
+
+    rows = (
+        span("u1", 2)          # churn at 2 (ends 28d before horizon)
+        + span("u2", 3)        # would churn at 3... see censor below
+        + span("u3", 5)        # churn at 5
+        + span("u4", 30)       # survives to horizon (censored)
+        + [("u5", "c", horizon)]  # lifetime 0 at horizon (censored)
+    )
+    df = spark.createDataFrame(
+        rows, "subject string, cohort string, ts timestamp"
+    )
+    out = {
+        r.t_days: r
+        for r in km_survival(
+            df, user_col="subject", cohort_col="cohort",
+            censor_window_days=7,
+        ).collect()
+    }
+    # u2 at t=3 is NOT censored (ends 27d before horizon) -> 3 churn
+    # steps; u5 is censored at t=0 and exits the risk set BEFORE t=2
+    # (standard KM: censored subjects leave at their censor time)
+    assert set(out) == {2, 3, 5}
+    assert (out[2].n_at_risk, out[2].n_churns) == (4, 1)
+    assert out[2].surv_ppm == 750_000          # 3/4
+    assert (out[3].n_at_risk, out[3].n_churns) == (3, 1)
+    assert out[3].surv_ppm == 500_000          # 3/4 * 2/3
+    assert (out[5].n_at_risk, out[5].n_churns) == (2, 1)
+    assert out[5].surv_ppm == 250_000          # * 1/2
