@@ -1357,6 +1357,12 @@ def domain_reweight(
                     ).cast("long")
                 ).alias("w"),
             )
+            # k-row frame, but each round nests aggregates OF aggregates
+            # (s, tot_flo) — without a per-round pin the final plan
+            # re-executes the chain ~3^rounds times (the markov lesson:
+            # the growing plan tree dominates the tiny job; measured
+            # 85 s -> ~2 s at sf0.1)
+            .localCheckpoint(eager=True)
         )
     return (
         base.join(w, "domain")
