@@ -256,3 +256,51 @@ def test_unigram_lm_tie_rule_prefers_smallest_j(spark):
     # xy/yx at 3 fall outside the top-2 but chars always join
     assert seed["x"] == 6 and seed["y"] == 6
     assert set(seed) == {"x", "y"}
+
+
+def test_unigram_viterbi_matches_bruteforce_enumeration(spark):
+    """Differential: for every word, the Viterbi UDF's segmentation must
+    achieve the globally minimal total cost over ALL segmentations
+    (enumerated brute-force), and among minimal ones pick the
+    (total, j)-lexicographic path — randomized small alphabet."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nexus_forge_spark.operators.bpe import _viterbi_segment_udf
+
+    rng = random.Random(42)
+    pieces = ["a", "b", "c", "ab", "bc", "abc", "cab", "bb"]
+    cost_map = {p: rng.randint(1, 50) * 1000 for p in pieces}
+    L = 3
+
+    def brute(w):
+        # all compositions of w into vocab pieces (lengths 1..L)
+        best = None
+        def rec(i, path, tot):
+            nonlocal best
+            if i == len(w):
+                if best is None or tot < best[0]:
+                    best = (tot, list(path))
+                return
+            for j in range(i + 1, min(i + L, len(w)) + 1):
+                p = w[i:j]
+                if p in cost_map:
+                    path.append(p)
+                    rec(j, path, tot + cost_map[p])
+                    path.pop()
+        rec(0, [], 0)
+        return best
+
+    words = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 8)))
+        for _ in range(40)
+    ]
+    seg = _viterbi_segment_udf(cost_map, L)
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r.word: list(r.p) for r in df.select("word", seg(F.col("word")).alias("p")).collect()}
+    for w in set(words):
+        bt, bp = brute(w)
+        assert sum(cost_map[p] for p in got[w]) == bt, (w, got[w], bp)
+        assert "".join(got[w]) == w

@@ -942,3 +942,55 @@ def test_km_survival_hand_curve(spark):
     assert out[3].surv_ppm == 500_000          # 3/4 * 2/3
     assert (out[5].n_at_risk, out[5].n_churns) == (2, 1)
     assert out[5].surv_ppm == 250_000          # * 1/2
+
+
+def test_km_survival_matches_naive_python_randomized(spark):
+    """Differential on random lifetimes: histogram-fold KM == a naive
+    per-step python KM with the same Q30 truncating product."""
+    import datetime as dt
+    import random
+
+    from nexus_forge_spark.operators.events import km_survival
+
+    rng = random.Random(11)
+    d0 = dt.datetime(2024, 1, 1)
+    horizon_days = 40
+    rows = []
+    subjects = []
+    for i in range(60):
+        start = rng.randint(0, 10)
+        end = rng.randint(start, horizon_days)
+        u = f"u{i}"
+        rows += [
+            (u, "k", d0 + dt.timedelta(days=start)),
+            (u, "k", d0 + dt.timedelta(days=end)),
+        ]
+        subjects.append((end - start, end))
+    # pin the horizon with one sentinel subject ending exactly at day 40
+    rows += [(f"uH", "k", d0 + dt.timedelta(days=horizon_days))]
+    subjects.append((0, horizon_days))
+    W = 5
+    df = spark.createDataFrame(rows, "s string, c string, ts timestamp")
+    got = {
+        (r.t_days): (r.n_at_risk, r.n_churns, r.surv_ppm)
+        for r in km_survival(
+            df, user_col="s", cohort_col="c", censor_window_days=W
+        ).collect()
+    }
+    # naive python
+    from collections import Counter
+
+    hist = Counter()
+    deaths = Counter()
+    for t, end in subjects:
+        hist[t] += 1
+        if horizon_days - end >= W:
+            deaths[t] += 1
+    rem, surv, want = len(subjects), 1 << 30, {}
+    for t in sorted(hist):
+        d = deaths.get(t, 0)
+        if d > 0:
+            surv = (surv * (rem - d)) // rem
+            want[t] = (rem, d, surv * 1_000_000 // (1 << 30))
+        rem -= hist[t]
+    assert got == want

@@ -1038,3 +1038,46 @@ def test_disparity_backbone_keeps_planted_edge(spark):
         [(0, i, 5) for i in range(1, 21)], "a long, b long, w long"
     )
     assert disparity_backbone(uniform, alpha_milli=50).count() == 0
+
+
+def test_coreness_random_graph_vs_peeling(spark):
+    """Differential on a random graph: histogram-fold h-index fixpoint ==
+    classic python peeling core decomposition."""
+    import random
+
+    from nexus_forge_spark.operators.graph import coreness
+
+    rng = random.Random(9)
+    n = 40
+    edges = set()
+    for _ in range(120):
+        a, b = rng.randint(0, n - 1), rng.randint(0, n - 1)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "a long, b long")
+    got = {r.node: r.coreness for r in coreness(df, rounds=30).collect()}
+
+    # python peeling
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core, alive = {}, dict(deg)
+    k = 0
+    while alive:
+        k_min = min(alive.values())
+        k = max(k, k_min)
+        peel = [v for v, d in alive.items() if d <= k]
+        while peel:
+            v = peel.pop()
+            if v not in alive:
+                continue
+            core[v] = k
+            del alive[v]
+            for u in adj[v]:
+                if u in alive:
+                    alive[u] -= 1
+                    if alive[u] <= k:
+                        peel.append(u)
+    assert got == core

@@ -495,3 +495,44 @@ def test_class_similarity_wu_palmer_hand_values(spark):
     assert got[("A", "R1")] == (3, 2, 2, 800000)
     assert got[("A", "W")] == (3, 1, 1, 500000)
     assert ("A", "ZZZ") not in got  # unknown class drops (inner join)
+
+
+def test_class_similarity_random_tree_vs_python(spark):
+    """Differential on random trees: wup_ppm == a python implementation
+    computing ancestor-or-self sets directly."""
+    import random
+
+    from nexus_forge_spark.operators.ontology import class_similarity
+
+    rng = random.Random(5)
+    nodes = [f"n{i}" for i in range(25)]
+    parent = {}
+    for i, n in enumerate(nodes[1:], start=1):
+        parent[n] = nodes[rng.randint(0, i - 1)]
+    edges = spark.createDataFrame(
+        list(parent.items()), "child string, parent string"
+    )
+
+    def anc_or_self(n):
+        out = [n]
+        while n in parent:
+            n = parent[n]
+            out.append(n)
+        return out
+
+    pairs = [(a, b) for a in nodes for b in nodes if a < b]
+    rng.shuffle(pairs)
+    pairs = pairs[:60]
+    pdf = spark.createDataFrame(pairs, "a string, b string")
+    got = {
+        (r.a, r.b): (r.d_a, r.d_b, r.d_lca, r.wup_ppm)
+        for r in class_similarity(pdf, edges).collect()
+    }
+    for a, b in pairs:
+        aa, ab = anc_or_self(a), anc_or_self(b)
+        d_a, d_b = len(aa), len(ab)
+        common = set(aa) & set(ab)
+        d_lca = max(len(anc_or_self(c)) for c in common)
+        assert got[(a, b)] == (
+            d_a, d_b, d_lca, 2 * d_lca * 1_000_000 // (d_a + d_b)
+        ), (a, b)

@@ -266,3 +266,50 @@ def test_fold_cusum_batch_retry_and_equivalence(spark):
     # the planted k1 step actually alarms
     assert any(a for (k, _), (_, _, a, _) in got.items() if k == "k1")
     shutil.rmtree(base)
+
+
+def test_min_watermark_delay_is_minimal_and_within_budget(spark):
+    """Property on random batches: for each target, shed(delay) <= budget
+    AND (delay > 0 implies shed(delay - 1) > budget) — true minimality
+    under the global-watermark rule, checked by brute force."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nexus_forge_spark.streaming.stream_pipeline import min_watermark_delay
+
+    rng = random.Random(3)
+    rows = []
+    for b in range(4):
+        for _ in range(50):
+            rows.append((b, rng.randint(0, 10_000)))
+    df = spark.createDataFrame(rows, "b int, us long")
+    targets = [0, 50_000, 250_000, 900_000]
+    out = {
+        r.target_ppm: r
+        for r in min_watermark_delay(df, "b", "us", targets).collect()
+    }
+
+    # brute-force thresholds
+    bmax = {}
+    for b, us in rows:
+        bmax[b] = max(bmax.get(b, 0), us)
+    prior = {b: max((bmax[p] for p in bmax if p < b), default=None) for b in bmax}
+    ds = [
+        prior[b] - us
+        for b, us in rows
+        if prior[b] is not None and prior[b] - us > 0
+    ]
+    n = len(rows)
+
+    def shed(delay):
+        return sum(1 for d in ds if d > delay)
+
+    for ppm in targets:
+        r = out[ppm]
+        budget = n * ppm // 1_000_000
+        assert shed(r.delay_us) <= budget
+        assert r.shed_events == shed(r.delay_us)
+        if r.delay_us > 0:
+            assert shed(r.delay_us - 1) > budget  # minimality
+        assert r.n_events == n and r.n_candidates == len(ds)
